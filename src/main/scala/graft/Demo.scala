@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pivot._
+
+/** Smoke/demo main: runs the flagship entry and exercises the pivot
+  * operator's edge paths (error modes, default fill, invalid config) on
+  * real testdata. `sbt "runMain graft.Demo [sfDir]"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println("=== entry (flagship) ===")
+    SparkEntry.entry(spark).show(truncate = false)
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+
+    println("=== send-to-error-port: pivot o_orderstatus=O,F (P off-list) ===")
+    val r = PivotOps.pivotConfig(orders,
+      pivotRow = "o_orderpriority",
+      pivotColumns = "o_orderstatus=O,F",
+      aggregates = "total:sum(o_totalprice), n:count(*)",
+      onError = Some("send-to-error-port"))
+    println(s"main rows: ${r.main.count()}")
+    r.main.show(truncate = false)
+    println(s"error rows: ${r.errors.count()}")
+    r.errors.show(truncate = false)
+
+    println("=== defaultValue fill + aliases ===")
+    PivotOps.pivotConfig(orders,
+      pivotRow = "o_orderpriority",
+      pivotColumns = "o_orderstatus=O,F,P",
+      aggregates = "total:sum(o_totalprice)",
+      fieldAliases = Some("P_total:p_renamed"),
+      defaultValue = Some("0")).main.show(truncate = false)
+
+    println("=== fail-pipeline (expect exception) ===")
+    try {
+      PivotOps.pivotConfig(orders,
+        pivotRow = "o_orderpriority",
+        pivotColumns = "o_orderstatus=O,F",
+        aggregates = "n:count(*)",
+        onError = Some("fail-pipeline")).main.count()
+      println("ERROR: no exception raised")
+    } catch {
+      case e: Exception =>
+        println(s"raised as expected: ${e.getMessage.linesIterator.find(_.contains("Failing pipeline")).getOrElse(e.getMessage.take(200))}")
+    }
+
+    println("=== invalid config (expect accumulated failures) ===")
+    try {
+      PivotOps.pivotConfig(orders,
+        pivotRow = "nope",
+        pivotColumns = "o_orderstatus=O;bad",
+        aggregates = "x:frobnicate(o_totalprice), y:sum(missing_col)")
+      println("ERROR: no exception raised")
+    } catch {
+      case e: IllegalArgumentException => println(e.getMessage)
+    }
+
+    println("=== physical plan (flagship) ===")
+    SparkEntry.entry(spark).explain("formatted")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pivot._
+
+/** Verification queries: one per operator/function of SURVEY.md §2, each
+  * paired with a DuckDB oracle over the same parquet tables.
+  *
+  * Conventions for oracle stability:
+  *   - Output column names match the oracle aliases exactly (the driver
+  *     compare sorts columns by name).
+  *   - Double-valued aggregates whose value depends on summation order
+  *     (avg, var, stddev, double sums over non-integral data) are cast to
+  *     FLOAT on both sides, quantizing away cross-engine ulp differences.
+  *   - Order-dependent aggregates (collect/concat) are value-sorted on
+  *     both sides (see AggFunctions doc).
+  */
+object PivotQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Float-quantize a double column for cross-engine hash stability. */
+  private def f32(df: DataFrame, names: String*): DataFrame =
+    names.foldLeft(df)((d, n) => d.withColumn(n, col(n).cast("float")))
+
+  // ---------------------------------------------------------------------
+  // Flagship pivot: lineitem cross-tab by return flag x line status.
+  // ---------------------------------------------------------------------
+
+  private def qPivotFlagship(s: SparkSession, dir: String): DataFrame = {
+    val out = PivotOps.pivotConfig(
+      t(s, dir, "lineitem"),
+      pivotRow = "l_returnflag",
+      pivotColumns = "l_linestatus=O,F",
+      aggregates = "sum_qty:sum(l_quantity), avg_price:avg(l_extendedprice), cnt:count(*)"
+    ).main
+    f32(out, "O_avg_price", "F_avg_price")
+  }
+
+  private val oPivotFlagship =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN l_linestatus='O' THEN l_quantity END) AS "O_sum_qty",
+      |  sum(CASE WHEN l_linestatus='F' THEN l_quantity END) AS "F_sum_qty",
+      |  CAST(avg(CASE WHEN l_linestatus='O' THEN l_extendedprice END) AS REAL) AS "O_avg_price",
+      |  CAST(avg(CASE WHEN l_linestatus='F' THEN l_extendedprice END) AS REAL) AS "F_avg_price",
+      |  count(CASE WHEN l_linestatus='O' THEN 1 END) AS "O_cnt",
+      |  count(CASE WHEN l_linestatus='F' THEN 1 END) AS "F_cnt"
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_flagship" -> (qPivotFlagship _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "pivot_flagship" -> oPivotFlagship
+  )
+}

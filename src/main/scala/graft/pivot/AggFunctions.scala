@@ -1,0 +1,161 @@
+package graft.pivot
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Conditional ("cell") aggregate expressions for the pivot operator.
+  *
+  * The pivot is planned as ONE hash aggregate: for each (product cell,
+  * aggregate) pair we emit `fn(when(cellCond, field))`, so the whole
+  * cross-tab is a single shuffle with map-side partial aggregation and
+  * whole-stage codegen — the same algorithmic shape as the reference's
+  * `BatchReducibleAggregator` (reference:
+  * src/main/java/io/cdap/plugin/aggregator/Pivot.java:59,147-196) but
+  * vectorized and spillable.
+  *
+  * Each builder encodes the reference's exact null/empty-cell/output-type
+  * semantics, documented per function below (reference files under
+  * src/main/java/io/cdap/plugin/aggregator/function/).
+  *
+  * Deliberate deviations (all order-related; the reference's "encounter
+  * order" is partition-order-dependent and thus nondeterministic in any
+  * distributed run — we pin a deterministic order instead):
+  *   - COLLECTLIST / COLLECTSET return value-sorted arrays (nulls first).
+  *   - CONCAT / CONCATDISTINCT join value-sorted.
+  *   - CONCATDISTINCT deduplicates as a set; the reference suppresses any
+  *     value that is a *substring* of the accumulated string
+  *     (function/ConcatDistinct.java:54), which is order-dependent and
+  *     treated as a bug here.
+  *   - LONGESTSTRING/SHORTESTSTRING break length ties by value (the
+  *     reference keeps first-encountered).
+  */
+object AggFunctions {
+
+  /** `when(cond, f)`: null for rows outside the cell. Aggregates that skip
+    * nulls then see exactly the cell's rows (reference routes each record
+    * to its cell's function instances, Pivot.java:172-183). */
+  private def cell(cond: Column, f: Column): Column = when(cond, f)
+
+  /** Null-inclusive variant: wrap in a struct so rows *in* the cell with a
+    * null value survive aggregates that drop nulls. */
+  private def cellBox(cond: Column, f: Column): Column =
+    when(cond, struct(f.as("v")))
+
+  /** Deterministic sort key for "longest/shortest string": lexicographic
+    * (length, value) encoded as one string — zero-padded length prefix. */
+  private def lengthKey(s: Column): Column =
+    concat(lpad(length(s).cast(StringType), 10, "0"), s)
+
+  /** Case-insensitive order key with case-sensitive tiebreak; `\\u0001` is
+    * below every character in the data, so lexicographic compare of the
+    * combined key equals (lower(s), s) tuple compare. */
+  private def ciKey(s: Column): Column =
+    concat(lower(s), lit("\u0001"), s)
+
+  /** Build the aggregate expression for one output cell.
+    *
+    * @param fn        the pivot aggregate function
+    * @param field     input field name ("*" only for COUNT)
+    * @param fieldType input field type (ignored for "*")
+    * @param cond      cell membership predicate (pivot key == product value)
+    */
+  def cellExpr(fn: PivotFunction, field: String, fieldType: DataType, cond: Column): Column = {
+    val f = col(field)
+    fn match {
+      // COUNT(*) counts records in the cell; COUNT(f) counts non-null f
+      // (function/CountAll.java:25-53, function/Count.java:25-61). LONG.
+      case PivotFunction.Count =>
+        if (field == "*") count(cell(cond, lit(1)))
+        else count(cell(cond, f))
+
+      // Exact distinct where NULL counts as a distinct value
+      // (function/CountDistinct.java:45-47 adds unconditionally). INT.
+      case PivotFunction.CountDistinct =>
+        (count_distinct(cell(cond, f)) +
+          max(when(cond && f.isNull, 1).otherwise(0))).cast(IntegerType)
+
+      // Type-preserving sum (function/Sum.java:51-67): Spark widens
+      // int->long/float->double; cast back. Null if cell empty/all-null.
+      case PivotFunction.Sum =>
+        sum(cell(cond, f)).cast(fieldType)
+
+      // DOUBLE mean; null if cell empty/all-null (function/Avg.java:69-75).
+      case PivotFunction.Avg =>
+        avg(cell(cond, f))
+
+      // Strings compare case-insensitively but return the original value
+      // (function/Min.java:49, Max.java:50); numerics are plain min/max.
+      case PivotFunction.Min =>
+        if (fieldType == StringType) min_by(cell(cond, f), cell(cond, ciKey(f)))
+        else min(cell(cond, f))
+      case PivotFunction.Max =>
+        if (fieldType == StringType) max_by(cell(cond, f), cell(cond, ciKey(f)))
+        else max(cell(cond, f))
+
+      // First/last value encountered *within the cell*, including null
+      // values (function/First.java:27-71, Last.java:29-69). The struct box
+      // + ignoreNulls skips rows outside the cell but keeps in-cell nulls.
+      // Partition-order-dependent in both systems.
+      case PivotFunction.First =>
+        first(cellBox(cond, f), ignoreNulls = true).getField("v")
+      case PivotFunction.Last =>
+        last(cellBox(cond, f), ignoreNulls = true).getField("v")
+
+      // Population stddev/variance (function/Variance.java:114-118 rescales
+      // Welford sample state by (n-1)/n; Stddev.java:60-66 is its sqrt).
+      // Null if cell empty/all-null. DOUBLE.
+      case PivotFunction.Stddev   => stddev_pop(cell(cond, f))
+      case PivotFunction.Variance => var_pop(cell(cond, f))
+
+      // Null-inclusive collect (function/CollectList.java:42-53,
+      // CollectSet.java:29-63); empty cell -> empty array. Sorted (see
+      // class doc). array<fieldType>.
+      case PivotFunction.CollectList =>
+        transform(sort_array(collect_list(cellBox(cond, f))), s => s.getField("v"))
+      case PivotFunction.CollectSet =>
+        transform(sort_array(collect_set(cellBox(cond, f))), s => s.getField("v"))
+
+      // Longest keeps "" for empty/all-null cell (init "",
+      // function/LongestString.java:43); shortest keeps null (:43). STRING.
+      case PivotFunction.LongestString =>
+        coalesce(max_by(cell(cond, f), cell(cond, lengthKey(f))), lit(""))
+      case PivotFunction.ShortestString =>
+        min_by(cell(cond, f), cell(cond, lengthKey(f)))
+
+      // Count of in-cell records whose field is null
+      // (function/CountNulls.java:25-60). LONG.
+      case PivotFunction.CountNulls =>
+        count(when(cond && f.isNull, lit(1)))
+
+      // Join non-null values with ", "; empty cell -> ""
+      // (function/Concat.java:48,60). Sorted (see class doc). STRING.
+      case PivotFunction.Concat =>
+        array_join(sort_array(collect_list(cell(cond, f))), ", ")
+      case PivotFunction.ConcatDistinct =>
+        array_join(sort_array(collect_set(cell(cond, f))), ", ")
+
+      // AND/OR over non-null booleans; empty/all-null -> true / false
+      // (function/LogicalAnd.java:38, LogicalOr.java:38). BOOLEAN.
+      case PivotFunction.LogicalAnd =>
+        coalesce(bool_and(cell(cond, f)), lit(true))
+      case PivotFunction.LogicalOr =>
+        coalesce(bool_or(cell(cond, f)), lit(false))
+
+      // Σx² − (Σx)²/n over non-null values; empty/all-null cell -> NaN
+      // (0 − 0/0 in Java doubles, function/CorrectedSumOfSquares.java:87-93).
+      // The when-guard also keeps the divide out of ANSI's x/0 error path.
+      case PivotFunction.CorrectedSumOfSquares =>
+        val cf = cell(cond, f)
+        val n = count(cf)
+        when(n === 0, lit(Double.NaN))
+          .otherwise(sum(cf * cf) - (sum(cf) * sum(cf)) / n)
+
+      // Σx²; empty/all-null cell -> 0.0, never null
+      // (function/SumOfSquares.java:60,75-79). DOUBLE.
+      case PivotFunction.SumOfSquares =>
+        val cf = cell(cond, f)
+        coalesce(sum(cf * cf), lit(0.0))
+    }
+  }
+}

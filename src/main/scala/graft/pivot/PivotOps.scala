@@ -1,0 +1,164 @@
+package graft.pivot
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Result of a pivot: the cross-tab, plus (for
+  * `on-error=send-to-error-port`) the groups routed to the error port
+  * (reference: src/main/java/io/cdap/plugin/aggregator/Pivot.java:241-262).
+  * `errors` is empty under other modes.
+  */
+final case class PivotResult(main: DataFrame, errors: DataFrame)
+
+/** The pivot (grouped cross-tab) operator.
+  *
+  * Spark-first plan (see AggFunctions): one `groupBy(pivotRows).agg(...)`
+  * with a conditional aggregate per (cell x aggregate) — a single shuffle,
+  * map-side combined, whole-stage-codegen'd. No pivot-value discovery job
+  * is ever run because values are declared in the spec (the same design
+  * point as the reference, PivotConfig.java:198-264). Off-list tracking for
+  * the error modes piggybacks on the same aggregate, so error handling adds
+  * no extra pass over the data.
+  */
+object PivotOps {
+
+  /** Stringified pivot key, one per pivot column. The reference uses Java's
+    * `String.valueOf`, so a null pivot value becomes the string "null" and
+    * may match a declared value (Pivot.java:337,347). */
+  private def keyStr(c: String): Column =
+    coalesce(col(c).cast(StringType), lit("null"))
+
+  /** The combined cell key `v1_v2` (Pivot.java:330-353). */
+  def cellKey(spec: PivotSpec): Column =
+    concat_ws("_", spec.pivotColumns.map { case (c, _) => keyStr(c) }: _*)
+
+  /** Validate + pivot. Throws IllegalArgumentException listing all spec
+    * errors (the reference accumulates in a FailureCollector then throws,
+    * PivotConfig.java:134-187). */
+  def pivot(df: DataFrame, spec: PivotSpec): PivotResult = {
+    spec.validate(df.schema) match {
+      case Left(errs) =>
+        throw new IllegalArgumentException(
+          s"Invalid pivot spec:\n  ${errs.mkString("\n  ")}")
+      case Right(_) => ()
+    }
+
+    val fieldType: Map[String, DataType] =
+      df.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    // Aggregate column order: aggregates outer, products inner — matches
+    // the reference's output schema (Pivot.java:283-297).
+    val key = cellKey(spec)
+    val cellCols: Seq[Column] = for {
+      a <- spec.aggregates
+      p <- spec.columnsProduct
+    } yield {
+      val dt = if (a.field == "*") NullType else fieldType(a.field)
+      AggFunctions.cellExpr(a.function, a.field, dt, key === lit(p))
+        .as(spec.outputName(p, a))
+    }
+
+    // Off-list ledger per pivot column (Pivot.java:330-353: a record with
+    // any undeclared value joins no cell; its value is recorded per-column).
+    // A record is off-list at its FIRST off-list column only (the reference
+    // returns early), which we reproduce with a prefix-conjunction.
+    val missingName = spec.pivotColumns.map { case (c, _) => s"__missing_$c" }
+    val missingCols: Seq[Column] = spec.pivotColumns.zipWithIndex.map {
+      case ((c, values), i) =>
+        val onList = keyStr(c).isin(values.map(lit): _*)
+        val priorOnList = spec.pivotColumns.take(i)
+          .map { case (pc, pvs) => keyStr(pc).isin(pvs.map(lit): _*) }
+          .foldLeft(lit(true))(_ && _)
+        collect_set(when(priorOnList && !onList, keyStr(c)))
+          .as(s"__missing_$c")
+    }
+
+    val trackErrors = spec.onError != OnError.Skip
+    val aggCols = if (trackErrors) cellCols ++ missingCols else cellCols
+
+    val pre = spec.numPartitions match {
+      case Some(n) => df.repartition(n, spec.pivotRows.map(col): _*)
+      case None    => df
+    }
+    val grouped = pre
+      .groupBy(spec.pivotRows.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+
+    // defaultValue: a single string converted per column type, applied to
+    // every null aggregate cell (Pivot.java:229-236 builder.convertAndSet).
+    val filled = spec.defaultValue match {
+      case None => grouped
+      case Some(d) =>
+        val aggNames = (for {
+          a <- spec.aggregates; p <- spec.columnsProduct
+        } yield spec.outputName(p, a)).toSet
+        val cols = grouped.schema.fields.map { f =>
+          if (aggNames.contains(f.name))
+            coalesce(col(f.name), lit(d).cast(f.dataType)).as(f.name)
+          else col(f.name)
+        }
+        grouped.select(cols.toSeq: _*)
+    }
+
+    def hasMissing: Column =
+      missingName.map(n => size(col(n)) > 0).reduce(_ || _)
+
+    def errMessage: Column = {
+      // "For columns name: c following models are missing v1 ,v2 ;..."
+      // (Pivot.java:367-377 formatting).
+      val parts = spec.pivotColumns.zip(missingName).map { case ((c, _), m) =>
+        when(size(col(m)) > 0,
+          concat(lit(s"For columns name: $c following models are missing "),
+            array_join(col(m), " ,")))
+      }
+      array_join(array(parts: _*), " ;") // array() drops null branches via array_compact
+    }
+
+    spec.onError match {
+      case OnError.Skip =>
+        PivotResult(filled, emptyErrors(filled, spec))
+      case OnError.SendToErrorPort =>
+        val main = filled.filter(!hasMissing).drop(missingName: _*)
+        val errors = filled.filter(hasMissing)
+          .withColumn("__error", errMessage)
+          .select((spec.pivotRows.map(col) :+ col("__error")): _*)
+        PivotResult(main, errors)
+      case OnError.FailPipeline =>
+        // Correct fail-fast (the reference's fail-pipeline branch is
+        // unreachable, see OnError doc): raise at execution time if any
+        // group has off-list values. The filter keeps the guard from being
+        // pruned by the optimizer.
+        val guarded = filled
+          .filter(when(hasMissing,
+            raise_error(concat(lit("Failing pipeline due to error : "), errMessage)).isNotNull
+          ).otherwise(lit(true)))
+          .drop(missingName: _*)
+        PivotResult(guarded, emptyErrors(filled, spec))
+    }
+  }
+
+  private def emptyErrors(df: DataFrame, spec: PivotSpec): DataFrame =
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(spec.pivotRows.map(r => df.schema(r)) :+
+        StructField("__error", StringType, nullable = true)))
+
+  /** Parse a reference-grammar config and pivot in one call. */
+  def pivotConfig(
+      df: DataFrame,
+      pivotRow: String,
+      pivotColumns: String,
+      aggregates: String,
+      fieldAliases: Option[String] = None,
+      defaultValue: Option[String] = None,
+      onError: Option[String] = None,
+      numPartitions: Option[Int] = None): PivotResult =
+    PivotSpec.parse(pivotRow, pivotColumns, aggregates, fieldAliases,
+      defaultValue, onError, numPartitions) match {
+      case Left(errs) =>
+        throw new IllegalArgumentException(
+          s"Invalid pivot config:\n  ${errs.mkString("\n  ")}")
+      case Right(spec) => pivot(df, spec)
+    }
+}

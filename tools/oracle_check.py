@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Replay the driver's correctness gate locally: compare graft.Verify
+parquet output against DuckDB oracle SQL on the same tables.
+
+Usage: oracle_check.py <verify_out_dir> <sf_dir>
+"""
+import sys, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    cols = list(df.columns)
+    # sort rows by stringified tuple for mixed/list dtypes
+    key = df.apply(lambda r: repr(tuple(r)), axis=1) if len(df) else None
+    if key is not None:
+        df = df.assign(__k=key).sort_values("__k").drop(columns="__k")
+    return df.reset_index(drop=True)
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(sqls.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"{name}: ERROR {e}")
+            n_bad += 1
+            continue
+        g, e = canon(got), canon(exp)
+        same = g.equals(e)
+        if not same and list(g.columns) == list(e.columns) and g.shape == e.shape:
+            # fall back to approx compare to show *how* far off
+            try:
+                import pandas.testing as pt
+                pt.assert_frame_equal(g, e, check_exact=False, rtol=1e-9)
+                same = "approx"
+            except Exception:
+                pass
+        if same is True:
+            print(f"{name}: MATCH")
+            n_ok += 1
+        elif same == "approx":
+            print(f"{name}: APPROX-ONLY (hash would mismatch — tighten casting)")
+            n_bad += 1
+        else:
+            print(f"{name}: MISMATCH")
+            print("  got:", dict(g.dtypes.astype(str)), g.shape)
+            print(g.head(5).to_string())
+            print("  exp:", dict(e.dtypes.astype(str)), e.shape)
+            print(e.head(5).to_string())
+            n_bad += 1
+    print(f"\n{n_ok} match, {n_bad} mismatch")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
