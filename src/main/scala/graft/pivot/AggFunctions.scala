@@ -77,6 +77,10 @@ object AggFunctions {
 
       // Type-preserving sum (function/Sum.java:51-67): Spark widens
       // int->long/float->double; cast back. Null if cell empty/all-null.
+      // Overflow parity: the reference's Java accumulation wraps silently;
+      // the downcast here matches that only with spark.sql.ansi.enabled=false
+      // (under ANSI it throws) — the entry points (Verify/Bench/tests) pin
+      // ansi off for that reason.
       case PivotFunction.Sum =>
         sum(cell(cond, f)).cast(fieldType)
 
@@ -145,16 +149,20 @@ object AggFunctions {
       // Σx² − (Σx)²/n over non-null values; empty/all-null cell -> NaN
       // (0 − 0/0 in Java doubles, function/CorrectedSumOfSquares.java:87-93).
       // The when-guard also keeps the divide out of ANSI's x/0 error path.
+      // Accumulation is in double regardless of input type — the reference
+      // accumulates Math.pow(value.doubleValue(), 2)
+      // (CorrectedSumOfSquares.java:60-66), and squaring in int/long would
+      // overflow.
       case PivotFunction.CorrectedSumOfSquares =>
-        val cf = cell(cond, f)
+        val cf = cell(cond, f).cast(DoubleType)
         val n = count(cf)
         when(n === 0, lit(Double.NaN))
           .otherwise(sum(cf * cf) - (sum(cf) * sum(cf)) / n)
 
       // Σx²; empty/all-null cell -> 0.0, never null
-      // (function/SumOfSquares.java:60,75-79). DOUBLE.
+      // (function/SumOfSquares.java:60,75-79). Double accumulation as above.
       case PivotFunction.SumOfSquares =>
-        val cf = cell(cond, f)
+        val cf = cell(cond, f).cast(DoubleType)
         coalesce(sum(cf * cf), lit(0.0))
     }
   }

@@ -49,14 +49,23 @@ object PivotOps {
 
     // Aggregate column order: aggregates outer, products inner — matches
     // the reference's output schema (Pivot.java:283-297).
-    val key = cellKey(spec)
+    // Cell membership is a conjunction of per-column equality predicates,
+    // NOT a compare of the '_'-joined key: the reference routes per-column
+    // with early return (Pivot.java:330-353), so an off-list value that
+    // happens to contain '_' (e.g. c1="a_b" with declared c2 value "b_c")
+    // must join NO cell rather than collide into one.
+    val colNames = spec.pivotColumns.map(_._1)
+    def cellCond(tuple: Seq[String]): Column =
+      colNames.zip(tuple)
+        .map { case (c, v) => keyStr(c) === lit(v) }
+        .reduce(_ && _)
     val cellCols: Seq[Column] = for {
       a <- spec.aggregates
-      p <- spec.columnsProduct
+      tuple <- spec.cellTuples
     } yield {
       val dt = if (a.field == "*") NullType else fieldType(a.field)
-      AggFunctions.cellExpr(a.function, a.field, dt, key === lit(p))
-        .as(spec.outputName(p, a))
+      AggFunctions.cellExpr(a.function, a.field, dt, cellCond(tuple))
+        .as(spec.outputName(tuple.mkString("_"), a))
     }
 
     // Off-list ledger per pivot column (Pivot.java:330-353: a record with
@@ -94,7 +103,15 @@ object PivotOps {
           a <- spec.aggregates; p <- spec.columnsProduct
         } yield spec.outputName(p, a)).toSet
         val cols = grouped.schema.fields.map { f =>
-          if (aggNames.contains(f.name))
+          // Array-typed aggregates (COLLECTLIST/COLLECTSET) never produce
+          // null (empty cell -> empty array), and string->array is not a
+          // valid cast anyway — the reference never fills them either
+          // (convertAndSet is only reached for null cells, Pivot.java:229-236).
+          val fillable = f.dataType match {
+            case _: ArrayType => false
+            case _            => true
+          }
+          if (aggNames.contains(f.name) && fillable)
             coalesce(col(f.name), lit(d).cast(f.dataType)).as(f.name)
           else col(f.name)
         }
@@ -106,11 +123,12 @@ object PivotOps {
 
     def errMessage: Column = {
       // "For columns name: c following models are missing v1 ,v2 ;..."
-      // (Pivot.java:367-377 formatting).
+      // (Pivot.java:367-377 formatting). Missing values are sorted for
+      // determinism (the reference iterates a HashSet — nondeterministic).
       val parts = spec.pivotColumns.zip(missingName).map { case ((c, _), m) =>
         when(size(col(m)) > 0,
           concat(lit(s"For columns name: $c following models are missing "),
-            array_join(col(m), " ,")))
+            array_join(sort_array(col(m)), " ,")))
       }
       array_join(array(parts: _*), " ;") // array() drops null branches via array_compact
     }

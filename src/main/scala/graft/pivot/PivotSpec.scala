@@ -114,12 +114,19 @@ final case class PivotSpec(
     onError: OnError = OnError.Skip,
     numPartitions: Option[Int] = None) {
 
-  /** Cartesian product of declared value lists, joined with "_", in
-    * declaration order (reference: Pivot.java:365-372). */
-  def columnsProduct: Seq[String] =
-    pivotColumns.map(_._2).foldLeft(Seq("")) { (acc, values) =>
-      for (a <- acc; v <- values) yield if (a.isEmpty) v else s"${a}_$v"
+  /** Cartesian product of declared value lists as per-column value tuples,
+    * in declaration order (reference: Pivot.java:365-372). Kept as tuples —
+    * not joined strings — so cell membership can be tested per column
+    * (the reference routes per-column with early return,
+    * Pivot.java:330-353; a joined-string compare would let an off-list
+    * value containing '_' collide into a declared cell). */
+  def cellTuples: Seq[Seq[String]] =
+    pivotColumns.map(_._2).foldLeft(Seq(Seq.empty[String])) { (acc, values) =>
+      for (a <- acc; v <- values) yield a :+ v
     }
+
+  /** Cartesian product joined with "_" — the output-column name prefixes. */
+  def columnsProduct: Seq[String] = cellTuples.map(_.mkString("_"))
 
   /** Output column name for (product cell, aggregate), after aliasing
     * (reference: Pivot.java:283-297). */
@@ -147,6 +154,11 @@ final case class PivotSpec(
       if (values.isEmpty) errs += s"No data model defined for pivot column $c."
     }
     aggregates.foreach { a =>
+      if (a.field == "*" && a.function != PivotFunction.Count)
+        // "*" is only meaningful for COUNT (reference:
+        // PivotConfig.java:445-449 routes field=="*" to CountAll inside the
+        // COUNT branch only; other functions would die on a missing field).
+        errs += s"Field '*' is only valid for function COUNT, not ${a.function.name}."
       if (a.field != "*" && !names.contains(a.field))
         errs += s"Field name ${a.field} for function ${a.alias} does not exist in input schema."
       else if (a.field != "*") {
