@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.pivot.PivotOps
+
+/** Ports of the reference's five golden e2e cases on its 18-row `purchase`
+  * fixture (reference src/test/java/io/cdap/plugin/aggregator/
+  * PivotTest.java:80-133 data, :136-340 goldens, :386-548 configs).
+  * Comparison is order-insensitive, like the reference's sorted-JSON
+  * equality.
+  */
+class GoldenPivotSpec extends SparkSpec {
+
+  // (Quarter, Product, Brand, Sales, ShopID) — PivotTest.java:88-133.
+  private lazy val purchase: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("Q1", "Shoes", "Nike", 50, 1), ("Q1", "Shirts", "Nike", 20, 1),
+      ("Q1", "Socks", "Reebok", 40, 1), ("Q1", "Shirts", "Reebok", 60, 1),
+      ("Q1", "Shoes", "Reebok", 50, 1),
+      ("Q2", "Shoes", "Nike", 20, 1), ("Q2", "Shoes", "Reebok", 30, 1),
+      ("Q2", "Socks", "Nike", 40, 1),
+      ("Q3", "Shoes", "Nike", 50, 1), ("Q3", "Shoes", "Reebok", 30, 1),
+      ("Q3", "Socks", "Reebok", 40, 1), ("Q3", "Socks", "Nike", 20, 1),
+      ("Q4", "Shoes", "Reebok", 10, 1), ("Q4", "Shirts", "Reebok", 20, 1),
+      ("Q4", "Socks", "Reebok", 30, 1), ("Q4", "Shoes", "Nike", 40, 1),
+      ("Q4", "Shirts", "Nike", 50, 1), ("Q4", "Socks", "Nike", 60, 1)
+    ).toDF("Quarter", "Product", "Brand", "Sales", "ShopID")
+  }
+
+  test("sum by product per quarter (PivotTest.java:386-401)") {
+    val out = PivotOps.pivotConfig(purchase,
+      "Product", "Quarter=Q1,Q2,Q3,Q4", "sum: sum(Sales)").main
+    // Output stays INT — type-preserving sum (PivotTest.java:139).
+    assert(fieldTypes(out)("Q1_sum") == "int")
+    assertRowsMatch(out, Seq(
+      Row("Shoes", 100, 50, 80, 50),
+      Row("Socks", 40, 40, 60, 90),
+      Row("Shirts", 80, null, null, 70)))
+  }
+
+  test("sum by brand per quarter, alias 'total' (PivotTest.java:403-419)") {
+    val out = PivotOps.pivotConfig(purchase,
+      "Brand", "Quarter=Q1,Q2,Q3,Q4", "total: sum(Sales)").main
+    assertRowsMatch(out, Seq(
+      Row("Nike", 70, 60, 70, 150),
+      Row("Reebok", 150, 30, 70, 60)))
+  }
+
+  test("min/max over string values (PivotTest.java:421-437)") {
+    val out = PivotOps.pivotConfig(purchase,
+      "Product", "Quarter=Q1,Q2,Q3,Q4", "min: min(Brand),max: max(Brand)").main
+    // Column order: aggregates outer, quarters inner (Pivot.java:283-297).
+    assert(out.columns.toSeq == Seq("Product",
+      "Q1_min", "Q2_min", "Q3_min", "Q4_min",
+      "Q1_max", "Q2_max", "Q3_max", "Q4_max"))
+    assertRowsMatch(out, Seq(
+      Row("Shirts", "Nike", null, null, "Nike", "Reebok", null, null, "Reebok"),
+      Row("Shoes", "Nike", "Nike", "Nike", "Nike", "Reebok", "Reebok", "Reebok", "Reebok"),
+      Row("Socks", "Reebok", "Nike", "Nike", "Nike", "Reebok", "Nike", "Reebok", "Reebok")))
+  }
+
+  test("defaults and field aliases (PivotTest.java:439-456)") {
+    val out = PivotOps.pivotConfig(purchase,
+      "Product", "Quarter=Q1,Q2,Q3,Q4", "sum: sum(Sales)",
+      fieldAliases = Some("Q1_sum:Quarter_1_sum,Q2_sum:Quarter_2_sum"),
+      defaultValue = Some("0")).main
+    assert(out.columns.toSeq == Seq("Product",
+      "Quarter_1_sum", "Quarter_2_sum", "Q3_sum", "Q4_sum"))
+    assertRowsMatch(out, Seq(
+      Row("Shoes", 100, 50, 80, 50),
+      Row("Socks", 40, 40, 60, 90),
+      Row("Shirts", 80, 0, 0, 70)))
+  }
+
+  test("two pivot rows: brand and product (PivotTest.java:533-548)") {
+    val out = PivotOps.pivotConfig(purchase,
+      "Brand,Product", "Quarter=Q1,Q2,Q3,Q4", "total: sum(Sales)").main
+    assertRowsMatch(out, Seq(
+      Row("Nike", "Shirts", 20, null, null, 50),
+      Row("Nike", "Shoes", 50, 20, 50, 40),
+      Row("Nike", "Socks", null, 40, 20, 60),
+      Row("Reebok", "Shirts", 60, null, null, 20),
+      Row("Reebok", "Shoes", 50, 30, 30, 10),
+      Row("Reebok", "Socks", 40, null, 40, 30)))
+  }
+}

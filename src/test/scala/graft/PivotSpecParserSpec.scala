@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.pivot._
+
+/** Config-grammar and validation failures, mirroring the reference's
+  * negative tests (PivotTest.java:458-531) plus validation rules from
+  * PivotConfig.java:134-395. */
+class PivotSpecParserSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("Quarter", StringType), StructField("Product", StringType),
+    StructField("Brand", StringType), StructField("Sales", IntegerType),
+    StructField("Flag", BooleanType)))
+
+  private def parseErrs(pivotRow: String, pivotColumns: String,
+                        aggregates: String): List[String] =
+    PivotSpec.parse(pivotRow, pivotColumns, aggregates)
+      .fold(identity, _ => Nil)
+
+  private def validateErrs(pivotRow: String, pivotColumns: String,
+                           aggregates: String): List[String] =
+    PivotSpec.parse(pivotRow, pivotColumns, aggregates)
+      .fold(identity, _.validate(schema).fold(identity, _ => Nil))
+
+  test("invalid pivot column not in schema (PivotTest.java:458-481)") {
+    val errs = validateErrs("Product", "NoSuchCol=Q1,Q2", "sum: sum(Sales)")
+    assert(errs.exists(_.contains("NoSuchCol")))
+  }
+
+  test("invalid aggregate field (PivotTest.java:508-531)") {
+    val errs = validateErrs("Product", "Quarter=Q1,Q2", "sum: sum(Missing)")
+    assert(errs.exists(_.contains("Missing")))
+  }
+
+  test("missing '=' in pivotColumns grammar") {
+    val errs = parseErrs("Product", "Quarter:Q1,Q2", "sum: sum(Sales)")
+    assert(errs.exists(_.contains("Could not find '='")))
+  }
+
+  test("unknown function accumulates with other errors") {
+    val errs = parseErrs("Product", "bad", "x: frobnicate(Sales)")
+    assert(errs.size >= 2)
+    assert(errs.exists(_.contains("frobnicate")))
+  }
+
+  test("more than 2 pivot columns rejected (PivotConfig.java:164-167)") {
+    val errs = validateErrs("Product", "Quarter=Q1;Brand=Nike;Sales=1",
+      "sum: sum(Sales)")
+    assert(errs.exists(_.contains("Maximum allowed number of pivot columns is 2")))
+  }
+
+  test("duplicate aggregate alias rejected (PivotConfig.java:331-395)") {
+    val errs = parseErrs("Product", "Quarter=Q1", "a: sum(Sales), a: count(*)")
+    assert(errs.exists(_.contains("same name")))
+  }
+
+  test("duplicate pivot value rejected") {
+    val errs = parseErrs("Product", "Quarter=Q1,Q1", "sum: sum(Sales)")
+    assert(errs.exists(_.contains("already defined")))
+  }
+
+  test("fn(*) only valid for COUNT (PivotConfig.java:445-449)") {
+    val errs = validateErrs("Product", "Quarter=Q1", "s: sum(*)")
+    assert(errs.exists(_.contains("only valid for function COUNT")))
+    assert(validateErrs("Product", "Quarter=Q1", "c: count(*)").isEmpty)
+  }
+
+  test("numeric-only gate (AggregationUtils.java:36-39)") {
+    val errs = validateErrs("Product", "Quarter=Q1", "a: avg(Brand)")
+    assert(errs.exists(_.contains("not numeric")))
+  }
+
+  test("string-only and boolean-only gates") {
+    assert(validateErrs("Product", "Quarter=Q1", "l: longeststring(Sales)")
+      .exists(_.contains("not a string")))
+    assert(validateErrs("Product", "Quarter=Q1", "l: logicaland(Sales)")
+      .exists(_.contains("not a boolean")))
+    assert(validateErrs("Product", "Quarter=Q1", "l: logicaland(Flag)").isEmpty)
+  }
+
+  test("cartesian product preserves declaration order (Pivot.java:365-372)") {
+    val Right(spec) = PivotSpec.parse("r", "c1=a,b;c2=x,y", "s: count(*)")
+    assert(spec.columnsProduct == Seq("a_x", "a_y", "b_x", "b_y"))
+    assert(spec.cellTuples == Seq(Seq("a", "x"), Seq("a", "y"),
+      Seq("b", "x"), Seq("b", "y")))
+  }
+}

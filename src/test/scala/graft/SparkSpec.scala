@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for specs; mirrors the entry-point config
+  * (UTC, ANSI off for reference overflow parity, small shuffle). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSpec.session
+
+  /** Order-insensitive row compare, like the reference's sorted-JSON
+    * equality (reference PivotTest.java:375-384). */
+  def assertRowsMatch(df: DataFrame, expected: Seq[Row]): Unit = {
+    val got = df.collect().map(_.toString).sorted.toSeq
+    val exp = expected.map(_.toString).sorted
+    assert(got == exp, s"\ngot:      $got\nexpected: $exp")
+  }
+
+  def fieldTypes(df: DataFrame): Map[String, String] =
+    df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
