@@ -1,0 +1,283 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Verification queries for the training-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal) over the `documents`,
+  * `embeddings` and `events` tables, with DuckDB oracles wherever the
+  * computation is engine-agnostic.
+  *
+  * Queries whose result depends on an engine-specific hash family
+  * (xxhash64 minhash bands, simhash, LSH bucketing) either (a) verify
+  * candidates against an exact measure so the oracle is the exact
+  * computation (dedup_minhash — LSH only affects recall, and the planted
+  * near-dups at jaccard≈0.98 are found with probability 1-1e-35), or
+  * (b) ship without an oracle and are pinned by ScalaTest instead
+  * (dedup_simhash, sim_topk_lsh).
+  */
+object OpsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Canonical whitespace tokens in DuckDB, twin of TextFunctions.tokens. */
+  private val oToks =
+    "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+  // =====================================================================
+  // Text analysis
+  // =====================================================================
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+      TextFunctions.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"),
+      TextFunctions.avgTokenLen(col("text")).as("avg_tok_len"),
+      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+  }
+
+  private val oTextStats =
+    s"""SELECT doc_id,
+      |  len($oToks) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+      |  CAST(len(array_to_string($oToks, '')) AS DOUBLE) / len($oToks) AS avg_tok_len,
+      |  CAST(len(list_filter($oToks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+      |    / len($oToks) AS stop_ratio,
+      |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+      |    / greatest(length(text), 1) AS punct_ratio,
+      |  (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.5 AS DOUBLE) ELSE 0.0 END)
+      |  + (CASE WHEN CAST(len(list_filter($oToks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+      |      / len($oToks) > 0.02 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END)
+      |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+      |      / greatest(length(text), 1) < 0.1 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END) AS quality
+      |FROM documents""".stripMargin
+
+  private def qTextLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.langId(col("text")).getField("lang").as("lang_pred"),
+      TextFunctions.langId(col("text")).getField("score").as("lang_score"))
+
+  // First language (in en,de,fr,es,zh order) reaching the max score — the
+  // same strict-> fold semantics as TextFunctions.langId.
+  private val oTextLangId = {
+    val stops = Seq(
+      "en" -> "('the','a','and','of','to','in','is')",
+      "de" -> "('der','die','das','und','ist','nicht','ein')",
+      "fr" -> "('le','la','les','et','est','un','une')",
+      "es" -> "('el','los','las','y','es','un','una')",
+      "zh" -> "('的','是','了','在','和')")
+    val scoreExprs = stops.map { case (l, set) =>
+      s"CAST(len(list_filter($oToks, x -> x IN $set)) AS DOUBLE) / greatest(len($oToks), 1) AS s_$l"
+    }.mkString(",\n  ")
+    s"""WITH scored AS (SELECT doc_id,
+      |  $scoreExprs
+      |FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+      |       WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+      |       WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+      |       WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred,
+      |  greatest(s_en, s_de, s_fr, s_es, s_zh) AS lang_score
+      |FROM scored""".stripMargin
+  }
+
+  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+
+  private val oTextFingerprint =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  // =====================================================================
+  // Deduplication
+  // =====================================================================
+
+  /** documents with a full duplicate copy planted at doc_id+10000 — the
+    * dedup input (real table, derived duplicates). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(dupCorpus(s, dir), "text", "doc_id").select("doc_id")
+
+  private val oDedupExact =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+      |ranked AS (SELECT doc_id, row_number() OVER (
+      |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |    ORDER BY doc_id) AS rn FROM corpus)
+      |SELECT doc_id FROM ranked WHERE rn = 1""".stripMargin
+
+  /** DuckDB twin of the exact shingle-jaccard pair computation. */
+  private def oJaccardPairs(threshold: Double): String =
+    s"""WITH docs AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len($oToks) - 2, 0)),
+      |    i -> $oToks[i] || ' ' || $oToks[i+1] || ' ' || $oToks[i+2])) AS sh
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT ida, idb, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold""".stripMargin
+
+  private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.5, n = 3)
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.5, numHashes = 128, bands = 32, n = 3)
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+      maxDist = 3, bands = 4)
+
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+      threshold = 0.45)
+
+  private val oDedupEmbedding =
+    """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS ida, b.vec_id AS idb, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+      |SELECT ida, idb, round(d / (na.n * nb.n), 6) AS cos
+      |FROM dots JOIN norms na ON na.vec_id = ida JOIN norms nb ON nb.vec_id = idb
+      |WHERE round(d / (na.n * nb.n), 6) >= 0.45""".stripMargin
+
+  // =====================================================================
+  // Similarity search
+  // =====================================================================
+
+  private def qSimTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+      "embedding", "vec_id", k = 5)
+  }
+
+  private val oSimTopK =
+    """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS id, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < 8 AND b.vec_id <> a.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (SELECT qid, id, round(d / (nq.n * nc.n), 6) AS sim
+      |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = id),
+      |ranked AS (SELECT qid, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rank FROM scored)
+      |SELECT qid, rank, id, sim FROM ranked WHERE rank <= 5""".stripMargin
+
+  private def qSimTopKLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
+      "embedding", "vec_id", k = 5, nbits = 8, dim = 64)
+  }
+
+  // =====================================================================
+  // Multimodal
+  // =====================================================================
+
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(
+        Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .select("media_id", "width", "nbytes")
+
+  private val oMultimodalMeta =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+      |FROM documents""".stripMargin
+
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.asMediaTable(
+          t(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text"),
+        frameBytes = 64, stride = 128)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame_bytes")).as("fb"))
+
+  private val oMultimodalFrames =
+    """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    octet_length(encode(text)) AS n FROM documents WHERE doc_id < 50),
+      |f AS (SELECT media_id, n, unnest(generate_series(0,
+      |    CAST(ceil((n - 64 + 1) / 128.0) AS BIGINT) - 1)) AS frame_idx
+      |  FROM m WHERE n >= 64)
+      |SELECT media_id, frame_idx,
+      |  CAST(least(64, n - frame_idx * 128) AS INTEGER) AS fb FROM f""".stripMargin
+
+  // =====================================================================
+  // Event-time windowing (streaming-shaped batch aggregation)
+  // =====================================================================
+
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; with spark.sql.legacy.parquet.nanosAsLong
+    * (set by the entry points) it reads as nanos-since-epoch LONG, which
+    * we convert to a microsecond timestamp here. */
+  private def readEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        e.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => e
+    }
+  }
+
+  private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    readEvents(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("float").as("total"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"), col("total"))
+
+  private val oEventsWindow =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |  count(*) AS n, CAST(sum(value) AS REAL) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // =====================================================================
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (qTextStats _),
+    "text_langid" -> (qTextLangId _),
+    "text_fingerprint" -> (qTextFingerprint _),
+    "dedup_exact" -> (qDedupExact _),
+    "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "dedup_minhash" -> (qDedupMinhash _),
+    "dedup_simhash" -> (qDedupSimhash _),
+    "dedup_embedding" -> (qDedupEmbedding _),
+    "sim_topk" -> (qSimTopK _),
+    "sim_topk_lsh" -> (qSimTopKLsh _),
+    "multimodal_meta" -> (qMultimodalMeta _),
+    "multimodal_frames" -> (qMultimodalFrames _),
+    "events_window" -> (qEventsWindow _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_stats" -> oTextStats,
+    "text_langid" -> oTextLangId,
+    "text_fingerprint" -> oTextFingerprint,
+    "dedup_exact" -> oDedupExact,
+    "dedup_ngram_jaccard" -> oJaccardPairs(0.5),
+    "dedup_minhash" -> oJaccardPairs(0.5),
+    // dedup_simhash / sim_topk_lsh: engine-hash-dependent → rows-only check
+    "dedup_embedding" -> oDedupEmbedding,
+    "sim_topk" -> oSimTopK,
+    "multimodal_meta" -> oMultimodalMeta,
+    "multimodal_frames" -> oMultimodalFrames,
+    "events_window" -> oEventsWindow
+  )
+}

@@ -21,12 +21,13 @@ object SparkEntry {
       aggregates = "sum_qty:sum(l_quantity), avg_price:avg(l_extendedprice), cnt:count(*)"
     ).main
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (PivotQueries)
+    * plus the training-data-pipeline extension ops (OpsQueries). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PivotQueries.all
+    PivotQueries.all ++ OpsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    PivotQueries.oracles
+    PivotQueries.oracles ++ OpsQueries.oracles
 }

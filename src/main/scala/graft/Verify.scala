@@ -14,6 +14,9 @@ object Verify {
       // Reference parity: Java integer accumulation wraps on overflow;
       // ANSI mode would throw on the SUM downcast (see AggFunctions.Sum).
       .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries INT64 TIMESTAMP(NANOS) — read as long
+      // (converted back to timestamp in OpsQueries.readEvents).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash, exact n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB / 1000 executors):
+  *   - Every operator is shuffle-bounded: exact dedup is ONE hash shuffle
+  *     on the fingerprint; minhash is one explode + one groupBy + one
+  *     bucket-join on banded signatures; nothing collects to the driver.
+  *   - Shingle/bucket hot keys are the classic skew hazard — both
+  *     inverted-index paths take a frequency cap (`maxDf` / `maxBucket`)
+  *     that drops degenerate keys (a shingle shared by 10M docs carries no
+  *     dedup signal but creates a quadratic join). Dropped keys only lose
+  *     candidate recall on pairs that other shingles almost surely cover.
+  *   - Candidate verification recomputes the exact measure on candidate
+  *     pairs only, so LSH false positives cost one narrow join, never a
+  *     full cross product.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set (distinct, lowercased) as an array column —
+    * sliding windows over the whitespace tokens, built with
+    * transform/slice (codegen, no UDF). Documents shorter than n words
+    * yield an empty set. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    val cnt = size(toks) - (n - 1) // number of windows
+    when(cnt >= 1,
+      array_distinct(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: keep the lowest-id document per canonical-text
+    * fingerprint. One shuffle on md5 (uniform keys, no skew); survivor
+    * choice is deterministic (min id). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: inverted index on shingles
+    * (explode → self-join on shingle → per-pair intersection count) then
+    * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+    *
+    * This is the exact (oracle-checkable) path; `maxDf` drops shingles
+    * appearing in more than that many docs to bound join fan-out at scale.
+    * Returns (idA, idB, jaccard) with idA < idB. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        threshold: Double, n: Int = 3,
+                        maxDf: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("sh"))
+    val filtered = maxDf match {
+      case None => sh
+      case Some(cap) =>
+        // doc-frequency cap: one extra aggregation, removes quadratic keys
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("sh")
+        sh.join(dfreq, "sh")
+    }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
+    val pairs = filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("n", "na"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("n", "nb"), "idb")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k independent hash functions simulated as
+    * xxhash64(shingle, seed=i); signature[i] = min over the doc's
+    * shingles. One explode + one groupBy with k codegen'd min-aggregates —
+    * a single shuffle regardless of k. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 128, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact
+    * Jaccard. Signature of `numHashes` split into `bands` bands of
+    * r = numHashes/bands rows; docs sharing any band hash are candidates;
+    * candidates are verified against the exact shingle Jaccard so the
+    * output has no false positives (recall is the only LSH approximation,
+    * P(detect) = 1-(1-j^r)^bands). `maxBucket` caps degenerate buckets.
+    * Returns (ida, idb, jaccard). */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, numHashes: Int = 128,
+                      bands: Int = 32, n: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignatures(df, textCol, idCol, numHashes, n)
+    val banded = sig.select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          hash(slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bh")))
+    val smallBuckets = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") <= maxBucket)
+      .select("band", "bh")
+    val pruned = banded.join(smallBuckets, Seq("band", "bh"))
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+    verifyJaccard(df, textCol, idCol, cand, threshold, n)
+  }
+
+  /** Exact Jaccard on a candidate-pair set only: join each pair to its two
+    * shingle arrays and intersect — narrow (|candidates| rows), no
+    * re-explode of the corpus. */
+  private def verifyJaccard(df: DataFrame, textCol: String, idCol: String,
+                            cand: DataFrame, threshold: Double, n: Int): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    cand
+      .join(docs.select(col("id").as("ida"), col("sh").as("sha")), "ida")
+      .join(docs.select(col("id").as("idb"), col("sh").as("shb")), "idb")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+  }
+
+  /** 64-bit SimHash fingerprint per document: each token hashes to 64
+    * bits (xxhash64); fingerprint bit i is the sign of Σ(±1) over tokens'
+    * bit i. Near-dups have small Hamming distance. Expression-only: the
+    * per-bit vote is a fold over the token-hash array. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val bitExprs = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bitExprs.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
+    * banding the 64-bit fingerprint into `bands` chunks (pigeonhole: any
+    * pair within maxDist < bands shares at least one exact chunk).
+    * Verification recomputes the exact Hamming distance via bit_count. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist < bands, "pigeonhole needs maxDist < bands")
+    val w = 64 / bands
+    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = fp.select(col("id"), col("fp"), posexplode(
+      array((0 until bands).map(b =>
+        shiftright(col("fp"), b * w).bitwiseAND((1L << w) - 1)): _*))
+      .as(Seq("band", "chunk")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding cosine near-dup pairs (exact, brute-force): normalized dot
+    * product ≥ threshold over all pairs. Exact path for moderate corpora
+    * and for verifying the LSH path; at billion-vector scale use
+    * [[Similarity.lshBuckets]] candidates + this verification. Arithmetic
+    * is in double (cast from float32 input) for cross-engine stability.
+    * Returns (ida, idb, cos) with ida < idb, cos rounded to 6 dp. */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                            threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val withNorm = v.withColumn("norm",
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = withNorm.select(col("id").as("ida"), col("v").as("va"), col("norm").as("na"))
+    val b = withNorm.select(col("id").as("idb"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, col("ida") < col("idb"))
+      .withColumn("cos",
+        round(aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _)
+          / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("ida", "idb", "cos")
+  }
+}

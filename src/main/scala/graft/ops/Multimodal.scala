@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video ride through the engine
+  * as opaque `binary` payloads with a typed metadata struct; decode /
+  * feature-extraction runs partition-local over the Dataset API.
+  *
+  * The actual codec calls are STUBBED (this container has no image/audio
+  * libraries): `decodeStub` derives deterministic fake features from the
+  * bytes. Everything around the stub — the schema contract, the
+  * mapPartitions batching, the partition-local execution with no shuffle,
+  * the frame-sampling explode — is real and is exactly the shape a JNI/
+  * FFmpeg/JPEG decoder would plug into: swap `fakeDecode` for the codec
+  * and nothing else changes.
+  *
+  * Scale notes: decode is the classic CPU-heavy map stage — partition-
+  * local (no shuffle), pipelineable after a pushed-down metadata filter
+  * (e.g. `format = 'jpeg' AND nbytes < 10MB` prunes before any decode).
+  * Frame sampling emits rows, not arrays, so downstream repartitioning
+  * can spread frame work independently of source-file boundaries.
+  */
+object Multimodal {
+
+  /** One media record: id + opaque payload + declared metadata. */
+  final case class MediaRecord(media_id: Long, payload: Array[Byte],
+                               format: String, declared_bytes: Long)
+
+  /** Decoded features (stub): what a real image decode would return —
+    * dimensions, channels, a small feature vector. */
+  final case class DecodedMedia(media_id: Long, width: Int, height: Int,
+                                channels: Int, nbytes: Long,
+                                checksum: Long, features: Array[Float])
+
+  /** Wrap a text corpus as a media table: payload = UTF-8 bytes. Stands in
+    * for reading real binary files (`spark.read.format("binaryFile")`). */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("utf8-text").as("format"),
+      octet_length(col(textCol)).cast("long").as("declared_bytes"))
+
+  /** ===== STUB ===== deterministic fake decode: derives "image"
+    * properties from the payload bytes. A real implementation calls the
+    * codec here; the signature and batching are the real contract. */
+  private def fakeDecode(r: MediaRecord): DecodedMedia = {
+    val n = r.payload.length.toLong
+    // rolling polynomial checksum (base 31) — deterministic, order-sensitive
+    val checksum = r.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+    val width = (n % 640).toInt + 1
+    val height = (checksum.abs % 480).toInt + 1
+    val features = Array.tabulate(8)(i =>
+      ((checksum >>> (i * 8)) & 0xff).toFloat / 255f)
+    DecodedMedia(r.media_id, width, height, 3, n, checksum, features)
+  }
+
+  /** Partition-local decode: one pass, no shuffle; iterator-in/iterator-
+    * out so a real decoder can batch or reuse native buffers. */
+  def decodeStub(media: DataFrame): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(fakeDecode))
+  }
+
+  /** "Resize" stage (stub): recompute features at a target resolution —
+    * models the second CPU stage of an image pipeline. */
+  def resizeStub(decoded: Dataset[DecodedMedia], maxSide: Int): Dataset[DecodedMedia] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
+      d.copy(width = math.max(1, (d.width * scale).toInt),
+        height = math.max(1, (d.height * scale).toInt))
+    }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th byte window
+    * becomes a frame row (media_id, frame_idx, frame_bytes). Pure
+    * DataFrame explode — at scale this is the row-multiplying stage you
+    * repartition after. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media.select(col("media_id"),
+        posexplode(split_part_windows(col("payload"), frameBytes, stride)))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_bytes")
+
+  /** Byte windows [i*stride, i*stride+frameBytes) as an array of binary. */
+  private def split_part_windows(payload: org.apache.spark.sql.Column,
+                                 frameBytes: Int, stride: Int) = {
+    val n = octet_length(payload)
+    val frames = greatest(ceil((n - frameBytes + 1).cast("double") / stride).cast("int"), lit(0))
+    when(frames >= 1,
+      transform(sequence(lit(0), frames - 1),
+        i => payload.substr((i * stride + 1).cast("int"), lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design (billions of vectors):
+  *   - The query set is always the SMALL side: it is broadcast, so the
+  *     corpus is scanned once with no shuffle of the corpus rows
+  *     (`broadcast(queries)` + nested-loop join keeps the big side
+  *     partition-local).
+  *   - Top-k uses two stages: a per-partition window prune (each corpus
+  *     partition contributes at most k rows per query) then the global
+  *     top-k — the final shuffle moves only `partitions × k × |queries|`
+  *     rows, never the corpus.
+  *   - The LSH path (random-hyperplane signs) buckets the corpus once,
+  *     joins queries by bucket, and only scores within matching buckets.
+  *     Hyperplanes come from a seeded RNG: deterministic, no state.
+  *   - Dot products run in double (cast from float32) via zip_with +
+  *     aggregate — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** cos(a, b) in double arithmetic. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, _ * _), lit(0.0), _ + _)
+    val na = sqrt(aggregate(ad, lit(0.0), (s, x) => s + x * x))
+    val nb = sqrt(aggregate(bd, lit(0.0), (s, x) => s + x * x))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself). Deterministic tie-break on
+    * ascending corpus id. Returns (qid, rank, id, sim) with sim rounded
+    * to 6 dp for cross-engine stability.
+    *
+    * `queries` must be small (it is broadcast); the corpus side streams. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("qid") =!= col("id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .select("qid", "id", "sim")
+    // Stage 1: local prune — each partition keeps at most k per query.
+    val localW = Window.partitionBy("qid", "__part").orderBy(col("sim").desc, col("id"))
+    val pruned = scored.withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(localW))
+      .filter(col("__lr") <= k)
+      .drop("__part", "__lr")
+    // Stage 2: global top-k over the pruned (small) set.
+    val globalW = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    pruned.withColumn("rank", row_number().over(globalW))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+
+  /** Deterministic random hyperplanes: `nbits × dim` doubles in [-1, 1)
+    * from a seeded RNG (no runtime randomness — same planes every run). */
+  private def hyperplanes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nbits, dim)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-bucket id for a vector under one hash table's hyperplanes:
+    * bit b = sign(v · plane_b) — the standard cosine-LSH quantizer. */
+  def lshBucket(vec: Column, nbits: Int, dim: Int, seed: Long): Column = {
+    val planes = hyperplanes(nbits, dim, seed)
+    val vd = transform(vec, x => x.cast("double"))
+    (0 until nbits).map { b =>
+      val plane = array(planes(b).map(lit): _*)
+      val dot = aggregate(zip_with(vd, plane, _ * _), lit(0.0), _ + _)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Multi-table LSH approximate top-k: `tables` independent sign
+    * signatures; each query probes its bucket and every Hamming-1
+    * neighbor in every table; candidates are deduped before scoring so
+    * each (query, candidate) cosine is computed once. Same output shape
+    * as [[bruteForceTopK]]; recall is tunable — P(candidate) =
+    * 1-(1-p_probe)^tables with p_probe = p^b + b·p^(b-1)(1-p),
+    * p = 1 - angle/π.
+    *
+    * Scale shape: the corpus is exploded ×tables and shuffled ONCE on
+    * (table, bucket); per-table bucket joins touch ~(nbits+1)/2^nbits of
+    * the corpus per query. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, nbits: Int = 8, dim: Int = 64,
+              tables: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
+      array((0 until tables).map(t =>
+        lshBucket(col(vecCol), nbits, dim, seed = 42L + t)): _*).as("bs"))
+      .select(col("id"), col("cv"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    val qsig = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      array((0 until tables).map(t =>
+        lshBucket(col(vecCol), nbits, dim, seed = 42L + t)): _*).as("bs"))
+    // probe masks: the bucket itself plus each Hamming-1 neighbor
+    val masks = lit(0L) +: (0 until nbits).map(b => lit(1L << b))
+    val q = broadcast(qsig
+      .select(col("qid"), col("qv"), posexplode(col("bs")).as(Seq("tbl", "qb")))
+      .withColumn("bucket", explode(array(masks.map(m => col("qb").bitwiseXOR(m)): _*)))
+      .drop("qb"))
+    val cand = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("id"))
+      .select("qid", "qv", "id", "cv")
+      .dropDuplicates("qid", "id")
+    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+}

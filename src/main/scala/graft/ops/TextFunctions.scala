@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and
+  * document fingerprinting.
+  *
+  * All of these are pure column expressions (whole-stage codegen, no UDFs,
+  * no shuffles) — at 100 TB they run as a single map pass over the corpus
+  * and pipeline into whatever aggregation or filter follows. Regexes are
+  * kept to the dialect subset that DuckDB's RE2 interprets identically, so
+  * every function has an exact SQL oracle twin.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (lowercased). */
+  def tokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * non-alphanumeric marks each count as one token — the usual cheap
+    * stand-in for a byte-pair-encoder budget estimate. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Mean whitespace-token length. */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> enStop,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def stopHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal: natural prose has a stable stopword rate, keyword spam and
+    * boilerplate don't. */
+  def stopwordRatio(text: Column): Column =
+    stopHits(text, enStop).cast("double") / tokenCountWs(text)
+
+  /** Fraction of characters that are punctuation marks. */
+  def punctRatio(text: Column): Column =
+    (regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double") /
+      greatest(length(text), lit(1)))
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation excess. Deliberately simple and fully expression-based;
+    * tune weights per corpus. Weights are dyadic rationals (exact in
+    * binary floating point) so the score is bit-identical across engines. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 10000), 0.5).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > 0.02, 0.25).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.1, 0.25).otherwise(0.0)
+    lenOk + stopOk + punctOk
+  }
+
+  /** N-gram/stopword-profile language ID: score each candidate language by
+    * its stopword hit-rate, pick the best; fixed language order breaks
+    * ties deterministically. Returns a (lang, score) struct. On real
+    * multilingual corpora the stopword profiles above would be replaced by
+    * per-language character-n-gram frequency tables — the plan shape
+    * (single map pass, no shuffle) is identical. */
+  def langId(text: Column): Column = {
+    val n = greatest(tokenCountWs(text), lit(1)).cast("double")
+    val scored = langStops.map { case (lang, words) =>
+      struct((stopHits(text, words).cast("double") / n).as("score"),
+        lit(lang).as("lang"))
+    }
+    // Strict > keeps the earlier language on score ties, making the pick
+    // deterministic in declaration order.
+    val best = scored.reduceLeft((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    struct(best.getField("lang").as("lang"), best.getField("score").as("score"))
+  }
+
+  /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed
+    * text. Stable across engines (md5 is md5 everywhere) — the join key
+    * for exact dedup. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling polynomial hash (base-31 Horner over UTF-8 code
+    * points) — the classic shingling hash, as a pure fold expression.
+    * Java-long overflow semantics (wraps), deterministic everywhere. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => acc * lit(31L) + c)
+}

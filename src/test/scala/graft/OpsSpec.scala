@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Specs for the training-data-pipeline operators: dedup, similarity,
+  * text analysis, multimodal plumbing. Small cases are inline; recall
+  * comparisons run on the sf0.001 testdata tables. */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // ---------------------------------------------------------------- text
+
+  test("tokens + shingles: sliding word n-grams, distinct, short-doc empty") {
+    val d = Seq(Tuple1("a b c d"), Tuple1("a  B "), Tuple1("x")).toDF("text")
+    val sh = d.select(Dedup.shingles(col("text"), 3).as("s")).collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq()) // 2 tokens < n=3
+    assert(sh(2) == Seq())
+  }
+
+  test("rollingHash matches a JVM reference implementation") {
+    val texts = Seq("hello world", "a", "", "the quick brown fox")
+    def ref(s: String): Long = s.foldLeft(0L)((acc, c) => acc * 31 + c.toLong)
+    val got = texts.toDF("text")
+      .select(TextFunctions.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(got.toSeq == texts.map(ref))
+  }
+
+  test("fingerprint is whitespace/case-canonical") {
+    val d = Seq(Tuple1("Hello  World"), Tuple1("hello world"), Tuple1("other")).toDF("text")
+    val fps = d.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("langId picks the best stopword profile deterministically") {
+    val d = Seq(
+      Tuple1("the cat is on the mat and a dog"), // en
+      Tuple1("der hund ist nicht die katze und"), // de
+      Tuple1("xyzzy plugh") // no hits -> first lang (en), score 0
+    ).toDF("text")
+    val out = d.select(TextFunctions.langId(col("text")).as("l"))
+      .select(col("l.lang"), col("l.score")).collect()
+    assert(out(0).getString(0) == "en" && out(0).getDouble(1) > 0.3)
+    assert(out(1).getString(0) == "de")
+    assert(out(2).getString(0) == "en" && out(2).getDouble(1) == 0.0)
+  }
+
+  // --------------------------------------------------------------- dedup
+
+  test("exact dedup keeps lowest id per duplicate text") {
+    val d = Seq((1L, "A b"), (2L, "a  B"), (5L, "c"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L, 4L))
+  }
+
+  test("minhash LSH finds exactly the exact-jaccard pairs on documents (sf0.001)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 0.5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact) // high-jaccard pairs: recall ~1, verify removes FPs
+  }
+
+  test("simhash pairs cover the planted near-dups (hamming<=3)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash on ~90-token docs with ~2 token edits: most planted pairs land
+    // within distance 3; require substantial recall, no exact guarantee.
+    assert(exact.nonEmpty)
+    assert((exact & sim).size >= exact.size / 2,
+      s"simhash recall too low: ${(exact & sim).size}/${exact.size}")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.3)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  test("bruteForceTopK matches a driver-side reference on sf0.001") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val k = 3
+    val expected = (for (q <- vecs.keys if q < 4) yield {
+      val top = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, BigDecimal(cos(vecs(q), v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+      q -> top
+    }).toMap
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 4),
+        "embedding", "vec_id", k)
+      .orderBy("qid", "rank").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got == expected)
+  }
+
+  test("lshTopK returns well-formed ranks with reasonable recall@5") {
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 16),
+        "embedding", "vec_id", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 16),
+        "embedding", "vec_id", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    // multiprobe over hamming-1 buckets: expect at least ~20% of true top-5
+    assert((brute & lsh).size.toDouble / brute.size >= 0.2,
+      s"lsh recall ${(brute & lsh).size}/${brute.size}")
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  test("media table -> decode stub is deterministic and partition-invariant") {
+    val media = Multimodal.asMediaTable(docs.limit(20), "doc_id", "text")
+    def canon(ds: org.apache.spark.sql.Dataset[Multimodal.DecodedMedia]) =
+      ds.collect().map(d => (d.media_id, d.width, d.height, d.channels,
+        d.nbytes, d.checksum, d.features.toSeq)).sortBy(_._1).toSeq
+    val once = canon(Multimodal.decodeStub(media))
+    val again = canon(Multimodal.decodeStub(media.repartition(7)))
+    assert(once == again && once.size == 20)
+  }
+
+  test("resize stub caps the longer side") {
+    val media = Multimodal.asMediaTable(docs.limit(20), "doc_id", "text")
+    val resized = Multimodal.resizeStub(Multimodal.decodeStub(media), 100).collect()
+    resized.foreach(d => assert(math.max(d.width, d.height) <= 100))
+  }
+
+  test("frame sampling: windows of 64 bytes at stride 128") {
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "x" * 300)).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, 64, 128)
+      .orderBy("frame_idx").collect()
+    // ceil((300-64+1)/128) = 2 frames, both full 64 bytes
+    assert(frames.length == 2)
+    assert(frames.map(_.getAs[Array[Byte]]("frame_bytes").length).toSeq == Seq(64, 64))
+  }
+}
