@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{CosineSimilarity, DotProduct, HashedShingles, SimHash64}
+
+/** Session extensions registering graft's native (codegen) functions.
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * (works with spark-submit too). Operators that use these functions fall
+  * back to built-in higher-order-function equivalents when the extension
+  * is absent, so the library stays usable on an unconfigured session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cosine(arrayA, arrayB) takes 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash(text) takes 1 argument")
+        SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        val n = children match {
+          case Seq(_, Literal(v: Int, IntegerType)) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_shingles(text, n) needs an integer literal n")
+        }
+        HashedShingles(children.head, n)
+      }))
+  }
+}

@@ -17,6 +17,7 @@ object Verify {
       // events.parquet carries INT64 TIMESTAMP(NANOS) — read as long
       // (converted back to timestamp in OpsQueries.readEvents).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

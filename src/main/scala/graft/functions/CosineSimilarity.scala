@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity between two `array<float>` columns, computed in one
+  * fused pass (dot, |a|², |b|² in a single loop) with whole-stage codegen.
+  *
+  * Why a custom Catalyst expression: the equivalent
+  * `aggregate(zip_with(...))` higher-order-function combo is
+  * CodegenFallback — every element access is interpreted and boxed, which
+  * made brute-force pair scoring ~25x slower. This expression generates a
+  * tight primitive loop instead (see `doGenCode`), the preferred extension
+  * path when built-in functions can't express the computation efficiently.
+  *
+  * Arithmetic is double-precision over the float inputs, accumulated in
+  * index order — the same operation order as the textbook formula, so
+  * results are stable across engines to ~1ulp (queries round to 6 dp).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so input typing
+  // is asserted here instead of declared.)
+  override lazy val resolved: Boolean = {
+    def ok(e: Expression) = e.resolved && (e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    ok(left) && ok(right)
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarity.compute(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSimilarity.compute($a.toFloatArray(), $b.toFloatArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Fused dot/norm/norm loop; called from both interpreted and generated
+    * code (static forwarder). */
+  def compute(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val a = x(i).toDouble
+      val b = y(i).toDouble
+      dot += a * b
+      na += a * a
+      nb += b * b
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

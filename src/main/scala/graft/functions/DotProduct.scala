@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Dot product of two numeric array columns (float or double elements),
+  * accumulated in double with whole-stage codegen — the building block
+  * for LSH sign-bucketing (vector · constant hyperplane), where the
+  * higher-order-function equivalent is interpreted. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override lazy val resolved: Boolean =
+    left.resolved && right.resolved && okType(left) && okType(right)
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(
+      toDoubles(a.asInstanceOf[ArrayData], isFloat(left)),
+      toDoubles(b.asInstanceOf[ArrayData], isFloat(right)))
+
+  private def toDoubles(a: ArrayData, float: Boolean): Array[Double] =
+    if (float) { val f = a.toFloatArray(); Array.tabulate(f.length)(f(_).toDouble) }
+    else a.toDoubleArray()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => {
+      def conv(v: String, e: Expression) =
+        if (isFloat(e)) s"graft.functions.DotProduct.floatsToDoubles($v.toFloatArray())"
+        else s"$v.toDoubleArray()"
+      s"graft.functions.DotProduct.compute(${conv(a, left)}, ${conv(b, right)})"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def floatsToDoubles(f: Array[Float]): Array[Double] = {
+    val d = new Array[Double](f.length)
+    var i = 0
+    while (i < f.length) { d(i) = f(i); i += 1 }
+    d
+  }
+
+  def compute(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x(i) * y(i); i += 1 }
+    dot
+  }
+}

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash fingerprint of a text column: tokenize, hash each token
+  * to 64 bits, vote ±1 per bit position, fingerprint bit = sign of the
+  * vote. One tight per-row loop — SimHash is a per-document computation,
+  * so expressing it as 64 conditional-sum aggregates (the composable
+  * alternative) buys nothing but a shuffle and ~3s of Janino compilation
+  * for the generated 64-accumulator aggregate class.
+  *
+  * Token hashing reuses the FNV-1a + fmix64 scheme of [[HashedShingles]];
+  * near-duplicate detection only needs within-corpus consistency. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override lazy val resolved: Boolean =
+    child.resolved && child.dataType == StringType
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** Called from interpreted and generated code (static forwarder). */
+  def compute(text: UTF8String): Long = {
+    val toks = text.toString.toLowerCase.trim.split("\\s+")
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val bytes = toks(t).getBytes("UTF-8")
+      var h = FnvOffset
+      var i = 0
+      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
+      // fmix64 avalanche
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+}

@@ -35,6 +35,16 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Hashed shingle set (`array<long>`): the codegen graft_shingles
+    * expression when [[graft.GraftExtensions]] is registered, else the
+    * string-shingle + xxhash64 fallback. Hash families differ between the
+    * two paths, but every consumer only relies on hash *distinctness*
+    * (set sizes, intersections, min-hash ordering), so results agree. */
+  private def hashedShingles(df: DataFrame, textCol: String, n: Int): Column =
+    if (df.sparkSession.catalog.functionExists("graft_shingles"))
+      call_function("graft_shingles", col(textCol), lit(n))
+    else transform(shingles(col(textCol), n), s => xxhash64(s))
+
   /** Exact dedup: keep the lowest-id document per canonical-text
     * fingerprint. One shuffle on md5 (uniform keys, no skew); survivor
     * choice is deterministic (min id). */
@@ -56,8 +66,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double, n: Int = 3,
                         maxDf: Option[Int] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("sh"))
+    // Explode once with the doc's shingle count attached — |A| and |B|
+    // then ride along to the pair aggregation as first() aggregates, so no
+    // post-join against a sizes table is needed. The inverted index is
+    // built on HASHED shingles (8-byte join keys, no shingle strings
+    // materialized; collision odds ~1e-8 at 1M distinct shingles —
+    // negligible against the exact-measure guarantee).
+    val sh = df.select(col(idCol).as("id"), hashedShingles(df, textCol, n).as("shs"))
+      .select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
     val filtered = maxDf match {
       case None => sh
       case Some(cap) =>
@@ -66,30 +82,32 @@ object Dedup {
           .filter(col("__df") <= cap).select("sh")
         sh.join(dfreq, "sh")
     }
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
-    val pairs = filtered.as("a").join(filtered.as("b"),
+    filtered.as("a").join(filtered.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("n", "na"), "ida")
-      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("n", "nb"), "idb")
+      .agg(count(lit(1)).as("common"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
-  /** MinHash signatures: k independent hash functions simulated as
-    * xxhash64(shingle, seed=i); signature[i] = min over the doc's
-    * shingles. One explode + one groupBy with k codegen'd min-aggregates —
-    * a single shuffle regardless of k. */
+  /** MinHash signatures: each shingle STRING is hashed once (xxhash64),
+    * then the k functions re-mix that fixed-width long with per-function
+    * salts — xxhash64(h ⊕ salt_i) — so adding hash functions costs an
+    * 8-byte hash each instead of a full string hash. signature[i] = min
+    * over the doc's shingles; one explode + one groupBy with k codegen'd
+    * min-aggregates — a single shuffle regardless of k. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 128, n: Int = 3): DataFrame = {
+    val rng = new scala.util.Random(0x5eed)
+    val salts = Array.fill(numHashes)(rng.nextLong())
     val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("sh"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+      explode(hashedShingles(df, textCol, n)).as("h"))
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64(col("h").bitwiseXOR(lit(salts(i))))).as(s"h$i")
+    }
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -129,7 +147,7 @@ object Dedup {
     * re-explode of the corpus. */
   private def verifyJaccard(df: DataFrame, textCol: String, idCol: String,
                             cand: DataFrame, threshold: Double, n: Int): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val docs = df.select(col(idCol).as("id"), hashedShingles(df, textCol, n).as("sh"))
     cand
       .join(docs.select(col("id").as("ida"), col("sh").as("sha")), "ida")
       .join(docs.select(col("id").as("idb"), col("sh").as("shb")), "idb")
@@ -142,8 +160,11 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint per document: each token hashes to 64
     * bits (xxhash64); fingerprint bit i is the sign of Σ(±1) over tokens'
-    * bit i. Near-dups have small Hamming distance. Expression-only: the
-    * per-bit vote is a fold over the token-hash array. */
+    * bit i. Near-dups have small Hamming distance.
+    *
+    * Expression-only fallback: 64 folds over the token-hash array
+    * (CodegenFallback — fine for small/interactive use; the table-scale
+    * path is [[simhashTable]]). */
   def simhash(text: Column): Column = {
     val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
     val bitExprs = (0 until 64).map { i =>
@@ -154,6 +175,18 @@ object Dedup {
     bitExprs.reduce(_.bitwiseOR(_))
   }
 
+  /** SimHash fingerprints for a whole table: the per-row codegen
+    * graft_simhash expression when [[graft.GraftExtensions]] is
+    * registered (no shuffle, no aggregation — SimHash is per-document),
+    * else the expression-fold fallback. Returns (id, fp). */
+  def simhashTable(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp =
+      if (df.sparkSession.catalog.functionExists("graft_simhash"))
+        call_function("graft_simhash", col(textCol))
+      else simhash(col(textCol))
+    df.select(col(idCol).as("id"), fp.as("fp"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
     * banding the 64-bit fingerprint into `bands` chunks (pigeonhole: any
     * pair within maxDist < bands shares at least one exact chunk).
@@ -162,7 +195,7 @@ object Dedup {
                    maxDist: Int = 3, bands: Int = 4): DataFrame = {
     require(maxDist < bands, "pigeonhole needs maxDist < bands")
     val w = 64 / bands
-    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val fp = simhashTable(df, textCol, idCol)
     val banded = fp.select(col("id"), col("fp"), posexplode(
       array((0 until bands).map(b =>
         shiftright(col("fp"), b * w).bitwiseAND((1L << w) - 1)): _*))
@@ -184,16 +217,17 @@ object Dedup {
     * Returns (ida, idb, cos) with ida < idb, cos rounded to 6 dp. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    val withNorm = v.withColumn("norm",
-      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    val a = withNorm.select(col("id").as("ida"), col("v").as("va"), col("norm").as("na"))
-    val b = withNorm.select(col("id").as("idb"), col("v").as("vb"), col("norm").as("nb"))
+    // The streamed side of the pair join drives parallelism; a small
+    // single-file input would otherwise score all |V|² pairs in one task.
+    // Only repartition when the input is under-partitioned — at scale the
+    // corpus already has plenty of splits and a shuffle would be waste.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a0 = df.select(col(idCol).as("ida"), col(vecCol).as("va"))
+    val a = if (a0.rdd.getNumPartitions < par / 2) a0.repartition(par) else a0
+    val b = df.select(col(idCol).as("idb"), col(vecCol).as("vb"))
     a.join(b, col("ida") < col("idb"))
       .withColumn("cos",
-        round(aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _)
-          / (col("na") * col("nb")), 6))
+        round(Similarity.cosineFast(df.sparkSession, col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select("ida", "idb", "cos")
   }

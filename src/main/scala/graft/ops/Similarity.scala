@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cos(a, b) in double arithmetic. */
+  /** cos(a, b) in double arithmetic — higher-order-function fallback
+    * (CodegenFallback, interpreted; ~25x slower than the native path). */
   def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
@@ -33,6 +34,14 @@ object Similarity {
     val nb = sqrt(aggregate(bd, lit(0.0), (s, x) => s + x * x))
     dot / (na * nb)
   }
+
+  /** cos(a, b): the codegen'd graft_cosine expression when
+    * [[graft.GraftExtensions]] is registered on the session, otherwise the
+    * expression-combo fallback. Both accumulate in double in index order,
+    * so they agree bit-for-bit. */
+  def cosineFast(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_cosine")) call_function("graft_cosine", a, b)
+    else cosine(a, b)
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). Deterministic tie-break on
@@ -43,9 +52,13 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    // Repartition the streamed corpus if the source is a handful of files —
+    // scoring parallelism equals its partition count.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    val c = if (c0.rdd.getNumPartitions < par / 2) c0.repartition(par) else c0
     val scored = c.join(q, col("qid") =!= col("id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(cosineFast(corpus.sparkSession, col("qv"), col("cv")), 6))
       .select("qid", "id", "sim")
     // Stage 1: local prune — each partition keeps at most k per query.
     val localW = Window.partitionBy("qid", "__part").orderBy(col("sim").desc, col("id"))
@@ -67,15 +80,23 @@ object Similarity {
     Array.fill(nbits, dim)(rng.nextDouble() * 2 - 1)
   }
 
+  /** v · constant plane: codegen graft_dot when registered, else the
+    * interpreted higher-order-function fallback. */
+  private def dotFast(vec: Column, plane: Column): Column = {
+    val registered =
+      org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_dot")
+    if (registered) call_function("graft_dot", vec, plane)
+    else aggregate(zip_with(transform(vec, _.cast("double")), plane, _ * _),
+      lit(0.0), _ + _)
+  }
+
   /** Sign-bucket id for a vector under one hash table's hyperplanes:
     * bit b = sign(v · plane_b) — the standard cosine-LSH quantizer. */
   def lshBucket(vec: Column, nbits: Int, dim: Int, seed: Long): Column = {
     val planes = hyperplanes(nbits, dim, seed)
-    val vd = transform(vec, x => x.cast("double"))
     (0 until nbits).map { b =>
       val plane = array(planes(b).map(lit): _*)
-      val dot = aggregate(zip_with(vd, plane, _ * _), lit(0.0), _ + _)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+      when(dotFast(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -110,7 +131,8 @@ object Similarity {
       .filter(col("qid") =!= col("id"))
       .select("qid", "qv", "id", "cv")
       .dropDuplicates("qid", "id")
-    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val scored = cand.withColumn("sim",
+      round(cosineFast(corpus.sparkSession, col("qv"), col("cv")), 6))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -53,6 +53,14 @@ class OpsSpec extends SparkSpec {
 
   // --------------------------------------------------------------- dedup
 
+  test("graft_shingles hashed sets have the same cardinality as string shingles") {
+    val sizes = docs.select(
+        size(Dedup.shingles(col("text"), 3)).as("s"),
+        size(call_function("graft_shingles", col("text"), lit(3))).as("h"))
+      .filter(col("s") =!= col("h")).count()
+    assert(sizes == 0)
+  }
+
   test("exact dedup keeps lowest id per duplicate text") {
     val d = Seq((1L, "A b"), (2L, "a  B"), (5L, "c"), (3L, "c"), (4L, "d"))
       .toDF("doc_id", "text")
@@ -93,6 +101,18 @@ class OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------- similarity
+
+  test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
+    assert(spark.catalog.functionExists("graft_cosine"),
+      "GraftExtensions should be registered on the test session")
+    val d = emb.limit(50).select(col("vec_id"), col("embedding"))
+    val pairs = d.as("a").join(d.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val diff = pairs.select(
+        (call_function("graft_cosine", col("a.embedding"), col("b.embedding")) -
+          Similarity.cosine(col("a.embedding"), col("b.embedding"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0, s"codegen vs fallback diverged by $diff")
+  }
 
   test("bruteForceTopK matches a driver-side reference on sf0.001") {
     val vecs = emb.select("vec_id", "embedding").collect()
