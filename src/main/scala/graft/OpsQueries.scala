@@ -232,7 +232,9 @@ object OpsQueries {
     val e = t(s, dir, "events")
     e.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        e.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer division — `/` would go through double and lose µs
+        // precision on epoch-nanos magnitudes (2^53 < 1.7e18)
+        e.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => e
     }
   }
@@ -242,6 +244,27 @@ object OpsQueries {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).cast("float").as("total"))
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("total"))
+
+  /** Batch sessionization (30-min gap) — the backfill twin of the
+    * streaming flatMapGroupsWithState sessionizer. */
+  private def qEventsSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.sessionizeBatch(readEvents(s, dir), 30 * 60 * 1000L)
+      .withColumn("total_value", col("total_value").cast("float"))
+
+  private val oEventsSessionize =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |flagged AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |       THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (SELECT user_id, ts, value,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS start, max(ts) AS "end",
+      |  count(*) AS n_events, CAST(sum(value) AS REAL) AS total_value
+      |FROM sess GROUP BY user_id, sess_id""".stripMargin
 
   private val oEventsWindow =
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
@@ -263,7 +286,8 @@ object OpsQueries {
     "sim_topk_lsh" -> (qSimTopKLsh _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
-    "events_window" -> (qEventsWindow _)
+    "events_window" -> (qEventsWindow _),
+    "events_sessionize" -> (qEventsSessionize _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -278,6 +302,7 @@ object OpsQueries {
     "sim_topk" -> oSimTopK,
     "multimodal_meta" -> oMultimodalMeta,
     "multimodal_frames" -> oMultimodalFrames,
-    "events_window" -> oEventsWindow
+    "events_window" -> oEventsWindow,
+    "events_sessionize" -> oEventsSessionize
   )
 }

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Mutable-session accumulator state (top-level: Catalyst's encoder
+  * codegen mishandles object-nested state classes). */
+final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+/** Structured-Streaming transforms for the events stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Everything here takes a streaming OR batch DataFrame — the transforms
+  * are declarative, so the same code runs `spark.read` for backfill and
+  * `spark.readStream` for the live path (the classic kappa setup). State
+  * and correctness notes:
+  *
+  *   - Watermarks bound state: windowed aggregations drop window state
+  *     once the watermark passes the window end; late events beyond the
+  *     watermark are dropped rather than growing state forever — at
+  *     100 TB/day the alternative is an unbounded state store.
+  *   - Sessionization keeps one state entry per active user; the
+  *     processing-time timeout closes idle sessions even if the user
+  *     never returns.
+  *   - Exact dedup keyed by event_id with a watermark is Spark's
+  *     dropDuplicates-with-watermark; state is bounded by the lateness
+  *     horizon.
+  */
+object StreamingOps {
+
+  /** Tumbling-window event counts + value sums per event type, with a
+    * watermark so window state is dropped `lateness` after window end. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     lateness: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped; state ages out beyond it. */
+  def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** One user event as consumed by the sessionizer. */
+  final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String,
+                             value: Double)
+
+  /** A closed (or force-flushed) session. */
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                           n_events: Long, total_value: Double,
+                           closed_by_timeout: Boolean)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: events of one
+    * user belong to a session until a gap > `gapMs`; with
+    * `idleTimeout=true`, idle sessions are additionally closed by a
+    * processing-time timer (continuous production streams), without it
+    * the final partial session stays open until more data arrives
+    * (deterministic — right for tests and replays). One state entry per
+    * active user — the canonical custom-state streaming operator. */
+  def sessionize(events: Dataset[UserEvent], gapMs: Long,
+                 idleTimeout: Boolean = true): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def flush(uid: Long, st: SessionState, byTimeout: Boolean): Session =
+      Session(uid, new Timestamp(st.start), new Timestamp(st.last), st.n,
+        st.total, byTimeout)
+
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeoutConf) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(uid, _, byTimeout = true))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= flush(uid, s, byTimeout = false)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                if (idleTimeout) state.setTimeoutDuration(gapMs)
+              case None => ()
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch twin of [[sessionize]] for backfill: same session definition
+    * via window functions (gap → new-session flag → cumulative session
+    * id). Used to validate the streaming path and to process history. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val sess = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs)
+          .cast("long"))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "sess_id")
+      .agg(min("ts").as("start"), max("ts").as("end"),
+        count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .drop("sess_id")
+  }
+}

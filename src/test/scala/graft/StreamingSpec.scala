@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.UserEvent
+
+/** Structured-Streaming specs driven through MemoryStream: watermarked
+  * windowed aggregation, streaming dedup, and stateful sessionization —
+  * plus equivalence of the streaming sessionizer with its batch twin. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed counts with watermark emit closed windows (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      input.addData(UserEvent(1, ts(1), "click", 1.0),
+        UserEvent(2, ts(4), "click", 2.0), UserEvent(1, ts(7), "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first windows
+      input.addData(UserEvent(3, Timestamp.valueOf("2026-01-01 11:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select(col("window_start").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2026-01-01 10:00:00", "click", 2L),
+        ("2026-01-01 10:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = StreamingOps.dedupEvents(df, "1 hour")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), "a"), (2L, ts(2), "b"), (1L, ts(3), "a-dup"))
+      q.processAllAvailable()
+      input.addData((2L, ts(4), "b-dup"), (3L, ts(5), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes a session when the gap is exceeded") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 60 * 1000L,
+        idleTimeout = false) // deterministic: no wall-clock timers in tests
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // one session of 2 events, then a 9-minute gap opens a new one
+      input.addData(UserEvent(7, ts(1), "click", 1.0),
+        UserEvent(7, Timestamp.valueOf("2026-01-01 10:01:30"), "view", 2.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(7, ts(10), "click", 5.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .select(col("user_id"), col("n_events"), col("total_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(sessions.toSeq == Seq((7L, 2L, 3.0))) // first session closed by gap
+    } finally q.stop()
+  }
+
+  test("batch sessionizer agrees with the session definition") {
+    val events = Seq(
+      (7L, ts(1), 1.0), (7L, Timestamp.valueOf("2026-01-01 10:01:30"), 2.0),
+      (7L, ts(10), 5.0), (9L, ts(2), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val out = StreamingOps.sessionizeBatch(events, 60 * 1000L)
+      .orderBy("user_id", "start")
+      .select("user_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((7L, 2L, 3.0), (7L, 1L, 5.0), (9L, 1L, 4.0)))
+  }
+}
