@@ -1,0 +1,151 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import graft.pivot.{PivotOps, PivotResult}
+
+import scala.jdk.CollectionConverters._
+
+/** Executes the reference's example pipeline shape — File source → Pivot →
+  * File sink — from its JSON config (reference:
+  * examples/pivot_file_source_sink_example-cdap-data-pipeline.json).
+  * A user of the reference can point this runner at that exact file and
+  * get the same pipeline on Spark.
+  *
+  * Supported subset: `File` batchsource (csv/parquet/json + declared
+  * Avro-style schema, delimiter, skipHeader), the `Pivot`
+  * batchaggregator (full config grammar via [[graft.pivot.PivotSpec]]),
+  * and `File` batchsink (parquet/csv/json; `avro` falls back to parquet —
+  * this build has no spark-avro datasource). `${macro}` placeholders are
+  * substituted from the caller's map (CDAP runtime arguments).
+  */
+object PipelineRunner {
+
+  final case class SourceStage(path: String, format: String, delimiter: String,
+                               skipHeader: Boolean, schema: Option[StructType])
+  final case class PivotStage(pivotRow: String, pivotColumns: String,
+                              aggregates: String, fieldAliases: Option[String],
+                              defaultValue: Option[String], onError: Option[String],
+                              numPartitions: Option[Int])
+  final case class SinkStage(path: String, format: String)
+  final case class Pipeline(source: SourceStage, pivot: PivotStage, sink: SinkStage)
+
+  /** Avro-flavored record schema JSON → StructType (the subset the
+    * reference emits: primitives + ["type","null"] nullable unions;
+    * reference PivotConfig schema handling in Pivot.java:274-299). */
+  def avroSchemaToStruct(json: String): StructType = {
+    val root = new ObjectMapper().readTree(json)
+    val fields = root.get("fields").elements().asScala.map { f =>
+      val name = f.get("name").asText()
+      val t = f.get("type")
+      val (tpe, nullable) =
+        if (t.isArray) {
+          val names = t.elements().asScala.map(_.asText()).toSeq
+          (names.filterNot(_ == "null").head, names.contains("null"))
+        } else (t.asText(), false)
+      StructField(name, avroPrimitive(tpe), nullable)
+    }
+    StructType(fields.toSeq)
+  }
+
+  private def avroPrimitive(t: String): DataType = t match {
+    case "string" => StringType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "boolean" => BooleanType
+    case "bytes" => BinaryType
+    case other => throw new IllegalArgumentException(s"Unsupported avro type: $other")
+  }
+
+  /** Parse the CDAP pipeline JSON (stages + connections) into the
+    * supported three-stage shape, applying `${macro}` substitutions. */
+  def parse(json: String, macros: Map[String, String] = Map.empty): Pipeline = {
+    def subst(s: String): String =
+      macros.foldLeft(s) { case (acc, (k, v)) => acc.replace("${" + k + "}", v) }
+
+    val root = new ObjectMapper().readTree(json)
+    val stages = root.get("config").get("stages").elements().asScala.toSeq
+
+    def props(st: JsonNode): Map[String, String] =
+      st.get("plugin").get("properties").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+
+    def stageOfType(t: String): JsonNode =
+      stages.find(_.get("plugin").get("type").asText() == t)
+        .getOrElse(throw new IllegalArgumentException(s"No stage of type $t"))
+
+    val src = props(stageOfType("batchsource"))
+    val piv = props(stageOfType("batchaggregator"))
+    val snk = props(stageOfType("batchsink"))
+
+    Pipeline(
+      SourceStage(
+        path = subst(src("path")),
+        format = src.getOrElse("format", "csv"),
+        delimiter = src.getOrElse("delimiter", ","),
+        skipHeader = src.get("skipHeader").exists(_.toBoolean),
+        schema = src.get("schema").map(avroSchemaToStruct)),
+      PivotStage(
+        pivotRow = piv("pivotRow"),
+        pivotColumns = piv("pivotColumns"),
+        aggregates = piv("aggregates"),
+        fieldAliases = piv.get("fieldAliases"),
+        defaultValue = piv.get("defaultValue"),
+        onError = piv.get("on-error"),
+        numPartitions = piv.get("numberOfPartitions").map(_.toInt)),
+      SinkStage(
+        path = subst(snk("path")),
+        format = snk.getOrElse("format", "parquet")))
+  }
+
+  /** Read the source stage. */
+  def readSource(spark: SparkSession, s: SourceStage): DataFrame = {
+    val reader = spark.read
+    val withSchema = s.schema.fold(reader)(reader.schema)
+    s.format match {
+      case "csv" | "delimited" =>
+        withSchema
+          .option("header", s.skipHeader)
+          .option("delimiter", s.delimiter)
+          .csv(s.path)
+      case "parquet" => withSchema.parquet(s.path)
+      case "json" => withSchema.json(s.path)
+      case other => throw new IllegalArgumentException(s"Unsupported source format: $other")
+    }
+  }
+
+  /** Write the sink stage (avro → parquet fallback: no spark-avro here). */
+  def writeSink(df: DataFrame, s: SinkStage): Unit = {
+    val format = s.format match {
+      case "avro" => "parquet"
+      case f => f
+    }
+    val w = df.coalesce(math.min(df.rdd.getNumPartitions, 32))
+      .write.mode("overwrite")
+    format match {
+      case "csv" => w.option("header", true).csv(s.path)
+      case "json" => w.json(s.path)
+      case _ => w.parquet(s.path)
+    }
+  }
+
+  /** Full run: source → pivot → sink. Returns the pivot result (main is
+    * also what was written; errors feed an `_errors` sibling directory
+    * when on-error=send-to-error-port produced any). */
+  def run(spark: SparkSession, json: String,
+          macros: Map[String, String] = Map.empty): PivotResult = {
+    val p = parse(json, macros)
+    val input = readSource(spark, p.source)
+    val result = PivotOps.pivotConfig(input,
+      p.pivot.pivotRow, p.pivot.pivotColumns, p.pivot.aggregates,
+      p.pivot.fieldAliases, p.pivot.defaultValue, p.pivot.onError,
+      p.pivot.numPartitions)
+    writeSink(result.main, p.sink)
+    if (!result.errors.isEmpty)
+      writeSink(result.errors, p.sink.copy(path = p.sink.path + "_errors"))
+    result
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sources.PipelineRunner
+
+/** Runs the reference's shipped example pipeline JSON end-to-end
+  * (examples/pivot_file_source_sink_example-cdap-data-pipeline.json with
+  * examples/sample_data.csv) through the Spark runner — config-level
+  * compatibility: a reference user's pipeline file works verbatim. */
+class PipelineRunnerSpec extends SparkSpec {
+
+  private val exampleJson = new String(Files.readAllBytes(Paths.get(
+    "/root/reference/examples/pivot_file_source_sink_example-cdap-data-pipeline.json")))
+
+  test("avro-style schema converts to StructType with nullable unions") {
+    val st = PipelineRunner.avroSchemaToStruct(
+      """{"type":"record","name":"t","fields":[
+        |{"name":"a","type":"string"},
+        |{"name":"b","type":["int","null"]}]}""".stripMargin)
+    assert(st == StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("b", IntegerType, nullable = true))))
+  }
+
+  test("reference example pipeline runs verbatim: csv -> pivot -> sink") {
+    val outDir = Files.createTempDirectory("pipeline_out").toString
+    val result = PipelineRunner.run(spark, exampleJson, Map(
+      "inputFile" -> "/root/reference/examples/sample_data.csv",
+      "outputDirectory" -> s"$outDir/pivoted"))
+
+    // Quarter(Q1..Q4) x Brand(Nike,Reebok,Addidas) cells, alias "Sum"
+    val out = result.main
+    assert(out.columns.head == "Product")
+    assert(out.columns.length == 1 + 12)
+    assert(out.columns.contains("Q1_Nike_Sum") && out.columns.contains("Q4_Addidas_Sum"))
+
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("Shoes", "Shirts", "Socks"))
+    def cell(p: String, c: String): Any =
+      rows(p).get(rows(p).fieldIndex(c))
+    assert(cell("Shoes", "Q1_Nike_Sum") == 50)
+    assert(cell("Shirts", "Q1_Reebok_Sum") == 60)
+    assert(cell("Socks", "Q4_Nike_Sum") == 60)
+    assert(cell("Shoes", "Q1_Addidas_Sum") == null) // declared, no data
+    assert(cell("Shirts", "Q2_Nike_Sum") == null)   // no Shirts in Q2
+
+    // sink written (avro falls back to parquet in this build)
+    val written = spark.read.parquet(s"$outDir/pivoted")
+    assert(written.count() == 3)
+    assertRowsMatch(written.select("Product", "Q1_Nike_Sum", "Q1_Reebok_Sum"),
+      Seq(Row("Shoes", 50, 50), Row("Shirts", 20, 60), Row("Socks", null, 40)))
+  }
+}
