@@ -148,6 +148,47 @@ class OpsSpec extends SparkSpec {
       s"lsh recall ${(brute & lsh).size}/${brute.size}")
   }
 
+  // ---------------------------------------------------------------- skew
+
+  test("salted aggregation equals plain groupBy (sum/count/min/collect)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val plain = orders.groupBy("o_orderpriority")
+      .agg(sum("o_totalprice").as("s"), count(lit(1)).as("c"),
+        min("o_totalprice").as("mn"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val salted = Skew.saltedAgg(orders, Seq("o_orderpriority"), salt = 16,
+        partial = Seq(sum("o_totalprice").as("s"), count(lit(1)).as("c"),
+          min("o_totalprice").as("mn")),
+        merge = Seq(sum("s").as("s"), sum("c").as("c"), min("mn").as("mn")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // sums of doubles reassociate across salt slices — compare quantized
+    salted.zip(plain).foreach { case ((gk, ss, sc, smn), (pk, ps, pc, pmn)) =>
+      assert(gk == pk && sc == pc && smn == pmn)
+      assert(math.abs(ss - ps) / math.abs(ps) < 1e-12)
+    }
+  }
+
+  test("salted count-distinct is exact") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val plain = orders.groupBy("o_orderpriority")
+      .agg(count_distinct(col("o_custkey")).as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = Skew.countDistinctSalted(orders, Seq("o_orderpriority"),
+        "o_custkey", salt = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+  }
+
+  test("salted broadcast join equals plain join") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val dim = Seq(("1-URGENT", 1), ("5-LOW", 5)).toDF("o_orderpriority", "rank_")
+    val plain = orders.join(dim, "o_orderpriority").count()
+    val salted = Skew.saltedBroadcastJoin(orders, dim, "o_orderpriority", 8).count()
+    assert(salted == plain)
+  }
+
   // ---------------------------------------------------------- multimodal
 
   test("media table -> decode stub is deterministic and partition-invariant") {

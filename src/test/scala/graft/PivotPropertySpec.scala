@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests: on random small datasets, the Spark pivot must agree
+  * with a straightforward in-JVM model of the reference semantics
+  * (SURVEY §2.2), for every aggregate with a deterministic result —
+  * across random repartitionings (exercising the partial/final merge
+  * paths, the property the reference's mergePartitions relies on,
+  * Pivot.java:186-196). Uses deterministic ScalaCheck seeds. */
+case class PropRec(g: String, p: String, v: Option[Int], s: Option[String])
+
+class PivotPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+  import graft.pivot.PivotOps
+
+  private type Rec = PropRec
+  private val Rec = PropRec
+
+  private val genRec: Gen[Rec] = for {
+    g <- Gen.oneOf("g1", "g2", "g3")
+    p <- Gen.oneOf("a", "b", "c", "offlist", "null")
+    v <- Gen.option(Gen.choose(-100, 100))
+    s <- Gen.option(Gen.oneOf("x", "XY", "xyz", "Xy", ""))
+  } yield Rec(g, p, v, s)
+
+  private val genData: Gen[List[Rec]] = Gen.listOfN(40, genRec)
+
+  private val declared = Seq("a", "b", "null") // "offlist"/"c" stay off-list
+
+  /** In-JVM model of one cell's records (reference routing: off-list
+    * records join no cell; null pivot value stringifies to "null"). */
+  private def cells(data: List[Rec]): Map[(String, String), List[Rec]] =
+    (for {
+      g <- data.map(_.g).distinct
+      c <- declared
+    } yield (g, c) -> data.filter(r => r.g == g && r.p == c)).toMap
+
+  private def ciMin(xs: List[String]): Option[String] =
+    xs.sortBy(s => (s.toLowerCase, s)).headOption
+
+  test("pivot agrees with the in-JVM reference model on random data") {
+    for (trial <- 0 until 25) {
+      val data = genData.pureApply(Gen.Parameters.default, Seed(trial.toLong))
+      val nPart = 1 + (trial % 8)
+      val df = data.toDF("g", "p", "v", "s")
+        .selectExpr("g", "nullif(p, 'null') AS p", "v", "s")
+        .repartition(nPart)
+      val out = PivotOps.pivotConfig(df, "g", s"p=${declared.mkString(",")}",
+        "c: count(*), cn: count(v), s: sum(v), mn: min(v), mx: max(v), " +
+          "cd: countdistinct(s), nn: countnulls(v), smn: min(s)").main
+
+      val model = cells(data)
+      val rows = out.collect()
+      assert(rows.map(_.getString(0)).toSet == data.map(_.g).toSet,
+        s"trial $trial: group set")
+      rows.foreach { row =>
+        val g = row.getString(0)
+        declared.zipWithIndex.foreach { case (c, i) =>
+          val recs = model((g, c))
+          val vs = recs.flatMap(_.v)
+          def at(block: Int): Any = row.get(1 + block * declared.size + i)
+          def ctx = s"trial $trial cell ($g,$c)"
+          assert(at(0) == recs.size.toLong, s"count(*) $ctx")
+          assert(at(1) == vs.size.toLong, s"count(v) $ctx")
+          assert(at(2) == (if (vs.isEmpty) null else vs.sum), s"sum $ctx")
+          assert(at(3) == vs.minOption.orNull, s"min $ctx")
+          assert(at(4) == vs.maxOption.orNull, s"max $ctx")
+          val distinct = recs.map(_.s).distinct.size // null counts as a value
+          assert(at(5) == distinct, s"countdistinct $ctx")
+          assert(at(6) == recs.count(_.v.isEmpty).toLong, s"countnulls $ctx")
+          assert(at(7) == ciMin(recs.flatMap(_.s)).orNull, s"string min $ctx")
+        }
+      }
+    }
+  }
+}
