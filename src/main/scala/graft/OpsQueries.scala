@@ -99,11 +99,14 @@ object OpsQueries {
   // Deduplication
   // =====================================================================
 
-  /** documents with a full duplicate copy planted at doc_id+10000 — the
-    * dedup input (real table, derived duplicates). */
+  /** documents with a full duplicate copy planted at doc_id + 10^7 — the
+    * dedup input (real table, derived duplicates). The offset keeps the
+    * copies above any real doc_id at every bench/verify scale factor
+    * (documents is 500 rows per 0.01 sf — collision would need sf 200),
+    * so the originals win min-id survivor selection. */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
-    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    d.unionAll(d.select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
   }
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -112,7 +115,7 @@ object OpsQueries {
   private val oDedupExact =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+      |  UNION ALL SELECT doc_id + 10000000, text FROM documents),
       |ranked AS (SELECT doc_id, row_number() OVER (
       |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
       |    ORDER BY doc_id) AS rn FROM corpus)

@@ -215,10 +215,10 @@ object PivotQueries {
 
   private val oFnCollect =
     """SELECT l_returnflag,
-      |  list_sort(list(l_linenumber) FILTER (WHERE l_linestatus='O')) AS "O_cl",
-      |  list_sort(list(l_linenumber) FILTER (WHERE l_linestatus='F')) AS "F_cl",
-      |  list_sort(list(DISTINCT l_linenumber) FILTER (WHERE l_linestatus='O')) AS "O_cs",
-      |  list_sort(list(DISTINCT l_linenumber) FILTER (WHERE l_linestatus='F')) AS "F_cs"
+      |  coalesce(list_sort(list(l_linenumber) FILTER (WHERE l_linestatus='O')), []) AS "O_cl",
+      |  coalesce(list_sort(list(l_linenumber) FILTER (WHERE l_linestatus='F')), []) AS "F_cl",
+      |  coalesce(list_sort(list(DISTINCT l_linenumber) FILTER (WHERE l_linestatus='O')), []) AS "O_cs",
+      |  coalesce(list_sort(list(DISTINCT l_linenumber) FILTER (WHERE l_linestatus='F')), []) AS "F_cs"
       |FROM lineitem WHERE l_orderkey < 300 GROUP BY l_returnflag""".stripMargin
 
   // -- LONGESTSTRING / SHORTESTSTRING ------------------------------------
@@ -290,12 +290,14 @@ object PivotQueries {
     """SELECT o_orderpriority,
       |  CAST(coalesce(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice*o_totalprice END), 0) AS REAL) AS "O_sq",
       |  CAST(coalesce(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice*o_totalprice END), 0) AS REAL) AS "F_sq",
-      |  CAST(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice*o_totalprice END)
+      |  CAST(CASE WHEN count(CASE WHEN o_orderstatus='O' THEN o_totalprice END) = 0 THEN 'NaN'::DOUBLE
+      |    ELSE sum(CASE WHEN o_orderstatus='O' THEN o_totalprice*o_totalprice END)
       |    - sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END)^2
-      |      / count(CASE WHEN o_orderstatus='O' THEN o_totalprice END) AS REAL) AS "O_csq",
-      |  CAST(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice*o_totalprice END)
+      |      / count(CASE WHEN o_orderstatus='O' THEN o_totalprice END) END AS REAL) AS "O_csq",
+      |  CAST(CASE WHEN count(CASE WHEN o_orderstatus='F' THEN o_totalprice END) = 0 THEN 'NaN'::DOUBLE
+      |    ELSE sum(CASE WHEN o_orderstatus='F' THEN o_totalprice*o_totalprice END)
       |    - sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END)^2
-      |      / count(CASE WHEN o_orderstatus='F' THEN o_totalprice END) AS REAL) AS "F_csq"
+      |      / count(CASE WHEN o_orderstatus='F' THEN o_totalprice END) END AS REAL) AS "F_csq"
       |FROM """.stripMargin + oOrders + " GROUP BY o_orderpriority"
 
   // =====================================================================

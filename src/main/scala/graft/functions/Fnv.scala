@@ -1,0 +1,27 @@
+package graft.functions
+
+/** Shared 64-bit hashing primitives for graft's native expressions:
+  * FNV-1a accumulation + the murmur3 fmix64 avalanche finalizer. Both
+  * [[HashedShingles]] and [[SimHash64]] hash tokens with this scheme —
+  * keeping it in one place so the families can't silently diverge. */
+private[functions] object Fnv {
+
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  def hashBytes(h0: Long, bytes: Array[Byte]): Long = {
+    var h = h0
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * Prime; i += 1 }
+    h
+  }
+
+  /** murmur3 fmix64 finalizer — avalanches the FNV accumulator. */
+  def fmix(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+}

@@ -45,25 +45,6 @@ case class HashedShingles(child: Expression, n: Int)
 
 object HashedShingles {
 
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
-
-  private def fnv(h0: Long, bytes: Array[Byte]): Long = {
-    var h = h0
-    var i = 0
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
-    h
-  }
-
-  /** murmur3 fmix64 finalizer — avalanches the FNV accumulator. */
-  private def fmix(k0: Long): Long = {
-    var k = k0
-    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
-    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
-    k ^= k >>> 33
-    k
-  }
-
   /** Called from interpreted and generated code (static forwarder). */
   def compute(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toString.toLowerCase.trim.split("\\s+")
@@ -71,7 +52,7 @@ object HashedShingles {
     val wordHash = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
-      wordHash(i) = fnv(FnvOffset, toks(i).getBytes("UTF-8"))
+      wordHash(i) = Fnv.hashBytes(Fnv.Offset, toks(i).getBytes("UTF-8"))
       i += 1
     }
     val seen = new java.util.HashSet[java.lang.Long]()
@@ -80,10 +61,10 @@ object HashedShingles {
     i = 0
     while (i <= toks.length - n) {
       // combine the window's word hashes order-sensitively, then avalanche
-      var h = FnvOffset
+      var h = Fnv.Offset
       var j = 0
-      while (j < n) { h = (h ^ wordHash(i + j)) * FnvPrime; j += 1 }
-      val s = fmix(h)
+      while (j < n) { h = (h ^ wordHash(i + j)) * Fnv.Prime; j += 1 }
+      val s = Fnv.fmix(h)
       if (seen.add(s)) { out(m) = s; m += 1 }
       i += 1
     }

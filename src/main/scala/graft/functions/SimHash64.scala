@@ -35,23 +35,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
-
   /** Called from interpreted and generated code (static forwarder). */
   def compute(text: UTF8String): Long = {
     val toks = text.toString.toLowerCase.trim.split("\\s+")
     val votes = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
-      val bytes = toks(t).getBytes("UTF-8")
-      var h = FnvOffset
-      var i = 0
-      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
-      // fmix64 avalanche
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-      h ^= h >>> 33
+      val h = Fnv.fmix(Fnv.hashBytes(Fnv.Offset, toks(t).getBytes("UTF-8")))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -77,10 +77,16 @@ object Dedup {
     val filtered = maxDf match {
       case None => sh
       case Some(cap) =>
-        // doc-frequency cap: one extra aggregation, removes quadratic keys
+        // doc-frequency cap: one extra aggregation, removes quadratic
+        // keys. Set sizes are recomputed over the SURVIVING shingles so
+        // jaccard stays an unbiased measure of the capped sets (pre-cap
+        // sizes would systematically underestimate similarity for pairs
+        // overlapping mostly on hot shingles).
         val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap).select("sh")
-        sh.join(dfreq, "sh")
+        val kept = sh.drop("n").join(dfreq, "sh")
+        val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+        kept.join(sizes, "id")
     }
     filtered.as("a").join(filtered.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -80,23 +80,26 @@ object Similarity {
     Array.fill(nbits, dim)(rng.nextDouble() * 2 - 1)
   }
 
-  /** v · constant plane: codegen graft_dot when registered, else the
-    * interpreted higher-order-function fallback. */
-  private def dotFast(vec: Column, plane: Column): Column = {
-    val registered =
-      org.apache.spark.sql.SparkSession.active.catalog.functionExists("graft_dot")
-    if (registered) call_function("graft_dot", vec, plane)
+  /** v · constant plane: codegen graft_dot when registered on the given
+    * session, else the interpreted higher-order-function fallback. The
+    * session is passed explicitly (like [[cosineFast]]) — resolving via
+    * SparkSession.active would pick the wrong session in multi-session
+    * apps or throw on non-query threads. */
+  private def dotFast(spark: org.apache.spark.sql.SparkSession,
+                      vec: Column, plane: Column): Column =
+    if (spark.catalog.functionExists("graft_dot"))
+      call_function("graft_dot", vec, plane)
     else aggregate(zip_with(transform(vec, _.cast("double")), plane, _ * _),
       lit(0.0), _ + _)
-  }
 
   /** Sign-bucket id for a vector under one hash table's hyperplanes:
     * bit b = sign(v · plane_b) — the standard cosine-LSH quantizer. */
-  def lshBucket(vec: Column, nbits: Int, dim: Int, seed: Long): Column = {
+  def lshBucket(spark: org.apache.spark.sql.SparkSession, vec: Column,
+                nbits: Int, dim: Int, seed: Long): Column = {
     val planes = hyperplanes(nbits, dim, seed)
     (0 until nbits).map { b =>
       val plane = array(planes(b).map(lit): _*)
-      when(dotFast(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+      when(dotFast(spark, vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -114,13 +117,14 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, nbits: Int = 8, dim: Int = 64,
               tables: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
       array((0 until tables).map(t =>
-        lshBucket(col(vecCol), nbits, dim, seed = 42L + t)): _*).as("bs"))
+        lshBucket(spark, col(vecCol), nbits, dim, seed = 42L + t)): _*).as("bs"))
       .select(col("id"), col("cv"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
     val qsig = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       array((0 until tables).map(t =>
-        lshBucket(col(vecCol), nbits, dim, seed = 42L + t)): _*).as("bs"))
+        lshBucket(spark, col(vecCol), nbits, dim, seed = 42L + t)): _*).as("bs"))
     // probe masks: the bucket itself plus each Hamming-1 neighbor
     val masks = lit(0L) +: (0 until nbits).map(b => lit(1L << b))
     val q = broadcast(qsig

@@ -26,8 +26,13 @@ object Skew {
     * (reference analog: BatchReducibleAggregator's mergeValues vs
     * mergePartitions, Pivot.java:167-196).
     *
-    * The salt is `pmod(hash-of-all-columns, salt)` rather than rand():
-    * deterministic input → deterministic output (replayable at 100 TB).
+    * The salt must vary across IDENTICAL rows too (a hot key's rows are
+    * often duplicates — hashing column values alone would send them all
+    * to one reducer, defeating the salting). It is therefore derived from
+    * the row's physical position (`monotonically_increasing_id`), which
+    * spreads uniformly; the final result is position-independent because
+    * stage 2 re-merges, so this does not affect determinism of the
+    * output, only of the intermediate partitioning.
     *
     * @param partial stage-1 aggregates, named
     * @param merge   stage-2 aggregates over the stage-1 column names
@@ -35,7 +40,7 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
                 partial: Seq[Column], merge: Seq[Column]): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
-    val saltCol = pmod(hash(df.columns.map(col): _*), lit(salt)).as("__salt")
+    val saltCol = pmod(monotonically_increasing_id(), lit(salt)).as("__salt")
     val stage1 = df
       .groupBy((keys.map(col) :+ saltCol): _*)
       .agg(partial.head, partial.tail: _*)
@@ -63,8 +68,10 @@ object Skew {
     * for two large skewed sides prefer AQE's skew-join handling. */
   def saltedBroadcastJoin(probe: DataFrame, build: DataFrame,
                           key: String, salt: Int): DataFrame = {
+    // position-derived salt: identical probe rows of a hot key must still
+    // spread across tasks (see saltedAgg doc)
     val saltedProbe = probe.withColumn("__salt",
-      pmod(hash(probe.columns.map(col): _*), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt)))
     val saltedBuild = build.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     saltedProbe.join(broadcast(saltedBuild), Seq(key, "__salt")).drop("__salt")

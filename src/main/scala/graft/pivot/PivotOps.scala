@@ -29,10 +29,6 @@ object PivotOps {
   private def keyStr(c: String): Column =
     coalesce(col(c).cast(StringType), lit("null"))
 
-  /** The combined cell key `v1_v2` (Pivot.java:330-353). */
-  def cellKey(spec: PivotSpec): Column =
-    concat_ws("_", spec.pivotColumns.map { case (c, _) => keyStr(c) }: _*)
-
   /** Validate + pivot. Throws IllegalArgumentException listing all spec
     * errors (the reference accumulates in a FailureCollector then throws,
     * PivotConfig.java:134-187). */

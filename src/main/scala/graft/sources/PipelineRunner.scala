@@ -133,8 +133,10 @@ object PipelineRunner {
   }
 
   /** Full run: source → pivot → sink. Returns the pivot result (main is
-    * also what was written; errors feed an `_errors` sibling directory
-    * when on-error=send-to-error-port produced any). */
+    * also what was written; errors feed an `_errors` sibling directory in
+    * send-to-error-port mode). The error write is gated on the CONFIG,
+    * not on an emptiness probe — `errors.isEmpty` would re-execute the
+    * whole aggregation just to test it, a full extra pass at scale. */
   def run(spark: SparkSession, json: String,
           macros: Map[String, String] = Map.empty): PivotResult = {
     val p = parse(json, macros)
@@ -144,7 +146,7 @@ object PipelineRunner {
       p.pivot.fieldAliases, p.pivot.defaultValue, p.pivot.onError,
       p.pivot.numPartitions)
     writeSink(result.main, p.sink)
-    if (!result.errors.isEmpty)
+    if (p.pivot.onError.contains("send-to-error-port"))
       writeSink(result.errors, p.sink.copy(path = p.sink.path + "_errors"))
     result
   }

@@ -92,9 +92,19 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                // within gap of the session span on either side — merge
+                // (late cross-batch events extend `start` backwards)
+                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1,
                     total = s.total + e.value))
+                // too late to belong to the open session: emit it as its
+                // own immediate session (we can't retroactively merge with
+                // already-emitted output in append mode)
+                case Some(s) if t < s.start - gapMs =>
+                  closed ::= flush(uid, SessionState(t, t, 1, e.value),
+                    byTimeout = false)
+                // beyond the gap after the session — close it, start anew
                 case Some(s) =>
                   closed ::= flush(uid, s, byTimeout = false)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -74,6 +74,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late cross-batch events extend the session start or emit alone") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 60 * 1000L,
+        idleTimeout = false)
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      input.addData(UserEvent(1, ts(10), "a", 1.0))
+      q.processAllAvailable()
+      // 30s earlier than the open session's start: within gap — merges and
+      // pulls start backwards
+      input.addData(UserEvent(1, Timestamp.valueOf("2026-01-01 10:09:30"), "b", 2.0))
+      q.processAllAvailable()
+      // an hour earlier: beyond gap — must NOT merge; emitted alone
+      input.addData(UserEvent(1, Timestamp.valueOf("2026-01-01 09:00:00"), "c", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("late")
+        .select(col("start").cast("string"), col("n_events"), col("total_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("2026-01-01 09:00:00", 1L, 4.0)))
+      // flush the open session via a far-future event and check it merged
+      input.addData(UserEvent(1, Timestamp.valueOf("2026-01-01 12:00:00"), "d", 0.0))
+      q.processAllAvailable()
+      val merged = spark.table("late")
+        .filter(col("start") === "2026-01-01 10:09:30").head()
+      assert(merged.getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+
   test("batch sessionizer agrees with the session definition") {
     val events = Seq(
       (7L, ts(1), 1.0), (7L, Timestamp.valueOf("2026-01-01 10:01:30"), 2.0),
