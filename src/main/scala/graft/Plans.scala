@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: dump the formatted physical plan of each headline query
+  * (`sbt "runMain graft.Plans [sfDir]"`). Source material for the plan
+  * audit in PLANS.md. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq(
+      "pivot_flagship", "pivot_errorport_main", "dedup_exact",
+      "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
+      "sim_topk", "sim_topk_lsh", "events_sessionize", "text_stats")
+
+    interesting.foreach { name =>
+      println(s"\n===================== $name =====================")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
