@@ -143,6 +143,34 @@ object OpsQueries {
     Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
       threshold = 0.5, numHashes = 128, bands = 32, n = 3)
 
+  /** Transitive near-dup survivors: min-id member per connected group of
+    * jaccard≥0.5 pairs. */
+  private def qDedupSurvivors(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupSurvivors(t(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.5).select("doc_id")
+
+  private val oDedupSurvivors =
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len($oToks) - 2, 0)),
+      |    i -> $oToks[i] || ' ' || $oToks[i+1] || ' ' || $oToks[i+2])) AS sh
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jp AS (SELECT ida, idb FROM p
+      |  JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+      |edges AS (SELECT ida AS src, idb AS dst FROM jp
+      |  UNION SELECT idb, ida FROM jp),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |    WHERE r.src <> e.dst)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT DISTINCT dst FROM reach WHERE src < dst)""".stripMargin
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
       maxDist = 3, bands = 4)
@@ -282,6 +310,7 @@ object OpsQueries {
     "text_fingerprint" -> (qTextFingerprint _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "dedup_survivors" -> (qDedupSurvivors _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_embedding" -> (qDedupEmbedding _),
@@ -299,6 +328,7 @@ object OpsQueries {
     "text_fingerprint" -> oTextFingerprint,
     "dedup_exact" -> oDedupExact,
     "dedup_ngram_jaccard" -> oJaccardPairs(0.5),
+    "dedup_survivors" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     // dedup_simhash / sim_topk_lsh: engine-hash-dependent → rows-only check
     "dedup_embedding" -> oDedupEmbedding,

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored candidate. Ordering: higher sim first, then lower id —
+  * the deterministic ranking used across the similarity operators. */
+case class ScoredId(sim: Double, id: Long)
+
+/** Bounded top-k as a typed Aggregator: the buffer is the current top-k,
+  * reduce inserts one candidate, merge unions two partial top-ks — the
+  * same zero/reduce/merge/finish contract as the reference's
+  * AggregateFunction SPI (function/AggregateFunction.java:31-66).
+  *
+  * Catalyst runs it with map-side partial aggregation, so a corpus
+  * partition ships at most k candidates per group key — the top-k never
+  * sorts or shuffles the full scored set (compare the window variant,
+  * which shuffles partitions×k rows after a per-partition sort). Buffers
+  * are tiny (k entries), so ObjectHashAggregateExec never spills them.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+
+  private def better(a: ScoredId, b: ScoredId): Boolean =
+    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+
+  override def zero: Seq[ScoredId] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
+    if (buf.size < k) (buf :+ x).sortWith(better)
+    else if (better(x, buf.last)) (buf.init :+ x).sortWith(better)
+    else buf
+
+  override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+    (a ++ b).sortWith(better).take(k)
+
+  override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
+
+  override def bufferEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+
+  override def outputEncoder: Encoder[Seq[ScoredId]] = bufferEncoder
+}
+
+object TopKAggregator {
+  val inputEncoder: Encoder[ScoredId] = Encoders.product[ScoredId]
+}

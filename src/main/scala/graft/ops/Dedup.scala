@@ -215,6 +215,61 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over an undirected pair list (ida, idb) by
+    * iterative min-label propagation: each vertex repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint.
+    * Iterations ~ component diameter (near-dup graphs are shallow);
+    * hard-capped to keep a pathological chain from looping forever. For
+    * web-scale graphs with huge components, swap the propagation step for
+    * the large-star/small-star rewrite — the driver loop shape is the
+    * same. Returns (id, component) with component = min id of the group.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.component") =!= col("l.component"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-duplicate SURVIVORS: the corpus minus all but the min-id member
+    * of each transitive near-dup group (pairs from
+    * [[ngramJaccardPairs]]). This is the operator a training pipeline
+    * actually runs — pairs are the intermediate, the deduped corpus is
+    * the product. */
+  def nearDupSurvivors(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, n: Int = 3): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, threshold, n)
+    val victims = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs (exact, brute-force): normalized dot
     * product ≥ threshold over all pairs. Exact path for moderate corpora
     * and for verifying the LSH path; at billion-vector scale use

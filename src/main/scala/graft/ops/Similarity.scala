@@ -73,6 +73,29 @@ object Similarity {
       .select("qid", "rank", "id", "sim")
   }
 
+  /** Brute-force top-k via the bounded [[graft.functions.TopKAggregator]]
+    * instead of window ranking: one ObjectHashAggregate whose partial
+    * buffers hold at most k candidates per query — a corpus partition
+    * ships k rows per query key with NO sort of the scored set. Same
+    * output as [[bruteForceTopK]] (deterministic (sim desc, id) order).
+    * Prefer this at scale; the window variant exists as the
+    * pure-built-ins formulation. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
+                        vecCol: String, idCol: String, k: Int): DataFrame = {
+    import graft.functions.{ScoredId, TopKAggregator}
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("qid") =!= col("id"))
+      .withColumn("sim", round(cosineFast(corpus.sparkSession, col("qv"), col("cv")), 6))
+    val topk = udaf(new TopKAggregator(k), TopKAggregator.inputEncoder)
+    scored
+      .groupBy("qid")
+      .agg(topk(col("sim"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r0", "s")))
+      .select(col("qid"), (col("r0") + 1).cast("int").as("rank"),
+        col("s.id").as("id"), col("s.sim").as("sim"))
+  }
+
   /** Deterministic random hyperplanes: `nbits × dim` doubles in [-1, 1)
     * from a seeded RNG (no runtime randomness — same planes every run). */
   private def hyperplanes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {

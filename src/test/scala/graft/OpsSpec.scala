@@ -90,6 +90,24 @@ class OpsSpec extends SparkSpec {
       s"simhash recall too low: ${(exact & sim).size}/${exact.size}")
   }
 
+  test("connected components merge transitive chains; survivors keep min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("ida", "idb")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+
+    // survivors on a corpus with a transitive near-dup chain a~b, b~c
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon eta"),   // ~10
+      (12L, "beta gamma delta epsilon eta theta"),   // ~11, not ~10 directly
+      (20L, "completely different words here now ok")
+    ).toDF("doc_id", "text")
+    val surv = Dedup.nearDupSurvivors(d, "text", "doc_id", threshold = 0.3, n = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv == Seq(10L, 20L))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.3)
       .collect()
@@ -133,6 +151,16 @@ class OpsSpec extends SparkSpec {
       .orderBy("qid", "rank").collect()
       .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
     assert(got == expected)
+  }
+
+  test("TopKAggregator variant equals the window-based top-k") {
+    val win = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 6),
+        "embedding", "vec_id", 4)
+      .collect().map(_.toString).sorted.toSeq
+    val agg = Similarity.bruteForceTopKAgg(emb.repartition(7),
+        emb.filter(col("vec_id") < 6), "embedding", "vec_id", 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(agg == win)
   }
 
   test("lshTopK returns well-formed ranks with reasonable recall@5") {
