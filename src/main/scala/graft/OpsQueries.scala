@@ -252,6 +252,37 @@ object OpsQueries {
       |  CAST(least(64, n - frame_idx * 128) AS INTEGER) AS fb FROM f""".stripMargin
 
   // =====================================================================
+  // Data profiling
+  // =====================================================================
+
+  private def qProfileNumeric(s: SparkSession, dir: String): DataFrame = {
+    val out = Profile.numeric(t(s, dir, "orders"),
+      Seq("o_totalprice", "o_custkey"))
+    // mean is an order-dependent double sum — float-quantize; quantiles
+    // interpolate between two exact values — stable in double
+    out.withColumn("mean", col("mean").cast("float"))
+  }
+
+  private val oProfileNumeric =
+    """SELECT 'o_totalprice' AS "column",
+      |  count(o_totalprice) AS n, count(*) - count(o_totalprice) AS nulls,
+      |  CAST(min(o_totalprice) AS DOUBLE) AS min, CAST(max(o_totalprice) AS DOUBLE) AS max,
+      |  CAST(avg(o_totalprice) AS REAL) AS mean,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.95) AS p95
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey',
+      |  count(o_custkey), count(*) - count(o_custkey),
+      |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+      |  CAST(avg(o_custkey) AS REAL),
+      |  quantile_cont(CAST(o_custkey AS DOUBLE), 0.25),
+      |  quantile_cont(CAST(o_custkey AS DOUBLE), 0.5),
+      |  quantile_cont(CAST(o_custkey AS DOUBLE), 0.95)
+      |FROM orders""".stripMargin
+
+  // =====================================================================
   // Event-time windowing (streaming-shaped batch aggregation)
   // =====================================================================
 
@@ -316,6 +347,7 @@ object OpsQueries {
     "dedup_embedding" -> (qDedupEmbedding _),
     "sim_topk" -> (qSimTopK _),
     "sim_topk_lsh" -> (qSimTopKLsh _),
+    "profile_numeric" -> (qProfileNumeric _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "events_window" -> (qEventsWindow _),
@@ -333,6 +365,7 @@ object OpsQueries {
     // dedup_simhash / sim_topk_lsh: engine-hash-dependent → rows-only check
     "dedup_embedding" -> oDedupEmbedding,
     "sim_topk" -> oSimTopK,
+    "profile_numeric" -> oProfileNumeric,
     "multimodal_meta" -> oMultimodalMeta,
     "multimodal_frames" -> oMultimodalFrames,
     "events_window" -> oEventsWindow,

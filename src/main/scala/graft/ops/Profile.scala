@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling for pipeline data-quality gates: one row per profiled
+  * column with counts, null counts, range, moments and exact quantiles.
+  *
+  * Exact `percentile` is used (not approx_percentile) so results are
+  * engine-portable and oracle-checkable; it aggregates a per-group sorted
+  * buffer, which is fine for per-column profiling (one group per column).
+  * For profiling at extreme cardinality swap in approx_percentile and
+  * accept sketch-dependent output. All columns are profiled in ONE pass
+  * over the table (a single aggregate, no shuffle beyond the 1-row
+  * reduction).
+  */
+object Profile {
+
+  /** Profile the given numeric columns; returns
+    * (column, n, nulls, min, max, mean, p25, p50, p95). */
+  def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        avg(col(c)).as(s"${c}__mean"),
+        percentile(col(c), lit(0.25)).as(s"${c}__p25"),
+        percentile(col(c), lit(0.5)).as(s"${c}__p50"),
+        percentile(col(c), lit(0.95)).as(s"${c}__p95"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to one row per column
+    val structs = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__n").as("n"), col(s"${c}__nulls").as("nulls"),
+        col(s"${c}__min").as("min"), col(s"${c}__max").as("max"),
+        col(s"${c}__mean").as("mean"), col(s"${c}__p25").as("p25"),
+        col(s"${c}__p50").as("p50"), col(s"${c}__p95").as("p95"))
+    }
+    wide.select(explode(array(structs: _*)).as("p")).select("p.*")
+  }
+}
