@@ -20,9 +20,16 @@ case class ScoredId(sim: Double, id: Long)
   */
 class TopKAggregator(k: Int)
     extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+  require(k > 0, s"k must be positive, got $k")
 
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+  // java.lang.Double.compare gives a TOTAL order (NaN greatest, matching
+  // Spark's sort order, so the window variant and this one agree even on
+  // NaN sims from degenerate zero-norm vectors); a raw `>` would make
+  // the comparator non-transitive with NaN and break sortWith.
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.sim, b.sim)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Seq[ScoredId] = Vector.empty
 

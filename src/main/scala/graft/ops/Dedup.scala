@@ -243,17 +243,31 @@ object Dedup {
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .persist()
+      // Convergence = no label changed. The join-diff works for any id
+      // type (string/decimal ids are valid); the labels table is one row
+      // per edge-touched vertex, so this stays cheap at corpus scale.
       val changed = updated.as("u")
         .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.component") =!= col("l.component"))
+        .filter(!(col("u.component") <=> col("l.component")))
         .limit(1).count()
       labels.unpersist()
       labels = updated
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter before convergence; " +
+          "labels may be partially propagated — raise maxIter for deep chains")
+    // Materialize the (small) result and release the loop's cache: a
+    // plain return of the persisted frame would pin it for the session.
+    // localCheckpoint blocks are reclaimed by the ContextCleaner once the
+    // result is unreferenced. (On a real cluster with executor churn,
+    // swap for a reliable checkpoint directory.)
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    result
   }
 
   /** Near-duplicate SURVIVORS: the corpus minus all but the min-id member
@@ -262,9 +276,10 @@ object Dedup {
     * actually runs — pairs are the intermediate, the deduped corpus is
     * the product. */
   def nearDupSurvivors(df: DataFrame, textCol: String, idCol: String,
-                       threshold: Double, n: Int = 3): DataFrame = {
+                       threshold: Double, n: Int = 3,
+                       maxIter: Int = 20): DataFrame = {
     val pairs = ngramJaccardPairs(df, textCol, idCol, threshold, n)
-    val victims = connectedComponents(pairs)
+    val victims = connectedComponents(pairs, maxIter)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(victims, Seq(idCol), "left_anti")

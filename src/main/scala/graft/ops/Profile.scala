@@ -22,7 +22,9 @@ object Profile {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
-        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        // count-difference, not sum(isNull): stays 0 (not NULL) on an
+        // empty input, matching the oracle's count(*) - count(col)
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         avg(col(c)).as(s"${c}__mean"),

@@ -82,9 +82,12 @@ object Similarity {
     * pure-built-ins formulation. */
   def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
                         vecCol: String, idCol: String, k: Int): DataFrame = {
-    import graft.functions.{ScoredId, TopKAggregator}
+    import graft.functions.TopKAggregator
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    // same under-partitioned-source guard as bruteForceTopK
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    val c = if (c0.rdd.getNumPartitions < par / 2) c0.repartition(par) else c0
     val scored = c.join(q, col("qid") =!= col("id"))
       .withColumn("sim", round(cosineFast(corpus.sparkSession, col("qv"), col("cv")), 6))
     val topk = udaf(new TopKAggregator(k), TopKAggregator.inputEncoder)
