@@ -69,6 +69,34 @@ object Demo {
     println("=== physical plan (flagship) ===")
     SparkEntry.entry(spark).explain("formatted")
 
+    println("=== training-data ops tour (documents/embeddings) ===")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    import org.apache.spark.sql.functions._
+
+    println("-- text analysis --")
+    docs.select(col("doc_id"),
+        graft.ops.TextFunctions.tokenCountWs(col("text")).as("tokens"),
+        round(graft.ops.TextFunctions.qualityScore(col("text")), 2).as("quality"),
+        graft.ops.TextFunctions.langId(col("text")).getField("lang").as("lang_pred"),
+        substring(graft.ops.TextFunctions.fingerprint(col("text")), 1, 12).as("fp12"))
+      .show(5, truncate = false)
+
+    println("-- near-dup pairs (exact 3-gram jaccard >= 0.8) --")
+    graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+      .orderBy("ida").show(5, truncate = false)
+
+    println("-- minhash LSH pairs (verified) --")
+    println(s"pairs: ${graft.ops.Dedup.minhashLshPairs(docs, "text", "doc_id", 0.8).count()}")
+
+    println("-- near-dup survivors --")
+    println(s"corpus ${docs.count()} -> survivors " +
+      s"${graft.ops.Dedup.nearDupSurvivors(docs, "text", "doc_id", 0.8).count()}")
+
+    println("-- cosine top-3 for first 2 query vectors --")
+    graft.ops.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2),
+      "embedding", "vec_id", 3).orderBy("qid", "rank").show(truncate = false)
+
     spark.stop()
   }
 }
