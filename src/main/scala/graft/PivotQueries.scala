@@ -300,6 +300,21 @@ object PivotQueries {
       |      / count(CASE WHEN o_orderstatus='F' THEN o_totalprice END) END AS REAL) AS "F_csq"
       |FROM """.stripMargin + oOrders + " GROUP BY o_orderpriority"
 
+  // -- MIN/MAX over TIMESTAMP (beyond-reference: the reference's numeric
+  //    gate rejects logical types for arithmetic aggregates but its
+  //    comparison aggregates never see them at all; here order-based
+  //    aggregates accept any orderable type) ----------------------------
+  private def qFnMinMaxTs(s: SparkSession, dir: String): DataFrame =
+    pivotOrders(s, dir, "o_orderpriority", "mn:min(o_orderdate), mx:max(o_orderdate)")
+
+  private val oFnMinMaxTs =
+    """SELECT o_orderpriority,
+      |  CAST(min(CASE WHEN o_orderstatus='O' THEN o_orderdate END) AS TIMESTAMP) AS "O_mn",
+      |  CAST(min(CASE WHEN o_orderstatus='F' THEN o_orderdate END) AS TIMESTAMP) AS "F_mn",
+      |  CAST(max(CASE WHEN o_orderstatus='O' THEN o_orderdate END) AS TIMESTAMP) AS "O_mx",
+      |  CAST(max(CASE WHEN o_orderstatus='F' THEN o_orderdate END) AS TIMESTAMP) AS "F_mx"
+      |FROM """.stripMargin + oOrders + " GROUP BY o_orderpriority"
+
   // =====================================================================
   // Operator-facet queries (SURVEY §2.1).
   // =====================================================================
@@ -463,6 +478,7 @@ object PivotQueries {
     "fn_avg" -> (qFnAvg _),
     "fn_minmax_num" -> (qFnMinMaxNum _),
     "fn_minmax_str" -> (qFnMinMaxStr _),
+    "fn_minmax_ts" -> (qFnMinMaxTs _),
     "fn_first_last" -> (qFnFirstLast _),
     "fn_stddev_var" -> (qFnStddevVar _),
     "fn_collect" -> (qFnCollect _),
@@ -491,6 +507,7 @@ object PivotQueries {
     "fn_avg" -> oFnAvg,
     "fn_minmax_num" -> oFnMinMaxNum,
     "fn_minmax_str" -> oFnMinMaxStr,
+    "fn_minmax_ts" -> oFnMinMaxTs,
     "fn_first_last" -> oFnFirstLast,
     "fn_stddev_var" -> oFnStddevVar,
     "fn_collect" -> oFnCollect,
