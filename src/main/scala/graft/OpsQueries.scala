@@ -252,6 +252,29 @@ object OpsQueries {
       |  CAST(least(64, n - frame_idx * 128) AS INTEGER) AS fb FROM f""".stripMargin
 
   // =====================================================================
+  // Semi-structured extraction (JSON properties column)
+  // =====================================================================
+
+  /** Extract a typed field from the events' JSON `props` payload and
+    * aggregate — the standard semi-structured hop in an event pipeline.
+    * get_json_object is codegen'd path extraction; for repeated
+    * multi-field access prefer from_json with an explicit schema (one
+    * parse, many fields). */
+  private def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    readEvents(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("ksum"),
+        min("k").as("kmin"), max("k").as("kmax"))
+
+  private val oEventsJson =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS ksum,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS kmin,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS kmax
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // =====================================================================
   // Data profiling
   // =====================================================================
 
@@ -351,7 +374,8 @@ object OpsQueries {
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "events_window" -> (qEventsWindow _),
-    "events_sessionize" -> (qEventsSessionize _)
+    "events_sessionize" -> (qEventsSessionize _),
+    "events_json" -> (qEventsJson _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -369,6 +393,7 @@ object OpsQueries {
     "multimodal_meta" -> oMultimodalMeta,
     "multimodal_frames" -> oMultimodalFrames,
     "events_window" -> oEventsWindow,
-    "events_sessionize" -> oEventsSessionize
+    "events_sessionize" -> oEventsSessionize,
+    "events_json" -> oEventsJson
   )
 }
