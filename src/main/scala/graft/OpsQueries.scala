@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
+import graft.pivot.PivotOps
 
 /** Verification queries for the training-data-pipeline operators (dedup,
   * similarity search, text analysis, multimodal) over the `documents`,
@@ -21,6 +22,10 @@ object OpsQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Float-quantize double columns for cross-engine hash stability. */
+  private def f32(df: DataFrame, names: String*): DataFrame =
+    names.foldLeft(df)((d, n) => d.withColumn(n, col(n).cast("float")))
 
   /** Canonical whitespace tokens in DuckDB, twin of TextFunctions.tokens. */
   private val oToks =
@@ -252,6 +257,41 @@ object OpsQueries {
       |  CAST(least(64, n - frame_idx * 128) AS INTEGER) AS fb FROM f""".stripMargin
 
   // =====================================================================
+  // Dimensional enrichment (broadcast join) + pivot composition
+  // =====================================================================
+
+  /** Star-schema enrichment feeding the pivot: customer joined to its
+    * (small) nation/region dims with explicit broadcast — the fact side
+    * never shuffles for the join, and the pivot's single shuffle is the
+    * only data movement. The composition pattern every reference pipeline
+    * uses (source → enrich → pivot → sink), on Spark primitives. */
+  private def qJoinPivot(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val nation = broadcast(t(s, dir, "nation"))
+    val region = broadcast(t(s, dir, "region"))
+    val enriched = cust
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+    f32(PivotOps.pivotConfig(enriched,
+        "r_name", "c_mktsegment=BUILDING,MACHINERY,AUTOMOBILE",
+        "n: count(*), bal: sum(c_acctbal)").main,
+      "BUILDING_bal", "MACHINERY_bal", "AUTOMOBILE_bal")
+  }
+
+  private val oJoinPivot =
+    """SELECT r_name,
+      |  count(CASE WHEN c_mktsegment='BUILDING' THEN 1 END) AS "BUILDING_n",
+      |  count(CASE WHEN c_mktsegment='MACHINERY' THEN 1 END) AS "MACHINERY_n",
+      |  count(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 END) AS "AUTOMOBILE_n",
+      |  CAST(sum(CASE WHEN c_mktsegment='BUILDING' THEN c_acctbal END) AS REAL) AS "BUILDING_bal",
+      |  CAST(sum(CASE WHEN c_mktsegment='MACHINERY' THEN c_acctbal END) AS REAL) AS "MACHINERY_bal",
+      |  CAST(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN c_acctbal END) AS REAL) AS "AUTOMOBILE_bal"
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  // =====================================================================
   // Semi-structured extraction (JSON properties column)
   // =====================================================================
 
@@ -375,7 +415,8 @@ object OpsQueries {
     "multimodal_frames" -> (qMultimodalFrames _),
     "events_window" -> (qEventsWindow _),
     "events_sessionize" -> (qEventsSessionize _),
-    "events_json" -> (qEventsJson _)
+    "events_json" -> (qEventsJson _),
+    "join_pivot" -> (qJoinPivot _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -394,6 +435,7 @@ object OpsQueries {
     "multimodal_frames" -> oMultimodalFrames,
     "events_window" -> oEventsWindow,
     "events_sessionize" -> oEventsSessionize,
-    "events_json" -> oEventsJson
+    "events_json" -> oEventsJson,
+    "join_pivot" -> oJoinPivot
   )
 }
