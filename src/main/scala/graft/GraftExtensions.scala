@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, DotProduct, HashedShingles, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, HashedShingles, MinHashSig, SimHash64}
 
 /** Session extensions registering graft's native (codegen) functions.
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -35,6 +35,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_simhash(text) takes 1 argument")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        val k = children match {
+          case Seq(_, Literal(v: Int, IntegerType)) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash(shingles, numHashes) needs an integer literal numHashes")
+        }
+        MinHashSig(children.head, k)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

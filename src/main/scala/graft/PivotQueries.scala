@@ -206,19 +206,25 @@ object PivotQueries {
       |  CAST(var_pop(CASE WHEN o_orderstatus='F' THEN o_totalprice END) AS REAL) AS "F_vr"
       |FROM """.stripMargin + oOrders + " GROUP BY o_orderpriority"
 
-  // -- COLLECTLIST / COLLECTSET (value-sorted on both sides) -------------
-  private def qFnCollect(s: SparkSession, dir: String): DataFrame =
-    PivotOps.pivotConfig(
+  // -- COLLECTLIST / COLLECTSET (value-sorted on both sides). The arrays
+  //    are serialized to comma-joined strings for the driver compare (its
+  //    pandas row-sort cannot sort ndarray cells); the array-typed results
+  //    themselves are pinned by PivotEdgeSpec/GoldenPivotSpec. ------------
+  private def qFnCollect(s: SparkSession, dir: String): DataFrame = {
+    val out = PivotOps.pivotConfig(
       t(s, dir, "lineitem").filter(col("l_orderkey") < 300),
       "l_returnflag", "l_linestatus=O,F",
       "cl:collectlist(l_linenumber), cs:collectset(l_linenumber)").main
+    Seq("O_cl", "F_cl", "O_cs", "F_cs").foldLeft(out)((d, n) =>
+      d.withColumn(n, array_join(col(n).cast("array<string>"), ",")))
+  }
 
   private val oFnCollect =
     """SELECT l_returnflag,
-      |  coalesce(list_sort(list(l_linenumber) FILTER (WHERE l_linestatus='O')), []) AS "O_cl",
-      |  coalesce(list_sort(list(l_linenumber) FILTER (WHERE l_linestatus='F')), []) AS "F_cl",
-      |  coalesce(list_sort(list(DISTINCT l_linenumber) FILTER (WHERE l_linestatus='O')), []) AS "O_cs",
-      |  coalesce(list_sort(list(DISTINCT l_linenumber) FILTER (WHERE l_linestatus='F')), []) AS "F_cs"
+      |  array_to_string(coalesce(list_sort(list(l_linenumber) FILTER (WHERE l_linestatus='O')), []), ',') AS "O_cl",
+      |  array_to_string(coalesce(list_sort(list(l_linenumber) FILTER (WHERE l_linestatus='F')), []), ',') AS "F_cl",
+      |  array_to_string(coalesce(list_sort(list(DISTINCT l_linenumber) FILTER (WHERE l_linestatus='O')), []), ',') AS "O_cs",
+      |  array_to_string(coalesce(list_sort(list(DISTINCT l_linenumber) FILTER (WHERE l_linestatus='F')), []), ',') AS "F_cs"
       |FROM lineitem WHERE l_orderkey < 300 GROUP BY l_returnflag""".stripMargin
 
   // -- LONGESTSTRING / SHORTESTSTRING ------------------------------------

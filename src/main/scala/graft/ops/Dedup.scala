@@ -99,23 +99,44 @@ object Dedup {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
-  /** MinHash signatures: each shingle STRING is hashed once (xxhash64),
-    * then the k functions re-mix that fixed-width long with per-function
-    * salts — xxhash64(h ⊕ salt_i) — so adding hash functions costs an
-    * 8-byte hash each instead of a full string hash. signature[i] = min
-    * over the doc's shingles; one explode + one groupBy with k codegen'd
-    * min-aggregates — a single shuffle regardless of k. */
+  /** MinHash signatures — a PER-DOCUMENT map, not an aggregation.
+    *
+    * With [[graft.GraftExtensions]] registered this is the graft_minhash
+    * codegen expression: one fused loop per row, no shuffle at all —
+    * signatures stream from the scan straight into LSH banding. Without
+    * it, the fallback keeps the same hash family via per-row higher-order
+    * functions (slower, interpreted, still shuffle-free).
+    *
+    * The earlier formulation (explode shingles → groupBy(id) → k
+    * min-aggregates) shuffled |docs|×|shingles| rows and paid seconds of
+    * Janino compile for the k-wide aggregate; at corpus scale the shuffle
+    * alone disqualifies it. Rows whose shingle set is empty (docs shorter
+    * than n words) carry a null signature and are dropped, as they can
+    * never pair. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 128, n: Int = 3): DataFrame = {
-    val rng = new scala.util.Random(0x5eed)
-    val salts = Array.fill(numHashes)(rng.nextLong())
-    val sh = df.select(col(idCol).as("id"),
-      explode(hashedShingles(df, textCol, n)).as("h"))
-    val mins = (0 until numHashes).map { i =>
-      min(xxhash64(col("h").bitwiseXOR(lit(salts(i))))).as(s"h$i")
-    }
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val sigCol =
+      if (df.sparkSession.catalog.functionExists("graft_minhash"))
+        call_function("graft_minhash", hashedShingles(df, textCol, n), lit(numHashes))
+      else {
+        // same salts/mix as MinHashSig.compute (fmix of golden-ratio steps)
+        val salts = (0 until numHashes).map(graft.functions.MinHashSig.salt)
+        val sh = hashedShingles(df, textCol, n)
+        val fm = (c: Column) => {
+          // murmur3 fmix64 via expressions (xxhash64 differs from fmix;
+          // spelled out so both paths produce identical signatures)
+          val m1 = lit(0xff51afd7ed558ccdL)
+          val m2 = lit(0xc4ceb9fe1a85ec53L)
+          val s1 = (c.bitwiseXOR(shiftrightunsigned(c, 33))) * m1
+          val s2 = (s1.bitwiseXOR(shiftrightunsigned(s1, 33))) * m2
+          s2.bitwiseXOR(shiftrightunsigned(s2, 33))
+        }
+        when(size(sh) > 0,
+          array(salts.map(s =>
+            array_min(transform(sh, h => fm(h.bitwiseXOR(lit(s)))))): _*))
+      }
+    df.select(col(idCol).as("id"), sigCol.as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** MinHash + LSH banding near-dup candidates, verified with exact
@@ -229,8 +250,25 @@ object Dedup {
       .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // Seed with one propagation step folded into the init — component =
+    // min(self, direct neighbors). Near-dup graphs are mostly isolated
+    // pairs/stars (diameter 1), which converge at iteration 1 this way
+    // instead of needing a propagate + a no-change confirmation round.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("component"))
+      .persist()
+    // Convergence detection: labels only ever decrease (least of self and
+    // neighbor min), so for numeric ids the label sum is strictly
+    // monotone — "sum unchanged" == "no label changed", one cheap
+    // aggregate per iteration instead of a self-join diff. Non-numeric
+    // ids (string/uuid) fall back to the join-diff.
+    val numericLabels =
+      labels.schema("component").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def labelSum(l: DataFrame): Option[java.math.BigDecimal] =
+      if (!numericLabels) None
+      else Option(l.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -243,16 +281,19 @@ object Dedup {
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .persist()
-      // Convergence = no label changed. The join-diff works for any id
-      // type (string/decimal ids are valid); the labels table is one row
-      // per edge-touched vertex, so this stays cheap at corpus scale.
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(!(col("u.component") <=> col("l.component")))
-        .limit(1).count()
+      val changed =
+        if (numericLabels) {
+          val s = labelSum(updated)
+          val c = s != prevSum
+          prevSum = s
+          c
+        } else updated.as("u")
+          .join(labels.as("l"), col("u.id") === col("l.id"))
+          .filter(!(col("u.component") <=> col("l.component")))
+          .limit(1).count() > 0
       labels.unpersist()
       labels = updated
-      converged = changed == 0
+      converged = !changed
       iter += 1
     }
     if (!converged)

@@ -61,6 +61,40 @@ class OpsSpec extends SparkSpec {
     assert(sizes == 0)
   }
 
+  test("graft_minhash matches a JVM reference over the shingle hashes") {
+    import graft.functions.MinHashSig
+    val rows = docs.limit(20).select(
+        col("doc_id"),
+        call_function("graft_shingles", col("text"), lit(3)).as("sh"),
+        call_function("graft_minhash",
+          call_function("graft_shingles", col("text"), lit(3)), lit(16)).as("sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sh = r.getSeq[Long](1)
+      val got = r.getSeq[Long](2)
+      val want = (0 until 16).map { i =>
+        sh.map(h => fmixRef(h ^ MinHashSig.salt(i))).min
+      }
+      assert(got == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  /** murmur3 fmix64, restated independently of Fnv.fmix. */
+  private def fmixRef(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+
+  test("minhashSignatures is per-row (no shuffle in the plan)") {
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 32)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature stage should not shuffle:\n$plan")
+  }
+
   test("exact dedup keeps lowest id per duplicate text") {
     val d = Seq((1L, "A b"), (2L, "a  B"), (5L, "c"), (3L, "c"), (4L, "d"))
       .toDF("doc_id", "text")
