@@ -257,6 +257,63 @@ object OpsQueries {
       |  CAST(least(64, n - frame_idx * 128) AS INTEGER) AS fb FROM f""".stripMargin
 
   // =====================================================================
+  // Ranking / curation: top-N per group
+  // =====================================================================
+
+  /** Keep the 3 best quality-scored documents per language — the
+    * selection step after scoring in a curation pipeline. The rank<=n
+    * window filter compiles to WindowGroupLimit (map-side per-group
+    * prune; asserted in OpsSpec). */
+  private def qDocTopN(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    Rank.topNPerGroup(scored, Seq(col("lang")),
+        Seq(col("quality").desc, col("doc_id")), 3)
+      .select("lang", "rank", "doc_id", "quality")
+  }
+
+  /** DuckDB twin of TextFunctions.qualityScore (dyadic weights — exact
+    * in both engines). */
+  private val oQuality =
+    s"""(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.5 AS DOUBLE) ELSE 0.0 END)
+      |  + (CASE WHEN CAST(len(list_filter($oToks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+      |      / len($oToks) > 0.02 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END)
+      |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+      |      / greatest(length(text), 1) < 0.1 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END)""".stripMargin
+
+  private val oDocTopN =
+    s"""WITH scored AS (SELECT doc_id, lang, $oQuality AS quality FROM documents),
+      |ranked AS (SELECT lang, doc_id, quality, CAST(row_number() OVER (
+      |  PARTITION BY lang ORDER BY quality DESC, doc_id) AS INTEGER) AS rank FROM scored)
+      |SELECT lang, rank, doc_id, quality FROM ranked WHERE rank <= 3""".stripMargin
+
+  // =====================================================================
+  // As-of (point-in-time) join
+  // =====================================================================
+
+  /** Each event enriched with the user's latest order at or before the
+    * event time. Orders are pre-aggregated to one row per (custkey,
+    * orderdate) — the as-of contract requires a unique build side per
+    * (key, ts) for deterministic matches. */
+  private def qEventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir).select("event_id", "user_id", "ts")
+    val ord = t(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+  }
+
+  private val oEventsAsof =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+      |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+      |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
+
+  // =====================================================================
   // Dimensional enrichment (broadcast join) + pivot composition
   // =====================================================================
 
@@ -416,6 +473,8 @@ object OpsQueries {
     "events_window" -> (qEventsWindow _),
     "events_sessionize" -> (qEventsSessionize _),
     "events_json" -> (qEventsJson _),
+    "events_asof" -> (qEventsAsof _),
+    "doc_topn" -> (qDocTopN _),
     "join_pivot" -> (qJoinPivot _)
   )
 
@@ -436,6 +495,8 @@ object OpsQueries {
     "events_window" -> oEventsWindow,
     "events_sessionize" -> oEventsSessionize,
     "events_json" -> oEventsJson,
+    "events_asof" -> oEventsAsof,
+    "doc_topn" -> oDocTopN,
     "join_pivot" -> oJoinPivot
   )
 }

@@ -137,6 +137,28 @@ object PivotQueries {
       |  CAST(sum(CASE WHEN l_linestatus='F' THEN l_linenumber END) AS INTEGER) AS "F_si"
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // -- SUM / AVG over DECIMAL (graft extension: the reference's numeric
+  //    gate admits int/long/float/double only; decimal sums stay exact in
+  //    Spark's widened decimal type, avg computes in double) -------------
+  private def qFnSumDecimal(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders")
+      .withColumn("dp", col("o_totalprice").cast("decimal(12,2)"))
+    val out = PivotOps.pivotConfig(src, "o_orderpriority",
+      "o_orderstatus=O,F", "s:sum(dp), a:avg(dp)").main
+    val dec = Seq("O_s", "F_s").foldLeft(out)((d, n) =>
+      d.withColumn(n, col(n).cast("decimal(38,2)")))
+    f32(dec, "O_a", "F_a")
+  }
+
+  private val oFnSumDecimal =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus='O' THEN dp END) AS DECIMAL(38,2)) AS "O_s",
+      |  CAST(sum(CASE WHEN o_orderstatus='F' THEN dp END) AS DECIMAL(38,2)) AS "F_s",
+      |  CAST(avg(CASE WHEN o_orderstatus='O' THEN CAST(dp AS DOUBLE) END) AS REAL) AS "O_a",
+      |  CAST(avg(CASE WHEN o_orderstatus='F' THEN CAST(dp AS DOUBLE) END) AS REAL) AS "F_a"
+      |FROM (SELECT *, CAST(o_totalprice AS DECIMAL(12,2)) AS dp FROM orders) o
+      |GROUP BY o_orderpriority""".stripMargin
+
   // -- AVG ---------------------------------------------------------------
   private def qFnAvg(s: SparkSession, dir: String): DataFrame =
     f32(pivotOrders(s, dir, "o_orderpriority", "a:avg(o_totalprice), an:avg(tp_null)"),
@@ -481,6 +503,7 @@ object PivotQueries {
     "fn_countdistinct" -> (qFnCountDistinct _),
     "fn_sum" -> (qFnSum _),
     "fn_sum_int" -> (qFnSumInt _),
+    "fn_sum_decimal" -> (qFnSumDecimal _),
     "fn_avg" -> (qFnAvg _),
     "fn_minmax_num" -> (qFnMinMaxNum _),
     "fn_minmax_str" -> (qFnMinMaxStr _),
@@ -510,6 +533,7 @@ object PivotQueries {
     "fn_countdistinct" -> oFnCountDistinct,
     "fn_sum" -> oFnSum,
     "fn_sum_int" -> oFnSumInt,
+    "fn_sum_decimal" -> oFnSumDecimal,
     "fn_avg" -> oFnAvg,
     "fn_minmax_num" -> oFnMinMaxNum,
     "fn_minmax_str" -> oFnMinMaxStr,

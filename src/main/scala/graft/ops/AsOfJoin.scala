@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-time ("as-of") join: for each left row, attach the latest
+  * right row with the same key whose timestamp is <= the left row's
+  * timestamp — the canonical enrichment for event streams against a
+  * slowly-changing dimension (price books, user profiles, model
+  * versions).
+  *
+  * Spark has no as-of join operator; the scalable formulation is the
+  * union-sort trick: tag both sides, union them, and carry the last seen
+  * right row forward within each key with a running `last(ignoreNulls)`
+  * window. ONE shuffle + sort on (key, ts) regardless of how many right
+  * rows precede each left row — never a range cross-product. (A
+  * broadcast right side could use max_by under a <= predicate instead,
+  * but that cross-joins per key; the union-sort shape is the one that
+  * holds at 100 TB.)
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (events)
+    * @param right     build side; must be UNIQUE per (rightKey, rightTs)
+    *                  — pre-aggregate if it is not, or matches among
+    *                  equal timestamps are nondeterministic
+    * @param leftKey   join key column name on left
+    * @param rightKey  join key column name on right
+    * @param leftTs    event-time column name on left
+    * @param rightTs   event-time column name on right
+    * @param rightCols right columns to attach (null when no right row
+    *                  precedes the left row — left-join semantics)
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTs: String, rightTs: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftNames = left.columns.toSeq
+    // Right rows sort BEFORE left rows at the same timestamp (__src 0 < 1)
+    // so the as-of comparison is inclusive (rightTs == leftTs matches).
+    val l = left
+      .withColumn("__key", col(leftKey))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__r", lit(null).cast(structType(right, rightCols)))
+      .withColumn("__src", lit(1))
+    val r = right
+      .select(col(rightKey).as("__key"), col(rightTs).as("__ts"),
+        struct(rightCols.map(col): _*).as("__r"), lit(0).as("__src"))
+    // Align schemas: right rows carry nulls for the left columns.
+    val lAll = l.select((leftNames.map(col) ++ Seq(col("__key"), col("__ts"),
+      col("__r"), col("__src"))): _*)
+    val rAll = r.select((leftNames.map(n =>
+      lit(null).cast(left.schema(n).dataType).as(n)) ++ Seq(col("__key"),
+      col("__ts"), col("__r"), col("__src"))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__key")
+      .orderBy(col("__ts"), col("__src"))
+      .rowsBetween(Long.MinValue, 0)
+    lAll.unionByName(rAll)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select((leftNames.map(col) ++
+        rightCols.map(c => col("__match").getField(c).as(c))): _*)
+  }
+
+  private def structType(right: DataFrame,
+                         cols: Seq[String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(cols.map(c => right.schema(c)))
+}

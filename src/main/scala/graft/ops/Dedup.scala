@@ -46,14 +46,17 @@ object Dedup {
     else transform(shingles(col(textCol), n), s => xxhash64(s))
 
   /** Exact dedup: keep the lowest-id document per canonical-text
-    * fingerprint. One shuffle on md5 (uniform keys, no skew); survivor
-    * choice is deterministic (min id). */
+    * fingerprint. One hash aggregate on md5 (uniform keys, no skew);
+    * survivor choice is deterministic (min id). min_by over the whole row
+    * beats a row_number window here: partial aggregation collapses
+    * duplicates map-side BEFORE the shuffle (a duplicate-heavy corpus
+    * ships one row per fingerprint per partition) and nothing is sorted. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
-    val w = Window.partitionBy(fp).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val rowStruct = struct(df.columns.map(col).toSeq: _*)
+    df.groupBy(fp.as("__fp"))
+      .agg(min_by(rowStruct, col(idCol)).as("__row"))
+      .select("__row.*")
   }
 
   /** Exact n-gram Jaccard near-dup pairs: inverted index on shingles

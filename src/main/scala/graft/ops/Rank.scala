@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking/selection operators for corpus curation: "keep the best N
+  * documents per group" is the selection step that follows scoring in a
+  * training-data pipeline (e.g. top quality-scored docs per language or
+  * per source domain).
+  */
+object Rank {
+
+  /** Top `n` rows per group, ordered by `order` (add a unique id as the
+    * last sort key for deterministic output).
+    *
+    * Declarative window + rank filter on purpose: Spark ≥3.5 rewrites
+    * rank<=n filters into WindowGroupLimit, which prunes to n rows per
+    * group BEFORE the shuffle (map-side, no full sort of each group) —
+    * the same two-stage shape we hand-build for top-k similarity, but
+    * derived by the optimizer. The plan is asserted in OpsSpec; if the
+    * rewrite ever regresses, fall back to a TopKAggregator formulation.
+    *
+    * Returns the input columns plus an `int` `rank` (1-based).
+    */
+  def topNPerGroup(df: DataFrame, partitionBy: Seq[Column],
+                   order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+}

@@ -80,13 +80,21 @@ object AggFunctions {
       // Overflow parity: the reference's Java accumulation wraps silently;
       // the downcast here matches that only with spark.sql.ansi.enabled=false
       // (under ANSI it throws) — the entry points (Verify/Bench/tests) pin
-      // ansi off for that reason.
-      case PivotFunction.Sum =>
-        sum(cell(cond, f)).cast(fieldType)
+      // ansi off for that reason. DECIMAL input (graft extension — the
+      // reference's gate never admits it) keeps Spark's widened sum type:
+      // exact arithmetic, and a downcast could only silently null on
+      // overflow.
+      case PivotFunction.Sum => fieldType match {
+        case _: DecimalType => sum(cell(cond, f))
+        case _              => sum(cell(cond, f)).cast(fieldType)
+      }
 
       // DOUBLE mean; null if cell empty/all-null (function/Avg.java:69-75).
+      // The input cast pins double arithmetic for DECIMAL inputs too
+      // (the reference accumulates its mean in double; Spark's decimal
+      // avg would divide in decimal and round at scale+4).
       case PivotFunction.Avg =>
-        avg(cell(cond, f))
+        avg(cell(cond, f).cast(DoubleType))
 
       // Strings compare case-insensitively but return the original value
       // (function/Min.java:49, Max.java:50); numerics are plain min/max.

@@ -45,9 +45,16 @@ object PivotFunction {
   def fromString(s: String): Option[PivotFunction] =
     byName.get(s.trim.toUpperCase)
 
-  /** Functions whose input must be INT/LONG/FLOAT/DOUBLE (reference:
-    * src/main/java/io/cdap/plugin/aggregator/AggregationUtils.java:36-39 —
-    * decimal/date/timestamp logical types are rejected). */
+  /** Functions whose input must be numeric. The reference gate
+    * (src/main/java/io/cdap/plugin/aggregator/AggregationUtils.java:36-39)
+    * accepts INT/LONG/FLOAT/DOUBLE only; graft EXTENDS it to DECIMAL —
+    * money columns are decimal in every real warehouse, Spark's decimal
+    * aggregation is exact, and nothing in the pivot semantics needs the
+    * reference's primitive-type restriction. SUM keeps Spark's widened
+    * decimal result type (exact, no silent overflow); AVG/STDDEV/VARIANCE/
+    * SUMOFSQUARES compute in double as they do for primitives. Date/
+    * timestamp stay rejected here (comparison aggregates MIN/MAX/FIRST/
+    * LAST accept them — see fn_minmax_ts). */
   val numericOnly: Set[PivotFunction] =
     Set(Sum, Avg, Stddev, Variance, SumOfSquares, CorrectedSumOfSquares)
 
@@ -164,7 +171,7 @@ final case class PivotSpec(
       else if (a.field != "*") {
         val dt = schema(a.field).dataType
         val numeric = dt == IntegerType || dt == LongType ||
-          dt == FloatType || dt == DoubleType
+          dt == FloatType || dt == DoubleType || dt.isInstanceOf[DecimalType]
         if (PivotFunction.numericOnly.contains(a.function) && !numeric)
           errs += s"Field ${a.field} of type ${dt.simpleString} is not numeric; required by ${a.function.name}."
         if (PivotFunction.stringOnly.contains(a.function) && dt != StringType)

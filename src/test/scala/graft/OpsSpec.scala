@@ -142,6 +142,58 @@ class OpsSpec extends SparkSpec {
     assert(surv == Seq(10L, 20L))
   }
 
+  // ------------------------------------------------------------- ranking
+
+  test("topNPerGroup keeps n best rows per group; plan uses WindowGroupLimit") {
+    val d = Seq(("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.95), ("a", 4L, 0.1),
+      ("b", 5L, 0.5)).toDF("g", "id", "score")
+    val out = Rank.topNPerGroup(d, Seq(col("g")),
+      Seq(col("score").desc, col("id")), 2)
+    val got = out.collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
+    assert(got == Set(("a", 1, 3L), ("a", 2, 1L), ("b", 1, 5L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=n filter should compile to a map-side group limit:\n$plan")
+  }
+
+  // ------------------------------------------------------------- as-of
+
+  test("asOf attaches latest right row at or before left ts; null when none") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),  // before any quote -> null
+      (2L, "A", ts("2024-01-01 10:05:00")),  // exactly at quote q1 (inclusive)
+      (3L, "A", ts("2024-01-01 10:30:00")),  // between q1 and q2 -> q1
+      (4L, "A", ts("2024-01-01 11:30:00")),  // after q2 -> q2
+      (5L, "B", ts("2024-01-01 10:30:00"))   // other key -> qB
+    ).toDF("trade_id", "sym", "tts")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:05:00"), 100.0), // q1
+      ("A", ts("2024-01-01 11:00:00"), 101.0), // q2
+      ("B", ts("2024-01-01 10:00:00"), 50.0),  // qB
+      ("C", ts("2024-01-01 09:00:00"), 1.0)    // unmatched right key
+    ).toDF("sym", "qts", "px")
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "sym", "tts", "qts", Seq("px"))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out == Map(1L -> null, 2L -> 100.0, 3L -> 100.0, 4L -> 101.0, 5L -> 50.0))
+  }
+
+  test("asOf is a single shuffle (one Exchange on the union)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_id", "user_id", "ts")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val out = AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey"))
+    val joins = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("SortMergeJoin"))
+    assert(joins == 0, "as-of must not plan a join — union + window only")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.3)
       .collect()

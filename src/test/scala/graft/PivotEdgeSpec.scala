@@ -88,6 +88,27 @@ class PivotEdgeSpec extends SparkSpec {
     assert(socks.getDouble(3).isNaN)
   }
 
+  test("decimal aggregate inputs (graft extension): exact widened sum, double avg") {
+    val d = Seq(("Q1", "1.10"), ("Q1", "2.20"), ("Q2", "0.30"))
+      .toDF("Quarter", "ds")
+      .selectExpr("Quarter", "CAST(ds AS DECIMAL(10,2)) AS d")
+    val out = PivotOps.pivotConfig(d, "Quarter", "Quarter=Q1,Q2",
+      "s: sum(d), a: avg(d)").main
+    val schema = out.schema
+    assert(schema("Q1_s").dataType == DecimalType(20, 2)) // Spark widened sum
+    assert(schema("Q1_a").dataType == DoubleType)
+    val q1 = out.filter($"Quarter" === "Q1").head()
+    assert(q1.getDecimal(1) == new java.math.BigDecimal("3.30"))
+    assert(q1.getDouble(3) == (1.1 + 2.2) / 2)
+    // date/timestamp still rejected for arithmetic aggregates
+    val ex = intercept[IllegalArgumentException] {
+      PivotOps.pivotConfig(
+        Seq(("a", java.sql.Date.valueOf("2024-01-01"))).toDF("k", "dt"),
+        "k", "k=a", "s: sum(dt)")
+    }
+    assert(ex.getMessage.contains("not numeric"))
+  }
+
   test("null pivot value stringifies to \"null\" and can match a declared value (Pivot.java:337,347)") {
     val d = Seq(("a", Some("x")), ("b", None), ("c", None)).toDF("k", "v")
     val out = PivotOps.pivotConfig(d, "k", "v=x,null", "c: count(*)").main
