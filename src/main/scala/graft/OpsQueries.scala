@@ -223,6 +223,14 @@ object OpsQueries {
       "embedding", "vec_id", k = 5, nbits = 8, dim = 64)
   }
 
+  /** IVF variant (sketch-dependent → rows-only check; recall is
+    * spec-bounded against brute force in OpsSpec). */
+  private def qSimTopKIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+      "embedding", "vec_id", k = 5, ncentroids = 16, nprobe = 4)
+  }
+
   // =====================================================================
   // Multimodal
   // =====================================================================
@@ -383,6 +391,12 @@ object OpsQueries {
     out.withColumn("mean", col("mean").cast("float"))
   }
 
+  /** Sketch profile (HLL ndv + approx quantiles): sketch-dependent
+    * output → rows-only check; error bounds are spec-checked against the
+    * exact profile. */
+  private def qProfileSketch(s: SparkSession, dir: String): DataFrame =
+    Profile.sketch(t(s, dir, "orders"), Seq("o_totalprice", "o_custkey"))
+
   private val oProfileNumeric =
     """SELECT 'o_totalprice' AS "column",
       |  count(o_totalprice) AS n, count(*) - count(o_totalprice) AS nulls,
@@ -467,7 +481,9 @@ object OpsQueries {
     "dedup_embedding" -> (qDedupEmbedding _),
     "sim_topk" -> (qSimTopK _),
     "sim_topk_lsh" -> (qSimTopKLsh _),
+    "sim_topk_ivf" -> (qSimTopKIvf _),
     "profile_numeric" -> (qProfileNumeric _),
+    "profile_sketch" -> (qProfileSketch _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "events_window" -> (qEventsWindow _),

@@ -43,4 +43,33 @@ object Profile {
     }
     wide.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
+
+  /** Sketch-based profile — the 100 TB path. Exact quantiles/distincts
+    * buffer per-group values; at extreme cardinality the profile must run
+    * on mergeable fixed-size sketches instead: HyperLogLog++ for distinct
+    * counts (`approx_count_distinct`, error ~rsd) and the Greenwald-Khanna
+    * variant behind `approx_percentile` (rank error ~1/accuracy). Still
+    * ONE pass / one 1-row reduction over any number of columns; output is
+    * sketch-dependent, so it is spec-bounded against the exact profile
+    * rather than oracle-hashed. Returns
+    * (column, n, ndv, p25, p50, p95). */
+  def sketch(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
+             accuracy: Int = 10000): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__ndv"),
+        approx_percentile(col(c), array(lit(0.25), lit(0.5), lit(0.95)),
+          lit(accuracy)).as(s"${c}__q"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__n").as("n"), col(s"${c}__ndv").as("ndv"),
+        col(s"${c}__q").getItem(0).cast("double").as("p25"),
+        col(s"${c}__q").getItem(1).cast("double").as("p50"),
+        col(s"${c}__q").getItem(2).cast("double").as("p95"))
+    }
+    wide.select(explode(array(structs: _*)).as("p")).select("p.*")
+  }
 }

@@ -129,6 +129,55 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path next to LSH. A coarse quantizer of `ncentroids` centroids
+    * partitions the corpus; each query probes only its `nprobe` nearest
+    * cells, scoring ~nprobe/ncentroids of the corpus.
+    *
+    * The quantizer here is deterministic: the `ncentroids` lowest-id
+    * corpus vectors serve as centroids (no k-means iterations — at scale
+    * you would Lloyd-refine on a sample and broadcast the result; the
+    * assignment/probe machinery is identical). Cell assignment is a
+    * per-row expression over broadcast-literal centroids — the corpus is
+    * scanned once, never shuffled for assignment; candidate generation is
+    * a broadcast join on cell id. Recall is spec-bounded against
+    * [[bruteForceTopK]] (sketch-dependent output — no SQL oracle). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, ncentroids: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents: Array[(Array[Double], Double)] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(ncentroids)
+      .collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (v, math.sqrt(v.map(x => x * x).sum))
+      }
+    require(cents.length == ncentroids, s"corpus smaller than $ncentroids")
+    // cos-proportional score per centroid (query/corpus norm divides out
+    // of the argmax, centroid norm does not)
+    def simsArr(vec: Column): Column = array(cents.map { case (v, n) =>
+      dotFast(spark, vec, array(v.map(lit): _*)) / lit(n)
+    }: _*)
+    val sims = simsArr(col("cv"))
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+      .withColumn("cid", (array_position(sims, array_max(sims)) - 1).cast("int"))
+    val qsims = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(simsArr(col("qv"))).as(Seq("cid", "csim")))
+    val probeW = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
+    val probes = broadcast(qsims
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select("qid", "qv", "cid"))
+    val scored = assigned.join(probes, "cid")
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim", round(cosineFast(spark, col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+
   /** Multi-table LSH approximate top-k: `tables` independent sign
     * signatures; each query probes its bucket and every Hamming-1
     * neighbor in every table; candidates are deduped before scoring so

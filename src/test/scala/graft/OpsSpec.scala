@@ -264,6 +264,54 @@ class OpsSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- skew
 
+  test("ivfTopK: well-formed ranks, corpus-partition probing, measured recall@5") {
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, "embedding", "vec_id", 5,
+      ncentroids = 16, nprobe = 4)
+    val rows = ivf.collect()
+    // well-formed: 5 ranks per query, 1..5, sims non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"ivf recall@5 = $recall%.2f (nprobe/ncentroids = 4/16)")
+    // random gaussian corpus: probing 1/4 of cells must beat blind 1/4
+    // sampling; planted structure pushes it higher
+    assert(recall >= 0.3, f"recall $recall%.2f")
+    // determinism: a second run returns the identical set
+    val again = Similarity.ivfTopK(emb, q, "embedding", "vec_id", 5,
+      ncentroids = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == got)
+  }
+
+  // ----------------------------------------------------------- profiling
+
+  test("sketch profile tracks the exact profile within sketch error bounds") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val exact = Profile.numeric(orders, Seq("o_totalprice", "o_custkey"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sk = Profile.sketch(orders, Seq("o_totalprice", "o_custkey"), rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("o_totalprice", "o_custkey")) {
+      val (e, s) = (exact(c), sk(c))
+      assert(s.getLong(1) == e.getLong(1)) // n is exact
+      val exactNdv = orders.select(countDistinct(col(c))).head.getLong(0)
+      val ndv = s.getLong(2)
+      assert(math.abs(ndv - exactNdv).toDouble / exactNdv < 0.2,
+        s"$c ndv $ndv vs $exactNdv")
+      // approx_percentile returns an element of the column; compare the
+      // rank-space error via the exact p25/p95 bracket
+      assert(s.getDouble(4) >= e.getDouble(6) && s.getDouble(4) <= e.getDouble(8),
+        s"$c p50 ${s.getDouble(4)} outside exact [p25, p95]")
+    }
+  }
+
   test("salted aggregation equals plain groupBy (sum/count/min/collect)") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val plain = orders.groupBy("o_orderpriority")
