@@ -322,6 +322,31 @@ object OpsQueries {
       |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
 
   // =====================================================================
+  // Interval (range) join
+  // =====================================================================
+
+  /** Attribution: events landing within 7 days of the same user's order,
+    * aggregated per order — a BETWEEN join executed as a binned
+    * equi-join (no nested-loop, see RangeJoin). */
+  private def qEventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir).select("event_id", "user_id", "ts", "value")
+    val ord = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").as("w_start"),
+      (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+    RangeJoin.pointInInterval(ev, ord, "user_id", "o_custkey", "ts",
+        "w_start", "w_end", Seq("o_orderkey"), binWidthSec = 7L * 86400)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n"), sum("value").cast("float").as("v"))
+  }
+
+  private val oEventsRangeJoin =
+    """SELECT o_orderkey, count(*) AS n, CAST(sum(value) AS REAL) AS v
+      |FROM orders JOIN events ON user_id = o_custkey
+      |  AND CAST(ts AS TIMESTAMP) BETWEEN o_orderdate
+      |      AND o_orderdate + INTERVAL 7 DAY
+      |GROUP BY o_orderkey""".stripMargin
+
+  // =====================================================================
   // Dimensional enrichment (broadcast join) + pivot composition
   // =====================================================================
 
@@ -490,6 +515,7 @@ object OpsQueries {
     "events_sessionize" -> (qEventsSessionize _),
     "events_json" -> (qEventsJson _),
     "events_asof" -> (qEventsAsof _),
+    "events_range_join" -> (qEventsRangeJoin _),
     "doc_topn" -> (qDocTopN _),
     "join_pivot" -> (qJoinPivot _)
   )
@@ -512,6 +538,7 @@ object OpsQueries {
     "events_sessionize" -> oEventsSessionize,
     "events_json" -> oEventsJson,
     "events_asof" -> oEventsAsof,
+    "events_range_join" -> oEventsRangeJoin,
     "doc_topn" -> oDocTopN,
     "join_pivot" -> oJoinPivot
   )

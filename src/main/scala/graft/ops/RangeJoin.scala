@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval ("range") join: match each point row to the interval rows
+  * [start, end] (closed) of the same key that contain its timestamp —
+  * attribution windows, session containment, validity-period lookups.
+  *
+  * Spark plans a raw `ts BETWEEN start AND end` join as a broadcast
+  * nested loop (or worse, a cartesian product) — quadratic per key. The
+  * scalable shape is time-binning: intervals explode into the fixed-width
+  * bins they cover, points map to their single bin, and the join becomes
+  * an EQUI-join on (key, bin) that hash-partitions like any other —
+  * followed by the exact range predicate. Interval fan-out is
+  * ceil(len/binWidth)+1 rows; pick binWidth near the typical interval
+  * length so the blow-up stays O(1) per interval. A degenerate
+  * never-ending interval would explode — cap interval length upstream or
+  * route open intervals to an as-of join instead.
+  */
+object RangeJoin {
+
+  /** @param points      probe side with a timestamp column
+    * @param intervals   interval side; [startTs, endTs] closed on both
+    *                    ends, same-key semantics as a BETWEEN join
+    * @param pointKey    join key on points
+    * @param intervalKey join key on intervals
+    * @param ptTs        timestamp column on points
+    * @param startTs     interval start column (timestamp)
+    * @param endTs       interval end column (timestamp)
+    * @param intervalCols interval columns to attach
+    * @param binWidthSec bin width in seconds
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointKey: String, intervalKey: String,
+                      ptTs: String, startTs: String, endTs: String,
+                      intervalCols: Seq[String],
+                      binWidthSec: Long): DataFrame = {
+    require(binWidthSec > 0, "binWidthSec must be positive")
+    val w = binWidthSec * 1000000L // microseconds
+    // cast("timestamp") first: parquet TIMESTAMP_NTZ columns are not
+    // accepted by unix_micros directly (numeric no-op in a UTC session)
+    def micros(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val i = intervals.select((Seq(
+      col(intervalKey).as("__key"),
+      col(startTs).as("__start"), col(endTs).as("__end")) ++
+      intervalCols.map(col)): _*)
+      .withColumn("__bin", explode(sequence(
+        floor(micros(col("__start")) / w),
+        floor(micros(col("__end")) / w))))
+    val p = points
+      .withColumn("__key", col(pointKey))
+      .withColumn("__bin", floor(micros(col(ptTs)) / w))
+    p.join(i, Seq("__key", "__bin"))
+      .filter(col(ptTs) >= col("__start") && col(ptTs) <= col("__end"))
+      .drop("__key", "__bin", "__start", "__end")
+  }
+}

@@ -194,6 +194,28 @@ class OpsSpec extends SparkSpec {
     assert(joins == 0, "as-of must not plan a join — union + window only")
   }
 
+  // ------------------------------------------------------------- range
+
+  test("pointInInterval: closed ends, bin-boundary crossing, equi-join plan") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val pts = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00")),  // == start (inclusive)
+      (2L, "A", ts("2024-01-01 02:00:00")),  // inside, crosses hour bins
+      (3L, "A", ts("2024-01-01 03:00:00")),  // == end (inclusive)
+      (4L, "A", ts("2024-01-01 03:00:01")),  // just past end
+      (5L, "B", ts("2024-01-01 01:00:00"))   // wrong key
+    ).toDF("pid", "k", "pts")
+    val ivs = Seq(("A", ts("2024-01-01 00:00:00"), ts("2024-01-01 03:00:00"), 100L))
+      .toDF("k", "st", "en", "ivid")
+    val out = RangeJoin.pointInInterval(pts, ivs, "k", "k", "pts", "st", "en",
+      Seq("ivid"), binWidthSec = 3600)
+    assert(out.select("pid").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must bin to an equi-join:\n$plan")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.3)
       .collect()
