@@ -22,7 +22,8 @@ object Plans {
     val interesting = Seq(
       "pivot_flagship", "pivot_errorport_main", "dedup_exact",
       "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
-      "sim_topk", "sim_topk_lsh", "events_sessionize", "text_stats")
+      "sim_topk", "sim_topk_lsh", "sim_topk_ivf", "events_sessionize",
+      "events_asof", "events_range_join", "doc_topn", "text_stats")
 
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")
