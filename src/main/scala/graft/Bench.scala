@@ -14,10 +14,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/scan-path compilation so the first timed
-    // query isn't charged JVM startup cost.
+    // query isn't charged JVM startup cost. Each table is count()ed once —
+    // that compiles the vectorized parquet read path and decodes footers
+    // but caches NO data (no persist), so timed queries still do all
+    // their own work.
     try {
-      val warm = spark.read.parquet(s"$sfDir/region.parquet")
-      warm.groupBy("r_name").count().count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
       spark.range(1000).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>

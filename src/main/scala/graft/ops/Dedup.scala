@@ -318,15 +318,64 @@ object Dedup {
     * of each transitive near-dup group (pairs from
     * [[ngramJaccardPairs]]). This is the operator a training pipeline
     * actually runs — pairs are the intermediate, the deduped corpus is
-    * the product. */
+    * the product.
+    *
+    * Adaptive connected components: the pair list is usually TINY
+    * relative to the corpus (near-dup rate of a few percent), so when it
+    * fits comfortably on the driver (`driverCCMaxPairs`, long/int ids) a
+    * driver-side union-find replaces the iterative label-propagation
+    * loop — one collect instead of 4+ distributed jobs, and the victim
+    * set broadcasts into the anti-join. Above the threshold (or for
+    * non-integral ids) the distributed [[connectedComponents]] path runs
+    * — same result, spec-pinned. */
   def nearDupSurvivors(df: DataFrame, textCol: String, idCol: String,
                        threshold: Double, n: Int = 3,
-                       maxIter: Int = 20): DataFrame = {
-    val pairs = ngramJaccardPairs(df, textCol, idCol, threshold, n)
-    val victims = connectedComponents(pairs, maxIter)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-    df.join(victims, Seq(idCol), "left_anti")
+                       maxIter: Int = 20,
+                       driverCCMaxPairs: Long = 1L << 20): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, threshold, n).persist()
+    val integralIds = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val nPairs = pairs.count()
+    val victims: DataFrame =
+      if (integralIds && nPairs <= driverCCMaxPairs) {
+        val spark = df.sparkSession
+        val edges = pairs.select(col("ida").cast("long"), col("idb").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        import spark.implicits._
+        broadcast(driverVictims(edges).toSeq.toDF(idCol)
+          .select(col(idCol).cast(df.schema(idCol).dataType)))
+      } else
+        // victim set may be corpus-sized here — let AQE pick the join
+        connectedComponents(pairs, maxIter)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+    val out = df.join(victims, Seq(idCol), "left_anti")
+    pairs.unpersist()
+    out
+  }
+
+  /** Union-find over collected edges; returns every member that is NOT
+    * the minimum id of its component. */
+  private def driverVictims(edges: Array[(Long, Long)]): Array[Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min root so the root IS the survivor
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val members = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    members.filter(m => find(m) != m)
   }
 
   /** Embedding cosine near-dup pairs (exact, brute-force): normalized dot

@@ -140,6 +140,12 @@ class OpsSpec extends SparkSpec {
     val surv = Dedup.nearDupSurvivors(d, "text", "doc_id", threshold = 0.3, n = 2)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(surv == Seq(10L, 20L))
+    // distributed label-propagation path (driver union-find disabled)
+    // must produce the identical survivor set
+    val survDist = Dedup.nearDupSurvivors(d, "text", "doc_id", threshold = 0.3,
+        n = 2, driverCCMaxPairs = -1L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survDist == surv)
   }
 
   // ------------------------------------------------------------- ranking
