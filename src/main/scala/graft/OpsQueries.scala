@@ -460,6 +460,36 @@ object OpsQueries {
     }
   }
 
+  /** Windowed PIVOT, batch twin of StreamingOps.pivotStream: daily
+    * cross-tab of event counts/values by event type per user — the same
+    * cell expressions as the batch pivot, hosted under a time window
+    * (the backfill path of the kappa setup; the streaming path is
+    * spec-checked against the batch pivot in StreamingSpec). */
+  private def qEventsPivotWindow(s: SparkSession, dir: String): DataFrame = {
+    val spec = graft.pivot.PivotSpec.parse("user_id",
+      "event_type=click,view,purchase", "n:count(*), v:sum(value)")
+      .toOption.get
+    val ev = readEvents(s, dir)
+    val cells = PivotOps.cellColumns(spec, ev.schema)
+    val out = ev
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(cells.head, cells.tail: _*)
+      .withColumn("day", col("w.start")).drop("w")
+    Seq("click_v", "view_v", "purchase_v").foldLeft(out)((d, n) =>
+      d.withColumn(n, col(n).cast("float")))
+  }
+
+  private val oEventsPivotWindow =
+    """SELECT user_id,
+      |  count(CASE WHEN event_type='click' THEN 1 END) AS click_n,
+      |  count(CASE WHEN event_type='view' THEN 1 END) AS view_n,
+      |  count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase_n,
+      |  CAST(sum(CASE WHEN event_type='click' THEN value END) AS REAL) AS click_v,
+      |  CAST(sum(CASE WHEN event_type='view' THEN value END) AS REAL) AS view_v,
+      |  CAST(sum(CASE WHEN event_type='purchase' THEN value END) AS REAL) AS purchase_v,
+      |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+      |FROM events GROUP BY user_id, day""".stripMargin
+
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     readEvents(s, dir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -512,6 +542,7 @@ object OpsQueries {
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "events_window" -> (qEventsWindow _),
+    "events_pivot_window" -> (qEventsPivotWindow _),
     "events_sessionize" -> (qEventsSessionize _),
     "events_json" -> (qEventsJson _),
     "events_asof" -> (qEventsAsof _),
@@ -535,6 +566,7 @@ object OpsQueries {
     "multimodal_meta" -> oMultimodalMeta,
     "multimodal_frames" -> oMultimodalFrames,
     "events_window" -> oEventsWindow,
+    "events_pivot_window" -> oEventsPivotWindow,
     "events_sessionize" -> oEventsSessionize,
     "events_json" -> oEventsJson,
     "events_asof" -> oEventsAsof,

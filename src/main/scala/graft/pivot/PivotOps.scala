@@ -29,6 +29,35 @@ object PivotOps {
   private def keyStr(c: String): Column =
     coalesce(col(c).cast(StringType), lit("null"))
 
+  /** The (cell × aggregate) conditional-aggregate expressions of a pivot
+    * spec — aggregates outer, products inner, matching the reference's
+    * output schema (Pivot.java:283-297). Exposed so other aggregation
+    * shapes can host the same cross-tab semantics (e.g. a watermarked
+    * streaming window pivot, [[graft.streaming.StreamingOps.pivotStream]]).
+    *
+    * Cell membership is a conjunction of per-column equality predicates,
+    * NOT a compare of the '_'-joined key: the reference routes per-column
+    * with early return (Pivot.java:330-353), so an off-list value that
+    * happens to contain '_' (e.g. c1="a_b" with declared c2 value "b_c")
+    * must join NO cell rather than collide into one. */
+  def cellColumns(spec: PivotSpec, schema: StructType): Seq[Column] = {
+    val fieldType: Map[String, DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
+    val colNames = spec.pivotColumns.map(_._1)
+    def cellCond(tuple: Seq[String]): Column =
+      colNames.zip(tuple)
+        .map { case (c, v) => keyStr(c) === lit(v) }
+        .reduce(_ && _)
+    for {
+      a <- spec.aggregates
+      tuple <- spec.cellTuples
+    } yield {
+      val dt = if (a.field == "*") NullType else fieldType(a.field)
+      AggFunctions.cellExpr(a.function, a.field, dt, cellCond(tuple))
+        .as(spec.outputName(tuple.mkString("_"), a))
+    }
+  }
+
   /** Validate + pivot. Throws IllegalArgumentException listing all spec
     * errors (the reference accumulates in a FailureCollector then throws,
     * PivotConfig.java:134-187). */
@@ -40,29 +69,7 @@ object PivotOps {
       case Right(_) => ()
     }
 
-    val fieldType: Map[String, DataType] =
-      df.schema.fields.map(f => f.name -> f.dataType).toMap
-
-    // Aggregate column order: aggregates outer, products inner — matches
-    // the reference's output schema (Pivot.java:283-297).
-    // Cell membership is a conjunction of per-column equality predicates,
-    // NOT a compare of the '_'-joined key: the reference routes per-column
-    // with early return (Pivot.java:330-353), so an off-list value that
-    // happens to contain '_' (e.g. c1="a_b" with declared c2 value "b_c")
-    // must join NO cell rather than collide into one.
-    val colNames = spec.pivotColumns.map(_._1)
-    def cellCond(tuple: Seq[String]): Column =
-      colNames.zip(tuple)
-        .map { case (c, v) => keyStr(c) === lit(v) }
-        .reduce(_ && _)
-    val cellCols: Seq[Column] = for {
-      a <- spec.aggregates
-      tuple <- spec.cellTuples
-    } yield {
-      val dt = if (a.field == "*") NullType else fieldType(a.field)
-      AggFunctions.cellExpr(a.function, a.field, dt, cellCond(tuple))
-        .as(spec.outputName(tuple.mkString("_"), a))
-    }
+    val cellCols = cellColumns(spec, df.schema)
 
     // Off-list ledger per pivot column (Pivot.java:330-353: a record with
     // any undeclared value joins no cell; its value is recorded per-column).

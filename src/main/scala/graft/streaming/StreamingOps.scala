@@ -42,6 +42,38 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** The pivot operator on a live stream: the same (cell × aggregate)
+    * conditional-aggregate expressions as the batch
+    * [[graft.pivot.PivotOps.pivot]], hosted in a watermarked tumbling-
+    * window aggregation — one cross-tab row per (window, pivot-row key)
+    * emitted when the watermark closes the window. State is bounded by
+    * the watermark exactly like [[windowedCounts]]; off-list values feed
+    * no cell (skip-error semantics — error routing needs the whole group,
+    * which append-mode streaming only has at window close, so the other
+    * on-error modes stay batch-only).
+    *
+    * Restriction: aggregates must be watermark-compatible (no
+    * COLLECTLIST/COLLECTSET sorted arrays in append mode is fine — they
+    * aggregate like any other; FIRST/LAST remain arrival-order-dependent
+    * as in batch). */
+  def pivotStream(events: DataFrame, spec: graft.pivot.PivotSpec,
+                  tsCol: String = "ts", window_ : String = "1 hour",
+                  lateness: String = "15 minutes"): DataFrame = {
+    spec.validate(events.schema) match {
+      case Left(errs) => throw new IllegalArgumentException(
+        s"Invalid pivot spec:\n  ${errs.mkString("\n  ")}")
+      case Right(_) => ()
+    }
+    val cells = graft.pivot.PivotOps.cellColumns(spec, events.schema)
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy((window(col(tsCol), window_).as("w") +:
+        spec.pivotRows.map(col)): _*)
+      .agg(cells.head, cells.tail: _*)
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped; state ages out beyond it. */
   def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =

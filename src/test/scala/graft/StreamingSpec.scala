@@ -38,6 +38,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pivot emits the batch cross-tab per closed window") {
+    implicit val ctx = spark.sqlContext
+    val spec = graft.pivot.PivotSpec.parse("user_id", "event_type=click,view",
+      "n:count(*), v:sum(value)").toOption.get
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.pivotStream(input.toDF(), spec,
+        window_ = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("pv").outputMode("append").start()
+    try {
+      val batch1 = Seq(
+        UserEvent(1, ts(1), "click", 1.0), UserEvent(1, ts(2), "view", 2.0),
+        UserEvent(1, ts(3), "click", 4.0), UserEvent(2, ts(4), "click", 8.0),
+        UserEvent(2, ts(5), "scroll", 16.0)) // off-list: feeds no cell
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(UserEvent(3, Timestamp.valueOf("2026-01-01 11:30:00"), "click", 1.0))
+      q.processAllAvailable() // watermark closes the 10:00 window
+      val got = spark.table("pv")
+        .select("user_id", "click_n", "view_n", "click_v", "view_v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)))).toSet
+      // batch twin over the same window's events
+      val batchPivot = graft.pivot.PivotOps.pivot(
+        batch1.toDF(), spec).main
+        .select("user_id", "click_n", "view_n", "click_v", "view_v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)))).toSet
+      assert(got == batchPivot)
+      assert(got == Set(
+        (1L, 2L, 1L, Some(5.0), Some(2.0)),
+        (2L, 1L, 0L, Some(8.0), None))) // off-list scroll fed no cell
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
