@@ -405,6 +405,30 @@ object OpsQueries {
       |FROM events GROUP BY event_type""".stripMargin
 
   // =====================================================================
+  // Skew mitigation through the correctness gate
+  // =====================================================================
+
+  /** Salted two-stage aggregation over lineitem's 3 hot return-flag keys
+    * (the worst case: every row belongs to a hot key) plus a salted exact
+    * count-distinct — results must equal the plain single-stage SQL. */
+  private def qSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val salted = Skew.saltedAgg(li, Seq("l_returnflag"), salt = 32,
+      partial = Seq(sum("l_quantity").as("__sq"), count(lit(1)).as("__n"),
+        min("l_extendedprice").as("__mn")),
+      merge = Seq(sum("__sq").cast("float").as("sq"), sum("__n").as("n"),
+        min("__mn").as("mn")))
+    val cd = Skew.countDistinctSalted(li, Seq("l_returnflag"), "l_orderkey")
+    salted.join(cd, "l_returnflag")
+  }
+
+  private val oSkewAgg =
+    """SELECT l_returnflag, CAST(sum(l_quantity) AS REAL) AS sq,
+      |  count(*) AS n, min(l_extendedprice) AS mn,
+      |  count(DISTINCT l_orderkey) AS l_orderkey_distinct
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // =====================================================================
   // Data profiling
   // =====================================================================
 
@@ -539,6 +563,7 @@ object OpsQueries {
     "sim_topk_ivf" -> (qSimTopKIvf _),
     "profile_numeric" -> (qProfileNumeric _),
     "profile_sketch" -> (qProfileSketch _),
+    "skew_agg" -> (qSkewAgg _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "events_window" -> (qEventsWindow _),
@@ -563,6 +588,7 @@ object OpsQueries {
     "dedup_embedding" -> oDedupEmbedding,
     "sim_topk" -> oSimTopK,
     "profile_numeric" -> oProfileNumeric,
+    "skew_agg" -> oSkewAgg,
     "multimodal_meta" -> oMultimodalMeta,
     "multimodal_frames" -> oMultimodalFrames,
     "events_window" -> oEventsWindow,
