@@ -404,6 +404,46 @@ object OpsQueries {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS kmax
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Population skewness/excess kurtosis (the reference's dead
+    * RunningStats surface as Spark built-ins). */
+  private def qProfileMoments(s: SparkSession, dir: String): DataFrame =
+    f32(Profile.moments(t(s, dir, "orders"), Seq("o_totalprice", "o_custkey")),
+      "skew", "kurt")
+
+  // Spark's skewness = m3/m2^1.5, kurtosis = m4/m2^2 - 3 (population
+  // central moments); stated explicitly since DuckDB's built-ins are the
+  // sample-corrected variants.
+  private val oProfileMoments = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column",
+        |  CAST(avg(pow($c - mu, 3)) / pow(avg(pow($c - mu, 2)), 1.5) AS REAL) AS skew,
+        |  CAST(avg(pow($c - mu, 4)) / pow(avg(pow($c - mu, 2)), 2) - 3 AS REAL) AS kurt
+        |FROM orders CROSS JOIN (SELECT avg($c) AS mu FROM orders) m""".stripMargin
+    one("o_totalprice") + "\nUNION ALL\n" + one("o_custkey")
+  }
+
+  /** Whole-row extremum selection (the reference's dead MinSelection/
+    * MaxSelection SPI surfaced): per priority, fields of the orders row
+    * with the max/min key. */
+  private def qFnSelection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy("o_orderpriority")
+      .agg(
+        max_by(struct(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+          col("o_orderkey")).as("hi"),
+        min_by(struct(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+          col("o_orderkey")).as("lo"))
+      .select(col("o_orderpriority"),
+        col("hi.o_orderkey").as("hi_key"), col("hi.o_totalprice").as("hi_price"),
+        col("lo.o_orderkey").as("lo_key"), col("lo.o_totalprice").as("lo_price"))
+
+  private val oFnSelection =
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey, o_orderkey) AS hi_key,
+      |  arg_max(o_totalprice, o_orderkey) AS hi_price,
+      |  arg_min(o_orderkey, o_orderkey) AS lo_key,
+      |  arg_min(o_totalprice, o_orderkey) AS lo_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   // =====================================================================
   // Skew mitigation through the correctness gate
   // =====================================================================
@@ -564,6 +604,8 @@ object OpsQueries {
     "profile_numeric" -> (qProfileNumeric _),
     "profile_sketch" -> (qProfileSketch _),
     "skew_agg" -> (qSkewAgg _),
+    "profile_moments" -> (qProfileMoments _),
+    "fn_selection" -> (qFnSelection _),
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "events_window" -> (qEventsWindow _),
@@ -589,6 +631,8 @@ object OpsQueries {
     "sim_topk" -> oSimTopK,
     "profile_numeric" -> oProfileNumeric,
     "skew_agg" -> oSkewAgg,
+    "profile_moments" -> oProfileMoments,
+    "fn_selection" -> oFnSelection,
     "multimodal_meta" -> oMultimodalMeta,
     "multimodal_frames" -> oMultimodalFrames,
     "events_window" -> oEventsWindow,

@@ -44,6 +44,26 @@ object Profile {
     wide.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
 
+  /** Higher-moment profile: population skewness and excess kurtosis per
+    * column — Spark's `skewness`/`kurtosis` built-ins, which is exactly
+    * what the reference's dead `RunningStats` class computes (Welford +
+    * third/fourth moments, reference:
+    * src/main/java/io/cdap/plugin/aggregator/function/RunningStats.java:24-85
+    * — never wired to the Pivot enum; surfaced here as an extension).
+    * One pass, one 1-row reduction. */
+  def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(skewness(col(c)).as(s"${c}__skew"),
+        kurtosis(col(c)).as(s"${c}__kurt"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__skew").as("skew"), col(s"${c}__kurt").as("kurt"))
+    }
+    wide.select(explode(array(structs: _*)).as("p")).select("p.*")
+  }
+
   /** Sketch-based profile — the 100 TB path. Exact quantiles/distincts
     * buffer per-group values; at extreme cardinality the profile must run
     * on mergeable fixed-size sketches instead: HyperLogLog++ for distinct
