@@ -34,6 +34,15 @@ class PivotSpecParserSpec extends AnyFunSuite {
     assert(errs.exists(_.contains("Missing")))
   }
 
+  test("invalid fieldAliases pair missing ':' (PivotTest.java:483-506)") {
+    val errs = PivotSpec.parse("Product", "Quarter=Q1,Q2,Q3,Q4",
+        "sum: sum(Sales)",
+        fieldAliases = Some("Q1_sumQuarter_1_sum,Q2_sum:Quarter_2_sum"))
+      .fold(identity, _ => Nil)
+    assert(errs.size == 1) // reference expects exactly 1 failure
+    assert(errs.head.contains("Could not find ':'"))
+  }
+
   test("missing '=' in pivotColumns grammar") {
     val errs = parseErrs("Product", "Quarter:Q1,Q2", "sum: sum(Sales)")
     assert(errs.exists(_.contains("Could not find '='")))
