@@ -58,6 +58,31 @@ object PivotOps {
     }
   }
 
+  /** Field-lineage description of a pivot — the same operation name and
+    * description string the reference registers as a
+    * FieldTransformOperation (Pivot.java:301-328: "Pivoted the dataset by
+    * using the input field(s) … as the pivot row, …"). Spark has no CDAP
+    * lineage registry; [[pivot]] logs this so the provenance statement
+    * survives in driver logs, and callers with their own catalog (e.g.
+    * OpenLineage) can record it. Returns (name, description, inputFields,
+    * outputFields). */
+  def lineage(spec: PivotSpec): (String, String, Seq[String], Seq[String]) = {
+    val name = s"Pivot ${spec.pivotRows.mkString(", ")}"
+    val inputFields = spec.pivotColumns.map(_._1) ++ spec.pivotRows
+    val outputFields = spec.pivotRows ++ (for {
+      a <- spec.aggregates; p <- spec.columnsProduct
+    } yield spec.outputName(p, a))
+    val aggs = spec.aggregates
+      .map(a => s"${a.alias}(${a.field})").mkString(", ")
+    val description =
+      s"Pivoted the dataset by using the input field(s) " +
+        s"${spec.pivotRows.mkString(", ")} as the pivot row, and the fields " +
+        s"${spec.pivotColumns.map(_._1).mkString(" and ")} as the pivot columns " +
+        s"with $aggs as the aggregate function(s) to generate the fields " +
+        s"${outputFields.mkString(",")}."
+    (name, description, inputFields, outputFields)
+  }
+
   /** Validate + pivot. Throws IllegalArgumentException listing all spec
     * errors (the reference accumulates in a FailureCollector then throws,
     * PivotConfig.java:134-187). */
@@ -70,6 +95,9 @@ object PivotOps {
     }
 
     val cellCols = cellColumns(spec, df.schema)
+
+    // observability parity with the reference's recordLineage (O8)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(lineage(spec)._2)
 
     // Off-list ledger per pivot column (Pivot.java:330-353: a record with
     // any undeclared value joins no cell; its value is recorded per-column).

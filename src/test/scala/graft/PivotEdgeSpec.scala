@@ -156,6 +156,19 @@ class PivotEdgeSpec extends SparkSpec {
     assert(res.main.count() == 2)
   }
 
+  test("lineage description matches the reference's FieldTransformOperation shape") {
+    val spec = graft.pivot.PivotSpec.parse("Product,Brand", "Quarter=Q1,Q2",
+      "s:sum(Sales), c:count(*)").toOption.get
+    val (name, desc, in, out) = PivotOps.lineage(spec)
+    assert(name == "Pivot Product, Brand")
+    assert(in == Seq("Quarter", "Product", "Brand"))
+    assert(out == Seq("Product", "Brand", "Q1_s", "Q2_s", "Q1_c", "Q2_c"))
+    assert(desc == "Pivoted the dataset by using the input field(s) " +
+      "Product, Brand as the pivot row, and the fields Quarter as the pivot " +
+      "columns with s(Sales), c(*) as the aggregate function(s) to generate " +
+      "the fields Product,Brand,Q1_s,Q2_s,Q1_c,Q2_c.")
+  }
+
   test("merge associativity: result invariant under input partitioning (Pivot.java:186-196)") {
     val base = PivotOps.pivotConfig(df, "Product", "Quarter=Q1,Q2",
       "s: sum(Sales), cd: countdistinct(Tag), v: variance(Sales), cl: collectlist(Sales)").main
