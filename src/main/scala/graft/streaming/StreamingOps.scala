@@ -80,6 +80,19 @@ object StreamingOps {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup — the live twin of [[graft.ops.Dedup.exact]]:
+    * a document whose canonical-text fingerprint was already seen within
+    * the watermark horizon is dropped. First-arrival wins (a stream has
+    * no min-id retrospective choice); state is one fingerprint per unique
+    * document inside the horizon. */
+  def dedupByContent(docs: DataFrame, textCol: String, tsCol: String,
+                     lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.ops.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** One user event as consumed by the sessionizer. */
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String,
                              value: Double)

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Storage-layout specs: partition pruning on partitioned writes and
+  * shuffle-free joins on bucketed tables — the layout half of the 100 TB
+  * story (PLANS.md documents the query half). */
+class LayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("partitionBy(lang) write prunes non-matching partitions at scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_part")}/docs"
+    Layout.writePartitioned(docs, path, Seq("lang"))
+    val langs = docs.select("lang").distinct().count()
+    assert(langs > 1, "fixture must have several languages")
+
+    val read = spark.read.parquet(path).filter(col("lang") === "en")
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(lang"),
+      s"lang filter must prune partitions:\n$scan")
+    // pruned read returns exactly the en rows
+    assert(read.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("same-bucketing join plans with no shuffle on either side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    Layout.writeBucketed(docs, "b_docs", "doc_id", 8)
+    Layout.writeBucketed(emb, "b_emb", "doc_id", 8)
+    // disable auto-broadcast: at real scale neither side broadcasts —
+    // the point of bucketing is the SMJ with no shuffle
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layout.bucketedJoin(spark, "b_docs", "b_emb", "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan must use the bucketed layout:\n$plan")
+      // and it returns the same rows as the plain join
+      val plain = docs.join(emb, "doc_id").count()
+      assert(joined.count() == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_emb")
+    }
+  }
+}

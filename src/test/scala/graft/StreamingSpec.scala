@@ -88,6 +88,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming content dedup drops same-fingerprint docs, first arrival wins") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupByContent(df, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("cd").outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), "Hello  World"), (2L, ts(2), "other text"))
+      q.processAllAvailable()
+      // same canonical fingerprint (case/whitespace) in a later batch
+      input.addData((3L, ts(3), "hello world"), (4L, ts(4), "third"))
+      q.processAllAvailable()
+      val ids = spark.table("cd").select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 4L)) // 3 deduped against 1
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap is exceeded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
