@@ -9,7 +9,8 @@ import org.scalacheck.rng.Seed
   * across random repartitionings (exercising the partial/final merge
   * paths, the property the reference's mergePartitions relies on,
   * Pivot.java:186-196). Uses deterministic ScalaCheck seeds. */
-case class PropRec(g: String, p: String, v: Option[Int], s: Option[String])
+case class PropRec(g: String, p: String, v: Option[Int], s: Option[String],
+                   d: Option[Int])
 
 class PivotPropertySpec extends SparkSpec {
 
@@ -24,7 +25,11 @@ class PivotPropertySpec extends SparkSpec {
     p <- Gen.oneOf("a", "b", "c", "offlist", "null")
     v <- Gen.option(Gen.choose(-100, 100))
     s <- Gen.option(Gen.oneOf("x", "XY", "xyz", "Xy", ""))
-  } yield Rec(g, p, v, s)
+    // cents for the decimal column, in quarter-dollar steps so every
+    // value (and thus every sum/avg) is an exact dyadic in double — the
+    // model's arithmetic then matches Spark's bit-for-bit
+    d <- Gen.option(Gen.choose(-400, 400).map(_ * 25))
+  } yield Rec(g, p, v, s, d)
 
   private val genData: Gen[List[Rec]] = Gen.listOfN(40, genRec)
 
@@ -45,12 +50,14 @@ class PivotPropertySpec extends SparkSpec {
     for (trial <- 0 until 25) {
       val data = genData.pureApply(Gen.Parameters.default, Seed(trial.toLong))
       val nPart = 1 + (trial % 8)
-      val df = data.toDF("g", "p", "v", "s")
-        .selectExpr("g", "nullif(p, 'null') AS p", "v", "s")
+      val df = data.toDF("g", "p", "v", "s", "d")
+        .selectExpr("g", "nullif(p, 'null') AS p", "v", "s",
+          "CAST(CAST(d AS DECIMAL(12,2)) / 100 AS DECIMAL(10,2)) AS dd")
         .repartition(nPart)
       val out = PivotOps.pivotConfig(df, "g", s"p=${declared.mkString(",")}",
         "c: count(*), cn: count(v), s: sum(v), mn: min(v), mx: max(v), " +
-          "cd: countdistinct(s), nn: countnulls(v), smn: min(s)").main
+          "cd: countdistinct(s), nn: countnulls(v), smn: min(s), " +
+          "sd: sum(dd), ad: avg(dd)").main
 
       val model = cells(data)
       val rows = out.collect()
@@ -72,6 +79,16 @@ class PivotPropertySpec extends SparkSpec {
           assert(at(5) == distinct, s"countdistinct $ctx")
           assert(at(6) == recs.count(_.v.isEmpty).toLong, s"countnulls $ctx")
           assert(at(7) == ciMin(recs.flatMap(_.s)).orNull, s"string min $ctx")
+          // decimal extension: exact widened-decimal sum, double mean
+          val ds = recs.flatMap(_.d)
+          val expSum =
+            if (ds.isEmpty) null
+            else new java.math.BigDecimal(ds.sum).movePointLeft(2).setScale(2)
+          assert(at(8) == expSum, s"decimal sum $ctx")
+          val expAvg =
+            if (ds.isEmpty) null
+            else ds.map(_ / 100.0).sum / ds.size // cents/100 is exact in double
+          assert(at(9) == expAvg, s"decimal avg $ctx")
         }
       }
     }
