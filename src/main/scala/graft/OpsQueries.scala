@@ -91,6 +91,28 @@ object OpsQueries {
       |FROM scored""".stripMargin
   }
 
+  /** Top-3 TF-IDF terms per doc (restricted to doc_id < 100 to keep the
+    * compare set small; the computation still uses corpus-wide df/N). */
+  private def qTextTfidf(s: SparkSession, dir: String): DataFrame =
+    TextRank.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)
+      .filter(col("doc_id") < 100)
+
+  private val oTextTfidf =
+    s"""WITH terms AS (
+      |  SELECT doc_id, t.term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest($oToks) AS term FROM documents) t
+      |  WHERE t.term <> '' GROUP BY doc_id, t.term),
+      |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (SELECT doc_id, terms.term,
+      |    round(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS tfidf
+      |  FROM terms JOIN dfreq ON terms.term = dfreq.term CROSS JOIN n),
+      |ranked AS (SELECT doc_id, term, tfidf, CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tfidf FROM ranked
+      |WHERE rank <= 3 AND doc_id < 100""".stripMargin
+
   private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fp"))
@@ -592,6 +614,7 @@ object OpsQueries {
     "text_stats" -> (qTextStats _),
     "text_langid" -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
+    "text_tfidf" -> (qTextTfidf _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_survivors" -> (qDedupSurvivors _),
@@ -622,6 +645,7 @@ object OpsQueries {
     "text_stats" -> oTextStats,
     "text_langid" -> oTextLangId,
     "text_fingerprint" -> oTextFingerprint,
+    "text_tfidf" -> oTextTfidf,
     "dedup_exact" -> oDedupExact,
     "dedup_ngram_jaccard" -> oJaccardPairs(0.5),
     "dedup_survivors" -> oDedupSurvivors,

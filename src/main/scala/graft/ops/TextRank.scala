@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics text scoring: TF-IDF — the workhorse for keyword
+  * extraction, near-duplicate triage, and relevance-weighted quality
+  * scoring over a training corpus.
+  *
+  * Scale shape: ONE explode of the corpus into (doc, term, tf) via a
+  * count-per-doc aggregation, one term-level aggregation for document
+  * frequency, one broadcast-able join back (the term dictionary is tiny
+  * next to the corpus), then a per-doc top-k via WindowGroupLimit. No
+  * driver-side vocabulary, no collect.
+  */
+object TextRank {
+
+  /** Top-`k` TF-IDF terms per document.
+    *
+    * tf = term count within the doc; idf = ln((N+1)/(df+1)) (smoothed —
+    * never division by zero, never negative for df <= N). Score is
+    * rounded to 6 dp and ranked by (score desc, term) for deterministic,
+    * engine-portable output. Returns (idCol, rank, term, tfidf). */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    val n = docs.count() // corpus size: one cheap metadata-ish pass
+    val terms = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val scored = terms.join(df, "term")
+      .withColumn("tfidf", round(
+        col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+}
