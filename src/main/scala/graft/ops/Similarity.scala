@@ -144,14 +144,10 @@ object Similarity {
     * [[bruteForceTopK]] (sketch-dependent output — no SQL oracle). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, ncentroids: Int = 16,
-              nprobe: Int = 4): DataFrame = {
+              nprobe: Int = 4, lloydIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val cents: Array[(Array[Double], Double)] = corpus
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(ncentroids)
-      .collect().map { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        (v, math.sqrt(v.map(x => x * x).sum))
-      }
+    val cents: Array[(Array[Double], Double)] =
+      trainCentroids(corpus, vecCol, idCol, ncentroids, lloydIters)
     require(cents.length == ncentroids, s"corpus smaller than $ncentroids")
     // cos-proportional score per centroid (query/corpus norm divides out
     // of the argmax, centroid norm does not)
@@ -176,6 +172,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "id", "sim")
+  }
+
+  /** IVF coarse-quantizer training: `lloydIters` rounds of spherical
+    * k-means on a bounded, deterministic sample (lowest-id vectors —
+    * faiss-style IVF trains on a sample too; only ASSIGNMENT must touch
+    * the full corpus, and that stays a distributed per-row expression).
+    * iters=0 returns the raw seed centroids. Returns (vector, norm). */
+  private def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                             c: Int, lloydIters: Int): Array[(Array[Double], Double)] = {
+    val sampleN = math.max(c, math.min(4096, c * 64))
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.length >= c, s"corpus smaller than $c")
+    val dim = sample.head.length
+    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    var cents = sample.take(c).map(_.clone())
+    for (_ <- 0 until lloydIters) {
+      val norms = cents.map(norm)
+      val sums = Array.fill(c)(new Array[Double](dim))
+      val counts = new Array[Long](c)
+      sample.foreach { v =>
+        var best = 0; var bestScore = Double.MinValue
+        var i = 0
+        while (i < c) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * cents(i)(j); j += 1 }
+          val s = d / norms(i)
+          if (s > bestScore) { bestScore = s; best = i }
+          i += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i) // empty cell keeps its centroid
+        else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    cents.map(v => (v, norm(v)))
   }
 
   /** Multi-table LSH approximate top-k: `tables` independent sign

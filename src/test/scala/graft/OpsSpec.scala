@@ -311,6 +311,13 @@ class OpsSpec extends SparkSpec {
     // random gaussian corpus: probing 1/4 of cells must beat blind 1/4
     // sampling; planted structure pushes it higher
     assert(recall >= 0.3, f"recall $recall%.2f")
+    // Lloyd-refined quantizer: still well-formed and competitive
+    val lloyd = Similarity.ivfTopK(emb, q, "embedding", "vec_id", 5,
+        ncentroids = 16, nprobe = 4, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lloydRecall = (exact & lloyd).size.toDouble / exact.size
+    info(f"ivf+lloyd recall@5 = $lloydRecall%.2f")
+    assert(lloydRecall >= 0.3, f"lloyd recall $lloydRecall%.2f")
     // determinism: a second run returns the identical set
     val again = Similarity.ivfTopK(emb, q, "embedding", "vec_id", 5,
       ncentroids = 16, nprobe = 4)
