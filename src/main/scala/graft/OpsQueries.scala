@@ -254,6 +254,33 @@ object OpsQueries {
   }
 
   // =====================================================================
+  // Embedding quantization
+  // =====================================================================
+
+  /** int8 scalar quantization of the embeddings: codes serialized to a
+    * string (the driver compare cannot sort array cells), scale/error
+    * float-quantized. */
+  private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
+    Quantize.int8Table(t(s, dir, "embeddings"), "embedding", "vec_id")
+      .select(col("vec_id"), col("scale").cast("float").as("scale"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes"),
+        col("err").cast("float").as("err"))
+
+  private val oEmbQuantize =
+    """WITH q AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+      |  FROM embeddings),
+      |c AS (SELECT vec_id, embedding, sc,
+      |    list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0
+      |      ELSE CAST(round(CAST(x AS DOUBLE) / sc) AS BIGINT) END) AS codes
+      |  FROM q)
+      |SELECT vec_id, CAST(sc AS REAL) AS scale,
+      |  array_to_string(codes, ',') AS codes,
+      |  CAST(sqrt(list_sum(list_transform(list_zip(embedding, codes),
+      |    p -> pow(CAST(p[1] AS DOUBLE) - p[2] * sc, 2)))) AS REAL) AS err
+      |FROM c""".stripMargin
+
+  // =====================================================================
   // Multimodal
   // =====================================================================
 
@@ -624,6 +651,7 @@ object OpsQueries {
     "sim_topk" -> (qSimTopK _),
     "sim_topk_lsh" -> (qSimTopKLsh _),
     "sim_topk_ivf" -> (qSimTopKIvf _),
+    "emb_quantize" -> (qEmbQuantize _),
     "profile_numeric" -> (qProfileNumeric _),
     "profile_sketch" -> (qProfileSketch _),
     "skew_agg" -> (qSkewAgg _),
@@ -653,6 +681,7 @@ object OpsQueries {
     // dedup_simhash / sim_topk_lsh: engine-hash-dependent → rows-only check
     "dedup_embedding" -> oDedupEmbedding,
     "sim_topk" -> oSimTopK,
+    "emb_quantize" -> oEmbQuantize,
     "profile_numeric" -> oProfileNumeric,
     "skew_agg" -> oSkewAgg,
     "profile_moments" -> oProfileMoments,

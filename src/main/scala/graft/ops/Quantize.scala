@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding quantization for storage: symmetric int8 scalar
+  * quantization — q[i] = round(x[i]/scale), scale = max|x|/127 per
+  * vector. 4x smaller than float32 at ~0.3% reconstruction error on
+  * unit-norm embeddings; at 100 TB of vectors that is the difference
+  * between a dataset that fits the cluster's disks and one that doesn't.
+  * Quantize at ingest, dequantize (or compute asymmetric int8 distance)
+  * at query time.
+  *
+  * Pure column expressions over higher-order functions: fine off the hot
+  * path (this is a write-amortized transform); a scoring loop over the
+  * quantized codes would warrant a codegen expression like graft_cosine.
+  */
+object Quantize {
+
+  /** Per-vector scale: max|x| / 127 (0.0 for the all-zero vector). */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
+
+  /** int8 codes; the all-zero vector maps to all-zero codes. */
+  def int8Codes(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(round(x.cast("double") / scale))
+        .cast("tinyint"))
+
+  /** Reconstruction: codes * scale. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, q => q.cast("double") * scale)
+
+  /** Quantize an embedding table: returns idCol, `scale`, `codes`
+    * (array<tinyint>) and the L2 reconstruction `err`. */
+  def int8Table(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val sc = int8Scale(col(vecCol))
+    val codes = int8Codes(col(vecCol), col("scale"))
+    df.select(col(idCol), col(vecCol), sc.as("scale"))
+      .withColumn("codes", codes)
+      .withColumn("err", sqrt(aggregate(
+        zip_with(col(vecCol), col("codes"),
+          (x, q) => pow(x.cast("double") - q.cast("double") * col("scale"), 2)),
+        lit(0.0), _ + _)))
+      .drop(vecCol)
+  }
+}
