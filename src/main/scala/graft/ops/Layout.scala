@@ -41,4 +41,25 @@ object Layout {
   def bucketedJoin(spark: SparkSession, leftTable: String,
                    rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Compact a small-file parquet dataset to ~`targetFileMB` files.
+    * Streaming sinks and fine-grained partitioned writes accumulate
+    * thousands of tiny files; every downstream scan then pays a task and
+    * a footer read per file. Sizing from the ACTUAL on-disk bytes (not a
+    * row estimate), coalesce when reducing (no shuffle), round-robin
+    * repartition when the input has too few partitions to parallelize
+    * the write. Returns the new file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileMB: Int = 256): Int = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    val nFiles = math.max(1, math.ceil(
+      bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+    val sized =
+      if (nFiles < df.rdd.getNumPartitions) df.coalesce(nFiles)
+      else df.repartition(nFiles)
+    sized.write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath).inputFiles.length
+  }
 }

@@ -26,6 +26,19 @@ class LayoutSpec extends SparkSpec {
     assert(read.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("compact merges a small-file dataset, preserving rows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    val shattered = s"$tmp/shattered"
+    docs.repartition(32).write.parquet(shattered) // 32 tiny files
+    val before = spark.read.parquet(shattered).inputFiles.length
+    assert(before >= 32)
+    val after = Layout.compact(spark, shattered, s"$tmp/compacted",
+      targetFileMB = 256) // tiny data -> should fold to 1 file
+    assert(after == 1, s"expected 1 output file, got $after")
+    assert(spark.read.parquet(s"$tmp/compacted").count() == docs.count())
+  }
+
   test("same-bucketing join plans with no shuffle on either side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang", "n_chars")
