@@ -317,6 +317,38 @@ object OpsQueries {
   // Ranking / curation: top-N per group
   // =====================================================================
 
+  /** END-TO-END curation pipeline, composed from the library operators:
+    * corpus with planted duplicates → exact dedup (min-id survivor) →
+    * quality scoring + threshold → best 5 docs per language. The shape
+    * every training-data run takes; one oracle checks the composition. */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val corpus = d.unionAll(d.select((col("doc_id") + 10000000L).as("doc_id"),
+      col("lang"), col("text")))
+    val deduped = Dedup.exact(corpus, "text", "doc_id")
+    val scored = deduped
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    Rank.topNPerGroup(scored, Seq(col("lang")),
+        Seq(col("quality").desc, col("doc_id")), 5)
+      .select("lang", "rank", "doc_id", "quality")
+  }
+
+  // lazy: oQuality is declared further down the object body
+  private lazy val oCurationPipeline =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000000, lang, text FROM documents),
+      |deduped AS (SELECT * FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      |    ORDER BY doc_id) AS rn FROM corpus) WHERE rn = 1),
+      |scored AS (SELECT doc_id, lang, $oQuality AS quality FROM deduped),
+      |kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+      |ranked AS (SELECT lang, doc_id, quality, CAST(row_number() OVER (
+      |    PARTITION BY lang ORDER BY quality DESC, doc_id) AS INTEGER) AS rank
+      |  FROM kept)
+      |SELECT lang, rank, doc_id, quality FROM ranked WHERE rank <= 5""".stripMargin
+
   /** Keep the 3 best quality-scored documents per language — the
     * selection step after scoring in a curation pipeline. The rank<=n
     * window filter compiles to WindowGroupLimit (map-side per-group
@@ -666,6 +698,7 @@ object OpsQueries {
     "events_asof" -> (qEventsAsof _),
     "events_range_join" -> (qEventsRangeJoin _),
     "doc_topn" -> (qDocTopN _),
+    "curation_pipeline" -> (qCurationPipeline _),
     "join_pivot" -> (qJoinPivot _)
   )
 
@@ -695,6 +728,7 @@ object OpsQueries {
     "events_asof" -> oEventsAsof,
     "events_range_join" -> oEventsRangeJoin,
     "doc_topn" -> oDocTopN,
+    "curation_pipeline" -> oCurationPipeline,
     "join_pivot" -> oJoinPivot
   )
 }
