@@ -25,12 +25,18 @@ object TextRank {
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     val n = docs.count() // corpus size: one cheap metadata-ish pass
+    // The (doc, term, tf) index feeds BOTH the df aggregation and the
+    // score join; Catalyst does not reuse the exchange across those two
+    // consumers (attribute renaming defeats canonical-plan matching), so
+    // materialize it once — at scale this index is a reusable artifact
+    // you would write to storage anyway.
     val terms = docs
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = terms.groupBy("term")
       .agg(count(lit(1)).as("df"))
     val scored = terms.join(df, "term")
