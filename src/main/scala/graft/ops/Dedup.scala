@@ -159,15 +159,20 @@ object Dedup {
     val banded = sig.select(col("id"), posexplode(
         array((0 until bands).map(b =>
           hash(slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bh")))
-    val smallBuckets = banded.groupBy("band", "bh")
-      .agg(count(lit(1)).as("__c"))
-      .filter(col("__c") <= maxBucket)
-      .select("band", "bh")
-    val pruned = banded.join(smallBuckets, Seq("band", "bh"))
-    val cand = pruned.as("a").join(pruned.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+    // Candidate pairs in ONE shuffle: collect each bucket's id list
+    // (ids only — a capped bucket is at most maxBucket longs, so the
+    // aggregation buffer is bounded), drop degenerate buckets, and
+    // explode the in-bucket pairs. Replaces the earlier bucket-count
+    // join + banded self-join (3 shuffles of the banded table).
+    val cand = banded
+      .groupBy("band", "bh")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> " +
+          "named_struct('ida', least(x, y), 'idb', greatest(x, y)))))")).as("p"))
+      .select("p.*")
       .distinct()
     verifyJaccard(df, textCol, idCol, cand, threshold, n)
   }
