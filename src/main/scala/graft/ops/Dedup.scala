@@ -225,9 +225,14 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
     * banding the 64-bit fingerprint into `bands` chunks (pigeonhole: any
     * pair within maxDist < bands shares at least one exact chunk).
-    * Verification recomputes the exact Hamming distance via bit_count. */
+    * Verification recomputes the exact Hamming distance via bit_count.
+    * Candidates come from one bucket aggregation (same shape as
+    * [[minhashLshPairs]]); `maxBucket` drops degenerate chunk buckets —
+    * e.g. the all-zero chunk a templated corpus shares — which would
+    * otherwise explode quadratically. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3, bands: Int = 4): DataFrame = {
+                   maxDist: Int = 3, bands: Int = 4,
+                   maxBucket: Int = 1000): DataFrame = {
     require(maxDist < bands, "pigeonhole needs maxDist < bands")
     val w = 64 / bands
     val fp = simhashTable(df, textCol, idCol)
@@ -235,11 +240,17 @@ object Dedup {
       array((0 until bands).map(b =>
         shiftright(col("fp"), b * w).bitwiseAND((1L << w) - 1)): _*))
       .as(Seq("band", "chunk")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("ida"), col("b.id").as("idb"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+    banded
+      .groupBy("band", "chunk")
+      .agg(collect_list(struct(col("id"), col("fp"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> named_struct(" +
+          "'ida', least(x.id, y.id), 'idb', greatest(x.id, y.id), " +
+          "'ha', x.fp, 'hb', y.fp))))")).as("p"))
+      .select(col("p.ida"), col("p.idb"),
+        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
