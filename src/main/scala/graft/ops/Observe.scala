@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+/** Post-execution plan metrics: the numbers an operator owner watches at
+  * 100 TB — how much crossed the wire, how much spilled, how many rows
+  * each side produced. Pulled from the executed plan's SQL metrics after
+  * an action, so they reflect what actually ran (AQE-final plan), not
+  * the static estimate.
+  */
+object Observe {
+
+  /** Sum the named SQL metric across all nodes of the executed plan
+    * (descending into AQE-adaptive subtrees). */
+  def metric(df: DataFrame, metricName: String): Long = {
+    def walk(p: SparkPlan): Long = {
+      val self = p.metrics.collect {
+        case (name, m) if name == metricName => m.value
+      }.sum
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        // AQE materializes exchanges inside leaf query stages
+        case q: QueryStageExec => walk(q.plan)
+        case _ => p.children.map(walk).sum
+      }
+      self + kids
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  /** The headline scale metrics of an executed query (keys are the
+    * plan's internal camelCase metric identifiers). */
+  def summary(df: DataFrame): Map[String, Long] = Map(
+    "shuffleRecordsWritten" -> metric(df, "shuffleRecordsWritten"),
+    "shuffleBytesWritten" -> metric(df, "shuffleBytesWritten"),
+    "spillBytes" -> metric(df, "spillSize"),
+    "outputRows" -> metric(df, "numOutputRows"))
+}

@@ -325,6 +325,20 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  // ------------------------------------------------------- observability
+
+  test("Observe reports shuffle volume from the executed plan") {
+    val agg = docs.groupBy("lang").count()
+    agg.collect()
+    val m = Observe.summary(agg)
+    assert(m("shuffleRecordsWritten") > 0, m.toString) // one exchange ran
+    assert(m("outputRows") > 0)
+    // a pure map has zero shuffle
+    val map = docs.select(col("doc_id"))
+    map.collect()
+    assert(Observe.metric(map, "shuffleRecordsWritten") == 0)
+  }
+
   // ----------------------------------------------------------- profiling
 
   test("sketch profile tracks the exact profile within sketch error bounds") {
