@@ -402,6 +402,33 @@ class OpsSpec extends SparkSpec {
 
   // ---------------------------------------------------------- multimodal
 
+  test("multimodal composition: decode -> feature vectors -> ANN top-k") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(docs.limit(100), "doc_id", "text")
+    val feats = Multimodal.decodeStub(media).toDF()
+      .select(col("media_id"), col("features"))
+    val out = Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 3),
+      "features", "media_id", k = 3)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == 3) // 3 query ids
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 3))
+    }
+    // driver-side reference for query 0
+    val all = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val want = all.removed(0L).toSeq
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(all(0L), v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+    val got = rows.filter(_.getLong(0) == 0L).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("media table -> decode stub is deterministic and partition-invariant") {
     val media = Multimodal.asMediaTable(docs.limit(20), "doc_id", "text")
     def canon(ds: org.apache.spark.sql.Dataset[Multimodal.DecodedMedia]) =
