@@ -403,6 +403,22 @@ object OpsQueries {
       |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
 
   // =====================================================================
+  // Reproducible sampling
+  // =====================================================================
+
+  /** Deterministic stratified downsample: 50% of English docs, 10% of
+    * the rest, membership decided by a stable md5 bucket of the id —
+    * identical selection on every run and engine. */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sample.stratified(t(s, dir, "documents").select("doc_id", "lang"),
+      "doc_id", "lang", Map("en" -> 50), defaultPct = 10)
+
+  private val oSampleStratified =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END""".stripMargin
+
+  // =====================================================================
   // Interval (range) join
   // =====================================================================
 
@@ -699,6 +715,7 @@ object OpsQueries {
     "events_range_join" -> (qEventsRangeJoin _),
     "doc_topn" -> (qDocTopN _),
     "curation_pipeline" -> (qCurationPipeline _),
+    "sample_stratified" -> (qSampleStratified _),
     "join_pivot" -> (qJoinPivot _)
   )
 
@@ -729,6 +746,7 @@ object OpsQueries {
     "events_range_join" -> oEventsRangeJoin,
     "doc_topn" -> oDocTopN,
     "curation_pipeline" -> oCurationPipeline,
+    "sample_stratified" -> oSampleStratified,
     "join_pivot" -> oJoinPivot
   )
 }

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for corpus curation.
+  *
+  * `df.sample()` draws per-row randoms — a different subset on every
+  * run, partitioning, and engine, which poisons experiment
+  * reproducibility ("which 10% did we train on?"). Hash-mod sampling
+  * decides membership from a STABLE hash of the row's id: the same rows
+  * are selected on every run, on any cluster layout, and the selection
+  * is expressible in any engine (the oracle recomputes it in SQL). It
+  * also composes: the 10% sample is a subset of the 20% sample, so
+  * scaling an experiment up keeps the old data.
+  */
+object Sample {
+
+  /** Stable bucket in [0, 100): first 8 hex digits of md5(id). */
+  def bucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100))
+
+  /** Keep ~pct% of rows, deterministically by id. */
+  def deterministic(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct in [0, 100]")
+    df.filter(bucket(col(idCol)) < pct)
+  }
+
+  /** Stratified variant: per-stratum percentage with a default — e.g.
+    * keep 50% of English, 10% of everything else. */
+  def stratified(df: DataFrame, idCol: String, stratumCol: String,
+                 pcts: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pctCol = pcts.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < pctCol)
+  }
+}

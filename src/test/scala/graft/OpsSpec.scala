@@ -325,6 +325,21 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  // ---------------------------------------------------------- sampling
+
+  test("deterministic sample: stable, nested, roughly sized") {
+    val a = Sample.deterministic(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sample.deterministic(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // identical selection across runs
+    val a20 = Sample.deterministic(docs, "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(a20)) // scaling up keeps the old subset
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.03 && a.size < n * 0.25, s"${a.size} of $n")
+  }
+
   // ------------------------------------------------------- observability
 
   test("Observe reports shuffle volume from the executed plan") {
