@@ -23,7 +23,8 @@ object Plans {
       "pivot_flagship", "pivot_errorport_main", "dedup_exact",
       "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
       "sim_topk", "sim_topk_lsh", "sim_topk_ivf", "events_sessionize",
-      "events_asof", "events_range_join", "doc_topn", "text_stats")
+      "events_asof", "events_range_join", "doc_topn", "text_stats",
+      "text_tfidf", "curation_pipeline", "sample_stratified")
 
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")

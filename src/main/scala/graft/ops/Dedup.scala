@@ -286,7 +286,7 @@ object Dedup {
       labels.schema("component").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(l: DataFrame): Option[java.math.BigDecimal] =
       if (!numericLabels) None
-      else Option(l.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+      else Option(l.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

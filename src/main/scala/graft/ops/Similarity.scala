@@ -124,7 +124,7 @@ object Similarity {
                 nbits: Int, dim: Int, seed: Long): Column = {
     val planes = hyperplanes(nbits, dim, seed)
     (0 until nbits).map { b =>
-      val plane = array(planes(b).map(lit): _*)
+      val plane = array(planes(b).toIndexedSeq.map(lit): _*)
       when(dotFast(spark, vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -151,8 +151,8 @@ object Similarity {
     require(cents.length == ncentroids, s"corpus smaller than $ncentroids")
     // cos-proportional score per centroid (query/corpus norm divides out
     // of the argmax, centroid norm does not)
-    def simsArr(vec: Column): Column = array(cents.map { case (v, n) =>
-      dotFast(spark, vec, array(v.map(lit): _*)) / lit(n)
+    def simsArr(vec: Column): Column = array(cents.toIndexedSeq.map { case (v, n) =>
+      dotFast(spark, vec, array(v.toIndexedSeq.map(lit): _*)) / lit(n)
     }: _*)
     val sims = simsArr(col("cv"))
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
