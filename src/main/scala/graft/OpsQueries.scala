@@ -403,6 +403,29 @@ object OpsQueries {
       |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
 
   // =====================================================================
+  // Document chunking
+  // =====================================================================
+
+  /** 64-token windows at stride 48 (25% overlap) over the documents —
+    * context-length preparation for training. */
+  private def qDocChunks(s: SparkSession, dir: String): DataFrame =
+    Chunk.slidingWindows(t(s, dir, "documents").filter(col("doc_id") < 100),
+        "text", "doc_id", window = 64, stride = 48)
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+
+  private val oDocChunks =
+    s"""WITH d AS (SELECT doc_id, $oToks AS toks FROM documents WHERE doc_id < 100),
+      |c AS (SELECT doc_id, toks,
+      |    unnest(generate_series(0, CAST(1 + greatest(
+      |      ceil((len(toks) - 64) / 48.0), 0) AS BIGINT) - 1)) AS chunk_idx
+      |  FROM d WHERE len(toks) > 0)
+      |SELECT doc_id, chunk_idx,
+      |  len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_tokens,
+      |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+      |FROM c""".stripMargin
+
+  // =====================================================================
   // Reproducible sampling
   // =====================================================================
 
@@ -716,6 +739,7 @@ object OpsQueries {
     "doc_topn" -> (qDocTopN _),
     "curation_pipeline" -> (qCurationPipeline _),
     "sample_stratified" -> (qSampleStratified _),
+    "doc_chunks" -> (qDocChunks _),
     "join_pivot" -> (qJoinPivot _)
   )
 
@@ -747,6 +771,7 @@ object OpsQueries {
     "doc_topn" -> oDocTopN,
     "curation_pipeline" -> oCurationPipeline,
     "sample_stratified" -> oSampleStratified,
+    "doc_chunks" -> oDocChunks,
     "join_pivot" -> oJoinPivot
   )
 }

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document chunking: split long documents into overlapping token
+  * windows — the preparation step that fits a corpus to a model's
+  * context length (window = max tokens, stride < window gives overlap so
+  * no boundary context is lost).
+  *
+  * Pure explode shape: tokenization and window slicing are per-row
+  * column expressions (codegen, no UDF), the chunk rows materialize via
+  * posexplode — at scale this is a map + generate pass that pipelines
+  * straight into tokenize/pack stages, with repartitioning after the
+  * explode if chunk work needs to spread independently of document
+  * boundaries.
+  */
+object Chunk {
+
+  /** Sliding token windows: one output row per chunk.
+    * Documents shorter than `window` yield a single chunk (the whole
+    * doc); null-text docs yield none (an empty string still counts as
+    * one whitespace token, matching TextFunctions.tokens). Returns
+    * (idCol, chunk_idx, n_tokens, chunk_text). */
+  def slidingWindows(df: DataFrame, textCol: String, idCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val toks = TextFunctions.tokens(col(textCol))
+    // number of windows covering n tokens: 1 + ceil((n - window)/stride)
+    val n = size(toks)
+    val nChunks = when(n <= 0, 0)
+      .otherwise(lit(1) + greatest(
+        ceil((n - window).cast("double") / stride).cast("int"), lit(0)))
+    // guard: sequence(0, -1) would generate a DESCENDING range, not empty
+    val chunks = when(nChunks > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => slice(toks, i * stride + 1, lit(window))))
+      .otherwise(array().cast("array<array<string>>"))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "ctoks")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("ctoks")).as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+}

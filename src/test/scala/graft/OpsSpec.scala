@@ -325,6 +325,22 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  // ---------------------------------------------------------- chunking
+
+  test("slidingWindows covers every token with the expected overlap") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Chunk.slidingWindows(d, "text", "doc_id", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 10 tokens, window 4, stride 3 -> chunks at 0,3,6 cover 1..10 (last=t7..t10)
+    assert(doc1.map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(doc1.forall(_._3 == 4))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b"))) // short doc
+    assert(!out.exists(_._1 == 3L)) // null text -> no chunks
+  }
+
   // ---------------------------------------------------------- sampling
 
   test("deterministic sample: stable, nested, roughly sized") {
