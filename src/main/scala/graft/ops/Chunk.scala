@@ -42,4 +42,53 @@ object Chunk {
         size(col("ctoks")).as("n_tokens"),
         array_join(col("ctoks"), " ").as("chunk_text"))
   }
+
+  /** One packed training sequence: the chunk ids it holds and the token
+    * count. (Top-level for encoder codegen.) */
+  final case class PackedSeq(part: Int, seq_idx: Long, n_chunks: Int,
+                             n_tokens: Long, chunk_ids: Array[Long])
+
+  /** Sequence packing: greedily fill fixed `budget`-token sequences with
+    * chunks — the step after chunking that turns ragged documents into
+    * dense training batches (wasted pad tokens ≈ what greedy next-fit
+    * leaves on the table, typically a few percent at budget >> chunk).
+    *
+    * Packing is inherently sequential, so it runs per PARTITION with
+    * mapPartitions — the one place imperative per-partition logic is the
+    * right Spark tool: no shuffle, each partition packs independently,
+    * and sequence ids are (partition, local index) so no global
+    * coordination exists. Deterministic for a fixed partitioning; sort/
+    * repartition upstream to pin layout (e.g. sortWithinPartitions by
+    * descending length tightens packing).
+    *
+    * Input needs (chunkId: long, nTokens: long) columns; chunks longer
+    * than the budget get a sequence of their own (truncation is the
+    * tokenizer's job, not the packer's). */
+  def packSequences(chunks: DataFrame, chunkIdCol: String,
+                    nTokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .select(col(chunkIdCol).cast("long"), col(nTokensCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var seqIdx = 0L
+        var used = 0L
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[PackedSeq]
+        def flush(): Unit = if (ids.nonEmpty) {
+          out += PackedSeq(pid, seqIdx, ids.length, used, ids.toArray)
+          seqIdx += 1; used = 0L; ids.clear()
+        }
+        it.foreach { case (id, n) =>
+          if (used + n > budget) flush()
+          ids += id; used += n
+        }
+        flush()
+        out.iterator
+      }
+      .toDF()
+  }
 }

@@ -121,25 +121,29 @@ object Dedup {
     val sigCol =
       if (df.sparkSession.catalog.functionExists("graft_minhash"))
         call_function("graft_minhash", hashedShingles(df, textCol, n), lit(numHashes))
-      else {
-        // same salts/mix as MinHashSig.compute (fmix of golden-ratio steps)
-        val salts = (0 until numHashes).map(graft.functions.MinHashSig.salt)
-        val sh = hashedShingles(df, textCol, n)
-        val fm = (c: Column) => {
-          // murmur3 fmix64 via expressions (xxhash64 differs from fmix;
-          // spelled out so both paths produce identical signatures)
-          val m1 = lit(0xff51afd7ed558ccdL)
-          val m2 = lit(0xc4ceb9fe1a85ec53L)
-          val s1 = (c.bitwiseXOR(shiftrightunsigned(c, 33))) * m1
-          val s2 = (s1.bitwiseXOR(shiftrightunsigned(s1, 33))) * m2
-          s2.bitwiseXOR(shiftrightunsigned(s2, 33))
-        }
-        when(size(sh) > 0,
-          array(salts.map(s =>
-            array_min(transform(sh, h => fm(h.bitwiseXOR(lit(s)))))): _*))
-      }
+      else minhashFallbackCol(hashedShingles(df, textCol, n), numHashes)
     df.select(col(idCol).as("id"), sigCol.as("sig"))
       .filter(col("sig").isNotNull)
+  }
+
+  /** Expression-only minhash over a hashed-shingle array column — same
+    * salts/mix as MinHashSig.compute (fmix of golden-ratio steps), so
+    * both paths produce identical signatures (spec-pinned). Package-
+    * visible for that equality test. */
+  private[graft] def minhashFallbackCol(sh: Column, numHashes: Int): Column = {
+    val salts = (0 until numHashes).map(graft.functions.MinHashSig.salt)
+    val fm = (c: Column) => {
+      // murmur3 fmix64 via expressions (xxhash64 differs from fmix;
+      // spelled out so both paths produce identical signatures)
+      val m1 = lit(0xff51afd7ed558ccdL)
+      val m2 = lit(0xc4ceb9fe1a85ec53L)
+      val s1 = (c.bitwiseXOR(shiftrightunsigned(c, 33))) * m1
+      val s2 = (s1.bitwiseXOR(shiftrightunsigned(s1, 33))) * m2
+      s2.bitwiseXOR(shiftrightunsigned(s2, 33))
+    }
+    when(size(sh) > 0,
+      array(salts.map(s =>
+        array_min(transform(sh, h => fm(h.bitwiseXOR(lit(s)))))): _*))
   }
 
   /** MinHash + LSH banding near-dup candidates, verified with exact

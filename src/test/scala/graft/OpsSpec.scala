@@ -89,6 +89,17 @@ class OpsSpec extends SparkSpec {
     k
   }
 
+  test("minhash fallback expressions equal the codegen path bit-for-bit") {
+    val rows = docs.limit(50).select(
+        call_function("graft_minhash",
+          call_function("graft_shingles", col("text"), lit(3)), lit(32)).as("a"),
+        Dedup.minhashFallbackCol(
+          call_function("graft_shingles", col("text"), lit(3)), 32).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("minhashSignatures is per-row (no shuffle in the plan)") {
     val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 32)
     val plan = sig.queryExecution.executedPlan.toString
@@ -339,6 +350,27 @@ class OpsSpec extends SparkSpec {
     assert(doc1.forall(_._3 == 4))
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b"))) // short doc
     assert(!out.exists(_._1 == 3L)) // null text -> no chunks
+  }
+
+  test("packSequences fills the token budget without splitting chunks") {
+    val chunks = Chunk.slidingWindows(docs, "text", "doc_id", 64, 48)
+      .withColumn("cid", monotonically_increasing_id())
+    val packed = Chunk.packSequences(chunks, "cid", "n_tokens", budget = 256)
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    // every sequence respects the budget (oversize chunks ride alone)
+    rows.foreach { r =>
+      val n = r.getLong(3)
+      assert(n <= 256 || r.getInt(2) == 1, r.toString)
+    }
+    // no chunk lost or duplicated
+    val packedIds = rows.flatMap(_.getSeq[Long](4))
+    assert(packedIds.length == packedIds.distinct.length)
+    assert(packedIds.length == chunks.count())
+    // dense: average fill above 80% of budget (64-token chunks into 256)
+    val fill = rows.map(_.getLong(3)).sum.toDouble / (rows.length * 256.0)
+    info(f"packing fill = ${fill * 100}%.1f%%")
+    assert(fill > 0.8, f"fill $fill%.2f")
   }
 
   // ---------------------------------------------------------- sampling
