@@ -403,6 +403,69 @@ object OpsQueries {
       |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
 
   // =====================================================================
+  // PII scrubbing
+  // =====================================================================
+
+  /** Redaction over text with PLANTED deterministic PII (the synthetic
+    * corpus has none): an email, an IPv4, and a phone number derived
+    * from doc_id are appended, then scrubbed; outputs redaction counts
+    * and the md5 of the redacted text. */
+  private def qTextScrub(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .withColumn("pii_text", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+        col("doc_id") % 256, lit(".7 or +1 (415) 555-"),
+        (lit(1000) + col("doc_id") % 9000)))
+    planted.select(col("doc_id"),
+      Scrub.redactionCounts(col("pii_text")).getField("emails").as("emails"),
+      Scrub.redactionCounts(col("pii_text")).getField("ips").as("ips"),
+      Scrub.redactionCounts(col("pii_text")).getField("phones").as("phones"),
+      md5(Scrub.redact(col("pii_text"))).as("redacted_md5"))
+  }
+
+  private val oTextScrub = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\+?[0-9][0-9()\\-. ]{5,}[0-9]"
+    s"""WITH p AS (SELECT doc_id, text || ' contact user' || doc_id ||
+      |    '@example.com at 10.0.' || (doc_id % 256) || '.7 or +1 (415) 555-' ||
+      |    (1000 + doc_id % 9000) AS pii_text
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(pii_text, '$email')) AS emails,
+      |  len(regexp_extract_all(pii_text, '$ip')) AS ips,
+      |  len(regexp_extract_all(regexp_replace(regexp_replace(pii_text,
+      |    '$email', '', 'g'), '$ip', '', 'g'), '$phone')) AS phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+      |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+      |    '$phone', '<PHONE>', 'g')) AS redacted_md5
+      |FROM p""".stripMargin
+  }
+
+  // =====================================================================
+  // Benchmark decontamination
+  // =====================================================================
+
+  /** Corpus docs (id >= 20) sharing any 8-gram with the stand-in
+    * benchmark set (id < 20) — the decontamination check. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Contamination.flag(docs.filter(col("doc_id") >= 20),
+      docs.filter(col("doc_id") < 20), "text", "doc_id", n = 8, minShared = 1)
+  }
+
+  private val oContamination =
+    s"""WITH toks AS (SELECT doc_id, $oToks AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(t) - 7, 0)),
+      |    i -> array_to_string(t[i : i + 7], ' ')))) AS s
+      |  FROM toks),
+      |c AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id >= 20),
+      |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20)
+      |SELECT corpus_id, bench_id, count(*) AS shared
+      |FROM c JOIN b USING (s) GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin
+
+  // =====================================================================
   // Document chunking
   // =====================================================================
 
@@ -740,6 +803,8 @@ object OpsQueries {
     "curation_pipeline" -> (qCurationPipeline _),
     "sample_stratified" -> (qSampleStratified _),
     "doc_chunks" -> (qDocChunks _),
+    "text_scrub" -> (qTextScrub _),
+    "contamination" -> (qContamination _),
     "join_pivot" -> (qJoinPivot _)
   )
 
@@ -772,6 +837,8 @@ object OpsQueries {
     "curation_pipeline" -> oCurationPipeline,
     "sample_stratified" -> oSampleStratified,
     "doc_chunks" -> oDocChunks,
+    "text_scrub" -> oTextScrub,
+    "contamination" -> oContamination,
     "join_pivot" -> oJoinPivot
   )
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find training documents that share long
+  * n-gram overlap with an evaluation set — the standard check before a
+  * corpus ships (a training doc containing an eval question poisons the
+  * benchmark).
+  *
+  * Same inverted-index shape as the dedup family, but ASYMMETRIC: the
+  * (small) benchmark side explodes into a shingle index that the corpus
+  * index joins against — at scale the benchmark index broadcasts and
+  * the corpus is scanned once. Overlap is counted in distinct shared
+  * shingles; `minShared` tunes sensitivity (1 = any shared n-gram of
+  * length n flags the doc).
+  */
+object Contamination {
+
+  /** Flag corpus docs sharing ≥ `minShared` distinct n-gram shingles
+    * with any benchmark doc. Returns (corpusId, benchId, shared) —
+    * one row per contaminated (corpus, benchmark) pair. */
+  def flag(corpus: DataFrame, bench: DataFrame, textCol: String,
+           idCol: String, n: Int = 8, minShared: Int = 1): DataFrame = {
+    def index(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+          explode(
+            if (df.sparkSession.catalog.functionExists("graft_shingles"))
+              call_function("graft_shingles", col(textCol), lit(n))
+            else transform(Dedup.shingles(col(textCol), n), s => xxhash64(s))
+          ).as(s"__sh_$as"))
+    val c = index(corpus, "corpus_id")
+    val b = broadcast(index(bench, "bench_id"))
+    c.join(b, col("__sh_corpus_id") === col("__sh_bench_id"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** The clean corpus: input minus every flagged document. */
+  def clean(corpus: DataFrame, bench: DataFrame, textCol: String,
+            idCol: String, n: Int = 8, minShared: Int = 1): DataFrame = {
+    val bad = flag(corpus, bench, textCol, idCol, n, minShared)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}

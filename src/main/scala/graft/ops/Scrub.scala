@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text scrubbing for training corpora: redact personally-identifying
+  * spans (emails, phone-like numbers, IPv4 addresses) with stable
+  * placeholder tokens before anything downstream sees the text.
+  *
+  * Pure regexp_replace chains — codegen'd, one map pass, no UDF. The
+  * patterns stay inside the RE2 dialect subset that DuckDB interprets
+  * identically, so redaction has an exact SQL oracle (and would behave
+  * the same in any RE2-based scrubber). Order matters: emails first
+  * (their local part can look like a phone number), then IPs, then
+  * phone-like digit runs.
+  */
+object Scrub {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  // 7+ digit runs with optional separators — the usual phone-ish net
+  val PhoneRe = "\\+?[0-9][0-9()\\-. ]{5,}[0-9]"
+
+  def redact(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
+
+  /** Count of redacted spans per kind — the audit metric a scrubbing
+    * stage reports. */
+  def redactionCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailRe)).cast("long").as("emails"),
+    regexp_count(text, lit(Ipv4Re)).cast("long").as("ips"),
+    regexp_count(regexp_replace(regexp_replace(text, EmailRe, ""), Ipv4Re, ""),
+      lit(PhoneRe)).cast("long").as("phones"))
+}

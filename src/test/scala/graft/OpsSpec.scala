@@ -336,6 +336,27 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  // ---------------------------------------------- scrub / contamination
+
+  test("contamination clean removes exactly the flagged corpus docs") {
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val bench = docs.filter(col("doc_id") < 20)
+    val flagged = Contamination.flag(corpus, bench, "text", "doc_id", n = 8)
+      .select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+    val cleaned = Contamination.clean(corpus, bench, "text", "doc_id", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleaned == all -- flagged)
+    assert((cleaned & flagged).isEmpty)
+  }
+
+  test("redact replaces emails, IPs, and phone runs with placeholders") {
+    import spark.implicits._
+    val out = Seq(Tuple1("mail a.b+c@x-y.co now, ping 10.0.0.1, call +1 (415) 555-0000."))
+      .toDF("t").select(Scrub.redact(col("t"))).head.getString(0)
+    assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
+  }
+
   // ---------------------------------------------------------- chunking
 
   test("slidingWindows covers every token with the expected overlap") {
