@@ -442,6 +442,29 @@ object OpsQueries {
       |FROM p""".stripMargin
   }
 
+  /** Repeated-line removal over text with PLANTED boilerplate: the
+    * doc's 50-char prefix is injected twice as duplicate lines plus the
+    * full text repeated; dedup keeps first occurrences. */
+  private def qTextDedupLines(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .withColumn("rep", concat_ws("\n", col("text"),
+        substring(col("text"), 1, 50), substring(col("text"), 1, 50),
+        col("text")))
+      .select(col("doc_id"),
+        size(split(col("rep"), "\n")).cast("long").as("lines_in"),
+        size(split(Scrub.dedupLines(col("rep")), "\n")).cast("long").as("lines_out"),
+        md5(Scrub.dedupLines(col("rep"))).as("dedup_md5"))
+
+  private val oTextDedupLines =
+    """WITH p AS (SELECT doc_id, text || chr(10) || substr(text, 1, 50) ||
+      |    chr(10) || substr(text, 1, 50) || chr(10) || text AS rep
+      |  FROM documents WHERE doc_id < 200),
+      |d AS (SELECT doc_id, string_split(rep, chr(10)) AS l FROM p),
+      |dd AS (SELECT doc_id, len(l) AS lines_in,
+      |    list_filter(l, (x, i) -> list_position(l, x) = i) AS u FROM d)
+      |SELECT doc_id, lines_in, len(u) AS lines_out,
+      |  md5(array_to_string(u, chr(10))) AS dedup_md5 FROM dd""".stripMargin
+
   // =====================================================================
   // Benchmark decontamination
   // =====================================================================
@@ -804,6 +827,7 @@ object OpsQueries {
     "sample_stratified" -> (qSampleStratified _),
     "doc_chunks" -> (qDocChunks _),
     "text_scrub" -> (qTextScrub _),
+    "text_dedup_lines" -> (qTextDedupLines _),
     "contamination" -> (qContamination _),
     "join_pivot" -> (qJoinPivot _)
   )
@@ -838,6 +862,7 @@ object OpsQueries {
     "sample_stratified" -> oSampleStratified,
     "doc_chunks" -> oDocChunks,
     "text_scrub" -> oTextScrub,
+    "text_dedup_lines" -> oTextDedupLines,
     "contamination" -> oContamination,
     "join_pivot" -> oJoinPivot
   )

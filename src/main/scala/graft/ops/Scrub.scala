@@ -27,6 +27,16 @@ object Scrub {
     regexp_replace(i, PhoneRe, "<PHONE>")
   }
 
+  /** C4-style intra-document repetition removal: drop repeated lines
+    * (or paragraphs — pick the separator), keeping the FIRST occurrence
+    * in place. Boilerplate (nav bars, cookie banners, repeated headers)
+    * is the single biggest source of within-doc duplication in web
+    * corpora. Pure column expression: split → order-preserving distinct
+    * → rejoin; Spark's array_distinct keeps first-occurrence order. */
+  def dedupLines(text: Column, sep: String = "\n"): Column =
+    array_join(
+      array_distinct(split(text, java.util.regex.Pattern.quote(sep))), sep)
+
   /** Count of redacted spans per kind — the audit metric a scrubbing
     * stage reports. */
   def redactionCounts(text: Column): Column = struct(
