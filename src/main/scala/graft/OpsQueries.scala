@@ -113,6 +113,39 @@ object OpsQueries {
       |SELECT doc_id, rank, term, tfidf FROM ranked
       |WHERE rank <= 3 AND doc_id < 100""".stripMargin
 
+  /** Gopher-style quality rules per doc (word-count/mean-length/symbol/
+    * 2-gram-repetition gates and their conjunction). */
+  private def qTextGopher(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.dupBigramFraction(col("text")).as("dup2"),
+      TextFunctions.gopherRules(col("text")).getField("word_count_ok").as("word_count_ok"),
+      TextFunctions.gopherRules(col("text")).getField("mean_len_ok").as("mean_len_ok"),
+      TextFunctions.gopherRules(col("text")).getField("symbol_ok").as("symbol_ok"),
+      TextFunctions.gopherRules(col("text")).getField("dup_ok").as("dup_ok"),
+      TextFunctions.gopherRules(col("text")).getField("pass").as("pass"))
+
+  private val oTextGopher =
+    s"""WITH d AS (SELECT doc_id, $oToks AS t, text FROM documents),
+      |g AS (SELECT doc_id, t, text,
+      |    CASE WHEN len(t) >= 2 THEN list_transform(
+      |      generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END AS grams FROM d),
+      |m AS (SELECT doc_id,
+      |    CASE WHEN len(grams) = 0 THEN 0.0
+      |      ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+      |    END AS dup2,
+      |    len(t) BETWEEN 50 AND 100000 AS word_count_ok,
+      |    (CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t))
+      |      BETWEEN 3.0 AND 10.0 AS mean_len_ok,
+      |    (CAST(len(regexp_extract_all(text, '#')) +
+      |          len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+      |      / greatest(len(t), 1)) < 0.1 AS symbol_ok
+      |  FROM g)
+      |SELECT doc_id, dup2, word_count_ok, mean_len_ok, symbol_ok,
+      |  dup2 < 0.2 AS dup_ok,
+      |  word_count_ok AND mean_len_ok AND symbol_ok AND dup2 < 0.2 AS pass
+      |FROM m""".stripMargin
+
   private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fp"))
@@ -799,6 +832,7 @@ object OpsQueries {
     "text_langid" -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "text_tfidf" -> (qTextTfidf _),
+    "text_gopher" -> (qTextGopher _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_survivors" -> (qDedupSurvivors _),
@@ -837,6 +871,7 @@ object OpsQueries {
     "text_langid" -> oTextLangId,
     "text_fingerprint" -> oTextFingerprint,
     "text_tfidf" -> oTextTfidf,
+    "text_gopher" -> oTextGopher,
     "dedup_exact" -> oDedupExact,
     "dedup_ngram_jaccard" -> oJaccardPairs(0.5),
     "dedup_survivors" -> oDedupSurvivors,

@@ -19,6 +19,38 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
+  /** Fraction of word 2-grams that are repeats — the Gopher/RefinedWeb
+    * repetition signal (0 for no repetition; boilerplate-heavy docs
+    * score high). 0.0 for docs with fewer than 2 tokens. */
+  def dupBigramFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val cnt = size(toks) - 1
+    val grams = when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    when(size(grams) === 0, lit(0.0))
+      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams))
+  }
+
+  /** Gopher-style quality rule battery: per-rule booleans plus the
+    * conjunction. Thresholds follow the published Gopher filters where
+    * the signal is computable from text alone. */
+  def gopherRules(text: Column): Column = {
+    val nWords = size(tokens(text))
+    val wordCountOk = nWords.between(50, 100000)
+    val meanLenOk = avgTokenLen(text).between(3.0, 10.0)
+    val symbolRatio = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("double") /
+      greatest(nWords, lit(1))
+    val symbolOk = symbolRatio < 0.1
+    val dupOk = dupBigramFraction(text) < 0.2
+    struct(
+      wordCountOk.as("word_count_ok"), meanLenOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"), dupOk.as("dup_ok"),
+      (wordCountOk && meanLenOk && symbolOk && dupOk).as("pass"))
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
