@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * (e.g. `format = 'jpeg' AND nbytes < 10MB` prunes before any decode).
   * Frame sampling emits rows, not arrays, so downstream repartitioning
   * can spread frame work independently of source-file boundaries.
+  *
+  * PySpark equivalence: `decodeStub` is the Scala twin of a
+  * `mapInPandas` decode — the `Iterator[MediaRecord] =>
+  * Iterator[DecodedMedia]` shape maps 1:1 to mapInPandas's
+  * iterator-of-batches contract (schema declared up front, batch-local
+  * codec reuse, no shuffle). A Python pipeline would register the same
+  * schemas and swap `fakeDecode` for PIL/ffmpeg per batch; nothing else
+  * in the plumbing changes.
   */
 object Multimodal {
 

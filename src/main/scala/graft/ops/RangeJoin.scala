@@ -45,6 +45,9 @@ object RangeJoin {
       col(intervalKey).as("__key"),
       col(startTs).as("__start"), col(endTs).as("__end")) ++
       intervalCols.map(col)): _*)
+      // inverted intervals match nothing under BETWEEN — drop them here,
+      // or sequence(hi, lo) would generate a DESCENDING bin range
+      .filter(col("__start") <= col("__end"))
       .withColumn("__bin", explode(sequence(
         floor(micros(col("__start")) / w),
         floor(micros(col("__end")) / w))))
