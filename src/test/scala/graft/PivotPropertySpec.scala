@@ -10,7 +10,7 @@ import org.scalacheck.rng.Seed
   * paths, the property the reference's mergePartitions relies on,
   * Pivot.java:186-196). Uses deterministic ScalaCheck seeds. */
 case class PropRec(g: String, p: String, v: Option[Int], s: Option[String],
-                   d: Option[Int])
+                   d: Option[Int], f: Option[Boolean])
 
 class PivotPropertySpec extends SparkSpec {
 
@@ -29,7 +29,8 @@ class PivotPropertySpec extends SparkSpec {
     // value (and thus every sum/avg) is an exact dyadic in double — the
     // model's arithmetic then matches Spark's bit-for-bit
     d <- Gen.option(Gen.choose(-400, 400).map(_ * 25))
-  } yield Rec(g, p, v, s, d)
+    f <- Gen.option(Gen.oneOf(true, false))
+  } yield Rec(g, p, v, s, d, f)
 
   private val genData: Gen[List[Rec]] = Gen.listOfN(40, genRec)
 
@@ -50,14 +51,17 @@ class PivotPropertySpec extends SparkSpec {
     for (trial <- 0 until 25) {
       val data = genData.pureApply(Gen.Parameters.default, Seed(trial.toLong))
       val nPart = 1 + (trial % 8)
-      val df = data.toDF("g", "p", "v", "s", "d")
+      val df = data.toDF("g", "p", "v", "s", "d", "f")
         .selectExpr("g", "nullif(p, 'null') AS p", "v", "s",
-          "CAST(CAST(d AS DECIMAL(12,2)) / 100 AS DECIMAL(10,2)) AS dd")
+          "CAST(CAST(d AS DECIMAL(12,2)) / 100 AS DECIMAL(10,2)) AS dd", "f")
         .repartition(nPart)
       val out = PivotOps.pivotConfig(df, "g", s"p=${declared.mkString(",")}",
         "c: count(*), cn: count(v), s: sum(v), mn: min(v), mx: max(v), " +
           "cd: countdistinct(s), nn: countnulls(v), smn: min(s), " +
-          "sd: sum(dd), ad: avg(dd)").main
+          "sd: sum(dd), ad: avg(dd), " +
+          "la: logicaland(f), lo: logicalor(f), co: concat(s), " +
+          "ls: longeststring(s), ss: shorteststring(s), " +
+          "sq: sumofsquares(v), csq: correctedsumofsquares(v)").main
 
       val model = cells(data)
       val rows = out.collect()
@@ -89,6 +93,27 @@ class PivotPropertySpec extends SparkSpec {
             if (ds.isEmpty) null
             else ds.map(_ / 100.0).sum / ds.size // cents/100 is exact in double
           assert(at(9) == expAvg, s"decimal avg $ctx")
+          // logical and/or: empty/all-null -> true / false
+          val bools = recs.flatMap(_.f)
+          assert(at(10) == bools.forall(identity), s"logicaland $ctx")
+          assert(at(11) == bools.exists(identity), s"logicalor $ctx")
+          // concat: value-sorted non-null join, empty -> ""
+          val ss = recs.flatMap(_.s)
+          assert(at(12) == ss.sorted.mkString(", "), s"concat $ctx")
+          // longest/shortest by (length, value); empty -> "" / null
+          val expLs = if (ss.isEmpty) "" else ss.maxBy(x => (x.length, x))
+          assert(at(13) == expLs, s"longeststring $ctx")
+          val expSs = if (ss.isEmpty) null else ss.minBy(x => (x.length, x))
+          assert(at(14) == expSs, s"shorteststring $ctx")
+          // sum-of-squares in double; ints < 101 square exactly
+          val expSq = vs.map(x => x.toDouble * x).sum
+          assert(at(15) == expSq, s"sumofsquares $ctx")
+          val expCsq =
+            if (vs.isEmpty) Double.NaN
+            else expSq - vs.map(_.toDouble).sum * vs.map(_.toDouble).sum / vs.size
+          val gotCsq = at(16).asInstanceOf[Double]
+          assert(gotCsq == expCsq || (gotCsq.isNaN && expCsq.isNaN),
+            s"correctedsumofsquares $ctx")
         }
       }
     }
