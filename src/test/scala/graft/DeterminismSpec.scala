@@ -1,0 +1,28 @@
+package graft
+
+/** Whole-surface determinism audit: every SparkEntry query, run twice at
+  * sf0.001, must produce identical canonical output. The driver's
+  * correctness gate hash-compares results — a query that is
+  * nondeterministic (unpinned ordering, partition-dependent aggregates,
+  * time/random dependence) would flake that gate even when "correct".
+  * Catches the class of bug the per-query oracles can't see on a single
+  * run. */
+class DeterminismSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("every query is run-to-run deterministic at sf0.001") {
+    val flaky = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val a = canon(fn(spark, sf))
+        val b = canon(fn(spark, sf))
+        if (a == b) None
+        else Some(s"$name: ${a.size} vs ${b.size} rows, " +
+          s"first diff ${a.zip(b).find(p => p._1 != p._2)}")
+    }
+    assert(flaky.isEmpty, s"nondeterministic queries:\n  ${flaky.mkString("\n  ")}")
+  }
+}
