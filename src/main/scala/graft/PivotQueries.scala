@@ -363,6 +363,26 @@ object PivotQueries {
       |  count(CASE WHEN year(l_shipdate)=1997 THEN 1 END) AS "1997_cnt"
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  // -- Rollup cross-tab (graft extension: subtotal + grand-total rows) ---
+  private def qPivotRollup(s: SparkSession, dir: String): DataFrame = {
+    val spec = graft.pivot.PivotSpec.parse(
+      "l_returnflag,l_linestatus", "shipyear=1996,1997",
+      "sq:sum(l_quantity), cnt:count(*)").toOption.get
+    f32(PivotOps.pivotRollup(
+        t(s, dir, "lineitem").withColumn("shipyear", year(col("l_shipdate"))),
+        spec),
+      "1996_sq", "1997_sq")
+  }
+
+  private val oPivotRollup =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id,
+      |  CAST(sum(CASE WHEN year(l_shipdate)=1996 THEN l_quantity END) AS REAL) AS "1996_sq",
+      |  CAST(sum(CASE WHEN year(l_shipdate)=1997 THEN l_quantity END) AS REAL) AS "1997_sq",
+      |  count(CASE WHEN year(l_shipdate)=1996 THEN 1 END) AS "1996_cnt",
+      |  count(CASE WHEN year(l_shipdate)=1997 THEN 1 END) AS "1997_cnt"
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
   // -- O3: two pivot COLUMNS (cartesian product of value lists, ≤2 cap) --
   private def qPivotTwoCols(s: SparkSession, dir: String): DataFrame =
     f32(PivotOps.pivotConfig(
@@ -517,6 +537,7 @@ object PivotQueries {
     "fn_logical" -> (qFnLogical _),
     "fn_sumsq" -> (qFnSumSq _),
     "pivot_tworows" -> (qPivotTwoRows _),
+    "pivot_rollup" -> (qPivotRollup _),
     "pivot_twocols" -> (qPivotTwoCols _),
     "pivot_default" -> (qPivotDefault _),
     "pivot_alias" -> (qPivotAlias _),
@@ -547,6 +568,7 @@ object PivotQueries {
     "fn_logical" -> oFnLogical,
     "fn_sumsq" -> oFnSumSq,
     "pivot_tworows" -> oPivotTwoRows,
+    "pivot_rollup" -> oPivotRollup,
     "pivot_twocols" -> oPivotTwoCols,
     "pivot_default" -> oPivotDefault,
     "pivot_alias" -> oPivotAlias,

@@ -187,6 +187,27 @@ object PivotOps {
     }
   }
 
+  /** Cross-tab WITH SUBTOTALS (graft extension — the classic pivot-table
+    * report the reference cannot produce): the same cell aggregates
+    * hosted under `ROLLUP(pivotRows)`, adding one subtotal row per
+    * pivot-row prefix and a grand-total row. Rolled-up key columns are
+    * null; `grouping_id` (Spark's and SQL's shared bitmask convention)
+    * disambiguates a rolled-up null from a data null. Still one shuffle:
+    * rollup plans as a single aggregation over expanded grouping sets.
+    * Skip-error semantics only (subtotal rows make per-group error
+    * routing ill-defined). */
+  def pivotRollup(df: DataFrame, spec: PivotSpec): DataFrame = {
+    spec.validate(df.schema) match {
+      case Left(errs) =>
+        throw new IllegalArgumentException(
+          s"Invalid pivot spec:\n  ${errs.mkString("\n  ")}")
+      case Right(_) => ()
+    }
+    val cellCols = cellColumns(spec, df.schema)
+    df.rollup(spec.pivotRows.map(col): _*)
+      .agg(grouping_id().as("grouping_id"), cellCols: _*)
+  }
+
   private def emptyErrors(df: DataFrame, spec: PivotSpec): DataFrame =
     df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
