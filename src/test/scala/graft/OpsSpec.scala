@@ -159,6 +159,17 @@ class OpsSpec extends SparkSpec {
     assert(survDist == surv)
   }
 
+  test("survivors and top-k are invariant under input repartitioning") {
+    def surv(p: Int) = Dedup.nearDupSurvivors(docs.repartition(p), "text",
+        "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv(3) == surv(17))
+    def topk(p: Int) = Similarity.bruteForceTopK(emb.repartition(p),
+        emb.filter(col("vec_id") < 4), "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(topk(3) == topk(17))
+  }
+
   // ------------------------------------------------------------- ranking
 
   test("topNPerGroup keeps n best rows per group; plan uses WindowGroupLimit") {
