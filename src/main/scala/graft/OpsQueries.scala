@@ -568,22 +568,29 @@ object OpsQueries {
     * aggregated per order — a BETWEEN join executed as a binned
     * equi-join (no nested-loop, see RangeJoin). */
   private def qEventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    // Intervals derived from the events themselves (every 50th event opens
+    // a 6-hour window for its user) so the joined result is NON-EMPTY and
+    // the oracle checks real matches — TPC-H order dates (1992–98) never
+    // overlap the events' time range, so an orders-based window was vacuous.
     val ev = readEvents(s, dir).select("event_id", "user_id", "ts", "value")
-    val ord = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
-      col("o_orderdate").as("w_start"),
-      (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
-    RangeJoin.pointInInterval(ev, ord, "user_id", "o_custkey", "ts",
-        "w_start", "w_end", Seq("o_orderkey"), binWidthSec = 7L * 86400)
-      .groupBy("o_orderkey")
+    val win = ev.filter(col("event_id") % 50 === 0).select(
+      col("event_id").as("window_id"), col("user_id").as("w_user"),
+      col("ts").as("w_start"),
+      (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end"))
+    RangeJoin.pointInInterval(ev, win, "user_id", "w_user", "ts",
+        "w_start", "w_end", Seq("window_id"), binWidthSec = 6L * 3600)
+      .groupBy("window_id")
       .agg(count(lit(1)).as("n"), sum("value").cast("float").as("v"))
   }
 
   private val oEventsRangeJoin =
-    """SELECT o_orderkey, count(*) AS n, CAST(sum(value) AS REAL) AS v
-      |FROM orders JOIN events ON user_id = o_custkey
-      |  AND CAST(ts AS TIMESTAMP) BETWEEN o_orderdate
-      |      AND o_orderdate + INTERVAL 7 DAY
-      |GROUP BY o_orderkey""".stripMargin
+    """SELECT w.event_id AS window_id, count(*) AS n,
+      |       CAST(sum(e.value) AS REAL) AS v
+      |FROM events e JOIN events w ON e.user_id = w.user_id
+      |  AND w.event_id % 50 = 0
+      |  AND CAST(e.ts AS TIMESTAMP) BETWEEN CAST(w.ts AS TIMESTAMP)
+      |      AND CAST(w.ts AS TIMESTAMP) + INTERVAL 6 HOUR
+      |GROUP BY 1""".stripMargin
 
   // =====================================================================
   // Dimensional enrichment (broadcast join) + pivot composition

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -22,11 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
-  override lazy val resolved: Boolean =
-    child.resolved && (child.dataType match {
-      case ArrayType(LongType, _) => true
-      case _                      => false
-    })
+  // User-callable via the extension (`graft_minhash`), so a wrong argument
+  // type should fail analysis with a named message, not a generic
+  // unresolved-expression error.
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash requires an array<bigint> of shingle hashes, " +
+          s"got ${other.catalogString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -36,6 +36,19 @@ object AsOfJoin {
            leftTs: String, rightTs: String,
            rightCols: Seq[String]): DataFrame = {
     val leftNames = left.columns.toSeq
+    // Guard the output schema: attached right columns must not shadow left
+    // columns, and the __-prefixed internals must not collide with input
+    // columns on either side (union-sort would silently misroute them).
+    val clash = rightCols.toSet intersect leftNames.toSet
+    require(clash.isEmpty,
+      s"asOf: rightCols ${clash.mkString(", ")} collide with left columns; " +
+        "rename or alias the right side first")
+    val reserved = Set("__key", "__ts", "__r", "__src", "__match")
+    val reservedClash =
+      (leftNames ++ right.columns).toSet intersect reserved
+    require(reservedClash.isEmpty,
+      s"asOf: input columns ${reservedClash.mkString(", ")} collide with " +
+        "reserved internal names (__key/__ts/__r/__src/__match)")
     // Right rows sort BEFORE left rows at the same timestamp (__src 0 < 1)
     // so the as-of comparison is inclusive (rightTs == leftTs matches).
     val l = left

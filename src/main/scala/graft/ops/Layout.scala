@@ -52,8 +52,14 @@ object Layout {
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetFileMB: Int = 256): Int = {
     val df = spark.read.parquet(inPath)
-    val bytes = df.inputFiles.map(f =>
-      new java.io.File(new java.net.URI(f).getPath).length()).sum
+    // Size from the filesystem the data actually lives on (HDFS/S3/local),
+    // not java.io.File — which reports 0 for any non-local scheme and would
+    // silently coalesce the whole dataset into one file.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val bytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, math.ceil(
       bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
     val sized =
