@@ -296,6 +296,35 @@ object PivotQueries {
       "(SELECT *, CAST(year(o_orderdate) AS BIGINT) AS oyear FROM orders WHERE o_orderkey < 400) o" +
       " GROUP BY oyear"
 
+  // -- CONCATDISTINCT substring suppression (reference ConcatDistinct
+  // .java:54, deterministic sorted-fold pin). The value column mixes full
+  // priorities with their "-"-stripped suffixes: "URGENT" sorts after and
+  // is contained in "1-URGENT", so the fold suppresses it; both engines
+  // run the identical fold over the sorted distinct set. ----------------
+  private def qFnConcatDistinct(s: SparkSession, dir: String): DataFrame =
+    PivotOps.pivotConfig(
+      ordersSrc(s, dir).filter(col("o_orderkey") < 2000)
+        .withColumn("prio_mix",
+          when(col("o_orderkey") % 2 === 0, col("o_orderpriority"))
+            .otherwise(expr("substring(o_orderpriority, 3)"))),
+      "oyear", "o_orderstatus=O,F",
+      "cd:concatdistinct(prio_mix)").main
+
+  private val oFnConcatDistinct = {
+    def fold(status: String, as: String): String =
+      s"""coalesce(list_reduce(
+         |    list_sort(list(DISTINCT prio_mix) FILTER (WHERE o_orderstatus='$status')),
+         |    (acc, x) -> CASE WHEN contains(acc, x) THEN acc
+         |                     WHEN acc = '' THEN x
+         |                     ELSE acc || ', ' || x END), '') AS "$as"""".stripMargin
+    s"""SELECT oyear, ${fold("O", "O_cd")}, ${fold("F", "F_cd")}
+       |FROM (SELECT *, CAST(year(o_orderdate) AS BIGINT) AS oyear,
+       |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority
+       |       ELSE substr(o_orderpriority, 3) END AS prio_mix
+       |  FROM orders WHERE o_orderkey < 2000) o
+       |GROUP BY oyear""".stripMargin
+  }
+
   // -- LOGICALAND / LOGICALOR (empty/all-null -> true / false) -----------
   private def qFnLogical(s: SparkSession, dir: String): DataFrame =
     pivotOrders(s, dir, "o_orderpriority", "la:logicaland(big), lo:logicalor(big)")
@@ -534,6 +563,7 @@ object PivotQueries {
     "fn_strings" -> (qFnStrings _),
     "fn_countnulls" -> (qFnCountNulls _),
     "fn_concat" -> (qFnConcat _),
+    "fn_concat_distinct" -> (qFnConcatDistinct _),
     "fn_logical" -> (qFnLogical _),
     "fn_sumsq" -> (qFnSumSq _),
     "pivot_tworows" -> (qPivotTwoRows _),
@@ -565,6 +595,7 @@ object PivotQueries {
     "fn_strings" -> oFnStrings,
     "fn_countnulls" -> oFnCountNulls,
     "fn_concat" -> oFnConcat,
+    "fn_concat_distinct" -> oFnConcatDistinct,
     "fn_logical" -> oFnLogical,
     "fn_sumsq" -> oFnSumSq,
     "pivot_tworows" -> oPivotTwoRows,

@@ -23,10 +23,11 @@ import org.apache.spark.sql.types._
   * distributed run — we pin a deterministic order instead):
   *   - COLLECTLIST / COLLECTSET return value-sorted arrays (nulls first).
   *   - CONCAT / CONCATDISTINCT join value-sorted.
-  *   - CONCATDISTINCT deduplicates as a set; the reference suppresses any
-  *     value that is a *substring* of the accumulated string
-  *     (function/ConcatDistinct.java:54), which is order-dependent and
-  *     treated as a bug here.
+  *   - CONCATDISTINCT applies the reference's substring suppression
+  *     (function/ConcatDistinct.java:54) in sorted order rather than
+  *     encounter order — the reference's fold order is partition-
+  *     dependent, so the same input can yield different outputs there;
+  *     ours is a deterministic pin of the same algorithm.
   *   - LONGESTSTRING/SHORTESTSTRING break length ties by value (the
   *     reference keeps first-encountered).
   */
@@ -144,8 +145,21 @@ object AggFunctions {
       // (function/Concat.java:48,60). Sorted (see class doc). STRING.
       case PivotFunction.Concat =>
         array_join(sort_array(collect_list(cell(cond, f))), ", ")
+      // Reference semantics: a value already contained as a SUBSTRING of
+      // the accumulated string is suppressed (function/ConcatDistinct
+      // .java:54 `concatString.contains(value)`). The reference folds in
+      // encounter order (partition-order-dependent); we fold over the
+      // sorted distinct set, so suppression is deterministic: it fires
+      // exactly when the containing string sorts before the contained one
+      // (e.g. "URGENT" after "1-URGENT" — suppressed; a prefix sorts
+      // before its extension and survives). The fold runs once per group
+      // on the collected array, after aggregation — the HOF's interpreted
+      // eval is off the per-row hot path.
       case PivotFunction.ConcatDistinct =>
-        array_join(sort_array(collect_set(cell(cond, f))), ", ")
+        aggregate(sort_array(collect_set(cell(cond, f))), lit(""),
+          (acc, x) => when(acc.contains(x), acc)
+            .otherwise(when(acc === "", x)
+              .otherwise(concat(acc, lit(", "), x))))
 
       // AND/OR over non-null booleans; empty/all-null -> true / false
       // (function/LogicalAnd.java:38, LogicalOr.java:38). BOOLEAN.

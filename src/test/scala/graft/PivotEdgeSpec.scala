@@ -50,6 +50,23 @@ class PivotEdgeSpec extends SparkSpec {
     assert(rows("Shoes")._1 == Seq(2000000000, 2000000000))
   }
 
+  test("concatdistinct suppresses substrings of the accumulator, sorted fold (ConcatDistinct.java:54)") {
+    val vals = Seq("1-URGENT", "URGENT", "GENT", "2-HIGH", "HIGH", "zzz", "1-URGENT")
+    val in = vals.map(v => ("Q1", "Shoes", v)).toDF("Quarter", "Product", "V")
+    val out = PivotOps.pivotConfig(in, "Product", "Quarter=Q1",
+      "cd: concatdistinct(V)").main.collect()
+    // Reference algorithm (ConcatDistinct.java:48-58) over our pinned
+    // sorted-distinct order: skip v when acc.contains(v).
+    val expected = vals.distinct.sorted.foldLeft("") { (acc, v) =>
+      if (acc.contains(v)) acc
+      else if (acc.isEmpty) v else acc + ", " + v
+    }
+    // sorted: 1-URGENT, 2-HIGH, GENT, HIGH, URGENT, zzz
+    // GENT/HIGH/URGENT are substrings of the accumulator -> suppressed
+    assert(expected == "1-URGENT, 2-HIGH, zzz")
+    assert(out.head.getString(1) == expected)
+  }
+
   test("logical and/or: empty or all-null cell -> true / false (LogicalAnd.java:38)") {
     val out = PivotOps.pivotConfig(df, "Product", "Quarter=Q1,Q2",
       "la: logicaland(Flag), lo: logicalor(Flag)").main
