@@ -25,7 +25,16 @@ object Verify {
     // Local-iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to
     // the named queries (the driver never sets it → full run).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // blank/empty value = no filter, not filter-all
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      // A fully-unknown name set would dump nothing and look like success.
+      require((o -- unknown).nonEmpty,
+        s"SPARK_GRAFT_ONLY matched zero queries: ${unknown.mkString(", ")}")
+      if (unknown.nonEmpty) System.err.println(
+        s"[verify] WARNING: unknown query names ignored: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

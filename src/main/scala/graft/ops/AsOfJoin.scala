@@ -44,8 +44,10 @@ object AsOfJoin {
       s"asOf: rightCols ${clash.mkString(", ")} collide with left columns; " +
         "rename or alias the right side first")
     val reserved = Set("__key", "__ts", "__r", "__src", "__match")
+    // Right side: only the columns actually projected (key, ts, attached
+    // cols) can misroute — an unused right column named __key is harmless.
     val reservedClash =
-      (leftNames ++ right.columns).toSet intersect reserved
+      (leftNames ++ Seq(rightKey, rightTs) ++ rightCols).toSet intersect reserved
     require(reservedClash.isEmpty,
       s"asOf: input columns ${reservedClash.mkString(", ")} collide with " +
         "reserved internal names (__key/__ts/__r/__src/__match)")

@@ -55,11 +55,19 @@ object Layout {
     // Size from the filesystem the data actually lives on (HDFS/S3/local),
     // not java.io.File — which reports 0 for any non-local scheme and would
     // silently coalesce the whole dataset into one file.
+    // One listStatus RPC per directory, not one getFileStatus per file —
+    // at millions of small files the per-file loop dominates the job.
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val bytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(hadoopConf).getFileStatus(p).getLen
-    }.sum
+    val bytes = df.inputFiles
+      .map(new org.apache.hadoop.fs.Path(_))
+      .groupBy(_.getParent)
+      .iterator.map { case (parent, inFiles) =>
+        val fs = parent.getFileSystem(hadoopConf)
+        val names = inFiles.iterator.map(_.getName).toSet
+        fs.listStatus(parent).iterator
+          .filter(st => names.contains(st.getPath.getName))
+          .map(_.getLen).sum
+      }.sum
     val nFiles = math.max(1, math.ceil(
       bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
     val sized =
