@@ -833,6 +833,78 @@ object OpsQueries {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // =====================================================================
+  // Bloom-pruned join (fact side pruned before the shuffle; result is
+  // bit-identical to the plain join — the oracle IS the plain join)
+  // =====================================================================
+
+  private def qJoinBloom(s: SparkSession, dir: String): DataFrame =
+    Join.bloomPrunedJoin(
+        t(s, dir, "orders"),
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        "o_custkey", "c_custkey", expectedKeys = 100000)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").cast("float").as("total"))
+
+  private val oJoinBloom =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(o_totalprice) AS REAL) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // =====================================================================
+  // Mixture sampling (domain-weighting for training corpora)
+  // =====================================================================
+
+  /** Resample documents to a 50/25/25 en/de/fr mixture — the largest
+    * corpus those weights admit without upsampling, selected by the
+    * stable md5 bucket (dyadic weights keep thresholds engine-exact). */
+  private def qSampleMixture(s: SparkSession, dir: String): DataFrame =
+    Sample.mixture(t(s, dir, "documents").select("doc_id", "lang"),
+      "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+
+  private val oSampleMixture =
+    """WITH w(lang, wt) AS (VALUES ('en', CAST(0.5 AS DOUBLE)),
+      |    ('de', CAST(0.25 AS DOUBLE)), ('fr', CAST(0.25 AS DOUBLE))),
+      |c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+      |  FROM documents GROUP BY lang),
+      |j AS (SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang)),
+      |b AS (SELECT floor(min(n / wt)) AS budget FROM j),
+      |r AS (SELECT lang, budget * wt / n AS rate FROM j CROSS JOIN b)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      < rate * 4294967296.0""".stripMargin
+
+  // =====================================================================
+  // Mergeable HLL sketch rollup (incremental ndv aggregation)
+  // =====================================================================
+
+  /** Distinct users per event type, answered from per-(type, day) HLL
+    * sketches unioned at query time — the persisted-sketch rollup
+    * pattern. The oracle checks the exact ndv and that the sketch
+    * estimate lands within 5% of it (the estimate itself is
+    * hash-family-dependent, so the CONTRACT is oracle-checked, the raw
+    * estimate is spec-pinned in OpsSpec). */
+  private def qProfileHllRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir)
+    val sketches = Profile.hllSketches(
+      ev.withColumn("day", date_trunc("day", col("ts"))),
+      Seq("event_type", "day"), "user_id")
+    val rolled = Profile.hllRollup(sketches, Seq("event_type"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("ndv_exact"))
+    exact.join(rolled, "event_type")
+      .select(col("event_type"), col("ndv_exact"),
+        (abs(col("ndv_est") - col("ndv_exact")) <=
+          col("ndv_exact") * lit(0.05)).as("est_ok"))
+  }
+
+  private val oProfileHllRollup =
+    """SELECT event_type, count(DISTINCT user_id) AS ndv_exact,
+      |  TRUE AS est_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (qTextStats _),
@@ -870,7 +942,10 @@ object OpsQueries {
     "text_scrub" -> (qTextScrub _),
     "text_dedup_lines" -> (qTextDedupLines _),
     "contamination" -> (qContamination _),
-    "join_pivot" -> (qJoinPivot _)
+    "join_pivot" -> (qJoinPivot _),
+    "join_bloom" -> (qJoinBloom _),
+    "sample_mixture" -> (qSampleMixture _),
+    "profile_hll_rollup" -> (qProfileHllRollup _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -906,6 +981,9 @@ object OpsQueries {
     "text_scrub" -> oTextScrub,
     "text_dedup_lines" -> oTextDedupLines,
     "contamination" -> oContamination,
-    "join_pivot" -> oJoinPivot
+    "join_pivot" -> oJoinPivot,
+    "join_bloom" -> oJoinBloom,
+    "sample_mixture" -> oSampleMixture,
+    "profile_hll_rollup" -> oProfileHllRollup
   )
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Join-side pruning for the large-fact × filtered-dimension shape.
+  *
+  * At 100 TB the dominant join cost is shuffling the fact side; when the
+  * dimension is selective (a filter keeps a few percent of its keys),
+  * almost all of that shuffle is wasted on rows that match nothing. A
+  * bloom filter built over the dimension's surviving join keys and
+  * applied to the fact side BEFORE the exchange removes the non-matching
+  * traffic at scan time — the same idea as Catalyst's runtime row-level
+  * filtering (`spark.sql.optimizer.runtime.bloomFilter.enabled`), made
+  * explicit so it applies regardless of plan shape, statistics, or
+  * whether the dimension side broadcasts.
+  *
+  * The bloom filter has false positives only — never false negatives —
+  * and the exact join that follows eliminates them, so the result is
+  * bit-identical to the unpruned join (the DuckDB oracle for
+  * `join_bloom` is the plain join). Filter size is driver-held and
+  * broadcast: ~1.2 MB per million expected keys at 1% fpp, independent
+  * of fact-side size.
+  */
+object Join {
+
+  /** Prune `fact` to rows whose `factKey` might appear in `dim`'s
+    * `dimKey` set (false positives possible, false negatives not).
+    * Keys are compared through their canonical string form so any
+    * key type works on both sides.
+    *
+    * @param expectedKeys sizing hint: distinct dimension keys AFTER its
+    *                     filters (overestimating wastes memory,
+    *                     underestimating raises the fpp)
+    */
+  def bloomPrune(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, expectedKeys: Long,
+                 fpp: Double = 0.01): DataFrame = {
+    require(expectedKeys > 0, "expectedKeys must be positive")
+    // One pass over the (already filtered) dimension; the aggregation is
+    // distributed, only the final ~MB-sized filter lands on the driver.
+    val bf: BloomFilter = dim
+      .select(col(dimKey).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .stat.bloomFilter("__k", expectedKeys, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    // Null fact keys match nothing in an equi-join — drop them here too.
+    fact.filter(col(factKey).isNotNull &&
+      mightContain(col(factKey).cast("string")))
+  }
+
+  /** Inner-join `fact` to `dim` with the fact side bloom-pruned first.
+    * Result is identical to `fact.join(dim, factKey === dimKey)`; the
+    * pruning only changes how many fact rows reach the exchange. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                      dimKey: String, expectedKeys: Long,
+                      fpp: Double = 0.01): DataFrame =
+    bloomPrune(fact, dim, factKey, dimKey, expectedKeys, fpp)
+      .join(dim, col(factKey) === col(dimKey))
+}

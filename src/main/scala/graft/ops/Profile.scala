@@ -92,4 +92,25 @@ object Profile {
     }
     wide.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
+
+  /** Mergeable distinct-count sketches — the incremental-aggregation
+    * pattern for 100 TB: sketch each fine-grained slice (day, partition,
+    * ingest batch) ONCE into a fixed-size binary DataSketches HLL sketch,
+    * persist the tiny (keys…, sketch) table, and answer any coarser
+    * rollup by UNIONING sketches instead of rescanning raw data. Sketch
+    * union is exact w.r.t. the sketch (union-of-sketches ≡ sketch-of-
+    * union, asserted in OpsSpec), so a year's ndv costs a scan of 365
+    * sketch rows, not a year of raw logs. ~2^lgK bytes per sketch,
+    * ~1.6%/sqrt(2^lgK /2^12) relative error. */
+  def hllSketches(df: DataFrame, keys: Seq[String], valueCol: String,
+                  lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("hll"))
+
+  /** Roll persisted sketches up to a coarser key set and estimate the
+    * distinct count per rolled-up group. */
+  def hllRollup(sketches: DataFrame, keys: Seq[String],
+                sketchCol: String = "hll"): DataFrame =
+    sketches.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("ndv_est"))
 }

@@ -36,4 +36,44 @@ object Sample {
     }
     df.filter(bucket(col(idCol)) < pctCol)
   }
+
+  /** Fine-grained stable bucket in [0, 2^32): first 8 hex digits of
+    * md5(id) as a long — for acceptance rates too precise for the
+    * percent-scale [[bucket]]. */
+  def bucket32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Downsample to a target mixture: `weights(s)` is stratum s's share
+    * of the output corpus (training-data domain mixing — "40% web, 30%
+    * code, 30% books"). Emits the LARGEST corpus achievable without
+    * upsampling any stratum: budget = floor(min_s count_s / w_s) total
+    * rows, of which stratum s contributes ~budget·w_s, selected by the
+    * stable md5 bucket (same selection every run and engine, and a
+    * smaller budget's selection is a subset of a larger one's). Strata
+    * absent from `weights` are dropped.
+    *
+    * Two jobs: a count aggregation whose per-stratum result is collected
+    * (strata are low-cardinality by construction — languages, sources),
+    * then one filter pass over the data. Weights need not sum to 1
+    * (only ratios matter); dyadic weights (1/2, 1/4, 3/8…) keep the
+    * acceptance thresholds bit-identical across engines.
+    */
+  def mixture(df: DataFrame, idCol: String, stratumCol: String,
+              weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val strata = weights.keys.toSeq
+    val counts = df.filter(col(stratumCol).isin(strata: _*))
+      .groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(strata.forall(s => counts.getOrElse(s, 0L) > 0L),
+      s"mixture: empty strata ${strata.filter(s => counts.getOrElse(s, 0L) == 0L).mkString(", ")}")
+    val budget = math.floor(weights.map { case (s, w) => counts(s) / w }.min)
+    val rates = weights.map { case (s, w) => s -> budget * w / counts(s) }
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(col(stratumCol).isin(strata: _*) &&
+      bucket32(col(idCol)) < rateCol * lit(4294967296.0))
+  }
 }

@@ -549,4 +549,76 @@ class OpsSpec extends SparkSpec {
     assert(frames.length == 2)
     assert(frames.map(_.getAs[Array[Byte]]("frame_bytes").length).toSeq == Seq(64, 64))
   }
+
+  // ------------------------------------------------------- bloom pruning
+
+  test("bloomPrunedJoin ≡ plain join; prune keeps all matches, drops most misses") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .filter($"c_mktsegment" === "BUILDING")
+    val plain = orders.join(cust, $"o_custkey" === $"c_custkey")
+    val pruned = Join.bloomPrunedJoin(orders, cust, "o_custkey", "c_custkey",
+      expectedKeys = 10000)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    val kept = Join.bloomPrune(orders, cust, "o_custkey", "c_custkey", 10000).count()
+    val matching = orders.join(cust.select("c_custkey").distinct(),
+      $"o_custkey" === $"c_custkey", "left_semi").count()
+    // no false negatives; a ~20%-selective dim must prune the fact side
+    assert(kept >= matching, s"bloom dropped matches: kept $kept < matching $matching")
+    assert(kept < orders.count(), "bloom pruned nothing on a selective dimension")
+  }
+
+  // ----------------------------------------------------- mixture sampling
+
+  test("mixture: target proportions, no upsampling, only weighted strata") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "lang")
+    val w = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+    val out = Sample.mixture(d, "doc_id", "lang", w)
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = math.floor(w.map { case (s, ws) => counts(s) / ws }.min)
+    w.foreach { case (s, ws) =>
+      val target = budget * ws
+      assert(got(s) <= counts(s), s"$s upsampled")
+      // md5 buckets are uniform; binomial noise stays within ~4·sqrt(target)
+      assert(math.abs(got(s) - target) <= 4 * math.sqrt(target) + 1,
+        s"$s got ${got(s)}, target $target")
+    }
+    assert(got.keySet == w.keySet, "unweighted strata leaked into the output")
+  }
+
+  test("mixture selection is deterministic across partitionings") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "lang")
+    val w = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+    val a = Sample.mixture(d, "doc_id", "lang", w)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sample.mixture(d.repartition(13), "doc_id", "lang", w)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  // -------------------------------------------------- hll sketch rollup
+
+  test("hll rollup: union-of-slice-sketches ≡ direct sketch; within 5% of exact") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sketches = Profile.hllSketches(d, Seq("lang", "source"), "doc_id")
+    val rolled = Profile.hllRollup(sketches, Seq("lang"))
+    val direct = d.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"doc_id", 12)).as("direct"))
+    val exact = d.groupBy("lang").agg(count_distinct($"doc_id").as("exact"))
+    val rows = rolled.join(direct, "lang").join(exact, "lang").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, dir, ex) = (r.getAs[Long]("ndv_est"), r.getAs[Long]("direct"),
+        r.getAs[Long]("exact"))
+      // merging per-slice sketches must lose nothing vs sketching the
+      // union directly — the property that makes persisted sketches safe
+      assert(est == dir, s"${r.getString(0)}: merged $est != direct $dir")
+      assert(math.abs(est - ex) <= 0.05 * ex, s"${r.getString(0)}: est $est exact $ex")
+    }
+  }
 }
