@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout operators: how a 100 TB corpus should land on disk so
   * that downstream reads prune and downstream joins don't shuffle.
@@ -75,5 +76,61 @@ object Layout {
       else df.repartition(nFiles)
     sized.write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath).inputFiles.length
+  }
+
+  /** Morton (Z-order) key over `cols`: each column is scaled to a
+    * `bitsPerDim`-bit bucket between its observed min and max, and the
+    * buckets' bits are interleaved. Rows close in EVERY dimension get
+    * close keys, so sorting by the key clusters multi-dimensional
+    * locality into the same files — pure shift/mask arithmetic, fully
+    * codegen'd. `mins`/`maxs` come from a one-row stats pass (see
+    * [[writeZOrdered]]); linear scaling keeps the expression cheap, and
+    * file-size balance is restored by range-partitioning on the key, so
+    * value skew costs locality only, never balance. */
+  def zOrderKey(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
+                bitsPerDim: Int = 16): Column = {
+    require(cols.nonEmpty && cols.size * bitsPerDim <= 63,
+      s"need dims*bits <= 63, got ${cols.size} * $bitsPerDim")
+    val d = cols.size
+    val nb = 1 << bitsPerDim
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      // degenerate constant column -> widen the range so width_bucket's
+      // min < max precondition holds (every row lands in bucket 0)
+      val (lo, hi) = if (maxs(i) > mins(i)) (mins(i), maxs(i))
+                     else (mins(i), mins(i) + 1.0)
+      // [min,max] -> [0, nb-1]; width_bucket yields nb+1 AT the max edge
+      least(width_bucket(c.cast("double"), lit(lo), lit(hi), lit(nb)),
+        lit(nb)) - lit(1)
+    }
+    val terms = for {
+      (b, i) <- buckets.zipWithIndex
+      j <- 0 until bitsPerDim
+    } yield shiftleft(shiftrightunsigned(b.cast("long"), j)
+      .bitwiseAND(lit(1L)), j * d + i)
+    terms.reduce(_ + _)
+  }
+
+  /** Write `df` Z-ordered on `cols` into `numFiles` range-partitioned,
+    * internally sorted files. A multi-dimensional filter then prunes by
+    * parquet min/max stats: a box selective in ANY subset of the ordered
+    * dimensions touches ~O(stats-intersecting) files, where a linear sort
+    * only helps its single leading column (asserted in LayoutSpec by
+    * replaying footer-stats pruning). Two passes: a 1-row min/max agg,
+    * then the sort+write — no full shuffle beyond the range partitioner's
+    * sampled exchange. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    numFiles: Int, bitsPerDim: Int = 16): Unit = {
+    val statsRow = df.agg(
+      cols.flatMap(c => Seq(min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))).head,
+      cols.flatMap(c => Seq(min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))).tail: _*).head()
+    val mins = cols.map(c => statsRow.getAs[Double](s"mn_$c"))
+    val maxs = cols.map(c => statsRow.getAs[Double](s"mx_$c"))
+    df.withColumn("__z", zOrderKey(cols.map(col), mins, maxs, bitsPerDim))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 }

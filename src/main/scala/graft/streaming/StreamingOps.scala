@@ -10,6 +10,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * codegen mishandles object-nested state classes). */
 final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+/** One document routed to one LSH band bucket (streaming minhash). */
+final case class BandedDoc(band: Int, bh: Long, doc_id: Long, sig: Seq[Long])
+
+/** A bucket member retained in state: id + its full signature. */
+final case class MemberSig(id: Long, sig: Seq[Long])
+
+/** Per-band-bucket streaming state. */
+final case class BucketState(docs: List[MemberSig])
+
+/** A detected near-dup candidate with its minhash similarity estimate
+  * (fraction of agreeing signature components ≈ Jaccard). */
+final case class CandidatePair(ida: Long, idb: Long, simhat: Double)
+
 /** Structured-Streaming transforms for the events stream shape
   * (event_id, ts, user_id, event_type, value, props).
   *
@@ -92,6 +105,72 @@ object StreamingOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming MinHash near-dup detection — the live twin of
+    * [[graft.ops.Dedup.minhashLshPairs]]. Each arriving document's
+    * minhash signature (same hash family as the batch path, so live and
+    * backfill agree) is banded; each band bucket keeps its members'
+    * signatures in state, and a new arrival is compared against them,
+    * emitting a [[CandidatePair]] whenever the signature agreement
+    * (≈ Jaccard) reaches `threshold`. The batch path verifies candidates
+    * with exact shingle Jaccard; a stream cannot revisit past documents'
+    * shingles, so the minhash ESTIMATE is the verdict here — with 128
+    * components its σ is ~0.04, and the estimate is what the pair
+    * carries, clearly named `simhat`.
+    *
+    * A pair sharing several bands is emitted once per band — dedup
+    * downstream (`dropDuplicates("ida","idb")` under a watermark, or at
+    * the sink) rather than carrying cross-bucket state here.
+    *
+    * State: ≤ `maxBucket` (id, signature) entries per bucket —
+    * `numHashes`·8 bytes each — bounded per bucket but not expired:
+    * production deployments over unbounded streams should add an
+    * event-time timeout to age buckets out (kept out of this path:
+    * wall-clock timers make replays nondeterministic and hang
+    * processAllAvailable-driven tests).
+    */
+  def minhashPairsStream(docs: DataFrame, textCol: String, idCol: String,
+                         threshold: Double, numHashes: Int = 128,
+                         bands: Int = 32, n: Int = 3,
+                         maxBucket: Int = 1000): Dataset[CandidatePair] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val banded = graft.ops.Dedup.minhashSignatures(docs, textCol, idCol, numHashes, n)
+      .select(col("id").as("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          hash(slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bh")),
+        col("sig"))
+      .as[BandedDoc]
+    banded.groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.docs).getOrElse(Nil)
+          val seen = scala.collection.mutable.Set(members.map(_.id): _*)
+          val out = List.newBuilder[CandidatePair]
+          // id-sorted batch ⇒ deterministic pairs regardless of arrival
+          // interleaving within a micro-batch
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!seen.contains(d.doc_id)) {
+              members.foreach { m =>
+                val eq = m.sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
+                val simhat = eq.toDouble / numHashes
+                if (simhat >= threshold)
+                  out += CandidatePair(math.min(m.id, d.doc_id),
+                    math.max(m.id, d.doc_id), simhat)
+              }
+              if (members.size < maxBucket) {
+                members = MemberSig(d.doc_id, d.sig) :: members
+                seen += d.doc_id
+              }
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
 
   /** One user event as consumed by the sessionizer. */
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String,

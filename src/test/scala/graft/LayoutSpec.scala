@@ -39,6 +39,45 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/compacted").count() == docs.count())
   }
 
+  test("z-order clusters both dimensions; box queries prune more files than a linear sort") {
+    // synthetic uniform grid so locality is measurable
+    val n = 20000
+    val df = spark.range(n).select(
+      (col("id") % 141).cast("double").as("x"),
+      ((col("id") * 2654435761L) % 139).cast("double").as("y"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z")
+    val zPath = s"$tmp/z"
+    val linPath = s"$tmp/lin"
+    val files = 16
+    Layout.writeZOrdered(df, zPath, Seq("x", "y"), numFiles = files, bitsPerDim = 8)
+    df.repartitionByRange(files, col("x")).sortWithinPartitions("x")
+      .write.parquet(linPath) // single-column clustering baseline
+
+    // replay footer-stats pruning: a file is scanned iff its [min,max]
+    // box intersects the predicate box
+    def filesTouched(path: String, xLo: Double, xHi: Double,
+                     yLo: Double, yHi: Double): Long = {
+      import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(fmin("x").as("xmn"), fmax("x").as("xmx"),
+          fmin("y").as("ymn"), fmax("y").as("ymx"))
+        .filter(col("xmx") >= xLo && col("xmn") <= xHi &&
+          col("ymx") >= yLo && col("ymn") <= yHi)
+        .count()
+    }
+    // a box tight in BOTH dims: z-order must beat the x-only sort's
+    // y-blindness (x-sorted files each span all of y)
+    val zBox = filesTouched(zPath, 10, 30, 10, 30)
+    val linBoxY = filesTouched(linPath, 0, 140, 10, 30) // y-only predicate
+    val zBoxY = filesTouched(zPath, 0, 140, 10, 30)
+    assert(zBox < files / 2, s"z-order box query touched $zBox of $files files")
+    assert(linBoxY == files, "x-sorted layout cannot prune a y predicate")
+    assert(zBoxY < files, s"z-order must prune on the non-leading dim, touched $zBoxY")
+    // layout changes bytes, never rows
+    assert(spark.read.parquet(zPath).count() == n)
+  }
+
   test("same-bucketing join plans with no shuffle on either side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang", "n_chars")

@@ -105,6 +105,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash finds the batch near-dup pairs across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val batchPairs = graft.ops.Dedup.minhashLshPairs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "text", "doc_id", threshold = 0.5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "fixture lost its planted near-dups")
+
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.minhashPairsStream(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", threshold = 0.5)
+    val q = stream.writeStream.format("memory").queryName("mhp")
+      .outputMode("append").start()
+    try {
+      // split mid-corpus: planted (orig, dup) pairs have distant ids, so
+      // detection must work ACROSS micro-batches, from bucket state
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("mhp")
+        .select("ida", "idb").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // estimate-thresholded stream must recover every exact-verified
+      // batch pair (planted dups sit at J≈0.98, far above 0.5)
+      assert(batchPairs.subsetOf(streamed),
+        s"missed: ${(batchPairs -- streamed).take(5)}")
+      val simhats = spark.table("mhp").select("simhat").collect().map(_.getDouble(0))
+      assert(simhats.forall(_ >= 0.5))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap is exceeded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
