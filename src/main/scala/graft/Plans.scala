@@ -24,7 +24,8 @@ object Plans {
       "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
       "sim_topk", "sim_topk_lsh", "sim_topk_ivf", "events_sessionize",
       "events_asof", "events_range_join", "doc_topn", "text_stats",
-      "text_tfidf", "curation_pipeline", "sample_stratified")
+      "text_tfidf", "curation_pipeline", "sample_stratified",
+      "join_bloom", "sample_mixture", "profile_hll_rollup")
 
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")
