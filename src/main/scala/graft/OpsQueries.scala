@@ -16,7 +16,10 @@ import graft.pivot.PivotOps
   * computation (dedup_minhash — LSH only affects recall, and the planted
   * near-dups at jaccard≈0.98 are found with probability 1-1e-35), or
   * (b) ship without an oracle and are pinned by ScalaTest instead
-  * (dedup_simhash, sim_topk_lsh).
+  * (dedup_simhash, sim_topk_lsh), with the recall CONTRACT of the
+  * approximate rankings oracle-checked separately (sim_lsh_recall,
+  * sim_ivf_recall — the bound is engine-agnostic even though the
+  * rankings are not).
   */
 object OpsQueries {
 
@@ -285,6 +288,39 @@ object OpsQueries {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
       "embedding", "vec_id", k = 5, ncentroids = 16, nprobe = 4)
   }
+
+  /** Recall of an ANN result against the exact brute-force top-k, as an
+    * oracle-checkable CONTRACT row: the raw approximate rankings are
+    * hash-family-dependent (rows-only checks `sim_topk_lsh`/`sim_topk_ivf`
+    * pin them), but "finds at least `bound` of the true top-k" is
+    * engine-agnostic and is what a user of the operator relies on. */
+  private def annRecall(exact: DataFrame, approx: DataFrame, k: Int,
+                        bound: Double): DataFrame = {
+    val hits = exact.select("qid", "id")
+      .join(approx.select("qid", "id"), Seq("qid", "id"), "left_semi")
+    exact.agg(
+        count_distinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_queries"), lit(k).cast("long").as("k"),
+        (col("n_hit") >= col("n_exact") * lit(bound)).as("recall_ok"))
+  }
+
+  /** LSH top-k must recover ≥40% of the exact top-5 set (measured 0.45
+    * at sf0.01, 0.50 at sf0.1 — deterministic for the fixed hyperplane
+    * family; multiprobe at nbits=8/4 tables is a coarse filter by
+    * design, tunable toward 1.0 with more tables/probes). */
+  private def qSimLshRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(qSimTopK(s, dir), qSimTopKLsh(s, dir), k = 5, bound = 0.4)
+
+  /** IVF top-k (nprobe 4 of 16 cells) must recover ≥80% of the exact
+    * top-5 set (measured 0.93 at sf0.01 — see OpsSpec determinism pin). */
+  private def qSimIvfRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(qSimTopK(s, dir), qSimTopKIvf(s, dir), k = 5, bound = 0.8)
+
+  private val oAnnRecall =
+    """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 8""".stripMargin
 
   // =====================================================================
   // Embedding quantization
@@ -945,7 +981,9 @@ object OpsQueries {
     "join_pivot" -> (qJoinPivot _),
     "join_bloom" -> (qJoinBloom _),
     "sample_mixture" -> (qSampleMixture _),
-    "profile_hll_rollup" -> (qProfileHllRollup _)
+    "profile_hll_rollup" -> (qProfileHllRollup _),
+    "sim_lsh_recall" -> (qSimLshRecall _),
+    "sim_ivf_recall" -> (qSimIvfRecall _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -984,6 +1022,8 @@ object OpsQueries {
     "join_pivot" -> oJoinPivot,
     "join_bloom" -> oJoinBloom,
     "sample_mixture" -> oSampleMixture,
-    "profile_hll_rollup" -> oProfileHllRollup
+    "profile_hll_rollup" -> oProfileHllRollup,
+    "sim_lsh_recall" -> oAnnRecall,
+    "sim_ivf_recall" -> oAnnRecall
   )
 }
