@@ -72,6 +72,39 @@ object PivotQueries {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // =====================================================================
+  // Incremental maintenance: pivot two disjoint slices independently,
+  // merge the finalized cross-tabs, compare against the whole-input
+  // cross-tab (the oracle) — pinning merge(pivot(A), pivot(B)) ≡
+  // pivot(A ∪ B) for the decomposable aggregate set. sum(l_quantity) is
+  // integer-valued, so the double sums are merge-order-exact.
+  // =====================================================================
+
+  private def qPivotIncremental(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val spec = PivotSpec.parse("l_returnflag", "l_linestatus=O,F",
+      "cnt:count(*), qty:sum(l_quantity), mn:min(l_extendedprice), mx:max(l_extendedprice)")
+      .fold(errs => throw new IllegalArgumentException(errs.mkString("; ")),
+        identity)
+    val parts = Seq(
+      li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 === 1))
+      .map(slice => PivotOps.pivot(slice, spec).main)
+    PivotOps.mergeCrossTabs(parts, spec)
+  }
+
+  private val oPivotIncremental =
+    """SELECT l_returnflag,
+      |  count(CASE WHEN l_linestatus='O' THEN 1 END) AS "O_cnt",
+      |  count(CASE WHEN l_linestatus='F' THEN 1 END) AS "F_cnt",
+      |  sum(CASE WHEN l_linestatus='O' THEN l_quantity END) AS "O_qty",
+      |  sum(CASE WHEN l_linestatus='F' THEN l_quantity END) AS "F_qty",
+      |  min(CASE WHEN l_linestatus='O' THEN l_extendedprice END) AS "O_mn",
+      |  min(CASE WHEN l_linestatus='F' THEN l_extendedprice END) AS "F_mn",
+      |  max(CASE WHEN l_linestatus='O' THEN l_extendedprice END) AS "O_mx",
+      |  max(CASE WHEN l_linestatus='F' THEN l_extendedprice END) AS "F_mx"
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // =====================================================================
   // Per-function queries (SURVEY §2.2). Default shape: orders, rows
   // o_orderpriority, pivot o_orderstatus=O,F (P stays off-list — also
   // pinning that off-list records feed no cell in skip mode).
@@ -568,6 +601,7 @@ object PivotQueries {
     "fn_sumsq" -> (qFnSumSq _),
     "pivot_tworows" -> (qPivotTwoRows _),
     "pivot_rollup" -> (qPivotRollup _),
+    "pivot_incremental" -> (qPivotIncremental _),
     "pivot_twocols" -> (qPivotTwoCols _),
     "pivot_default" -> (qPivotDefault _),
     "pivot_alias" -> (qPivotAlias _),
@@ -600,6 +634,7 @@ object PivotQueries {
     "fn_sumsq" -> oFnSumSq,
     "pivot_tworows" -> oPivotTwoRows,
     "pivot_rollup" -> oPivotRollup,
+    "pivot_incremental" -> oPivotIncremental,
     "pivot_twocols" -> oPivotTwoCols,
     "pivot_default" -> oPivotDefault,
     "pivot_alias" -> oPivotAlias,

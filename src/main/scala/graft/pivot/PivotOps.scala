@@ -214,6 +214,74 @@ object PivotOps {
       StructType(spec.pivotRows.map(r => df.schema(r)) :+
         StructField("__error", StringType, nullable = true)))
 
+  /** Aggregates whose FINALIZED cross-tab cell is decomposable: merging
+    * per-slice finals reproduces the whole-input final exactly. The rest
+    * (AVG, the moment family, distinct/collect/concat, FIRST/LAST,
+    * LONGEST/SHORTESTSTRING tie-breaks) need partial state — keep their
+    * inputs as SUM+COUNT cells and derive downstream, or recompute. */
+  val mergeable: Set[PivotFunction] = {
+    import PivotFunction._
+    Set(Count, Sum, Min, Max, CountNulls, SumOfSquares, LogicalAnd, LogicalOr)
+  }
+
+  /** Incremental cross-tab maintenance: merge pivots computed over
+    * DISJOINT slices of the input (daily partitions, backfill + today's
+    * delta) into the pivot of their union — the table-level analog of the
+    * reference's cross-partition state merge (Pivot.java:186-196
+    * mergePartitions), applied to persisted results instead of in-flight
+    * buffers. At 100 TB this is the difference between re-aggregating a
+    * year of raw data and folding one day's cross-tab into a 365-row
+    * materialized view.
+    *
+    * Restricted to [[mergeable]] aggregates, skip-error mode, and no
+    * defaultValue (filled cells would make empty and zero
+    * indistinguishable — fill AFTER the final merge instead). */
+  def mergeCrossTabs(parts: Seq[DataFrame], spec: PivotSpec): DataFrame = {
+    require(parts.nonEmpty, "mergeCrossTabs: no inputs")
+    require(spec.onError == OnError.Skip,
+      "mergeCrossTabs: only skip-error pivots merge (error routing needs the whole group)")
+    require(spec.defaultValue.isEmpty,
+      "mergeCrossTabs: merge unfilled pivots, apply defaultValue after the last merge")
+    val bad = spec.aggregates.map(_.function).filterNot(mergeable)
+    require(bad.isEmpty,
+      s"mergeCrossTabs: non-decomposable aggregate(s) ${bad.map(_.name).distinct.mkString(", ")}")
+    val schema = parts.head.schema
+    val combiners = for {
+      a <- spec.aggregates
+      p <- spec.columnsProduct
+    } yield {
+      val name = spec.outputName(p, a)
+      val c = col(name)
+      import PivotFunction._
+      val merged = a.function match {
+        case Count | CountNulls => sum(c) // long in, long out
+        // Sum preserves the input type (NumberFunction.java:50-52);
+        // re-summing widens (int -> long), so cast back to the cell type
+        case Sum => sum(c).cast(schema(name).dataType)
+        case Min => schema(name).dataType match {
+          // reference string MIN/MAX order case-insensitively but return
+          // the original-case value (Min.java:49) — min_by over lower()
+          case StringType => min_by(c, lower(c))
+          case _          => min(c)
+        }
+        case Max => schema(name).dataType match {
+          case StringType => max_by(c, lower(c))
+          case _          => max(c)
+        }
+        // empty-cell identities survive the merge: 0.0 for SUMOFSQUARES
+        // (SumOfSquares.java:75-79), true/false for the logicals
+        case SumOfSquares => sum(c)
+        case LogicalAnd   => bool_and(c)
+        case LogicalOr    => bool_or(c)
+        case f => throw new IllegalStateException(s"unreachable: $f")
+      }
+      merged.as(name)
+    }
+    parts.reduce(_.unionByName(_))
+      .groupBy(spec.pivotRows.map(col): _*)
+      .agg(combiners.head, combiners.tail: _*)
+  }
+
   /** Parse a reference-grammar config and pivot in one call. */
   def pivotConfig(
       df: DataFrame,

@@ -186,6 +186,39 @@ class PivotEdgeSpec extends SparkSpec {
       "the fields Product,Brand,Q1_s,Q2_s,Q1_c,Q2_c.")
   }
 
+  test("mergeCrossTabs: slice merge ≡ whole pivot, incl. string case order and empty cells") {
+    val spec = graft.pivot.PivotSpec.parse("Product", "Quarter=Q1,Q2",
+      "c:count(*), s:sum(Sales), mn:min(Tag), mx:max(Tag), " +
+        "nn:countnulls(Sales), sq:sumofsquares(Sales), la:logicaland(Flag), lo:logicalor(Flag)")
+      .toOption.get
+    val whole = PivotOps.pivot(df, spec).main
+      .collect().map(_.toString).sorted.toSeq
+    // three deliberately lopsided disjoint slices (one is empty of Q1 rows,
+    // one holds a group the others lack)
+    val slices = Seq(
+      df.filter($"Tag".isNull || $"Tag" < "b"),
+      df.filter($"Tag" >= "b" && $"Tag" < "x"),
+      df.filter($"Tag" >= "x"))
+    val merged = PivotOps.mergeCrossTabs(
+        slices.map(PivotOps.pivot(_, spec).main), spec)
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged == whole, s"\nmerged: $merged\nwhole:  $whole")
+  }
+
+  test("mergeCrossTabs rejects non-decomposable aggregates, defaults, error modes") {
+    val avgSpec = graft.pivot.PivotSpec.parse("Product", "Quarter=Q1,Q2",
+      "a:avg(Sales)").toOption.get
+    val e = intercept[IllegalArgumentException] {
+      PivotOps.mergeCrossTabs(Seq(PivotOps.pivot(df, avgSpec).main), avgSpec)
+    }
+    assert(e.getMessage.contains("AVG"))
+    val dvSpec = graft.pivot.PivotSpec.parse("Product", "Quarter=Q1,Q2",
+      "c:count(*)", defaultValue = Some("0")).toOption.get
+    assert(intercept[IllegalArgumentException] {
+      PivotOps.mergeCrossTabs(Seq(PivotOps.pivot(df, dvSpec).main), dvSpec)
+    }.getMessage.contains("defaultValue"))
+  }
+
   test("merge associativity: result invariant under input partitioning (Pivot.java:186-196)") {
     val base = PivotOps.pivotConfig(df, "Product", "Quarter=Q1,Q2",
       "s: sum(Sales), cd: countdistinct(Tag), v: variance(Sales), cl: collectlist(Sales)").main
