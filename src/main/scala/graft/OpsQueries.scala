@@ -940,6 +940,35 @@ object OpsQueries {
       |  TRUE AS est_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Audience overlap between event types from persisted theta sketches.
+    * At the oracle scale factors every segment holds < 2^12 distinct
+    * users, so the sketches are in exact mode and the oracle compares
+    * EXACT values (the DuckDB side computes true distinct overlap
+    * counts); beyond exact mode the same query degrades to ~1.6% error. */
+  private def qProfileThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = Profile.thetaSketches(readEvents(s, dir),
+      Seq("event_type"), "user_id")
+    Profile.thetaOverlap(sk, "event_type")
+  }
+
+  private val oProfileThetaOverlap =
+    """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+      |cnt AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+      |inter AS (SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+      |    count(*) AS n_and
+      |  FROM s a JOIN s b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ca.event_type AS seg_a, cb.event_type AS seg_b,
+      |  ca.n AS n_a, cb.n AS n_b,
+      |  COALESCE(i.n_and, 0) AS n_and,
+      |  ca.n + cb.n - COALESCE(i.n_and, 0) AS n_or,
+      |  CAST(COALESCE(i.n_and, 0) AS DOUBLE)
+      |    / (ca.n + cb.n - COALESCE(i.n_and, 0)) AS jaccard
+      |FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+      |LEFT JOIN inter i
+      |  ON i.seg_a = ca.event_type AND i.seg_b = cb.event_type""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -982,6 +1011,7 @@ object OpsQueries {
     "join_bloom" -> (qJoinBloom _),
     "sample_mixture" -> (qSampleMixture _),
     "profile_hll_rollup" -> (qProfileHllRollup _),
+    "profile_theta_overlap" -> (qProfileThetaOverlap _),
     "sim_lsh_recall" -> (qSimLshRecall _),
     "sim_ivf_recall" -> (qSimIvfRecall _)
   )
@@ -1023,6 +1053,7 @@ object OpsQueries {
     "join_bloom" -> oJoinBloom,
     "sample_mixture" -> oSampleMixture,
     "profile_hll_rollup" -> oProfileHllRollup,
+    "profile_theta_overlap" -> oProfileThetaOverlap,
     "sim_lsh_recall" -> oAnnRecall,
     "sim_ivf_recall" -> oAnnRecall
   )

@@ -113,4 +113,36 @@ object Profile {
                 sketchCol: String = "hll"): DataFrame =
     sketches.groupBy(keys.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("ndv_est"))
+
+  /** Theta sketches: like [[hllSketches]] but supporting full SET ALGEBRA
+    * on the sketches — union, INTERSECTION, and DIFFERENCE — so segment
+    * overlap questions ("users who clicked AND purchased", "in A but not
+    * B") are answered from persisted per-segment sketches without joining
+    * raw data. Below ~2^lgK distinct values a theta sketch is in exact
+    * mode (it holds every hash), so small-segment results are exact, not
+    * estimates; beyond that it degrades gracefully to ~1/sqrt(2^lgK)
+    * relative error. */
+  def thetaSketches(df: DataFrame, keys: Seq[String], valueCol: String,
+                    lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(theta_sketch_agg(col(valueCol), lgK).as("theta"))
+
+  /** Pairwise segment-overlap matrix from persisted theta sketches:
+    * for each unordered segment pair, the distinct counts of each side,
+    * their intersection and union, and the Jaccard overlap. |segments|²/2
+    * sketch pairs — KBs each — never the raw rows. */
+  def thetaOverlap(sketches: DataFrame, segCol: String,
+                   sketchCol: String = "theta"): DataFrame = {
+    val a = sketches.select(col(segCol).as("seg_a"), col(sketchCol).as("th_a"))
+    val b = sketches.select(col(segCol).as("seg_b"), col(sketchCol).as("th_b"))
+    a.join(b, col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        theta_sketch_estimate(col("th_a")).as("n_a"),
+        theta_sketch_estimate(col("th_b")).as("n_b"),
+        theta_sketch_estimate(theta_intersection(col("th_a"), col("th_b")))
+          .as("n_and"),
+        theta_sketch_estimate(theta_union(col("th_a"), col("th_b")))
+          .as("n_or"))
+      .withColumn("jaccard", col("n_and").cast("double") / col("n_or"))
+  }
 }

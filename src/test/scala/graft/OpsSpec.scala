@@ -621,4 +621,18 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(est - ex) <= 0.05 * ex, s"${r.getString(0)}: est $est exact $ex")
     }
   }
+
+  test("theta overlap: exact-mode set algebra incl. disjoint segments") {
+    val d = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L), ("b", 4L), // dup member
+      ("c", 9L)).toDF("seg", "uid")
+    val rows = Profile.thetaOverlap(
+        Profile.thetaSketches(d, Seq("seg"), "uid"), "seg")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows(("a", "b")) == ((3L, 3L, 2L, 4L))) // dup member counted once
+    assert(rows(("a", "c")) == ((3L, 1L, 0L, 4L))) // disjoint: n_and 0
+    assert(rows(("b", "c")) == ((3L, 1L, 0L, 4L)))
+  }
 }
