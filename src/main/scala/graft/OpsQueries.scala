@@ -868,6 +868,35 @@ object OpsQueries {
       |  count(*) AS n, CAST(sum(value) AS REAL) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Overlapping activity windows per user (6-hour windows opened by
+    * every 50th event × 3-hour windows by every 70th), paired by the
+    * binned interval-overlap join — a BETWEEN-free equi-join plan. */
+  private def qEventsIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir).select("event_id", "user_id", "ts")
+    val winA = ev.filter(col("event_id") % 50 === 0).select(
+      col("event_id").as("a_id"), col("user_id"),
+      col("ts").as("a_start"),
+      (col("ts") + expr("INTERVAL 6 HOURS")).as("a_end"))
+    val winB = ev.filter(col("event_id") % 70 === 0).select(
+      col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_start"),
+      (col("ts") + expr("INTERVAL 3 HOURS")).as("b_end"))
+    RangeJoin.intervalOverlap(winA, winB, "user_id", "b_user",
+      "a_start", "a_end", "b_start", "b_end",
+      Seq("b_id", "b_start", "b_end"), binWidthSec = 6 * 3600)
+  }
+
+  private val oEventsIntervalOverlap =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |a AS (SELECT event_id AS a_id, user_id, ts AS a_start,
+      |    ts + INTERVAL 6 HOUR AS a_end FROM e WHERE event_id % 50 = 0),
+      |b AS (SELECT event_id AS b_id, user_id AS b_user, ts AS b_start,
+      |    ts + INTERVAL 3 HOUR AS b_end FROM e WHERE event_id % 70 = 0)
+      |SELECT a_id, user_id, a_start, a_end, b_id, b_start, b_end
+      |FROM a JOIN b ON user_id = b_user
+      |  AND a_start <= b_end AND b_start <= a_end""".stripMargin
+
   // =====================================================================
   // Bloom-pruned join (fact side pruned before the shuffle; result is
   // bit-identical to the plain join — the oracle IS the plain join)
@@ -1000,6 +1029,7 @@ object OpsQueries {
     "events_json" -> (qEventsJson _),
     "events_asof" -> (qEventsAsof _),
     "events_range_join" -> (qEventsRangeJoin _),
+    "events_interval_overlap" -> (qEventsIntervalOverlap _),
     "doc_topn" -> (qDocTopN _),
     "curation_pipeline" -> (qCurationPipeline _),
     "sample_stratified" -> (qSampleStratified _),
@@ -1042,6 +1072,7 @@ object OpsQueries {
     "events_json" -> oEventsJson,
     "events_asof" -> oEventsAsof,
     "events_range_join" -> oEventsRangeJoin,
+    "events_interval_overlap" -> oEventsIntervalOverlap,
     "doc_topn" -> oDocTopN,
     "curation_pipeline" -> oCurationPipeline,
     "sample_stratified" -> oSampleStratified,

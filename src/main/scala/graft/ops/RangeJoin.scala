@@ -58,4 +58,47 @@ object RangeJoin {
       .filter(col(ptTs) >= col("__start") && col(ptTs) <= col("__end"))
       .drop("__key", "__bin", "__start", "__end")
   }
+
+  /** Interval × interval overlap join: pair interval rows of the same key
+    * whose [start, end] ranges intersect (closed ends) — concurrent
+    * sessions, campaign/visit attribution, validity-window reconciliation.
+    *
+    * Both sides explode into their covered bins and equi-join on
+    * (key, bin); a pair sharing several bins is emitted ONLY in the first
+    * bin both occupy (`bin == max(floor(leftStart/w), floor(rightStart/w))`),
+    * so no distinct/dedup shuffle is ever needed. The exact overlap
+    * predicate then removes same-bin non-overlaps. Same scalability
+    * contract as [[pointInInterval]]: fan-out is ceil(len/binWidth)+1
+    * per interval — cap open-ended intervals upstream. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      rightCols: Seq[String], binWidthSec: Long): DataFrame = {
+    require(binWidthSec > 0, "binWidthSec must be positive")
+    val w = binWidthSec * 1000000L
+    def micros(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val reserved = Set("__key", "__bin", "__rstart", "__rend")
+    val used = left.columns.toSet ++ Seq(rightKey, rightStart, rightEnd) ++ rightCols
+    require((used intersect reserved).isEmpty,
+      s"intervalOverlap: ${(used intersect reserved).mkString(", ")} collide " +
+        "with reserved internal names")
+    val l = left
+      .filter(col(leftStart) <= col(leftEnd))
+      .withColumn("__key", col(leftKey))
+      .withColumn("__bin", explode(sequence(
+        floor(micros(col(leftStart)) / w), floor(micros(col(leftEnd)) / w))))
+    val r = right.select((Seq(
+        col(rightKey).as("__key"),
+        col(rightStart).as("__rstart"), col(rightEnd).as("__rend")) ++
+        rightCols.map(col)): _*)
+      .filter(col("__rstart") <= col("__rend"))
+      .withColumn("__bin", explode(sequence(
+        floor(micros(col("__rstart")) / w), floor(micros(col("__rend")) / w))))
+    l.join(r, Seq("__key", "__bin"))
+      .filter(col("__bin") === greatest(
+        floor(micros(col(leftStart)) / w), floor(micros(col("__rstart")) / w)))
+      .filter(col(leftStart) <= col("__rend") && col("__rstart") <= col(leftEnd))
+      .drop("__key", "__bin", "__rstart", "__rend")
+  }
 }

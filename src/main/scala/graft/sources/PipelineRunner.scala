@@ -13,12 +13,13 @@ import scala.jdk.CollectionConverters._
   * A user of the reference can point this runner at that exact file and
   * get the same pipeline on Spark.
   *
-  * Supported subset: `File` batchsource (csv/parquet/json + declared
+  * Supported subset: `File` batchsource (csv/parquet/json/orc + declared
   * Avro-style schema, delimiter, skipHeader), the `Pivot`
   * batchaggregator (full config grammar via [[graft.pivot.PivotSpec]]),
-  * and `File` batchsink (parquet/csv/json; `avro` falls back to parquet —
-  * this build has no spark-avro datasource). `${macro}` placeholders are
-  * substituted from the caller's map (CDAP runtime arguments).
+  * and `File` batchsink (parquet/csv/json/orc; `avro` falls back to
+  * parquet — this build has no spark-avro datasource, and parquet is the
+  * columnar equivalent). `${macro}` placeholders are substituted from the
+  * caller's map (CDAP runtime arguments).
   */
 object PipelineRunner {
 
@@ -113,6 +114,7 @@ object PipelineRunner {
           .csv(s.path)
       case "parquet" => withSchema.parquet(s.path)
       case "json" => withSchema.json(s.path)
+      case "orc" => withSchema.orc(s.path)
       case other => throw new IllegalArgumentException(s"Unsupported source format: $other")
     }
   }
@@ -128,6 +130,7 @@ object PipelineRunner {
     format match {
       case "csv" => w.option("header", true).csv(s.path)
       case "json" => w.json(s.path)
+      case "orc" => w.orc(s.path)
       case _ => w.parquet(s.path)
     }
   }

@@ -622,6 +622,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap: multi-bin pairs emitted once; touching ends; inverted dropped") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
+    val l = Seq(
+      (1L, "k", ts(0), ts(600)),     // 10h — spans many 1h bins
+      (2L, "k", ts(0), ts(60)),      // touches r20 at its start minute
+      (3L, "k", ts(500), ts(400)),   // inverted -> dropped
+      (4L, "z", ts(0), ts(600))      // other key, no partner
+    ).toDF("l_id", "k", "ls", "le")
+    val r = Seq(
+      (10L, "k", ts(30), ts(590)),   // overlaps 1 across ~10 shared bins
+      (20L, "k", ts(60), ts(120)),   // touches 2 at one instant
+      (30L, "k", ts(700), ts(800))   // disjoint from all
+    ).toDF("r_id", "rk", "rs", "re")
+    val out = RangeJoin.intervalOverlap(l, r, "k", "rk", "ls", "le",
+        "rs", "re", Seq("r_id"), binWidthSec = 3600)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // each overlapping pair EXACTLY once despite shared bins
+    assert(out.sorted.toSeq == Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)),
+      s"got ${out.toSeq}")
+  }
+
   test("theta overlap: exact-mode set algebra incl. disjoint segments") {
     val d = Seq(
       ("a", 1L), ("a", 2L), ("a", 3L),

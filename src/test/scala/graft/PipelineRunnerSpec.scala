@@ -53,4 +53,17 @@ class PipelineRunnerSpec extends SparkSpec {
     assertRowsMatch(written.select("Product", "Q1_Nike_Sum", "Q1_Reebok_Sum"),
       Seq(Row("Shoes", 50, 50), Row("Shirts", 20, 60), Row("Socks", null, 40)))
   }
+
+  test("orc source and sink round-trip through the runner stages") {
+    import graft.sources.PipelineRunner._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    writeSink(docs, SinkStage(s"$tmp/docs_orc", "orc"))
+    val back = readSource(spark,
+      SourceStage(s"$tmp/docs_orc", "orc", ",", skipHeader = false, schema = None))
+    assert(back.schema == docs.schema)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
 }
