@@ -275,10 +275,14 @@ object OpsQueries {
       |    PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rank FROM scored)
       |SELECT qid, rank, id, sim FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** nbits=7 × 8 tables: measured recall@5 0.85 (sf0.01) / 0.80 (sf0.1)
+    * at the same local cost as the old 8×4 setting's 0.45 — each table
+    * probes (nbits+1)/2^nbits of the corpus, so raise nbits (and tables
+    * with it) as corpus size grows to hold the probed fraction flat. */
   private def qSimTopKLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
-      "embedding", "vec_id", k = 5, nbits = 8, dim = 64)
+      "embedding", "vec_id", k = 5, nbits = 7, dim = 64, tables = 8)
   }
 
   /** IVF variant (sketch-dependent → rows-only check; recall is
@@ -306,12 +310,11 @@ object OpsQueries {
         (col("n_hit") >= col("n_exact") * lit(bound)).as("recall_ok"))
   }
 
-  /** LSH top-k must recover ≥40% of the exact top-5 set (measured 0.45
-    * at sf0.01, 0.50 at sf0.1 — deterministic for the fixed hyperplane
-    * family; multiprobe at nbits=8/4 tables is a coarse filter by
-    * design, tunable toward 1.0 with more tables/probes). */
+  /** LSH top-k must recover ≥60% of the exact top-5 set (measured 0.85
+    * at sf0.01, 0.80 at sf0.1 — deterministic for the fixed hyperplane
+    * family). */
   private def qSimLshRecall(s: SparkSession, dir: String): DataFrame =
-    annRecall(qSimTopK(s, dir), qSimTopKLsh(s, dir), k = 5, bound = 0.4)
+    annRecall(qSimTopK(s, dir), qSimTopKLsh(s, dir), k = 5, bound = 0.6)
 
   /** IVF top-k (nprobe 4 of 16 cells) must recover ≥80% of the exact
     * top-5 set (measured 0.93 at sf0.01 — see OpsSpec determinism pin). */
