@@ -943,6 +943,28 @@ object OpsQueries {
       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |      < rate * 4294967296.0""".stripMargin
 
+  /** Character-mass-weighted 50/25/25 mixture: budgets in n_chars units
+    * (the consumption unit of a training run), selection still by the
+    * stable per-doc md5 bucket. */
+  private def qSampleMixtureTokens(s: SparkSession, dir: String): DataFrame =
+    Sample.mixtureByWeight(
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      "doc_id", "lang", "n_chars",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+
+  private val oSampleMixtureTokens =
+    """WITH w(lang, wt) AS (VALUES ('en', CAST(0.5 AS DOUBLE)),
+      |    ('de', CAST(0.25 AS DOUBLE)), ('fr', CAST(0.25 AS DOUBLE))),
+      |c AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS m
+      |  FROM documents GROUP BY lang),
+      |j AS (SELECT c.lang, c.m, w.wt FROM c JOIN w USING (lang)),
+      |b AS (SELECT floor(min(m / wt)) AS budget FROM j),
+      |r AS (SELECT lang, budget * wt / m AS rate FROM j CROSS JOIN b)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN r USING (lang)
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      < rate * 4294967296.0""".stripMargin
+
   // =====================================================================
   // Mergeable HLL sketch rollup (incremental ndv aggregation)
   // =====================================================================
@@ -1043,6 +1065,7 @@ object OpsQueries {
     "join_pivot" -> (qJoinPivot _),
     "join_bloom" -> (qJoinBloom _),
     "sample_mixture" -> (qSampleMixture _),
+    "sample_mixture_tokens" -> (qSampleMixtureTokens _),
     "profile_hll_rollup" -> (qProfileHllRollup _),
     "profile_theta_overlap" -> (qProfileThetaOverlap _),
     "sim_lsh_recall" -> (qSimLshRecall _),
@@ -1086,6 +1109,7 @@ object OpsQueries {
     "join_pivot" -> oJoinPivot,
     "join_bloom" -> oJoinBloom,
     "sample_mixture" -> oSampleMixture,
+    "sample_mixture_tokens" -> oSampleMixtureTokens,
     "profile_hll_rollup" -> oProfileHllRollup,
     "profile_theta_overlap" -> oProfileThetaOverlap,
     "sim_lsh_recall" -> oAnnRecall,

@@ -76,4 +76,33 @@ object Sample {
     df.filter(col(stratumCol).isin(strata: _*) &&
       bucket32(col(idCol)) < rateCol * lit(4294967296.0))
   }
+
+  /** [[mixture]] with the budget measured in a WEIGHT column's units —
+    * tokens, bytes, chars — rather than rows: `weights(s)` is stratum
+    * s's share of the output's total MASS (what a training run actually
+    * consumes). budget = floor(min_s mass_s / w_s); every row of stratum
+    * s keeps the same acceptance rate budget·w_s / mass_s, so the
+    * retained mass matches the target share in expectation while
+    * selection stays per-row deterministic (the subset property of the
+    * md5 bucket is preserved). */
+  def mixtureByWeight(df: DataFrame, idCol: String, stratumCol: String,
+                      weightCol: String,
+                      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val strata = weights.keys.toSeq
+    val masses = df.filter(col(stratumCol).isin(strata: _*))
+      .groupBy(stratumCol)
+      .agg(sum(col(weightCol).cast("double")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(strata.forall(s => masses.getOrElse(s, 0.0) > 0.0),
+      s"mixtureByWeight: empty/zero-mass strata ${strata.filterNot(s => masses.getOrElse(s, 0.0) > 0.0).mkString(", ")}")
+    val budget = math.floor(weights.map { case (s, w) => masses(s) / w }.min)
+    val rates = weights.map { case (s, w) => s -> budget * w / masses(s) }
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(col(stratumCol).isin(strata: _*) &&
+      bucket32(col(idCol)) < rateCol * lit(4294967296.0))
+  }
 }

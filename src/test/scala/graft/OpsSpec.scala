@@ -590,6 +590,25 @@ class OpsSpec extends SparkSpec {
     assert(got.keySet == w.keySet, "unweighted strata leaked into the output")
   }
 
+  test("mixtureByWeight: retained char mass tracks the target shares") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val w = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+    val out = Sample.mixtureByWeight(d, "doc_id", "lang", "n_chars", w)
+    val mass = out.groupBy("lang").agg(sum("n_chars").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val total = mass.values.sum
+    assert(mass.keySet == w.keySet)
+    w.foreach { case (s, share) =>
+      val got = mass(s) / total
+      assert(math.abs(got - share) < 0.08, s"$s share $got, target $share")
+    }
+    // no stratum exceeds its source mass (never upsamples)
+    val src = d.groupBy("lang").agg(sum("n_chars").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    w.keys.foreach(s => assert(mass(s) <= src(s)))
+  }
+
   test("mixture selection is deterministic across partitionings") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "lang")
