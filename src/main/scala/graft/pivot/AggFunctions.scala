@@ -51,7 +51,7 @@ object AggFunctions {
   /** Case-insensitive order key with case-sensitive tiebreak; `\\u0001` is
     * below every character in the data, so lexicographic compare of the
     * combined key equals (lower(s), s) tuple compare. */
-  private def ciKey(s: Column): Column =
+  private[pivot] def ciKey(s: Column): Column =
     concat(lower(s), lit("\u0001"), s)
 
   /** Build the aggregate expression for one output cell.

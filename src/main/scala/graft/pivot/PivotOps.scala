@@ -260,12 +260,14 @@ object PivotOps {
         case Sum => sum(c).cast(schema(name).dataType)
         case Min => schema(name).dataType match {
           // reference string MIN/MAX order case-insensitively but return
-          // the original-case value (Min.java:49) — min_by over lower()
-          case StringType => min_by(c, lower(c))
+          // the original-case value (Min.java:49) — the SAME combined
+          // key as the batch cell (AggFunctions.ciKey), so case-ties
+          // resolve identically in merged and whole pivots
+          case StringType => min_by(c, AggFunctions.ciKey(c))
           case _          => min(c)
         }
         case Max => schema(name).dataType match {
-          case StringType => max_by(c, lower(c))
+          case StringType => max_by(c, AggFunctions.ciKey(c))
           case _          => max(c)
         }
         // empty-cell identities survive the merge: 0.0 for SUMOFSQUARES

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{abs, col, hash, lit}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -116,6 +117,29 @@ class PivotPropertySpec extends SparkSpec {
             s"correctedsumofsquares $ctx")
         }
       }
+    }
+  }
+
+  test("mergeCrossTabs(random splits) ≡ whole pivot, property-checked") {
+    val spec = graft.pivot.PivotSpec.parse("g", s"p=${declared.mkString(",")}",
+      "c: count(*), s: sum(v), mn: min(v), mx: max(v), smn: min(s), " +
+        "smx: max(s), nn: countnulls(v), sq: sumofsquares(v), " +
+        "la: logicaland(f), lo: logicalor(f)").toOption.get
+    for (trial <- 0 until 15) {
+      val data = genData.pureApply(Gen.Parameters.default, Seed(1000L + trial))
+      val df = data.toDF("g", "p", "v", "s", "d", "f")
+        .selectExpr("g", "nullif(p, 'null') AS p", "v", "s", "f")
+      val whole = PivotOps.pivot(df, spec).main
+        .collect().map(_.toString).sorted.toSeq
+      // random disjoint 3-way split by a value-derived hash (varies per
+      // trial, covers empty slices and missing groups)
+      val nSlices = 2 + trial % 3
+      val slices = (0 until nSlices).map(i =>
+        df.filter(abs(hash(col("v"), col("s"), lit(trial))) % nSlices === i))
+      val merged = PivotOps.mergeCrossTabs(
+          slices.map(PivotOps.pivot(_, spec).main), spec)
+        .collect().map(_.toString).sorted.toSeq
+      assert(merged == whole, s"trial $trial: merge diverged\n$merged\n$whole")
     }
   }
 }
