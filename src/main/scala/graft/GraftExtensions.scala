@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, DotProduct, HashedShingles, MinHashSig, SimHash64}
+import org.apache.spark.sql.types.{BinaryType, IntegerType}
+import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, HashedShingles, MinHashSig, SimHash64}
 
 /** Session extensions registering graft's native (codegen) functions.
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -46,6 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_minhash(shingles, numHashes) needs an integer literal numHashes")
         }
         MinHashSig(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        val bytes = children match {
+          case Seq(_, Literal(b: Array[Byte], BinaryType)) => b
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_contains(key, filterBytes) needs a binary literal filter")
+        }
+        BloomMightContain(children.head, bytes)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter membership test against a filter captured at build time
+  * (serialized into the plan; ~1.2 MB per million keys at 1% fpp, shipped
+  * once per stage with the task binary).
+  *
+  * Why a custom Catalyst expression: a Scala UDF closes over the filter
+  * just as well, but it breaks whole-stage codegen at exactly the wrong
+  * place — the pre-shuffle scan filter of [[graft.ops.Join.bloomPrune]],
+  * which at 100 TB evaluates once per fact row. Here the generated code
+  * calls `mightContainBinary` on the row's UTF8 bytes directly: no
+  * String materialization, no boxing, and the surrounding scan + filter
+  * + project stays one codegen stage.
+  *
+  * Key bytes are the UTF-8 encoding on both sides: the build side
+  * (`BloomFilter.putString`) and this probe (`UTF8String.getBytes`)
+  * hash identical byte sequences.
+  */
+case class BloomMightContain(child: Expression, serialized: Array[Byte])
+    extends UnaryExpression {
+
+  override lazy val resolved: Boolean =
+    child.resolved && child.dataType == StringType
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "graft_bloom_contains"
+
+  @transient private lazy val bf: BloomFilter =
+    BloomMightContain.deserialize(serialized)
+
+  override protected def nullSafeEval(v: Any): Any =
+    bf.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("graftBloom", bf,
+      classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$bfRef.mightContainBinary($c.getBytes())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+object BloomMightContain {
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+}

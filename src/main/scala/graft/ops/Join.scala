@@ -44,11 +44,22 @@ object Join {
       .select(col(dimKey).cast("string").as("__k"))
       .filter(col("__k").isNotNull)
       .stat.bloomFilter("__k", expectedKeys, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    // With GraftExtensions the membership test is the graft_bloom_contains
+    // codegen expression — the scan filter stays inside whole-stage
+    // codegen, no per-row String boxing. Fallback: a Scala UDF over a
+    // broadcast of the same filter (identical semantics, spec-pinned).
+    val probe =
+      if (fact.sparkSession.catalog.functionExists("graft_bloom_contains"))
+        call_function("graft_bloom_contains",
+          col(factKey).cast("string"),
+          lit(graft.functions.BloomMightContain.serialize(bf)))
+      else {
+        val bc = fact.sparkSession.sparkContext.broadcast(bf)
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+          .apply(col(factKey).cast("string"))
+      }
     // Null fact keys match nothing in an equi-join — drop them here too.
-    fact.filter(col(factKey).isNotNull &&
-      mightContain(col(factKey).cast("string")))
+    fact.filter(col(factKey).isNotNull && probe)
   }
 
   /** Inner-join `fact` to `dim` with the fact side bloom-pruned first.

@@ -568,6 +568,25 @@ class OpsSpec extends SparkSpec {
     assert(kept < orders.count(), "bloom pruned nothing on a selective dimension")
   }
 
+  test("graft_bloom_contains codegen expression matches the JVM filter bit-for-bit") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .filter($"c_mktsegment" === "BUILDING")
+    val pruned = Join.bloomPrune(orders, cust, "o_custkey", "c_custkey", 10000)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // extension registered in SparkSpec -> the expression path, not the UDF
+    assert(plan.contains("graft_bloom_contains"), s"UDF fallback took over:\n$plan")
+    // reference: the same deterministic filter (bit-OR build is
+    // order-independent) probed directly in the JVM
+    val bf = cust.select($"c_custkey".cast("string").as("k"))
+      .stat.bloomFilter("k", 10000, 0.01)
+    val expect = orders.collect()
+      .filter(r => bf.mightContainString(String.valueOf(r.getAs[Long]("o_custkey"))))
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    val got = pruned.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
   // ----------------------------------------------------- mixture sampling
 
   test("mixture: target proportions, no upsampling, only weighted strata") {
