@@ -141,6 +141,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination gate flags the same docs as the batch index join") {
+    implicit val ctx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = corpus.filter(col("doc_id") < 10).select("doc_id", "text")
+    val batchFlagged = graft.ops.Contamination.flag(corpus, bench, "text", "doc_id")
+      .select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.Contamination.flagStream(
+        input.toDF().toDF("doc_id", "text"), bench, "text")
+      .writeStream.format("memory").queryName("cont").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("cont").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batchFlagged,
+        s"stream/batch diverged: only-stream ${(streamed -- batchFlagged).take(5)}, " +
+          s"only-batch ${(batchFlagged -- streamed).take(5)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap is exceeded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
