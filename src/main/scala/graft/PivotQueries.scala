@@ -105,6 +105,43 @@ object PivotQueries {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // =====================================================================
+  // pivotWide extension: 3 pivot columns (the reference caps at 2,
+  // PivotConfig.java:164-167 — a config guard, not an engine limit).
+  // 2x2x2 declared cells x 2 aggregates over customer.
+  // =====================================================================
+
+  private def qPivotThreeCols(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .withColumn("hi", col("c_acctbal") > 5000)
+      .withColumn("par",
+        when(col("c_nationkey") % 2 === 0, "x").otherwise("y"))
+    val spec = PivotSpec.parse("c_nationkey",
+      "c_mktsegment=BUILDING,AUTOMOBILE;hi=true,false;par=x,y",
+      "cnt:count(*), sm:sum(c_acctbal)").toOption.get
+    val out = PivotOps.pivotWide(c, spec).main
+    f32(out, out.columns.filter(_.endsWith("_sm")).toSeq: _*)
+  }
+
+  private val oPivotThreeCols = {
+    val cells = for {
+      seg <- Seq("BUILDING", "AUTOMOBILE")
+      hi <- Seq("true", "false")
+      par <- Seq("x", "y")
+    } yield {
+      val cond = s"c_mktsegment='$seg' AND hi = $hi AND par = '$par'"
+      Seq(
+        s"""count(CASE WHEN $cond THEN 1 END) AS "${seg}_${hi}_${par}_cnt"""",
+        s"""CAST(sum(CASE WHEN $cond THEN c_acctbal END) AS REAL) AS "${seg}_${hi}_${par}_sm"""")
+    }
+    s"""SELECT c_nationkey,
+       |  ${cells.flatten.mkString(",\n  ")}
+       |FROM (SELECT *, c_acctbal > 5000 AS hi,
+       |  CASE WHEN c_nationkey % 2 = 0 THEN 'x' ELSE 'y' END AS par
+       |  FROM customer) c
+       |GROUP BY c_nationkey""".stripMargin
+  }
+
+  // =====================================================================
   // Per-function queries (SURVEY §2.2). Default shape: orders, rows
   // o_orderpriority, pivot o_orderstatus=O,F (P stays off-list — also
   // pinning that off-list records feed no cell in skip mode).
@@ -602,6 +639,7 @@ object PivotQueries {
     "pivot_tworows" -> (qPivotTwoRows _),
     "pivot_rollup" -> (qPivotRollup _),
     "pivot_incremental" -> (qPivotIncremental _),
+    "pivot_threecols" -> (qPivotThreeCols _),
     "pivot_twocols" -> (qPivotTwoCols _),
     "pivot_default" -> (qPivotDefault _),
     "pivot_alias" -> (qPivotAlias _),
@@ -635,6 +673,7 @@ object PivotQueries {
     "pivot_tworows" -> oPivotTwoRows,
     "pivot_rollup" -> oPivotRollup,
     "pivot_incremental" -> oPivotIncremental,
+    "pivot_threecols" -> oPivotThreeCols,
     "pivot_twocols" -> oPivotTwoCols,
     "pivot_default" -> oPivotDefault,
     "pivot_alias" -> oPivotAlias,

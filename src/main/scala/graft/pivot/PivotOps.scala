@@ -86,8 +86,21 @@ object PivotOps {
   /** Validate + pivot. Throws IllegalArgumentException listing all spec
     * errors (the reference accumulates in a FailureCollector then throws,
     * PivotConfig.java:134-187). */
-  def pivot(df: DataFrame, spec: PivotSpec): PivotResult = {
-    spec.validate(df.schema) match {
+  def pivot(df: DataFrame, spec: PivotSpec): PivotResult =
+    pivotImpl(df, spec, maxPivotColumns = 2)
+
+  /** Extension: the same cross-tab over ANY number of pivot columns —
+    * the reference's 2-column cap (PivotConfig.java:164-167) is a config
+    * guard, not an engine limit; every other semantic (cell routing,
+    * off-list ledger, error modes, aliasing, defaults) is shared code.
+    * Cell count is the product of the declared value lists — it, not
+    * the column count, is what bounds aggregate state. */
+  def pivotWide(df: DataFrame, spec: PivotSpec): PivotResult =
+    pivotImpl(df, spec, maxPivotColumns = Int.MaxValue)
+
+  private def pivotImpl(df: DataFrame, spec: PivotSpec,
+                        maxPivotColumns: Int): PivotResult = {
+    spec.validate(df.schema, maxPivotColumns) match {
       case Left(errs) =>
         throw new IllegalArgumentException(
           s"Invalid pivot spec:\n  ${errs.mkString("\n  ")}")

@@ -144,12 +144,16 @@ final case class PivotSpec(
 
   /** Validate against an input schema; accumulates all failures like the
     * reference FailureCollector (PivotConfig.java:134-187). */
-  def validate(schema: StructType): Either[List[String], PivotSpec] = {
+  /** @param maxPivotColumns reference parity caps at 2
+    *                        (PivotConfig.java:164-167); the pivotWide
+    *                        extension lifts it */
+  def validate(schema: StructType,
+               maxPivotColumns: Int = 2): Either[List[String], PivotSpec] = {
     val errs = List.newBuilder[String]
     if (pivotRows.isEmpty) errs += "The 'pivotRows' property must be set."
     if (pivotColumns.isEmpty) errs += "Select at least one pivot column."
-    if (pivotColumns.size > 2)
-      errs += "Maximum allowed number of pivot columns is 2."
+    if (pivotColumns.size > maxPivotColumns)
+      errs += s"Maximum allowed number of pivot columns is $maxPivotColumns."
     if (aggregates.isEmpty) errs += "The 'aggregates' property must be set."
 
     val names = schema.fieldNames.toSet

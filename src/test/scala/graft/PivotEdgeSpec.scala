@@ -186,6 +186,24 @@ class PivotEdgeSpec extends SparkSpec {
       "the fields Product,Brand,Q1_s,Q2_s,Q1_c,Q2_c.")
   }
 
+  test("pivotWide lifts the 2-column cap; pivot keeps reference parity") {
+    val spec3 = graft.pivot.PivotSpec.parse("Product",
+      "Quarter=Q1,Q2;Tag=alpha,b;Flag=true,false", "c:count(*)").toOption.get
+    val e = intercept[IllegalArgumentException] {
+      PivotOps.pivot(df, spec3)
+    }
+    assert(e.getMessage.contains("Maximum allowed number of pivot columns is 2."))
+    val wide = PivotOps.pivotWide(df, spec3).main
+    // rows column + 2x2x2 declared cells
+    assert(wide.columns.length == 1 + 8)
+    assert(wide.columns.contains("Q1_alpha_true_c"))
+    // cell routing still per-column: the (Q1, alpha, true) cell holds
+    // exactly the one matching record
+    val shoes = wide.filter($"Product" === "Shoes").head()
+    assert(shoes.getAs[Long]("Q1_alpha_true_c") == 1L)
+    assert(shoes.getAs[Long]("Q2_alpha_true_c") == 0L)
+  }
+
   test("mergeCrossTabs: slice merge ≡ whole pivot, incl. string case order and empty cells") {
     val spec = graft.pivot.PivotSpec.parse("Product", "Quarter=Q1,Q2",
       "c:count(*), s:sum(Sales), mn:min(Tag), mx:max(Tag), " +
