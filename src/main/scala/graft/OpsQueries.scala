@@ -994,6 +994,45 @@ object OpsQueries {
       |  TRUE AS est_ok
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Per-priority o_totalprice quantiles read from per-(priority, year)
+    * sparse histogram sketches — mergeable quantiles with a one-bin-width
+    * error bound. Exact per-group percentiles ride along (DuckDB
+    * quantile_cont parity) and the oracle checks the bound held. */
+  private def qProfileHistQuantile(s: SparkSession, dir: String): DataFrame = {
+    val (lo, hi, bins) = (0.0, 600000.0, 200)
+    val o = t(s, dir, "orders")
+      .withColumn("oyear", year(col("o_orderdate").cast("timestamp")))
+    val sk = Profile.histSketches(o, Seq("o_orderpriority", "oyear"),
+      "o_totalprice", lo, hi, bins)
+    val est = Profile.histQuantiles(sk, Seq("o_orderpriority"),
+      Seq(0.5, 0.95), lo, hi, bins)
+    // The mid-bin estimate is bounded (≤ one bin width) against the
+    // DISCRETE order statistic — the smallest value whose rank reaches
+    // q·n, which by construction lies in the selected bin. The
+    // interpolated percentile can sit arbitrarily far into a sparse gap
+    // between order stats, so it is reported for value parity but not
+    // used for the bound.
+    def disc(q: Double) = element_at(
+      sort_array(collect_list(col("o_totalprice"))),
+      ceil(count(lit(1)) * lit(q)).cast("int"))
+    val exact = o.groupBy("o_orderpriority").agg(
+      percentile(col("o_totalprice"), lit(0.5)).as("p50_exact"),
+      percentile(col("o_totalprice"), lit(0.95)).as("p95_exact"),
+      disc(0.5).as("p50_disc"), disc(0.95).as("p95_disc"))
+    val width = (hi - lo) / bins
+    exact.join(est, "o_orderpriority")
+      .select(col("o_orderpriority"), col("p50_exact"), col("p95_exact"),
+        (abs(col("p50") - col("p50_disc")) <= lit(width)).as("p50_ok"),
+        (abs(col("p95") - col("p95_disc")) <= lit(width)).as("p95_ok"))
+  }
+
+  private val oProfileHistQuantile =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+      |  quantile_cont(o_totalprice, 0.95) AS p95_exact,
+      |  TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Audience overlap between event types from persisted theta sketches.
     * At the oracle scale factors every segment holds < 2^12 distinct
     * users, so the sketches are in exact mode and the oracle compares
@@ -1068,6 +1107,7 @@ object OpsQueries {
     "sample_mixture_tokens" -> (qSampleMixtureTokens _),
     "profile_hll_rollup" -> (qProfileHllRollup _),
     "profile_theta_overlap" -> (qProfileThetaOverlap _),
+    "profile_hist_quantile" -> (qProfileHistQuantile _),
     "sim_lsh_recall" -> (qSimLshRecall _),
     "sim_ivf_recall" -> (qSimIvfRecall _)
   )
@@ -1112,6 +1152,7 @@ object OpsQueries {
     "sample_mixture_tokens" -> oSampleMixtureTokens,
     "profile_hll_rollup" -> oProfileHllRollup,
     "profile_theta_overlap" -> oProfileThetaOverlap,
+    "profile_hist_quantile" -> oProfileHistQuantile,
     "sim_lsh_recall" -> oAnnRecall,
     "sim_ivf_recall" -> oAnnRecall
   )

@@ -127,6 +127,50 @@ object Profile {
     df.groupBy(keys.map(col): _*)
       .agg(theta_sketch_agg(col(valueCol), lgK).as("theta"))
 
+  /** Fixed-range histogram sketches — mergeable QUANTILES, the third leg
+    * next to HLL (distincts) and theta (set algebra). Values bucket into
+    * `bins` equal cells over the declared [lo, hi] range; the persisted
+    * sketch is the SPARSE (keys…, bin, cnt) table, merged to any coarser
+    * key set by summing counts — so a year of per-day slices answers a
+    * yearly quantile from bins·365 tiny rows, with error bounded by one
+    * bin width. Out-of-range values clamp into the edge bins (widen the
+    * declared range if the bound must hold for them too). */
+  def histSketches(df: DataFrame, keys: Seq[String], valueCol: String,
+                   lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sparse histogram sketches to `keys` and read quantile
+    * estimates (mid-bin rule): one row per rolled-up group with a
+    * `p<q*100>` column per requested quantile. */
+  def histQuantiles(sketches: DataFrame, keys: Seq[String],
+                    qs: Seq[Double], lo: Double, hi: Double,
+                    bins: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val width = (hi - lo) / bins
+    val merged = sketches.groupBy((keys.map(col) :+ col("bin")): _*)
+      .agg(sum("cnt").as("cnt"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val cum = merged
+      .withColumn("cum", sum("cnt").over(byKey.orderBy("bin")
+        .rowsBetween(Long.MinValue, 0)))
+      .withColumn("total", sum("cnt").over(byKey))
+    val quantileCols = qs.map { q =>
+      (lit(lo) + (min(when(col("cum") >= col("total") * q, col("bin"))) +
+        lit(0.5)) * lit(width)).as(s"p${math.round(q * 100)}")
+    }
+    cum.groupBy(keys.map(col): _*)
+      .agg(quantileCols.head, quantileCols.tail: _*)
+  }
+
   /** Pairwise segment-overlap matrix from persisted theta sketches:
     * for each unordered segment pair, the distinct counts of each side,
     * their intersection and union, and the Jaccard overlap. |segments|²/2

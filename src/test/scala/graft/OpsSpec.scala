@@ -682,6 +682,36 @@ class OpsSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("histogram sketches: slice merge ≡ whole; quantile within one bin width") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("slice", col("o_orderkey") % 3)
+    val (lo, hi, bins) = (0.0, 600000.0, 200)
+    // sketch per (priority, slice), roll up to priority
+    val sliced = Profile.histSketches(d, Seq("o_orderpriority", "slice"),
+      "o_totalprice", lo, hi, bins)
+    val viaSlices = Profile.histQuantiles(sliced, Seq("o_orderpriority"),
+      Seq(0.5), lo, hi, bins).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // sketch the whole input directly
+    val whole = Profile.histSketches(d, Seq("o_orderpriority"),
+      "o_totalprice", lo, hi, bins)
+    val direct = Profile.histQuantiles(whole, Seq("o_orderpriority"),
+      Seq(0.5), lo, hi, bins).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSlices == direct, "merging slice histograms lost information")
+    // bound: within one bin width of the DISCRETE median (the order
+    // statistic the selected bin provably contains; the interpolated
+    // percentile can sit in a sparse gap beyond any histogram's reach)
+    val exact = d.groupBy("o_orderpriority")
+      .agg(element_at(sort_array(collect_list(col("o_totalprice"))),
+        ceil(count(lit(1)) * lit(0.5)).cast("int")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val width = (hi - lo) / bins
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(viaSlices(k) - ex) <= width, s"$k: ${viaSlices(k)} vs $ex")
+    }
+  }
+
   test("theta overlap: exact-mode set algebra incl. disjoint segments") {
     val d = Seq(
       ("a", 1L), ("a", 2L), ("a", 3L),
