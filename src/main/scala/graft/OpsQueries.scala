@@ -871,6 +871,32 @@ object OpsQueries {
       |  count(*) AS n, CAST(sum(value) AS REAL) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Daily per-user event grid with explicit zero-filled gap days —
+    * time-series regularization over the first 20 users. */
+  private def qEventsResample(s: SparkSession, dir: String): DataFrame =
+    Resample.regularize(
+      readEvents(s, dir).filter(col("user_id") < 20),
+      Seq("user_id"), "ts", "value", stepSec = 86400)
+      .withColumn("total", col("total").cast("float"))
+
+  private val oEventsResample =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events WHERE user_id < 20),
+      |b AS (SELECT user_id,
+      |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS bucket,
+      |    count(*) AS n, sum(value) AS total
+      |  FROM e GROUP BY 1, 2),
+      |g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+      |  FROM (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+      |        FROM b GROUP BY user_id)),
+      |j AS (SELECT g.user_id, g.bucket, COALESCE(b.n, 0) AS n,
+      |    CAST(COALESCE(b.total, 0.0) AS REAL) AS total
+      |  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket)
+      |SELECT user_id,
+      |  CAST(to_timestamp(bucket * 86400) AS TIMESTAMP) AS bucket_start,
+      |  n, total
+      |FROM j""".stripMargin
+
   /** Overlapping activity windows per user (6-hour windows opened by
     * every 50th event × 3-hour windows by every 70th), paired by the
     * binned interval-overlap join — a BETWEEN-free equi-join plan. */
@@ -1094,6 +1120,7 @@ object OpsQueries {
     "events_asof" -> (qEventsAsof _),
     "events_range_join" -> (qEventsRangeJoin _),
     "events_interval_overlap" -> (qEventsIntervalOverlap _),
+    "events_resample" -> (qEventsResample _),
     "doc_topn" -> (qDocTopN _),
     "curation_pipeline" -> (qCurationPipeline _),
     "sample_stratified" -> (qSampleStratified _),
@@ -1139,6 +1166,7 @@ object OpsQueries {
     "events_asof" -> oEventsAsof,
     "events_range_join" -> oEventsRangeJoin,
     "events_interval_overlap" -> oEventsIntervalOverlap,
+    "events_resample" -> oEventsResample,
     "doc_topn" -> oDocTopN,
     "curation_pipeline" -> oCurationPipeline,
     "sample_stratified" -> oSampleStratified,

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: roll events into a DENSE per-key time
+  * grid — every step between a key's first and last event exists, empty
+  * steps carry explicit zeros. Gap-aware rollups, rate/velocity
+  * features, and windowed models all need the zeros to exist; an
+  * aggregation alone silently skips them.
+  *
+  * Scale shape: one aggregation to per-(key, bucket) partials, one tiny
+  * per-key span aggregation, then the grid generates from `sequence` —
+  * fan-out is span/step rows per key, the same bounded-explode contract
+  * as [[RangeJoin]] (cap pathological key lifetimes upstream). The grid
+  * join is an equi-join on (key, bucket) of two already-aggregated
+  * tables, never the raw events.
+  */
+object Resample {
+
+  /** @param df      events with a timestamp and a numeric value column
+    * @param keyCols grid keys (one series per key tuple)
+    * @param tsCol   event-time column
+    * @param valueCol value to sum per bucket
+    * @param stepSec grid step in seconds
+    * @return (keys…, bucket_start timestamp, n, total) — n=0, total=0.0
+    *         on filled gaps
+    */
+  def regularize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 valueCol: String, stepSec: Long): DataFrame = {
+    require(stepSec > 0, "stepSec must be positive")
+    val stepUs = stepSec * 1000000L
+    val bucketed = df
+      .withColumn("__bucket",
+        floor(unix_micros(col(tsCol).cast("timestamp")) / stepUs))
+      .groupBy((keyCols.map(col) :+ col("__bucket")): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__total"))
+    val grid = bucketed
+      .groupBy(keyCols.map(col): _*)
+      .agg(min("__bucket").as("__lo"), max("__bucket").as("__hi"))
+      .select((keyCols.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"))).as("__bucket")): _*)
+    grid.join(bucketed, keyCols :+ "__bucket", "left")
+      .select((keyCols.map(col) ++ Seq(
+        timestamp_seconds(col("__bucket") * stepSec).as("bucket_start"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        coalesce(col("__total"), lit(0.0)).as("total"))): _*)
+  }
+}

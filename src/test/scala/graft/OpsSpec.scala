@@ -682,6 +682,24 @@ class OpsSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("regularize fills interior gaps with zeros, spans exactly first..last") {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(86400L * 1000 * day + 3600000)
+    val e = Seq(
+      (1L, ts(10), 2.0), (1L, ts(10), 3.0), // two events same day
+      (1L, ts(14), 1.0),                    // 3-day hole between
+      (2L, ts(5), 7.0)                      // single-event series
+    ).toDF("user_id", "ts", "value")
+    val out = Resample.regularize(e, Seq("user_id"), "ts", "value", 86400)
+      .orderBy("user_id", "bucket_start").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.length == 5) // days 10..14 inclusive, nothing outside
+    assert(u1.map(r => (r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((2L, 5.0), (0L, 0.0), (0L, 0.0), (0L, 0.0), (1L, 1.0)))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2.head.getLong(2) == 1L)
+  }
+
   test("histogram sketches: slice merge ≡ whole; quantile within one bin width") {
     val d = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .withColumn("slice", col("o_orderkey") % 3)
