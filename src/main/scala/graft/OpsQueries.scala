@@ -893,7 +893,8 @@ object OpsQueries {
       |    CAST(COALESCE(b.total, 0.0) AS REAL) AS total
       |  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket)
       |SELECT user_id,
-      |  CAST(to_timestamp(bucket * 86400) AS TIMESTAMP) AS bucket_start,
+      |  TIMESTAMP '1970-01-01' + bucket * 86400 * INTERVAL 1 SECOND
+      |    AS bucket_start,
       |  n, total
       |FROM j""".stripMargin
 

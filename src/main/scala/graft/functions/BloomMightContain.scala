@@ -35,17 +35,34 @@ case class BloomMightContain(child: Expression, serialized: Array[Byte])
   @transient private lazy val bf: BloomFilter =
     BloomMightContain.deserialize(serialized)
 
+  /** Accessor for generated code; deserializes lazily ON THE EXECUTOR so
+    * the filter bits travel only once, as `serialized` inside this node
+    * (referencing a driver-deserialized BloomFilter from codegen would
+    * ship a second copy of the bit array with every stage). */
+  def filter(): BloomFilter = bf
+
   override protected def nullSafeEval(v: Any): Any =
     bf.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bfRef = ctx.addReferenceObj("graftBloom", bf,
-      classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, c => s"$bfRef.mightContainBinary($c.getBytes())")
+    val self = ctx.addReferenceObj("graftBloomExpr", this,
+      classOf[BloomMightContain].getName)
+    defineCodeGen(ctx, ev, c => s"$self.filter().mightContainBinary($c.getBytes())")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
+
+  // Array[Byte] compares by reference under case-class equality, which
+  // would defeat semanticEquals/subexpression elimination for identical
+  // probes — compare contents.
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(serialized, b.serialized)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode + java.util.Arrays.hashCode(serialized)
 }
 
 object BloomMightContain {

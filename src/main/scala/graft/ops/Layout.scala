@@ -120,11 +120,15 @@ object Layout {
     * sampled exchange. */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
                     numFiles: Int, bitsPerDim: Int = 16): Unit = {
-    val statsRow = df.agg(
-      cols.flatMap(c => Seq(min(col(c)).cast("double").as(s"mn_$c"),
-        max(col(c)).cast("double").as(s"mx_$c"))).head,
-      cols.flatMap(c => Seq(min(col(c)).cast("double").as(s"mn_$c"),
-        max(col(c)).cast("double").as(s"mx_$c"))).tail: _*).head()
+    val statsExprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c")))
+    val statsRow = df.agg(statsExprs.head, statsExprs.tail: _*).head()
+    cols.foreach { c =>
+      require(!statsRow.isNullAt(statsRow.fieldIndex(s"mn_$c")),
+        s"writeZOrdered: no non-null values for '$c' (empty input or " +
+          "all-null column) — nothing to cluster on")
+    }
     val mins = cols.map(c => statsRow.getAs[Double](s"mn_$c"))
     val maxs = cols.map(c => statsRow.getAs[Double](s"mx_$c"))
     df.withColumn("__z", zOrderKey(cols.map(col), mins, maxs, bitsPerDim))

@@ -154,6 +154,11 @@ object Profile {
                     qs: Seq[Double], lo: Double, hi: Double,
                     bins: Int): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val labels = qs.map(q => s"p${math.round(q * 100)}")
+    require(labels.distinct.size == labels.size,
+      s"histQuantiles: quantiles ${qs.mkString(", ")} collide to the same " +
+        s"p<percent> output labels (${labels.mkString(", ")}) — space them " +
+        "at least one percent apart")
     val width = (hi - lo) / bins
     val merged = sketches.groupBy((keys.map(col) :+ col("bin")): _*)
       .agg(sum("cnt").as("cnt"))
@@ -163,9 +168,9 @@ object Profile {
       .withColumn("cum", sum("cnt").over(byKey.orderBy("bin")
         .rowsBetween(Long.MinValue, 0)))
       .withColumn("total", sum("cnt").over(byKey))
-    val quantileCols = qs.map { q =>
+    val quantileCols = qs.zip(labels).map { case (q, label) =>
       (lit(lo) + (min(when(col("cum") >= col("total") * q, col("bin"))) +
-        lit(0.5)) * lit(width)).as(s"p${math.round(q * 100)}")
+        lit(0.5)) * lit(width)).as(label)
     }
     cum.groupBy(keys.map(col): _*)
       .agg(quantileCols.head, quantileCols.tail: _*)

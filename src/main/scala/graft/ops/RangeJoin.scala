@@ -83,6 +83,13 @@ object RangeJoin {
     require((used intersect reserved).isEmpty,
       s"intervalOverlap: ${(used intersect reserved).mkString(", ")} collide " +
         "with reserved internal names")
+    // Attached right columns must not shadow left columns — the overlap
+    // filter would hit AMBIGUOUS_REFERENCE (or the output would carry
+    // duplicate names); same contract as AsOfJoin.asOf.
+    val clash = rightCols.toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"intervalOverlap: rightCols ${clash.mkString(", ")} collide with " +
+        "left columns; rename or alias the right side first")
     val l = left
       .filter(col(leftStart) <= col(leftEnd))
       .withColumn("__key", col(leftKey))

@@ -29,6 +29,12 @@ object Resample {
   def regularize(df: DataFrame, keyCols: Seq[String], tsCol: String,
                  valueCol: String, stepSec: Long): DataFrame = {
     require(stepSec > 0, "stepSec must be positive")
+    val reserved = Set("__bucket", "__n", "__total", "__lo", "__hi",
+      "bucket_start", "n", "total")
+    val clash = (keyCols.toSet + tsCol + valueCol) intersect reserved
+    require(clash.isEmpty,
+      s"regularize: input columns ${clash.mkString(", ")} collide with " +
+        "internal/output names (__bucket/__n/__total/__lo/__hi/bucket_start/n/total)")
     val stepUs = stepSec * 1000000L
     val bucketed = df
       .withColumn("__bucket",

@@ -60,21 +60,13 @@ object Sample {
     */
   def mixture(df: DataFrame, idCol: String, stratumCol: String,
               weights: Map[String, Double]): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      "weights must be non-empty and positive")
-    val strata = weights.keys.toSeq
-    val counts = df.filter(col(stratumCol).isin(strata: _*))
-      .groupBy(stratumCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(strata.forall(s => counts.getOrElse(s, 0L) > 0L),
-      s"mixture: empty strata ${strata.filter(s => counts.getOrElse(s, 0L) == 0L).mkString(", ")}")
-    val budget = math.floor(weights.map { case (s, w) => counts(s) / w }.min)
-    val rates = weights.map { case (s, w) => s -> budget * w / counts(s) }
-    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
-      when(col(stratumCol) === s, lit(r)).otherwise(acc)
-    }
-    df.filter(col(stratumCol).isin(strata: _*) &&
-      bucket32(col(idCol)) < rateCol * lit(4294967296.0))
+    // the weightCol ≡ 1 special case of mixtureByWeight: a count is a
+    // unit-mass sum, and integer counts below 2^53 are exact in double,
+    // so the budget/rate arithmetic is identical
+    require(!df.columns.contains("__unit_w"),
+      "mixture: input already has a __unit_w column")
+    mixtureByWeight(df.withColumn("__unit_w", lit(1L)),
+      idCol, stratumCol, "__unit_w", weights).drop("__unit_w")
   }
 
   /** [[mixture]] with the budget measured in a WEIGHT column's units —

@@ -248,7 +248,15 @@ object PivotOps {
     *
     * Restricted to [[mergeable]] aggregates, skip-error mode, and no
     * defaultValue (filled cells would make empty and zero
-    * indistinguishable — fill AFTER the final merge instead). */
+    * indistinguishable — fill AFTER the final merge instead).
+    *
+    * Exactness caveat: COUNT/COUNTNULLS/MIN/MAX/LOGICALAND/OR and
+    * integral or dyadic-valued sums merge bit-exactly. A SUM or
+    * SUMOFSQUARES over arbitrary fractional doubles is exact only up to
+    * floating-point reassociation (the merged total adds per-slice
+    * partials in a different order than the whole-input pivot) — the
+    * same ulp-level caveat as Spark's own partial aggregation under
+    * repartitioning. */
   def mergeCrossTabs(parts: Seq[DataFrame], spec: PivotSpec): DataFrame = {
     require(parts.nonEmpty, "mergeCrossTabs: no inputs")
     require(spec.onError == OnError.Skip,
