@@ -682,6 +682,28 @@ class OpsSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("product quantization: valid byte codes, deterministic, 16x compression tradeoff") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (m, k) = (16, 256)
+    val cb = Quantize.pqTrain(e, "embedding", "vec_id", m, k)
+    assert(cb.length == m && cb.forall(_.length == k) &&
+      cb.forall(_.forall(_.length == 64 / m)))
+    val enc = Quantize.pqEncode(e, "embedding", "vec_id", cb)
+    val rows = enc.collect()
+    assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < k)))
+    assert(rows.forall(_.getSeq[Int](1).length == m)) // 16 bytes per vector
+    // deterministic under repartitioning
+    val again = Quantize.pqEncode(e.repartition(7), "embedding", "vec_id", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.forall(r => again(r.getLong(0)) == r.getSeq[Int](1)))
+    // compression costs accuracy: PQ error sits above int8's, but bounded
+    val pqErr = enc.agg(avg("err")).head().getDouble(0)
+    val i8Err = Quantize.int8Table(e, "embedding", "vec_id")
+      .agg(avg("err")).head().getDouble(0)
+    assert(pqErr > i8Err, "PQ cannot beat int8 at 4x fewer bits")
+    assert(pqErr < 1.0, s"unit-norm-scale reconstruction error too large: $pqErr")
+  }
+
   test("regularize fills interior gaps with zeros, spans exactly first..last") {
     import java.sql.Timestamp
     def ts(day: Int) = new Timestamp(86400L * 1000 * day + 3600000)
