@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
-import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, HashedShingles, MinHashSig, SimHash64}
+import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, HashedShingles, MinHashSig, PqLookupSum, SimHash64}
 
 /** Session extensions registering graft's native (codegen) functions.
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -46,6 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_minhash(shingles, numHashes) needs an integer literal numHashes")
         }
         MinHashSig(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_lookup"),
+      new ExpressionInfo(classOf[PqLookupSum].getName, "graft_pq_lookup"),
+      (children: Seq[Expression]) => {
+        val k = children match {
+          case Seq(_, _, Literal(v: Int, IntegerType)) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_pq_lookup(codes, table, k) needs an integer literal k")
+        }
+        PqLookupSum(children.head, children(1), k)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),

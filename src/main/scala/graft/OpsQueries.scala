@@ -329,11 +329,11 @@ object OpsQueries {
   private def qEmbPqRecall(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cb = Quantize.pqTrain(e, "embedding", "vec_id", m = 16, k = 256)
-    val recon = Quantize.pqDecode(
-        Quantize.pqEncode(e, "embedding", "vec_id", cb), "codes", cb)
-      .select(col("vec_id"), col("vec_approx").as("embedding"))
-    val approx = Similarity.bruteForceTopK(recon,
-      recon.filter(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+    val codes = Quantize.pqEncode(e, "embedding", "vec_id", cb)
+    // ADC search straight over the 16-byte codes (never reconstructs);
+    // spec-pinned equal to brute force over the decoded vectors
+    val approx = Similarity.pqTopK(codes, "codes", "vec_id",
+      e.filter(col("vec_id") < 8), "embedding", "vec_id", cb, k = 5)
     annRecall(qSimTopK(s, dir), approx, k = 5, bound = 0.4)
   }
 

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Asymmetric-distance lookup sum for product-quantized vectors:
+  * `Σ_j table[j*k + codes[j]]` — the ADC inner loop. With a per-query
+  * table of subspace dot products this evaluates `dot(query, decode(
+  * codes))` in m array reads instead of d multiplies, and with a
+  * codebook-norm table it evaluates `|decode(codes)|²` — PQ search never
+  * reconstructs a vector.
+  *
+  * Why a custom expression: the equivalent `aggregate(zip_with(...))`
+  * HOF combo is CodegenFallback (boxed, interpreted) — this is the
+  * per-(candidate × query) hot path, the same argument as
+  * [[CosineSimilarity]]. `k` (centroids per subspace) rides as a
+  * constructor literal, mirroring [[MinHashSig]].
+  */
+case class PqLookupSum(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override lazy val resolved: Boolean = {
+    def arr(e: Expression, t: DataType) = e.resolved && (e.dataType match {
+      case ArrayType(`t`, _) => true
+      case _ => false
+    })
+    k > 0 && arr(left, IntegerType) && arr(right, DoubleType)
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_pq_lookup"
+
+  override protected def nullSafeEval(codes: Any, table: Any): Any =
+    PqLookupSum.compute(
+      codes.asInstanceOf[ArrayData].toIntArray(),
+      table.asInstanceOf[ArrayData].toDoubleArray(), k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) =>
+      s"graft.functions.PqLookupSum.compute($c.toIntArray(), $t.toDoubleArray(), $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqLookupSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqLookupSum {
+  /** Static forwarder shared by interpreted and generated code. */
+  def compute(codes: Array[Int], table: Array[Double], k: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < codes.length) {
+      s += table(j * k + codes(j))
+      j += 1
+    }
+    s
+  }
+}

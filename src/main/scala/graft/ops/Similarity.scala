@@ -215,6 +215,76 @@ object Similarity {
     cents.map(v => (v, norm(v)))
   }
 
+  /** ADC (asymmetric-distance) top-k over product-quantized codes — the
+    * search path [[Quantize]]'s PQ exists for: the corpus side is ONLY
+    * its 16-byte code rows, never reconstructed. Per query, a m×k table
+    * of subspace dot products is built once (UDF over the broadcast
+    * query side — |queries|·m·k work total); each candidate then scores
+    * in m table lookups via the `graft_pq_lookup` codegen expression
+    * (an m-term `element_at` combo when the extension is absent).
+    * Cosine uses a query-independent codebook-norm² table the same way,
+    * so `sim` equals the cosine against the float-decoded vector (up to
+    * summation-order ulp — spec-bounded). Same broadcast-queries /
+    * two-stage top-k shape as [[bruteForceTopK]]. */
+  def pqTopK(codes: DataFrame, codesCol: String, idCol: String,
+             queries: DataFrame, vecCol: String, qIdCol: String,
+             codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val m = codebooks.length
+    val kCent = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    // float-rounded codebook entries: table sums must match scoring the
+    // float-decoded vectors (Quantize.pqDecode emits float32)
+    val cbF: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.map(_.toFloat.toDouble)))
+    val norm2: IndexedSeq[Double] = for {
+      j <- 0 until m; c <- 0 until kCent
+    } yield cbF(j)(c).map(x => x * x).sum
+    val norm2Col = array(norm2.map(lit): _*)
+    val bcCb = spark.sparkContext.broadcast(cbF)
+    val dotTable = udf { (qv: Seq[Float]) =>
+      val cb = bcCb.value
+      val out = new Array[Double](m * kCent)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < kCent) {
+          var s = 0.0; var t = 0
+          while (t < sub) { s += qv(j * sub + t).toDouble * cb(j)(c)(t); t += 1 }
+          out(j * kCent + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      out
+    }
+    val qNorm = udf((qv: Seq[Float]) => math.sqrt(qv.map(x => x.toDouble * x).sum))
+    val q = broadcast(queries.select(col(qIdCol).as("qid"),
+      dotTable(col(vecCol)).as("__dt"), qNorm(col(vecCol)).as("__qn")))
+    def lookup(cs: Column, table: Column): Column =
+      if (spark.catalog.functionExists("graft_pq_lookup"))
+        call_function("graft_pq_lookup", cs, table, lit(kCent))
+      else (0 until m).map(j => // element_at is 1-based
+        element_at(table, element_at(cs, j + 1) + lit(j * kCent + 1)))
+        .reduce(_ + _)
+    val par = spark.sparkContext.defaultParallelism
+    val c0 = codes.select(col(idCol).as("id"), col(codesCol).as("__codes"))
+    val c = if (c0.rdd.getNumPartitions < par / 2) c0.repartition(par) else c0
+    val scored = c.join(q, col("qid") =!= col("id"))
+      .withColumn("sim", round(lookup(col("__codes"), col("__dt")) /
+        (col("__qn") * sqrt(lookup(col("__codes"), norm2Col))), 6))
+      .select("qid", "id", "sim")
+    val localW = Window.partitionBy("qid", "__part").orderBy(col("sim").desc, col("id"))
+    val pruned = scored.withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(localW))
+      .filter(col("__lr") <= k)
+      .drop("__part", "__lr")
+    val globalW = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    pruned.withColumn("rank", row_number().over(globalW))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+
   /** Multi-table LSH approximate top-k: `tables` independent sign
     * signatures; each query probes its bucket and every Hamming-1
     * neighbor in every table; candidates are deduped before scoring so

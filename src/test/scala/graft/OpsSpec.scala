@@ -704,6 +704,29 @@ class OpsSpec extends SparkSpec {
     assert(pqErr < 1.0, s"unit-norm-scale reconstruction error too large: $pqErr")
   }
 
+  test("pqTopK (ADC over codes) ≡ brute force over decoded vectors") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = Quantize.pqTrain(e, "embedding", "vec_id", 16, 256)
+    val codes = Quantize.pqEncode(e, "embedding", "vec_id", cb)
+    val q = e.filter(col("vec_id") < 8)
+    val adc = Similarity.pqTopK(codes, "codes", "vec_id",
+        q, "embedding", "vec_id", cb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val recon = Quantize.pqDecode(codes, "codes", cb)
+      .select(col("vec_id"), col("vec_approx").as("embedding"))
+    val ref = Similarity.bruteForceTopK(recon, q, "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // table lookups and the fused cosine loop associate additions
+    // differently — identical up to ulp at the 6dp rounding, so demand
+    // near-total pair agreement and bit-close sims on the overlap
+    val overlap = adc.keySet intersect ref.keySet
+    assert(overlap.size >= (ref.size * 0.9).toInt,
+      s"ADC and decoded-brute-force rankings diverged: ${overlap.size}/${ref.size}")
+    overlap.foreach { p =>
+      assert(math.abs(adc(p) - ref(p)) <= 2e-6, s"$p: ${adc(p)} vs ${ref(p)}")
+    }
+  }
+
   test("regularize fills interior gaps with zeros, spans exactly first..last") {
     import java.sql.Timestamp
     def ts(day: Int) = new Timestamp(86400L * 1000 * day + 3600000)
