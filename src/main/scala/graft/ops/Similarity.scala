@@ -264,9 +264,7 @@ object Similarity {
     def lookup(cs: Column, table: Column): Column =
       if (spark.catalog.functionExists("graft_pq_lookup"))
         call_function("graft_pq_lookup", cs, table, lit(kCent))
-      else (0 until m).map(j => // element_at is 1-based
-        element_at(table, element_at(cs, j + 1) + lit(j * kCent + 1)))
-        .reduce(_ + _)
+      else pqLookupCombo(cs, table, m, kCent)
     val par = spark.sparkContext.defaultParallelism
     val c0 = codes.select(col(idCol).as("id"), col(codesCol).as("__codes"))
     val c = if (c0.rdd.getNumPartitions < par / 2) c0.repartition(par) else c0
@@ -284,6 +282,17 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "rank", "id", "sim")
   }
+
+  /** Expression-combo twin of the `graft_pq_lookup` codegen expression:
+    * `Σ_j table[j·k + codes[j]]` as m `element_at` terms (1-based) —
+    * the path [[pqTopK]] takes on sessions without GraftExtensions.
+    * Package-visible for the bit-equality spec against the native
+    * expression. */
+  private[graft] def pqLookupCombo(cs: Column, table: Column,
+                                   m: Int, kCent: Int): Column =
+    (0 until m).map(j =>
+      element_at(table, element_at(cs, j + 1) + lit(j * kCent + 1)))
+      .reduce(_ + _)
 
   /** Multi-table LSH approximate top-k: `tables` independent sign
     * signatures; each query probes its bucket and every Hamming-1

@@ -704,6 +704,24 @@ class OpsSpec extends SparkSpec {
     assert(pqErr < 1.0, s"unit-norm-scale reconstruction error too large: $pqErr")
   }
 
+  test("graft_pq_lookup codegen expression ≡ element_at fallback combo, bit-for-bit") {
+    val (m, k) = (4, 8)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Seq.fill(m)(rnd.nextInt(k)),
+        Seq.fill(m * k)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "codes", "table")
+    val both = df.select(col("id"),
+        call_function("graft_pq_lookup", col("codes"), col("table"), lit(k)).as("native"),
+        Similarity.pqLookupCombo(col("codes"), col("table"), m, k).as("combo"))
+      .collect()
+    // identical lookups added in identical order -> bit-equal doubles
+    both.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"id ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}"))
+  }
+
   test("pqTopK (ADC over codes) ≡ brute force over decoded vectors") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cb = Quantize.pqTrain(e, "embedding", "vec_id", 16, 256)
