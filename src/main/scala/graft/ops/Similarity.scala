@@ -129,6 +129,21 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Multi-table LSH signatures as one `array<long>` column (element t =
+    * [[lshBucket]] under seed `seedBase + t`): the fused graft_lsh_sig
+    * codegen expression when [[graft.GraftExtensions]] is registered (one
+    * vector conversion + all tables×nbits plane dots in a single loop),
+    * else the per-table [[lshBucket]] expression combo. Both draw planes
+    * from the same seeded family, so signatures are bit-identical
+    * (spec-pinned). */
+  def lshSignatures(spark: org.apache.spark.sql.SparkSession, vec: Column,
+                    nbits: Int, dim: Int, tables: Int,
+                    seedBase: Long = 42L): Column =
+    if (spark.catalog.functionExists("graft_lsh_sig"))
+      call_function("graft_lsh_sig", vec, lit(nbits), lit(tables), lit(seedBase))
+    else array((0 until tables).map(t =>
+      lshBucket(spark, vec, nbits, dim, seed = seedBase + t)): _*)
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
     * path next to LSH. A coarse quantizer of `ncentroids` centroids
     * partitions the corpus; each query probes only its `nprobe` nearest

@@ -254,6 +254,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("graft_lsh_sig is bit-identical to the per-table lshBucket combo") {
+    assert(spark.catalog.functionExists("graft_lsh_sig"))
+    val combo = array((0 until 6).map(t =>
+      Similarity.lshBucket(spark, col("embedding"), nbits = 5, dim = 64,
+        seed = 42L + t)): _*)
+    val diff = emb.select(
+        call_function("graft_lsh_sig", col("embedding"), lit(5), lit(6),
+          lit(42L)).as("a"),
+        combo.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("embeddingNearDupPairsLsh equals the exact all-pairs path (sf0.001)") {
+    val exact = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.35)
+      .collect().map(_.toString).sorted.toSeq
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, "embedding", "vec_id", 0.35)
+      .collect().map(_.toString).sorted.toSeq
+    assert(exact.nonEmpty, "threshold should qualify at least one pair")
+    assert(lsh == exact)
+  }
+
+  test("embeddingNearDupPairsLsh plan has no cartesian/nested-loop join") {
+    val plan = Dedup.embeddingNearDupPairsLsh(emb, "embedding", "vec_id", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
