@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.pivot.PivotOps
@@ -13,13 +14,14 @@ import graft.pivot.PivotOps
   * Queries whose result depends on an engine-specific hash family
   * (xxhash64 minhash bands, simhash, LSH bucketing) either (a) verify
   * candidates against an exact measure so the oracle is the exact
-  * computation (dedup_minhash — LSH only affects recall, and the planted
-  * near-dups at jaccard≈0.98 are found with probability 1-1e-35), or
-  * (b) ship without an oracle and are pinned by ScalaTest instead
-  * (dedup_simhash, sim_topk_lsh), with the recall CONTRACT of the
-  * approximate rankings oracle-checked separately (sim_lsh_recall,
-  * sim_ivf_recall — the bound is engine-agnostic even though the
-  * rankings are not).
+  * computation (dedup_minhash, dedup_embedding — LSH only affects
+  * recall, tuned so every qualifying pair in the testdata is found), or
+  * (b) emit CONTRACT rows whose values are engine-agnostic even though
+  * the raw output is not: exact counts the oracle recomputes, plus
+  * recall/precision/error/well-formedness bounds that are literal TRUE
+  * in the oracle SQL (dedup_simhash, profile_sketch, sim_topk_lsh/ivf,
+  * sim_lsh_recall, sim_ivf_recall, emb_pq_recall). Every query has an
+  * oracle; the raw approximate outputs stay pinned by ScalaTest.
   */
 object OpsQueries {
 
@@ -234,9 +236,33 @@ object OpsQueries {
       |SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT DISTINCT dst FROM reach WHERE src < dst)""".stripMargin
 
-  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+  /** SimHash CONTRACT row — the raw (ida, idb, hamming) pair list is
+    * hash-family-dependent, but the properties a user relies on are not:
+    * RECALL (at least half of the exact jaccard≥0.9 near-dup pairs are
+    * found; measured 0.60 at sf0.01, 0.76 at sf0.1) and PRECISION (at
+    * least half of the emitted pairs ARE jaccard≥0.9 near-dups; measured
+    * 1.0 / 0.75 — hamming≤3 collisions between genuinely different docs
+    * are real SimHash behavior on a small-vocabulary bag-of-words corpus,
+    * where per-bit token votes concentrate fingerprints). n_true is
+    * engine-agnostic and oracle-checked exactly. */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emitted = Dedup.simhashPairs(docs, "text", "doc_id",
       maxDist = 3, bands = 4)
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.9)
+    val hits = emitted.select("ida", "idb")
+      .join(exact.select("ida", "idb"), Seq("ida", "idb"), "left_semi")
+    exact.agg(count(lit(1)).as("n_true"))
+      .crossJoin(emitted.agg(count(lit(1)).as("__n_emit")))
+      .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+      .select(col("n_true"),
+        (col("__n_hit") >= col("n_true") * lit(0.5)).as("recall_ok"),
+        (col("__n_hit") >= col("__n_emit") * lit(0.5)).as("precision_ok"))
+  }
+
+  private val oDedupSimhash =
+    s"""SELECT count(*) AS n_true, TRUE AS recall_ok, TRUE AS precision_ok
+      |FROM (${oJaccardPairs(0.9)}) jp""".stripMargin
 
   /** LSH-blocked path (no corpus × corpus join); emitted pairs are
     * exact-cosine-verified, and at nbits=4 × 48 tables the per-pair miss
@@ -285,19 +311,59 @@ object OpsQueries {
     * at the same local cost as the old 8×4 setting's 0.45 — each table
     * probes (nbits+1)/2^nbits of the corpus, so raise nbits (and tables
     * with it) as corpus size grows to hold the probed fraction flat. */
-  private def qSimTopKLsh(s: SparkSession, dir: String): DataFrame = {
+  private def rawSimTopKLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
       "embedding", "vec_id", k = 5, nbits = 7, dim = 64, tables = 8)
   }
 
-  /** IVF variant (sketch-dependent → rows-only check; recall is
-    * spec-bounded against brute force in OpsSpec). */
-  private def qSimTopKIvf(s: SparkSession, dir: String): DataFrame = {
+  private def rawSimTopKIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
       "embedding", "vec_id", k = 5, ncentroids = 16, nprobe = 4)
   }
+
+  /** Well-formedness CONTRACT of an ANN rank list — the list itself is
+    * hash/sketch-family-dependent (its recall is the separate
+    * sim_*_recall contract), but these properties are engine-agnostic:
+    * every query returns exactly k rows; every reported sim IS the exact
+    * cosine of (query, candidate) re-computed from the vectors (ANN
+    * selects candidates, it never fabricates scores); ranks are exactly
+    * row_number by (sim DESC, id). */
+  private def annWellFormed(s: SparkSession, dir: String, approx: DataFrame,
+                            k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val withVecs = approx
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("__qv")), "qid")
+      .join(e.select(col("vec_id").as("id"), col("embedding").as("__cv")), "id")
+      .withColumn("__true_sim",
+        round(Similarity.cosineFast(s, col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    val checked = withVecs
+      .withColumn("__rn", row_number().over(w))
+      .select(
+        when(col("sim") === col("__true_sim"), 1).otherwise(0).as("__sim_ok"),
+        when(col("rank") === col("__rn"), 1).otherwise(0).as("__rank_ok"))
+    e.filter(col("vec_id") < 8).agg(count(lit(1)).as("n_queries"))
+      .crossJoin(checked.agg(
+        count(lit(1)).as("n_rows"),
+        (min(col("__sim_ok")) === 1).as("sims_exact_ok"),
+        (min(col("__rank_ok")) === 1).as("ranked_ok")))
+      .select(col("n_queries"), lit(k).cast("long").as("k"), col("n_rows"),
+        col("sims_exact_ok"), col("ranked_ok"))
+  }
+
+  private def qSimTopKLsh(s: SparkSession, dir: String): DataFrame =
+    annWellFormed(s, dir, rawSimTopKLsh(s, dir), k = 5)
+
+  private def qSimTopKIvf(s: SparkSession, dir: String): DataFrame =
+    annWellFormed(s, dir, rawSimTopKIvf(s, dir), k = 5)
+
+  private val oAnnWellFormed =
+    """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+      |  count(*) * CAST(5 AS BIGINT) AS n_rows,
+      |  TRUE AS sims_exact_ok, TRUE AS ranked_ok
+      |FROM embeddings WHERE vec_id < 8""".stripMargin
 
   /** Recall of an ANN result against the exact brute-force top-k, as an
     * oracle-checkable CONTRACT row: the raw approximate rankings are
@@ -320,12 +386,12 @@ object OpsQueries {
     * at sf0.01, 0.80 at sf0.1 — deterministic for the fixed hyperplane
     * family). */
   private def qSimLshRecall(s: SparkSession, dir: String): DataFrame =
-    annRecall(qSimTopK(s, dir), qSimTopKLsh(s, dir), k = 5, bound = 0.6)
+    annRecall(qSimTopK(s, dir), rawSimTopKLsh(s, dir), k = 5, bound = 0.6)
 
   /** IVF top-k (nprobe 4 of 16 cells) must recover ≥80% of the exact
     * top-5 set (measured 0.93 at sf0.01 — see OpsSpec determinism pin). */
   private def qSimIvfRecall(s: SparkSession, dir: String): DataFrame =
-    annRecall(qSimTopK(s, dir), qSimTopKIvf(s, dir), k = 5, bound = 0.8)
+    annRecall(qSimTopK(s, dir), rawSimTopKIvf(s, dir), k = 5, bound = 0.8)
 
   /** Search over PQ-RECONSTRUCTED vectors (m=16 × 256 centroids — 16
     * bytes/vec, 16x smaller than float32) must recover ≥40% of the
@@ -787,11 +853,47 @@ object OpsQueries {
     out.withColumn("mean", col("mean").cast("float"))
   }
 
-  /** Sketch profile (HLL ndv + approx quantiles): sketch-dependent
-    * output → rows-only check; error bounds are spec-checked against the
-    * exact profile. */
-  private def qProfileSketch(s: SparkSession, dir: String): DataFrame =
-    Profile.sketch(t(s, dir, "orders"), Seq("o_totalprice", "o_custkey"))
+  /** Sketch-profile CONTRACT rows — the raw estimates are
+    * sketch-dependent, so per column the query emits exact n and ndv
+    * (oracle-checked exactly) plus the bounds a sketch consumer relies
+    * on: the HLL++ estimate (rsd 0.01) within 3% of the exact distinct
+    * count (3 sigma), and each approx quantile (rank error 1/accuracy =
+    * 1e-4) between the exact q∓0.01 quantiles (a 100x rank margin). */
+  private def qProfileSketch(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cols = Seq("o_totalprice", "o_custkey")
+    val sk = Profile.sketch(orders, cols, rsd = 0.01)
+    val exAggs = cols.flatMap { c => Seq(
+      count_distinct(col(c)).as(s"${c}__ndv")) ++
+      Seq(0.25, 0.5, 0.95).flatMap { q =>
+        val pct = math.round(q * 100)
+        Seq(percentile(col(c), lit(q - 0.01)).as(s"${c}__lo$pct"),
+          percentile(col(c), lit(q + 0.01)).as(s"${c}__hi$pct"))
+      } }
+    val exStructs = cols.map { c =>
+      struct(lit(c).as("column"), col(s"${c}__ndv").as("__ndv_exact"),
+        col(s"${c}__lo25").as("__lo25"), col(s"${c}__hi25").as("__hi25"),
+        col(s"${c}__lo50").as("__lo50"), col(s"${c}__hi50").as("__hi50"),
+        col(s"${c}__lo95").as("__lo95"), col(s"${c}__hi95").as("__hi95"))
+    }
+    val exact = orders.agg(exAggs.head, exAggs.tail: _*)
+      .select(explode(array(exStructs: _*)).as("e")).select("e.*")
+    sk.join(exact, "column")
+      .select(col("column"), col("n"), col("__ndv_exact").as("ndv_exact"),
+        (abs(col("ndv") - col("__ndv_exact")) <=
+          col("__ndv_exact") * lit(0.03)).as("ndv_ok"),
+        col("p25").between(col("__lo25"), col("__hi25")).as("p25_ok"),
+        col("p50").between(col("__lo50"), col("__hi50")).as("p50_ok"),
+        col("p95").between(col("__lo95"), col("__hi95")).as("p95_ok"))
+  }
+
+  private val oProfileSketch =
+    """SELECT 'o_totalprice' AS "column", count(o_totalprice) AS n,
+      |  count(DISTINCT o_totalprice) AS ndv_exact, TRUE AS ndv_ok,
+      |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p95_ok FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+      |  TRUE, TRUE, TRUE, TRUE FROM orders""".stripMargin
 
   private val oProfileNumeric =
     """SELECT 'o_totalprice' AS "column",
@@ -1173,11 +1275,14 @@ object OpsQueries {
     "dedup_ngram_jaccard" -> oJaccardPairs(0.5),
     "dedup_survivors" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
-    // dedup_simhash / sim_topk_lsh: engine-hash-dependent → rows-only check
+    "dedup_simhash" -> oDedupSimhash,
     "dedup_embedding" -> oDedupEmbedding,
     "sim_topk" -> oSimTopK,
+    "sim_topk_lsh" -> oAnnWellFormed,
+    "sim_topk_ivf" -> oAnnWellFormed,
     "emb_quantize" -> oEmbQuantize,
     "profile_numeric" -> oProfileNumeric,
+    "profile_sketch" -> oProfileSketch,
     "skew_agg" -> oSkewAgg,
     "profile_moments" -> oProfileMoments,
     "fn_selection" -> oFnSelection,
