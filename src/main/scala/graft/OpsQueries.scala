@@ -317,6 +317,13 @@ object OpsQueries {
       "embedding", "vec_id", k = 5, nbits = 7, dim = 64, tables = 8)
   }
 
+  /** Measured recall@5 (sf0.01/sf0.1): lloyd=0 0.925/1.000, lloyd=2
+    * 0.900/0.925 — Lloyd refinement REDUCES recall on this synthetic
+    * near-uniform data, because balancing the cells shrinks the corpus
+    * fraction nprobe=4/16 scans (the unrefined seed quantizer's skewed
+    * cells were scanning more). On clustered real embeddings refinement
+    * aligns cells with the clusters and helps; here the honest default
+    * is the deterministic seed quantizer. */
   private def rawSimTopKIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
@@ -388,10 +395,12 @@ object OpsQueries {
   private def qSimLshRecall(s: SparkSession, dir: String): DataFrame =
     annRecall(qSimTopK(s, dir), rawSimTopKLsh(s, dir), k = 5, bound = 0.6)
 
-  /** IVF top-k (nprobe 4 of 16 cells) must recover ≥80% of the exact
-    * top-5 set (measured 0.93 at sf0.01 — see OpsSpec determinism pin). */
+  /** IVF top-k (nprobe 4 of 16 cells) must recover ≥90% of the exact
+    * top-5 set — measured 0.925 at sf0.01, 1.000 at sf0.1, and
+    * deterministic (fixed sample + seed quantizer, no runtime
+    * randomness), so the slim sf0.01 margin cannot drift. */
   private def qSimIvfRecall(s: SparkSession, dir: String): DataFrame =
-    annRecall(qSimTopK(s, dir), rawSimTopKIvf(s, dir), k = 5, bound = 0.8)
+    annRecall(qSimTopK(s, dir), rawSimTopKIvf(s, dir), k = 5, bound = 0.9)
 
   /** Search over PQ-RECONSTRUCTED vectors (m=16 × 256 centroids — 16
     * bytes/vec, 16x smaller than float32) must recover ≥40% of the

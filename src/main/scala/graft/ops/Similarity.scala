@@ -324,25 +324,34 @@ object Similarity {
               idCol: String, k: Int, nbits: Int = 8, dim: Int = 64,
               tables: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
-      array((0 until tables).map(t =>
-        lshBucket(spark, col(vecCol), nbits, dim, seed = 42L + t)): _*).as("bs"))
-      .select(col("id"), col("cv"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
-    val qsig = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      array((0 until tables).map(t =>
-        lshBucket(spark, col(vecCol), nbits, dim, seed = 42L + t)): _*).as("bs"))
+    val c = corpus.select(col(idCol).as("id"),
+        lshSignatures(spark, col(vecCol), nbits, dim, tables).as("bs"))
+      .select(col("id"), posexplode(col("bs")).as(Seq("tbl", "bucket")))
+    val qsig = queries.select(col(idCol).as("qid"),
+      lshSignatures(spark, col(vecCol), nbits, dim, tables).as("bs"))
     // probe masks: the bucket itself plus each Hamming-1 neighbor
     val masks = lit(0L) +: (0 until nbits).map(b => lit(1L << b))
     val q = broadcast(qsig
-      .select(col("qid"), col("qv"), posexplode(col("bs")).as(Seq("tbl", "qb")))
+      .select(col("qid"), posexplode(col("bs")).as(Seq("tbl", "qb")))
       .withColumn("bucket", explode(array(masks.map(m => col("qb").bitwiseXOR(m)): _*)))
       .drop("qb"))
-    val cand = c.join(q, Seq("tbl", "bucket"))
+    // Dedup candidates as bare (qid, id) pairs BEFORE attaching vectors:
+    // the dedup shuffle then moves 16 bytes per candidate instead of
+    // dragging both float vectors (~dim×8 bytes) through the exchange.
+    // Vectors re-attach afterwards — queries by broadcast, corpus by a
+    // hash join on id (candidates ≫ corpus rows, so the narrow side of
+    // that join is the corpus, never the candidate set × vectors).
+    val candIds = c
+      .join(q.select("tbl", "bucket", "qid"), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("id"))
-      .select("qid", "qv", "id", "cv")
+      .select("qid", "id")
       .dropDuplicates("qid", "id")
-    val scored = cand.withColumn("sim",
-      round(cosineFast(corpus.sparkSession, col("qv"), col("cv")), 6))
+    val scored = candIds
+      .join(broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qv"))), "qid")
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("cv")), "id")
+      .withColumn("sim",
+        round(cosineFast(corpus.sparkSession, col("qv"), col("cv")), 6))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
