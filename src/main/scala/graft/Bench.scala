@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Noise protocol: single-run timings in this shared environment swung
+  * 10-25x between identical-code rounds whenever another Spark JVM
+  * (e.g. a Verify run) was co-resident. Each query therefore runs
+  * SPARK_GRAFT_BENCH_REPS times (default 3) and reports the per-query
+  * MEDIAN; `value` is the sum of medians. A contamination spike must now
+  * hit the same query in a majority of reps to move the reported number.
+  * `queries_min` (per-query minimum) is also emitted — min-of-reps is the
+  * best available estimate of the uncontended floor. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,16 +37,33 @@ object Bench {
       }
       spark.range(1000).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val perQ = if (results.nonEmpty) total / results.size else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"queries":$qs,"sf":"$sfDir"}""")
+    // rep-major order (full suite, then the next rep of the full suite):
+    // a transient co-resident JVM then contaminates one rep of many
+    // queries — which medians absorb — rather than all reps of a few.
+    val names = SparkEntry.queries.keys.toSeq
+    val samples: Map[String, Seq[Double]] = {
+      val runs = (1 to reps).map { _ =>
+        names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
+      }
+      names.map(n => n -> runs.map(_(n))).toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = names.map(n => n -> median(samples(n)))
+    val mins = names.map(n => n -> samples(n).min)
+    def fmt(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = med.map(_._2).sum
+    val totalMin = mins.map(_._2).sum
+    val perQ = if (med.nonEmpty) total / med.size else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},"sec_per_query":$perQ,"reps":$reps,"total_min":$totalMin,"queries":${fmt(med)},"queries_min":${fmt(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
