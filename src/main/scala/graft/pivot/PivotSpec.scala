@@ -70,6 +70,29 @@ object PivotFunction {
   * (reference: src/main/java/io/cdap/plugin/aggregator/PivotConfig.java:331-395). */
 final case class AggregateSpec(alias: String, function: PivotFunction, field: String)
 
+/** One accumulated validation failure, tagged with the config property it
+  * belongs to — the reference FailureCollector's `withConfigProperty`
+  * association (PivotConfig.java:134-187, asserted by
+  * PivotTest.java:458-531 via `getCauses().get(property)`), which a
+  * config UI uses to highlight the offending input field. Property names
+  * match the reference constants (PivotConfig.java:70-76): `pivotRow`,
+  * `pivotColumns`, `aggregates`, `fieldAliases`, `on-error`. */
+final case class ValidationFailure(message: String,
+                                   property: Option[String] = None) {
+  /** Renders message + property, so thrown `mkString` errors carry the
+    * association too. */
+  override def toString: String =
+    property.fold(message)(p => s"$message [property: $p]")
+}
+
+object ValidationFailure {
+  val PivotRow = "pivotRow"
+  val PivotColumns = "pivotColumns"
+  val Aggregates = "aggregates"
+  val FieldAliases = "fieldAliases"
+  val OnError = "on-error"
+}
+
 /** What to do with groups that contain pivot-column values not in the
   * declared value lists (reference:
   * src/main/java/io/cdap/plugin/aggregator/Pivot.java:241-262).
@@ -148,40 +171,43 @@ final case class PivotSpec(
     *                        (PivotConfig.java:164-167); the pivotWide
     *                        extension lifts it */
   def validate(schema: StructType,
-               maxPivotColumns: Int = 2): Either[List[String], PivotSpec] = {
-    val errs = List.newBuilder[String]
-    if (pivotRows.isEmpty) errs += "The 'pivotRows' property must be set."
-    if (pivotColumns.isEmpty) errs += "Select at least one pivot column."
+               maxPivotColumns: Int = 2): Either[List[ValidationFailure], PivotSpec] = {
+    import ValidationFailure.{PivotRow, PivotColumns, Aggregates}
+    val errs = List.newBuilder[ValidationFailure]
+    def fail(msg: String, prop: String): Unit =
+      errs += ValidationFailure(msg, Some(prop))
+    if (pivotRows.isEmpty) fail("The 'pivotRows' property must be set.", PivotRow)
+    if (pivotColumns.isEmpty) fail("Select at least one pivot column.", PivotColumns)
     if (pivotColumns.size > maxPivotColumns)
-      errs += s"Maximum allowed number of pivot columns is $maxPivotColumns."
-    if (aggregates.isEmpty) errs += "The 'aggregates' property must be set."
+      fail(s"Maximum allowed number of pivot columns is $maxPivotColumns.", PivotColumns)
+    if (aggregates.isEmpty) fail("The 'aggregates' property must be set.", Aggregates)
 
     val names = schema.fieldNames.toSet
     pivotRows.foreach { r =>
-      if (!names.contains(r)) errs += s"Pivot row $r is not in inputSchema."
+      if (!names.contains(r)) fail(s"Pivot row $r is not in inputSchema.", PivotRow)
     }
     pivotColumns.foreach { case (c, values) =>
-      if (!names.contains(c)) errs += s"Pivot column $c is not in inputSchema."
-      if (values.isEmpty) errs += s"No data model defined for pivot column $c."
+      if (!names.contains(c)) fail(s"Pivot column $c is not in inputSchema.", PivotColumns)
+      if (values.isEmpty) fail(s"No data model defined for pivot column $c.", PivotColumns)
     }
     aggregates.foreach { a =>
       if (a.field == "*" && a.function != PivotFunction.Count)
         // "*" is only meaningful for COUNT (reference:
         // PivotConfig.java:445-449 routes field=="*" to CountAll inside the
         // COUNT branch only; other functions would die on a missing field).
-        errs += s"Field '*' is only valid for function COUNT, not ${a.function.name}."
+        fail(s"Field '*' is only valid for function COUNT, not ${a.function.name}.", Aggregates)
       if (a.field != "*" && !names.contains(a.field))
-        errs += s"Field name ${a.field} for function ${a.alias} does not exist in input schema."
+        fail(s"Field name ${a.field} for function ${a.alias} does not exist in input schema.", Aggregates)
       else if (a.field != "*") {
         val dt = schema(a.field).dataType
         val numeric = dt == IntegerType || dt == LongType ||
           dt == FloatType || dt == DoubleType || dt.isInstanceOf[DecimalType]
         if (PivotFunction.numericOnly.contains(a.function) && !numeric)
-          errs += s"Field ${a.field} of type ${dt.simpleString} is not numeric; required by ${a.function.name}."
+          fail(s"Field ${a.field} of type ${dt.simpleString} is not numeric; required by ${a.function.name}.", Aggregates)
         if (PivotFunction.stringOnly.contains(a.function) && dt != StringType)
-          errs += s"Field ${a.field} of type ${dt.simpleString} is not a string; required by ${a.function.name}."
+          fail(s"Field ${a.field} of type ${dt.simpleString} is not a string; required by ${a.function.name}.", Aggregates)
         if (PivotFunction.booleanOnly.contains(a.function) && dt != BooleanType)
-          errs += s"Field ${a.field} of type ${dt.simpleString} is not a boolean; required by ${a.function.name}."
+          fail(s"Field ${a.field} of type ${dt.simpleString} is not a boolean; required by ${a.function.name}.", Aggregates)
       }
     }
     val es = errs.result()
@@ -209,42 +235,45 @@ object PivotSpec {
       fieldAliases: Option[String] = None,
       defaultValue: Option[String] = None,
       onError: Option[String] = None,
-      numPartitions: Option[Int] = None): Either[List[String], PivotSpec] = {
-    val errs = List.newBuilder[String]
+      numPartitions: Option[Int] = None): Either[List[ValidationFailure], PivotSpec] = {
+    import ValidationFailure.{PivotRow, PivotColumns, Aggregates, FieldAliases, OnError => OnErrorProp}
+    val errs = List.newBuilder[ValidationFailure]
+    def fail(msg: String, prop: String): Unit =
+      errs += ValidationFailure(msg, Some(prop))
 
     val rows: Seq[String] =
       if (pivotRow == null || pivotRow.trim.isEmpty) {
-        errs += "Invalid pivot rows property. The 'pivotRows' property must be set."
+        fail("Invalid pivot rows property. The 'pivotRows' property must be set.", PivotRow)
         Nil
       } else pivotRow.split(",", -1).map(_.trim).filter(_.nonEmpty).distinct.toSeq
 
     val cols = List.newBuilder[(String, Seq[String])]
     val seenCols = scala.collection.mutable.Set.empty[String]
     if (pivotColumns == null || pivotColumns.trim.isEmpty) {
-      errs += "Select at least one pivot column."
+      fail("Select at least one pivot column.", PivotColumns)
     } else {
       pivotColumns.split(";", -1).map(_.trim).filter(_.nonEmpty).foreach { part =>
         val eq = part.indexOf('=')
         if (eq < 0) {
-          errs += s"Could not find '=' separating column name from its data model in '$part'. Format should be 'columnName=dataModel1,dataModel2'."
+          fail(s"Could not find '=' separating column name from its data model in '$part'. Format should be 'columnName=dataModel1,dataModel2'.", PivotColumns)
         } else {
           val name = part.substring(0, eq).trim
           val rest = part.substring(eq + 1).trim
           if (name.isEmpty) {
-            errs += "Could not find column name. Format should be 'columnName=dataModel1,dataModel2'."
+            fail("Could not find column name. Format should be 'columnName=dataModel1,dataModel2'.", PivotColumns)
           } else if (!seenCols.add(name)) {
-            errs += s"Pivot column already defined $name. Column names must be unique."
+            fail(s"Pivot column already defined $name. Column names must be unique.", PivotColumns)
           } else {
             val values = List.newBuilder[String]
             val seenV = scala.collection.mutable.Set.empty[String]
             rest.split(",", -1).map(_.trim).foreach { v =>
               if (seenV.contains(v))
-                errs += s"Data model $v already defined for pivot column $name. Values must be unique."
+                fail(s"Data model $v already defined for pivot column $name. Values must be unique.", PivotColumns)
               else { seenV.add(v); values += v }
             }
             val vs = values.result().filter(_.nonEmpty)
             if (vs.isEmpty)
-              errs += s"No data model defined for pivot column $name. Add at least one data model for column."
+              fail(s"No data model defined for pivot column $name. Add at least one data model for column.", PivotColumns)
             else cols += name -> vs
           }
         }
@@ -254,32 +283,32 @@ object PivotSpec {
     val aggs = List.newBuilder[AggregateSpec]
     val seenAliases = scala.collection.mutable.Set.empty[String]
     if (aggregates == null || aggregates.trim.isEmpty) {
-      errs += "The 'aggregates' property must be set."
+      fail("The 'aggregates' property must be set.", Aggregates)
     } else {
       aggregates.split(",", -1).map(_.trim).filter(_.nonEmpty).foreach { agg =>
         val colon = agg.indexOf(':')
         if (colon < 0) {
-          errs += s"Could not find ':' separating aggregate name from its function in '$agg'."
+          fail(s"Could not find ':' separating aggregate name from its function in '$agg'.", Aggregates)
         } else {
           val alias = agg.substring(0, colon).trim
           val fnAndField = agg.substring(colon + 1).trim
           if (!seenAliases.add(alias)) {
-            errs += s"Cannot create multiple aggregate functions with the same name '$alias'."
+            fail(s"Cannot create multiple aggregate functions with the same name '$alias'.", Aggregates)
           } else {
             val lp = fnAndField.indexOf('(')
             if (lp < 0) {
-              errs += s"Could not find '(' in function '$fnAndField'. Functions must be specified as function(field)."
+              fail(s"Could not find '(' in function '$fnAndField'. Functions must be specified as function(field).", Aggregates)
             } else if (!fnAndField.endsWith(")")) {
-              errs += s"Could not find closing ')' in function '$fnAndField'. Functions must be specified as function(field)."
+              fail(s"Could not find closing ')' in function '$fnAndField'. Functions must be specified as function(field).", Aggregates)
             } else {
               val fnStr = fnAndField.substring(0, lp).trim
               val field = fnAndField.substring(lp + 1, fnAndField.length - 1).trim
               PivotFunction.fromString(fnStr) match {
                 case None =>
-                  errs += s"Invalid function '$fnStr'. Must be one of ${PivotFunction.all.map(_.name).mkString(",")}."
+                  fail(s"Invalid function '$fnStr'. Must be one of ${PivotFunction.all.map(_.name).mkString(",")}.", Aggregates)
                 case Some(fn) =>
                   if (field.isEmpty)
-                    errs += s"Invalid function '$fnAndField'. A field must be given as an argument."
+                    fail(s"Invalid function '$fnAndField'. A field must be given as an argument.", Aggregates)
                   else aggs += AggregateSpec(alias, fn, field)
               }
             }
@@ -287,7 +316,7 @@ object PivotSpec {
         }
       }
       if (aggs.result().isEmpty && errs.result().isEmpty)
-        errs += "The 'aggregates' property must be set."
+        fail("The 'aggregates' property must be set.", Aggregates)
     }
 
     val aliases = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -295,14 +324,14 @@ object PivotSpec {
       fa.split(",", -1).map(_.trim).filter(_.nonEmpty).foreach { pair =>
         val colon = pair.indexOf(':')
         if (colon < 0) {
-          errs += s"Could not find ':' separating field name from its alias in '$pair'. Format should be 'fieldName:alias'."
+          fail(s"Could not find ':' separating field name from its alias in '$pair'. Format should be 'fieldName:alias'.", FieldAliases)
         } else {
           val name = pair.substring(0, colon).trim
           val alias = pair.substring(colon + 1).trim
           if (aliases.contains(name))
-            errs += s"Field Name already defined $name. Field names must be unique."
+            fail(s"Field Name already defined $name. Field names must be unique.", FieldAliases)
           else if (alias.isEmpty)
-            errs += s"Could not find alias for $name. Format should be 'fieldName:alias'."
+            fail(s"Could not find alias for $name. Format should be 'fieldName:alias'.", FieldAliases)
           else aliases += name -> alias
         }
       }
@@ -314,7 +343,7 @@ object PivotSpec {
         OnError.fromString(s) match {
           case Some(oe) => oe
           case None =>
-            errs += s"Invalid on-error value '$s'. Must be one of skip-error, send-to-error-port, fail-pipeline."
+            fail(s"Invalid on-error value '$s'. Must be one of skip-error, send-to-error-port, fail-pipeline.", OnErrorProp)
             OnError.Skip
         }
     }

@@ -14,15 +14,23 @@ class PivotSpecParserSpec extends AnyFunSuite {
     StructField("Brand", StringType), StructField("Sales", IntegerType),
     StructField("Flag", BooleanType)))
 
-  private def parseErrs(pivotRow: String, pivotColumns: String,
-                        aggregates: String): List[String] =
+  private def parseFails(pivotRow: String, pivotColumns: String,
+                         aggregates: String): List[ValidationFailure] =
     PivotSpec.parse(pivotRow, pivotColumns, aggregates)
       .fold(identity, _ => Nil)
 
-  private def validateErrs(pivotRow: String, pivotColumns: String,
-                           aggregates: String): List[String] =
+  private def validateFails(pivotRow: String, pivotColumns: String,
+                            aggregates: String): List[ValidationFailure] =
     PivotSpec.parse(pivotRow, pivotColumns, aggregates)
       .fold(identity, _.validate(schema).fold(identity, _ => Nil))
+
+  private def parseErrs(pivotRow: String, pivotColumns: String,
+                        aggregates: String): List[String] =
+    parseFails(pivotRow, pivotColumns, aggregates).map(_.message)
+
+  private def validateErrs(pivotRow: String, pivotColumns: String,
+                           aggregates: String): List[String] =
+    validateFails(pivotRow, pivotColumns, aggregates).map(_.message)
 
   test("invalid pivot column not in schema (PivotTest.java:458-481)") {
     val errs = validateErrs("Product", "NoSuchCol=Q1,Q2", "sum: sum(Sales)")
@@ -40,7 +48,27 @@ class PivotSpecParserSpec extends AnyFunSuite {
         fieldAliases = Some("Q1_sumQuarter_1_sum,Q2_sum:Quarter_2_sum"))
       .fold(identity, _ => Nil)
     assert(errs.size == 1) // reference expects exactly 1 failure
-    assert(errs.head.contains("Could not find ':'"))
+    assert(errs.head.message.contains("Could not find ':'"))
+    // the reference pins the failure to the fieldAliases property
+    // (PivotTest.java:499-505: getCauses().get(STAGE_CONFIG))
+    assert(errs.head.property.contains(ValidationFailure.FieldAliases))
+  }
+
+  test("failures carry the reference's config-property association") {
+    // PivotTest.java:458-481: bad pivot column -> pivotColumns property
+    val colFails = validateFails("Product", "NoSuchCol=Q1,Q2", "sum: sum(Sales)")
+    assert(colFails.exists(f => f.message.contains("NoSuchCol") &&
+      f.property.contains(ValidationFailure.PivotColumns)))
+    // PivotTest.java:508-531: bad aggregate field -> aggregates property
+    val aggFails = validateFails("Product", "Quarter=Q1,Q2", "sum: sum(Missing)")
+    assert(aggFails.exists(f => f.message.contains("Missing") &&
+      f.property.contains(ValidationFailure.Aggregates)))
+    // PivotConfig.java:139-143: missing pivot rows -> pivotRow property
+    val rowFails = parseFails(" ", "Quarter=Q1", "sum: sum(Sales)")
+    assert(rowFails.exists(f =>
+      f.property.contains(ValidationFailure.PivotRow)))
+    // rendered failures expose the property for log consumers too
+    assert(colFails.exists(_.toString.contains("[property: pivotColumns]")))
   }
 
   test("missing '=' in pivotColumns grammar") {
