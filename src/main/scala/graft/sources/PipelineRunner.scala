@@ -16,10 +16,10 @@ import scala.jdk.CollectionConverters._
   * Supported subset: `File` batchsource (csv/parquet/json/orc + declared
   * Avro-style schema, delimiter, skipHeader), the `Pivot`
   * batchaggregator (full config grammar via [[graft.pivot.PivotSpec]]),
-  * and `File` batchsink (parquet/csv/json/orc; `avro` falls back to
-  * parquet — this build has no spark-avro datasource, and parquet is the
-  * columnar equivalent). `${macro}` placeholders are substituted from the
-  * caller's map (CDAP runtime arguments).
+  * and `File` batchsink (parquet/csv/json/orc/avro — avro through
+  * [[AvroSink]], real container files written with avro-core).
+  * `${macro}` placeholders are substituted from the caller's map (CDAP
+  * runtime arguments).
   */
 object PipelineRunner {
 
@@ -115,23 +115,22 @@ object PipelineRunner {
       case "parquet" => withSchema.parquet(s.path)
       case "json" => withSchema.json(s.path)
       case "orc" => withSchema.orc(s.path)
+      case "avro" => AvroSource.read(spark, s.path) // schema is in the files
       case other => throw new IllegalArgumentException(s"Unsupported source format: $other")
     }
   }
 
-  /** Write the sink stage (avro → parquet fallback: no spark-avro here). */
+  /** Write the sink stage. `avro` goes through [[AvroSink]] (real Avro
+    * container files via avro-core — no spark-avro datasource in this
+    * build). */
   def writeSink(df: DataFrame, s: SinkStage): Unit = {
-    val format = s.format match {
-      case "avro" => "parquet"
-      case f => f
-    }
-    val w = df.coalesce(math.min(df.rdd.getNumPartitions, 32))
-      .write.mode("overwrite")
-    format match {
-      case "csv" => w.option("header", true).csv(s.path)
-      case "json" => w.json(s.path)
-      case "orc" => w.orc(s.path)
-      case _ => w.parquet(s.path)
+    val coalesced = df.coalesce(math.min(df.rdd.getNumPartitions, 32))
+    s.format match {
+      case "avro" => AvroSink.write(coalesced, s.path)
+      case "csv" => coalesced.write.mode("overwrite").option("header", true).csv(s.path)
+      case "json" => coalesced.write.mode("overwrite").json(s.path)
+      case "orc" => coalesced.write.mode("overwrite").orc(s.path)
+      case _ => coalesced.write.mode("overwrite").parquet(s.path)
     }
   }
 

@@ -3,8 +3,11 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.sources.PipelineRunner
+
+import scala.jdk.CollectionConverters._
 
 /** Runs the reference's shipped example pipeline JSON end-to-end
   * (examples/pivot_file_source_sink_example-cdap-data-pipeline.json with
@@ -47,11 +50,51 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(cell("Shoes", "Q1_Addidas_Sum") == null) // declared, no data
     assert(cell("Shirts", "Q2_Nike_Sum") == null)   // no Shirts in Q2
 
-    // sink written (avro falls back to parquet in this build)
-    val written = spark.read.parquet(s"$outDir/pivoted")
+    // sink written as REAL avro container files (the example's declared
+    // sink format), readable back through the avro source
+    assert(Files.list(Paths.get(s"$outDir/pivoted")).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".avro")))
+    val written = graft.sources.AvroSource.read(spark, s"$outDir/pivoted")
     assert(written.count() == 3)
     assertRowsMatch(written.select("Product", "Q1_Nike_Sum", "Q1_Reebok_Sum"),
       Seq(Row("Shoes", 50, 50), Row("Shirts", 20, 60), Row("Socks", null, 40)))
+  }
+
+  test("avro sink/source round-trip preserves values, nulls and logical types") {
+    import graft.sources.{AvroSink, AvroSource}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avro")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flag", BooleanType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("day", DateType, nullable = true),
+      StructField("amount", DecimalType(10, 2), nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = true),
+      StructField("blob", BinaryType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "a", 1.5, true,
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56.123456"),
+        java.sql.Date.valueOf("2024-02-29"),
+        new java.math.BigDecimal("12345.67"),
+        Seq("x", null, "y"), Array[Byte](1, 2, 3)),
+      Row(2L, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    AvroSink.write(df, s"$tmp/out")
+    val back = AvroSource.read(spark, s"$tmp/out")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // toString-compare everything except the byte array (whose toString
+    // is a JVM reference); the blob is checked bit-exact below
+    val cmpCols = schema.fieldNames.filterNot(_ == "blob").map(col)
+    val got = back.orderBy("id").select(cmpCols: _*).collect()
+    val exp = df.orderBy("id").select(cmpCols: _*).collect()
+    assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+    val blobs = back.orderBy("id").select("blob").collect()
+    assert(blobs(0).getAs[Array[Byte]](0).toSeq == Seq[Byte](1, 2, 3))
+    assert(blobs(1).getAs[Array[Byte]](0) == null)
   }
 
   test("orc source and sink round-trip through the runner stages") {
