@@ -1149,6 +1149,36 @@ object OpsQueries {
           col("ndv_exact") * lit(0.05)).as("est_ok"))
   }
 
+  /** Batch twin of [[graft.streaming.StreamingOps.hllSketchStream]] —
+    * the transform is declarative, so the identical code runs here on
+    * the batch events table (kappa backfill). Contract rows: per
+    * (day window × event_type) slice, the sketch estimate must land
+    * within 5% of the exact per-slice distinct user count (lgK=12 ⇒
+    * ~1.6% rse); the exact side is what the oracle recomputes. The
+    * streaming-execution side of the same operator is pinned in
+    * StreamingSpec (micro-batched sketches ≡ this batch run). */
+  private def qEventsHllWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir)
+    val sk = graft.streaming.StreamingOps.hllSketchStream(
+      ev, Seq("event_type"), "user_id", window_ = "1 day")
+    val est = sk.select(col("window_start"), col("event_type"),
+      hll_sketch_estimate(col("hll")).as("ndv_est"))
+    val exact = ev
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count_distinct(col("user_id")).as("ndv_exact"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("ndv_exact"))
+    exact.join(est, Seq("window_start", "event_type"))
+      .select(col("window_start"), col("event_type"), col("ndv_exact"),
+        (abs(col("ndv_est") - col("ndv_exact")) <=
+          col("ndv_exact") * lit(0.05)).as("est_ok"))
+  }
+
+  private val oEventsHllWindow =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+      |  event_type, count(DISTINCT user_id) AS ndv_exact, TRUE AS est_ok
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   private val oProfileHllRollup =
     """SELECT event_type, count(DISTINCT user_id) AS ndv_exact,
       |  TRUE AS est_ok
@@ -1267,6 +1297,7 @@ object OpsQueries {
     "sample_mixture" -> (qSampleMixture _),
     "sample_mixture_tokens" -> (qSampleMixtureTokens _),
     "profile_hll_rollup" -> (qProfileHllRollup _),
+    "events_hll_window" -> (qEventsHllWindow _),
     "profile_theta_overlap" -> (qProfileThetaOverlap _),
     "profile_hist_quantile" -> (qProfileHistQuantile _),
     "sim_lsh_recall" -> (qSimLshRecall _),
@@ -1317,6 +1348,7 @@ object OpsQueries {
     "sample_mixture" -> oSampleMixture,
     "sample_mixture_tokens" -> oSampleMixtureTokens,
     "profile_hll_rollup" -> oProfileHllRollup,
+    "events_hll_window" -> oEventsHllWindow,
     "profile_theta_overlap" -> oProfileThetaOverlap,
     "profile_hist_quantile" -> oProfileHistQuantile,
     "sim_lsh_recall" -> oAnnRecall,

@@ -87,6 +87,29 @@ object StreamingOps {
       .drop("w")
   }
 
+  /** Streaming distinct-count sketches — the live leg of the
+    * [[graft.ops.Profile.hllSketches]] incremental-aggregation pattern:
+    * each watermarked (window × keys) slice aggregates its values into
+    * ONE fixed-size DataSketches HLL sketch row, emitted when the
+    * watermark closes the window. The emitted sketch table is the same
+    * shape the batch path persists, and sketch union is associative, so
+    * live slices and backfill slices mix freely in one
+    * [[graft.ops.Profile.hllRollup]] — a coarser rollup (daily → all
+    * time, per type → global) never rescans raw events from either
+    * source. State per open (window × keys) group is one HLL register
+    * set (~2^lgK bytes), dropped at window close — bounded exactly like
+    * [[windowedCounts]]. */
+  def hllSketchStream(events: DataFrame, keys: Seq[String], valueCol: String,
+                      tsCol: String = "ts", window_ : String = "1 day",
+                      lateness: String = "15 minutes",
+                      lgK: Int = 12): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy((window(col(tsCol), window_).as("w") +: keys.map(col)): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("hll"))
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped; state ages out beyond it. */
   def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =

@@ -216,6 +216,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL sketches equal the one-shot batch sketches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.hllSketchStream(input.toDF(), Seq("event_type"),
+        "user_id", window_ = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("hll").outputMode("append").start()
+    val batch1 = (1 to 40).map(i =>
+      UserEvent(i % 13, ts(i % 9), if (i % 2 == 0) "click" else "view", 1.0))
+    val batch2 = (1 to 40).map(i =>
+      UserEvent(i % 7, ts(i % 9), if (i % 3 == 0) "click" else "view", 1.0))
+    try {
+      // two micro-batches -> incremental register merges in the state store
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // close the 10:00 window
+      input.addData(UserEvent(99, Timestamp.valueOf("2026-01-01 11:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hll")
+        .filter(col("window_start") === "2026-01-01 10:00:00")
+        .select(col("event_type"),
+          hll_sketch_estimate(col("hll")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // one-shot batch run of the SAME declarative transform
+      val batchDf = (batch1 ++ batch2).toDF()
+      val expected = StreamingOps.hllSketchStream(batchDf, Seq("event_type"),
+          "user_id", window_ = "10 minutes", lateness = "5 minutes")
+        .select(col("event_type"), hll_sketch_estimate(col("hll")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == expected)
+      // exactness check well below 2^lgK distincts: estimates are exact
+      assert(streamed("click") == batch1.filter(_.event_type == "click")
+        .map(_.user_id).toSet.union(
+          batch2.filter(_.event_type == "click").map(_.user_id).toSet).size)
+      // live slices union with batch slices in one rollup (kappa mix)
+      val rolled = graft.ops.Profile.hllRollup(
+        spark.table("hll").select("event_type", "hll").unionAll(
+          StreamingOps.hllSketchStream(batchDf, Seq("event_type"), "user_id",
+            window_ = "10 minutes").select("event_type", "hll")),
+        Seq("event_type"))
+      assert(rolled.count() == 2) // click + view, sketches merged cleanly
+    } finally q.stop()
+  }
+
   test("batch sessionizer agrees with the session definition") {
     val events = Seq(
       (7L, ts(1), 1.0), (7L, Timestamp.valueOf("2026-01-01 10:01:30"), 2.0),
