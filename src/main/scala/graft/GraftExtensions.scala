@@ -76,11 +76,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children match {
           case Seq(v, Literal(nbits: Int, IntegerType),
                    Literal(tables: Int, IntegerType),
+                   Literal(dim: Int, IntegerType),
                    Literal(seed: Long, LongType)) =>
-            LshSignatures(v, nbits, tables, seed)
+            LshSignatures(v, nbits, tables, dim, seed)
           case _ => throw new IllegalArgumentException(
-            "graft_lsh_sig(vec, nbits, tables, seedBase) needs integer " +
-              "literal nbits/tables and a long literal seedBase")
+            "graft_lsh_sig(vec, nbits, tables, dim, seedBase) needs " +
+              "integer literal nbits/tables/dim and a long literal seedBase")
         }
       }))
     ext.injectFunction((

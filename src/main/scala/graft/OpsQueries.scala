@@ -250,11 +250,16 @@ object OpsQueries {
     val emitted = Dedup.simhashPairs(docs, "text", "doc_id",
       maxDist = 3, bands = 4)
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.9)
-    val hits = emitted.select("ida", "idb")
-      .join(exact.select("ida", "idb"), Seq("ida", "idb"), "left_semi")
-    exact.agg(count(lit(1)).as("n_true"))
-      .crossJoin(emitted.agg(count(lit(1)).as("__n_emit")))
-      .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+    // One full-outer join of the two pair sets, one aggregation: each
+    // side (the shingle self-join, the simhash banding) is evaluated
+    // ONCE — the crossJoin-of-three-aggregates formulation re-ran both
+    // expensive inputs twice (DataFrames do no common-subplan reuse).
+    exact.select(col("ida"), col("idb"), lit(1).as("__t"))
+      .join(emitted.select(col("ida"), col("idb"), lit(1).as("__e")),
+        Seq("ida", "idb"), "full_outer")
+      .agg(count(col("__t")).as("n_true"),
+        count(col("__e")).as("__n_emit"),
+        count(when(col("__t").isNotNull && col("__e").isNotNull, 1)).as("__n_hit"))
       .select(col("n_true"),
         (col("__n_hit") >= col("n_true") * lit(0.5)).as("recall_ok"),
         (col("__n_hit") >= col("__n_emit") * lit(0.5)).as("precision_ok"))
@@ -290,8 +295,7 @@ object OpsQueries {
 
   private def qSimTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
-      "embedding", "vec_id", k = 5)
+    Similarity.bruteForceTopK(e, annQueries(e), "embedding", "vec_id", k = 5)
   }
 
   private val oSimTopK =
@@ -311,9 +315,14 @@ object OpsQueries {
     * at the same local cost as the old 8×4 setting's 0.45 — each table
     * probes (nbits+1)/2^nbits of the corpus, so raise nbits (and tables
     * with it) as corpus size grows to hold the probed fraction flat. */
+  /** The ANN query set: one definition shared by the raw top-k queries
+    * and the contracts, so n_queries can never drift from the rank
+    * lists it is compared against. */
+  private def annQueries(e: DataFrame): DataFrame = e.filter(col("vec_id") < 8)
+
   private def rawSimTopKLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
+    Similarity.lshTopK(e, annQueries(e),
       "embedding", "vec_id", k = 5, nbits = 7, dim = 64, tables = 8)
   }
 
@@ -326,7 +335,7 @@ object OpsQueries {
     * is the deterministic seed quantizer. */
   private def rawSimTopKIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+    Similarity.ivfTopK(e, annQueries(e),
       "embedding", "vec_id", k = 5, ncentroids = 16, nprobe = 4)
   }
 
@@ -351,7 +360,7 @@ object OpsQueries {
       .select(
         when(col("sim") === col("__true_sim"), 1).otherwise(0).as("__sim_ok"),
         when(col("rank") === col("__rn"), 1).otherwise(0).as("__rank_ok"))
-    e.filter(col("vec_id") < 8).agg(count(lit(1)).as("n_queries"))
+    annQueries(e).agg(count(lit(1)).as("n_queries"))
       .crossJoin(checked.agg(
         count(lit(1)).as("n_rows"),
         (min(col("__sim_ok")) === 1).as("sims_exact_ok"),
@@ -414,7 +423,7 @@ object OpsQueries {
     // ADC search straight over the 16-byte codes (never reconstructs);
     // spec-pinned equal to brute force over the decoded vectors
     val approx = Similarity.pqTopK(codes, "codes", "vec_id",
-      e.filter(col("vec_id") < 8), "embedding", "vec_id", cb, k = 5)
+      annQueries(e), "embedding", "vec_id", cb, k = 5)
     annRecall(qSimTopK(s, dir), approx, k = 5, bound = 0.4)
   }
 

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * produce bit-identical signatures (spec-pinned).
   */
 case class LshSignatures(child: Expression, nbits: Int, tables: Int,
-                         seedBase: Long) extends UnaryExpression {
+                         dim: Int, seedBase: Long) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -41,11 +41,11 @@ case class LshSignatures(child: Expression, nbits: Int, tables: Int,
 
   override protected def nullSafeEval(input: Any): Any =
     LshSignatures.compute(input.asInstanceOf[ArrayData], isFloat,
-      nbits, tables, seedBase)
+      nbits, tables, dim, seedBase)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.LshSignatures.compute($c, $isFloat, $nbits, $tables, ${seedBase}L)")
+      s"graft.functions.LshSignatures.compute($c, $isFloat, $nbits, $tables, $dim, ${seedBase}L)")
 
   override protected def withNewChildInternal(newChild: Expression): LshSignatures =
     copy(child = newChild)
@@ -78,13 +78,18 @@ object LshSignatures {
       flat
     })
 
-  /** Called from interpreted and generated code (static forwarder). */
+  /** Called from interpreted and generated code (static forwarder).
+    * `dim` is declared (the plane family is drawn per dim, and the
+    * non-extension fallback bakes it into literal plane arrays) — a
+    * vector of a different length is a loud error here rather than a
+    * silent divergence between the two paths. */
   def compute(vec: ArrayData, float: Boolean, nbits: Int, tables: Int,
-              seedBase: Long): ArrayData = {
+              dim: Int, seedBase: Long): ArrayData = {
     val v: Array[Double] =
       if (float) DotProduct.floatsToDoubles(vec.toFloatArray())
       else vec.toDoubleArray()
-    val dim = v.length
+    require(v.length == dim,
+      s"graft_lsh_sig: vector length ${v.length} != declared dim $dim")
     val pl = planes(nbits, dim, seedBase, tables)
     val out = new Array[Long](tables)
     var t = 0

@@ -424,8 +424,8 @@ object Dedup {
   /** Embedding cosine near-dup pairs via multi-table sign-LSH blocking —
     * the scale path that replaces [[embeddingNearDupPairs]]'s corpus ×
     * corpus join: candidates come from `tables` independent sign-bucket
-    * tables (one explode + one bucket aggregation + one distinct — the
-    * [[minhashLshPairs]] shape, never a cross product), and every
+    * tables (one explode + a bucket-capped equi-self-join on (table,
+    * bucket) + one distinct — never a cross product), and every
     * candidate is verified with the exact cosine, so emitted pairs are a
     * SUBSET of the exact answer (precision 1; recall is the only LSH
     * approximation, miss prob per pair = (1 − p_bit^nbits)^tables with
@@ -451,15 +451,25 @@ object Dedup {
       tables, seedBase)
     val banded = df.select(col(idCol).as("id"), sig.as("sigs"))
       .select(col("id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-    val cand = banded
-      .groupBy("tbl", "bucket")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), y -> " +
-          "named_struct('ida', least(x, y), 'idb', greatest(x, y)))))")).as("p"))
-      .select("p.*")
+    // Pair generation is a bucket-count-capped SELF-JOIN, not the
+    // collect_list + in-row pair flatten minhashLshPairs uses: near-dup
+    // LSH buckets are ~corpus/2^nbits by construction (only 2^nbits
+    // buckets per table), so a bucket's id list is NOT small — a
+    // collected list would be an unbounded aggregation buffer and its
+    // pair flatten a single giant array in one row. The self-join keeps
+    // every stage row-shaped and spillable; AQE handles residual bucket
+    // skew. Buckets above maxBucket are dropped (quadratic-work guard) —
+    // if genuine buckets exceed it, nbits is too small for the corpus:
+    // keep nbits ≈ log2(corpus / desired bucket size).
+    val sizes = banded.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn").between(2, maxBucket))
+      .select("tbl", "bucket")
+    val kept = banded.join(sizes, Seq("tbl", "bucket"))
+    val cand = kept.as("a")
+      .join(kept.as("b"), col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
     // Exact-cosine verification on the candidate set only: two id joins
     // against the (id, vector) table — broadcast when the corpus is

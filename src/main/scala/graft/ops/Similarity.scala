@@ -140,7 +140,8 @@ object Similarity {
                     nbits: Int, dim: Int, tables: Int,
                     seedBase: Long = 42L): Column =
     if (spark.catalog.functionExists("graft_lsh_sig"))
-      call_function("graft_lsh_sig", vec, lit(nbits), lit(tables), lit(seedBase))
+      call_function("graft_lsh_sig", vec, lit(nbits), lit(tables), lit(dim),
+        lit(seedBase))
     else array((0 until tables).map(t =>
       lshBucket(spark, vec, nbits, dim, seed = seedBase + t)): _*)
 

@@ -38,6 +38,13 @@ object AvroSink {
     * pipeline never produces them). Field names are sanitized to Avro's
     * [A-Za-z_][A-Za-z0-9_]* rule. */
   def toAvroSchema(schema: StructType, name: String = "graft_output"): Schema = {
+    val sanitized = schema.fieldNames.map(n => n -> sanitize(n))
+    val collisions = sanitized.groupBy(_._2).filter(_._2.length > 1)
+    require(collisions.isEmpty,
+      "AvroSink: column names collide after Avro-name sanitization: " +
+        collisions.map { case (s, cols) =>
+          s"${cols.map(_._1).mkString("/")} -> $s"
+        }.mkString("; ") + " — rename the columns before writing")
     val fields = schema.fields.map { f =>
       val base = baseType(f.dataType)
       val t =
@@ -122,9 +129,17 @@ object AvroSink {
       val conf = new Configuration(false)
       conf.readFields(new DataInputStream(new ByteArrayInputStream(confBytes)))
       val schema = new Schema.Parser().parse(schemaJson)
+      // Write-then-rename commit: each task ATTEMPT writes its own
+      // temp file and renames into place once complete, so concurrent
+      // attempts (speculation, zombie retries) never interleave bytes in
+      // the final part file — whichever complete file wins the rename is
+      // served; the loser removes its temp.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       val part = new Path(dir, f"part-$pid%05d.avro")
+      val tmp = new Path(dir, f".part-$pid%05d-$attempt.avro.tmp")
       val pfs = part.getFileSystem(conf)
-      val out = pfs.create(part, true) // truncate: retries are idempotent
+      val out = pfs.create(tmp, true)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       writer.create(schema, out)
@@ -141,6 +156,13 @@ object AvroSink {
           n += 1
         }
       } finally writer.close() // closes the stream too
+      if (!pfs.rename(tmp, part)) {
+        // a concurrent attempt committed first (or a stale final file
+        // blocks the rename): keep exactly one complete file
+        if (!pfs.exists(part)) throw new java.io.IOException(
+          s"AvroSink: rename $tmp -> $part failed with no committed file")
+        pfs.delete(tmp, false)
+      }
       Iterator.single(n)
     }.sum()
     // Spark-convention completion marker
@@ -247,12 +269,13 @@ object AvroSource {
         val reader = new DataFileReader[GenericRecord](
           new FsInput(new Path(file), conf),
           new GenericDatumReader[GenericRecord]())
+        // close on task completion, not on iterator exhaustion — a
+        // partially-consumed iterator (limit/take/failed downstream)
+        // would otherwise leak the file handle
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => reader.close()))
         new Iterator[Row] {
-          override def hasNext: Boolean = {
-            val h = reader.hasNext
-            if (!h) reader.close()
-            h
-          }
+          override def hasNext: Boolean = reader.hasNext
           override def next(): Row = {
             val rec = reader.next()
             Row.fromSeq(fieldTypes.indices.map(i =>

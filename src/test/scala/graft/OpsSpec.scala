@@ -261,7 +261,7 @@ class OpsSpec extends SparkSpec {
         seed = 42L + t)): _*)
     val diff = emb.select(
         call_function("graft_lsh_sig", col("embedding"), lit(5), lit(6),
-          lit(42L)).as("a"),
+          lit(64), lit(42L)).as("a"),
         combo.as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(diff == 0)
