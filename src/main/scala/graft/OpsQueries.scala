@@ -1183,6 +1183,26 @@ object OpsQueries {
           col("ndv_exact") * lit(0.05)).as("est_ok"))
   }
 
+  /** Batch twin of [[graft.streaming.StreamingOps.topKStream]] (same
+    * declarative transform on the batch events table): per (day ×
+    * event_type), the 3 highest-value events. Fully deterministic
+    * ((value desc, event_id) total order), so the oracle is an exact
+    * row_number twin — no contract rows needed. */
+  private def qEventsTopKWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.topKStream(
+      readEvents(s, dir), Seq("event_type"), "value", "event_id", k = 3,
+      window_ = "1 day")
+
+  private val oEventsTopKWindow =
+    """WITH ranked AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+      |    AS window_start, event_type, event_id AS id, value AS score,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY date_trunc('day', ts), event_type
+      |      ORDER BY value DESC, event_id) AS INTEGER) AS rank
+      |  FROM events)
+      |SELECT window_start, event_type, rank, id, score
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   private val oEventsHllWindow =
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
       |  event_type, count(DISTINCT user_id) AS ndv_exact, TRUE AS est_ok
@@ -1307,6 +1327,7 @@ object OpsQueries {
     "sample_mixture_tokens" -> (qSampleMixtureTokens _),
     "profile_hll_rollup" -> (qProfileHllRollup _),
     "events_hll_window" -> (qEventsHllWindow _),
+    "events_topk_window" -> (qEventsTopKWindow _),
     "profile_theta_overlap" -> (qProfileThetaOverlap _),
     "profile_hist_quantile" -> (qProfileHistQuantile _),
     "sim_lsh_recall" -> (qSimLshRecall _),
@@ -1358,6 +1379,7 @@ object OpsQueries {
     "sample_mixture_tokens" -> oSampleMixtureTokens,
     "profile_hll_rollup" -> oProfileHllRollup,
     "events_hll_window" -> oEventsHllWindow,
+    "events_topk_window" -> oEventsTopKWindow,
     "profile_theta_overlap" -> oProfileThetaOverlap,
     "profile_hist_quantile" -> oProfileHistQuantile,
     "sim_lsh_recall" -> oAnnRecall,

@@ -110,6 +110,34 @@ object StreamingOps {
       .withColumn("window_start", col("w.start"))
       .drop("w")
 
+  /** Streaming windowed top-k — the live leg of
+    * [[graft.ops.Rank.topNPerGroup]]: per watermarked (window × keys)
+    * group, the k highest-`scoreCol` rows (ties broken by ascending
+    * `idCol`), emitted when the watermark closes the window. The ranking
+    * state is the bounded [[graft.functions.TopKAggregator]] buffer — at
+    * most k (score, id) entries per open group, merged incrementally
+    * across micro-batches exactly like its batch map-side partials, so
+    * an unbounded stream never buffers more than k rows per group.
+    * Returns (window_start, keys…, rank, id, score). */
+  def topKStream(events: DataFrame, keys: Seq[String], scoreCol: String,
+                 idCol: String, k: Int, tsCol: String = "ts",
+                 window_ : String = "1 day",
+                 lateness: String = "15 minutes"): DataFrame = {
+    import graft.functions.TopKAggregator
+    val topk = udaf(new TopKAggregator(k), TopKAggregator.inputEncoder)
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy((window(col(tsCol), window_).as("w") +: keys.map(col)): _*)
+      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("top"))
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+      .select(col("window_start") +: keys.map(col) :+
+        posexplode(col("top")).as(Seq("r0", "s")): _*)
+      .select(col("window_start") +: keys.map(col) :+
+        (col("r0") + 1).cast("int").as("rank") :+
+        col("s.id").as("id") :+ col("s.sim").as("score"): _*)
+  }
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped; state ages out beyond it. */
   def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamingOps
@@ -258,6 +259,42 @@ class StreamingSpec extends SparkSpec {
             window_ = "10 minutes").select("event_type", "hll")),
         Seq("event_type"))
       assert(rolled.count() == 2) // click + view, sketches merged cleanly
+    } finally q.stop()
+  }
+
+  test("streaming windowed top-k equals the batch transform across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.topKStream(input.toDF(), Seq("event_type"),
+        "value", "user_id", k = 2, window_ = "10 minutes",
+        lateness = "5 minutes")
+      .writeStream.format("memory").queryName("topk").outputMode("append").start()
+    // values chosen so the final top-2 needs entries from BOTH batches
+    // (the state buffer must merge across micro-batches, not reset)
+    val batch1 = Seq(UserEvent(11, ts(1), "click", 5.0),
+      UserEvent(12, ts(2), "click", 1.0), UserEvent(13, ts(3), "view", 9.0))
+    val batch2 = Seq(UserEvent(14, ts(4), "click", 7.0),
+      UserEvent(15, ts(5), "click", 0.5), UserEvent(16, ts(6), "view", 2.0))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      input.addData(UserEvent(99, Timestamp.valueOf("2026-01-01 11:30:00"), "click", 1.0))
+      q.processAllAvailable() // close the 10:00 window
+      val streamed = spark.table("topk")
+        .filter(col("window_start") === "2026-01-01 10:00:00")
+        .select("event_type", "rank", "id", "score")
+        .collect().map(_.toString).sorted.toSeq
+      val expected = StreamingOps.topKStream((batch1 ++ batch2).toDF(),
+          Seq("event_type"), "value", "user_id", k = 2,
+          window_ = "10 minutes", lateness = "5 minutes")
+        .select("event_type", "rank", "id", "score")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == expected)
+      // top-2 clicks: 14 (7.0) then 11 (5.0) — one from each micro-batch
+      assert(streamed.contains(Row("click", 1, 14L, 7.0).toString))
+      assert(streamed.contains(Row("click", 2, 11L, 5.0).toString))
     } finally q.stop()
   }
 
