@@ -678,6 +678,44 @@ object OpsQueries {
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .withColumn("n_tokens", col("n_tokens").cast("long"))
 
+  /** Sequence-packing CONTRACT row — pack membership depends on the
+    * partition layout, but these do not: n_chunks/total_tokens in
+    * (exact, the oracle recomputes them from the documents), NO LOSS
+    * (packed chunk/token sums equal the input sums), BUDGET (every
+    * multi-chunk pack fits 256 tokens; single oversize chunks
+    * legitimately exceed it), and FILL (≥70% of pack capacity used
+    * overall; measured ~0.99 — greedy next-fit over 64-token chunks
+    * into 256 wastes little). Chunking (a cheap map over docs) is
+    * evaluated twice: once as the independent truth, once feeding the
+    * packer. */
+  private def qDocPacking(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val chunks = Chunk.slidingWindows(t(s, dir, "documents"),
+        "text", "doc_id", window = 64, stride = 64)
+      .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_idx"))
+    val packed = Chunk.packSequences(chunks, "chunk_id", "n_tokens", budget)
+    chunks
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .crossJoin(packed.agg(
+        sum("n_chunks").as("__pc"), sum("n_tokens").as("__pt"),
+        max(when(col("n_chunks") >= 2, col("n_tokens")).otherwise(0L)).as("__mx"),
+        count(lit(1)).as("__nseq")))
+      .select(col("n_chunks"), col("total_tokens"),
+        (col("__pc") === col("n_chunks") &&
+          col("__pt") === col("total_tokens")).as("no_loss_ok"),
+        (col("__mx") <= budget).as("budget_ok"),
+        (col("__pt") >= lit(0.7) * col("__nseq") * budget).as("fill_ok"))
+  }
+
+  private val oDocPacking =
+    s"""WITH tk AS (SELECT doc_id, len($oToks) AS n FROM documents),
+      |ch AS (SELECT doc_id, CAST(ceil(n / 64.0) AS BIGINT) AS nch, n
+      |  FROM tk WHERE n > 0)
+      |SELECT CAST(sum(nch) AS BIGINT) AS n_chunks,
+      |  CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  TRUE AS no_loss_ok, TRUE AS budget_ok, TRUE AS fill_ok FROM ch""".stripMargin
+
   private val oDocChunks =
     s"""WITH d AS (SELECT doc_id, $oToks AS toks FROM documents WHERE doc_id < 100),
       |c AS (SELECT doc_id, toks,
@@ -1318,6 +1356,7 @@ object OpsQueries {
     "curation_pipeline" -> (qCurationPipeline _),
     "sample_stratified" -> (qSampleStratified _),
     "doc_chunks" -> (qDocChunks _),
+    "doc_packing" -> (qDocPacking _),
     "text_scrub" -> (qTextScrub _),
     "text_dedup_lines" -> (qTextDedupLines _),
     "contamination" -> (qContamination _),
@@ -1370,6 +1409,7 @@ object OpsQueries {
     "curation_pipeline" -> oCurationPipeline,
     "sample_stratified" -> oSampleStratified,
     "doc_chunks" -> oDocChunks,
+    "doc_packing" -> oDocPacking,
     "text_scrub" -> oTextScrub,
     "text_dedup_lines" -> oTextDedupLines,
     "contamination" -> oContamination,
