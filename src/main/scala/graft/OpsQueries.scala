@@ -245,6 +245,29 @@ object OpsQueries {
     * are real SimHash behavior on a small-vocabulary bag-of-words corpus,
     * where per-bit token votes concentrate fingerprints). n_true is
     * engine-agnostic and oracle-checked exactly. */
+  /** Exact duplicated-substring stats at 20-token granularity — fully
+    * engine-agnostic (md5 span keys, integer counts), so the oracle is
+    * an exact twin, not a contract. */
+  private def qTextDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpanStats(t(s, dir, "documents"), "text", "doc_id",
+        n = 20)
+      .withColumnRenamed("id", "doc_id")
+
+  private val oTextDupSpans =
+    s"""WITH d AS (SELECT doc_id, $oToks AS toks FROM documents),
+      |sp AS (SELECT doc_id,
+      |    md5(array_to_string(toks[i:i+19], ' ')) AS sp
+      |  FROM d, unnest(generate_series(1, len(toks) - 19)) AS t(i)
+      |  WHERE len(toks) >= 20),
+      |dup AS (SELECT sp FROM sp GROUP BY sp HAVING count(*) >= 2),
+      |per AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+      |dp AS (SELECT s.doc_id, count(*) AS n_dup FROM sp s
+      |  JOIN dup USING (sp) GROUP BY s.doc_id)
+      |SELECT per.doc_id, per.n_spans,
+      |  COALESCE(dp.n_dup, 0) AS n_dup_spans,
+      |  CAST(COALESCE(dp.n_dup, 0) AS DOUBLE) / per.n_spans AS dup_frac
+      |FROM per LEFT JOIN dp ON dp.doc_id = per.doc_id""".stripMargin
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val emitted = Dedup.simhashPairs(docs, "text", "doc_id",
@@ -1359,6 +1382,7 @@ object OpsQueries {
     "doc_packing" -> (qDocPacking _),
     "text_scrub" -> (qTextScrub _),
     "text_dedup_lines" -> (qTextDedupLines _),
+    "text_dup_spans" -> (qTextDupSpans _),
     "contamination" -> (qContamination _),
     "join_pivot" -> (qJoinPivot _),
     "join_bloom" -> (qJoinBloom _),
@@ -1412,6 +1436,7 @@ object OpsQueries {
     "doc_packing" -> oDocPacking,
     "text_scrub" -> oTextScrub,
     "text_dedup_lines" -> oTextDedupLines,
+    "text_dup_spans" -> oTextDupSpans,
     "contamination" -> oContamination,
     "join_pivot" -> oJoinPivot,
     "join_bloom" -> oJoinBloom,

@@ -259,6 +259,48 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Duplicated-substring statistics (the bounded, exact cousin of
+    * suffix-array training-data dedup à la "Deduplicating Training Data
+    * Makes Language Models Better"): every POSITIONED `n`-token span of
+    * every document is keyed by its md5; a span text occurring ≥ 2 times
+    * corpus-wide (including within-document template repetition) is a
+    * duplicated span, and each document reports how much of it is
+    * covered. Suffix arrays find variable-length repeats; fixed-`n`
+    * spans find every repeat of length ≥ n — the signal curation
+    * actually gates on — with plain dataflow: one explode, one count
+    * aggregation on the span key (map-side partial, uniform md5 keys),
+    * one semi-join back. Nothing is quadratic and nothing collects.
+    *
+    * Returns (id, n_spans, n_dup_spans, dup_frac) for documents with at
+    * least one full span (shorter docs carry no length-n signal). */
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+                          n: Int = 20): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val cnt = size(toks) - (n - 1)
+    // positioned spans — same slice windows as shingles but WITHOUT the
+    // distinct: positions matter (a doc repeating one span 50 times is
+    // 50 duplicated spans), and md5 keys keep the oracle cross-engine
+    val spans = df
+      .select(col(idCol).as("id"),
+        when(cnt >= 1, transform(sequence(lit(1), cnt),
+          i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+          .otherwise(array().cast("array<string>")).as("sps"))
+      .select(col("id"), explode(col("sps")).as("sp"))
+    val dupSpans = spans.groupBy("sp")
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select("sp")
+    val perDoc = spans.groupBy("id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dupSpans, "sp")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_spans"))
+    perDoc.join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"),
+        col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+          col("n_spans")).as("dup_frac"))
+  }
+
   /** Connected components over an undirected pair list (ida, idb) by
     * iterative min-label propagation: each vertex repeatedly adopts the
     * smallest label among itself and its neighbors until fixpoint.

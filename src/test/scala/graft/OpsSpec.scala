@@ -254,6 +254,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("duplicatedSpanStats counts positioned spans, within- and cross-doc") {
+    val a = (1 to 6).map(i => s"a$i").mkString(" ")   // 6 tokens: a1..a6
+    val b = (1 to 6).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$a $b"),        // spans: a-block, mixed, b-block windows
+      (2L, s"$a $a"),        // repeats its own a-block internally
+      (3L, "short text"),    // < n tokens: no spans, absent from output
+      (4L, b + " extra1 extra2 extra3 extra4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(d, "text", "doc_id", n = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(3L))
+    // doc1: 7 spans of 6 tokens over 12; duplicated: the pure-a window
+    // (shared with doc2) and the pure-b window (shared with doc4)
+    assert(out(1L)._1 == 7 && out(1L)._2 == 2)
+    // doc2: "a1..a6 a1..a6" — positions 1 and 7 are the same span text
+    // (within-doc repetition counts), plus cross-doc sharing with doc1
+    assert(out(2L)._2 >= 2)
+    assert(out(4L)._2 == 1) // its b-window matches doc1's
+    assert(out(1L)._3 == 2.0 / 7)
+  }
+
   test("graft_lsh_sig is bit-identical to the per-table lshBucket combo") {
     assert(spark.catalog.functionExists("graft_lsh_sig"))
     val combo = array((0 until 6).map(t =>
