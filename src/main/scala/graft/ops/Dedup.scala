@@ -341,11 +341,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("nmin"))
+      // localCheckpoint, not persist: each iteration references `labels`
+      // twice, and persist() caches execution but NOT the analyzer tree,
+      // so the logical plan would double per iteration — a diameter-d
+      // chain (d iterations) builds a 2^d-node plan and the driver dies
+      // in plan stringification long before the data is big. Truncating
+      // lineage keeps the plan O(1) per iteration.
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint(true)
       val changed =
         if (numericLabels) {
           val s = labelSum(updated)
@@ -374,6 +380,84 @@ object Dedup {
     labels.unpersist()
     edges.unpersist()
     result
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the web-scale alternative to [[connectedComponents]]'s
+    * min-label propagation: propagation needs ~diameter iterations and
+    * keeps the full edge list live, while star contraction converges in
+    * O(log n) rounds on any topology and SHRINKS the edge set every
+    * round (each round is two groupBy-min aggregations + joins, all
+    * spillable).
+    *
+    *   - large-star: every neighbor v > u re-attaches to
+    *     m(u) = min(N(u) ∪ u)
+    *   - small-star: every neighbor v ≤ u (and u itself) attaches to m(u)
+    *
+    * At fixpoint the edges form stars whose centers are the component
+    * minima. Same output contract as [[connectedComponents]]:
+    * (id, component = min id of the group), one row per vertex that
+    * appears in `pairs` (spec-pinned equal). Requires numeric ids (the
+    * star order is the id order). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Each round references its input several times, so the LOGICAL plan
+    // would grow exponentially under plain persist() (persist caches
+    // execution but not the analyzer tree — the classic iterative-
+    // DataFrame trap). localCheckpoint truncates the lineage each round:
+    // plans stay O(1), blocks are reclaimed by the ContextCleaner. On a
+    // cluster with executor churn, swap for reliable checkpoint().
+    var edges = pairs
+      .select(least(col("ida"), col("idb")).as("u"),
+        greatest(col("ida"), col("idb")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // Convergence: the canonical (u < v) edge set is stable. Checksum
+    // compare (sum of a symmetric hash) — one cheap aggregate per round
+    // instead of a set-difference self-join.
+    def checksum(e: DataFrame): Option[java.math.BigDecimal] =
+      Option(e.agg(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
+        .head().getDecimal(0))
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val attach =
+        if (large) nbrs.filter(col("v") > col("u"))
+        else nbrs.filter(col("v") <= col("u"))
+          .unionAll(nbrs.select(col("u"), col("u").as("v")).distinct())
+      attach.join(m, "u")
+        .select(least(col("v"), col("m")).as("u"),
+          greatest(col("v"), col("m")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next =
+        star(star(edges, large = true), large = false).localCheckpoint(true)
+      val c = checksum(next)
+      edges = next
+      converged = c == prev
+      prev = c
+      iter += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar stopped at maxIter=$maxIter before fixpoint")
+    // Stars: (center u) — every v maps to u; centers map to themselves.
+    val members = edges.select(col("v").as("id"), col("u").as("component"))
+    val centers = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      // a center that is itself a member of a larger star would be
+      // double-listed; at fixpoint that cannot happen, but the anti-join
+      // keeps the output well-formed even at a forced early stop
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+    members.unionAll(centers).localCheckpoint(true)
   }
 
   /** Near-duplicate SURVIVORS: the corpus minus all but the min-id member

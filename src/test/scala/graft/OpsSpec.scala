@@ -254,6 +254,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("star-contraction CC equals min-label propagation CC") {
+    def cc(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ccStar(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // real near-dup pairs from the testdata
+    val real = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.5)
+      .select(col("ida"), col("idb"))
+    assert(real.count() > 0)
+    assert(ccStar(real) == cc(real))
+    // adversarial topologies: a deep chain (diameter 19), a star with a
+    // non-minimal hub, two separate components, and an isolated pair
+    val synth = ((1L to 19L).map(i => (i, i + 1)) ++
+      Seq((50L, 40L), (50L, 41L), (50L, 42L), (60L, 61L), (62L, 63L)))
+      .toDF("ida", "idb")
+    val got = ccStar(synth)
+    assert(got == cc(synth))
+    assert(got.filter(_._1 <= 20).forall(_._2 == 1L)) // chain collapses to min
+    val byId = got.toMap
+    assert(byId(50L) == 40L && byId(41L) == 40L)
+  }
+
   test("duplicatedSpanStats counts positioned spans, within- and cross-doc") {
     val a = (1 to 6).map(i => s"a$i").mkString(" ")   // 6 tokens: a1..a6
     val b = (1 to 6).map(i => s"b$i").mkString(" ")
