@@ -450,6 +450,20 @@ object OpsQueries {
     annRecall(qSimTopK(s, dir), approx, k = 5, bound = 0.4)
   }
 
+  /** IVF-PQ composed search (16 cells × nprobe 4, PQ m=16 × 256 — the
+    * faiss IVFADC shape: probing bounds rows scored, ADC bounds cost per
+    * row, the index is 16 B + cell id per vector and the float corpus is
+    * never read at search time). Recall compounds both approximations
+    * (IVF ≈ 0.93+, PQ ≈ 0.58-0.83 on these near-random synthetic
+    * embeddings), so the contract floor matches `emb_pq_recall`'s 0.4;
+    * deterministic (fixed sample + seed quantizers). */
+  private def qSimIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = Similarity.ivfPqIndex(e, "embedding", "vec_id")
+    val approx = Similarity.ivfPqTopK(idx, annQueries(e), "embedding", "vec_id", k = 5)
+    annRecall(qSimTopK(s, dir), approx, k = 5, bound = 0.4)
+  }
+
   private val oAnnRecall =
     """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 8""".stripMargin
@@ -1395,6 +1409,7 @@ object OpsQueries {
     "profile_hist_quantile" -> (qProfileHistQuantile _),
     "sim_lsh_recall" -> (qSimLshRecall _),
     "sim_ivf_recall" -> (qSimIvfRecall _),
+    "sim_ivfpq_recall" -> (qSimIvfPqRecall _),
     "emb_pq_recall" -> (qEmbPqRecall _)
   )
 
@@ -1449,6 +1464,7 @@ object OpsQueries {
     "profile_hist_quantile" -> oProfileHistQuantile,
     "sim_lsh_recall" -> oAnnRecall,
     "sim_ivf_recall" -> oAnnRecall,
+    "sim_ivfpq_recall" -> oAnnRecall,
     "emb_pq_recall" -> oAnnRecall
   )
 }

@@ -96,6 +96,25 @@ object Quantize {
     }
   }
 
+  /** The PQ encode step as a reusable Column: vector → its `m` one-byte
+    * codes against broadcast codebooks. Shared by [[pqEncode]] and
+    * [[Similarity.ivfPqIndex]] (which fuses cell assignment and encoding
+    * into one corpus pass). */
+  def pqEncodeCol(spark: org.apache.spark.sql.SparkSession,
+                  codebooks: Array[Array[Array[Double]]], vec: Column): Column =
+    encodeUdf(spark.sparkContext.broadcast(codebooks))(vec)
+
+  private def encodeUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      val cb = bc.value
+      val sub = cb(0)(0).length
+      cb.indices.map { j =>
+        nearest(v.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray, cb(j))
+      }
+    }
+
   private def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var i = 0
@@ -118,13 +137,7 @@ object Quantize {
   def pqEncode(df: DataFrame, vecCol: String, idCol: String,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(codebooks)
-    val enc = udf { (v: Seq[Float]) =>
-      val cb = bc.value
-      val sub = cb(0)(0).length
-      cb.indices.map { j =>
-        nearest(v.slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray, cb(j))
-      }
-    }
+    val enc = encodeUdf(bc)
     val dec = udf { (codes: Seq[Int]) =>
       val cb = bc.value
       codes.indices.flatMap(j => cb(j)(codes(j))).map(_.toFloat)

@@ -165,11 +165,7 @@ object Similarity {
     val cents: Array[(Array[Double], Double)] =
       trainCentroids(corpus, vecCol, idCol, ncentroids, lloydIters)
     require(cents.length == ncentroids, s"corpus smaller than $ncentroids")
-    // cos-proportional score per centroid (query/corpus norm divides out
-    // of the argmax, centroid norm does not)
-    def simsArr(vec: Column): Column = array(cents.toIndexedSeq.map { case (v, n) =>
-      dotFast(spark, vec, array(v.toIndexedSeq.map(lit): _*)) / lit(n)
-    }: _*)
+    def simsArr(vec: Column): Column = centroidSims(spark, cents, vec)
     val sims = simsArr(col("cv"))
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
       .withColumn("cid", (array_position(sims, array_max(sims)) - 1).cast("int"))
@@ -189,6 +185,17 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "rank", "id", "sim")
   }
+
+  /** cos-proportional score of `vec` against each broadcast-literal
+    * centroid (query/corpus norm divides out of the argmax, centroid
+    * norm does not) — the cell-assignment/probe expression shared by
+    * [[ivfTopK]] and [[ivfPqIndex]]/[[ivfPqTopK]]. */
+  private def centroidSims(spark: org.apache.spark.sql.SparkSession,
+                           cents: Array[(Array[Double], Double)],
+                           vec: Column): Column =
+    array(cents.toIndexedSeq.map { case (v, n) =>
+      dotFast(spark, vec, array(v.toIndexedSeq.map(lit): _*)) / lit(n)
+    }: _*)
 
   /** IVF coarse-quantizer training: `lloydIters` rounds of spherical
     * k-means on a bounded, deterministic sample (lowest-id vectors —
@@ -248,15 +255,54 @@ object Similarity {
     val spark = codes.sparkSession
     val m = codebooks.length
     val kCent = codebooks(0).length
-    val sub = codebooks(0)(0).length
-    // float-rounded codebook entries: table sums must match scoring the
-    // float-decoded vectors (Quantize.pqDecode emits float32)
-    val cbF: Array[Array[Array[Double]]] =
-      codebooks.map(_.map(_.map(_.toFloat.toDouble)))
+    val cbF = pqFloatCb(codebooks)
+    val norm2Col = pqNorm2Col(cbF)
+    val q = broadcast(pqQuerySide(spark, cbF, queries, vecCol, qIdCol))
+    def lookup(cs: Column, table: Column): Column =
+      pqLookup(spark, cs, table, m, kCent)
+    val par = spark.sparkContext.defaultParallelism
+    val c0 = codes.select(col(idCol).as("id"), col(codesCol).as("__codes"))
+    val c = if (c0.rdd.getNumPartitions < par / 2) c0.repartition(par) else c0
+    val scored = c.join(q, col("qid") =!= col("id"))
+      .withColumn("sim", round(lookup(col("__codes"), col("__dt")) /
+        (col("__qn") * sqrt(lookup(col("__codes"), norm2Col))), 6))
+      .select("qid", "id", "sim")
+    val localW = Window.partitionBy("qid", "__part").orderBy(col("sim").desc, col("id"))
+    val pruned = scored.withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(localW))
+      .filter(col("__lr") <= k)
+      .drop("__part", "__lr")
+    val globalW = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    pruned.withColumn("rank", row_number().over(globalW))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+
+  /** Codebooks rounded through float32: ADC table sums must match
+    * scoring the float-decoded vectors (Quantize.pqDecode emits
+    * float32). */
+  private def pqFloatCb(codebooks: Array[Array[Array[Double]]])
+      : Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.map(_.toFloat.toDouble)))
+
+  /** Flat m×k table of codebook-entry squared norms (query-independent
+    * half of the ADC cosine denominator). */
+  private def pqNorm2Col(cbF: Array[Array[Array[Double]]]): Column = {
+    val m = cbF.length; val kCent = cbF(0).length
     val norm2: IndexedSeq[Double] = for {
       j <- 0 until m; c <- 0 until kCent
     } yield cbF(j)(c).map(x => x * x).sum
-    val norm2Col = array(norm2.map(lit): _*)
+    array(norm2.map(lit): _*)
+  }
+
+  /** Per-query ADC state: the m×k dot-product table (query × every
+    * codebook entry — |queries|·m·k·sub work, done once on the broadcast
+    * side) and the query norm. Returns (qid, __dt, __qn). */
+  private def pqQuerySide(spark: org.apache.spark.sql.SparkSession,
+                          cbF: Array[Array[Array[Double]]],
+                          queries: DataFrame, vecCol: String,
+                          qIdCol: String): DataFrame = {
+    val m = cbF.length; val kCent = cbF(0).length; val sub = cbF(0)(0).length
     val bcCb = spark.sparkContext.broadcast(cbF)
     val dotTable = udf { (qv: Seq[Float]) =>
       val cb = bcCb.value
@@ -275,29 +321,17 @@ object Similarity {
       out
     }
     val qNorm = udf((qv: Seq[Float]) => math.sqrt(qv.map(x => x.toDouble * x).sum))
-    val q = broadcast(queries.select(col(qIdCol).as("qid"),
-      dotTable(col(vecCol)).as("__dt"), qNorm(col(vecCol)).as("__qn")))
-    def lookup(cs: Column, table: Column): Column =
-      if (spark.catalog.functionExists("graft_pq_lookup"))
-        call_function("graft_pq_lookup", cs, table, lit(kCent))
-      else pqLookupCombo(cs, table, m, kCent)
-    val par = spark.sparkContext.defaultParallelism
-    val c0 = codes.select(col(idCol).as("id"), col(codesCol).as("__codes"))
-    val c = if (c0.rdd.getNumPartitions < par / 2) c0.repartition(par) else c0
-    val scored = c.join(q, col("qid") =!= col("id"))
-      .withColumn("sim", round(lookup(col("__codes"), col("__dt")) /
-        (col("__qn") * sqrt(lookup(col("__codes"), norm2Col))), 6))
-      .select("qid", "id", "sim")
-    val localW = Window.partitionBy("qid", "__part").orderBy(col("sim").desc, col("id"))
-    val pruned = scored.withColumn("__part", spark_partition_id())
-      .withColumn("__lr", row_number().over(localW))
-      .filter(col("__lr") <= k)
-      .drop("__part", "__lr")
-    val globalW = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    pruned.withColumn("rank", row_number().over(globalW))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "id", "sim")
+    queries.select(col(qIdCol).as("qid"),
+      dotTable(col(vecCol)).as("__dt"), qNorm(col(vecCol)).as("__qn"))
   }
+
+  /** `Σ_j table[j·k + codes[j]]`: the graft_pq_lookup codegen expression
+    * when GraftExtensions is registered, else the element_at combo. */
+  private def pqLookup(spark: org.apache.spark.sql.SparkSession,
+                       cs: Column, table: Column, m: Int, kCent: Int): Column =
+    if (spark.catalog.functionExists("graft_pq_lookup"))
+      call_function("graft_pq_lookup", cs, table, lit(kCent))
+    else pqLookupCombo(cs, table, m, kCent)
 
   /** Expression-combo twin of the `graft_pq_lookup` codegen expression:
     * `Σ_j table[j·k + codes[j]]` as m `element_at` terms (1-based) —
@@ -355,6 +389,85 @@ object Similarity {
         round(cosineFast(corpus.sparkSession, col("qv"), col("cv")), 6))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+
+  /** A built IVF-PQ index: `codes` is the searchable corpus — one row
+    * per vector, (id, cid cell assignment, codes m-byte PQ code) — plus
+    * the broadcast-sized coarse centroids and PQ codebooks the search
+    * side needs. The float vectors appear nowhere: at 100 TB of
+    * embeddings the index is ~(16 + 4 + id) bytes per vector, and
+    * `codes` is what you persist (partition by `cid` via
+    * [[Layout.writePartitioned]] and searches prune to the probed
+    * cells at the SCAN). */
+  final case class IvfPq(codes: DataFrame,
+                         centroids: Array[(Array[Double], Double)],
+                         codebooks: Array[Array[Array[Double]]])
+
+  /** Build an IVF-PQ index (the faiss `IVFx,PQy` composition): train the
+    * coarse quantizer and PQ codebooks on bounded driver samples, then
+    * ONE distributed pass over the corpus computes each vector's cell id
+    * and PQ code side by side — the corpus is never shuffled and never
+    * revisited. */
+  def ivfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                 ncentroids: Int = 16, m: Int = 16, kCent: Int = 256,
+                 lloydIters: Int = 0): IvfPq = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, vecCol, idCol, ncentroids, lloydIters)
+    require(cents.length == ncentroids, s"corpus smaller than $ncentroids")
+    val cb = Quantize.pqTrain(corpus, vecCol, idCol, m, kCent)
+    val sims = centroidSims(spark, cents, col(vecCol))
+    val codes = corpus.select(
+      col(idCol).as("id"),
+      (array_position(sims, array_max(sims)) - 1).cast("int").as("cid"),
+      Quantize.pqEncodeCol(spark, cb, col(vecCol)).as("codes"))
+    IvfPq(codes, cents, cb)
+  }
+
+  /** IVF-PQ approximate top-k — both ANN scale levers at once: IVF cell
+    * probing bounds WHICH rows are scored (~nprobe/ncentroids of the
+    * corpus) and PQ ADC bounds the COST PER ROW (m table lookups over a
+    * 16-byte code; no float vector is ever read). Query-side probe
+    * cells, ADC tables and norms ride one broadcast; candidate
+    * generation is an equi-join on cell id against the code table
+    * (partition-prunable when `codes` is stored partitioned by cid);
+    * top-k is the same per-partition-prune → global-window shape as
+    * [[bruteForceTopK]]. `sim` equals the cosine against the
+    * float-DECODED vector (recall contract vs true cosine is the
+    * oracle-checked query; exactness of ADC vs decoded vectors is
+    * spec-pinned on [[pqTopK]], which shares the scoring expression). */
+  def ivfPqTopK(index: IvfPq, queries: DataFrame, vecCol: String,
+                qIdCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = index.codes.sparkSession
+    val m = index.codebooks.length
+    val kCent = index.codebooks(0).length
+    val cbF = pqFloatCb(index.codebooks)
+    val norm2Col = pqNorm2Col(cbF)
+    val qsims = queries.select(col(qIdCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(centroidSims(spark, index.centroids, col("qv")))
+          .as(Seq("cid", "csim")))
+    val probeW = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
+    val probeCells = qsims
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select("qid", "cid")
+    val probes = broadcast(probeCells
+      .join(pqQuerySide(spark, cbF, queries, vecCol, qIdCol), "qid"))
+    val scored = index.codes.join(probes, "cid")
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim",
+        round(pqLookup(spark, col("codes"), col("__dt"), m, kCent) /
+          (col("__qn") * sqrt(pqLookup(spark, col("codes"), norm2Col, m, kCent))), 6))
+      .select("qid", "id", "sim")
+    val localW = Window.partitionBy("qid", "__part").orderBy(col("sim").desc, col("id"))
+    val pruned = scored.withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(localW))
+      .filter(col("__lr") <= k)
+      .drop("__part", "__lr")
+    val globalW = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    pruned.withColumn("rank", row_number().over(globalW))
       .filter(col("rank") <= k)
       .select("qid", "rank", "id", "sim")
   }

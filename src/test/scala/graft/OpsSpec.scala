@@ -423,6 +423,43 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("ivfPqTopK: full probe ≡ flat pqTopK; partial probe has no cartesian") {
+    val q = emb.filter(col("vec_id") < 8)
+    val idx = Similarity.ivfPqIndex(emb, "embedding", "vec_id", ncentroids = 16)
+    // nprobe = ncentroids removes the IVF approximation entirely: the
+    // composed search must equal flat ADC over the whole code table,
+    // bit-for-bit (same codebooks, same scoring expression, same
+    // rank tie-break)
+    val full = Similarity.ivfPqTopK(idx, q, "embedding", "vec_id", k = 5,
+        nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val codes = Quantize.pqEncode(emb, "embedding", "vec_id", idx.codebooks)
+    val flat = Similarity.pqTopK(codes, "codes", "vec_id",
+        q, "embedding", "vec_id", idx.codebooks, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == flat)
+    // partial probe: well-formed ranks, measured recall, scan-bounded plan
+    val part = Similarity.ivfPqTopK(idx, q, "embedding", "vec_id", k = 5,
+      nprobe = 4)
+    val rows = part.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"ivf-pq recall@5 = $recall%.2f (nprobe 4/16, m=16 ADC)")
+    // both approximations compound on a near-random corpus; the floor is
+    // deliberately loose — the oracle contract at sf0.01/0.1 pins 0.4
+    assert(recall >= 0.15, f"recall $recall%.2f")
+    val plan = part.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   // ---------------------------------------------- scrub / contamination
 
   test("contamination clean removes exactly the flagged corpus docs") {
