@@ -214,6 +214,21 @@ object OpsQueries {
     Dedup.nearDupSurvivors(t(s, dir, "documents"), "text", "doc_id",
       threshold = 0.5).select("doc_id")
 
+  /** Same survivors contract, but the transitive grouping runs the
+    * large-star/small-star contraction — the O(log n)-round CC that
+    * replaces min-label propagation when components are deep or the
+    * pair list is too big for the driver union-find. Hash-matching the
+    * same recursive-CTE oracle as `dedup_survivors` pins the two CC
+    * engines equal on real data end-to-end. */
+  private def qDedupSurvivorsStar(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", threshold = 0.5)
+    val victims = Dedup.connectedComponentsStar(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    d.join(victims, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
   private val oDedupSurvivors =
     s"""WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len($oToks) - 2, 0)),
@@ -1367,6 +1382,7 @@ object OpsQueries {
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_survivors" -> (qDedupSurvivors _),
+    "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_embedding" -> (qDedupEmbedding _),
@@ -1422,6 +1438,7 @@ object OpsQueries {
     "dedup_exact" -> oDedupExact,
     "dedup_ngram_jaccard" -> oJaccardPairs(0.5),
     "dedup_survivors" -> oDedupSurvivors,
+    "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,
     "dedup_embedding" -> oDedupEmbedding,
