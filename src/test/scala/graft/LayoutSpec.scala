@@ -26,6 +26,33 @@ class LayoutSpec extends SparkSpec {
     assert(read.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("IVF-PQ code table partitioned by cell: search scan is cell-pruned") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.ivfPqIndex(emb, "embedding", "vec_id", ncentroids = 16)
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_ivfpq")}/codes"
+    Layout.writePartitioned(idx.codes, path, Seq("cid"))
+    val stored = idx.copy(codes = spark.read.parquet(path))
+    val q = emb.filter(col("vec_id") < 4)
+    val res = Similarity.ivfPqTopK(stored, q, "embedding", "vec_id",
+      k = 5, nprobe = 2)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // the probe side arrives via a broadcast equi-join on the partition
+    // column, so Spark's dynamic partition pruning must reach the scan:
+    // at 100 TB this is the difference between reading nprobe cells and
+    // reading the whole index
+    val scan = res.queryExecution.executedPlan.toString
+    assert(scan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cid in:\n$scan")
+    // stored-index search ≡ in-memory-index search (cid arrives as the
+    // parquet partition column — same values, same results)
+    val mem = Similarity.ivfPqTopK(idx, q, "embedding", "vec_id",
+        k = 5, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows.map(_.toString).sorted.toSeq == mem)
+  }
+
   test("compact merges a small-file dataset, preserving rows") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
