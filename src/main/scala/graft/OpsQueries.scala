@@ -118,6 +118,50 @@ object OpsQueries {
       |SELECT doc_id, rank, term, tfidf FROM ranked
       |WHERE rank <= 3 AND doc_id < 100""".stripMargin
 
+  /** BM25 retrieval over the documents corpus: three fixed keyword
+    * queries, top-10 docs each. The oracle recomputes the full Okapi
+    * scoring pipeline (same parenthesization, 6-dp-rounded partials
+    * summed as DECIMAL) in SQL. */
+  private val bm25Queries = Seq(
+    0 -> "spark query table", 1 -> "vector hash join",
+    2 -> "customer order line")
+
+  private def qTextBm25(s: SparkSession, dir: String): DataFrame =
+    TextRank.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+      bm25Queries, k = 10)
+
+  private val oTextBm25 = {
+    val qvals = bm25Queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH terms AS (
+      |  SELECT doc_id, t.term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest($oToks) AS term FROM documents) t
+      |  WHERE t.term <> '' GROUP BY doc_id, t.term),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM terms GROUP BY doc_id),
+      |stats AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+      |    (SELECT sum(dl) FROM dl) AS tot),
+      |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+      |q(qid, qterm) AS (VALUES $qvals),
+      |scored AS (SELECT q.qid, terms.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+      |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * (dl.dl /
+      |        (CAST(tot AS DOUBLE) / n))))),
+      |    6) AS DECIMAL(18,6)) AS ts
+      |  FROM q JOIN terms ON q.qterm = terms.term
+      |    JOIN dfreq ON terms.term = dfreq.term
+      |    JOIN dl ON terms.doc_id = dl.doc_id
+      |    CROSS JOIN stats),
+      |agg AS (SELECT qid, doc_id, CAST(sum(ts) AS DOUBLE) AS score
+      |  FROM scored GROUP BY 1, 2),
+      |ranked AS (SELECT qid, doc_id, score, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      |  FROM agg)
+      |SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   /** Gopher-style quality rules per doc (word-count/mean-length/symbol/
     * 2-gram-repetition gates and their conjunction). */
   private def qTextGopher(s: SparkSession, dir: String): DataFrame =
@@ -1378,6 +1422,7 @@ object OpsQueries {
     "text_langid" -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "text_tfidf" -> (qTextTfidf _),
+    "text_bm25" -> (qTextBm25 _),
     "text_gopher" -> (qTextGopher _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -1434,6 +1479,7 @@ object OpsQueries {
     "text_langid" -> oTextLangId,
     "text_fingerprint" -> oTextFingerprint,
     "text_tfidf" -> oTextTfidf,
+    "text_bm25" -> oTextBm25,
     "text_gopher" -> oTextGopher,
     "dedup_exact" -> oDedupExact,
     "dedup_ngram_jaccard" -> oJaccardPairs(0.5),

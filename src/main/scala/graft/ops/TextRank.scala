@@ -47,4 +47,72 @@ object TextRank {
       .filter(col("rank") <= k)
       .select(col("id").as(idCol), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** Okapi BM25 retrieval: top-`k` documents per query — the standard
+    * lexical-relevance ranker (used for retrieval-based decontamination,
+    * hard-negative mining and quality triage over a training corpus).
+    *
+    * Scale shape: the corpus explodes ONCE into a (doc, term, tf) index
+    * with per-doc lengths; document frequency is a term-level aggregate
+    * (dictionary-sized, broadcast back); the QUERY side is a literal
+    * local relation (a handful of rows), so scoring is one broadcast
+    * join against the posting lists followed by a per-query top-k via
+    * WindowGroupLimit. The corpus is never re-scanned per query and no
+    * driver-side vocabulary exists. At 100 TB the `terms` index is the
+    * artifact you would persist (bucketed by term) and reuse across
+    * query batches.
+    *
+    * Numeric portability: each per-term partial score is computed with a
+    * FIXED parenthesization (mirrored exactly in the DuckDB oracle),
+    * rounded to 6 dp and summed as DECIMAL(18,6) — decimal summation is
+    * exact and order-independent, so the cross-engine hash compare does
+    * not depend on float addition order. Ranking is by (score desc,
+    * doc id) on the rounded score. Returns (qid, rank, idCol, score).
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (Lucene's non-negative
+    * variant); tfNorm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(Int, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.count()
+    val terms = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    // per-doc length (token count incl. duplicates) and the corpus mean;
+    // totTf/n is ONE double division of two exact longs — the oracle
+    // recomputes the identical value.
+    val dl = terms.groupBy("id").agg(sum("tf").as("dl"))
+    val totTf = dl.agg(sum("dl")).head.getLong(0)
+    val avgdl = totTf.toDouble / n
+    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = queries
+      .flatMap { case (qid, text) =>
+        text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t))
+      }
+      .toDF("qid", "qterm")
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) *
+        (lit(1 - b) + lit(b) * (col("dl") / lit(avgdl))))
+    val scored = q.join(terms, col("qterm") === col("term"))
+      .join(dfreq, "term")
+      .join(dl, "id")
+      .select(col("qid"), col("id"),
+        round(idf * tfNorm, 6).cast("decimal(18,6)").as("ts"))
+    val agg = scored.groupBy("qid", "id")
+      .agg(sum("ts").cast("double").as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as(idCol), col("score"))
+  }
 }

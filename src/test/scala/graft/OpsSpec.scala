@@ -51,6 +51,43 @@ class OpsSpec extends SparkSpec {
     assert(out(2).getString(0) == "en" && out(2).getDouble(1) == 0.0)
   }
 
+  test("bm25TopK matches a JVM reference implementation") {
+    val corpus = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "banana cherry cherry date"),
+      (2L, "apple apple apple"),
+      (3L, "date egg fig"),
+      (4L, "banana apple date"))
+    val d = corpus.toDF("doc_id", "text")
+    val qs = Seq(0 -> "apple date", 1 -> "cherry")
+    val got = TextRank.bm25TopK(d, "text", "doc_id", qs, k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // reference: plain-Scala Okapi BM25, same idf/tfNorm, 6dp partial round
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = corpus.size.toDouble
+    val dl = toks.map { case (id, ts) => id -> ts.size.toDouble }.toMap
+    val avgdl = dl.values.sum / n
+    val dfm = toks.flatMap(_._2.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size.toDouble }
+    def score(qterms: Seq[String], id: Long): BigDecimal = {
+      val tf = toks.toMap.apply(id).groupBy(identity).map { case (t, xs) => t -> xs.size.toDouble }
+      qterms.distinct.flatMap { t =>
+        tf.get(t).map { f =>
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          val tn = f * (1.2 + 1.0) / (f + 1.2 * (0.25 + 0.75 * (dl(id) / avgdl)))
+          BigDecimal(idf * tn).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum
+    }
+    for ((qid, qtext) <- qs) {
+      val exp = corpus.map(_._1)
+        .map(id => id -> score(qtext.split(" ").toSeq, id))
+        .filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(3)
+        .zipWithIndex.map { case ((id, s), i) => (qid, i + 1, id, s.toDouble) }
+      val gotQ = got.filter(_._1 == qid).sortBy(_._2).toSeq
+      assert(gotQ == exp, s"qid=$qid")
+    }
+  }
+
   // --------------------------------------------------------------- dedup
 
   test("graft_shingles hashed sets have the same cardinality as string shingles") {
