@@ -839,6 +839,30 @@ object OpsQueries {
       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
       |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END""".stripMargin
 
+  /** Priority sampling: top-20 weight-biased docs per language with the
+    * DLT unbiased subset-sum estimate. Priorities are exact across
+    * engines (power-of-two divide + one rounded division), so the
+    * oracle replays the whole selection. */
+  private def qSamplePriority(s: SparkSession, dir: String): DataFrame =
+    Sample.priorityPerStratum(
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      "doc_id", "lang", "n_chars", n = 20)
+      .select("doc_id", "lang", "n_chars", "pri", "w_est")
+
+  private val oSamplePriority =
+    """WITH p AS (SELECT doc_id, lang, n_chars,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |            + 1 AS DOUBLE) / 4294967296.0) AS pri
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (
+      |    PARTITION BY lang ORDER BY pri DESC, doc_id) AS rk FROM p),
+      |tau AS (SELECT lang, min(CASE WHEN rk = 21 THEN pri END) AS tau
+      |  FROM r WHERE rk <= 21 GROUP BY lang)
+      |SELECT r.doc_id, r.lang, r.n_chars, r.pri,
+      |  greatest(CAST(n_chars AS DOUBLE), COALESCE(tau.tau, 0.0)) AS w_est
+      |FROM r JOIN tau ON r.lang = tau.lang WHERE rk <= 20""".stripMargin
+
   // =====================================================================
   // Interval (range) join
   // =====================================================================
@@ -1453,6 +1477,7 @@ object OpsQueries {
     "doc_topn" -> (qDocTopN _),
     "curation_pipeline" -> (qCurationPipeline _),
     "sample_stratified" -> (qSampleStratified _),
+    "sample_priority" -> (qSamplePriority _),
     "doc_chunks" -> (qDocChunks _),
     "doc_packing" -> (qDocPacking _),
     "text_scrub" -> (qTextScrub _),
@@ -1510,6 +1535,7 @@ object OpsQueries {
     "doc_topn" -> oDocTopN,
     "curation_pipeline" -> oCurationPipeline,
     "sample_stratified" -> oSampleStratified,
+    "sample_priority" -> oSamplePriority,
     "doc_chunks" -> oDocChunks,
     "doc_packing" -> oDocPacking,
     "text_scrub" -> oTextScrub,

@@ -97,4 +97,49 @@ object Sample {
     df.filter(col(stratumCol).isin(strata: _*) &&
       bucket32(col(idCol)) < rateCol * lit(4294967296.0))
   }
+
+  /** Weight-proportional sampling WITHOUT replacement via PRIORITY
+    * SAMPLING (Duffield–Lund–Thorup, "Priority sampling for estimation
+    * of arbitrary subset sums", JACM 2007): each row gets priority
+    * w/u with u a stable uniform in (0,1] derived from md5(id); the
+    * top-`n` priorities per stratum are the sample. Unlike acceptance
+    * sampling this hits the budget EXACTLY (n rows per stratum, fewer
+    * only if the stratum is smaller), favors heavy rows, and stays
+    * deterministic: same rows every run, engine, and partitioning —
+    * and the top-n sample is nested inside the top-(n+1) sample.
+    *
+    * Every selected row carries `w_est = max(w, tau)` where tau is the
+    * (n+1)-th priority of its stratum: summing `w_est` over any subset
+    * of the sample is an UNBIASED estimator of that subset's true
+    * total weight — per-domain token budgeting from the sample alone.
+    *
+    * Numeric portability: u = (h+1)/2^32 is exact (power-of-two
+    * divide of an exact integer) and w/u is one correctly-rounded
+    * division, so priorities are bit-identical in any IEEE engine and
+    * the oracle replays selection exactly.
+    *
+    * Scale shape: one window top-(n+1) per stratum (WindowGroupLimit
+    * prunes map-side before the shuffle), a stratum-count-sized tau
+    * aggregate broadcast back. No driver state, no per-row RNG. */
+  def priorityPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                         weightCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (bucket32(col(idCol)) + lit(1L)).cast("double") /
+      lit(4294967296.0)
+    val pri = col(weightCol).cast("double") / u
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(pri.desc, col(idCol))
+    val ranked = df
+      .withColumn("pri", pri)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n + 1)
+    val tau = ranked.groupBy(stratumCol)
+      .agg(min(when(col("__rk") === n + 1, col("pri"))).as("__tau"))
+    ranked.filter(col("__rk") <= n)
+      .join(broadcast(tau), stratumCol)
+      .withColumn("w_est",
+        greatest(col(weightCol).cast("double"),
+          coalesce(col("__tau"), lit(0.0))))
+      .drop("__rk", "__tau")
+  }
 }

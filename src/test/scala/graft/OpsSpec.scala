@@ -88,6 +88,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("priorityPerStratum: exact budget, nested samples, estimator floor") {
+    val d = docs.select("doc_id", "lang", "n_chars")
+    val s20 = Sample.priorityPerStratum(d, "doc_id", "lang", "n_chars", 20)
+    val s21 = Sample.priorityPerStratum(d, "doc_id", "lang", "n_chars", 21)
+    val sizes = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = s20.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (l, c) => assert(got(l) == math.min(20L, c), l) }
+    // priority sampling is nested: the top-20 sample sits inside the top-21
+    val ids20 = s20.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids21 = s21.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids20.subsetOf(ids21))
+    // DLT estimate never drops below the true weight of a selected row
+    assert(s20.filter(col("w_est") < col("n_chars").cast("double")).count() == 0)
+    // estimator uses tau (the n+1-th priority) whenever it exceeds w
+    val wide = s20.filter(col("w_est") > col("n_chars").cast("double")).count()
+    assert(wide > 0, "expected some rows estimated at tau > w")
+  }
+
   // --------------------------------------------------------------- dedup
 
   test("graft_shingles hashed sets have the same cardinality as string shingles") {
