@@ -1410,6 +1410,46 @@ object OpsQueries {
       |  TRUE AS p50_ok, TRUE AS p95_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** KLL quantile rollup: per-(priority, year) slice sketches merged up
+    * to priority, p50/p95 read from the merged sketch. CONTRACT oracle:
+    * n is the exact count (engine-agnostic), and each estimate must sit
+    * within 3× the sketch's 99%-confidence rank-error band of the
+    * exact discrete order statistics — literal TRUE on the oracle side.
+    * (KLL compaction is randomized, so the raw sketch bytes are not
+    * hashable; the rank contract is the portable truth.) */
+  private def qProfileKllQuantile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("oyear", year(col("o_orderdate").cast("timestamp")))
+    val sk = Profile.kllSketches(o, Seq("o_orderpriority", "oyear"),
+      "o_totalprice", k = 200)
+    val est = Profile.kllQuantiles(sk, Seq("o_orderpriority"),
+      Seq(0.5, 0.95), k = 200)
+    val eps = Profile.kllRankError(200) * 3
+    def disc(q: Double) = element_at(
+      sort_array(collect_list(col("o_totalprice"))),
+      greatest(least(ceil(count(lit(1)) * lit(q)).cast("int"),
+        count(lit(1)).cast("int")), lit(1)))
+    val exact = o.groupBy("o_orderpriority").agg(
+      percentile(col("o_totalprice"), lit(0.5)).as("p50_exact"),
+      percentile(col("o_totalprice"), lit(0.95)).as("p95_exact"),
+      disc(0.5 - eps).as("p50_lo"), disc(0.5 + eps).as("p50_hi"),
+      disc(0.95 - eps).as("p95_lo"), disc(0.95 + eps).as("p95_hi"))
+    exact.join(est, "o_orderpriority")
+      .select(col("o_orderpriority"), col("p50_exact"), col("p95_exact"),
+        col("n"),
+        (col("p50") >= col("p50_lo") && col("p50") <= col("p50_hi"))
+          .as("p50_ok"),
+        (col("p95") >= col("p95_lo") && col("p95") <= col("p95_hi"))
+          .as("p95_ok"))
+  }
+
+  private val oProfileKllQuantile =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+      |  quantile_cont(o_totalprice, 0.95) AS p95_exact,
+      |  count(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Audience overlap between event types from persisted theta sketches.
     * At the oracle scale factors every segment holds < 2^12 distinct
     * users, so the sketches are in exact mode and the oracle compares
@@ -1493,6 +1533,7 @@ object OpsQueries {
     "events_topk_window" -> (qEventsTopKWindow _),
     "profile_theta_overlap" -> (qProfileThetaOverlap _),
     "profile_hist_quantile" -> (qProfileHistQuantile _),
+    "profile_kll_quantile" -> (qProfileKllQuantile _),
     "sim_lsh_recall" -> (qSimLshRecall _),
     "sim_ivf_recall" -> (qSimIvfRecall _),
     "sim_ivfpq_recall" -> (qSimIvfPqRecall _),
@@ -1551,6 +1592,7 @@ object OpsQueries {
     "events_topk_window" -> oEventsTopKWindow,
     "profile_theta_overlap" -> oProfileThetaOverlap,
     "profile_hist_quantile" -> oProfileHistQuantile,
+    "profile_kll_quantile" -> oProfileKllQuantile,
     "sim_lsh_recall" -> oAnnRecall,
     "sim_ivf_recall" -> oAnnRecall,
     "sim_ivfpq_recall" -> oAnnRecall,

@@ -176,6 +176,95 @@ object Profile {
       .agg(quantileCols.head, quantileCols.tail: _*)
   }
 
+  /** KLL quantile sketches — mergeable quantiles WITHOUT a declared
+    * value range (the limitation of [[histSketches]]: its error is one
+    * bin width over [lo, hi] and out-of-range values clamp). A KLL
+    * sketch (Karnin–Lang–Liberty, FOCS 2016; DataSketches
+    * `KllDoublesSketch`) guarantees |est_rank − true_rank| ≤ ε(k)·n
+    * with ~99% confidence at a few KB regardless of the value
+    * distribution, and sketches MERGE: per-slice sketches roll up to
+    * any coarser grouping without rescanning raw data.
+    *
+    * Scale shape: one pass builds per-partition partial sketches in a
+    * `mapPartitions` hashmap (slices per partition are bounded by the
+    * slice-key cardinality), then one aggregation merges ≤ numPartitions
+    * partials per slice — the classic map-side-combine shape with a
+    * few-KB payload. No driver state.
+    *
+    * Returns one row per slice: (keys…, kll BINARY). Compaction inside
+    * KLL is randomized, so two builds of the same data may differ in
+    * retained items while both honoring the rank-error bound — output
+    * is contract-checked (rank-error bounds), not hash-pinned. */
+  def kllSketches(df: DataFrame, keys: Seq[String], valueCol: String,
+                  k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val proj = df.select((keys.map(col) :+
+      col(valueCol).cast("double").as("__v")): _*)
+    val nk = keys.length
+    val schema = StructType(
+      proj.schema.fields.dropRight(1).toSeq :+ StructField("kll", BinaryType))
+    val partial = proj.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap[Seq[Any], KllDoublesSketch]()
+      it.foreach { r =>
+        if (!r.isNullAt(nk)) {
+          val key = (0 until nk).map(r.get)
+          m.getOrElseUpdate(key, KllDoublesSketch.newHeapInstance(k))
+            .update(r.getDouble(nk))
+        }
+      }
+      m.iterator.map { case (key, sk) => Row.fromSeq(key :+ sk.toByteArray) }
+    }(Encoders.row(schema))
+    partial.groupBy(keys.map(col): _*)
+      .agg(kllMergeUdf(k)(collect_list(col("kll"))).as("kll"))
+  }
+
+  private def kllMergeUdf(k: Int) = udf { (parts: Seq[Array[Byte]]) =>
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val merged = KllDoublesSketch.newHeapInstance(k)
+    parts.foreach(b => merged.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+    merged.toByteArray
+  }
+
+  /** Merge persisted KLL sketches up to `keys` and read quantile
+    * estimates: one row per rolled-up group with `n` (exact total count
+    * — KLL tracks it losslessly) and a `p<q*100>` column per requested
+    * quantile. */
+  def kllQuantiles(sketches: DataFrame, keys: Seq[String],
+                   qs: Seq[Double], k: Int = 200,
+                   sketchCol: String = "kll"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val labels = qs.map(q => s"p${math.round(q * 100)}")
+    require(labels.distinct.size == labels.size,
+      s"kllQuantiles: quantiles ${qs.mkString(", ")} collide to the same " +
+        s"p<percent> labels — space them at least one percent apart")
+    val quantUdf = udf { (b: Array[Byte]) =>
+      import org.apache.datasketches.kll.KllDoublesSketch
+      import org.apache.datasketches.memory.Memory
+      val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+      sk.getN.toDouble +: qs.map(q => sk.getQuantile(q))
+    }
+    val merged = sketches.groupBy(keys.map(col): _*)
+      .agg(kllMergeUdf(k)(collect_list(col(sketchCol))).as("__m"))
+      .withColumn("__q", quantUdf(col("__m")))
+    val cols = keys.map(col) ++
+      (col("__q").getItem(0).cast("long").as("n") +:
+        labels.zipWithIndex.map { case (l, i) =>
+          col("__q").getItem(i + 1).as(l)
+        })
+    merged.select(cols: _*)
+  }
+
+  /** The sketch's two-sided normalized rank-error bound ε(k): estimated
+    * quantiles sit within ±ε·n ranks of the true order statistic with
+    * ~99% confidence. */
+  def kllRankError(k: Int): Double = {
+    import org.apache.datasketches.kll.KllSketch
+    KllSketch.getNormalizedRankError(k, false)
+  }
+
   /** Pairwise segment-overlap matrix from persisted theta sketches:
     * for each unordered segment pair, the distinct counts of each side,
     * their intersection and union, and the Jaccard overlap. |segments|²/2

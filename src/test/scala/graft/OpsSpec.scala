@@ -108,6 +108,30 @@ class OpsSpec extends SparkSpec {
     assert(wide > 0, "expected some rows estimated at tau > w")
   }
 
+  test("kllSketches: slice-merged quantiles honor the rank-error bound, n exact") {
+    val sliced = Profile.kllSketches(docs, Seq("lang"), "n_chars")
+    assert(sliced.count() == docs.select("lang").distinct().count())
+    val rolled = Profile.kllQuantiles(sliced, Seq.empty, Seq(0.5, 0.9)).head()
+    val vals = docs.select(col("n_chars").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    assert(rolled.getLong(0) == n.toLong) // KLL tracks n losslessly
+    val eps = Profile.kllRankError(200) * 3
+    def ok(q: Double, est: Double): Boolean = {
+      val lo = vals(math.max(math.ceil((q - eps) * n).toInt - 1, 0))
+      val hi = vals(math.min(math.ceil((q + eps) * n).toInt - 1, n - 1))
+      est >= lo && est <= hi
+    }
+    assert(ok(0.5, rolled.getDouble(1)), s"p50=${rolled.getDouble(1)}")
+    assert(ok(0.9, rolled.getDouble(2)), s"p90=${rolled.getDouble(2)}")
+    // merging per-lang slices ≈ sketching the whole corpus directly:
+    // both estimates must sit inside the same rank band
+    val direct = Profile.kllQuantiles(
+      Profile.kllSketches(docs.withColumn("one", lit(1)), Seq("one"), "n_chars"),
+      Seq.empty, Seq(0.5, 0.9)).head()
+    assert(ok(0.5, direct.getDouble(1)) && ok(0.9, direct.getDouble(2)))
+  }
+
   // --------------------------------------------------------------- dedup
 
   test("graft_shingles hashed sets have the same cardinality as string shingles") {
