@@ -371,6 +371,38 @@ object OpsQueries {
       |FROM dots JOIN norms na ON na.vec_id = ida JOIN norms nb ON nb.vec_id = idb
       |WHERE round(d / (na.n * nb.n), 6) >= 0.45""".stripMargin
 
+  /** SemDeDup contract: k-means-blocked semantic near-dup pairs vs the
+    * exact pair set. `n_exact` is engine-agnostic (the oracle recomputes
+    * it); precision is 1 by construction (every emitted pair is
+    * exact-cosine verified, so found ⊆ exact) and recall must clear 0.8
+    * (measured 1.0 at sf0.01 and sf0.1 with ncentroids=8, nassign=4 —
+    * deterministic: fixed sample + Lloyd, no runtime randomness). */
+  private def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val exact = Dedup.embeddingNearDupPairs(e, "embedding", "vec_id",
+      threshold = 0.45).select("ida", "idb")
+    val found = Cluster.semdedupPairs(e, "embedding", "vec_id",
+      threshold = 0.45).select("ida", "idb")
+    val hits = exact.join(found, Seq("ida", "idb"), "left_semi")
+    val misses = found.join(exact, Seq("ida", "idb"), "left_anti")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("__nh")))
+      .crossJoin(misses.agg(count(lit(1)).as("__nm")))
+      .select(col("n_exact"),
+        (col("__nm") === 0).as("precision_ok"),
+        (col("__nh") >= col("n_exact") * 0.8).as("recall_ok"))
+  }
+
+  private val oDedupSemantic =
+    """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS ida, b.vec_id AS idb, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+      |SELECT count(*) AS n_exact, TRUE AS precision_ok, TRUE AS recall_ok
+      |FROM dots JOIN norms na ON na.vec_id = ida JOIN norms nb ON nb.vec_id = idb
+      |WHERE round(d / (na.n * nb.n), 6) >= 0.45""".stripMargin
+
   // =====================================================================
   // Similarity search
   // =====================================================================
@@ -1495,6 +1527,7 @@ object OpsQueries {
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_embedding" -> (qDedupEmbedding _),
+    "dedup_semantic" -> (qDedupSemantic _),
     "sim_topk" -> (qSimTopK _),
     "sim_topk_lsh" -> (qSimTopKLsh _),
     "sim_topk_ivf" -> (qSimTopKIvf _),
@@ -1554,6 +1587,7 @@ object OpsQueries {
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,
     "dedup_embedding" -> oDedupEmbedding,
+    "dedup_semantic" -> oDedupSemantic,
     "sim_topk" -> oSimTopK,
     "sim_topk_lsh" -> oAnnWellFormed,
     "sim_topk_ivf" -> oAnnWellFormed,

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering for corpus curation: spherical k-means
+  * over an embedding column, cluster-blocked semantic deduplication
+  * (the SemDeDup recipe: Abbas et al., "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication", 2023), and
+  * cluster-balanced sampling.
+  *
+  * Scale shape: centroids train on a bounded, deterministic sample
+  * (lowest-id vectors, Lloyd on the driver — same contract as
+  * [[Similarity.ivfTopK]]'s coarse quantizer and faiss's IVF training)
+  * and ship to executors as broadcast-literal expressions; ASSIGNMENT
+  * is a per-row expression — the corpus is scanned once and never
+  * shuffled to be clustered. Everything downstream (pair generation,
+  * per-cluster caps) is bucket-bounded, never corpus × corpus.
+  */
+object Cluster {
+
+  /** Train `k` spherical k-means centroids on the lowest-id `sampleN`
+    * cap (deterministic — same centroids every run/partitioning).
+    * Returns (vector, norm) pairs ready for [[assignCol]]. */
+  def fit(corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+          lloydIters: Int = 3): Array[(Array[Double], Double)] =
+    Similarity.trainCentroids(corpus, vecCol, idCol, k, lloydIters)
+
+  /** Nearest-centroid ids for a vector column, best first, as an
+    * `array<int>` of the `nassign` closest cells — a pure expression
+    * (no shuffle, no UDF on the corpus side). Multi-assignment is the
+    * blocking analogue of IVF's nprobe: a pair straddling a Voronoi
+    * boundary still shares a cell if either side's second-choice cell
+    * covers it. */
+  def assignCol(df: DataFrame, vecCol: String,
+                cents: Array[(Array[Double], Double)],
+                nassign: Int = 1): Column = {
+    require(nassign >= 1 && nassign <= cents.length,
+      s"nassign must be in [1, ${cents.length}]")
+    val spark = df.sparkSession
+    val sims = Similarity.centroidSims(spark, cents, col(vecCol))
+    // single-reference sort of (sim, cid) structs — an argmax-and-mask
+    // unrolling would duplicate the (ncentroids × dim)-literal sims
+    // expression once per level (exponential tree, MB-scale task
+    // binaries); the comparator sorts descending by sim with ties to
+    // the lower cid, matching first-max argmax semantics
+    val zipped = zip_with(sims, sequence(lit(0), lit(cents.length - 1)),
+      (s, i) => struct(s.as("sim"), i.as("cid")))
+    val sorted = array_sort(zipped, (l, r) =>
+      when(l.getField("sim") > r.getField("sim"), lit(-1))
+        .when(l.getField("sim") < r.getField("sim"), lit(1))
+        .otherwise(l.getField("cid").cast("int") -
+          r.getField("cid").cast("int")))
+    transform(slice(sorted, 1, nassign), x => x.getField("cid").cast("int"))
+  }
+
+  /** Per-cluster occupancy histogram: (cid, n) for primary (best-cell)
+    * assignment — the diagnostic for balance/skew before committing to
+    * a clustering for dedup or sampling. */
+  def sizes(df: DataFrame, vecCol: String,
+            cents: Array[(Array[Double], Double)]): DataFrame =
+    df.select(element_at(assignCol(df, vecCol, cents, 1), 1).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+
+  /** SemDeDup: semantic near-duplicate pairs by k-means blocking.
+    * Clusters the corpus (multi-assignment `nassign` cells each),
+    * generates candidate pairs only WITHIN shared cells (capped at
+    * `maxCluster` rows per cell — the quadratic-work guard), and
+    * verifies candidates with the exact cosine. Returns
+    * (ida, idb, cos) with cos ≥ threshold, ida < idb.
+    *
+    * Every emitted pair is exact-verified (precision 1 by
+    * construction); recall depends on blocking. Defaults are tuned
+    * generously for near-uniform synthetic embeddings (ncentroids=8,
+    * nassign=4 → measured recall 1.0 at both test SFs); REAL text
+    * embeddings cluster tightly at the SemDeDup operating point
+    * (cos ≥ 0.95), where far tighter settings (ncentroids ≈ √n,
+    * nassign=2) hold recall — tune ncentroids up with corpus size. */
+  def semdedupPairs(df: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double, ncentroids: Int = 8,
+                    nassign: Int = 4, lloydIters: Int = 3,
+                    maxCluster: Int = 1 << 16): DataFrame = {
+    val spark = df.sparkSession
+    val cents = fit(df, vecCol, idCol, ncentroids, lloydIters)
+    val cells = df
+      .select(col(idCol).as("id"),
+        explode(assignCol(df, vecCol, cents, nassign)).as("cid"))
+    // capped in-cell self-join, the embeddingNearDupPairsLsh shape:
+    // row-shaped and spillable at every stage, AQE soaks residual skew
+    val sizes = cells.groupBy("cid").agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn").between(2, maxCluster))
+      .select("cid")
+    val kept = cells.join(sizes, "cid")
+    val cand = kept.as("a")
+      .join(kept.as("b"), col("a.cid") === col("b.cid") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("ida"), col("v").as("va")), "ida")
+      .join(vecs.select(col("id").as("idb"), col("v").as("vb")), "idb")
+      .withColumn("cos",
+        round(Similarity.cosineFast(spark, col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("ida", "idb", "cos")
+  }
+
+  /** Cluster-balanced deterministic sample: up to `perCluster` rows per
+    * primary cell, chosen by the stable md5 order (Sample.bucket32) —
+    * the "diverse subset" complement of [[semdedupPairs]]: instead of
+    * removing redundancy pairwise, keep a bounded number of
+    * representatives per semantic region. WindowGroupLimit prunes
+    * map-side; no driver state. */
+  def balancedSample(df: DataFrame, vecCol: String, idCol: String,
+                     cents: Array[(Array[Double], Double)],
+                     perCluster: Int): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    val cid = element_at(assignCol(df, vecCol, cents, 1), 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cid"))
+      .orderBy(Sample.bucket32(col(idCol)), col(idCol))
+    df.withColumn("__cid", cid)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perCluster)
+      .drop("__rk")
+      .withColumnRenamed("__cid", "cid")
+  }
+}

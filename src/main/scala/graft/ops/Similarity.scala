@@ -190,7 +190,7 @@ object Similarity {
     * centroid (query/corpus norm divides out of the argmax, centroid
     * norm does not) — the cell-assignment/probe expression shared by
     * [[ivfTopK]] and [[ivfPqIndex]]/[[ivfPqTopK]]. */
-  private def centroidSims(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def centroidSims(spark: org.apache.spark.sql.SparkSession,
                            cents: Array[(Array[Double], Double)],
                            vec: Column): Column =
     array(cents.toIndexedSeq.map { case (v, n) =>
@@ -202,7 +202,7 @@ object Similarity {
     * faiss-style IVF trains on a sample too; only ASSIGNMENT must touch
     * the full corpus, and that stays a distributed per-row expression).
     * iters=0 returns the raw seed centroids. Returns (vector, norm). */
-  private def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+  private[ops] def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
                              c: Int, lloydIters: Int): Array[(Array[Double], Double)] = {
     val sampleN = math.max(c, math.min(4096, c * 64))
     val sample: Array[Array[Double]] = corpus

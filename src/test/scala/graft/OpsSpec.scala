@@ -411,6 +411,39 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("semdedupPairs: precision 1, high recall vs exact, no cartesian") {
+    val exact = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.35)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Cluster.semdedupPairs(emb, "embedding", "vec_id", 0.35)
+    val found = sem.select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "threshold should qualify at least one pair")
+    assert(found.subsetOf(exact), "every emitted pair must be exact-verified")
+    assert(found.size >= math.ceil(exact.size * 0.8).toInt,
+      s"recall ${found.size}/${exact.size}")
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("cluster assignment, sizes and balancedSample budgets") {
+    val cents = Cluster.fit(emb, "embedding", "vec_id", k = 8)
+    val n = emb.count()
+    // every row lands in exactly one primary cell; sizes sum to n
+    val sz = Cluster.sizes(emb, "embedding", cents)
+    assert(sz.agg(sum("n")).head.getLong(0) == n)
+    // multi-assign emits nassign distinct cells per row
+    val multi = emb.select(Cluster.assignCol(emb, "embedding", cents, 3).as("c"))
+    assert(multi.filter(size(array_distinct(col("c"))) =!= 3).count() == 0)
+    // balanced sample: at most perCluster rows per cell, deterministic
+    val bs = Cluster.balancedSample(emb, "embedding", "vec_id", cents, 5)
+    val over = bs.groupBy("cid").count().filter(col("count") > 5).count()
+    assert(over == 0)
+    val again = Cluster.balancedSample(emb, "embedding", "vec_id", cents, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == bs.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
