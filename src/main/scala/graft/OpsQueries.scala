@@ -895,6 +895,45 @@ object OpsQueries {
       |  greatest(CAST(n_chars AS DOUBLE), COALESCE(tau.tau, 0.0)) AS w_est
       |FROM r JOIN tau ON r.lang = tau.lang WHERE rk <= 20""".stripMargin
 
+  /** DSIR importance resample: 100 docs whose hashed-bigram distribution
+    * is closest (in importance weight, Gumbel-noised) to the English
+    * sub-corpus. Fully engine-portable: decimal-summed 6-dp log-ratios +
+    * md5-derived Gumbel keys, so the oracle replays the WHOLE pipeline —
+    * models, weights, noise and selection — in SQL. */
+  private def qSampleDsir(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Importance.dsirResample(d, d.filter(col("lang") === "en"),
+      "text", "doc_id", topN = 100)
+  }
+
+  private val oSampleDsir =
+    s"""WITH d AS (SELECT doc_id, lang, $oToks AS t FROM documents),
+      |g AS (SELECT doc_id, lang, unnest(CASE WHEN len(t) >= 2
+      |    THEN list_transform(generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS g FROM d),
+      |bk AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b FROM g),
+      |rc AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+      |tc AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT (SELECT sum(c) FROM rc) AS rt,
+      |    (SELECT COALESCE(sum(ct), 0) FROM tc) AS tt),
+      |delta AS (SELECT rc.b,
+      |    CAST(round(
+      |      ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) / (CAST(tt AS DOUBLE) + 1024)) -
+      |      ln(CAST(rc.c + 1 AS DOUBLE) / (CAST(rt AS DOUBLE) + 1024)),
+      |    6) AS DECIMAL(18,6)) AS delta
+      |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+      |docb AS (SELECT doc_id, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+      |sw AS (SELECT docb.doc_id, CAST(sum(cnt * delta) AS DOUBLE) AS logw
+      |  FROM docb JOIN delta ON docb.b = delta.b GROUP BY 1),
+      |w AS (SELECT documents.doc_id, COALESCE(sw.logw, 0.0) AS logw
+      |  FROM documents LEFT JOIN sw ON documents.doc_id = sw.doc_id),
+      |k AS (SELECT doc_id, logw, round(logw + (-ln(-ln(
+      |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      AS DOUBLE) + 0.5) / 4294967296.0))), 6) AS key FROM w)
+      |SELECT doc_id, logw, key FROM k
+      |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin
+
   // =====================================================================
   // Interval (range) join
   // =====================================================================
@@ -1551,6 +1590,7 @@ object OpsQueries {
     "curation_pipeline" -> (qCurationPipeline _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_priority" -> (qSamplePriority _),
+    "sample_dsir" -> (qSampleDsir _),
     "doc_chunks" -> (qDocChunks _),
     "doc_packing" -> (qDocPacking _),
     "text_scrub" -> (qTextScrub _),
@@ -1611,6 +1651,7 @@ object OpsQueries {
     "curation_pipeline" -> oCurationPipeline,
     "sample_stratified" -> oSampleStratified,
     "sample_priority" -> oSamplePriority,
+    "sample_dsir" -> oSampleDsir,
     "doc_chunks" -> oDocChunks,
     "doc_packing" -> oDocPacking,
     "text_scrub" -> oTextScrub,

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance resampling (Xie et al., "Data Selection for
+  * Language Models via Importance Resampling", NeurIPS 2023): select
+  * raw-corpus documents whose hashed n-gram distribution looks like a
+  * TARGET corpus, by importance weights under two bag-of-hashed-ngram
+  * unigram models, sampled with Gumbel top-k.
+  *
+  *   log w(doc) = Σ_b count_b(doc) · (ln p_b − ln q_b)
+  *
+  * where p/q are add-1-smoothed bucket frequencies of the target/raw
+  * corpus and b ranges over `buckets` hash buckets of word n-grams.
+  *
+  * Scale shape: both corpus models are ONE explode + aggregate each,
+  * reduced to `buckets` rows (a broadcast-sized table no matter how
+  * large the corpora); per-doc weights are a second explode joined
+  * map-side against the broadcast log-ratio table; Gumbel top-k is a
+  * bounded global TakeOrdered. No driver-side vocabulary, no shuffle
+  * of raw text.
+  *
+  * Numeric portability: per-bucket log-ratios are rounded to 6 dp and
+  * accumulated as DECIMAL (count × delta is exact), so per-doc weights
+  * do not depend on float summation order; the Gumbel noise is derived
+  * from the stable md5 uniform, making "sampling" deterministic across
+  * runs, engines and partitionings. */
+object Importance {
+
+  /** Sliding word n-grams WITH multiplicity (unlike Dedup.shingles,
+    * which dedupes — counts matter for a unigram LM). */
+  private[ops] def grams(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stable hash bucket of a gram in [0, buckets): md5-based, the same
+    * engine-portable family as Sample.bucket. */
+  private[ops] def gramBucket(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong)).cast("int")
+
+  /** Per-document hashed-ngram bucket counts: (id, b, cnt). */
+  def ngramBucketCounts(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, buckets: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(grams(col(textCol), n)).as("g"))
+      .select(col("id"), gramBucket(col("g"), buckets).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Per-bucket importance log-ratio table: (b, delta) with
+    * delta = round(ln p_b − ln q_b, 6) as DECIMAL(18,6), p from the
+    * add-1-smoothed target model and q from the raw model. Buckets are
+    * those observed in the RAW corpus (a document's buckets are a
+    * subset). `buckets` rows — broadcast-sized. */
+  def bucketLogRatios(raw: DataFrame, target: DataFrame, textCol: String,
+                      n: Int, buckets: Int): DataFrame = {
+    def model(df: DataFrame) = df
+      .select(explode(grams(col(textCol), n)).as("g"))
+      .select(gramBucket(col("g"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val tc = model(target)
+    val rc = model(raw)
+    val tTot = tc.agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
+    val rTot = rc.agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
+    val denT = lit(tTot.toDouble + buckets)
+    val denR = lit(rTot.toDouble + buckets)
+    rc.join(tc.withColumnRenamed("c", "ct"), Seq("b"), "left")
+      .select(col("b"),
+        round(log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") / denT) -
+          log((col("c") + lit(1L)).cast("double") / denR), 6)
+          .cast("decimal(18,6)").as("delta"))
+  }
+
+  /** Per-document DSIR importance log-weights over the raw corpus:
+    * (id, logw DOUBLE). Documents with no n-grams get logw = 0. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, n: Int = 2,
+                  buckets: Int = 1024): DataFrame = {
+    val docB = ngramBucketCounts(raw, textCol, idCol, n, buckets)
+    val delta = broadcast(bucketLogRatios(raw, target, textCol, n, buckets))
+    val summed = docB.join(delta, "b")
+      .groupBy("id")
+      .agg(sum(col("cnt") * col("delta")).as("__w"))
+    raw.select(col(idCol).as("id"))
+      .join(summed, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__w").cast("double"), lit(0.0)).as("logw"))
+  }
+
+  /** Gumbel top-`topN` importance resample: key = logw + Gumbel(md5(id))
+    * — sampling without replacement proportional to w, derandomized via
+    * the stable uniform u = (h + 0.5)/2^32 (exact, endpoint-free).
+    * Returns (id, logw, key) for the selected documents, key 6-dp
+    * rounded so selection and output hash identically across engines. */
+  def dsirResample(raw: DataFrame, target: DataFrame, textCol: String,
+                   idCol: String, topN: Int, n: Int = 2,
+                   buckets: Int = 1024): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val w = dsirWeights(raw, target, textCol, idCol, n, buckets)
+    val u = (Sample.bucket32(col(idCol)) + lit(0.5)) / lit(4294967296.0)
+    val gumbel = -log(-log(u))
+    w.withColumn("key", round(col("logw") + gumbel, 6))
+      .orderBy(col("key").desc, col("id"))
+      .limit(topN)
+  }
+}

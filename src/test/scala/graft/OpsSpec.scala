@@ -444,6 +444,31 @@ class OpsSpec extends SparkSpec {
     assert(again == bs.select("vec_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("dsirWeights: target-like docs outweigh off-target; gram-less docs get 0") {
+    // two distinguishable bigram distributions; target is drawn from A
+    val corpus = Seq(
+      (0L, "alpha beta alpha beta alpha beta"),
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "delta epsilon delta epsilon delta"),
+      (3L, "delta epsilon zeta delta epsilon"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta alpha beta")).toDF("text")
+    val w = Importance.dsirWeights(corpus, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(0) > w(2) && w(0) > w(3), s"A-like should outweigh B-like: $w")
+    assert(w(1) > w(2), w.toString)
+    assert(w(4) == 0.0, "no bigrams -> zero weight")
+    // resample: exact size, keys descending, deterministic
+    val rs = Importance.dsirResample(docs, docs.filter(col("lang") === "en"),
+      "text", "doc_id", topN = 50).collect()
+    assert(rs.length == 50)
+    val keys = rs.map(_.getDouble(2))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    val rs2 = Importance.dsirResample(docs, docs.filter(col("lang") === "en"),
+      "text", "doc_id", topN = 50).collect().map(_.getLong(0)).toSeq
+    assert(rs2 == rs.map(_.getLong(0)).toSeq)
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
