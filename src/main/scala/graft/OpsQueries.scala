@@ -252,6 +252,54 @@ object OpsQueries {
     Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
       threshold = 0.5, numHashes = 128, bands = 32, n = 3)
 
+  /** Incremental exact dedup: docs ≥400 are "today's batch", deduped
+    * against the persisted fingerprint index of docs <400 — the corpus
+    * text is never re-read. */
+  private def qDedupIncrementalExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val index = Dedup.exactIndex(d.filter(col("doc_id") < 400), "text", "doc_id")
+    Dedup.incrementalExact(d.filter(col("doc_id") >= 400), "text", "doc_id",
+      index).select("doc_id", "lang", "n_chars")
+  }
+
+  private val oDedupIncrementalExact =
+    """WITH fp AS (SELECT doc_id, lang, n_chars,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |firsts AS (SELECT fp, min(doc_id) AS doc_id FROM fp
+      |  WHERE doc_id >= 400 GROUP BY fp)
+      |SELECT b.doc_id, b.lang, b.n_chars
+      |FROM fp b JOIN firsts f ON b.doc_id = f.doc_id
+      |WHERE b.fp NOT IN (SELECT fp FROM fp WHERE doc_id < 400)""".stripMargin
+
+  /** Incremental near-dup: today's batch probed against the persisted
+    * minhash band index of the history; candidates verified with exact
+    * Jaccard (no false positives), and every qualifying cross pair in
+    * the testdata has j ≥ 0.9 — per-pair LSH miss probability
+    * (1−j⁴)³² ≈ 1e-15 — so the output hash-matches the exact oracle. */
+  private def qDedupIncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") < 400)
+    val index = Dedup.minhashIndex(corpus, "text", "doc_id")
+    Dedup.incrementalMinhashPairs(d.filter(col("doc_id") >= 400), corpus,
+      "text", "doc_id", index, threshold = 0.5)
+  }
+
+  private val oDedupIncrementalMinhash =
+    s"""WITH docs AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len($oToks) - 2, 0)),
+      |    i -> $oToks[i] || ' ' || $oToks[i+1] || ' ' || $oToks[i+2])) AS sh
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS idb_new, b.doc_id AS id_old, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id >= 400 AND b.doc_id < 400
+      |  GROUP BY 1, 2)
+      |SELECT idb_new, id_old, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = idb_new
+      |  JOIN sizes sb ON sb.doc_id = id_old
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin
+
   /** Transitive near-dup survivors: min-id member per connected group of
     * jaccard≥0.5 pairs. */
   private def qDedupSurvivors(s: SparkSession, dir: String): DataFrame =
@@ -1567,6 +1615,8 @@ object OpsQueries {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_semantic" -> (qDedupSemantic _),
+    "dedup_incremental_exact" -> (qDedupIncrementalExact _),
+    "dedup_incremental_minhash" -> (qDedupIncrementalMinhash _),
     "sim_topk" -> (qSimTopK _),
     "sim_topk_lsh" -> (qSimTopKLsh _),
     "sim_topk_ivf" -> (qSimTopKIvf _),
@@ -1628,6 +1678,8 @@ object OpsQueries {
     "dedup_simhash" -> oDedupSimhash,
     "dedup_embedding" -> oDedupEmbedding,
     "dedup_semantic" -> oDedupSemantic,
+    "dedup_incremental_exact" -> oDedupIncrementalExact,
+    "dedup_incremental_minhash" -> oDedupIncrementalMinhash,
     "sim_topk" -> oSimTopK,
     "sim_topk_lsh" -> oAnnWellFormed,
     "sim_topk_ivf" -> oAnnWellFormed,

@@ -59,6 +59,90 @@ object Dedup {
       .select("__row.*")
   }
 
+  /** Persisted exact-dedup artifact: one (fp, id) row per distinct
+    * canonical fingerprint with its surviving minimum id. This is what a
+    * rolling ingest pipeline keeps between increments — dedup state the
+    * size of the distinct corpus, never the raw corpus. */
+  def exactIndex(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextFunctions.fingerprint(col(textCol)).as("fp"),
+        col(idCol).as("id"))
+      .groupBy("fp").agg(min("id").as("id"))
+
+  /** Incremental exact dedup: the rows of `batch` that survive against a
+    * persisted [[exactIndex]] — novel fingerprints only, lowest id per
+    * fingerprint WITHIN the batch. The historical corpus is touched only
+    * through its index (an anti join on uniformly-distributed md5 keys:
+    * broadcast when the index is small, a plain hash join at scale — the
+    * raw corpus text is never re-read). Union `exactIndex(result)` into
+    * the index to advance the state one increment. */
+  def incrementalExact(batch: DataFrame, textCol: String, idCol: String,
+                       index: DataFrame): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val rowStruct = struct(batch.columns.map(col).toSeq: _*)
+    batch.groupBy(fp.as("__fp"))
+      .agg(min_by(rowStruct, col(idCol)).as("__row"))
+      .join(index.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .select("__row.*")
+  }
+
+  /** Persisted LSH artifact for incremental NEAR-dup detection: the
+    * banded minhash table (band, bh, id) of a corpus. ~`bands` rows per
+    * document, keyed by band hash — the state a rolling ingest probes
+    * instead of re-signing the history. */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+                   numHashes: Int = 128, bands: Int = 32,
+                   n: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    minhashSignatures(df, textCol, idCol, numHashes, n)
+      .select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          hash(slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bh")))
+  }
+
+  /** Incremental near-dup: (batch id, corpus id, jaccard) pairs between a
+    * NEW batch and the historical corpus, found by probing the persisted
+    * [[minhashIndex]] — the history is never re-shingled or re-banded;
+    * only its band table (and, for the exact verify, the few candidate
+    * ROWS, fetched by id) are touched. Band hashes must come from the
+    * same signature family (same numHashes/bands/n) as the index.
+    * `maxBucket` caps degenerate band buckets on the index side.
+    * Verification is exact Jaccard, so emitted pairs have no false
+    * positives; union `minhashIndex(batch)` into the index to advance. */
+  def incrementalMinhashPairs(batch: DataFrame, corpus: DataFrame,
+                              textCol: String, idCol: String,
+                              index: DataFrame, threshold: Double,
+                              numHashes: Int = 128, bands: Int = 32,
+                              n: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val batchBands = minhashIndex(batch, textCol, idCol, numHashes, bands, n)
+    val capped = index.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select("band", "bh")
+    val cand = batchBands.as("a")
+      .join(index.join(capped, Seq("band", "bh")).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("idb_new"), col("b.id").as("id_old"))
+      .distinct()
+    // exact verify on candidate rows only: the corpus side is pruned to
+    // candidate ids BEFORE shingling (a semi join — at scale this is the
+    // id-pushdown read of a few rows, not a corpus scan)
+    val oldNeeded = corpus
+      .join(cand.select(col("id_old").as(idCol)).distinct(), Seq(idCol),
+        "left_semi")
+    val shOld = oldNeeded.select(col(idCol).as("id_old"),
+      hashedShingles(oldNeeded, textCol, n).as("sho"))
+    val shNew = batch.select(col(idCol).as("idb_new"),
+      hashedShingles(batch, textCol, n).as("shn"))
+    cand.join(shNew, "idb_new").join(shOld, "id_old")
+      .withColumn("common", size(array_intersect(col("shn"), col("sho"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("shn")) + size(col("sho")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("idb_new", "id_old", "jaccard")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: inverted index on shingles
     * (explode → self-join on shingle → per-pair intersection count) then
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.

@@ -469,6 +469,31 @@ class OpsSpec extends SparkSpec {
     assert(rs2 == rs.map(_.getLong(0)).toSeq)
   }
 
+  test("incremental dedup equals batch dedup on the id-ordered split") {
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300)
+    // exact: novel batch survivors == batch slice of the global dedup
+    val idx = Dedup.exactIndex(corpus, "text", "doc_id")
+    val inc = Dedup.incrementalExact(batch, "text", "doc_id", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val global = Dedup.exact(docs, "text", "doc_id")
+      .filter(col("doc_id") >= 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc == global)
+    // near-dup: probing the persisted band index finds exactly the
+    // cross-corpus subset of the from-scratch LSH run
+    val mIdx = Dedup.minhashIndex(corpus, "text", "doc_id")
+    val incPairs = Dedup.incrementalMinhashPairs(batch, corpus,
+        "text", "doc_id", mIdx, 0.5)
+      .select(col("id_old").as("ida"), col("idb_new").as("idb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossGlobal = Dedup.minhashLshPairs(docs, "text", "doc_id", 0.5)
+      .filter(col("ida") < 300 && col("idb") >= 300)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incPairs == crossGlobal)
+    assert(incPairs.nonEmpty, "split should cross at least one near-dup pair")
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
