@@ -982,6 +982,38 @@ object OpsQueries {
       |SELECT doc_id, logw, key FROM k
       |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin
 
+  /** LM-perplexity quality scoring: every doc scored under the hashed-
+    * bigram model of the English sub-corpus. Decimal accumulation makes
+    * the whole pipeline — model, scores — exactly SQL-replayable. */
+  private def qTextPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val model = Importance.bucketLogProbs(d.filter(col("lang") === "en"),
+      "text", n = 2, buckets = 1024)
+    Importance.perplexity(d, "text", "doc_id", model)
+  }
+
+  private val oTextPerplexity =
+    s"""WITH d AS (SELECT doc_id, lang, $oToks AS t FROM documents),
+      |g AS (SELECT doc_id, lang, unnest(CASE WHEN len(t) >= 2
+      |    THEN list_transform(generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS g FROM d),
+      |bk AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b FROM g),
+      |tc AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY b),
+      |tt AS (SELECT COALESCE(sum(c), 0) AS tt FROM tc),
+      |model AS (SELECT ab.b,
+      |    CAST(round(ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) /
+      |      (CAST(tt AS DOUBLE) + 1024)), 6) AS DECIMAL(18,6)) AS lnp
+      |  FROM (SELECT unnest(generate_series(0, 1023)) AS b) ab
+      |  LEFT JOIN tc ON ab.b = tc.b CROSS JOIN tt),
+      |docb AS (SELECT doc_id, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+      |sc AS (SELECT docb.doc_id, sum(cnt) AS n_grams,
+      |    sum(cnt * lnp) AS s
+      |  FROM docb JOIN model ON docb.b = model.b GROUP BY 1)
+      |SELECT documents.doc_id, CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+      |  round(exp(-(CAST(sc.s AS DOUBLE) / sc.n_grams)), 6) AS ppl
+      |FROM documents LEFT JOIN sc ON documents.doc_id = sc.doc_id""".stripMargin
+
   // =====================================================================
   // Interval (range) join
   // =====================================================================
@@ -1641,6 +1673,7 @@ object OpsQueries {
     "sample_stratified" -> (qSampleStratified _),
     "sample_priority" -> (qSamplePriority _),
     "sample_dsir" -> (qSampleDsir _),
+    "text_perplexity" -> (qTextPerplexity _),
     "doc_chunks" -> (qDocChunks _),
     "doc_packing" -> (qDocPacking _),
     "text_scrub" -> (qTextScrub _),
@@ -1704,6 +1737,7 @@ object OpsQueries {
     "sample_stratified" -> oSampleStratified,
     "sample_priority" -> oSamplePriority,
     "sample_dsir" -> oSampleDsir,
+    "text_perplexity" -> oTextPerplexity,
     "doc_chunks" -> oDocChunks,
     "doc_packing" -> oDocPacking,
     "text_scrub" -> oTextScrub,

@@ -93,6 +93,50 @@ object Importance {
         coalesce(col("__w").cast("double"), lit(0.0)).as("logw"))
   }
 
+  /** Add-1-smoothed hashed-ngram log-probability model fitted on a
+    * reference corpus: EXACTLY `buckets` rows (b, lnp DECIMAL(18,6)),
+    * unseen buckets included at the smoothing floor — so scoring never
+    * needs out-of-vocabulary special cases. Broadcast-sized state a
+    * quality gate persists and reuses across ingest batches. */
+  def bucketLogProbs(corpus: DataFrame, textCol: String, n: Int,
+                     buckets: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val counts = corpus
+      .select(explode(grams(col(textCol), n)).as("g"))
+      .select(gramBucket(col("g"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
+    val den = lit(tot.toDouble + buckets)
+    spark.range(buckets).select(col("id").cast("int").as("b"))
+      .join(counts, Seq("b"), "left")
+      .select(col("b"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") / den), 6)
+          .cast("decimal(18,6)").as("lnp"))
+  }
+
+  /** Per-document perplexity under a [[bucketLogProbs]] model:
+    *   ppl = exp(−(Σ_b count_b · lnp_b) / N)
+    * over the doc's N hashed n-grams — the classic LM quality signal
+    * (high perplexity = unlike the reference corpus; CCNet/LLaMA-style
+    * filtering keeps the low-perplexity tail). Returns
+    * (id, n_grams, ppl), ppl NULL for docs with no n-grams. Decimal
+    * accumulation + 6-dp round keep it engine-portable; scoring is one
+    * explode + a broadcast join against the `buckets`-row model. */
+  def perplexity(df: DataFrame, textCol: String, idCol: String,
+                 model: DataFrame, n: Int = 2,
+                 buckets: Int = 1024): DataFrame = {
+    val docB = ngramBucketCounts(df, textCol, idCol, n, buckets)
+    val scored = docB.join(broadcast(model), "b")
+      .groupBy("id")
+      .agg(sum("cnt").as("n_grams"),
+        sum(col("cnt") * col("lnp")).as("__s"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(exp(-(col("__s").cast("double") / col("n_grams"))), 6).as("ppl"))
+  }
+
   /** Gumbel top-`topN` importance resample: key = logw + Gumbel(md5(id))
     * — sampling without replacement proportional to w, derandomized via
     * the stable uniform u = (h + 0.5)/2^32 (exact, endpoint-free).

@@ -494,6 +494,21 @@ class OpsSpec extends SparkSpec {
     assert(incPairs.nonEmpty, "split should cross at least one near-dup pair")
   }
 
+  test("perplexity: in-distribution docs score lower; gram-less docs NULL") {
+    val corpus = Seq(
+      (0L, "alpha beta alpha beta alpha beta"),
+      (1L, "delta epsilon zeta eta theta iota"),
+      (2L, "solo")).toDF("doc_id", "text")
+    val model = Importance.bucketLogProbs(
+      Seq(Tuple1("alpha beta alpha beta alpha")).toDF("text"), "text", 2, 1024)
+    assert(model.count() == 1024, "model must cover every bucket")
+    val ppl = Importance.perplexity(corpus, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(ppl(0)._2 < ppl(1)._2, s"in-distribution should be lower: $ppl")
+    assert(ppl(2)._1 == 0L && ppl(2)._2.isNaN, "no grams -> NULL ppl")
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
