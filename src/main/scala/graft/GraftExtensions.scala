@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
-import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, HashedShingles, LshSignatures, MinHashSig, PqLookupSum, SimHash64}
+import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, HashedShingles, KllSketchAgg, LshSignatures, MinHashSig, PqLookupSum, SimHash64}
 
 /** Session extensions registering graft's native (codegen) functions.
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -94,6 +94,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_shingles(text, n) needs an integer literal n")
         }
         HashedShingles(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      (children: Seq[Expression]) => {
+        val k = children match {
+          case Seq(_, Literal(v: Int, IntegerType)) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_kll_agg(value, k) needs an integer literal k")
+        }
+        KllSketchAgg(children.head, k).toAggregateExpression()
       }))
   }
 }

@@ -1492,6 +1492,43 @@ object OpsQueries {
           col("ndv_exact") * lit(0.05)).as("est_ok"))
   }
 
+  /** Streaming KLL quantile slices, batch twin: per-(day × event_type)
+    * value sketches rolled up ACROSS event types to per-day p50/p95 —
+    * the incremental-quantile pattern (daily slices answer any coarser
+    * rollup). Contract: exact n per window plus estimates within 3× the
+    * sketch's rank-error band of the discrete order statistics. */
+  private def qEventsKllWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir)
+    val sk = graft.streaming.StreamingOps.kllSketchStream(
+      ev, Seq("event_type"), "value", window_ = "1 day")
+    val est = Profile.kllQuantiles(sk, Seq("window_start"), Seq(0.5, 0.95))
+    val eps = Profile.kllRankError(200) * 3
+    def disc(q: Double) = element_at(
+      sort_array(collect_list(col("value"))),
+      greatest(least(ceil(count(lit(1)) * lit(q)).cast("int"),
+        count(lit(1)).cast("int")), lit(1)))
+    val exact = ev
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(col("value")).as("n_exact"),
+        disc(0.5 - eps).as("p50_lo"), disc(0.5 + eps).as("p50_hi"),
+        disc(0.95 - eps).as("p95_lo"), disc(0.95 + eps).as("p95_hi"))
+      .select(col("w.start").as("window_start"), col("n_exact"),
+        col("p50_lo"), col("p50_hi"), col("p95_lo"), col("p95_hi"))
+    exact.join(est, "window_start")
+      .select(col("window_start"), col("n_exact"),
+        (col("n") === col("n_exact")).as("n_ok"),
+        (col("p50") >= col("p50_lo") && col("p50") <= col("p50_hi"))
+          .as("p50_ok"),
+        (col("p95") >= col("p95_lo") && col("p95") <= col("p95_hi"))
+          .as("p95_ok"))
+  }
+
+  private val oEventsKllWindow =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+      |  count(value) AS n_exact, TRUE AS n_ok, TRUE AS p50_ok,
+      |  TRUE AS p95_ok
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Batch twin of [[graft.streaming.StreamingOps.topKStream]] (same
     * declarative transform on the batch events table): per (day ×
     * event_type), the 3 highest-value events. Fully deterministic
@@ -1686,6 +1723,7 @@ object OpsQueries {
     "sample_mixture_tokens" -> (qSampleMixtureTokens _),
     "profile_hll_rollup" -> (qProfileHllRollup _),
     "events_hll_window" -> (qEventsHllWindow _),
+    "events_kll_window" -> (qEventsKllWindow _),
     "events_topk_window" -> (qEventsTopKWindow _),
     "profile_theta_overlap" -> (qProfileThetaOverlap _),
     "profile_hist_quantile" -> (qProfileHistQuantile _),
@@ -1750,6 +1788,7 @@ object OpsQueries {
     "sample_mixture_tokens" -> oSampleMixtureTokens,
     "profile_hll_rollup" -> oProfileHllRollup,
     "events_hll_window" -> oEventsHllWindow,
+    "events_kll_window" -> oEventsKllWindow,
     "events_topk_window" -> oEventsTopKWindow,
     "profile_theta_overlap" -> oProfileThetaOverlap,
     "profile_hist_quantile" -> oProfileHistQuantile,

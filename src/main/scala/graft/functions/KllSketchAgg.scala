@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+
+/** KLL quantile sketch as a native aggregate: the buffer is a live
+  * `KllDoublesSketch` object updated in place per row and serialized
+  * ONLY at partial-aggregation boundaries (shuffle/spill) — the same
+  * TypedImperativeAggregate machinery behind Spark's own
+  * `hll_sketch_agg`. This gives KLL sketching map-side partial
+  * aggregation (each partition ships one ~KB sketch per group, never
+  * rows) and makes it usable in STREAMING windowed aggregations, where
+  * a mapPartitions pre-pass cannot run. Output/serialized form is the
+  * portable DataSketches byte array — rows produced here merge with
+  * sketches from any other producer (graft.ops.Profile.kllSketches,
+  * other engines).
+  *
+  * Input must be DOUBLE (cast upstream); nulls are skipped. `k` rides
+  * as a constructor literal like [[MinHashSig]].
+  */
+case class KllSketchAgg(child: Expression, k: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  override lazy val resolved: Boolean =
+    k >= 8 && child.resolved && child.dataType == DoubleType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_kll_agg"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch,
+                      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch,
+                     other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] =
+    buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = newChildren.head)
+}

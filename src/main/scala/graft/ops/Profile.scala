@@ -200,6 +200,14 @@ object Profile {
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    // Native path: the graft_kll_agg TypedImperativeAggregate (map-side
+    // partial sketches, serialization only at shuffle boundaries) — one
+    // declarative aggregation Catalyst can plan with everything else.
+    if (df.sparkSession.catalog.functionExists("graft_kll_agg"))
+      return df.groupBy(keys.map(col): _*)
+        .agg(call_function("graft_kll_agg",
+          col(valueCol).cast("double"), lit(k)).as("kll"))
+    // Fallback without GraftExtensions: hand-rolled map-side combine.
     val proj = df.select((keys.map(col) :+
       col(valueCol).cast("double").as("__v")): _*)
     val nk = keys.length

@@ -262,6 +262,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KLL sketches: cross-micro-batch quantiles within rank bound") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.kllSketchStream(input.toDF(), Seq("event_type"),
+        "value", window_ = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("kllw").outputMode("append").start()
+    val batch1 = (1 to 60).map(i =>
+      UserEvent(i, ts(i % 9), if (i % 2 == 0) "click" else "view", i.toDouble))
+    val batch2 = (61 to 120).map(i =>
+      UserEvent(i, ts(i % 9), if (i % 2 == 0) "click" else "view", i.toDouble))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      input.addData(UserEvent(999, Timestamp.valueOf("2026-01-01 11:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      // live slices + a batch slice merge in ONE kllQuantiles rollup
+      val live = spark.table("kllw")
+        .filter(col("window_start") === "2026-01-01 10:00:00")
+        .select(col("event_type"), col("kll"))
+      val est = graft.ops.Profile.kllQuantiles(live, Seq.empty, Seq(0.5))
+        .head()
+      val vals = (batch1 ++ batch2).map(_.value).sorted
+      assert(est.getLong(0) == vals.size.toLong, "KLL n is lossless")
+      val eps = graft.ops.Profile.kllRankError(200) * 3
+      val lo = vals(math.max(math.ceil((0.5 - eps) * vals.size).toInt - 1, 0))
+      val hi = vals(math.min(math.ceil((0.5 + eps) * vals.size).toInt - 1,
+        vals.size - 1))
+      assert(est.getDouble(1) >= lo && est.getDouble(1) <= hi,
+        s"p50=${est.getDouble(1)} not in [$lo, $hi]")
+    } finally q.stop()
+  }
+
   test("streaming windowed top-k equals the batch transform across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
