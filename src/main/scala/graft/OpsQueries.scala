@@ -688,6 +688,58 @@ object OpsQueries {
       .select("lang", "rank", "doc_id", "quality")
   }
 
+  /** Second END-TO-END composition, from this library's model-based
+    * tier: LM-perplexity gate (keep docs the English reference model
+    * finds predictable) → weight-proportional priority sampling per
+    * language with unbiased mass estimates — the "score, filter, budget"
+    * shape of a pretraining data refresh. Every stage is engine-portable,
+    * so ONE oracle replays the whole composition. */
+  private def qPretrainPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val model = Importance.bucketLogProbs(d.filter(col("lang") === "en"),
+      "text", n = 2, buckets = 1024)
+    val ppl = Importance.perplexity(d, "text", "doc_id", model)
+      .filter(col("ppl") <= 560)
+    val kept = d.select("doc_id", "lang", "n_chars")
+      .join(ppl.select("doc_id", "ppl"), "doc_id")
+    Sample.priorityPerStratum(kept, "doc_id", "lang", "n_chars", n = 10)
+      .select("doc_id", "lang", "n_chars", "ppl", "pri", "w_est")
+  }
+
+  private val oPretrainPipeline =
+    s"""WITH d AS (SELECT doc_id, lang, $oToks AS t FROM documents),
+      |g AS (SELECT doc_id, lang, unnest(CASE WHEN len(t) >= 2
+      |    THEN list_transform(generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1]) ELSE [] END) AS g FROM d),
+      |bk AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b FROM g),
+      |tc AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY b),
+      |tt AS (SELECT COALESCE(sum(c), 0) AS tt FROM tc),
+      |model AS (SELECT ab.b,
+      |    CAST(round(ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) /
+      |      (CAST(tt AS DOUBLE) + 1024)), 6) AS DECIMAL(18,6)) AS lnp
+      |  FROM (SELECT unnest(generate_series(0, 1023)) AS b) ab
+      |  LEFT JOIN tc ON ab.b = tc.b CROSS JOIN tt),
+      |docb AS (SELECT doc_id, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+      |sc AS (SELECT docb.doc_id, sum(cnt) AS n_grams, sum(cnt * lnp) AS s
+      |  FROM docb JOIN model ON docb.b = model.b GROUP BY 1),
+      |kept AS (SELECT documents.doc_id, lang, n_chars,
+      |    round(exp(-(CAST(sc.s AS DOUBLE) / sc.n_grams)), 6) AS ppl
+      |  FROM documents JOIN sc ON documents.doc_id = sc.doc_id
+      |  WHERE round(exp(-(CAST(sc.s AS DOUBLE) / sc.n_grams)), 6) <= 560),
+      |p AS (SELECT doc_id, lang, n_chars, ppl,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |            + 1 AS DOUBLE) / 4294967296.0) AS pri
+      |  FROM kept),
+      |r AS (SELECT *, row_number() OVER (
+      |    PARTITION BY lang ORDER BY pri DESC, doc_id) AS rk FROM p),
+      |tau AS (SELECT lang, min(CASE WHEN rk = 11 THEN pri END) AS tau
+      |  FROM r WHERE rk <= 11 GROUP BY lang)
+      |SELECT r.doc_id, r.lang, r.n_chars, r.ppl, r.pri,
+      |  greatest(CAST(n_chars AS DOUBLE), COALESCE(tau.tau, 0.0)) AS w_est
+      |FROM r JOIN tau ON r.lang = tau.lang WHERE rk <= 10""".stripMargin
+
   // lazy: oQuality is declared further down the object body
   private lazy val oCurationPipeline =
     s"""WITH corpus AS (
@@ -1707,6 +1759,7 @@ object OpsQueries {
     "events_resample" -> (qEventsResample _),
     "doc_topn" -> (qDocTopN _),
     "curation_pipeline" -> (qCurationPipeline _),
+    "pretrain_pipeline" -> (qPretrainPipeline _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_priority" -> (qSamplePriority _),
     "sample_dsir" -> (qSampleDsir _),
@@ -1772,6 +1825,7 @@ object OpsQueries {
     "events_resample" -> oEventsResample,
     "doc_topn" -> oDocTopN,
     "curation_pipeline" -> oCurationPipeline,
+    "pretrain_pipeline" -> oPretrainPipeline,
     "sample_stratified" -> oSampleStratified,
     "sample_priority" -> oSamplePriority,
     "sample_dsir" -> oSampleDsir,

@@ -25,7 +25,10 @@ object Plans {
       "sim_topk", "sim_topk_lsh", "sim_topk_ivf", "events_sessionize",
       "events_asof", "events_range_join", "doc_topn", "text_stats",
       "text_tfidf", "curation_pipeline", "sample_stratified",
-      "join_bloom", "sample_mixture", "profile_hll_rollup")
+      "join_bloom", "sample_mixture", "profile_hll_rollup",
+      "text_bm25", "sample_priority", "sample_dsir", "text_perplexity",
+      "dedup_semantic", "dedup_incremental_minhash",
+      "profile_kll_quantile", "events_kll_window")
 
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")

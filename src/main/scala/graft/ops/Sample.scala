@@ -129,10 +129,16 @@ object Sample {
     val pri = col(weightCol).cast("double") / u
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol).orderBy(pri.desc, col(idCol))
+    // Both tau and the kept rows derive from the top-(n+1) set; without
+    // materialization the full corpus window scan would run TWICE (the
+    // two consumers defeat Catalyst's exchange reuse). The set is tiny —
+    // strata × (n+1) rows — so localCheckpoint is cheap and truncates
+    // the double-scan at it.
     val ranked = df
       .withColumn("pri", pri)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= n + 1)
+      .localCheckpoint(true)
     val tau = ranked.groupBy(stratumCol)
       .agg(min(when(col("__rk") === n + 1, col("pri"))).as("__tau"))
     ranked.filter(col("__rk") <= n)
