@@ -688,6 +688,37 @@ object OpsQueries {
       .select("lang", "rank", "doc_id", "quality")
   }
 
+  /** WordPiece tokenization with a corpus-derived whole-word vocabulary
+    * (sorted distinct tokens + [UNK] — the collect is vocabulary-sized,
+    * the tokenizer's normal deployment shape). With full word coverage
+    * greedy longest-match reduces to whole-word lookup, so ids are
+    * sorted-vocab positions and the oracle replays encoding exactly;
+    * the subword/UNK machinery is pinned by spec. */
+  private def qDocTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val words = d.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct().orderBy("w")
+      .collect().map(_.getString(0)).toSeq
+    Tokenize.wordpiece(d, "text", words :+ Tokenize.Unk)
+      .select(col("doc_id"), array_join(col("token_ids"), ",").as("ids"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_unk").cast("long").as("n_unk"))
+  }
+
+  private val oDocTokens =
+    s"""WITH t AS (SELECT doc_id, unnest($oToks) AS term,
+      |    generate_subscripts($oToks, 1) AS pos FROM documents),
+      |tf AS (SELECT doc_id, term, pos FROM t WHERE term <> ''),
+      |vid AS (SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS INT)
+      |    AS id FROM (SELECT DISTINCT term FROM tf)),
+      |j AS (SELECT doc_id, pos, id FROM tf JOIN vid USING (term)),
+      |enc AS (SELECT doc_id, array_to_string(list(id ORDER BY pos), ',') AS ids,
+      |    count(*) AS n_tokens FROM j GROUP BY doc_id)
+      |SELECT documents.doc_id, COALESCE(enc.ids, '') AS ids,
+      |  CAST(COALESCE(enc.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(0 AS BIGINT) AS n_unk
+      |FROM documents LEFT JOIN enc ON documents.doc_id = enc.doc_id""".stripMargin
+
   /** Second END-TO-END composition, from this library's model-based
     * tier: LM-perplexity gate (keep docs the English reference model
     * finds predictable) → weight-proportional priority sampling per
@@ -1760,6 +1791,7 @@ object OpsQueries {
     "doc_topn" -> (qDocTopN _),
     "curation_pipeline" -> (qCurationPipeline _),
     "pretrain_pipeline" -> (qPretrainPipeline _),
+    "doc_tokens" -> (qDocTokens _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_priority" -> (qSamplePriority _),
     "sample_dsir" -> (qSampleDsir _),
@@ -1826,6 +1858,7 @@ object OpsQueries {
     "doc_topn" -> oDocTopN,
     "curation_pipeline" -> oCurationPipeline,
     "pretrain_pipeline" -> oPretrainPipeline,
+    "doc_tokens" -> oDocTokens,
     "sample_stratified" -> oSampleStratified,
     "sample_priority" -> oSamplePriority,
     "sample_dsir" -> oSampleDsir,

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vocabulary-based subword tokenization — the step between raw text
+  * and sequence packing in a training-data pipeline. Greedy
+  * longest-match WordPiece (Wu et al. 2016; the BERT tokenizer's
+  * algorithm): each whitespace word is split into the longest vocab
+  * pieces left-to-right, continuation pieces carrying the "##" prefix;
+  * a word with any unmatchable position becomes one [UNK].
+  *
+  * Scale shape: the vocabulary (30k-100k entries in practice) is a
+  * BROADCAST hash map; tokenization is a per-row JVM function over it —
+  * no shuffle, no driver state, composes with [[Chunk.packSequences]]
+  * downstream. Encoding is deterministic: ids are positions in the
+  * caller-supplied vocab order. */
+object Tokenize {
+
+  val Unk = "[UNK]"
+
+  /** Tokenize `textCol` against `vocab` (must contain [[Unk]];
+    * continuation pieces use the "##" prefix convention). Returns the
+    * input plus `token_ids array<int>`, `n_tokens`, `n_unk`. Words are
+    * the same canonical whitespace tokens as [[TextFunctions.tokens]].
+    * Words longer than `maxWordLen` chars become [UNK] outright (the
+    * BERT guard against pathological inputs). */
+  def wordpiece(df: DataFrame, textCol: String, vocab: Seq[String],
+                maxWordLen: Int = 64): DataFrame = {
+    require(vocab.contains(Unk), s"vocab must contain $Unk")
+    require(vocab.distinct.size == vocab.size, "vocab has duplicate entries")
+    val bc = df.sparkSession.sparkContext.broadcast(
+      vocab.zipWithIndex.toMap)
+    val unkId = vocab.indexOf(Unk)
+    val encode = udf { (words: Seq[String]) =>
+      val v = bc.value
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      words.foreach { w =>
+        if (w.isEmpty) ()
+        else if (w.length > maxWordLen) out += unkId
+        else {
+          val ids = scala.collection.mutable.ArrayBuffer[Int]()
+          var start = 0
+          var bad = false
+          while (start < w.length && !bad) {
+            var end = w.length
+            var found = -1
+            while (end > start && found < 0) {
+              val piece =
+                if (start == 0) w.substring(start, end)
+                else "##" + w.substring(start, end)
+              found = v.getOrElse(piece, -1)
+              if (found < 0) end -= 1
+            }
+            if (found < 0) bad = true
+            else { ids += found; start = end }
+          }
+          if (bad) out += unkId else out ++= ids
+        }
+      }
+      out.toSeq
+    }
+    df.withColumn("token_ids", encode(TextFunctions.tokens(col(textCol))))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .withColumn("n_unk",
+        size(filter(col("token_ids"), _ === lit(unkId))))
+  }
+
+  /** Decode a `token_ids` column back to text (pieces joined, "##"
+    * continuations fused) — the round-trip check for vocab coverage. */
+  def detokenize(ids: Column, vocab: Seq[String]): Column = {
+    val arr = array(vocab.map(lit): _*)
+    val pieces = transform(ids, i => element_at(arr, i + 1))
+    // join on space, then fuse continuations: "a ##b" -> "ab"
+    regexp_replace(array_join(pieces, " "), " ##", "")
+  }
+}

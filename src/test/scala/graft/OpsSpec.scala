@@ -509,6 +509,29 @@ class OpsSpec extends SparkSpec {
     assert(ppl(2)._1 == 0L && ppl(2)._2.isNaN, "no grams -> NULL ppl")
   }
 
+  test("wordpiece: greedy longest-match, UNK fallback, round-trip") {
+    val vocab = Seq(Tokenize.Unk, "un", "##able", "##b", "able", "a")
+    val d = Seq((0L, "unable able"), (1L, "ab"), (2L, "zzz able"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Tokenize.wordpiece(d, "text", vocab)
+      .orderBy("doc_id")
+      .select("token_ids", "n_tokens", "n_unk")
+      .collect()
+    assert(out(0).getSeq[Int](0) == Seq(1, 2, 4)) // un ##able | able
+    assert(out(1).getSeq[Int](0) == Seq(5, 3))    // a ##b
+    assert(out(2).getSeq[Int](0) == Seq(0, 4) && out(2).getInt(2) == 1)
+    assert(out(3).getSeq[Int](0) == Seq() && out(3).getInt(1) == 0)
+    // round-trip where the vocab covers the text
+    val rt = Tokenize.wordpiece(d.filter(col("doc_id") < 2), "text", vocab)
+      .select(Tokenize.detokenize(col("token_ids"), vocab).as("t"))
+      .collect().map(_.getString(0))
+    assert(rt.toSeq == Seq("unable able", "ab"))
+    // tokenize -> pack composition: token counts flow into packSequences
+    val packed = Chunk.packSequences(
+      Tokenize.wordpiece(d, "text", vocab), "doc_id", "n_tokens", 4)
+    assert(packed.count() > 0)
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
