@@ -1721,6 +1721,30 @@ object OpsQueries {
       |  count(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Heavy hitters from per-language frequency sketches merged to a
+    * global top-10. The corpus vocabulary (31 terms) is far below the
+    * sketch's eviction point, so every slice is in EXACT mode and the
+    * merged estimates equal true counts — the oracle compares exact
+    * values (the theta-sketch precedent); beyond exact mode the same
+    * query degrades to the ±3.5·n/maxMapSize bound with no false
+    * negatives. */
+  private def qProfileFreqItems(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val sk = Profile.freqSketches(words, Seq("lang"), "term")
+    Profile.freqTopItems(sk, Seq.empty, k = 10)
+  }
+
+  private val oProfileFreqItems =
+    s"""WITH t AS (SELECT unnest($oToks) AS term FROM documents),
+      |c AS (SELECT term, count(*) AS n FROM t WHERE term <> '' GROUP BY term),
+      |r AS (SELECT term, n, CAST(row_number() OVER (
+      |    ORDER BY n DESC, term) AS INTEGER) AS rank FROM c)
+      |SELECT rank, term AS item, n AS est, n AS lb, n AS ub
+      |FROM r WHERE rank <= 10""".stripMargin
+
   /** Audience overlap between event types from persisted theta sketches.
     * At the oracle scale factors every segment holds < 2^12 distinct
     * users, so the sketches are in exact mode and the oracle compares
@@ -1813,6 +1837,7 @@ object OpsQueries {
     "profile_theta_overlap" -> (qProfileThetaOverlap _),
     "profile_hist_quantile" -> (qProfileHistQuantile _),
     "profile_kll_quantile" -> (qProfileKllQuantile _),
+    "profile_freq_items" -> (qProfileFreqItems _),
     "sim_lsh_recall" -> (qSimLshRecall _),
     "sim_ivf_recall" -> (qSimIvfRecall _),
     "sim_ivfpq_recall" -> (qSimIvfPqRecall _),
@@ -1880,6 +1905,7 @@ object OpsQueries {
     "profile_theta_overlap" -> oProfileThetaOverlap,
     "profile_hist_quantile" -> oProfileHistQuantile,
     "profile_kll_quantile" -> oProfileKllQuantile,
+    "profile_freq_items" -> oProfileFreqItems,
     "sim_lsh_recall" -> oAnnRecall,
     "sim_ivf_recall" -> oAnnRecall,
     "sim_ivfpq_recall" -> oAnnRecall,

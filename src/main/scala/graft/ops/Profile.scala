@@ -273,6 +273,87 @@ object Profile {
     KllSketch.getNormalizedRankError(k, false)
   }
 
+  /** Frequent-items (heavy-hitters) sketches — the fourth mergeable leg
+    * next to HLL (distincts), theta (set algebra) and KLL (quantiles):
+    * per-slice Misra-Gries-style ItemsSketch state (DataSketches
+    * `frequencies.ItemsSketch`) answering "top items and their counts"
+    * with error ≤ ~3.5·n/maxMapSize, NO false negatives above the
+    * bound, and exact counts whenever a slice holds fewer than
+    * ~0.75·maxMapSize distinct items (the common case for per-slice
+    * heavy hitters). Sketches merge associatively, so per-day slices
+    * answer any coarser "top hosts / top tokens" rollup without
+    * rescanning raw data. ~maxMapSize entries per sketch.
+    *
+    * Same scale shape as [[kllSketches]]'s fallback: per-partition
+    * partial sketches via mapPartitions, one merge aggregation of
+    * ≤ numPartitions partials per slice. */
+  def freqSketches(df: DataFrame, keys: Seq[String], itemCol: String,
+                   maxMapSize: Int = 256): DataFrame = {
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val proj = df.select((keys.map(col) :+
+      col(itemCol).cast("string").as("__i")): _*)
+    val nk = keys.length
+    val schema = StructType(
+      proj.schema.fields.dropRight(1).toSeq :+ StructField("freq", BinaryType))
+    val partial = proj.mapPartitions { it =>
+      // serde constructed per partition: it is not Serializable
+      val serde = new org.apache.datasketches.common.ArrayOfStringsSerDe
+      val m = scala.collection.mutable.HashMap[Seq[Any], ItemsSketch[String]]()
+      it.foreach { r =>
+        if (!r.isNullAt(nk)) {
+          val key = (0 until nk).map(r.get)
+          m.getOrElseUpdate(key, new ItemsSketch[String](maxMapSize))
+            .update(r.getString(nk))
+        }
+      }
+      m.iterator.map { case (key, sk) =>
+        Row.fromSeq(key :+ sk.toByteArray(serde))
+      }
+    }(Encoders.row(schema))
+    partial.groupBy(keys.map(col): _*)
+      .agg(freqMergeUdf(maxMapSize)(collect_list(col("freq"))).as("freq"))
+  }
+
+  private def freqMergeUdf(maxMapSize: Int) = udf { (parts: Seq[Array[Byte]]) =>
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.datasketches.memory.Memory
+    val serde = new org.apache.datasketches.common.ArrayOfStringsSerDe
+    val merged = new ItemsSketch[String](maxMapSize)
+    parts.foreach(b =>
+      merged.merge(ItemsSketch.getInstance(Memory.wrap(b), serde)))
+    merged.toByteArray(serde)
+  }
+
+  /** Merge persisted frequency sketches up to `keys` and read the top-k
+    * items per rolled-up group: (keys…, rank, item, est, lb, ub) ranked
+    * by (estimate desc, item). lb ≤ true count ≤ ub always; lb = ub =
+    * exact count while the merged sketch never evicted. */
+  def freqTopItems(sketches: DataFrame, keys: Seq[String], k: Int,
+                   maxMapSize: Int = 256,
+                   sketchCol: String = "freq"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val topUdf = udf { (b: Array[Byte]) =>
+      import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+      import org.apache.datasketches.memory.Memory
+      val serde = new org.apache.datasketches.common.ArrayOfStringsSerDe
+      val sk = ItemsSketch.getInstance(Memory.wrap(b), serde)
+      sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+        .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+        .sortBy { case (item, est, _, _) => (-est, item) }
+        .take(k).toSeq
+    }
+    sketches.groupBy(keys.map(col): _*)
+      .agg(freqMergeUdf(maxMapSize)(collect_list(col(sketchCol))).as("__m"))
+      .select((keys.map(col) :+
+        posexplode(topUdf(col("__m"))).as(Seq("__p", "__t"))): _*)
+      .select((keys.map(col) :+
+        (col("__p") + 1).cast("int").as("rank")) ++ Seq(
+        col("__t._1").as("item"), col("__t._2").as("est"),
+        col("__t._3").as("lb"), col("__t._4").as("ub")): _*)
+  }
+
   /** Pairwise segment-overlap matrix from persisted theta sketches:
     * for each unordered segment pair, the distinct counts of each side,
     * their intersection and union, and the Jaccard overlap. |segments|²/2

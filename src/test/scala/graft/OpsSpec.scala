@@ -532,6 +532,35 @@ class OpsSpec extends SparkSpec {
     assert(packed.count() > 0)
   }
 
+  test("freqSketches: exact below eviction; planted heavy hitter survives eviction") {
+    val d = docs.select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val sk = Profile.freqSketches(d, Seq("lang"), "t")
+    val top = Profile.freqTopItems(sk, Seq.empty, 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val exact = d.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.zip(exact).foreach { case ((_, item, est, lb, ub), (et, en)) =>
+      assert(item == et && est == en && lb == en && ub == en,
+        s"exact mode must equal true counts: $item/$est vs $et/$en")
+    }
+    // eviction regime: 17k distinct ids vs a 3k-count planted item in a
+    // 64-slot sketch — the heavy hitter must surface with honest bounds
+    val skewed = spark.range(20000)
+      .select((col("id") % 17000).cast("string").as("i"))
+      .unionAll(spark.range(3000).select(lit("HEAVY").as("i")))
+      .withColumn("k", lit(1))
+    val top2 = Profile.freqTopItems(
+      Profile.freqSketches(skewed, Seq("k"), "i", maxMapSize = 64),
+      Seq("k"), k = 1, maxMapSize = 64).collect()
+    assert(top2.length == 1 && top2(0).getString(2) == "HEAVY")
+    assert(top2(0).getLong(4) <= 3000 && top2(0).getLong(5) >= 3000,
+      s"bounds must bracket the true count: ${top2(0)}")
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
