@@ -1072,7 +1072,12 @@ object OpsQueries {
     val d = t(s, dir, "documents")
     val model = Importance.bucketLogProbs(d.filter(col("lang") === "en"),
       "text", n = 2, buckets = 1024)
-    Importance.perplexity(d, "text", "doc_id", model)
+    // the shuffle-free scorer (spec-pinned bit-equal to the aggregate
+    // path) — the oracle below proves it against SQL as well
+    val arr = Importance.modelToArray(model)
+    d.select(col("doc_id"), Importance.perplexityCol(d, "text", arr).as("s"))
+      .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+        col("s.ppl").as("ppl"))
   }
 
   private val oTextPerplexity =

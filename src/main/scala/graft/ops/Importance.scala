@@ -137,6 +137,63 @@ object Importance {
         round(exp(-(col("__s").cast("double") / col("n_grams"))), 6).as("ppl"))
   }
 
+  /** Collect a [[bucketLogProbs]] model to the lnp array a broadcast
+    * scorer indexes by bucket — `buckets` BigDecimals, KB-sized. */
+  def modelToArray(model: DataFrame): Array[java.math.BigDecimal] = {
+    val rows = model.select(col("b"), col("lnp")).collect()
+    val out = new Array[java.math.BigDecimal](rows.length)
+    rows.foreach(r => out(r.getInt(0)) = r.getDecimal(1))
+    require(out.forall(_ != null), "model must cover every bucket")
+    out
+  }
+
+  /** SHUFFLE-FREE per-row perplexity: tokenizes, hashes and scores a
+    * document entirely inside one JVM function over the broadcast lnp
+    * array — no explode, no aggregation, so it runs in a plain
+    * `select` on a BATCH corpus (the fast path when only the score is
+    * needed) or on a STREAM (a stateless quality gate needs no
+    * watermark or state store). BigDecimal accumulation is exact and
+    * order-free, so the result is BIT-EQUAL to [[perplexity]]'s
+    * aggregate path (spec-pinned). Returns a struct (n_grams, ppl);
+    * ppl is NULL for gram-less docs. */
+  def perplexityCol(df: DataFrame, textCol: String,
+                    modelLnp: Array[java.math.BigDecimal], n: Int = 2,
+                    buckets: Int = 1024): Column = {
+    require(modelLnp.length == buckets, "model size must equal buckets")
+    val bc = df.sparkSession.sparkContext.broadcast(modelLnp)
+    val score = udf { (text: String) =>
+      val lnp = bc.value
+      if (text == null) (0L, None: Option[Double])
+      else {
+        // exact twin of TextFunctions.tokens: trim/lower/ws-canonicalize
+        val toks =
+          text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+        var i = 0
+        var cnt = 0L
+        var sum = java.math.BigDecimal.ZERO
+        val md = java.security.MessageDigest.getInstance("MD5")
+        while (i + n <= toks.length) {
+          val gram = toks.slice(i, i + n).mkString(" ")
+          val d = md.digest(gram.getBytes("UTF-8"))
+          // first 8 hex chars of md5 == first 4 bytes, unsigned
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          sum = sum.add(lnp((h % buckets).toInt))
+          cnt += 1
+          i += 1
+        }
+        if (cnt == 0) (0L, None: Option[Double])
+        else {
+          val ppl = math.exp(-(sum.doubleValue / cnt))
+          // java BigDecimal.valueOf = Spark Round's decimal path
+          (cnt, Some(java.math.BigDecimal.valueOf(ppl)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue))
+        }
+      }
+    }
+    score(col(textCol)).cast("struct<n_grams:long,ppl:double>")
+  }
+
   /** Gumbel top-`topN` importance resample: key = logw + Gumbel(md5(id))
     * — sampling without replacement proportional to w, derandomized via
     * the stable uniform u = (h + 0.5)/2^32 (exact, endpoint-free).

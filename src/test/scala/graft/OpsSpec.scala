@@ -561,6 +561,19 @@ class OpsSpec extends SparkSpec {
       s"bounds must bracket the true count: ${top2(0)}")
   }
 
+  test("perplexityCol is bit-equal to the aggregate perplexity path") {
+    val model = Importance.bucketLogProbs(
+      docs.filter(col("lang") === "en"), "text", 2, 1024)
+    val arr = Importance.modelToArray(model)
+    val local = docs.select(col("doc_id"),
+        Importance.perplexityCol(docs, "text", arr).as("s"))
+      .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+        col("s.ppl").as("ppl"))
+    val agg = Importance.perplexity(docs, "text", "doc_id", model)
+    val diff = local.exceptAll(agg).count() + agg.exceptAll(local).count()
+    assert(diff == 0, "shuffle-free scorer must equal the aggregate path")
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {

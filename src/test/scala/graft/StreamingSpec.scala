@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import graft.ops.Importance
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.UserEvent
 
@@ -293,6 +294,36 @@ class StreamingSpec extends SparkSpec {
         vals.size - 1))
       assert(est.getDouble(1) >= lo && est.getDouble(1) <= hi,
         s"p50=${est.getDouble(1)} not in [$lo, $hi]")
+    } finally q.stop()
+  }
+
+  test("perplexityCol gates a stream statelessly (no watermark, no state)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val model = Importance.bucketLogProbs(
+      Seq(Tuple1("alpha beta alpha beta alpha")).toDF("text"), "text", 2, 1024)
+    val arr = Importance.modelToArray(model)
+    val src = input.toDF().toDF("doc_id", "text")
+    val gated = src
+      .select(col("doc_id"), col("text"),
+        Importance.perplexityCol(src, "text", arr).as("s"))
+      .filter(col("s.ppl") <= 1000)
+    val q = gated.writeStream.format("memory").queryName("pplgate")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta alpha"), (2L, "delta epsilon zeta eta"))
+      q.processAllAvailable()
+      val kept = spark.table("pplgate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L), s"only the in-distribution doc passes: $kept")
+      // batch twin: identical scores for identical rows
+      val batch = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+      val b = batch.select(
+        Importance.perplexityCol(batch, "text", arr).getField("ppl"))
+        .head.getDouble(0)
+      val s = spark.table("pplgate").filter(col("doc_id") === 1L)
+        .select("s.ppl").head.getDouble(0)
+      assert(b == s)
     } finally q.stop()
   }
 
