@@ -29,15 +29,27 @@ import org.apache.spark.sql.functions._
 object Importance {
 
   /** Sliding word n-grams WITH multiplicity (unlike Dedup.shingles,
-    * which dedupes — counts matter for a unigram LM). */
-  private[ops] def grams(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(text)
+    * which dedupes — counts matter for a unigram LM) over an ALREADY
+    * TOKENIZED array column. Taking the token array (not raw text)
+    * matters: an expression tree that tokenized inline would re-run
+    * the regex tokenizer once PER GRAM inside the transform lambda —
+    * measured ~15× slower on the documents corpus. Callers bind
+    * [[TextFunctions.tokens]] to a column first. */
+  private[ops] def gramsFromTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     when(cnt >= 1,
       transform(sequence(lit(1), cnt),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** One (doc) → exploded gram rows, tokenizing once per row. */
+  private def explodedGrams(df: DataFrame, textCol: String, n: Int,
+                            carry: Seq[String]): DataFrame =
+    df.select((carry.map(col) :+
+        TextFunctions.tokens(col(textCol)).as("__t")): _*)
+      .select((carry.map(col) :+
+        explode(gramsFromTokens(col("__t"), n)).as("g")): _*)
 
   /** Stable hash bucket of a gram in [0, buckets): md5-based, the same
     * engine-portable family as Sample.bucket. */
@@ -48,9 +60,9 @@ object Importance {
   /** Per-document hashed-ngram bucket counts: (id, b, cnt). */
   def ngramBucketCounts(df: DataFrame, textCol: String, idCol: String,
                         n: Int, buckets: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(grams(col(textCol), n)).as("g"))
-      .select(col("id"), gramBucket(col("g"), buckets).as("b"))
+    explodedGrams(df.withColumn("__gid", col(idCol)), textCol, n,
+      Seq("__gid"))
+      .select(col("__gid").as("id"), gramBucket(col("g"), buckets).as("b"))
       .groupBy("id", "b").agg(count(lit(1)).as("cnt"))
 
   /** Per-bucket importance log-ratio table: (b, delta) with
@@ -60,12 +72,23 @@ object Importance {
     * subset). `buckets` rows — broadcast-sized. */
   def bucketLogRatios(raw: DataFrame, target: DataFrame, textCol: String,
                       n: Int, buckets: Int): DataFrame = {
-    def model(df: DataFrame) = df
-      .select(explode(grams(col(textCol), n)).as("g"))
+    // The bucket tables are consumed several times (totals via head(),
+    // the ratio join, and a broadcast downstream) — without
+    // materialization each consumer re-runs the corpus explode. They
+    // are ≤ `buckets` rows, so checkpointing costs nothing and pins
+    // each corpus to exactly ONE scan.
+    def model(df: DataFrame) = explodedGrams(df, textCol, n, Seq.empty)
       .select(gramBucket(col("g"), buckets).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
-    val tc = model(target)
-    val rc = model(raw)
+      .localCheckpoint(true)
+    ratioTable(model(raw), model(target), buckets)
+  }
+
+  /** delta = round(ln p − ln q, 6) from materialized (b, c) bucket
+    * tables — the shared tail of [[bucketLogRatios]] and the fused
+    * [[dsirWeights]] path. */
+  private def ratioTable(rc: DataFrame, tc: DataFrame,
+                         buckets: Int): DataFrame = {
     val tTot = tc.agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
     val rTot = rc.agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
     val denT = lit(tTot.toDouble + buckets)
@@ -82,8 +105,20 @@ object Importance {
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
                   idCol: String, n: Int = 2,
                   buckets: Int = 1024): DataFrame = {
+    // The per-doc bucket index is the q-model's sufficient statistic:
+    // aggregating it by bucket IS the raw-corpus model, so one explode
+    // serves both (it is also the artifact you would persist at scale —
+    // the same reuse argument as TextRank's term index). Checkpointed
+    // because the index feeds two consumers (the model aggregate and
+    // the weight join) that would otherwise re-run the explode.
     val docB = ngramBucketCounts(raw, textCol, idCol, n, buckets)
-    val delta = broadcast(bucketLogRatios(raw, target, textCol, n, buckets))
+      .localCheckpoint(true)
+    val rc = docB.groupBy("b").agg(sum("cnt").as("c"))
+    val tc = explodedGrams(target, textCol, n, Seq.empty)
+      .select(gramBucket(col("g"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val delta = broadcast(ratioTable(rc, tc, buckets))
     val summed = docB.join(delta, "b")
       .groupBy("id")
       .agg(sum(col("cnt") * col("delta")).as("__w"))
@@ -101,10 +136,13 @@ object Importance {
   def bucketLogProbs(corpus: DataFrame, textCol: String, n: Int,
                      buckets: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val counts = corpus
-      .select(explode(grams(col(textCol), n)).as("g"))
+    // materialized once: the total, the bucket-frame join and any
+    // downstream collect (modelToArray) would each re-run the corpus
+    // explode otherwise; the aggregate is ≤ `buckets` rows
+    val counts = explodedGrams(corpus, textCol, n, Seq.empty)
       .select(gramBucket(col("g"), buckets).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = counts.agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
     val den = lit(tot.toDouble + buckets)
     spark.range(buckets).select(col("id").cast("int").as("b"))
