@@ -26,7 +26,9 @@ object Chunk {
                      window: Int, stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       "need 1 <= stride <= window")
-    val toks = TextFunctions.tokens(col(textCol))
+    // tokens bound to a column so the tokenizer runs once per doc, not
+    // once per chunk inside the transform lambda
+    val toks = col("__t")
     // number of windows covering n tokens: 1 + ceil((n - window)/stride)
     val n = size(toks)
     val nChunks = when(n <= 0, 0)
@@ -37,7 +39,8 @@ object Chunk {
       transform(sequence(lit(0), nChunks - 1),
         i => slice(toks, i * stride + 1, lit(window))))
       .otherwise(array().cast("array<array<string>>"))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "ctoks")))
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "ctoks")))
       .select(col(idCol), col("chunk_idx"),
         size(col("ctoks")).as("n_tokens"),
         array_join(col("ctoks"), " ").as("chunk_text"))

@@ -359,17 +359,33 @@ object Dedup {
     * least one full span (shorter docs carry no length-n signal). */
   def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
                           n: Int = 20): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val cnt = size(toks) - (n - 1)
     // positioned spans — same slice windows as shingles but WITHOUT the
     // distinct: positions matter (a doc repeating one span 50 times is
-    // 50 duplicated spans), and md5 keys keep the oracle cross-engine
+    // 50 duplicated spans), and md5 keys keep the oracle cross-engine.
+    // Tokens are bound to a column FIRST: inlining the tokenizer in the
+    // transform lambda would re-run the regex once per span (the
+    // Importance.gramsFromTokens lesson). The positioned index feeds
+    // three consumers (occurrence counts, per-doc totals, the dup join),
+    // so it is materialized once — it is the span-index artifact a
+    // suffix-array pipeline would persist anyway.
+    val toks = col("__t")
+    val cnt = size(toks) - (n - 1)
     val spans = df
       .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
         when(cnt >= 1, transform(sequence(lit(1), cnt),
           i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
           .otherwise(array().cast("array<string>")).as("sps"))
-      .select(col("id"), explode(col("sps")).as("sp"))
+      // explode_outer, NOT explode: InferFiltersFromGenerate would turn
+      // a plain explode into a pushed-down size(sps) > 0 row filter with
+      // the whole span expression (tokenizer included) inlined — the
+      // corpus would pay span-building twice. The outer variant infers
+      // nothing; empty-span docs surface one null row dropped right
+      // after the generate, where the predicate costs nothing.
+      .select(col("id"), explode_outer(col("sps")).as("sp"))
+      .filter(col("sp").isNotNull)
+      .localCheckpoint(true)
     val dupSpans = spans.groupBy("sp")
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)

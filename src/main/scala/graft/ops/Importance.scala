@@ -43,13 +43,18 @@ object Importance {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** One (doc) → exploded gram rows, tokenizing once per row. */
+  /** One (doc) → exploded gram rows, tokenizing once per row.
+    * explode_outer + null drop, not plain explode: the inferred
+    * size(...) > 0 generator filter would re-inline the whole gram
+    * expression (tokenizer included) as a per-row predicate below the
+    * projection — doubling the explode's cost. */
   private def explodedGrams(df: DataFrame, textCol: String, n: Int,
                             carry: Seq[String]): DataFrame =
     df.select((carry.map(col) :+
         TextFunctions.tokens(col(textCol)).as("__t")): _*)
       .select((carry.map(col) :+
-        explode(gramsFromTokens(col("__t"), n)).as("g")): _*)
+        explode_outer(gramsFromTokens(col("__t"), n)).as("g")): _*)
+      .filter(col("g").isNotNull)
 
   /** Stable hash bucket of a gram in [0, buckets): md5-based, the same
     * engine-portable family as Sample.bucket. */
