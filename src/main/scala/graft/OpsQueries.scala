@@ -1736,7 +1736,7 @@ object OpsQueries {
   private def qProfileFreqItems(s: SparkSession, dir: String): DataFrame = {
     val words = t(s, dir, "documents")
       .select(col("lang"),
-        explode(TextFunctions.tokens(col("text"))).as("term"))
+        explode_outer(TextFunctions.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
     val sk = Profile.freqSketches(words, Seq("lang"), "term")
     Profile.freqTopItems(sk, Seq.empty, k = 10)

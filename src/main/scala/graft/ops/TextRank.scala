@@ -30,9 +30,13 @@ object TextRank {
     // consumers (attribute renaming defeats canonical-plan matching), so
     // materialize it once — at scale this index is a reusable artifact
     // you would write to storage anyway.
+    // explode_outer: a plain explode gets an inferred size(...) > 0
+    // filter pushed below the projection with the tokenizer re-inlined,
+    // doubling the scan's regex work; the null row from empty docs is
+    // dropped by the non-empty-term predicate anyway
     val terms = docs
       .select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
+        explode_outer(TextFunctions.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -80,7 +84,7 @@ object TextRank {
     val n = docs.count()
     val terms = docs
       .select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
+        explode_outer(TextFunctions.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"))
