@@ -82,9 +82,13 @@ object Cluster {
                     maxCluster: Int = 1 << 16): DataFrame = {
     val spark = df.sparkSession
     val cents = fit(df, vecCol, idCol, ncentroids, lloydIters)
+    // materialized once: the cell table feeds the size cap and both
+    // self-join sides — the centroid-sort assignment expression would
+    // otherwise run 4× per corpus row
     val cells = df
       .select(col(idCol).as("id"),
         explode(assignCol(df, vecCol, cents, nassign)).as("cid"))
+      .localCheckpoint(true)
     // capped in-cell self-join, the embeddingNearDupPairsLsh shape:
     // row-shaped and spillable at every stage, AQE soaks residual skew
     val sizes = cells.groupBy("cid").agg(count(lit(1)).as("__cn"))

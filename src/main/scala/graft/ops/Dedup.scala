@@ -675,8 +675,14 @@ object Dedup {
     val spark = df.sparkSession
     val sig = Similarity.lshSignatures(spark, col(vecCol), nbits, dim,
       tables, seedBase)
+    // materialized once: the band table feeds the size cap AND both
+    // sides of the candidate self-join — without it the fused
+    // graft_lsh_sig expression (tables × dim dot products) would run
+    // 4× per corpus row. It is also the persistable LSH state (the
+    // embedding twin of minhashIndex).
     val banded = df.select(col(idCol).as("id"), sig.as("sigs"))
       .select(col("id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+      .localCheckpoint(true)
     // Pair generation is a bucket-count-capped SELF-JOIN, not the
     // collect_list + in-row pair flatten minhashLshPairs uses: near-dup
     // LSH buckets are ~corpus/2^nbits by construction (only 2^nbits
