@@ -244,6 +244,30 @@ object OpsQueries {
       |FROM pairs JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold""".stripMargin
 
+  /** Directed containment pairs at 0.6 — the near-subset/quotation
+    * signal Jaccard misses. */
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(t(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.6, n = 3)
+
+  private val oDedupContainment =
+    s"""WITH docs AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len($oToks) - 2, 0)),
+      |    i -> $oToks[i] || ' ' || $oToks[i+1] || ' ' || $oToks[i+2])) AS sh
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |directed AS (
+      |  SELECT ida AS src, idb AS dst, c * 1.0 / sa.n AS containment
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = ida
+      |  UNION ALL
+      |  SELECT idb AS src, ida AS dst, c * 1.0 / sb.n AS containment
+      |  FROM pairs JOIN sizes sb ON sb.doc_id = idb)
+      |SELECT src, dst, containment FROM directed
+      |WHERE containment >= 0.6""".stripMargin
+
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
       threshold = 0.5, n = 3)
@@ -1790,6 +1814,7 @@ object OpsQueries {
     "text_gopher" -> (qTextGopher _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "dedup_containment" -> (qDedupContainment _),
     "dedup_survivors" -> (qDedupSurvivors _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
@@ -1858,6 +1883,7 @@ object OpsQueries {
     "text_gopher" -> oTextGopher,
     "dedup_exact" -> oDedupExact,
     "dedup_ngram_jaccard" -> oJaccardPairs(0.5),
+    "dedup_containment" -> oDedupContainment,
     "dedup_survivors" -> oDedupSurvivors,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),

@@ -59,6 +59,45 @@ object Dedup {
       .select("__row.*")
   }
 
+  /** ASYMMETRIC n-gram containment pairs: directed (src, dst,
+    * containment) with containment = |sh(src) ∩ sh(dst)| / |sh(src)| ≥
+    * threshold, src ≠ dst. Jaccard misses near-SUBSET relations — a
+    * paragraph quoted inside a much larger document scores low Jaccard
+    * but containment ≈ 1 from the quote's side — which is exactly the
+    * partial-copy/quotation signal a training-data pipeline dedupes on
+    * (and the set-measure form of the suffix-array substring dedup).
+    *
+    * Same single-explode inverted-index shape as [[ngramJaccardPairs]]
+    * (hashed shingles, sizes riding along, optional df cap); one
+    * unordered pair aggregation emits BOTH directions that clear the
+    * threshold. Returns (src, dst, containment). */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            threshold: Double, n: Int = 3,
+                            maxDf: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        hashedShingles(df, textCol, n).as("shs"))
+      .select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    val filtered = maxDf match {
+      case None => sh
+      case Some(cap) =>
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("sh")
+        val kept = sh.drop("n").join(dfreq, "sh")
+        val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+        kept.join(sizes, "id")
+    }
+    val pairs = filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("common"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    val aInB = pairs.select(col("ida").as("src"), col("idb").as("dst"),
+      (col("common").cast("double") / col("na")).as("containment"))
+    val bInA = pairs.select(col("idb").as("src"), col("ida").as("dst"),
+      (col("common").cast("double") / col("nb")).as("containment"))
+    aInB.unionAll(bInA).filter(col("containment") >= threshold)
+  }
+
   /** Persisted exact-dedup artifact: one (fp, id) row per distinct
     * canonical fingerprint with its surviving minimum id. This is what a
     * rolling ingest pipeline keeps between increments — dedup state the

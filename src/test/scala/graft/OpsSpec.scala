@@ -574,6 +574,19 @@ class OpsSpec extends SparkSpec {
     assert(diff == 0, "shuffle-free scorer must equal the aggregate path")
   }
 
+  test("ngramContainmentPairs: quote inside a large doc scores one-way") {
+    val big = (1 to 50).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 20).map(i => s"w$i").mkString(" ") // 11 words of big
+    val d = Seq((0L, big), (1L, quote), (2L, "x y z q r s")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(d, "text", "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the quote is fully contained in big (all its 9 trigrams appear)...
+    assert(pairs.exists { case (s2, d2, c) => s2 == 1L && d2 == 0L && c == 1.0 })
+    // ...but big is NOT contained in the quote, and the unrelated doc pairs with nothing
+    assert(!pairs.exists { case (s2, d2, _) => s2 == 0L && d2 == 1L })
+    assert(!pairs.exists { case (s2, d2, _) => s2 == 2L || d2 == 2L })
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
