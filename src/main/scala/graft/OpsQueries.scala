@@ -1750,6 +1750,24 @@ object OpsQueries {
       |  count(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Outlier clipping: o_totalprice winsorized into its priority
+    * group's exact [p05, p95] band. */
+  private def qProfileWinsorize(s: SparkSession, dir: String): DataFrame =
+    Profile.winsorize(
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority",
+        "o_totalprice"),
+      Seq("o_orderpriority"), "o_totalprice", loQ = 0.05, hiQ = 0.95)
+
+  private val oProfileWinsorize =
+    """WITH b AS (SELECT o_orderpriority,
+      |    quantile_cont(o_totalprice, 0.05) AS lo,
+      |    quantile_cont(o_totalprice, 0.95) AS hi
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT orders.o_orderpriority, o_orderkey, o_totalprice,
+      |  least(greatest(CAST(o_totalprice AS DOUBLE), lo), hi)
+      |    AS o_totalprice_w
+      |FROM orders JOIN b ON orders.o_orderpriority = b.o_orderpriority""".stripMargin
+
   /** Heavy hitters from per-language frequency sketches merged to a
     * global top-10. The corpus vocabulary (31 terms) is far below the
     * sketch's eviction point, so every slice is in EXACT mode and the
@@ -1868,6 +1886,7 @@ object OpsQueries {
     "profile_hist_quantile" -> (qProfileHistQuantile _),
     "profile_kll_quantile" -> (qProfileKllQuantile _),
     "profile_freq_items" -> (qProfileFreqItems _),
+    "profile_winsorize" -> (qProfileWinsorize _),
     "sim_lsh_recall" -> (qSimLshRecall _),
     "sim_ivf_recall" -> (qSimIvfRecall _),
     "sim_ivfpq_recall" -> (qSimIvfPqRecall _),
@@ -1937,6 +1956,7 @@ object OpsQueries {
     "profile_hist_quantile" -> oProfileHistQuantile,
     "profile_kll_quantile" -> oProfileKllQuantile,
     "profile_freq_items" -> oProfileFreqItems,
+    "profile_winsorize" -> oProfileWinsorize,
     "sim_lsh_recall" -> oAnnRecall,
     "sim_ivf_recall" -> oAnnRecall,
     "sim_ivfpq_recall" -> oAnnRecall,

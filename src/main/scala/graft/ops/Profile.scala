@@ -176,6 +176,27 @@ object Profile {
       .agg(quantileCols.head, quantileCols.tail: _*)
   }
 
+  /** Per-group winsorization: clamp `valueCol` into its group's
+    * [loQ, hiQ] exact-percentile band — the standard outlier treatment
+    * before numeric features feed a model (score normalization, length
+    * clipping). One percentile aggregation per group (group count rows)
+    * broadcast back onto the data; the raw value rides along so the
+    * clip is auditable. Exact interpolated percentiles keep the whole
+    * operator engine-portable; at extreme group cardinality swap in
+    * [[kllSketches]] bounds and accept sketch-dependent clamps. */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+                loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(valueCol), lit(loQ)).as("__lo"),
+        percentile(col(valueCol), lit(hiQ)).as("__hi"))
+    df.join(broadcast(bounds), keys)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("__lo")),
+          col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** KLL quantile sketches — mergeable quantiles WITHOUT a declared
     * value range (the limitation of [[histSketches]]: its error is one
     * bin width over [lo, hi] and out-of-range values clamp). A KLL

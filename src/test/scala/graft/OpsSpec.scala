@@ -532,6 +532,22 @@ class OpsSpec extends SparkSpec {
     assert(packed.count() > 0)
   }
 
+  test("winsorize clamps into the group's percentile band, preserves rows") {
+    val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = Profile.winsorize(d, Seq("lang"), "n_chars", 0.1, 0.9)
+    assert(w.count() == d.count())
+    // every clipped value sits inside its group band; interior untouched
+    val bounds = d.groupBy("lang")
+      .agg(percentile(col("n_chars"), lit(0.1)).as("lo"),
+        percentile(col("n_chars"), lit(0.9)).as("hi"))
+    val bad = w.join(bounds, "lang")
+      .filter(col("n_chars_w") < col("lo") || col("n_chars_w") > col("hi") ||
+        (col("n_chars") >= col("lo") && col("n_chars") <= col("hi") &&
+          col("n_chars_w") =!= col("n_chars").cast("double")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("freqSketches: exact below eviction; planted heavy hitter survives eviction") {
     val d = docs.select(col("lang"),
         explode(TextFunctions.tokens(col("text"))).as("t"))
