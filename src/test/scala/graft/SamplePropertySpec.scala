@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.Sample
+
+/** Property tests for the sampling family: the determinism, nesting and
+  * budget CONTRACTS every training-data experiment relies on, checked
+  * on random datasets and random parameters (deterministic ScalaCheck
+  * seeds), across random repartitionings — the properties must be
+  * functions of the DATA only, never of the physical layout. */
+class SamplePropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val genRows: Gen[List[(Long, String, Long)]] =
+    Gen.listOfN(120, for {
+      id <- Gen.choose(0L, 5000L)
+      st <- Gen.oneOf("a", "b", "c")
+      w <- Gen.choose(1L, 500L)
+    } yield (id, st, w)).map(_.distinctBy(_._1))
+
+  private def fromSeed(n: Long): List[(Long, String, Long)] =
+    genRows(Gen.Parameters.default, Seed(n)).get
+
+  test("deterministic sampling nests: pct% sample ⊆ (pct+k)% sample, any layout") {
+    for (seed <- 1L to 5L) {
+      val rows = fromSeed(seed)
+      val df = rows.toDF("id", "st", "w")
+      val lo = (seed % 50 + 10).toInt
+      val hi = math.min(lo + 20, 100)
+      val a = Sample.deterministic(df, "id", lo)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val b = Sample.deterministic(df.repartition(7), "id", hi)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(a.subsetOf(b), s"seed=$seed: $lo% must nest in $hi%")
+      // and the selection is layout-independent
+      val a2 = Sample.deterministic(df.repartition(3, col("st")), "id", lo)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(a == a2, s"seed=$seed: layout changed the sample")
+    }
+  }
+
+  test("priority sampling: budget, nesting and estimator floor on random data") {
+    for (seed <- 1L to 5L) {
+      val rows = fromSeed(seed)
+      val df = rows.toDF("id", "st", "w")
+      val n = (seed % 7 + 3).toInt
+      val s1 = Sample.priorityPerStratum(df, "id", "st", "w", n)
+      val s2 = Sample.priorityPerStratum(df.repartition(5), "id", "st", "w", n + 1)
+      val counts = df.groupBy("st").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = s1.groupBy("st").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts.foreach { case (st, c) =>
+        assert(got.getOrElse(st, 0L) == math.min(n.toLong, c), s"seed=$seed $st")
+      }
+      val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+      val ids2 = s2.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids1.subsetOf(ids2), s"seed=$seed: top-$n must nest in top-${n + 1}")
+      assert(s1.filter(col("w_est") < col("w").cast("double")).count() == 0)
+    }
+  }
+
+  test("mixture: proportions respected without upsampling on random weights") {
+    for (seed <- 11L to 13L) {
+      val rows = fromSeed(seed)
+      val df = rows.toDF("id", "st", "w")
+      val weights = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+      val out = Sample.mixture(df, "id", "st", weights)
+      val total = out.count().toDouble
+      if (total >= 20) {
+        val shares = out.groupBy("st").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1) / total).toMap
+        weights.foreach { case (st, wt) =>
+          val sh = shares.getOrElse(st, 0.0)
+          assert(math.abs(sh - wt) < 0.25,
+            s"seed=$seed $st share $sh vs target $wt")
+        }
+      }
+      // no stratum upsampled beyond its population
+      val pop = df.groupBy("st").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      out.groupBy("st").count().collect().foreach { r =>
+        assert(r.getLong(1) <= pop(r.getString(0)))
+      }
+    }
+  }
+}
