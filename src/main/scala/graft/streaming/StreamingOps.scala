@@ -182,6 +182,25 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming INCREMENTAL dedup against persisted history — the live
+    * twin of [[graft.ops.Dedup.incrementalExact]]: arriving documents
+    * whose fingerprint exists in the batch-built
+    * [[graft.ops.Dedup.exactIndex]] are dropped via a stream-static
+    * LEFT ANTI join (Spark re-plans the static side per micro-batch, so
+    * swapping the index table between batches advances the state), then
+    * within-stream duplicates inside the watermark horizon are dropped
+    * first-arrival-wins. History is consulted only through its
+    * KB-per-million-docs index — the live gate never reads old text. */
+  def dedupAgainstIndex(docs: DataFrame, textCol: String, tsCol: String,
+                        index: DataFrame,
+                        lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.ops.TextFunctions.fingerprint(col(textCol)))
+      .join(index.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Streaming MinHash near-dup detection — the live twin of
     * [[graft.ops.Dedup.minhashLshPairs]]. Each arriving document's
     * minhash signature (same hash family as the batch path, so live and

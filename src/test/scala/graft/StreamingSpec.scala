@@ -297,6 +297,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstIndex drops history dups and within-stream dups") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.exactIndex(corpus, "text", "doc_id")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val src = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupAgainstIndex(src, "text", "ts", index,
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, ts(0), "Seen  Before"),   // canonical dup of history -> drop
+        (11L, ts(1), "brand new text"), // novel -> keep
+        (12L, ts(2), "brand new text"), // within-stream dup -> drop
+        (13L, ts(3), "another novel one"))
+      q.processAllAvailable()
+      val kept = spark.table("incdedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 13L), s"got $kept")
+      // equivalence with the batch incremental path on the same rows
+      val batch = Seq((10L, "Seen  Before"), (11L, "brand new text"),
+        (12L, "brand new text"), (13L, "another novel one"))
+        .toDF("doc_id", "text")
+      val expected = graft.ops.Dedup
+        .incrementalExact(batch, "text", "doc_id", index)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == expected)
+    } finally q.stop()
+  }
+
   test("perplexityCol gates a stream statelessly (no watermark, no state)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
