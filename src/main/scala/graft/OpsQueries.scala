@@ -662,6 +662,27 @@ object OpsQueries {
   // Multimodal
   // =====================================================================
 
+  /** REAL header metadata: every doc wrapped in a valid PNG header
+    * (builder twin), sniffed back by pure byte inspection. The oracle
+    * recomputes the expected parse from the source columns — the parser
+    * must read exactly what the builder wrote. */
+  private def qMultimodalSniff(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val build = udf((w: Int, h: Int) => Multimodal.pngHeader(w, h))
+    d.select(col("doc_id").as("media_id"),
+        build((col("n_chars") % 640 + 1).cast("int"),
+          (col("doc_id") % 480 + 1).cast("int")).as("payload"))
+      .select(col("media_id"), Multimodal.sniff(col("payload")).as("m"))
+      .select(col("media_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"))
+  }
+
+  private val oMultimodalSniff =
+    """SELECT doc_id AS media_id, 'png' AS format,
+      |  CAST(n_chars % 640 + 1 AS INT) AS width,
+      |  CAST(doc_id % 480 + 1 AS INT) AS height
+      |FROM documents""".stripMargin
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeStub(
         Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"))
@@ -1851,6 +1872,7 @@ object OpsQueries {
     "profile_moments" -> (qProfileMoments _),
     "fn_selection" -> (qFnSelection _),
     "multimodal_meta" -> (qMultimodalMeta _),
+    "multimodal_sniff" -> (qMultimodalSniff _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "events_window" -> (qEventsWindow _),
     "events_pivot_window" -> (qEventsPivotWindow _),
@@ -1921,6 +1943,7 @@ object OpsQueries {
     "profile_moments" -> oProfileMoments,
     "fn_selection" -> oFnSelection,
     "multimodal_meta" -> oMultimodalMeta,
+    "multimodal_sniff" -> oMultimodalSniff,
     "multimodal_frames" -> oMultimodalFrames,
     "events_window" -> oEventsWindow,
     "events_pivot_window" -> oEventsPivotWindow,

@@ -104,4 +104,89 @@ object Multimodal {
         i => payload.substr((i * stride + 1).cast("int"), lit(frameBytes))))
       .otherwise(array().cast("array<binary>"))
   }
+
+  // ===================================================================
+  // REAL container-header metadata (not stubbed): magic-byte sniffing
+  // and dimension/rate parsing straight off the payload bytes — what a
+  // pipeline runs BEFORE any codec to prune, validate and route
+  // ("jpeg under 10 MB with sane dims"). Pure JVM byte inspection; only
+  // the pixel/audio DECODE remains a stub in this container.
+  // ===================================================================
+
+  /** Parsed header: format ∈ png/jpeg/gif/wav/unknown; width/height for
+    * images, channels/sample_rate for wav; nulls where not applicable
+    * or the header is malformed (then format = unknown). */
+  def sniff(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sniffUdf(payload).cast(
+      "struct<format:string,width:int,height:int,channels:int,sample_rate:int>")
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private type Sniffed =
+    (String, Option[Int], Option[Int], Option[Int], Option[Int])
+
+  private[graft] def sniffBytes(b: Array[Byte]): Sniffed = {
+    val unknown: Sniffed = ("unknown", None, None, None, None)
+    if (b == null || b.length < 12) unknown
+    else if (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b.length >= 24)
+      ("png", Some(be32(b, 16)), Some(be32(b, 20)), None, None)
+    else if (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
+      // walk JPEG segments to the first SOF marker (C0-CF minus C4/C8/CC)
+      var pos = 2
+      var out = unknown
+      var done = false
+      while (!done && pos + 4 <= b.length) {
+        if (b(pos) != 0xff.toByte) { done = true }
+        else {
+          val m = b(pos + 1) & 0xff
+          if (m == 0xff) pos += 1 // padding
+          else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+              m != 0xcc) {
+            if (pos + 9 <= b.length)
+              out = ("jpeg", Some(be16(b, pos + 7)), Some(be16(b, pos + 5)),
+                None, None)
+            done = true
+          } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+          else pos += 2 + be16(b, pos + 2)
+        }
+      }
+      out
+    }
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      ("gif", Some(le16(b, 6)), Some(le16(b, 8)), None, None)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+        b.length >= 28)
+      ("wav", None, None, Some(le16(b, 22)), Some(le32(b, 24)))
+    else unknown
+  }
+
+  private val sniffUdf = udf { (b: Array[Byte]) => sniffBytes(b) }
+
+  /** Minimal VALID PNG header bytes (signature + IHDR) for the given
+    * dimensions — the test/builder twin of [[sniff]]; a real file would
+    * append pixel chunks after it. */
+  def pngHeader(width: Int, height: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    out.putInt(13) // IHDR length
+    out.put("IHDR".getBytes("US-ASCII"))
+    out.putInt(width).putInt(height)
+    out.put(8.toByte).put(6.toByte) // bit depth, RGBA
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // compr/filter/interlace
+    out.putInt(0) // CRC placeholder (sniff does not verify CRCs)
+    out.array()
+  }
 }

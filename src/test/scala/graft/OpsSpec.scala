@@ -603,6 +603,31 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists { case (s2, d2, _) => s2 == 2L || d2 == 2L })
   }
 
+  test("sniff parses real PNG/JPEG/GIF/WAV headers, rejects garbage") {
+    import graft.ops.Multimodal.{pngHeader, sniffBytes}
+    assert(sniffBytes(pngHeader(640, 480)) ==
+      (("png", Some(640), Some(480), None, None)))
+    // hand-built JPEG: SOI, APP0 (16 bytes), SOF0 with h=33, w=470
+    val jpeg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xc0, 0x00, 0x11, 8, 0x00, 0x21, 0x01, 0xd6, 3, 0, 0, 0
+    ).map(_.toByte)
+    assert(sniffBytes(jpeg) == (("jpeg", Some(470), Some(33), None, None)))
+    // GIF89a 470x33 little-endian
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0xd6, 0x01, 0x21, 0x00, 0, 0).map(_.toByte)
+    assert(sniffBytes(gif) == (("gif", Some(470), Some(33), None, None)))
+    // WAV: RIFF/WAVE fmt chunk, 2 channels @ 44100
+    val wav = java.nio.ByteBuffer.allocate(28)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes); wav.putInt(36); wav.put("WAVE".getBytes)
+    wav.put("fmt ".getBytes); wav.putInt(16); wav.putShort(1)
+    wav.putShort(2); wav.putInt(44100)
+    assert(sniffBytes(wav.array()) == (("wav", None, None, Some(2), Some(44100))))
+    assert(sniffBytes("not a media file".getBytes)._1 == "unknown")
+    assert(sniffBytes(Array[Byte](0xff.toByte, 0xd8.toByte))._1 == "unknown")
+  }
+
   // ---------------------------------------------------------- similarity
 
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
