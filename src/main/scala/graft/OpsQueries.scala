@@ -475,6 +475,42 @@ object OpsQueries {
       |FROM dots JOIN norms na ON na.vec_id = ida JOIN norms nb ON nb.vec_id = idb
       |WHERE round(d / (na.n * nb.n), 6) >= 0.45""".stripMargin
 
+  /** End-to-end SEMANTIC dedup: k-means-blocked cosine pairs (recall 1.0
+    * at both SFs vs exact, per the dedup_semantic contract) → star-
+    * contraction connected components → min-id survivor per semantic
+    * group. Oracle: recursive-CTE transitive closure over the EXACT
+    * cosine pairs — the whole composition replayed in SQL. */
+  private def qDedupSemanticSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pairs = Cluster.semdedupPairs(e, "embedding", "vec_id",
+      threshold = 0.45)
+    val cc = Dedup.connectedComponentsStar(pairs)
+    val victims = cc.filter(col("id") =!= col("component")).select("id")
+    e.select(col("vec_id"))
+      .join(victims.select(col("id").as("vec_id")), Seq("vec_id"),
+        "left_anti")
+  }
+
+  private val oDedupSemanticSurvivors =
+    """WITH RECURSIVE u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS ida, b.vec_id AS idb, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+      |jp AS (SELECT ida, idb
+      |  FROM dots JOIN norms na ON na.vec_id = ida
+      |    JOIN norms nb ON nb.vec_id = idb
+      |  WHERE round(d / (na.n * nb.n), 6) >= 0.45),
+      |edges AS (SELECT ida AS src, idb AS dst FROM jp
+      |  UNION SELECT idb, ida FROM jp),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |    WHERE r.src <> e.dst)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id NOT IN (SELECT DISTINCT dst FROM reach WHERE src < dst)""".stripMargin
+
   // =====================================================================
   // Similarity search
   // =====================================================================
@@ -1860,6 +1896,7 @@ object OpsQueries {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_semantic" -> (qDedupSemantic _),
+    "dedup_semantic_survivors" -> (qDedupSemanticSurvivors _),
     "dedup_incremental_exact" -> (qDedupIncrementalExact _),
     "dedup_incremental_minhash" -> (qDedupIncrementalMinhash _),
     "sim_topk" -> (qSimTopK _),
@@ -1931,6 +1968,7 @@ object OpsQueries {
     "dedup_simhash" -> oDedupSimhash,
     "dedup_embedding" -> oDedupEmbedding,
     "dedup_semantic" -> oDedupSemantic,
+    "dedup_semantic_survivors" -> oDedupSemanticSurvivors,
     "dedup_incremental_exact" -> oDedupIncrementalExact,
     "dedup_incremental_minhash" -> oDedupIncrementalMinhash,
     "sim_topk" -> oSimTopK,
