@@ -1879,11 +1879,174 @@ object OpsQueries {
       |  ON i.seg_a = ca.event_type AND i.seg_b = cb.event_type""".stripMargin
 
   // =====================================================================
+  // Web-corpus curation: URL canonicalization, registered domains,
+  // per-domain caps; deterministic epoch ordering; corpus-wide line dedup
+  // =====================================================================
+
+  /** Deterministic URL column planted from doc fields (the testdata has
+    * no URLs): four shapes covering every canonicalization rule — mixed
+    * case, default ports, tracking params, unsorted queries, fragments,
+    * trailing slashes, compound suffixes. */
+  private def plantedUrls(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val m20 = (col("doc_id") % 20).cast("string")
+    t(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Example"), m20, lit(".CO.UK:443/Article/"),
+            idS, lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://blog.example"), m20, lit(".com:80/post/"), idS,
+            lit("?id="), idS, lit("&utm_campaign=x")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://example"), m20, lit(".org/")))
+        .otherwise(
+          concat(lit("http://Sub.Site"), m20, lit(".com.au/page/"), idS,
+            lit("/")))
+        .as("url"))
+  }
+
+  /** The same planted-URL relation in DuckDB. */
+  private val oPlantedUrls =
+    """SELECT doc_id, n_chars,
+      |  CASE CAST(doc_id % 4 AS INTEGER)
+      |    WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) ||
+      |      '.CO.UK:443/Article/' || CAST(doc_id AS VARCHAR) ||
+      |      '/?utm_source=feed&b=2&a=1#frag'
+      |    WHEN 1 THEN 'http://blog.example' || CAST(doc_id % 20 AS VARCHAR) ||
+      |      '.com:80/post/' || CAST(doc_id AS VARCHAR) ||
+      |      '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+      |    WHEN 2 THEN 'https://example' || CAST(doc_id % 20 AS VARCHAR) ||
+      |      '.org/'
+      |    ELSE 'http://Sub.Site' || CAST(doc_id % 20 AS VARCHAR) ||
+      |      '.com.au/page/' || CAST(doc_id AS VARCHAR) || '/'
+      |  END AS url
+      |FROM documents WHERE doc_id < 400""".stripMargin
+
+  /** DuckDB twin of Web.registeredDomain over a `host` column. */
+  private def oRegisteredDomain(hostExpr: String): String = {
+    val suf = Web.CompoundSuffixes.map(x => s"'$x'").mkString(", ")
+    s"""CASE WHEN len(string_split($hostExpr, '.')) <= 2 THEN $hostExpr
+      |  WHEN array_to_string(string_split($hostExpr, '.')[-2:], '.')
+      |    IN ($suf)
+      |  THEN array_to_string(string_split($hostExpr, '.')[-3:], '.')
+      |  ELSE array_to_string(string_split($hostExpr, '.')[-2:], '.')
+      |END""".stripMargin
+  }
+
+  private def qWebCanonical(s: SparkSession, dir: String): DataFrame = {
+    val u = plantedUrls(s, dir)
+    u.select(col("doc_id"),
+      Web.canonicalize(col("url")).as("url_canon"),
+      Web.host(col("url")).as("host"),
+      Web.registeredDomain(Web.host(col("url"))).as("domain"))
+  }
+
+  private val oWebCanonical =
+    s"""WITH u AS ($oPlantedUrls),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS prt,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+      |    regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS qry
+      |  FROM u),
+      |norm AS (
+      |  SELECT doc_id, sch, host,
+      |    CASE WHEN (sch = 'http' AND prt = '80')
+      |        OR (sch = 'https' AND prt = '443') OR prt = ''
+      |      THEN '' ELSE ':' || prt END AS portpart,
+      |    CASE WHEN pth = '' THEN '/'
+      |      WHEN pth <> '/' THEN regexp_replace(pth, '/$$', '')
+      |      ELSE '/' END AS npath,
+      |    array_to_string(list_sort(list_filter(string_split(qry, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS qs
+      |  FROM parts)
+      |SELECT doc_id,
+      |  sch || '://' || host || portpart || npath ||
+      |    CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_canon,
+      |  host,
+      |  ${oRegisteredDomain("host")} AS domain
+      |FROM norm""".stripMargin
+
+  private def qWebDomainCap(s: SparkSession, dir: String): DataFrame = {
+    val dom = plantedUrls(s, dir)
+      .withColumn("domain", Web.registeredDomain(Web.host(col("url"))))
+    Web.perDomainCap(dom, col("domain"),
+        Seq(col("n_chars").desc, col("doc_id")), cap = 3)
+      .select(col("doc_id"), col("domain"), col("rank"))
+  }
+
+  private val oWebDomainCap =
+    s"""WITH u AS ($oPlantedUrls),
+      |d AS (SELECT doc_id, n_chars,
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+      |  FROM u),
+      |dom AS (SELECT doc_id, n_chars,
+      |    ${oRegisteredDomain("host")} AS domain FROM d),
+      |r AS (SELECT doc_id, domain, CAST(row_number() OVER (
+      |    PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS INTEGER)
+      |    AS rank FROM dom)
+      |SELECT doc_id, domain, rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** Reproducible epoch ordering: every row's global training position,
+    * fully replayed in SQL (md5 key, positions, tiebreak) — the
+    * ordering itself is the verified artifact, not just membership. */
+  private def qSampleEpochOrder(s: SparkSession, dir: String): DataFrame =
+    Order.epochOrder(t(s, dir, "documents"), "doc_id", seed = "42")
+      .select(col("pos"), col("doc_id"))
+
+  private val oSampleEpochOrder =
+    """SELECT CAST(row_number() OVER (ORDER BY
+      |    md5('42:' || CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR))
+      |    - 1 AS BIGINT) AS pos, doc_id
+      |FROM documents""".stripMargin
+
+  /** Corpus-wide repeated-line removal with PLANTED cross-document
+    * boilerplate: a banner shared by all 300 docs and a footer shared by
+    * every 7th — the banner must survive only in doc 0, each footer only
+    * in its first doc, and every doc's own lines stay in order. */
+  private def qTextDedupLinesGlobal(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        concat(lit("SHARED COOKIE BANNER\n"), col("text"),
+          lit("\nSHARED FOOTER "), (col("doc_id") % 7).cast("string"))
+          .as("text"))
+    Scrub.dedupLinesGlobal(planted, "text", "doc_id")
+      .select(col("doc_id"), md5(col("text")).as("clean_md5"))
+  }
+
+  private val oTextDedupLinesGlobal =
+    """WITH src AS (SELECT doc_id,
+      |    'SHARED COOKIE BANNER' || chr(10) || text || chr(10) ||
+      |    'SHARED FOOTER ' || CAST(doc_id % 7 AS VARCHAR) AS ptext
+      |  FROM documents WHERE doc_id < 300),
+      |l AS (SELECT doc_id, unnest(string_split(ptext, chr(10))) AS line,
+      |    generate_subscripts(string_split(ptext, chr(10)), 1) AS pos
+      |  FROM src),
+      |k AS (SELECT doc_id, pos, line, row_number() OVER (
+      |    PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l),
+      |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+      |  FROM k WHERE rn = 1 GROUP BY doc_id)
+      |SELECT s.doc_id, md5(coalesce(r.clean, '')) AS clean_md5
+      |FROM src s LEFT JOIN r ON r.doc_id = s.doc_id""".stripMargin
+
+  // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (qTextStats _),
     "text_langid" -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
+    "web_canonical" -> (qWebCanonical _),
+    "web_domain_cap" -> (qWebDomainCap _),
+    "sample_epoch_order" -> (qSampleEpochOrder _),
+    "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "text_tfidf" -> (qTextTfidf _),
     "text_bm25" -> (qTextBm25 _),
     "text_gopher" -> (qTextGopher _),
@@ -1956,6 +2119,10 @@ object OpsQueries {
     "text_stats" -> oTextStats,
     "text_langid" -> oTextLangId,
     "text_fingerprint" -> oTextFingerprint,
+    "web_canonical" -> oWebCanonical,
+    "web_domain_cap" -> oWebDomainCap,
+    "sample_epoch_order" -> oSampleEpochOrder,
+    "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "text_tfidf" -> oTextTfidf,
     "text_bm25" -> oTextBm25,
     "text_gopher" -> oTextGopher,

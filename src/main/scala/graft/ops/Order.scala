@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic global ordering for training data.
+  *
+  * A training run consumes the corpus in SOME order, and that order is
+  * part of the experiment: "shuffle the data" done with per-row randoms
+  * is unreproducible, and `row_number()` over an unpartitioned window —
+  * the SQL spelling of "assign global positions" — collapses the whole
+  * corpus into ONE task (Spark warns: "No Partition Defined for Window
+  * operation"), which at 100 TB is not a slow plan but a dead one.
+  *
+  * [[globalIndex]] is the scalable two-pass shape: range-repartition on
+  * the sort key (one shuffle, all partitions), sort within partitions,
+  * then assign contiguous indices with per-partition offsets (one small
+  * count job — the classic zipWithIndex pattern). Every partition works;
+  * nothing ever sees more than its share.
+  */
+object Order {
+
+  /** Attach a contiguous 0-based `posCol` ranking `df` by `sortKey`
+    * ascending. The key must be UNIQUE per row (append an id tiebreak if
+    * it isn't): with unique keys the assignment is a pure function of
+    * the data — independent of input partitioning — because range
+    * boundaries only decide WHERE a row sits, never its global rank.
+    *
+    * Cost: one range shuffle + a per-partition count job over the
+    * materialized sort (the localCheckpoint keeps zipWithIndex's two
+    * passes from re-running the sort). The RDD hop is deliberate: index
+    * assignment is genuine per-partition imperative logic — exactly the
+    * "rarely" case for dropping out of DataFrames. */
+  def globalIndex(df: DataFrame, sortKey: Column,
+                  posCol: String = "pos"): DataFrame = {
+    val spark = df.sparkSession
+    require(!df.columns.contains("__gi_key"),
+      "globalIndex: input already has a __gi_key column")
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.withColumn("__gi_key", sortKey)
+      .repartitionByRange(np, col("__gi_key"))
+      .sortWithinPartitions(col("__gi_key"))
+      .localCheckpoint(true)
+    val outSchema = sorted.schema
+      .add(posCol, LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, outSchema).drop("__gi_key")
+  }
+
+  /** Reproducible epoch ordering: global positions over the stable
+    * md5(seed:id) key — the same permutation on every run, engine, and
+    * cluster layout (the ordering twin of [[Sample]]'s md5-bucket
+    * membership). Different seeds give independent permutations, so
+    * epoch k trains on `epochOrder(df, id, "k")`. Collisions would need
+    * 2^64 rows; the id itself tiebreaks identically in any engine that
+    * sorts the same hex strings. */
+  def epochOrder(df: DataFrame, idCol: String, seed: String,
+                 posCol: String = "pos"): DataFrame =
+    globalIndex(df,
+      concat(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))),
+        col(idCol).cast("string")),
+      posCol)
+}

@@ -37,6 +37,46 @@ object Scrub {
     array_join(
       array_distinct(split(text, java.util.regex.Pattern.quote(sep))), sep)
 
+  /** CORPUS-WIDE repeated-line removal (the cross-document half of the
+    * C4 recipe, which [[dedupLines]]'s intra-document pass doesn't see):
+    * a line keeps only its FIRST occurrence in the whole corpus — first
+    * = smallest (id, position) — so the cookie banner shared by a
+    * million pages survives exactly once, in the first document that
+    * used it. Documents keep their surviving lines in original order; a
+    * document whose every line occurred earlier elsewhere comes back
+    * with empty text (filter on it downstream).
+    *
+    * Shape at 100 TB: one explode; one groupBy(line) with a min(struct)
+    * aggregate — partial aggregation collapses hot boilerplate lines
+    * map-side, so the million-page banner ships one candidate per map
+    * task, not a million rows; one join back (each line row meets
+    * exactly one keeper row — no fan-out); one groupBy(id) reassembly.
+    * No driver state, no window over the corpus.
+    *
+    * Returns `df` with `textCol` replaced by the cleaned text. */
+  def dedupLinesGlobal(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String, sep: String = "\n")
+      : org.apache.spark.sql.DataFrame = {
+    require(!df.columns.exists(_.startsWith("__dlg_")),
+      "dedupLinesGlobal: input already has __dlg_* columns")
+    val q = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol).as("__dlg_id"),
+      posexplode(split(col(textCol), q)).as(Seq("__dlg_pos", "__dlg_line")))
+    val keeper = lines.groupBy(col("__dlg_line"))
+      .agg(min(struct(col("__dlg_id"), col("__dlg_pos"))).as("__dlg_k"))
+    val kept = lines.join(keeper, "__dlg_line")
+      .filter(struct(col("__dlg_id"), col("__dlg_pos")) === col("__dlg_k"))
+    val rebuilt = kept.groupBy("__dlg_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__dlg_pos"), col("__dlg_line")))),
+          x => x.getField("__dlg_line")),
+        sep).as("__dlg_clean"))
+    df.join(rebuilt, col(idCol) === col("__dlg_id"), "left")
+      .withColumn(textCol, coalesce(col("__dlg_clean"), lit("")))
+      .drop("__dlg_id", "__dlg_clean")
+  }
+
   /** Count of redacted spans per kind — the audit metric a scrubbing
     * stage reports. */
   def redactionCounts(text: Column): Column = struct(

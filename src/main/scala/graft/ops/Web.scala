@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation: URL canonicalization, registered-domain
+  * extraction, and per-domain capping — the source-level stage every
+  * Common-Crawl-style pipeline (C4, RefinedWeb, FineWeb) runs BEFORE
+  * text-level dedup: near-dup URLs ("http://Example.com/a?utm_source=x"
+  * vs "https://example.com/a") are the cheapest duplicates to kill, and
+  * a handful of mirror/spam domains otherwise dominate the corpus.
+  *
+  * Everything here is a pure column expression over built-in string/array
+  * functions (codegen'd, one map pass, no UDF, no shuffle), deliberately
+  * inside the regex/array dialect subset that DuckDB interprets
+  * identically so canonicalization has an exact SQL oracle. The one
+  * shuffling operator, [[perDomainCap]], is the WindowGroupLimit shape
+  * (map-side top-n prune before the exchange).
+  */
+object Web {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+  private val PortRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val QueryRe = "^[^#]*\\?([^#]*)"
+
+  /** Tracking parameters stripped by [[canonicalize]] — the session/
+    * campaign noise that splits one logical URL into thousands. */
+  val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="
+
+  def scheme(url: Column): Column = lower(regexp_extract(url, SchemeRe, 1))
+  def host(url: Column): Column = lower(regexp_extract(url, HostRe, 1))
+  def port(url: Column): Column = regexp_extract(url, PortRe, 1)
+  def path(url: Column): Column = regexp_extract(url, PathRe, 1)
+  def query(url: Column): Column = regexp_extract(url, QueryRe, 1)
+
+  /** Canonical URL form: lowercase scheme+host, default ports (http:80,
+    * https:443) stripped, fragment dropped, tracking params removed,
+    * surviving query params sorted, trailing path slash trimmed (root
+    * stays "/"; an empty path becomes "/"). Two URLs that canonicalize
+    * equal are fetch-equivalent for curation purposes. Invalid URLs (no
+    * scheme://host) yield null — route them to a quarantine port, don't
+    * guess. */
+  def canonicalize(url: Column): Column = {
+    val sch = scheme(url)
+    val h = host(url)
+    val p = port(url)
+    val keepPort = when(
+      (sch === "http" && p === "80") || (sch === "https" && p === "443") ||
+        p === "", lit("")).otherwise(concat(lit(":"), p))
+    val rawPath = path(url)
+    val normPath = when(rawPath === "", lit("/"))
+      .when(rawPath =!= "/", regexp_replace(rawPath, "/$", ""))
+      .otherwise(lit("/"))
+    val params = filter(split(query(url), "&"),
+      prm => prm =!= "" && !prm.rlike(TrackingParamRe))
+    val qs = array_join(array_sort(params), "&")
+    val canon = concat(sch, lit("://"), h, keepPort, normPath,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+    when(sch =!= "" && h =!= "", canon)
+  }
+
+  /** Compound public suffixes the [[registeredDomain]] heuristic knows:
+    * a registered domain is one label past the public suffix, and these
+    * two-label suffixes are the ones where "last two labels" guesses
+    * wrong. A production run swaps in the full Public Suffix List (it is
+    * ~10k rows — broadcast it and join; the expression shape is
+    * unchanged). */
+  val CompoundSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "co.nz")
+
+  /** eTLD+1 from a lowercase hostname: last two labels, or last three
+    * when the last two are a compound public suffix; hosts with a single
+    * label (localhost, intranet names) pass through unchanged. */
+  def registeredDomain(h: Column,
+                       compound: Seq[String] = CompoundSuffixes): Column = {
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val last2 = array_join(slice(labels, n - 1, lit(2)), ".")
+    val last3 = array_join(slice(labels, n - 2, lit(3)), ".")
+    when(n <= 2, h)
+      .when(last2.isin(compound: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Keep at most `cap` rows per domain, best-first by `order` (append a
+    * unique id as the last key for determinism). This is the anti-spam /
+    * anti-mirror gate: without it a single content farm contributes
+    * millions of pages to the mixture. Same WindowGroupLimit plan as
+    * [[Rank.topNPerGroup]] — each map task prunes its partition to `cap`
+    * rows per domain before the shuffle, so the exchange carries at most
+    * cap × |domains| rows per task no matter how skewed the crawl. */
+  def perDomainCap(df: DataFrame, domainCol: Column, order: Seq[Column],
+                   cap: Int): DataFrame =
+    Rank.topNPerGroup(df, Seq(domainCol), order, cap)
+}

@@ -1217,4 +1217,103 @@ class OpsSpec extends SparkSpec {
     assert(rows(("a", "c")) == ((3L, 1L, 0L, 4L))) // disjoint: n_and 0
     assert(rows(("b", "c")) == ((3L, 1L, 0L, 4L)))
   }
+
+  // ----------------------------------------------------- web curation
+
+  test("canonicalize: fetch-equivalent URL variants collapse to one form") {
+    val variants = Seq(
+      "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+      "https://www.example.com/a/b?a=2&z=1",
+      "https://www.Example.com:443/a/b/?z=1&a=2&utm_campaign=y")
+    val got = variants.map(Tuple1(_)).toDF("url")
+      .select(Web.canonicalize(col("url"))).collect().map(_.getString(0))
+    assert(got.distinct.length == 1, got.mkString(" | "))
+    assert(got.head == "https://www.example.com/a/b?a=2&z=1")
+  }
+
+  test("canonicalize: ports, root path, empty path, fragments, bad urls") {
+    val cases = Seq(
+      "http://h.com:80/x" -> "http://h.com/x", // default port stripped
+      "http://h.com:8080/x" -> "http://h.com:8080/x", // real port kept
+      "https://h.com:80/x" -> "https://h.com:80/x", // 80 not default for https
+      "http://h.com" -> "http://h.com/", // empty path -> root
+      "http://h.com/" -> "http://h.com/", // root survives
+      "http://h.com/#top" -> "http://h.com/", // fragment dropped
+      "http://h.com/?utm_source=a" -> "http://h.com/", // only tracking
+      "not a url" -> null,
+      "/relative/path" -> null)
+    val got = cases.map(c => Tuple1(c._1)).toDF("url")
+      .select(Web.canonicalize(col("url"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (exp, g) =>
+      assert(g == exp, s"expected $exp got $g")
+    }
+  }
+
+  test("registeredDomain: eTLD+1 incl. compound suffixes and bare hosts") {
+    val cases = Seq(
+      "www.example.com" -> "example.com",
+      "a.b.news.co.uk" -> "news.co.uk",
+      "sub.site.com.au" -> "site.com.au",
+      "example.org" -> "example.org",
+      "localhost" -> "localhost")
+    val got = cases.map(c => Tuple1(c._1)).toDF("h")
+      .select(Web.registeredDomain(col("h"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (exp, g) => assert(g == exp) }
+  }
+
+  test("perDomainCap keeps the best N per domain and prunes map-side") {
+    val d = (1 to 40).map(i => (i.toLong, s"d${i % 4}", i * 10)).toDF("id", "dom", "score")
+    val capped = Web.perDomainCap(d, col("dom"),
+      Seq(col("score").desc, col("id")), cap = 3)
+    assert(capped.count() == 12)
+    // best-first: every kept row outscores every dropped row of its domain
+    val keptMin = capped.groupBy("dom").agg(min("score").as("m"))
+    val dropped = d.join(capped.select("id"), Seq("id"), "left_anti")
+      .groupBy("dom").agg(max("score").as("x"))
+    val joined = keptMin.join(dropped, "dom").collect()
+    joined.foreach(r => assert(r.getAs[Int]("m") > r.getAs[Int]("x")))
+    // WindowGroupLimit prunes before the exchange (same plan as topNPerGroup)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  // ------------------------------------------------ deterministic order
+
+  test("globalIndex: contiguous 0..n-1 positions in key order, no single-partition window") {
+    val d = (1 to 997).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartition(13)
+    val indexed = Order.globalIndex(d, col("id") * -1, "pos").cache()
+    val rows = indexed.select("pos", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).sorted.toSeq == (0L until 997L))
+    // key = -id, so pos 0 is the largest id
+    assert(rows.toMap.apply(0L) == 997L && rows.toMap.apply(996L) == 1L)
+    indexed.unpersist()
+  }
+
+  test("epochOrder: deterministic across partitionings; seeds give different permutations") {
+    val d = (1 to 500).map(i => Tuple1(i.toLong)).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Order.epochOrder(df, "id", seed).select("pos", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val a = run(d.repartition(3), "s1")
+    val b = run(d.repartition(17), "s1")
+    assert(a == b, "epoch order depends on input partitioning")
+    val c = run(d, "s2")
+    assert(a != c, "different seeds must permute differently")
+  }
+
+  // ------------------------------------------- corpus-wide line dedup
+
+  test("dedupLinesGlobal: corpus-first occurrence wins, doc order kept, all-dup doc empties") {
+    val d = Seq(
+      (1L, "banner\nalpha\nbanner\nbeta"), // in-doc repeat of banner too
+      (2L, "banner\ngamma"),
+      (3L, "banner\nalpha")) // every line seen earlier -> empty
+      .toDF("doc_id", "text")
+    val out = Scrub.dedupLinesGlobal(d, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out(1L) == "banner\nalpha\nbeta")
+    assert(out(2L) == "gamma")
+    assert(out(3L) == "")
+  }
 }
