@@ -2037,6 +2037,33 @@ object OpsQueries {
       |SELECT s.doc_id, md5(coalesce(r.clean, '')) AS clean_md5
       |FROM src s LEFT JOIN r ON r.doc_id = s.doc_id""".stripMargin
 
+  /** WARC round-trip: write documents as WARC response records (planted
+    * deterministic URIs), read the files back with the WARC parser, and
+    * emit per-record facts the oracle recomputes straight from the
+    * source table — proving the container framing (headers,
+    * Content-Length payload slicing, record boundaries) loses nothing.
+    * Gzip variant covered in WarcSpec. */
+  private def qWarcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_warc_rt").getAbsolutePath
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(concat(lit("https://corpus.example/doc/"),
+        col("doc_id").cast("string")).as("uri"), col("text"))
+    graft.sources.Warc.write(docs, out, "uri", "text")
+    graft.sources.Warc.read(s, out)
+      .select(col("target_uri"), col("warc_type"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+  }
+
+  private val oWarcRoundtrip =
+    """SELECT 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR)
+      |    AS target_uri,
+      |  'response' AS warc_type,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS payload_md5
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2047,6 +2074,7 @@ object OpsQueries {
     "web_domain_cap" -> (qWebDomainCap _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
+    "warc_roundtrip" -> (qWarcRoundtrip _),
     "text_tfidf" -> (qTextTfidf _),
     "text_bm25" -> (qTextBm25 _),
     "text_gopher" -> (qTextGopher _),
@@ -2123,6 +2151,7 @@ object OpsQueries {
     "web_domain_cap" -> oWebDomainCap,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
+    "warc_roundtrip" -> oWarcRoundtrip,
     "text_tfidf" -> oTextTfidf,
     "text_bm25" -> oTextBm25,
     "text_gopher" -> oTextGopher,

@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.io.{ByteArrayOutputStream, DataInputStream, EOFException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** WARC (ISO 28500 / WARC/1.0) source and sink — the container format
+  * web crawls actually arrive in (Common Crawl ships ~90k WARC files per
+  * snapshot). A training-data pipeline's very first stage is "read WARC,
+  * extract (uri, payload)"; this makes that stage native instead of a
+  * pre-processing detour through another system.
+  *
+  * Format essentials (public spec): a WARC file is a concatenation of
+  * records, each `WARC/1.0\r\n`, header lines (`Name: value\r\n`), a
+  * blank line, `Content-Length` payload bytes, then `\r\n\r\n`. Payloads
+  * are length-framed, so arbitrary binary (including CRLFs) round-trips.
+  *
+  * Scale notes:
+  *   - Parallelism is PER FILE ([[read]] uses binaryFiles): WARC's unit
+  *     of distribution is the file, the same granularity warcio/Spark
+  *     pipelines over Common Crawl use — records inside a file are not
+  *     byte-splittable once gzipped (per-record gzip members must be
+  *     scanned sequentially). Crawls keep files ~1 GiB for exactly this
+  *     reason; thousands of files saturate any cluster.
+  *   - [[write]] emits one `part-NNNNN.warc[.gz]` per partition through
+  *     the Hadoop FS API with write-then-rename commit (idempotent under
+  *     retries/speculation), the same shape as [[AvroSink.write]].
+  *   - `.gz` files are whole-stream gunzipped on read (Java's
+  *     GZIPInputStream consumes concatenated members, so per-record-
+  *     member files from standard crawlers parse too).
+  */
+object Warc {
+
+  /** Deterministic WARC-Record-ID: a urn:uuid formatted from md5(uri) —
+    * stable across runs so re-crawled output is diffable. */
+  private[graft] def recordId(uri: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(uri.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    s"urn:uuid:${d.substring(0, 8)}-${d.substring(8, 12)}-" +
+      s"${d.substring(12, 16)}-${d.substring(16, 20)}-${d.substring(20)}"
+  }
+
+  private[graft] def renderRecord(uri: String, payload: Array[Byte],
+                                    warcType: String, contentType: String,
+                                    date: String): Array[Byte] = {
+    val header =
+      s"WARC/1.0\r\n" +
+        s"WARC-Type: $warcType\r\n" +
+        s"WARC-Record-ID: <${recordId(uri)}>\r\n" +
+        s"WARC-Date: $date\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Type: $contentType\r\n" +
+        s"Content-Length: ${payload.length}\r\n" +
+        "\r\n"
+    val out = new ByteArrayOutputStream(header.length + payload.length + 4)
+    out.write(header.getBytes(UTF_8))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** Write `df` as WARC response records, one `part-NNNNN.warc[.gz]` per
+    * partition under `dir` (overwrite). `payloadCol` may be binary or
+    * string (strings are UTF-8 encoded). `date` is fixed per sink run —
+    * pass the crawl timestamp; nothing here invents wall-clock state. */
+  def write(df: DataFrame, dir: String, urlCol: String, payloadCol: String,
+            contentType: String = "text/plain",
+            date: String = "2026-01-01T00:00:00Z",
+            gzip: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val confBytes = {
+      val baos = new ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(baos)
+      hadoopConf.write(out)
+      out.flush()
+      baos.toByteArray
+    }
+    val outPath = new Path(dir)
+    val fs = outPath.getFileSystem(hadoopConf)
+    fs.delete(outPath, true)
+    fs.mkdirs(outPath)
+    val cols = df.select(df.col(urlCol).cast("string"), df.col(payloadCol))
+    val payloadIsString = cols.schema(1).dataType == StringType
+    val ext = if (gzip) ".warc.gz" else ".warc"
+    val written = cols.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(new DataInputStream(
+        new java.io.ByteArrayInputStream(confBytes)))
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val part = new Path(dir, f"part-$pid%05d$ext")
+      val tmp = new Path(dir, f".part-$pid%05d-$attempt$ext.tmp")
+      val pfs = part.getFileSystem(conf)
+      val raw = pfs.create(tmp, true)
+      val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+      var n = 0L
+      try {
+        rows.foreach { row =>
+          val uri = row.getString(0)
+          val payload =
+            if (row.isNullAt(1)) Array.emptyByteArray
+            else if (payloadIsString) row.getString(1).getBytes(UTF_8)
+            else row.getAs[Array[Byte]](1)
+          out.write(renderRecord(uri, payload, "response", contentType, date))
+          n += 1
+        }
+      } finally out.close()
+      if (!pfs.rename(tmp, part)) {
+        if (!pfs.exists(part)) throw new java.io.IOException(
+          s"Warc: rename $tmp -> $part failed with no committed file")
+        pfs.delete(tmp, false)
+      }
+      Iterator.single(n)
+    }.sum()
+    fs.create(new Path(outPath, "_SUCCESS"), true).close()
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"Warc: wrote ${written.toLong} records to $dir")
+  }
+
+  val readSchema: StructType = StructType(Seq(
+    StructField("warc_file", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = true),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Parse every record of one WARC byte stream. Lenient where crawls
+    * are messy: unknown headers are skipped, bare-`\n` line endings are
+    * tolerated, and a truncated trailing record yields what was read. */
+  private[graft] def parseRecords(file: String,
+                                    bytes: Array[Byte]): Iterator[Row] = {
+    var pos = 0
+    def readLine(): String = {
+      val start = pos
+      while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+      val end = if (pos > start && bytes(pos - 1) == '\r') pos - 1 else pos
+      if (pos < bytes.length) pos += 1 // consume '\n'
+      new String(bytes, start, end - start, UTF_8)
+    }
+    new Iterator[Row] {
+      private var nextRow: Row = advance()
+      private def advance(): Row = {
+        // seek the next version line (skips inter-record blank lines)
+        var version = ""
+        while (pos < bytes.length && {
+          version = readLine(); !version.startsWith("WARC/")
+        }) ()
+        if (!version.startsWith("WARC/")) return null
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var line = readLine()
+        while (line.nonEmpty) {
+          val i = line.indexOf(':')
+          if (i > 0)
+            headers(line.substring(0, i).trim.toLowerCase) =
+              line.substring(i + 1).trim
+          line = readLine()
+        }
+        val len = headers.get("content-length")
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+          .filter(_ >= 0).getOrElse(0)
+        val take = math.min(len, bytes.length - pos)
+        val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + take)
+        pos += take
+        Row(file,
+          headers.get("warc-record-id").map(_.stripPrefix("<").stripSuffix(">")).orNull,
+          headers.getOrElse("warc-type", null),
+          headers.getOrElse("warc-target-uri", null),
+          headers.getOrElse("warc-date", null),
+          headers.getOrElse("content-type", null),
+          payload)
+      }
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Row = {
+        val r = nextRow; nextRow = advance(); r
+      }
+    }
+  }
+
+  /** Read a directory (or glob) of `.warc` / `.warc.gz` files into a
+    * DataFrame of [[readSchema]]. One task per file — see the scale
+    * notes above; `minPartitions` spreads many small files. */
+  def read(spark: SparkSession, path: String,
+           minPartitions: Int = 0): DataFrame = {
+    val mp = if (minPartitions > 0) minPartitions
+             else spark.sparkContext.defaultParallelism
+    val rows = spark.sparkContext.binaryFiles(path, mp)
+      .filter { case (f, _) => f.endsWith(".warc") || f.endsWith(".warc.gz") }
+      .flatMap { case (f, pds) =>
+        val in = pds.open()
+        val bytes =
+          try {
+            val src: java.io.InputStream =
+              if (f.endsWith(".gz")) new java.util.zip.GZIPInputStream(in)
+              else in
+            val buf = new ByteArrayOutputStream(1 << 20)
+            val chunk = new Array[Byte](1 << 16)
+            var n = src.read(chunk)
+            while (n >= 0) {
+              buf.write(chunk, 0, n); n = src.read(chunk)
+            }
+            buf.toByteArray
+          } catch {
+            case _: EOFException => Array.emptyByteArray // truncated gzip
+          } finally in.close()
+        parseRecords(f, bytes)
+      }
+    spark.createDataFrame(rows, readSchema)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** WARC source/sink: length-framed round-trips (including payloads that
+  * contain the framing bytes), gzip members, leniency on truncation. */
+class WarcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("roundtrip: text payloads, uri/type/date/content-type preserved") {
+    val dir = tmpDir("warc-rt")
+    val docs = Seq(
+      ("https://a.example/1", "hello world"),
+      ("https://a.example/2", "seconds doc\nwith a newline"),
+      ("https://a.example/3", "")).toDF("uri", "text")
+    Warc.write(docs, dir, "uri", "text",
+      contentType = "text/plain; charset=utf-8",
+      date = "2026-02-03T04:05:06Z")
+    val back = Warc.read(spark, dir)
+    assert(back.count() == 3)
+    val byUri = back.collect()
+      .map(r => r.getAs[String]("target_uri") ->
+        new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toMap
+    assert(byUri("https://a.example/1") == "hello world")
+    assert(byUri("https://a.example/2") == "seconds doc\nwith a newline")
+    assert(byUri("https://a.example/3") == "")
+    val first = back.filter(col("target_uri") === "https://a.example/1").head()
+    assert(first.getAs[String]("warc_type") == "response")
+    assert(first.getAs[String]("warc_date") == "2026-02-03T04:05:06Z")
+    assert(first.getAs[String]("content_type") == "text/plain; charset=utf-8")
+    assert(first.getAs[String]("record_id").startsWith("urn:uuid:"))
+  }
+
+  test("length framing survives payloads containing CRLFs and 'WARC/1.0'") {
+    val dir = tmpDir("warc-adv")
+    val evil = "\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nnot a record"
+    val docs = Seq(("https://evil.example/x", evil.getBytes(UTF_8)),
+      ("https://evil.example/y", Array.tabulate(256)(_.toByte)))
+      .toDF("uri", "payload")
+    Warc.write(docs, dir, "uri", "payload", contentType = "application/octet-stream")
+    val back = Warc.read(spark, dir).collect()
+    assert(back.length == 2, "payload bytes must never create phantom records")
+    val byUri = back.map(r =>
+      r.getAs[String]("target_uri") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(new String(byUri("https://evil.example/x"), UTF_8) == evil)
+    assert(byUri("https://evil.example/y").toSeq == Array.tabulate(256)(_.toByte).toSeq)
+  }
+
+  test("gzip files round-trip and parallelize per file") {
+    val dir = tmpDir("warc-gz")
+    val docs = (1 to 50).map(i => (s"https://gz.example/$i", s"doc $i body"))
+      .toDF("uri", "text").repartition(4)
+    Warc.write(docs, dir, "uri", "text", gzip = true)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(parts.length == 4, "one gz file per partition")
+    val back = Warc.read(spark, dir)
+    assert(back.count() == 50)
+    assert(back.select("target_uri").distinct().count() == 50)
+  }
+
+  test("lenient on truncated trailing record and junk between records") {
+    val dir = tmpDir("warc-trunc")
+    val good = Warc.renderRecord("https://t.example/ok",
+      "full payload".getBytes(UTF_8), "response", "text/plain",
+      "2026-01-01T00:00:00Z")
+    val truncated = {
+      val full = Warc.renderRecord("https://t.example/cut",
+        "this payload gets cut".getBytes(UTF_8), "response", "text/plain",
+        "2026-01-01T00:00:00Z")
+      java.util.Arrays.copyOfRange(full, 0, full.length - 12)
+    }
+    val bytes = good ++ "junk line\r\n".getBytes(UTF_8) ++ truncated
+    Files.write(java.nio.file.Paths.get(dir, "part-00000.warc"), bytes)
+    val back = Warc.read(spark, dir).collect()
+    assert(back.length == 2)
+    val byUri = back.map(r => r.getAs[String]("target_uri") ->
+      new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toMap
+    assert(byUri("https://t.example/ok") == "full payload")
+    assert(byUri("https://t.example/cut").startsWith("this payload"))
+  }
+
+  test("record ids are deterministic functions of the uri") {
+    assert(Warc.recordId("https://x.example/a") == Warc.recordId("https://x.example/a"))
+    assert(Warc.recordId("https://x.example/a") != Warc.recordId("https://x.example/b"))
+    assert(Warc.recordId("u").matches(
+      "urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+  }
+}
