@@ -920,6 +920,36 @@ object OpsQueries {
       |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
       |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
 
+  /** Forward as-of with tolerance ("next action after exposure"
+    * attribution): each event attaches the EARLIEST same-user order at
+    * or after its timestamp, nulled when more than 30 days out. DuckDB
+    * replays it with `ASOF LEFT JOIN ... <=` plus a CASE tolerance gate
+    * (per-side epoch_us/1e6 double arithmetic matches Spark's
+    * timestamp→double cast bit-for-bit). */
+  private def qEventsAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir).select("event_id", "user_id", "ts")
+    val ord = t(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey"), direction = "forward",
+      toleranceSec = Some(30 * 86400.0))
+  }
+
+  private val oEventsAsofForward =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |    FROM events),
+      |o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts,
+      |  CASE WHEN o.o_orderdate IS NOT NULL
+      |      AND epoch_us(o.o_orderdate) / 1000000.0
+      |        - epoch_us(e.ts) / 1000000.0 <= 2592000.0
+      |    THEN o.o_orderkey END AS o_orderkey
+      |FROM e ASOF LEFT JOIN o
+      |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin
+
   // =====================================================================
   // PII scrubbing
   // =====================================================================
@@ -2064,6 +2094,38 @@ object OpsQueries {
       |  md5(text) AS payload_md5
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  /** Content-defined chunking CONTRACT: chunk spans must exactly
+    * partition every payload ([0, nbytes), disjoint, covering — the
+    * property that makes a chunk store lossless) and respect the max
+    * size. Boundary positions themselves are gear-table-dependent
+    * (spec-pinned); the oracle recomputes nbytes and the contract
+    * booleans are literal TRUE. */
+  private def qMultimodalCdc(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text")
+    val ch = Cdc.chunks(media, "media_id", "payload",
+      minSize = 64, avgSize = 256, maxSize = 1024)
+    val agg = ch.groupBy("media_id").agg(
+      sum("length").as("__sum_len"), min("offset").as("__min_off"),
+      max(col("offset") + col("length")).as("__max_end"),
+      count(lit(1)).as("__n_chunks"), max("length").as("__max_len"))
+    media.select(col("media_id"),
+        octet_length(col("payload")).cast("long").as("nbytes"))
+      .join(agg, Seq("media_id"), "left")
+      .select(col("media_id"), col("nbytes"),
+        when(col("nbytes") === 0, coalesce(col("__n_chunks"), lit(0L)) === 0)
+          .otherwise(col("__sum_len") === col("nbytes") &&
+            col("__min_off") === 0 && col("__max_end") === col("nbytes"))
+          .as("chunks_cover"),
+        coalesce(col("__max_len") <= 1024, lit(true)).as("sizes_ok"))
+  }
+
+  private val oMultimodalCdc =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+      |  TRUE AS chunks_cover, TRUE AS sizes_ok
+      |FROM documents WHERE doc_id < 300""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2075,6 +2137,7 @@ object OpsQueries {
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
+    "multimodal_cdc" -> (qMultimodalCdc _),
     "text_tfidf" -> (qTextTfidf _),
     "text_bm25" -> (qTextBm25 _),
     "text_gopher" -> (qTextGopher _),
@@ -2107,6 +2170,7 @@ object OpsQueries {
     "events_sessionize" -> (qEventsSessionize _),
     "events_json" -> (qEventsJson _),
     "events_asof" -> (qEventsAsof _),
+    "events_asof_forward" -> (qEventsAsofForward _),
     "events_range_join" -> (qEventsRangeJoin _),
     "events_interval_overlap" -> (qEventsIntervalOverlap _),
     "events_resample" -> (qEventsResample _),
@@ -2152,6 +2216,7 @@ object OpsQueries {
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,
+    "multimodal_cdc" -> oMultimodalCdc,
     "text_tfidf" -> oTextTfidf,
     "text_bm25" -> oTextBm25,
     "text_gopher" -> oTextGopher,
@@ -2184,6 +2249,7 @@ object OpsQueries {
     "events_sessionize" -> oEventsSessionize,
     "events_json" -> oEventsJson,
     "events_asof" -> oEventsAsof,
+    "events_asof_forward" -> oEventsAsofForward,
     "events_range_join" -> oEventsRangeJoin,
     "events_interval_overlap" -> oEventsIntervalOverlap,
     "events_resample" -> oEventsResample,

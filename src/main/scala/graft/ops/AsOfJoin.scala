@@ -3,15 +3,16 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Point-in-time ("as-of") join: for each left row, attach the latest
-  * right row with the same key whose timestamp is <= the left row's
-  * timestamp — the canonical enrichment for event streams against a
-  * slowly-changing dimension (price books, user profiles, model
-  * versions).
+/** Point-in-time ("as-of") join: for each left row, attach the nearest
+  * right row with the same key at-or-before (backward, the default) or
+  * at-or-after (forward) the left row's timestamp — the canonical
+  * enrichment for event streams against a slowly-changing dimension
+  * (price books, user profiles, model versions), and with `forward` the
+  * "next action after exposure" attribution join.
   *
   * Spark has no as-of join operator; the scalable formulation is the
-  * union-sort trick: tag both sides, union them, and carry the last seen
-  * right row forward within each key with a running `last(ignoreNulls)`
+  * union-sort trick: tag both sides, union them, and carry the nearest
+  * right row across each key with a running `last`/`first(ignoreNulls)`
   * window. ONE shuffle + sort on (key, ts) regardless of how many right
   * rows precede each left row — never a range cross-product. (A
   * broadcast right side could use max_by under a <= predicate instead,
@@ -20,21 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left      probe side (events)
-    * @param right     build side; must be UNIQUE per (rightKey, rightTs)
-    *                  — pre-aggregate if it is not, or matches among
-    *                  equal timestamps are nondeterministic
-    * @param leftKey   join key column name on left
-    * @param rightKey  join key column name on right
-    * @param leftTs    event-time column name on left
-    * @param rightTs   event-time column name on right
-    * @param rightCols right columns to attach (null when no right row
-    *                  precedes the left row — left-join semantics)
+  /** @param left         probe side (events)
+    * @param right        build side; must be UNIQUE per (rightKey,
+    *                     rightTs) — pre-aggregate if it is not, or
+    *                     matches among equal timestamps are
+    *                     nondeterministic
+    * @param leftKey      join key column name on left
+    * @param rightKey     join key column name on right
+    * @param leftTs       event-time column name on left
+    * @param rightTs      event-time column name on right
+    * @param rightCols    right columns to attach (null when no right row
+    *                     qualifies — left-join semantics)
+    * @param direction    "backward" (latest right ≤ left ts, inclusive —
+    *                     the default) or "forward" (earliest right ≥
+    *                     left ts, inclusive)
+    * @param toleranceSec optional maximum |left ts − matched right ts|:
+    *                     matches farther than this are nulled (pandas
+    *                     merge_asof `tolerance`). Measured in SECONDS
+    *                     for timestamp columns (double cast), plain
+    *                     units for numeric ts columns.
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTs: String, rightTs: String,
-           rightCols: Seq[String]): DataFrame = {
+           rightCols: Seq[String],
+           direction: String = "backward",
+           toleranceSec: Option[Double] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asOf: direction must be backward|forward, got $direction")
     val leftNames = left.columns.toSeq
     // Guard the output schema: attached right columns must not shadow left
     // columns, and the __-prefixed internals must not collide with input
@@ -43,42 +57,70 @@ object AsOfJoin {
     require(clash.isEmpty,
       s"asOf: rightCols ${clash.mkString(", ")} collide with left columns; " +
         "rename or alias the right side first")
-    val reserved = Set("__key", "__ts", "__r", "__src", "__match")
+    val reserved = Set("__key", "__ts", "__r", "__src", "__match", "__rts")
     // Right side: only the columns actually projected (key, ts, attached
     // cols) can misroute — an unused right column named __key is harmless.
     val reservedClash =
       (leftNames ++ Seq(rightKey, rightTs) ++ rightCols).toSet intersect reserved
     require(reservedClash.isEmpty,
       s"asOf: input columns ${reservedClash.mkString(", ")} collide with " +
-        "reserved internal names (__key/__ts/__r/__src/__match)")
-    // Right rows sort BEFORE left rows at the same timestamp (__src 0 < 1)
-    // so the as-of comparison is inclusive (rightTs == leftTs matches).
+        "reserved internal names (__key/__ts/__r/__src/__match/__rts)")
+    // The carried struct also smuggles the right timestamp (__rts) so the
+    // tolerance gate can measure the match distance after the window.
+    val rStruct = struct((rightCols.map(col) :+
+      col(rightTs).as("__rts")): _*)
     val l = left
       .withColumn("__key", col(leftKey))
       .withColumn("__ts", col(leftTs))
-      .withColumn("__r", lit(null).cast(structType(right, rightCols)))
+      .withColumn("__r", lit(null).cast(structType(right, rightCols, rightTs)))
       .withColumn("__src", lit(1))
     val r = right
       .select(col(rightKey).as("__key"), col(rightTs).as("__ts"),
-        struct(rightCols.map(col): _*).as("__r"), lit(0).as("__src"))
+        rStruct.as("__r"), lit(0).as("__src"))
     // Align schemas: right rows carry nulls for the left columns.
     val lAll = l.select((leftNames.map(col) ++ Seq(col("__key"), col("__ts"),
       col("__r"), col("__src"))): _*)
     val rAll = r.select((leftNames.map(n =>
       lit(null).cast(left.schema(n).dataType).as(n)) ++ Seq(col("__key"),
       col("__ts"), col("__r"), col("__src"))): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__key")
-      .orderBy(col("__ts"), col("__src"))
-      .rowsBetween(Long.MinValue, 0)
-    lAll.unionByName(rAll)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    // Tie order makes the comparison INCLUSIVE on both directions:
+    // backward sorts right (0) before left (1) at equal ts so a same-ts
+    // right is inside the trailing frame; forward sorts left before right
+    // so a same-ts right is inside the leading frame.
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy("__key")
+    val (w, matchedRaw) =
+      if (direction == "backward") {
+        val w = w0.orderBy(col("__ts"), col("__src"))
+          .rowsBetween(Long.MinValue, 0)
+        (w, last(col("__r"), ignoreNulls = true).over(w))
+      } else {
+        val w = w0.orderBy(col("__ts"), col("__src").desc)
+          .rowsBetween(0, Long.MaxValue)
+        (w, first(col("__r"), ignoreNulls = true).over(w))
+      }
+    val unioned = lAll.unionByName(rAll).withColumn("__match", matchedRaw)
+    val gated = toleranceSec match {
+      case None => col("__match")
+      case Some(tol) =>
+        val gap =
+          if (direction == "backward")
+            col("__ts").cast("double") -
+              col("__match").getField("__rts").cast("double")
+          else col("__match").getField("__rts").cast("double") -
+            col("__ts").cast("double")
+        when(col("__match").isNotNull && gap <= tol, col("__match"))
+    }
+    unioned
       .filter(col("__src") === 1)
+      .withColumn("__match", gated)
       .select((leftNames.map(col) ++
         rightCols.map(c => col("__match").getField(c).as(c))): _*)
   }
 
-  private def structType(right: DataFrame,
-                         cols: Seq[String]): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(cols.map(c => right.schema(c)))
+  private def structType(right: DataFrame, cols: Seq[String],
+                         rightTs: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__rts",
+          right.schema(rightTs).dataType))
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking (CDC) for binary payloads — the dedup
+  * primitive for the MULTIMODAL side of a corpus, where "the same
+  * image/audio embedded at a different byte offset" defeats both exact
+  * file hashing and fixed-size blocks. Boundaries are chosen where a
+  * rolling hash of the content hits a mask (the gear-hash scheme of
+  * FastCDC/xdelta lineage), so inserting a prefix only perturbs chunks
+  * up to the first content-defined cut — everything after re-aligns and
+  * dedupes. Storage systems (borg, restic, data-lake blob stores) use
+  * exactly this to collapse re-encoded/re-wrapped media.
+  *
+  * Scale shape: chunking is a pure per-row pass (no shuffle — the UDF
+  * is a codec boundary like [[Multimodal.decodeStub]], honest JVM work
+  * per payload); the chunk table it emits is (id, idx, offset, length,
+  * chunk_md5), ~24 B + hash per chunk, and every downstream dedup
+  * question (distinct chunks, shared bytes, per-blob overlap) is one
+  * hash aggregation on uniformly-distributed md5 keys. The payload
+  * bytes themselves never shuffle.
+  */
+object Cdc {
+
+  /** Deterministic gear table: 256 pseudo-random 64-bit values, the
+    * first 8 md5 bytes of each byte value — fixed for all time so chunk
+    * boundaries are reproducible across runs and engines. */
+  private[graft] val gear: Array[Long] = Array.tabulate(256) { i =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array(i.toByte))
+    java.nio.ByteBuffer.wrap(d).getLong
+  }
+
+  /** Boundary scan: returns (offset, length) spans that PARTITION the
+    * payload. A cut happens at the first position ≥ `minSize` where the
+    * gear hash (h = (h<<1) + gear[b], reset per chunk) has its low
+    * log2(avgSize) bits zero; `maxSize` forces a cut. The final chunk
+    * may be shorter than `minSize` (there's nothing left to extend it
+    * with). Empty payloads yield zero chunks. */
+  private[graft] def boundaries(bytes: Array[Byte], minSize: Int,
+                                avgSize: Int, maxSize: Int): Array[(Int, Int)] = {
+    require(0 < minSize && minSize <= avgSize && avgSize <= maxSize,
+      s"need 0 < min($minSize) <= avg($avgSize) <= max($maxSize)")
+    val maskBits = 63 - java.lang.Long.numberOfLeadingZeros(avgSize.toLong)
+    val mask = (1L << maskBits) - 1L
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = 0
+    while (start < bytes.length) {
+      val limit = math.min(start + maxSize, bytes.length)
+      var pos = start
+      var h = 0L
+      var cut = -1
+      while (pos < limit && cut < 0) {
+        h = (h << 1) + gear(bytes(pos) & 0xff)
+        pos += 1
+        if (pos - start >= minSize && (h & mask) == 0L) cut = pos
+      }
+      val end = if (cut > 0) cut else limit
+      out += ((start, end - start))
+      start = end
+    }
+    out.toArray
+  }
+
+  /** Chunk table for a binary column: one row per chunk,
+    * (idCol, chunk_idx, offset, length, chunk_md5). Defaults give
+    * ~8 KiB average chunks — tune avgSize to the media granularity
+    * (smaller finds more sharing, costs more rows). */
+  def chunks(media: DataFrame, idCol: String, payloadCol: String,
+             minSize: Int = 2048, avgSize: Int = 8192,
+             maxSize: Int = 65536): DataFrame = {
+    val chunkUdf = udf { payload: Array[Byte] =>
+      if (payload == null) Array.empty[(Int, Int, String)]
+      else boundaries(payload, minSize, avgSize, maxSize).map { case (off, len) =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.update(payload, off, len)
+        (off, len, d.digest().map("%02x".format(_)).mkString)
+      }
+    }
+    media.select(col(idCol), posexplode(chunkUdf(col(payloadCol)))
+        .as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c._1").as("offset"), col("c._2").as("length"),
+        col("c._3").as("chunk_md5"))
+  }
+
+  /** Corpus-level dedup accounting from a [[chunks]] table: logical
+    * bytes (every reference), unique bytes (each distinct chunk once),
+    * and the dedup ratio a chunk store would achieve. One aggregation
+    * on the chunk hash. */
+  def dedupStats(chunkTable: DataFrame): DataFrame =
+    chunkTable.agg(
+        sum(col("length")).as("logical_bytes"),
+        count(lit(1)).as("n_chunks"))
+      .crossJoin(
+        chunkTable.groupBy("chunk_md5")
+          .agg(first(col("length")).as("l"))
+          .agg(sum(col("l")).as("unique_bytes"),
+            count(lit(1)).as("n_unique_chunks")))
+      .select(col("logical_bytes"), col("n_chunks"),
+        col("unique_bytes"), col("n_unique_chunks"),
+        (col("logical_bytes").cast("double") / col("unique_bytes"))
+          .as("dedup_ratio"))
+}

@@ -289,6 +289,47 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(1L -> null, 2L -> 100.0, 3L -> 100.0, 4L -> 101.0, 5L -> 50.0))
   }
 
+  test("asOf forward: earliest right at or after left ts; tolerance nulls far matches") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),  // next quote q1 at 10:05
+      (2L, "A", ts("2024-01-01 10:05:00")),  // exactly at q1 (inclusive)
+      (3L, "A", ts("2024-01-01 10:30:00")),  // next is q2 at 11:00
+      (4L, "A", ts("2024-01-01 11:30:00")),  // after last quote -> null
+      (5L, "B", ts("2024-01-01 09:00:00"))   // next B quote 10:00
+    ).toDF("trade_id", "sym", "tts")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:05:00"), 100.0), // q1
+      ("A", ts("2024-01-01 11:00:00"), 101.0), // q2
+      ("B", ts("2024-01-01 10:00:00"), 50.0)
+    ).toDF("sym", "qts", "px")
+    def run(tol: Option[Double]) =
+      AsOfJoin.asOf(trades, quotes, "sym", "sym", "tts", "qts", Seq("px"),
+          direction = "forward", toleranceSec = tol)
+        .select("trade_id", "px").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(run(None) ==
+      Map(1L -> 100.0, 2L -> 100.0, 3L -> 101.0, 4L -> null, 5L -> 50.0))
+    // 30-minute tolerance: trade 5's match is 60 min out -> nulled;
+    // trade 3's (30 min exactly, inclusive) survives
+    assert(run(Some(1800.0)) ==
+      Map(1L -> 100.0, 2L -> 100.0, 3L -> 101.0, 4L -> null, 5L -> null))
+  }
+
+  test("asOf backward tolerance keeps near matches only") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq((1L, "A", ts("2024-01-01 12:00:00"))).toDF("id", "k", "lts")
+    val r = Seq(("A", ts("2024-01-01 09:00:00"), 7.0)).toDF("k", "rts", "v")
+    def px(tol: Option[Double]) =
+      AsOfJoin.asOf(l, r, "k", "k", "lts", "rts", Seq("v"),
+        toleranceSec = tol).select("v").head()
+    assert(px(None).getDouble(0) == 7.0)
+    assert(px(Some(3 * 3600.0)).getDouble(0) == 7.0) // 3h gap, exactly at tol
+    assert(px(Some(3600.0)).isNullAt(0)) // too old
+  }
+
   test("asOf is a single shuffle (one Exchange on the union)") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -1300,6 +1341,74 @@ class OpsSpec extends SparkSpec {
     assert(a == b, "epoch order depends on input partitioning")
     val c = run(d, "s2")
     assert(a != c, "different seeds must permute differently")
+  }
+
+  // --------------------------------------- content-defined chunking
+
+  /** Deterministic pseudo-random bytes: an md5 chain keyed by seed. */
+  private def pseudoBytes(seed: String, n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(n + 16)
+    var block = seed.getBytes("UTF-8")
+    while (out.size < n) {
+      block = java.security.MessageDigest.getInstance("MD5").digest(block)
+      out.write(block, 0, block.length)
+    }
+    java.util.Arrays.copyOfRange(out.toByteArray, 0, n)
+  }
+
+  test("cdc boundaries partition the payload and respect min/avg/max") {
+    val data = pseudoBytes("cdc-a", 50000)
+    val bs = Cdc.boundaries(data, 64, 256, 1024)
+    assert(bs.head._1 == 0)
+    assert(bs.map(_._2).sum == data.length)
+    bs.sliding(2).foreach { case Array((o1, l1), (o2, _)) =>
+      assert(o1 + l1 == o2, "chunks must be contiguous")
+    case _ => ()
+    }
+    assert(bs.forall(_._2 <= 1024))
+    assert(bs.dropRight(1).forall(_._2 >= 64), "only the tail may undershoot min")
+    // avg within a loose band of the target (mask has log2(256)=8 bits)
+    val avg = data.length.toDouble / bs.length
+    assert(avg > 64 && avg < 1024, s"avg chunk $avg out of band")
+    assert(Cdc.boundaries(data, 64, 256, 1024).toSeq == bs.toSeq, "deterministic")
+    assert(Cdc.boundaries(Array.emptyByteArray, 64, 256, 1024).isEmpty)
+  }
+
+  test("cdc shift resistance: prefix insertion re-aligns chunk hashes") {
+    import graft.ops.Cdc
+    val a = pseudoBytes("cdc-shift", 40000)
+    val b = pseudoBytes("cdc-prefix", 1777) ++ a
+    def hashes(p: Array[Byte]) = Cdc.boundaries(p, 64, 256, 1024).map {
+      case (o, l) =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.update(p, o, l); d.digest().toSeq
+    }.toSet
+    val ha = hashes(a)
+    val shared = ha.intersect(hashes(b)).size.toDouble / ha.size
+    assert(shared > 0.8,
+      s"CDC should re-align after an inserted prefix; only $shared shared")
+  }
+
+  test("cdc chunks + dedupStats find planted cross-payload sharing") {
+    val shared = pseudoBytes("cdc-shared", 8000)
+    val rows = (1 to 6).map { i =>
+      (i.toLong, pseudoBytes(s"cdc-uniq-$i", 4000) ++ shared)
+    }
+    val df = rows.toDF("media_id", "payload")
+    val ch = Cdc.chunks(df, "media_id", "payload", 64, 256, 1024)
+    // lossless: re-slicing the payload at (offset, length) gives chunks
+    // whose md5s match the chunk table
+    val byId = rows.toMap
+    ch.collect().foreach { r =>
+      val p = byId(r.getAs[Long]("media_id"))
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.update(p, r.getAs[Int]("offset"), r.getAs[Int]("length"))
+      assert(d.digest().map("%02x".format(_)).mkString == r.getAs[String]("chunk_md5"))
+    }
+    val stats = Cdc.dedupStats(ch).head()
+    val ratio = stats.getAs[Double]("dedup_ratio")
+    assert(stats.getAs[Long]("logical_bytes") == rows.map(_._2.length.toLong).sum)
+    assert(ratio > 1.5, s"6 payloads sharing a 8KB suffix must dedup; got $ratio")
   }
 
   // ------------------------------------------- corpus-wide line dedup
