@@ -28,7 +28,9 @@ object Plans {
       "join_bloom", "sample_mixture", "profile_hll_rollup",
       "text_bm25", "sample_priority", "sample_dsir", "text_perplexity",
       "dedup_semantic", "dedup_incremental_minhash",
-      "profile_kll_quantile", "events_kll_window")
+      "profile_kll_quantile", "events_kll_window",
+      "web_domain_cap", "text_dedup_lines_global", "multimodal_cdc",
+      "events_asof_forward")
 
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")
