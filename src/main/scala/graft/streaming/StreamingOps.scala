@@ -23,6 +23,17 @@ final case class BucketState(docs: List[MemberSig])
   * (fraction of agreeing signature components ≈ Jaccard). */
 final case class CandidatePair(ida: Long, idb: Long, simhat: Double)
 
+/** One document at the per-domain admission gate. */
+final case class DomainDoc(domain: String, ts: Timestamp, id: Long)
+
+/** An admitted document: its domain's running admission sequence
+  * (1-based, ≤ cap). */
+final case class DomainAdmit(domain: String, ts: Timestamp, id: Long,
+                             admit_seq: Long)
+
+/** Per-domain gate state: how many this domain has admitted. */
+final case class DomainCount(n: Long)
+
 /** Structured-Streaming transforms for the events stream shape
   * (event_id, ts, user_id, event_type, value, props).
   *
@@ -263,6 +274,39 @@ object StreamingOps {
             }
           }
           state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming per-domain admission cap — the live-ingest twin of
+    * [[graft.ops.Web.perDomainCap]]: each domain admits only its first
+    * `cap` documents; everything later from that domain drops at the
+    * gate, BEFORE any expensive downstream stage (dedup, scoring)
+    * spends anything on it. A stream cannot rank retrospectively — the
+    * batch cap keeps the BEST `cap` rows by a quality order; the gate
+    * necessarily keeps the FIRST `cap` in event order ((ts, id)-sorted
+    * within each micro-batch, so interleaved arrival inside a batch is
+    * deterministic; equal to the batch first-N when micro-batches
+    * respect event order, spec-pinned). State per domain is ONE long —
+    * the whole crawl's gate state is |domains| × 8 bytes. */
+  def domainCapStream(docs: Dataset[DomainDoc],
+                      cap: Int): Dataset[DomainAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.domain)
+      .flatMapGroupsWithState[DomainCount, DomainAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (domain, it, state: GroupState[DomainCount]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = List.newBuilder[DomainAdmit]
+          val sorted = it.toSeq.sortBy(d => (d.ts.getTime, d.id))
+          val iter = sorted.iterator
+          while (n < cap && iter.hasNext) {
+            val d = iter.next()
+            n += 1
+            out += DomainAdmit(domain, d.ts, d.id, n)
+          }
+          state.update(DomainCount(n))
           out.result().iterator
       }
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.ops.Importance
-import graft.streaming.StreamingOps
+import graft.streaming.{DomainAdmit, DomainDoc, StreamingOps}
 import graft.streaming.StreamingOps.UserEvent
 
 /** Structured-Streaming specs driven through MemoryStream: watermarked
@@ -405,5 +405,45 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "n_events", "total_value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((7L, 2L, 3.0), (7L, 1L, 5.0), (9L, 1L, 4.0)))
+  }
+
+  test("domainCapStream admits first cap per domain across micro-batches; one long of state") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[DomainDoc]
+    val q = StreamingOps.domainCapStream(input.toDS(), cap = 2)
+      .writeStream.format("memory").queryName("domcap")
+      .outputMode("append").start()
+    try {
+      // batch 1: a gets 2 (cap reached), b gets 1 — note a's rows arrive
+      // out of (ts, id) order inside the batch
+      input.addData(
+        DomainDoc("a", ts(5), 102L),
+        DomainDoc("a", ts(1), 100L),
+        DomainDoc("a", ts(3), 101L),
+        DomainDoc("b", ts(2), 200L))
+      q.processAllAvailable()
+      // batch 2: a is full -> both dropped; b admits exactly one more
+      input.addData(
+        DomainDoc("a", ts(6), 103L), DomainDoc("a", ts(7), 104L),
+        DomainDoc("b", ts(8), 201L), DomainDoc("b", ts(9), 202L))
+      q.processAllAvailable()
+      val got = spark.table("domcap").as[DomainAdmit].collect()
+        .map(d => (d.domain, d.id, d.admit_seq)).toSet
+      // within batch 1 domain a admits its (ts, id)-smallest two
+      assert(got == Set(("a", 100L, 1L), ("a", 101L, 2L),
+        ("b", 200L, 1L), ("b", 201L, 2L)), s"got $got")
+      // batch twin: when event order respects batch boundaries, the gate
+      // equals first-cap-by-(ts, id) per domain over the union
+      val all = Seq(
+        ("a", ts(5), 102L), ("a", ts(1), 100L), ("a", ts(3), 101L),
+        ("b", ts(2), 200L), ("a", ts(6), 103L), ("a", ts(7), 104L),
+        ("b", ts(8), 201L), ("b", ts(9), 202L)).toDF("domain", "ts", "id")
+      val batchFirst = graft.ops.Rank.topNPerGroup(all, Seq(col("domain")),
+          Seq(col("ts"), col("id")), n = 2)
+        .select("domain", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got.map(t => (t._1, t._2)) == batchFirst)
+    } finally q.stop()
   }
 }
