@@ -2126,6 +2126,75 @@ object OpsQueries {
       |  TRUE AS chunks_cover, TRUE AS sizes_ok
       |FROM documents WHERE doc_id < 300""".stripMargin
 
+  /** CDC chunk-store round-trip: payloads → chunks-with-bytes →
+    * content-addressed store + manifest → [[Cdc.restore]] — and every
+    * restored payload's md5 must equal the original's, which the oracle
+    * recomputes straight from the source text. This is the LOSSLESS
+    * guarantee of the dedup store (the cdc contract query pins the
+    * partition geometry; this one pins the bytes). */
+  private def qMultimodalCdcRestore(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+    val cb = Cdc.chunksWithBytes(media, "media_id", "payload",
+      minSize = 64, avgSize = 256, maxSize = 1024)
+    val restored = Cdc.restore(Cdc.manifest(cb, "media_id"),
+      Cdc.store(cb), "media_id")
+    media.select(col("media_id"))
+      .join(restored, Seq("media_id"), "left")
+      .select(col("media_id"),
+        md5(coalesce(col("payload"), lit(Array.emptyByteArray)))
+          .as("restored_md5"),
+        length(coalesce(col("payload"), lit(Array.emptyByteArray)))
+          .cast("long").as("n_bytes"))
+  }
+
+  private val oMultimodalCdcRestore =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  md5(text) AS restored_md5,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
+  /** Cross-table fuzzy join (record linkage): every document is linked
+    * to a PLANTED modified copy in a second table (suffix appended, ids
+    * offset) plus whatever genuine near-dups cross the tables; the
+    * oracle recomputes the full exact-Jaccard cross join in SQL, so the
+    * LSH blocking must lose nothing at this threshold. */
+  private def qLinkFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "documents").filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("text"))
+    val b = t(s, dir, "documents").filter(col("doc_id") < 250)
+      .select((col("doc_id") + 10000).as("rid"),
+        concat(col("text"), lit(" appended suffix tokens")).as("rtext"))
+    Link.minhashJoin(a, b, "text", "doc_id", "rtext", "rid",
+      threshold = 0.8)
+  }
+
+  private val oLinkFuzzyJoin =
+    s"""WITH ta AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+      |tb AS (SELECT doc_id + 10000 AS doc_id,
+      |    text || ' appended suffix tokens' AS text
+      |  FROM documents WHERE doc_id < 250),
+      |sa AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len($oToks) - 2, 0)),
+      |    i -> $oToks[i] || ' ' || $oToks[i+1] || ' ' || $oToks[i+2])) AS sh
+      |  FROM ta),
+      |sb AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len($oToks) - 2, 0)),
+      |    i -> $oToks[i] || ' ' || $oToks[i+1] || ' ' || $oToks[i+2])) AS sh
+      |  FROM tb),
+      |exa AS (SELECT doc_id, unnest(sh) AS s FROM sa),
+      |exb AS (SELECT doc_id, unnest(sh) AS s FROM sb),
+      |sizea AS (SELECT doc_id, count(*) AS n FROM exa GROUP BY doc_id),
+      |sizeb AS (SELECT doc_id, count(*) AS n FROM exb GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+      |    count(*) AS c
+      |  FROM exa a JOIN exb b ON a.s = b.s GROUP BY 1, 2)
+      |SELECT id_left, id_right, c * 1.0 / (na.n + nb.n - c) AS jaccard
+      |FROM pairs
+      |JOIN sizea na ON na.doc_id = id_left
+      |JOIN sizeb nb ON nb.doc_id = id_right
+      |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2138,6 +2207,8 @@ object OpsQueries {
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
     "multimodal_cdc" -> (qMultimodalCdc _),
+    "multimodal_cdc_restore" -> (qMultimodalCdcRestore _),
+    "link_fuzzy_join" -> (qLinkFuzzyJoin _),
     "text_tfidf" -> (qTextTfidf _),
     "text_bm25" -> (qTextBm25 _),
     "text_gopher" -> (qTextGopher _),
@@ -2217,6 +2288,8 @@ object OpsQueries {
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,
     "multimodal_cdc" -> oMultimodalCdc,
+    "multimodal_cdc_restore" -> oMultimodalCdcRestore,
+    "link_fuzzy_join" -> oLinkFuzzyJoin,
     "text_tfidf" -> oTextTfidf,
     "text_bm25" -> oTextBm25,
     "text_gopher" -> oTextGopher,

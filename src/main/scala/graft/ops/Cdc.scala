@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Content-defined chunking (CDC) for binary payloads — the dedup
@@ -83,6 +83,65 @@ object Cdc {
       .select(col(idCol), col("chunk_idx"),
         col("c._1").as("offset"), col("c._2").as("length"),
         col("c._3").as("chunk_md5"))
+  }
+
+  /** [[chunks]] plus the chunk BYTES — the ingest side of a
+    * content-addressed chunk store. Feed it to [[store]] /
+    * [[manifest]]; don't persist it as-is (it is the payload ×1 in
+    * rows). */
+  def chunksWithBytes(media: DataFrame, idCol: String, payloadCol: String,
+                      minSize: Int = 2048, avgSize: Int = 8192,
+                      maxSize: Int = 65536): DataFrame = {
+    val chunkUdf = udf { payload: Array[Byte] =>
+      if (payload == null) Array.empty[(Int, Int, String, Array[Byte])]
+      else boundaries(payload, minSize, avgSize, maxSize).map { case (off, len) =>
+        val slice = java.util.Arrays.copyOfRange(payload, off, off + len)
+        val d = java.security.MessageDigest.getInstance("MD5")
+        (off, len, d.digest(slice).map("%02x".format(_)).mkString, slice)
+      }
+    }
+    media.select(col(idCol), posexplode(chunkUdf(col(payloadCol)))
+        .as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c._1").as("offset"), col("c._2").as("length"),
+        col("c._3").as("chunk_md5"), col("c._4").as("chunk"))
+  }
+
+  /** The content-addressed STORE: each distinct chunk's bytes exactly
+    * once, keyed by hash (what actually sits on disk — unique_bytes of
+    * [[dedupStats]]). One hash aggregation; min_by makes the pick
+    * deterministic (all candidates are byte-identical anyway, md5
+    * collisions aside). */
+  def store(chunkBytes: DataFrame): DataFrame =
+    chunkBytes.groupBy("chunk_md5")
+      .agg(min_by(col("chunk"), struct(col("length"), col("chunk_md5")))
+        .as("chunk"),
+        first(col("length")).as("length"))
+
+  /** The per-blob MANIFEST: the recipe (ordered chunk hashes) that
+    * [[restore]] follows — what a dedup store keeps per object. */
+  def manifest(chunkBytes: DataFrame, idCol: String): DataFrame =
+    chunkBytes.select(col(idCol), col("chunk_idx"), col("offset"),
+      col("length"), col("chunk_md5"))
+
+  /** Reassemble payloads from a [[manifest]] + [[store]]: join the
+    * recipe to the store on the chunk hash (1:1 — candidates ≫ store
+    * rows, a plain hash join at scale), collect each blob's chunks, and
+    * concatenate in chunk order. The UDF is the consumer-side codec
+    * boundary; the join never fans out and nothing is quadratic.
+    * Returns (idCol, payload). */
+  def restore(manifestDf: DataFrame, storeDf: DataFrame,
+              idCol: String): DataFrame = {
+    val glue = udf { chunks: Seq[Row] =>
+      val sorted = chunks.sortBy(_.getAs[Int]("chunk_idx"))
+      val out = new java.io.ByteArrayOutputStream()
+      sorted.foreach(r => out.write(r.getAs[Array[Byte]]("chunk")))
+      out.toByteArray
+    }
+    manifestDf.join(storeDf.select(col("chunk_md5"), col("chunk")), "chunk_md5")
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("chunk_idx"), col("chunk"))).as("cs"))
+      .select(col(idCol), glue(col("cs")).as("payload"))
   }
 
   /** Corpus-level dedup accounting from a [[chunks]] table: logical

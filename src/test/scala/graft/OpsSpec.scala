@@ -1411,6 +1411,52 @@ class OpsSpec extends SparkSpec {
     assert(ratio > 1.5, s"6 payloads sharing a 8KB suffix must dedup; got $ratio")
   }
 
+  test("cdc store/manifest/restore: byte-exact, incl. repeated chunks in one payload") {
+    val shared = pseudoBytes("cdc-store-shared", 6000)
+    // payload 2 repeats the SAME content twice -> duplicate chunk hashes
+    // inside one blob; payload 3 is empty after the manifest (no chunks)
+    val rows = Seq(
+      (1L, pseudoBytes("cdc-store-a", 3000) ++ shared),
+      (2L, shared ++ shared),
+      (3L, pseudoBytes("cdc-store-c", 100)))
+    val df = rows.toDF("media_id", "payload")
+    val cb = Cdc.chunksWithBytes(df, "media_id", "payload", 64, 256, 1024)
+    val store = Cdc.store(cb)
+    // the store holds each distinct chunk ONCE
+    assert(store.count() == cb.select("chunk_md5").distinct().count())
+    assert(store.count() < cb.count(), "sharing must shrink the store")
+    val restored = Cdc.restore(Cdc.manifest(cb, "media_id"), store, "media_id")
+      .collect().map(r =>
+        r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    rows.foreach { case (id, payload) =>
+      assert(restored(id).toSeq == payload.toSeq, s"media $id not byte-exact")
+    }
+  }
+
+  // -------------------------------------------------- record linkage
+
+  test("minhashJoin links near-copies across tables, exact-verified, no cross product") {
+    val a = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated content about spark physical plans and shuffles"),
+      (3L, "short one")).toDF("aid", "atext")
+    val b = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today ok"),
+      (11L, "totally different second table row with its own words entirely"),
+      (12L, "completely unrelated content about spark physical plans and shuffles")
+    ).toDF("bid", "btext")
+    val out = Link.minhashJoin(a, b, "atext", "aid", "btext", "bid",
+      threshold = 0.5)
+    val pairs = out.collect()
+      .map(r => (r.getAs[Long]("id_left"), r.getAs[Long]("id_right"))).toSet
+    assert(pairs == Set((1L, 10L), (2L, 12L)), s"got $pairs")
+    // jaccard on the exact-copy pair is 1.0
+    assert(out.filter(col("id_left") === 2L).head().getAs[Double]("jaccard") == 1.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   // ------------------------------------------- corpus-wide line dedup
 
   test("dedupLinesGlobal: corpus-first occurrence wins, doc order kept, all-dup doc empties") {
