@@ -2195,6 +2195,43 @@ object OpsQueries {
       |JOIN sizeb nb ON nb.doc_id = id_right
       |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8""".stripMargin
 
+  /** Declarative data-quality gate over `documents`: five check kinds in
+    * one aggregation pass; the oracle recomputes every metric and
+    * verdict as plain SQL aggregates. The n_chars range is set to
+    * actually FAIL on some rows (pass=false is part of the verified
+    * output — a gate that can't fail verifies nothing). */
+  private def qQualityExpect(s: SparkSession, dir: String): DataFrame =
+    Expect.run(t(s, dir, "documents"), Seq(
+      Expect.Unique("doc_id"),
+      Expect.NotNull("text", minRate = 1.0),
+      Expect.InRange("n_chars", lo = 1, hi = 500, minRate = 0.5),
+      Expect.MatchesRe("lang", "^[a-z]{2}$", minRate = 1.0),
+      Expect.IsIn("lang", Seq("en", "de", "fr"), minRate = 0.9)))
+
+  private val oQualityExpect =
+    """WITH m AS (SELECT
+      |  count(*) AS n,
+      |  (CAST(count(DISTINCT doc_id) AS DOUBLE) +
+      |    CASE WHEN count(*) - count(doc_id) > 0 THEN 1 ELSE 0 END)
+      |    / greatest(count(*), 1) AS m_unique,
+      |  CAST(count(text) AS DOUBLE) / greatest(count(*), 1) AS m_notnull,
+      |  CAST(count(CASE WHEN n_chars BETWEEN 1 AND 500 THEN 1 END) AS DOUBLE)
+      |    / greatest(count(n_chars), 1) AS m_range,
+      |  CAST(count(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 END)
+      |    AS DOUBLE) / greatest(count(lang), 1) AS m_re,
+      |  CAST(count(CASE WHEN lang IN ('en','de','fr') THEN 1 END) AS DOUBLE)
+      |    / greatest(count(lang), 1) AS m_in
+      |FROM documents)
+      |SELECT u.check, u."column", u.metric, u.threshold,
+      |  u.metric >= u.threshold AS pass
+      |FROM m, LATERAL (VALUES
+      |  ('unique', 'doc_id', m.m_unique, CAST(1.0 AS DOUBLE)),
+      |  ('not_null', 'text', m.m_notnull, CAST(1.0 AS DOUBLE)),
+      |  ('in_range', 'n_chars', m.m_range, CAST(0.5 AS DOUBLE)),
+      |  ('matches_re', 'lang', m.m_re, CAST(1.0 AS DOUBLE)),
+      |  ('is_in', 'lang', m.m_in, CAST(0.9 AS DOUBLE)))
+      |  AS u("check", "column", metric, threshold)""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2209,6 +2246,7 @@ object OpsQueries {
     "multimodal_cdc" -> (qMultimodalCdc _),
     "multimodal_cdc_restore" -> (qMultimodalCdcRestore _),
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
+    "quality_expect" -> (qQualityExpect _),
     "text_tfidf" -> (qTextTfidf _),
     "text_bm25" -> (qTextBm25 _),
     "text_gopher" -> (qTextGopher _),
@@ -2290,6 +2328,7 @@ object OpsQueries {
     "multimodal_cdc" -> oMultimodalCdc,
     "multimodal_cdc_restore" -> oMultimodalCdcRestore,
     "link_fuzzy_join" -> oLinkFuzzyJoin,
+    "quality_expect" -> oQualityExpect,
     "text_tfidf" -> oTextTfidf,
     "text_bm25" -> oTextBm25,
     "text_gopher" -> oTextGopher,

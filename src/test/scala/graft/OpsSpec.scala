@@ -1433,6 +1433,61 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------- data expectations
+
+  test("Expect.run: one pass, per-check verdicts, null/dup/empty semantics") {
+    val d = Seq(
+      (1L, Some("a@x.io"), Some(10.0), "en"),
+      (2L, Some("bad"), Some(200.0), "en"),
+      (3L, None, Some(50.0), "xx"),
+      (3L, Some("c@y.org"), None, "en")) // dup id, null score
+      .toDF("id", "email", "score", "lang")
+    val out = Expect.run(d, Seq(
+        Expect.Unique("id"),
+        Expect.NotNull("email", minRate = 0.7),
+        Expect.InRange("score", 0, 100, minRate = 0.5),
+        Expect.MatchesRe("email", "^[^@]+@[^@]+$", minRate = 0.9),
+        Expect.IsIn("lang", Seq("en"), minRate = 0.75)))
+      .collect().map(r => (r.getAs[String]("check"),
+        r.getAs[Double]("metric"), r.getAs[Boolean]("pass"))).toList
+    assert(out == List(
+      ("unique", 0.75, false),      // 3 distinct of 4
+      ("not_null", 0.75, true),     // 3/4 non-null
+      ("in_range", 2.0 / 3, true),  // of 3 non-null scores, 2 in range
+      ("matches_re", 2.0 / 3, false),
+      ("is_in", 0.75, true)))
+    // conditional-count checks compile to ONE aggregation (one Exchange);
+    // a Unique check adds the standard distinct-aggregate expand stage
+    // (second Exchange) but still only one scan of the data
+    val res = Expect.run(d, Seq(Expect.NotNull("email"),
+      Expect.InRange("score", 0, 100), Expect.MatchesRe("email", "@"),
+      Expect.IsIn("lang", Seq("en"))))
+    val exchanges = res.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected one aggregate pass, got $exchanges exchanges")
+    val withUnique = Expect.run(d, (1 to 8).map(_ => Expect.NotNull("email")) :+
+      Expect.Unique("id"))
+    val scans = withUnique.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan"))
+    assert(scans == 1, s"a wide check suite must still scan once, got $scans")
+    // empty input: rate checks pass vacuously
+    val empty = Expect.run(d.filter(lit(false)),
+      Seq(Expect.NotNull("email"), Expect.Unique("id"))).collect()
+    assert(empty.forall(!_.getAs[Boolean]("pass") == false))
+  }
+
+  test("Expect.enforce throws with every failing check named") {
+    val d = Seq((1L, "en"), (1L, "zz")).toDF("id", "lang")
+    val e = intercept[IllegalStateException] {
+      Expect.enforce(d, Seq(Expect.Unique("id"),
+        Expect.IsIn("lang", Seq("en"), minRate = 1.0),
+        Expect.NotNull("lang")))
+    }
+    assert(e.getMessage.contains("unique(id)"))
+    assert(e.getMessage.contains("is_in(lang)"))
+    assert(!e.getMessage.contains("not_null"))
+  }
+
   // -------------------------------------------------- record linkage
 
   test("minhashJoin links near-copies across tables, exact-verified, no cross product") {
