@@ -2232,6 +2232,33 @@ object OpsQueries {
       |  ('is_in', 'lang', m.m_in, CAST(0.9 AS DOUBLE)))
       |  AS u("check", "column", metric, threshold)""".stripMargin
 
+  /** Lakehouse file manifest: documents written partition-per-bucket,
+    * then the manifest is built from parquet FOOTERS only — and every
+    * footer-derived fact (per-partition row count, typed min/max of the
+    * indexed columns) must equal what SQL computes from the data
+    * itself. One file per bucket (repartition on the partition column),
+    * so the manifest is deterministic at row granularity. */
+  private def qLayoutManifest(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_manifest").getAbsolutePath
+    val docs = t(s, dir, "documents")
+      .withColumn("bucket", pmod(col("doc_id"), lit(8)))
+      .repartition(8, col("bucket"))
+    Layout.writePartitioned(docs, out, Seq("bucket"))
+    Layout.manifest(s, out, Seq("doc_id", "n_chars"))
+      .select(col("partition"), col("n_rows"), col("min_doc_id"),
+        col("max_doc_id"), col("min_n_chars"), col("max_n_chars"))
+  }
+
+  private val oLayoutManifest =
+    """SELECT 'bucket=' || CAST(doc_id % 8 AS VARCHAR) AS "partition",
+      |  count(*) AS n_rows,
+      |  CAST(min(doc_id) AS VARCHAR) AS min_doc_id,
+      |  CAST(max(doc_id) AS VARCHAR) AS max_doc_id,
+      |  CAST(min(n_chars) AS VARCHAR) AS min_n_chars,
+      |  CAST(max(n_chars) AS VARCHAR) AS max_n_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2247,6 +2274,7 @@ object OpsQueries {
     "multimodal_cdc_restore" -> (qMultimodalCdcRestore _),
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
     "quality_expect" -> (qQualityExpect _),
+    "layout_manifest" -> (qLayoutManifest _),
     "text_tfidf" -> (qTextTfidf _),
     "text_bm25" -> (qTextBm25 _),
     "text_gopher" -> (qTextGopher _),
@@ -2329,6 +2357,7 @@ object OpsQueries {
     "multimodal_cdc_restore" -> oMultimodalCdcRestore,
     "link_fuzzy_join" -> oLinkFuzzyJoin,
     "quality_expect" -> oQualityExpect,
+    "layout_manifest" -> oLayoutManifest,
     "text_tfidf" -> oTextTfidf,
     "text_bm25" -> oTextBm25,
     "text_gopher" -> oTextGopher,

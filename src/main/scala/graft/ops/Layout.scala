@@ -25,6 +25,107 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Iceberg-style FILE MANIFEST of a parquet dataset: one row per data
+    * file with its partition-directory values, row count, byte size,
+    * and per-column min/max — all read from parquet FOOTERS only, never
+    * the data pages. This is the metadata a lakehouse table format
+    * (Iceberg/Delta) maintains per snapshot, and what engines prune
+    * scans with; materializing it makes pruning auditable ("which files
+    * would this predicate touch?") and lets external tooling plan
+    * incremental work.
+    *
+    * Distributed: the file LISTING happens on the driver (cheap — it is
+    * names, not bytes); footer reads fan out as one task per file via a
+    * parallelized path list. `statsCols` limits min/max extraction to
+    * the columns worth indexing (string stats are parquet-truncated
+    * UTF-8; values render as strings for a schema-stable manifest). */
+  def manifest(spark: SparkSession, path: String,
+               statsCols: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(hconf)
+    val it = fs.listFiles(root, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_"))
+        files += ((f.getPath.toString, f.getLen))
+    }
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(baos)
+      hconf.write(out); out.flush(); baos.toByteArray
+    }
+    val rootStr = root.toString
+    val statsColsB = statsCols
+    val rows = spark.sparkContext
+      .parallelize(files.toSeq, math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism)))
+      .map { case (file, bytes) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.readFields(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(confBytes)))
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new HPath(file), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val (nRows, mins, maxs) =
+          try {
+            val blocks = reader.getFooter.getBlocks
+            var n = 0L
+            // cross-row-group min/max via parquet's own typed merge (a
+            // string compare would order "10" < "9" for numerics)
+            val acc = scala.collection.mutable
+              .Map.empty[String, org.apache.parquet.column.statistics.Statistics[_]]
+            blocks.forEach { b =>
+              n += b.getRowCount
+              b.getColumns.forEach { c =>
+                val name = c.getPath.toDotString
+                if (statsColsB.contains(name)) {
+                  val st = c.getStatistics
+                  if (st != null && st.hasNonNullValue) {
+                    // erase the invariant T (runtime types always agree
+                    // within one column chunk family)
+                    type S = org.apache.parquet.column.statistics
+                      .Statistics[java.lang.Long]
+                    acc.get(name) match {
+                      case None => acc(name) = st
+                      case Some(prev) => prev.asInstanceOf[S]
+                        .mergeStatistics(st.asInstanceOf[S])
+                    }
+                  }
+                }
+              }
+            }
+            (n, acc.view.mapValues(_.minAsString).toMap,
+              acc.view.mapValues(_.maxAsString).toMap)
+          } finally reader.close()
+        // partition-directory values (k=v path segments under the root)
+        val rel = file.stripPrefix(rootStr).stripPrefix("/")
+        val partVals = rel.split("/").dropRight(1)
+          .filter(_.contains("=")).mkString("/")
+        org.apache.spark.sql.Row.fromSeq(
+          Seq(rel.split("/").last, partVals, nRows, bytes) ++
+            statsColsB.flatMap(c => Seq(mins.get(c).orNull, maxs.get(c).orNull)))
+      }
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.LongType)) ++
+        statsCols.flatMap(c => Seq(
+          org.apache.spark.sql.types.StructField(s"min_$c",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(s"max_$c",
+            org.apache.spark.sql.types.StringType))))
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Write `df` as a bucketed+sorted table registered as `table`.
     * `numBuckets` should target HDFS-block-sized buckets at full scale
     * (buckets = tableBytes / 256 MB, rounded to a power of two so

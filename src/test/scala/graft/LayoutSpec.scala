@@ -132,4 +132,37 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_emb")
     }
   }
+
+  test("manifest: footer stats match the data; pruning replay touches only qualifying files") {
+    import org.apache.spark.sql.functions._
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_manifest")}/docs"
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    // RANGE buckets (not modulo) so a doc_id predicate can actually
+    // skip whole files via the manifest
+    val width = (raw.agg(max("doc_id")).head().getLong(0) + 4) / 4
+    val docs = raw
+      .withColumn("bucket", floor(col("doc_id") / lit(width)))
+      .repartition(4, col("bucket"))
+    Layout.writePartitioned(docs, path, Seq("bucket"))
+    val m = Layout.manifest(spark, path, Seq("doc_id")).collect()
+    assert(m.length == 4, "one file per bucket")
+    assert(m.forall(_.getAs[Long]("bytes") > 0))
+    val total = m.map(_.getAs[Long]("n_rows")).sum
+    assert(total == docs.count())
+    // footer min/max equal the data's per-partition min/max
+    val truth = docs.groupBy("bucket")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => s"bucket=${r.getAs[Long]("bucket")}" ->
+        (r.getAs[Long]("lo").toString, r.getAs[Long]("hi").toString)).toMap
+    m.foreach { r =>
+      val (lo, hi) = truth(r.getAs[String]("partition"))
+      assert(r.getAs[String]("min_doc_id") == lo &&
+        r.getAs[String]("max_doc_id") == hi)
+    }
+    // the manifest answers "which files does doc_id <= K touch" without
+    // opening any data: exactly the files whose [min,max] intersect
+    val k = width / 2
+    val touched = m.filter(_.getAs[String]("min_doc_id").toLong <= k)
+    assert(touched.length < m.length && touched.nonEmpty)
+  }
 }
