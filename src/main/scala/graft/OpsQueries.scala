@@ -2259,6 +2259,53 @@ object OpsQueries {
       |  CAST(max(n_chars) AS VARCHAR) AS max_n_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** End-to-end WEB curation: Gopher quality gate → URL canonicalization
+    * → registered domain → per-domain cap, one composed plan (the
+    * source-level mirror of `curation_pipeline`'s text-level flow). The
+    * oracle replays the entire composition — quality rules, URL
+    * parsing, eTLD+1, window cap — in one SQL query. */
+  private def qWebCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val u = plantedUrls(s, dir)
+    val passed = t(s, dir, "documents").filter(col("doc_id") < 400)
+      .filter(TextFunctions.gopherRules(col("text")).getField("pass"))
+      .select("doc_id")
+    val withDom = passed.join(u, "doc_id")
+      .withColumn("domain", Web.registeredDomain(Web.host(col("url"))))
+    Web.perDomainCap(withDom, col("domain"),
+        Seq(col("n_chars").desc, col("doc_id")), cap = 2)
+      .select("doc_id", "domain", "rank")
+  }
+
+  private val oWebCurationPipeline =
+    s"""WITH d AS (SELECT doc_id, $oToks AS t, text FROM documents
+      |    WHERE doc_id < 400),
+      |g AS (SELECT doc_id, t, text,
+      |    CASE WHEN len(t) >= 2 THEN list_transform(
+      |      generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END AS grams FROM d),
+      |m AS (SELECT doc_id,
+      |    (len(t) BETWEEN 50 AND 100000)
+      |    AND ((CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t))
+      |      BETWEEN 3.0 AND 10.0)
+      |    AND ((CAST(len(regexp_extract_all(text, '#')) +
+      |          len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+      |      / greatest(len(t), 1)) < 0.1)
+      |    AND (CASE WHEN len(grams) = 0 THEN 0.0
+      |      ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+      |        / len(grams) END < 0.2) AS pass
+      |  FROM g),
+      |u AS ($oPlantedUrls),
+      |hosts AS (SELECT u.doc_id, u.n_chars,
+      |    lower(regexp_extract(u.url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+      |  FROM u JOIN m ON m.doc_id = u.doc_id AND m.pass),
+      |dom AS (SELECT doc_id, n_chars,
+      |    ${oRegisteredDomain("host")} AS domain FROM hosts),
+      |r AS (SELECT doc_id, domain, CAST(row_number() OVER (
+      |    PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS INTEGER)
+      |    AS rank FROM dom)
+      |SELECT doc_id, domain, rank FROM r WHERE rank <= 2""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2275,6 +2322,7 @@ object OpsQueries {
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
     "quality_expect" -> (qQualityExpect _),
     "layout_manifest" -> (qLayoutManifest _),
+    "web_curation_pipeline" -> (qWebCurationPipeline _),
     "text_tfidf" -> (qTextTfidf _),
     "text_bm25" -> (qTextBm25 _),
     "text_gopher" -> (qTextGopher _),
@@ -2358,6 +2406,7 @@ object OpsQueries {
     "link_fuzzy_join" -> oLinkFuzzyJoin,
     "quality_expect" -> oQualityExpect,
     "layout_manifest" -> oLayoutManifest,
+    "web_curation_pipeline" -> oWebCurationPipeline,
     "text_tfidf" -> oTextTfidf,
     "text_bm25" -> oTextBm25,
     "text_gopher" -> oTextGopher,

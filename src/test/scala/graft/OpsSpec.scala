@@ -1290,6 +1290,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("canonicalize is idempotent: canonical forms are fixed points") {
+    // all four planted shapes across 100 ids, plus hand edge cases
+    val urls = (0 until 100).flatMap { i =>
+      Seq(
+        s"HTTPS://WWW.Example${i % 20}.CO.UK:443/Article/$i/?utm_source=feed&b=2&a=1#frag",
+        s"http://blog.example${i % 20}.com:80/post/$i?id=$i&utm_campaign=x",
+        s"https://example${i % 20}.org/",
+        s"http://Sub.Site${i % 20}.com.au/page/$i/")
+    } ++ Seq("http://h.com", "https://h.com:8443/x?b=1&a=2")
+    val once = urls.map(Tuple1(_)).toDF("url")
+      .select(Web.canonicalize(col("url")).as("c"))
+    val twice = once.select(Web.canonicalize(col("c")).as("c2"), col("c"))
+    val diff = twice.filter(!(col("c2") <=> col("c"))).count()
+    assert(diff == 0, s"$diff canonical forms were not fixed points")
+  }
+
   test("registeredDomain: eTLD+1 incl. compound suffixes and bare hosts") {
     val cases = Seq(
       "www.example.com" -> "example.com",
