@@ -311,6 +311,38 @@ object StreamingOps {
       }
   }
 
+  /** STREAM-STREAM interval join (attribution: "right events with the
+    * same key within [leftTs − beforeSec, leftTs + afterSec]") — the
+    * join Structured Streaming supports only when BOTH sides carry
+    * watermarks and the condition bounds event time on both sides;
+    * Spark then ages join state out at watermark + interval instead of
+    * buffering both streams forever. This wrapper enforces those
+    * conditions so the state bound is guaranteed by construction, not
+    * by the caller remembering the rules.
+    *
+    * Column names must be disjoint (stream-stream joins cannot alias
+    * their way out of ambiguity after the fact — rename before
+    * joining). `withWatermark` is a no-op on batch inputs, so the same
+    * call is the backfill twin (kappa). Inner join: unmatched rows on
+    * either side expire silently with their state. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         beforeSec: Long, afterSec: Long,
+                         lateness: String = "1 hour"): DataFrame = {
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"intervalJoinStream: columns ${overlap.mkString(", ")} exist on both " +
+        "sides; rename one side first")
+    require(beforeSec >= 0 && afterSec >= 0,
+      "intervalJoinStream: beforeSec/afterSec must be >= 0")
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $beforeSec SECONDS") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $afterSec SECONDS"))
+  }
+
   /** One user event as consumed by the sessionizer. */
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String,
                              value: Double)

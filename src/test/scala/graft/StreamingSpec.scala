@@ -407,6 +407,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((7L, 2L, 3.0), (7L, 1L, 5.0), (9L, 1L, 4.0)))
   }
 
+  test("intervalJoinStream: clicks attribute to impressions within the window, across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.intervalJoinStream(
+      imps.toDF().toDF("i_uid", "i_ts"), clicks.toDF().toDF("c_uid", "c_ts"),
+      "i_uid", "c_uid", "i_ts", "c_ts",
+      beforeSec = 0, afterSec = 600, lateness = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData((1L, ts(5))) // in-window click, same batch
+      q.processAllAvailable()
+      clicks.addData((2L, ts(8)), // in-window click, LATER batch than imp
+        (1L, ts(20)), // outside the 10-min window -> dropped
+        (3L, ts(6))) // no matching impression
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("i_uid", "c_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(got == Set((1L, ts(5)), (2L, ts(8))), s"got $got")
+      // batch twin: same call on static frames gives the same pairs
+      val bi = Seq((1L, ts(0)), (2L, ts(0))).toDF("i_uid", "i_ts")
+      val bc = Seq((1L, ts(5)), (2L, ts(8)), (1L, ts(20)), (3L, ts(6)))
+        .toDF("c_uid", "c_ts")
+      val batch = StreamingOps.intervalJoinStream(bi, bc, "i_uid", "c_uid",
+          "i_ts", "c_ts", 0, 600)
+        .select("i_uid", "c_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("domainCapStream admits first cap per domain across micro-batches; one long of state") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
