@@ -2306,6 +2306,33 @@ object OpsQueries {
       |    AS rank FROM dom)
       |SELECT doc_id, domain, rank FROM r WHERE rank <= 2""".stripMargin
 
+  /** Per-slice expectations: the same check suite evaluated per
+    * language — the drift-localization view ("which slice went bad").
+    * 5 langs × 3 checks, every metric and verdict replayed per group in
+    * SQL. */
+  private def qQualityExpectSlice(s: SparkSession, dir: String): DataFrame =
+    Expect.runBySlice(t(s, dir, "documents"), Seq("lang"), Seq(
+      Expect.Unique("doc_id"),
+      Expect.NotNull("text", minRate = 1.0),
+      Expect.InRange("n_chars", lo = 1, hi = 500, minRate = 0.9)))
+
+  private val oQualityExpectSlice =
+    """WITH m AS (SELECT lang,
+      |  (CAST(count(DISTINCT doc_id) AS DOUBLE) +
+      |    CASE WHEN count(*) - count(doc_id) > 0 THEN 1 ELSE 0 END)
+      |    / count(*) AS m_unique,
+      |  CAST(count(text) AS DOUBLE) / count(*) AS m_notnull,
+      |  CAST(count(CASE WHEN n_chars BETWEEN 1 AND 500 THEN 1 END) AS DOUBLE)
+      |    / count(n_chars) AS m_range
+      |FROM documents GROUP BY lang)
+      |SELECT m.lang, u.check, u."column", u.metric, u.threshold,
+      |  u.metric >= u.threshold AS pass
+      |FROM m, LATERAL (VALUES
+      |  ('unique', 'doc_id', m.m_unique, CAST(1.0 AS DOUBLE)),
+      |  ('not_null', 'text', m.m_notnull, CAST(1.0 AS DOUBLE)),
+      |  ('in_range', 'n_chars', m.m_range, CAST(0.9 AS DOUBLE)))
+      |  AS u("check", "column", metric, threshold)""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2321,6 +2348,7 @@ object OpsQueries {
     "multimodal_cdc_restore" -> (qMultimodalCdcRestore _),
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
     "quality_expect" -> (qQualityExpect _),
+    "quality_expect_slice" -> (qQualityExpectSlice _),
     "layout_manifest" -> (qLayoutManifest _),
     "web_curation_pipeline" -> (qWebCurationPipeline _),
     "text_tfidf" -> (qTextTfidf _),
@@ -2405,6 +2433,7 @@ object OpsQueries {
     "multimodal_cdc_restore" -> oMultimodalCdcRestore,
     "link_fuzzy_join" -> oLinkFuzzyJoin,
     "quality_expect" -> oQualityExpect,
+    "quality_expect_slice" -> oQualityExpectSlice,
     "layout_manifest" -> oLayoutManifest,
     "web_curation_pipeline" -> oWebCurationPipeline,
     "text_tfidf" -> oTextTfidf,

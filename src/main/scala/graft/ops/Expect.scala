@@ -58,7 +58,21 @@ object Expect {
     * (check, column, metric, threshold, pass) — `metric` is the
     * measured rate (or distinct-over-total for uniqueness), `pass` the
     * verdict. Empty inputs pass rate checks vacuously (0/0 → rate 1). */
-  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame =
+    runImpl(df, Seq.empty, checks)
+
+  /** Per-SLICE expectations — one verdict row per (slice, check), for
+    * drift localization ("which language's crawl went bad this week"):
+    * same single-pass conditional aggregates, grouped by `sliceCols`
+    * instead of globally. Uniqueness is within-slice. */
+  def runBySlice(df: DataFrame, sliceCols: Seq[String],
+                 checks: Seq[Check]): DataFrame = {
+    require(sliceCols.nonEmpty, "Expect.runBySlice: no slice columns")
+    runImpl(df, sliceCols, checks)
+  }
+
+  private def runImpl(df: DataFrame, sliceCols: Seq[String],
+                      checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "Expect.run: no checks declared")
     val n = count(lit(1))
     // vacuous truth: a rate over zero qualifying rows is 1 (an empty
@@ -85,14 +99,18 @@ object Expect {
     val aliased = metrics.zipWithIndex.map { case ((m, _), i) =>
       m.as(s"__m$i")
     }
-    val one = df.agg(aliased.head, aliased.tail: _*)
+    val one =
+      if (sliceCols.isEmpty) df.agg(aliased.head, aliased.tail: _*)
+      else df.groupBy(sliceCols.map(col): _*)
+        .agg(aliased.head, aliased.tail: _*)
     val rows = checks.zip(metrics).zipWithIndex.map {
       case ((chk, (_, thr)), i) =>
         struct(lit(chk.name).as("check"), lit(chk.column).as("column"),
           col(s"__m$i").as("metric"), lit(thr).as("threshold"),
           (col(s"__m$i") >= thr).as("pass"))
     }
-    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+    one.select(sliceCols.map(col) :+ explode(array(rows: _*)).as("r"): _*)
+      .select(sliceCols.map(col) :+ col("r.*"): _*)
   }
 
   /** Throw unless every check passes — the hard pipeline gate. */

@@ -182,6 +182,60 @@ object Warc {
     }
   }
 
+  /** One parsed WARC record (typed twin of [[readSchema]], for the
+    * streaming reader's encoder). */
+  final case class WarcRec(warc_file: String, record_id: String,
+                           warc_type: String, target_uri: String,
+                           warc_date: String, content_type: String,
+                           payload: Array[Byte])
+
+  private def gunzipIfNeeded(name: String, bytes: Array[Byte]): Array[Byte] =
+    if (!name.endsWith(".gz")) bytes
+    else try {
+      val src = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new ByteArrayOutputStream(bytes.length * 4)
+      val chunk = new Array[Byte](1 << 16)
+      var n = src.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = src.read(chunk) }
+      buf.toByteArray
+    } catch { case _: EOFException => Array.emptyByteArray }
+
+  /** STREAMING WARC tail-ingest: watch `path` and emit parsed records
+    * as new `.warc`/`.warc.gz` files land — the live leg of crawl
+    * ingestion (a crawler drops finished files; the pipeline picks them
+    * up next trigger). Built on the binaryFile file-stream source, so
+    * distribution and exactly-once file tracking come from Spark's file
+    * source; record parsing is the SAME [[parseRecords]] as the batch
+    * reader, so live and backfill agree byte-for-byte.
+    * `maxFilesPerTrigger` bounds per-micro-batch work. */
+  def readStream(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Int = 16): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      // the binaryFile source's fixed schema, spelled out because a
+      // streaming source cannot infer one
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { (t: (String, Array[Byte])) =>
+        val (f, raw) = t
+        parseRecords(f, gunzipIfNeeded(f, raw)).map(r =>
+          WarcRec(r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getString(4), r.getString(5),
+            r.getAs[Array[Byte]](6)))
+      }
+      .toDF()
+  }
+
   /** Read a directory (or glob) of `.warc` / `.warc.gz` files into a
     * DataFrame of [[readSchema]]. One task per file — see the scale
     * notes above; `minPartitions` spreads many small files. */

@@ -1492,6 +1492,19 @@ class OpsSpec extends SparkSpec {
     assert(empty.forall(!_.getAs[Boolean]("pass") == false))
   }
 
+  test("Expect.runBySlice localizes failures to the offending slice") {
+    val d = Seq(
+      ("en", 1L, Some("x")), ("en", 2L, Some("y")),
+      ("de", 3L, Some("z")), ("de", 3L, None)) // de: dup id + a null
+      .toDF("lang", "id", "v")
+    val out = Expect.runBySlice(d, Seq("lang"),
+        Seq(Expect.Unique("id"), Expect.NotNull("v")))
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("check"))
+        -> r.getAs[Boolean]("pass")).toMap
+    assert(out(("en", "unique")) && out(("en", "not_null")))
+    assert(!out(("de", "unique")) && !out(("de", "not_null")))
+  }
+
   test("Expect.enforce throws with every failing check named") {
     val d = Seq((1L, "en"), (1L, "zz")).toDF("id", "lang")
     val e = intercept[IllegalStateException] {

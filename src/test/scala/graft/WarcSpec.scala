@@ -91,6 +91,48 @@ class WarcSpec extends SparkSpec {
     assert(byUri("https://t.example/cut").startsWith("this payload"))
   }
 
+  test("streaming tail-ingest picks up files as they land; live ≡ batch parse") {
+    val dir = tmpDir("warc-stream")
+    val batch1 = Seq(("https://s.example/1", "first file doc"))
+      .toDF("uri", "text").coalesce(1)
+    Warc.write(batch1, s"$dir/drop1", "uri", "text")
+    // move the part file into the watched dir (write() owns its dir)
+    val watched = new java.io.File(dir, "incoming")
+    watched.mkdirs()
+    def promote(src: String): Unit =
+      new java.io.File(src).listFiles().filter(_.getName.endsWith(".warc"))
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(watched, s"${System.nanoTime()}-${f.getName}").toPath)
+        }
+    promote(s"$dir/drop1")
+    val q = Warc.readStream(spark, watched.getAbsolutePath)
+      .writeStream.format("memory").queryName("warcstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warcstream").count() == 1)
+      val batch2 = Seq(
+        ("https://s.example/2", "second file doc"),
+        ("https://s.example/3", "third doc same file"))
+        .toDF("uri", "text").coalesce(1)
+      Warc.write(batch2, s"$dir/drop2", "uri", "text", gzip = false)
+      promote(s"$dir/drop2")
+      q.processAllAvailable()
+      val got = spark.table("warcstream")
+      assert(got.count() == 3)
+      // live parse ≡ batch parse of the same files
+      val batchRead = Warc.read(spark, watched.getAbsolutePath)
+        .select("target_uri", "payload").collect()
+        .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), UTF_8))
+        .toMap
+      val streamRead = got.select("target_uri", "payload").collect()
+        .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), UTF_8))
+        .toMap
+      assert(streamRead == batchRead)
+    } finally q.stop()
+  }
+
   test("record ids are deterministic functions of the uri") {
     assert(Warc.recordId("https://x.example/a") == Warc.recordId("https://x.example/a"))
     assert(Warc.recordId("https://x.example/a") != Warc.recordId("https://x.example/b"))
