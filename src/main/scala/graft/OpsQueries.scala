@@ -2333,6 +2333,54 @@ object OpsQueries {
       |  ('in_range', 'n_chars', m.m_range, CAST(0.9 AS DOUBLE)))
       |  AS u("check", "column", metric, threshold)""".stripMargin
 
+  /** HTML extraction over PLANTED pages: each document's (angle-bracket-
+    * sanitized) text is wrapped in a realistic page — head/script/style
+    * blocks, comments, entities, a nav the tag-stripper must flatten —
+    * and the extracted visible text is md5-compared against the oracle
+    * running the identical RE2 chain in SQL. */
+  private def qWebHtmlText(s: SparkSession, dir: String): DataFrame = {
+    val safe = regexp_replace(col("text"), "[<>&]", " ")
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+      lit("<style>.a { color: red; }</style></head><body>"),
+      lit("<!-- comment --><nav><a href=\"/\">Home</a></nav><h1>T&amp;C "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), safe,
+      lit("</p><p>5 &lt; 6 &amp; 7 &gt; 4 &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"))
+    t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), md5(Web.htmlToText(html)).as("text_md5"))
+  }
+
+  private val oWebHtmlText =
+    """WITH h AS (SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><script type="text/javascript">var x = 1 < 2;</script>' ||
+      |    '<style>.a { color: red; }</style></head><body>' ||
+      |    '<!-- comment --><nav><a href="/">Home</a></nav><h1>T&amp;C ' ||
+      |    CAST(doc_id AS VARCHAR) ||
+      |    '</h1><p>' || regexp_replace(text, '[<>&]', ' ', 'g') ||
+      |    '</p><p>5 &lt; 6 &amp; 7 &gt; 4 &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>'
+      |    AS html
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT doc_id, md5(trim(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    html,
+      |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g'),
+      |    '<[^>]+>', ' ', 'g'),
+      |    '&nbsp;', ' ', 'g'),
+      |    '&lt;', '<', 'g'),
+      |    '&gt;', '>', 'g'),
+      |    '&quot;', '"', 'g'),
+      |    '&#39;', CHR(39), 'g'),
+      |    '&amp;', '&', 'g'),
+      |  '\s+', ' ', 'g'))) AS text_md5
+      |FROM h""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2351,6 +2399,7 @@ object OpsQueries {
     "quality_expect_slice" -> (qQualityExpectSlice _),
     "layout_manifest" -> (qLayoutManifest _),
     "web_curation_pipeline" -> (qWebCurationPipeline _),
+    "web_html_text" -> (qWebHtmlText _),
     "text_tfidf" -> (qTextTfidf _),
     "text_bm25" -> (qTextBm25 _),
     "text_gopher" -> (qTextGopher _),
@@ -2436,6 +2485,7 @@ object OpsQueries {
     "quality_expect_slice" -> oQualityExpectSlice,
     "layout_manifest" -> oLayoutManifest,
     "web_curation_pipeline" -> oWebCurationPipeline,
+    "web_html_text" -> oWebHtmlText,
     "text_tfidf" -> oTextTfidf,
     "text_bm25" -> oTextBm25,
     "text_gopher" -> oTextGopher,

@@ -86,6 +86,33 @@ object Web {
       .otherwise(last2)
   }
 
+  /** HTML → visible text (the extraction stage between a WARC payload
+    * and every text operator): drops script/style blocks, comments, and
+    * tags; decodes the common entities; collapses whitespace. A
+    * regexp_replace chain in the RE2-portable subset (no backreferences
+    * — script and style are handled as separate literal patterns), so
+    * extraction has an exact SQL oracle and behaves identically in any
+    * RE2 engine. This is the boilerplate-light tier (trafilatura-class
+    * DOM scoring needs a parser); compose with [[Scrub.dedupLines]] /
+    * [[graft.ops.Scrub.dedupLinesGlobal]] for nav/banner removal. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    // entities: named common set + numeric; &amp; LAST so "&amp;lt;"
+    // decodes to "&lt;" (one level), not "<"
+    val e1 = regexp_replace(noTags, "&nbsp;", " ")
+    val e2 = regexp_replace(e1, "&lt;", "<")
+    val e3 = regexp_replace(e2, "&gt;", ">")
+    val e4 = regexp_replace(e3, "&quot;", "\"")
+    val e5 = regexp_replace(e4, "&#39;", "'")
+    val e6 = regexp_replace(e5, "&amp;", "&")
+    // collapse BEFORE trim: trim only strips literal spaces, so a
+    // leading newline would otherwise survive as a leading space
+    trim(regexp_replace(e6, "\\s+", " "))
+  }
+
   /** Keep at most `cap` rows per domain, best-first by `order` (append a
     * unique id as the last key for determinism). This is the anti-spam /
     * anti-mirror gate: without it a single content farm contributes

@@ -1306,6 +1306,22 @@ class OpsSpec extends SparkSpec {
     assert(diff == 0, s"$diff canonical forms were not fixed points")
   }
 
+  test("htmlToText: scripts/styles/comments/tags dropped, entities decoded, ws collapsed") {
+    val html = """<html><head><script>if (1 < 2) { alert("x</p>"); }</script>
+      |<style>p { margin: 0; }</style></head>
+      |<body><!-- hidden --><h1>Hello</h1>
+      |<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>
+      |<div>multi
+      |line</div></body></html>""".stripMargin
+    val got = Seq(Tuple1(html)).toDF("h")
+      .select(Web.htmlToText(col("h"))).head().getString(0)
+    assert(got == "Hello A & B <tag> \"q\" 's' end multi line", s"got [$got]")
+    // double-encoded entity decodes ONE level
+    val dbl = Seq(Tuple1("<p>&amp;lt;</p>")).toDF("h")
+      .select(Web.htmlToText(col("h"))).head().getString(0)
+    assert(dbl == "&lt;")
+  }
+
   test("registeredDomain: eTLD+1 incl. compound suffixes and bare hosts") {
     val cases = Seq(
       "www.example.com" -> "example.com",
