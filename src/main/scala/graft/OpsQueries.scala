@@ -1990,9 +1990,8 @@ object OpsQueries {
       |    CASE WHEN (sch = 'http' AND prt = '80')
       |        OR (sch = 'https' AND prt = '443') OR prt = ''
       |      THEN '' ELSE ':' || prt END AS portpart,
-      |    CASE WHEN pth = '' THEN '/'
-      |      WHEN pth <> '/' THEN regexp_replace(pth, '/$$', '')
-      |      ELSE '/' END AS npath,
+      |    CASE WHEN regexp_replace(pth, '/+$$', '') = '' THEN '/'
+      |      ELSE regexp_replace(pth, '/+$$', '') END AS npath,
       |    array_to_string(list_sort(list_filter(string_split(qry, '&'),
       |      p -> p <> '' AND NOT regexp_matches(p,
       |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&') AS qs

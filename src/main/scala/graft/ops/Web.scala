@@ -49,10 +49,12 @@ object Web {
     val keepPort = when(
       (sch === "http" && p === "80") || (sch === "https" && p === "443") ||
         p === "", lit("")).otherwise(concat(lit(":"), p))
+    // strip ALL trailing slashes (a single-slash rule would leave
+    // "/a//" one slash shorter per pass — not idempotent; found by the
+    // WebPropertySpec fixed-point property); empty path is root
     val rawPath = path(url)
-    val normPath = when(rawPath === "", lit("/"))
-      .when(rawPath =!= "/", regexp_replace(rawPath, "/$", ""))
-      .otherwise(lit("/"))
+    val stripped = regexp_replace(rawPath, "/+$", "")
+    val normPath = when(stripped === "", lit("/")).otherwise(stripped)
     val params = filter(split(query(url), "&"),
       prm => prm =!= "" && !prm.rlike(TrackingParamRe))
     val qs = array_join(array_sort(params), "&")

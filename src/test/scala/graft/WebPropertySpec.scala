@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Cdc, Scrub, Web}
+
+/** Property tests for the round-7 curation operators on random inputs
+  * (deterministic ScalaCheck seeds): URL canonicalization is an
+  * idempotent normalizer, CDC boundaries always partition, and
+  * corpus-wide line dedup conserves first occurrences — invariants
+  * that must hold for ANY input, not just the planted oracles. */
+class WebPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // -- random-but-valid URLs ------------------------------------------
+  private val genUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTP", "Https")
+    host <- Gen.listOfN(3, Gen.alphaLowerStr.map(_.take(5)).suchThat(_.nonEmpty))
+      .map(_.mkString("."))
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    segs <- Gen.listOf(Gen.alphaNumStr.map(_.take(6)))
+    slash <- Gen.oneOf("", "/")
+    params <- Gen.listOf(for {
+      k <- Gen.oneOf("a", "b", "utm_source", "id", "ref", "z")
+      v <- Gen.alphaNumStr.map(_.take(4))
+    } yield s"$k=$v")
+    frag <- Gen.oneOf("", "#top", "#x=1")
+  } yield {
+    val path = if (segs.isEmpty) "" else "/" + segs.mkString("/")
+    val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+    s"$scheme://$host$port$path$slash$q$frag"
+  }
+
+  private def urlsFromSeed(n: Long): List[String] =
+    Gen.listOfN(150, genUrl)(Gen.Parameters.default, Seed(n)).get
+
+  test("canonicalize: idempotent and fragment/tracking/port-insensitive on random URLs") {
+    for (seed <- 1L to 4L) {
+      val urls = urlsFromSeed(seed)
+      val df = urls.map(Tuple1(_)).toDF("url")
+      val canon = df.select(Web.canonicalize(col("url")).as("c"))
+      val rows = canon.collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0))
+      // idempotent
+      val again = canon.filter(col("c").isNotNull)
+        .select(Web.canonicalize(col("c")).as("c2"), col("c"))
+        .filter(!(col("c2") <=> col("c"))).count()
+      assert(again == 0, s"seed=$seed: canonicalize not idempotent")
+      // canonical form never keeps a fragment, a tracking param, or a
+      // default port
+      rows.filter(_ != null).foreach { c =>
+        assert(!c.contains("#"), s"fragment survived: $c")
+        assert(!c.contains("utm_") && !c.matches(".*[?&]ref=.*"),
+          s"tracking param survived: $c")
+        assert(!c.matches("^http://[^/]*:80(/.*)?$") &&
+          !c.matches("^https://[^/]*:443(/.*)?$"), s"default port survived: $c")
+        assert(c.startsWith("http://") || c.startsWith("https://"))
+      }
+    }
+  }
+
+  // -- random binary payloads -----------------------------------------
+  private def bytesFromSeed(n: Long, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(len + 16)
+    var block = s"prop-$n".getBytes("UTF-8")
+    while (out.size < len) {
+      block = java.security.MessageDigest.getInstance("MD5").digest(block)
+      out.write(block, 0, block.length)
+    }
+    java.util.Arrays.copyOfRange(out.toByteArray, 0, len)
+  }
+
+  test("cdc boundaries: partition invariant for random sizes and params") {
+    for (seed <- 1L to 6L) {
+      val len = (seed * 7919 % 30000).toInt + (seed % 3).toInt
+      val minS = 1 << (3 + seed % 3).toInt // 8/16/32
+      val avgS = minS * 4
+      val maxS = avgS * 8
+      val data = bytesFromSeed(seed, len)
+      val bs = Cdc.boundaries(data, minS, avgS, maxS)
+      assert(bs.map(_._2).sum == len, s"seed=$seed: not covering")
+      if (bs.nonEmpty) {
+        assert(bs.head._1 == 0)
+        bs.sliding(2).foreach {
+          case Array((o1, l1), (o2, _)) => assert(o1 + l1 == o2)
+          case _ => ()
+        }
+        assert(bs.forall(_._2 <= maxS), s"seed=$seed: over max")
+        assert(bs.dropRight(1).forall(_._2 >= minS), s"seed=$seed: under min")
+      } else assert(len == 0)
+    }
+  }
+
+  test("dedupLinesGlobal: output lines ⊆ input lines, distinct corpus-wide, order kept") {
+    val genDocs: Gen[List[(Long, String)]] = Gen.listOfN(12, for {
+      n <- Gen.choose(0, 6)
+      ls <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", ""))
+    } yield ls.mkString("\n")).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    for (seed <- 1L to 4L) {
+      val docs = genDocs(Gen.Parameters.default, Seed(seed)).get
+      val df = docs.toDF("doc_id", "text")
+      val out = Scrub.dedupLinesGlobal(df, "text", "doc_id")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+        .toMap
+      // every surviving line existed in that doc, in original relative
+      // order, and no line appears twice anywhere in the output corpus
+      val survivors = scala.collection.mutable.ArrayBuffer.empty[String]
+      docs.foreach { case (id, orig) =>
+        val origLines = orig.split("\n", -1)
+        val keptLines =
+          if (out(id).isEmpty) Array.empty[String]
+          else out(id).split("\n", -1)
+        // subsequence check
+        var j = 0
+        keptLines.foreach { l =>
+          val idx = origLines.indexOf(l, j)
+          assert(idx >= 0, s"seed=$seed doc=$id: line '$l' out of order or absent")
+          j = idx + 1
+        }
+        survivors ++= keptLines
+      }
+      assert(survivors.size == survivors.distinct.size,
+        s"seed=$seed: a line survived twice corpus-wide")
+    }
+  }
+}
