@@ -93,6 +93,95 @@ class WebPropertySpec extends SparkSpec {
     }
   }
 
+  test("warc roundtrip: random binary payloads (with planted framing bytes) survive byte-for-byte") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-prop").toString
+    val frame = "\r\n\r\nWARC/1.0\r\nContent-Length: 4\r\n\r\nxxxx".getBytes("UTF-8")
+    val payloads = (1L to 40L).map { i =>
+      val base = bytesFromSeed(i, (i * 131 % 3000).toInt)
+      // plant the record frame inside every 5th payload
+      val p = if (i % 5 == 0) base ++ frame ++ base else base
+      (s"https://p.example/$i", p)
+    }
+    graft.sources.Warc.write(payloads.toDF("uri", "payload"), dir, "uri", "payload",
+      gzip = true)
+    val back = graft.sources.Warc.read(spark, dir).collect()
+      .map(r => r.getAs[String]("target_uri") -> r.getAs[Array[Byte]]("payload"))
+      .toMap
+    assert(back.size == 40)
+    payloads.foreach { case (uri, p) =>
+      assert(java.util.Arrays.equals(back(uri), p), s"$uri corrupted")
+    }
+  }
+
+  test("asOf backward/forward equal a brute-force reference on random events") {
+    val genEvents: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
+      ls <- Gen.listOfN(60, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 1000L)))
+      rs <- Gen.listOfN(40, for {
+        k <- Gen.choose(1L, 5L)
+        t <- Gen.choose(0L, 1000L)
+        v <- Gen.choose(1, 999).map(_.toDouble)
+      } yield (k, t, v))
+    } yield (ls, rs.distinctBy(r => (r._1, r._2)))
+    for (seed <- 1L to 3L) {
+      val (ls0, rs) = genEvents(Gen.Parameters.default, Seed(seed)).get
+      val ls = ls0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val ldf = ls.toDF("lid", "lk", "lts")
+      val rdf = rs.toDF("rk", "rts", "v")
+      def reference(forward: Boolean): Map[Long, Option[Double]] =
+        ls.map { case (lid, k, t) =>
+          val cand = rs.filter(r => r._1 == k &&
+            (if (forward) r._2 >= t else r._2 <= t))
+          val best =
+            if (cand.isEmpty) None
+            else Some(if (forward) cand.minBy(_._2)._3 else cand.maxBy(_._2)._3)
+          lid -> best
+        }.toMap
+      for (dir <- Seq("backward", "forward")) {
+        val got = graft.ops.AsOfJoin.asOf(ldf, rdf, "lk", "rk", "lts", "rts",
+            Seq("v"), direction = dir)
+          .collect().map(r => r.getAs[Long]("lid") ->
+            (if (r.isNullAt(r.fieldIndex("v"))) None
+             else Some(r.getAs[Double]("v")))).toMap
+        assert(got == reference(dir == "forward"), s"seed=$seed dir=$dir")
+      }
+    }
+  }
+
+  test("minhashJoin: precision 1 wrt exact jaccard; near-identical pairs found") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa")
+    val genDoc: Gen[String] =
+      Gen.listOfN(30, Gen.oneOf(words)).map(_.mkString(" "))
+    for (seed <- 1L to 2L) {
+      val docs = Gen.listOfN(15, genDoc)(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val a = docs.toDF("aid", "atext")
+      // right table: each doc slightly perturbed (one word appended)
+      val b = docs.map { case (i, t) => (i + 1000L, t + " omega") }
+        .toDF("bid", "btext")
+      val out = graft.ops.Link.minhashJoin(a, b, "atext", "aid", "btext", "bid",
+          threshold = 0.6)
+        .collect().map(r => (r.getAs[Long]("id_left"), r.getAs[Long]("id_right"),
+          r.getAs[Double]("jaccard")))
+      // exact-verify property: every emitted jaccard is >= threshold and
+      // recomputable from the shingle sets
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val aMap = docs.toMap
+      val bMap = docs.map { case (i, t) => (i + 1000L, t + " omega") }.toMap
+      out.foreach { case (l, r, j) =>
+        val (sa, sb) = (shingles(aMap(l)), shingles(bMap(r)))
+        val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        assert(math.abs(exact - j) < 1e-9 && j >= 0.6,
+          s"seed=$seed: emitted ($l,$r,$j) but exact=$exact")
+      }
+      // every doc must link to its own perturbed copy (jaccard ~0.9)
+      val selfPairs = out.collect { case (l, r, _) if r == l + 1000L => l }.toSet
+      assert(selfPairs == docs.map(_._1).toSet,
+        s"seed=$seed: missing self-links ${docs.map(_._1).toSet -- selfPairs}")
+    }
+  }
+
   test("dedupLinesGlobal: output lines ⊆ input lines, distinct corpus-wide, order kept") {
     val genDocs: Gen[List[(Long, String)]] = Gen.listOfN(12, for {
       n <- Gen.choose(0, 6)
