@@ -2380,6 +2380,58 @@ object OpsQueries {
       |  '\s+', ' ', 'g'))) AS text_md5
       |FROM h""".stripMargin
 
+  /** PCA CONTRACT on the embeddings table: the fitted basis must be
+    * orthonormal, the top-k captured variance must clear the k/d floor
+    * (a theorem for the LARGEST k eigenvalues — near-isotropic
+    * synthetic data sits close to the floor, structured data far
+    * above), and the distributed reconstruction MSE must equal
+    * totalVar − Σ topEigvals (the Pythagorean identity of PCA) to
+    * relative 1e-6 — ties the driver-side eigen solve to the
+    * distributed projection path. Oracle recomputes n/dim/k and pins
+    * the contract booleans TRUE. */
+  private def qEmbPca(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val k = 8
+    val m = Pca.fit(e, "embedding", k)
+    val orthoOk = {
+      val errs = for {
+        i <- m.components.indices
+        j <- i until m.k
+      } yield {
+        val dot = m.components(i).zip(m.components(j)).map(x => x._1 * x._2).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }
+      errs.max < 1e-9
+    }
+    val captureOk = m.explainedFraction >= k.toDouble / m.dim - 1e-9
+    val diff2 = udf { (a: Seq[Float], b: Seq[Float]) =>
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    }
+    val mse = e
+      .select(diff2(col("embedding"),
+        Pca.reconstructCol(m, Pca.projectCol(m, col("embedding"))))
+        .as("d2"))
+      .agg(avg(col("d2"))).head().getDouble(0)
+    val expected = m.totalVar - m.eigvals.sum
+    // float32 projection/reconstruction rounds each coordinate; allow
+    // the quantization slack on top of the identity
+    val reconOk = math.abs(mse - expected) <=
+      math.max(1e-6 * m.totalVar, 1e-4)
+    e.agg(count(lit(1)).as("n"))
+      .select(col("n"), lit(m.dim).as("dim"), lit(k).as("k"),
+        lit(orthoOk).as("orthonormal_ok"),
+        lit(captureOk).as("capture_ok"),
+        lit(reconOk).as("recon_consistent"))
+  }
+
+  private val oEmbPca =
+    """SELECT count(*) AS n,
+      |  CAST(len(first(embedding)) AS INTEGER) AS dim,
+      |  CAST(8 AS INTEGER) AS k,
+      |  TRUE AS orthonormal_ok, TRUE AS capture_ok,
+      |  TRUE AS recon_consistent
+      |FROM embeddings""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2418,6 +2470,7 @@ object OpsQueries {
     "sim_topk_lsh" -> (qSimTopKLsh _),
     "sim_topk_ivf" -> (qSimTopKIvf _),
     "emb_quantize" -> (qEmbQuantize _),
+    "emb_pca" -> (qEmbPca _),
     "profile_numeric" -> (qProfileNumeric _),
     "profile_sketch" -> (qProfileSketch _),
     "skew_agg" -> (qSkewAgg _),
@@ -2504,6 +2557,7 @@ object OpsQueries {
     "sim_topk_lsh" -> oAnnWellFormed,
     "sim_topk_ivf" -> oAnnWellFormed,
     "emb_quantize" -> oEmbQuantize,
+    "emb_pca" -> oEmbPca,
     "profile_numeric" -> oProfileNumeric,
     "profile_sketch" -> oProfileSketch,
     "skew_agg" -> oSkewAgg,

@@ -30,7 +30,8 @@ object Plans {
       "dedup_semantic", "dedup_incremental_minhash",
       "profile_kll_quantile", "events_kll_window",
       "web_domain_cap", "text_dedup_lines_global", "multimodal_cdc",
-      "events_asof_forward")
+      "events_asof_forward", "link_fuzzy_join", "quality_expect",
+      "web_html_text", "web_curation_pipeline")
 
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")

@@ -1465,6 +1465,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------------- pca
+
+  test("jacobiEigen solves a known symmetric matrix") {
+    val (vals, vecs) = Pca.jacobiEigen(Array(
+      Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = vals.sorted
+    assert(math.abs(sorted(0) - 1.0) < 1e-12 && math.abs(sorted(1) - 3.0) < 1e-12)
+    // eigenvector for 3 is (1,1)/sqrt2 up to sign
+    val hi = vals.indexOf(vals.max)
+    val v = Array(vecs(0)(hi), vecs(1)(hi))
+    assert(math.abs(math.abs(v(0)) - math.sqrt(0.5)) < 1e-9 &&
+      math.abs(v(0) - v(1)) < 1e-9 || math.abs(v(0) + v(1)) < 1e-9)
+  }
+
+  test("pca finds a planted dominant direction and reconstructs rank-k data exactly") {
+    val d = 16
+    val dir1 = Array.tabulate(d)(i => if (i % 2 == 0) 0.25f else -0.25f)
+    def noise(seed: Int, i: Int): Float =
+      (((seed * 1103515245 + i * 12345) & 0x7fffffff) % 1000 - 500) / 50000.0f
+    val rows = (1 to 400).map { r =>
+      val scale = ((r * 37) % 200 - 100).toFloat / 10f // strong variance
+      Tuple1(Array.tabulate(d)(i => dir1(i) * scale + noise(r, i)).toSeq)
+    }
+    val df = rows.toDF("embedding")
+    val m = Pca.fit(df, "embedding", k = 2)
+    // first component aligns with the planted direction
+    val dirNorm = math.sqrt(dir1.map(x => x.toDouble * x).sum)
+    val cosDir = math.abs(
+      m.components(0).zip(dir1).map(x => x._1 * x._2.toDouble).sum / dirNorm)
+    assert(cosDir > 0.99, s"first PC misaligned: |cos|=$cosDir")
+    assert(m.eigvals(0) / m.totalVar > 0.9, "planted direction must dominate")
+    // rank-1 data (no noise) reconstructs exactly through project+reconstruct
+    val pure = (1 to 100).map { r =>
+      Tuple1(Array.tabulate(d)(i => dir1(i) * ((r % 20) - 10)).toSeq)
+    }.toDF("embedding")
+    val mp = Pca.fit(pure, "embedding", k = 1)
+    val maxErr = pure.select(
+        Pca.reconstructCol(mp, Pca.projectCol(mp, col("embedding"))).as("r"),
+        col("embedding"))
+      .collect().map { row =>
+        row.getSeq[Float](0).zip(row.getSeq[Float](1))
+          .map { case (a, b) => math.abs(a - b) }.max
+      }.max
+    assert(maxErr < 1e-4, s"rank-1 reconstruction err $maxErr")
+  }
+
   // ----------------------------------------------- data expectations
 
   test("Expect.run: one pass, per-check verdicts, null/dup/empty semantics") {
