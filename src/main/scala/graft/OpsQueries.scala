@@ -2458,6 +2458,71 @@ object OpsQueries {
       |  TRUE AS recon_consistent
       |FROM embeddings""".stripMargin
 
+  /** Snapshot diff between two overlapping corpus slices with planted
+    * edits: ids only in the old slice are removed, only in the new are
+    * added, every third shared id gets an appended edit (changed), the
+    * rest are unchanged — all replayed with a fingerprint full-outer
+    * join in SQL. */
+  private def qDatasetDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+    val b = docs.filter(col("doc_id") >= 100 && col("doc_id") < 450)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" EDITED")))
+          .otherwise(col("text")).as("text"))
+    Diff.snapshot(a, b, "doc_id", "text")
+  }
+
+  private val oDatasetDiff =
+    """WITH fa AS (SELECT doc_id AS id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |  FROM documents WHERE doc_id < 400),
+      |fb AS (SELECT doc_id AS id, md5(regexp_replace(lower(trim(
+      |    CASE WHEN doc_id % 3 = 0 THEN text || ' EDITED' ELSE text END)),
+      |    '\s+', ' ', 'g')) AS f
+      |  FROM documents WHERE doc_id >= 100 AND doc_id < 450)
+      |SELECT COALESCE(fa.id, fb.id) AS id,
+      |  CASE WHEN fa.f IS NULL THEN 'added'
+      |    WHEN fb.f IS NULL THEN 'removed'
+      |    WHEN fa.f = fb.f THEN 'unchanged'
+      |    ELSE 'changed' END AS status
+      |FROM fa FULL OUTER JOIN fb ON fa.id = fb.id""".stripMargin
+
+  /** PSI drift between the even-key half of orders (reference) and the
+    * odd-key half with a planted +25% price shift (candidate): per-
+    * bucket proportions and the 6-dp-rounded PSI terms, fully replayed
+    * in SQL (ln + division both sides; the rounded-term convention
+    * keeps the sum engine-portable). */
+  private def qDatasetPsi(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val ref = orders.filter(col("o_orderkey") % 2 === 0)
+    val cand = orders.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.25)
+    Diff.psi(ref, cand, "o_totalprice", lo = 0.0, hi = 600000.0, bins = 10)
+  }
+
+  private val oDatasetPsi =
+    """WITH grid AS (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER)
+      |    AS bucket),
+      |ca AS (SELECT LEAST(GREATEST(CAST(floor((o_totalprice - 0.0)
+      |      / 60000.0) AS INTEGER), 0), 9) AS bucket, count(*) AS na
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+      |cb AS (SELECT LEAST(GREATEST(CAST(floor((o_totalprice * 1.25 - 0.0)
+      |      / 60000.0) AS INTEGER), 0), 9) AS bucket, count(*) AS nb
+      |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+      |j AS (SELECT g.bucket, CAST(COALESCE(na, 0) AS BIGINT) AS na,
+      |    CAST(COALESCE(nb, 0) AS BIGINT) AS nb
+      |  FROM grid g LEFT JOIN ca ON ca.bucket = g.bucket
+      |  LEFT JOIN cb ON cb.bucket = g.bucket),
+      |t AS (SELECT j.*, sum(na) OVER () AS ta, sum(nb) OVER () AS tb FROM j),
+      |p AS (SELECT bucket, na, nb,
+      |    GREATEST(CAST(na AS DOUBLE) / ta, 1e-6) AS pa,
+      |    GREATEST(CAST(nb AS DOUBLE) / tb, 1e-6) AS pb
+      |  FROM t)
+      |SELECT bucket, na, nb, pa, pb,
+      |  round((pb - pa) * ln(pb / pa), 6) AS term
+      |FROM p""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2474,6 +2539,8 @@ object OpsQueries {
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
     "quality_expect" -> (qQualityExpect _),
     "quality_expect_slice" -> (qQualityExpectSlice _),
+    "dataset_diff" -> (qDatasetDiff _),
+    "dataset_psi" -> (qDatasetPsi _),
     "layout_manifest" -> (qLayoutManifest _),
     "web_curation_pipeline" -> (qWebCurationPipeline _),
     "web_html_text" -> (qWebHtmlText _),
@@ -2562,6 +2629,8 @@ object OpsQueries {
     "link_fuzzy_join" -> oLinkFuzzyJoin,
     "quality_expect" -> oQualityExpect,
     "quality_expect_slice" -> oQualityExpectSlice,
+    "dataset_diff" -> oDatasetDiff,
+    "dataset_psi" -> oDatasetPsi,
     "layout_manifest" -> oLayoutManifest,
     "web_curation_pipeline" -> oWebCurationPipeline,
     "web_html_text" -> oWebHtmlText,

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset versioning and drift: what changed between two snapshots of
+  * a corpus, and did a column's distribution move — the questions every
+  * recurring ingest answers before promoting a new training snapshot
+  * ("how much churn did this crawl bring; is the quality-score
+  * distribution still the one the mixture weights were tuned on").
+  *
+  * Both operators are plain relational shapes: [[snapshot]] is one
+  * full-outer join on the id comparing content fingerprints (uniform
+  * md5 keys — no skew), [[psi]] is two bucket-count aggregations over a
+  * FIXED bin grid (map-side combined; the grid comes from declared
+  * bounds, not a data pass). Nothing collects; both replay exactly in
+  * SQL.
+  */
+object Diff {
+
+  /** Row-level snapshot diff: one row per id present in either
+    * snapshot, with `status` ∈ added (only in `b`), removed (only in
+    * `a`), changed (both, canonical-text fingerprint differs),
+    * unchanged. The content compare uses [[TextFunctions.fingerprint]]
+    * (whitespace/case-canonical md5), so formatting-only churn doesn't
+    * count as change. */
+  def snapshot(a: DataFrame, b: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val fa = a.select(col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("__fa"))
+    val fb = b.select(col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("__fb"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__fa").isNull, "added")
+          .when(col("__fb").isNull, "removed")
+          .when(col("__fa") === col("__fb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Summary counts of a [[snapshot]] diff — the promotion-gate
+    * metrics (alert when churn exceeds the expected crawl delta). */
+  def snapshotSummary(diff: DataFrame): DataFrame =
+    diff.groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** Population Stability Index between a reference snapshot `a` and a
+    * candidate `b` for a numeric column, over `bins` equal-width
+    * buckets on the DECLARED [lo, hi] (out-of-range values clamp into
+    * the edge buckets, so the grid is total). Returns one row per
+    * bucket: (bucket, na, nb, pa, pb, term) with
+    * term = (pb − pa)·ln(pb/pa) rounded to 6 dp — the engine-portable
+    * per-bucket contribution (the repo's decimal-summing convention:
+    * round the terms, sum the rounded values, and any engine agrees
+    * bit-for-bit). PSI = Σ term; the usual reading is <0.1 stable,
+    * 0.1–0.25 drifting, >0.25 drifted. `eps` floors empty buckets so
+    * the log stays finite. */
+  def psi(a: DataFrame, b: DataFrame, colName: String, lo: Double,
+          hi: Double, bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2 && hi > lo, "psi: need bins >= 2 and hi > lo")
+    val width = (hi - lo) / bins
+    def bucketOf(c: Column): Column =
+      least(greatest(floor((c - lit(lo)) / lit(width)).cast("int"), lit(0)),
+        lit(bins - 1))
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(colName).isNotNull)
+        .groupBy(bucketOf(col(colName)).as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val spark = a.sparkSession
+    val grid = spark.range(bins).select(col("id").cast("int").as("bucket"))
+    val na = counts(a, "na")
+    val nb = counts(b, "nb")
+    val joined = grid
+      .join(na, Seq("bucket"), "left")
+      .join(nb, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val totA = sum(col("na")).over()
+    val totB = sum(col("nb")).over()
+    joined
+      .withColumn("pa", greatest(col("na").cast("double") / totA, lit(eps)))
+      .withColumn("pb", greatest(col("nb").cast("double") / totB, lit(eps)))
+      .withColumn("term",
+        round((col("pb") - col("pa")) * log(col("pb") / col("pa")), 6))
+      .select("bucket", "na", "nb", "pa", "pb", "term")
+  }
+}

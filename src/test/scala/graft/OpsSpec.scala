@@ -1511,6 +1511,38 @@ class OpsSpec extends SparkSpec {
     assert(maxErr < 1e-4, s"rank-1 reconstruction err $maxErr")
   }
 
+  // ------------------------------------------------ snapshot diff/psi
+
+  test("snapshot diff: added/removed/changed/unchanged; formatting churn is unchanged") {
+    val a = Seq((1L, "alpha text"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val b = Seq((2L, "Beta"), // case/ws-canonical equal -> unchanged
+      (3L, "gamma edited"), (4L, "delta")).toDF("id", "text")
+    val got = Diff.snapshot(a, b, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val summary = Diff.snapshotSummary(Diff.snapshot(a, b, "id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary == Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("psi: ~0 on identical distributions, large on a shifted one, grid total") {
+    val base = (1 to 2000).map(i => Tuple1((i % 100).toDouble))
+    val same = Diff.psi(base.toDF("x"), base.toDF("x"), "x", 0, 100, bins = 10)
+      .agg(sum("term")).head().getDouble(0)
+    assert(math.abs(same) < 1e-9, s"identical snapshots must have PSI 0, got $same")
+    val shifted = base.map(t => Tuple1(t._1 + 50.0))
+    val drift = Diff.psi(base.toDF("x"), shifted.toDF("x"), "x", 0, 100, bins = 10)
+    assert(drift.count() == 10, "one row per grid bucket, empty buckets included")
+    val psi = drift.agg(sum("term")).head().getDouble(0)
+    assert(psi > 0.25, s"a half-range shift must read as drifted, got $psi")
+    // clamping: values beyond [lo, hi) land in edge buckets, not dropped
+    val outliers = Seq(Tuple1(-5.0), Tuple1(500.0)).toDF("x")
+    val edges = Diff.psi(outliers, outliers, "x", 0, 100, bins = 10)
+    assert(edges.agg(sum("na")).head().getLong(0) == 2L)
+  }
+
   // ----------------------------------------------- data expectations
 
   test("Expect.run: one pass, per-check verdicts, null/dup/empty semantics") {
