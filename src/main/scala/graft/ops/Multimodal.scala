@@ -156,7 +156,9 @@ object Multimodal {
               out = ("jpeg", Some(be16(b, pos + 7)), Some(be16(b, pos + 5)),
                 None, None)
             done = true
-          } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+          } else if (m == 0xd9) done = true // EOI: no SOF before end-of-image
+          else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01)
+            pos += 2 // standalone markers (SOI, RSTn, TEM): no length word
           else pos += 2 + be16(b, pos + 2)
         }
       }

@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
 object Web {
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
-  private val PortRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+  // `(?:[^/@?#]*@)?` skips an RFC-3986 userinfo prefix ("user:pass@")
+  // so host/port parse the real authority, not the credential; RE2-safe
+  // (non-capturing, no backreference) so the DuckDB oracle replays it.
+  private val HostRe =
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+  private val PortRe =
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)"
   private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
   private val QueryRe = "^[^#]*\\?([^#]*)"
 
@@ -39,9 +44,10 @@ object Web {
     * https:443) stripped, fragment dropped, tracking params removed,
     * surviving query params sorted, trailing path slash trimmed (root
     * stays "/"; an empty path becomes "/"). Two URLs that canonicalize
-    * equal are fetch-equivalent for curation purposes. Invalid URLs (no
-    * scheme://host) yield null — route them to a quarantine port, don't
-    * guess. */
+    * equal are fetch-equivalent for curation purposes. A userinfo prefix
+    * ("user:pass@") is stripped — credentials never belong in a corpus
+    * key. Invalid URLs (no scheme://host) yield null — route them to a
+    * quarantine port, don't guess. */
   def canonicalize(url: Column): Column = {
     val sch = scheme(url)
     val h = host(url)
