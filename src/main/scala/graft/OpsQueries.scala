@@ -807,35 +807,54 @@ object OpsQueries {
       .select("lang", "rank", "doc_id", "quality")
   }
 
-  /** WordPiece tokenization with a corpus-derived whole-word vocabulary
-    * (sorted distinct tokens + [UNK] — the collect is vocabulary-sized,
-    * the tokenizer's normal deployment shape). With full word coverage
-    * greedy longest-match reduces to whole-word lookup, so ids are
-    * sorted-vocab positions and the oracle replays encoding exactly;
-    * the subword/UNK machinery is pinned by spec. */
+  /** WordPiece tokenization against a TRAINED, BOUNDED, PERSISTED
+    * vocabulary: top-23 words by frequency over the 256 lowest-id docs
+    * (+ [UNK] at id 0; the synthetic corpus has ~31 distinct words, so
+    * vocabSize=24 leaves the rarest ~8 out-of-vocab — a real run uses
+    * 30k-100k), written to parquet and reloaded before encoding
+    * — the train-once/replay-everywhere shape of a production
+    * tokenizer. No corpus-wide state anywhere: the sample is
+    * TakeOrderedAndProject-bounded, the only collects are vocab-sized.
+    * With a whole-word-only vocab greedy longest-match reduces to
+    * exact-lookup-or-[UNK] (no "##" entries can exist — trainVocab
+    * excludes them), so the oracle replays BOTH vocab training
+    * (frequency ranks over the same sample) and encoding, including
+    * out-of-vocab [UNK] hits on rare words the sample missed; the
+    * subword machinery stays pinned by spec. */
   private def qDocTokens(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val words = d.select(explode(TextFunctions.tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "").distinct().orderBy("w")
-      .collect().map(_.getString(0)).toSeq
-    Tokenize.wordpiece(d, "text", words :+ Tokenize.Unk)
+    val vocab = Tokenize.trainVocab(d, "text", "doc_id",
+      vocabSize = 24, sampleN = 256)
+    val vpath = new java.io.File(scratchRoot, "vocab").getAbsolutePath
+    Tokenize.saveVocab(s, vocab, vpath)
+    Tokenize.wordpiece(d, "text", Tokenize.loadVocab(s, vpath))
       .select(col("doc_id"), array_join(col("token_ids"), ",").as("ids"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("n_unk").cast("long").as("n_unk"))
   }
 
   private val oDocTokens =
-    s"""WITH t AS (SELECT doc_id, unnest($oToks) AS term,
+    s"""WITH smp AS (SELECT doc_id, text FROM documents
+      |    ORDER BY doc_id LIMIT 256),
+      |sw AS (SELECT unnest($oToks) AS term FROM smp),
+      |cnt AS (SELECT term, count(*) AS c FROM sw
+      |    WHERE term <> '' AND term NOT LIKE '##%' AND len(term) <= 64
+      |    GROUP BY term),
+      |vocab AS (SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term)
+      |      AS INT) AS id
+      |    FROM cnt ORDER BY c DESC, term LIMIT 23),
+      |t AS (SELECT doc_id, unnest($oToks) AS term,
       |    generate_subscripts($oToks, 1) AS pos FROM documents),
       |tf AS (SELECT doc_id, term, pos FROM t WHERE term <> ''),
-      |vid AS (SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS INT)
-      |    AS id FROM (SELECT DISTINCT term FROM tf)),
-      |j AS (SELECT doc_id, pos, id FROM tf JOIN vid USING (term)),
+      |j AS (SELECT tf.doc_id, tf.pos, COALESCE(vocab.id, 0) AS id
+      |    FROM tf LEFT JOIN vocab USING (term)),
       |enc AS (SELECT doc_id, array_to_string(list(id ORDER BY pos), ',') AS ids,
-      |    count(*) AS n_tokens FROM j GROUP BY doc_id)
+      |    count(*) AS n_tokens,
+      |    sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_unk
+      |  FROM j GROUP BY doc_id)
       |SELECT documents.doc_id, COALESCE(enc.ids, '') AS ids,
       |  CAST(COALESCE(enc.n_tokens, 0) AS BIGINT) AS n_tokens,
-      |  CAST(0 AS BIGINT) AS n_unk
+      |  CAST(COALESCE(enc.n_unk, 0) AS BIGINT) AS n_unk
       |FROM documents LEFT JOIN enc ON documents.doc_id = enc.doc_id""".stripMargin
 
   /** Second END-TO-END composition, from this library's model-based

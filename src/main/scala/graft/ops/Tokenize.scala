@@ -19,6 +19,62 @@ object Tokenize {
 
   val Unk = "[UNK]"
 
+  /** Train a bounded whole-word vocabulary: the top `vocabSize - 1`
+    * words by frequency (count desc, then word — deterministic) over
+    * the `sampleN` lowest-`idCol` rows, with [[Unk]] prepended at id 0.
+    *
+    * The sample is the same deterministic capped contract as
+    * [[Quantize.pqTrain]]: `orderBy(id).limit(n)` plans as
+    * TakeOrderedAndProject (per-partition top-n, driver merge), so at
+    * 100 TB the full corpus is never sorted, collected, or counted —
+    * driver state is exactly `vocabSize` strings, the trained
+    * tokenizer's normal deployment shape. This replaces the
+    * corpus-wide distinct-word collect that a naive vocabulary
+    * derivation needs (Heaps' law makes that set unbounded in corpus
+    * size; a frequency-capped sample vocab is how production
+    * tokenizers are actually trained).
+    *
+    * Candidates exclude words starting with "##" (they would collide
+    * with the continuation-piece namespace and make encoding
+    * vocab-dependent in a way no SQL oracle can replay) and words over
+    * `maxWordLen` chars (wordpiece maps those to [UNK] outright, so a
+    * vocab entry could never match). With a whole-word-only vocab,
+    * greedy longest-match provably reduces to exact-lookup-or-UNK:
+    * a continuation position can only match a "##"-prefixed entry, and
+    * there are none. */
+  def trainVocab(df: DataFrame, textCol: String, idCol: String,
+                 vocabSize: Int, sampleN: Int = 4096,
+                 maxWordLen: Int = 64): Seq[String] = {
+    require(vocabSize >= 2, "vocabSize must fit [UNK] plus a word")
+    val top = df.select(col(idCol), col(textCol))
+      .orderBy(col(idCol)).limit(sampleN)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && !col("w").startsWith("##") &&
+        length(col("w")) <= maxWordLen)
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(vocabSize - 1)
+      .collect().map(_.getString(0)).toSeq
+    Unk +: top
+  }
+
+  /** Persist a trained vocab as a (id, piece) parquet table — the
+    * artifact a production pipeline trains once and replays against
+    * every subsequent corpus drop (see [[loadVocab]]). */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+                vocab: Seq[String], path: String): Unit = {
+    import spark.implicits._
+    vocab.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("id", "piece").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted vocab in id order (vocab-sized collect). */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[String] =
+    spark.read.parquet(path).orderBy("id")
+      .collect().map(_.getString(1)).toSeq
+
   /** Tokenize `textCol` against `vocab` (must contain [[Unk]];
     * continuation pieces use the "##" prefix convention). Returns the
     * input plus `token_ids array<int>`, `n_tokens`, `n_unk`. Words are

@@ -573,6 +573,38 @@ class OpsSpec extends SparkSpec {
     assert(packed.count() > 0)
   }
 
+  test("trainVocab: deterministic capped sample, frequency ranks, UNK on OOV") {
+    val d = Seq((0L, "the cat sat"), (1L, "the cat ran"), (2L, "the dog"),
+      (3L, "rare words here"), (4L, "the cat sat")).toDF("doc_id", "text")
+    // sample = 3 lowest-id docs; freq there: the=3, cat=2, dog/ran/sat=1
+    val v = Tokenize.trainVocab(d, "text", "doc_id", vocabSize = 4,
+      sampleN = 3)
+    assert(v == Seq(Tokenize.Unk, "the", "cat", "dog"),
+      s"[UNK]+top-3 by (count desc, word): $v")
+    // determinism: re-train and train with extra HIGH-id rows appended —
+    // both must reproduce the vocab bit-for-bit (sample = lowest ids)
+    assert(Tokenize.trainVocab(d, "text", "doc_id", 4, 3) == v)
+    val more = d.unionAll(Seq((100L, "noise noise noise noise"))
+      .toDF("doc_id", "text"))
+    assert(Tokenize.trainVocab(more, "text", "doc_id", 4, 3) == v)
+    // OOV words (sat/ran/rare/words/here) all hit [UNK] (id 0)
+    val enc = Tokenize.wordpiece(d, "text", v).orderBy("doc_id")
+      .select("token_ids", "n_unk").collect()
+    assert(enc(0).getSeq[Int](0) == Seq(1, 2, 0)) // the cat [sat]
+    assert(enc(3).getSeq[Int](0) == Seq(0, 0, 0) &&
+      enc(3).getInt(1) == 3, "fully-OOV doc is all [UNK]")
+    // ##-prefixed and over-length words can never enter the vocab
+    val hashy = Seq((0L, "##x ##x ##x plain " + "w" * 65))
+      .toDF("doc_id", "text")
+    val v2 = Tokenize.trainVocab(hashy, "text", "doc_id", 10, 10)
+    assert(v2 == Seq(Tokenize.Unk, "plain"), s"got $v2")
+    // persisted-vocab round trip: save -> load preserves order exactly
+    val vp = java.nio.file.Files
+      .createTempDirectory("vocab_rt").toString + "/v"
+    Tokenize.saveVocab(spark, v, vp)
+    assert(Tokenize.loadVocab(spark, vp) == v)
+  }
+
   test("winsorize clamps into the group's percentile band, preserves rows") {
     val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
     val w = Profile.winsorize(d, Seq("lang"), "n_chars", 0.1, 0.9)
