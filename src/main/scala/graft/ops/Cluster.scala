@@ -27,11 +27,15 @@ object Cluster {
     Similarity.trainCentroids(corpus, vecCol, idCol, k, lloydIters)
 
   /** Nearest-centroid ids for a vector column, best first, as an
-    * `array<int>` of the `nassign` closest cells — a pure expression
-    * (no shuffle, no UDF on the corpus side). Multi-assignment is the
-    * blocking analogue of IVF's nprobe: a pair straddling a Voronoi
-    * boundary still shares a cell if either side's second-choice cell
-    * covers it. */
+    * `array<int>` of the `nassign` closest cells — no shuffle, one
+    * corpus scan. Centroid scoring auto-selects by
+    * [[Similarity.CentroidLiteralBudget]]: codegen'd literal
+    * expressions at small ncentroids, a broadcast-variable scorer above
+    * it (ncentroids ≈ √n on a real corpus would otherwise inline MB of
+    * constants into every task). Multi-assignment is the blocking
+    * analogue of IVF's nprobe: a pair straddling a Voronoi boundary
+    * still shares a cell if either side's second-choice cell covers
+    * it. */
   def assignCol(df: DataFrame, vecCol: String,
                 cents: Array[(Array[Double], Double)],
                 nassign: Int = 1): Column = {

@@ -186,16 +186,66 @@ object Similarity {
       .select("qid", "rank", "id", "sim")
   }
 
-  /** cos-proportional score of `vec` against each broadcast-literal
-    * centroid (query/corpus norm divides out of the argmax, centroid
-    * norm does not) — the cell-assignment/probe expression shared by
-    * [[ivfTopK]] and [[ivfPqIndex]]/[[ivfPqTopK]]. */
-  private[ops] def centroidSims(spark: org.apache.spark.sql.SparkSession,
+  /** ncentroids × dim element count above which [[centroidSims]] ships
+    * the centroid table as a BROADCAST VARIABLE instead of expression
+    * literals. Literals win below it (whole-stage codegen, no
+    * serialization); above it they become MB-scale task binaries — at
+    * the ncentroids ≈ √n a real corpus wants (10⁵-10⁶ cells), literal
+    * embedding is a driver/scheduler killer while a broadcast ships the
+    * table to each executor exactly once. 8192 elements ≈ 64 KB of
+    * plan, safely inside codegen limits. */
+  val CentroidLiteralBudget: Long = 1L << 13
+
+  /** cos-proportional score of `vec` against each centroid
+    * (query/corpus norm divides out of the argmax, centroid norm does
+    * not) — the cell-assignment/probe expression shared by [[ivfTopK]],
+    * [[ivfPqIndex]]/[[ivfPqTopK]] and [[Cluster.assignCol]]. Picks the
+    * literal or broadcast formulation by [[CentroidLiteralBudget]];
+    * the two are bit-equal (spec-pinned), so the switch is invisible
+    * to every caller. */
+  private[graft] def centroidSims(spark: org.apache.spark.sql.SparkSession,
                            cents: Array[(Array[Double], Double)],
                            vec: Column): Column =
+    if (cents.length.toLong * cents.head._1.length <= CentroidLiteralBudget)
+      centroidSimsLiteral(spark, cents, vec)
+    else centroidSimsBroadcast(spark, cents, vec)
+
+  /** Literal formulation: one codegen'd dot per centroid over an
+    * inlined plane constant — fastest at small ncentroids. */
+  private[graft] def centroidSimsLiteral(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Array[Double], Double)], vec: Column): Column =
     array(cents.toIndexedSeq.map { case (v, n) =>
       dotFast(spark, vec, array(v.toIndexedSeq.map(lit): _*)) / lit(n)
     }: _*)
+
+  /** Broadcast formulation: the centroid table ships once per executor
+    * as a broadcast variable; one JVM function scores all centroids per
+    * row. Accumulates `dot += v(j) * c(j)` in index order then divides
+    * by the norm — the exact operation sequence of
+    * [[graft.functions.DotProduct.compute]]`/ n`, so results are
+    * BIT-EQUAL to the literal path (float→double widening is exact). */
+  private[graft] def centroidSimsBroadcast(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Array[Double], Double)], vec: Column): Column = {
+    val bc = spark.sparkContext.broadcast(cents)
+    val score = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      val out = new Array[Double](cs.length)
+      var i = 0
+      while (i < cs.length) {
+        val cv = cs(i)._1
+        val n = math.min(v.length, cv.length)
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += v(j) * cv(j); j += 1 }
+        out(i) = dot / cs(i)._2
+        i += 1
+      }
+      out.toSeq
+    }
+    score(vec.cast("array<double>"))
+  }
 
   /** IVF coarse-quantizer training: `lloydIters` rounds of spherical
     * k-means on a bounded, deterministic sample (lowest-id vectors —
