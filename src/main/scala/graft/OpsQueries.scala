@@ -1992,6 +1992,23 @@ object OpsQueries {
           concat(lit("http://Sub.Site"), m20, lit(".com.au/page/"), idS,
             lit("/")))
         .as("url"))
+      .unionAll(pslUrls(s))
+  }
+
+  /** Fixed rows (ids past the 400 planted range) exercising full PSL
+    * semantics: 3-label suffixes, `*.base` wildcard rules at both
+    * arities, exception rules, and a wildcard public-suffix host. */
+  private def pslUrls(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (400L, 11L, "https://news.bbc.gov.uk/stories/1"),
+      (401L, 12L, "http://a.b.edu.mx/"),
+      (402L, 13L, "https://x.y.kawasaki.jp/p"),
+      (403L, 14L, "https://city.kawasaki.jp/p"),
+      (404L, 15L, "http://foo.www.ck/x"),
+      (405L, 16L, "https://a.b.np/x"),
+      (406L, 17L, "https://dept.education.vic.gov.au/"))
+      .toDF("doc_id", "n_chars", "url")
   }
 
   /** The same planted-URL relation in DuckDB. */
@@ -2009,16 +2026,38 @@ object OpsQueries {
       |    ELSE 'http://Sub.Site' || CAST(doc_id % 20 AS VARCHAR) ||
       |      '.com.au/page/' || CAST(doc_id AS VARCHAR) || '/'
       |  END AS url
-      |FROM documents WHERE doc_id < 400""".stripMargin
+      |FROM documents WHERE doc_id < 400
+      |UNION ALL
+      |SELECT CAST(doc_id AS BIGINT), CAST(n_chars AS BIGINT), url FROM (VALUES
+      |  (400, 11, 'https://news.bbc.gov.uk/stories/1'),
+      |  (401, 12, 'http://a.b.edu.mx/'),
+      |  (402, 13, 'https://x.y.kawasaki.jp/p'),
+      |  (403, 14, 'https://city.kawasaki.jp/p'),
+      |  (404, 15, 'http://foo.www.ck/x'),
+      |  (405, 16, 'https://a.b.np/x'),
+      |  (406, 17, 'https://dept.education.vic.gov.au/'))
+      |  AS v(doc_id, n_chars, url)""".stripMargin
 
-  /** DuckDB twin of Web.registeredDomain over a `host` column. */
+  /** DuckDB twin of Web.registeredDomain over a `host` column: the same
+    * PSL longest-match/wildcard/exception CASE chain, with the IN lists
+    * generated from the SAME vendored rule Seqs so the two sides can
+    * never drift. DuckDB's list[-k:] clamps to the whole list exactly
+    * like the Spark side's clamped slice. */
   private def oRegisteredDomain(hostExpr: String): String = {
-    val suf = Web.CompoundSuffixes.map(x => s"'$x'").mkString(", ")
-    s"""CASE WHEN len(string_split($hostExpr, '.')) <= 2 THEN $hostExpr
-      |  WHEN array_to_string(string_split($hostExpr, '.')[-2:], '.')
-      |    IN ($suf)
-      |  THEN array_to_string(string_split($hostExpr, '.')[-3:], '.')
-      |  ELSE array_to_string(string_split($hostExpr, '.')[-2:], '.')
+    def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+    def lastK(k: Int) =
+      s"array_to_string(string_split($hostExpr, '.')[-$k:], '.')"
+    val n = s"len(string_split($hostExpr, '.'))"
+    s"""CASE WHEN $n <= 1 THEN $hostExpr
+      |  WHEN ${lastK(2)} IN (${inList(Web.pslExc2)}) THEN ${lastK(2)}
+      |  WHEN ${lastK(3)} IN (${inList(Web.pslExc3)}) THEN ${lastK(3)}
+      |  WHEN ${lastK(2)} IN (${inList(Web.pslWild2)})
+      |    OR ${lastK(3)} IN (${inList(Web.PslSuffixes3)})
+      |  THEN CASE WHEN $n >= 4 THEN ${lastK(4)} ELSE $hostExpr END
+      |  WHEN ${lastK(1)} IN (${inList(Web.pslWild1)})
+      |    OR ${lastK(2)} IN (${inList(Web.PslSuffixes2)})
+      |  THEN CASE WHEN $n >= 3 THEN ${lastK(3)} ELSE $hostExpr END
+      |  ELSE ${lastK(2)}
       |END""".stripMargin
   }
 

@@ -69,28 +69,162 @@ object Web {
     when(sch =!= "" && h =!= "", canon)
   }
 
-  /** Compound public suffixes the [[registeredDomain]] heuristic knows:
-    * a registered domain is one label past the public suffix, and these
-    * two-label suffixes are the ones where "last two labels" guesses
-    * wrong. A production run swaps in the full Public Suffix List (it is
-    * ~10k rows — broadcast it and join; the expression shape is
-    * unchanged). */
-  val CompoundSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "co.nz")
+  /** Vendored Public Suffix List snapshot (ICANN section; multi-label
+    * rules only — single-label TLDs are the implicit `*` default rule).
+    * Curated to the major registries; a production deployment refreshes
+    * these four Seqs from publicsuffix.org — the matching logic below
+    * implements full PSL semantics (longest prevailing rule, wildcard
+    * rules, exception rules), so a refresh is data-only.
+    *
+    * [[PslSuffixes2]]/[[PslSuffixes3]]: normal 2-/3-label rules
+    * ("gov.uk", "vic.gov.au"). [[PslWildcardBases]]: the base of a
+    * `*.base` rule — any single label under it completes a public
+    * suffix ("*.ck", "*.kawasaki.jp"). [[PslExceptions]]: `!` rules —
+    * hosts that ARE registrable despite a covering wildcard
+    * ("!www.ck", "!city.kawasaki.jp"). */
+  val PslSuffixes2: Seq[String] = Seq(
+    // uk
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "ac.uk",
+    "gov.uk", "nhs.uk", "police.uk",
+    // au
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    // jp
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    // nz
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "iwi.nz",
+    "kiwi.nz", "maori.nz", "net.nz", "org.nz", "school.nz",
+    // za
+    "ac.za", "co.za", "edu.za", "gov.za", "law.za", "mil.za", "net.za",
+    "nom.za", "org.za", "school.za", "web.za",
+    // br
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "adv.br", "blog.br", "eng.br", "esp.br", "ind.br",
+    "inf.br", "jus.br", "med.br", "psi.br", "rec.br", "srv.br",
+    "tur.br", "tv.br", "vet.br", "wiki.br",
+    // cn
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    // in
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "nic.in", "ac.in", "edu.in", "res.in", "gov.in", "mil.in",
+    // kr
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr",
+    "busan.kr", "daegu.kr", "incheon.kr", "gwangju.kr", "daejeon.kr",
+    // mx
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    // ar
+    "com.ar", "edu.ar", "gob.ar", "gov.ar", "int.ar", "mil.ar",
+    "net.ar", "org.ar", "tur.ar",
+    // tr
+    "com.tr", "info.tr", "biz.tr", "net.tr", "org.tr", "web.tr",
+    "gen.tr", "tv.tr", "av.tr", "dr.tr", "name.tr", "tel.tr", "gov.tr",
+    "bel.tr", "pol.tr", "mil.tr", "k12.tr", "edu.tr",
+    // sg
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    // tw
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "mil.tw",
+    "idv.tw", "game.tw", "ebiz.tw", "club.tw",
+    // hk
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    // id
+    "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
+    "net.id", "or.id", "sch.id", "web.id",
+    // il
+    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il",
+    "net.il", "org.il",
+    // th
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    // my
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    // ph
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "mil.ph", "i.ph",
+    // vn
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    // ua
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    "kyiv.ua", "kiev.ua", "lviv.ua", "odessa.ua", "kharkiv.ua",
+    // pl
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl", "wroc.pl", "krakow.pl", "poznan.pl", "gda.pl",
+    // eg
+    "com.eg", "edu.eg", "eun.eg", "gov.eg", "mil.eg", "name.eg",
+    "net.eg", "org.eg", "sci.eg",
+    // sa
+    "com.sa", "net.sa", "org.sa", "gov.sa", "med.sa", "pub.sa",
+    "edu.sa", "sch.sa",
+    // ae
+    "co.ae", "net.ae", "org.ae", "sch.ae", "ac.ae", "gov.ae", "mil.ae",
+    // ng
+    "com.ng", "edu.ng", "gov.ng", "i.ng", "mil.ng", "mobi.ng",
+    "name.ng", "net.ng", "org.ng", "sch.ng",
+    // ke
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    // misc frequent
+    "co.at", "or.at", "ac.at", "gv.at", "co.cr", "co.ve", "com.ve",
+    "com.co", "net.co", "nom.co", "com.pe", "edu.pe", "gob.pe",
+    "com.ec", "com.uy", "edu.uy", "gub.uy", "com.py", "com.bo",
+    "com.do", "com.gt", "com.sv", "com.hn", "com.ni", "com.pa",
+    "com.kw", "com.lb", "com.jo", "com.qa", "com.om",
+    "com.bh", "com.pk", "edu.pk", "gov.pk", "com.lk")
 
-  /** eTLD+1 from a lowercase hostname: last two labels, or last three
-    * when the last two are a compound public suffix; hosts with a single
-    * label (localhost, intranet names) pass through unchanged. */
-  def registeredDomain(h: Column,
-                       compound: Seq[String] = CompoundSuffixes): Column = {
+  val PslSuffixes3: Seq[String] = Seq(
+    // au state education/government third-levels
+    "act.edu.au", "catholic.edu.au", "nsw.edu.au", "nt.edu.au",
+    "qld.edu.au", "sa.edu.au", "tas.edu.au", "vic.edu.au", "wa.edu.au",
+    "act.gov.au", "nsw.gov.au", "nt.gov.au", "qld.gov.au", "sa.gov.au",
+    "tas.gov.au", "vic.gov.au", "wa.gov.au")
+
+  val PslWildcardBases: Seq[String] = Seq(
+    "bd", "ck", "er", "fj", "jm", "kh", "mm", "np", "pg",
+    "sch.uk", "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  val PslExceptions: Seq[String] = Seq(
+    "www.ck", "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
+
+  private[graft] val (pslWild1, pslWild2) =
+    PslWildcardBases.partition(!_.contains("."))
+  private[graft] val (pslExc2, pslExc3) =
+    PslExceptions.partition(_.count(_ == '.') == 1)
+
+  /** eTLD+1 from a lowercase hostname under full PSL semantics against
+    * the vendored snapshot: the longest matching rule wins, exception
+    * rules beat wildcard rules, unlisted TLDs fall to the implicit `*`
+    * (last two labels), and a host that IS a public suffix — or a
+    * single label (localhost, intranet names) — passes through
+    * unchanged. Pure expression over set-literal membership (Catalyst
+    * compiles `isin` to an O(1) InSet; the snapshot is KBs — the
+    * "broadcast the suffix set" shape), identically replayable in any
+    * SQL engine as CASE + IN lists. */
+  def registeredDomain(h: Column): Column = {
     val labels = split(h, "\\.")
     val n = size(labels)
-    val last2 = array_join(slice(labels, n - 1, lit(2)), ".")
-    val last3 = array_join(slice(labels, n - 2, lit(3)), ".")
-    when(n <= 2, h)
-      .when(last2.isin(compound: _*), last3)
+    // last k labels, clamped: fewer than k labels -> the whole host
+    // (same semantics as a SQL list[-k:] slice, so oracles replay it)
+    def lastK(k: Int) = array_join(
+      slice(labels, greatest(n - (k - 1), lit(1)), lit(k)), ".")
+    val last1 = lastK(1)
+    val last2 = lastK(2)
+    val last3 = lastK(3)
+    val last4 = lastK(4)
+    when(n <= 1, h)
+      // exception rules: the exception itself is the registered domain
+      .when(last2.isin(pslExc2: _*), last2)
+      .when(last3.isin(pslExc3: _*), last3)
+      // 3-label suffixes: *.base wildcards (1-label base covered below)
+      .when(last2.isin(pslWild2: _*) || last3.isin(PslSuffixes3: _*),
+        when(n >= 4, last4).otherwise(h))
+      // 2-label suffixes: listed rules and *.tld wildcards
+      .when(last1.isin(pslWild1: _*) || last2.isin(PslSuffixes2: _*),
+        when(n >= 3, last3).otherwise(h))
+      // implicit `*` default rule: suffix = the TLD itself
       .otherwise(last2)
   }
 

@@ -750,6 +750,35 @@ class OpsSpec extends SparkSpec {
 
   // ---------------------------------------------------------- similarity
 
+  test("centroidSims: broadcast scorer bit-equal to literal; auto-select by size") {
+    val cents = Cluster.fit(emb, "embedding", "vec_id", 256, lloydIters = 1)
+    val lit256 = emb.select(col("vec_id"),
+      Similarity.centroidSimsLiteral(spark, cents, col("embedding")).as("s"))
+    val bc256 = emb.select(col("vec_id"),
+      Similarity.centroidSimsBroadcast(spark, cents, col("embedding")).as("s"))
+    val ne = lit256.join(bc256.withColumnRenamed("s", "s2"), "vec_id")
+      .filter(col("s") =!= col("s2")).count()
+    assert(ne == 0, "broadcast and literal centroid scores must be bit-equal")
+    // 256×64 elements exceed CentroidLiteralBudget → broadcast UDF path;
+    // 8 centroids stay on the codegen'd literal path
+    assert(256L * 64 > Similarity.CentroidLiteralBudget)
+    val expr256 = emb.select(Cluster.assignCol(emb, "embedding", cents, 2)
+      .as("a")).queryExecution.analyzed.toString
+    assert(expr256.contains("UDF"), "large ncentroids must use broadcast scorer")
+    assert(expr256.length < 100000,
+      s"plan carries ${expr256.length} chars — centroid literals leaked")
+    val cents8 = Cluster.fit(emb, "embedding", "vec_id", 8, lloydIters = 1)
+    val expr8 = emb.select(Cluster.assignCol(emb, "embedding", cents8, 2)
+      .as("a")).queryExecution.analyzed.toString
+    assert(!expr8.contains("UDF"), "small ncentroids must stay codegen-literal")
+    // end-to-end: semantic dedup blocking works on the broadcast path
+    val pairs = Cluster.semdedupPairs(emb, "embedding", "vec_id",
+      threshold = 0.45, ncentroids = 256, nassign = 8)
+    assert(pairs.count() >= 0) // exercises assignment+join; no cartesian
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "blocked join required")
+  }
+
   test("graft_cosine codegen expression is bit-identical to the HOF fallback") {
     assert(spark.catalog.functionExists("graft_cosine"),
       "GraftExtensions should be registered on the test session")
@@ -1401,16 +1430,34 @@ class OpsSpec extends SparkSpec {
     assert(dbl == "&lt;")
   }
 
-  test("registeredDomain: eTLD+1 incl. compound suffixes and bare hosts") {
+  test("registeredDomain: PSL longest-match, wildcards, exceptions, bare hosts") {
     val cases = Seq(
       "www.example.com" -> "example.com",
       "a.b.news.co.uk" -> "news.co.uk",
       "sub.site.com.au" -> "site.com.au",
       "example.org" -> "example.org",
-      "localhost" -> "localhost")
+      "localhost" -> "localhost",
+      // 3-label normal rule beats the 2-label gov.au rule
+      "dept.education.vic.gov.au" -> "education.vic.gov.au",
+      // 2-label rule the old 20-entry heuristic missed
+      "a.b.edu.mx" -> "b.edu.mx",
+      // *.tld wildcard: x.np is itself a public suffix
+      "a.b.np" -> "a.b.np",
+      "b.np" -> "b.np",
+      // *.kawasaki.jp wildcard + its !city exception
+      "x.y.kawasaki.jp" -> "x.y.kawasaki.jp",
+      "y.kawasaki.jp" -> "y.kawasaki.jp",
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "sub.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // !www.ck exception under *.ck
+      "foo.www.ck" -> "www.ck",
+      "www.ck" -> "www.ck",
+      "other.ck" -> "other.ck",
+      "deep.other.ck" -> "deep.other.ck")
     val got = cases.map(c => Tuple1(c._1)).toDF("h")
       .select(Web.registeredDomain(col("h"))).collect().map(_.getString(0))
-    cases.map(_._2).zip(got).foreach { case (exp, g) => assert(g == exp) }
+    cases.zip(got).foreach { case ((in, exp), g) =>
+      assert(g == exp, s"$in: expected $exp, got $g") }
   }
 
   test("perDomainCap keeps the best N per domain and prunes map-side") {
