@@ -33,17 +33,30 @@ object Cdc {
   }
 
   /** Boundary scan: returns (offset, length) spans that PARTITION the
-    * payload. A cut happens at the first position ≥ `minSize` where the
-    * gear hash (h = (h<<1) + gear[b], reset per chunk) has its low
-    * log2(avgSize) bits zero; `maxSize` forces a cut. The final chunk
-    * may be shorter than `minSize` (there's nothing left to extend it
-    * with). Empty payloads yield zero chunks. */
+    * payload, with FastCDC's NORMALIZED dual-mask cut rule (Xia et al.,
+    * "FastCDC: a Fast and Efficient Content-Defined Chunking Approach
+    * for Data Deduplication", USENIX ATC 2016): below `avgSize` into a
+    * chunk the gear hash (h = (h<<1) + gear[b], reset per chunk) must
+    * zero log2(avgSize) + `normBits` low bits (a HARDER condition —
+    * suppresses short chunks); past `avgSize` only
+    * log2(avgSize) - normBits bits (EASIER — pulls long chunks back),
+    * concentrating sizes around the average instead of the single-mask
+    * geometric spread. `maxSize` still forces a cut; the final chunk
+    * may undershoot `minSize` (nothing left to extend it with). Empty
+    * payloads yield zero chunks. normBits=0 recovers the single-mask
+    * scheme; shift resistance is unchanged (cuts remain pure content
+    * functions of the trailing bytes). */
   private[graft] def boundaries(bytes: Array[Byte], minSize: Int,
-                                avgSize: Int, maxSize: Int): Array[(Int, Int)] = {
+                                avgSize: Int, maxSize: Int,
+                                normBits: Int = 2): Array[(Int, Int)] = {
     require(0 < minSize && minSize <= avgSize && avgSize <= maxSize,
       s"need 0 < min($minSize) <= avg($avgSize) <= max($maxSize)")
     val maskBits = 63 - java.lang.Long.numberOfLeadingZeros(avgSize.toLong)
-    val mask = (1L << maskBits) - 1L
+    // clamp so the small mask keeps >= 1 bit and the large one <= 63
+    val nc = math.min(normBits, math.min(maskBits - 1, 63 - maskBits))
+      .max(0)
+    val maskS = (1L << (maskBits + nc)) - 1L
+    val maskL = (1L << (maskBits - nc)) - 1L
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var start = 0
     while (start < bytes.length) {
@@ -54,7 +67,11 @@ object Cdc {
       while (pos < limit && cut < 0) {
         h = (h << 1) + gear(bytes(pos) & 0xff)
         pos += 1
-        if (pos - start >= minSize && (h & mask) == 0L) cut = pos
+        val len = pos - start
+        if (len >= minSize) {
+          val mask = if (len < avgSize) maskS else maskL
+          if ((h & mask) == 0L) cut = pos
+        }
       }
       val end = if (cut > 0) cut else limit
       out += ((start, end - start))
