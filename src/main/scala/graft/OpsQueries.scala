@@ -411,6 +411,62 @@ object OpsQueries {
       |  CAST(COALESCE(dp.n_dup, 0) AS DOUBLE) / per.n_spans AS dup_frac
       |FROM per LEFT JOIN dp ON dp.doc_id = per.doc_id""".stripMargin
 
+  // planted verbatim repeats at lengths the fixed n=20 form cannot see
+  // (12 < 20: no span at all) or cannot distinguish (45 ≈ 20): shared
+  // between the Spark query and the oracle so they cannot drift
+  private val dupSpanP12 = (1 to 12).map(i => s"q$i").mkString(" ")
+  private val dupSpanP45 = (1 to 45).map(i => s"r$i").mkString(" ")
+  private val dupSpanPlanted = Seq(
+    1000001L -> dupSpanP12,
+    1000002L -> s"lead $dupSpanP12 trail",
+    1000003L -> dupSpanP45,
+    1000004L -> s"$dupSpanP45 tailtok")
+  private val dupSpanNs = Seq(10, 20, 40)
+
+  /** Multi-length duplicated-span sweep over a corpus with PLANTED
+    * 12- and 45-token verbatim repeats: the n=10 rung must catch the
+    * 12-token repeat (n=20 yields no row at all for those docs — the
+    * miss the ladder exists to close), and the n=40 rung must see the
+    * 45-token repeat as long-form duplication. Exact twin oracle (md5
+    * span keys, integer counts), one row per (doc, rung). */
+  private def qTextDupSpansMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select("doc_id", "text")
+      .unionAll(dupSpanPlanted.toDF("doc_id", "text"))
+    Dedup.duplicatedSpanStatsMulti(corpus, "text", "doc_id", dupSpanNs)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val oTextDupSpansMulti = {
+    val plantedVals = dupSpanPlanted
+      .map { case (id, tx) => s"(CAST($id AS BIGINT), '$tx')" }
+      .mkString(",\n      |  ")
+    val spanArms = dupSpanNs.map { n =>
+      s"""SELECT doc_id, $n AS n,
+        |    md5(array_to_string(toks[i:i+${n - 1}], ' ')) AS sp
+        |  FROM d, unnest(generate_series(1, len(toks) - ${n - 1})) AS t(i)
+        |  WHERE len(toks) >= $n""".stripMargin
+    }.mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 100
+      |  UNION ALL SELECT * FROM (VALUES
+      |  $plantedVals) AS v(doc_id, text)),
+      |d AS (SELECT doc_id, $oToks AS toks FROM c),
+      |sp AS (
+      |  $spanArms
+      |),
+      |dup AS (SELECT n, sp FROM sp GROUP BY n, sp HAVING count(*) >= 2),
+      |per AS (SELECT doc_id, n, count(*) AS n_spans FROM sp
+      |  GROUP BY doc_id, n),
+      |dp AS (SELECT s.doc_id, s.n, count(*) AS n_dup FROM sp s
+      |  JOIN dup USING (n, sp) GROUP BY s.doc_id, s.n)
+      |SELECT per.doc_id, per.n, per.n_spans,
+      |  COALESCE(dp.n_dup, 0) AS n_dup_spans,
+      |  CAST(COALESCE(dp.n_dup, 0) AS DOUBLE) / per.n_spans AS dup_frac
+      |FROM per LEFT JOIN dp
+      |  ON dp.doc_id = per.doc_id AND dp.n = per.n""".stripMargin
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val emitted = Dedup.simhashPairs(docs, "text", "doc_id",
@@ -2664,6 +2720,7 @@ object OpsQueries {
     "text_scrub" -> (qTextScrub _),
     "text_dedup_lines" -> (qTextDedupLines _),
     "text_dup_spans" -> (qTextDupSpans _),
+    "text_dup_spans_multi" -> (qTextDupSpansMulti _),
     "contamination" -> (qContamination _),
     "join_pivot" -> (qJoinPivot _),
     "join_bloom" -> (qJoinBloom _),
@@ -2754,6 +2811,7 @@ object OpsQueries {
     "text_scrub" -> oTextScrub,
     "text_dedup_lines" -> oTextDedupLines,
     "text_dup_spans" -> oTextDupSpans,
+    "text_dup_spans_multi" -> oTextDupSpansMulti,
     "contamination" -> oContamination,
     "join_pivot" -> oJoinPivot,
     "join_bloom" -> oJoinBloom,

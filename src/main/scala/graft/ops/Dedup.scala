@@ -440,6 +440,60 @@ object Dedup {
           col("n_spans")).as("dup_frac"))
   }
 
+  /** Multi-length duplicated-span statistics: [[duplicatedSpanStats]]
+    * swept over several span lengths in ONE corpus pass — the
+    * logarithmic-ladder approximation of variable-length suffix-array
+    * matching (a repeat of length L is caught by every n ≤ L, so a
+    * ladder like 10/20/40 brackets any repeat ≥ its smallest rung;
+    * fixed n=20 alone misses a 12-token verbatim repeat entirely and
+    * reports a 45-token one identically to a 20-token one).
+    *
+    * One tokenize + one explode emits (n, span-md5) for every rung;
+    * occurrence counting, per-doc totals and the dup semi-join key on
+    * (n, sp) — same uniform-key, nothing-quadratic, nothing-collected
+    * dataflow as the single-n form, ~|ns|× the span rows.
+    *
+    * Returns (id, n, n_spans, n_dup_spans, dup_frac) — one row per doc
+    * per rung the doc is long enough to carry. */
+  def duplicatedSpanStatsMulti(df: DataFrame, textCol: String,
+                               idCol: String,
+                               ns: Seq[Int] = Seq(10, 20, 40)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2) && ns.distinct.size == ns.size,
+      s"span lengths must be distinct and >= 2: $ns")
+    val toks = col("__t")
+    val spanStruct = "array<struct<n:int,sp:string>>"
+    val perN = ns.map { n =>
+      val cnt = size(toks) - (n - 1)
+      when(cnt >= 1, transform(sequence(lit(1), cnt),
+        i => struct(lit(n).as("n"),
+          md5(concat_ws(" ", slice(toks, i, lit(n)))).as("sp"))))
+        .otherwise(array().cast(spanStruct))
+    }
+    // same explode_outer / materialize-once reasoning as the single-n
+    // form (see duplicatedSpanStats)
+    val spans = df
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"), flatten(array(perN: _*)).as("sps"))
+      .select(col("id"), explode_outer(col("sps")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("s.n").as("n"), col("s.sp").as("sp"))
+      .localCheckpoint(true)
+    val dupSpans = spans.groupBy("n", "sp")
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select("n", "sp")
+    val perDoc = spans.groupBy("id", "n").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dupSpans, Seq("n", "sp"))
+      .groupBy("id", "n").agg(count(lit(1)).as("n_dup_spans"))
+    perDoc.join(dupPerDoc, Seq("id", "n"), "left")
+      .select(col("id"), col("n"),
+        col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+          col("n_spans")).as("dup_frac"))
+  }
+
   /** Connected components over an undirected pair list (ida, idb) by
     * iterative min-label propagation: each vertex repeatedly adopts the
     * smallest label among itself and its neighbors until fixpoint.
