@@ -614,9 +614,57 @@ object PivotQueries {
       |  count(CASE WHEN l_linestatus='F' THEN 1 END) AS "F_c"
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // -- S1 + S2: the reference's shipped example pipeline, end to end ----
+  // File(csv) source -> Pivot -> File(avro) sink, driven by the EXACT
+  // example JSON from the reference repo; the checked artifact is the
+  // avro SINK read back (so container framing, schema, and null cells
+  // all sit on the verified path), and the oracle replays the whole
+  // pivot from the inlined sample rows. This upgrades the last two
+  // spec-only SURVEY §2 rows (S1 csv source, S2 avro sink) to a
+  // CORRECTNESS-gated query.
+  private val examplePipelineJson = new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/examples/" +
+        "pivot_file_source_sink_example-cdap-data-pipeline.json")))
+
+  private def qPipelineExample(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_pipeline_example").toString
+    graft.sources.PipelineRunner.run(s, examplePipelineJson, Map(
+      "inputFile" -> "/root/reference/examples/sample_data.csv",
+      "outputDirectory" -> s"$out/pivoted"))
+    graft.sources.AvroSource.read(s, s"$out/pivoted")
+  }
+
+  private val oPipelineExample = {
+    // examples/sample_data.csv, inlined so the oracle needs no file
+    val rows = Seq(
+      ("Q1", "Shoes", "Nike", 50), ("Q1", "Shirts", "Nike", 20),
+      ("Q1", "Socks", "Reebok", 40), ("Q1", "Shirts", "Reebok", 60),
+      ("Q1", "Shoes", "Reebok", 50), ("Q2", "Shoes", "Nike", 20),
+      ("Q2", "Shoes", "Reebok", 30), ("Q2", "Socks", "Nike", 40),
+      ("Q3", "Shoes", "Nike", 50), ("Q3", "Shoes", "Reebok", 30),
+      ("Q3", "Socks", "Reebok", 40), ("Q3", "Socks", "Nike", 20),
+      ("Q4", "Shoes", "Reebok", 10), ("Q4", "Shirts", "Reebok", 20),
+      ("Q4", "Socks", "Reebok", 30), ("Q4", "Shoes", "Nike", 40),
+      ("Q4", "Shirts", "Nike", 50), ("Q4", "Socks", "Nike", 60))
+    val vals = rows.map { case (q, p, b, v) => s"('$q','$p','$b',$v)" }
+      .mkString(", ")
+    val cells = for {
+      q <- Seq("Q1", "Q2", "Q3", "Q4")
+      b <- Seq("Nike", "Reebok", "Addidas")
+    } yield s"""CAST(sum(CASE WHEN Quarter = '$q' AND Brand = '$b'
+      |    THEN Sales END) AS INTEGER) AS "${q}_${b}_Sum"""".stripMargin
+    s"""WITH src(Quarter, Product, Brand, Sales) AS (VALUES $vals)
+      |SELECT Product AS "Product",
+      |  ${cells.mkString(",\n  ")}
+      |FROM src GROUP BY Product""".stripMargin
+  }
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_example" -> (qPipelineExample _),
     "pivot_flagship" -> (qPivotFlagship _),
     "fn_count" -> (qFnCount _),
     "fn_countdistinct" -> (qFnCountDistinct _),
@@ -651,6 +699,7 @@ object PivotQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "pipeline_example" -> oPipelineExample,
     "pivot_flagship" -> oPivotFlagship,
     "fn_count" -> oFnCount,
     "fn_countdistinct" -> oFnCountDistinct,

@@ -685,6 +685,41 @@ class OpsSpec extends SparkSpec {
     assert(g1 == g4 + 1, s"leading tab must add one gram: $g1 vs $g4")
   }
 
+  test("minhashJoin: hot LSH bucket capped; linkage elsewhere survives skew") {
+    // one spam/mirror domain floods a bucket: thousands of byte-identical
+    // boilerplate pages share EVERY band signature
+    val hot = "spam boilerplate page with identical body tokens repeated " +
+      "across the whole mirror farm again and again"
+    val normal = (1 to 40).map(i =>
+      (i.toLong, s"unique left document number $i with distinctive content " +
+        s"tokens alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"))
+    val left = (normal :+ (999L, hot)).toDF("id", "text")
+    val right = ((1 to 4000).map(i => (10000L + i, hot)) ++
+      normal.map { case (i, t) => (20000L + i, t + " tail") })
+      .toDF("rid", "rtext")
+    // guard visibility: the hot text exceeds maxBucket in all 32 bands
+    val rb = Dedup.minhashIndex(right, "rtext", "rid")
+    val hotBuckets = rb.groupBy("band", "bh").count()
+      .filter(col("count") > 1000)
+    assert(hotBuckets.count() == 32, "hot text must flood every band")
+    // capped run: candidates stay bounded — the hot page links to
+    // NOTHING (the documented recall sacrifice), every normal pair links
+    val out = Link.minhashJoin(left, right, "text", "id", "rtext", "rid",
+      threshold = 0.7).collect()
+    val linked = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    normal.foreach { case (i, _) =>
+      assert(linked.contains((i, 20000L + i)), s"normal link $i lost") }
+    assert(!out.exists(_.getLong(0) == 999L),
+      "capped hot bucket must emit no pairs")
+    // raising the cap proves the CAP (not LSH misses) bounded the work:
+    // all 4000 hot pairs appear, and AQE stands by to split the verify
+    // join if a surviving bucket still skews at scale
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val uncapped = Link.minhashJoin(left, right, "text", "id",
+      "rtext", "rid", threshold = 0.7, maxBucket = 5000)
+    assert(uncapped.filter(col("id_left") === 999L).count() == 4000L)
+  }
+
   test("ngramContainmentPairs: quote inside a large doc scores one-way") {
     val big = (1 to 50).map(i => s"w$i").mkString(" ")
     val quote = (10 to 20).map(i => s"w$i").mkString(" ") // 11 words of big
@@ -1530,6 +1565,28 @@ class OpsSpec extends SparkSpec {
     assert(avg > 64 && avg < 1024, s"avg chunk $avg out of band")
     assert(Cdc.boundaries(data, 64, 256, 1024).toSeq == bs.toSeq, "deterministic")
     assert(Cdc.boundaries(Array.emptyByteArray, 64, 256, 1024).isEmpty)
+  }
+
+  test("cdc normalized (dual-mask) chunking concentrates sizes around avg") {
+    // FastCDC's distribution contract: with normBits=2, ~92% of interior
+    // chunks land in [avg/2, 2·avg] (the single-mask geometric spread
+    // manages only ~60% — this floor discriminates the two schemes)
+    val avg = 8192
+    val data = pseudoBytes("cdc-norm", 1 << 20)
+    val body = Cdc.boundaries(data, avg / 4, avg, avg * 8).dropRight(1)
+      .map(_._2)
+    assert(body.length > 50, s"need a real sample, got ${body.length}")
+    val inBand = body.count(l => l >= avg / 2 && l <= avg * 2).toDouble /
+      body.length
+    assert(inBand >= 0.85, f"only $inBand%.3f of chunks in [avg/2, 2·avg]")
+    val mean = body.map(_.toLong).sum.toDouble / body.length
+    assert(mean > avg * 0.6 && mean < avg * 1.6, s"mean chunk $mean")
+    // normBits=0 must recover the single-mask scheme (wider spread)
+    val flat = Cdc.boundaries(data, avg / 4, avg, avg * 8, normBits = 0)
+      .dropRight(1).map(_._2)
+    val flatBand = flat.count(l => l >= avg / 2 && l <= avg * 2).toDouble /
+      flat.length
+    assert(flatBand < inBand, "normalization must tighten the distribution")
   }
 
   test("cdc shift resistance: prefix insertion re-aligns chunk hashes") {
