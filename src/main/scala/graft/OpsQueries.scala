@@ -411,6 +411,36 @@ object OpsQueries {
       |  CAST(COALESCE(dp.n_dup, 0) AS DOUBLE) / per.n_spans AS dup_frac
       |FROM per LEFT JOIN dp ON dp.doc_id = per.doc_id""".stripMargin
 
+  /** Unicode canonicalization over docs with PLANTED decomposed
+    * accents, NBSP, zero-width space, a control character, and an
+    * ideographic space — the exact mojibake set that silently splits
+    * fingerprints and tokens. The oracle rebuilds the same planted
+    * string with chr() and replays NFC + the three replace passes with
+    * the SAME regex constants (\x{...} classes parse identically in
+    * Java regex and RE2). */
+  private def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+    val planted = concat(col("text"),
+      lit(" caf" + "e\u0301"),
+      lit("\u00A0x\u200By\u0007z\u3000w"))
+    d.select(col("doc_id"),
+        Scrub.normalizeUnicode(planted).as("clean"))
+      .withColumn("n_clean_chars", length(col("clean")).cast("long"))
+  }
+
+  private val oTextNormalize =
+    s"""WITH p AS (SELECT doc_id,
+      |    text || ' caf' || 'e' || chr(769) || chr(160) || 'x' ||
+      |      chr(8203) || 'y' || chr(7) || 'z' || chr(12288) || 'w' AS t
+      |  FROM documents WHERE doc_id < 200),
+      |n AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+      |    nfc_normalize(t),
+      |    '${Scrub.ZeroWidthRe}', '', 'g'),
+      |    '${Scrub.ExoticSpaceRe}', ' ', 'g'),
+      |    '${Scrub.ControlRe}', '', 'g') AS clean FROM p)
+      |SELECT doc_id, clean,
+      |  CAST(length(clean) AS BIGINT) AS n_clean_chars FROM n""".stripMargin
+
   // planted verbatim repeats at lengths the fixed n=20 form cannot see
   // (12 < 20: no span at all) or cannot distinguish (45 ≈ 20): shared
   // between the Spark query and the oracle so they cannot drift
@@ -912,6 +942,34 @@ object OpsQueries {
       |  CAST(COALESCE(enc.n_tokens, 0) AS BIGINT) AS n_tokens,
       |  CAST(COALESCE(enc.n_unk, 0) AS BIGINT) AS n_unk
       |FROM documents LEFT JOIN enc ON documents.doc_id = enc.doc_id""".stripMargin
+
+  /** BPE-trained subword tokenization CONTRACT: a vocab of byte-pair
+    * merges trained on the 256 lowest-id docs encodes the whole corpus;
+    * the vocab is corpus-derived so token ids are not SQL-replayable,
+    * but three exact invariants are — every id in [0, |vocab|), greedy
+    * decode round-trips to the canonical text whenever no [UNK] was
+    * emitted (losslessness of the merge table), and subword count ≥
+    * word count. The merge machinery itself is pinned by spec. */
+  private def qDocTokensBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val vocab = Tokenize.trainVocabBpe(d, "text", "doc_id",
+      vocabSize = 64, sampleN = 256)
+    val canon = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tokenize.wordpiece(d, "text", vocab)
+      .select(col("doc_id"),
+        forall(col("token_ids"),
+          i => i >= 0 && i < lit(vocab.size)).as("ids_in_range"),
+        (col("n_unk") > 0 ||
+          Tokenize.detokenize(col("token_ids"), vocab) === canon)
+          .as("roundtrip_ok"),
+        (col("n_tokens") >=
+          size(filter(TextFunctions.tokens(col("text")), w => w =!= "")))
+          .as("tokens_ge_words"))
+  }
+
+  private val oDocTokensBpe =
+    """SELECT doc_id, TRUE AS ids_in_range, TRUE AS roundtrip_ok,
+      |  TRUE AS tokens_ge_words FROM documents""".stripMargin
 
   /** Second END-TO-END composition, from this library's model-based
     * tier: LM-perplexity gate (keep docs the English reference model
@@ -2711,6 +2769,7 @@ object OpsQueries {
     "curation_pipeline" -> (qCurationPipeline _),
     "pretrain_pipeline" -> (qPretrainPipeline _),
     "doc_tokens" -> (qDocTokens _),
+    "doc_tokens_bpe" -> (qDocTokensBpe _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_priority" -> (qSamplePriority _),
     "sample_dsir" -> (qSampleDsir _),
@@ -2718,6 +2777,7 @@ object OpsQueries {
     "doc_chunks" -> (qDocChunks _),
     "doc_packing" -> (qDocPacking _),
     "text_scrub" -> (qTextScrub _),
+    "text_normalize" -> (qTextNormalize _),
     "text_dedup_lines" -> (qTextDedupLines _),
     "text_dup_spans" -> (qTextDupSpans _),
     "text_dup_spans_multi" -> (qTextDupSpansMulti _),
@@ -2802,6 +2862,7 @@ object OpsQueries {
     "curation_pipeline" -> oCurationPipeline,
     "pretrain_pipeline" -> oPretrainPipeline,
     "doc_tokens" -> oDocTokens,
+    "doc_tokens_bpe" -> oDocTokensBpe,
     "sample_stratified" -> oSampleStratified,
     "sample_priority" -> oSamplePriority,
     "sample_dsir" -> oSampleDsir,
@@ -2809,6 +2870,7 @@ object OpsQueries {
     "doc_chunks" -> oDocChunks,
     "doc_packing" -> oDocPacking,
     "text_scrub" -> oTextScrub,
+    "text_normalize" -> oTextNormalize,
     "text_dedup_lines" -> oTextDedupLines,
     "text_dup_spans" -> oTextDupSpans,
     "text_dup_spans_multi" -> oTextDupSpansMulti,

@@ -19,6 +19,22 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
+  /** Driver/executor JVM twin of [[tokens]] for the few places that
+    * must tokenize outside an expression (BPE merge training on a
+    * bounded sample, UDF scorers): space-only trim (Spark `trim` does
+    * not strip tabs/newlines), Locale.ROOT lowercase (Spark `lower` is
+    * locale-independent), `\s+` collapse, split keeping trailing
+    * empties — byte-for-byte the expression pipeline. */
+  private[graft] def tokensJvm(text: String): Array[String] = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(b, e)
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").split(" ", -1)
+  }
+
   /** Fraction of word 2-grams that are repeats — the Gopher/RefinedWeb
     * repetition signal (0 for no repetition; boilerplate-heavy docs
     * score high). 0.0 for docs with fewer than 2 tokens. */

@@ -58,6 +58,94 @@ object Tokenize {
     Unk +: top
   }
 
+  /** Train a SUBWORD vocabulary by byte-pair merges (Sennrich et al.
+    * 2016, the WordPiece/BERT training recipe) on the same bounded
+    * lowest-id sample contract as [[trainVocab]]: words decompose into
+    * characters (first bare, rest "##"-prefixed), then the most
+    * frequent adjacent symbol pair merges — ties broken
+    * lexicographically — until the vocab reaches `vocabSize`. Returns
+    * [[Unk]] :: base character symbols (sorted) :: merged pieces in
+    * learned order, ready for [[wordpiece]]'s greedy longest-match
+    * encode (exactly BERT's arrangement: BPE-style training, WordPiece
+    * encoding).
+    *
+    * Scale shape: the merge loop is driver-side over the capped
+    * sample's word-frequency table — the same honest bounded-driver
+    * work as [[Quantize.pqTrain]]'s Lloyd iterations; the corpus never
+    * participates in training and encoding stays a broadcast-vocab map
+    * pass. Deterministic end to end (sample order, tie order, merge
+    * order), so a persisted vocab retrains identically.
+    *
+    * Unlike [[trainVocab]] (whole words + [UNK] for everything else),
+    * a BPE vocab covers ANY word over sampled characters by falling
+    * back to pieces — [UNK] only appears for characters the sample
+    * never saw (or words over `maxWordLen`). */
+  def trainVocabBpe(df: DataFrame, textCol: String, idCol: String,
+                    vocabSize: Int, sampleN: Int = 4096,
+                    maxWordLen: Int = 64): Seq[String] = {
+    require(vocabSize >= 2, "vocabSize must fit [UNK] plus a symbol")
+    val texts = df.select(col(idCol), col(textCol))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect().map(_.getString(1)).filter(_ != null)
+    // word frequencies under the exact expression-twin tokenizer;
+    // "##"-led words are excluded (continuation-namespace collision,
+    // same rule as trainVocab) as are over-length words
+    val wordFreq = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    texts.foreach(TextFunctions.tokensJvm(_).foreach { w =>
+      if (w.nonEmpty && w.length <= maxWordLen && !w.startsWith("##"))
+        wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)
+    })
+    // deterministic working set: (symbol sequence, freq) sorted by word
+    val words: Array[(Array[String], Long)] = wordFreq.toArray.sortBy(_._1)
+      .map { case (w, f) =>
+        (w.toCharArray.zipWithIndex.map { case (c, i) =>
+          if (i == 0) c.toString else "##" + c
+        }, f)
+      }
+    val base = words.flatMap(_._1).distinct.sorted
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    val live = words.map { case (syms, f) =>
+      (scala.collection.mutable.ArrayBuffer(syms.toIndexedSeq: _*), f)
+    }
+    var room = vocabSize - 1 - base.length
+    var done = room <= 0
+    while (!done) {
+      // pair frequencies, weighted by word frequency
+      val pairs = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      live.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairs.update(k, pairs.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), _) = pairs.minBy { case ((x, y), f) => (-f, x, y) }
+        val merged = a + b.stripPrefix("##")
+        // distinct pairs can merge to one string (("a","##bc") and
+        // ("ab","##c") both give "abc") — the symbol is added once, the
+        // rewrite still applies
+        val fresh = !merges.contains(merged)
+        if (fresh) merges += merged
+        live.foreach { case (syms, _) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == a && syms(i + 1) == b) {
+              syms(i) = merged
+              syms.remove(i + 1)
+            } else i += 1
+          }
+        }
+        if (fresh) room -= 1
+        if (room <= 0) done = true
+      }
+    }
+    (Unk +: (base ++ merges)).take(vocabSize)
+  }
+
   /** Persist a trained vocab as a (id, piece) parquet table — the
     * artifact a production pipeline trains once and replays against
     * every subsequent corpus drop (see [[loadVocab]]). */

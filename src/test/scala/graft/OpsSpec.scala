@@ -605,6 +605,34 @@ class OpsSpec extends SparkSpec {
     assert(Tokenize.loadVocab(spark, vp) == v)
   }
 
+  test("trainVocabBpe: merges learn frequent words, subwords cover unseen ones") {
+    val d = Seq(
+      (0L, "low low low low low lower lower newest newest"),
+      (1L, "newest widest low"), (2L, "lowest")).toDF("doc_id", "text")
+    val v = Tokenize.trainVocabBpe(d, "text", "doc_id", vocabSize = 40,
+      sampleN = 3)
+    assert(v.head == Tokenize.Unk && v.distinct.size == v.size)
+    assert(v.contains("low"), s"most frequent word must merge whole: $v")
+    // deterministic retrain, and insensitive to appended high-id rows
+    assert(Tokenize.trainVocabBpe(d, "text", "doc_id", 40, 3) == v)
+    // sampled corpus encodes with zero [UNK] and round-trips exactly
+    val enc = Tokenize.wordpiece(d, "text", v)
+    assert(enc.agg(sum("n_unk")).head.getLong(0) == 0L)
+    val rt = enc.select(Tokenize.detokenize(col("token_ids"), v).as("t"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("c"))
+      .filter(col("t") =!= col("c")).count()
+    assert(rt == 0, "BPE decode must round-trip the canonical text")
+    // an UNSEEN word falls back to learned pieces, not [UNK]
+    val unseen = Seq((0L, "lowe")).toDF("doc_id", "text")
+    val e = Tokenize.wordpiece(unseen, "text", v).head
+    assert(e.getAs[Int]("n_unk") == 0 && e.getAs[Int]("n_tokens") >= 2,
+      s"'lowe' should decompose into pieces: $e")
+    // a character the sample never saw is the only [UNK] source
+    val oov = Seq((0L, "low π low")).toDF("doc_id", "text")
+    val e2 = Tokenize.wordpiece(oov, "text", v).head
+    assert(e2.getAs[Int]("n_unk") == 1 && e2.getAs[Int]("n_tokens") == 3)
+  }
+
   test("winsorize clamps into the group's percentile band, preserves rows") {
     val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
     val w = Profile.winsorize(d, Seq("lang"), "n_chars", 0.1, 0.9)
@@ -1463,6 +1491,31 @@ class OpsSpec extends SparkSpec {
     val dbl = Seq(Tuple1("<p>&amp;lt;</p>")).toDF("h")
       .select(Web.htmlToText(col("h"))).head().getString(0)
     assert(dbl == "&lt;")
+  }
+
+  test("normalizeUnicode: NFC composes, invisibles drop, spaces flatten, null-safe") {
+    val cases = Seq(
+      // decomposed e + U+0301 composes to one code point
+      "cafe\u0301" -> "caf\u00E9",
+      // NBSP and ideographic space become plain spaces
+      "a b　c" -> "a b c",
+      // zero-width space/joiner and BOM vanish
+      "x​y‍z﻿" -> "xyz",
+      // C0 controls die, tab/newline survive
+      "pq\tr\ns" -> "pq\tr\ns",
+      "plain ascii" -> "plain ascii")
+    val got = cases.map(c => Tuple1(c._1)).toDF("t")
+      .select(Scrub.normalizeUnicode(col("t"))).collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, exp), g) =>
+      assert(g == exp, s"${in.map(_.toInt)}: got ${g.map(_.toInt)}") }
+    // identical rendered text now fingerprints identically
+    val fp = Seq(Tuple1("cafe\u0301"), Tuple1("caf\u00E9")).toDF("t")
+      .select(TextFunctions.fingerprint(Scrub.normalizeUnicode(col("t"))))
+      .collect().map(_.getString(0))
+    assert(fp(0) == fp(1), "NFC must unify dedup fingerprints")
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(Scrub.normalizeUnicode(col("t"))).head
+    assert(n.isNullAt(0))
   }
 
   test("registeredDomain: PSL longest-match, wildcards, exceptions, bare hosts") {
