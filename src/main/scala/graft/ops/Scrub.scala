@@ -27,6 +27,41 @@ object Scrub {
     regexp_replace(i, PhoneRe, "<PHONE>")
   }
 
+
+  /** Exotic Unicode whitespace (NBSP, en/em/thin spaces, narrow NBSP,
+    * math space, ideographic space) — characters that defeat `\\s`-based
+    * tokenizers and fingerprints if left in place. `\\x{...}` hex
+    * classes parse identically in Java regex and RE2, so one constant
+    * serves the expression AND the DuckDB oracle. */
+  val ExoticSpaceRe =
+    "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]"
+  /** Zero-width space/joiners and the BOM. */
+  val ZeroWidthRe = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+  /** C0/C1 control characters except tab/newline/carriage-return. */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+  /** Unicode canonicalization for corpus text — the pre-tokenization
+    * step every real pipeline runs: NFC composition (é as one code
+    * point, not e + combining acute — identical bytes for identical
+    * rendered text, or exact dedup and fingerprints silently miss),
+    * zero-width characters and BOMs dropped, exotic Unicode spaces
+    * mapped to plain space, and C0/C1 control characters (minus
+    * tab/newline/CR) removed. NFC is the JDK's `java.text.Normalizer`
+    * in a scalar UDF (the one step regexes cannot express); everything
+    * after is codegen'd regexp_replace. DuckDB's `nfc_normalize` +
+    * the same literal classes replay it exactly, so the op is
+    * oracle-checkable. Null-safe: null stays null. */
+  def normalizeUnicode(text: Column): Column = {
+    val nfc = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    val composed = nfc(text)
+    val noZw = regexp_replace(composed, ZeroWidthRe, "")
+    val plainSpace = regexp_replace(noZw, ExoticSpaceRe, " ")
+    regexp_replace(plainSpace, ControlRe, "")
+  }
+
   /** C4-style intra-document repetition removal: drop repeated lines
     * (or paragraphs — pick the separator), keeping the FIRST occurrence
     * in place. Boilerplate (nav bars, cookie banners, repeated headers)
