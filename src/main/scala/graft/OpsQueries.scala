@@ -497,6 +497,46 @@ object OpsQueries {
       |  ON dp.doc_id = per.doc_id AND dp.n = per.n""".stripMargin
   }
 
+  /** Prefix-doubling longest-dup-span over the same planted corpus as
+    * the ladder query: the 12-token cross-doc repeat must report
+    * dup_pow_len = 8 and the 45-token one 32 (largest powers ≤ true
+    * length). The oracle brute-forces every power rung from the raw
+    * token arrays — the Spark side reaches the same answer through
+    * O(log) doubling joins, never materializing length-k span text. */
+  private def qTextDupSpanLongest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "documents").filter(col("doc_id") < 60)
+      .select("doc_id", "text")
+      .unionAll(dupSpanPlanted.toDF("doc_id", "text"))
+    Dedup.longestDupSpanPow(corpus, "text", "doc_id", maxPow = 6)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val oTextDupSpanLongest = {
+    val plantedVals = dupSpanPlanted
+      .map { case (id, tx) => s"(CAST($id AS BIGINT), '$tx')" }
+      .mkString(",\n      |  ")
+    val arms = (0 to 6).map(1 << _).map { k =>
+      s"""SELECT doc_id, $k AS k,
+        |    array_to_string(toks[i:i+${k - 1}], ' ') AS sp
+        |  FROM d, unnest(generate_series(1, len(toks) - ${k - 1})) AS t(i)
+        |  WHERE len(toks) >= $k""".stripMargin
+    }.mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |  UNION ALL SELECT * FROM (VALUES
+      |  $plantedVals) AS v(doc_id, text)),
+      |d AS (SELECT doc_id, $oToks AS toks FROM c),
+      |sp AS (
+      |  $arms
+      |),
+      |dup AS (SELECT k, sp FROM sp GROUP BY k, sp HAVING count(*) >= 2),
+      |hitk AS (SELECT DISTINCT s.doc_id, s.k FROM sp s
+      |  JOIN dup USING (k, sp)),
+      |best AS (SELECT doc_id, max(k) AS m FROM hitk GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(COALESCE(best.m, 0) AS BIGINT) AS dup_pow_len
+      |FROM c LEFT JOIN best USING (doc_id)""".stripMargin
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val emitted = Dedup.simhashPairs(docs, "text", "doc_id",
@@ -2781,6 +2821,7 @@ object OpsQueries {
     "text_dedup_lines" -> (qTextDedupLines _),
     "text_dup_spans" -> (qTextDupSpans _),
     "text_dup_spans_multi" -> (qTextDupSpansMulti _),
+    "text_dup_span_longest" -> (qTextDupSpanLongest _),
     "contamination" -> (qContamination _),
     "join_pivot" -> (qJoinPivot _),
     "join_bloom" -> (qJoinBloom _),
@@ -2874,6 +2915,7 @@ object OpsQueries {
     "text_dedup_lines" -> oTextDedupLines,
     "text_dup_spans" -> oTextDupSpans,
     "text_dup_spans_multi" -> oTextDupSpansMulti,
+    "text_dup_span_longest" -> oTextDupSpanLongest,
     "contamination" -> oContamination,
     "join_pivot" -> oJoinPivot,
     "join_bloom" -> oJoinBloom,

@@ -494,6 +494,68 @@ object Dedup {
           col("n_spans")).as("dup_frac"))
   }
 
+  /** Per-document LONGEST duplicated-span length at power-of-two
+    * granularity, by suffix-array-style PREFIX DOUBLING (Manber-Myers;
+    * the construction behind "Deduplicating Training Data Makes
+    * Language Models Better"'s ExactSubstr): the positioned span-hash
+    * table for length 2k is built from the length-k table by one
+    * self-join on (id, pos+k) — so covering every power up to
+    * 2^`maxPow` costs O(maxPow) linear-size joins TOTAL, where the
+    * span-ladder form pays one full span materialization per rung and
+    * an explode ~L× the corpus to reach length L. Rows never exceed
+    * one per (doc, position) at every round and shrink as spans stop
+    * fitting; each round's table is materialized once and feeds both
+    * the duplicate check and the next doubling.
+    *
+    * Returns (id, dup_pow_len): the largest k ∈ {1, 2, 4, ..,
+    * 2^maxPow} such that some k-token span of the doc occurs ≥ 2 times
+    * corpus-wide (within-doc repeats count), 0 when not even one token
+    * recurs. By downward closure (any sub-span of a duplicated span is
+    * duplicated) the TRUE longest duplicated span length lies in
+    * [dup_pow_len, 2·dup_pow_len). Span identity is xxhash64-keyed
+    * (collisions 2^-64 — the same contract as every hash-keyed dedup
+    * here). */
+  def longestDupSpanPow(df: DataFrame, textCol: String, idCol: String,
+                        maxPow: Int = 6): DataFrame = {
+    require(maxPow >= 0 && maxPow <= 16, s"maxPow out of range: $maxPow")
+    val docs = df.select(col(idCol).as("id"))
+    var cur = df
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "__w")))
+      .select(col("id"), col("pos"), xxhash64(col("__w")).as("h"))
+      .localCheckpoint(true)
+    var found: DataFrame = null
+    var p = 0
+    while (p <= maxPow && !cur.isEmpty) {
+      val k = 1 << p
+      val dupKeys = cur.groupBy("h").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2).select("h")
+      val hit = cur.join(dupKeys, "h")
+        .select(col("id")).distinct()
+        .withColumn("__k", lit(k.toLong))
+      found = if (found == null) hit else found.unionAll(hit)
+      if (p < maxPow) {
+        // H_{2k}(pos) = hash(H_k(pos), H_k(pos+k)); rows whose second
+        // half no longer fits fall out of the table
+        cur = cur.as("a")
+          .join(cur.as("b"),
+            col("a.id") === col("b.id") &&
+              col("b.pos") === col("a.pos") + lit(k))
+          .select(col("a.id").as("id"), col("a.pos").as("pos"),
+            xxhash64(col("a.h"), col("b.h")).as("h"))
+          .localCheckpoint(true)
+      }
+      p += 1
+    }
+    val best =
+      if (found == null) docs.limit(0).withColumn("__k", lit(0L))
+      else found.groupBy("id").agg(max(col("__k")).as("__k"))
+    docs.join(best, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__k"), lit(0L)).as("dup_pow_len"))
+  }
+
   /** Connected components over an undirected pair list (ida, idb) by
     * iterative min-label propagation: each vertex repeatedly adopts the
     * smallest label among itself and its neighbors until fixpoint.

@@ -713,6 +713,29 @@ class OpsSpec extends SparkSpec {
     assert(g1 == g4 + 1, s"leading tab must add one gram: $g1 vs $g4")
   }
 
+  test("longestDupSpanPow: doubling finds the largest duplicated power rung") {
+    val shared9 = (1 to 9).map(i => s"s$i").mkString(" ") // 9-token repeat
+    val d = Seq(
+      (0L, s"a b c $shared9 tail0"),
+      (1L, s"x y $shared9 tail1"),
+      (2L, "totally unique tokens here"),
+      (3L, "totally distinct words there"),
+      // within-doc repetition: same 3 tokens twice in one doc
+      (4L, "p q r filler p q r")).toDF("doc_id", "text")
+    val got = Dedup.longestDupSpanPow(d, "text", "doc_id", maxPow = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 9-token shared span -> largest power <= 9 is 8
+    assert(got(0L) == 8L && got(1L) == 8L, s"got $got")
+    // docs 2/3 share the single token "totally" -> rung 1
+    assert(got(2L) == 1L && got(3L) == 1L, s"got $got")
+    // within-doc 3-token repeat -> rung 2
+    assert(got(4L) == 2L, s"got $got")
+    // no duplication anywhere -> 0
+    val solo = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val g2 = Dedup.longestDupSpanPow(solo, "text", "doc_id", 4).head
+    assert(g2.getLong(1) == 0L)
+  }
+
   test("minhashJoin: hot LSH bucket capped; linkage elsewhere survives skew") {
     // one spam/mirror domain floods a bucket: thousands of byte-identical
     // boilerplate pages share EVERY band signature
