@@ -433,9 +433,9 @@ object OpsQueries {
       |    text || ' caf' || 'e' || chr(769) || chr(160) || 'x' ||
       |      chr(8203) || 'y' || chr(7) || 'z' || chr(12288) || 'w' AS t
       |  FROM documents WHERE doc_id < 200),
-      |n AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-      |    nfc_normalize(t),
-      |    '${Scrub.ZeroWidthRe}', '', 'g'),
+      |n AS (SELECT doc_id, regexp_replace(regexp_replace(
+      |    nfc_normalize(
+      |      regexp_replace(t, '${Scrub.ZeroWidthRe}', '', 'g')),
       |    '${Scrub.ExoticSpaceRe}', ' ', 'g'),
       |    '${Scrub.ControlRe}', '', 'g') AS clean FROM p)
       |SELECT doc_id, clean,
@@ -495,6 +495,50 @@ object OpsQueries {
       |  CAST(COALESCE(dp.n_dup, 0) AS DOUBLE) / per.n_spans AS dup_frac
       |FROM per LEFT JOIN dp
       |  ON dp.doc_id = per.doc_id AND dp.n = per.n""".stripMargin
+  }
+
+  /** ExactSubstr removal over the planted corpus: every occurrence of
+    * a duplicated 10-token span except the corpus-first one is cut;
+    * the oracle replays tokenization, span keys, the (id, pos) keeper
+    * rule, per-token coverage, and reassembly — the full removal
+    * pipeline, row for row. Output text is canonical (lowercased,
+    * whitespace-collapsed) on both sides. */
+  private def qTextDupSpansRemoved(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "documents").filter(col("doc_id") < 60)
+      .select("doc_id", "text")
+      .unionAll(dupSpanPlanted.toDF("doc_id", "text"))
+    Dedup.removeDupSpans(corpus, "text", "doc_id", n = 10)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val oTextDupSpansRemoved = {
+    val plantedVals = dupSpanPlanted
+      .map { case (id, tx) => s"(CAST($id AS BIGINT), '$tx')" }
+      .mkString(",\n      |  ")
+    s"""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |  UNION ALL SELECT * FROM (VALUES
+      |  $plantedVals) AS v(doc_id, text)),
+      |d AS (SELECT doc_id, $oToks AS toks FROM c),
+      |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS w
+      |  FROM d, unnest(generate_series(1, len(toks))) AS t(i)),
+      |sp AS (SELECT doc_id, i - 1 AS pos,
+      |    md5(array_to_string(toks[i:i+9], ' ')) AS sp
+      |  FROM d, unnest(generate_series(1, len(toks) - 9)) AS t(i)
+      |  WHERE len(toks) >= 10),
+      |dup AS (SELECT sp, min(doc_id * 1000000 + pos) AS keep FROM sp
+      |  GROUP BY sp HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT s.doc_id, s.pos + u.o AS pos
+      |  FROM sp s JOIN dup USING (sp)
+      |  CROSS JOIN unnest(generate_series(0, 9)) AS u(o)
+      |  WHERE s.doc_id * 1000000 + s.pos <> dup.keep),
+      |kept AS (SELECT t.doc_id, t.pos, t.w FROM tok t
+      |  LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+      |  WHERE cov.doc_id IS NULL),
+      |reb AS (SELECT doc_id, array_to_string(list(w ORDER BY pos), ' ')
+      |    AS text FROM kept GROUP BY doc_id)
+      |SELECT c.doc_id, COALESCE(reb.text, '') AS text
+      |FROM c LEFT JOIN reb USING (doc_id)""".stripMargin
   }
 
   /** Prefix-doubling longest-dup-span over the same planted corpus as
@@ -994,7 +1038,11 @@ object OpsQueries {
     val d = t(s, dir, "documents")
     val vocab = Tokenize.trainVocabBpe(d, "text", "doc_id",
       vocabSize = 64, sampleN = 256)
-    val canon = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    // compare against the WORD join, not trim/collapse: wordpiece skips
+    // empty tokens, so tab/newline-edged text (whose canonical form
+    // keeps an edge space) would otherwise fail the round-trip
+    val canon = array_join(
+      filter(TextFunctions.tokens(col("text")), w => w =!= ""), " ")
     Tokenize.wordpiece(d, "text", vocab)
       .select(col("doc_id"),
         forall(col("token_ids"),
@@ -2822,6 +2870,7 @@ object OpsQueries {
     "text_dup_spans" -> (qTextDupSpans _),
     "text_dup_spans_multi" -> (qTextDupSpansMulti _),
     "text_dup_span_longest" -> (qTextDupSpanLongest _),
+    "text_dup_spans_removed" -> (qTextDupSpansRemoved _),
     "contamination" -> (qContamination _),
     "join_pivot" -> (qJoinPivot _),
     "join_bloom" -> (qJoinBloom _),
@@ -2916,6 +2965,7 @@ object OpsQueries {
     "text_dup_spans" -> oTextDupSpans,
     "text_dup_spans_multi" -> oTextDupSpansMulti,
     "text_dup_span_longest" -> oTextDupSpanLongest,
+    "text_dup_spans_removed" -> oTextDupSpansRemoved,
     "contamination" -> oContamination,
     "join_pivot" -> oJoinPivot,
     "join_bloom" -> oJoinBloom,

@@ -622,18 +622,26 @@ object PivotQueries {
   // pivot from the inlined sample rows. This upgrades the last two
   // spec-only SURVEY §2 rows (S1 csv source, S2 avro sink) to a
   // CORRECTNESS-gated query.
-  private val examplePipelineJson = new String(
+  // lazy: a missing reference checkout must fail pipeline_example only,
+  // not object init for every pivot query
+  private lazy val examplePipelineJson = new String(
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       "/root/reference/examples/" +
         "pivot_file_source_sink_example-cdap-data-pipeline.json")))
 
+  // per-JVM scratch (AvroSink deletes-then-writes, so one path is
+  // re-run-idempotent within a session and isolated across sessions —
+  // same reasoning as OpsQueries.scratchRoot)
+  private lazy val exampleOutDir: String = new java.io.File(
+    sys.props("java.io.tmpdir"),
+    s"graft_pipeline_ex_${java.util.UUID.randomUUID().toString.take(8)}")
+    .getAbsolutePath
+
   private def qPipelineExample(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_pipeline_example").toString
     graft.sources.PipelineRunner.run(s, examplePipelineJson, Map(
       "inputFile" -> "/root/reference/examples/sample_data.csv",
-      "outputDirectory" -> s"$out/pivoted"))
-    graft.sources.AvroSource.read(s, s"$out/pivoted")
+      "outputDirectory" -> s"$exampleOutDir/pivoted"))
+    graft.sources.AvroSource.read(s, s"$exampleOutDir/pivoted")
   }
 
   private val oPipelineExample = {

@@ -83,17 +83,24 @@ object Cdc {
   /** Chunk table for a binary column: one row per chunk,
     * (idCol, chunk_idx, offset, length, chunk_md5). Defaults give
     * ~8 KiB average chunks — tune avgSize to the media granularity
-    * (smaller finds more sharing, costs more rows). */
+    * (smaller finds more sharing, costs more rows).
+    *
+    * `normBits` selects the boundary scheme — chunk hashes are only
+    * comparable across runs that used the SAME value: a store chunked
+    * under the pre-normalization single-mask scheme needs normBits = 0
+    * to keep matching; new stores want the default (2, normalized
+    * FastCDC). */
   def chunks(media: DataFrame, idCol: String, payloadCol: String,
              minSize: Int = 2048, avgSize: Int = 8192,
-             maxSize: Int = 65536): DataFrame = {
+             maxSize: Int = 65536, normBits: Int = 2): DataFrame = {
     val chunkUdf = udf { payload: Array[Byte] =>
       if (payload == null) Array.empty[(Int, Int, String)]
-      else boundaries(payload, minSize, avgSize, maxSize).map { case (off, len) =>
-        val d = java.security.MessageDigest.getInstance("MD5")
-        d.update(payload, off, len)
-        (off, len, d.digest().map("%02x".format(_)).mkString)
-      }
+      else boundaries(payload, minSize, avgSize, maxSize, normBits)
+        .map { case (off, len) =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+          d.update(payload, off, len)
+          (off, len, d.digest().map("%02x".format(_)).mkString)
+        }
     }
     media.select(col(idCol), posexplode(chunkUdf(col(payloadCol)))
         .as(Seq("chunk_idx", "c")))
@@ -108,14 +115,15 @@ object Cdc {
     * rows). */
   def chunksWithBytes(media: DataFrame, idCol: String, payloadCol: String,
                       minSize: Int = 2048, avgSize: Int = 8192,
-                      maxSize: Int = 65536): DataFrame = {
+                      maxSize: Int = 65536, normBits: Int = 2): DataFrame = {
     val chunkUdf = udf { payload: Array[Byte] =>
       if (payload == null) Array.empty[(Int, Int, String, Array[Byte])]
-      else boundaries(payload, minSize, avgSize, maxSize).map { case (off, len) =>
-        val slice = java.util.Arrays.copyOfRange(payload, off, off + len)
-        val d = java.security.MessageDigest.getInstance("MD5")
-        (off, len, d.digest(slice).map("%02x".format(_)).mkString, slice)
-      }
+      else boundaries(payload, minSize, avgSize, maxSize, normBits)
+        .map { case (off, len) =>
+          val slice = java.util.Arrays.copyOfRange(payload, off, off + len)
+          val d = java.security.MessageDigest.getInstance("MD5")
+          (off, len, d.digest(slice).map("%02x".format(_)).mkString, slice)
+        }
     }
     media.select(col(idCol), posexplode(chunkUdf(col(payloadCol)))
         .as(Seq("chunk_idx", "c")))

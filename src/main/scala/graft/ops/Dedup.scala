@@ -494,6 +494,65 @@ object Dedup {
           col("n_spans")).as("dup_frac"))
   }
 
+  /** ExactSubstr REMOVAL (the action half of [[duplicatedSpanStats]],
+    * following Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": cut duplicated spans out of the corpus, keeping
+    * one canonical occurrence): every token covered by an `n`-token
+    * span whose text occurs ≥ 2 times corpus-wide is DROPPED unless it
+    * belongs to the span's corpus-FIRST occurrence (first = smallest
+    * (id, pos) — the same deterministic keeper rule as
+    * [[Scrub.dedupLinesGlobal]]). Documents come back with their
+    * surviving tokens rejoined in order; a fully-duplicated document
+    * returns empty text.
+    *
+    * Shape at 100 TB: one positioned-span explode, one count + one
+    * min(struct) aggregation on uniform md5 keys (map-side partial
+    * collapses hot boilerplate), one join back, then a per-token
+    * coverage explode bounded by n × (duplicated spans only) — the
+    * clean corpus never fans out more than the dup mass itself. No
+    * driver state, no window over the corpus.
+    *
+    * Returns (id, text) with `text` rebuilt from canonical tokens. */
+  def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 20): DataFrame = {
+    val toks = col("__t")
+    val cnt = size(toks) - (n - 1)
+    val tokens = df
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "w")))
+      .localCheckpoint(true)
+    val spans = df
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        when(cnt >= 1, transform(sequence(lit(0), cnt - 1),
+          i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+          .otherwise(array().cast("array<string>")).as("sps"))
+      .select(col("id"), posexplode_outer(col("sps")).as(Seq("pos", "sp")))
+      .filter(col("sp").isNotNull)
+      .localCheckpoint(true)
+    val dupStats = spans.groupBy("sp")
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col("id"), col("pos"))).as("__keep"))
+      .filter(col("__occ") >= 2)
+    // non-keeper occurrences of duplicated spans cover their n tokens
+    val covered = spans.join(dupStats, "sp")
+      .filter(struct(col("id"), col("pos")) =!= col("__keep"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1)))
+          .as("pos"))
+      .distinct()
+    val kept = tokens.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("__clean"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__clean"), lit("")).as("text"))
+  }
+
   /** Per-document LONGEST duplicated-span length at power-of-two
     * granularity, by suffix-array-style PREFIX DOUBLING (Manber-Myers;
     * the construction behind "Deduplicating Training Data Makes

@@ -208,17 +208,9 @@ object Importance {
       val lnp = bc.value
       if (text == null) (0L, None: Option[Double])
       else {
-        // exact twin of TextFunctions.tokens. Spark `trim` strips only
-        // ' ' (not tabs/newlines — those are collapsed by the \s+ pass)
-        // and `lower` is locale-independent, so: space-only trim +
-        // Locale.ROOT, NOT String.trim / default-locale toLowerCase.
-        var b = 0
-        var e = text.length
-        while (b < e && text.charAt(b) == ' ') b += 1
-        while (e > b && text.charAt(e - 1) == ' ') e -= 1
-        val toks = text.substring(b, e)
-          .toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("\\s+", " ").split(" ", -1)
+        // the shared exact twin of TextFunctions.tokens (space-only
+        // trim, Locale.ROOT lower, \s+ collapse)
+        val toks = TextFunctions.tokensJvm(text)
         var i = 0
         var cnt = 0L
         var sum = java.math.BigDecimal.ZERO

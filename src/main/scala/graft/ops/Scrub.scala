@@ -56,9 +56,13 @@ object Scrub {
       if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
     }
-    val composed = nfc(text)
-    val noZw = regexp_replace(composed, ZeroWidthRe, "")
-    val plainSpace = regexp_replace(noZw, ExoticSpaceRe, " ")
+    // zero-width removal BEFORE NFC: a ZWJ/ZWSP sitting between a base
+    // character and its combining mark blocks composition, and deleting
+    // it afterwards would leave decomposed text — the exact fingerprint
+    // split this op exists to prevent
+    val noZw = regexp_replace(text, ZeroWidthRe, "")
+    val composed = nfc(noZw)
+    val plainSpace = regexp_replace(composed, ExoticSpaceRe, " ")
     regexp_replace(plainSpace, ControlRe, "")
   }
 

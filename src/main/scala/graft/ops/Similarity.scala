@@ -206,7 +206,8 @@ object Similarity {
   private[graft] def centroidSims(spark: org.apache.spark.sql.SparkSession,
                            cents: Array[(Array[Double], Double)],
                            vec: Column): Column =
-    if (cents.length.toLong * cents.head._1.length <= CentroidLiteralBudget)
+    if (cents.isEmpty ||
+        cents.length.toLong * cents.head._1.length <= CentroidLiteralBudget)
       centroidSimsLiteral(spark, cents, vec)
     else centroidSimsBroadcast(spark, cents, vec)
 
@@ -229,20 +230,25 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       cents: Array[(Array[Double], Double)], vec: Column): Column = {
     val bc = spark.sparkContext.broadcast(cents)
+    // null vector -> null sims, matching the literal path's null
+    // propagation (the switch must stay invisible to callers)
     val score = udf { (v: Seq[Double]) =>
-      val cs = bc.value
-      val out = new Array[Double](cs.length)
-      var i = 0
-      while (i < cs.length) {
-        val cv = cs(i)._1
-        val n = math.min(v.length, cv.length)
-        var dot = 0.0
-        var j = 0
-        while (j < n) { dot += v(j) * cv(j); j += 1 }
-        out(i) = dot / cs(i)._2
-        i += 1
+      if (v == null) null
+      else {
+        val cs = bc.value
+        val out = new Array[Double](cs.length)
+        var i = 0
+        while (i < cs.length) {
+          val cv = cs(i)._1
+          val n = math.min(v.length, cv.length)
+          var dot = 0.0
+          var j = 0
+          while (j < n) { dot += v(j) * cv(j); j += 1 }
+          out(i) = dot / cs(i)._2
+          i += 1
+        }
+        out.toSeq
       }
-      out.toSeq
     }
     score(vec.cast("array<double>"))
   }

@@ -713,6 +713,24 @@ class OpsSpec extends SparkSpec {
     assert(g1 == g4 + 1, s"leading tab must add one gram: $g1 vs $g4")
   }
 
+  test("removeDupSpans: cuts non-first occurrences, keeps the canonical copy") {
+    val quote = (1 to 6).map(i => s"q$i").mkString(" ") // 6-token span
+    val d = Seq(
+      (0L, s"intro words here $quote outro words"),
+      (1L, s"other lead $quote different tail"),
+      (2L, "completely unrelated content words"),
+      // doc that is NOTHING BUT the duplicated span
+      (3L, quote)).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(d, "text", "doc_id", n = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 0 holds the corpus-first occurrence -> untouched
+    assert(out(0L) == s"intro words here $quote outro words")
+    // later occurrences are cut, surrounding text survives
+    assert(out(1L) == "other lead different tail", s"got ${out(1L)}")
+    assert(out(3L) == "", "fully-duplicated doc must come back empty")
+    assert(out(2L) == "completely unrelated content words")
+  }
+
   test("longestDupSpanPow: doubling finds the largest duplicated power rung") {
     val shared9 = (1 to 9).map(i => s"s$i").mkString(" ") // 9-token repeat
     val d = Seq(
@@ -1520,6 +1538,9 @@ class OpsSpec extends SparkSpec {
     val cases = Seq(
       // decomposed e + U+0301 composes to one code point
       "cafe\u0301" -> "caf\u00E9",
+      // ZWJ between base and combining mark: removed FIRST so NFC
+      // can still compose (ordering pinned by review)
+      "cafe\u200D\u0301" -> "caf\u00E9",
       // NBSP and ideographic space become plain spaces
       "a b　c" -> "a b c",
       // zero-width space/joiner and BOM vanish
