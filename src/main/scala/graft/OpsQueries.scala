@@ -541,6 +541,42 @@ object OpsQueries {
       |FROM c LEFT JOIN reb USING (doc_id)""".stripMargin
   }
 
+  /** EXACT longest-dup-span (suffix-array refinement of the pow
+    * bracket) over the planted corpus: the 12-token cross-doc repeat
+    * must report dup_len = 12 exactly and the 45-token one the cap 32
+    * (maxPow = 5 saturation). The oracle brute-forces EVERY length
+    * 1..32 from the raw token arrays; the Spark side reaches the same
+    * answers through O(log) rank-doubling + adjacent-suffix LCE,
+    * never materializing length-l span text. */
+  private def qTextDupSpanExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "documents").filter(col("doc_id") < 40)
+      .select("doc_id", "text")
+      .unionAll(dupSpanPlanted.toDF("doc_id", "text"))
+    Dedup.longestDupSpanExact(corpus, "text", "doc_id", maxPow = 5)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val oTextDupSpanExact = {
+    val plantedVals = dupSpanPlanted
+      .map { case (id, tx) => s"(CAST($id AS BIGINT), '$tx')" }
+      .mkString(",\n      |  ")
+    s"""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 40
+      |  UNION ALL SELECT * FROM (VALUES
+      |  $plantedVals) AS v(doc_id, text)),
+      |d AS (SELECT doc_id, $oToks AS toks FROM c),
+      |ls AS (SELECT i AS l FROM unnest(generate_series(1, 32)) AS t(i)),
+      |sp AS (SELECT doc_id, l,
+      |    md5(array_to_string(toks[i:i+l-1], ' ')) AS sp
+      |  FROM d CROSS JOIN ls,
+      |    unnest(generate_series(1, len(toks) - l + 1)) AS t(i)),
+      |dup AS (SELECT l, sp FROM sp GROUP BY l, sp HAVING count(*) >= 2),
+      |best AS (SELECT s.doc_id, max(s.l) AS dup_len
+      |  FROM sp s JOIN dup USING (l, sp) GROUP BY s.doc_id)
+      |SELECT c.doc_id, CAST(COALESCE(best.dup_len, 0) AS BIGINT) AS dup_len
+      |FROM c LEFT JOIN best USING (doc_id)""".stripMargin
+  }
+
   /** Prefix-doubling longest-dup-span over the same planted corpus as
     * the ladder query: the 12-token cross-doc repeat must report
     * dup_pow_len = 8 and the 45-token one 32 (largest powers ≤ true
@@ -2870,6 +2906,7 @@ object OpsQueries {
     "text_dup_spans" -> (qTextDupSpans _),
     "text_dup_spans_multi" -> (qTextDupSpansMulti _),
     "text_dup_span_longest" -> (qTextDupSpanLongest _),
+    "text_dup_span_exact" -> (qTextDupSpanExact _),
     "text_dup_spans_removed" -> (qTextDupSpansRemoved _),
     "contamination" -> (qContamination _),
     "join_pivot" -> (qJoinPivot _),
@@ -2965,6 +3002,7 @@ object OpsQueries {
     "text_dup_spans" -> oTextDupSpans,
     "text_dup_spans_multi" -> oTextDupSpansMulti,
     "text_dup_span_longest" -> oTextDupSpanLongest,
+    "text_dup_span_exact" -> oTextDupSpanExact,
     "text_dup_spans_removed" -> oTextDupSpansRemoved,
     "contamination" -> oContamination,
     "join_pivot" -> oJoinPivot,

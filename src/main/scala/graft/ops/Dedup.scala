@@ -615,6 +615,116 @@ object Dedup {
         coalesce(col("__k"), lit(0L)).as("dup_pow_len"))
   }
 
+  /** EXACT per-document longest duplicated-span length (capped at
+    * 2^`maxPow` tokens), closing [[longestDupSpanPow]]'s [k, 2k)
+    * bracket: a distributed suffix array to depth 2^maxPow by
+    * Manber-Myers prefix doubling over RANKS (Flick & Aluru's
+    * distributed construction shape), then LCP against each suffix's
+    * two neighbors in suffix order — the pair that maximizes LCP is
+    * always adjacent, so 2n bounded pairs replace the quadratic
+    * all-occurrence-pairs LCE.
+    *
+    * Ranks (dense, order-preserving: r_2k = rank of (r_k(i),
+    * r_k(i+k)), off-end sentinel −1 sorts shorter suffixes first) make
+    * every comparison EXACT — no hash-collision caveat anywhere in
+    * this operator. LCE between neighbor suffixes descends the saved
+    * rank tables from the top power: equal ranks at depth 2^p extend
+    * the match by 2^p; the final extension is clamped by both suffix
+    * lengths (rank equality of two short suffixes means they agree to
+    * their common end, not to depth 2^p).
+    *
+    * Returns (id, dup_len): the exact length of the doc's longest
+    * token span occurring ≥ 2 times corpus-wide when that length <
+    * 2^maxPow, saturated at 2^maxPow above (downward closure makes
+    * the cap itself exact: a doc reports the cap iff some cap-length
+    * span is duplicated); 0 when not even one token recurs.
+    *
+    * Shape at 100 TB: O(maxPow) rounds, each linear — one self-join
+    * to compose rank pairs, one distinct + range-shuffle global index
+    * to re-rank (never a corpus-wide window), rows stay (id, pos,
+    * rank) narrow at every depth (the span-ladder alternative pays a
+    * ×L token blowup to reach length L). The LCE descent is O(maxPow)
+    * equi-joins of the 2n neighbor pairs against the checkpointed
+    * rank tables. */
+  def longestDupSpanExact(df: DataFrame, textCol: String, idCol: String,
+                          maxPow: Int = 5): DataFrame = {
+    require(maxPow >= 0 && maxPow <= 16, s"maxPow out of range: $maxPow")
+    val cap = 1L << maxPow
+    // dense order-preserving rank of (kl, kr): distinct keys get their
+    // global sorted index (two-pass range shuffle), then join back
+    def rerank(t: DataFrame): DataFrame =
+      t.join(
+          Order.globalIndex(t.select("kl", "kr").distinct(),
+            struct(col("kl"), col("kr")), "r"),
+          Seq("kl", "kr"))
+        .select("id", "pos", "r")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
+    val lens = toks.groupBy("id")
+      .agg((max(col("pos")) + 1).as("len")).localCheckpoint(true)
+    // rank tables per power; ranks(p) orders depth-2^p prefixes
+    val ranks = new Array[DataFrame](maxPow + 1)
+    ranks(0) = rerank(toks
+        .select(col("id"), col("pos"), col("w").as("kl"), lit("").as("kr")))
+      .localCheckpoint(true)
+    var p = 0
+    while (p < maxPow) {
+      val k = 1 << p
+      val cur = ranks(p)
+      ranks(p + 1) = rerank(cur.as("a")
+          .join(cur.as("b"),
+            col("a.id") === col("b.id") &&
+              col("b.pos") === col("a.pos") + lit(k), "left")
+          .select(col("a.id").as("id"), col("a.pos").as("pos"),
+            col("a.r").as("kl"), coalesce(col("b.r"), lit(-1L)).as("kr")))
+        .localCheckpoint(true)
+      p += 1
+    }
+    // suffix order (exact to depth 2^maxPow; ties beyond share LCP ≥
+    // cap, so any tiebreak is safe) → adjacent-neighbor pairs
+    val indexed = Order.globalIndex(ranks(maxPow),
+      struct(col("r"), col("id"), col("pos")), "g")
+    var pairs = indexed.as("a")
+      .join(indexed.as("b"), col("b.g") === col("a.g") + 1)
+      .select(col("a.id").as("ida"), col("a.pos").as("posa"),
+        col("b.id").as("idb"), col("b.pos").as("posb"))
+      .withColumn("ext", lit(0L))
+      .localCheckpoint(true)
+    // greedy LCE descent over the rank tables, top power first
+    p = maxPow
+    while (p >= 0) {
+      val step = 1L << p
+      val ra = ranks(p).withColumnRenamed("r", "ra")
+      val rb = ranks(p).withColumnRenamed("r", "rb")
+      pairs = pairs
+        .join(ra, col("ida") === ra("id") &&
+          ra("pos") === col("posa") + col("ext"), "left")
+        .drop("id", "pos")
+        .join(rb, col("idb") === rb("id") &&
+          rb("pos") === col("posb") + col("ext"), "left")
+        .drop("id", "pos")
+        .withColumn("ext",
+          when(col("ra").isNotNull && col("ra") === col("rb"),
+            col("ext") + lit(step)).otherwise(col("ext")))
+        .drop("ra", "rb")
+        .localCheckpoint(true)
+      p -= 1
+    }
+    // clamp by both suffix lengths (short-suffix rank equality means
+    // agreement to the common end), cap, and take each doc's best
+    val la = lens.select(col("id").as("ida"), col("len").as("lena"))
+    val lb = lens.select(col("id").as("idb"), col("len").as("lenb"))
+    val lce = pairs.join(la, "ida").join(lb, "idb")
+      .withColumn("lce",
+        least(col("ext"), col("lena") - col("posa"),
+          col("lenb") - col("posb"), lit(cap)))
+    val perDoc = lce.select(col("ida").as("id"), col("lce"))
+      .unionAll(lce.select(col("idb").as("id"), col("lce")))
+      .groupBy("id").agg(max(col("lce")).as("__best"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__best"), lit(0L)).as("dup_len"))
+  }
+
   /** Connected components over an undirected pair list (ida, idb) by
     * iterative min-label propagation: each vertex repeatedly adopts the
     * smallest label among itself and its neighbors until fixpoint.

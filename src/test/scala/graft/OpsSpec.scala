@@ -754,6 +754,38 @@ class OpsSpec extends SparkSpec {
     assert(g2.getLong(1) == 0L)
   }
 
+  test("longestDupSpanExact: exact lengths, saturation, pow bracket") {
+    val shared9 = (1 to 9).map(i => s"s$i").mkString(" ")
+    val shared20 = (1 to 20).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (0L, s"a b c $shared9 tail0"),
+      (1L, s"x y $shared9 tail1"),
+      // 20-token repeat saturates at cap 16 (maxPow = 4)
+      (5L, s"lead $shared20"),
+      (6L, s"$shared20 trail"),
+      (2L, "totally unique tokens here"),
+      (3L, "totally distinct words there"),
+      // within-doc repetition: same 3 tokens twice in one doc
+      (4L, "p q r filler p q r"),
+      (7L, "nope")).toDF("doc_id", "text")
+    val got = Dedup.longestDupSpanExact(d, "text", "doc_id", maxPow = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 9L && got(1L) == 9L, s"got $got")
+    assert(got(5L) == 16L && got(6L) == 16L, s"cap: $got")
+    assert(got(2L) == 1L && got(3L) == 1L, s"single token: $got")
+    assert(got(4L) == 3L, s"within-doc: $got")
+    assert(got(7L) == 0L, s"no dup: $got")
+    // bracket relation vs the pow variant on the same corpus:
+    // pow <= exact < 2*pow (or both saturated)
+    val pow = Dedup.longestDupSpanPow(d, "text", "doc_id", maxPow = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val (p, e) = (pow(id), got(id))
+      assert(p <= e && (e == 0L || e < 2 * p || e == 16L),
+        s"bracket broken for $id: pow=$p exact=$e")
+    }
+  }
+
   test("minhashJoin: hot LSH bucket capped; linkage elsewhere survives skew") {
     // one spam/mirror domain floods a bucket: thousands of byte-identical
     // boilerplate pages share EVERY band signature
