@@ -441,6 +441,31 @@ object OpsQueries {
       |SELECT doc_id, clean,
       |  CAST(length(clean) AS BIGINT) AS n_clean_chars FROM n""".stripMargin
 
+  /** Encoding repair over docs with PLANTED mojibake: a 2-byte
+    * (cafÃ© → café), 3-byte (â€™ → ’), and 4-byte (ðŸ˜€ → U+1F600)
+    * UTF-8-as-cp1252 sequence must each be re-decoded, while genuine
+    * Latin-1 (über), a lone €, and an overlong C0 AF stay untouched.
+    * The corpus text is ASCII (verified across SFs), so the oracle
+    * constructs the expected repaired string directly with chr() —
+    * the repair rules themselves are pinned by the JVM spec. */
+  private def qTextFixEncoding(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+    val planted = concat(col("text"), lit(
+      " cafÃ© aâ€™b ðŸ˜€" +
+        " über €5 À¯"))
+    d.select(col("doc_id"),
+      Scrub.fixMojibake(planted).as("fixed"),
+      Scrub.mojibakeRepairs(planted).as("repairs"))
+  }
+
+  private val oTextFixEncoding =
+    """SELECT doc_id,
+      |  text || ' caf' || chr(233) || ' a' || chr(8217) || 'b ' ||
+      |    chr(128512) || ' ' || chr(252) || 'ber ' || chr(8364) ||
+      |    '5 ' || chr(192) || chr(175) AS fixed,
+      |  CAST(3 AS BIGINT) AS repairs
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   // planted verbatim repeats at lengths the fixed n=20 form cannot see
   // (12 < 20: no span at all) or cannot distinguish (45 ≈ 20): shared
   // between the Spark query and the oracle so they cannot drift
@@ -2903,6 +2928,7 @@ object OpsQueries {
     "text_scrub" -> (qTextScrub _),
     "text_normalize" -> (qTextNormalize _),
     "text_dedup_lines" -> (qTextDedupLines _),
+    "text_fix_encoding" -> (qTextFixEncoding _),
     "text_dup_spans" -> (qTextDupSpans _),
     "text_dup_spans_multi" -> (qTextDupSpansMulti _),
     "text_dup_span_longest" -> (qTextDupSpanLongest _),
@@ -2999,6 +3025,7 @@ object OpsQueries {
     "text_scrub" -> oTextScrub,
     "text_normalize" -> oTextNormalize,
     "text_dedup_lines" -> oTextDedupLines,
+    "text_fix_encoding" -> oTextFixEncoding,
     "text_dup_spans" -> oTextDupSpans,
     "text_dup_spans_multi" -> oTextDupSpansMulti,
     "text_dup_span_longest" -> oTextDupSpanLongest,

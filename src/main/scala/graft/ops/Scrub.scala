@@ -66,6 +66,114 @@ object Scrub {
     regexp_replace(plainSpace, ControlRe, "")
   }
 
+  // cp1252 bytes 0x80-0x9F decode to these Unicode chars (the five
+  // undefined slots pass the C1 control through, "sloppy cp1252" —
+  // what a latin-1 mis-decode leaves behind)
+  private val Cp1252High: Array[Char] = Array(
+    '\u20AC', '\u0081', '\u201A', '\u0192', '\u201E', '\u2026',
+    '\u2020', '\u2021', '\u02C6', '\u2030', '\u0160', '\u2039',
+    '\u0152', '\u008D', '\u017D', '\u008F', '\u0090', '\u2018',
+    '\u2019', '\u201C', '\u201D', '\u2022', '\u2013', '\u2014',
+    '\u02DC', '\u2122', '\u0161', '\u203A', '\u0153', '\u009D',
+    '\u017E', '\u0178')
+
+  /** The byte this char becomes when UTF-8 output is mis-decoded as
+    * cp1252 OR latin-1 ("sloppy cp1252": both the cp1252 glyph and the
+    * raw C1 control map back), or -1 when the char can't come from a
+    * single high byte. */
+  private def mojibakeByte(c: Char): Int = {
+    if (c >= '\u00A0' && c <= '\u00FF') c.toInt
+    else if (c >= '\u0080' && c <= '\u009F') c.toInt
+    else {
+      var i = 0
+      while (i < 32) {
+        if (Cp1252High(i) == c) return 0x80 + i
+        i += 1
+      }
+      -1
+    }
+  }
+
+  /** One repair pass over a string: (fixed, sequencesRepaired).
+    * Strict UTF-8 structure only — overlongs, surrogates (ED A0-BF),
+    * and out-of-range leads never match, so clean Latin-1/cp1252 text
+    * ("\u00FCber", a lone \u20AC) passes through
+    * untouched; only char runs that are byte-for-byte a valid UTF-8
+    * sequence mis-decoded as cp1252/latin-1 are re-decoded. */
+  private[graft] def fixMojibakeJvm(s: String): (String, Int) = {
+    if (s == null) return (null, 0)
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var fixed = 0
+    var i = 0
+    while (i < n) {
+      val lead = mojibakeByte(s.charAt(i))
+      var len = 0
+      if (lead >= 0xC2 && lead <= 0xDF) len = 2
+      else if (lead >= 0xE0 && lead <= 0xEF) len = 3
+      else if (lead >= 0xF0 && lead <= 0xF4) len = 4
+      var cp = -1
+      if (len > 0 && i + len <= n) {
+        val b1 = if (len >= 2) mojibakeByte(s.charAt(i + 1)) else -1
+        val b2 = if (len >= 3) mojibakeByte(s.charAt(i + 2)) else -1
+        val b3 = if (len >= 4) mojibakeByte(s.charAt(i + 3)) else -1
+        val cont = (b: Int) => b >= 0x80 && b <= 0xBF
+        val ok = len match {
+          case 2 => cont(b1)
+          case 3 =>
+            cont(b1) && cont(b2) &&
+              (if (lead == 0xE0) b1 >= 0xA0
+               else if (lead == 0xED) b1 <= 0x9F
+               else true)
+          case 4 =>
+            cont(b1) && cont(b2) && cont(b3) &&
+              (if (lead == 0xF0) b1 >= 0x90
+               else if (lead == 0xF4) b1 <= 0x8F
+               else true)
+        }
+        if (ok) cp = len match {
+          case 2 => ((lead & 0x1F) << 6) | (b1 & 0x3F)
+          case 3 => ((lead & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+          case 4 => ((lead & 0x07) << 18) | ((b1 & 0x3F) << 12) |
+            ((b2 & 0x3F) << 6) | (b3 & 0x3F)
+        }
+      }
+      if (cp >= 0) {
+        out.appendCodePoint(cp)
+        fixed += 1
+        i += len
+      } else {
+        out.append(s.charAt(i))
+        i += 1
+      }
+    }
+    (out.toString, fixed)
+  }
+
+  /** Encoding repair (ftfy-lite) for web corpora: undo the most common
+    * mojibake — UTF-8 output mis-decoded as cp1252/latin-1, leaving
+    * "caf\u00C3\u00A9" for "caf\u00E9" and
+    * "\u00E2\u20AC\u2122" for a right single quote. Each char run
+    * whose sloppy-cp1252 byte image is a
+    * STRICTLY valid UTF-8 sequence is re-decoded; everything else
+    * (genuine Latin-1 words, a lone €) is untouched, so the repair is
+    * idempotent on clean text. One pass; compose twice for
+    * doubly-encoded text. Scalar JVM fn (a state machine regexes can't
+    * express — same precedent as NFC), no shuffle, null-safe. */
+  def fixMojibake(text: Column): Column = {
+    val f = udf { (s: String) => fixMojibakeJvm(s)._1 }
+    f(text)
+  }
+
+  /** Number of mojibake sequences [[fixMojibake]] would repair — the
+    * encoding-health signal for quality gates (a high count means the
+    * document went through a broken decode step; route to quarantine
+    * or re-fetch). */
+  def mojibakeRepairs(text: Column): Column = {
+    val f = udf { (s: String) => fixMojibakeJvm(s)._2.toLong }
+    f(text)
+  }
+
   /** C4-style intra-document repetition removal: drop repeated lines
     * (or paragraphs — pick the separator), keeping the FIRST occurrence
     * in place. Boilerplate (nav bars, cookie banners, repeated headers)

@@ -713,6 +713,34 @@ class OpsSpec extends SparkSpec {
     assert(g1 == g4 + 1, s"leading tab must add one gram: $g1 vs $g4")
   }
 
+  test("fixMojibake: repairs UTF-8-as-cp1252, leaves clean Latin-1 alone") {
+    import graft.ops.Scrub.fixMojibakeJvm
+    // 2-byte: C3 A9 mis-decoded -> e-acute
+    assert(fixMojibakeJvm("cafÃ©") == ("café", 1))
+    // 3-byte: E2 80 99 (cp1252 glyphs) -> right single quote
+    assert(fixMojibakeJvm("aâ€™b") == ("a’b", 1))
+    // 4-byte: F0 9F 98 80 -> U+1F600 (surrogate pair on output)
+    assert(fixMojibakeJvm("ðŸ˜€") ==
+      (new String(Character.toChars(0x1F600)), 1))
+    // raw C1 controls (latin-1 mis-decode) work like their cp1252 twins
+    assert(fixMojibakeJvm("aâ\u0080\u0099b") == ("a’b", 1))
+    // genuine Latin-1 stays: no continuation follows the would-be lead
+    assert(fixMojibakeJvm("über") == ("über", 0))
+    assert(fixMojibakeJvm("price €5") == ("price €5", 0))
+    // overlong (C0 AF) and surrogate (ED A0 80) encodings never match
+    assert(fixMojibakeJvm("À¯") == ("À¯", 0))
+    assert(fixMojibakeJvm("í\u00A0\u0080") == ("í\u00A0\u0080", 0))
+    // repaired output is stable under a second pass (clean-text idempotence)
+    val once = fixMojibakeJvm("x cafÃ© y â€“z")._1
+    assert(fixMojibakeJvm(once) == (once, 0))
+    assert(fixMojibakeJvm(null) == (null, 0))
+    // column wrappers agree with the JVM core
+    val d = Seq((1L, "cafÃ© ü")).toDF("id", "t")
+    val r = d.select(Scrub.fixMojibake(col("t")), Scrub.mojibakeRepairs(col("t")))
+      .head
+    assert(r.getString(0) == "café ü" && r.getLong(1) == 1L)
+  }
+
   test("removeDupSpans: cuts non-first occurrences, keeps the canonical copy") {
     val quote = (1 to 6).map(i => s"q$i").mkString(" ") // 6-token span
     val d = Seq(
