@@ -308,6 +308,21 @@ object OpsQueries {
       |FROM fp b JOIN firsts f ON b.doc_id = f.doc_id
       |WHERE b.fp NOT IN (SELECT fp FROM fp WHERE doc_id < 400)""".stripMargin
 
+  /** Bloom-tiered incremental exact dedup: same split and SAME ORACLE
+    * as `dedup_incremental_exact` — the bloom tier must be invisible
+    * in the output (no false negatives; the anti-join strips the fpp
+    * sliver). The bloom is sized for the history index and probed via
+    * the codegen graft_bloom_contains expression. */
+  private def qDedupIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hist = d.filter(col("doc_id") < 400)
+    val index = Dedup.exactIndex(hist, "text", "doc_id")
+    val bloom = Dedup.indexBloom(index, expectedKeys = 4096)
+    Dedup.incrementalExactBloom(d.filter(col("doc_id") >= 400), "text",
+        "doc_id", index, bloom)
+      .select("doc_id", "lang", "n_chars")
+  }
+
   /** Incremental near-dup: today's batch probed against the persisted
     * minhash band index of the history; candidates verified with exact
     * Jaccard (no false positives), and every qualifying cross pair in
@@ -2890,6 +2905,7 @@ object OpsQueries {
     "dedup_semantic" -> (qDedupSemantic _),
     "dedup_semantic_survivors" -> (qDedupSemanticSurvivors _),
     "dedup_incremental_exact" -> (qDedupIncrementalExact _),
+    "dedup_incremental_bloom" -> (qDedupIncrementalBloom _),
     "dedup_incremental_minhash" -> (qDedupIncrementalMinhash _),
     "sim_topk" -> (qSimTopK _),
     "sim_topk_lsh" -> (qSimTopKLsh _),
@@ -2987,6 +3003,7 @@ object OpsQueries {
     "dedup_semantic" -> oDedupSemantic,
     "dedup_semantic_survivors" -> oDedupSemanticSurvivors,
     "dedup_incremental_exact" -> oDedupIncrementalExact,
+    "dedup_incremental_bloom" -> oDedupIncrementalExact,
     "dedup_incremental_minhash" -> oDedupIncrementalMinhash,
     "sim_topk" -> oSimTopK,
     "sim_topk_lsh" -> oAnnWellFormed,

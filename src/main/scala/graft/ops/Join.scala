@@ -44,23 +44,28 @@ object Join {
       .select(col(dimKey).cast("string").as("__k"))
       .filter(col("__k").isNotNull)
       .stat.bloomFilter("__k", expectedKeys, fpp)
-    // With GraftExtensions the membership test is the graft_bloom_contains
-    // codegen expression — the scan filter stays inside whole-stage
-    // codegen, no per-row String boxing. Fallback: a Scala UDF over a
-    // broadcast of the same filter (identical semantics, spec-pinned).
     val probe =
-      if (fact.sparkSession.catalog.functionExists("graft_bloom_contains"))
-        call_function("graft_bloom_contains",
-          col(factKey).cast("string"),
-          lit(graft.functions.BloomMightContain.serialize(bf)))
-      else {
-        val bc = fact.sparkSession.sparkContext.broadcast(bf)
-        udf((k: String) => k != null && bc.value.mightContainString(k))
-          .apply(col(factKey).cast("string"))
-      }
+      mightContainExpr(fact, bf, col(factKey).cast("string"))
     // Null fact keys match nothing in an equi-join — drop them here too.
     fact.filter(col(factKey).isNotNull && probe)
   }
+
+  /** Membership-test column for a driver-held bloom filter. With
+    * GraftExtensions this is the graft_bloom_contains codegen
+    * expression — the filter stays inside whole-stage codegen, no
+    * per-row String boxing. Fallback: a Scala UDF over a broadcast of
+    * the same filter (identical semantics, spec-pinned). */
+  private[graft] def mightContainExpr(df: DataFrame, bf: BloomFilter,
+                                      key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    if (df.sparkSession.catalog.functionExists("graft_bloom_contains"))
+      call_function("graft_bloom_contains",
+        key, lit(graft.functions.BloomMightContain.serialize(bf)))
+    else {
+      val bc = df.sparkSession.sparkContext.broadcast(bf)
+      udf((k: String) => k != null && bc.value.mightContainString(k))
+        .apply(key)
+    }
 
   /** Inner-join `fact` to `dim` with the fact side bloom-pruned first.
     * Result is identical to `fact.join(dim, factKey === dimKey)`; the

@@ -535,6 +535,31 @@ class OpsSpec extends SparkSpec {
     assert(incPairs.nonEmpty, "split should cross at least one near-dup pair")
   }
 
+  test("incrementalExactBloom is row-identical to the plain anti-join") {
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300)
+    val idx = Dedup.exactIndex(corpus, "text", "doc_id")
+    val plain = Dedup.incrementalExact(batch, "text", "doc_id", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a deliberately undersized bloom (expectedKeys = 4 for hundreds of
+    // fingerprints) floods the probe with false positives — the
+    // anti-join must strip every one; false negatives cannot exist
+    for (keys <- Seq(4L, 4096L)) {
+      val got = Dedup.incrementalExactBloom(batch, "text", "doc_id", idx,
+          Dedup.indexBloom(idx, expectedKeys = keys))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == plain, s"expectedKeys=$keys diverged")
+    }
+    // empty history: everything novel survives (within-batch collapsed)
+    val emptyIdx = Dedup.exactIndex(docs.limit(0), "text", "doc_id")
+    val all = Dedup.incrementalExactBloom(batch, "text", "doc_id", emptyIdx,
+        Dedup.indexBloom(emptyIdx.unionAll(idx.limit(1)), 16))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val within = Dedup.exact(batch, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == within)
+  }
+
   test("perplexity: in-distribution docs score lower; gram-less docs NULL") {
     val corpus = Seq(
       (0L, "alpha beta alpha beta alpha beta"),
