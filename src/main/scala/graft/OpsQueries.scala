@@ -2631,6 +2631,26 @@ object OpsQueries {
       |  CAST(max(n_chars) AS VARCHAR) AS max_n_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Token-balanced output sharding: every doc lands in the shard whose
+    * [k·target, (k+1)·target) span its exclusive running char total
+    * falls in, in doc_id order — equal-MASS output files, computed with
+    * the two-pass prefix-sum scan (never the single-task `SUM OVER
+    * (ORDER BY)` this SQL oracle is allowed to be). */
+  private def qLayoutTokenShards(s: SparkSession, dir: String): DataFrame =
+    Layout.tokenShards(
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      col("doc_id"), col("n_chars"), targetPerShard = 20000L)
+      .select("doc_id", "lang", "n_chars", "cum_before", "shard")
+
+  private val oLayoutTokenShards =
+    """WITH c AS (SELECT doc_id, lang, n_chars,
+      |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS cum_before
+      |FROM documents)
+      |SELECT doc_id, lang, n_chars, cum_before,
+      |  cum_before // 20000 AS shard FROM c""".stripMargin
+
   /** End-to-end WEB curation: Gopher quality gate → URL canonicalization
     * → registered domain → per-domain cap, one composed plan (the
     * source-level mirror of `curation_pipeline`'s text-level flow). The
@@ -2889,6 +2909,7 @@ object OpsQueries {
     "dataset_diff" -> (qDatasetDiff _),
     "dataset_psi" -> (qDatasetPsi _),
     "layout_manifest" -> (qLayoutManifest _),
+    "layout_token_shards" -> (qLayoutTokenShards _),
     "web_curation_pipeline" -> (qWebCurationPipeline _),
     "web_html_text" -> (qWebHtmlText _),
     "text_tfidf" -> (qTextTfidf _),
@@ -2987,6 +3008,7 @@ object OpsQueries {
     "dataset_diff" -> oDatasetDiff,
     "dataset_psi" -> oDatasetPsi,
     "layout_manifest" -> oLayoutManifest,
+    "layout_token_shards" -> oLayoutTokenShards,
     "web_curation_pipeline" -> oWebCurationPipeline,
     "web_html_text" -> oWebHtmlText,
     "text_tfidf" -> oTextTfidf,

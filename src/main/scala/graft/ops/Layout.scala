@@ -25,6 +25,32 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Assign every row to an output SHARD of ~`targetPerShard` weight
+    * (tokens, bytes, chars) in deterministic `sortKey` order — the
+    * "write the final pretraining shards" step, where a training run
+    * wants files of near-equal token mass, not near-equal row count
+    * (docs vary 100× in length, so row-balanced files are token-skewed
+    * and the longest file gates every data-parallel reader).
+    *
+    * shard k holds exactly the rows whose exclusive running total lies
+    * in [k·target, (k+1)·target): boundaries are a pure function of the
+    * data and order, independent of cluster layout. Every shard's mass
+    * is within one max-row-weight of the target (a row is never split;
+    * the last shard holds the remainder). Integer division keeps the
+    * assignment exact at any scale (no double rounding at 2^53).
+    *
+    * Scale shape: [[Order.prefixSum]]'s two-pass range-shuffle scan —
+    * never the single-task `SUM OVER (ORDER BY)` window. Downstream,
+    * `.repartition(col(shardCol))` + `partitionBy(shardCol)` lands one
+    * directory per shard. */
+  def tokenShards(df: DataFrame, sortKey: Column, weight: Column,
+                  targetPerShard: Long, shardCol: String = "shard",
+                  cumCol: String = "cum_before"): DataFrame = {
+    require(targetPerShard > 0, "targetPerShard must be positive")
+    Order.prefixSum(df, sortKey, weight, cumCol)
+      .withColumn(shardCol, expr(s"$cumCol div ${targetPerShard}L"))
+  }
+
   /** Iceberg-style FILE MANIFEST of a parquet dataset: one row per data
     * file with its partition-directory values, row count, byte size,
     * and per-column min/max — all read from parquet FOOTERS only, never

@@ -63,4 +63,56 @@ object Order {
       concat(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))),
         col(idCol).cast("string")),
       posCol)
+
+  /** Attach the EXCLUSIVE running total of `weight` over `sortKey`
+    * ascending order — row r gets the sum of all weights strictly
+    * before it. The weighted generalization of [[globalIndex]]
+    * ([[globalIndex]] is `weight ≡ 1` minus the off-by-one), and the
+    * scalable spelling of `SUM(w) OVER (ORDER BY k ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND 1 PRECEDING)` — which as written collapses
+    * the corpus into one window task. Same two-pass scan shape: range
+    * shuffle + within-partition sort, one tiny per-partition-totals job
+    * (numPartitions longs to the driver), then a map pass that adds
+    * each partition's exclusive offset to its local running total.
+    *
+    * `sortKey` must be unique per row (same contract as
+    * [[globalIndex]]); `weight` is read as a long, nulls count 0.
+    * Longs hold the running total exactly — no 2^53 double cliff at
+    * 100 TB token counts. */
+  def prefixSum(df: DataFrame, sortKey: Column, weight: Column,
+                cumCol: String = "cum_before"): DataFrame = {
+    val spark = df.sparkSession
+    require(!df.columns.contains("__ps_key") && !df.columns.contains("__ps_w"),
+      "prefixSum: input already has a __ps_key/__ps_w column")
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.withColumn("__ps_key", sortKey)
+      .withColumn("__ps_w", coalesce(weight.cast("long"), lit(0L)))
+      .repartitionByRange(np, col("__ps_key"))
+      .sortWithinPartitions(col("__ps_key"))
+      .localCheckpoint(true)
+    val wIdx = sorted.schema.fieldIndex("__ps_w")
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(wIdx))
+      Iterator((i, s))
+    }.collect().toMap
+    val nParts = sorted.rdd.getNumPartitions
+    val offsets = new Array[Long](math.max(nParts, 1))
+    var acc = 0L
+    for (i <- 0 until nParts) {
+      offsets(i) = acc
+      acc += partTotals.getOrElse(i, 0L)
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val outSchema = sorted.schema.add(cumCol, LongType, nullable = false)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = bOff.value(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(wIdx)
+        out
+      }
+    }
+    spark.createDataFrame(rows, outSchema).drop("__ps_key", "__ps_w")
+  }
 }

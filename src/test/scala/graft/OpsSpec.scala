@@ -1718,6 +1718,42 @@ class OpsSpec extends SparkSpec {
     assert(a != c, "different seeds must permute differently")
   }
 
+  test("prefixSum: exclusive running totals, partition-independent, null weight = 0") {
+    val data = (1 to 800).map(i => (i.toLong,
+      if (i % 97 == 0) null else java.lang.Long.valueOf((i % 13 + 1).toLong)))
+    val d = data.toDF("id", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Order.prefixSum(df, col("id"), col("w"), "cum")
+        .select("id", "cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val got = run(d.repartition(11))
+    assert(got == run(d.repartition(2)), "prefix sum depends on partitioning")
+    var acc = 0L
+    val want = data.sortBy(_._1).map { case (id, w) =>
+      val out = (id, acc); acc += (if (w == null) 0L else w.longValue); out
+    }
+    assert(got == want)
+  }
+
+  test("tokenShards: every shard within one max-weight of target; boundaries partition-stable") {
+    val d = (1 to 600).map(i => (i.toLong, (i % 37 + 5).toLong)).toDF("id", "w")
+    val target = 500L
+    val shards = Layout.tokenShards(d.repartition(9), col("id"), col("w"), target)
+      .select(col("shard"), col("w")).groupBy("shard")
+      .agg(sum("w").as("mass")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(shards.map(_._1).toSeq == (0L until shards.length))
+    val maxW = 41L
+    // a row is never split, so a full shard's mass lands in (target-maxW, target+maxW)
+    shards.dropRight(1).foreach { case (k, mass) =>
+      assert(math.abs(mass - target) < maxW, s"shard $k mass $mass")
+    }
+    // no single-partition window in the plan (the RDD scan shape)
+    val plan = Layout.tokenShards(d, col("id"), col("w"), target)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   // --------------------------------------- content-defined chunking
 
   /** Deterministic pseudo-random bytes: an md5 chain keyed by seed. */
