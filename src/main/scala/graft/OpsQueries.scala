@@ -2399,6 +2399,35 @@ object OpsQueries {
       |    AS rank FROM dom)
       |SELECT doc_id, domain, rank FROM r WHERE rank <= 3""".stripMargin
 
+  /** Per-domain TOKEN budget (chars here): admit best-first until the
+    * domain's mass budget is spent — the weighted form of the row cap.
+    * The oracle replays drop-nonpositive, the exclusive per-domain
+    * running total, and the admit-while-under-budget rule. */
+  private def qWebTokenCap(s: SparkSession, dir: String): DataFrame = {
+    val dom = plantedUrls(s, dir)
+      .withColumn("domain", Web.registeredDomain(Web.host(col("url"))))
+    Web.perDomainTokenCap(dom, col("domain"),
+        Seq(col("n_chars").desc, col("doc_id")), "n_chars", budget = 600L)
+      .select(col("doc_id"), col("domain"), col("cum_before"))
+  }
+
+  private val oWebTokenCap =
+    s"""WITH u AS ($oPlantedUrls),
+      |d AS (SELECT doc_id, n_chars,
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+      |  FROM u),
+      |dom AS (SELECT doc_id, n_chars,
+      |    ${oRegisteredDomain("host")} AS domain FROM d
+      |  WHERE n_chars >= 1),
+      |c AS (SELECT doc_id, domain,
+      |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY domain
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM dom)
+      |SELECT doc_id, domain, cum_before FROM c WHERE cum_before < 600""".stripMargin
+
   /** Reproducible epoch ordering: every row's global training position,
     * fully replayed in SQL (md5 key, positions, tiebreak) — the
     * ordering itself is the verified artifact, not just membership. */
@@ -2898,6 +2927,7 @@ object OpsQueries {
     "text_fingerprint" -> (qTextFingerprint _),
     "web_canonical" -> (qWebCanonical _),
     "web_domain_cap" -> (qWebDomainCap _),
+    "web_token_cap" -> (qWebTokenCap _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -2997,6 +3027,7 @@ object OpsQueries {
     "text_fingerprint" -> oTextFingerprint,
     "web_canonical" -> oWebCanonical,
     "web_domain_cap" -> oWebDomainCap,
+    "web_token_cap" -> oWebTokenCap,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

@@ -265,4 +265,38 @@ object Web {
   def perDomainCap(df: DataFrame, domainCol: Column, order: Seq[Column],
                    cap: Int): DataFrame =
     Rank.topNPerGroup(df, Seq(domainCol), order, cap)
+
+  /** [[perDomainCap]] measured in a weight column's units — tokens,
+    * chars, bytes — instead of rows: admit rows per domain best-first by
+    * `order` (append a unique id for determinism) until the domain's
+    * BUDGET is spent. A row is admitted iff the weight of the rows
+    * admitted before it is still under budget, so the first row of a
+    * domain always lands even if it alone exceeds the budget, and
+    * every domain's retained mass is < budget + its heaviest row.
+    *
+    * Weights must be positive integers (a token count); null or
+    * non-positive rows are dropped — they consume nothing, so any
+    * number of them could otherwise be admitted at unbounded depth.
+    * Because every admitted row weighs ≥ 1, at most `budget` rows per
+    * domain can ever be admitted: the same WindowGroupLimit map-side
+    * prune as the row cap bounds the exchange FIRST, and the
+    * cumulative-sum window runs over the ≤ min(budget, rows) survivors
+    * per domain — never over the raw crawl skew. Adds `rank` and the
+    * exclusive `cum_before`. */
+  def perDomainTokenCap(df: DataFrame, domainCol: Column,
+                        order: Seq[Column], weightCol: String,
+                        budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val pos = df.filter(col(weightCol).isNotNull && col(weightCol) >= 1)
+    val rowCap = math.min(budget, Int.MaxValue.toLong).toInt
+    val pruned = Rank.topNPerGroup(pos, Seq(domainCol), order, rowCap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    pruned
+      .withColumn("cum_before",
+        coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+  }
 }

@@ -1693,6 +1693,32 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("perDomainTokenCap: budgeted admission, oversize first row, zero-weight drop, map-side prune") {
+    // domain d0: weights 500, 300, 300, ... -> admits 500 (cum 0) and
+    // 300 (cum 500 < 600? no — 500 < 600 yes) then cum 800 stops
+    val rows = Seq(
+      (1L, "d0", 500L), (2L, "d0", 300L), (3L, "d0", 300L), (4L, "d0", 10L),
+      (5L, "d1", 900L), (6L, "d1", 10L),     // oversize first row admitted alone
+      (7L, "d2", 0L), (8L, "d2", -5L), (9L, "d2", 50L)) // nonpositive dropped
+    val d = rows.toDF("id", "dom", "w").repartition(5)
+    val kept = Web.perDomainTokenCap(d, col("dom"),
+        Seq(col("w").desc, col("id")), "w", budget = 600L)
+      .select("id", "cum_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept.keySet == Set(1L, 2L, 5L, 9L), kept)
+    assert(kept(1L) == 0L && kept(2L) == 500L && kept(5L) == 0L && kept(9L) == 0L)
+    // retained mass per domain < budget + heaviest admitted row
+    assert(500L + 300L < 600L + 500L && 900L < 600L + 900L)
+    // the row-cap prune reaches the plan as WindowGroupLimit; on a tiny
+    // LocalRelation the optimizer skips it when cap >= known maxRows
+    // (harmless — file scans have unknown maxRows), so probe with a
+    // budget that binds: rowCap 5 < 9 input rows
+    val plan = Web.perDomainTokenCap(d, col("dom"),
+      Seq(col("w").desc, col("id")), "w", budget = 5L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   // ------------------------------------------------ deterministic order
 
   test("globalIndex: contiguous 0..n-1 positions in key order, no single-partition window") {
