@@ -1977,6 +1977,27 @@ object OpsQueries {
       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |      < rate * 4294967296.0""".stripMargin
 
+  /** Temperature-rebalanced (α = 0.5) multilingual mixture: language
+    * weights learned from the data as sqrt(char mass) — low-resource
+    * langs lifted, heads damped. sqrt is correctly-rounded in every
+    * IEEE engine, so the oracle replays the learned weights, budget,
+    * and per-row acceptance bit-exactly. */
+  private def qSampleTemperature(s: SparkSession, dir: String): DataFrame =
+    Sample.temperatureMixture(
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      "doc_id", "lang", "n_chars", alpha = 0.5)
+
+  private val oSampleTemperature =
+    """WITH c AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS m
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+      |j AS (SELECT lang, m, sqrt(m) AS wt FROM c),
+      |b AS (SELECT floor(min(m / wt)) AS budget FROM j),
+      |r AS (SELECT lang, budget * wt / m AS rate FROM j CROSS JOIN b)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN r USING (lang)
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      < rate * 4294967296.0""".stripMargin
+
   // =====================================================================
   // Mergeable HLL sketch rollup (incremental ndv aggregation)
   // =====================================================================
@@ -3006,6 +3027,7 @@ object OpsQueries {
     "join_bloom" -> (qJoinBloom _),
     "sample_mixture" -> (qSampleMixture _),
     "sample_mixture_tokens" -> (qSampleMixtureTokens _),
+    "sample_temperature" -> (qSampleTemperature _),
     "profile_hll_rollup" -> (qProfileHllRollup _),
     "events_hll_window" -> (qEventsHllWindow _),
     "events_kll_window" -> (qEventsKllWindow _),
@@ -3106,6 +3128,7 @@ object OpsQueries {
     "join_bloom" -> oJoinBloom,
     "sample_mixture" -> oSampleMixture,
     "sample_mixture_tokens" -> oSampleMixtureTokens,
+    "sample_temperature" -> oSampleTemperature,
     "profile_hll_rollup" -> oProfileHllRollup,
     "events_hll_window" -> oEventsHllWindow,
     "events_kll_window" -> oEventsKllWindow,

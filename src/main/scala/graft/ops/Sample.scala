@@ -98,6 +98,36 @@ object Sample {
       bucket32(col(idCol)) < rateCol * lit(4294967296.0))
   }
 
+  /** TEMPERATURE-rebalanced mixture (the multilingual-pretraining
+    * recipe, mT5/XLM-R style): stratum weights are derived from the
+    * data itself as `mass^alpha` rather than hand-picked — α = 1 keeps
+    * the natural distribution (and the algebra collapses to rate 1:
+    * nothing is dropped), α → 0 approaches uniform, and the usual
+    * α ≈ 0.3–0.7 lifts low-resource languages without letting any
+    * single head language dominate. One extra low-cardinality
+    * aggregation to learn the masses, then the same md5-bucket
+    * acceptance as [[mixtureByWeight]] — per-row deterministic, subset
+    * property preserved.
+    *
+    * Engine parity: α = 0.5 is computed as `sqrt` (IEEE
+    * correctly-rounded everywhere, so thresholds are bit-identical and
+    * the oracle replays selection exactly); other α go through `pow`,
+    * whose last-ulp rounding is libm-specific — fine for sampling, but
+    * pin contracts at 0.5. */
+  def temperatureMixture(df: DataFrame, idCol: String, stratumCol: String,
+                         weightCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val masses = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol)
+      .agg(sum(col(weightCol).cast("double")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(masses.nonEmpty, "temperatureMixture: no non-null strata")
+    val weights = masses.map { case (st, m) =>
+      st -> (if (alpha == 0.5) math.sqrt(m) else math.pow(m, alpha))
+    }
+    mixtureByWeight(df, idCol, stratumCol, weightCol, weights)
+  }
+
   /** Weight-proportional sampling WITHOUT replacement via PRIORITY
     * SAMPLING (Duffield–Lund–Thorup, "Priority sampling for estimation
     * of arbitrary subset sums", JACM 2007): each row gets priority

@@ -1388,6 +1388,29 @@ class OpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("temperatureMixture: alpha=1 is the identity; alpha=0.5 lifts the tail stratum's share") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "lang", "n_chars").filter(col("lang").isNotNull)
+    // alpha = 1: weights = masses, so every rate is 1 — nothing dropped
+    val id = Sample.temperatureMixture(d, "doc_id", "lang", "n_chars", 1.0)
+    assert(id.count() == d.count())
+    def shares(df: org.apache.spark.sql.DataFrame) = {
+      val m = df.groupBy("lang").agg(sum("n_chars").as("m")).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      val t = m.values.sum
+      m.map { case (k, v) => k -> v / t }
+    }
+    val before = shares(d)
+    val after = shares(
+      Sample.temperatureMixture(d, "doc_id", "lang", "n_chars", 0.5))
+    val tail = before.minBy(_._2)._1
+    val head = before.maxBy(_._2)._1
+    assert(after(tail) > before(tail),
+      s"tail $tail share ${after(tail)} not lifted from ${before(tail)}")
+    assert(after(head) < before(head),
+      s"head $head share ${after(head)} not damped from ${before(head)}")
+  }
+
   // -------------------------------------------------- hll sketch rollup
 
   test("hll rollup: union-of-slice-sketches ≡ direct sketch; within 5% of exact") {
