@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** FastText/CCNet-style LINEAR quality classifier: logistic regression
+  * over hashed bag-of-words frequencies plus two cheap dense stats,
+  * trained on WEAK labels (a rule battery like
+  * [[TextFunctions.gopherRules]], or "is it wiki-referenced" in CCNet)
+  * and then applied to the whole corpus. This is the classifier tier of
+  * a pretraining pipeline (CCNet, LLaMA, RedPajama all gate on one):
+  * rules are cheap but brittle; a model trained on the rules' verdicts
+  * generalizes their signal smoothly and yields a RANKABLE score where
+  * rules only give a boolean.
+  *
+  * Scale shape: training collects only a CAPPED lowest-id sample
+  * (`sampleN` rows — the same deterministic-sample contract as
+  * `Quantize.pqTrain`); the model is `buckets + 2` doubles (~8 KB),
+  * broadcast to a shuffle-free per-row scoring function — no explode,
+  * no aggregation, runs in a plain `select` on a batch or a stream.
+  * Nothing about the corpus size reaches the driver.
+  *
+  * Determinism: the sample is id-ordered, gradient descent is batch
+  * (full-sample gradients accumulated in sample order) from a zero
+  * init with fixed epochs/learning rate — no RNG anywhere — and
+  * scoring builds the SAME dense feature vector as training and dots
+  * it in index order, so train and score are bit-consistent and the
+  * model is identical on every run, engine, and partitioning.
+  */
+object Classify {
+
+  /** `weights` covers the `buckets` hashed-vocab slots plus the two
+    * dense stats (log-length, mean token length) at indices `buckets`
+    * and `buckets + 1`. */
+  case class LinearModel(weights: Array[Double], bias: Double,
+                         buckets: Int) {
+    require(weights.length == buckets + 2,
+      s"weights must have buckets + 2 = ${buckets + 2} entries")
+  }
+
+  /** Dense feature vector of a document: normalized hashed-unigram
+    * frequencies (so length does not leak into every vocab slot) and
+    * two dense stats that capture what a bag of frequencies cannot —
+    * document LENGTH (log1p(n)/10; Gopher-style word-count rules are
+    * thresholds on exactly this) and mean token length (/10). The same
+    * md5 bucket family as `Importance.gramBucket`; null/empty text is
+    * the zero vector. */
+  private[graft] def featurize(text: String, buckets: Int): Array[Double] = {
+    val x = new Array[Double](buckets + 2)
+    if (text == null) return x
+    val toks = TextFunctions.tokensJvm(text)
+    val n = toks.length
+    if (n == 0 || (n == 1 && toks(0).isEmpty)) return x
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    var chars = 0L
+    while (i < n) {
+      val d = md.digest(toks(i).getBytes("UTF-8"))
+      val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % buckets
+      x(h.toInt) += 1.0 / n
+      chars += toks(i).length
+      i += 1
+    }
+    x(buckets) = math.log1p(n.toDouble) / 10.0
+    x(buckets + 1) = chars.toDouble / n / 10.0
+    x
+  }
+
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Fit the logistic model on a bounded deterministic sample: the
+    * `sampleN` LOWEST-`idCol` rows (never the corpus — same contract as
+    * PQ/k-means training), labeled by the caller's weak-label column.
+    * Full-batch gradient descent, zero init, fixed `epochs`/`lr`. */
+  def trainQualityClassifier(df: DataFrame, textCol: String, idCol: String,
+                             label: Column, buckets: Int = 1024,
+                             sampleN: Int = 2048, epochs: Int = 300,
+                             lr: Double = 2.0): LinearModel = {
+    require(sampleN > 0 && epochs > 0 && lr > 0, "bad hyperparameters")
+    // TakeOrdered the raw sample FIRST, evaluate the (often expensive —
+    // rule batteries are regex/HOF-heavy) label expression only on the
+    // sampleN survivors, never the corpus. Null-labeled rows are
+    // dropped after capping, so the sample may come up short of
+    // sampleN — acceptable for weak labels.
+    val rows = df.orderBy(col(idCol)).limit(sampleN)
+      .select(col(textCol).cast("string").as("__t"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__y").isNotNull)
+      .collect()
+    require(rows.nonEmpty, "trainQualityClassifier: empty sample")
+    // sparse views of the feature vectors: a doc touches ~|distinct
+    // tokens| + 2 of the buckets+2 slots, so the GD inner loops run
+    // over nnz, not dim (≈10× — keeps sf0.1 training in ~seconds).
+    // Index order is preserved, so sums match the dense dot bit-exactly.
+    val sparse = rows.map { r =>
+      val x = featurize(r.getString(0), buckets)
+      val idx = Array.newBuilder[Int]
+      var j = 0
+      while (j < x.length) { if (x(j) != 0.0) idx += j; j += 1 }
+      val ix = idx.result()
+      (ix, ix.map(x))
+    }
+    val ys = rows.map(r => if (r.getBoolean(1)) 1.0 else 0.0)
+    val dim = buckets + 2
+    val m = sparse.length
+    val w = new Array[Double](dim)
+    var b = 0.0
+    var epoch = 0
+    while (epoch < epochs) {
+      val gw = new Array[Double](dim)
+      var gb = 0.0
+      var i = 0
+      while (i < m) {
+        val (ix, xv) = sparse(i)
+        var z = b
+        var j = 0
+        while (j < ix.length) { z += w(ix(j)) * xv(j); j += 1 }
+        val err = sigmoid(z) - ys(i)
+        j = 0
+        while (j < ix.length) { gw(ix(j)) += err * xv(j); j += 1 }
+        gb += err
+        i += 1
+      }
+      var j = 0
+      while (j < dim) { w(j) -= lr * gw(j) / m; j += 1 }
+      b -= lr * gb / m
+      epoch += 1
+    }
+    LinearModel(w, b, buckets)
+  }
+
+  /** Per-row quality score in [0, 1] under a trained model — sigmoid of
+    * the same index-ordered dense dot product training used, over the
+    * ~8 KB broadcast weights. Null text scores sigmoid(bias). */
+  def scoreCol(df: DataFrame, textCol: String, model: LinearModel): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val f = udf { (text: String) =>
+      val mdl = bc.value
+      val x = featurize(text, mdl.buckets)
+      var z = mdl.bias
+      var j = 0
+      while (j < x.length) { z += mdl.weights(j) * x(j); j += 1 }
+      sigmoid(z)
+    }
+    f(col(textCol))
+  }
+}

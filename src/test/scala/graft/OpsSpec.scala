@@ -1388,6 +1388,44 @@ class OpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("quality classifier: learns a separable rule, bounded sample, scores in [0,1]") {
+    // linearly separable weak label: docs containing "alpha" are good
+    val good = (0L until 60L).map(i => (i, s"alpha text piece $i body"))
+    val bad = (60L until 120L).map(i => (i, s"omega text piece $i body"))
+    val d = (good ++ bad).toDF("doc_id", "text").repartition(7)
+    val label = col("text").contains("alpha")
+    val m = Classify.trainQualityClassifier(d, "text", "doc_id", label,
+      buckets = 256, sampleN = 120, epochs = 400, lr = 2.0)
+    val scored = d.select(label.as("y"),
+      Classify.scoreCol(d, "text", m).as("p"))
+    val agg = scored.agg(
+      avg(when((col("p") >= 0.5) === col("y"), 1.0).otherwise(0.0)).as("acc"),
+      min("p").as("lo"), max("p").as("hi")).head
+    assert(agg.getDouble(0) >= 0.95, s"separable acc ${agg.getDouble(0)}")
+    assert(agg.getDouble(1) >= 0.0 && agg.getDouble(2) <= 1.0)
+    // null text scores sigmoid(bias) — defined, in [0,1]
+    val nullScore = Seq(Tuple1(null: String)).toDF("text")
+      .select(Classify.scoreCol(Seq(Tuple1(null: String)).toDF("text"), "text", m))
+      .head.getDouble(0)
+    assert(nullScore >= 0.0 && nullScore <= 1.0)
+  }
+
+  test("quality classifier training ignores rows beyond the id-ordered sample cap") {
+    val base = (0L until 80L).map(i =>
+      (i, s"${if (i % 2 == 0) "alpha" else "omega"} text $i"))
+    val extra = (1000L until 1500L).map(i => (i, s"noise junk $i"))
+    val d1 = base.toDF("doc_id", "text")
+    val d2 = (base ++ extra).toDF("doc_id", "text").repartition(13)
+    val label = col("text").contains("alpha")
+    def weights(df: org.apache.spark.sql.DataFrame) =
+      Classify.trainQualityClassifier(df, "text", "doc_id", label,
+        buckets = 128, sampleN = 80, epochs = 50, lr = 1.0)
+    val (m1, m2) = (weights(d1), weights(d2))
+    assert(m1.bias == m2.bias &&
+      m1.weights.toSeq == m2.weights.toSeq,
+      "rows beyond the sample cap (or partitioning) changed the model")
+  }
+
   test("temperatureMixture: alpha=1 is the identity; alpha=0.5 lifts the tail stratum's share") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "lang", "n_chars").filter(col("lang").isNotNull)
