@@ -2402,9 +2402,9 @@ object OpsQueries {
       |  SELECT doc_id,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
       |    lower(regexp_extract(url,
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)) AS host,
       |    regexp_extract(url,
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1) AS prt,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#@]+:([0-9]+)', 1) AS prt,
       |    regexp_extract(url,
       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
       |    regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS qry
@@ -2439,7 +2439,7 @@ object OpsQueries {
     s"""WITH u AS ($oPlantedUrls),
       |d AS (SELECT doc_id, n_chars,
       |    lower(regexp_extract(url,
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)) AS host
       |  FROM u),
       |dom AS (SELECT doc_id, n_chars,
       |    ${oRegisteredDomain("host")} AS domain FROM d),
@@ -2464,7 +2464,7 @@ object OpsQueries {
     s"""WITH u AS ($oPlantedUrls),
       |d AS (SELECT doc_id, n_chars,
       |    lower(regexp_extract(url,
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)) AS host
       |  FROM u),
       |dom AS (SELECT doc_id, n_chars,
       |    ${oRegisteredDomain("host")} AS domain FROM d
@@ -2767,7 +2767,7 @@ object OpsQueries {
       |u AS ($oPlantedUrls),
       |hosts AS (SELECT u.doc_id, u.n_chars,
       |    lower(regexp_extract(u.url,
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)) AS host
       |  FROM u JOIN m ON m.doc_id = u.doc_id AND m.pass),
       |dom AS (SELECT doc_id, n_chars,
       |    ${oRegisteredDomain("host")} AS domain FROM hosts),

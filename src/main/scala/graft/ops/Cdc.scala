@@ -80,6 +80,42 @@ object Cdc {
     out.toArray
   }
 
+  /** Canonical identifier of a chunking scheme: every parameter that
+    * moves a boundary or a hash. Two chunk tables are comparable iff
+    * their scheme strings are EQUAL — persist this next to any chunk
+    * store (see [[schemeTable]]/[[requireScheme]]) so a reader can
+    * refuse to mix stores chunked under different rules instead of
+    * silently finding zero sharing. normBits = 0 is the legacy
+    * single-mask gear scheme; > 0 is normalized FastCDC. */
+  def scheme(minSize: Int = 2048, avgSize: Int = 8192,
+             maxSize: Int = 65536, normBits: Int = 2): String = {
+    val family = if (normBits == 0) "gear64/v1" else "fastcdc64/v2"
+    s"$family min=$minSize avg=$avgSize max=$maxSize norm=$normBits md5"
+  }
+
+  /** One-row (cdc_scheme) table to write alongside a persisted chunk
+    * table / store — the versioning record that makes the scheme an
+    * explicit artifact instead of a scaladoc footnote. */
+  def schemeTable(spark: org.apache.spark.sql.SparkSession,
+                  minSize: Int = 2048, avgSize: Int = 8192,
+                  maxSize: Int = 65536, normBits: Int = 2): DataFrame = {
+    import spark.implicits._
+    Seq(scheme(minSize, avgSize, maxSize, normBits)).toDF("cdc_scheme")
+  }
+
+  /** Guard for readers of a persisted chunk store: fails fast when the
+    * store's recorded scheme differs from the one the caller is about
+    * to chunk with (mixed schemes don't error on their own — they just
+    * produce disjoint hashes and 1.0 dedup ratios). */
+  def requireScheme(persistedScheme: DataFrame, expected: String): Unit = {
+    val rows = persistedScheme.select(col("cdc_scheme")).collect()
+    require(rows.nonEmpty, "persisted scheme table is empty")
+    val found = rows.head.getString(0)
+    require(found == expected,
+      s"chunk store scheme mismatch: store='$found' caller='$expected' — " +
+        "re-chunk or pass the store's parameters (normBits et al.)")
+  }
+
   /** Chunk table for a binary column: one row per chunk,
     * (idCol, chunk_idx, offset, length, chunk_md5). Defaults give
     * ~8 KiB average chunks — tune avgSize to the media granularity
@@ -89,7 +125,8 @@ object Cdc {
     * comparable across runs that used the SAME value: a store chunked
     * under the pre-normalization single-mask scheme needs normBits = 0
     * to keep matching; new stores want the default (2, normalized
-    * FastCDC). */
+    * FastCDC). Persist [[schemeTable]] beside any long-lived store and
+    * check it with [[requireScheme]] before probing. */
   def chunks(media: DataFrame, idCol: String, payloadCol: String,
              minSize: Int = 2048, avgSize: Int = 8192,
              maxSize: Int = 65536, normBits: Int = 2): DataFrame = {

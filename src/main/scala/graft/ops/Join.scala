@@ -54,13 +54,21 @@ object Join {
     * GraftExtensions this is the graft_bloom_contains codegen
     * expression — the filter stays inside whole-stage codegen, no
     * per-row String boxing. Fallback: a Scala UDF over a broadcast of
-    * the same filter (identical semantics, spec-pinned). */
+    * the same filter (identical semantics, spec-pinned).
+    *
+    * Null keys test FALSE on both paths: the codegen expression is
+    * null-in/null-out (UnaryExpression nullSafeEval), so without the
+    * coalesce a null key would fail both `filter(probe)` and
+    * `filter(!probe)` — silently dropping the row from two-branch splits
+    * like [[graft.ops.Dedup.incrementalExactBloom]] — while the UDF
+    * path already answers false. "Not present" is the only sound
+    * answer a membership sketch can give for a missing key. */
   private[graft] def mightContainExpr(df: DataFrame, bf: BloomFilter,
                                       key: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     if (df.sparkSession.catalog.functionExists("graft_bloom_contains"))
-      call_function("graft_bloom_contains",
-        key, lit(graft.functions.BloomMightContain.serialize(bf)))
+      coalesce(call_function("graft_bloom_contains",
+        key, lit(graft.functions.BloomMightContain.serialize(bf))), lit(false))
     else {
       val bc = df.sparkSession.sparkContext.broadcast(bf)
       udf((k: String) => k != null && bc.value.mightContainString(k))

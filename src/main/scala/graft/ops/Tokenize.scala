@@ -182,6 +182,12 @@ object Tokenize {
       words.foreach { w =>
         if (w.isEmpty) ()
         else if (w.length > maxWordLen) out += unkId
+        // A raw word that itself starts with "##" would collide with
+        // continuation pieces (the start==0 lookup has no prefix added,
+        // so "##x" matches vocab piece "##x") and detokenize would fuse
+        // it into the previous word. Training excludes "##"-led words
+        // from vocab candidates; mirror that here with [UNK].
+        else if (w.startsWith("##")) out += unkId
         else {
           val ids = scala.collection.mutable.ArrayBuffer[Int]()
           var start = 0

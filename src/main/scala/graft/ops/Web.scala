@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
 object Web {
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-  // `(?:[^/@?#]*@)?` skips an RFC-3986 userinfo prefix ("user:pass@")
+  // `(?:[^/?#]*@)?` skips an RFC-3986 userinfo prefix ("user:pass@")
   // so host/port parse the real authority, not the credential; RE2-safe
   // (non-capturing, no backreference) so the DuckDB oracle replays it.
+  // The prefix is greedy through the LAST '@' of the authority and the
+  // host class excludes '@' (RFC 3986: a host cannot contain '@'), so
+  // "a@b@c.com" parses host "c.com", not "b@c.com".
   private val HostRe =
-    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)"
   private val PortRe =
-    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)"
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#@]+:([0-9]+)"
   private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
   private val QueryRe = "^[^#]*\\?([^#]*)"
 
