@@ -2005,6 +2005,38 @@ object OpsQueries {
     """SELECT count(*) AS n_docs, TRUE AS scores_ok, TRUE AS agreement_ok
       |FROM documents""".stripMargin
 
+  /** The train-once/score-many contract of the classifier tier: the
+    * model is persisted (parquet), RELOADED, and the reloaded scores
+    * must be bit-identical to the in-memory model's — plus the same
+    * well-formedness/agreement contract as `quality_classifier`.
+    * Parquet doubles are exact, so `reload_exact` is a strict
+    * equality, not a tolerance. */
+  private def qQualityClassifierReload(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = t(s, dir, "documents")
+    val label = TextFunctions.gopherRules(col("text")).getField("pass")
+    val model = Classify.trainQualityClassifier(d, "text", "doc_id", label)
+    val path = java.nio.file.Files
+      .createTempDirectory("clf_model").toString + "/model"
+    Classify.saveModel(s, model, path)
+    val reloaded = Classify.loadModel(s, path)
+    d.select(label.as("__y"),
+        Classify.scoreCol(d, "text", model).as("__p"),
+        Classify.scoreCol(d, "text", reloaded).as("__pr"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(when(col("__p") === col("__pr"), 1)) === count(lit(1)))
+          .as("reload_exact"),
+        (min("__pr") >= 0.0 && max("__pr") <= 1.0).as("scores_ok"),
+        (avg(when((col("__pr") >= 0.5) === col("__y"), 1.0)
+          .otherwise(0.0)) >= 0.75).as("agreement_ok"))
+  }
+
+  private val oQualityClassifierReload =
+    """SELECT count(*) AS n_docs, TRUE AS reload_exact,
+      |  TRUE AS scores_ok, TRUE AS agreement_ok
+      |FROM documents""".stripMargin
+
   /** Temperature-rebalanced (α = 0.5) multilingual mixture: language
     * weights learned from the data as sqrt(char mass) — low-resource
     * langs lifted, heads damped. sqrt is correctly-rounded in every
@@ -2984,6 +3016,7 @@ object OpsQueries {
     "multimodal_cdc_restore" -> (qMultimodalCdcRestore _),
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
     "quality_classifier" -> (qQualityClassifier _),
+    "quality_classifier_reload" -> (qQualityClassifierReload _),
     "quality_expect" -> (qQualityExpect _),
     "quality_expect_slice" -> (qQualityExpectSlice _),
     "dataset_diff" -> (qDatasetDiff _),
@@ -3086,6 +3119,7 @@ object OpsQueries {
     "multimodal_cdc_restore" -> oMultimodalCdcRestore,
     "link_fuzzy_join" -> oLinkFuzzyJoin,
     "quality_classifier" -> oQualityClassifier,
+    "quality_classifier_reload" -> oQualityClassifierReload,
     "quality_expect" -> oQualityExpect,
     "quality_expect_slice" -> oQualityExpectSlice,
     "dataset_diff" -> oDatasetDiff,

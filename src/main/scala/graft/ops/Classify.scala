@@ -130,6 +130,32 @@ object Classify {
     LinearModel(w, b, buckets)
   }
 
+  /** Persist a trained model as a one-row (weights, bias, buckets)
+    * parquet table — the train-once/score-many artifact of the
+    * classifier tier: CCNet-style pipelines fit the gate on one
+    * curated sample and score every later corpus drop (and the
+    * streaming twin) under the SAME weights; retraining would shift
+    * the score distribution and silently move the quality threshold.
+    * Doubles round-trip parquet bit-exactly, so a reloaded model
+    * scores bit-identically (oracle `quality_classifier_reload`). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+                model: LinearModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.weights.toSeq, model.bias, model.buckets))
+      .toDF("weights", "bias", "buckets").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted [[LinearModel]] (one-row collect). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): LinearModel = {
+    val rows = spark.read.parquet(path)
+      .select("weights", "bias", "buckets").collect()
+    require(rows.length == 1, s"expected one model row at $path")
+    LinearModel(rows(0).getSeq[Double](0).toArray, rows(0).getDouble(1),
+      rows(0).getInt(2))
+  }
+
   /** Per-row quality score in [0, 1] under a trained model — sigmoid of
     * the same index-ordered dense dot product training used, over the
     * ~8 KB broadcast weights. Null text scores sigmoid(bias). */

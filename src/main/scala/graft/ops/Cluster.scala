@@ -26,6 +26,30 @@ object Cluster {
           lloydIters: Int = 3): Array[(Array[Double], Double)] =
     Similarity.trainCentroids(corpus, vecCol, idCol, k, lloydIters)
 
+  /** Persist fitted centroids as a (cid, vec, norm) parquet table —
+    * the train-once/assign-many artifact: cluster ids are only
+    * comparable across jobs that assigned against the SAME centroids
+    * (refitting renumbers every cell), so incremental SemDeDup /
+    * IVF-style pipelines reload these instead of retraining. Doubles
+    * round-trip parquet bit-exactly, so load === save. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    cents: Array[(Array[Double], Double)],
+                    path: String): Unit = {
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case ((v, n), cid) => (cid, v.toSeq, n) }
+      .toDF("cid", "vec", "norm").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load persisted centroids in cid order (k-row collect). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[(Array[Double], Double)] = {
+    val rows = spark.read.parquet(path).select("cid", "vec", "norm").collect()
+    require(rows.nonEmpty, s"no centroid rows at $path")
+    rows.sortBy(_.getInt(0))
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+  }
+
   /** Nearest-centroid ids for a vector column, best first, as an
     * `array<int>` of the `nassign` closest cells — no shuffle, one
     * corpus scan. Centroid scoring auto-selects by

@@ -182,6 +182,44 @@ object Pca {
     projectUdf(vec)
   }
 
+  /** Persist a fitted model as a parquet table — the train-once/
+    * project-many artifact (a production pipeline fits PCA on one
+    * corpus drop and projects every later drop through the SAME
+    * rotation; refitting would silently change the output space).
+    * Rows are (part, idx, vec, scalar): one "mean" row, k "component"
+    * rows carrying their eigenvalue in `scalar`, one "totalvar" row.
+    * Doubles round-trip parquet bit-exactly, so load === save. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: PcaModel,
+           path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      ("mean", 0, model.mean.toSeq, 0.0) +:
+      ("totalvar", 0, Seq.empty[Double], model.totalVar) +:
+      model.components.toSeq.zipWithIndex.map { case (c, i) =>
+        ("component", i, c.toSeq, model.eigvals(i))
+      }
+    rows.toDF("part", "idx", "vec", "scalar").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted [[PcaModel]] (model-sized collect: k+2 rows). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): PcaModel = {
+    val rows = spark.read.parquet(path)
+      .select("part", "idx", "vec", "scalar").collect()
+    val comps = rows.filter(_.getString(0) == "component").sortBy(_.getInt(1))
+    require(comps.nonEmpty, s"no component rows in PCA model at $path")
+    PcaModel(
+      mean = rows.find(_.getString(0) == "mean")
+        .getOrElse(sys.error(s"no mean row in PCA model at $path"))
+        .getSeq[Double](2).toArray,
+      components = comps.map(_.getSeq[Double](2).toArray),
+      eigvals = comps.map(_.getDouble(3)),
+      totalVar = rows.find(_.getString(0) == "totalvar")
+        .getOrElse(sys.error(s"no totalvar row in PCA model at $path"))
+        .getDouble(3))
+  }
+
   /** Reconstruct from a projection: mean + z · comp (the rank-k
     * approximation). */
   def reconstructCol(model: PcaModel, proj: Column): Column = {

@@ -96,6 +96,34 @@ object Quantize {
     }
   }
 
+  /** Persist trained PQ codebooks as a (sub, cid, centroid) parquet
+    * table — the train-once/encode-many artifact: an ANN corpus is
+    * only searchable while every shard was encoded under the SAME
+    * codebooks, so a multi-job pipeline must reload these rather than
+    * retrain (retraining scrambles every persisted code). Doubles
+    * round-trip parquet bit-exactly, so load === save. */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      codebooks: Array[Array[Array[Double]]],
+                      path: String): Unit = {
+    import spark.implicits._
+    codebooks.toSeq.zipWithIndex.flatMap { case (cents, sub) =>
+      cents.toSeq.zipWithIndex.map { case (c, cid) => (sub, cid, c.toSeq) }
+    }.toDF("sub", "cid", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load persisted codebooks in (sub, cid) order (m·k-row collect —
+    * codebook-sized, ~2048 rows at m=8/k=256). */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select("sub", "cid", "centroid").collect()
+    require(rows.nonEmpty, s"no codebook rows at $path")
+    rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }
+  }
+
   /** The PQ encode step as a reusable Column: vector → its `m` one-byte
     * codes against broadcast codebooks. Shared by [[pqEncode]] and
     * [[Similarity.ivfPqIndex]] (which fuses cell assignment and encoding

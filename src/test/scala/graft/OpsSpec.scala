@@ -2048,6 +2048,44 @@ class OpsSpec extends SparkSpec {
     assert(maxErr < 1e-4, s"rank-1 reconstruction err $maxErr")
   }
 
+  test("trained artifacts persist and reload bit-exactly (pca/pq/centroids/classifier)") {
+    val dir = java.nio.file.Files.createTempDirectory("models").toString
+    // PCA: every field identical (parquet doubles are exact)
+    val pca = Pca.fit(emb, "embedding", k = 4)
+    Pca.save(spark, pca, dir + "/pca")
+    val pca2 = Pca.load(spark, dir + "/pca")
+    assert(pca2.mean.toSeq == pca.mean.toSeq)
+    assert(pca2.components.map(_.toSeq).toSeq ==
+      pca.components.map(_.toSeq).toSeq)
+    assert(pca2.eigvals.toSeq == pca.eigvals.toSeq)
+    assert(pca2.totalVar == pca.totalVar)
+    // PQ codebooks: (sub, cid) order preserved exactly
+    val cb = Quantize.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
+    Quantize.savePqCodebooks(spark, cb, dir + "/pq")
+    val cb2 = Quantize.loadPqCodebooks(spark, dir + "/pq")
+    assert(cb2.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // k-means centroids: vectors AND cached norms, cid order
+    val cents = Cluster.fit(emb, "embedding", "vec_id", k = 8, lloydIters = 1)
+    Cluster.saveCentroids(spark, cents, dir + "/cents")
+    val cents2 = Cluster.loadCentroids(spark, dir + "/cents")
+    assert(cents2.map { case (v, n) => (v.toSeq, n) }.toSeq ==
+      cents.map { case (v, n) => (v.toSeq, n) }.toSeq)
+    // classifier: weights/bias/buckets identical AND scores identical
+    val label = TextFunctions.gopherRules(col("text")).getField("pass")
+    val mdl = Classify.trainQualityClassifier(docs, "text", "doc_id", label,
+      sampleN = 256, epochs = 50)
+    Classify.saveModel(spark, mdl, dir + "/clf")
+    val mdl2 = Classify.loadModel(spark, dir + "/clf")
+    assert(mdl2.weights.toSeq == mdl.weights.toSeq &&
+      mdl2.bias == mdl.bias && mdl2.buckets == mdl.buckets)
+    val diff = docs.limit(50).select(
+        (Classify.scoreCol(docs, "text", mdl) =!=
+          Classify.scoreCol(docs, "text", mdl2)).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0L, "reloaded classifier must score bit-identically")
+  }
+
   // ------------------------------------------------ snapshot diff/psi
 
   test("snapshot diff: added/removed/changed/unchanged; formatting churn is unchanged") {
