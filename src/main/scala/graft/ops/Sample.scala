@@ -91,12 +91,36 @@ object Sample {
       s"mixtureByWeight: empty/zero-mass strata ${strata.filterNot(s => masses.getOrElse(s, 0.0) > 0.0).mkString(", ")}")
     val budget = math.floor(weights.map { case (s, w) => masses(s) / w }.min)
     val rates = weights.map { case (s, w) => s -> budget * w / masses(s) }
-    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
-      when(col(stratumCol) === s, lit(r)).otherwise(acc)
-    }
     df.filter(col(stratumCol).isin(strata: _*) &&
-      bucket32(col(idCol)) < rateCol * lit(4294967296.0))
+      bucket32(col(idCol)) < rateLookup(df, stratumCol, rates) *
+        lit(4294967296.0))
   }
+
+  /** Above this stratum count the per-row rate lookup switches from a
+    * codegen'd `when` chain to a broadcast map — the same literal/
+    * broadcast crossover as `Similarity.CentroidLiteralBudget`: tens
+    * of strata (languages, sources) inline as a flat conditional, but
+    * a 10k-stratum chain would be a 10k-deep expression tree inlined
+    * into every task binary (and quadratic to analyze). */
+  private[graft] val RateLiteralBudget = 64
+
+  /** Per-row acceptance rate for `stratumCol` under `rates`; strata
+    * absent from the map (and null) rate 0.0 on BOTH paths, and both
+    * paths return the map's exact stored doubles, so the selection
+    * predicate is bit-identical across the crossover (spec-pinned). */
+  private[graft] def rateLookup(df: DataFrame, stratumCol: String,
+                                rates: Map[String, Double],
+                                forceBroadcast: Boolean = false): Column =
+    if (!forceBroadcast && rates.size <= RateLiteralBudget)
+      rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+        when(col(stratumCol) === s, lit(r)).otherwise(acc)
+      }
+    else {
+      val bc = df.sparkSession.sparkContext.broadcast(rates)
+      udf((s: String) =>
+        if (s == null) 0.0 else bc.value.getOrElse(s, 0.0))
+        .apply(col(stratumCol))
+    }
 
   /** TEMPERATURE-rebalanced mixture (the multilingual-pretraining
     * recipe, mT5/XLM-R style): stratum weights are derived from the

@@ -1405,6 +1405,43 @@ class OpsSpec extends SparkSpec {
     w.keys.foreach(s => assert(mass(s) <= src(s)))
   }
 
+  test("mixture rate lookup: broadcast path bit-equal to the literal chain") {
+    // 3x the literal budget: auto-select must take the broadcast path,
+    // and it must agree with the when-chain to the last bit (both
+    // return the map's exact stored doubles)
+    val nStrata = Sample.RateLiteralBudget * 3
+    val rates = (0 until nStrata)
+      .map(i => s"s$i" -> (1.0 / (i + 3) + 1e-9 * i)).toMap
+    val d = (0L until 2000L).map(i => (i, s"s${i % (nStrata + 5)}"))
+      .toDF("doc_id", "lang") // +5 strata absent from the map -> 0.0
+    val litPath = d.select(col("doc_id"),
+        Sample.rateLookup(d, "lang", rates).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bcast = d.select(col("doc_id"),
+        Sample.rateLookup(d, "lang", rates, forceBroadcast = true).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(litPath == bcast,
+      "rate columns must be bit-equal across the crossover")
+    assert(litPath.values.count(_ == 0.0) > 0, "off-map strata must rate 0.0")
+    // end-to-end: a >budget-strata mixture (broadcast path) selects the
+    // same rows the literal-path predicate computes
+    val weights = (0 until nStrata).map(i => s"s$i" -> 1.0).toMap
+    val dd = d.withColumn("n", lit(7L))
+    val auto = Sample.mixtureByWeight(dd, "doc_id", "lang", "n", weights)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(auto.nonEmpty)
+    val masses = dd.groupBy("lang").agg(sum(col("n").cast("double")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val budget = math.floor(weights.map { case (s, w) => masses(s) / w }.min)
+    val manualRates = weights.map { case (s, w) =>
+      s -> (budget * w / masses(s)) }
+    val manual = dd.filter(col("lang").isin(weights.keys.toSeq: _*) &&
+        Sample.bucket32(col("doc_id")) <
+          Sample.rateLookup(dd, "lang", manualRates) * lit(4294967296.0))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(auto == manual)
+  }
+
   test("mixture selection is deterministic across partitionings") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "lang")
