@@ -311,6 +311,26 @@ object StreamingOps {
       }
   }
 
+  /** Streaming quality-classifier gate — the live-ingest twin of the
+    * batch classifier tier (`quality_classifier`): score each arriving
+    * document under a TRAINED (usually [[graft.ops.Classify.loadModel
+    * reloaded]]) model and admit only rows at or above `minScore`.
+    * [[graft.ops.Classify.scoreCol]] is stateless and broadcast-only
+    * (~8 KB weights, per-row map, no state store, no shuffle), so the
+    * identical expression serves batch backfill and the live path
+    * (kappa) — stream≡batch is spec-pinned across micro-batches.
+    * Train on a curated batch, persist, reload at stream start; never
+    * train on the stream (the sample contract needs a bounded corpus).
+    * Returns the input plus `quality_score`, filtered. */
+  def qualityGateStream(docs: DataFrame, textCol: String,
+                        model: graft.ops.Classify.LinearModel,
+                        minScore: Double): DataFrame = {
+    require(minScore >= 0.0 && minScore <= 1.0, "minScore in [0, 1]")
+    docs.withColumn("quality_score",
+        graft.ops.Classify.scoreCol(docs, textCol, model))
+      .filter(col("quality_score") >= minScore)
+  }
+
   /** STREAM-STREAM interval join (attribution: "right events with the
     * same key within [leftTs − beforeSec, leftTs + afterSec]") — the
     * join Structured Streaming supports only when BOTH sides carry

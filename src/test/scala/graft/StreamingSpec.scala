@@ -169,6 +169,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate scores and admits the same docs as batch") {
+    implicit val ctx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val label = graft.ops.TextFunctions.gopherRules(col("text"))
+      .getField("pass")
+    // train once on the batch corpus, persist, reload — the gate runs
+    // under the RELOADED model, as a real train-once pipeline would
+    val trained = graft.ops.Classify.trainQualityClassifier(
+      corpus, "text", "doc_id", label, sampleN = 256, epochs = 50)
+    val dir = java.nio.file.Files.createTempDirectory("clf_gate").toString
+    graft.ops.Classify.saveModel(spark, trained, dir + "/m")
+    val model = graft.ops.Classify.loadModel(spark, dir + "/m")
+    val batchDf = corpus.select("doc_id", "text")
+    val batchGate = StreamingOps.qualityGateStream(batchDf, "text",
+        model, minScore = 0.5)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = batchDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.qualityGateStream(
+        input.toDF().toDF("doc_id", "text"), "text", model, minScore = 0.5)
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("qgate").select("doc_id", "quality_score")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == batchGate,
+        s"stream/batch diverged: only-stream ${(streamed.keySet -- batchGate.keySet).take(5)}, " +
+          s"only-batch ${(batchGate.keySet -- streamed.keySet).take(5)}")
+      assert(streamed.nonEmpty && streamed.size < rows.length,
+        "gate must admit some docs and reject some")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap is exceeded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
