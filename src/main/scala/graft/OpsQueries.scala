@@ -537,18 +537,20 @@ object OpsQueries {
       |  ON dp.doc_id = per.doc_id AND dp.n = per.n""".stripMargin
   }
 
-  /** ExactSubstr removal over the planted corpus: every occurrence of
-    * a duplicated 10-token span except the corpus-first one is cut;
-    * the oracle replays tokenization, span keys, the (id, pos) keeper
-    * rule, per-token coverage, and reassembly — the full removal
-    * pipeline, row for row. Output text is canonical (lowercased,
-    * whitespace-collapsed) on both sides. */
+  /** ExactSubstr removal over the LENGTH LADDER (10/20/40) in one
+    * pass: every non-corpus-first occurrence of a duplicated span at
+    * ANY rung is cut — the 12-token planted repeat (invisible to
+    * n=20) and the 45-token one are both removed in the same sweep.
+    * The oracle replays tokenization, per-rung span keys, the
+    * (id, pos) keeper rule, unioned per-token coverage, and
+    * reassembly — the full removal pipeline, row for row. Output text
+    * is canonical (lowercased, whitespace-collapsed) on both sides. */
   private def qTextDupSpansRemoved(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = t(s, dir, "documents").filter(col("doc_id") < 60)
       .select("doc_id", "text")
       .unionAll(dupSpanPlanted.toDF("doc_id", "text"))
-    Dedup.removeDupSpans(corpus, "text", "doc_id", n = 10)
+    Dedup.removeDupSpansMulti(corpus, "text", "doc_id", dupSpanNs)
       .withColumnRenamed("id", "doc_id")
   }
 
@@ -556,22 +558,28 @@ object OpsQueries {
     val plantedVals = dupSpanPlanted
       .map { case (id, tx) => s"(CAST($id AS BIGINT), '$tx')" }
       .mkString(",\n      |  ")
+    val spanArms = dupSpanNs.map { n =>
+      s"""SELECT doc_id, $n AS n, i - 1 AS pos,
+        |    md5(array_to_string(toks[i:i+${n - 1}], ' ')) AS sp
+        |  FROM d, unnest(generate_series(1, len(toks) - ${n - 1})) AS t(i)
+        |  WHERE len(toks) >= $n""".stripMargin
+    }.mkString("\n      |  UNION ALL\n      |  ")
     s"""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 60
       |  UNION ALL SELECT * FROM (VALUES
       |  $plantedVals) AS v(doc_id, text)),
       |d AS (SELECT doc_id, $oToks AS toks FROM c),
       |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS w
       |  FROM d, unnest(generate_series(1, len(toks))) AS t(i)),
-      |sp AS (SELECT doc_id, i - 1 AS pos,
-      |    md5(array_to_string(toks[i:i+9], ' ')) AS sp
-      |  FROM d, unnest(generate_series(1, len(toks) - 9)) AS t(i)
-      |  WHERE len(toks) >= 10),
-      |dup AS (SELECT sp, min(doc_id * 1000000 + pos) AS keep FROM sp
-      |  GROUP BY sp HAVING count(*) >= 2),
-      |cov AS (SELECT DISTINCT s.doc_id, s.pos + u.o AS pos
-      |  FROM sp s JOIN dup USING (sp)
-      |  CROSS JOIN unnest(generate_series(0, 9)) AS u(o)
+      |sp AS (
+      |  $spanArms
+      |),
+      |dup AS (SELECT n, sp, min(doc_id * 1000000 + pos) AS keep FROM sp
+      |  GROUP BY n, sp HAVING count(*) >= 2),
+      |cov0 AS (SELECT s.doc_id, s.pos, s.n
+      |  FROM sp s JOIN dup USING (n, sp)
       |  WHERE s.doc_id * 1000000 + s.pos <> dup.keep),
+      |cov AS (SELECT DISTINCT doc_id,
+      |    pos + unnest(generate_series(0, n - 1)) AS pos FROM cov0),
       |kept AS (SELECT t.doc_id, t.pos, t.w FROM tok t
       |  LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
       |  WHERE cov.doc_id IS NULL),

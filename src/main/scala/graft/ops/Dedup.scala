@@ -557,33 +557,61 @@ object Dedup {
     *
     * Returns (id, text) with `text` rebuilt from canonical tokens. */
   def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
-                     n: Int = 20): DataFrame = {
+                     n: Int = 20): DataFrame =
+    removeDupSpansMulti(df, textCol, idCol, Seq(n))
+
+  /** [[removeDupSpans]] over a LENGTH LADDER in one pass: a token is
+    * cut when any rung's duplicated span covers it at a non-keeper
+    * occurrence — so a single sweep removes both the 12-token repeat
+    * the n=20 form cannot see (no 20-span exists) and the long-form
+    * mass the n=10 rung under-trims, exactly the brackets
+    * [[duplicatedSpanStatsMulti]] detects. Each rung keeps its own
+    * corpus-first occurrence (min (id, pos) per (n, span) — the same
+    * deterministic keeper rule as the single-n form, which is the
+    * `ns = Seq(n)` special case).
+    *
+    * Shape at 100 TB: one tokenize feeds all rungs (the span structs
+    * carry (n, pos, hash) through ONE explode ~|ns|× the corpus — not
+    * a pass per rung), aggregations key on uniform (n, md5) pairs,
+    * and the coverage explode stays bounded by n × dup-occurrences
+    * summed over rungs — still the dup mass, never the corpus. */
+  def removeDupSpansMulti(df: DataFrame, textCol: String, idCol: String,
+                          ns: Seq[Int] = Seq(10, 20, 40)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2) && ns.distinct.size == ns.size,
+      s"span lengths must be distinct and >= 2: $ns")
     val toks = col("__t")
-    val cnt = size(toks) - (n - 1)
+    val spanStruct = "array<struct<n:int,pos:int,sp:string>>"
+    val perN = ns.map { n =>
+      val cnt = size(toks) - (n - 1)
+      when(cnt >= 1, transform(sequence(lit(0), cnt - 1),
+        i => struct(lit(n).as("n"), i.as("pos"),
+          md5(concat_ws(" ", slice(toks, i + 1, lit(n)))).as("sp"))))
+        .otherwise(array().cast(spanStruct))
+    }
     val tokens = df
       .select(col(idCol).as("id"),
         posexplode(TextFunctions.tokens(col(textCol)))
           .as(Seq("pos", "w")))
       .localCheckpoint(true)
+    // explode_outer / materialize-once: see duplicatedSpanStats
     val spans = df
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__t"))
-      .select(col("id"),
-        when(cnt >= 1, transform(sequence(lit(0), cnt - 1),
-          i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-          .otherwise(array().cast("array<string>")).as("sps"))
-      .select(col("id"), posexplode_outer(col("sps")).as(Seq("pos", "sp")))
-      .filter(col("sp").isNotNull)
+      .select(col("id"), flatten(array(perN: _*)).as("sps"))
+      .select(col("id"), explode_outer(col("sps")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("s.n").as("n"), col("s.pos").as("pos"),
+        col("s.sp").as("sp"))
       .localCheckpoint(true)
-    val dupStats = spans.groupBy("sp")
+    val dupStats = spans.groupBy("n", "sp")
       .agg(count(lit(1)).as("__occ"),
         min(struct(col("id"), col("pos"))).as("__keep"))
       .filter(col("__occ") >= 2)
     // non-keeper occurrences of duplicated spans cover their n tokens
-    val covered = spans.join(dupStats, "sp")
+    val covered = spans.join(dupStats, Seq("n", "sp"))
       .filter(struct(col("id"), col("pos")) =!= col("__keep"))
       .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1)))
+        explode(sequence(col("pos"), col("pos") + col("n") - lit(1)))
           .as("pos"))
       .distinct()
     val kept = tokens.join(covered, Seq("id", "pos"), "left_anti")

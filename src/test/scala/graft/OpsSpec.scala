@@ -806,6 +806,36 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == "completely unrelated content words")
   }
 
+  test("removeDupSpansMulti: one pass removes repeats across the length ladder") {
+    val rep12 = (1 to 12).map(i => s"q$i").mkString(" ")
+    val rep45 = (1 to 45).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (0L, s"first copy $rep12 here"),   // corpus-first 12-token repeat
+      (1L, s"second copy $rep12 there"), // must be cut by the n=10 rung
+      (2L, rep45),                       // corpus-first 45-token repeat
+      (3L, s"$rep45 extra"),             // must be cut
+      (4L, "nothing duplicated in this document at all")
+    ).toDF("doc_id", "text")
+    // fixed n=20 sees NEITHER side of the 12-token repeat (no 20-span
+    // in a 15-token doc pair shares text) — the miss the ladder closes
+    val single = Dedup.removeDupSpans(d, "text", "doc_id", n = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(single(1L).contains("q5"), "n=20 alone cannot catch a 12-repeat")
+    val out = Dedup.removeDupSpansMulti(d, "text", "doc_id", Seq(10, 20, 40))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == s"first copy $rep12 here", "corpus-first kept")
+    // "copy q1..q9" is itself a duplicated 10-span (both docs share
+    // it), so the boundary word "copy" is covered and cut too
+    assert(out(1L) == "second there", s"12-repeat cut: got ${out(1L)}")
+    assert(out(2L) == rep45, "corpus-first 45-repeat kept")
+    assert(out(3L) == "extra", s"45-repeat cut: got ${out(3L)}")
+    assert(out(4L) == "nothing duplicated in this document at all")
+    // ns = Seq(n) is exactly the single-n form
+    val viaMulti = Dedup.removeDupSpansMulti(d, "text", "doc_id", Seq(20))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaMulti == single)
+  }
+
   test("longestDupSpanPow: doubling finds the largest duplicated power rung") {
     val shared9 = (1 to 9).map(i => s"s$i").mkString(" ") // 9-token repeat
     val d = Seq(
