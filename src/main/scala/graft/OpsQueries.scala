@@ -332,8 +332,11 @@ object OpsQueries {
     val d = t(s, dir, "documents")
     val corpus = d.filter(col("doc_id") < 400)
     val index = Dedup.minhashIndex(corpus, "text", "doc_id")
-    Dedup.incrementalMinhashPairs(d.filter(col("doc_id") >= 400), corpus,
-      "text", "doc_id", index, threshold = 0.5)
+    // probe through the band-key bloom tier: the pre-filter must be
+    // invisible in the emitted pairs (this oracle is the proof)
+    Dedup.incrementalMinhashPairsBloom(d.filter(col("doc_id") >= 400), corpus,
+      "text", "doc_id", index, threshold = 0.5,
+      bloom = Dedup.bandBloom(index, expectedKeys = 16384L))
   }
 
   private val oDedupIncrementalMinhash =

@@ -195,8 +195,59 @@ object Dedup {
                               textCol: String, idCol: String,
                               index: DataFrame, threshold: Double,
                               numHashes: Int = 128, bands: Int = 32,
-                              n: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val batchBands = minhashIndex(batch, textCol, idCol, numHashes, bands, n)
+                              n: Int = 3, maxBucket: Int = 1000): DataFrame =
+    incrementalMinhashImpl(batch, corpus, textCol, idCol, index, threshold,
+      numHashes, bands, n, maxBucket, bloom = None)
+
+  /** Driver-held bloom over a persisted [[minhashIndex]]'s (band, bh)
+    * keys — the NEAR-dup twin of [[indexBloom]]. Maintain it as rolling
+    * state beside the band table: build once, then merge each
+    * increment's `bandBloom(minhashIndex(batch))` in — the index is
+    * never rescanned. Sizing: the index holds `bands` rows per
+    * historical doc, so expectedKeys ≈ bands × corpus docs. */
+  def bandBloom(index: DataFrame, expectedKeys: Long,
+                fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedKeys > 0, "expectedKeys must be positive")
+    index.select(concat_ws(":", col("band"), col("bh")).as("__k"))
+      .stat.bloomFilter("__k", expectedKeys, fpp)
+  }
+
+  /** [[incrementalMinhashPairs]] with a bloom pre-filter on the BATCH
+    * side's band keys: a band row whose (band, bh) the bloom has never
+    * seen cannot match any index row (no false negatives), so it skips
+    * the band-table join entirely. Emitted pairs are row-identical —
+    * novel band rows produce no candidates on either path; the fpp
+    * sliver that leaks through meets the same exact-Jaccard verify.
+    *
+    * Why it matters at 100 TB: a mostly-novel ingest batch shuffles
+    * `bands` rows per doc against a band table of bands × history
+    * rows, almost all matching nothing. The bloom answers those at
+    * scan time from ~MBs of broadcast state; what reaches the exchange
+    * is bounded by the batch's near-dup band traffic + fpp. */
+  def incrementalMinhashPairsBloom(batch: DataFrame, corpus: DataFrame,
+                                   textCol: String, idCol: String,
+                                   index: DataFrame, threshold: Double,
+                                   bloom: org.apache.spark.util.sketch.BloomFilter,
+                                   numHashes: Int = 128, bands: Int = 32,
+                                   n: Int = 3, maxBucket: Int = 1000)
+      : DataFrame =
+    incrementalMinhashImpl(batch, corpus, textCol, idCol, index, threshold,
+      numHashes, bands, n, maxBucket, Some(bloom))
+
+  private def incrementalMinhashImpl(batch: DataFrame, corpus: DataFrame,
+                                     textCol: String, idCol: String,
+                                     index: DataFrame, threshold: Double,
+                                     numHashes: Int, bands: Int,
+                                     n: Int, maxBucket: Int,
+                                     bloom: Option[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame = {
+    val allBands = minhashIndex(batch, textCol, idCol, numHashes, bands, n)
+    val batchBands = bloom match {
+      case None => allBands
+      case Some(bf) => allBands.filter(Join.mightContainExpr(allBands, bf,
+        concat_ws(":", col("band"), col("bh"))))
+    }
     val capped = index.groupBy("band", "bh")
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)

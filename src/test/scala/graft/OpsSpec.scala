@@ -533,6 +533,21 @@ class OpsSpec extends SparkSpec {
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(incPairs == crossGlobal)
     assert(incPairs.nonEmpty, "split should cross at least one near-dup pair")
+    // bloom tier: pair-identical to the plain probe even under a
+    // deliberately undersized bloom (expectedKeys = 4 floods the filter
+    // with false positives — they just fall through to the band join
+    // and the exact verify; false negatives cannot exist)
+    val plainPairs = Dedup.incrementalMinhashPairs(batch, corpus,
+        "text", "doc_id", mIdx, 0.5)
+      .select("idb_new", "id_old", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (keys <- Seq(4L, 65536L)) {
+      val got = Dedup.incrementalMinhashPairsBloom(batch, corpus,
+          "text", "doc_id", mIdx, 0.5, Dedup.bandBloom(mIdx, keys))
+        .select("idb_new", "id_old", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == plainPairs, s"expectedKeys=$keys diverged")
+    }
   }
 
   test("incrementalExactBloom is row-identical to the plain anti-join") {
