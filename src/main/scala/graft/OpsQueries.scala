@@ -2377,7 +2377,14 @@ object OpsQueries {
       (403L, 14L, "https://city.kawasaki.jp/p"),
       (404L, 15L, "http://foo.www.ck/x"),
       (405L, 16L, "https://a.b.np/x"),
-      (406L, 17L, "https://dept.education.vic.gov.au/"))
+      (406L, 17L, "https://dept.education.vic.gov.au/"),
+      // long-tail registries only the expanded PSL snapshot resolves
+      (407L, 18L, "https://www.smith.k12.wa.us/class"),
+      (408L, 19L, "http://portal.shinjuku.tokyo.jp/"),
+      (409L, 20L, "https://uni.ac.ir/x"),
+      (410L, 21L, "https://www.banka.gov.tm/"),
+      (411L, 22L, "http://shop.gob.cl/item"),
+      (412L, 23L, "https://b.a.se/"))
       .toDF("doc_id", "n_chars", "url")
   }
 
@@ -2405,7 +2412,13 @@ object OpsQueries {
       |  (403, 14, 'https://city.kawasaki.jp/p'),
       |  (404, 15, 'http://foo.www.ck/x'),
       |  (405, 16, 'https://a.b.np/x'),
-      |  (406, 17, 'https://dept.education.vic.gov.au/'))
+      |  (406, 17, 'https://dept.education.vic.gov.au/'),
+      |  (407, 18, 'https://www.smith.k12.wa.us/class'),
+      |  (408, 19, 'http://portal.shinjuku.tokyo.jp/'),
+      |  (409, 20, 'https://uni.ac.ir/x'),
+      |  (410, 21, 'https://www.banka.gov.tm/'),
+      |  (411, 22, 'http://shop.gob.cl/item'),
+      |  (412, 23, 'https://b.a.se/'))
       |  AS v(doc_id, n_chars, url)""".stripMargin
 
   /** DuckDB twin of Web.registeredDomain over a `host` column: the same

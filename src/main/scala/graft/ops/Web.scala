@@ -73,124 +73,54 @@ object Web {
   }
 
   /** Vendored Public Suffix List snapshot (ICANN section; multi-label
-    * rules only — single-label TLDs are the implicit `*` default rule).
-    * Curated to the major registries; a production deployment refreshes
-    * these four Seqs from publicsuffix.org — the matching logic below
-    * implements full PSL semantics (longest prevailing rule, wildcard
-    * rules, exception rules), so a refresh is data-only.
+    * rules only — single-label TLDs are the implicit `*` default rule),
+    * loaded from `graft/public_suffix_snapshot.dat` in UPSTREAM PSL
+    * syntax (`*.` wildcard rules, `!` exception rules, `//` comments) —
+    * so refreshing the snapshot is copying the publicsuffix.org ICANN
+    * section over the resource file; no code changes. The matcher below
+    * implements full PSL semantics: longest prevailing rule, wildcard
+    * rules, exception rules.
     *
     * [[PslSuffixes2]]/[[PslSuffixes3]]: normal 2-/3-label rules
     * ("gov.uk", "vic.gov.au"). [[PslWildcardBases]]: the base of a
     * `*.base` rule — any single label under it completes a public
     * suffix ("*.ck", "*.kawasaki.jp"). [[PslExceptions]]: `!` rules —
     * hosts that ARE registrable despite a covering wildcard
-    * ("!www.ck", "!city.kawasaki.jp"). */
-  val PslSuffixes2: Seq[String] = Seq(
-    // uk
-    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "ac.uk",
-    "gov.uk", "nhs.uk", "police.uk",
-    // au
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    // jp
-    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
-    "ne.jp", "or.jp",
-    // nz
-    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "iwi.nz",
-    "kiwi.nz", "maori.nz", "net.nz", "org.nz", "school.nz",
-    // za
-    "ac.za", "co.za", "edu.za", "gov.za", "law.za", "mil.za", "net.za",
-    "nom.za", "org.za", "school.za", "web.za",
-    // br
-    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
-    "art.br", "adv.br", "blog.br", "eng.br", "esp.br", "ind.br",
-    "inf.br", "jus.br", "med.br", "psi.br", "rec.br", "srv.br",
-    "tur.br", "tv.br", "vet.br", "wiki.br",
-    // cn
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
-    // in
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
-    "nic.in", "ac.in", "edu.in", "res.in", "gov.in", "mil.in",
-    // kr
-    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
-    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr",
-    "busan.kr", "daegu.kr", "incheon.kr", "gwangju.kr", "daejeon.kr",
-    // mx
-    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
-    // ar
-    "com.ar", "edu.ar", "gob.ar", "gov.ar", "int.ar", "mil.ar",
-    "net.ar", "org.ar", "tur.ar",
-    // tr
-    "com.tr", "info.tr", "biz.tr", "net.tr", "org.tr", "web.tr",
-    "gen.tr", "tv.tr", "av.tr", "dr.tr", "name.tr", "tel.tr", "gov.tr",
-    "bel.tr", "pol.tr", "mil.tr", "k12.tr", "edu.tr",
-    // sg
-    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
-    // tw
-    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "mil.tw",
-    "idv.tw", "game.tw", "ebiz.tw", "club.tw",
-    // hk
-    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
-    // id
-    "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
-    "net.id", "or.id", "sch.id", "web.id",
-    // il
-    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il",
-    "net.il", "org.il",
-    // th
-    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
-    // my
-    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
-    "name.my",
-    // ph
-    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
-    "mil.ph", "i.ph",
-    // vn
-    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
-    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
-    // ua
-    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
-    "kyiv.ua", "kiev.ua", "lviv.ua", "odessa.ua", "kharkiv.ua",
-    // pl
-    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
-    "waw.pl", "wroc.pl", "krakow.pl", "poznan.pl", "gda.pl",
-    // eg
-    "com.eg", "edu.eg", "eun.eg", "gov.eg", "mil.eg", "name.eg",
-    "net.eg", "org.eg", "sci.eg",
-    // sa
-    "com.sa", "net.sa", "org.sa", "gov.sa", "med.sa", "pub.sa",
-    "edu.sa", "sch.sa",
-    // ae
-    "co.ae", "net.ae", "org.ae", "sch.ae", "ac.ae", "gov.ae", "mil.ae",
-    // ng
-    "com.ng", "edu.ng", "gov.ng", "i.ng", "mil.ng", "mobi.ng",
-    "name.ng", "net.ng", "org.ng", "sch.ng",
-    // ke
-    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
-    "mobi.ke", "info.ke",
-    // misc frequent
-    "co.at", "or.at", "ac.at", "gv.at", "co.cr", "co.ve", "com.ve",
-    "com.co", "net.co", "nom.co", "com.pe", "edu.pe", "gob.pe",
-    "com.ec", "com.uy", "edu.uy", "gub.uy", "com.py", "com.bo",
-    "com.do", "com.gt", "com.sv", "com.hn", "com.ni", "com.pa",
-    "com.kw", "com.lb", "com.jo", "com.qa", "com.om",
-    "com.bh", "com.pk", "edu.pk", "gov.pk", "com.lk")
+    * ("!www.ck", "!city.kawasaki.jp").
+    *
+    * The snapshot is ~1.4k rules: the complete 2-/3-level registry
+    * sets of ~120 ccTLDs plus jp prefectures and us state k12/cc/lib
+    * tiers. Known omission vs upstream: the per-city third tier under
+    * jp prefectures and no municipalities (thousands of rules) — those
+    * hosts resolve one label short until a full-file refresh. */
+  private def loadPslRules(): Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")
+    require(in != null, "missing graft/public_suffix_snapshot.dat resource")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+    } finally in.close()
+  }
 
-  val PslSuffixes3: Seq[String] = Seq(
-    // au state education/government third-levels
-    "act.edu.au", "catholic.edu.au", "nsw.edu.au", "nt.edu.au",
-    "qld.edu.au", "sa.edu.au", "tas.edu.au", "vic.edu.au", "wa.edu.au",
-    "act.gov.au", "nsw.gov.au", "nt.gov.au", "qld.gov.au", "sa.gov.au",
-    "tas.gov.au", "vic.gov.au", "wa.gov.au")
+  private val pslRules: Seq[String] = loadPslRules()
 
-  val PslWildcardBases: Seq[String] = Seq(
-    "bd", "ck", "er", "fj", "jm", "kh", "mm", "np", "pg",
-    "sch.uk", "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
-    "sapporo.jp", "sendai.jp", "yokohama.jp")
+  val PslExceptions: Seq[String] =
+    pslRules.filter(_.startsWith("!")).map(_.drop(1))
+  val PslWildcardBases: Seq[String] =
+    pslRules.filter(_.startsWith("*.")).map(_.drop(2))
+  private val pslNormal: Seq[String] =
+    pslRules.filterNot(r => r.startsWith("!") || r.startsWith("*."))
+  val PslSuffixes2: Seq[String] = pslNormal.filter(_.count(_ == '.') == 1)
+  val PslSuffixes3: Seq[String] = pslNormal.filter(_.count(_ == '.') == 2)
 
-  val PslExceptions: Seq[String] = Seq(
-    "www.ck", "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
-    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
-    "city.yokohama.jp")
+  // the four-way matcher below handles rules to these depths; a refresh
+  // that introduces deeper rules must extend it, so fail loudly
+  require(pslNormal.forall(_.count(_ == '.') <= 2),
+    "PSL snapshot has a >3-label normal rule; extend registeredDomain")
+  require(PslWildcardBases.forall(_.count(_ == '.') <= 1),
+    "PSL snapshot has a >2-label wildcard base; extend registeredDomain")
+  require(PslExceptions.forall(_.count(_ == '.') <= 2),
+    "PSL snapshot has a >3-label exception; extend registeredDomain")
 
   private[graft] val (pslWild1, pslWild2) =
     PslWildcardBases.partition(!_.contains("."))

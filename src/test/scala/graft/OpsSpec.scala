@@ -1841,7 +1841,18 @@ class OpsSpec extends SparkSpec {
       "foo.www.ck" -> "www.ck",
       "www.ck" -> "www.ck",
       "other.ck" -> "other.ck",
-      "deep.other.ck" -> "deep.other.ck")
+      "deep.other.ck" -> "deep.other.ck",
+      // long-tail registries from the expanded snapshot file:
+      // us state k12 third tier, jp prefecture, ir/tm/cl registries,
+      // and a Swedish single-letter zone
+      "www.smith.k12.wa.us" -> "smith.k12.wa.us",
+      "cityhall.wa.us" -> "cityhall.wa.us",
+      "portal.shinjuku.tokyo.jp" -> "shinjuku.tokyo.jp",
+      "uni.ac.ir" -> "uni.ac.ir",
+      "www.banka.gov.tm" -> "banka.gov.tm",
+      "shop.gob.cl" -> "shop.gob.cl",
+      "b.a.se" -> "b.a.se",
+      "www.b.a.se" -> "b.a.se")
     val got = cases.map(c => Tuple1(c._1)).toDF("h")
       .select(Web.registeredDomain(col("h"))).collect().map(_.getString(0))
     cases.zip(got).foreach { case ((in, exp), g) =>
