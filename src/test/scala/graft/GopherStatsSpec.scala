@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.ops.TextFunctions
+
+/** Pins the one-pass graft_gopher_stats expression (and the
+  * TextFunctions wrappers routed through it — the shared test session
+  * registers GraftExtensions) bit-equal to the composed
+  * higher-order-function battery it replaced. The composed forms are
+  * restated inline here as the reference implementation. */
+class GopherStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- composed reference implementations (the pre-native formulation) ---
+  private def refTokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  private def refAvgTokenLen(text: Column): Column = {
+    val t = refTokens(text)
+    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  private def refDupBigramFraction(text: Column): Column = {
+    val toks = refTokens(text)
+    val cnt = size(toks) - 1
+    val grams = when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    when(size(grams) === 0, lit(0.0))
+      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams))
+  }
+
+  private def refGopherRules(text: Column): Column = {
+    val nWords = size(refTokens(text))
+    val wordCountOk = nWords.between(50, 100000)
+    val meanLenOk = refAvgTokenLen(text).between(3.0, 10.0)
+    val symbolRatio = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("double") /
+      greatest(nWords, lit(1))
+    val symbolOk = symbolRatio < 0.1
+    val dupOk = refDupBigramFraction(text) < 0.2
+    struct(
+      wordCountOk.as("word_count_ok"), meanLenOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"), dupOk.as("dup_ok"),
+      (wordCountOk && meanLenOk && symbolOk && dupOk).as("pass"))
+  }
+
+  private val edgeTexts: Seq[String] = Seq(
+    null, "", " ", "    ", "word", "a b", "a a", "a a a",
+    "one two three four five one two three four five",
+    "\tleading tab\tand\nnewlines\r\n mixed   runs  ",
+    "#", "###", "a # b # c", "...", ".....", "......", ".......",
+    "dots... everywhere.... really......,no#",
+    "Mixed CASE Text WITH Unicode ÄÖÜ İstanbul STRASSE",
+    "ß sharp s and ＨＥＬＬＯ fullwidth",
+    "math script 𝒜𝒞 supplementary chars",
+    "中文 文本 中文 repeated cjk bigram 中文 文本",
+    "  trailing spaces keep empties  ",
+    ("lorem ipsum dolor sit amet " * 30).trim,
+    ("dup pair " * 40).trim)
+
+  private lazy val edges =
+    edgeTexts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+
+  private lazy val corpus = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id").as("id"), col("text"))
+
+  test("native path is active in the test session") {
+    assert(spark.catalog.functionExists("graft_gopher_stats"))
+  }
+
+  private def assertSame(df: org.apache.spark.sql.DataFrame,
+                         native: Column => Column,
+                         composed: Column => Column): Unit = {
+    val got = df.select(col("id"), native(col("text")).as("v"))
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    val exp = df.select(col("id"), composed(col("text")).as("v"))
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    assert(got.keySet == exp.keySet)
+    got.keySet.foreach { k =>
+      assert(String.valueOf(got(k)) == String.valueOf(exp(k)),
+        s"id=$k: native=${got(k)} composed=${exp(k)}")
+    }
+  }
+
+  test("gopherRules: native == composed on edge texts") {
+    assertSame(edges, TextFunctions.gopherRules, refGopherRules)
+  }
+
+  test("gopherRules: native == composed on the corpus") {
+    assertSame(corpus, TextFunctions.gopherRules, refGopherRules)
+  }
+
+  test("dupBigramFraction: native == composed on edge texts") {
+    assertSame(edges, TextFunctions.dupBigramFraction, refDupBigramFraction)
+  }
+
+  test("avgTokenLen: native == composed on edge texts + corpus") {
+    assertSame(edges, TextFunctions.avgTokenLen, refAvgTokenLen)
+    assertSame(corpus, TextFunctions.avgTokenLen, refAvgTokenLen)
+  }
+
+  test("getField('pass') matches across paths row by row on the corpus") {
+    val n = corpus.select(col("id"),
+      TextFunctions.gopherRules(col("text")).getField("pass").as("p"))
+    val c = corpus.select(col("id"),
+      refGopherRules(col("text")).getField("pass").as("p"))
+    val joined = n.as("n").join(c.as("c"), "id")
+      .filter(not(col("n.p") <=> col("c.p")))
+    assert(joined.count() == 0)
+  }
+}
