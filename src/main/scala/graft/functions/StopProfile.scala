@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Token count plus per-language stopword hit counts of a text column in
+  * ONE tokenization pass: `struct<n_words int, hits array<int>>`, where
+  * `hits(i)` counts tokens (duplicates included) matching language i of
+  * [[graft.ops.TextFunctions.langStops]] in declaration order.
+  *
+  * Why a custom expression: the composed form evaluates
+  * `size(filter(tokens, isin(...)))` once per language — six
+  * CodegenFallback tokenize+filter passes per row under langId +
+  * stopwordRatio (interpreted lambdas, ~ms/doc). Here every token does
+  * one hash-map lookup against a bitmask of profile memberships.
+  *
+  * The Column layer re-derives the composed null semantics (null text →
+  * `size(null)` = -1 per-field under the non-ANSI session) by coalescing
+  * the null struct's fields to -1; see TextFunctions.
+  */
+case class StopProfile(child: Expression) extends UnaryExpression {
+
+  override lazy val resolved: Boolean =
+    child.resolved && child.dataType == org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = StopProfile.outType
+
+  override def prettyName: String = "graft_stop_profile"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StopProfile.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StopProfile.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StopProfile =
+    copy(child = newChild)
+}
+
+object StopProfile {
+
+  val numLangs: Int = graft.ops.TextFunctions.langStops.size
+
+  val outType: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("hits", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  // token -> bitmask of profile memberships (profiles are tiny; a word
+  // may appear in several languages' lists)
+  private val mask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    graft.ops.TextFunctions.langStops.zipWithIndex.foreach {
+      case ((_, words), i) =>
+        words.foreach { w =>
+          val prev = m.get(w)
+          m.put(w, if (prev == null) (1 << i) else (prev | (1 << i)))
+        }
+    }
+    m
+  }
+
+  /** Called from interpreted and generated code (static forwarder). */
+  def compute(text: UTF8String): InternalRow = {
+    // the exact tokens-pipeline of the composed form (see GopherStats)
+    val toks = text.trim().toLowerCase().toString
+      .replaceAll("\\s+", " ").split(" ", -1)
+    val counts = new Array[Int](numLangs)
+    var i = 0
+    while (i < toks.length) {
+      val m = mask.get(toks(i))
+      if (m != null) {
+        val mv = m.intValue()
+        var l = 0
+        while (l < numLangs) {
+          if ((mv & (1 << l)) != 0) counts(l) += 1
+          l += 1
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](toks.length, new GenericArrayData(counts)))
+  }
+}

@@ -93,8 +93,23 @@ object TextFunctions {
       (wordCountOk && meanLenOk && symbolOk && dupOk).as("pass"))
   }
 
+  /** The one-pass codegen graft_stop_profile struct when
+    * [[graft.GraftExtensions]] is registered, else None. The composed
+    * forms tokenize-and-filter once per language profile through
+    * CodegenFallback lambdas; the expression does one map lookup per
+    * token. Coalescing the null struct's fields to -1 reproduces the
+    * composed `size(null)` = -1 legacy semantics bit-exactly
+    * (StopProfileSpec). */
+  private def stopProfileCol(text: Column): Option[Column] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists("graft_stop_profile"))
+      .map(_ => call_function("graft_stop_profile", text))
+
   /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column = size(tokens(text))
+  def tokenCountWs(text: Column): Column = stopProfileCol(text) match {
+    case Some(p) => coalesce(p.getField("n_words"), lit(-1))
+    case None => size(tokens(text))
+  }
 
   /** BPE-ish subword count: runs of letters, runs of digits, and single
     * non-alphanumeric marks each count as one token — the usual cheap
@@ -110,16 +125,22 @@ object TextFunctions {
       aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
   }
 
-  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
-  private val langStops: Seq[(String, Seq[String])] = Seq(
+  private[graft] val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  private[graft] val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> enStop,
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
     "es" -> Seq("el", "los", "las", "y", "es", "un", "una"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  private def stopHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+  private def stopHits(text: Column, words: Seq[String]): Column = {
+    val idx = langStops.indexWhere(_._2 == words)
+    stopProfileCol(text) match {
+      case Some(p) if idx >= 0 =>
+        coalesce(element_at(p.getField("hits"), lit(idx + 1)), lit(-1))
+      case _ => size(filter(tokens(text), t => t.isin(words.map(lit): _*)))
+    }
+  }
 
   /** Fraction of tokens that are (English) stopwords — a standard quality
     * signal: natural prose has a stable stopword rate, keyword spam and

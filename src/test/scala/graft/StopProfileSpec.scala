@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.ops.TextFunctions
+
+/** Pins the one-pass graft_stop_profile expression (and the
+  * TextFunctions wrappers routed through it) bit-equal to the composed
+  * tokenize-and-filter-per-language battery it replaced, including the
+  * legacy `size(null)` = -1 null-text semantics (stopwordRatio(null) =
+  * -1/-1 = 1.0, langId(null) scores -1.0). */
+class StopProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refTokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  private def refTokenCountWs(text: Column): Column = size(refTokens(text))
+
+  private def refStopHits(text: Column, words: Seq[String]): Column =
+    size(filter(refTokens(text), t => t.isin(words.map(lit): _*)))
+
+  private def refStopwordRatio(text: Column): Column =
+    refStopHits(text, TextFunctions.enStop).cast("double") / refTokenCountWs(text)
+
+  private def refLangId(text: Column): Column = {
+    val n = greatest(refTokenCountWs(text), lit(1)).cast("double")
+    val scored = TextFunctions.langStops.map { case (lang, words) =>
+      struct((refStopHits(text, words).cast("double") / n).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = scored.reduceLeft((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    struct(best.getField("lang").as("lang"), best.getField("score").as("score"))
+  }
+
+  private val edgeTexts: Seq[String] = Seq(
+    null, "", " ", "the", "the the the", "THE A AND of to in is",
+    "der die das und ist nicht ein",
+    "le la les et est un une y el las",
+    "的 是 了 在 和 mixed 的 scripts the",
+    "no stopwords here whatsoever",
+    "  the   padded \t and\nnewlined of  ",
+    ("the quick brown fox and a dog of note in a field " * 20).trim)
+
+  private lazy val edges =
+    edgeTexts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+
+  private lazy val corpus = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id").as("id"), col("text"))
+
+  test("native path is active in the test session") {
+    assert(spark.catalog.functionExists("graft_stop_profile"))
+  }
+
+  private def assertSame(df: org.apache.spark.sql.DataFrame,
+                         native: Column => Column,
+                         composed: Column => Column): Unit = {
+    val got = df.select(col("id"), native(col("text")).as("v"))
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    val exp = df.select(col("id"), composed(col("text")).as("v"))
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    assert(got.keySet == exp.keySet)
+    got.keySet.foreach { k =>
+      assert(String.valueOf(got(k)) == String.valueOf(exp(k)),
+        s"id=$k: native=${got(k)} composed=${exp(k)}")
+    }
+  }
+
+  test("tokenCountWs: native == composed on edge texts + corpus") {
+    assertSame(edges, TextFunctions.tokenCountWs, refTokenCountWs)
+    assertSame(corpus, TextFunctions.tokenCountWs, refTokenCountWs)
+  }
+
+  test("stopwordRatio: native == composed on edge texts + corpus") {
+    assertSame(edges, TextFunctions.stopwordRatio, refStopwordRatio)
+    assertSame(corpus, TextFunctions.stopwordRatio, refStopwordRatio)
+  }
+
+  test("langId: native == composed on edge texts + corpus") {
+    assertSame(edges, TextFunctions.langId, refLangId)
+    assertSame(corpus, TextFunctions.langId, refLangId)
+  }
+
+  test("qualityScore unchanged vs a composed-only reference") {
+    val refQuality = (text: Column) => {
+      val lenOk = when(length(text).between(50, 10000), 0.5).otherwise(0.0)
+      val stopOk = when(refStopwordRatio(text) > 0.02, 0.25).otherwise(0.0)
+      val punctOk = when((regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double") /
+        greatest(length(text), lit(1))) < 0.1, 0.25).otherwise(0.0)
+      lenOk + stopOk + punctOk
+    }
+    assertSame(edges, TextFunctions.qualityScore, refQuality)
+    assertSame(corpus, TextFunctions.qualityScore, refQuality)
+  }
+}
