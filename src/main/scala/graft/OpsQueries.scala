@@ -495,6 +495,12 @@ object OpsQueries {
     1000003L -> dupSpanP45,
     1000004L -> s"$dupSpanP45 tailtok")
   private val dupSpanNs = Seq(10, 20, 40)
+  // + a 9-token repeat BELOW the smallest rung: only exact-length
+  // removal can see it (shared Spark/oracle so they cannot drift)
+  private val dupSpanP9 = (1 to 9).map(i => s"s$i").mkString(" ")
+  private val dupSpanPlantedExact = dupSpanPlanted ++ Seq(
+    1000005L -> s"alpha $dupSpanP9 omega",
+    1000006L -> s"pre $dupSpanP9 post")
 
   /** Multi-length duplicated-span sweep over a corpus with PLANTED
     * 12- and 45-token verbatim repeats: the n=10 rung must catch the
@@ -626,6 +632,68 @@ object OpsQueries {
       |  FROM sp s JOIN dup USING (l, sp) GROUP BY s.doc_id)
       |SELECT c.doc_id, CAST(COALESCE(best.dup_len, 0) AS BIGINT) AS dup_len
       |FROM c LEFT JOIN best USING (doc_id)""".stripMargin
+  }
+
+  /** EXACT maximal-repeat removal (suffix-array LCE + rank-block
+    * content classes) over the planted corpus PLUS a 9-token repeat no
+    * 10/20/40 rung can see: doc 1000006 must lose exactly its 9-token
+    * span while 1000005 (corpus-first) keeps it, and the 12- and
+    * 45-token plants are cut whole from their non-first docs. The
+    * oracle brute-forces per-position longest-dup lengths from every
+    * span length 1..32, then replays the maximality rule (kept unless
+    * the pos−1 occurrence extends over it), the keep-first-per-
+    * (length, content) rule, per-token coverage, and reassembly. */
+  private def qTextDupSpansRemovedExact(s: SparkSession,
+                                        dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "documents").filter(col("doc_id") < 30)
+      .select("doc_id", "text")
+      .unionAll(dupSpanPlantedExact.toDF("doc_id", "text"))
+    Dedup.removeDupSpansExact(corpus, "text", "doc_id",
+        minLen = 8, maxPow = 5)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val oTextDupSpansRemovedExact = {
+    val plantedVals = dupSpanPlantedExact
+      .map { case (id, tx) => s"(CAST($id AS BIGINT), '$tx')" }
+      .mkString(",\n      |  ")
+    s"""WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 30
+      |  UNION ALL SELECT * FROM (VALUES
+      |  $plantedVals) AS v(doc_id, text)),
+      |d AS (SELECT doc_id, $oToks AS toks FROM c),
+      |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS w
+      |  FROM d, unnest(generate_series(1, len(toks))) AS t(i)),
+      |ls AS (SELECT i AS l FROM unnest(generate_series(1, 32)) AS t(i)),
+      |sp AS (SELECT doc_id, l, i - 1 AS pos,
+      |    md5(array_to_string(toks[i:i+l-1], ' ')) AS sp
+      |  FROM d CROSS JOIN ls,
+      |    unnest(generate_series(1, len(toks) - l + 1)) AS t(i)),
+      |dup AS (SELECT l, sp FROM sp GROUP BY l, sp HAVING count(*) >= 2),
+      |pd0 AS (SELECT s.doc_id, s.pos, max(s.l) AS dl FROM sp s
+      |  JOIN dup USING (l, sp) GROUP BY s.doc_id, s.pos),
+      |pd AS (SELECT t.doc_id, t.pos, COALESCE(pd0.dl, 0) AS dl
+      |  FROM tok t LEFT JOIN pd0 ON pd0.doc_id = t.doc_id
+      |    AND pd0.pos = t.pos),
+      |occ AS (SELECT p.doc_id, p.pos, p.dl,
+      |    array_to_string(dd.toks[p.pos + 1 : p.pos + p.dl], ' ') AS ck
+      |  FROM pd p JOIN d dd ON dd.doc_id = p.doc_id
+      |  LEFT JOIN pd q ON q.doc_id = p.doc_id AND q.pos = p.pos - 1
+      |  WHERE p.dl >= 8 AND (q.doc_id IS NULL OR q.dl <> p.dl + 1)),
+      |kp AS (SELECT dl, ck, min(doc_id * 1000000 + pos) AS kmin
+      |  FROM occ GROUP BY dl, ck),
+      |cov0 AS (SELECT o.doc_id, o.pos, o.dl FROM occ o
+      |  JOIN kp USING (dl, ck)
+      |  WHERE o.doc_id * 1000000 + o.pos <> kp.kmin),
+      |cov AS (SELECT DISTINCT doc_id,
+      |    pos + unnest(generate_series(0, dl - 1)) AS pos FROM cov0),
+      |kept AS (SELECT t.doc_id, t.pos, t.w FROM tok t
+      |  LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+      |  WHERE cov.doc_id IS NULL),
+      |reb AS (SELECT doc_id, array_to_string(list(w ORDER BY pos), ' ')
+      |    AS text FROM kept GROUP BY doc_id)
+      |SELECT c.doc_id, COALESCE(reb.text, '') AS text
+      |FROM c LEFT JOIN reb USING (doc_id)""".stripMargin
   }
 
   /** Prefix-doubling longest-dup-span over the same planted corpus as
@@ -3108,6 +3176,7 @@ object OpsQueries {
     "text_dup_span_longest" -> (qTextDupSpanLongest _),
     "text_dup_span_exact" -> (qTextDupSpanExact _),
     "text_dup_spans_removed" -> (qTextDupSpansRemoved _),
+    "text_dup_spans_removed_exact" -> (qTextDupSpansRemovedExact _),
     "contamination" -> (qContamination _),
     "join_pivot" -> (qJoinPivot _),
     "join_bloom" -> (qJoinBloom _),
@@ -3211,6 +3280,7 @@ object OpsQueries {
     "text_dup_span_longest" -> oTextDupSpanLongest,
     "text_dup_span_exact" -> oTextDupSpanExact,
     "text_dup_spans_removed" -> oTextDupSpansRemoved,
+    "text_dup_spans_removed_exact" -> oTextDupSpansRemovedExact,
     "contamination" -> oContamination,
     "join_pivot" -> oJoinPivot,
     "join_bloom" -> oJoinBloom,

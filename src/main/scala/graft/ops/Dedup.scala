@@ -770,6 +770,25 @@ object Dedup {
     * rank tables. */
   def longestDupSpanExact(df: DataFrame, textCol: String, idCol: String,
                           maxPow: Int = 5): DataFrame = {
+    val (_, _, posD) = positionDupLens(df, textCol, idCol, maxPow)
+    val perDoc = posD.groupBy("id").agg(max(col("d")).as("__best"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__best"), lit(0L)).as("dup_len"))
+  }
+
+  /** Shared suffix-array machinery behind [[longestDupSpanExact]] and
+    * [[removeDupSpansExact]]: prefix-doubling rank tables to depth
+    * 2^`maxPow`, per-doc token lengths, and the EXACT per-position
+    * longest duplicated-span length — (id, pos, d) where d is the
+    * length of the longest token span starting at `pos` that occurs
+    * ≥ 2 times corpus-wide, capped at 2^maxPow (the max-LCP partner of
+    * a suffix is always one of its two suffix-order neighbors, so 2n
+    * adjacent pairs suffice). Returns (rank tables per power, lens,
+    * position table); every (doc, position) with ≥ 1 corpus co-suffix
+    * appears, d = 0 when not even the single token recurs. */
+  private def positionDupLens(df: DataFrame, textCol: String,
+                              idCol: String, maxPow: Int)
+      : (Array[DataFrame], DataFrame, DataFrame) = {
     require(maxPow >= 0 && maxPow <= 16, s"maxPow out of range: $maxPow")
     val cap = 1L << maxPow
     // dense order-preserving rank of (kl, kr): distinct keys get their
@@ -840,11 +859,93 @@ object Dedup {
       .withColumn("lce",
         least(col("ext"), col("lena") - col("posa"),
           col("lenb") - col("posb"), lit(cap)))
-    val perDoc = lce.select(col("ida").as("id"), col("lce"))
-      .unionAll(lce.select(col("idb").as("id"), col("lce")))
-      .groupBy("id").agg(max(col("lce")).as("__best"))
-    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
-      .select(col("id"), coalesce(col("__best"), lit(0L)).as("dup_len"))
+    val posD = lce.select(col("ida").as("id"), col("posa").as("pos"),
+        col("lce"))
+      .unionAll(lce.select(col("idb").as("id"), col("posb").as("pos"),
+        col("lce")))
+      .groupBy("id", "pos").agg(max(col("lce")).as("d"))
+    (ranks, lens, posD)
+  }
+
+  /** EXACT maximal-repeat removal — the action half of
+    * [[longestDupSpanExact]], closing the ladder approximation of
+    * [[removeDupSpansMulti]]: instead of cutting fixed-rung brackets,
+    * every MAXIMAL duplicated span (one that no longer duplicated span
+    * contains) of EXACT length ≥ `minLen` is cut at all but its
+    * corpus-first occurrence. A 9-token repeat invisible to the
+    * 10/20/40 ladder is removed once `minLen` ≤ 9, and a 45-token
+    * repeat is cut as one 45-token occurrence, not as overlapping
+    * rung-40 brackets.
+    *
+    * Mechanics: per-position longest-dup length d(id, pos) comes from
+    * the suffix-array neighbor LCE ([[positionDupLens]]); an
+    * occurrence at `pos` is maximal iff no occurrence at `pos − 1`
+    * extends over it (d(pos−1) ≠ d(pos)+1 — left-extension can add at
+    * most one token). Occurrences are grouped into identical-content
+    * classes by TWO OVERLAPPING RANK BLOCKS at depth 2^⌊log2 d⌋
+    * (blocks [pos, pos+w) and [pos+d−w, pos+d) with w = 2^⌊log2 d⌋
+    * cover the span since d ≤ 2w−1, and depth-w rank equality is
+    * exact token equality — no hashes anywhere); the class keeper is
+    * min (id, pos). Tokens covered by any non-keeper occurrence are
+    * dropped and documents rebuilt in order, '' when fully duplicated.
+    *
+    * Spans longer than the 2^`maxPow` cap degrade gracefully: each
+    * window of a saturated plateau forms its own cap-length class, so
+    * a repeat shared by two documents is still fully cut from the
+    * non-first one, window by window.
+    *
+    * Shape at 100 TB: everything [[positionDupLens]] does (O(maxPow)
+    * linear rank-doubling rounds, range-shuffle re-ranks, 2n neighbor
+    * pairs) plus O(maxPow) equi-joins for the content keys, one
+    * min-struct aggregation, and a coverage explode bounded by the dup
+    * mass — no window over the corpus, no driver state, nothing
+    * quadratic.
+    *
+    * Returns (id, text) with `text` rebuilt from surviving tokens
+    * (canonical: lowercased, whitespace-collapsed). */
+  def removeDupSpansExact(df: DataFrame, textCol: String, idCol: String,
+                          minLen: Int = 20, maxPow: Int = 6): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1: $minLen")
+    require((1L << maxPow) >= minLen,
+      s"cap 2^$maxPow below minLen $minLen: no span can qualify")
+    val (ranks, _, posD0) = positionDupLens(df, textCol, idCol, maxPow)
+    val posD = posD0.localCheckpoint(true) // feeds occ filter + maximality
+    val occ = posD.filter(col("d") >= minLen)
+      .join(posD.select(col("id"), (col("pos") + 1).as("pos"),
+          col("d").as("dprev")),
+        Seq("id", "pos"), "left")
+      .filter(col("dprev").isNull || col("dprev") =!= col("d") + 1)
+      .select(col("id"), col("pos"), col("d"))
+    val keyed = (0 to maxPow).map { p =>
+      val w = 1 << p
+      val r1 = ranks(p).select(col("id").as("i1"), col("pos").as("p1"),
+        col("r").as("r1"))
+      val r2 = ranks(p).select(col("id").as("i2"), col("pos").as("p2"),
+        col("r").as("r2"))
+      occ.filter(col("d") >= w && col("d") <= 2L * w - 1)
+        .join(r1, col("id") === col("i1") && col("pos") === col("p1"))
+        .join(r2, col("id") === col("i2") &&
+          col("p2") === col("pos") + col("d").cast("int") - w)
+        .select(col("id"), col("pos"), col("d"), col("r1"), col("r2"))
+    }.reduce(_ unionAll _)
+    val keep = keyed.groupBy("d", "r1", "r2")
+      .agg(min(struct(col("id"), col("pos"))).as("__keep"))
+    val covered = keyed.join(keep, Seq("d", "r1", "r2"))
+      .filter(struct(col("id"), col("pos")) =!= col("__keep"))
+      .select(col("id"),
+        explode(sequence(col("pos"),
+          col("pos") + col("d").cast("int") - 1)).as("pos"))
+      .distinct()
+    val tokens = df.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
+    val kept = tokens.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("__clean"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__clean"), lit("")).as("text"))
   }
 
   /** Connected components over an undirected pair list (ida, idb) by

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.ops.Dedup
+
+/** Pins removeDupSpansExact: exact maximal repeats of length ≥ minLen
+  * are cut at all but the corpus-first occurrence — including lengths
+  * the 10/20/40 ladder cannot see — and non-duplicated text survives
+  * untouched. */
+class DedupExactRemovalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("9-token repeat: invisible to the 10/20/40 ladder, cut exactly") {
+    val rep = words("q", 9)
+    val df = Seq(
+      1L -> s"alpha $rep omega",
+      2L -> s"pre $rep post").toDF("id", "text")
+    // the ladder's smallest rung (10) exceeds the repeat — no-op
+    val ladder = Dedup.removeDupSpansMulti(df, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ladder(1L) == s"alpha $rep omega")
+    assert(ladder(2L) == s"pre $rep post")
+    // exact removal with minLen 8 cuts the non-first occurrence only
+    val exact = Dedup.removeDupSpansExact(df, "text", "id",
+        minLen = 8, maxPow = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exact(1L) == s"alpha $rep omega")
+    assert(exact(2L) == "pre post")
+  }
+
+  test("maximal span is cut whole, not as rung brackets") {
+    val rep = words("r", 45) // exceeds the cap 32 → plateau windows
+    val df = Seq(
+      10L -> rep,
+      11L -> s"$rep tail").toDF("id", "text")
+    val out = Dedup.removeDupSpansExact(df, "text", "id",
+        minLen = 8, maxPow = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == rep, "first occurrence kept in full")
+    assert(out(11L) == "tail", "every window of the saturated repeat cut")
+  }
+
+  test("below-threshold repeats and unique text survive") {
+    val rep = words("s", 5)
+    val df = Seq(
+      20L -> s"one $rep two",
+      21L -> s"three $rep four",
+      22L -> "entirely unique prose with no repetition at all")
+      .toDF("id", "text")
+    val out = Dedup.removeDupSpansExact(df, "text", "id",
+      minLen = 8, maxPow = 5)
+    assertRowsMatch(out, Seq(
+      Row(20L, s"one $rep two"),
+      Row(21L, s"three $rep four"),
+      Row(22L, "entirely unique prose with no repetition at all")))
+  }
+
+  test("within-doc template repetition collapses to one copy") {
+    // "x1..x8 x1..x8 x1..x8": maximal dup span = 16 tokens at pos 0
+    // (LCE of suffix 0 vs suffix 8), keeper keeps [0, 16); the pos-8
+    // occurrence is the same content class → covers [8, 24). Survivors
+    // are tokens [0, 8) — exactly one copy of the template.
+    val unit = words("x", 8)
+    val df = Seq(30L -> s"$unit $unit $unit").toDF("id", "text")
+    val out = Dedup.removeDupSpansExact(df, "text", "id",
+        minLen = 8, maxPow = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(30L) == unit)
+  }
+
+  test("fully-duplicated document returns empty text") {
+    val rep = words("z", 12)
+    val df = Seq(40L -> rep, 41L -> rep).toDF("id", "text")
+    val out = Dedup.removeDupSpansExact(df, "text", "id",
+        minLen = 8, maxPow = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(40L) == rep, "corpus-first occurrence keeps its text")
+    assert(out(41L) == "")
+  }
+
+  test("refactored longestDupSpanExact still reports exact lengths") {
+    val rep = words("w", 13)
+    val df = Seq(
+      50L -> s"a $rep b",
+      51L -> s"c $rep d",
+      52L -> "totally different words here").toDF("id", "text")
+    val out = Dedup.longestDupSpanExact(df, "text", "id", maxPow = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(50L) == 13L)
+    assert(out(51L) == 13L)
+    assert(out(52L) == 0L)
+  }
+}
