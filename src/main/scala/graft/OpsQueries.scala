@@ -3027,6 +3027,57 @@ object OpsQueries {
       |  TRUE AS recon_consistent
       |FROM embeddings""".stripMargin
 
+  /** Incremental PCA over two corpus "drops" (vec_id parity halves):
+    * drop A's sufficient statistics are persisted, reloaded, merged
+    * with drop B's, and finished — the rolling-corpus recipe that
+    * never re-reads history. The flags assert the state round-trips
+    * parquet bit-exactly and the incrementally-built rotation matches
+    * the full-corpus fit (same eigenvalues to 1e-9 relative, same
+    * subspace to |cos| 1−1e-9, projections within float slack). */
+  private def qEmbPcaIncremental(s: SparkSession, dir: String)
+      : DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val k = 8
+    val sa = Pca.fitState(e.filter(col("vec_id") % 2 === 0), "embedding")
+    val sb = Pca.fitState(e.filter(col("vec_id") % 2 =!= 0), "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("pca_state").toString + "/state_a"
+    Pca.saveState(s, sa, path)
+    val sa2 = Pca.loadState(s, path)
+    val stateExact = sa2.n == sa.n && sa2.sum.toSeq == sa.sum.toSeq &&
+      sa2.tri.toSeq == sa.tri.toSeq
+    val merged = sa2.merge(sb)
+    val mi = Pca.finish(merged, k)
+    val mf = Pca.fit(e, "embedding", k)
+    val eigOk = mi.eigvals.zip(mf.eigvals).forall { case (u, v) =>
+      math.abs(u - v) <= 1e-9 * math.max(1.0, math.abs(v)) }
+    // 1e-7, not 1e-9: eigenvector sensitivity scales with 1/eigengap,
+    // and a near-isotropic spectrum can shrink top-k gaps
+    val subspaceOk = mi.components.zip(mf.components).forall { case (u, v) =>
+      math.abs(u.zip(v).map(x => x._1 * x._2).sum) > 1.0 - 1e-7 }
+    // scoring through the incremental model ≈ scoring through the full
+    // fit: per-coordinate gap bounded by float32 projection rounding
+    val gap = udf { (a: Seq[Float], b: Seq[Float]) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y).toDouble }.max
+    }
+    val maxGap = e.select(gap(
+        Pca.projectCol(mi, col("embedding")),
+        Pca.projectCol(mf, col("embedding"))).as("g"))
+      .agg(max(col("g"))).head().getDouble(0)
+    e.agg(count(lit(1)).as("n"))
+      .select(col("n"), lit(merged.n).as("state_rows"),
+        lit(stateExact).as("state_roundtrip_exact"),
+        lit(eigOk).as("eigvals_match"),
+        lit(subspaceOk).as("subspace_match"),
+        lit(maxGap < 1e-4).as("projection_consistent"))
+  }
+
+  private val oEmbPcaIncremental =
+    """SELECT count(*) AS n, count(*) AS state_rows,
+      |  TRUE AS state_roundtrip_exact, TRUE AS eigvals_match,
+      |  TRUE AS subspace_match, TRUE AS projection_consistent
+      |FROM embeddings""".stripMargin
+
   /** Snapshot diff between two overlapping corpus slices with planted
     * edits: ids only in the old slice are removed, only in the new are
     * added, every third shared id gets an appended edit (changed), the
@@ -3138,6 +3189,7 @@ object OpsQueries {
     "sim_topk_ivf" -> (qSimTopKIvf _),
     "emb_quantize" -> (qEmbQuantize _),
     "emb_pca" -> (qEmbPca _),
+    "emb_pca_incremental" -> (qEmbPcaIncremental _),
     "emb_pca_pq_recall" -> (qEmbPcaPqRecall _),
     "profile_numeric" -> (qProfileNumeric _),
     "profile_sketch" -> (qProfileSketch _),
@@ -3242,6 +3294,7 @@ object OpsQueries {
     "sim_topk_ivf" -> oAnnWellFormed,
     "emb_quantize" -> oEmbQuantize,
     "emb_pca" -> oEmbPca,
+    "emb_pca_incremental" -> oEmbPcaIncremental,
     "emb_pca_pq_recall" -> oAnnRecall,
     "profile_numeric" -> oProfileNumeric,
     "profile_sketch" -> oProfileSketch,

@@ -31,11 +31,43 @@ object Pca {
     def explainedFraction: Double = eigvals.sum / totalVar
   }
 
+  /** Mergeable sufficient statistics for a PCA fit: row count `n`,
+    * coordinate sums Σv, and the upper-triangular Gram Σvvᵀ (row-major
+    * packed, d·(d+1)/2 doubles). Everything [[finish]] needs is an
+    * associative sum of per-row terms, so states from disjoint corpus
+    * drops ADD: fit a rolling corpus by keeping the state beside the
+    * model and [[merge]]-ing each new drop's [[fitState]] — no re-pass
+    * over history (SURVEY §8 lead 4). Driver-tiny at embedding dims
+    * (64-dim ⇒ ~17 KB). */
+  final case class CovState(n: Long, sum: Array[Double],
+                            tri: Array[Double]) {
+    def dim: Int = sum.length
+
+    /** Elementwise add — the incremental-update step. Commutative;
+      * like any float summation, grouping changes ulps, so models from
+      * differently-batched histories agree to tolerance, not bits. */
+    def merge(other: CovState): CovState = {
+      require(other.dim == dim,
+        s"CovState dim mismatch: $dim vs ${other.dim}")
+      val s = new Array[Double](sum.length)
+      val g = new Array[Double](tri.length)
+      var i = 0
+      while (i < s.length) { s(i) = sum(i) + other.sum(i); i += 1 }
+      i = 0
+      while (i < g.length) { g(i) = tri(i) + other.tri(i); i += 1 }
+      CovState(n + other.n, s, g)
+    }
+  }
+
   /** Fit on a float-vector column. One pass; deterministic. */
-  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel =
+    finish(fitState(df, vecCol), k)
+
+  /** The aggregation half of [[fit]]: ONE shuffle-free treeAggregate
+    * over the vector column producing the mergeable [[CovState]]. */
+  def fitState(df: DataFrame, vecCol: String): CovState = {
     val first = df.select(col(vecCol)).head()
     val d = first.getSeq[Float](0).length
-    require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
     val data = df.select(col(vecCol)).rdd
       .map(_.getSeq[Float](0))
     // accumulator: (n, sum[d], upper-triangular gram[d*(d+1)/2])
@@ -65,6 +97,18 @@ object Pca {
         while (t < triLen) { g1(t) += g2(t); t += 1 }
         (n1 + n2, s1, g1)
       })
+    CovState(n, sum, tri)
+  }
+
+  /** The eigen half of [[fit]]: mean/covariance from a [[CovState]],
+    * then the driver-side Jacobi decomposition. Deterministic given
+    * the state. */
+  def finish(state: CovState, k: Int): PcaModel = {
+    val d = state.dim
+    require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
+    val n = state.n
+    val sum = state.sum
+    val tri = state.tri
     require(n > 1, "Pca.fit: need at least 2 rows")
     val mean = sum.map(_ / n)
     // covariance (population): C = G/n - mean meanᵀ, symmetrized
@@ -218,6 +262,34 @@ object Pca {
       totalVar = rows.find(_.getString(0) == "totalvar")
         .getOrElse(sys.error(s"no totalvar row in PCA model at $path"))
         .getDouble(3))
+  }
+
+  /** Persist the SUFFICIENT STATISTICS beside (or instead of) the
+    * finished model: reload, [[CovState.merge]] a new corpus drop's
+    * [[fitState]], and [[finish]] — the rotation tracks a rolling
+    * corpus without re-reading history. Two rows ("sum", "tri"), each
+    * carrying `n` as a BIGINT (no double round-trip — exact past
+    * 2^53 rows). Doubles round-trip parquet bit-exactly, so
+    * load(save(s)) === s. */
+  def saveState(spark: org.apache.spark.sql.SparkSession,
+                state: CovState, path: String): Unit = {
+    import spark.implicits._
+    Seq(("sum", state.sum.toSeq, state.n),
+        ("tri", state.tri.toSeq, state.n))
+      .toDF("part", "vec", "n").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted [[CovState]] (2-row collect). */
+  def loadState(spark: org.apache.spark.sql.SparkSession,
+                path: String): CovState = {
+    val rows = spark.read.parquet(path)
+      .select("part", "vec", "n").collect()
+    def part(name: String) = rows.find(_.getString(0) == name)
+      .getOrElse(sys.error(s"no $name row in PCA state at $path"))
+    CovState(part("sum").getLong(2),
+      part("sum").getSeq[Double](1).toArray,
+      part("tri").getSeq[Double](1).toArray)
   }
 
   /** Reconstruct from a projection: mean + z · comp (the rank-k

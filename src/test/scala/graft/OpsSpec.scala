@@ -2179,6 +2179,40 @@ class OpsSpec extends SparkSpec {
     assert(diff == 0L, "reloaded classifier must score bit-identically")
   }
 
+  test("incremental pca: merged per-drop states recover the full-corpus rotation") {
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 =!= 0)
+    val sa = Pca.fitState(a, "embedding")
+    val sb = Pca.fitState(b, "embedding")
+    // state persists exactly: reload-merge === in-memory merge, bitwise
+    val dir = java.nio.file.Files.createTempDirectory("pca_state").toString
+    Pca.saveState(spark, sa, dir + "/state_a")
+    val sa2 = Pca.loadState(spark, dir + "/state_a")
+    assert(sa2.n == sa.n && sa2.sum.toSeq == sa.sum.toSeq &&
+      sa2.tri.toSeq == sa.tri.toSeq)
+    val merged = sa2.merge(sb)
+    val full = Pca.fitState(emb, "embedding")
+    assert(merged.n == full.n)
+    // float-add grouping differs (drop-wise vs partition-wise), so the
+    // statistics agree to relative tolerance, not bits
+    def close(x: Array[Double], y: Array[Double], tol: Double): Boolean =
+      x.zip(y).forall { case (u, v) =>
+        math.abs(u - v) <= tol * math.max(1.0, math.max(math.abs(u), math.abs(v)))
+      }
+    assert(close(merged.sum, full.sum, 1e-12))
+    assert(close(merged.tri, full.tri, 1e-12))
+    // finished models: same eigenvalues and same subspace (|cos| ~ 1)
+    val mi = Pca.finish(merged, k = 4)
+    val mf = Pca.finish(full, k = 4)
+    mi.eigvals.zip(mf.eigvals).foreach { case (u, v) =>
+      assert(math.abs(u - v) <= 1e-9 * math.max(1.0, math.abs(v))) }
+    mi.components.zip(mf.components).foreach { case (u, v) =>
+      val cos = math.abs(u.zip(v).map(x => x._1 * x._2).sum)
+      assert(cos > 1.0 - 1e-7, s"component misaligned: |cos|=$cos") }
+    // merge is symmetric in n and the rolling update grows it
+    assert(sb.merge(sa2).n == merged.n)
+  }
+
   // ------------------------------------------------ snapshot diff/psi
 
   test("snapshot diff: added/removed/changed/unchanged; formatting churn is unchanged") {
