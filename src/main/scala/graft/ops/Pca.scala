@@ -272,24 +272,41 @@ object Pca {
     * 2^53 rows). Doubles round-trip parquet bit-exactly, so
     * load(save(s)) === s. */
   def saveState(spark: org.apache.spark.sql.SparkSession,
-                state: CovState, path: String): Unit = {
+                state: CovState, path: String): Unit =
+    saveState(spark, state, path, lastBatch = -1L)
+
+  /** [[saveState]] carrying a high-water batch id — the exactly-once
+    * marker for [[graft.streaming.StreamingOps.pcaStateSink]]: a
+    * foreachBatch retry re-delivers a batch id the state has already
+    * absorbed, and the sink must skip it or double-count. -1 = none. */
+  def saveState(spark: org.apache.spark.sql.SparkSession,
+                state: CovState, path: String, lastBatch: Long): Unit = {
     import spark.implicits._
     Seq(("sum", state.sum.toSeq, state.n),
-        ("tri", state.tri.toSeq, state.n))
+        ("tri", state.tri.toSeq, state.n),
+        ("batch", Seq.empty[Double], lastBatch))
       .toDF("part", "vec", "n").coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Load a persisted [[CovState]] (2-row collect). */
+  /** Load a persisted [[CovState]] (model-sized collect). */
   def loadState(spark: org.apache.spark.sql.SparkSession,
-                path: String): CovState = {
+                path: String): CovState = loadStateWithBatch(spark, path)._1
+
+  /** [[loadState]] plus the high-water batch id (-1 when the state was
+    * written without one, or by a pre-marker writer). */
+  def loadStateWithBatch(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (CovState, Long) = {
     val rows = spark.read.parquet(path)
       .select("part", "vec", "n").collect()
     def part(name: String) = rows.find(_.getString(0) == name)
       .getOrElse(sys.error(s"no $name row in PCA state at $path"))
-    CovState(part("sum").getLong(2),
+    val state = CovState(part("sum").getLong(2),
       part("sum").getSeq[Double](1).toArray,
       part("tri").getSeq[Double](1).toArray)
+    val batch = rows.find(_.getString(0) == "batch")
+      .map(_.getLong(2)).getOrElse(-1L)
+    (state, batch)
   }
 
   /** Reconstruct from a projection: mean + z · comp (the rank-k

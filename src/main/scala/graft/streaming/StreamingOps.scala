@@ -331,6 +331,49 @@ object StreamingOps {
       .filter(col("quality_score") >= minScore)
   }
 
+  /** Streaming covariance/PCA maintenance — the live leg of
+    * [[graft.ops.Pca]]'s rolling-corpus recipe. A `foreachBatch` sink:
+    * each micro-batch's sufficient statistics ([[graft.ops.Pca.fitState]]
+    * — one shuffle-free pass over the batch) MERGE into the persisted
+    * [[graft.ops.Pca.CovState]], so the rotation is re-derivable at any
+    * moment via [[graft.ops.Pca.finish]] without touching history. The
+    * kappa twin: a backfill that merges drop-wise [[graft.ops.Pca.fitState]]
+    * calls lands on the same state (to float-add-grouping ulps).
+    *
+    * Exactly-once under retries: foreachBatch re-delivers a batch id
+    * after a failure; the state carries a high-water batch id and the
+    * sink SKIPS any batch at-or-below it rather than double-counting.
+    * (Batch ids are monotonically increasing per query — the standard
+    * foreachBatch idempotence contract.) State is driver-tiny
+    * (d + d(d+1)/2 doubles), so the read-merge-write per micro-batch is
+    * milliseconds; at 100 TB/day the per-batch fitState pass is the
+    * only data-sized work and it is map-side combined.
+    *
+    * Usage: `vecs.writeStream.foreachBatch(pcaStateSink(vecCol, path)).start()`.
+    */
+  def pcaStateSink(vecCol: String, statePath: String)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(statePath))
+    val prior =
+      if (exists) Some(graft.ops.Pca.loadStateWithBatch(spark, statePath))
+      else None
+    if (prior.forall(_._2 < batchId)) {
+      if (batch.isEmpty) {
+        // still advance the high-water mark so a retry of this empty
+        // batch is recognized
+        prior.foreach { case (st, _) =>
+          graft.ops.Pca.saveState(spark, st, statePath, batchId) }
+      } else {
+        val inc = graft.ops.Pca.fitState(batch, vecCol)
+        val merged = prior.map(_._1.merge(inc)).getOrElse(inc)
+        graft.ops.Pca.saveState(spark, merged, statePath, batchId)
+      }
+    }
+  }
+
   /** STREAM-STREAM interval join (attribution: "right events with the
     * same key within [leftTs − beforeSec, leftTs + afterSec]") — the
     * join Structured Streaming supports only when BOTH sides carry

@@ -518,4 +518,49 @@ class StreamingSpec extends SparkSpec {
       assert(got.map(t => (t._1, t._2)) == batchFirst)
     } finally q.stop()
   }
+
+  test("pcaStateSink: micro-batch merged state matches batch fitState; retries don't double-count") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Pca
+    val statePath = java.nio.file.Files
+      .createTempDirectory("pca_stream").toString + "/state"
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(8)(i => ((seed * 31 + i * 7) % 100 - 50) / 10.0f)
+    val rows = (1 to 60).map(i => (i.toLong, vec(i)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("id", "embedding")
+      .writeStream.foreachBatch(StreamingOps.pcaStateSink("embedding", statePath))
+      .start()
+    try {
+      rows.grouped(20).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val (streamed, lastBatch) = Pca.loadStateWithBatch(spark, statePath)
+    assert(lastBatch == 2L, s"expected high-water batch 2, got $lastBatch")
+    val full = Pca.fitState(rows.toDF("id", "embedding"), "embedding")
+    assert(streamed.n == full.n)
+    def close(x: Array[Double], y: Array[Double]): Boolean =
+      x.zip(y).forall { case (u, v) =>
+        math.abs(u - v) <= 1e-12 * math.max(1.0, math.max(math.abs(u), math.abs(v)))
+      }
+    assert(close(streamed.sum, full.sum) && close(streamed.tri, full.tri))
+    // the finished rotations agree
+    val ms = Pca.finish(streamed, k = 2)
+    val mf = Pca.finish(full, k = 2)
+    ms.components.zip(mf.components).foreach { case (u, v) =>
+      assert(math.abs(u.zip(v).map(x => x._1 * x._2).sum) > 1.0 - 1e-7) }
+    // retry of an already-absorbed batch id is a no-op (exactly-once)
+    val sink = StreamingOps.pcaStateSink("embedding", statePath)
+    sink(rows.take(20).toDF("id", "embedding"), 2L)
+    val (replayed, b2) = Pca.loadStateWithBatch(spark, statePath)
+    assert(b2 == 2L && replayed.n == streamed.n &&
+      replayed.sum.toSeq == streamed.sum.toSeq &&
+      replayed.tri.toSeq == streamed.tri.toSeq)
+    // an empty batch advances the mark without touching the statistics
+    sink(rows.take(0).toDF("id", "embedding"), 3L)
+    val (afterEmpty, b3) = Pca.loadStateWithBatch(spark, statePath)
+    assert(b3 == 3L && afterEmpty.n == streamed.n)
+  }
 }
