@@ -1627,6 +1627,62 @@ object OpsQueries {
       |  round(exp(-(CAST(sc.s AS DOUBLE) / sc.n_grams)), 6) AS ppl
       |FROM documents LEFT JOIN sc ON documents.doc_id = sc.doc_id""".stripMargin
 
+  /** Kneser–Ney bigram perplexity (the CCNet/KenLM-style tier above
+    * the hashed add-1 model): trained on the 512 lowest-id English
+    * docs, scored corpus-wide via the broadcast shuffle-free scorer.
+    * The oracle retrains the model IN SQL — sample selection, unigram/
+    * bigram counts, continuation counts, the D = 0.75 interpolated-KN
+    * formula (dyadic discount ⇒ exact in both engines), 6-dp log
+    * rounds, DECIMAL accumulation — and must land on the same hash. */
+  private def qTextPerplexityKn(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val model = Importance.trainKnBigram(
+      d.filter(col("lang") === "en"), "text", "doc_id", sampleN = 512)
+    d.select(col("doc_id"),
+        Importance.knPerplexityCol(d, "text", model).as("s"))
+      .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+        col("s.ppl").as("ppl"))
+  }
+
+  private val oTextPerplexityKn =
+    s"""WITH d AS (SELECT doc_id, lang, $oToks AS t FROM documents),
+      |samp AS (SELECT t FROM d WHERE lang = 'en'
+      |  ORDER BY doc_id LIMIT 512),
+      |uni AS (SELECT w, count(*) AS c1 FROM
+      |  (SELECT unnest(t) AS w FROM samp) GROUP BY w),
+      |big AS (SELECT w1, w2, count(*) AS c2 FROM
+      |  (SELECT t[i] AS w1, t[i + 1] AS w2 FROM samp,
+      |    unnest(generate_series(1, len(t) - 1)) AS s(i)
+      |   WHERE len(t) >= 2) GROUP BY w1, w2),
+      |n1f AS (SELECT w1, count(*) AS nf FROM big GROUP BY w1),
+      |n1b AS (SELECT w2, count(*) AS nb FROM big GROUP BY w2),
+      |tot AS (SELECT (SELECT count(*) FROM big) AS b,
+      |  (SELECT count(*) FROM uni) AS v),
+      |cb AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM d,
+      |  unnest(generate_series(1, len(t) - 1)) AS s(i)
+      |  WHERE len(t) >= 2),
+      |comp AS (SELECT cb.doc_id,
+      |    CAST(COALESCE(n1b.nb, 0) + 1 AS DOUBLE) /
+      |      CAST(tot.b + tot.v + 1 AS DOUBLE) AS pc,
+      |    uni.c1, big.c2, n1f.nf
+      |  FROM cb CROSS JOIN tot
+      |  LEFT JOIN uni ON cb.w1 = uni.w
+      |  LEFT JOIN big ON cb.w1 = big.w1 AND cb.w2 = big.w2
+      |  LEFT JOIN n1f ON cb.w1 = n1f.w1
+      |  LEFT JOIN n1b ON cb.w2 = n1b.w2),
+      |lp AS (SELECT doc_id, CAST(round(ln(
+      |    CASE WHEN c1 IS NULL OR nf IS NULL THEN pc
+      |      ELSE (GREATEST(CAST(COALESCE(c2, 0) AS DOUBLE) - 0.75, 0.0)
+      |        + 0.75 * CAST(nf AS DOUBLE) * pc)
+      |        / CAST(c1 AS DOUBLE) END), 6) AS DECIMAL(18,6)) AS lnp
+      |  FROM comp),
+      |sc AS (SELECT doc_id, count(*) AS n_grams, sum(lnp) AS s
+      |  FROM lp GROUP BY doc_id)
+      |SELECT documents.doc_id,
+      |  CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+      |  round(exp(-(CAST(sc.s AS DOUBLE) / sc.n_grams)), 6) AS ppl
+      |FROM documents LEFT JOIN sc ON documents.doc_id = sc.doc_id""".stripMargin
+
   // =====================================================================
   // Interval (range) join
   // =====================================================================
@@ -3217,6 +3273,7 @@ object OpsQueries {
     "sample_priority" -> (qSamplePriority _),
     "sample_dsir" -> (qSampleDsir _),
     "text_perplexity" -> (qTextPerplexity _),
+    "text_perplexity_kn" -> (qTextPerplexityKn _),
     "doc_chunks" -> (qDocChunks _),
     "doc_packing" -> (qDocPacking _),
     "text_scrub" -> (qTextScrub _),
@@ -3322,6 +3379,7 @@ object OpsQueries {
     "sample_priority" -> oSamplePriority,
     "sample_dsir" -> oSampleDsir,
     "text_perplexity" -> oTextPerplexity,
+    "text_perplexity_kn" -> oTextPerplexityKn,
     "doc_chunks" -> oDocChunks,
     "doc_packing" -> oDocPacking,
     "text_scrub" -> oTextScrub,

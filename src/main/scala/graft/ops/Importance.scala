@@ -237,6 +237,170 @@ object Importance {
     score(col(textCol)).cast("struct<n_grams:long,ppl:double>")
   }
 
+  /** An interpolated Kneser–Ney bigram language model over WORDS
+    * (the CCNet/KenLM-style quality tier, where [[bucketLogProbs]] is
+    * the hashed add-1 baseline): absolute discount D = 0.75 on seen
+    * bigrams, with the discounted mass re-routed through the
+    * CONTINUATION distribution — P_cont ∝ "how many distinct contexts
+    * does this word follow", the fix for add-1's overestimate of
+    * frequent-but-context-bound words ("francisco" scores high in
+    * unigram counts but follows only "san").
+    *
+    *   P(w2|w1) = (max(c(w1 w2) − D, 0) + D · N1+(w1 •) · P_cont(w2))
+    *              / c(w1)            when c(w1) > 0 and N1+(w1 •) > 0
+    *            = P_cont(w2)         otherwise
+    *   P_cont(w2) = (N1+(• w2) + 1) / (B + V + 1)
+    *
+    * (+1/(B+V+1) floors unseen continuations so OOV stays finite —
+    * a sub-distribution, documented deviation from textbook KN. The
+    * N1+(w1 •) = 0 backoff covers the sample-final-only word, whose
+    * history otherwise carries zero mass and P would hit log 0.)
+    *
+    * D = 0.75 is DYADIC, every other term is an integer count, and
+    * both engines evaluate the identical expression shape — so scores
+    * replay bit-comparably in SQL after the 6-dp round (the same
+    * portability recipe as [[bucketLogProbs]]).
+    *
+    * All counts come from [[trainKnBigram]]'s bounded sample; maps are
+    * a few MB at sampleN ≈ thousands — broadcast-sized. */
+  final case class KnBigramModel(uni: Map[String, Long],
+                                 big: Map[String, Long],
+                                 n1fwd: Map[String, Int],
+                                 n1back: Map[String, Int],
+                                 bigramTypes: Long, vocab: Long) {
+    /** Continuation probability (add-1-floored). */
+    def pcont(w2: String): Double =
+      (n1back.getOrElse(w2, 0) + 1).toDouble /
+        (bigramTypes + vocab + 1).toDouble
+
+    /** Interpolated-KN bigram probability; always in (0, 1]. */
+    def prob(w1: String, w2: String): Double = {
+      val c1 = uni.getOrElse(w1, 0L)
+      val nf = n1fwd.getOrElse(w1, 0)
+      val pc = pcont(w2)
+      if (c1 == 0L || nf == 0) pc
+      else {
+        val c2 = big.getOrElse(w1 + " " + w2, 0L)
+        (math.max(c2 - 0.75, 0.0) + 0.75 * nf * pc) / c1
+      }
+    }
+  }
+
+  /** Train a [[KnBigramModel]] on the `sampleN` lowest-id documents —
+    * the bounded deterministic train-sample pattern shared with
+    * [[Classify.trainQualityClassifier]] and [[Tokenize.trainVocab]]:
+    * the corpus is never collected, only the capped sample, and the
+    * lowest-id rule makes the model identical across runs, partitions
+    * and engines. Tokenization is [[TextFunctions.tokensJvm]], the
+    * exact JVM twin of the SQL tokenizer. */
+  def trainKnBigram(df: DataFrame, textCol: String, idCol: String,
+                    sampleN: Int = 2048): KnBigramModel = {
+    require(sampleN > 0, "sampleN must be positive")
+    val texts = df.orderBy(col(idCol)).limit(sampleN)
+      .select(col(textCol).cast("string")).collect()
+      .map(_.getString(0)).filter(_ != null)
+    require(texts.nonEmpty, "trainKnBigram: empty sample")
+    val uni = scala.collection.mutable.HashMap.empty[String, Long]
+    val big = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach { t =>
+      val toks = TextFunctions.tokensJvm(t)
+      var i = 0
+      while (i < toks.length) {
+        uni.update(toks(i), uni.getOrElse(toks(i), 0L) + 1L)
+        if (i + 1 < toks.length) {
+          val b = toks(i) + " " + toks(i + 1)
+          big.update(b, big.getOrElse(b, 0L) + 1L)
+        }
+        i += 1
+      }
+    }
+    val n1fwd = scala.collection.mutable.HashMap.empty[String, Int]
+    val n1back = scala.collection.mutable.HashMap.empty[String, Int]
+    big.keysIterator.foreach { k =>
+      val sp = k.indexOf(' ')
+      val w1 = k.substring(0, sp)
+      val w2 = k.substring(sp + 1)
+      n1fwd.update(w1, n1fwd.getOrElse(w1, 0) + 1)
+      n1back.update(w2, n1back.getOrElse(w2, 0) + 1)
+    }
+    KnBigramModel(uni.toMap, big.toMap, n1fwd.toMap, n1back.toMap,
+      big.size.toLong, uni.size.toLong)
+  }
+
+  /** Persist a [[KnBigramModel]] as one long-format parquet — the
+    * train-once/score-many artifact, joining the tokenizer vocab, PCA
+    * model, PQ codebooks, centroids and classifier weights in the
+    * persisted-model family. Counts are integers, so reload is exact:
+    * load(save(m)) == m. Rows: (kind, key, n) with kinds uni/big/n1f/
+    * n1b plus one "tot" row packing (bigramTypes, vocab) — `key` holds
+    * the word (or "w1 w2" for bigrams), `n` the count. */
+  def saveKnBigram(spark: org.apache.spark.sql.SparkSession,
+                   model: KnBigramModel, path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      model.uni.iterator.map { case (k, v) => ("uni", k, v) } ++
+      model.big.iterator.map { case (k, v) => ("big", k, v) } ++
+      model.n1fwd.iterator.map { case (k, v) => ("n1f", k, v.toLong) } ++
+      model.n1back.iterator.map { case (k, v) => ("n1b", k, v.toLong) } ++
+      Iterator(("tot", model.bigramTypes.toString, model.vocab))
+    rows.toSeq.toDF("kind", "key", "n").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted [[KnBigramModel]] (model-sized collect). */
+  def loadKnBigram(spark: org.apache.spark.sql.SparkSession,
+                   path: String): KnBigramModel = {
+    val rows = spark.read.parquet(path)
+      .select("kind", "key", "n").collect()
+    def kind(k: String) = rows.iterator.filter(_.getString(0) == k)
+    val tot = kind("tot").toSeq.headOption
+      .getOrElse(sys.error(s"no tot row in KN model at $path"))
+    KnBigramModel(
+      uni = kind("uni").map(r => r.getString(1) -> r.getLong(2)).toMap,
+      big = kind("big").map(r => r.getString(1) -> r.getLong(2)).toMap,
+      n1fwd = kind("n1f").map(r => r.getString(1) -> r.getLong(2).toInt).toMap,
+      n1back = kind("n1b").map(r => r.getString(1) -> r.getLong(2).toInt).toMap,
+      bigramTypes = tot.getString(1).toLong,
+      vocab = tot.getLong(2))
+  }
+
+  /** SHUFFLE-FREE per-row KN perplexity — the [[perplexityCol]] shape
+    * over the word-level model: each document's bigrams are scored
+    * inside one JVM function against the broadcast model, per-bigram
+    * log-probs rounded to 6 dp and accumulated as BigDecimal (exact,
+    * order-free), so the result replays in SQL and gates streams
+    * statelessly. Returns struct (n_grams, ppl); ppl NULL for docs
+    * with < 2 tokens. */
+  def knPerplexityCol(df: DataFrame, textCol: String,
+                      model: KnBigramModel): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val score = udf { (text: String) =>
+      if (text == null) (0L, None: Option[Double])
+      else {
+        val m = bc.value
+        val toks = TextFunctions.tokensJvm(text)
+        var i = 0
+        var cnt = 0L
+        var sum = java.math.BigDecimal.ZERO
+        while (i + 2 <= toks.length) {
+          val lnp = java.math.BigDecimal
+            .valueOf(math.log(m.prob(toks(i), toks(i + 1))))
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+          sum = sum.add(lnp)
+          cnt += 1
+          i += 1
+        }
+        if (cnt == 0) (0L, None: Option[Double])
+        else {
+          val ppl = math.exp(-(sum.doubleValue / cnt))
+          (cnt, Some(java.math.BigDecimal.valueOf(ppl)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue))
+        }
+      }
+    }
+    score(col(textCol)).cast("struct<n_grams:long,ppl:double>")
+  }
+
   /** Gumbel top-`topN` importance resample: key = logw + Gumbel(md5(id))
     * — sampling without replacement proportional to w, derandomized via
     * the stable uniform u = (h + 0.5)/2^32 (exact, endpoint-free).

@@ -603,6 +603,71 @@ class OpsSpec extends SparkSpec {
     assert(ppl(2)._1 == 0L && ppl(2)._2.isNaN, "no grams -> NULL ppl")
   }
 
+  test("kn bigram model: hand-checked counts and probabilities") {
+    // sample: "a b a b c" + "a b" → uni a:3 b:3 c:1 (V=3),
+    // bigrams: "a b":3 "b a":1 "b c":1 (B=3),
+    // N1+(a •)=1, N1+(b •)=2; N1+(• a)=1, N1+(• b)=1, N1+(• c)=1
+    val train = Seq((0L, "a b a b c"), (1L, "a b")).toDF("id", "text")
+    val m = Importance.trainKnBigram(train, "text", "id", sampleN = 10)
+    assert(m.uni == Map("a" -> 3L, "b" -> 3L, "c" -> 1L))
+    assert(m.big == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    assert(m.n1fwd == Map("a" -> 1, "b" -> 2))
+    assert(m.n1back == Map("a" -> 1, "b" -> 1, "c" -> 1))
+    assert(m.bigramTypes == 3L && m.vocab == 3L)
+    val denom = 7.0 // B + V + 1
+    assert(m.pcont("b") == 2.0 / denom)
+    assert(m.pcont("zz") == 1.0 / denom)
+    // P(b|a) = (max(3-0.75,0) + 0.75·1·(2/7)) / 3
+    assert(m.prob("a", "b") == (2.25 + 0.75 * 1 * (2.0 / denom)) / 3.0)
+    // seen history, unseen continuation: discount mass only
+    assert(m.prob("a", "zz") == (0.75 * 1 * (1.0 / denom)) / 3.0)
+    // unseen history backs off to the continuation distribution
+    assert(m.prob("zz", "b") == 2.0 / denom)
+    // sample-final-only history ("c" never starts a bigram) backs off
+    // too — textbook KN would assign it zero mass and log would blow up
+    assert(m.prob("c", "a") == 2.0 / denom)
+    // KN vs raw MLE: context-bound "c" is damped below its unigram share
+    assert(m.prob("b", "c") < 1.0 / 3.0 + 1e-12)
+    // every probability is a genuine probability
+    for (w1 <- Seq("a", "b", "c", "zz"); w2 <- Seq("a", "b", "c", "zz"))
+      assert(m.prob(w1, w2) > 0.0 && m.prob(w1, w2) <= 1.0)
+  }
+
+  test("kn perplexity: in-distribution lower, gram-less NULL, deterministic") {
+    val train = docs.filter(col("lang") === "en")
+    val m = Importance.trainKnBigram(train, "text", "doc_id", sampleN = 64)
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "zqx wvu tsr qpo nml kji hgf edc"),
+      (2L, "solo"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = corpus.select(col("doc_id"),
+        Importance.knPerplexityCol(corpus, "text", m).as("s"))
+      .select(col("doc_id"), col("s.n_grams"), col("s.ppl"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out(0)._2 < out(1)._2,
+      s"english must beat consonant soup: $out")
+    assert(out(2)._1 == 0L && out(2)._2.isNaN)
+    assert(out(3)._1 == 0L && out(3)._2.isNaN)
+    // retraining is bit-deterministic (lowest-id sample, no RNG)
+    val m2 = Importance.trainKnBigram(train, "text", "doc_id", sampleN = 64)
+    assert(m2 == m)
+    // persisted model reloads EXACTLY (integer counts) and scores
+    // bit-identically — train-once/score-many
+    val path = java.nio.file.Files
+      .createTempDirectory("kn_model").toString + "/kn"
+    Importance.saveKnBigram(spark, m, path)
+    val mr = Importance.loadKnBigram(spark, path)
+    assert(mr == m)
+    val diff = corpus.select(
+        (Importance.knPerplexityCol(corpus, "text", m).getField("ppl") <=>
+         Importance.knPerplexityCol(corpus, "text", mr).getField("ppl"))
+          .as("eq"))
+      .filter(!col("eq")).count()
+    assert(diff == 0L, "reloaded KN model must score bit-identically")
+  }
+
   test("wordpiece: greedy longest-match, UNK fallback, round-trip") {
     val vocab = Seq(Tokenize.Unk, "un", "##able", "##b", "able", "a")
     val d = Seq((0L, "unable able"), (1L, "ab"), (2L, "zzz able"),

@@ -396,6 +396,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("knPerplexityCol gates a stream statelessly, bit-equal to batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val m = Importance.trainKnBigram(
+      Seq((0L, "alpha beta alpha beta alpha")).toDF("id", "text"),
+      "text", "id", sampleN = 4)
+    val src = input.toDF().toDF("doc_id", "text")
+    val scored = src.select(col("doc_id"),
+      Importance.knPerplexityCol(src, "text", m).as("s"))
+    val q = scored.writeStream.format("memory").queryName("kngate")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta alpha"), (2L, "delta epsilon zeta"))
+      q.processAllAvailable()
+      val live = spark.table("kngate")
+        .collect().map(r => r.getLong(0) ->
+          r.getStruct(1).getDouble(1)).toMap
+      // in-distribution beats OOV soup through the same gate
+      assert(live(1L) < live(2L), s"kn gate ordering: $live")
+      // batch twin scores bit-identically row for row
+      val batch = Seq((1L, "alpha beta alpha"), (2L, "delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      val b = batch.select(col("doc_id"),
+          Importance.knPerplexityCol(batch, "text", m).getField("ppl"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(b == live)
+    } finally q.stop()
+  }
+
   test("streaming windowed top-k equals the batch transform across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
