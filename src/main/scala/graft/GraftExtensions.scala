@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
-import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, GopherStats, HashedShingles, KllSketchAgg, LshSignatures, MinHashSig, PqLookupSum, SimHash64, StopProfile}
+import graft.functions.{BloomMightContain, CharClassProfile, CosineSimilarity, DotProduct, GopherStats, HashedShingles, KllSketchAgg, LshSignatures, MinHashSig, PqLookupSum, SimHash64, StopProfile}
 
 /** Session extensions registering graft's native (codegen) functions.
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -101,6 +101,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_gopher_stats(text) takes 1 argument")
         GopherStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_profile"),
+      new ExpressionInfo(classOf[CharClassProfile].getName, "graft_char_profile"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_char_profile(text) takes 1 argument")
+        CharClassProfile(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_stop_profile"),

@@ -216,6 +216,48 @@ object OpsQueries {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  /** One-pass char-class/entropy profile over the raw documents. The
+    * entropy contract: per-distinct-char `-p·log2 p` contributions in
+    * rounded 1e-6-bit integer units, summed exactly (order-independent),
+    * then one double division — both engines reproduce it bit-for-bit
+    * (see [[graft.functions.CharClassProfile]]). */
+  private def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
+    val p = TextFunctions.charProfile(col("text"))
+    t(s, dir, "documents").select(col("doc_id"),
+      p.getField("n_chars").as("n_chars"),
+      p.getField("n_letters").as("n_letters"),
+      p.getField("n_digits").as("n_digits"),
+      p.getField("n_spaces").as("n_spaces"),
+      p.getField("n_punct").as("n_punct"),
+      p.getField("n_other").as("n_other"),
+      p.getField("n_distinct").cast("long").as("n_distinct"),
+      p.getField("entropy").as("entropy"))
+  }
+
+  private val oTextEntropy =
+    """WITH ch AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '[\s\S]')) AS c FROM documents),
+      |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(n) AS t, count(*) AS nd FROM cnt
+      |  GROUP BY 1),
+      |e AS (SELECT cnt.doc_id,
+      |    sum(CAST(round(-(CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)
+      |      / ln(2) * 1e6) AS BIGINT)) AS micros
+      |  FROM cnt JOIN tot USING (doc_id) GROUP BY 1),
+      |cls AS (SELECT doc_id, length(text) AS n_chars,
+      |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_letters,
+      |    len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+      |    len(regexp_extract_all(text, '[ \t\n\r]')) AS n_spaces,
+      |    len(regexp_extract_all(text, '[!-~]')) AS printable
+      |  FROM documents)
+      |SELECT cls.doc_id, n_chars, n_letters, n_digits, n_spaces,
+      |  printable - n_letters - n_digits AS n_punct,
+      |  n_chars - printable - n_spaces AS n_other,
+      |  nd AS n_distinct,
+      |  CAST(micros AS DOUBLE) / 1e6 AS entropy
+      |FROM cls JOIN tot ON cls.doc_id = tot.doc_id
+      |  JOIN e ON cls.doc_id = e.doc_id""".stripMargin
+
   // =====================================================================
   // Deduplication
   // =====================================================================
@@ -1426,6 +1468,172 @@ object OpsQueries {
       |    list_filter(l, (x, i) -> list_position(l, x) = i) AS u FROM d)
       |SELECT doc_id, lines_in, len(u) AS lines_out,
       |  md5(array_to_string(u, chr(10))) AS dedup_md5 FROM dd""".stripMargin
+
+  // =====================================================================
+  // C4-style line cleaning, repetition, sentences, boilerplate report
+  // =====================================================================
+
+  /** Line-structured corpus planted from the documents table (its text is
+    * flat word soup): six line shapes per doc exercising every C4 line
+    * rule — a kept long line with terminal punctuation, a too-short
+    * line, a javascript line, a SHARED cookie-banner line (doc_id % 5 —
+    * the cross-document boilerplate the report query must surface), a
+    * second kept line, and an unterminated fragment. Docs at % 7 gain a
+    * "lorem ipsum" poison line, at % 11 a curly-brace code line. */
+  private def c4Corpus(s: SparkSession, dir: String): DataFrame = {
+    val base = concat_ws("\n",
+      concat(substring(col("text"), 1, 80), lit(" end.")),
+      lit("Too short."),
+      concat(lit("Please enable javascript to view "),
+        substring(col("text"), 1, 20), lit(".")),
+      concat(lit("banner "), (col("doc_id") % 5).cast("string"),
+        lit(" accept all cookies to continue.")),
+      concat(substring(col("text"), 30, 60), lit(" tail line!")),
+      substring(col("text"), 1, 40))
+    t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(base, lit("\nlorem ipsum dolor sit amet.")))
+        .when(col("doc_id") % 11 === 0,
+          concat(base, lit("\nvar x = function() { return 1; };")))
+        .otherwise(base).as("text"))
+  }
+
+  /** The same planted line corpus in DuckDB. This string is embedded in
+    * other stripMargin oracles, so no line may START with `||` — a
+    * second stripMargin would eat the first pipe; concatenation
+    * operators stay at line ends. */
+  private val oC4Corpus =
+    """SELECT doc_id,
+      |  substr(text, 1, 80) || ' end.' || chr(10) ||
+      |  'Too short.' || chr(10) ||
+      |  'Please enable javascript to view ' || substr(text, 1, 20) ||
+      |  '.' || chr(10) ||
+      |  'banner ' || CAST(doc_id % 5 AS VARCHAR) ||
+      |  ' accept all cookies to continue.' || chr(10) ||
+      |  substr(text, 30, 60) || ' tail line!' || chr(10) ||
+      |  substr(text, 1, 40) ||
+      |  CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+      |       WHEN doc_id % 11 = 0
+      |         THEN chr(10) || 'var x = function() { return 1; };'
+      |       ELSE '' END AS text
+      |FROM documents WHERE doc_id < 300""".stripMargin
+
+  /** The DuckDB twin of [[Clean.c4KeepLine]] for a line variable. */
+  private def oC4Keep(l: String): String =
+    s"""regexp_matches($l, '[.!?"]$$')
+      | AND len(regexp_extract_all($l, '\\S+')) >= 5
+      | AND NOT contains(lower($l), 'javascript')""".stripMargin
+
+  /** C4 cleaning end-to-end: per-line filters, document poison gates,
+    * and the md5 of the cleaned text. */
+  private def qTextC4Clean(s: SparkSession, dir: String): DataFrame = {
+    val flags = Clean.c4DocFlags(col("text"))
+    c4Corpus(s, dir).select(col("doc_id"),
+      size(split(col("text"), "\n")).cast("long").as("n_lines"),
+      flags.getField("kept_lines").cast("long").as("kept_lines"),
+      flags.getField("has_lorem").as("has_lorem"),
+      flags.getField("has_brace").as("has_brace"),
+      flags.getField("pass").as("doc_pass"),
+      md5(Clean.c4CleanLines(col("text"))).as("clean_md5"))
+  }
+
+  private val oTextC4Clean =
+    s"""WITH c AS ($oC4Corpus),
+      |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM c),
+      |k AS (SELECT doc_id, text, len(ls) AS n_lines,
+      |    list_filter(ls, x -> ${oC4Keep("x")}) AS keep FROM l)
+      |SELECT doc_id, n_lines, len(keep) AS kept_lines,
+      |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |  contains(text, '{') AS has_brace,
+      |  NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+      |    AND len(keep) >= 3 AS doc_pass,
+      |  md5(array_to_string(keep, chr(10))) AS clean_md5
+      |FROM k""".stripMargin
+
+  /** Intra-document repetition profile on a corpus with planted repeats
+    * (full-text and 50-char-prefix duplicate lines per doc). */
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val st = Clean.dupLineStats(col("rep"))
+    t(s, dir, "documents").filter(col("doc_id") < 300)
+      .withColumn("rep", concat_ws("\n", col("text"),
+        substring(col("text"), 1, 50), substring(col("text"), 1, 50),
+        col("text"), concat(lit("unique tail "), col("doc_id").cast("string"))))
+      .select(col("doc_id"),
+        st.getField("n_lines").cast("long").as("n_lines"),
+        st.getField("n_dup_lines").cast("long").as("n_dup_lines"),
+        st.getField("dup_char_frac").as("dup_char_frac"),
+        st.getField("top_line_count").cast("long").as("top_line_count"))
+  }
+
+  private val oTextRepetition =
+    """WITH p AS (SELECT doc_id, text || chr(10) || substr(text, 1, 50)
+      |    || chr(10) || substr(text, 1, 50) || chr(10) || text || chr(10)
+      |    || 'unique tail ' || CAST(doc_id AS VARCHAR) AS rep
+      |  FROM documents WHERE doc_id < 300),
+      |d AS (SELECT doc_id, string_split(rep, chr(10)) AS l FROM p),
+      |m AS (SELECT doc_id, len(l) AS n_lines,
+      |    len(list_filter(l, (x, i) -> list_position(l, x) <> i))
+      |      AS n_dup_lines,
+      |    list_aggregate(list_transform(l, (x, i) ->
+      |      CASE WHEN list_position(l, x) <> i THEN length(x) ELSE 0 END),
+      |      'sum') AS dup_chars,
+      |    list_aggregate(list_transform(l, x -> length(x)), 'sum')
+      |      AS tot_chars,
+      |    list_aggregate(list_transform(l, x ->
+      |      len(list_filter(l, y -> y = x))), 'max') AS top_line_count
+      |  FROM d)
+      |SELECT doc_id, n_lines, n_dup_lines,
+      |  CASE WHEN tot_chars = 0 THEN 0.0
+      |    ELSE CAST(dup_chars AS DOUBLE) / tot_chars END AS dup_char_frac,
+      |  top_line_count
+      |FROM m""".stripMargin
+
+  /** Sentence segmentation profile on planted punctuated text (three
+    * terminated sentences plus an unterminated tail per doc). */
+  private def qTextSentences(s: SparkSession, dir: String): DataFrame = {
+    val st = Clean.sentenceStats(col("st"))
+    t(s, dir, "documents").filter(col("doc_id") < 300)
+      .withColumn("st", concat(
+        substring(col("text"), 1, 80), lit(". "),
+        substring(col("text"), 30, 40), lit("! So is this one? "),
+        substring(col("text"), 60, 30), lit(" trailing fragment")))
+      .select(col("doc_id"),
+        st.getField("n_sentences").cast("long").as("n_sentences"),
+        st.getField("mean_sentence_words").as("mean_sentence_words"),
+        st.getField("max_sentence_words").cast("long").as("max_sentence_words"))
+  }
+
+  private val oTextSentences =
+    """WITH p AS (SELECT doc_id, substr(text, 1, 80) || '. '
+      |    || substr(text, 30, 40) || '! So is this one? '
+      |    || substr(text, 60, 30) || ' trailing fragment' AS st
+      |  FROM documents WHERE doc_id < 300),
+      |x AS (SELECT doc_id,
+      |    regexp_extract_all(st, '[^.!?]+[.!?]+') AS sents FROM p),
+      |w AS (SELECT doc_id, len(sents) AS n_sentences,
+      |    list_transform(sents, s -> len(regexp_extract_all(s, '\S+')))
+      |      AS words FROM x)
+      |SELECT doc_id, n_sentences,
+      |  CASE WHEN n_sentences = 0 THEN 0.0
+      |    ELSE CAST(list_aggregate(words, 'sum') AS DOUBLE) / n_sentences
+      |  END AS mean_sentence_words,
+      |  COALESCE(list_aggregate(words, 'max'), 0) AS max_sentence_words
+      |FROM w""".stripMargin
+
+  /** Corpus boilerplate-line report: every line shared by >= 3 docs with
+    * document and occurrence counts (the planted cookie banners, the
+    * short line, and the poison lines must all surface). */
+  private def qTextBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Clean.boilerplateLines(c4Corpus(s, dir), "text", "doc_id", minDocs = 3)
+
+  private val oTextBoilerplate =
+    s"""WITH c AS ($oC4Corpus),
+      |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      |  FROM c)
+      |SELECT line, count(*) AS n_occurrences,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3""".stripMargin
 
   // =====================================================================
   // Benchmark decontamination
@@ -2657,6 +2865,36 @@ object OpsQueries {
       |  FROM dom)
       |SELECT doc_id, domain, cum_before FROM c WHERE cum_before < 600""".stripMargin
 
+  /** Blocklist gate over the planted URLs: four planted registered
+    * domains (one per URL shape — subdomain matching must block them)
+    * plus two URL patterns (a tracking param, a credential leak). */
+  private def qWebBlocklist(s: SparkSession, dir: String): DataFrame =
+    Web.applyBlocklist(plantedUrls(s, dir), "url",
+        blockedDomains = Seq("Example4.CO.UK", "example5.com",
+          "example6.org", "site7.com.au"),
+        blockedPatterns = Seq("utm_campaign", "s3cret"))
+      .select(col("doc_id"),
+        Web.registeredDomain(Web.host(col("url"))).as("domain"),
+        col("blocked_domain"), col("blocked_pattern"), col("allowed"))
+
+  private val oWebBlocklist =
+    s"""WITH u AS ($oPlantedUrls),
+      |d AS (SELECT doc_id, url,
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)) AS host
+      |  FROM u),
+      |dom AS (SELECT doc_id, url,
+      |    ${oRegisteredDomain("host")} AS domain FROM d),
+      |f AS (SELECT doc_id, domain,
+      |    domain IN ('example4.co.uk', 'example5.com', 'example6.org',
+      |      'site7.com.au') AS blocked_domain,
+      |    regexp_matches(url, 'utm_campaign')
+      |      OR regexp_matches(url, 's3cret') AS blocked_pattern
+      |  FROM dom)
+      |SELECT doc_id, domain, blocked_domain, blocked_pattern,
+      |  NOT blocked_domain AND NOT blocked_pattern AS allowed
+      |FROM f""".stripMargin
+
   /** Reproducible epoch ordering: every row's global training position,
     * fully replayed in SQL (md5 key, positions, tiebreak) — the
     * ordering itself is the verified artifact, not just membership. */
@@ -3208,6 +3446,7 @@ object OpsQueries {
     "web_canonical" -> (qWebCanonical _),
     "web_domain_cap" -> (qWebDomainCap _),
     "web_token_cap" -> (qWebTokenCap _),
+    "web_blocklist" -> (qWebBlocklist _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3279,6 +3518,11 @@ object OpsQueries {
     "text_scrub" -> (qTextScrub _),
     "text_normalize" -> (qTextNormalize _),
     "text_dedup_lines" -> (qTextDedupLines _),
+    "text_c4_clean" -> (qTextC4Clean _),
+    "text_repetition" -> (qTextRepetition _),
+    "text_sentences" -> (qTextSentences _),
+    "text_boilerplate" -> (qTextBoilerplate _),
+    "text_entropy" -> (qTextEntropy _),
     "text_fix_encoding" -> (qTextFixEncoding _),
     "text_dup_spans" -> (qTextDupSpans _),
     "text_dup_spans_multi" -> (qTextDupSpansMulti _),
@@ -3314,6 +3558,7 @@ object OpsQueries {
     "web_canonical" -> oWebCanonical,
     "web_domain_cap" -> oWebDomainCap,
     "web_token_cap" -> oWebTokenCap,
+    "web_blocklist" -> oWebBlocklist,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,
@@ -3385,6 +3630,11 @@ object OpsQueries {
     "text_scrub" -> oTextScrub,
     "text_normalize" -> oTextNormalize,
     "text_dedup_lines" -> oTextDedupLines,
+    "text_c4_clean" -> oTextC4Clean,
+    "text_repetition" -> oTextRepetition,
+    "text_sentences" -> oTextSentences,
+    "text_boilerplate" -> oTextBoilerplate,
+    "text_entropy" -> oTextEntropy,
     "text_fix_encoding" -> oTextFixEncoding,
     "text_dup_spans" -> oTextDupSpans,
     "text_dup_spans_multi" -> oTextDupSpansMulti,

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style corpus cleaning and intra-document repetition signals — the
+  * line-level half of web-corpus curation (the document-level rules live
+  * in [[TextFunctions.gopherRules]], the cross-document half in
+  * [[Scrub.dedupLinesGlobal]]).
+  *
+  * The C4 recipe (Raffel et al. 2020, "Exploring the Limits of Transfer
+  * Learning", §2.2) cleans at LINE granularity before any document gate:
+  * keep only lines that end in terminal punctuation, have enough words,
+  * and don't mention javascript; then drop whole documents containing
+  * "lorem ipsum" or a curly brace, or that retain too few lines.
+  *
+  * Everything here is a pure column expression over `split(text, sep)` —
+  * one map pass, no shuffle, no UDF. The higher-order functions
+  * (filter/transform/aggregate) are CodegenFallback in Spark, but the
+  * work is proportional to the document's own line count, so at 100 TB
+  * the pass stays embarrassingly parallel and pipeline-fused with
+  * whatever scan feeds it. The per-line predicates stay inside the RE2
+  * dialect subset DuckDB interprets identically, so every signal has an
+  * exact SQL oracle.
+  */
+object Clean {
+
+  /** A line survives C4 cleaning when it (a) ends in terminal
+    * punctuation (., !, ? or a closing double quote), (b) has at least
+    * `minWords` whitespace-delimited words, and (c) does not mention
+    * javascript (case-insensitive) — the boilerplate tell. */
+  def c4KeepLine(line: Column, minWords: Int = 5): Column =
+    line.rlike("[.!?\"]$") &&
+      regexp_count(line, lit("\\S+")) >= minWords &&
+      !lower(line).contains("javascript")
+
+  /** Text with non-surviving lines removed (surviving lines keep their
+    * original order). A document with no surviving lines comes back as
+    * the empty string. */
+  def c4CleanLines(text: Column, sep: String = "\n",
+                   minWords: Int = 5): Column =
+    array_join(
+      filter(split(text, java.util.regex.Pattern.quote(sep)),
+        l => c4KeepLine(l, minWords)),
+      sep)
+
+  /** Count of lines that survive [[c4KeepLine]]. */
+  def c4KeptLineCount(text: Column, sep: String = "\n",
+                      minWords: Int = 5): Column =
+    size(filter(split(text, java.util.regex.Pattern.quote(sep)),
+      l => c4KeepLine(l, minWords)))
+
+  /** Document-level C4 gates: `has_lorem` ("lorem ipsum" anywhere,
+    * case-insensitive), `has_brace` (a curly bracket anywhere — C4's
+    * crude code detector), `kept_lines`, and `pass` — the conjunction
+    * that admits the document (enough surviving lines, no poison
+    * phrases). */
+  def c4DocFlags(text: Column, sep: String = "\n", minWords: Int = 5,
+                 minLines: Int = 3): Column = {
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    val kept = c4KeptLineCount(text, sep, minWords)
+    struct(
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      kept.as("kept_lines"),
+      (!hasLorem && !hasBrace && kept >= minLines).as("pass"))
+  }
+
+  /** Intra-document repetition profile over lines (or paragraphs — pick
+    * the separator): the Dolma/RefinedWeb duplication signals.
+    * `struct<n_lines, n_dup_lines, dup_char_frac, top_line_count>`:
+    *   - `n_dup_lines`: line occurrences beyond their first;
+    *   - `dup_char_frac`: fraction of line characters sitting in those
+    *     repeat occurrences (0.0 when the document is empty);
+    *   - `top_line_count`: occurrence count of the most repeated line.
+    *
+    * Cost is O(lines²) in the document's OWN line count (array_position
+    * per line) — lines per document are hundreds at most, so the pass
+    * stays a constant-cost map at corpus scale; nothing here looks
+    * across documents. */
+  def dupLineStats(text: Column, sep: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    // 1-based first-occurrence index vs this occurrence's 0-based i
+    val isDup = (x: Column, i: Column) => array_position(lines, x) - 1 =!= i
+    val nDup = size(filter(lines, (x, i) => isDup(x, i)))
+    val dupChars = aggregate(
+      transform(lines, (x, i) => when(isDup(x, i), length(x).cast("long"))
+        .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val totChars = aggregate(
+      transform(lines, x => length(x).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val topCount = array_max(
+      transform(lines, x => size(filter(lines, y => y === x))))
+    struct(
+      size(lines).as("n_lines"),
+      nDup.as("n_dup_lines"),
+      when(totChars === 0L, lit(0.0))
+        .otherwise(dupChars.cast("double") / totChars).as("dup_char_frac"),
+      topCount.as("top_line_count"))
+  }
+
+  /** Sentence segmentation profile: sentences are maximal runs ending in
+    * terminal punctuation (`[^.!?]+[.!?]+`); a trailing fragment with no
+    * terminal mark is NOT counted (the C4 convention — unterminated
+    * tails are boilerplate more often than prose).
+    * `struct<n_sentences, mean_sentence_words, max_sentence_words>`;
+    * the mean is 0.0 for documents with no sentences. */
+  def sentenceStats(text: Column): Column = {
+    val sents = regexp_extract_all(text, lit("[^.!?]+[.!?]+"), lit(0))
+    val words = transform(sents, s => regexp_count(s, lit("\\S+")))
+    val n = size(sents)
+    struct(
+      n.as("n_sentences"),
+      when(n === 0, lit(0.0))
+        .otherwise(aggregate(words, lit(0L), (a, x) => a + x).cast("double") / n)
+        .as("mean_sentence_words"),
+      coalesce(array_max(words), lit(0)).as("max_sentence_words"))
+  }
+
+  /** Corpus-wide boilerplate-line report — the diagnostic twin of
+    * [[Scrub.dedupLinesGlobal]]: every line appearing in at least
+    * `minDocs` distinct documents, with its document count and total
+    * occurrence count. Feed the result to a subtract-join to strip
+    * boilerplate, or to a human as the "what's repeated" audit.
+    *
+    * Shape at 100 TB: one explode, one groupBy(line) with partial
+    * aggregation (the million-page cookie banner collapses map-side;
+    * count_distinct(id) carries a per-line distinct state the same way
+    * Spark plans any distinct aggregate). The `minDocs` filter prunes
+    * the long unique-line tail before anything is returned. */
+  def boilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                       sep: String = "\n", minDocs: Int = 3): DataFrame = {
+    require(!df.columns.contains("line"),
+      "boilerplateLines: input already has a 'line' column")
+    df.select(col(idCol),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as("line"))
+      .groupBy("line")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+}

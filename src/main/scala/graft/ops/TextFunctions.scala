@@ -189,6 +189,54 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Character-level profile — class counts, distinct characters, and
+    * Shannon entropy over the char distribution (bits): the
+    * charset-health battery (encoding damage → high `n_other`,
+    * binary-in-text → high entropy, repetitive spam → low). Routed
+    * through the one-pass `graft_char_profile` codegen expression when
+    * [[graft.GraftExtensions]] is registered; the composed fallback
+    * below is O(len × distinct) interpreted lambdas and walks UTF-16
+    * units (it mis-splits supplementary characters) — fine for specs
+    * and small batches, register the extension for corpus runs. Both
+    * accumulate entropy in rounded 1e-6-bit integer units per distinct
+    * character, so the sum is order-independent and engine-exact
+    * (bit-equal paths pinned by CharProfileSpec; DuckDB oracle
+    * `text_entropy`). */
+  def charProfile(text: Column): Column = {
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists("graft_char_profile"))
+      .map(_ => call_function("graft_char_profile", text))
+    native.getOrElse {
+      val chars = filter(split(text, ""), c => c =!= "")
+      val n = size(chars)
+      val dist = array_distinct(chars)
+      val classCount = (re: String) => regexp_count(text, lit(re)).cast("long")
+      val letters = classCount("[A-Za-z]")
+      val digits = classCount("[0-9]")
+      val spaces = classCount("[ \\t\\n\\r]")
+      val printable = classCount("[!-~]")
+      val micros = aggregate(
+        transform(dist, c => {
+          val p = size(filter(chars, x => x === c)).cast("double") / n
+          // Math.round twin: floor(x + 0.5)
+          floor(-(p * log(p) / lit(Ln2)) * 1e6 + 0.5).cast("long")
+        }),
+        lit(0L), (acc, x) => acc + x)
+      struct(
+        n.cast("long").as("n_chars"),
+        letters.as("n_letters"),
+        digits.as("n_digits"),
+        spaces.as("n_spaces"),
+        (printable - letters - digits).as("n_punct"),
+        (n.cast("long") - printable - spaces).as("n_other"),
+        size(dist).as("n_distinct"),
+        when(n === 0, lit(0.0))
+          .otherwise(micros.cast("double") / lit(1e6)).as("entropy"))
+    }
+  }
+
+  private val Ln2 = math.log(2.0)
+
   /** 64-bit rolling polynomial hash (base-31 Horner over UTF-8 code
     * points) — the classic shingling hash, as a pure fold expression.
     * Java-long overflow semantics (wraps), deterministic everywhere. */

@@ -188,6 +188,63 @@ object Web {
     trim(regexp_replace(e6, "\\s+", " "))
   }
 
+  /** Above this many blocked domains the blocklist becomes a broadcast
+    * join instead of an inlined InSet literal — the same
+    * literal/broadcast crossover as
+    * [[Similarity.CentroidLiteralBudget]]: a real UT1-class category
+    * list is millions of domains, and inlining it would ship the whole
+    * list in every task binary. */
+  val BlocklistLiteralBudget = 256
+
+  /** URL blocklist gate — the category-filter stage (UT1 adult/malware
+    * lists, client suppression lists) every web-corpus pipeline runs
+    * next to canonicalization. Adds three columns:
+    * `blocked_domain` (the URL's [[registeredDomain]] is on the list —
+    * subdomains of a blocked domain are blocked with it),
+    * `blocked_pattern` (any of the RE2-safe regexes matches anywhere in
+    * the raw URL), and `allowed` (neither). Rows are flagged, not
+    * dropped — route `allowed` downstream and the complement to audit.
+    * Null/invalid URLs flag as not-blocked; quarantine them via
+    * [[canonicalize]]'s null, which owns that contract.
+    *
+    * Domain matching auto-selects by [[BlocklistLiteralBudget]]: an
+    * O(1) InSet literal for small lists, a broadcast left-join above it
+    * (hash probe per row, no shuffle of `df`). Pattern matching is a
+    * codegen'd rlike disjunction — keep the pattern list to the tens;
+    * a million-entry pattern list belongs in an Aho-Corasick UDF tier,
+    * not here. */
+  def applyBlocklist(df: DataFrame, urlCol: String,
+                     blockedDomains: Seq[String],
+                     blockedPatterns: Seq[String] = Nil): DataFrame = {
+    require(!df.columns.exists(_.startsWith("__bl_")),
+      "applyBlocklist: input already has __bl_* columns")
+    val dom = registeredDomain(host(col(urlCol)))
+    val patHit: Column =
+      if (blockedPatterns.isEmpty) lit(false)
+      else blockedPatterns.map(p => coalesce(col(urlCol).rlike(p), lit(false)))
+        .reduce(_ || _)
+    val domains = blockedDomains
+      .map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val withDomHit =
+      if (domains.isEmpty) df.withColumn("blocked_domain", lit(false))
+      else if (domains.size <= BlocklistLiteralBudget)
+        df.withColumn("blocked_domain",
+          coalesce(dom.isin(domains: _*), lit(false)))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val bl = domains.toDF("__bl_domain").withColumn("__bl_hit", lit(true))
+        df.withColumn("__bl_dom", dom)
+          .join(broadcast(bl), col("__bl_dom") === col("__bl_domain"), "left")
+          .withColumn("blocked_domain", coalesce(col("__bl_hit"), lit(false)))
+          .drop("__bl_dom", "__bl_domain", "__bl_hit")
+      }
+    withDomHit
+      .withColumn("blocked_pattern", patHit)
+      .withColumn("allowed",
+        !col("blocked_domain") && !col("blocked_pattern"))
+  }
+
   /** Keep at most `cap` rows per domain, best-first by `order` (append a
     * unique id as the last key for determinism). This is the anti-spam /
     * anti-mirror gate: without it a single content farm contributes

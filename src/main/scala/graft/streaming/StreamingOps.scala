@@ -490,8 +490,13 @@ object StreamingOps {
     val sess = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
+        // cast only inside the gap arithmetic: unix_millis rejects
+        // TIMESTAMP_NTZ (what parquet TIMESTAMP columns read as), and
+        // the NTZ->TIMESTAMP cast is value-preserving in the UTC
+        // session; start/end keep the input's own timestamp flavor
         (col("prev_ts").isNull ||
-          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs)
+          unix_millis(col("ts").cast("timestamp")) -
+            unix_millis(col("prev_ts").cast("timestamp")) > gapMs)
           .cast("long"))
       .withColumn("sess_id", sum("new_sess").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

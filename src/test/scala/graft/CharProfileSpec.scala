@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ops.TextFunctions
+
+/** Pins the one-pass graft_char_profile expression bit-equal to the
+  * composed higher-order-function fallback (restated inline here as the
+  * reference implementation) on BMP text, plus the class-partition and
+  * entropy-contract invariants. The shared session registers
+  * GraftExtensions, so TextFunctions.charProfile routes to the native
+  * expression. */
+class CharProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Ln2 = math.log(2.0)
+
+  /** The composed fallback, restated (TextFunctions.charProfile's
+    * non-native branch). */
+  private def refProfile(text: Column): Column = {
+    val chars = filter(split(text, ""), c => c =!= "")
+    val n = size(chars)
+    val dist = array_distinct(chars)
+    val classCount = (re: String) => regexp_count(text, lit(re)).cast("long")
+    val letters = classCount("[A-Za-z]")
+    val digits = classCount("[0-9]")
+    val spaces = classCount("[ \\t\\n\\r]")
+    val printable = classCount("[!-~]")
+    val micros = aggregate(
+      transform(dist, c => {
+        val p = size(filter(chars, x => x === c)).cast("double") / n
+        floor(-(p * log(p) / lit(Ln2)) * 1e6 + 0.5).cast("long")
+      }),
+      lit(0L), (acc, x) => acc + x)
+    struct(
+      n.cast("long").as("n_chars"),
+      letters.as("n_letters"),
+      digits.as("n_digits"),
+      spaces.as("n_spaces"),
+      (printable - letters - digits).as("n_punct"),
+      (n.cast("long") - printable - spaces).as("n_other"),
+      size(dist).as("n_distinct"),
+      when(n === 0, lit(0.0))
+        .otherwise(micros.cast("double") / lit(1e6)).as("entropy"))
+  }
+
+  private val samples = Seq(
+    "plain ascii words with spaces",
+    "MixedCase123 with DIGITS 456 and punct!?.",
+    "tabs\tand\nnewlines\r\nhere",
+    "#### symbols &*() $$$ @@@",
+    "non-ascii: café über straße 中文",
+    "aaaaaaaaaa",          // single repeated char: entropy 0
+    "ab",                  // two equiprobable chars: entropy 1 bit
+    "x")
+
+  test("native expression matches the composed fallback on BMP text") {
+    val df = samples.toDF("t")
+    val native = df.select(TextFunctions.charProfile(col("t")).as("p"))
+      .select("p.*").collect().map(_.toString).toSeq
+    val ref = df.select(refProfile(col("t")).as("p"))
+      .select("p.*").collect().map(_.toString).toSeq
+    assert(native == ref)
+  }
+
+  test("classes partition the text and entropy hits the known anchors") {
+    val rows = samples.toDF("t")
+      .select(col("t"), TextFunctions.charProfile(col("t")).as("p"))
+      .select(col("t"), col("p.*")).collect()
+    rows.foreach { r =>
+      val Seq(n, lt, dg, sp, pu, ot) = (1 to 6).map(r.getLong)
+      assert(lt + dg + sp + pu + ot == n, s"class partition broke on '${r.getString(0)}'")
+    }
+    val byText = rows.map(r => r.getString(0) -> r.getDouble(8)).toMap
+    assert(byText("aaaaaaaaaa") == 0.0)
+    assert(byText("ab") == 1.0)
+  }
+
+  test("native path counts supplementary characters as one code point") {
+    // U+1F600 is a surrogate pair in UTF-16; code-point semantics count 1
+    val r = Seq("a😀b").toDF("t")
+      .select(TextFunctions.charProfile(col("t")).as("p"))
+      .select("p.*").head()
+    assert(r.getLong(0) == 3 && r.getLong(5) == 1 && r.getInt(6) == 3)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.Clean
+
+/** Edge-case pins for the C4-style cleaning family: line predicates, doc
+  * gates, repetition and sentence profiles, and the boilerplate report.
+  * The oracle queries cover the planted corpus; these pin the corners
+  * the planted shapes don't reach (empty docs, all-dropped docs, quote
+  * terminators, single-line docs). */
+class CleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flagsOf(text: String): Row =
+    Seq(text).toDF("t")
+      .select(Clean.c4DocFlags(col("t")).as("f"))
+      .select("f.*").head()
+
+  test("c4 line filter keeps terminal-punctuation lines with enough words") {
+    val kept = Seq(
+      "this line has plenty of words and ends well.",
+      "does a question mark count as terminal punctuation?",
+      "he said \"the quote is the last character\"").toDF("l")
+      .filter(Clean.c4KeepLine(col("l"))).count()
+    assert(kept == 3)
+  }
+
+  test("c4 line filter drops short, unterminated, and javascript lines") {
+    val kept = Seq(
+      "Too short.",                                      // < 5 words
+      "five words but no terminal punctuation at all",   // no [.!?"] end
+      "please enable JavaScript to continue viewing this.", // javascript
+      "").toDF("l")
+      .filter(Clean.c4KeepLine(col("l"))).count()
+    assert(kept == 0)
+  }
+
+  test("c4 clean of a fully-dropped doc is the empty string") {
+    val r = Seq("short one\nshort two").toDF("t")
+      .select(Clean.c4CleanLines(col("t")).as("c")).head().getString(0)
+    assert(r == "")
+  }
+
+  test("c4 doc gates: lorem ipsum and brace poison, kept-line minimum") {
+    val good = "one two three four five ok.\nsix seven eight nine ten go!\n" +
+      "eleven twelve thirteen fourteen fifteen end?"
+    assert(flagsOf(good) == Row(false, false, 3, true))
+    assert(flagsOf(good + "\nsome Lorem Ipsum filler here.") ==
+      Row(true, false, 4, false))
+    assert(flagsOf(good + "\nif (x) { return; }") == Row(false, true, 3, false))
+    // only 2 surviving lines -> fails the minLines gate
+    assert(flagsOf(good.split("\n").take(2).mkString("\n"))
+      == Row(false, false, 2, false))
+  }
+
+  test("dupLineStats counts repeat occurrences and their char mass") {
+    val r = Seq("aaa\nbb\naaa\nbb\naaa\nc").toDF("t")
+      .select(Clean.dupLineStats(col("t")).as("s")).select("s.*").head()
+    // 6 lines; repeats beyond first: aaa x2, bb x1 -> 3; dup chars 3+3+2=8
+    // of total 3+2+3+2+3+1=14; most frequent line occurs 3 times
+    assert(r == Row(6, 3, 8.0 / 14.0, 3))
+  }
+
+  test("dupLineStats on a single-line doc reports no duplication") {
+    val r = Seq("only one line here").toDF("t")
+      .select(Clean.dupLineStats(col("t")).as("s")).select("s.*").head()
+    assert(r == Row(1, 0, 0.0, 1))
+  }
+
+  test("sentenceStats counts terminated sentences only") {
+    val r = Seq("One two three. Four five! Six seven eight? tail no punct")
+      .toDF("t").select(Clean.sentenceStats(col("t")).as("s"))
+      .select("s.*").head()
+    assert(r == Row(3, 8.0 / 3.0, 3))
+  }
+
+  test("sentenceStats with no terminal punctuation is all-zero") {
+    val r = Seq("no terminal punctuation anywhere in this text")
+      .toDF("t").select(Clean.sentenceStats(col("t")).as("s"))
+      .select("s.*").head()
+    assert(r == Row(0, 0.0, 0))
+  }
+
+  test("boilerplateLines surfaces lines shared across enough docs") {
+    val df = Seq(
+      (1L, "banner\nunique a"), (2L, "banner\nunique b"),
+      (3L, "banner\nunique c\nbanner"), (4L, "other\nunique d"))
+      .toDF("doc_id", "text")
+    val r = Clean.boilerplateLines(df, "text", "doc_id", minDocs = 3)
+      .collect().toSeq
+    // "banner": 4 occurrences over 3 docs; nothing else reaches 3 docs
+    assert(r == Seq(Row("banner", 4L, 3L)))
+  }
+}

@@ -331,9 +331,14 @@ class OpsSpec extends SparkSpec {
   }
 
   test("asOf is a single shuffle (one Exchange on the union)") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .select("event_id", "user_id", "ts")
+    // testdata generations have shipped ts as INT64 epoch-nanos and as
+    // parquet TIMESTAMP (reads as TIMESTAMP_NTZ) — normalize either
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }).select("event_id", "user_id", "ts")
     val ord = spark.read.parquet(s"$sf/orders.parquet")
       .groupBy("o_custkey", "o_orderdate")
       .agg(max("o_orderkey").as("o_orderkey"))
