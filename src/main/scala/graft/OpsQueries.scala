@@ -1256,6 +1256,32 @@ object OpsQueries {
     """SELECT doc_id, TRUE AS ids_in_range, TRUE AS roundtrip_ok,
       |  TRUE AS tokens_ge_words FROM documents""".stripMargin
 
+  /** Unigram-LM tokenizer (Viterbi-EM trained), same CONTRACT rows as
+    * the BPE query: id-range, lossless round-trip on fully-covered
+    * docs, and the tokens >= words bound — the raw Viterbi
+    * segmentations stay pinned by UnigramSpec. */
+  private def qDocTokensUnigram(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val vocab = Tokenize.trainVocabUnigram(d, "text", "doc_id",
+      vocabSize = 128, sampleN = 256)
+    val canon = array_join(
+      filter(TextFunctions.tokens(col("text")), w => w =!= ""), " ")
+    Tokenize.unigram(d, "text", vocab)
+      .select(col("doc_id"),
+        forall(col("token_ids"),
+          i => i >= 0 && i < lit(vocab.size)).as("ids_in_range"),
+        (col("n_unk") > 0 ||
+          Tokenize.detokenize(col("token_ids"), vocab.map(_._1)) === canon)
+          .as("roundtrip_ok"),
+        (col("n_tokens") >=
+          size(filter(TextFunctions.tokens(col("text")), w => w =!= "")))
+          .as("tokens_ge_words"))
+  }
+
+  private val oDocTokensUnigram =
+    """SELECT doc_id, TRUE AS ids_in_range, TRUE AS roundtrip_ok,
+      |  TRUE AS tokens_ge_words FROM documents""".stripMargin
+
   /** Second END-TO-END composition, from this library's model-based
     * tier: LM-perplexity gate (keep docs the English reference model
     * finds predictable) → weight-proportional priority sampling per
@@ -3508,6 +3534,7 @@ object OpsQueries {
     "pretrain_pipeline" -> (qPretrainPipeline _),
     "doc_tokens" -> (qDocTokens _),
     "doc_tokens_bpe" -> (qDocTokensBpe _),
+    "doc_tokens_unigram" -> (qDocTokensUnigram _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_priority" -> (qSamplePriority _),
     "sample_dsir" -> (qSampleDsir _),
@@ -3620,6 +3647,7 @@ object OpsQueries {
     "pretrain_pipeline" -> oPretrainPipeline,
     "doc_tokens" -> oDocTokens,
     "doc_tokens_bpe" -> oDocTokensBpe,
+    "doc_tokens_unigram" -> oDocTokensUnigram,
     "sample_stratified" -> oSampleStratified,
     "sample_priority" -> oSamplePriority,
     "sample_dsir" -> oSampleDsir,

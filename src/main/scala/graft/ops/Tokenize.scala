@@ -146,6 +146,217 @@ object Tokenize {
     (Unk +: (base ++ merges)).take(vocabSize)
   }
 
+  /** Train a unigram-LM subword vocabulary (Kudo 2018 — SentencePiece's
+    * model) on the same bounded lowest-id sample contract as
+    * [[trainVocabBpe]]: seed every word substring up to `maxPieceLen`
+    * chars as a candidate piece (bare at word start, "##"-prefixed as a
+    * continuation — the family's shared namespace, so [[detokenize]]
+    * works unchanged), then run Viterbi ("hard") EM: each iteration
+    * re-segments every sample word into its maximum-likelihood piece
+    * sequence under the current piece distribution and re-estimates
+    * piece probabilities from the winning segmentations, pruning to the
+    * `vocabSize` budget. Single-character pieces are never pruned
+    * (coverage guarantee: any word over sampled characters stays
+    * encodable). Full SentencePiece uses soft EM with an
+    * expected-likelihood-loss prune; hard EM with a count prune is the
+    * standard deterministic simplification and keeps training exactly
+    * reproducible (sample order, tie order, prune order all pinned).
+    *
+    * Scale shape: driver-side EM over the capped sample's word-frequency
+    * table — the corpus never participates; encoding is a broadcast-map
+    * Viterbi pass ([[unigram]]). Returns (piece, ln-probability) pairs,
+    * [[Unk]] first with a floor probability of 0.5/total. */
+  def trainVocabUnigram(df: DataFrame, textCol: String, idCol: String,
+                        vocabSize: Int, sampleN: Int = 4096,
+                        maxWordLen: Int = 64, maxPieceLen: Int = 8,
+                        emIters: Int = 3): Seq[(String, Double)] = {
+    require(vocabSize >= 2, "vocabSize must fit [UNK] plus a piece")
+    val texts = df.select(col(idCol), col(textCol))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect().map(_.getString(1)).filter(_ != null)
+    val wordFreq = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    texts.foreach(TextFunctions.tokensJvm(_).foreach { w =>
+      if (w.nonEmpty && w.length <= maxWordLen && !w.startsWith("##"))
+        wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)
+    })
+    val words: Array[(String, Long)] = wordFreq.toArray.sortBy(_._1)
+    // seed: substring counts in the positional namespace
+    val seed = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        val jMax = math.min(i + maxPieceLen, w.length)
+        while (j <= jMax) {
+          val p = if (i == 0) w.substring(i, j) else "##" + w.substring(i, j)
+          seed.update(p, seed.getOrElse(p, 0L) + f)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    def rawLen(p: String) = if (p.startsWith("##")) p.length - 2 else p.length
+    val singles = seed.keys.filter(rawLen(_) == 1).toArray.sorted
+    def topMultis(counts: collection.Map[String, Long], room: Int) =
+      counts.iterator.filter { case (p, _) => rawLen(p) > 1 }.toArray
+        .sortBy { case (p, c) => (-c, p) }.take(math.max(room, 0)).map(_._1)
+    val room = vocabSize - 1 - singles.length
+    var kept: Array[String] = singles ++ topMultis(seed, math.max(room, 0) * 4)
+    var logp: Map[String, Double] = {
+      val tot = kept.iterator.map(seed(_)).sum.toDouble
+      kept.iterator.map(p => p -> math.log(seed(p) / tot)).toMap
+    }
+    // Viterbi segmentation of one word under the current model; null
+    // when some position is uncoverable (can't happen while singles
+    // survive, but the encode path reuses this and must be total)
+    def viterbi(w: String, model: Map[String, Double],
+                maxLen: Int): Array[String] = {
+      val n = w.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val back = Array.fill(n + 1)(-1)
+      best(0) = 0.0
+      var i = 0
+      while (i < n) {
+        if (best(i) != Double.NegativeInfinity) {
+          var j = i + 1
+          val jMax = math.min(i + maxLen, n)
+          while (j <= jMax) {
+            val piece = if (i == 0) w.substring(i, j) else "##" + w.substring(i, j)
+            model.get(piece) match {
+              case Some(lp) =>
+                val s = best(i) + lp
+                // strict > keeps the EARLIEST (shortest-last-piece)
+                // segmentation on exact ties — deterministic
+                if (s > best(j)) { best(j) = s; back(j) = i }
+              case None => ()
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      if (best(n) == Double.NegativeInfinity) null
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = n
+        while (pos > 0) {
+          val s = back(pos)
+          out += (if (s == 0) w.substring(s, pos) else "##" + w.substring(s, pos))
+          pos = s
+        }
+        out.reverseIterator.toArray
+      }
+    }
+    var iter = 0
+    while (iter < emIters) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, f) =>
+        val seg = viterbi(w, logp, maxPieceLen)
+        if (seg != null) seg.foreach(p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f))
+      }
+      // prune to budget: singles always kept (count-floored to 1 so the
+      // model stays total), multis by (count desc, piece)
+      kept = singles ++ topMultis(counts, room)
+      val fl = kept.iterator.map(p => p -> math.max(counts.getOrElse(p, 0L), 1L)).toMap
+      val tot = fl.valuesIterator.sum.toDouble
+      logp = kept.iterator.map(p => p -> math.log(fl(p) / tot)).toMap
+      iter += 1
+    }
+    // kept is singles (sorted) then multis (count desc, piece) — the
+    // final deterministic id order
+    val unkLp = math.log(0.5 / math.max(words.map(_._2).sum, 1L).toDouble)
+    ((Unk, unkLp) +: kept.map(p => (p, logp(p))).toSeq).take(vocabSize)
+  }
+
+  /** Tokenize against a unigram-LM vocab ([[trainVocabUnigram]]'s
+    * output): per word, the maximum-likelihood Viterbi segmentation
+    * under the piece log-probabilities — same output columns and UNK
+    * rules as [[wordpiece]], same broadcast-map no-shuffle shape, and
+    * the same "##" namespace so [[detokenize]] round-trips. */
+  def unigram(df: DataFrame, textCol: String,
+              vocab: Seq[(String, Double)],
+              maxWordLen: Int = 64): DataFrame = {
+    require(vocab.map(_._1).contains(Unk), s"vocab must contain $Unk")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "vocab has duplicate entries")
+    val pieces = vocab.map(_._1)
+    val unkId = pieces.indexOf(Unk)
+    val maxLen = vocab.iterator.map { case (p, _) =>
+      if (p.startsWith("##")) p.length - 2 else p.length
+    }.max
+    val bc = df.sparkSession.sparkContext.broadcast(
+      vocab.zipWithIndex.map { case ((p, lp), i) => p -> (i, lp) }.toMap)
+    val encode = udf { (words: Seq[String]) =>
+      val v = bc.value
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      words.foreach { w =>
+        if (w.isEmpty) ()
+        else if (w.length > maxWordLen || w.startsWith("##")) out += unkId
+        else {
+          val n = w.length
+          val best = Array.fill(n + 1)(Double.NegativeInfinity)
+          val back = Array.fill(n + 1)(-1)
+          best(0) = 0.0
+          var i = 0
+          while (i < n) {
+            if (best(i) != Double.NegativeInfinity) {
+              var j = i + 1
+              val jMax = math.min(i + maxLen, n)
+              while (j <= jMax) {
+                val piece =
+                  if (i == 0) w.substring(i, j) else "##" + w.substring(i, j)
+                v.get(piece) match {
+                  case Some((_, lp)) =>
+                    val s = best(i) + lp
+                    if (s > best(j)) { best(j) = s; back(j) = i }
+                  case None => ()
+                }
+                j += 1
+              }
+            }
+            i += 1
+          }
+          if (best(n) == Double.NegativeInfinity) out += unkId
+          else {
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var pos = n
+            while (pos > 0) {
+              val s = back(pos)
+              val piece =
+                if (s == 0) w.substring(s, pos) else "##" + w.substring(s, pos)
+              ids += v(piece)._1
+              pos = s
+            }
+            out ++= ids.reverseIterator
+          }
+        }
+      }
+      out.toSeq
+    }
+    df.withColumn("token_ids", encode(TextFunctions.tokens(col(textCol))))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .withColumn("n_unk",
+        size(filter(col("token_ids"), _ === lit(unkId))))
+  }
+
+  /** Persist a unigram vocab as (id, piece, logp) parquet — like
+    * [[saveVocab]] but carrying the model probabilities the Viterbi
+    * encode needs. Doubles round-trip parquet bit-exactly. */
+  def saveUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+                       vocab: Seq[(String, Double)], path: String): Unit = {
+    import spark.implicits._
+    vocab.zipWithIndex.map { case ((p, lp), i) => (i, p, lp) }
+      .toDF("id", "piece", "logp").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted unigram vocab in id order (vocab-sized collect). */
+  def loadUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[(String, Double)] =
+    spark.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+
   /** Persist a trained vocab as a (id, piece) parquet table — the
     * artifact a production pipeline trains once and replays against
     * every subsequent corpus drop (see [[loadVocab]]). */

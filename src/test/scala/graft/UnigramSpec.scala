@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextFunctions, Tokenize}
+
+/** Pins the unigram-LM tokenizer (Viterbi-EM training, Viterbi encode):
+  * training determinism, character-coverage, round-trip, UNK contracts,
+  * and persisted-model reload equality — the properties the contract
+  * oracle (doc_tokens_unigram) can't see from booleans alone. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick dog naps and the brown fox runs"),
+    (2L, "quick brown foxes jump over lazy dogs daily"),
+    (3L, "pack my box with five dozen liquor jugs"),
+    (4L, "the dog and the fox and the box")).toDF("doc_id", "text")
+
+  test("training is deterministic and keeps every sampled character") {
+    val v1 = Tokenize.trainVocabUnigram(corpus, "text", "doc_id", 64)
+    val v2 = Tokenize.trainVocabUnigram(corpus, "text", "doc_id", 64)
+    assert(v1 == v2)
+    assert(v1.head._1 == Tokenize.Unk)
+    val pieces = v1.map(_._1).toSet
+    // every character of the sample must be present bare (word-start)
+    // and as a continuation, so any word over these chars is encodable
+    val chars = corpus.collect().flatMap(_.getString(1).replace(" ", ""))
+      .map(_.toString).distinct
+    chars.foreach { c =>
+      assert(pieces.contains(c) || !corpus.collect()
+        .exists(_.getString(1).split(" ").exists(_.startsWith(c))),
+        s"bare single '$c' missing")
+    }
+    // log-probabilities are a (sub-)distribution: all negative
+    assert(v1.forall(_._2 < 0.0))
+  }
+
+  test("encode round-trips and Viterbi prefers high-frequency pieces") {
+    val vocab = Tokenize.trainVocabUnigram(corpus, "text", "doc_id", 96)
+    val enc = Tokenize.unigram(corpus, "text", vocab)
+    val canon = array_join(
+      filter(TextFunctions.tokens(col("text")), w => w =!= ""), " ")
+    val bad = enc
+      .filter(col("n_unk") === 0 &&
+        Tokenize.detokenize(col("token_ids"), vocab.map(_._1)) =!= canon)
+      .count()
+    assert(bad == 0)
+    assert(enc.agg(sum(when(col("n_unk") > 0, 1).otherwise(0))).head().getLong(0) == 0)
+    // frequent whole words ("the") must come out as ONE piece: the EM
+    // counts make their single-piece path beat any character path
+    val theIds = Tokenize.unigram(Seq((9L, "the")).toDF("doc_id", "text"),
+      "text", vocab).select("token_ids").head().getSeq[Int](0)
+    assert(theIds.size == 1)
+    assert(vocab(theIds.head)._1 == "the")
+  }
+
+  test("words with unsampled characters become one [UNK]") {
+    val vocab = Tokenize.trainVocabUnigram(corpus, "text", "doc_id", 64)
+    val out = Tokenize.unigram(
+      Seq((9L, "the zebra7 runs"), (10L, "##led word")).toDF("doc_id", "text"),
+      "text", vocab)
+      .select("token_ids", "n_unk").collect()
+    // 'zebra7' contains '7', never sampled -> whole word one UNK; 'the'
+    // and 'runs' still encode; a raw "##"-led word maps straight to UNK
+    assert(out(0).getInt(1) == 1)
+    assert(out(1).getInt(1) == 1)
+  }
+
+  test("persisted unigram vocab reloads bit-equal and encodes identically") {
+    val vocab = Tokenize.trainVocabUnigram(corpus, "text", "doc_id", 96)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_vocab")
+      .toString + "/v"
+    Tokenize.saveUnigramVocab(spark, vocab, dir)
+    val re = Tokenize.loadUnigramVocab(spark, dir)
+    assert(re == vocab)
+    val a = Tokenize.unigram(corpus, "text", vocab)
+      .select("doc_id", "token_ids").collect().map(_.toString).sorted.toSeq
+    val b = Tokenize.unigram(corpus, "text", re)
+      .select("doc_id", "token_ids").collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}
