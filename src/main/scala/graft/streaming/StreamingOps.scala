@@ -331,6 +331,27 @@ object StreamingOps {
       .filter(col("quality_score") >= minScore)
   }
 
+  /** Streaming C4 cleaning gate — the live-ingest twin of the batch
+    * line cleaner (`text_c4_clean`): clean each arriving document's
+    * lines under the C4 rules and admit only documents passing the
+    * document gates (enough surviving lines, no poison phrases).
+    * [[graft.ops.Clean]]'s functions are stateless column expressions
+    * (no state store, no shuffle, no watermark), so the identical
+    * expressions serve batch backfill and the live path — stream≡batch
+    * is spec-pinned across micro-batches. Returns the input with
+    * `textCol` replaced by its cleaned lines plus `kept_lines`,
+    * filtered to passing documents. */
+  def c4GateStream(docs: DataFrame, textCol: String, minWords: Int = 5,
+                   minLines: Int = 3): DataFrame = {
+    val flags = graft.ops.Clean.c4DocFlags(col(textCol),
+      minWords = minWords, minLines = minLines)
+    docs
+      .withColumn("kept_lines", flags.getField("kept_lines"))
+      .filter(flags.getField("pass"))
+      .withColumn(textCol,
+        graft.ops.Clean.c4CleanLines(col(textCol), minWords = minWords))
+  }
+
   /** Streaming covariance/PCA maintenance — the live leg of
     * [[graft.ops.Pca]]'s rolling-corpus recipe. A `foreachBatch` sink:
     * each micro-batch's sufficient statistics ([[graft.ops.Pca.fitState]]

@@ -206,6 +206,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming C4 gate cleans and admits the same docs as batch") {
+    implicit val ctx = spark.sqlContext
+    val docs = (0L until 40L).map { i =>
+      val good = "this line has plenty of words and ends well.\n" +
+        "another decent line with enough words here!\n" +
+        "a third proper line closes the document fine."
+      val text =
+        if (i % 5 == 0) good + "\nlorem ipsum dolor sit amet."  // poison
+        else if (i % 7 == 0) "short.\nalso short."              // too few kept
+        else good + s"\nunique trailing fragment $i"            // dropped line
+      (i, text)
+    }
+    val batchDf = docs.toDF("doc_id", "text")
+    val batch = StreamingOps.c4GateStream(batchDf, "text")
+      .select("doc_id", "kept_lines", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.c4GateStream(
+        input.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("c4gate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      val streamed = spark.table("c4gate")
+        .select("doc_id", "kept_lines", "text").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.size < docs.size,
+        "gate must admit some docs and reject some")
+      // poison and under-min docs really are gone
+      assert(!batch.exists(r => r._1 % 5 == 0 || r._1 % 7 == 0))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap is exceeded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
