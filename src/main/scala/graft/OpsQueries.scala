@@ -2921,6 +2921,58 @@ object OpsQueries {
       |  NOT blocked_domain AND NOT blocked_pattern AS allowed
       |FROM f""".stripMargin
 
+  /** Robots-exclusion gate over the planted URLs: wildcard-group rules
+    * planted for the shape-0 and shape-1 hosts (with decoy bot-specific
+    * groups, mixed-case directives, and comments the parser must
+    * ignore); shapes 2/3 have no robots and default to allowed. The
+    * longest-prefix/allow-beats-disallow matching is replayed in SQL
+    * against the same literal rules. */
+  private def qWebRobots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val robots = ((0 until 20 by 4).map(k => (s"www.example$k.co.uk",
+        "User-agent: *\nDisallow: /Article/\nAllow: /Article/2\n\n" +
+          "User-agent: evilbot\nDisallow: /")) ++
+      (1 until 20 by 4).map(k => (s"blog.example$k.com",
+        "# site rules\nUser-Agent: *\nDISALLOW: /post/1\nallow: /post/12\n" +
+          "Crawl-delay: 5")))
+      .toDF("host", "robots_txt")
+    Web.applyRobots(plantedUrls(s, dir).filter(col("doc_id") < 400)
+        .select("doc_id", "url"), "url", robots)
+      .select(col("doc_id"), Web.host(col("url")).as("host"),
+        col("robots_allowed"), col("robots_rule"), col("robots_rule_allow"))
+  }
+
+  private val oWebRobots =
+    s"""WITH u AS ($oPlantedUrls),
+      |f AS (SELECT doc_id, url,
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1)) AS host,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth
+      |  FROM u WHERE doc_id < 400),
+      |p AS (SELECT doc_id, host,
+      |    CASE WHEN pth = '' THEN '/' ELSE pth END AS pth,
+      |    CAST(doc_id % 4 AS INTEGER) AS shape FROM f)
+      |SELECT doc_id, host,
+      |  CASE WHEN shape = 0 THEN starts_with(pth, '/Article/2')
+      |        OR NOT starts_with(pth, '/Article/')
+      |      WHEN shape = 1 THEN starts_with(pth, '/post/12')
+      |        OR NOT starts_with(pth, '/post/1')
+      |      ELSE TRUE END AS robots_allowed,
+      |  CASE WHEN shape = 0 AND starts_with(pth, '/Article/2')
+      |        THEN '/Article/2'
+      |      WHEN shape = 0 AND starts_with(pth, '/Article/')
+      |        THEN '/Article/'
+      |      WHEN shape = 1 AND starts_with(pth, '/post/12') THEN '/post/12'
+      |      WHEN shape = 1 AND starts_with(pth, '/post/1') THEN '/post/1'
+      |      ELSE NULL END AS robots_rule,
+      |  CASE WHEN shape = 0 AND starts_with(pth, '/Article/2') THEN TRUE
+      |      WHEN shape = 0 AND starts_with(pth, '/Article/') THEN FALSE
+      |      WHEN shape = 1 AND starts_with(pth, '/post/12') THEN TRUE
+      |      WHEN shape = 1 AND starts_with(pth, '/post/1') THEN FALSE
+      |      ELSE NULL END AS robots_rule_allow
+      |FROM p""".stripMargin
+
   /** Reproducible epoch ordering: every row's global training position,
     * fully replayed in SQL (md5 key, positions, tiebreak) — the
     * ordering itself is the verified artifact, not just membership. */
@@ -3473,6 +3525,7 @@ object OpsQueries {
     "web_domain_cap" -> (qWebDomainCap _),
     "web_token_cap" -> (qWebTokenCap _),
     "web_blocklist" -> (qWebBlocklist _),
+    "web_robots" -> (qWebRobots _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3586,6 +3639,7 @@ object OpsQueries {
     "web_domain_cap" -> oWebDomainCap,
     "web_token_cap" -> oWebTokenCap,
     "web_blocklist" -> oWebBlocklist,
+    "web_robots" -> oWebRobots,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

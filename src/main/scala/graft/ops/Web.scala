@@ -245,6 +245,93 @@ object Web {
         !col("blocked_domain") && !col("blocked_pattern"))
   }
 
+  /** Parse a robots.txt body into the rules that bind the wildcard
+    * (`User-agent: *`) group, RFC 9309 semantics: `#` comments
+    * stripped, directive names case-insensitive, a group = consecutive
+    * user-agent lines followed by rules, ALL `*` groups merged, rules
+    * from non-`*` groups ignored (per-crawler UA selection is
+    * deployment config, not corpus curation), empty-path Disallow
+    * dropped (it means allow-all). Returns (allow, path-prefix) pairs
+    * in file order. Prefix-only tier: the `*`/`$` pattern extension is
+    * out of scope and such rules are skipped rather than mis-applied. */
+  private[graft] def parseRobotsJvm(txt: String): Seq[(Boolean, String)] = {
+    if (txt == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    var inStar = false    // current group includes UA *
+    var inUaRun = false   // still reading the group's user-agent lines
+    txt.split("\r?\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) line.split(":", 2) match {
+        case Array(k, v) =>
+          val key = k.trim.toLowerCase(java.util.Locale.ROOT)
+          val value = v.trim
+          key match {
+            case "user-agent" =>
+              if (!inUaRun) { inStar = false; inUaRun = true }
+              if (value == "*") inStar = true
+            case "allow" | "disallow" =>
+              inUaRun = false
+              if (inStar && value.nonEmpty && !value.contains("*") &&
+                  !value.contains("$"))
+                out += ((key == "allow", value))
+              // empty Disallow = allow everything: no rule needed
+            case _ => inUaRun = false // crawl-delay, sitemap, unknown
+          }
+        case _ => ()
+      }
+    }
+    out.toSeq
+  }
+
+  /** Robots-exclusion gate — the crawl-politeness filter a responsible
+    * corpus pipeline applies before ingesting a page: join each URL's
+    * host to its robots.txt, match the URL path against the wildcard
+    * group's rules, LONGEST matching prefix wins with allow beating
+    * disallow on ties (RFC 9309 precedence). Hosts with no robots row
+    * and paths matching no rule are allowed.
+    *
+    * Shape at 100 TB: robots bodies are one small row per crawled host —
+    * parsed once by a scalar JVM function (a stateful grammar, same
+    * precedent as NFC/mojibake) and broadcast; the corpus side is a
+    * hash probe plus an array-lambda match against that host's own few
+    * rules. No shuffle of the corpus, no state.
+    *
+    * Adds `robots_allowed`, `robots_rule` (winning prefix, null when no
+    * rule matched), `robots_rule_allow` (its direction, null likewise). */
+  def applyRobots(urls: DataFrame, urlCol: String, robots: DataFrame,
+                  hostCol: String = "host",
+                  robotsCol: String = "robots_txt"): DataFrame = {
+    require(!urls.columns.exists(_.startsWith("__rb_")),
+      "applyRobots: input already has __rb_* columns")
+    val parse = udf { (txt: String) => parseRobotsJvm(txt) }
+    val parsed = robots.select(
+      lower(col(hostCol)).as("__rb_host"),
+      parse(col(robotsCol)).as("__rb_rules"))
+    val path = {
+      val p = Web.path(col(urlCol))
+      when(p === "", "/").otherwise(p)
+    }
+    val joined = urls
+      .join(broadcast(parsed), host(col(urlCol)) === col("__rb_host"), "left")
+    val matched = filter(col("__rb_rules"),
+      r => path.startsWith(r.getField("_2")))
+    // longest prefix first; allow beats disallow at equal length
+    val best = element_at(array_sort(matched, (l, r) =>
+      when(length(l.getField("_2")) > length(r.getField("_2")), lit(-1))
+        .when(length(l.getField("_2")) < length(r.getField("_2")), lit(1))
+        .when(l.getField("_1") && !r.getField("_1"), lit(-1))
+        .when(!l.getField("_1") && r.getField("_1"), lit(1))
+        .otherwise(lit(0))), 1)
+    joined
+      .withColumn("robots_rule",
+        when(size(matched) > 0, best.getField("_2")))
+      .withColumn("robots_rule_allow",
+        when(size(matched) > 0, best.getField("_1")))
+      .withColumn("robots_allowed",
+        coalesce(col("robots_rule_allow"), lit(true)))
+      .drop("__rb_host", "__rb_rules")
+  }
+
   /** Keep at most `cap` rows per domain, best-first by `order` (append a
     * unique id as the last key for determinism). This is the anti-spam /
     * anti-mirror gate: without it a single content farm contributes

@@ -237,6 +237,53 @@ class WebPropertySpec extends SparkSpec {
     assert(lit.count(_.contains("true,false,false")) == 20)
   }
 
+  // -- robots.txt parse + precedence ----------------------------------
+
+  test("parseRobots handles groups, comments, case, and wildcard skips") {
+    val txt =
+      """# header comment
+        |User-Agent: googlebot
+        |Disallow: /google-only/
+        |
+        |user-agent: *
+        |DISALLOW: /private/   # trailing comment
+        |Allow: /private/ok/
+        |Disallow:
+        |Disallow: /tmp/*.pdf
+        |Crawl-delay: 10
+        |
+        |User-agent: spider
+        |User-agent: *
+        |disallow: /also/
+        |""".stripMargin
+    val rules = Web.parseRobotsJvm(txt)
+    // bot-specific rules ignored; empty Disallow dropped; wildcard-rule
+    // skipped; BOTH * groups merged (the second via a multi-UA run)
+    assert(rules == Seq((false, "/private/"), (true, "/private/ok/"),
+      (false, "/also/")))
+    assert(Web.parseRobotsJvm(null) == Seq.empty)
+    assert(Web.parseRobotsJvm("no directives here") == Seq.empty)
+  }
+
+  test("applyRobots: longest prefix wins, allow beats disallow on ties") {
+    val urls = Seq(
+      (1L, "https://a.com/private/secret"),     // disallow /private/
+      (2L, "https://a.com/private/ok/page"),    // allow (longer prefix)
+      (3L, "https://a.com/public/x"),           // no rule -> allowed
+      (4L, "https://b.com/anything"),           // no robots -> allowed
+      (5L, "https://a.com/tie/x"))              // equal-length tie -> allow
+      .toDF("doc_id", "url")
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
+        "Disallow: /tie/\nAllow: /tie/"))
+      .toDF("host", "robots_txt")
+    val out = Web.applyRobots(urls, "url", robots)
+      .select("doc_id", "robots_allowed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+      5L -> true))
+  }
+
   test("applyBlocklist pattern tier and null-url contract") {
     val urls = Seq(
       (1L, "https://ok.example.com/a?utm_campaign=spring"),
