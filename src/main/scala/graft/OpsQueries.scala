@@ -2921,6 +2921,58 @@ object OpsQueries {
       |  NOT blocked_domain AND NOT blocked_pattern AS allowed
       |FROM f""".stripMargin
 
+  /** The planted phrase list for the list-scale (Aho–Corasick) document
+    * filter. Chosen so no phrase is a substring of — or overlaps — any
+    * other: with that property Aho–Corasick's all-occurrences count
+    * equals regexp_extract_all's successive-match count, so the oracle
+    * is exact in SQL. (Overlapping-pattern semantics are spec-pinned.) */
+  private val badPhrases = Seq("badword alpha", "badword beta",
+    "forbidden phrase", "verboten", "do not train", "restricted term")
+
+  /** List-scale phrase filter: documents with planted poison phrases
+    * (mixed case, several per doc, repeats) flagged by the broadcast
+    * Aho–Corasick automaton; clean word-soup docs pass. */
+  private def qTextBadwords(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" Badword Alpha here and VERBOTEN")))
+        .when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" forbidden phrase do not train on this"),
+            lit(" forbidden phrase")))
+        .otherwise(col("text")))
+    Phrases.flagPhrases(planted, "text", badPhrases)
+      .select("doc_id", "phrase_hits", "phrases_found", "phrase_allowed")
+  }
+
+  private val oTextBadwords = {
+    val sorted = badPhrases.distinct.sorted
+    val cnts = sorted.zipWithIndex.map { case (p, i) =>
+      s"len(regexp_extract_all(lower(text), '$p')) AS c$i"
+    }.mkString(",\n    ")
+    val total = sorted.indices.map(i => s"c$i").mkString(" + ")
+    val found = sorted.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN c$i > 0 THEN '$p' END"
+    }.mkString("[", ", ", "]")
+    s"""WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0
+      |        THEN text || ' Badword Alpha here and VERBOTEN'
+      |      WHEN doc_id % 17 = 0
+      |        THEN text || ' forbidden phrase do not train on this' ||
+      |          ' forbidden phrase'
+      |      ELSE text END AS text
+      |  FROM documents WHERE doc_id < 300),
+      |m AS (SELECT doc_id,
+      |    $cnts
+      |  FROM p)
+      |SELECT doc_id, $total AS phrase_hits,
+      |  COALESCE(array_to_string(
+      |    list_filter($found, x -> x IS NOT NULL), ','), '')
+      |    AS phrases_found,
+      |  ($total) = 0 AS phrase_allowed
+      |FROM m""".stripMargin
+  }
+
   /** Robots-exclusion gate over the planted URLs: wildcard-group rules
     * planted for the shape-0 and shape-1 hosts (with decoy bot-specific
     * groups, mixed-case directives, and comments the parser must
@@ -3526,6 +3578,7 @@ object OpsQueries {
     "web_token_cap" -> (qWebTokenCap _),
     "web_blocklist" -> (qWebBlocklist _),
     "web_robots" -> (qWebRobots _),
+    "text_badwords" -> (qTextBadwords _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3640,6 +3693,7 @@ object OpsQueries {
     "web_token_cap" -> oWebTokenCap,
     "web_blocklist" -> oWebBlocklist,
     "web_robots" -> oWebRobots,
+    "text_badwords" -> oTextBadwords,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** List-scale phrase matching — the C4-style "word list" document
+  * filter (badword lists, compliance phrase lists, PII trigger
+  * phrases). The [[Web.applyBlocklist]] pattern tier is a codegen'd
+  * rlike disjunction: right for tens of patterns, O(patterns ×
+  * text_len) per row. Real lists are thousands of phrases; this is the
+  * Aho–Corasick tier that scales to them: one automaton built from the
+  * list on the driver (O(total pattern chars)), broadcast once, and
+  * matched in a single O(text_len) pass per row — cost independent of
+  * list size.
+  *
+  * Match semantics: substring matches, case-insensitive by default,
+  * ALL occurrences counted including overlapping ones (every (pattern,
+  * end-position) pair — classic Aho–Corasick output semantics; a
+  * pattern that is a suffix of another is reported at the same end
+  * position). Duplicate patterns are collapsed.
+  */
+object Phrases {
+
+  /** The classic Aho–Corasick automaton: goto trie + BFS fail links
+    * with merged outputs. Build is deterministic (patterns deduped and
+    * sorted first) and the structure is Serializable for broadcast. */
+  private[graft] final class AcAutomaton(rawPatterns: Seq[String],
+                                         val caseInsensitive: Boolean)
+      extends Serializable {
+    val patterns: Array[String] = rawPatterns.distinct.sorted.toArray
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "phrase list must be non-empty strings")
+
+    private val gotoMaps =
+      scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.HashMap.empty[Char, Int])
+    private val outs =
+      scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    private def norm(s: String): String =
+      if (caseInsensitive) s.toLowerCase(java.util.Locale.ROOT) else s
+
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      norm(p).foreach { c =>
+        node = gotoMaps(node).getOrElseUpdate(c, {
+          gotoMaps += scala.collection.mutable.HashMap.empty[Char, Int]
+          outs += List.empty[Int]
+          gotoMaps.size - 1
+        })
+      }
+      outs(node) = pi :: outs(node)
+    }
+
+    private val fail = Array.fill(gotoMaps.size)(0)
+    locally {
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      gotoMaps(0).valuesIterator.foreach(queue.enqueue(_))
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        gotoMaps(u).foreach { case (c, v) =>
+          queue.enqueue(v)
+          var f = fail(u)
+          while (f != 0 && !gotoMaps(f).contains(c)) f = fail(f)
+          // the fail target is strictly shallower than v, never v itself
+          fail(v) = gotoMaps(f).getOrElse(c, 0)
+          outs(v) = outs(v) ++ outs(fail(v))
+        }
+      }
+    }
+    private val outArr: Array[Array[Int]] = outs.map(_.toArray.sorted).toArray
+
+    /** (total occurrence count, distinct matched pattern indices). */
+    def matchText(text: String): (Long, Array[Int]) = {
+      if (text == null) return (0L, Array.empty)
+      val s = norm(text)
+      var node = 0
+      var hits = 0L
+      val seen = new java.util.TreeSet[Integer]()
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        while (node != 0 && !gotoMaps(node).contains(c)) node = fail(node)
+        node = gotoMaps(node).getOrElse(c, 0)
+        val o = outArr(node)
+        var j = 0
+        while (j < o.length) { hits += 1; seen.add(o(j)); j += 1 }
+        i += 1
+      }
+      val arr = new Array[Int](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      (hits, arr)
+    }
+  }
+
+  /** Flag rows against a phrase list: adds `phrase_hits` (total
+    * occurrences, overlapping included), `phrases_found` (distinct
+    * matched phrases, sorted, comma-joined — a string so the driver's
+    * row compare and any SQL twin handle it), and `phrase_allowed`
+    * (no hit). Rows are flagged, not dropped — route `phrase_allowed`
+    * downstream, the complement to audit, exactly like
+    * [[Web.applyBlocklist]]. */
+  def flagPhrases(df: DataFrame, textCol: String, phrases: Seq[String],
+                  caseInsensitive: Boolean = true): DataFrame = {
+    val ac = new AcAutomaton(phrases, caseInsensitive)
+    val bc = df.sparkSession.sparkContext.broadcast(ac)
+    val hit = udf { (text: String) =>
+      val (n, idx) = bc.value.matchText(text)
+      (n, idx.map(bc.value.patterns(_)).mkString(","))
+    }
+    df.withColumn("__ph", hit(col(textCol)))
+      .withColumn("phrase_hits", col("__ph._1"))
+      .withColumn("phrases_found", col("__ph._2"))
+      .withColumn("phrase_allowed", col("phrase_hits") === 0L)
+      .drop("__ph")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.Phrases
+
+/** Pins the Aho–Corasick phrase filter: equivalence with a naive
+  * all-occurrences scan on random inputs, the overlapping and
+  * suffix-pattern semantics the oracle's overlap-free list can't
+  * reach, and list-scale behavior. */
+class PhrasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** All-occurrences count (overlapping included) by brute force. */
+  private def naive(text: String, pats: Seq[String]): (Long, Seq[String]) = {
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    val hits = pats.distinct.sorted.map { p0 =>
+      val p = p0.toLowerCase(java.util.Locale.ROOT)
+      p0 -> (0 to t.length - p.length).count(i => t.startsWith(p, i)).toLong
+    }
+    (hits.map(_._2).sum, hits.filter(_._2 > 0).map(_._1))
+  }
+
+  test("matches the naive all-occurrences scan on random texts") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd "
+    val pats = Seq("ab", "bca", "cab d", "dd", "a")
+    (1 to 200).foreach { _ =>
+      val text = (1 to 40).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val ac = new Phrases.AcAutomaton(pats, caseInsensitive = true)
+      val (hits, idx) = ac.matchText(text)
+      val (nHits, nFound) = naive(text, pats)
+      assert(hits == nHits, s"count diverged on '$text'")
+      assert(idx.toSeq.map(ac.patterns(_)) == nFound, s"found diverged on '$text'")
+    }
+  }
+
+  test("overlapping and suffix-pattern occurrences all count") {
+    val ac1 = new Phrases.AcAutomaton(Seq("aba"), caseInsensitive = true)
+    assert(ac1.matchText("ababa")._1 == 2)          // overlapping ends 3,5
+    val ac2 = new Phrases.AcAutomaton(Seq("he", "she"), caseInsensitive = true)
+    val (hits, idx) = ac2.matchText("she said")
+    assert(hits == 2)                                // "she" and its suffix "he"
+    assert(idx.toSeq.map(ac2.patterns(_)) == Seq("he", "she"))
+  }
+
+  test("flagPhrases columns, case folding, and null text") {
+    val df = Seq(
+      (1L, "a perfectly CLEAN document"),
+      (2L, "contains BadWord Alpha twice: badword alpha"),
+      (3L, null)).toDF("doc_id", "text")
+    val out = Phrases.flagPhrases(df, "text",
+        Seq("badword alpha", "verboten"))
+      .select("doc_id", "phrase_hits", "phrases_found", "phrase_allowed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 0L, "", true),
+      (2L, 2L, "badword alpha", false),
+      (3L, 0L, "", true)))
+  }
+
+  test("a thousands-entry list still matches in one pass") {
+    val pats = (0 until 5000).map(i => s"phrase$i x") :+ "needle term"
+    val ac = new Phrases.AcAutomaton(pats, caseInsensitive = true)
+    val (hits, idx) = ac.matchText("hay hay needle term hay phrase42 x")
+    assert(hits == 2)
+    assert(idx.toSeq.map(ac.patterns(_)).sorted == Seq("needle term", "phrase42 x"))
+  }
+}
