@@ -1661,6 +1661,35 @@ object OpsQueries {
       |  count(DISTINCT doc_id) AS n_docs
       |FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3""".stripMargin
 
+  /** Boilerplate REMOVAL end-to-end: the report feeds the broadcast
+    * anti-join cleaner over the same corpus — shared banners and poison
+    * lines disappear from every document (including the first), unique
+    * lines survive in order. */
+  private def qTextBoilerplateRemoved(s: SparkSession, dir: String): DataFrame = {
+    val c = c4Corpus(s, dir)
+    val bp = Clean.boilerplateLines(c, "text", "doc_id", minDocs = 3)
+    Clean.removeBoilerplate(c, "text", "doc_id", bp)
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("lines_out"),
+        md5(col("text")).as("clean_md5"))
+  }
+
+  private val oTextBoilerplateRemoved =
+    s"""WITH c AS ($oC4Corpus),
+      |k AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM c),
+      |l AS (SELECT doc_id, unnest(ls) AS line,
+      |    unnest(generate_series(1, len(ls))) AS i FROM k),
+      |bp AS (SELECT line FROM l GROUP BY line
+      |  HAVING count(DISTINCT doc_id) >= 3),
+      |kept AS (SELECT doc_id, i, line FROM l ANTI JOIN bp USING (line)),
+      |re AS (SELECT doc_id,
+      |    string_agg(line, chr(10) ORDER BY i) AS clean FROM kept
+      |  GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  len(string_split(COALESCE(re.clean, ''), chr(10))) AS lines_out,
+      |  md5(COALESCE(re.clean, '')) AS clean_md5
+      |FROM c LEFT JOIN re ON c.doc_id = re.doc_id""".stripMargin
+
   // =====================================================================
   // Benchmark decontamination
   // =====================================================================
@@ -3655,6 +3684,7 @@ object OpsQueries {
     "text_repetition" -> (qTextRepetition _),
     "text_sentences" -> (qTextSentences _),
     "text_boilerplate" -> (qTextBoilerplate _),
+    "text_boilerplate_removed" -> (qTextBoilerplateRemoved _),
     "text_entropy" -> (qTextEntropy _),
     "text_fix_encoding" -> (qTextFixEncoding _),
     "text_dup_spans" -> (qTextDupSpans _),
@@ -3770,6 +3800,7 @@ object OpsQueries {
     "text_repetition" -> oTextRepetition,
     "text_sentences" -> oTextSentences,
     "text_boilerplate" -> oTextBoilerplate,
+    "text_boilerplate_removed" -> oTextBoilerplateRemoved,
     "text_entropy" -> oTextEntropy,
     "text_fix_encoding" -> oTextFixEncoding,
     "text_dup_spans" -> oTextDupSpans,

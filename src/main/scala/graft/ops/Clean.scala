@@ -142,4 +142,46 @@ object Clean {
         count_distinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Strip every line on a boilerplate list from every document — the
+    * actionable half of [[boilerplateLines]], and the INCREMENTAL
+    * cross-corpus cleaner: train the list once on a reference drop (or
+    * load a curated one), persist it, and strip it from every future
+    * drop without re-reading history — the same train-once/apply-many
+    * pattern as the dedup index and the tokenizer vocab. Contrast
+    * [[Scrub.dedupLinesGlobal]], which keeps each line's corpus-FIRST
+    * occurrence: here listed lines are removed everywhere (a cookie
+    * banner is boilerplate in its first document too). Lines keep
+    * their original order; a fully-boilerplate document comes back as
+    * the empty string.
+    *
+    * Shape at 100 TB: the list is BROADCAST — by construction it holds
+    * heavy hitters (lines in ≥ minDocs documents), a small set — so
+    * the anti-join is map-side: no shuffle of the corpus, and the
+    * million-occurrence banner never concentrates on one reducer the
+    * way a shuffled line-keyed join would. One posexplode, one
+    * broadcast anti-join, one groupBy(id) reassembly. `boilerplate`
+    * must have a `line` column ([[boilerplateLines]]'s output shape). */
+  def removeBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                        boilerplate: DataFrame,
+                        sep: String = "\n"): DataFrame = {
+    require(boilerplate.columns.contains("line"),
+      "removeBoilerplate: boilerplate needs a 'line' column")
+    require(!df.columns.exists(_.startsWith("__rb_")),
+      "removeBoilerplate: input already has __rb_* columns")
+    val q = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol).as("__rb_id"),
+      posexplode(split(col(textCol), q)).as(Seq("__rb_pos", "__rb_line")))
+    val kept = lines.join(broadcast(boilerplate.select(col("line"))),
+      lines("__rb_line") === col("line"), "left_anti")
+    val rebuilt = kept.groupBy("__rb_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rb_pos"), col("__rb_line")))),
+          x => x.getField("__rb_line")),
+        sep).as("__rb_clean"))
+    df.join(rebuilt, col(idCol) === col("__rb_id"), "left")
+      .withColumn(textCol, coalesce(col("__rb_clean"), lit("")))
+      .drop("__rb_id", "__rb_clean")
+  }
 }

@@ -82,6 +82,20 @@ class CleanSpec extends SparkSpec {
     assert(r == Row(0, 0.0, 0))
   }
 
+  test("removeBoilerplate strips listed lines everywhere, keeps order") {
+    val df = Seq(
+      (1L, "banner\nkeep one\nbanner\nkeep two"),
+      (2L, "keep three\nbanner"),
+      (3L, "banner\nbanner")).toDF("doc_id", "text")
+    val bp = Seq("banner").toDF("line")
+    val out = Clean.removeBoilerplate(df, "text", "doc_id", bp)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // removed from EVERY doc including the first; empty when all lines listed
+    assert(out == Map(1L -> "keep one\nkeep two", 2L -> "keep three",
+      3L -> ""))
+  }
+
   test("boilerplateLines surfaces lines shared across enough docs") {
     val df = Seq(
       (1L, "banner\nunique a"), (2L, "banner\nunique b"),
