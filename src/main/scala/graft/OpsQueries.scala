@@ -2950,6 +2950,68 @@ object OpsQueries {
       |  NOT blocked_domain AND NOT blocked_pattern AS allowed
       |FROM f""".stripMargin
 
+  /** Canonical-URL exact dedup — the FIRST dedup stage of a web
+    * pipeline, composed from canonicalize + min-id survivor selection:
+    * URL variants that canonicalize equal (userinfo, default port,
+    * tracking params, case) collapse to one fetch. The planted shape-2
+    * URLs differ only in credentials, so each host's crawl collapses
+    * ~20:1; every other shape is unique. */
+  private def qWebUrlDedup(s: SparkSession, dir: String): DataFrame =
+    plantedUrls(s, dir)
+      .withColumn("canon", Web.canonicalize(col("url")))
+      .groupBy("canon")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_variants"))
+      .select("doc_id", "canon", "n_variants")
+
+  private val oWebUrlDedup =
+    s"""WITH cn AS ($oWebCanonical)
+      |SELECT min(doc_id) AS doc_id, url_canon AS canon,
+      |  count(*) AS n_variants
+      |FROM cn GROUP BY url_canon""".stripMargin
+
+  /** Per-language corpus data card — the summary table a dataset
+    * release ships: integer-exact aggregates only (counts, token/char
+    * sums, distinct fingerprints, gate pass counts), so the report is
+    * engine-exact with no float accumulation order to pin. */
+  private def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCountWs(col("text")).cast("long"))
+        .as("total_tokens"),
+      sum(length(col("text")).cast("long")).as("total_chars"),
+      count_distinct(TextFunctions.fingerprint(col("text")))
+        .as("distinct_docs"),
+      sum(when(TextFunctions.gopherRules(col("text")).getField("pass"), 1L)
+        .otherwise(0L)).as("gopher_pass"))
+  }
+
+  private val oCorpusReport =
+    s"""WITH g AS (SELECT doc_id, lang, text, $oToks AS t FROM documents),
+      |m AS (SELECT doc_id, lang, text, len(t) AS n_words,
+      |    CASE WHEN len(t) >= 2 THEN
+      |      CAST(len(list_transform(generate_series(1, len(t) - 1),
+      |          i -> t[i] || ' ' || t[i+1])) -
+      |        len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+      |          i -> t[i] || ' ' || t[i+1]))) AS DOUBLE) /
+      |        (len(t) - 1)
+      |      ELSE 0.0 END AS dup2,
+      |    CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t) AS mean_len,
+      |    (CAST(len(regexp_extract_all(text, '#')) +
+      |          len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+      |      / greatest(len(t), 1)) AS symbol_ratio
+      |  FROM g)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+      |    AS distinct_docs,
+      |  CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000
+      |      AND mean_len BETWEEN 3.0 AND 10.0
+      |      AND symbol_ratio < 0.1 AND dup2 < 0.2
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS gopher_pass
+      |FROM m GROUP BY lang""".stripMargin
+
   /** The planted phrase list for the list-scale (Aho–Corasick) document
     * filter. Chosen so no phrase is a substring of — or overlaps — any
     * other: with that property Aho–Corasick's all-occurrences count
@@ -3608,6 +3670,8 @@ object OpsQueries {
     "web_blocklist" -> (qWebBlocklist _),
     "web_robots" -> (qWebRobots _),
     "text_badwords" -> (qTextBadwords _),
+    "web_url_dedup" -> (qWebUrlDedup _),
+    "corpus_report" -> (qCorpusReport _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3724,6 +3788,8 @@ object OpsQueries {
     "web_blocklist" -> oWebBlocklist,
     "web_robots" -> oWebRobots,
     "text_badwords" -> oTextBadwords,
+    "web_url_dedup" -> oWebUrlDedup,
+    "corpus_report" -> oCorpusReport,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

@@ -96,6 +96,31 @@ class CleanSpec extends SparkSpec {
       3L -> ""))
   }
 
+  test("profile passes plan as a single map projection — no Exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = docs.select(col("doc_id"),
+        Clean.c4DocFlags(col("text")).as("c4"),
+        Clean.dupLineStats(col("text")).as("rep"),
+        Clean.sentenceStats(col("text")).as("sent"),
+        graft.ops.TextFunctions.charProfile(col("text")).as("prof"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "per-document profiles must not shuffle")
+  }
+
+  test("removeBoilerplate plans a broadcast anti-join, one shuffle total") {
+    val df = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val bp = Seq("b").toDF("line")
+    val plan = Clean.removeBoilerplate(df, "text", "doc_id", bp)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "boilerplate list must broadcast")
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(exchanges <= 2, // reassembly agg partial/final pair at most
+      s"unexpected shuffles in removal plan:\n$plan")
+  }
+
   test("boilerplateLines surfaces lines shared across enough docs") {
     val df = Seq(
       (1L, "banner\nunique a"), (2L, "banner\nunique b"),
