@@ -3368,6 +3368,32 @@ object OpsQueries {
       |SELECT doc_id, lang, n_chars, cum_before,
       |  cum_before // 20000 AS shard FROM c""".stripMargin
 
+  /** JSONL sharded export round-trip: token-balanced shards written as
+    * one file per `shard=N/` directory, read back through the native
+    * distributed json parser — per-doc payload md5 and shard id
+    * replayed in SQL (the shard formula is the exact prefix-sum
+    * window). */
+  private def qExportJsonl(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(scratchRoot, "jsonl_rt").getAbsolutePath
+    val docs = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+    graft.sources.Jsonl.writeSharded(docs, out, Seq("doc_id", "text"),
+      col("doc_id"), col("n_chars"), targetPerShard = 20000L)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    graft.sources.Jsonl.read(s, out, schema)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        md5(col("text")).as("text_md5"))
+  }
+
+  private val oExportJsonl =
+    """WITH c AS (SELECT doc_id, text,
+      |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS cum
+      |FROM documents)
+      |SELECT doc_id, cum // 20000 AS shard, md5(text) AS text_md5
+      |FROM c""".stripMargin
+
   /** End-to-end WEB curation: Gopher quality gate → URL canonicalization
     * → registered domain → per-domain cap, one composed plan (the
     * source-level mirror of `curation_pipeline`'s text-level flow). The
@@ -3672,6 +3698,7 @@ object OpsQueries {
     "text_badwords" -> (qTextBadwords _),
     "web_url_dedup" -> (qWebUrlDedup _),
     "corpus_report" -> (qCorpusReport _),
+    "export_jsonl" -> (qExportJsonl _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3790,6 +3817,7 @@ object OpsQueries {
     "text_badwords" -> oTextBadwords,
     "web_url_dedup" -> oWebUrlDedup,
     "corpus_report" -> oCorpusReport,
+    "export_jsonl" -> oExportJsonl,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL (newline-delimited JSON) export/ingest — the de facto
+  * interchange format for LLM training corpora (one JSON document per
+  * line; what tokenizer and trainer tooling consumes). The writer
+  * produces TOKEN-BALANCED shards: shard assignment comes from the same
+  * exact two-pass distributed prefix sum as
+  * [[graft.ops.Layout.tokenShards]] (equal token/char MASS per shard —
+  * a trainer reading shard files in parallel gets even work), rows stay
+  * in deterministic `sortKey` order within each shard, and every shard
+  * lands as its own `shard=N/` directory of exactly one file.
+  *
+  * Scale shape: one range shuffle for the prefix sum, one hash
+  * repartition on shard id, then a parallel text write — no
+  * single-task window, no driver bottleneck. Reading uses Spark's
+  * native distributed json parser.
+  */
+object Jsonl {
+
+  /** Write `jsonCols` of `df` as token-balanced JSONL shards under
+    * `path`. Returns the shard assignment (input columns + `shard`,
+    * `cum_before`) so callers can manifest it. */
+  def writeSharded(df: DataFrame, path: String, jsonCols: Seq[String],
+                   sortKey: Column, weight: Column,
+                   targetPerShard: Long): DataFrame = {
+    require(jsonCols.nonEmpty, "jsonCols must be non-empty")
+    val sharded = graft.ops.Layout.tokenShards(df, sortKey, weight,
+      targetPerShard)
+    sharded
+      .select(to_json(struct(jsonCols.map(col): _*)).as("value"),
+        col("shard"), sortKey.as("__jl_key"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__jl_key"))
+      .drop("__jl_key")
+      .write.mode("overwrite").partitionBy("shard").text(path)
+    sharded
+  }
+
+  /** Read a JSONL directory (sharded or plain) back into rows. With a
+    * `schema` the parse is exact and streaming-capable; pass the write
+    * schema — a production pipeline persists it next to the data. The
+    * `shard` partition column is recovered from the directory layout
+    * when present. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

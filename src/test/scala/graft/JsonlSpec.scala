@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Jsonl
+
+/** Pins the JSONL sharded export's FILE layout — exactly one file per
+  * shard directory, rows inside a file in sort-key order — and the
+  * lossless round-trip, properties the row-level oracle can't see. */
+class JsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one file per shard, in-file order, lossless round-trip") {
+    val docs = (0L until 100L)
+      .map(i => (i, s"document number $i with some text", 40L + (i % 7)))
+      .toDF("doc_id", "text", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("jsonl").toString + "/d"
+    Jsonl.writeSharded(docs, out, Seq("doc_id", "text"),
+      col("doc_id"), col("n_chars"), targetPerShard = 500L)
+
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).toSeq
+    assert(shardDirs.size >= 5, "expected several shards")
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".txt")).toSeq
+      assert(files.size == 1, s"${d.getName}: expected exactly one file")
+      // rows inside the file are in ascending doc_id order
+      val ids = scala.io.Source.fromFile(files.head).getLines()
+        .map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+        .toSeq
+      assert(ids == ids.sorted, s"${d.getName}: rows out of order")
+    }
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val back = Jsonl.read(spark, out, schema)
+    assert(back.count() == 100)
+    val pairs = back.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs == docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+}
