@@ -352,6 +352,26 @@ object StreamingOps {
         graft.ops.Clean.c4CleanLines(col(textCol), minWords = minWords))
   }
 
+  /** Streaming URL blocklist gate — [[graft.ops.Web.applyBlocklist]]
+    * on the live path. The literal tier is stateless expressions; the
+    * broadcast tier is a stream-static join (supported, stateless).
+    * Admits only non-blocked rows; same flags as batch. */
+  def blocklistGateStream(urls: DataFrame, urlCol: String,
+                          blockedDomains: Seq[String],
+                          blockedPatterns: Seq[String] = Nil): DataFrame =
+    graft.ops.Web.applyBlocklist(urls, urlCol, blockedDomains,
+      blockedPatterns).filter(col("allowed"))
+
+  /** Streaming phrase (badword-list) gate — the broadcast Aho–Corasick
+    * automaton of [[graft.ops.Phrases.flagPhrases]] on the live path:
+    * one O(text) pass per arriving row, cost independent of list size,
+    * no state store. Admits only phrase-free rows. */
+  def phraseGateStream(docs: DataFrame, textCol: String,
+                       phrases: Seq[String],
+                       caseInsensitive: Boolean = true): DataFrame =
+    graft.ops.Phrases.flagPhrases(docs, textCol, phrases, caseInsensitive)
+      .filter(col("phrase_allowed"))
+
   /** Streaming covariance/PCA maintenance — the live leg of
     * [[graft.ops.Pca]]'s rolling-corpus recipe. A `foreachBatch` sink:
     * each micro-batch's sufficient statistics ([[graft.ops.Pca.fitState]]

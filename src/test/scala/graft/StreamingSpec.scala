@@ -242,6 +242,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming blocklist and phrase gates admit the same rows as batch") {
+    implicit val ctx = spark.sqlContext
+    val rows = (0L until 30L).map { i =>
+      (i, s"https://sub.example${i % 3}.com/p/$i",
+        if (i % 4 == 0) s"text with badword alpha $i" else s"clean text $i")
+    }
+    val df = rows.toDF("doc_id", "url", "text")
+    // broadcast-tier blocklist (padded past the literal budget)
+    val blocked = "example1.com" +: (0 until graft.ops.Web.BlocklistLiteralBudget + 5)
+      .map(i => s"pad$i.example")
+    val phrases = Seq("badword alpha", "verboten")
+    val batchIds = StreamingOps.phraseGateStream(
+        StreamingOps.blocklistGateStream(df, "url", blocked), "text", phrases)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.phraseGateStream(
+        StreamingOps.blocklistGateStream(
+          input.toDF().toDF("doc_id", "url", "text"), "url", blocked),
+        "text", phrases)
+      .writeStream.format("memory").queryName("webgate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      val streamedIds = spark.table("webgate").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamedIds == batchIds)
+      // domain example1.com (ids 1 mod 3) and badword docs (0 mod 4) gone
+      assert(batchIds.nonEmpty)
+      assert(!batchIds.exists(i => i % 3 == 1 || i % 4 == 0))
+      assert(batchIds.size == rows.size -
+        rows.count { case (i, _, _) => i % 3 == 1 || i % 4 == 0 })
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap is exceeded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
