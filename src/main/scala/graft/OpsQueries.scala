@@ -1690,6 +1690,37 @@ object OpsQueries {
       |  md5(COALESCE(re.clean, '')) AS clean_md5
       |FROM c LEFT JOIN re ON c.doc_id = re.doc_id""".stripMargin
 
+  /** Corpus n-gram diversity per language: distinct word trigrams vs
+    * total — the type-token ratio that exposes templated/boilerplate
+    * corpora (low TTR) before they skew a mixture. Integer-exact
+    * counts; one explode + one two-phase distinct aggregate. */
+  private def qTextNgramDiversity(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(TextFunctions.tokens(col("text")), w => w =!= "")
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    t(s, dir, "documents")
+      .select(col("lang"), explode(grams).as("g"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total_3grams"),
+        count_distinct(col("g")).as("distinct_3grams"))
+      .withColumn("ttr",
+        col("distinct_3grams").cast("double") / col("total_3grams"))
+  }
+
+  private val oTextNgramDiversity =
+    s"""WITH toks AS (SELECT lang, list_filter($oToks, x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (SELECT lang, unnest(list_transform(
+      |    generate_series(1, greatest(len(t) - 2, 0)),
+      |    i -> array_to_string(t[i : i + 2], ' '))) AS g
+      |  FROM toks)
+      |SELECT lang, count(*) AS total_3grams,
+      |  count(DISTINCT g) AS distinct_3grams,
+      |  CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS ttr
+      |FROM g GROUP BY lang""".stripMargin
+
   // =====================================================================
   // Benchmark decontamination
   // =====================================================================
@@ -3699,6 +3730,7 @@ object OpsQueries {
     "web_url_dedup" -> (qWebUrlDedup _),
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
+    "text_ngram_diversity" -> (qTextNgramDiversity _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3818,6 +3850,7 @@ object OpsQueries {
     "web_url_dedup" -> oWebUrlDedup,
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
+    "text_ngram_diversity" -> oTextNgramDiversity,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,
