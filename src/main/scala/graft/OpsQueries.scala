@@ -284,6 +284,31 @@ object OpsQueries {
       |    ORDER BY doc_id) AS rn FROM corpus)
       |SELECT doc_id FROM ranked WHERE rn = 1""".stripMargin
 
+  /** Policy-based exact dedup: survivors by HIGHEST quality (ties to
+    * the lowest id) instead of first-by-id — originals and planted
+    * copies carry different planted quality, so the winner flips per
+    * pair and the policy is observable. */
+  private def qDedupExactBest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val corpus = d.withColumn("q", (col("doc_id") % 5).cast("long"))
+      .unionAll(
+        d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+          .withColumn("q", ((col("doc_id") - 10000000L + 1) % 5).cast("long")))
+    Dedup.exactBest(corpus, "text", "doc_id",
+        struct((lit(4L) - col("q")).as("nq"), col("doc_id").as("id")))
+      .select("doc_id", "q")
+  }
+
+  private val oDedupExactBest =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, doc_id % 5 AS q FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text, (doc_id + 1) % 5 FROM documents),
+      |r AS (SELECT doc_id, q, row_number() OVER (
+      |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |    ORDER BY q DESC, doc_id) AS rn FROM corpus)
+      |SELECT doc_id, q FROM r WHERE rn = 1""".stripMargin
+
   /** DuckDB twin of the exact shingle-jaccard pair computation. */
   private def oJaccardPairs(threshold: Double): String =
     s"""WITH docs AS (SELECT doc_id, list_distinct(list_transform(
@@ -3731,6 +3756,7 @@ object OpsQueries {
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
+    "dedup_exact_best" -> (qDedupExactBest _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3851,6 +3877,7 @@ object OpsQueries {
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
     "text_ngram_diversity" -> oTextNgramDiversity,
+    "dedup_exact_best" -> oDedupExactBest,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

@@ -59,6 +59,24 @@ object Dedup {
       .select("__row.*")
   }
 
+  /** [[exact]] with a caller-chosen survivor POLICY: keep the row
+    * minimizing `keepMinOf` per fingerprint — real pipelines keep the
+    * BEST duplicate (highest quality score, longest text, freshest
+    * fetch), not the first-by-id. Pass a struct for composite order
+    * (e.g. `struct(negated_quality, id)` = best quality, ties to the
+    * lowest id — structs compare lexicographically, and ALWAYS append a
+    * unique id so the choice is deterministic). Same min_by hash
+    * aggregate as [[exact]]: duplicates collapse map-side before the
+    * shuffle, nothing is sorted, no window. */
+  def exactBest(df: DataFrame, textCol: String, idCol: String,
+                keepMinOf: Column): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val rowStruct = struct(df.columns.map(col).toSeq: _*)
+    df.groupBy(fp.as("__fp"))
+      .agg(min_by(rowStruct, keepMinOf).as("__row"))
+      .select("__row.*")
+  }
+
   /** ASYMMETRIC n-gram containment pairs: directed (src, dst,
     * containment) with containment = |sh(src) ∩ sh(dst)| / |sh(src)| ≥
     * threshold, src ≠ dst. Jaccard misses near-SUBSET relations — a
