@@ -937,6 +937,50 @@ object OpsQueries {
       |    PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rank FROM scored)
       |SELECT qid, rank, id, sim FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Hybrid retrieval: BM25 keyword ranking over documents fused with
+    * exact dense cosine ranking over the aligned embeddings (vec_id ≡
+    * doc_id) by reciprocal-rank fusion — dense query-by-example uses
+    * vec_id < 3 paired with the three BM25 keyword queries. Both rank
+    * lists AND the fusion are replayed in SQL (fixed-order reciprocal
+    * adds, id ties), so the whole hybrid is hash-compared. */
+  private def qSimHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+        "embedding", "vec_id", k = 10)
+      .select(col("qid"), col("id"), col("rank"))
+    val sparse = TextRank.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        bm25Queries, k = 10)
+      .select(col("qid").cast("long").as("qid"), col("doc_id").as("id"),
+        col("rank"))
+    TextRank.rrfFuse(dense, sparse, "qid", "id", "rank", k = 10)
+  }
+
+  private val oSimHybridRrf =
+    s"""WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS id, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < 3
+      |    AND b.vec_id <> a.vec_id
+      |  GROUP BY 1, 2),
+      |dscored AS (SELECT qid, id, round(d / (nq.n * nc.n), 6) AS sim
+      |  FROM dots JOIN norms nq ON nq.vec_id = qid
+      |    JOIN norms nc ON nc.vec_id = id),
+      |dense AS (SELECT * FROM (SELECT qid, id, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM dscored) WHERE rank <= 10),
+      |sparse AS ($oTextBm25),
+      |fused AS (SELECT COALESCE(d.qid, s.qid) AS qid,
+      |    COALESCE(d.id, s.doc_id) AS id,
+      |    COALESCE(CAST(1 AS DOUBLE) / (60 + d.rank), CAST(0 AS DOUBLE)) +
+      |      COALESCE(CAST(1 AS DOUBLE) / (60 + s.rank), CAST(0 AS DOUBLE))
+      |      AS rrf_score
+      |  FROM dense d FULL JOIN sparse s
+      |    ON d.qid = s.qid AND d.id = s.doc_id)
+      |SELECT * FROM (SELECT qid, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY rrf_score DESC, id) AS INTEGER) AS rank,
+      |  id, rrf_score FROM fused) WHERE rank <= 10""".stripMargin
+
   /** nbits=7 × 8 tables: measured recall@5 0.85 (sf0.01) / 0.80 (sf0.1)
     * at the same local cost as the old 8×4 setting's 0.45 — each table
     * probes (nbits+1)/2^nbits of the corpus, so raise nbits (and tables
@@ -3757,6 +3801,7 @@ object OpsQueries {
     "export_jsonl" -> (qExportJsonl _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
     "dedup_exact_best" -> (qDedupExactBest _),
+    "sim_hybrid_rrf" -> (qSimHybridRrf _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3878,6 +3923,7 @@ object OpsQueries {
     "export_jsonl" -> oExportJsonl,
     "text_ngram_diversity" -> oTextNgramDiversity,
     "dedup_exact_best" -> oDedupExactBest,
+    "sim_hybrid_rrf" -> oSimHybridRrf,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

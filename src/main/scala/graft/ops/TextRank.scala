@@ -119,4 +119,41 @@ object TextRank {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as(idCol), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two rank lists —
+    * the standard hybrid-retrieval combiner (BM25 + dense ANN): each
+    * candidate scores Σ 1/(c + rank) over the lists that returned it,
+    * missing lists contribute 0. Both inputs carry (`qidCol`, `idCol`,
+    * `rankCol`); output is the fused top-`k` per query with `rank` and
+    * `rrf_score`.
+    *
+    * Determinism across engines: the two reciprocal terms are added in
+    * a FIXED order (left then right — a full-outer join, not a grouped
+    * float sum whose order the engine picks), each term is one IEEE
+    * division of exact integers, and ties rank by id. Fuse more than
+    * two lists by folding left-to-right: the addition order stays
+    * defined. Scale shape: one shuffle per join on (qid, id), then the
+    * usual WindowGroupLimit top-k per qid — rank lists are already
+    * k-bounded per query, so the join inputs are tiny relative to the
+    * corpus that produced them. */
+  def rrfFuse(left: DataFrame, right: DataFrame, qidCol: String,
+              idCol: String, rankCol: String, k: Int = 10,
+              c: Int = 60): DataFrame = {
+    require(c >= 1, "rrf constant must be >= 1")
+    val l = left.select(col(qidCol).as("__rf_q"), col(idCol).as("__rf_id"),
+      col(rankCol).as("__rf_rl"))
+    val r = right.select(col(qidCol).as("__rf_q"), col(idCol).as("__rf_id"),
+      col(rankCol).as("__rf_rr"))
+    val fused = l.join(r, Seq("__rf_q", "__rf_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(c) + col("__rf_rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("__rf_rr")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rf_q"))
+      .orderBy(col("rrf_score").desc, col("__rf_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__rf_q").as(qidCol), col("rank"),
+        col("__rf_id").as(idCol), col("rrf_score"))
+  }
 }
