@@ -3112,6 +3112,20 @@ object OpsQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS gopher_pass
       |FROM m GROUP BY lang""".stripMargin
 
+  /** Incremental data card: the corpus split into two DROPS (overlapping
+    * languages), per-drop partials merged — counts must equal the
+    * whole-corpus card exactly, distinct docs through theta union
+    * (exact mode at every verify scale). Same output shape and oracle
+    * computation as `corpus_report`. */
+  private def qCorpusReportIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val p1 = Report.dataCardPartial(d.filter(col("doc_id") < 250), "text", "lang")
+    val p2 = Report.dataCardPartial(d.filter(col("doc_id") >= 250), "text", "lang")
+    Report.dataCardMerge(p1.unionAll(p2))
+      .select("lang", "n_docs", "total_tokens", "total_chars",
+        "distinct_docs", "gopher_pass")
+  }
+
   /** The planted phrase list for the list-scale (Aho–Corasick) document
     * filter. Chosen so no phrase is a substring of — or overlaps — any
     * other: with that property Aho–Corasick's all-occurrences count
@@ -3802,6 +3816,7 @@ object OpsQueries {
     "text_ngram_diversity" -> (qTextNgramDiversity _),
     "dedup_exact_best" -> (qDedupExactBest _),
     "sim_hybrid_rrf" -> (qSimHybridRrf _),
+    "corpus_report_incremental" -> (qCorpusReportIncremental _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3924,6 +3939,7 @@ object OpsQueries {
     "text_ngram_diversity" -> oTextNgramDiversity,
     "dedup_exact_best" -> oDedupExactBest,
     "sim_hybrid_rrf" -> oSimHybridRrf,
+    "corpus_report_incremental" -> oCorpusReport,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable corpus data card — the release report as a train-once /
+  * merge-many artifact: each corpus DROP computes a tiny per-language
+  * partial (exact add-mergeable counts + a theta sketch of the text
+  * fingerprints for union-mergeable distinct-document counts), and any
+  * set of persisted partials merges into the release card without
+  * re-reading the drops — the same incremental pattern as the dedup
+  * index, the PCA CovState, and the HLL slice rollups.
+  *
+  * The counts (docs, tokens, chars, Gopher passes) merge EXACTLY by
+  * addition. Distinct documents merge through theta-sketch union:
+  * exact below the sketch's 2^lgK retention (every verify scale), the
+  * standard ~1.6% estimate beyond — and still correct across drops
+  * that SHARE documents, which a naive per-drop distinct sum would
+  * double-count. */
+object Report {
+
+  /** One drop's per-language partial: one tiny row per language. */
+  def dataCardPartial(df: DataFrame, textCol: String, langCol: String,
+                      lgK: Int = 12): DataFrame =
+    df.groupBy(col(langCol).as("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCountWs(col(textCol)).cast("long"))
+        .as("total_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      sum(when(TextFunctions.gopherRules(col(textCol)).getField("pass"), 1L)
+        .otherwise(0L)).as("gopher_pass"),
+      theta_sketch_agg(TextFunctions.fingerprint(col(textCol)), lit(lgK))
+        .as("fp_theta"))
+
+  /** Merge persisted partials (a union of [[dataCardPartial]] outputs)
+    * into the release card. `distinct_docs` is the theta estimate —
+    * exact while every language held under 2^lgK distinct docs. */
+  def dataCardMerge(partials: DataFrame): DataFrame =
+    partials.groupBy("lang").agg(
+      sum("n_docs").as("n_docs"),
+      sum("total_tokens").as("total_tokens"),
+      sum("total_chars").as("total_chars"),
+      sum("gopher_pass").as("gopher_pass"),
+      theta_union_agg(col("fp_theta")).as("__th"))
+      .withColumn("distinct_docs",
+        theta_sketch_estimate(col("__th")).cast("long"))
+      .drop("__th")
+}
