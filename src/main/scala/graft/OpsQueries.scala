@@ -1890,6 +1890,24 @@ object OpsQueries {
       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
       |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END""".stripMargin
 
+  /** Deterministic 90/5/5 train/val/test split — every row labeled by
+    * its md5(seed:id) bucket against exact integer cutoffs; the oracle
+    * replays the cutoffs bit-for-bit. */
+  private def qSampleSplit(s: SparkSession, dir: String): DataFrame =
+    Sample.split(t(s, dir, "documents").select("doc_id", "lang"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+
+  private val oSampleSplit = {
+    val t1 = math.floor(0.9 * 4294967296.0).toLong
+    val t2 = t1 + math.floor(0.05 * 4294967296.0).toLong
+    s"""SELECT doc_id, lang,
+      |  CASE WHEN b < $t1 THEN 'train'
+      |       WHEN b < $t2 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |    AS b FROM documents)""".stripMargin
+  }
+
   /** Priority sampling: top-20 weight-biased docs per language with the
     * DLT unbiased subset-sum estimate. Priorities are exact across
     * engines (power-of-two divide + one rounded division), so the
@@ -3817,6 +3835,7 @@ object OpsQueries {
     "dedup_exact_best" -> (qDedupExactBest _),
     "sim_hybrid_rrf" -> (qSimHybridRrf _),
     "corpus_report_incremental" -> (qCorpusReportIncremental _),
+    "sample_split" -> (qSampleSplit _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3940,6 +3959,7 @@ object OpsQueries {
     "dedup_exact_best" -> oDedupExactBest,
     "sim_hybrid_rrf" -> oSimHybridRrf,
     "corpus_report_incremental" -> oCorpusReport,
+    "sample_split" -> oSampleSplit,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

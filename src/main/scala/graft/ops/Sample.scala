@@ -27,6 +27,36 @@ object Sample {
     df.filter(bucket(col(idCol)) < pct)
   }
 
+  /** Deterministic train/validation/test split: every row gets exactly
+    * one split label by its fine-grained md5(seed:id) bucket against
+    * the cumulative fraction thresholds — stable across runs, engines,
+    * and data layout; adding rows never moves an existing row's split
+    * (the leakage-safety property a random split lacks); and because
+    * the bucket is uniform per id, each stratum (language, source)
+    * lands near the target fractions without stratified bookkeeping.
+    * Fractions must sum to 1 within 1e-9; thresholds are taken against
+    * the 2^32 bucket space with exact integer cutoffs (floor of
+    * fraction·2^32), so the assignment is integer-exact. */
+  def split(df: DataFrame, idCol: String,
+            fractions: Seq[(String, Double)],
+            seed: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0), "bad fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.floor(f * 4294967296.0).toLong
+    }.tail
+    // last cut forced to 2^32 so rounding never leaves an unlabeled row
+    val bounds = fractions.map(_._1).zip(cuts.init :+ 4294967296L)
+    val b = conv(substring(
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val label = bounds.foldRight(lit(bounds.last._1): Column) {
+      case ((name, hi), acc) => when(b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Stratified variant: per-stratum percentage with a default — e.g.
     * keep 50% of English, 10% of everything else. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,
