@@ -1890,6 +1890,28 @@ object OpsQueries {
       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
       |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END""".stripMargin
 
+  /** Repetition schedule: English docs see 2 epochs, the rest 1; the
+    * expanded multiset's positions come from the stable
+    * md5(seed:id:epoch) permutation, fully replayed in SQL. */
+  private def qSampleRepeatSchedule(s: SparkSession, dir: String): DataFrame =
+    Order.repeatSchedule(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      "doc_id", when(col("lang") === "en", 2).otherwise(1), seed = "sched")
+      .select("pos", "doc_id", "epoch")
+
+  private val oSampleRepeatSchedule =
+    """WITH x AS (SELECT doc_id,
+      |    unnest(generate_series(1,
+      |      CASE WHEN lang = 'en' THEN 2 ELSE 1 END)) AS epoch
+      |  FROM documents)
+      |SELECT CAST(row_number() OVER (ORDER BY
+      |    md5('sched:' || CAST(doc_id AS VARCHAR) || ':'
+      |      || CAST(epoch AS VARCHAR))
+      |    || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+      |    - 1 AS BIGINT) AS pos,
+      |  doc_id, CAST(epoch AS INTEGER) AS epoch
+      |FROM x""".stripMargin
+
   /** Deterministic 90/5/5 train/val/test split — every row labeled by
     * its md5(seed:id) bucket against exact integer cutoffs; the oracle
     * replays the cutoffs bit-for-bit. */
@@ -3836,6 +3858,7 @@ object OpsQueries {
     "sim_hybrid_rrf" -> (qSimHybridRrf _),
     "corpus_report_incremental" -> (qCorpusReportIncremental _),
     "sample_split" -> (qSampleSplit _),
+    "sample_repeat_schedule" -> (qSampleRepeatSchedule _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3960,6 +3983,7 @@ object OpsQueries {
     "sim_hybrid_rrf" -> oSimHybridRrf,
     "corpus_report_incremental" -> oCorpusReport,
     "sample_split" -> oSampleSplit,
+    "sample_repeat_schedule" -> oSampleRepeatSchedule,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

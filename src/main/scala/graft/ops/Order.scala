@@ -64,6 +64,27 @@ object Order {
         col(idCol).cast("string")),
       posCol)
 
+  /** Data-repetition training schedule (the "repeating data" recipe:
+    * high-quality sources see several epochs, the long tail one): each
+    * row expands into `epochsCol` copies tagged `epoch` 1..n, then the
+    * whole expanded multiset gets one reproducible global order via the
+    * stable md5(seed:id:epoch) key — so a source's repeats spread
+    * uniformly through the schedule instead of clustering, and the
+    * schedule is identical on every run, engine, and layout. Same
+    * two-pass range-shuffle position assignment as [[globalIndex]] —
+    * never a single-task window. `epochsCol` must be a positive int
+    * per row (derive it from quality tier / mixture weight upstream). */
+  def repeatSchedule(df: DataFrame, idCol: String, epochsCol: Column,
+                     seed: String, posCol: String = "pos"): DataFrame = {
+    val expanded = df.withColumn("epoch",
+      explode(sequence(lit(1), epochsCol.cast("int"))))
+    globalIndex(expanded,
+      concat(md5(concat_ws(":", lit(seed), col(idCol).cast("string"),
+          col("epoch").cast("string"))),
+        col(idCol).cast("string"), lit(":"), col("epoch").cast("string")),
+      posCol)
+  }
+
   /** Attach the EXCLUSIVE running total of `weight` over `sortKey`
     * ascending order — row r gets the sum of all weights strictly
     * before it. The weighted generalization of [[globalIndex]]
