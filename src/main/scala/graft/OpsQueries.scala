@@ -1765,17 +1765,31 @@ object OpsQueries {
     * counts; one explode + one two-phase distinct aggregate. */
   private def qTextNgramDiversity(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(TextFunctions.tokens(col("text")), w => w =!= "")
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
-    t(s, dir, "documents")
-      .select(col("lang"), explode(grams).as("g"))
+    val d = t(s, dir, "documents")
+    // totals need no explode at all: every doc contributes exactly
+    // max(words - 2, 0) trigrams — a plain map + partial aggregate
+    val totals = d.groupBy("lang").agg(
+      sum(greatest(size(toks) - 2, lit(0)).cast("long")).as("total_3grams"))
+    // distincts ride the one-pass hashed-shingle codegen expression
+    // (per-doc distinct sets; corpus distinct of those = corpus
+    // distinct) — the string-trigram composed form is CodegenFallback
+    // and was 10× the cost; 64-bit hashing preserves distinct counts
+    // (the dedup family's established contract)
+    val sh =
+      if (d.sparkSession.catalog.functionExists("graft_shingles"))
+        call_function("graft_shingles", col("text"), lit(3))
+      else array_distinct(
+        when(size(toks) >= 3,
+          transform(sequence(lit(1), size(toks) - 2),
+            i => concat_ws(" ", slice(toks, i, lit(3)))))
+        .otherwise(array().cast("array<string>")).cast("array<string>"))
+    val distincts = d.select(col("lang"), explode(sh).as("g"))
       .groupBy("lang")
-      .agg(count(lit(1)).as("total_3grams"),
-        count_distinct(col("g")).as("distinct_3grams"))
+      .agg(count_distinct(col("g")).as("distinct_3grams"))
+    totals.join(distincts, "lang")
       .withColumn("ttr",
         col("distinct_3grams").cast("double") / col("total_3grams"))
+      .select("lang", "total_3grams", "distinct_3grams", "ttr")
   }
 
   private val oTextNgramDiversity =
