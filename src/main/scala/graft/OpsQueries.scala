@@ -1827,6 +1827,56 @@ object OpsQueries {
       |SELECT corpus_id, bench_id, count(*) AS shared
       |FROM c JOIN b USING (s) GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin
 
+  /** Ordered funnel over the events table: view → click → purchase per
+    * user, strict-after step times; the oracle replays the sequential
+    * conditional mins (min view; min click after it; min purchase
+    * after that) — provably the same as the fold's first-qualifying
+    * fills. */
+  private def qEventsFunnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.funnel(readEvents(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  private val oEventsFunnel =
+    """WITH e AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type FROM events),
+      |s1 AS (SELECT user_id, min(t) AS view_us FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(t) AS click_us FROM e
+      |  JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND t > view_us GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(t) AS purchase_us FROM e
+      |  JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND t > click_us GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT u.user_id, s1.view_us, s2.click_us, s3.purchase_us,
+      |  CAST(CASE WHEN s1.user_id IS NULL THEN 0
+      |    WHEN s2.user_id IS NULL THEN 1
+      |    WHEN s3.user_id IS NULL THEN 2 ELSE 3 END AS BIGINT) AS reached
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |  LEFT JOIN s3 USING (user_id)""".stripMargin
+
+  /** The funnel's conversion summary (3 rows). */
+  private def qEventsFunnelSummary(s: SparkSession, dir: String): DataFrame =
+    Funnel.funnelSummary(
+      Funnel.funnel(readEvents(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")),
+      Seq("view", "click", "purchase"))
+
+  private val oEventsFunnelSummary =
+    """WITH e AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS name,
+      |    (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))""".stripMargin
+
   // =====================================================================
   // Document chunking
   // =====================================================================
@@ -3873,6 +3923,8 @@ object OpsQueries {
     "corpus_report_incremental" -> (qCorpusReportIncremental _),
     "sample_split" -> (qSampleSplit _),
     "sample_repeat_schedule" -> (qSampleRepeatSchedule _),
+    "events_funnel" -> (qEventsFunnel _),
+    "events_funnel_summary" -> (qEventsFunnelSummary _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -3998,6 +4050,8 @@ object OpsQueries {
     "corpus_report_incremental" -> oCorpusReport,
     "sample_split" -> oSampleSplit,
     "sample_repeat_schedule" -> oSampleRepeatSchedule,
+    "events_funnel" -> oEventsFunnel,
+    "events_funnel_summary" -> oEventsFunnelSummary,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

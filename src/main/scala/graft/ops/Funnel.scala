@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis — the "view → click → purchase" conversion
+  * query of event analytics: per user, the time each step was first
+  * reached, where step k must occur STRICTLY after step k-1's time
+  * (equal timestamps don't advance the funnel — the conservative
+  * convention, and the tie rule both engines replay identically).
+  *
+  * Shape: ONE shuffle (groupBy user), each user's events folded in
+  * (ts, type)-sorted order by a pure expression — no
+  * per-step self-joins (the naive spelling shuffles once per step), no
+  * window, no UDF. The fold is CodegenFallback but O(events ×
+  * steps) per user on the user's OWN events — the sessionize-class
+  * cost model. Emits per-step first-reach times in epoch micros (null
+  * = step never reached) plus `reached`. */
+object Funnel {
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    val n = steps.length
+    val stepArr = array(steps.map(lit): _*)
+    val evs = array_sort(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("t"),
+      col(typeCol).as("ty"))))
+    // state: fixed-length array of step times, -1 = unfilled; fills are
+    // strictly in order, so the filled-prefix length IS the index of
+    // the next step to match
+    val init = array_repeat(lit(-1L), n)
+    val folded = aggregate(evs, init, (st, e) => {
+      val k = size(filter(st, x => x =!= lit(-1L)))
+      val wanted = element_at(stepArr, k + 1)
+      val after = k === 0 || e.getField("t") > element_at(st, k)
+      when(k < n && e.getField("ty") === wanted && after,
+        concat(slice(st, lit(1), k), array(e.getField("t")),
+          array_repeat(lit(-1L), lit(n) - k - 1)))
+        .otherwise(st)
+    })
+    val stepCols = steps.zipWithIndex.map { case (s, i) =>
+      when(element_at(folded, i + 1) =!= -1L, element_at(folded, i + 1))
+        .as(s"${s}_us")
+    }
+    val reached = size(filter(folded, x => x =!= lit(-1L)))
+      .cast("long").as("reached")
+    events.groupBy(col(userCol))
+      .agg(stepCols.head, (stepCols.tail :+ reached): _*)
+  }
+
+  /** Step-conversion summary of a [[funnel]] result: users reaching at
+    * least each step, with conversion from the previous step. */
+  def funnelSummary(perUser: DataFrame, steps: Seq[String]): DataFrame = {
+    val aggs = steps.map(s0 => {
+      val s = s"${s0}_us"
+      sum(when(col(s).isNotNull, 1L).otherwise(0L)).as(s"n_$s0")
+    })
+    val row = perUser.agg(aggs.head, aggs.tail: _*)
+    row.select(array(steps.zipWithIndex.map { case (s0, i) =>
+        struct(lit(i + 1).cast("long").as("step"), lit(s0).as("name"),
+          col(s"n_$s0").as("n_users"))
+      }: _*).as("st"))
+      .select(explode(col("st")).as("x"))
+      .select(col("x.step").as("step"), col("x.name").as("name"),
+        col("x.n_users").as("n_users"))
+  }
+}

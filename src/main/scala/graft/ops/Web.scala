@@ -215,14 +215,29 @@ object Web {
     * not here. */
   def applyBlocklist(df: DataFrame, urlCol: String,
                      blockedDomains: Seq[String],
-                     blockedPatterns: Seq[String] = Nil): DataFrame = {
+                     blockedPatterns: Seq[String] = Nil,
+                     blockedSubstrings: Seq[String] = Nil): DataFrame = {
     require(!df.columns.exists(_.startsWith("__bl_")),
       "applyBlocklist: input already has __bl_* columns")
     val dom = registeredDomain(host(col(urlCol)))
-    val patHit: Column =
+    // regex tier: codegen'd rlike disjunction, O(patterns × len) — tens
+    // of patterns; substring tier: one broadcast Aho–Corasick automaton,
+    // O(len) regardless of list size — the UT1 path-keyword lists
+    // (thousands of literal fragments) go here, not in regexes
+    val reHit: Column =
       if (blockedPatterns.isEmpty) lit(false)
       else blockedPatterns.map(p => coalesce(col(urlCol).rlike(p), lit(false)))
         .reduce(_ || _)
+    val subHit: Column =
+      if (blockedSubstrings.isEmpty) lit(false)
+      else {
+        val ac = new Phrases.AcAutomaton(blockedSubstrings,
+          caseInsensitive = true)
+        val bc = df.sparkSession.sparkContext.broadcast(ac)
+        val hit = udf { (u: String) => bc.value.matchText(u)._1 > 0 }
+        coalesce(hit(col(urlCol)), lit(false))
+      }
+    val patHit = reHit || subHit
     val domains = blockedDomains
       .map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val withDomHit =

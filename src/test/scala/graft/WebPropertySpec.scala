@@ -284,6 +284,26 @@ class WebPropertySpec extends SparkSpec {
       5L -> true))
   }
 
+  test("applyBlocklist substring tier matches the rlike tier on literals") {
+    val urls = (0 until 40).map { i =>
+      (i.toLong, s"https://h$i.example.com/path$i?track${i % 4}=1")
+    }.toDF("doc_id", "url")
+    val literals = Seq("track1=", "path13")
+    val viaRegex = Web.applyBlocklist(urls, "url", Nil,
+        blockedPatterns = literals.map(java.util.regex.Pattern.quote))
+      .select("doc_id", "blocked_pattern").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // list-scale tier: same literals through the broadcast automaton,
+    // padded far past rlike-practical sizes
+    val padded = literals ++ (0 until 5000).map(i => s"never-fragment-$i")
+    val viaAc = Web.applyBlocklist(urls, "url", Nil,
+        blockedSubstrings = padded)
+      .select("doc_id", "blocked_pattern").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaAc == viaRegex)
+    assert(viaAc.values.count(identity) > 0)
+  }
+
   test("applyBlocklist pattern tier and null-url contract") {
     val urls = Seq(
       (1L, "https://ok.example.com/a?utm_campaign=spring"),
