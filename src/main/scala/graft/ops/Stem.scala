@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Porter stemmer (Porter 1980, "An algorithm for suffix stripping") —
+  * the classic English stemmer for the retrieval family: stemmed BM25 /
+  * TF-IDF conflate "connect/connected/connection" into one term. The
+  * algorithm is implemented exactly as published (steps 1a–5b over the
+  * [C](VC)^m[V] measure); the spec pins the paper's own example pairs.
+  * No SQL twin exists for the rule cascade, so this op is spec-pinned
+  * rather than oracle-gated (the documented reason it sat behind
+  * oracle-able work in the round plan).
+  *
+  * Scale shape: a pure per-word JVM function — used inside a map-only
+  * UDF over the token array, no shuffle, no state. */
+object Stem {
+
+  private def isVowel(w: String, i: Int): Boolean = w.charAt(i) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' => true
+    case 'y' => i > 0 && !isVowel(w, i - 1)
+    case _ => false
+  }
+
+  /** The measure m of the stem: number of VC sequences in [C](VC)^m[V]. */
+  private def measure(w: String): Int = {
+    var m = 0
+    var i = 0
+    val n = w.length
+    while (i < n && !isVowel(w, i)) i += 1      // skip initial C*
+    while (i < n) {
+      while (i < n && isVowel(w, i)) i += 1     // V+
+      if (i < n) { m += 1; while (i < n && !isVowel(w, i)) i += 1 } // C+
+    }
+    m
+  }
+
+  private def containsVowel(w: String): Boolean =
+    w.indices.exists(isVowel(w, _))
+
+  private def endsDoubleC(w: String): Boolean =
+    w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+      !isVowel(w, w.length - 1)
+
+  /** *o: stem ends cvc where the final c is not w, x, or y. */
+  private def endsCvc(w: String): Boolean = {
+    val n = w.length
+    n >= 3 && !isVowel(w, n - 3) && isVowel(w, n - 2) && !isVowel(w, n - 1) &&
+      !"wxy".contains(w.charAt(n - 1))
+  }
+
+  /** Apply the first matching (suffix, replacement, condition) rule. */
+  private def rule(w: String, rules: Seq[(String, String, String => Boolean)])
+      : String = {
+    rules.find { case (suf, _, _) => w.endsWith(suf) } match {
+      case Some((suf, rep, cond)) =>
+        val stem = w.substring(0, w.length - suf.length)
+        if (cond(stem)) stem + rep else w
+      case None => w
+    }
+  }
+
+  private val mGt0 = (s: String) => measure(s) > 0
+  private val mGt1 = (s: String) => measure(s) > 1
+
+  /** Stem one lowercase word. Words under 3 chars pass through (the
+    * standard guard — stemming them only destroys information). */
+  def porter(word: String): String = {
+    if (word == null || word.length < 3) return word
+    var w = word
+
+    // Step 1a
+    w = rule(w, Seq(
+      ("sses", "ss", _ => true), ("ies", "i", _ => true),
+      ("ss", "ss", _ => true), ("s", "", _ => true)))
+
+    // Step 1b
+    if (w.endsWith("eed")) {
+      val stem = w.substring(0, w.length - 3)
+      if (measure(stem) > 0) w = stem + "ee"
+    } else {
+      val fired =
+        if (w.endsWith("ed") && containsVowel(w.substring(0, w.length - 2))) {
+          w = w.substring(0, w.length - 2); true
+        } else if (w.endsWith("ing") &&
+            containsVowel(w.substring(0, w.length - 3))) {
+          w = w.substring(0, w.length - 3); true
+        } else false
+      if (fired) {
+        if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w += "e"
+        else if (endsDoubleC(w) && !"lsz".contains(w.charAt(w.length - 1)))
+          w = w.substring(0, w.length - 1)
+        else if (measure(w) == 1 && endsCvc(w)) w += "e"
+      }
+    }
+
+    // Step 1c
+    if (w.endsWith("y") && containsVowel(w.substring(0, w.length - 1)))
+      w = w.substring(0, w.length - 1) + "i"
+
+    // Step 2 (longest-match order within each final-letter group)
+    w = rule(w, Seq(
+      ("ational", "ate", mGt0), ("tional", "tion", mGt0),
+      ("enci", "ence", mGt0), ("anci", "ance", mGt0),
+      ("izer", "ize", mGt0), ("abli", "able", mGt0),
+      ("alli", "al", mGt0), ("entli", "ent", mGt0), ("eli", "e", mGt0),
+      ("ousli", "ous", mGt0), ("ization", "ize", mGt0),
+      ("ation", "ate", mGt0), ("ator", "ate", mGt0), ("alism", "al", mGt0),
+      ("iveness", "ive", mGt0), ("fulness", "ful", mGt0),
+      ("ousness", "ous", mGt0), ("aliti", "al", mGt0),
+      ("iviti", "ive", mGt0), ("biliti", "ble", mGt0)))
+
+    // Step 3
+    w = rule(w, Seq(
+      ("icate", "ic", mGt0), ("ative", "", mGt0), ("alize", "al", mGt0),
+      ("iciti", "ic", mGt0), ("ical", "ic", mGt0), ("ful", "", mGt0),
+      ("ness", "", mGt0)))
+
+    // Step 4 ("ion" needs the stem to end s or t)
+    w = rule(w, Seq(
+      ("al", "", mGt1), ("ance", "", mGt1), ("ence", "", mGt1),
+      ("er", "", mGt1), ("ic", "", mGt1), ("able", "", mGt1),
+      ("ible", "", mGt1), ("ant", "", mGt1), ("ement", "", mGt1),
+      ("ment", "", mGt1), ("ent", "", mGt1),
+      ("ion", "", (s: String) => measure(s) > 1 && s.nonEmpty &&
+        (s.endsWith("s") || s.endsWith("t"))),
+      ("ou", "", mGt1), ("ism", "", mGt1), ("ate", "", mGt1),
+      ("iti", "", mGt1), ("ous", "", mGt1), ("ive", "", mGt1),
+      ("ize", "", mGt1)))
+
+    // Step 5a
+    if (w.endsWith("e")) {
+      val stem = w.substring(0, w.length - 1)
+      val m = measure(stem)
+      if (m > 1 || (m == 1 && !endsCvc(stem))) w = stem
+    }
+    // Step 5b
+    if (measure(w) > 1 && endsDoubleC(w) && w.endsWith("l"))
+      w = w.substring(0, w.length - 1)
+
+    w
+  }
+
+  /** Stem every token of a (lowercase-tokenized) text column — the
+    * pre-index normalization for stemmed BM25/TF-IDF. One map pass. */
+  def stemTokens(text: Column): Column = {
+    val f = udf { (toks: Seq[String]) =>
+      if (toks == null) null else toks.map(porter)
+    }
+    f(TextFunctions.tokens(text))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Stem
+
+/** Pins the Porter stemmer to the 1980 paper's own example pairs (each
+  * step's published before→after cases) plus idempotence and the
+  * column-level wrapper. */
+class StemSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pairs = Seq(
+    // step 1a
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+    "caress" -> "caress", "cats" -> "cat",
+    // step 1b (+ cleanup rules)
+    "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+    "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+    "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+    "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+    "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+    "filing" -> "file",
+    // step 1c
+    "happy" -> "happi", "sky" -> "sky",
+    // step 2
+    "relational" -> "relat", "conditional" -> "condit",
+    "rational" -> "ration", "valenci" -> "valenc",
+    "hesitanci" -> "hesit", "digitizer" -> "digit",
+    "operator" -> "oper", "feudalism" -> "feudal",
+    "decisiveness" -> "decis", "hopefulness" -> "hope",
+    "callousness" -> "callous", "formaliti" -> "formal",
+    "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+    // step 3
+    "triplicate" -> "triplic", "formative" -> "form",
+    "formalize" -> "formal", "electriciti" -> "electr",
+    "electrical" -> "electr", "hopeful" -> "hope", "goodness" -> "good",
+    // step 4
+    "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+    "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+    "adjustable" -> "adjust", "defensible" -> "defens",
+    "irritant" -> "irrit", "replacement" -> "replac",
+    "adjustment" -> "adjust", "dependent" -> "depend",
+    "adoption" -> "adopt", "communism" -> "commun",
+    "activate" -> "activ", "angulariti" -> "angular",
+    "homologous" -> "homolog", "effective" -> "effect",
+    "bowdlerize" -> "bowdler",
+    // step 5
+    "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+    "controll" -> "control", "roll" -> "roll")
+
+  test("matches the paper's example pairs") {
+    val bad = pairs.collect {
+      case (in, want) if Stem.porter(in) != want =>
+        s"$in -> ${Stem.porter(in)} (want $want)"
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("stemming never lengthens a word and is deterministic") {
+    // Porter is deliberately NOT idempotent (the paper's own example:
+    // agreed -> agre, then agre -> agr on a second pass) — pin the
+    // properties that DO hold: output never longer than input, and
+    // the function is pure
+    pairs.foreach { case (in, _) =>
+      assert(Stem.porter(in).length <= in.length, s"lengthened $in")
+      assert(Stem.porter(in) == Stem.porter(in))
+    }
+  }
+
+  test("short words and nulls pass through; column wrapper stems tokens") {
+    assert(Stem.porter("at") == "at")
+    assert(Stem.porter(null) == null)
+    val out = Seq("Motoring ponies agreed")
+      .toDF("t").select(Stem.stemTokens(col("t")).as("s"))
+      .head().getSeq[String](0)
+    assert(out == Seq("motor", "poni", "agre"))
+  }
+}
