@@ -456,6 +456,48 @@ object StreamingOps {
                            n_events: Long, total_value: Double,
                            closed_by_timeout: Boolean)
 
+  /** The streaming funnel's per-user progress row: step first-reach
+    * times in epoch micros (-1 = unfilled), `reached` monotone. */
+  final case class FunnelProgress(user_id: Long, times: Seq[Long],
+                                  reached: Int)
+
+  /** Streaming ordered funnel — the live twin of
+    * [[graft.ops.Funnel.funnel]] via mapGroupsWithState: one tiny state
+    * entry per user (the step-time array), each micro-batch's events
+    * folded in (ts, type)-sorted order under the batch op's exact
+    * strict-after rule, the user's current progress emitted per batch
+    * (`reached` is monotone — downstream keeps the max). In-order
+    * streams reproduce the batch funnel exactly (spec-pinned); an event
+    * arriving AFTER a later-timed event already advanced the funnel is
+    * ignored, the honest append-mode approximation (the batch op is the
+    * backfill corrector). Sub-millisecond timestamp precision is
+    * truncated to the millisecond (micros = getTime × 1000). */
+  def funnelStream(events: Dataset[UserEvent],
+                   steps: Seq[String]): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = steps.length
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Seq[Long], FunnelProgress](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[Seq[Long]]) =>
+          val st = state.getOption.map(_.toArray)
+            .getOrElse(Array.fill(n)(-1L))
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          sorted.foreach { e =>
+            val k = st.indexWhere(_ == -1L)
+            if (k >= 0 && e.event_type == steps(k)) {
+              val t = e.ts.getTime * 1000L
+              if (k == 0 || t > st(k - 1)) st(k) = t
+            }
+          }
+          state.update(st.toSeq)
+          FunnelProgress(uid, st.toSeq, st.count(_ != -1L))
+      }
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: events of one
     * user belong to a session until a gap > `gapMs`; with
     * `idleTimeout=true`, idle sessions are additionally closed by a

@@ -278,6 +278,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel reaches the batch funnel's state on in-order events") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      // user 1 completes the funnel, split across batches
+      StreamingOps.UserEvent(1L, ts(0), "view", 1.0),
+      StreamingOps.UserEvent(1L, ts(1), "click", 1.0),
+      StreamingOps.UserEvent(1L, ts(5), "purchase", 1.0),
+      // user 2: purchase BEFORE click -> stuck at click missing
+      StreamingOps.UserEvent(2L, ts(0), "view", 1.0),
+      StreamingOps.UserEvent(2L, ts(1), "purchase", 1.0),
+      // user 3: no view -> nothing fills
+      StreamingOps.UserEvent(3L, ts(0), "click", 1.0))
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnelst")
+      .outputMode("update").start()
+    try {
+      val (a, b) = events.splitAt(3)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      // reached is monotone: the max-reached row per user is final state
+      val fin = spark.table("funnelst")
+        .groupBy("user_id").agg(max(struct(col("reached"), col("times")))
+          .as("m"))
+        .select(col("user_id"), col("m.reached"), col("m.times"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(fin == Map(1L -> 3, 2L -> 1, 3L -> 0))
+      // batch twin agrees on the same events
+      val batch = graft.ops.Funnel.funnel(
+          events.toDF(), "user_id", "ts", "event_type", steps)
+        .select("user_id", "reached").collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(batch == fin)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap is exceeded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
