@@ -1855,6 +1855,51 @@ object OpsQueries {
       |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |  LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  /** Conversion-time profile of completed funnels: exact quantiles of
+    * purchase−view seconds over fully-converted users (Spark's exact
+    * `percentile` interpolates identically to quantile_cont). */
+  private def qEventsFunnelTiming(s: SparkSession, dir: String): DataFrame =
+    Funnel.funnel(readEvents(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .filter(col("reached") === 3)
+      .withColumn("sec",
+        (col("purchase_us") - col("view_us")).cast("double") / 1e6)
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(sec, 0.5)").as("p50_sec"),
+        expr("percentile(sec, 0.9)").as("p90_sec"))
+
+  private val oEventsFunnelTiming =
+    """WITH e AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND t > t2 GROUP BY 1),
+      |c AS (SELECT s1.user_id, CAST(t3 - t1 AS DOUBLE) / 1e6 AS sec
+      |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
+      |SELECT count(*) AS n_converted,
+      |  quantile_cont(sec, 0.5) AS p50_sec,
+      |  quantile_cont(sec, 0.9) AS p90_sec
+      |FROM c""".stripMargin
+
+  /** Weekly cohort retention over the events table (7-day periods from
+    * the epoch): cohort = first-activity week, offset = weeks since. */
+  private def qEventsRetention(s: SparkSession, dir: String): DataFrame =
+    Funnel.retention(readEvents(s, dir), "user_id", "ts",
+      periodMs = 7L * 24 * 3600 * 1000)
+
+  private val oEventsRetention =
+    """WITH e AS (SELECT user_id, CAST(floor(
+      |    epoch_us(CAST(ts AS TIMESTAMP)) / 604800000000.0) AS BIGINT) AS p
+      |  FROM events),
+      |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, p FROM e)
+      |SELECT cohort, p - cohort AS offset,
+      |  count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
   /** The funnel's conversion summary (3 rows). */
   private def qEventsFunnelSummary(s: SparkSession, dir: String): DataFrame =
     Funnel.funnelSummary(
@@ -3925,6 +3970,8 @@ object OpsQueries {
     "sample_repeat_schedule" -> (qSampleRepeatSchedule _),
     "events_funnel" -> (qEventsFunnel _),
     "events_funnel_summary" -> (qEventsFunnelSummary _),
+    "events_funnel_timing" -> (qEventsFunnelTiming _),
+    "events_retention" -> (qEventsRetention _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -4052,6 +4099,8 @@ object OpsQueries {
     "sample_repeat_schedule" -> oSampleRepeatSchedule,
     "events_funnel" -> oEventsFunnel,
     "events_funnel_summary" -> oEventsFunnelSummary,
+    "events_funnel_timing" -> oEventsFunnelTiming,
+    "events_retention" -> oEventsRetention,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

@@ -50,6 +50,27 @@ object Funnel {
       .agg(stepCols.head, (stepCols.tail :+ reached): _*)
   }
 
+  /** Cohort retention matrix — the other classic event-analytics query:
+    * users grouped by their FIRST-activity period (cohort), counted
+    * again in each later period they return. `periodMs` buckets event
+    * time (e.g. 7 days); output is (cohort, offset, n_users) with
+    * offset 0 = the cohort's own size. Shape: one min-aggregate for
+    * first activity (map-side combined), one distinct (user, period)
+    * projection joined back (co-keyed on user), one count-distinct
+    * aggregate — no window, no per-period self-joins. */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                periodMs: Long): DataFrame = {
+    require(periodMs > 0, "periodMs must be positive")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val period = floor(us / lit(periodMs * 1000L)).cast("long")
+    val firstP = events.groupBy(col(userCol))
+      .agg(min(period).as("cohort"))
+    val active = events.select(col(userCol), period.as("__p")).distinct()
+    active.join(firstP, userCol)
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
   /** Step-conversion summary of a [[funnel]] result: users reaching at
     * least each step, with conversion from the previous step. */
   def funnelSummary(perUser: DataFrame, steps: Seq[String]): DataFrame = {
