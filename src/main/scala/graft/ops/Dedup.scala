@@ -352,12 +352,13 @@ object Dedup {
     * than n words) carry a null signature and are dropped, as they can
     * never pair. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 128, n: Int = 3): DataFrame = {
+                        numHashes: Int = 128, n: Int = 3,
+                        keep: Seq[String] = Nil): DataFrame = {
     val sigCol =
       if (df.sparkSession.catalog.functionExists("graft_minhash"))
         call_function("graft_minhash", hashedShingles(df, textCol, n), lit(numHashes))
       else minhashFallbackCol(hashedShingles(df, textCol, n), numHashes)
-    df.select(col(idCol).as("id"), sigCol.as("sig"))
+    df.select(col(idCol).as("id") +: sigCol.as("sig") +: keep.map(col): _*)
       .filter(col("sig").isNotNull)
   }
 

@@ -10,8 +10,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * codegen mishandles object-nested state classes). */
 final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
-/** One document routed to one LSH band bucket (streaming minhash). */
-final case class BandedDoc(band: Int, bh: Long, doc_id: Long, sig: Seq[Long])
+/** One document routed to one LSH band bucket (streaming minhash).
+  * `ts` is the document's event time when the evicting path is on
+  * (null on the unbounded-replay path — never read there). */
+final case class BandedDoc(band: Int, bh: Long, doc_id: Long, sig: Seq[Long],
+                           ts: Timestamp)
 
 /** A bucket member retained in state: id + its full signature. */
 final case class MemberSig(id: Long, sig: Seq[Long])
@@ -229,52 +232,81 @@ object StreamingOps {
     * the sink) rather than carrying cross-bucket state here.
     *
     * State: ≤ `maxBucket` (id, signature) entries per bucket —
-    * `numHashes`·8 bytes each — bounded per bucket but not expired:
-    * production deployments over unbounded streams should add an
-    * event-time timeout to age buckets out (kept out of this path:
-    * wall-clock timers make replays nondeterministic and hang
-    * processAllAvailable-driven tests).
-    */
+    * `numHashes`·8 bytes each — bounded per bucket, and EXPIRED when
+    * `tsCol` is given: the stream is watermarked on it and each bucket
+    * carries an event-time timeout `idle` past the watermark, renewed
+    * whenever the bucket sees a document. A bucket no document touched
+    * for `idle` of event time is dropped whole — on an infinite crawl
+    * the state store holds only the active working set, and a dropped
+    * bucket's members simply can't pair with far-future arrivals (the
+    * batch op is the backfill corrector across evictions, same contract
+    * as the funnel). Event-time (not wall-clock) timers keep replays
+    * deterministic. Without `tsCol` no state expires — the bounded-
+    * input/backfill mode. */
   def minhashPairsStream(docs: DataFrame, textCol: String, idCol: String,
                          threshold: Double, numHashes: Int = 128,
                          bands: Int = 32, n: Int = 3,
-                         maxBucket: Int = 1000): Dataset[CandidatePair] = {
+                         maxBucket: Int = 1000,
+                         tsCol: Option[String] = None,
+                         idle: String = "1 hour",
+                         lateness: String = "15 minutes"): Dataset[CandidatePair] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     import spark.implicits._
     val r = numHashes / bands
-    val banded = graft.ops.Dedup.minhashSignatures(docs, textCol, idCol, numHashes, n)
+    val src = tsCol.map(tc => docs.withWatermark(tc, lateness)).getOrElse(docs)
+    val banded = graft.ops.Dedup.minhashSignatures(src, textCol, idCol,
+        numHashes, n, keep = tsCol.toSeq)
       .select(col("id").as("doc_id"), posexplode(
         array((0 until bands).map(b =>
           hash(slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bh")),
-        col("sig"))
+        col("sig"),
+        tsCol.map(tc => col(tc).as("ts"))
+          .getOrElse(lit(null).cast("timestamp").as("ts")))
       .as[BandedDoc]
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded.groupByKey(d => (d.band, d.bh))
       .flatMapGroupsWithState[BucketState, CandidatePair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (_, it, state: GroupState[BucketState]) =>
-          var members = state.getOption.map(_.docs).getOrElse(Nil)
-          val seen = scala.collection.mutable.Set(members.map(_.id): _*)
-          val out = List.newBuilder[CandidatePair]
-          // id-sorted batch ⇒ deterministic pairs regardless of arrival
-          // interleaving within a micro-batch
-          it.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (!seen.contains(d.doc_id)) {
-              members.foreach { m =>
-                val eq = m.sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
-                val simhat = eq.toDouble / numHashes
-                if (simhat >= threshold)
-                  out += CandidatePair(math.min(m.id, d.doc_id),
-                    math.max(m.id, d.doc_id), simhat)
-              }
-              if (members.size < maxBucket) {
-                members = MemberSig(d.doc_id, d.sig) :: members
-                seen += d.doc_id
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val it0 = it.toSeq
+            var members = state.getOption.map(_.docs).getOrElse(Nil)
+            val seen = scala.collection.mutable.Set(members.map(_.id): _*)
+            val out = List.newBuilder[CandidatePair]
+            // id-sorted batch ⇒ deterministic pairs regardless of arrival
+            // interleaving within a micro-batch
+            it0.sortBy(_.doc_id).foreach { d =>
+              if (!seen.contains(d.doc_id)) {
+                members.foreach { m =>
+                  val eq = m.sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
+                  val simhat = eq.toDouble / numHashes
+                  if (simhat >= threshold)
+                    out += CandidatePair(math.min(m.id, d.doc_id),
+                      math.max(m.id, d.doc_id), simhat)
+                }
+                if (members.size < maxBucket) {
+                  members = MemberSig(d.doc_id, d.sig) :: members
+                  seen += d.doc_id
+                }
               }
             }
+            state.update(BucketState(members))
+            if (tsCol.isDefined) {
+              // anchor at this bucket's newest event (not the watermark,
+              // which lags a batch — anchoring there would evict buckets
+              // the moment the watermark catches up)
+              val groupMax = it0.iterator.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), groupMax), idle)
+            }
+            out.result().iterator
           }
-          state.update(BucketState(members))
-          out.result().iterator
       }
   }
 
@@ -470,31 +502,70 @@ object StreamingOps {
     * streams reproduce the batch funnel exactly (spec-pinned); an event
     * arriving AFTER a later-timed event already advanced the funnel is
     * ignored, the honest append-mode approximation (the batch op is the
-    * backfill corrector). Sub-millisecond timestamp precision is
-    * truncated to the millisecond (micros = getTime × 1000). */
-  def funnelStream(events: Dataset[UserEvent],
-                   steps: Seq[String]): Dataset[FunnelProgress] = {
+    * backfill corrector). Step times are exact epoch micros
+    * (getTime/getNanos — same grid as the batch op's unix_micros).
+    *
+    * State eviction: a COMPLETED funnel (all steps filled) is final —
+    * its state is removed immediately (a monotone funnel can never
+    * change once full; should the user ever re-emit the step sequence,
+    * a fresh low-`reached` row appears, which downstream max-keeping
+    * absorbs). With `idle` set, the stream is additionally watermarked
+    * on `ts` and every INCOMPLETE user carries an event-time timeout
+    * `idle` past the watermark, renewed on every event: a user idle
+    * that long is emitted once more (final progress) and evicted, so
+    * the state store holds only active + recently-active users instead
+    * of every user ever seen. Event-time (not wall-clock) timers keep
+    * replays deterministic; evicted users who return restart from
+    * scratch, with the batch op as the backfill corrector — the same
+    * contract as late events. `idle = None` keeps state forever
+    * (bounded-input/backfill mode). */
+  def funnelStream(events: Dataset[UserEvent], steps: Seq[String],
+                   idle: Option[String] = None,
+                   lateness: String = "15 minutes"): Dataset[FunnelProgress] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "steps must be non-empty and distinct")
     val spark = events.sparkSession
     import spark.implicits._
     val n = steps.length
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[Seq[Long], FunnelProgress](
-        GroupStateTimeout.NoTimeout()) {
+    def micros(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val src = idle.map(_ => events.withWatermark("ts", lateness))
+      .getOrElse(events)
+    val timeoutConf =
+      if (idle.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
+      .mapGroupsWithState[Seq[Long], FunnelProgress](timeoutConf) {
         case (uid, it, state: GroupState[Seq[Long]]) =>
-          val st = state.getOption.map(_.toArray)
-            .getOrElse(Array.fill(n)(-1L))
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
-          sorted.foreach { e =>
-            val k = st.indexWhere(_ == -1L)
-            if (k >= 0 && e.event_type == steps(k)) {
-              val t = e.ts.getTime * 1000L
-              if (k == 0 || t > st(k - 1)) st(k) = t
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            FunnelProgress(uid, st, st.count(_ != -1L))
+          } else {
+            val st = state.getOption.map(_.toArray)
+              .getOrElse(Array.fill(n)(-1L))
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_type))
+            sorted.foreach { e =>
+              val k = st.indexWhere(_ == -1L)
+              if (k >= 0 && e.event_type == steps(k)) {
+                val t = micros(e.ts)
+                if (k == 0 || t > st(k - 1)) st(k) = t
+              }
             }
+            val reached = st.count(_ != -1L)
+            if (reached == n) state.remove() // complete = final: evict now
+            else {
+              state.update(st.toSeq)
+              // anchor at the user's newest event (not the watermark,
+              // which lags a batch — anchoring there would evict users
+              // the moment the watermark catches up)
+              if (idle.isDefined)
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs(),
+                  sorted.iterator.map(_.ts.getTime).max), idle.get)
+            }
+            FunnelProgress(uid, st.toSeq, reached)
           }
-          state.update(st.toSeq)
-          FunnelProgress(uid, st.toSeq, st.count(_ != -1L))
       }
   }
 

@@ -316,6 +316,138 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream evicts idle users via event-time timeout; state stays bounded") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), steps,
+        idle = Some("10 minutes"), lateness = "1 minute")
+      .writeStream.format("memory").queryName("funnelev")
+      .outputMode("update").start()
+    try {
+      // 20 users start the funnel, none completes
+      input.addData((1L to 20L).map(u =>
+        StreamingOps.UserEvent(u, ts(0), "view", 1.0)): _*)
+      q.processAllAvailable()
+      val peak = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(peak == 20L, s"expected 20 state rows at peak, got $peak")
+      // two far-future events: the first advances the watermark past
+      // every idle user's timeout (watermark updates at batch end), the
+      // second triggers the timeout sweep in its batch
+      input.addData(StreamingOps.UserEvent(100L, ts(60), "view", 1.0))
+      q.processAllAvailable()
+      input.addData(StreamingOps.UserEvent(101L, ts(61), "view", 1.0))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after <= 2L,
+        s"idle users must be evicted (only 100/101 may remain), got $after")
+      // evicted users emitted their final progress exactly as held
+      val u1 = spark.table("funnelev").filter(col("user_id") === 1L)
+        .select("reached").collect().map(_.getInt(0))
+      assert(u1.nonEmpty && u1.forall(_ == 1))
+    } finally q.stop()
+  }
+
+  test("funnelStream removes completed funnels from state immediately") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnelfin")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        // user 1 completes inside one batch -> state never retained
+        StreamingOps.UserEvent(1L, ts(0), "view", 1.0),
+        StreamingOps.UserEvent(1L, ts(1), "click", 1.0),
+        StreamingOps.UserEvent(1L, ts(2), "purchase", 1.0),
+        // user 2 stalls at step 1 -> state retained
+        StreamingOps.UserEvent(2L, ts(0), "view", 1.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L,
+        "only the incomplete user may hold state")
+      val fin = spark.table("funnelfin")
+        .groupBy("user_id").agg(max("reached").as("r"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(fin == Map(1L -> 3, 2L -> 1))
+    } finally q.stop()
+  }
+
+  test("funnelStream step times are exact micros (sub-millisecond, matches batch)") {
+    implicit val ctx = spark.sqlContext
+    // two events 1 microsecond apart inside the same millisecond: the
+    // strict-after rule must still advance (batch unix_micros sees it)
+    val t0 = new Timestamp(1700000000000L); t0.setNanos(500000)   // .0005 ms
+    val t1 = new Timestamp(1700000000000L); t1.setNanos(501000)   // .0005 ms + 1us
+    val events = Seq(
+      StreamingOps.UserEvent(1L, t0, "view", 1.0),
+      StreamingOps.UserEvent(1L, t1, "click", 1.0))
+    val input = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnelus")
+      .outputMode("update").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnelus")
+        .groupBy("user_id").agg(max(struct(col("reached"), col("times"))).as("m"))
+        .select("m.reached", "m.times").head()
+      assert(got.getInt(0) == 2, "1us-later click must advance the funnel")
+      val batch = graft.ops.Funnel.funnel(events.toDF(), "user_id", "ts",
+          "event_type", Seq("view", "click"))
+        .select("view_us", "click_us").head()
+      assert(got.getSeq[Long](1) == Seq(batch.getLong(0), batch.getLong(1)),
+        "stream micros must equal batch unix_micros exactly")
+    } finally q.stop()
+  }
+
+  test("minhashPairsStream with tsCol evicts idle band buckets; state stays bounded") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val mk = (i: Long, m: Int, txt: String) => (i, ts(m), txt)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = StreamingOps.minhashPairsStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "doc_id",
+      threshold = 0.5, tsCol = Some("ts"), idle = "10 minutes",
+      lateness = "1 minute")
+    val q = stream.writeStream.format("memory").queryName("mhev")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    try {
+      // near-identical pair in one batch -> detected from bucket state
+      input.addData(mk(1L, 0, base + "tail one"), mk(2L, 1, base + "tail one!"))
+      q.processAllAvailable()
+      val pairs = spark.table("mhev").select("ida", "idb").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+      val peak = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(peak > 0L, "buckets must hold state after batch 1")
+      // advance the watermark far past idle, then trigger the sweep
+      input.addData(mk(50L, 60, "completely different content " * 10))
+      q.processAllAvailable()
+      input.addData(mk(51L, 61, "yet another unrelated document " * 10))
+      q.processAllAvailable()
+      // every batch-1 bucket (the `peak` rows) must have been swept;
+      // numRowsTotal alone can't show it — docs 50/51 add fresh buckets
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed >= peak,
+        s"idle buckets must be evicted: peak=$peak removed=$removed")
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after <= 64L, // at most the two fresh docs' bands remain
+        s"state must hold only the fresh docs' buckets, got $after")
+      // an evicted bucket cannot pair a far-future near-dup with doc 1 —
+      // the documented contract: batch backfill corrects across evictions
+      input.addData(mk(52L, 62, base + "tail one"))
+      q.processAllAvailable()
+      val pairs2 = spark.table("mhev").select("ida", "idb").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs2.contains((1L, 52L)), "doc 1's buckets were evicted")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap is exceeded") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
