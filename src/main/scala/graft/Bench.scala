@@ -63,7 +63,17 @@ object Bench {
     val total = med.map(_._2).sum
     val totalMin = mins.map(_._2).sum
     val perQ = if (med.nonEmpty) total / med.size else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},"sec_per_query":$perQ,"reps":$reps,"total_min":$totalMin,"queries":${fmt(med)},"queries_min":${fmt(mins)},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},"sec_per_query":$perQ,"reps":$reps,"total_min":$totalMin,"queries":${fmt(med)},"queries_min":${fmt(mins)},"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the driver's log capture has truncated the
+    // stdout line in past rounds (BENCH_r09 kept only the tail), and the
+    // per-query times are the regression signal for the NEXT round.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // file write is best-effort
     spark.stop()
   }
 }

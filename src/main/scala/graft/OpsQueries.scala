@@ -1915,12 +1915,16 @@ object OpsQueries {
       |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
       |  WHERE event_type = 'click' AND t > t1 GROUP BY 1),
       |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
-      |  WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+      |  WHERE event_type = 'purchase' AND t > t2 GROUP BY 1),
+      |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+      |  (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
       |SELECT * FROM (
-      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS name,
-      |    (SELECT count(*) FROM s1) AS n_users
-      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))""".stripMargin
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS name, n1 AS n_users,
+      |    CAST(NULL AS DOUBLE) AS conversion FROM n
+      |  UNION ALL SELECT 2, 'click', n2,
+      |    CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END FROM n
+      |  UNION ALL SELECT 3, 'purchase', n3,
+      |    CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END FROM n)""".stripMargin
 
   // =====================================================================
   // Document chunking
@@ -3272,8 +3276,20 @@ object OpsQueries {
     val p2 = Report.dataCardPartial(d.filter(col("doc_id") >= 250), "text", "lang")
     Report.dataCardMerge(p1.unionAll(p2))
       .select("lang", "n_docs", "total_tokens", "total_chars",
-        "distinct_docs", "gopher_pass")
+        "distinct_docs", "gopher_pass", "distinct_is_estimate")
   }
+
+  /** Incremental card oracle: the whole-corpus card plus the exactness
+    * flag. The sketch is in exact mode iff its theta never left 1 —
+    * which at the default lgK=12 holds up to 4096 distincts per
+    * language; the SQL recomputes the same predicate from the true
+    * distinct count (equivalent away from the 4096 boundary, and every
+    * verify scale sits far below it). */
+  private val oCorpusReportIncremental =
+    oCorpusReport.replace("FROM m GROUP BY lang",
+      """  , (count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |     > 4096) AS distinct_is_estimate
+        |FROM m GROUP BY lang""".stripMargin)
 
   /** The planted phrase list for the list-scale (Aho–Corasick) document
     * filter. Chosen so no phrase is a substring of — or overlaps — any
@@ -4094,7 +4110,7 @@ object OpsQueries {
     "text_ngram_diversity" -> oTextNgramDiversity,
     "dedup_exact_best" -> oDedupExactBest,
     "sim_hybrid_rrf" -> oSimHybridRrf,
-    "corpus_report_incremental" -> oCorpusReport,
+    "corpus_report_incremental" -> oCorpusReportIncremental,
     "sample_split" -> oSampleSplit,
     "sample_repeat_schedule" -> oSampleRepeatSchedule,
     "events_funnel" -> oEventsFunnel,

@@ -72,7 +72,11 @@ object Funnel {
   }
 
   /** Step-conversion summary of a [[funnel]] result: users reaching at
-    * least each step, with conversion from the previous step. */
+    * least each step, with `conversion` = n_users / previous step's
+    * n_users (null for step 1, and when the previous step had no
+    * users). All step counts land in ONE aggregate row, so conversion
+    * is a per-row expression over that row — no lag window, no
+    * self-join. */
   def funnelSummary(perUser: DataFrame, steps: Seq[String]): DataFrame = {
     val aggs = steps.map(s0 => {
       val s = s"${s0}_us"
@@ -80,11 +84,15 @@ object Funnel {
     })
     val row = perUser.agg(aggs.head, aggs.tail: _*)
     row.select(array(steps.zipWithIndex.map { case (s0, i) =>
+        val conv =
+          if (i == 0) lit(null).cast("double")
+          else when(col(s"n_${steps(i - 1)}") > 0,
+            col(s"n_$s0").cast("double") / col(s"n_${steps(i - 1)}"))
         struct(lit(i + 1).cast("long").as("step"), lit(s0).as("name"),
-          col(s"n_$s0").as("n_users"))
+          col(s"n_$s0").as("n_users"), conv.as("conversion"))
       }: _*).as("st"))
       .select(explode(col("st")).as("x"))
       .select(col("x.step").as("step"), col("x.name").as("name"),
-        col("x.n_users").as("n_users"))
+        col("x.n_users").as("n_users"), col("x.conversion").as("conversion"))
   }
 }

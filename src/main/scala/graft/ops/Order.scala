@@ -72,12 +72,17 @@ object Order {
     * uniformly through the schedule instead of clustering, and the
     * schedule is identical on every run, engine, and layout. Same
     * two-pass range-shuffle position assignment as [[globalIndex]] —
-    * never a single-task window. `epochsCol` must be a positive int
-    * per row (derive it from quality tier / mixture weight upstream). */
+    * never a single-task window. `epochsCol` is the per-row copy count
+    * (derive it from quality tier / mixture weight upstream); rows with
+    * `epochs <= 0` (or null) contribute ZERO copies — a weight of 0
+    * means "drop this source", and the naive `sequence(1, 0)` spelling
+    * would instead descend and emit two copies silently. */
   def repeatSchedule(df: DataFrame, idCol: String, epochsCol: Column,
                      seed: String, posCol: String = "pos"): DataFrame = {
+    val nEp = epochsCol.cast("int")
     val expanded = df.withColumn("epoch",
-      explode(sequence(lit(1), epochsCol.cast("int"))))
+      explode(when(nEp >= 1, sequence(lit(1), nEp))
+        .otherwise(array().cast("array<int>"))))
     globalIndex(expanded,
       concat(md5(concat_ws(":", lit(seed), col(idCol).cast("string"),
           col("epoch").cast("string"))),

@@ -19,7 +19,17 @@ import org.apache.spark.sql.functions._
   * double-count. */
 object Report {
 
-  /** One drop's per-language partial: one tiny row per language. */
+  /** One drop's per-language partial: one tiny row per language.
+    *
+    * `lgK` bounds when `distinct_docs` stays EXACT: a theta sketch
+    * holds every fingerprint hash until ~2^lgK distincts (4096 at the
+    * default), then degrades to a ~1/sqrt(2^lgK) estimate. Size lgK
+    * for the LANGUAGE with the most distinct documents expected across
+    * all merged drops (the sketch is ~8·2^lgK bytes — lgK 20 is ~8 MB
+    * per language, still a broadcast-class partial); the merged card
+    * reports which mode each language landed in via
+    * `distinct_is_estimate`, so a release card can never silently pass
+    * an estimate off as a count. */
   def dataCardPartial(df: DataFrame, textCol: String, langCol: String,
                       lgK: Int = 12): DataFrame =
     df.groupBy(col(langCol).as("lang")).agg(
@@ -34,7 +44,11 @@ object Report {
 
   /** Merge persisted partials (a union of [[dataCardPartial]] outputs)
     * into the release card. `distinct_docs` is the theta estimate —
-    * exact while every language held under 2^lgK distinct docs. */
+    * exact while every language held under 2^lgK distinct docs —
+    * and `distinct_is_estimate` says which mode the merged sketch is
+    * actually in (read off the sketch's own theta, not inferred from
+    * the count), so exact release counts are distinguishable from
+    * ~1.6%-error estimates. */
   def dataCardMerge(partials: DataFrame): DataFrame =
     partials.groupBy("lang").agg(
       sum("n_docs").as("n_docs"),
@@ -44,5 +58,15 @@ object Report {
       theta_union_agg(col("fp_theta")).as("__th"))
       .withColumn("distinct_docs",
         theta_sketch_estimate(col("__th")).cast("long"))
+      .withColumn("distinct_is_estimate", isEstimateUdf(col("__th")))
       .drop("__th")
+
+  /** True iff the serialized theta sketch left exact mode (theta < 1 —
+    * it started sampling). Reads the DataSketches binary Spark's
+    * theta_union_agg emits; driver-free, one tiny call per card row. */
+  private val isEstimateUdf = udf { (b: Array[Byte]) =>
+    if (b == null) false
+    else org.apache.datasketches.theta.Sketch.wrap(
+      org.apache.datasketches.memory.Memory.wrap(b)).isEstimationMode
+  }
 }

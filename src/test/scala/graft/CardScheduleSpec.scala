@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Funnel, Order, Report}
+
+/** Pins the round-10 contract fixes: repeatSchedule's zero-epoch guard,
+  * funnelSummary's conversion column, and the data card's exact-vs-
+  * estimate flag for distinct counts. */
+class CardScheduleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("repeatSchedule: epochs <= 0 or null emits ZERO copies, not a descending sequence") {
+    val df = Seq(
+      (1L, 3),  // 3 copies
+      (2L, 1),  // 1 copy
+      (3L, 0),  // dropped source: zero copies (sequence(1,0) would emit 2!)
+      (4L, -2)  // negative weight: zero copies
+    ).toDF("id", "epochs")
+      .withColumn("epochs", when(col("id") === 2L, col("epochs"))
+        .otherwise(col("epochs"))) // keep int type
+    val out = Order.repeatSchedule(df, "id", col("epochs"), seed = "s")
+    val copies = out.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(copies == Map(1L -> 3L, 2L -> 1L), s"got $copies")
+    // epochs tag the copies 1..n, never 0 or negatives
+    val epochs = out.filter(col("id") === 1L).select("epoch")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(epochs == Seq(1, 2, 3))
+    // null epochs also contributes nothing
+    val withNull = Seq((1L, Some(2)), (2L, Option.empty[Int]))
+      .toDF("id", "epochs")
+    val n = Order.repeatSchedule(withNull, "id", col("epochs"), "s")
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n == Map(1L -> 2L))
+  }
+
+  test("funnelSummary emits conversion from the previous step (null at step 1 and div-by-zero)") {
+    // 4 users reach view, 2 click, 1 purchases
+    val perUser = Seq(
+      (1L, Some(10L), Some(20L), Some(30L)),
+      (2L, Some(10L), Some(25L), None),
+      (3L, Some(10L), None, None),
+      (4L, Some(12L), None, None)
+    ).toDF("user_id", "view_us", "click_us", "purchase_us")
+    val steps = Seq("view", "click", "purchase")
+    val got = Funnel.funnelSummary(perUser, steps)
+      .orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, "view", 4L, None),          // no previous step
+      (2L, "click", 2L, Some(0.5)),
+      (3L, "purchase", 1L, Some(0.5))))
+    // previous step with zero users -> conversion null, not NaN/error
+    val empty = Seq((1L, Option.empty[Long], Option.empty[Long]))
+      .toDF("user_id", "view_us", "click_us")
+    val z = Funnel.funnelSummary(empty, Seq("view", "click"))
+      .orderBy("step").collect().map(r => Option(r.get(3)))
+    assert(z.toSeq == Seq(None, None))
+  }
+
+  test("data card flags estimate mode iff the merged theta sketch left exact mode") {
+    val docs = (0 until 300).map(i => (i.toLong, s"unique document text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    // default lgK=12: 300 << 4096 distincts -> exact, flag false,
+    // count exact
+    val exact = Report.dataCardMerge(
+      Report.dataCardPartial(docs, "text", "lang"))
+    val er = exact.select("distinct_docs", "distinct_is_estimate").head()
+    assert(!er.getBoolean(1), "300 distincts at lgK=12 must be exact mode")
+    assert(er.getLong(0) == 300L, "exact mode must report the exact count")
+    // tiny lgK=4 (k=16): 300 distincts forces sampling -> flag true
+    val est = Report.dataCardMerge(
+      Report.dataCardPartial(docs, "text", "lang", lgK = 4))
+    val sr = est.select("distinct_docs", "distinct_is_estimate").head()
+    assert(sr.getBoolean(1), "300 distincts at lgK=4 must be estimate mode")
+    // the estimate is still in a sane band (theta sketches at k=16 are
+    // coarse; this only pins "estimate, not garbage")
+    assert(sr.getLong(0) > 50L && sr.getLong(0) < 2000L,
+      s"estimate ${sr.getLong(0)} out of band")
+    // merged-across-drops flag: two exact drops whose union crosses the
+    // tiny sketch's capacity also reads as estimate
+    val d1 = docs.filter(col("doc_id") < 150)
+    val d2 = docs.filter(col("doc_id") >= 150)
+    val merged = Report.dataCardMerge(
+      Report.dataCardPartial(d1, "text", "lang", lgK = 4)
+        .unionAll(Report.dataCardPartial(d2, "text", "lang", lgK = 4)))
+    assert(merged.select("distinct_is_estimate").head().getBoolean(0))
+  }
+}
