@@ -1222,6 +1222,146 @@ object OpsQueries {
       |SELECT media_id, frame_idx,
       |  CAST(least(64, n - frame_idx * 128) AS INTEGER) AS fb FROM f""".stripMargin
 
+  /** Reduce decoded pixels to oracle-comparable scalars: total channel
+    * mass plus a POSITION-weighted checksum (value × 1-based index in
+    * the row-major top-down interleaved array) — any row-order, padding,
+    * channel-order or filter-reconstruction mistake shifts it. */
+  private def imageStats(d: Multimodal.DecodedImage): (Long, String, Int, Int, Int, Long, Long) = {
+    var sum = 0L; var chk = 0L; var i = 0
+    while (i < d.pixels.length) {
+      val v = d.pixels(i) & 0xff
+      sum += v; chk += v.toLong * (i + 1); i += 1
+    }
+    (d.media_id, d.format, d.width, d.height, d.channels, sum, chk)
+  }
+
+  /** REAL BMP pixel decode: every doc wrapped as a 7×5 24-bit BMP whose
+    * RGB value at (x, y, c) is a closed-form function of (doc_id, x, y,
+    * c) — width 7 forces row padding, the builder writes bottom-up BGR.
+    * The oracle recomputes the stats from the formula: the decoder must
+    * reproduce every pixel at its exact position. */
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val build = udf((id: Long) => {
+      val px = new Array[Byte](7 * 5 * 3)
+      for (y <- 0 until 5; x <- 0 until 7; c <- 0 until 3)
+        px((y * 7 + x) * 3 + c) = (((x * 7 + y * 13 + c * 29 + id) % 256) & 0xff).toByte
+      Multimodal.bmpImage(7, 5, px)
+    })
+    val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.decodeImage(media).map(imageStats)
+      .toDF("media_id", "format", "width", "height", "channels",
+        "pix_sum", "pos_checksum")
+  }
+
+  private val oMultimodalDecode =
+    """WITH px AS (SELECT doc_id, x.g AS x, y.g AS y, c.g AS c,
+      |    (x.g*7 + y.g*13 + c.g*29 + doc_id) % 256 AS v
+      |  FROM documents, generate_series(0, 6) x(g),
+      |    generate_series(0, 4) y(g), generate_series(0, 2) c(g)
+      |  WHERE doc_id < 200)
+      |SELECT CAST(doc_id AS BIGINT) AS media_id, 'bmp' AS format,
+      |  CAST(7 AS INT) AS width, CAST(5 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  CAST(sum(v) AS BIGINT) AS pix_sum,
+      |  CAST(sum(v * ((y*7 + x)*3 + c + 1)) AS BIGINT) AS pos_checksum
+      |FROM px GROUP BY doc_id""".stripMargin
+
+  /** REAL PNG pixel decode: 6×10 8-bit RGB PNGs, zlib-deflated with the
+    * filter type cycling through ALL FIVE spec filters (row % 5) — the
+    * decoder must inflate and reconstruct Sub/Up/Average/Paeth rows
+    * exactly to land every pixel back on the closed-form oracle. */
+  private def qMultimodalDecodePng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val build = udf((id: Long) => {
+      val px = new Array[Byte](6 * 10 * 3)
+      for (y <- 0 until 10; x <- 0 until 6; c <- 0 until 3)
+        px((y * 6 + x) * 3 + c) = (((x * 11 + y * 17 + c * 23 + id * 3) % 256) & 0xff).toByte
+      Multimodal.pngImage(6, 10, 3, px)
+    })
+    val media = t(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.decodeImage(media).map(imageStats)
+      .toDF("media_id", "format", "width", "height", "channels",
+        "pix_sum", "pos_checksum")
+  }
+
+  private val oMultimodalDecodePng =
+    """WITH px AS (SELECT doc_id, x.g AS x, y.g AS y, c.g AS c,
+      |    (x.g*11 + y.g*17 + c.g*23 + doc_id*3) % 256 AS v
+      |  FROM documents, generate_series(0, 5) x(g),
+      |    generate_series(0, 9) y(g), generate_series(0, 2) c(g)
+      |  WHERE doc_id < 150)
+      |SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format,
+      |  CAST(6 AS INT) AS width, CAST(10 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  CAST(sum(v) AS BIGINT) AS pix_sum,
+      |  CAST(sum(v * ((y*6 + x)*3 + c + 1)) AS BIGINT) AS pos_checksum
+      |FROM px GROUP BY doc_id""".stripMargin
+
+  /** REAL WAV sample decode: 64 PCM16 mono samples per doc from a
+    * closed-form signed formula (negative values exercise the LE16
+    * sign reconstruction); position-weighted checksum again. */
+  private def qMultimodalDecodeWav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val build = udf((id: Long) => Multimodal.wavPcm16(16000, 1,
+      Array.tabulate(64)(i => (((id * 7 + i * 31) % 4096) - 2048).toShort)))
+    val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.decodeAudio(media).map { d =>
+      var sum = 0L; var chk = 0L; var i = 0
+      while (i < d.samples.length) {
+        sum += d.samples(i); chk += d.samples(i).toLong * (i + 1); i += 1
+      }
+      (d.media_id, d.channels, d.sample_rate, d.n_samples, sum, chk)
+    }.toDF("media_id", "channels", "sample_rate", "n_samples",
+      "amp_sum", "pos_checksum")
+  }
+
+  private val oMultimodalDecodeWav =
+    """WITH s AS (SELECT doc_id, i.g AS i,
+      |    (doc_id*7 + i.g*31) % 4096 - 2048 AS v
+      |  FROM documents, generate_series(0, 63) i(g) WHERE doc_id < 300)
+      |SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(1 AS INT) AS channels,
+      |  CAST(16000 AS INT) AS sample_rate, CAST(64 AS INT) AS n_samples,
+      |  CAST(sum(v) AS BIGINT) AS amp_sum,
+      |  CAST(sum(v * (i + 1)) AS BIGINT) AS pos_checksum
+      |FROM s GROUP BY doc_id""".stripMargin
+
+  /** REAL resize after real decode: the 7×5 BMPs shrunk to fit side 3
+    * by nearest-neighbor (integer sampling: target (x', y') reads
+    * source (x'·w/w', y'·h/h')) — the oracle recomputes the sampled
+    * source coordinates and their formula values in SQL. */
+  private def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val build = udf((id: Long) => {
+      val px = new Array[Byte](7 * 5 * 3)
+      for (y <- 0 until 5; x <- 0 until 7; c <- 0 until 3)
+        px((y * 7 + x) * 3 + c) = (((x * 7 + y * 13 + c * 29 + id) % 256) & 0xff).toByte
+      Multimodal.bmpImage(7, 5, px)
+    })
+    val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.resizeNearest(Multimodal.decodeImage(media), maxSide = 3)
+      .map(imageStats)
+      .toDF("media_id", "format", "width", "height", "channels",
+        "pix_sum", "pos_checksum")
+  }
+
+  private val oMultimodalResize =
+    """WITH px AS (SELECT doc_id, x.g AS x, y.g AS y, c.g AS c,
+      |    (((x.g*7)//3)*7 + ((y.g*5)//2)*13 + c.g*29 + doc_id) % 256 AS v
+      |  FROM documents, generate_series(0, 2) x(g),
+      |    generate_series(0, 1) y(g), generate_series(0, 2) c(g)
+      |  WHERE doc_id < 200)
+      |SELECT CAST(doc_id AS BIGINT) AS media_id, 'bmp' AS format,
+      |  CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  CAST(sum(v) AS BIGINT) AS pix_sum,
+      |  CAST(sum(v * ((y*3 + x)*3 + c + 1)) AS BIGINT) AS pos_checksum
+      |FROM px GROUP BY doc_id""".stripMargin
+
   // =====================================================================
   // Ranking / curation: top-N per group
   // =====================================================================
@@ -4035,6 +4175,10 @@ object OpsQueries {
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_sniff" -> (qMultimodalSniff _),
     "multimodal_frames" -> (qMultimodalFrames _),
+    "multimodal_decode" -> (qMultimodalDecode _),
+    "multimodal_decode_png" -> (qMultimodalDecodePng _),
+    "multimodal_decode_wav" -> (qMultimodalDecodeWav _),
+    "multimodal_resize" -> (qMultimodalResize _),
     "events_window" -> (qEventsWindow _),
     "events_pivot_window" -> (qEventsPivotWindow _),
     "events_sessionize" -> (qEventsSessionize _),
@@ -4164,6 +4308,10 @@ object OpsQueries {
     "multimodal_meta" -> oMultimodalMeta,
     "multimodal_sniff" -> oMultimodalSniff,
     "multimodal_frames" -> oMultimodalFrames,
+    "multimodal_decode" -> oMultimodalDecode,
+    "multimodal_decode_png" -> oMultimodalDecodePng,
+    "multimodal_decode_wav" -> oMultimodalDecodeWav,
+    "multimodal_resize" -> oMultimodalResize,
     "events_window" -> oEventsWindow,
     "events_pivot_window" -> oEventsPivotWindow,
     "events_sessionize" -> oEventsSessionize,

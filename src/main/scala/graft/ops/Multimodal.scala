@@ -7,13 +7,20 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` payloads with a typed metadata struct; decode /
   * feature-extraction runs partition-local over the Dataset API.
   *
-  * The actual codec calls are STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around the stub — the schema contract, the
-  * mapPartitions batching, the partition-local execution with no shuffle,
-  * the frame-sampling explode — is real and is exactly the shape a JNI/
-  * FFmpeg/JPEG decoder would plug into: swap `fakeDecode` for the codec
-  * and nothing else changes.
+  * Decode tiers:
+  *   - [[sniff]]: REAL container-header parsing (png/jpeg/gif/bmp/wav)
+  *     — the prune/route/validate pass before any pixel work.
+  *   - [[decodeImage]]/[[decodeAudio]]/[[resizeNearest]]: REAL pixel
+  *     and sample decode for the formats the bare JVM can fully
+  *     reconstruct — 24-bit BMP, 8-bit PNG (zlib inflate + filter
+  *     reconstruction via java.util.zip), PCM16 WAV — plus a real
+  *     nearest-neighbor resize. Oracle-checked pixel-exactly against
+  *     planted files.
+  *   - `decodeStub`: the remaining codec-class formats (JPEG/GIF
+  *     entropy decode, video) — this container ships no codec libs, so
+  *     those derive deterministic fake features; the schema contract,
+  *     mapPartitions batching and no-shuffle execution around the stub
+  *     are the real shape a JNI/FFmpeg decoder plugs into.
   *
   * Scale notes: decode is the classic CPU-heavy map stage — partition-
   * local (no shuffle), pipelineable after a pushed-down metadata filter
@@ -113,9 +120,9 @@ object Multimodal {
   // the pixel/audio DECODE remains a stub in this container.
   // ===================================================================
 
-  /** Parsed header: format ∈ png/jpeg/gif/wav/unknown; width/height for
-    * images, channels/sample_rate for wav; nulls where not applicable
-    * or the header is malformed (then format = unknown). */
+  /** Parsed header: format ∈ png/jpeg/gif/bmp/wav/unknown; width/height
+    * for images, channels/sample_rate for wav; nulls where not
+    * applicable or the header is malformed (then format = unknown). */
   def sniff(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sniffUdf(payload).cast(
       "struct<format:string,width:int,height:int,channels:int,sample_rate:int>")
@@ -167,6 +174,8 @@ object Multimodal {
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       ("gif", Some(le16(b, 6)), Some(le16(b, 8)), None, None)
+    else if (b(0) == 'B' && b(1) == 'M' && b.length >= 26)
+      ("bmp", Some(le32(b, 18)), Some(math.abs(le32(b, 22))), None, None)
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
         b.length >= 28)
@@ -189,6 +198,363 @@ object Multimodal {
     out.put(8.toByte).put(6.toByte) // bit depth, RGBA
     out.put(0.toByte).put(0.toByte).put(0.toByte) // compr/filter/interlace
     out.putInt(0) // CRC placeholder (sniff does not verify CRCs)
+    out.array()
+  }
+
+  // ===================================================================
+  // REAL pixel/sample decode — pure JVM, no codec libraries: the three
+  // container formats whose payloads the JDK can fully reconstruct.
+  //   BMP  : 24-bit uncompressed BI_RGB (padded rows, bottom-up or
+  //          top-down), emitted as row-major top-down RGB.
+  //   PNG  : 8-bit gray/RGB/RGBA, non-interlaced — real zlib inflate
+  //          (java.util.zip) + per-row filter reconstruction
+  //          (None/Sub/Up/Average/Paeth per the PNG spec).
+  //   WAV  : PCM 16-bit little-endian, any channel count.
+  // JPEG/GIF pixel decode stays honestly stubbed (entropy decoders the
+  // container doesn't ship); [[decodeImage]] returns None for them, and
+  // the metadata tier ([[sniff]]) still routes/prunes/validates them.
+  // ===================================================================
+
+  /** A fully-decoded image: `pixels` row-major, top-down, channel-
+    * interleaved (RGB order for color), one byte per channel. */
+  final case class DecodedImage(media_id: Long, format: String, width: Int,
+                                height: Int, channels: Int,
+                                pixels: Array[Byte])
+
+  /** Fully-decoded PCM audio: interleaved signed 16-bit samples;
+    * `n_samples` counts frames × channels (array length). */
+  final case class DecodedAudio(media_id: Long, channels: Int,
+                                sample_rate: Int, n_samples: Int,
+                                samples: Array[Short])
+
+  /** Decode one BMP payload (24-bit uncompressed BI_RGB). Handles row
+    * padding to 4-byte boundaries, bottom-up AND top-down (negative
+    * height) layouts, and the file's BGR byte order → RGB output.
+    * None on anything else (other depths/compressions, truncation). */
+  private[graft] def decodeBmpBytes(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixOff = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return None
+    val rowSize = (w * 3 + 3) & ~3
+    if (pixOff < 0 || pixOff.toLong + rowSize.toLong * h > b.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (bottomUp) h - 1 - y else y
+      val src = pixOff + fileRow * rowSize
+      var x = 0
+      while (x < w) {
+        val s = src + x * 3
+        val d = (y * w + x) * 3
+        out(d) = b(s + 2)     // R (file stores BGR)
+        out(d + 1) = b(s + 1) // G
+        out(d + 2) = b(s)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  private def paeth(a: Int, bb: Int, c: Int): Int = {
+    val p = a + bb - c
+    val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+  }
+
+  /** Decode one PNG payload: 8-bit depth, color type 0 (gray) / 2 (RGB)
+    * / 6 (RGBA), non-interlaced. Concatenates IDAT chunks, inflates the
+    * zlib stream, and reconstructs each row from its filter byte. None
+    * on other depths/types, interlacing, or malformed/truncated data. */
+  private[graft] def decodePngBytes(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 45) return None
+    if (!(b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'))
+      return None
+    var pos = 8
+    var w = 0; var h = 0; var channels = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 8 <= b.length) {
+      val len = be32(b, pos)
+      if (len < 0 || pos + 12L + len > b.length) return None
+      val ty = new String(b, pos + 4, 4, "US-ASCII")
+      ty match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(b, pos + 8); h = be32(b, pos + 12)
+          val depth = b(pos + 16) & 0xff
+          val colorType = b(pos + 17) & 0xff
+          val interlace = b(pos + 20) & 0xff
+          if (depth != 8 || interlace != 0) return None
+          channels = colorType match {
+            case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+          }
+          if (w <= 0 || h <= 0) return None
+        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos += 12 + len
+    }
+    if (w == 0 || idat.size() == 0) return None
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      val rs = y * (stride + 1) + 1
+      val ds = y * stride
+      var i = 0
+      while (i < stride) {
+        val x = raw(rs + i) & 0xff
+        val a = if (i >= channels) out(ds + i - channels) & 0xff else 0
+        val up = if (y > 0) out(ds - stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= channels) out(ds - stride + i - channels) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + (a + up) / 2
+          case 4 => x + paeth(a, up, ul)
+          case _ => return None
+        }
+        out(ds + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some((w, h, channels, out))
+  }
+
+  /** Decode one WAV payload: PCM (format 1), 16-bit samples. Walks the
+    * RIFF chunk list (word-aligned) to fmt + data. None otherwise. */
+  private[graft] def decodeWavBytes(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (b == null || b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var pos = 12
+    var channels = 0; var rate = 0; var ok = false
+    var samples: Array[Short] = null
+    while (pos + 8 <= b.length && (samples == null || !ok)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val len = le32(b, pos + 4)
+      if (len < 0 || pos + 8L + len > b.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val fmt = le16(b, pos + 8)
+          channels = le16(b, pos + 10)
+          rate = le32(b, pos + 12)
+          val bits = le16(b, pos + 22)
+          if (fmt != 1 || bits != 16 || channels <= 0) return None
+          ok = true
+        case "data" =>
+          val n = len / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = ((b(pos + 8 + 2 * i) & 0xff) |
+              (b(pos + 9 + 2 * i) << 8)).toShort
+            i += 1
+          }
+        case _ => ()
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    if (ok && samples != null) Some((channels, rate, samples)) else None
+  }
+
+  /** Partition-local REAL image decode: sniff routes each payload to
+    * the matching parser; BMP/PNG yield pixels, JPEG/GIF (entropy-coded
+    * — no JVM codec) and malformed payloads are dropped. Same shape as
+    * [[decodeStub]]: one pass, no shuffle, iterator-in/iterator-out. */
+  def decodeImage(media: DataFrame): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        sniffBytes(payload)._1 match {
+          case "bmp" => decodeBmpBytes(payload).map { case (w, h, px) =>
+            DecodedImage(id, "bmp", w, h, 3, px) }
+          case "png" => decodePngBytes(payload).map { case (w, h, c, px) =>
+            DecodedImage(id, "png", w, h, c, px) }
+          case _ => None
+        }
+      })
+  }
+
+  /** Partition-local REAL audio decode (WAV PCM16). */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWavBytes(payload).map { case (c, r, s) =>
+          DecodedAudio(id, c, r, s.length, s) }
+      })
+  }
+
+  /** REAL nearest-neighbor resize of decoded pixels to fit `maxSide`
+    * (aspect preserved, floor scaling, never upscales): target pixel
+    * (x', y') samples source (x'·w / w', y'·h / h') — integer
+    * arithmetic, so an oracle can recompute it exactly. */
+  def resizeNearest(decoded: Dataset[DecodedImage], maxSide: Int): Dataset[DecodedImage] = {
+    require(maxSide >= 1, "maxSide must be >= 1")
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val side = math.max(d.width, d.height)
+      if (side <= maxSide) d
+      else {
+        val w2 = math.max(1, d.width * maxSide / side)
+        val h2 = math.max(1, d.height * maxSide / side)
+        val out = new Array[Byte](w2 * h2 * d.channels)
+        var y = 0
+        while (y < h2) {
+          val sy = y * d.height / h2
+          var x = 0
+          while (x < w2) {
+            val sx = x * d.width / w2
+            var c = 0
+            while (c < d.channels) {
+              out((y * w2 + x) * d.channels + c) =
+                d.pixels((sy * d.width + sx) * d.channels + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        d.copy(width = w2, height = h2, pixels = out)
+      }
+    }
+  }
+
+  // ------------------------- builder twins --------------------------
+  // Writers for the same three formats — fixture generation for specs
+  // and oracles (and the WARC-style "wrap derived bytes back into a
+  // container" leg of a multimodal pipeline). Each emits a fully valid
+  // file the matching decoder above (and any external tool) reads back.
+
+  /** Encode row-major top-down RGB pixels as a 24-bit bottom-up BMP
+    * (standard layout: BGR bytes, rows padded to 4). */
+  def bmpImage(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
+    val rowSize = (width * 3 + 3) & ~3
+    val pixBytes = rowSize * height
+    val out = java.nio.ByteBuffer.allocate(54 + pixBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + pixBytes)
+      .putShort(0).putShort(0).putInt(54)
+    out.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(pixBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val s = (y * width + x) * 3
+        out.put(rgb(s + 2)).put(rgb(s + 1)).put(rgb(s)) // BGR
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** Encode pixels as a real PNG (8-bit; channels 1=gray, 3=RGB,
+    * 4=RGBA): zlib-deflated IDAT, correct chunk CRCs, and a caller-
+    * chosen filter per row (default cycles through all five spec
+    * filters, so decoders must implement full reconstruction). */
+  def pngImage(width: Int, height: Int, channels: Int, pix: Array[Byte],
+               filterForRow: Int => Int = _ % 5): Array[Byte] = {
+    require(Set(1, 3, 4)(channels), "channels must be 1, 3 or 4")
+    require(pix.length == width * height * channels, "pix must be w*h*c bytes")
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val ft = filterForRow(y)
+      require(ft >= 0 && ft <= 4, s"filter $ft out of range")
+      raw(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = pix(y * stride + i) & 0xff
+        val a = if (i >= channels) pix(y * stride + i - channels) & 0xff else 0
+        val up = if (y > 0) pix((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= channels) pix((y - 1) * stride + i - channels) & 0xff else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - up
+          case 3 => x - (a + up) / 2
+          case 4 => x - paeth(a, up, ul)
+        }
+        raw(y * (stride + 1) + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zout = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = zout.toByteArray
+    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    def chunk(ty: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(ty.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(ty.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty)
+  }
+
+  /** Encode interleaved signed 16-bit samples as a PCM WAV file. */
+  def wavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels >= 1 && sampleRate >= 1)
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
     out.array()
   }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import graft.ops.Multimodal
+
+/** Pixel/sample-exact roundtrips for the pure-JVM media decoders:
+  * builder → bytes → decoder must reproduce the source exactly, and
+  * malformed/unsupported payloads must be rejected (None), never
+  * misdecoded. */
+class DecodeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pix(w: Int, h: Int, c: Int)(f: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * c)
+    for (y <- 0 until h; x <- 0 until w; ch <- 0 until c)
+      out((y * w + x) * c + ch) = (f(x, y, ch) & 0xff).toByte
+    out
+  }
+
+  test("BMP roundtrip: padded rows, bottom-up file order, BGR->RGB") {
+    // width 7 -> 21-byte rows padded to 24: decoder must stride past pad
+    val src = pix(7, 5, 3)((x, y, c) => x * 7 + y * 13 + c * 29)
+    val bytes = Multimodal.bmpImage(7, 5, src)
+    assert(Multimodal.sniffBytes(bytes)._1 == "bmp")
+    val Some((w, h, got)) = Multimodal.decodeBmpBytes(bytes)
+    assert((w, h) == (7, 5))
+    assert(got.toSeq == src.toSeq, "pixel-exact roundtrip")
+  }
+
+  test("BMP top-down variant (negative height) decodes to the same pixels") {
+    val src = pix(4, 3, 3)((x, y, c) => x + y * 40 + c * 90)
+    val bu = Multimodal.bmpImage(4, 3, src)
+    // craft the top-down twin: height = -3, pixel rows in reverse order
+    val rowSize = (4 * 3 + 3) & ~3
+    val td = bu.clone()
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-3).array()
+    System.arraycopy(negH, 0, td, 22, 4)
+    for (y <- 0 until 3)
+      System.arraycopy(bu, 54 + (2 - y) * rowSize, td, 54 + y * rowSize, rowSize)
+    val Some((_, h, got)) = Multimodal.decodeBmpBytes(td)
+    assert(h == 3)
+    assert(got.toSeq == src.toSeq, "top-down layout must decode identically")
+  }
+
+  test("PNG roundtrip exercises all five filters, for gray, RGB and RGBA") {
+    for (c <- Seq(1, 3, 4)) {
+      // h=10 cycles each filter type twice (default filter = row % 5)
+      val src = pix(6, 10, c)((x, y, ch) => x * 31 + y * 7 + ch * 113)
+      val bytes = Multimodal.pngImage(6, 10, c, src)
+      assert(Multimodal.sniffBytes(bytes)._1 == "png")
+      val Some((w, h, gc, got)) = Multimodal.decodePngBytes(bytes)
+      assert((w, h, gc) == (6, 10, c))
+      assert(got.toSeq == src.toSeq, s"pixel-exact roundtrip, channels=$c")
+    }
+  }
+
+  test("PNG: each single filter type reconstructs exactly (isolates Paeth/Average)") {
+    for (ft <- 0 to 4) {
+      val src = pix(5, 4, 3)((x, y, c) => (x * y * 41 + c * 17 + x + 3 * y))
+      val bytes = Multimodal.pngImage(5, 4, 3, src, filterForRow = _ => ft)
+      val got = Multimodal.decodePngBytes(bytes)
+      assert(got.exists(_._4.toSeq == src.toSeq), s"filter $ft roundtrip")
+    }
+  }
+
+  test("PNG rejects interlaced, 16-bit and truncated payloads (None, not garbage)") {
+    val src = pix(4, 4, 3)((x, y, c) => x + y + c)
+    val ok = Multimodal.pngImage(4, 4, 3, src)
+    // interlace byte lives at IHDR data offset +12 (file offset 8+8+13-1=28)
+    val interlaced = ok.clone(); interlaced(28) = 1
+    assert(Multimodal.decodePngBytes(interlaced).isEmpty)
+    val deep = ok.clone(); deep(24) = 16 // bit depth
+    assert(Multimodal.decodePngBytes(deep).isEmpty)
+    assert(Multimodal.decodePngBytes(ok.take(ok.length - 20)).isEmpty)
+    assert(Multimodal.decodePngBytes(ok.take(40)).isEmpty)
+  }
+
+  test("WAV roundtrip: stereo PCM16 with negative samples; truncation rejected") {
+    val samples = Array.tabulate(96)(i => ((i * 331) % 4096 - 2048).toShort)
+    val bytes = Multimodal.wavPcm16(16000, 2, samples)
+    assert(Multimodal.sniffBytes(bytes)._1 == "wav")
+    val Some((c, r, got)) = Multimodal.decodeWavBytes(bytes)
+    assert((c, r) == (2, 16000))
+    assert(got.toSeq == samples.toSeq, "sample-exact roundtrip")
+    assert(Multimodal.decodeWavBytes(bytes.take(50)).isEmpty)
+  }
+
+  test("decodeImage routes by sniff: BMP+PNG decode, JPEG/garbage drop") {
+    val bmp = Multimodal.bmpImage(2, 2, pix(2, 2, 3)((x, y, c) => x + y + c))
+    val png = Multimodal.pngImage(2, 2, 3, pix(2, 2, 3)((x, y, c) => x * y + c))
+    val jpegHdr = Array(0xff, 0xd8, 0xff, 0xe0, 0, 16, 'J', 'F', 'I', 'F',
+      0, 0, 0, 0, 0, 0).map(_.toByte)
+    val garbage = Array.fill[Byte](64)(42)
+    val media = Seq((1L, bmp), (2L, png), (3L, jpegHdr), (4L, garbage))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeImage(media)
+      .collect().map(d => d.media_id -> d.format).toMap
+    assert(got == Map(1L -> "bmp", 2L -> "png"),
+      "only JVM-decodable formats may yield pixels")
+  }
+
+  test("resizeNearest: integer source sampling, aspect floor, no upscale") {
+    val src = pix(7, 5, 3)((x, y, c) => x * 10 + y * 50 + c)
+    val ds = Seq(Multimodal.DecodedImage(1L, "bmp", 7, 5, 3, src)).toDS()
+    val r = Multimodal.resizeNearest(ds, maxSide = 3).head()
+    assert((r.width, r.height) == (3, 2)) // 7x5 -> 3x(5*3/7=2)
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3) {
+      val sx = x * 7 / 3; val sy = y * 5 / 2
+      assert((r.pixels((y * 3 + x) * 3 + c) & 0xff) == (sx * 10 + sy * 50 + c),
+        s"resized ($x,$y,$c) must sample source ($sx,$sy,$c)")
+    }
+    // already within maxSide: unchanged
+    val same = Multimodal.resizeNearest(ds, maxSide = 10).head()
+    assert(same.width == 7 && same.pixels.toSeq == src.toSeq)
+  }
+}
