@@ -45,7 +45,13 @@ object Bench {
     // rep-major order (full suite, then the next rep of the full suite):
     // a transient co-resident JVM then contaminates one rep of many
     // queries — which medians absorb — rather than all reps of a few.
+    // SPARK_GRAFT_ONLY=q1,q2 restricts to named queries (local soak /
+    // bisection aid, same contract as Verify; driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     val samples: Map[String, Seq[Double]] = {
       val runs = (1 to reps).map { _ =>
         names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap

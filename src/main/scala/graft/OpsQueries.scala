@@ -3164,7 +3164,14 @@ object OpsQueries {
       (409L, 20L, "https://uni.ac.ir/x"),
       (410L, 21L, "https://www.banka.gov.tm/"),
       (411L, 22L, "http://shop.gob.cl/item"),
-      (412L, 23L, "https://b.a.se/"))
+      (412L, 23L, "https://b.a.se/"),
+      // registries covered by the r10 snapshot expansion (it province,
+      // hu category, pl regional, Gulf gov) + an implicit-rule control
+      (413L, 24L, "https://www.comune.bologna.it/servizi"),
+      (414L, 25L, "http://hotel.budapest.city.hu/"),
+      (415L, 26L, "https://sklep.firma.waw.pl/x"),
+      (416L, 27L, "http://www.ministry.gov.qa/"),
+      (417L, 28L, "https://shop.example.is/"))
       .toDF("doc_id", "n_chars", "url")
   }
 
@@ -3198,7 +3205,12 @@ object OpsQueries {
       |  (409, 20, 'https://uni.ac.ir/x'),
       |  (410, 21, 'https://www.banka.gov.tm/'),
       |  (411, 22, 'http://shop.gob.cl/item'),
-      |  (412, 23, 'https://b.a.se/'))
+      |  (412, 23, 'https://b.a.se/'),
+      |  (413, 24, 'https://www.comune.bologna.it/servizi'),
+      |  (414, 25, 'http://hotel.budapest.city.hu/'),
+      |  (415, 26, 'https://sklep.firma.waw.pl/x'),
+      |  (416, 27, 'http://www.ministry.gov.qa/'),
+      |  (417, 28, 'https://shop.example.is/'))
       |  AS v(doc_id, n_chars, url)""".stripMargin
 
   /** DuckDB twin of Web.registeredDomain over a `host` column: the same
@@ -4104,6 +4116,117 @@ object OpsQueries {
       |FROM p""".stripMargin
 
   // =====================================================================
+  // Corpus insight: readability, collocations, outliers, transitions
+  // =====================================================================
+
+  /** ARI + Coleman–Liau grade levels per document (chars/words/sentences
+    * only — the syllable-free formulas, exactly portable). */
+  private def qTextReadability(s: SparkSession, dir: String): DataFrame =
+    Insight.readability(t(s, dir, "documents"), "text", "doc_id")
+
+  private val oTextReadability =
+    """WITH m AS (SELECT doc_id,
+      |  CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS BIGINT) AS w,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT) AS c,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS l,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s
+      |  FROM documents)
+      |SELECT doc_id, w AS words, s AS sentences,
+      |  CAST((471 * c * s + 50 * w * w - 2143 * w * s) * 10000 // (w * s)
+      |    AS DOUBLE) / 1000000.0 AS ari,
+      |  CAST((588 * l - 2960 * s - 1580 * w) * 10000 // w
+      |    AS DOUBLE) / 1000000.0 AS cli
+      |FROM m""".stripMargin
+
+  /** Top-50 adjacent-word collocations by PMI (support >= 5). */
+  private def qTextPmi(s: SparkSession, dir: String): DataFrame =
+    Insight.pmiBigrams(t(s, dir, "documents"), "text", minCount = 5, topK = 50)
+
+  private val oTextPmi =
+    """WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+      |  FROM documents),
+      |tot AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS n_uni,
+      |  CAST(sum(greatest(len(t) - 1, 0)) AS DOUBLE) AS n_bi FROM d),
+      |uni AS (SELECT u.w, count(*) AS c
+      |  FROM (SELECT unnest(t) AS w FROM d) u GROUP BY 1),
+      |bg AS (SELECT p.bg[1] AS w1, p.bg[2] AS w2, count(*) AS n
+      |  FROM (SELECT unnest(list_zip(t, t[2:])) AS bg FROM d) p
+      |  WHERE p.bg[2] IS NOT NULL GROUP BY 1, 2)
+      |SELECT w1, w2, n,
+      |  round(ln((n / n_bi) / ((u1.c / n_uni) * (u2.c / n_uni))), 6) AS pmi
+      |FROM bg CROSS JOIN tot
+      |  JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+      |WHERE n >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+
+  /** Events more than 3 population stddevs from their type's mean. */
+  private def qEventsAnomaly(s: SparkSession, dir: String): DataFrame =
+    Insight.zOutliers(readEvents(s, dir), "event_type", "value", 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+
+  private val oEventsAnomaly =
+    """WITH st AS (SELECT event_type, avg(value) AS mu,
+      |    stddev_pop(value) AS sd FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, value,
+      |  round((value - mu) / sd, 6) AS z
+      |FROM events e JOIN st USING (event_type)
+      |WHERE sd > 0 AND abs((value - mu) / sd) > 3.0""".stripMargin
+
+  /** First-order Markov transition matrix of the event stream. */
+  private def qEventsMarkov(s: SparkSession, dir: String): DataFrame =
+    Insight.transitions(readEvents(s, dir), "user_id", "ts", "event_type",
+      "event_id")
+
+  private val oEventsMarkov =
+    """WITH o AS (SELECT user_id, event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |n AS (SELECT src, dst, count(*) AS n FROM o
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT src, sum(n) AS tot FROM n GROUP BY 1)
+      |SELECT n.src, n.dst, n.n, round(n.n / tot, 6) AS p
+      |FROM n JOIN t USING (src)""".stripMargin
+
+  /** Top-20 parts by PageRank over the co-purchase graph (parts sharing
+    * an order), 5 iterations, d=0.85 — EXACT integer rank units, so the
+    * unrolled-CTE oracle matches bit for bit. */
+  private def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    Graph.pagerank(edges, iterations = 5)
+      .orderBy(col("rank_units").desc, col("id"))
+      .limit(20)
+      .select(col("id").as("part"), col("rank_units"), col("rank"))
+  }
+
+  private val oGraphPagerank = {
+    val iter = (k: Int) =>
+      s"""r$k AS (SELECT v.id,
+         |  CAST((SELECT t FROM tp) + 85 * coalesce(f.infl, 0) // 100
+         |    AS BIGINT) AS u
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r${k - 1}.u // deg.outdeg) AS infl
+         |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id
+         |      JOIN deg ON e.src = deg.src GROUP BY 1) f USING (id))"""
+        .stripMargin
+    s"""WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+       |  FROM g a JOIN g b USING (g) WHERE a.item <> b.item),
+       |v AS (SELECT DISTINCT src AS id FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |tp AS (SELECT ((1000000000000 * 15) // 100) // n AS t FROM nn),
+       |r0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS u FROM v),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id AS part, u AS rank_units,
+       |  round(CAST(u AS DOUBLE) / 1000000000000, 6) AS rank
+       |FROM r5 ORDER BY u DESC, id LIMIT 20""".stripMargin
+  }
+
+  // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (qTextStats _),
@@ -4128,6 +4251,11 @@ object OpsQueries {
     "events_funnel_summary" -> (qEventsFunnelSummary _),
     "events_funnel_timing" -> (qEventsFunnelTiming _),
     "events_retention" -> (qEventsRetention _),
+    "text_readability" -> (qTextReadability _),
+    "text_pmi" -> (qTextPmi _),
+    "events_anomaly" -> (qEventsAnomaly _),
+    "events_markov" -> (qEventsMarkov _),
+    "graph_pagerank" -> (qGraphPagerank _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -4261,6 +4389,11 @@ object OpsQueries {
     "events_funnel_summary" -> oEventsFunnelSummary,
     "events_funnel_timing" -> oEventsFunnelTiming,
     "events_retention" -> oEventsRetention,
+    "text_readability" -> oTextReadability,
+    "text_pmi" -> oTextPmi,
+    "events_anomaly" -> oEventsAnomaly,
+    "events_markov" -> oEventsMarkov,
+    "graph_pagerank" -> oGraphPagerank,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

@@ -1065,8 +1065,22 @@ object Dedup {
     * minima. Same output contract as [[connectedComponents]]:
     * (id, component = min id of the group), one row per vertex that
     * appears in `pairs` (spec-pinned equal). Requires numeric ids (the
-    * star order is the id order). */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * star order is the id order).
+    *
+    * Skew: a mega-component (boilerplate-heavy crawl) makes one star
+    * center carry millions of attach rows; the m-lookup join would land
+    * them all on ONE reducer. Centers with degree >= `hotKeyThreshold`
+    * are therefore split onto a broadcast-hash path: `m` holds exactly
+    * one row per center, so the hot slice of `m` has at most
+    * 2|E|/threshold rows — broadcastable by construction — and the hot
+    * attach rows join map-side without ever shuffling on the hot key.
+    * Cold keys keep the plain shuffled join, whose per-key input is
+    * < threshold by definition. The min-aggregation itself is already
+    * skew-immune (algebraic min => map-side partial aggregation).
+    * `hotKeyThreshold <= 0` disables the split (plain join everywhere,
+    * spec-pinned equal output). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
+                              hotKeyThreshold: Long = 1L << 20): DataFrame = {
     // Each round references its input several times, so the LOGICAL plan
     // would grow exponentially under plain persist() (persist caches
     // execution but not the analyzer tree — the classic iterative-
@@ -1094,7 +1108,21 @@ object Dedup {
         if (large) nbrs.filter(col("v") > col("u"))
         else nbrs.filter(col("v") <= col("u"))
           .unionAll(nbrs.select(col("u"), col("u").as("v")).distinct())
-      attach.join(m, "u")
+      val joined =
+        if (hotKeyThreshold <= 0) attach.join(m, "u")
+        else {
+          // Degree census is itself partial-agg safe; the hot-key list is
+          // bounded by 2|E|/threshold rows, so both it and the matching m
+          // slice broadcast. Exchange reuse dedups the repeated subquery.
+          val hot = nbrs.groupBy("u").agg(count(lit(1)).as("__deg"))
+            .filter(col("__deg") >= hotKeyThreshold).select("u")
+          val hotJoined = attach.join(broadcast(hot), Seq("u"), "left_semi")
+            .join(broadcast(m.join(hot, Seq("u"), "left_semi")), "u")
+          val coldJoined = attach.join(broadcast(hot), Seq("u"), "left_anti")
+            .join(m, "u")
+          hotJoined.unionAll(coldJoined)
+        }
+      joined
         .select(least(col("v"), col("m")).as("u"),
           greatest(col("v"), col("m")).as("v"))
         .filter(col("u") =!= col("v"))

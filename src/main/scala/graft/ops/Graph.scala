@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on edge DataFrames. Companion to the
+  * connected-components family in [[Dedup]]: where CC labels groups,
+  * PageRank ranks within them — the centrality a crawl-curation
+  * pipeline uses to weight hosts/documents by link authority (the
+  * original use) or parts by co-purchase affinity.
+  */
+object Graph {
+
+  /** Rank mass scale: ranks are integers in units of 1e-12. */
+  val Scale: Long = 1000000000000L
+
+  /** PageRank in EXACT integer arithmetic — every quantity is a BIGINT
+    * in units of 1e-12 rank mass, all divisions are integer `div`, so
+    * the result is bit-identical on ANY engine and ANY aggregation
+    * order (a float spelling would make the per-vertex inflow sum
+    * order-dependent at ulp scale, which an unlucky 6-dp rounding
+    * boundary turns into a cross-engine mismatch):
+    *
+    *   units_0(v)   = Scale div N
+    *   units_k+1(v) = (dNum·Scale div (dDen·N·… )) — spelled:
+    *                  ((Scale·(dDen−dNum)) div dDen) div N
+    *                  + (dNum · Σ_{u→v} (units_k(u) div outdeg(u))) div dDen
+    *
+    * with damping d = dNum/dDen (default 85/100). The truncation of
+    * each integer div loses < 1e-12·|E| total mass per iteration —
+    * noise at the 6-dp reporting precision — in exchange for exact
+    * portability and order-free BIGINT sums.
+    *
+    * Shape per iteration: edges ⋈ ranks (co-keyed on src), one
+    * map-side-combinable BIGINT sum by dst, one left join back onto the
+    * vertex set (vertices with no in-edges keep only the teleport
+    * term). Plans stay O(1) via localCheckpoint lineage truncation —
+    * the same iterative-DataFrame discipline as
+    * [[Dedup.connectedComponentsStar]]. Dangling vertices (no
+    * out-edges) leak their mass, the common simplification; add
+    * back-edges or a sink vertex upstream if that matters.
+    *
+    * @param edges directed edges with columns (src, dst); duplicates
+    *              count as parallel edges
+    * @return (id, rank_units BIGINT, rank DOUBLE = units/Scale) */
+  def pagerank(edges: DataFrame, iterations: Int = 5,
+               dampingNum: Long = 85, dampingDen: Long = 100): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      "damping must be a fraction in [0, 1]")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val vertices = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    // one O(1)-result action; every iteration needs N as a literal
+    val n = vertices.count()
+    require(n > 0, "pagerank: empty graph")
+    val teleport = (Scale * (dampingDen - dampingNum) / dampingDen) / n
+    var ranks = vertices.withColumn("rank_units", lit(Scale / n))
+    for (_ <- 1 to iterations) {
+      val inflow = e.join(ranks, e("src") === ranks("id"))
+        .join(outdeg, "src")
+        .select(col("dst").as("id"),
+          expr("rank_units DIV outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("inflow"))
+      ranks = vertices.join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"$dampingNum * coalesce(inflow, 0L) DIV $dampingDen"))
+            .as("rank_units"))
+        .localCheckpoint(true)
+    }
+    ranks.withColumn("rank",
+      round(col("rank_units").cast("double") / Scale, 6))
+  }
+
+  /** Co-occurrence edges: for rows sharing `groupCol`, every ordered
+    * pair of DISTINCT `itemCol` values becomes a directed edge (both
+    * directions — the symmetric projection of the bipartite
+    * group–item graph, e.g. parts co-purchased in one order). The
+    * within-group self-join is quadratic in GROUP size only — bounded
+    * by the largest basket, not the corpus — and the group key never
+    * shuffles more than the two aggregate passes need. */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String,
+                        itemCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+    g.join(g.withColumnRenamed("item", "item2"), "g")
+      .filter(col("item") =!= col("item2"))
+      .select(col("item").as("src"), col("item2").as("dst"))
+      .distinct()
+  }
+}

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus insight operators a curation pipeline runs between cleaning
+  * and sampling: readability grading, collocation (PMI) mining, and
+  * per-key outlier flagging. All are single-pass or
+  * two-aggregate shapes — no windows over the whole corpus, no
+  * cartesians — and every formula is integer-or-rational where
+  * cross-engine float determinism would otherwise be at risk.
+  */
+object Insight {
+
+  /** Character-based readability grades per document: ARI (Automated
+    * Readability Index, Senter & Smith 1967) and the Coleman–Liau index
+    * — the two standard grade-level formulas computable WITHOUT a
+    * syllable dictionary (chars/words/sentences only), which is what
+    * makes them exactly portable across engines. One codegen'd map pass:
+    * three regexp counts per row, no shuffle at all.
+    *
+    *   ARI = 4.71·(chars/words) + 0.5·(words/sentences) − 21.43
+    *   CLI = 0.0588·L − 0.296·S − 15.8   (L, S per 100 words)
+    *
+    * `chars` counts [A-Za-z0-9] (ARI's "characters"), `letters` counts
+    * [A-Za-z] (CLI's definition), a word is a \S+ run, a sentence is a
+    * [.!?]+ run (min 1 so headline-style fragments don't divide by
+    * zero).
+    *
+    * Scores are EXACT rationals evaluated in integer micro-grade units
+    * (both formulas clear their decimal coefficients over 100):
+    *
+    *   ari_u = (471·c·s + 50·w² − 2143·w·s)·10⁴ div (w·s)
+    *   cli_u = (588·l − 2960·s − 1580·w)·10⁴ div w
+    *
+    * then reported as units/1e6 doubles. A float spelling would park
+    * values like 28.35375 EXACTLY on the 4-dp rounding boundary, where
+    * Spark (rounds the binary expansion) and other engines (round the
+    * shortest decimal repr) disagree; integer div is bit-identical
+    * everywhere (both engines truncate toward zero). */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val txt = col(textCol)
+    val w = greatest(size(regexp_extract_all(txt, lit("\\S+"), lit(0))),
+      lit(1)).cast("long")
+    val c = size(regexp_extract_all(txt, lit("[A-Za-z0-9]"), lit(0)))
+      .cast("long")
+    val l = size(regexp_extract_all(txt, lit("[A-Za-z]"), lit(0)))
+      .cast("long")
+    val s = greatest(size(regexp_extract_all(txt, lit("[.!?]+"), lit(0))),
+      lit(1)).cast("long")
+    val ariU = expr("(471 * c * s + 50 * w * w - 2143 * w * s) " +
+      "* 10000 DIV (w * s)")
+    val cliU = expr("(588 * l - 2960 * s - 1580 * w) * 10000 DIV w")
+    df.select(col(idCol), w.as("w"), c.as("c"), l.as("l"), s.as("s"))
+      .select(col(idCol), col("w").as("words"), col("s").as("sentences"),
+        (ariU.cast("double") / 1000000.0).as("ari"),
+        (cliU.cast("double") / 1000000.0).as("cli"))
+  }
+
+  /** Collocation mining: top-k adjacent word pairs by pointwise mutual
+    * information, the classic "new york"/"machine learning" detector
+    * (Church & Hanks 1990). PMI = ln((c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)))
+    * with a `minCount` support floor so hapax pairs don't dominate.
+    *
+    * Shape: one explode per doc for unigrams, one for bigrams (zip of
+    * the token array with its own tail — per-row, no self-join), two
+    * map-side-combined counts, then the pair table joins the unigram
+    * counts twice co-keyed on the word. The corpus totals are one-row
+    * aggregates broadcast into the scoring projection. Top-k is
+    * TakeOrderedAndProject on the deterministic total order
+    * (pmi 6 dp desc, w1, w2) — never a global sort materialized. */
+  def pmiBigrams(df: DataFrame, textCol: String,
+                 minCount: Long = 5, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be >= 1")
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))
+    val base = df.select(toks.as("t"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = base
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0)))
+      )).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    // corpus totals straight from the token arrays (N_bi = Σ max(|t|−1, 0))
+    // — one map-side aggregate, no second pass over the pair table
+    val totals = broadcast(base.agg(
+      sum(size(col("t"))).cast("double").as("n_uni"),
+      sum(greatest(size(col("t")) - 1, lit(0))).cast("double").as("n_bi")))
+    val scored = bgCounts.filter(col("n") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+      .crossJoin(totals)
+      .withColumn("pmi", round(
+        log((col("n") / col("n_bi")) /
+          ((col("c1") / col("n_uni")) * (col("c2") / col("n_uni")))), 6))
+      .select(col("w1"), col("w2"), col("n"), col("pmi"))
+    val out = scored
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+    out
+  }
+
+  /** Per-key z-score outliers: events whose value sits more than
+    * `threshold` population standard deviations from their key's mean.
+    * Two-pass shape — one map-side-combined moment aggregate per key
+    * (the stats table is key-cardinality-sized, broadcast back), then a
+    * single filtered map pass over the events. Keys with zero variance
+    * produce no outliers (a constant stream has none), and so do
+    * single-event keys. The threshold tests the EXACT z (a rounded-z
+    * test would put the cut on a 6-dp grid edge where engine ulp
+    * differences flip rows); the reported z rounds to 6 dp. */
+  def zOutliers(events: DataFrame, keyCol: String, valueCol: String,
+                threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val stats = events.groupBy(col(keyCol))
+      .agg(avg(col(valueCol)).as("__mu"),
+        stddev_pop(col(valueCol)).as("__sd"))
+    val z = (col(valueCol) - col("__mu")) / col("__sd")
+    events.join(broadcast(stats), keyCol)
+      .filter(col("__sd") > 0 && abs(z) > threshold)
+      .withColumn("z", round(z, 6))
+      .drop("__mu", "__sd")
+  }
+
+  /** First-order Markov transition matrix of an event stream: for each
+    * user's (ts, tiebreak)-ordered event sequence, counts of adjacent
+    * (src → dst) type pairs and the row-normalized probability. The lag
+    * pairing is a window PARTITIONED BY USER (keyed — scales with the
+    * user's own events, the sessionize cost model), the counts are two
+    * shrinking aggregates, and the normalizing row-total joins back
+    * co-keyed on src. p rounds to 6 dp. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("src"),
+        lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val n = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val tot = n.groupBy("src").agg(sum("n").as("__tot"))
+    n.join(tot, "src")
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n") / col("__tot"), 6).as("p"))
+  }
+}

@@ -88,4 +88,39 @@ class CardScheduleSpec extends SparkSpec {
         .unionAll(Report.dataCardPartial(d2, "text", "lang", lgK = 4)))
     assert(merged.select("distinct_is_estimate").head().getBoolean(0))
   }
+
+  test("funnel-timing and retention plans: no Window, no cartesian, no per-step join chain") {
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(3), "click"),
+      (3L, ts(0), "view"),
+      // user 4 returns 2 periods later (retention offset 2)
+      (4L, ts(0), "view"), (4L, ts(2 * 7 * 24 * 60), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val timing = Funnel.funnel(events, "user_id", "ts", "event_type", steps)
+      .filter(col("reached") === 3)
+      .withColumn("sec",
+        (col("purchase_us") - col("view_us")).cast("double") / 1e6)
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(sec, 0.5)").as("p50_sec"))
+    val tRow = timing.head()
+    assert(tRow.getLong(0) == 1L && tRow.getDouble(1) == 120.0)
+    val tPlan = timing.queryExecution.executedPlan.toString
+    assert(!tPlan.contains("WindowExec") && !tPlan.contains("CartesianProduct"),
+      tPlan)
+    // the fold formulation shuffles ONCE on user — a per-step join chain
+    // would show one SortMergeJoin per step; there must be none at all
+    assert(!tPlan.contains("SortMergeJoin"), tPlan)
+    val ret = Funnel.retention(events, "user_id", "ts",
+      periodMs = 7L * 24 * 3600 * 1000)
+    val rows = ret.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cohort = rows.keys.head._1
+    assert(rows == Map((cohort, 0L) -> 4L, (cohort, 2L) -> 1L), s"got $rows")
+    val rPlan = ret.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("WindowExec") && !rPlan.contains("CartesianProduct"),
+      rPlan)
+  }
 }

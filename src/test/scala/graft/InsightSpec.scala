@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Insight}
+
+/** Pins the corpus-insight operators (readability, PMI collocations,
+  * z-outliers, Markov transitions) and the integer-exact PageRank. */
+class InsightSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("readability: hand-computed ARI/CLI, fragment guards, exact micro-units") {
+    val d = Seq(
+      // 9 words, 2 sentences, chars([A-Za-z0-9])=35, letters=35
+      (1L, "The quick brown fox jumps. Over the lazy dog!"),
+      (2L, "no terminator here"),     // sentences floors to 1
+      (3L, "")                        // empty: words floors to 1
+    ).toDF("doc_id", "text")
+    val out = Insight.readability(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (w1, s1, ari1, cli1) = out(1L)
+    assert(w1 == 9 && s1 == 2)
+    // ari = (471*35*2 + 50*81 - 2143*9*2)*1e4 div 18 / 1e6
+    val ariU = (471L * 35 * 2 + 50 * 81 - 2143 * 9 * 2) * 10000L / 18
+    assert(ari1 == ariU.toDouble / 1e6)
+    val cliU = (588L * 35 - 2960 * 2 - 1580 * 9) * 10000L / 9
+    assert(cli1 == cliU.toDouble / 1e6)
+    assert(out(2L)._2 == 1L)                     // floored sentences
+    assert(out(3L)._1 == 1L && out(3L)._2 == 1L) // floored words
+  }
+
+  test("pmiBigrams: frequent collocation outranks chance pairs; support floor holds") {
+    // "deep learning" always adjacent (8x); filler words co-occur by chance
+    val docs = (0 until 8).map(i =>
+      s"deep learning the cat $i the dog $i the fish the bird")
+      .toDF("text")
+    val out = Insight.pmiBigrams(docs, "text", minCount = 5, topK = 10)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) >= 5, "support floor violated"))
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) == ("deep", "learning"))
+    // PMI of a pair that always co-occurs with unique words: ln(Nbi/n... )
+    // just pin positivity and monotone ordering
+    val pmis = out.map(_.getDouble(3)).toSeq
+    assert(pmis == pmis.sorted.reverse)
+  }
+
+  test("zOutliers flags only the planted spike, z sign and magnitude correct") {
+    val base = (1 to 200).map(i => (i.toLong, "a", 10.0 + (i % 5)))
+    val spiked = base :+ (999L, "a", 1000.0) :+ (1000L, "b", 5.0)
+    val df = spiked.toDF("event_id", "event_type", "value")
+    val out = Insight.zOutliers(df, "event_type", "value", 3.0)
+      .select("event_id", "z").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(999L))
+    assert(out.head.getDouble(1) > 3.0)
+    // constant-valued key ("b" has one event): no div-by-zero rows
+    val allB = Insight.zOutliers(
+      Seq((1L, "b", 5.0), (2L, "b", 5.0)).toDF("event_id", "event_type", "value"),
+      "event_type", "value", 3.0).count()
+    assert(allB == 0)
+  }
+
+  test("transitions: lag pairs per user, probabilities sum to 1 per source") {
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 1000L)
+    val e = Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(1), "click"), (3L, 1L, ts(2), "view"),
+      (4L, 2L, ts(0), "view"), (5L, 2L, ts(1), "click"),
+      (6L, 3L, ts(0), "buy")  // single event: no pair
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Insight.transitions(e, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("view", "click") -> (2L, 1.0),
+      ("click", "view") -> (1L, 1.0)))
+    // same-timestamp tie breaks on the tiebreak column, not arbitrarily
+    val tie = Seq(
+      (10L, 7L, ts(0), "a"), (11L, 7L, ts(0), "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Insight.transitions(tie, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a", "b")))
+  }
+
+  test("pagerank: integer units conserve mass, hub outranks spokes, sinks keep teleport") {
+    // star: spokes 2..11 -> hub 1, hub -> 2 (so hub is not dangling).
+    // The hub<->spoke-2 cycle makes ranks oscillate with period 2,
+    // damped by d^2 per round — 20 iterations settle the ordering.
+    val edges = ((2L to 11L).map(i => (i, 1L)) :+ (1L, 2L)).toDF("src", "dst")
+    val pr = Graph.pagerank(edges, iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L)) // hub > fed spoke > others
+    assert((3L to 11L).map(pr).distinct.size == 1) // symmetric spokes equal
+    // teleport floor: every vertex holds at least (1-d)/N of the mass
+    val n = pr.size
+    val teleport = (Graph.Scale * 15 / 100) / n
+    assert(pr.values.forall(_ >= teleport))
+    // total mass stays within integer-truncation loss of 1.0
+    val total = pr.values.sum
+    assert(total <= Graph.Scale && total > Graph.Scale * 98 / 100)
+  }
+
+  test("coOccurrenceEdges: within-group pairs only, symmetric, no self-loops") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "c"), (2L, "d"),
+      (3L, "e")).toDF("g", "item")
+    val e = Graph.coOccurrenceEdges(df, "g", "item")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = Set(("a","b"),("b","a"),("a","c"),("c","a"),("b","c"),
+      ("c","b"),("c","d"),("d","c"))
+    assert(e == expected)
+  }
+}

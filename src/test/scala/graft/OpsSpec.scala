@@ -405,6 +405,25 @@ class OpsSpec extends SparkSpec {
     assert(byId(50L) == 40L && byId(41L) == 40L)
   }
 
+  test("star CC hot-key broadcast split matches the plain path on a mega-star") {
+    // Adversarial skew: one non-minimal hub (id 5000) wired to 4999 spokes
+    // incl. the true minimum 1, a chain grafted onto a spoke, and an
+    // unrelated small component. threshold=100 forces every hub row onto
+    // the broadcast path; threshold=0 is the plain shuffled join.
+    val edges = ((1L to 4999L).map(i => (5000L, i)) ++
+      (6000L to 6009L).map(i => (i, i + 1)) ++ Seq((2500L, 6000L)) ++
+      Seq((9000L, 9001L)))
+      .toDF("ida", "idb")
+    def run(thr: Long): Set[(Long, Long)] =
+      Dedup.connectedComponentsStar(edges, hotKeyThreshold = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hot = run(100L)
+    assert(hot == run(0L))
+    val byId = hot.toMap
+    assert(byId(5000L) == 1L && byId(6010L) == 1L && byId(9001L) == 9000L)
+    assert(hot.count(_._2 == 1L) == 5011) // 4999 spokes + hub + 11-vertex chain
+  }
+
   test("duplicatedSpanStats counts positioned spans, within- and cross-doc") {
     val a = (1 to 6).map(i => s"a$i").mkString(" ")   // 6 tokens: a1..a6
     val b = (1 to 6).map(i => s"b$i").mkString(" ")

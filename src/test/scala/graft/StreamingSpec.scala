@@ -375,6 +375,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late events: stream approximates, batch backfill corrector restores exactness") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val steps = Seq("view", "click", "purchase")
+    // user 1's view(t0) arrives AFTER its click(t1) was already seen:
+    // the stream (append-only) fills view but can never replay the
+    // click; user 2 is in-order across batches; user 3's events land
+    // after the backfill cutoff and are served from the stream alone.
+    val batch1 = Seq(
+      StreamingOps.UserEvent(1L, ts(1), "click", 1.0),
+      StreamingOps.UserEvent(2L, ts(0), "view", 1.0))
+    val batch2 = Seq(
+      StreamingOps.UserEvent(1L, ts(0), "view", 1.0),    // LATE
+      StreamingOps.UserEvent(2L, ts(2), "click", 1.0),
+      StreamingOps.UserEvent(3L, ts(100), "view", 1.0),
+      StreamingOps.UserEvent(3L, ts(101), "click", 1.0))
+    val input = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnellate")
+      .outputMode("update").start()
+    val streamFinal = try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      spark.table("funnellate")
+        .groupBy("user_id").agg(max("reached").as("r"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    } finally q.stop()
+    // the stream's honest approximation: user 1 stuck at view
+    assert(streamFinal == Map(1L -> 1, 2L -> 2, 3L -> 2))
+    // backfill corrector: the batch funnel over the accumulated event
+    // log (everything below the correction cutoff), exactly as the
+    // funnelStream scaladoc prescribes
+    val cutoff = ts(50)
+    val log = (batch1 ++ batch2).toDF()
+    val corrected = graft.ops.Funnel.funnel(
+        log.filter(col("ts") < cutoff), "user_id", "ts", "event_type", steps)
+      .select("user_id", "reached")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(corrected == Map(1L -> 2, 2L -> 2)) // late view now counts
+    // serving composition: batch truth below the cutoff, stream above
+    val served = streamFinal.keySet.map(u =>
+      u -> corrected.getOrElse(u, streamFinal(u))).toMap
+    // ground truth = batch funnel over the complete log
+    val truth = graft.ops.Funnel.funnel(
+        log, "user_id", "ts", "event_type", steps)
+      .select("user_id", "reached")
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(served == truth)
+  }
+
   test("funnelStream step times are exact micros (sub-millisecond, matches batch)") {
     implicit val ctx = spark.sqlContext
     // two events 1 microsecond apart inside the same millisecond: the
