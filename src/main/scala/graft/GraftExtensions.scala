@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
-import graft.functions.{BloomMightContain, CharClassProfile, CosineSimilarity, DotProduct, GopherStats, HashedShingles, KllSketchAgg, LshSignatures, MinHashSig, PqLookupSum, SimHash64, StopProfile}
+import graft.functions.{BloomMightContain, CharClassProfile, CosineSimilarity, DeflateSize, DotProduct, GopherStats, HashedShingles, KllSketchAgg, LshSignatures, MinHashSig, PqLookupSum, SimHash64, StopProfile}
 
 /** Session extensions registering graft's native (codegen) functions.
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_simhash(text) takes 1 argument")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_deflate_size(text) takes 1 argument")
+        DeflateSize(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),

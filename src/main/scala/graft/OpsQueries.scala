@@ -857,8 +857,12 @@ object OpsQueries {
     val e = t(s, dir, "embeddings")
     val exact = Dedup.embeddingNearDupPairs(e, "embedding", "vec_id",
       threshold = 0.45).select("ida", "idb")
+    // ncentroids pinned GENEROUS (8): the 0.45 threshold on near-uniform
+    // synthetic embeddings is the loose-pair regime where blocking recall
+    // needs big cells; the size-adaptive default is the tight-threshold
+    // scale path (spec-pinned on planted clusters in OpsSpec)
     val found = Cluster.semdedupPairs(e, "embedding", "vec_id",
-      threshold = 0.45).select("ida", "idb")
+      threshold = 0.45, ncentroids = 8).select("ida", "idb")
     val hits = exact.join(found, Seq("ida", "idb"), "left_semi")
     val misses = found.join(exact, Seq("ida", "idb"), "left_anti")
     exact.agg(count(lit(1)).as("n_exact"))
@@ -887,7 +891,7 @@ object OpsQueries {
   private def qDedupSemanticSurvivors(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val pairs = Cluster.semdedupPairs(e, "embedding", "vec_id",
-      threshold = 0.45)
+      threshold = 0.45, ncentroids = 8) // generous: loose-pair regime
     val cc = Dedup.connectedComponentsStar(pairs)
     val victims = cc.filter(col("id") =!= col("component")).select("id")
     e.select(col("vec_id"))
@@ -1267,6 +1271,95 @@ object OpsQueries {
       |  CAST(sum(v) AS BIGINT) AS pix_sum,
       |  CAST(sum(v * ((y*7 + x)*3 + c + 1)) AS BIGINT) AS pos_checksum
       |FROM px GROUP BY doc_id""".stripMargin
+
+  /** MP4 container metadata without a codec: planted ISO-BMFF files
+    * (ftyp + moov/mvhd + trak/tkhd), box-walked for duration, track
+    * count and 16.16-fixed dimensions — the route/prune/shard tier a
+    * video pipeline runs before any decode. Oracle recomputes every
+    * field from the planted parameters. */
+  private def qMultimodalMp4Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val build = udf((id: Long) =>
+      Multimodal.mp4Stub(1000L + (id % 977) * 13,
+        (320 + (id % 5) * 16).toInt, (240 + (id % 3) * 16).toInt))
+    val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.mp4Meta(media)
+      .toDF("media_id", "duration_ms", "n_tracks", "width", "height")
+  }
+
+  private val oMultimodalMp4Meta =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(1000 + (doc_id % 977) * 13 AS BIGINT) AS duration_ms,
+      |  CAST(1 AS INT) AS n_tracks,
+      |  CAST(320 + (doc_id % 5) * 16 AS INT) AS width,
+      |  CAST(240 + (doc_id % 3) * 16 AS INT) AS height
+      |FROM documents WHERE doc_id < 300""".stripMargin
+
+  /** REAL GIF pixel decode through the JDK's own ImageIO codec. GIF is
+    * LOSSLESS (LZW over a palette) and the planted 8×6 grayscale
+    * pattern has <= 256 distinct colors, so the encoder's palette is
+    * exact and every decoded pixel lands back on the closed-form
+    * oracle — same exactness bar as the hand-rolled BMP/PNG parsers,
+    * now for an entropy-coded format. */
+  private def qMultimodalDecodeGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val build = udf((id: Long) => {
+      val px = new Array[Byte](8 * 6 * 3)
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val v = ((x * 19 + y * 31 + id * 5) % 256).toInt
+        for (c <- 0 until 3) px((y * 8 + x) * 3 + c) = (v & 0xff).toByte
+      }
+      Multimodal.gifImage(8, 6, px)
+    })
+    val media = t(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.decodeImage(media).map(imageStats)
+      .toDF("media_id", "format", "width", "height", "channels",
+        "pix_sum", "pos_checksum")
+  }
+
+  private val oMultimodalDecodeGif =
+    """WITH px AS (SELECT doc_id, x.g AS x, y.g AS y, c.g AS c,
+      |    (x.g*19 + y.g*31 + doc_id*5) % 256 AS v
+      |  FROM documents, generate_series(0, 7) x(g),
+      |    generate_series(0, 5) y(g), generate_series(0, 2) c(g)
+      |  WHERE doc_id < 150)
+      |SELECT CAST(doc_id AS BIGINT) AS media_id, 'gif' AS format,
+      |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  CAST(sum(v) AS BIGINT) AS pix_sum,
+      |  CAST(sum(v * ((y*8 + x)*3 + c + 1)) AS BIGINT) AS pos_checksum
+      |FROM px GROUP BY doc_id""".stripMargin
+
+  /** REAL JPEG decode through the JDK's ImageIO codec. JPEG pixel
+    * values are codec-defined (DCT quantization + IDCT rounding), so
+    * this is a CONTRACT query: dimensions are exact, and each planted
+    * uniform-gray image must decode to pixels within +-3 of the
+    * planted level (a uniform block is a pure DC coefficient — any
+    * real JPEG round-trips it nearly exactly; a stub cannot). */
+  private def qMultimodalDecodeJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val build = udf((id: Long) => {
+      val level = (40 + (id % 16) * 12).toInt // 40..220: clear of clipping
+      val px = Array.fill((12 * 9 * 3).toInt)((level & 0xff).toByte)
+      Multimodal.jpegImage(12, 9, px)
+    })
+    val media = t(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.decodeImage(media).map { d =>
+      val level = (40 + (d.media_id % 16) * 12).toInt
+      val vals = d.pixels.map(_ & 0xff)
+      (d.media_id, d.format, d.width, d.height,
+        vals.forall(v => math.abs(v - level) <= 3))
+    }.toDF("media_id", "format", "width", "height", "within_tolerance")
+  }
+
+  private val oMultimodalDecodeJpeg =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id, 'jpeg' AS format,
+      |  CAST(12 AS INT) AS width, CAST(9 AS INT) AS height,
+      |  TRUE AS within_tolerance
+      |FROM documents WHERE doc_id < 150""".stripMargin
 
   /** REAL PNG pixel decode: 6×10 8-bit RGB PNGs, zlib-deflated with the
     * filter type cycling through ALL FIVE spec filters (row % 5) — the
@@ -3716,6 +3809,45 @@ object OpsQueries {
       |JOIN sizeb nb ON nb.doc_id = id_right
       |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8""".stripMargin
 
+  /** Edit-distance linkage over planted hex names: every third left
+    * name gains a right-side twin with one character overwritten
+    * (ed <= 1), plus an equal-sized unrelated-noise relation. The
+    * Pass-Join segment scheme has recall 1.0 by pigeonhole, so the
+    * oracle is the literal quadratic levenshtein join — precision AND
+    * recall both checked exactly. */
+  private def qLinkEditJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val name = "substr(md5(CAST(doc_id AS STRING)), 1, 10)"
+    val l = d.select(col("doc_id").as("lid"), expr(name).as("lname"))
+    val twins = d.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("rid"),
+        expr(s"concat(substr($name, 1, CAST(doc_id % 10 AS INT)), 'z', " +
+          s"substr($name, CAST(doc_id % 10 AS INT) + 2))").as("rname"))
+    val noise = d.select((col("doc_id") + 100000).as("rid"),
+      expr("substr(md5(concat('x', CAST(doc_id AS STRING))), 1, 10)")
+        .as("rname"))
+    Link.editDistanceJoin(l, twins.unionAll(noise),
+      "lname", "lid", "rname", "rid", k = 1)
+  }
+
+  private val oLinkEditJoin =
+    """WITH l AS (SELECT doc_id AS id_left,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS a
+      |  FROM documents WHERE doc_id < 2000),
+      |r AS (
+      |  SELECT doc_id AS id_right,
+      |    substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 10),
+      |        1, CAST(doc_id % 10 AS INTEGER)) || 'z' ||
+      |      substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 10),
+      |        CAST(doc_id % 10 AS INTEGER) + 2) AS b
+      |  FROM documents WHERE doc_id < 2000 AND doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    substr(md5('x' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |  FROM documents WHERE doc_id < 2000)
+      |SELECT id_left, id_right, CAST(levenshtein(a, b) AS INTEGER) AS dist
+      |FROM l CROSS JOIN r WHERE levenshtein(a, b) <= 1""".stripMargin
+
   /** Declarative data-quality gate over `documents`: five check kinds in
     * one aggregation pass; the oracle recomputes every metric and
     * verdict as plain SQL aggregates. The n_chars range is set to
@@ -4138,6 +4270,32 @@ object OpsQueries {
       |    AS DOUBLE) / 1000000.0 AS cli
       |FROM m""".stripMargin
 
+  /** Compression-ratio quality signal (DEFLATE bytes / raw bytes).
+    * DEFLATE is not expressible in SQL, so this is a CONTRACT query:
+    * raw_bytes is recomputed exactly by the oracle, and three per-doc
+    * booleans that must be literally TRUE prove the signal is a real
+    * LZ77 compressor, not a stub — positivity, the stored-block upper
+    * bound, and "appending a second copy of the text costs less than
+    * the raw bytes" (the back-reference property). The ratio itself is
+    * pinned by InsightSpec (repetitive text below prose below random). */
+  private def qTextCompressRatio(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val raw = octet_length(col("text"))
+    val dz = call_function("graft_deflate_size", col("text"))
+    val dz2 = call_function("graft_deflate_size",
+      concat(col("text"), col("text")))
+    d.select(col("doc_id"), raw.cast("long").as("raw_bytes"),
+      (dz > 0).as("deflate_positive"),
+      (dz <= raw + lit(64)).as("deflate_bounded"),
+      ((dz2 - dz) < raw).as("second_copy_compresses"))
+  }
+
+  private val oTextCompressRatio =
+    """SELECT doc_id, strlen(text) AS raw_bytes,
+      |  TRUE AS deflate_positive, TRUE AS deflate_bounded,
+      |  TRUE AS second_copy_compresses
+      |FROM documents""".stripMargin
+
   /** Top-50 adjacent-word collocations by PMI (support >= 5). */
   private def qTextPmi(s: SparkSession, dir: String): DataFrame =
     Insight.pmiBigrams(t(s, dir, "documents"), "text", minCount = 5, topK = 50)
@@ -4252,6 +4410,7 @@ object OpsQueries {
     "events_funnel_timing" -> (qEventsFunnelTiming _),
     "events_retention" -> (qEventsRetention _),
     "text_readability" -> (qTextReadability _),
+    "text_compress_ratio" -> (qTextCompressRatio _),
     "text_pmi" -> (qTextPmi _),
     "events_anomaly" -> (qEventsAnomaly _),
     "events_markov" -> (qEventsMarkov _),
@@ -4262,6 +4421,7 @@ object OpsQueries {
     "multimodal_cdc" -> (qMultimodalCdc _),
     "multimodal_cdc_restore" -> (qMultimodalCdcRestore _),
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
+    "link_edit_join" -> (qLinkEditJoin _),
     "quality_classifier" -> (qQualityClassifier _),
     "quality_classifier_reload" -> (qQualityClassifierReload _),
     "quality_expect" -> (qQualityExpect _),
@@ -4305,6 +4465,9 @@ object OpsQueries {
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_decode_png" -> (qMultimodalDecodePng _),
+    "multimodal_decode_gif" -> (qMultimodalDecodeGif _),
+    "multimodal_mp4_meta" -> (qMultimodalMp4Meta _),
+    "multimodal_decode_jpeg" -> (qMultimodalDecodeJpeg _),
     "multimodal_decode_wav" -> (qMultimodalDecodeWav _),
     "multimodal_resize" -> (qMultimodalResize _),
     "events_window" -> (qEventsWindow _),
@@ -4390,6 +4553,7 @@ object OpsQueries {
     "events_funnel_timing" -> oEventsFunnelTiming,
     "events_retention" -> oEventsRetention,
     "text_readability" -> oTextReadability,
+    "text_compress_ratio" -> oTextCompressRatio,
     "text_pmi" -> oTextPmi,
     "events_anomaly" -> oEventsAnomaly,
     "events_markov" -> oEventsMarkov,
@@ -4400,6 +4564,7 @@ object OpsQueries {
     "multimodal_cdc" -> oMultimodalCdc,
     "multimodal_cdc_restore" -> oMultimodalCdcRestore,
     "link_fuzzy_join" -> oLinkFuzzyJoin,
+    "link_edit_join" -> oLinkEditJoin,
     "quality_classifier" -> oQualityClassifier,
     "quality_classifier_reload" -> oQualityClassifierReload,
     "quality_expect" -> oQualityExpect,
@@ -4443,6 +4608,9 @@ object OpsQueries {
     "multimodal_frames" -> oMultimodalFrames,
     "multimodal_decode" -> oMultimodalDecode,
     "multimodal_decode_png" -> oMultimodalDecodePng,
+    "multimodal_decode_gif" -> oMultimodalDecodeGif,
+    "multimodal_mp4_meta" -> oMultimodalMp4Meta,
+    "multimodal_decode_jpeg" -> oMultimodalDecodeJpeg,
     "multimodal_decode_wav" -> oMultimodalDecodeWav,
     "multimodal_resize" -> oMultimodalResize,
     "events_window" -> oEventsWindow,

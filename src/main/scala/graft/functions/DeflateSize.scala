@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DEFLATE-compressed byte size of a text column (java.util.zip, fixed
+  * level 6, raw stream) — the compression-ratio quality signal of
+  * crawl-curation pipelines: natural prose compresses to a fairly
+  * narrow band, while boilerplate/template spam (low ratio) and
+  * high-entropy garbage (ratio ~1) fall outside it. Size, not ratio,
+  * so the expression stays integer-valued; callers divide by the raw
+  * UTF-8 length. One tight per-row JVM call — no library dependency,
+  * deterministic for a fixed JDK deflater. */
+case class DeflateSize(child: Expression) extends UnaryExpression {
+
+  override lazy val resolved: Boolean =
+    child.resolved && child.dataType == StringType
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_deflate_size"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateSize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateSize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateSize =
+    copy(child = newChild)
+}
+
+object DeflateSize {
+
+  /** Called from interpreted and generated code (static forwarder). */
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}

@@ -98,18 +98,34 @@ object Cluster {
     * (ida, idb, cos) with cos ≥ threshold, ida < idb.
     *
     * Every emitted pair is exact-verified (precision 1 by
-    * construction); recall depends on blocking. Defaults are tuned
-    * generously for near-uniform synthetic embeddings (ncentroids=8,
-    * nassign=4 → measured recall 1.0 at both test SFs); REAL text
-    * embeddings cluster tightly at the SemDeDup operating point
-    * (cos ≥ 0.95), where far tighter settings (ncentroids ≈ √n,
-    * nassign=2) hold recall — tune ncentroids up with corpus size. */
+    * construction); recall depends on blocking.
+    *
+    * `ncentroids = 0` (the default) SIZE-ADAPTS the cell count:
+    * k = clamp(n·nassign²/(2·PairBudgetPerRow), 8, 4096), which holds
+    * the EXPECTED in-cell pair count to ~PairBudgetPerRow per corpus
+    * row — the in-cell self-join is quadratic in cell size, so a fixed
+    * k turns a 10× corpus into a 100× pair explosion (measured in the
+    * r10 soak: 112× wall-clock at 10× data with the old fixed k=8).
+    * With k ∝ n the candidate count stays ∝ n. Recall at the adaptive
+    * k is pinned by the exact-pair oracles at every test SF; REAL text
+    * embeddings cluster far tighter at the SemDeDup operating point
+    * (cos ≥ 0.95), where the same scaling holds recall with
+    * nassign=2. Explicit `ncentroids > 0` overrides. */
+  val PairBudgetPerRow = 128
+
   def semdedupPairs(df: DataFrame, vecCol: String, idCol: String,
-                    threshold: Double, ncentroids: Int = 8,
+                    threshold: Double, ncentroids: Int = 0,
                     nassign: Int = 4, lloydIters: Int = 3,
                     maxCluster: Int = 1 << 16): DataFrame = {
     val spark = df.sparkSession
-    val cents = fit(df, vecCol, idCol, ncentroids, lloydIters)
+    val k =
+      if (ncentroids > 0) ncentroids
+      else {
+        val n = df.count()
+        val target = n * nassign * nassign / (2L * PairBudgetPerRow)
+        math.max(8, math.min(4096, target)).toInt
+      }
+    val cents = fit(df, vecCol, idCol, k, lloydIters)
     // materialized once: the cell table feeds the size cap and both
     // self-join sides — the centroid-sort assignment expression would
     // otherwise run 4× per corpus row

@@ -383,10 +383,45 @@ object Multimodal {
     if (ok && samples != null) Some((channels, rate, samples)) else None
   }
 
+  /** Decode an entropy-coded image (JPEG/GIF/TIFF) through the JDK's
+    * OWN codec stack (javax.imageio, java.desktop module — present in
+    * the bare JDK, headless-safe for file decode). Output is always
+    * 3-channel sRGB via getRGB: consistent downstream schema, alpha
+    * dropped. GIF round-trips losslessly (LZW over a palette), so it
+    * gets an EXACT pixel oracle; JPEG pixel values are codec-defined
+    * (IDCT/quantization rounding) and are contract-checked instead.
+    * None for bytes no installed reader accepts. */
+  private[graft] def decodeViaImageIO(fmt: String, b: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        .map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = new Array[Byte]((w * h * 3).toInt)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val o = (y * w + x) * 3
+              px(o) = ((rgb >> 16) & 0xff).toByte
+              px(o + 1) = ((rgb >> 8) & 0xff).toByte
+              px(o + 2) = (rgb & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (w, h, px)
+        }
+    } catch { case _: Exception => None }
+
   /** Partition-local REAL image decode: sniff routes each payload to
-    * the matching parser; BMP/PNG yield pixels, JPEG/GIF (entropy-coded
-    * — no JVM codec) and malformed payloads are dropped. Same shape as
-    * [[decodeStub]]: one pass, no shuffle, iterator-in/iterator-out. */
+    * the matching parser — BMP/PNG through the hand-rolled exact
+    * parsers (SQL-oracle-checked bit for bit), JPEG/GIF through the
+    * JDK's ImageIO codecs ([[decodeViaImageIO]]). Malformed payloads
+    * are dropped. Same shape as [[decodeStub]]: one pass, no shuffle,
+    * iterator-in/iterator-out. */
   def decodeImage(media: DataFrame): Dataset[DecodedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -398,9 +433,140 @@ object Multimodal {
             DecodedImage(id, "bmp", w, h, 3, px) }
           case "png" => decodePngBytes(payload).map { case (w, h, c, px) =>
             DecodedImage(id, "png", w, h, c, px) }
+          case f @ ("jpeg" | "gif") =>
+            decodeViaImageIO(f, payload).map { case (w, h, px) =>
+              DecodedImage(id, f, w, h, 3, px) }
           case _ => None
         }
       })
+  }
+
+  /** MP4 (ISO-BMFF) container metadata, parsed without any codec —
+    * the honest "video tier": a 100 TB multimodal pipeline routes,
+    * prunes, and shards video by CONTAINER metadata (duration, track
+    * dims, track count) long before any frame is decoded. Walks the
+    * box tree (size32/type, size==1 → 64-bit largesize): `mvhd` gives
+    * timescale+duration (version 0 AND 1 layouts), each `trak/tkhd`
+    * gives 16.16-fixed width/height. Returns None unless an `ftyp`
+    * leads and a `moov/mvhd` is present. Pure byte inspection —
+    * exactly SQL-replayable from planted parameters. */
+  final case class Mp4Meta(media_id: Long, duration_ms: Long, n_tracks: Int,
+                           width: Int, height: Int)
+
+  private[graft] def parseMp4Bytes(b: Array[Byte]): Option[(Long, Int, Int, Int)] = {
+    if (b == null || b.length < 16) return None
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    var durationMs = -1L
+    var tracks = 0
+    var w = 0
+    var h = 0
+    def boxType(i: Int) = new String(b, i + 4, 4, "ISO-8859-1")
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to && depth < 8) {
+        val size32 = be32(b, pos.toInt).toLong & 0xffffffffL
+        val ty = boxType(pos.toInt)
+        val (hdr, size) =
+          if (size32 == 1 && pos + 16 <= to) {
+            val hi = (be32(b, pos.toInt + 8).toLong & 0xffffffffL) << 32
+            (16L, hi | (be32(b, pos.toInt + 12).toLong & 0xffffffffL))
+          } else (8L, if (size32 == 0) to - pos else size32)
+        if (size < hdr || pos + size > to) return
+        val body = pos + hdr
+        ty match {
+          case "moov" | "trak" | "mdia" => walk(body, pos + size, depth + 1)
+          case "mvhd" if body + 4 <= to =>
+            val v = b(body.toInt) & 0xff
+            if (v == 1 && body + 28 <= to) {
+              val scale = be32(b, body.toInt + 20).toLong & 0xffffffffL
+              val dur = ((be32(b, body.toInt + 24).toLong & 0xffffffffL) << 32) |
+                (be32(b, body.toInt + 28).toLong & 0xffffffffL)
+              if (scale > 0) durationMs = dur * 1000L / scale
+            } else if (v == 0 && body + 20 <= to) {
+              val scale = be32(b, body.toInt + 12).toLong & 0xffffffffL
+              val dur = be32(b, body.toInt + 16).toLong & 0xffffffffL
+              if (scale > 0) durationMs = dur * 1000L / scale
+            }
+          case "tkhd" =>
+            tracks += 1
+            val v = b(body.toInt) & 0xff
+            val dimOff = if (v == 1) 88L else 76L // ..matrix.. then w/h
+            if (body + dimOff + 8 <= to) {
+              val tw = be32(b, (body + dimOff).toInt) >>> 16 // 16.16 fixed
+              val th = be32(b, (body + dimOff + 4).toInt) >>> 16
+              if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+            }
+          case _ => ()
+        }
+        pos += size
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    if (durationMs >= 0) Some((durationMs, tracks, w, h)) else None
+  }
+
+  /** Partition-local MP4 metadata extraction over a media table. */
+  def mp4Meta(media: DataFrame): Dataset[Mp4Meta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        parseMp4Bytes(payload).map { case (d, n, w, h) =>
+          Mp4Meta(id, d, n, w, h) }
+      })
+  }
+
+  /** Builder twin of [[parseMp4Bytes]]: a minimal valid ISO-BMFF file
+    * (ftyp + moov[mvhd + one video trak/tkhd]) with the given duration
+    * (ms at timescale 1000) and dimensions. */
+  def mp4Stub(durationMs: Long, width: Int, height: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def be(i: Int): Array[Byte] = Array[Byte](
+      ((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+      ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def box(ty: String, body: Array[Byte]): Array[Byte] =
+      be(body.length + 8) ++ ty.getBytes("ISO-8859-1") ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be(512) ++ "isom".getBytes)
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ // v0 + flags
+      be(0) ++ be(0) ++ be(1000) ++ be(durationMs.toInt) ++
+      Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ // v0 + enabled flags
+      Array.fill[Byte](72)(0) ++ be(width << 16) ++ be(height << 16))
+    val trak = box("trak", tkhd)
+    val moov = box("moov", mvhd ++ trak)
+    bos.write(ftyp); bos.write(moov)
+    bos.toByteArray
+  }
+
+  /** Encode RGB pixels as GIF / JPEG through ImageIO — the planting
+    * twins of [[decodeViaImageIO]] (GIF needs <= 256 distinct colors to
+    * round-trip exactly; the writer builds an exact palette then). */
+  def gifImage(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeViaImageIO("gif", width, height, rgb)
+
+  def jpegImage(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeViaImageIO("jpg", width, height, rgb)
+
+  private def encodeViaImageIO(fmt: String, width: Int, height: Int,
+                               rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        img.setRGB(x, y, ((rgb(o) & 0xff) << 16) |
+          ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
   }
 
   /** Partition-local REAL audio decode (WAV PCM16). */

@@ -245,4 +245,22 @@ object TextFunctions {
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, c) => acc * lit(31L) + c)
+
+  /** DEFLATE compression ratio (compressed bytes / raw UTF-8 bytes) —
+    * the crawl-curation quality signal: template/boilerplate spam
+    * compresses far below prose, binary-ish garbage sits near (or
+    * above) 1. Requires [[graft.GraftExtensions]] for the
+    * `graft_deflate_size` expression (no composed fallback exists —
+    * DEFLATE is not expressible in relational primitives, which is
+    * also why this signal has no SQL oracle and is contract-checked
+    * instead). Null/empty text yields null. */
+  def compressionRatio(text: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .getOrElse(throw new IllegalStateException("no active SparkSession"))
+    require(spark.catalog.functionExists("graft_deflate_size"),
+      "compressionRatio needs GraftExtensions (graft_deflate_size)")
+    val raw = octet_length(text)
+    when(raw > 0,
+      call_function("graft_deflate_size", text).cast("double") / raw)
+  }
 }

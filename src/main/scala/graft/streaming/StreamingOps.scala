@@ -659,4 +659,55 @@ object StreamingOps {
         count(lit(1)).as("n_events"), sum("value").as("total_value"))
       .drop("sess_id")
   }
+
+  /** An event flagged anomalous against its type's running statistics. */
+  final case class Anomaly(user_id: Long, ts: Timestamp, event_type: String,
+                           value: Double, z: Double)
+
+  /** Per-type running moments for the streaming outlier gate. */
+  private[streaming] final case class MomentState(n: Long, mean: Double,
+                                                  m2: Double)
+
+  /** Streaming twin of [[graft.ops.Insight.zOutliers]] — PREQUENTIAL
+    * semantics, the honest streaming contract: each event is scored
+    * against its type's running mean/stddev over all PRIOR events
+    * (event-time order inside a batch, batch order across batches),
+    * then folded into the state. The batch op scores against GLOBAL
+    * moments — on a stable distribution the two converge, and the
+    * batch op is the backfill corrector exactly as for the funnel.
+    * Welford's update keeps the fold numerically stable and
+    * deterministic for a fixed event order; `minHistory` suppresses
+    * the cold-start region where the running stddev is noise. State is
+    * one 3-field row per event TYPE — key cardinality, not corpus, so
+    * no timeout is needed (nothing here grows with the stream). */
+  def zOutlierStream(events: Dataset[UserEvent], threshold: Double = 3.0,
+                     minHistory: Long = 30): Dataset[Anomaly] = {
+    require(threshold > 0 && minHistory >= 2,
+      "threshold must be > 0 and minHistory >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[MomentState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
+          val flagged = List.newBuilder[Anomaly]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
+            if (st.n >= minHistory) {
+              val sd = math.sqrt(st.m2 / st.n)
+              if (sd > 0) {
+                val z = (e.value - st.mean) / sd
+                if (math.abs(z) > threshold)
+                  flagged += Anomaly(e.user_id, e.ts, e.event_type, e.value, z)
+              }
+            }
+            val n1 = st.n + 1
+            val d = e.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = MomentState(n1, mean1, st.m2 + d * (e.value - mean1))
+          }
+          state.update(st)
+          flagged.result().iterator
+      }
+  }
 }

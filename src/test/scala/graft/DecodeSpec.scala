@@ -86,18 +86,67 @@ class DecodeSpec extends SparkSpec {
     assert(Multimodal.decodeWavBytes(bytes.take(50)).isEmpty)
   }
 
-  test("decodeImage routes by sniff: BMP+PNG decode, JPEG/garbage drop") {
+  test("decodeImage routes by sniff: BMP+PNG+GIF+JPEG decode, truncated/garbage drop") {
     val bmp = Multimodal.bmpImage(2, 2, pix(2, 2, 3)((x, y, c) => x + y + c))
     val png = Multimodal.pngImage(2, 2, 3, pix(2, 2, 3)((x, y, c) => x * y + c))
+    val gif = Multimodal.gifImage(2, 2, pix(2, 2, 3)((x, y, _) => x * 50 + y * 80))
+    val jpg = Multimodal.jpegImage(2, 2, pix(2, 2, 3)((_, _, _) => 128))
+    // a bare JPEG header with no scan data must DROP, not crash ImageIO
     val jpegHdr = Array(0xff, 0xd8, 0xff, 0xe0, 0, 16, 'J', 'F', 'I', 'F',
       0, 0, 0, 0, 0, 0).map(_.toByte)
     val garbage = Array.fill[Byte](64)(42)
-    val media = Seq((1L, bmp), (2L, png), (3L, jpegHdr), (4L, garbage))
-      .toDF("media_id", "payload")
+    val media = Seq((1L, bmp), (2L, png), (3L, jpegHdr), (4L, garbage),
+      (5L, gif), (6L, jpg)).toDF("media_id", "payload")
     val got = Multimodal.decodeImage(media)
       .collect().map(d => d.media_id -> d.format).toMap
-    assert(got == Map(1L -> "bmp", 2L -> "png"),
-      "only JVM-decodable formats may yield pixels")
+    assert(got == Map(1L -> "bmp", 2L -> "png", 5L -> "gif", 6L -> "jpeg"),
+      s"decodable formats only, got $got")
+  }
+
+  test("GIF round-trips pixels exactly through ImageIO (<=256 colors)") {
+    // grayscale ramp: 48 pixels, 48 distinct colors -> exact palette
+    val src = pix(8, 6, 3)((x, y, _) => (x * 19 + y * 31) % 256)
+    val gif = Multimodal.gifImage(8, 6, src)
+    val media = Seq((1L, gif)).toDF("media_id", "payload")
+    val d = Multimodal.decodeImage(media).head()
+    assert(d.format == "gif" && d.width == 8 && d.height == 6 &&
+      d.channels == 3)
+    assert(d.pixels.toSeq == src.toSeq, "GIF is lossless: bytes must be equal")
+  }
+
+  test("JPEG uniform block decodes within DC tolerance; gradient stays plausible") {
+    val flat = pix(12, 9, 3)((_, _, _) => 100)
+    val d = Multimodal.decodeImage(
+      Seq((1L, Multimodal.jpegImage(12, 9, flat))).toDF("media_id", "payload"))
+      .head()
+    assert(d.format == "jpeg" && d.width == 12 && d.height == 9)
+    assert(d.pixels.forall(p => math.abs((p & 0xff) - 100) <= 3),
+      "uniform JPEG block is a pure DC coefficient: near-exact round-trip")
+    // a horizontal gradient must come back monotone-ish (mean error small)
+    val grad = pix(16, 8, 3)((x, _, _) => 40 + x * 10)
+    val g = Multimodal.decodeImage(
+      Seq((2L, Multimodal.jpegImage(16, 8, grad))).toDF("media_id", "payload"))
+      .head()
+    val errs = g.pixels.zip(grad).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff)) }
+    assert(errs.sum.toDouble / errs.length < 8.0,
+      s"mean JPEG error too high: ${errs.sum.toDouble / errs.length}")
+  }
+
+  test("MP4 box walk: stub roundtrip, truncation/garbage rejected, fields exact") {
+    val b = Multimodal.mp4Stub(durationMs = 83000, width = 640, height = 360)
+    val got = Multimodal.parseMp4Bytes(b)
+    assert(got.contains((83000L, 1, 640, 360)))
+    // through the Dataset operator too
+    val meta = Multimodal.mp4Meta(Seq((7L, b)).toDF("media_id", "payload"))
+      .head()
+    assert(meta == Multimodal.Mp4Meta(7L, 83000L, 1, 640, 360))
+    // truncated mid-moov: no mvhd reachable -> None, not garbage
+    assert(Multimodal.parseMp4Bytes(b.take(20)).isEmpty)
+    // non-mp4 payloads -> None
+    assert(Multimodal.parseMp4Bytes(Array.fill[Byte](64)(42)).isEmpty)
+    assert(Multimodal.parseMp4Bytes(
+      Multimodal.bmpImage(2, 2, pix(2, 2, 3)((_, _, _) => 0))).isEmpty)
   }
 
   test("resizeNearest: integer source sampling, aspect floor, no upscale") {

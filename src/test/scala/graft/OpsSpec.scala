@@ -479,7 +479,8 @@ class OpsSpec extends SparkSpec {
   test("semdedupPairs: precision 1, high recall vs exact, no cartesian") {
     val exact = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.35)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sem = Cluster.semdedupPairs(emb, "embedding", "vec_id", 0.35)
+    val sem = Cluster.semdedupPairs(emb, "embedding", "vec_id", 0.35,
+      ncentroids = 8) // generous blocking: loose-threshold regime
     val found = sem.select("ida", "idb")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "threshold should qualify at least one pair")
@@ -489,6 +490,33 @@ class OpsSpec extends SparkSpec {
     val plan = sem.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("semdedupPairs adaptive k: recall 1.0 on tight planted clusters, k scales with n") {
+    import scala.util.Random
+    // 120 clusters of 5 near-identical vectors (the real SemDeDup
+    // operating point, cos >= 0.9) in 16d, deterministic seed
+    val rnd = new Random(7)
+    val rows = (0 until 120).flatMap { c =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (0 until 5).map { j =>
+        val v = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+        ((c * 5 + j).toLong, v.toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", 0.9)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 120 * 10, s"clusters must qualify: ${exact.size}")
+    // default ncentroids=0 -> adaptive: n=600, nassign=4 -> k = 600*16/256 = 37
+    val found = Cluster.semdedupPairs(df, "embedding", "vec_id", 0.9)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(exact))
+    assert(found == exact,
+      s"adaptive blocking must keep recall 1.0 on tight clusters: " +
+        s"${found.size}/${exact.size}")
   }
 
   test("cluster assignment, sizes and balancedSample budgets") {
@@ -2424,6 +2452,43 @@ class OpsSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("editDistanceJoin equals the quadratic levenshtein join (recall AND precision)") {
+    val l = Seq((1L, "kitten"), (2L, "flaw"), (3L, "gumbo"), (4L, "abc"),
+      (5L, "x"), (6L, "identical")).toDF("lid", "lname")
+    val r = Seq((10L, "sitting"), (11L, "lawn"), (12L, "gambol"),
+      (13L, "abd"), (14L, "xy"), (15L, "identical"), (16L, "unrelatedzz"))
+      .toDF("rid", "rname")
+    for (k <- 1 to 3) {
+      val got = graft.ops.Link.editDistanceJoin(l, r, "lname", "lid",
+          "rname", "rid", k = k)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      // brute-force truth via the engine's own levenshtein
+      val truth = l.crossJoin(r)
+        .withColumn("d", levenshtein(col("lname"), col("rname")))
+        .filter(col("d") <= k)
+        .collect().map(x => (x.getAs[Long]("lid"), x.getAs[Long]("rid"),
+          x.getAs[Int]("d"))).toSet
+      assert(got == truth, s"k=$k: got ${got.toSeq.sorted} " +
+        s"expected ${truth.toSeq.sorted}")
+    }
+    // ed(kitten, sitting)=3 present exactly at k=3; exact copy at d=0
+    val k3 = graft.ops.Link.editDistanceJoin(l, r, "lname", "lid",
+        "rname", "rid", k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    assert(k3((1L, 10L)) == 3 && k3((6L, 15L)) == 0)
+    // no cartesian anywhere in the operator's own plan
+    val plan = graft.ops.Link.editDistanceJoin(l, r, "lname", "lid",
+      "rname", "rid", k = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // bucket cap drops a degenerate all-identical-segment bucket
+    val manyL = (1L to 50L).map(i => (i, "commonprefix")).toDF("lid", "lname")
+    val manyR = (1L to 50L).map(i => (i + 100, "commonprefix"))
+      .toDF("rid", "rname")
+    val capped = graft.ops.Link.editDistanceJoin(manyL, manyR, "lname", "lid",
+      "rname", "rid", k = 1, maxBucket = 10).count()
+    assert(capped == 0, "capped degenerate buckets must emit nothing")
   }
 
   // ------------------------------------------- corpus-wide line dedup

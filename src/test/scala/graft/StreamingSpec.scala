@@ -425,6 +425,41 @@ class StreamingSpec extends SparkSpec {
     assert(served == truth)
   }
 
+  test("zOutlierStream flags the spike prequentially; split-invariant; state is key-bounded") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 1000L)
+    // 60 mild values (10 +- 2 cycle) then one spike, on one type; a
+    // second type stays quiet and must produce nothing
+    val events = (0 until 60).map(i =>
+      StreamingOps.UserEvent(i.toLong, ts(i), "a", 10.0 + (i % 5))) ++
+      Seq(StreamingOps.UserEvent(999L, ts(60), "a", 500.0)) ++
+      (0 until 40).map(i =>
+        StreamingOps.UserEvent((100 + i).toLong, ts(i), "b", 5.0))
+    def run(splitAt: Int): Seq[(Long, Double)] = {
+      val input = MemoryStream[StreamingOps.UserEvent]
+      val name = s"zout$splitAt"
+      val q = StreamingOps.zOutlierStream(input.toDS(), threshold = 3.0)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val (x, y) = events.splitAt(splitAt)
+        input.addData(x: _*); q.processAllAvailable()
+        if (y.nonEmpty) { input.addData(y: _*); q.processAllAvailable() }
+        val rows = spark.table(name)
+          .collect().map(r => (r.getLong(0), r.getDouble(4))).toSeq.sorted
+        val st = q.lastProgress.stateOperators(0).numRowsTotal
+        assert(st <= 2L, s"state must be one row per TYPE, got $st")
+        rows
+      } finally q.stop()
+    }
+    val whole = run(events.length)
+    assert(whole.map(_._1) == Seq(999L), s"only the spike flags: $whole")
+    assert(whole.head._2 > 3.0)
+    // prequential fold is order-defined, so batch boundaries are invisible
+    assert(run(30) == whole)
+    assert(run(61) == whole)
+  }
+
   test("funnelStream step times are exact micros (sub-millisecond, matches batch)") {
     implicit val ctx = spark.sqlContext
     // two events 1 microsecond apart inside the same millisecond: the
