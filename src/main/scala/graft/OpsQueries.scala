@@ -4330,6 +4330,39 @@ object OpsQueries {
       |FROM events e JOIN st USING (event_type)
       |WHERE sd > 0 AND abs((value - mu) / sd) > 3.0""".stripMargin
 
+  /** Per-type event-rate changepoint over minute buckets. */
+  private def qEventsChangepoint(s: SparkSession, dir: String): DataFrame =
+    Insight.rateChangepoint(readEvents(s, dir), "event_type", "ts")
+
+  private val oEventsChangepoint =
+    """WITH c AS (SELECT event_type,
+      |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 60000000.0) AS BIGINT)
+      |      AS bucket, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, bucket, c,
+      |    CAST(row_number() OVER w AS BIGINT) AS i,
+      |    CAST(sum(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS s,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+      |cand AS (SELECT event_type, bucket, i, n,
+      |    CAST(s AS DOUBLE) / CAST(i AS DOUBLE) AS before_r,
+      |    CAST(tot - s AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+      |      AS after_r,
+      |    abs(CAST(s AS DOUBLE) / CAST(i AS DOUBLE) -
+      |        CAST(tot - s AS DOUBLE) /
+      |          (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))) *
+      |      sqrt(CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+      |        / CAST(n AS DOUBLE)) AS stat
+      |  FROM r WHERE i >= 5 AND i <= n - 5),
+      |pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY stat DESC, i) AS rk FROM cand)
+      |SELECT event_type, n AS n_buckets, bucket AS split_bucket,
+      |  round(before_r, 6) AS before_rate, round(after_r, 6) AS after_rate,
+      |  round(stat, 6) AS stat
+      |FROM pick WHERE rk = 1""".stripMargin
+
   /** First-order Markov transition matrix of the event stream. */
   private def qEventsMarkov(s: SparkSession, dir: String): DataFrame =
     Insight.transitions(readEvents(s, dir), "user_id", "ts", "event_type",
@@ -4414,6 +4447,7 @@ object OpsQueries {
     "text_pmi" -> (qTextPmi _),
     "events_anomaly" -> (qEventsAnomaly _),
     "events_markov" -> (qEventsMarkov _),
+    "events_changepoint" -> (qEventsChangepoint _),
     "graph_pagerank" -> (qGraphPagerank _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
@@ -4557,6 +4591,7 @@ object OpsQueries {
     "text_pmi" -> oTextPmi,
     "events_anomaly" -> oEventsAnomaly,
     "events_markov" -> oEventsMarkov,
+    "events_changepoint" -> oEventsChangepoint,
     "graph_pagerank" -> oGraphPagerank,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,

@@ -125,6 +125,56 @@ object Insight {
       .drop("__mu", "__sd")
   }
 
+  /** Per-key rate CHANGEPOINT: the time-bucket split that best
+    * separates a key's event rate into a "before" and an "after" —
+    * the distribution-shift detector a pipeline runs over ingestion
+    * telemetry. Events are bucketed (counts are INTEGERS, so prefix
+    * sums are exact and every derived double is bit-identical on any
+    * engine — a raw-value spelling would hang the argmax on
+    * engine-ulp prefix-sum differences); for each candidate split t
+    * over the key's observed buckets,
+    *
+    *   stat(t) = |S_t/t − (S_n−S_t)/(n−t)| · sqrt(t·(n−t)/n)
+    *
+    * (the two-sample mean-shift statistic), and the argmax split wins
+    * (ties → earliest). Shape: one count aggregate, then windows
+    * PARTITIONED BY KEY (cumulative sum, row_number, per-key totals) —
+    * everything scales with one key's bucket count, never the corpus.
+    * Keys with fewer than 2·minSeg buckets produce no row. */
+  def rateChangepoint(events: DataFrame, keyCol: String, tsCol: String,
+                      bucketMs: Long = 60000L, minSeg: Int = 5): DataFrame = {
+    require(bucketMs > 0 && minSeg >= 1, "bucketMs and minSeg must be positive")
+    val bucket = floor(unix_micros(col(tsCol).cast("timestamp")) /
+      lit(bucketMs * 1000L)).cast("long")
+    val counts = events.groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val part = Window.partitionBy(col(keyCol))
+    val rows = counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("tot", sum(col("c")).over(part))
+    val iD = col("i").cast("double")
+    val nD = col("n").cast("double")
+    val before = col("s").cast("double") / iD
+    val after = (col("tot") - col("s")).cast("double") / (nD - iD)
+    val cand = rows
+      .filter(col("i") >= minSeg && col("i") <= col("n") - minSeg)
+      .withColumn("stat",
+        abs(before - after) * sqrt(iD * (nD - iD) / nD))
+    val pick = Window.partitionBy(col(keyCol))
+      .orderBy(col("stat").desc, col("i"))
+    cand.withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col("n").as("n_buckets"),
+        col("bucket").as("split_bucket"),
+        round(before, 6).as("before_rate"),
+        round(after, 6).as("after_rate"),
+        round(col("stat"), 6).as("stat"))
+  }
+
   /** First-order Markov transition matrix of an event stream: for each
     * user's (ts, tiebreak)-ordered event sequence, counts of adjacent
     * (src → dst) type pairs and the row-normalized probability. The lag

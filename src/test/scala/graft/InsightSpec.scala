@@ -84,6 +84,25 @@ class InsightSpec extends SparkSpec {
     assert(got == Seq(("a", "b")))
   }
 
+  test("rateChangepoint lands on the planted shift; short keys emit nothing") {
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // type "a": 2 events/min for 20 min, then 9/min for 20 min -> the
+    // best split is at (or adjacent to) minute 19's bucket
+    val a = (0 until 20).flatMap(m => Seq.fill(2)((1L, ts(m), "a"))) ++
+      (20 until 40).flatMap(m => Seq.fill(9)((1L, ts(m), "a")))
+    val b = (0 until 6).map(m => (2L, ts(m), "b")) // < 2*minSeg buckets
+    val df = (a ++ b).toDF("user_id", "ts", "event_type")
+    val out = Insight.rateChangepoint(df, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(!out.contains("b"), "too-short series must not emit a split")
+    val (n, split, before, after) = out("a")
+    assert(n == 40)
+    val base = 1700000000000L / 60000L
+    assert(split == base + 19, s"split bucket $split vs expected ${base + 19}")
+    assert(before == 2.0 && after == 9.0)
+  }
+
   test("pagerank: integer units conserve mass, hub outranks spokes, sinks keep teleport") {
     // star: spokes 2..11 -> hub 1, hub -> 2 (so hub is not dangling).
     // The hub<->spoke-2 cycle makes ranks oscillate with period 2,

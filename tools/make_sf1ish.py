@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Build the ~10x-sf0.1 soak tables under target/sf1ish (dev tooling).
+
+Shard-disjoint scaling: every token gains a per-shard suffix so
+cross-shard n-gram overlap is zero and the within-shard duplicate
+structure matches sf0.1 exactly ("10x corpus, same dup-group
+distribution"). Embeddings are rotated per shard — an orthogonal
+permutation, so within-shard cosines are unchanged while cross-shard
+pairs decorrelate. A naive union (same text + tiny suffix) instead
+multiplies every duplicate GROUP by the shard count and blows pair
+volume up quadratically — kept documented in BASELINE.md as a
+finding, not used here.
+
+Usage: python3 tools/make_sf1ish.py [shards=10]
+"""
+import sys
+import duckdb
+
+shards = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+sf = "/root/testdata/sf0.1"
+con = duckdb.connect()
+con.execute(f"""
+COPY (SELECT doc_id + s*10000000 AS doc_id,
+             CASE WHEN s = 0 THEN text
+                  ELSE regexp_replace(text, '(\\S+)',
+                         '\\1x' || CAST(s AS VARCHAR), 'g') END AS text,
+             lang, source, n_chars
+      FROM read_parquet('{sf}/documents.parquet')
+      CROSS JOIN (SELECT unnest(range({shards})) AS s))
+TO 'target/sf1ish/documents.parquet' (FORMAT PARQUET)""")
+con.execute(f"""
+COPY (SELECT vec_id + s*10000000 AS vec_id,
+             CASE WHEN s = 0 THEN embedding
+                  ELSE embedding[(s+1):] || embedding[1:s] END AS embedding,
+             label
+      FROM read_parquet('{sf}/embeddings.parquet')
+      CROSS JOIN (SELECT unnest(range({shards})) AS s))
+TO 'target/sf1ish/embeddings.parquet' (FORMAT PARQUET)""")
+for t in ["documents", "embeddings"]:
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('target/sf1ish/{t}.parquet')"
+    ).fetchone()[0]
+    print(t, n)
