@@ -1070,17 +1070,23 @@ object Dedup {
     * Skew: a mega-component (boilerplate-heavy crawl) makes one star
     * center carry millions of attach rows; the m-lookup join would land
     * them all on ONE reducer. Centers with degree >= `hotKeyThreshold`
-    * are therefore split onto a broadcast-hash path: `m` holds exactly
-    * one row per center, so the hot slice of `m` has at most
-    * 2|E|/threshold rows — broadcastable by construction — and the hot
-    * attach rows join map-side without ever shuffling on the hot key.
-    * Cold keys keep the plain shuffled join, whose per-key input is
-    * < threshold by definition. The min-aggregation itself is already
-    * skew-immune (algebraic min => map-side partial aggregation).
-    * `hotKeyThreshold <= 0` disables the split (plain join everywhere,
-    * spec-pinned equal output). */
+    * can be split onto a broadcast-hash path: `m` holds exactly one row
+    * per center, so the hot slice of `m` has at most 2|E|/threshold
+    * rows — broadcastable by construction — and the hot attach rows
+    * join map-side without ever shuffling on the hot key. Cold keys
+    * keep the plain shuffled join, whose per-key input is < threshold
+    * by definition. The min-aggregation itself is always skew-immune
+    * (algebraic min => map-side partial aggregation).
+    *
+    * The split is OFF by default (`hotKeyThreshold = 0`): it adds two
+    * broadcast exchanges per star step, which benchmarked at ~2× the
+    * whole query below crawl scale, while AQE's skew-join handling
+    * (`spark.sql.adaptive.skewJoin`, on by default) already splits an
+    * oversized sort-merge partition at runtime. Set a threshold (e.g.
+    * 1 << 20) for adversarial graphs whose hot side exceeds what AQE
+    * can rebalance — output is spec-pinned identical either way. */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
-                              hotKeyThreshold: Long = 1L << 20): DataFrame = {
+                              hotKeyThreshold: Long = 0L): DataFrame = {
     // Each round references its input several times, so the LOGICAL plan
     // would grow exponentially under plain persist() (persist caches
     // execution but not the analyzer tree — the classic iterative-
@@ -1102,8 +1108,12 @@ object Dedup {
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val nbrs = e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val m = nbrs.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // degree rides the SAME aggregate as the star minimum (count is
+      // partial-agg safe too) — the hot-key census costs no extra pass
+      val magg = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"),
+          count(lit(1)).as("__deg"))
+      val m = magg.select(col("u"), col("m"))
       val attach =
         if (large) nbrs.filter(col("v") > col("u"))
         else nbrs.filter(col("v") <= col("u"))
@@ -1111,11 +1121,10 @@ object Dedup {
       val joined =
         if (hotKeyThreshold <= 0) attach.join(m, "u")
         else {
-          // Degree census is itself partial-agg safe; the hot-key list is
-          // bounded by 2|E|/threshold rows, so both it and the matching m
-          // slice broadcast. Exchange reuse dedups the repeated subquery.
-          val hot = nbrs.groupBy("u").agg(count(lit(1)).as("__deg"))
-            .filter(col("__deg") >= hotKeyThreshold).select("u")
+          // The hot-key list is bounded by 2|E|/threshold rows, so both
+          // it and the matching m slice broadcast. Exchange reuse serves
+          // every magg consumer from the one shuffle.
+          val hot = magg.filter(col("__deg") >= hotKeyThreshold).select("u")
           val hotJoined = attach.join(broadcast(hot), Seq("u"), "left_semi")
             .join(broadcast(m.join(hot, Seq("u"), "left_semi")), "u")
           val coldJoined = attach.join(broadcast(hot), Seq("u"), "left_anti")

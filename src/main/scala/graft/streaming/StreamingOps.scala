@@ -660,6 +660,82 @@ object StreamingOps {
       .drop("sess_id")
   }
 
+  /** A CUSUM rate alarm: `key`'s event rate left its baseline at
+    * `bucket` (direction +1 = rate up, -1 = rate down), with the
+    * cumulative-sum statistic that crossed the threshold. */
+  final case class RateAlarm(event_type: String, bucket: Long,
+                             direction: Int, stat: Double)
+
+  /** Per-key CUSUM state: the open (still-filling) time bucket, the
+    * closed-bucket baseline moments, and the two one-sided sums. */
+  private[streaming] final case class CusumState(openBucket: Long,
+                                                 openCount: Long,
+                                                 n: Long, sum: Double,
+                                                 pos: Double, neg: Double)
+
+  /** Streaming twin of [[graft.ops.Insight.rateChangepoint]]: a
+    * sequential CUSUM detector over per-key event-rate buckets. The
+    * batch op finds the single best split in hindsight; this one
+    * raises an ALARM while the stream runs — the classic
+    * detection-latency trade (Page 1954). Each closed bucket's count c
+    * updates the one-sided sums against the running baseline mean μ of
+    * the buckets closed before it:
+    *
+    *   pos ← max(0, pos + (c − μ − slack));  alarm when pos > h
+    *   neg ← max(0, neg + (μ − c − slack));  alarm when neg > h
+    *
+    * then folds c into μ. After an alarm the sums and baseline reset,
+    * so a sustained shift re-baselines instead of alarming forever.
+    * `warmup` buckets must close before scoring starts. State is one
+    * fixed-size row per key (key cardinality, like
+    * [[zOutlierStream]]); buckets close in event-time order inside
+    * each batch, and an event older than the open bucket is dropped —
+    * append-mode honesty, with the batch op as the corrector (the
+    * same contract as the funnel and the z-outlier gate). */
+  def cusumStream(events: Dataset[UserEvent], bucketMs: Long = 60000L,
+                  slack: Double = 0.5, threshold: Double = 5.0,
+                  warmup: Int = 5): Dataset[RateAlarm] = {
+    require(bucketMs > 0 && threshold > 0 && warmup >= 1,
+      "bucketMs, threshold and warmup must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, RateAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(
+            CusumState(Long.MinValue, 0L, 0L, 0.0, 0.0, 0.0))
+          val alarms = List.newBuilder[RateAlarm]
+          def close(): Unit = if (st.openBucket != Long.MinValue) {
+            val c = st.openCount.toDouble
+            if (st.n >= warmup) {
+              val mu = st.sum / st.n
+              val pos = math.max(0.0, st.pos + (c - mu - slack))
+              val neg = math.max(0.0, st.neg + (mu - c - slack))
+              if (pos > threshold || neg > threshold) {
+                alarms += RateAlarm(key, st.openBucket,
+                  if (pos > threshold) 1 else -1,
+                  math.max(pos, neg))
+                // re-baseline from the post-shift regime
+                st = CusumState(st.openBucket, st.openCount, 0L, 0.0, 0.0, 0.0)
+              } else st = st.copy(pos = pos, neg = neg)
+            }
+            st = st.copy(n = st.n + 1, sum = st.sum + c)
+          }
+          it.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
+            val b = Math.floorDiv(e.ts.getTime, bucketMs)
+            if (b > st.openBucket) {
+              close()
+              st = st.copy(openBucket = b, openCount = 1L)
+            } else if (b == st.openBucket)
+              st = st.copy(openCount = st.openCount + 1L)
+            // b < openBucket: late event for a closed bucket — dropped
+          }
+          state.update(st)
+          alarms.result().iterator
+      }
+  }
+
   /** An event flagged anomalous against its type's running statistics. */
   final case class Anomaly(user_id: Long, ts: Timestamp, event_type: String,
                            value: Double, z: Double)

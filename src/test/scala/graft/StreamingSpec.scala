@@ -460,6 +460,45 @@ class StreamingSpec extends SparkSpec {
     assert(run(61) == whole)
   }
 
+  test("cusumStream alarms on the first post-shift bucket, re-baselines, split-invariant") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int, s: Int = 0) =
+      new Timestamp(1700000000000L + m * 60000L + s * 1000L)
+    // type "a": 2 events/min for 20 min, then 9/min for 10 min;
+    // type "b": constant 3/min — must stay silent
+    val events =
+      (0 until 20).flatMap(m => (0 until 2).map(s =>
+        StreamingOps.UserEvent(1L, ts(m, s), "a", 1.0))) ++
+      (20 until 30).flatMap(m => (0 until 9).map(s =>
+        StreamingOps.UserEvent(1L, ts(m, s), "a", 1.0))) ++
+      (0 until 30).flatMap(m => (0 until 3).map(s =>
+        StreamingOps.UserEvent(2L, ts(m, s), "b", 1.0)))
+    def run(splitAt: Int): Seq[(String, Long, Int, Double)] = {
+      val input = MemoryStream[StreamingOps.UserEvent]
+      val name = s"cusum$splitAt"
+      val q = StreamingOps.cusumStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val (x, y) = events.splitAt(splitAt)
+        input.addData(x: _*); q.processAllAvailable()
+        if (y.nonEmpty) { input.addData(y: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+            r.getDouble(3))).toSeq.sorted
+      } finally q.stop()
+    }
+    val whole = run(events.length)
+    val base = 1700000000000L / 60000L
+    // exactly one alarm: the first closed post-shift bucket, rate UP,
+    // stat = 9 - 2 - 0.5 = 6.5; after re-baseline the 9/min regime is
+    // the new normal and stays silent
+    assert(whole == Seq(("a", base + 20, 1, 6.5)), s"got $whole")
+    // batch boundaries are invisible (state carries the open bucket)
+    assert(run(events.length / 3) == whole)
+    assert(run(events.length - 7) == whole)
+  }
+
   test("funnelStream step times are exact micros (sub-millisecond, matches batch)") {
     implicit val ctx = spark.sqlContext
     // two events 1 microsecond apart inside the same millisecond: the
