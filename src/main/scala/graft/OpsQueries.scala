@@ -928,6 +928,15 @@ object OpsQueries {
     Similarity.bruteForceTopK(e, annQueries(e), "embedding", "vec_id", k = 5)
   }
 
+  /** The bounded-Aggregator top-k path (map-side k-row partials, no
+    * sort of the scored set) — same deterministic output contract as
+    * the window formulation, so it shares sim_topk's SQL oracle. */
+  private def qSimTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopKAgg(e, annQueries(e), "embedding", "vec_id",
+      k = 5)
+  }
+
   private val oSimTopK =
     """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |    generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -3911,6 +3920,74 @@ object OpsQueries {
       |  CAST(max(n_chars) AS VARCHAR) AS max_n_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Z-ordered write as a CONTRACT query: lineitem is written Z-ordered
+    * on (l_partkey, l_suppkey) into 8 range-partitioned files, read
+    * back (row count + key sum must survive the round trip EXACTLY —
+    * SQL-recomputed), and the footer-stats manifest must show that a
+    * low-corner box in BOTH dimensions intersects only a strict subset
+    * of the files — the multi-dimensional-pruning property a linear
+    * sort cannot give its trailing column. Morton-key arithmetic stays
+    * engine-internal (width_bucket edge semantics don't replay across
+    * engines); what the oracle checks is the property the key exists
+    * FOR. */
+  private def qLayoutZorder(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(scratchRoot, "zorder").getAbsolutePath
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    Layout.writeZOrdered(li, out, Seq("l_partkey", "l_suppkey"),
+      numFiles = 8)
+    val back = s.read.parquet(out)
+    val bounds = li.agg(
+      min("l_partkey").as("pLo"), max("l_partkey").as("pHi"),
+      min("l_suppkey").as("sLo"), max("l_suppkey").as("sHi")).head()
+    val (pLo, pHi) = (bounds.getLong(0), bounds.getLong(1))
+    val (sLo, sHi) = (bounds.getLong(2), bounds.getLong(3))
+    val (pBox, sBox) = (pLo + (pHi - pLo) / 5, sLo + (sHi - sLo) / 5)
+    val m = Layout.manifest(s, out, Seq("l_partkey", "l_suppkey"))
+      .select(col("min_l_partkey").cast("long").as("mnp"),
+        col("max_l_partkey").cast("long").as("mxp"),
+        col("min_l_suppkey").cast("long").as("mns"),
+        col("max_l_suppkey").cast("long").as("mxs"))
+    val nFiles = m.count()
+    val hit = m.filter(col("mnp") <= pBox && col("mxp") >= pLo &&
+      col("mns") <= sBox && col("mxs") >= sLo).count()
+    val agg = back.agg(count(lit(1)).as("n_rows"),
+      sum("l_orderkey").as("sum_orderkey")).head()
+    import s.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), nFiles >= 2 && nFiles <= 8,
+      hit < nFiles))
+      .toDF("n_rows", "sum_orderkey", "files_in_range", "box_prunes")
+  }
+
+  private val oLayoutZorder =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+      |  TRUE AS files_in_range, TRUE AS box_prunes
+      |FROM lineitem""".stripMargin
+
+  /** Small-file compaction as a CONTRACT query: documents are scattered
+    * into 64 tiny files (the classic ingestion pathology), compacted to
+    * a byte-budgeted file count, and the round trip must preserve row
+    * count and id sum exactly while strictly shrinking the file count. */
+  private def qLayoutCompact(s: SparkSession, dir: String): DataFrame = {
+    val in = new java.io.File(scratchRoot, "compact_in").getAbsolutePath
+    val out = new java.io.File(scratchRoot, "compact_out").getAbsolutePath
+    t(s, dir, "documents").repartition(64)
+      .write.mode("overwrite").parquet(in)
+    val nIn = s.read.parquet(in).inputFiles.length
+    val nOut = Layout.compact(s, in, out, targetFileMB = 64)
+    val agg = s.read.parquet(out)
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sd")).head()
+    import s.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), nIn == 64, nOut < nIn))
+      .toDF("n_rows", "sum_doc_id", "scattered_in", "compacted")
+  }
+
+  private val oLayoutCompact =
+    """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      |  TRUE AS scattered_in, TRUE AS compacted
+      |FROM documents""".stripMargin
+
   /** Token-balanced output sharding: every doc lands in the shard whose
     * [k·target, (k+1)·target) span its exclusive running char total
     * falls in, in doc_id order — equal-MASS output files, computed with
@@ -4363,6 +4440,32 @@ object OpsQueries {
       |  round(stat, 6) AS stat
       |FROM pick WHERE rk = 1""".stripMargin
 
+  /** Per-type rate autocorrelation at lags 1-3 over minute buckets. */
+  private def qEventsAutocorr(s: SparkSession, dir: String): DataFrame =
+    Insight.rateAutocorr(readEvents(s, dir), "event_type", "ts")
+
+  private val oEventsAutocorr =
+    """WITH c AS (SELECT event_type,
+      |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 60000000.0) AS BIGINT)
+      |      AS bucket, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+      |  FROM c a CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) l
+      |  JOIN c b ON b.event_type = a.event_type
+      |    AND b.bucket = a.bucket + l.lag),
+      |g AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM p GROUP BY 1, 2)
+      |SELECT event_type, lag, n AS n_pairs,
+      |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |           CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r
+      |FROM g""".stripMargin
+
   /** First-order Markov transition matrix of the event stream. */
   private def qEventsMarkov(s: SparkSession, dir: String): DataFrame =
     Insight.transitions(readEvents(s, dir), "user_id", "ts", "event_type",
@@ -4448,6 +4551,7 @@ object OpsQueries {
     "events_anomaly" -> (qEventsAnomaly _),
     "events_markov" -> (qEventsMarkov _),
     "events_changepoint" -> (qEventsChangepoint _),
+    "events_autocorr" -> (qEventsAutocorr _),
     "graph_pagerank" -> (qGraphPagerank _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
@@ -4463,6 +4567,8 @@ object OpsQueries {
     "dataset_diff" -> (qDatasetDiff _),
     "dataset_psi" -> (qDatasetPsi _),
     "layout_manifest" -> (qLayoutManifest _),
+    "layout_zorder" -> (qLayoutZorder _),
+    "layout_compact" -> (qLayoutCompact _),
     "layout_token_shards" -> (qLayoutTokenShards _),
     "web_curation_pipeline" -> (qWebCurationPipeline _),
     "web_html_text" -> (qWebHtmlText _),
@@ -4483,6 +4589,7 @@ object OpsQueries {
     "dedup_incremental_bloom" -> (qDedupIncrementalBloom _),
     "dedup_incremental_minhash" -> (qDedupIncrementalMinhash _),
     "sim_topk" -> (qSimTopK _),
+    "sim_topk_agg" -> (qSimTopKAgg _),
     "sim_topk_lsh" -> (qSimTopKLsh _),
     "sim_topk_ivf" -> (qSimTopKIvf _),
     "emb_quantize" -> (qEmbQuantize _),
@@ -4592,6 +4699,7 @@ object OpsQueries {
     "events_anomaly" -> oEventsAnomaly,
     "events_markov" -> oEventsMarkov,
     "events_changepoint" -> oEventsChangepoint,
+    "events_autocorr" -> oEventsAutocorr,
     "graph_pagerank" -> oGraphPagerank,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
@@ -4607,6 +4715,8 @@ object OpsQueries {
     "dataset_diff" -> oDatasetDiff,
     "dataset_psi" -> oDatasetPsi,
     "layout_manifest" -> oLayoutManifest,
+    "layout_zorder" -> oLayoutZorder,
+    "layout_compact" -> oLayoutCompact,
     "layout_token_shards" -> oLayoutTokenShards,
     "web_curation_pipeline" -> oWebCurationPipeline,
     "web_html_text" -> oWebHtmlText,
@@ -4627,6 +4737,7 @@ object OpsQueries {
     "dedup_incremental_bloom" -> oDedupIncrementalExact,
     "dedup_incremental_minhash" -> oDedupIncrementalMinhash,
     "sim_topk" -> oSimTopK,
+    "sim_topk_agg" -> oSimTopK,
     "sim_topk_lsh" -> oAnnWellFormed,
     "sim_topk_ivf" -> oAnnWellFormed,
     "emb_quantize" -> oEmbQuantize,

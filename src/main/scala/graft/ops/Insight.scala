@@ -111,7 +111,12 @@ object Insight {
     * produce no outliers (a constant stream has none), and so do
     * single-event keys. The threshold tests the EXACT z (a rounded-z
     * test would put the cut on a 6-dp grid edge where engine ulp
-    * differences flip rows); the reported z rounds to 6 dp. */
+    * differences flip rows); the reported z rounds to 6 dp.
+    *
+    * The stats join is left to AQE: the moment table's RUNTIME size is
+    * key-cardinality — usually broadcast-tiny, but a forced broadcast
+    * hint would OOM the driver on a high-cardinality key column, while
+    * AQE picks broadcast exactly when the aggregate output is small. */
   def zOutliers(events: DataFrame, keyCol: String, valueCol: String,
                 threshold: Double = 3.0): DataFrame = {
     require(threshold > 0, "threshold must be positive")
@@ -119,7 +124,7 @@ object Insight {
       .agg(avg(col(valueCol)).as("__mu"),
         stddev_pop(col(valueCol)).as("__sd"))
     val z = (col(valueCol) - col("__mu")) / col("__sd")
-    events.join(broadcast(stats), keyCol)
+    events.join(stats, keyCol)
       .filter(col("__sd") > 0 && abs(z) > threshold)
       .withColumn("z", round(z, 6))
       .drop("__mu", "__sd")
@@ -173,6 +178,48 @@ object Insight {
         round(before, 6).as("before_rate"),
         round(after, 6).as("after_rate"),
         round(col("stat"), 6).as("stat"))
+  }
+
+  /** Per-key rate AUTOCORRELATION at small lags — the seasonality/
+    * burstiness profile next to [[rateChangepoint]]'s level shifts.
+    * Same exact-integer discipline: bucket counts are integers, so all
+    * five Pearson sums (Σx, Σy, Σxy, Σx², Σy² over the lag-aligned
+    * bucket pairs) are exact BIGINTs and the final
+    *
+    *   r = (nΣxy − ΣxΣy) / sqrt((nΣx²−(Σx)²)·(nΣy²−(Σy)²))
+    *
+    * is one double expression of exact integers — bit-identical on any
+    * engine. Pairs align OBSERVED buckets at distance `lag` (an empty
+    * bucket is absent, not zero — document accordingly). Zero variance
+    * on either side yields null. Shape: one count aggregate, one
+    * co-keyed self-join per output row's lag (the lag list rides an
+    * explode), two shrinking aggregates — all partitioned by key. */
+  def rateAutocorr(events: DataFrame, keyCol: String, tsCol: String,
+                   bucketMs: Long = 60000L, maxLag: Int = 3): DataFrame = {
+    require(bucketMs > 0 && maxLag >= 1, "bucketMs and maxLag must be positive")
+    val bucket = floor(unix_micros(col(tsCol).cast("timestamp")) /
+      lit(bucketMs * 1000L)).cast("long")
+    val counts = events.groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val left = counts
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .select(col(keyCol), col("lag"),
+        (col("bucket") + col("lag")).as("bucket"), col("c").as("x"))
+    val pairs = left.join(
+      counts.select(col(keyCol), col("bucket"), col("c").as("y")),
+      Seq(keyCol, "bucket"))
+    val g = pairs.groupBy(col(keyCol), col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    g.select(col(keyCol), col("lag"), col("n").as("n_pairs"),
+      round(when(varX > 0 && varY > 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(varX.cast("double") * varY.cast("double"))), 6).as("r"))
   }
 
   /** First-order Markov transition matrix of an event stream: for each

@@ -103,6 +103,28 @@ class InsightSpec extends SparkSpec {
     assert(before == 2.0 && after == 9.0)
   }
 
+  test("rateAutocorr: period-2 signal alternates sign by lag; constant rate is null") {
+    def ts(m: Int, s: Int) =
+      new java.sql.Timestamp(1700000000000L + m * 60000L + s * 1000L)
+    // type "a": rates 1,5,1,5,... (period 2) over 40 minutes;
+    // type "b": constant 3/min -> zero variance -> null r
+    val events =
+      (0 until 40).flatMap(m => (0 until (if (m % 2 == 0) 1 else 5)).map(s =>
+        (1L, ts(m, s), "a"))) ++
+      (0 until 40).flatMap(m => (0 until 3).map(s => (2L, ts(m, s), "b")))
+    val df = events.toDF("user_id", "ts", "event_type")
+    val out = Insight.rateAutocorr(df, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    // alternating series: r(1) ~ -1, r(2) ~ +1
+    assert(out(("a", 1))._2.get < -0.9, s"lag1 ${out(("a", 1))}")
+    assert(out(("a", 2))._2.get > 0.9, s"lag2 ${out(("a", 2))}")
+    assert(out(("a", 1))._1 == 39 && out(("a", 2))._1 == 38)
+    (1 to 3).foreach(l => assert(out(("b", l))._2.isEmpty,
+      "constant rate must yield null, not NaN"))
+  }
+
   test("pagerank: integer units conserve mass, hub outranks spokes, sinks keep teleport") {
     // star: spokes 2..11 -> hub 1, hub -> 2 (so hub is not dangling).
     // The hub<->spoke-2 cycle makes ranks oscillate with period 2,
