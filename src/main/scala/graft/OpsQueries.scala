@@ -847,6 +847,18 @@ object OpsQueries {
       |FROM dots JOIN norms na ON na.vec_id = ida JOIN norms nb ON nb.vec_id = idb
       |WHERE round(d / (na.n * nb.n), 6) >= 0.45""".stripMargin
 
+  /** Lossless cell-pair-pruned SemDeDup (the loose-threshold SCALE
+    * path, SURVEY round-10 lead 2): fine k-means cells + triangle-
+    * inequality shortlist over cell pairs + exact verify. The oracle is
+    * the FULL all-pairs SQL recomputation — equality, not a recall gate:
+    * pruning is provably lossless, so the emitted set must hash-match
+    * the exact pair set at every SF. */
+  private def qDedupSemanticPruned(s: SparkSession, dir: String): DataFrame =
+    Cluster.semdedupPairsPruned(t(s, dir, "embeddings"), "embedding",
+      "vec_id", threshold = 0.45)
+
+  private val oDedupSemanticPruned = oDedupEmbedding
+
   /** SemDeDup contract: k-means-blocked semantic near-dup pairs vs the
     * exact pair set. `n_exact` is engine-agnostic (the oracle recomputes
     * it); precision is 1 by construction (every emitted pair is
@@ -890,8 +902,8 @@ object OpsQueries {
     * cosine pairs — the whole composition replayed in SQL. */
   private def qDedupSemanticSurvivors(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val pairs = Cluster.semdedupPairs(e, "embedding", "vec_id",
-      threshold = 0.45, ncentroids = 8) // generous: loose-pair regime
+    val pairs = Cluster.semdedupPairsPruned(e, "embedding", "vec_id",
+      threshold = 0.45) // lossless pruned path: exact pairs at any scale
     val cc = Dedup.connectedComponentsStar(pairs)
     val victims = cc.filter(col("id") =!= col("component")).select("id")
     e.select(col("vec_id"))
@@ -4584,6 +4596,7 @@ object OpsQueries {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_semantic" -> (qDedupSemantic _),
+    "dedup_semantic_pruned" -> (qDedupSemanticPruned _),
     "dedup_semantic_survivors" -> (qDedupSemanticSurvivors _),
     "dedup_incremental_exact" -> (qDedupIncrementalExact _),
     "dedup_incremental_bloom" -> (qDedupIncrementalBloom _),
@@ -4732,6 +4745,7 @@ object OpsQueries {
     "dedup_simhash" -> oDedupSimhash,
     "dedup_embedding" -> oDedupEmbedding,
     "dedup_semantic" -> oDedupSemantic,
+    "dedup_semantic_pruned" -> oDedupSemanticPruned,
     "dedup_semantic_survivors" -> oDedupSemanticSurvivors,
     "dedup_incremental_exact" -> oDedupIncrementalExact,
     "dedup_incremental_bloom" -> oDedupIncrementalExact,

@@ -144,10 +144,147 @@ object Cluster {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
+    verifyPairs(df, vecCol, idCol, cand, threshold)
+  }
+
+  /** Exact-cosine verification tail shared by every blocked pair path:
+    * joins both vectors back onto the candidate set and keeps pairs with
+    * round(cos, 6) ≥ threshold — precision 1 by construction. */
+  private def verifyPairs(df: DataFrame, vecCol: String, idCol: String,
+                          cand: DataFrame, threshold: Double): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     cand
       .join(vecs.select(col("id").as("ida"), col("v").as("va")), "ida")
       .join(vecs.select(col("id").as("idb"), col("v").as("vb")), "idb")
+      .withColumn("cos",
+        round(Similarity.cosineFast(df.sparkSession, col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("ida", "idb", "cos")
+  }
+
+  /** Cell-pair shortlist for [[semdedupPairsPruned]]: keep (i ≤ j) iff a
+    * qualifying pair COULD straddle cells i and j. Angles are a metric on
+    * the unit sphere, so for x in cell i (angular radius rᵢ around
+    * centroid cᵢ) and y in cell j:
+    * angle(x,y) ≥ angle(cᵢ,cⱼ) − rᵢ − rⱼ. A pair with cos(x,y) ≥ t has
+    * angle(x,y) ≤ acos(t), hence a cell pair can contribute only when
+    * angle(cᵢ,cⱼ) ≤ acos(t) + rᵢ + rⱼ — everything else is pruned with
+    * ZERO recall loss. Thresholds are slackened by 1e-6 (cos) and 1e-6
+    * rad (angle) so float roundoff in the radius/centroid arithmetic can
+    * never delete a borderline pair; a NaN radius (zero-norm member)
+    * disables pruning for that cell. Cells absent from `radii` are empty
+    * and skipped. O(k² · dim) on the driver — bounded by the k ≤ 4096
+    * centroid cap. */
+  private[graft] def prunedCellPairs(cents: Array[(Array[Double], Double)],
+                                     radii: Map[Int, Double],
+                                     threshold: Double): Seq[(Int, Int)] = {
+    val maxAngle = math.acos(math.max(-1.0, math.min(1.0, threshold - 1e-6)))
+    val ids = radii.keys.toArray.sorted
+    val out = Seq.newBuilder[(Int, Int)]
+    var a = 0
+    while (a < ids.length) {
+      val i = ids(a)
+      val (ci, ni) = cents(i)
+      val ri = radii(i)
+      var b = a
+      while (b < ids.length) {
+        val j = ids(b)
+        val rj = radii(j)
+        val bound = maxAngle + ri + rj + 1e-6
+        val keep =
+          if (ri.isNaN || rj.isNaN || bound >= math.Pi) true
+          else {
+            val (cj, nj) = cents(j)
+            var dot = 0.0; var d = 0
+            val dim = math.min(ci.length, cj.length)
+            while (d < dim) { dot += ci(d) * cj(d); d += 1 }
+            val c = math.max(-1.0, math.min(1.0, dot / (ni * nj)))
+            math.acos(c) <= bound
+          }
+        if (keep) out += ((i, j))
+        b += 1
+      }
+      a += 1
+    }
+    out.result()
+  }
+
+  /** SemDeDup with LOSSLESS cell-pair pruning — the loose-threshold
+    * scale path. [[semdedupPairs]] buys recall at loose thresholds by
+    * keeping cells GENEROUS (small k), which makes the in-cell self-join
+    * quadratic in cell size; this variant instead keeps cells FINE
+    * (k ∝ n, primary assignment only) and recovers boundary-straddling
+    * pairs by joining across every cell PAIR the triangle inequality
+    * cannot rule out (see [[prunedCellPairs]]). Every surviving
+    * candidate is exact-cosine verified, so the output EQUALS
+    * [[Dedup.embeddingNearDupPairs]] — recall 1 and precision 1 by
+    * construction, at any threshold (spec-pinned on clustered and
+    * near-uniform data; the `dedup_semantic_pruned` oracle pins full
+    * pair-set equality against the SQL all-pairs recomputation).
+    *
+    * Scale shape: work = Σ over surviving cell pairs |cellᵢ|·|cellⱼ|.
+    * On clustered data (every real embedding corpus) radii are small and
+    * the shortlist is near-diagonal, so candidates/row stay bounded as k
+    * grows with n; on adversarially uniform data the bound degrades
+    * toward all-pairs — which is what ANY exact algorithm costs there.
+    * The shortlist itself is O(k²) driver work against driver-trained
+    * centroids (same contract as [[fit]]); the pair table broadcasts
+    * while small and falls back to a shuffle join above 2²⁰ entries. */
+  def semdedupPairsPruned(df: DataFrame, vecCol: String, idCol: String,
+                          threshold: Double, ncentroids: Int = 0,
+                          lloydIters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k =
+      if (ncentroids > 0) ncentroids
+      else {
+        val n = df.count()
+        math.max(8, math.min(4096, n / 64)).toInt
+      }
+    val cents = fit(df, vecCol, idCol, k, lloydIters)
+    val sims = Similarity.centroidSims(spark, cents, col(vecCol))
+    val nrm = sqrt(aggregate(col(vecCol).cast("array<double>"),
+      lit(0.0), (acc, x) => acc + x * x))
+    // one corpus scan: primary cell (first-max, ties to the lower cid —
+    // array_position finds the first occurrence) + TRUE cosine to that
+    // centroid (sims are dot/centroidNorm; divide by the row norm). The
+    // vector rides along so the candidate join verifies INLINE — at low
+    // pruning power (near-uniform data) the candidate set is the
+    // dominant intermediate, and looking vectors up by id afterwards
+    // would add two more shuffles of exactly that set.
+    val cells = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        sims.as("__sims"), nrm.as("__nrm"))
+      .select(col("id"), col("v"),
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1)
+          .cast("int").as("cid"),
+        (array_max(col("__sims")) / col("__nrm")).as("__cosc"))
+      .localCheckpoint(true)
+    // per-cell angular radius: max member angle to the owning centroid.
+    // Spark's max orders NaN above every double, so one zero-norm member
+    // (0/0 cosine) poisons its cell's radius to NaN -> pruning disabled
+    // for that cell, losslessness preserved.
+    val radii: Map[Int, Double] = cells
+      .filter(col("cid").isNotNull)
+      .groupBy("cid")
+      .agg(max(acos(least(lit(1.0), greatest(lit(-1.0), col("__cosc")))))
+        .as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val shortlist = prunedCellPairs(cents, radii, threshold)
+    // symmetric closure so the single ida < idb candidate join sees a
+    // straddling pair from whichever side holds the smaller id
+    val sym = shortlist.flatMap { case (i, j) =>
+      if (i == j) Seq((i, j)) else Seq((i, j), (j, i)) }
+    val pairsDf0 = spark.sparkContext
+      .parallelize(sym, math.max(1, sym.size / (1 << 17)))
+      .toDF("pa", "pb")
+    val pairsDf =
+      if (sym.size <= (1 << 20)) broadcast(pairsDf0) else pairsDf0
+    cells.select(col("id").as("ida"), col("v").as("va"), col("cid").as("pa"))
+      .join(pairsDf, "pa")
+      .join(cells.select(col("id").as("idb"), col("v").as("vb"),
+        col("cid").as("pb")), "pb")
+      .filter(col("ida") < col("idb"))
       .withColumn("cos",
         round(Similarity.cosineFast(spark, col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)

@@ -519,6 +519,60 @@ class OpsSpec extends SparkSpec {
         s"${found.size}/${exact.size}")
   }
 
+  test("semdedupPairsPruned: EXACT pair-set equality on near-uniform data") {
+    // loose threshold on near-uniform embeddings — the regime where
+    // generous-k blocking goes quadratic; pruning must stay lossless
+    val exact = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = Cluster.semdedupPairsPruned(emb, "embedding", "vec_id", 0.35)
+    val found = pruned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(found == exact, s"pruned must equal exact: ${found.size}/${exact.size}")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("semdedupPairsPruned: equality AND real pruning on planted clusters") {
+    import scala.util.Random
+    val rnd = new Random(11)
+    // 40 well-separated tight clusters of 6 in 16d
+    val rows = (0 until 40).flatMap { c =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat * 3f)
+      (0 until 6).map { j =>
+        val v = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+        ((c * 6 + j).toLong, v.toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", 0.9)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Cluster.semdedupPairsPruned(df, "embedding", "vec_id", 0.9,
+      ncentroids = 24)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 40 * 15, s"clusters must qualify: ${exact.size}")
+    assert(found == exact, s"${found.size}/${exact.size}")
+    // the shortlist itself must prune on separated clusters: recompute it
+    // the way semdedupPairsPruned does and check it is far from all-pairs
+    val cents = Cluster.fit(df, "embedding", "vec_id", 24)
+    val cid = org.apache.spark.sql.functions.element_at(
+      Cluster.assignCol(df, "embedding", cents, 1), 1)
+    val sims = Similarity.centroidSims(df.sparkSession, cents, col("embedding"))
+    val nrm = sqrt(aggregate(col("embedding").cast("array<double>"),
+      lit(0.0), (acc, x) => acc + x * x))
+    val cosc = array_max(sims) / nrm
+    val radii = df.select(cid.as("cid"), cosc.as("c"))
+      .groupBy("cid").agg(max(acos(least(lit(1.0), greatest(lit(-1.0), col("c"))))).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val kept = Cluster.prunedCellPairs(cents, radii, 0.9)
+    val all = radii.size.toLong * (radii.size + 1) / 2
+    assert(kept.size < all / 2,
+      s"tight separated clusters must prune cell pairs: ${kept.size}/$all")
+  }
+
   test("cluster assignment, sizes and balancedSample budgets") {
     val cents = Cluster.fit(emb, "embedding", "vec_id", k = 8)
     val n = emb.count()
