@@ -4478,6 +4478,55 @@ object OpsQueries {
       |           CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r
       |FROM g""".stripMargin
 
+  /** Hour-of-day seasonal profile per event type — zero-filled moments
+    * over key-days (see [[Insight.seasonalProfile]]); the SQL replays
+    * the count/count-distinct/moment formulas exactly. hod casts to
+    * long for DuckDB `hour()` BIGINT dtype parity. */
+  private def qEventsSeasonality(s: SparkSession, dir: String): DataFrame =
+    Insight.seasonalProfile(readEvents(s, dir), "event_type", "ts")
+      .withColumn("hod", col("hod").cast("long"))
+
+  private val oEventsSeasonality =
+    """WITH c AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    hour(CAST(ts AS TIMESTAMP)) AS hod, count(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |k AS (SELECT event_type,
+      |    CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+      |      AS n_days
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT event_type, hod,
+      |    CAST(count(*) AS BIGINT) AS days_active,
+      |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc,
+      |    CAST(max(c) AS BIGINT) AS max_c
+      |  FROM c GROUP BY 1, 2)
+      |SELECT g.event_type, g.hod, k.n_days, g.days_active,
+      |  round(CAST(sc AS DOUBLE) / n_days, 6) AS mean_c,
+      |  round(sqrt(greatest(CAST(scc AS DOUBLE) / n_days -
+      |    (CAST(sc AS DOUBLE) / n_days) * (CAST(sc AS DOUBLE) / n_days),
+      |    CAST(0 AS DOUBLE))), 6) AS sd_c,
+      |  max_c
+      |FROM g JOIN k USING (event_type)""".stripMargin
+
+  /** ORC source/sink round trip — the built-in columnar alternative to
+    * parquet for lake layouts: documents write to ORC (native Spark
+    * writer, zlib default) and read back through the vectorized ORC
+    * scan; per-row payload md5 + every scalar column must survive the
+    * format change bit-exactly. Predicate pushdown into the ORC scan is
+    * spec-asserted (LayoutSpec). */
+  private def qSourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(scratchRoot, "orc_rt").getAbsolutePath
+    t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        md5(col("text")).as("text_md5"))
+  }
+
+  private val oSourceOrcRoundtrip =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |  md5(text) AS text_md5 FROM documents""".stripMargin
+
   /** First-order Markov transition matrix of the event stream. */
   private def qEventsMarkov(s: SparkSession, dir: String): DataFrame =
     Insight.transitions(readEvents(s, dir), "user_id", "ts", "event_type",
@@ -4564,6 +4613,8 @@ object OpsQueries {
     "events_markov" -> (qEventsMarkov _),
     "events_changepoint" -> (qEventsChangepoint _),
     "events_autocorr" -> (qEventsAutocorr _),
+    "events_seasonality" -> (qEventsSeasonality _),
+    "source_orc_roundtrip" -> (qSourceOrcRoundtrip _),
     "graph_pagerank" -> (qGraphPagerank _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
@@ -4713,6 +4764,8 @@ object OpsQueries {
     "events_markov" -> oEventsMarkov,
     "events_changepoint" -> oEventsChangepoint,
     "events_autocorr" -> oEventsAutocorr,
+    "events_seasonality" -> oEventsSeasonality,
+    "source_orc_roundtrip" -> oSourceOrcRoundtrip,
     "graph_pagerank" -> oGraphPagerank,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,

@@ -27,7 +27,8 @@ object Plans {
       "text_tfidf", "curation_pipeline", "sample_stratified",
       "join_bloom", "sample_mixture", "profile_hll_rollup",
       "text_bm25", "sample_priority", "sample_dsir", "text_perplexity",
-      "dedup_semantic", "dedup_incremental_minhash",
+      "dedup_semantic", "dedup_semantic_pruned",
+      "dedup_incremental_minhash", "events_seasonality",
       "profile_kll_quantile", "events_kll_window",
       "web_domain_cap", "text_dedup_lines_global", "multimodal_cdc",
       "events_asof_forward", "link_fuzzy_join", "quality_expect",

@@ -226,7 +226,12 @@ object Cluster {
     * On clustered data (every real embedding corpus) radii are small and
     * the shortlist is near-diagonal, so candidates/row stay bounded as k
     * grows with n; on adversarially uniform data the bound degrades
-    * toward all-pairs — which is what ANY exact algorithm costs there.
+    * toward all-pairs — which is what ANY exact algorithm costs there,
+    * so when the exactly-costed candidate volume reaches half of
+    * all-pairs the op escapes to [[Dedup.embeddingNearDupPairs]]'s
+    * zero-shuffle broadcast-nested-loop scan instead of shuffling an
+    * all-pairs-sized candidate set through the blocked equi-join
+    * (never-worse-than-brute by construction; both regimes spec-pinned).
     * The shortlist itself is O(k²) driver work against driver-trained
     * centroids (same contract as [[fit]]); the pair table broadcasts
     * while small and falls back to a shuffle join above 2²⁰ entries. */
@@ -263,14 +268,33 @@ object Cluster {
     // per-cell angular radius: max member angle to the owning centroid.
     // Spark's max orders NaN above every double, so one zero-norm member
     // (0/0 cosine) poisons its cell's radius to NaN -> pruning disabled
-    // for that cell, losslessness preserved.
-    val radii: Map[Int, Double] = cells
+    // for that cell, losslessness preserved. Cell sizes ride along to
+    // cost the shortlist below.
+    val cellStats = cells
       .filter(col("cid").isNotNull)
       .groupBy("cid")
       .agg(max(acos(least(lit(1.0), greatest(lit(-1.0), col("__cosc")))))
-        .as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        .as("r"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    val radii = cellStats.map { case (cid, (r, _)) => cid -> r }
     val shortlist = prunedCellPairs(cents, radii, threshold)
+    // escape hatch: if the shortlist cannot beat brute force, run the
+    // brute force. Candidate volume is exactly computable from the cell
+    // sizes; when it reaches half of all-pairs, the blocked equi-join
+    // (which SHUFFLES the candidate set twice) loses to the zero-shuffle
+    // broadcast-nested-loop all-pairs scan — on data whose cell radii
+    // exceed the threshold angle (near-uniform embeddings at loose τ),
+    // pruning power is 0 and ANY exact method must score every pair, so
+    // take the cheapest plan that does. Output is identical either way.
+    val sz = cellStats.map { case (cid, (_, n)) => cid -> n }
+    val candVolume = shortlist.iterator.map { case (i, j) =>
+      val ni = sz.getOrElse(i, 0L); val nj = sz.getOrElse(j, 0L)
+      if (i == j) ni * (ni - 1) / 2 else ni * nj
+    }.sum
+    val nRows = sz.valuesIterator.sum
+    if (candVolume * 2 >= nRows * (nRows - 1) / 2)
+      return Dedup.embeddingNearDupPairs(df, vecCol, idCol, threshold)
     // symmetric closure so the single ida < idb candidate join sees a
     // straddling pair from whichever side holds the smaller id
     val sym = shortlist.flatMap { case (i, j) =>

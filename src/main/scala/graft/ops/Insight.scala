@@ -222,6 +222,41 @@ object Insight {
           sqrt(varX.cast("double") * varY.cast("double"))), 6).as("r"))
   }
 
+  /** Hour-of-day seasonal rate profile per key — the periodic
+    * complement of [[rateChangepoint]]/[[rateAutocorr]] in the drift
+    * family: an anomaly detector must know "Mondays 9am are always hot"
+    * before calling a spike drift. ZERO-FILLED moments: hours with no
+    * events on an active day count as 0, so the mean/variance are over
+    * key-days (count-distinct dates per key), not just observed (day,
+    * hour) cells — the observed-only estimate biases the mean up for
+    * sparse hours. One counts aggregate + one profile aggregate + a
+    * key-cardinality join (broadcast-scale); never a per-hour window.
+    * Columns: key, hod, n_days, days_active, mean_c, sd_c (population,
+    * 6 dp), max_c. */
+  def seasonalProfile(events: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val ts = col(tsCol).cast("timestamp")
+    val counts = events
+      .select(col(keyCol), to_date(ts).as("d"), hour(ts).as("hod"))
+      .groupBy(col(keyCol), col("d"), col("hod"))
+      .agg(count(lit(1)).as("c"))
+    val keyDays = events
+      .select(col(keyCol), to_date(ts).as("d"))
+      .groupBy(col(keyCol))
+      .agg(count_distinct(col("d")).as("n_days"))
+    val g = counts.groupBy(col(keyCol), col("hod"))
+      .agg(count(lit(1)).as("days_active"),
+        sum("c").as("__sc"), sum(col("c") * col("c")).as("__scc"),
+        max("c").as("max_c"))
+    val mean = col("__sc").cast("double") / col("n_days")
+    val variance = col("__scc").cast("double") / col("n_days") - mean * mean
+    g.join(keyDays, keyCol)
+      .select(col(keyCol), col("hod"), col("n_days"), col("days_active"),
+        round(mean, 6).as("mean_c"),
+        round(sqrt(greatest(variance, lit(0.0))), 6).as("sd_c"),
+        col("max_c"))
+  }
+
   /** First-order Markov transition matrix of an event stream: for each
     * user's (ts, tiebreak)-ordered event sequence, counts of adjacent
     * (src → dst) type pairs and the row-normalized probability. The lag

@@ -177,4 +177,24 @@ class InsightSpec extends SparkSpec {
       ("c","b"),("c","d"),("d","c"))
     assert(e == expected)
   }
+
+  test("seasonalProfile: zero-filled moments over key-days, hand-computed") {
+    // key A: day1 hod0 x3, day1 hod1 x1, day2 hod0 x1  (2 active days)
+    // hod0: counts over key-days = [3, 1]   -> mean 2, var 1, sd 1
+    // hod1: counts over key-days = [1, 0]   -> mean 0.5 (ZERO-FILLED day2)
+    def ts(day: Int, h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$day%d $h%02d:$m%02d:00")
+    val df = Seq(
+      ("A", ts(1, 0, 1)), ("A", ts(1, 0, 2)), ("A", ts(1, 0, 3)),
+      ("A", ts(1, 1, 0)), ("A", ts(2, 0, 0))
+    ).toDF("k", "ts")
+    val out = Insight.seasonalProfile(df, "k", "ts")
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    assert(out(0) == ((2L, 2L, 2.0, 1.0, 3L)))
+    // hod1 day2 has no events: observed-only mean would be 1.0; the
+    // zero-filled mean is 0.5 and sd over [1, 0] is 0.5
+    assert(out(1) == ((2L, 1L, 0.5, 0.5, 1L)))
+  }
 }

@@ -165,4 +165,21 @@ class LayoutSpec extends SparkSpec {
     val touched = m.filter(_.getAs[String]("min_doc_id").toLong <= k)
     assert(touched.length < m.length && touched.nonEmpty)
   }
+
+  test("ORC roundtrip preserves rows; filters push into the ORC scan") {
+    import spark.implicits._
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_orc")}/rt"
+    val df = (1L to 1000L).toSeq.map(i => (i, s"doc$i", (i % 7).toInt))
+      .toDF("id", "body", "grp")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).head.getLong(0) == 500500L)
+    val q = back.filter(col("grp") === 3).select("id")
+    val plan = q.queryExecution.executedPlan.toString
+    // vectorized ORC scan with the predicate pushed into the reader
+    assert(plan.contains("PushedFilters: [IsNotNull(grp), EqualTo(grp,3)]"),
+      plan)
+    assert(q.count() == (1L to 1000L).count(_ % 7 == 3))
+  }
 }

@@ -529,19 +529,24 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.nonEmpty)
     assert(found == exact, s"pruned must equal exact: ${found.size}/${exact.size}")
+    // on THIS data (cell radii ≈ 80° > 63° threshold angle) pruning power
+    // is 0, so the escape hatch must pick the zero-shuffle brute plan —
+    // a BroadcastNestedLoopJoin here is the CORRECT choice, not a smell
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"zero-pruning regime should take the brute path:\n$plan")
   }
 
   test("semdedupPairsPruned: equality AND real pruning on planted clusters") {
     import scala.util.Random
     val rnd = new Random(11)
-    // 40 well-separated tight clusters of 6 in 16d
-    val rows = (0 until 40).flatMap { c =>
-      val base = Array.fill(16)(rnd.nextGaussian().toFloat * 3f)
+    // 120 well-separated tight clusters of 6 in 32d — big enough that
+    // the blocked plan's candidate volume beats brute force, so the
+    // escape hatch must NOT fire and blocking must engage
+    val rows = (0 until 120).flatMap { c =>
+      val base = Array.fill(32)(rnd.nextGaussian().toFloat * 3f)
       (0 until 6).map { j =>
-        val v = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+        val v = base.map(x => x + 0.005f * rnd.nextGaussian().toFloat)
         ((c * 6 + j).toLong, v.toSeq)
       }
     }
@@ -549,15 +554,20 @@ class OpsSpec extends SparkSpec {
     val exact = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", 0.9)
       .select("ida", "idb").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val found = Cluster.semdedupPairsPruned(df, "embedding", "vec_id", 0.9,
-      ncentroids = 24)
+    val prunedDf = Cluster.semdedupPairsPruned(df, "embedding", "vec_id", 0.9,
+      ncentroids = 96)
+    val found = prunedDf
       .select("ida", "idb").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.size >= 40 * 15, s"clusters must qualify: ${exact.size}")
+    assert(exact.size >= 120 * 15, s"clusters must qualify: ${exact.size}")
     assert(found == exact, s"${found.size}/${exact.size}")
+    // tight separated clusters: blocking engages (no all-pairs fallback)
+    val plan = prunedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // the shortlist itself must prune on separated clusters: recompute it
     // the way semdedupPairsPruned does and check it is far from all-pairs
-    val cents = Cluster.fit(df, "embedding", "vec_id", 24)
+    val cents = Cluster.fit(df, "embedding", "vec_id", 96)
     val cid = org.apache.spark.sql.functions.element_at(
       Cluster.assignCol(df, "embedding", cents, 1), 1)
     val sims = Similarity.centroidSims(df.sparkSession, cents, col("embedding"))
