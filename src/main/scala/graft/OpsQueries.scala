@@ -421,6 +421,35 @@ object OpsQueries {
       |  JOIN sizes sb ON sb.doc_id = id_old
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5""".stripMargin
 
+  /** Incremental SEMANTIC dedup — the semantic twin of the exact/minhash
+    * incrementals: history (vec_id < 400) builds the persisted
+    * [[graft.ops.Cluster.semanticIndex]] (centroids + assigned cells
+    * with stored own-centroid cosines), the batch probes it, and every
+    * qualifying pair with at least one batch side must come out. The
+    * path is LOSSLESS (triangle-inequality shortlist over union cell
+    * stats, history never rescored) with the batch × union brute escape,
+    * so the oracle is full pair-set equality restricted to
+    * batch-involving pairs. */
+  private def qDedupIncrementalSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val path = new java.io.File(scratchRoot, "sem_index").getAbsolutePath
+    Cluster.semanticIndex(e.filter(col("vec_id") < 400), "embedding",
+      "vec_id", path)
+    Cluster.incrementalSemanticPairs(e.filter(col("vec_id") >= 400),
+      "embedding", "vec_id", path, threshold = 0.45)
+  }
+
+  private val oDedupIncrementalSemantic =
+    """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS ida, b.vec_id AS idb, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+      |SELECT ida, idb, round(d / (na.n * nb.n), 6) AS cos
+      |FROM dots JOIN norms na ON na.vec_id = ida JOIN norms nb ON nb.vec_id = idb
+      |WHERE round(d / (na.n * nb.n), 6) >= 0.45
+      |  AND (ida >= 400 OR idb >= 400)""".stripMargin
+
   /** Transitive near-dup survivors: min-id member per connected group of
     * jaccard≥0.5 pairs. */
   private def qDedupSurvivors(s: SparkSession, dir: String): DataFrame =
@@ -4652,6 +4681,7 @@ object OpsQueries {
     "dedup_incremental_exact" -> (qDedupIncrementalExact _),
     "dedup_incremental_bloom" -> (qDedupIncrementalBloom _),
     "dedup_incremental_minhash" -> (qDedupIncrementalMinhash _),
+    "dedup_incremental_semantic" -> (qDedupIncrementalSemantic _),
     "sim_topk" -> (qSimTopK _),
     "sim_topk_agg" -> (qSimTopKAgg _),
     "sim_topk_lsh" -> (qSimTopKLsh _),
@@ -4803,6 +4833,7 @@ object OpsQueries {
     "dedup_incremental_exact" -> oDedupIncrementalExact,
     "dedup_incremental_bloom" -> oDedupIncrementalExact,
     "dedup_incremental_minhash" -> oDedupIncrementalMinhash,
+    "dedup_incremental_semantic" -> oDedupIncrementalSemantic,
     "sim_topk" -> oSimTopK,
     "sim_topk_agg" -> oSimTopK,
     "sim_topk_lsh" -> oAnnWellFormed,

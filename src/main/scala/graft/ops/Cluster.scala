@@ -247,36 +247,10 @@ object Cluster {
         math.max(8, math.min(4096, n / 64)).toInt
       }
     val cents = fit(df, vecCol, idCol, k, lloydIters)
-    val sims = Similarity.centroidSims(spark, cents, col(vecCol))
-    val nrm = sqrt(aggregate(col(vecCol).cast("array<double>"),
-      lit(0.0), (acc, x) => acc + x * x))
-    // one corpus scan: primary cell (first-max, ties to the lower cid —
-    // array_position finds the first occurrence) + TRUE cosine to that
-    // centroid (sims are dot/centroidNorm; divide by the row norm). The
-    // vector rides along so the candidate join verifies INLINE — at low
-    // pruning power (near-uniform data) the candidate set is the
-    // dominant intermediate, and looking vectors up by id afterwards
-    // would add two more shuffles of exactly that set.
-    val cells = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        sims.as("__sims"), nrm.as("__nrm"))
-      .select(col("id"), col("v"),
-        (array_position(col("__sims"), array_max(col("__sims"))) - 1)
-          .cast("int").as("cid"),
-        (array_max(col("__sims")) / col("__nrm")).as("__cosc"))
-      .localCheckpoint(true)
-    // per-cell angular radius: max member angle to the owning centroid.
-    // Spark's max orders NaN above every double, so one zero-norm member
-    // (0/0 cosine) poisons its cell's radius to NaN -> pruning disabled
-    // for that cell, losslessness preserved. Cell sizes ride along to
-    // cost the shortlist below.
-    val cellStats = cells
-      .filter(col("cid").isNotNull)
-      .groupBy("cid")
-      .agg(max(acos(least(lit(1.0), greatest(lit(-1.0), col("__cosc")))))
-        .as("r"), count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2))))
-      .toMap
+    val cells = assignedCells(df, vecCol, idCol, cents).localCheckpoint(true)
+    // per-cell angular radius + size (one k-row collect): radii drive
+    // the shortlist, sizes cost it below
+    val cellStats = collectCellStats(cells)
     val radii = cellStats.map { case (cid, (r, _)) => cid -> r }
     val shortlist = prunedCellPairs(cents, radii, threshold)
     // escape hatch: if the shortlist cannot beat brute force, run the
@@ -313,6 +287,145 @@ object Cluster {
         round(Similarity.cosineFast(spark, col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select("ida", "idb", "cos")
+  }
+
+  /** One corpus scan producing the semantic-dedup working set: primary
+    * cell (first-max, ties to the lower cid — array_position finds the
+    * first occurrence) + TRUE cosine to the owning centroid (sims are
+    * dot/centroidNorm; divide by the row norm). The vector rides along
+    * so candidate joins verify INLINE — at low pruning power the
+    * candidate set is the dominant intermediate, and looking vectors up
+    * by id afterwards would add two more shuffles of exactly that set.
+    * Columns: (id, v, cid, __cosc). Also the persisted-cell-table
+    * schema of [[semanticIndex]]. */
+  private[graft] def assignedCells(df: DataFrame, vecCol: String,
+      idCol: String,
+      cents: Array[(Array[Double], Double)]): DataFrame = {
+    val spark = df.sparkSession
+    val sims = Similarity.centroidSims(spark, cents, col(vecCol))
+    val nrm = sqrt(aggregate(col(vecCol).cast("array<double>"),
+      lit(0.0), (acc, x) => acc + x * x))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sims.as("__sims"), nrm.as("__nrm"))
+      .select(col("id"), col("v"),
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1)
+          .cast("int").as("cid"),
+        (array_max(col("__sims")) / col("__nrm")).as("__cosc"))
+  }
+
+  /** Per-cell (angular radius, member count) from an assigned-cells
+    * table — the driver-side shortlist inputs. Spark's max orders NaN
+    * above every double, so one zero-norm member (0/0 cosine) poisons
+    * its cell's radius to NaN → pruning disabled for that cell,
+    * losslessness preserved. k-row collect, bounded by the centroid
+    * cap. */
+  private def collectCellStats(cells: DataFrame): Map[Int, (Double, Long)] =
+    cells.filter(col("cid").isNotNull)
+      .groupBy("cid")
+      .agg(max(acos(least(lit(1.0), greatest(lit(-1.0), col("__cosc")))))
+        .as("r"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+
+  /** Persist the train-once state for INCREMENTAL semantic dedup:
+    * centroids plus the assigned cell table (id, v, cid, __cosc) of the
+    * history corpus. A daily-increment pipeline builds this once and
+    * then probes each batch with [[incrementalSemanticPairs]] — history
+    * vectors are re-read from this table, never re-assigned: the stored
+    * __cosc is exactly what the radius aggregate needs, so the
+    * history's centroid-scoring work is never repeated. */
+  def semanticIndex(df: DataFrame, vecCol: String, idCol: String,
+                    path: String, ncentroids: Int = 0,
+                    lloydIters: Int = 3): Unit = {
+    val spark = df.sparkSession
+    val k =
+      if (ncentroids > 0) ncentroids
+      else {
+        val n = df.count()
+        math.max(8, math.min(4096, n / 64)).toInt
+      }
+    val cents = fit(df, vecCol, idCol, k, lloydIters)
+    saveCentroids(spark, cents, s"$path/centroids")
+    assignedCells(df, vecCol, idCol, cents)
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Incremental SemDeDup: every qualifying pair with AT LEAST ONE side
+    * in `batch`, against the persisted [[semanticIndex]] — the semantic
+    * twin of the exact/minhash incremental dedups: the batch is
+    * assigned against the PERSISTED centroids (cluster ids stay
+    * comparable across increments), the triangle-inequality shortlist
+    * is recomputed over the union's cell stats (history contributes its
+    * STORED __cosc — no vector rescoring), and candidates are
+    * new × (new ∪ old) only: old×old pairs were already reported by
+    * earlier increments and are never regenerated. LOSSLESS like
+    * [[semdedupPairsPruned]] (radii are over actual members, wherever
+    * the centroids came from), with the same never-worse-than-brute
+    * escape — here brute = batch × union, not union², so increment
+    * cost scales with the batch even when pruning power is 0.
+    * Returns (ida, idb, cos ≥ threshold), ida < idb. */
+  def incrementalSemanticPairs(batch: DataFrame, vecCol: String,
+                               idCol: String, indexPath: String,
+                               threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = loadCentroids(spark, s"$indexPath/centroids")
+    val newCells = assignedCells(batch, vecCol, idCol, cents)
+      .withColumn("isNew", lit(true)).localCheckpoint(true)
+    val oldCells = spark.read.parquet(s"$indexPath/cells")
+      .withColumn("isNew", lit(false))
+    val all = newCells.unionByName(oldCells)
+    val newStats = collectCellStats(newCells)
+    val oldStats = collectCellStats(oldCells)
+    val cids = (newStats.keySet ++ oldStats.keySet)
+    def merge(i: Int): (Double, Long) = {
+      val (rn, nn) = newStats.getOrElse(i, (0.0, 0L))
+      val (ro, no) = oldStats.getOrElse(i, (0.0, 0L))
+      // max with NaN-poisoning: NaN on either side wins
+      val r = if (rn.isNaN || ro.isNaN) Double.NaN else math.max(rn, ro)
+      (r, nn + no)
+    }
+    val stats = cids.map(i => i -> merge(i)).toMap
+    val radii = stats.map { case (i, (r, _)) => i -> r }
+    val shortlist = prunedCellPairs(cents, radii, threshold)
+    val sym = shortlist.flatMap { case (i, j) =>
+      if (i == j) Seq((i, j)) else Seq((i, j), (j, i)) }
+    // the pair condition dedups by construction: a new-old pair exists
+    // only from its new side; a new-new pair keeps the a.id < b.id
+    // orientation
+    def keepPair(aId: Column, bNew: Column, bId: Column): Column =
+      (!bNew && aId =!= bId) || (bNew && aId < bId)
+    val nNew = newStats.valuesIterator.map(_._2).sum
+    val nAll = nNew + oldStats.valuesIterator.map(_._2).sum
+    val joinVol = sym.iterator.map { case (i, j) =>
+      newStats.getOrElse(i, (0.0, 0L))._2 * stats.getOrElse(j, (0.0, 0L))._2
+    }.sum
+    val pairs =
+      if (joinVol * 2 >= nNew * nAll) {
+        // zero-pruning regime: zero-shuffle batch × union scan
+        newCells.select(col("id").as("aid"), col("v").as("va"))
+          .join(all.select(col("id").as("bid"), col("v").as("vb"),
+            col("isNew").as("bnew")),
+            keepPair(col("aid"), col("bnew"), col("bid")))
+      } else {
+        val pairsDf0 = spark.sparkContext
+          .parallelize(sym, math.max(1, sym.size / (1 << 17)))
+          .toDF("pa", "pb")
+        val pairsDf =
+          if (sym.size <= (1 << 20)) broadcast(pairsDf0) else pairsDf0
+        newCells
+          .select(col("id").as("aid"), col("v").as("va"), col("cid").as("pa"))
+          .join(pairsDf, "pa")
+          .join(all.select(col("id").as("bid"), col("v").as("vb"),
+            col("cid").as("pb"), col("isNew").as("bnew")), "pb")
+          .filter(keepPair(col("aid"), col("bnew"), col("bid")))
+      }
+    pairs
+      .select(least(col("aid"), col("bid")).as("ida"),
+        greatest(col("aid"), col("bid")).as("idb"),
+        round(Similarity.cosineFast(spark, col("va"), col("vb")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Cluster-balanced deterministic sample: up to `perCluster` rows per

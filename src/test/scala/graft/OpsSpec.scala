@@ -583,6 +583,56 @@ class OpsSpec extends SparkSpec {
       s"tight separated clusters must prune cell pairs: ${kept.size}/$all")
   }
 
+  test("incrementalSemanticPairs ≡ from-scratch restricted to batch pairs, both regimes") {
+    import scala.util.Random
+    val dir = java.nio.file.Files.createTempDirectory("graft_semidx")
+    // regime 1: near-uniform (emb fixture) — escape hatch, batch × union
+    val split = 300L
+    val idx1 = s"$dir/uniform"
+    graft.ops.Cluster.semanticIndex(
+      emb.filter(col("vec_id") < split), "embedding", "vec_id", idx1)
+    val inc1 = graft.ops.Cluster.incrementalSemanticPairs(
+      emb.filter(col("vec_id") >= split), "embedding", "vec_id", idx1, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full1 = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 >= split || p._2 >= split).toSet
+    assert(full1.nonEmpty)
+    assert(inc1 == full1, s"uniform: ${inc1.size}/${full1.size}")
+    // regime 2: planted clusters — blocked path engages
+    val rnd = new Random(13)
+    val rows = (0 until 120).flatMap { c =>
+      val base = Array.fill(32)(rnd.nextGaussian().toFloat * 3f)
+      (0 until 6).map { j =>
+        val v = base.map(x => x + 0.005f * rnd.nextGaussian().toFloat)
+        ((c * 6 + j).toLong, v.toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // PARITY split: every cluster contributes to history AND batch, so
+    // the history centroids cover the batch, radii stay tight, and the
+    // blocked path must engage. (A batch of NOVEL clusters instead
+    // blows its radii up — the history centroids genuinely cannot prune
+    // it — and the op correctly escapes to batch × union; that regime
+    // is the uniform case above.)
+    val idx2 = s"$dir/clustered"
+    graft.ops.Cluster.semanticIndex(
+      df.filter(col("vec_id") % 2 === 0), "embedding", "vec_id", idx2,
+      ncentroids = 96)
+    val incDf = graft.ops.Cluster.incrementalSemanticPairs(
+      df.filter(col("vec_id") % 2 === 1), "embedding", "vec_id", idx2, 0.9)
+    val inc2 = incDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full2 = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1).toSet
+    assert(full2.size >= 120 * 9, s"batch pairs must qualify: ${full2.size}")
+    assert(inc2 == full2, s"clustered: ${inc2.size}/${full2.size}")
+    val plan = incDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"covered-cluster increment must use the blocked path:\n$plan")
+  }
+
   test("cluster assignment, sizes and balancedSample budgets") {
     val cents = Cluster.fit(emb, "embedding", "vec_id", k = 8)
     val n = emb.count()
