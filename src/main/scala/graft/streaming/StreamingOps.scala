@@ -26,6 +26,17 @@ final case class BucketState(docs: List[MemberSig])
   * (fraction of agreeing signature components ≈ Jaccard). */
 final case class CandidatePair(ida: Long, idb: Long, simhat: Double)
 
+/** One (table, bucket) sign-LSH posting of an arriving embedding. */
+final case class BandedVec(tbl: Int, bucket: Long, vec_id: Long,
+                           vec: Seq[Float], ts: Timestamp)
+
+final case class MemberVec(id: Long, vec: Seq[Float])
+
+final case class VecBucketState(vecs: List[MemberVec])
+
+/** Exact-cosine-verified embedding near-dup pair from the stream. */
+final case class EmbPair(ida: Long, idb: Long, cos: Double)
+
 /** One document at the per-domain admission gate. */
 final case class DomainDoc(domain: String, ts: Timestamp, id: Long)
 
@@ -301,6 +312,87 @@ object StreamingOps {
               // anchor at this bucket's newest event (not the watermark,
               // which lags a batch — anchoring there would evict buckets
               // the moment the watermark catches up)
+              val groupMax = it0.iterator.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), groupMax), idle)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming EMBEDDING near-dup detection — the live twin of
+    * [[graft.ops.Dedup.embeddingNearDupPairsLsh]] and the semantic
+    * complement of [[minhashPairsStream]]: each arriving vector's
+    * sign-LSH signature (same deterministic plane family as the batch
+    * path — live and backfill agree) posts it into `tables` bucket
+    * states; a new arrival is compared against its buckets' members
+    * with the EXACT cosine (the same fused JVM loop the batch
+    * `graft_cosine` expression calls, so verified pairs are bit-equal
+    * to the batch answer — unlike minhash, the vector itself is in
+    * state, so the stream CAN verify exactly). Emits (ida, idb,
+    * cos ≥ threshold) with cos rounded to 6 dp, at-least-once per pair
+    * across tables — dedup downstream, same contract as
+    * [[minhashPairsStream]].
+    *
+    * State: ≤ `maxBucket` (id, vector) entries per bucket (dim·4 bytes
+    * each), expired via the same watermark-anchored event-time timeout
+    * as the minhash twin when `tsCol` is given; the batch op is the
+    * backfill corrector across evictions. */
+  def embeddingPairsStream(vecs: DataFrame, vecCol: String, idCol: String,
+                           threshold: Double, nbits: Int = 4,
+                           tables: Int = 48, dim: Int = 64,
+                           seedBase: Long = 42L, maxBucket: Int = 1000,
+                           tsCol: Option[String] = None,
+                           idle: String = "1 hour",
+                           lateness: String = "15 minutes"): Dataset[EmbPair] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val src = tsCol.map(tc => vecs.withWatermark(tc, lateness))
+      .getOrElse(vecs)
+    val sig = graft.ops.Similarity.lshSignatures(spark, col(vecCol), nbits,
+      dim, tables, seedBase)
+    val banded = src
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+        posexplode(sig).as(Seq("tbl", "bucket")),
+        tsCol.map(tc => col(tc).as("ts"))
+          .getOrElse(lit(null).cast("timestamp").as("ts")))
+      .as[BandedVec]
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    banded.groupByKey(d => (d.tbl, d.bucket))
+      .flatMapGroupsWithState[VecBucketState, EmbPair](
+        OutputMode.Append(), timeoutConf) {
+        case (_, it, state: GroupState[VecBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val it0 = it.toSeq
+            var members = state.getOption.map(_.vecs).getOrElse(Nil)
+            val seen = scala.collection.mutable.Set(members.map(_.id): _*)
+            val out = List.newBuilder[EmbPair]
+            it0.sortBy(_.vec_id).foreach { d =>
+              if (!seen.contains(d.vec_id)) {
+                val dv = d.vec.toArray
+                members.foreach { m =>
+                  val c = round6(graft.functions.CosineSimilarity
+                    .compute(m.vec.toArray, dv))
+                  if (c >= threshold)
+                    out += EmbPair(math.min(m.id, d.vec_id),
+                      math.max(m.id, d.vec_id), c)
+                }
+                if (members.size < maxBucket) {
+                  members = MemberVec(d.vec_id, d.vec) :: members
+                  seen += d.vec_id
+                }
+              }
+            }
+            state.update(VecBucketState(members))
+            if (tsCol.isDefined) {
               val groupMax = it0.iterator.map(_.ts.getTime).max
               state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs(), groupMax), idle)

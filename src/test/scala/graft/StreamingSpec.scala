@@ -527,6 +527,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embeddingPairsStream matches the batch LSH pair set with exact cosines") {
+    implicit val ctx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val batch = graft.ops.Dedup.embeddingNearDupPairsLsh(
+        emb, "embedding", "vec_id", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty)
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.embeddingPairsStream(
+        input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id", 0.45)
+      .writeStream.format("memory").queryName("evp")
+      .outputMode("append").start()
+    try {
+      // split mid-corpus: pairs must be found ACROSS micro-batches
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      // at-least-once per table -> distinct; cosines are the same fused
+      // JVM loop the batch graft_cosine calls, so the whole (ida, idb,
+      // cos) triple must agree bit for bit
+      val streamed = spark.table("evp").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"only-stream ${(streamed -- batch).take(3)}, " +
+          s"only-batch ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("embeddingPairsStream with tsCol evicts idle buckets") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val v1: Seq[Float] = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val far: Seq[Float] = Seq.tabulate(8)(i => if (i == 7) -5f else 0.1f)
+    val input = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val q = StreamingOps.embeddingPairsStream(
+        input.toDF().toDF("vec_id", "ts", "embedding"), "embedding",
+        "vec_id", 0.9, dim = 8, tsCol = Some("ts"), idle = "10 minutes",
+        lateness = "1 minute")
+      .writeStream.format("memory").queryName("evev")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), v1), (2L, ts(1), v1.map(_ * 2f)))
+      q.processAllAvailable()
+      val pairs = spark.table("evev").select("ida", "idb").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+      val peak = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(peak > 0L)
+      // advance the watermark far past idle; sweep on the next batches
+      input.addData((50L, ts(60), far)); q.processAllAvailable()
+      input.addData((51L, ts(61), far.map(_ * 3f))); q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed >= peak,
+        s"idle buckets must be evicted: peak=$peak removed=$removed")
+      // an evicted bucket cannot pair a far-future near-dup with vec 1
+      input.addData((52L, ts(62), v1.map(_ * 4f))); q.processAllAvailable()
+      val pairs2 = spark.table("evev").select("ida", "idb").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs2.contains((1L, 52L)), "vec 1's buckets were evicted")
+    } finally q.stop()
+  }
+
   test("minhashPairsStream with tsCol evicts idle band buckets; state stays bounded") {
     implicit val ctx = spark.sqlContext
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
