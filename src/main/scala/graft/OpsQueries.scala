@@ -4584,6 +4584,42 @@ object OpsQueries {
       .select(col("id").as("part"), col("rank_units"), col("rank"))
   }
 
+  /** Exact triangle census of the co-purchase graph via degree-ordered
+    * orientation (see [[Graph.triangleStats]]) — all-integer outputs
+    * plus transitivity as a double of exact integers. */
+  private def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    Graph.triangleStats(
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"))
+  }
+
+  private val oGraphTriangles =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |  FROM lineitem),
+      |e AS (SELECT DISTINCT a.item AS u, b.item AS v FROM items a
+      |  JOIN items b ON a.g = b.g AND a.item < b.item),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM
+      |  (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+      |  GROUP BY id),
+      |o AS (SELECT
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |      THEN u ELSE v END AS s,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |      THEN v ELSE u END AS t
+      |  FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM o e1 JOIN o e2 ON e2.s = e1.t
+      |  WHERE EXISTS (SELECT 1 FROM o e3
+      |    WHERE e3.s = e1.s AND e3.t = e2.t)),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+      |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+      |  round(CASE WHEN n_wedges > 0
+      |    THEN 3 * CAST(n_triangles AS DOUBLE) / n_wedges
+      |    ELSE CAST(0 AS DOUBLE) END, 6) AS transitivity
+      |FROM st, ne, tri""".stripMargin
+
   private val oGraphPagerank = {
     val iter = (k: Int) =>
       s"""r$k AS (SELECT v.id,
@@ -4645,6 +4681,7 @@ object OpsQueries {
     "events_seasonality" -> (qEventsSeasonality _),
     "source_orc_roundtrip" -> (qSourceOrcRoundtrip _),
     "graph_pagerank" -> (qGraphPagerank _),
+    "graph_triangles" -> (qGraphTriangles _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -4797,6 +4834,7 @@ object OpsQueries {
     "events_seasonality" -> oEventsSeasonality,
     "source_orc_roundtrip" -> oSourceOrcRoundtrip,
     "graph_pagerank" -> oGraphPagerank,
+    "graph_triangles" -> oGraphTriangles,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

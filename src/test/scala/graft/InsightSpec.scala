@@ -197,4 +197,24 @@ class InsightSpec extends SparkSpec {
     // zero-filled mean is 0.5 and sd over [1, 0] is 0.5
     assert(out(1) == ((2L, 1L, 0.5, 0.5, 1L)))
   }
+
+  test("triangleStats: K4, star, and directed-input canonicalization") {
+    // K4: 4 triangles, 6 edges, wedges = 4*C(3,2) = 12, transitivity 1
+    val k4 = (for { u <- 0 to 3; v <- 0 to 3 if u != v }
+      yield (u.toLong, v.toLong)).toDF("src", "dst")
+    val r1 = Graph.triangleStats(k4).head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getDouble(4)) == ((4L, 6L, 4L, 12L, 1.0)))
+    // star K1,4: no triangles, 4 edges, wedges = C(4,2) = 6
+    val star = (1 to 4).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+      .toDF("src", "dst")
+    val r2 = Graph.triangleStats(star).head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
+      r2.getDouble(4)) == ((5L, 4L, 0L, 6L, 0.0)))
+    // one-directional input with dup edges and a self-loop canonicalizes
+    val messy = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    val r3 = Graph.triangleStats(messy).head
+    assert((r3.getLong(1), r3.getLong(2)) == ((3L, 1L)))
+  }
 }
