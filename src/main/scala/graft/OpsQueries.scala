@@ -4646,6 +4646,73 @@ object OpsQueries {
        |FROM r5 ORDER BY u DESC, id LIMIT 20""".stripMargin
   }
 
+  /** Coreness of every part in the co-purchase graph after a FIXED 8
+    * h-index iterations (not converged — the fixed count is the
+    * cross-engine contract; production uses `converge = true`). Exact
+    * integers, full vertex table. */
+  private def qGraphCoreness(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey")
+    Graph.coreness(edges, iterations = 8)
+      .select(col("id").as("part"), col("coreness"))
+  }
+
+  private val oGraphCoreness = {
+    val iter = (k: Int) =>
+      s"""c$k AS (SELECT id, CAST(max(rn) AS INT) AS c FROM (
+         |    SELECT a.id, p.c AS nc,
+         |      row_number() OVER (PARTITION BY a.id ORDER BY p.c DESC) AS rn
+         |    FROM adj a JOIN c${k - 1} p ON a.nbr = p.id)
+         |  WHERE nc >= rn GROUP BY id)""".stripMargin
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT a.item AS u, b.item AS v FROM items a
+       |  JOIN items b ON a.g = b.g AND a.item < b.item),
+       |adj AS (SELECT u AS id, v AS nbr FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |c0 AS (SELECT id, CAST(count(*) AS INT) AS c FROM adj GROUP BY id),
+       |${(1 to 8).map(iter).mkString(",\n")}
+       |SELECT id AS part, c AS coreness FROM c8""".stripMargin
+  }
+
+  /** The 80-core of the co-purchase graph by iterative peeling —
+    * surviving per-part in-core degrees (exact fixpoint; the oracle
+    * unrolls 12 peel rounds, idempotent once the fixpoint is reached,
+    * vs ≤6 rounds measured at sf0.1). */
+  private def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey")
+    val core = Graph.kCore(edges, k = 80)
+    core.select(col("src").as("id"))
+      .unionAll(core.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .select(col("id").as("part"), col("deg"))
+  }
+
+  private val oGraphKcore = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // one three times — inlined, the 12-round unroll would expand to
+    // 3^12 scans of the base table
+    val round = (r: Int) =>
+      s"""d$r AS MATERIALIZED (SELECT id FROM (
+         |    SELECT id, count(*) AS d FROM (
+         |      SELECT src AS id FROM e${r - 1}
+         |      UNION ALL SELECT dst FROM e${r - 1}) GROUP BY id)
+         |  WHERE d >= 80),
+         |e$r AS MATERIALIZED (SELECT src, dst FROM e${r - 1}
+         |  WHERE src IN (SELECT id FROM d$r)
+         |    AND dst IN (SELECT id FROM d$r))""".stripMargin
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+       |  FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+       |  FROM items a
+       |  JOIN items b ON a.g = b.g AND a.item < b.item),
+       |${(1 to 12).map(round).mkString(",\n")}
+       |SELECT id AS part, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT src AS id FROM e12 UNION ALL SELECT dst FROM e12)
+       |GROUP BY id""".stripMargin
+  }
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4682,6 +4749,8 @@ object OpsQueries {
     "source_orc_roundtrip" -> (qSourceOrcRoundtrip _),
     "graph_pagerank" -> (qGraphPagerank _),
     "graph_triangles" -> (qGraphTriangles _),
+    "graph_coreness" -> (qGraphCoreness _),
+    "graph_kcore" -> (qGraphKcore _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -4835,6 +4904,8 @@ object OpsQueries {
     "source_orc_roundtrip" -> oSourceOrcRoundtrip,
     "graph_pagerank" -> oGraphPagerank,
     "graph_triangles" -> oGraphTriangles,
+    "graph_coreness" -> oGraphCoreness,
+    "graph_kcore" -> oGraphKcore,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

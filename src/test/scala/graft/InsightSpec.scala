@@ -198,6 +198,34 @@ class InsightSpec extends SparkSpec {
     assert(out(1) == ((2L, 1L, 0.5, 0.5, 1L)))
   }
 
+  test("coreness: K4-with-tail hand case; kCore peel agrees with coreness") {
+    // K4 on 1..4 (coreness 3) + vertex 5 on {1,2} (coreness 2) +
+    // vertex 6 hanging off 5 (coreness 1)
+    val edges = (for { u <- 1 to 4; v <- 1 to 4 if u < v }
+      yield (u.toLong, v.toLong)).toSeq ++
+      Seq((5L, 1L), (5L, 2L), (6L, 5L))
+    val df = edges.toDF("src", "dst")
+    val c = Graph.coreness(df, iterations = 50, converge = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 2, 6L -> 1))
+    // k-core peel = induced subgraph on coreness >= k, for every k
+    for (k <- 1 to 4) {
+      val core = Graph.kCore(df, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val keep = c.filter(_._2 >= k).keySet
+      val expected = edges.map { case (u, v) =>
+        (math.min(u, v), math.max(u, v)) }
+        .filter { case (u, v) => keep(u) && keep(v) }.toSet
+      assert(core == expected, s"k=$k")
+    }
+    // a pure path is all coreness 1 and needs several h-index rounds
+    val path = (1L to 5L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("src", "dst")
+    val cp = Graph.coreness(path, iterations = 50, converge = true)
+      .collect().map(r => r.getInt(1)).toSet
+    assert(cp == Set(1))
+  }
+
   test("triangleStats: K4, star, and directed-input canonicalization") {
     // K4: 4 triangles, 6 edges, wedges = 4*C(3,2) = 12, transitivity 1
     val k4 = (for { u <- 0 to 3; v <- 0 to 3 if u != v }
