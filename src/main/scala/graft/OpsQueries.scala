@@ -4713,6 +4713,35 @@ object OpsQueries {
        |GROUP BY id""".stripMargin
   }
 
+  /** Degree assortativity of the co-purchase graph — exact-integer
+    * sums, one double division (see [[Graph.assortativity]]). */
+  private def qGraphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    Graph.assortativity(
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"))
+  }
+
+  private val oGraphAssortativity =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |  FROM lineitem),
+      |e AS (SELECT DISTINCT a.item AS u, b.item AS v FROM items a
+      |  JOIN items b ON a.g = b.g AND a.item < b.item),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM
+      |  (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+      |  GROUP BY id),
+      |ends AS (SELECT du.d AS du, dv.d AS dv
+      |  FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(du + dv) AS HUGEINT) AS s1,
+      |    CAST(sum(2 * du * dv) AS HUGEINT) AS s2,
+      |    CAST(sum(du * du + dv * dv) AS HUGEINT) AS s3 FROM ends)
+      |SELECT m AS n_edges,
+      |  round(CASE WHEN 2 * m * s3 - s1 * s1 <> 0
+      |    THEN CAST(2 * m * s2 - s1 * s1 AS DOUBLE) /
+      |         CAST(2 * m * s3 - s1 * s1 AS DOUBLE) END, 6)
+      |    AS assortativity
+      |FROM s""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4751,6 +4780,7 @@ object OpsQueries {
     "graph_triangles" -> (qGraphTriangles _),
     "graph_coreness" -> (qGraphCoreness _),
     "graph_kcore" -> (qGraphKcore _),
+    "graph_assortativity" -> (qGraphAssortativity _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -4906,6 +4936,7 @@ object OpsQueries {
     "graph_triangles" -> oGraphTriangles,
     "graph_coreness" -> oGraphCoreness,
     "graph_kcore" -> oGraphKcore,
+    "graph_assortativity" -> oGraphAssortativity,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

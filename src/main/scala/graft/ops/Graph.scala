@@ -285,6 +285,61 @@ object Graph {
     e
   }
 
+  /** Degree ASSORTATIVITY — the Pearson correlation of (deg(u), deg(v))
+    * over the directed edge multiset (both directions of each
+    * undirected edge, Newman 2002). Everything before the final
+    * division is an exact integer: with S1 = Σ du, S2 = Σ du·dv,
+    * S3 = Σ du² over the 2m directed endpoints,
+    *
+    *   r = (2m·S2 − S1²) / (2m·S3 − S1²)
+    *
+    * Sums accumulate as DECIMAL(38,0) (a 10⁷-degree hub squared times
+    * 10⁹ edges overflows BIGINT), the ratio is one double division of
+    * exact integers, rounded to 6 dp — bit-identical cross-engine, the
+    * same rails as [[pagerank]] and [[triangleStats]]. Plan: degree
+    * aggregate, two broadcast joins of the degree table (≤ ~4M vertices;
+    * past the cap the hints drop and AQE shuffles), one global
+    * aggregate. Disassortative graphs (hubs link to leaves — most
+    * crawl/co-purchase graphs) give r < 0; r is null for degree-regular
+    * graphs (zero variance). */
+  def assortativity(edges: DataFrame,
+                    broadcastVertexCap: Long = 4L << 20): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val n = deg.count()
+    def maybeB(df: DataFrame): DataFrame =
+      if (n <= broadcastVertexCap) broadcast(df) else df
+    val dec = "decimal(38,0)"
+    val ends = e
+      .join(maybeB(deg.select(col("id").as("u"), col("d").as("du"))), "u")
+      .join(maybeB(deg.select(col("id").as("v"), col("d").as("dv"))), "v")
+      // both directions of each edge: (du,dv) and (dv,du)
+      .select(col("du"), col("dv"))
+    val sums = ends.agg(
+      count(lit(1)).as("m"),
+      sum((col("du") + col("dv")).cast(dec)).as("s1"),
+      sum((col("du") * col("dv") * lit(2)).cast(dec)).as("s2"),
+      sum((col("du") * col("du") + col("dv") * col("dv")).cast(dec))
+        .as("s3"))
+    sums.select(
+      col("m").as("n_edges"),
+      round(
+        when(lit(2) * col("m") * col("s3") - col("s1") * col("s1") =!= 0,
+          (lit(2) * col("m") * col("s2") - col("s1") * col("s1"))
+            .cast("double") /
+          (lit(2) * col("m") * col("s3") - col("s1") * col("s1"))
+            .cast("double")),
+        6).as("assortativity"))
+  }
+
   /** Co-occurrence edges: for rows sharing `groupCol`, every ordered
     * pair of DISTINCT `itemCol` values becomes a directed edge (both
     * directions — the symmetric projection of the bipartite

@@ -226,6 +226,20 @@ class InsightSpec extends SparkSpec {
     assert(cp == Set(1))
   }
 
+  test("assortativity: star is -1, regular graphs are null, path-3 is -1") {
+    // K1,3 star: hub degree 3, leaves 1 — perfectly disassortative
+    val star = (1 to 3).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val r1 = Graph.assortativity(star).head
+    assert(r1.getLong(0) == 3L && r1.getDouble(1) == -1.0)
+    // 4-cycle: degree-regular, zero variance -> null (not NaN)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r2 = Graph.assortativity(cyc).head
+    assert(r2.getLong(0) == 4L && r2.isNullAt(1))
+    // path 1-2-3: hand-computed r = -1 (ends meet only the middle)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.assortativity(path).head.getDouble(1) == -1.0)
+  }
+
   test("triangleStats: K4, star, and directed-input canonicalization") {
     // K4: 4 triangles, 6 edges, wedges = 4*C(3,2) = 12, transitivity 1
     val k4 = (for { u <- 0 to 3; v <- 0 to 3 if u != v }
