@@ -4742,6 +4742,83 @@ object OpsQueries {
       |    AS assortativity
       |FROM s""".stripMargin
 
+  /** Per-part local clustering coefficient over the co-purchase graph —
+    * per-vertex triangle corners on the oriented wedge stream, lcc in
+    * integer micro-units + one exact-input double division (see
+    * [[Graph.localClustering]]). */
+  private def qGraphClustering(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    Graph.localClustering(
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"))
+      .select(col("id").as("part"), col("deg"), col("triangles"),
+        col("lcc_micro"), col("lcc"))
+  }
+
+  private val oGraphClustering =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |  FROM lineitem),
+      |e AS (SELECT DISTINCT a.item AS u, b.item AS v FROM items a
+      |  JOIN items b ON a.g = b.g AND a.item < b.item),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM
+      |  (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+      |  GROUP BY id),
+      |o AS (SELECT
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |      THEN u ELSE v END AS s,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |      THEN v ELSE u END AS t
+      |  FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+      |tw AS (SELECT e1.s AS s, e1.t AS t, e2.t AS w
+      |  FROM o e1 JOIN o e2 ON e2.s = e1.t
+      |  WHERE EXISTS (SELECT 1 FROM o e3
+      |    WHERE e3.s = e1.s AND e3.t = e2.t)),
+      |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM
+      |  (SELECT s AS id FROM tw UNION ALL SELECT t FROM tw
+      |   UNION ALL SELECT w FROM tw) GROUP BY id)
+      |SELECT deg.id AS part, deg.d AS deg,
+      |  coalesce(tri, 0) AS triangles,
+      |  CASE WHEN d >= 2
+      |    THEN 2 * coalesce(tri, 0) * 1000000 // (d * (d - 1)) END
+      |    AS lcc_micro,
+      |  CAST(CASE WHEN d >= 2
+      |    THEN 2 * coalesce(tri, 0) * 1000000 // (d * (d - 1)) END
+      |    AS DOUBLE) / 1000000 AS lcc
+      |FROM deg LEFT JOIN tc ON tc.id = deg.id""".stripMargin
+
+  /** Common-neighbor link prediction on the mod-4 co-purchase subgraph
+    * (the wedge volume of the full graph is the honest Σ C(d,2) cost —
+    * the subgraph keeps the bench query inside one shuffle budget while
+    * the operator itself stays exact): top-50 non-adjacent part pairs
+    * by exact shared-neighbor count (see [[Graph.commonNeighbors]]). */
+  private def qGraphLinkpred(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    Graph.commonNeighbors(
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"))
+      .orderBy(col("common").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
+  private val oGraphLinkpred =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |  FROM lineitem WHERE l_partkey % 4 = 0),
+      |e AS (SELECT DISTINCT a.item AS u, b.item AS v FROM items a
+      |  JOIN items b ON a.g = b.g AND a.item < b.item),
+      |adj AS (SELECT u AS id, v AS nbr FROM e
+      |  UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM adj
+      |  GROUP BY id),
+      |w AS (SELECT a.nbr AS u, b.nbr AS v,
+      |    CAST(count(*) AS BIGINT) AS common
+      |  FROM adj a JOIN adj b ON a.id = b.id AND a.nbr < b.nbr
+      |  GROUP BY 1, 2)
+      |SELECT u, v, common, du.d AS du, dv.d AS dv,
+      |  common * 1000000 // (du.d + dv.d - common) AS jaccard_micro
+      |FROM w JOIN deg du ON du.id = w.u JOIN deg dv ON dv.id = w.v
+      |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v)
+      |ORDER BY common DESC, u, v LIMIT 50""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4781,6 +4858,8 @@ object OpsQueries {
     "graph_coreness" -> (qGraphCoreness _),
     "graph_kcore" -> (qGraphKcore _),
     "graph_assortativity" -> (qGraphAssortativity _),
+    "graph_clustering" -> (qGraphClustering _),
+    "graph_linkpred" -> (qGraphLinkpred _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
     "warc_roundtrip" -> (qWarcRoundtrip _),
@@ -4937,6 +5016,8 @@ object OpsQueries {
     "graph_coreness" -> oGraphCoreness,
     "graph_kcore" -> oGraphKcore,
     "graph_assortativity" -> oGraphAssortativity,
+    "graph_clustering" -> oGraphClustering,
+    "graph_linkpred" -> oGraphLinkpred,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,
     "warc_roundtrip" -> oWarcRoundtrip,

@@ -340,6 +340,137 @@ object Graph {
         6).as("assortativity"))
   }
 
+  /** Per-vertex LOCAL CLUSTERING COEFFICIENT — for each vertex, the
+    * fraction of its neighbour pairs that are themselves connected:
+    * lcc(v) = 2·tri(v) / (d(v)·(d(v)−1)). Per-vertex triangle counts
+    * come from the same degree-ordered orientation as
+    * [[triangleStats]] (each triangle closes exactly one oriented
+    * wedge, so the wedge stream is Σ outdeg² ≤ O(m^1.5) — hub-proof),
+    * with each closed wedge exploded to its three corners and counted
+    * per corner: one extra map-side explode + one aggregate over
+    * TRIANGLE rows (bounded by the triangle count, typically ≪ the
+    * wedge count) beyond the census. Triangle counts and degrees are
+    * exact integers; lcc reports in INTEGER MICRO-UNITS
+    * (lcc_micro = 2·tri·10⁶ div (d·(d−1)) — integer div truncates the
+    * same on every engine) plus the display double lcc_micro/10⁶ (one
+    * exact-input IEEE division) — the same rails as [[pagerank]],
+    * chosen because a per-vertex round() would fork engines on any
+    * vertex whose lcc happens to terminate one digit past the rounding
+    * precision (e.g. 1/128). Vertices of degree < 2 report null (no
+    * neighbour pair to close).
+    *
+    * @param edges undirected edge list (either or both directions;
+    *              self-loops and duplicates dropped)
+    * @return (id, deg BIGINT, triangles BIGINT, lcc_micro BIGINT,
+    *         lcc DOUBLE) */
+  def localClustering(edges: DataFrame,
+                      broadcastEdgeCap: Long = 4L << 20): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val m = e.count()
+    def maybeB(df: DataFrame): DataFrame =
+      if (m <= broadcastEdgeCap) broadcast(df) else df
+    val deg = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val ew = e
+      .join(maybeB(deg.select(col("id").as("u"), col("d").as("du"))), "u")
+      .join(maybeB(deg.select(col("id").as("v"), col("d").as("dv"))), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = ew.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(true)
+    // closed wedges = triangle rows (one per triangle), then 3 corners
+    val triRows = o.as("e1")
+      .join(maybeB(o.select(col("s").as("t"), col("t").as("w"))).as("e2"),
+        "t")
+      .join(maybeB(o.select(col("s"), col("t").as("w"))).as("e3"),
+        Seq("s", "w"), "left_semi")
+    val tri = triRows
+      .select(explode(array(col("s"), col("t"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("d").as("deg"),
+        coalesce(col("tri"), lit(0L)).as("triangles"))
+      .withColumn("lcc_micro",
+        when(col("deg") >= 2,
+          expr("2 * triangles * 1000000 DIV (deg * (deg - 1))")))
+      .withColumn("lcc", col("lcc_micro").cast("double") / 1000000)
+  }
+
+  /** COMMON-NEIGHBOR link prediction — for every NON-adjacent vertex
+    * pair sharing at least one neighbour, the exact number of shared
+    * neighbours (the classic link-prediction baseline; Liben-Nowell &
+    * Kleinberg 2003). Wedges are generated through each CENTER vertex
+    * (adjacency self-joined on the center, emitting each unordered end
+    * pair once), counted per pair with map-side partial aggregation,
+    * then already-connected pairs leave via one anti-join against the
+    * canonical edge set. Counts are exact integers, so the top-k order
+    * (count desc, then (u, v)) is total and cross-engine stable.
+    *
+    * Cost is Σ_v C(d(v), 2) wedge rows — quadratic in the HUB degree.
+    * That is the honest cost of exact common-neighbor counting;
+    * `maxCenterDeg` caps it for crawl-scale graphs by skipping centers
+    * above the cap (a star hub's million ends pairwise share only that
+    * hub — dropping it loses exactly those count-1 pairs first, the
+    * standard recall trade, OFF by default so the default answer is
+    * exact).
+    *
+    * Besides the raw count, each pair carries its NEIGHBORHOOD JACCARD
+    * |N(u)∩N(v)| / |N(u)∪N(v)| in integer micro-units
+    * (common·10⁶ div (d(u)+d(v)−common) — same no-round() rails as
+    * [[localClustering]]): the degree-normalized score that stops hubs
+    * from dominating every ranking, and the graph-side analogue of the
+    * shingle Jaccard the dedup family uses.
+    *
+    * @param edges undirected edge list (either or both directions)
+    * @return (u, v, common BIGINT, du, dv BIGINT, jaccard_micro BIGINT)
+    *         with u < v, non-adjacent pairs only */
+  def commonNeighbors(edges: DataFrame,
+                      maxCenterDeg: Option[Long] = None,
+                      broadcastVertexCap: Long = 4L << 20): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = e.select(col("u").as("id"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("id"), col("u").as("nbr")))
+    val centers = maxCenterDeg match {
+      case Some(cap) =>
+        val keep = adj.groupBy("id").agg(count(lit(1)).as("d"))
+          .filter(col("d") <= cap).select("id")
+        adj.join(keep, Seq("id"), "left_semi")
+      case None => adj
+    }
+    val deg = adj.groupBy("id").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // one row per vertex: broadcast below the cap (same contract as
+    // [[assortativity]]), AQE shuffle joins beyond it
+    val nVertices = deg.count()
+    def maybeB(df: DataFrame): DataFrame =
+      if (nVertices <= broadcastVertexCap) broadcast(df) else df
+    centers.as("a")
+      .join(centers.withColumnRenamed("nbr", "nbr2").as("b"), "id")
+      .filter(col("nbr") < col("nbr2"))
+      .groupBy(col("nbr").as("u"), col("nbr2").as("v"))
+      .agg(count(lit(1)).as("common"))
+      .join(e, Seq("u", "v"), "left_anti")
+      .join(maybeB(deg.select(col("id").as("u"), col("d").as("du"))), "u")
+      .join(maybeB(deg.select(col("id").as("v"), col("d").as("dv"))), "v")
+      .withColumn("jaccard_micro",
+        expr("common * 1000000 DIV (du + dv - common)"))
+      .select("u", "v", "common", "du", "dv", "jaccard_micro")
+  }
+
   /** Co-occurrence edges: for rows sharing `groupCol`, every ordered
     * pair of DISTINCT `itemCol` values becomes a directed edge (both
     * directions — the symmetric projection of the bipartite

@@ -259,4 +259,44 @@ class InsightSpec extends SparkSpec {
     val r3 = Graph.triangleStats(messy).head
     assert((r3.getLong(1), r3.getLong(2)) == ((3L, 1L)))
   }
+
+  test("localClustering: K4+tail hand case, degree<2 is null, star is 0") {
+    // K4 on 1..4 plus vertex 5 hanging off vertex 1
+    val edges = ((for { u <- 1 to 4; v <- 1 to 4 if u < v }
+      yield (u.toLong, v.toLong)) :+ (1L, 5L)).toDF("src", "dst")
+    val out = Graph.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    // vertex 1: deg 4, triangles C(3,2)=3, lcc = 6/12 = 0.5
+    assert(out(1L) == ((4L, 3L, 500000L, 0.5)))
+    // vertices 2..4: deg 3, triangles 3, lcc = 6/6 = 1
+    (2L to 4L).foreach(v => assert(out(v) == ((3L, 3L, 1000000L, 1.0))))
+    // vertex 5: deg 1 — no neighbour pair, lcc null
+    assert(out(5L) == ((1L, 0L, -1L, -1.0)))
+    // star hub: wedges but no triangles — lcc 0, not null
+    val star = (1 to 4).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val hub = Graph.localClustering(star).filter(col("id") === 0L).head
+    assert((hub.getLong(1), hub.getLong(2), hub.getLong(3),
+      hub.getDouble(4)) == ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("commonNeighbors: cycle/path hand cases, adjacency excluded, center cap") {
+    // 4-cycle: the two diagonals each share both their neighbours —
+    // jaccard = 2/(2+2-2) = 1 exactly
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r1 = Graph.commonNeighbors(cyc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5))).toSet
+    assert(r1 == Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // triangle: every pair adjacent — nothing to predict
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.commonNeighbors(tri).isEmpty)
+    // star: all leaf pairs share exactly the hub; capping the hub's
+    // degree out of the center set removes every wedge
+    val star = (1 to 4).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val r2 = Graph.commonNeighbors(star).collect()
+    assert(r2.length == 6 && r2.forall(_.getLong(2) == 1L))
+    assert(Graph.commonNeighbors(star, maxCenterDeg = Some(3L)).isEmpty)
+  }
 }
