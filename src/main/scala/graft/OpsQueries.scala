@@ -4448,6 +4448,44 @@ object OpsQueries {
       |FROM events e JOIN st USING (event_type)
       |WHERE sd > 0 AND abs((value - mu) / sd) > 3.0""".stripMargin
 
+  /** Per-type winsorized event values: clamp to the exact [p05, p95]
+    * band (see [[Insight.winsorize]]; `percentile` ≡ quantile_cont
+    * interpolation, the funnel-timing precedent). */
+  private def qEventsWinsorize(s: SparkSession, dir: String): DataFrame =
+    Insight.winsorize(readEvents(s, dir), "event_type", "value")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("value_w"), col("clipped"))
+
+  private val oEventsWinsorize =
+    """WITH q AS (SELECT event_type,
+      |    quantile_cont(value, 0.05) AS qlo,
+      |    quantile_cont(value, 0.95) AS qhi
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, value,
+      |  greatest(qlo, least(qhi, value)) AS value_w,
+      |  greatest(qlo, least(qhi, value)) <> value AS clipped
+      |FROM events e JOIN q USING (event_type)""".stripMargin
+
+  /** Per-type MAD outliers: modified z-score 0.6745·(x−med)/MAD over
+    * the robust per-key baseline (see [[Insight.madOutliers]]). */
+  private def qEventsMad(s: SparkSession, dir: String): DataFrame =
+    Insight.madOutliers(readEvents(s, dir), "event_type", "value", 3.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("z_mad"))
+
+  private val oEventsMad =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, med,
+      |    quantile_cont(abs(value - med), 0.5) AS mad
+      |  FROM events e JOIN m USING (event_type) GROUP BY 1, 2)
+      |SELECT event_id, e.event_type, value, med, mad,
+      |  round(CAST(0.6745 AS DOUBLE) * (value - med) / mad, 6) AS z_mad
+      |FROM events e JOIN d USING (event_type)
+      |WHERE mad > 0
+      |  AND abs(CAST(0.6745 AS DOUBLE) * (value - med) / mad) > 3.5"""
+      .stripMargin
+
   /** Per-type event-rate changepoint over minute buckets. */
   private def qEventsChangepoint(s: SparkSession, dir: String): DataFrame =
     Insight.rateChangepoint(readEvents(s, dir), "event_type", "ts")
@@ -4848,6 +4886,8 @@ object OpsQueries {
     "text_compress_ratio" -> (qTextCompressRatio _),
     "text_pmi" -> (qTextPmi _),
     "events_anomaly" -> (qEventsAnomaly _),
+    "events_winsorize" -> (qEventsWinsorize _),
+    "events_mad" -> (qEventsMad _),
     "events_markov" -> (qEventsMarkov _),
     "events_changepoint" -> (qEventsChangepoint _),
     "events_autocorr" -> (qEventsAutocorr _),
@@ -5006,6 +5046,8 @@ object OpsQueries {
     "text_compress_ratio" -> oTextCompressRatio,
     "text_pmi" -> oTextPmi,
     "events_anomaly" -> oEventsAnomaly,
+    "events_winsorize" -> oEventsWinsorize,
+    "events_mad" -> oEventsMad,
     "events_markov" -> oEventsMarkov,
     "events_changepoint" -> oEventsChangepoint,
     "events_autocorr" -> oEventsAutocorr,

@@ -260,6 +260,26 @@ class InsightSpec extends SparkSpec {
     assert((r3.getLong(1), r3.getLong(2)) == ((3L, 1L)))
   }
 
+  test("winsorize clamps exactly at the quantile band; MAD flags only the spike") {
+    // key "a": 1..20 plus one wild 1000; key "b": constant (MAD 0)
+    val rows = (1 to 20).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("a", 21L, 1000.0)) ++ (1 to 9).map(i => ("b", 100L + i, 5.0))
+    val df = rows.toDF("k", "id", "v")
+    val w = Insight.winsorize(df, "k", "v", 0.25, 0.75).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    // a: sorted n=21 -> p25 = index 5 exactly (rank .25*20) = 6,
+    //    p75 = index 15 = 16; interior values untouched
+    assert(w(1L) == ((6.0, true)) && w(21L) == ((16.0, true)))
+    assert(w(10L) == ((10.0, false)))
+    // b: constant key — band collapses to the constant, nothing clips
+    assert(w(101L) == ((5.0, false)))
+    val m = Insight.madOutliers(df, "k", "v", 3.5).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // a: med 11, mad = median|x-11| = 5 -> only 1000 scores
+    //    .6745*989/5 ≈ 133; b: mad 0 -> silent
+    assert(m.toSeq == Seq(("a", 21L)))
+  }
+
   test("localClustering: K4+tail hand case, degree<2 is null, star is 0") {
     // K4 on 1..4 plus vertex 5 hanging off vertex 1
     val edges = ((for { u <- 1 to 4; v <- 1 to 4 if u < v }
