@@ -37,9 +37,18 @@ object Bench {
       }
       spark.range(1000).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => () }
+    // toRdd.count(), NOT count(): wrapping a query in a count aggregate
+    // lets the optimizer legally DELETE work a real sink would do — a
+    // trailing left join whose right side is unique-keyed contributes
+    // nothing to the row count, so count() eliminated the entire
+    // triangle branch of graph_clustering (0.12 s vs 5.1 s real).
+    // toRdd executes the EXACT physical plan of the query as written
+    // (every column materialized, like the parquet sink Verify uses)
+    // and counts rows without collecting them to the driver.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     // rep-major order (full suite, then the next rep of the full suite):

@@ -3418,6 +3418,69 @@ object OpsQueries {
       |  ${oRegisteredDomain("host")} AS domain
       |FROM norm""".stripMargin
 
+  /** Outlink host graph from planted HTML: absolute, protocol-relative
+    * and root-relative hrefs resolved against the page URL, reduced to
+    * registered-domain multi-edges (see [[Web.extractOutlinks]]);
+    * mailto/fragment/path-relative and same-site links drop. */
+  private def qWebOutlinks(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body><A HREF=\"HTTP://Partner"),
+      (col("doc_id") % 7).cast("string"), lit(".COM/x/"), idS,
+      lit("\">p</a><a href='//cdn"),
+      (col("doc_id") % 5).cast("string"),
+      lit(".net/lib.js'>c</a><a href=\"/local/"), idS,
+      lit("\">l</a><a href=\"mailto:a@b.c\">m</a><a href=\"#top\">t</a>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<a href=\"https://partner0.com/y\">d</a>")).otherwise(lit("")),
+      lit("</body></html>"))
+    val base = concat(lit("https://WWW.Site"),
+      (col("doc_id") % 10).cast("string"), lit(".co.uk/a/"), idS)
+    val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), html.as("html"), base.as("url"))
+    Web.extractOutlinks(d, "html", "url")
+  }
+
+  private val oWebOutlinks = {
+    val hostRe = "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)'"
+    s"""WITH h AS (SELECT doc_id,
+       |    '<html><body><A HREF="HTTP://Partner' ||
+       |      CAST(doc_id % 7 AS VARCHAR) ||
+       |      '.COM/x/' || CAST(doc_id AS VARCHAR) ||
+       |      '">p</a><a href=''//cdn' || CAST(doc_id % 5 AS VARCHAR) ||
+       |      '.net/lib.js''>c</a><a href="/local/' ||
+       |      CAST(doc_id AS VARCHAR) ||
+       |      '">l</a><a href="mailto:a@b.c">m</a><a href="#top">t</a>' ||
+       |      CASE WHEN doc_id % 3 = 0
+       |        THEN '<a href="https://partner0.com/y">d</a>' ELSE '' END ||
+       |      '</body></html>' AS html,
+       |    'https://WWW.Site' || CAST(doc_id % 10 AS VARCHAR) ||
+       |      '.co.uk/a/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents WHERE doc_id < 500),
+       |l AS (SELECT
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS sch,
+       |    lower(regexp_extract(url, $hostRe, 1)) AS bhost,
+       |    unnest(regexp_extract_all(html,
+       |      '(?i)href\\s*=\\s*["'']([^"''#\\s>]+)', 1)) AS lnk
+       |  FROM h),
+       |res AS (SELECT bhost,
+       |    CASE WHEN regexp_matches(lnk, '(?i)^https?://') THEN lnk
+       |         WHEN lnk LIKE '//%' THEN sch || ':' || lnk
+       |         WHEN lnk LIKE '/%' THEN sch || '://' || bhost || lnk
+       |    END AS rl FROM l),
+       |d AS (SELECT
+       |    ${oRegisteredDomain("bhost")} AS src_domain,
+       |    lower(regexp_extract(rl, $hostRe, 1)) AS dhost FROM res),
+       |dd AS (SELECT src_domain,
+       |    ${oRegisteredDomain("dhost")} AS dst_domain FROM d)
+       |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n
+       |FROM dd
+       |WHERE dst_domain IS NOT NULL AND dst_domain <> ''
+       |  AND dst_domain <> src_domain
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   private def qWebDomainCap(s: SparkSession, dir: String): DataFrame = {
     val dom = plantedUrls(s, dir)
       .withColumn("domain", Web.registeredDomain(Web.host(col("url"))))
@@ -4870,6 +4933,7 @@ object OpsQueries {
     "web_robots" -> (qWebRobots _),
     "text_badwords" -> (qTextBadwords _),
     "web_url_dedup" -> (qWebUrlDedup _),
+    "web_outlinks" -> (qWebOutlinks _),
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
@@ -5030,6 +5094,7 @@ object OpsQueries {
     "web_robots" -> oWebRobots,
     "text_badwords" -> oTextBadwords,
     "web_url_dedup" -> oWebUrlDedup,
+    "web_outlinks" -> oWebOutlinks,
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
     "text_ngram_diversity" -> oTextNgramDiversity,

@@ -188,6 +188,55 @@ object Web {
     trim(regexp_replace(e6, "\\s+", " "))
   }
 
+  /** href-target pattern: attribute value up to a quote, fragment,
+    * whitespace or tag close — RE2-portable (no backreference to match
+    * the opening quote; the char class excludes BOTH quote kinds, which
+    * over-trims only a URL that itself contains the other quote —
+    * vanishingly rare and invalid-unescaped anyway). */
+  private val HrefRe = "(?i)href\\s*=\\s*[\"']([^\"'#\\s>]+)"
+
+  /** OUTLINK extraction — raw HTML → the registered-domain link graph,
+    * the edge list [[Graph.pagerank]] turns into crawl-frontier host
+    * authority (and [[Graph]]'s census/coreness profile). Per page:
+    * every href target, resolved against the page URL in the three
+    * deterministic classes a host graph needs —
+    *
+    *   - absolute http(s)://…   → as-is
+    *   - protocol-relative //…  → page scheme + ':' + link
+    *   - root-relative /…       → page scheme '://' host + link
+    *
+    * — then reduced to [[registeredDomain]] pairs. Everything else
+    * (path-relative, mailto:, javascript:, pure fragments) names no
+    * FOREIGN host, and same-site edges are dropped with them: a host
+    * authority graph wants cross-site endorsement, and every kept class
+    * is replayable in exact SQL (the extraction regex is RE2-portable,
+    * resolution is string concatenation). One map pass + one count
+    * aggregate — the explode is bounded by href count, the corpus
+    * shuffles only the (src, dst) pair stream, map-side combined.
+    *
+    * @return (src_domain, dst_domain, n BIGINT) multi-edge counts */
+  def extractOutlinks(df: DataFrame, htmlCol: String,
+                      urlCol: String): DataFrame = {
+    val base = col(urlCol)
+    val links = df
+      .select(scheme(base).as("__sch"), host(base).as("__host"),
+        registeredDomain(host(base)).as("src_domain"),
+        explode(regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1)))
+          .as("__lnk"))
+    val resolved =
+      when(col("__lnk").rlike("(?i)^https?://"), col("__lnk"))
+        .when(col("__lnk").startsWith("//"),
+          concat(col("__sch"), lit(":"), col("__lnk")))
+        .when(col("__lnk").startsWith("/"),
+          concat(col("__sch"), lit("://"), col("__host"), col("__lnk")))
+    links
+      .withColumn("dst_domain", registeredDomain(host(resolved)))
+      .filter(col("dst_domain").isNotNull && col("dst_domain") =!= "" &&
+        col("dst_domain") =!= col("src_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Above this many blocked domains the blocklist becomes a broadcast
     * join instead of an inlined InSet literal — the same
     * literal/broadcast crossover as

@@ -36,6 +36,29 @@ class WebPropertySpec extends SparkSpec {
   private def urlsFromSeed(n: Long): List[String] =
     Gen.listOfN(150, genUrl)(Gen.Parameters.default, Seed(n)).get
 
+  test("extractOutlinks: three resolved classes kept, self/mailto/fragment/relative dropped") {
+    val html =
+      """<html><A HREF="HTTP://Other.COM/x">a</a>
+        |<a href='//cdn.net/l.js'>b</a>
+        |<a href="/local/page">c</a>
+        |<a href="https://other.com/y#frag">d</a>
+        |<a href="mailto:a@b.c">e</a><a href="#top">f</a>
+        |<a href="relative/path">g</a>
+        |<a href="javascript:void(0)">h</a></html>""".stripMargin
+    val df = Seq((html, "https://WWW.Site.co.uk/a/1")).toDF("html", "url")
+    val out = Web.extractOutlinks(df, "html", "url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // self-link (/local resolves to site.co.uk), mailto, fragment-only,
+    // path-relative and javascript: all drop; other.com counted twice
+    // (mixed-case absolute + fragment-stripped absolute)
+    assert(out == Set(("site.co.uk", "other.com", 2L),
+      ("site.co.uk", "cdn.net", 1L)))
+    // a page with no resolvable foreign links emits nothing
+    val none = Seq(("<a href=\"/only/self\">x</a>", "http://a.com/"))
+      .toDF("html", "url")
+    assert(Web.extractOutlinks(none, "html", "url").isEmpty)
+  }
+
   test("canonicalize: idempotent and fragment/tracking/port-insensitive on random URLs") {
     for (seed <- 1L to 4L) {
       val urls = urlsFromSeed(seed)
