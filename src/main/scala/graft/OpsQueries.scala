@@ -2658,18 +2658,20 @@ object OpsQueries {
     val orders = t(s, dir, "orders")
     val cols = Seq("o_totalprice", "o_custkey")
     val sk = Profile.sketch(orders, cols, rsd = 0.01)
+    // ONE percentile buffer per column (array-of-fractions form), not
+    // one per bound: exact Percentile buffers every row, and the global
+    // aggregate runs on a single reducer — 12 separate buffers cost 6x
+    // the work of 2 (measured 6.99 s -> ~2 s on this query)
+    val fracs = Seq(0.25, 0.5, 0.95).flatMap(q => Seq(q - 0.01, q + 0.01))
     val exAggs = cols.flatMap { c => Seq(
-      count_distinct(col(c)).as(s"${c}__ndv")) ++
-      Seq(0.25, 0.5, 0.95).flatMap { q =>
-        val pct = math.round(q * 100)
-        Seq(percentile(col(c), lit(q - 0.01)).as(s"${c}__lo$pct"),
-          percentile(col(c), lit(q + 0.01)).as(s"${c}__hi$pct"))
-      } }
+      count_distinct(col(c)).as(s"${c}__ndv"),
+      percentile(col(c), array(fracs.map(lit): _*)).as(s"${c}__qs")) }
     val exStructs = cols.map { c =>
+      val qs = col(s"${c}__qs")
       struct(lit(c).as("column"), col(s"${c}__ndv").as("__ndv_exact"),
-        col(s"${c}__lo25").as("__lo25"), col(s"${c}__hi25").as("__hi25"),
-        col(s"${c}__lo50").as("__lo50"), col(s"${c}__hi50").as("__hi50"),
-        col(s"${c}__lo95").as("__lo95"), col(s"${c}__hi95").as("__hi95"))
+        qs(0).as("__lo25"), qs(1).as("__hi25"),
+        qs(2).as("__lo50"), qs(3).as("__hi50"),
+        qs(4).as("__lo95"), qs(5).as("__hi95"))
     }
     val exact = orders.agg(exAggs.head, exAggs.tail: _*)
       .select(explode(array(exStructs: _*)).as("e")).select("e.*")
@@ -4512,10 +4514,12 @@ object OpsQueries {
       |WHERE sd > 0 AND abs((value - mu) / sd) > 3.0""".stripMargin
 
   /** Per-type winsorized event values: clamp to the exact [p05, p95]
-    * band (see [[Insight.winsorize]]; `percentile` ≡ quantile_cont
-    * interpolation, the funnel-timing precedent). */
+    * band via [[Profile.winsorize]] (second oracle surface for the op,
+    * on the events shape, plus the `clipped` audit flag). */
   private def qEventsWinsorize(s: SparkSession, dir: String): DataFrame =
-    Insight.winsorize(readEvents(s, dir), "event_type", "value")
+    Profile.winsorize(readEvents(s, dir), Seq("event_type"), "value",
+        loQ = 0.05, hiQ = 0.95)
+      .withColumn("clipped", col("value_w") =!= col("value"))
       .select(col("event_id"), col("event_type"), col("value"),
         col("value_w"), col("clipped"))
 

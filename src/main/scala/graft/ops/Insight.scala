@@ -130,37 +130,6 @@ object Insight {
       .drop("__mu", "__sd")
   }
 
-  /** Per-key WINSORIZATION — clamp each value to its key's exact
-    * [lo, hi] quantile band: the standard tail-taming transform before
-    * a mean/variance-sensitive stage (mixture weights, importance
-    * scores, reward models) consumes a heavy-tailed signal. Same
-    * two-pass shape as [[zOutliers]]: one per-key quantile aggregate
-    * (key-cardinality output, AQE-broadcast back), one clamped map
-    * pass. The clamped value is either the row's own double or a
-    * quantile bound — Spark's exact `percentile` interpolates
-    * identically to DuckDB's quantile_cont (the [[Funnel]] timing
-    * precedent), so results are engine-exact with no rounding step.
-    *
-    * Scale note: exact `percentile` buffers ONE KEY's values on its
-    * reducer — the cost model of a window, bounded by the largest key
-    * group, not the corpus. For keys too large for that, the
-    * [[Profile]] KLL sketch tier is the approximate scale path; this
-    * op is the exact tier.
-    *
-    * @return input plus (value_w DOUBLE, clipped BOOLEAN) */
-  def winsorize(df: DataFrame, keyCol: String, valueCol: String,
-                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
-    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
-    val q = df.groupBy(col(keyCol))
-      .agg(expr(s"percentile($valueCol, $lo)").as("__qlo"),
-        expr(s"percentile($valueCol, $hi)").as("__qhi"))
-    df.join(q, keyCol)
-      .withColumn("value_w",
-        greatest(col("__qlo"), least(col("__qhi"), col(valueCol))))
-      .withColumn("clipped", col("value_w") =!= col(valueCol))
-      .drop("__qlo", "__qhi")
-  }
-
   /** Per-key MAD (median-absolute-deviation) outliers — the ROBUST
     * twin of [[zOutliers]]: the modified z-score
     * 0.6745·(x − median) / MAD (Iglewicz & Hoaglin 1993) flags rows
@@ -169,7 +138,7 @@ object Insight {
     * drag the baseline toward themselves — the breakdown point is 50%,
     * which is what a pipeline wants when the contamination IS what it
     * is hunting. Three passes, all key-bounded: per-key exact median,
-    * per-key median of |x − med| (each a [[winsorize]]-class
+    * per-key median of |x − med| (each a [[Profile.winsorize]]-class
     * percentile aggregate), one filtered map pass. Keys with MAD = 0
     * (over half the values identical) produce no outliers, matching
     * [[zOutliers]]' zero-variance contract. The threshold tests the

@@ -28,9 +28,11 @@ object Profile {
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         avg(col(c)).as(s"${c}__mean"),
-        percentile(col(c), lit(0.25)).as(s"${c}__p25"),
-        percentile(col(c), lit(0.5)).as(s"${c}__p50"),
-        percentile(col(c), lit(0.95)).as(s"${c}__p95"))
+        // one buffering Percentile per column (array form), not three —
+        // the exact percentile buffers every row on the single global-
+        // aggregate reducer, so buffer count is the cost driver
+        percentile(col(c), array(lit(0.25), lit(0.5), lit(0.95)))
+          .as(s"${c}__ps"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot to one row per column
@@ -38,8 +40,8 @@ object Profile {
       struct(lit(c).as("column"),
         col(s"${c}__n").as("n"), col(s"${c}__nulls").as("nulls"),
         col(s"${c}__min").as("min"), col(s"${c}__max").as("max"),
-        col(s"${c}__mean").as("mean"), col(s"${c}__p25").as("p25"),
-        col(s"${c}__p50").as("p50"), col(s"${c}__p95").as("p95"))
+        col(s"${c}__mean").as("mean"), col(s"${c}__ps")(0).as("p25"),
+        col(s"${c}__ps")(1).as("p50"), col(s"${c}__ps")(2).as("p95"))
     }
     wide.select(explode(array(structs: _*)).as("p")).select("p.*")
   }

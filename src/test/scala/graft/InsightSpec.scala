@@ -265,14 +265,13 @@ class InsightSpec extends SparkSpec {
     val rows = (1 to 20).map(i => ("a", i.toLong, i.toDouble)) ++
       Seq(("a", 21L, 1000.0)) ++ (1 to 9).map(i => ("b", 100L + i, 5.0))
     val df = rows.toDF("k", "id", "v")
-    val w = Insight.winsorize(df, "k", "v", 0.25, 0.75).collect()
-      .map(r => r.getLong(1) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    val w = graft.ops.Profile.winsorize(df, Seq("k"), "v", 0.25, 0.75)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
     // a: sorted n=21 -> p25 = index 5 exactly (rank .25*20) = 6,
     //    p75 = index 15 = 16; interior values untouched
-    assert(w(1L) == ((6.0, true)) && w(21L) == ((16.0, true)))
-    assert(w(10L) == ((10.0, false)))
+    assert(w(1L) == 6.0 && w(21L) == 16.0 && w(10L) == 10.0)
     // b: constant key — band collapses to the constant, nothing clips
-    assert(w(101L) == ((5.0, false)))
+    assert(w(101L) == 5.0)
     val m = Insight.madOutliers(df, "k", "v", 3.5).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     // a: med 11, mad = median|x-11| = 5 -> only 1000 scores
