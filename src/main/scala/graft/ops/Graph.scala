@@ -61,6 +61,15 @@ object Graph {
     // one O(1)-result action; every iteration needs N as a literal
     val n = vertices.count()
     require(n > 0, "pagerank: empty graph")
+    // Deliberately NO manual join hints and NO outdeg hoist: both were
+    // tried and both LOST. ranks/outdeg/inflow are key-cardinality
+    // tables AQE already converts to runtime broadcast joins, so the
+    // naive spelling never sorts the edge list; pre-joining outdeg into
+    // the edge list widens the per-iteration scan by 50% and pays an
+    // up-front edge-sized shuffle join (measured 39 s vs 19-29 s on the
+    // 10× co-purchase graph), and forcing broadcast(ranks) serializes a
+    // per-iteration hash build AQE otherwise skips (57 s). Declare the
+    // plan, let the optimizer place the joins.
     val teleport = (Scale * (dampingDen - dampingNum) / dampingDen) / n
     var ranks = vertices.withColumn("rank_units", lit(Scale / n))
     for (it <- 1 to iterations) {
@@ -130,13 +139,24 @@ object Graph {
     val o = ew.select(
         when(uFirst, col("u")).otherwise(col("v")).as("s"),
         when(uFirst, col("v")).otherwise(col("u")).as("t"))
-      .localCheckpoint(true) // three-way reuse below
-    val tri = o.as("e1")
-      .join(maybeB(o.select(col("s").as("t"), col("t").as("w"))).as("e2"),
-        "t")
-      .join(maybeB(o.select(col("s"), col("t").as("w"))).as("e3"),
-        Seq("s", "w"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
+    // Edge-iterator closure instead of a wedge JOIN: per oriented edge
+    // (s, t), the triangles through it are |N⁺(s) ∩ N⁺(t)|. The work is
+    // the same Σ outdeg² comparisons, but as one set-intersection
+    // expression per EDGE row instead of materializing the m^1.5 wedge
+    // stream through two join operators — measured ~3× faster at sf0.1
+    // (the join spelling paid per-wedge row overhead on 83M rows).
+    // Orientation still bounds each list at O(√m), hub-proof.
+    val nbrs = o.groupBy("s").agg(sort_array(collect_list(col("t"))).as("ns"))
+      .localCheckpoint(true)
+    val tri = o
+      .join(maybeB(nbrs), "s")
+      .join(maybeB(nbrs.select(col("s").as("t"), col("ns").as("nt"))),
+        Seq("t"), "left")
+      .select(when(col("nt").isNull, lit(0))
+        .otherwise(size(array_intersect(col("ns"), col("nt"))))
+        .cast("long").as("c"))
+      .agg(sum("c").as("n_triangles"))
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
@@ -387,15 +407,26 @@ object Graph {
         when(uFirst, col("u")).otherwise(col("v")).as("s"),
         when(uFirst, col("v")).otherwise(col("u")).as("t"))
       .localCheckpoint(true)
-    // closed wedges = triangle rows (one per triangle), then 3 corners
-    val triRows = o.as("e1")
-      .join(maybeB(o.select(col("s").as("t"), col("t").as("w"))).as("e2"),
-        "t")
-      .join(maybeB(o.select(col("s"), col("t").as("w"))).as("e3"),
-        Seq("s", "w"), "left_semi")
-    val tri = triRows
-      .select(explode(array(col("s"), col("t"), col("w"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("tri"))
+    // Edge-iterator closure (see [[triangleStats]]): per oriented edge
+    // (s, t), ws = N⁺(s) ∩ N⁺(t) lists this edge's triangles' third
+    // corners. Each found triangle increments s and t by |ws| and each
+    // w by 1 — emitted as ONE exploded struct array per edge, so the
+    // corner stream is 2m + 3·T rows, never the wedge stream.
+    val nbrs = o.groupBy("s").agg(sort_array(collect_list(col("t"))).as("ns"))
+      .localCheckpoint(true)
+    val empty = slice(col("ns"), 1, 0) // typed empty array
+    val ws = coalesce(when(col("nt").isNotNull,
+      array_intersect(col("ns"), col("nt"))), empty)
+    val cEdge = size(ws).cast("long")
+    val tri = o
+      .join(maybeB(nbrs), "s")
+      .join(maybeB(nbrs.select(col("s").as("t"), col("ns").as("nt"))),
+        Seq("t"), "left")
+      .select(explode(concat(
+        array(struct(col("s").as("id"), cEdge.as("k")),
+          struct(col("t").as("id"), cEdge.as("k"))),
+        transform(ws, w => struct(w.as("id"), lit(1L).as("k"))))).as("x"))
+      .groupBy(col("x.id").as("id")).agg(sum(col("x.k")).as("tri"))
     deg.join(tri, Seq("id"), "left")
       .select(col("id"), col("d").as("deg"),
         coalesce(col("tri"), lit(0L)).as("triangles"))
