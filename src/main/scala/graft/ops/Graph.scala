@@ -206,7 +206,6 @@ object Graph {
     * @return (id, coreness INT) for every non-isolated vertex */
   def coreness(edges: DataFrame, iterations: Int = 8,
                converge: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(iterations >= 0, "iterations must be >= 0")
     // symmetric adjacency: each undirected edge contributes both rows
     val canon = edges
@@ -232,8 +231,25 @@ object Graph {
     def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val adj = if (bcast) adj0
       else adj0.repartition(col("nbr")).localCheckpoint(true)
-    val cumByValDesc = Window.partitionBy("id").orderBy(col("nc").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // H-index over the per-vertex value histogram as ONE hash aggregate
+    // + an inline fold: sort the ≤max-coreness (value, cnt) pairs desc
+    // and take max(min(value, cumulative count)). The previous window
+    // spelling paid an exchange + SORT of the full histogram per
+    // iteration; collect_list+fold keeps the same shuffle but replaces
+    // the sort with per-vertex work on a tiny array (the fold is an
+    // interpreted higher-order fn — fine, it runs on vertex-cardinality
+    // rows, not the adjacency).
+    val histAgg = sort_array(collect_list(struct(col("nc"), col("cnt"))),
+      asc = false)
+    def hIndex(hist: org.apache.spark.sql.Column) =
+      aggregate(hist,
+        struct(lit(0L).as("cum"), lit(0L).as("h")),
+        (acc, x) => {
+          val cum = acc("cum") + x("cnt")
+          struct(cum.as("cum"),
+            greatest(acc("h"), least(x("nc").cast("long"), cum)).as("h"))
+        },
+        acc => acc("h").cast("int"))
     var it = 0
     var done = iterations == 0
     while (!done) {
@@ -241,9 +257,8 @@ object Graph {
       val next = adj
         .join(maybeB(c.select(col("id").as("nbr"), col("c").as("nc"))), "nbr")
         .groupBy("id", "nc").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(cumByValDesc))
-        .groupBy("id")
-        .agg(max(least(col("nc").cast("long"), col("cum"))).cast("int").as("c"))
+        .groupBy("id").agg(histAgg.as("hist"))
+        .select(col("id"), hIndex(col("hist")).as("c"))
       if (converge) {
         // must materialize to compare; the checkpoint doubles as the
         // lineage truncation
