@@ -3483,6 +3483,60 @@ object OpsQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Crawl-authority composition: the [[qWebOutlinks]] host graph fed
+    * into 3 iterations of integer-exact [[Graph.pagerank]] — html →
+    * outlinks → authority, the frontier-prioritization pipeline, as
+    * one two-shuffle-per-stage plan. Edges are the DISTINCT domain
+    * pairs (the multi-edge count is an audit output of the extraction
+    * stage, not a rank weight here). Top-10 hosts. */
+  private def qWebAuthority(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body><A HREF=\"HTTP://Partner"),
+      (col("doc_id") % 7).cast("string"), lit(".COM/x/"), idS,
+      lit("\">p</a><a href='//cdn"),
+      (col("doc_id") % 5).cast("string"),
+      lit(".net/lib.js'>c</a><a href=\"/local/"), idS,
+      lit("\">l</a><a href=\"mailto:a@b.c\">m</a><a href=\"#top\">t</a>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<a href=\"https://partner0.com/y\">d</a>")).otherwise(lit("")),
+      lit("</body></html>"))
+    val base = concat(lit("https://WWW.Site"),
+      (col("doc_id") % 10).cast("string"), lit(".co.uk/a/"), idS)
+    val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), html.as("html"), base.as("url"))
+    val edges = Web.extractOutlinks(d, "html", "url")
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    Graph.pagerank(edges, iterations = 3)
+      .orderBy(col("rank_units").desc, col("id"))
+      .limit(10)
+      .select(col("id").as("domain"), col("rank_units"), col("rank"))
+  }
+
+  private val oWebAuthority = {
+    val iter = (k: Int) =>
+      s"""r$k AS (SELECT v.id,
+         |  CAST((SELECT t FROM tp) + 85 * coalesce(f.infl, 0) // 100
+         |    AS BIGINT) AS u
+         |  FROM v LEFT JOIN (
+         |    SELECT pe.dst AS id, sum(r${k - 1}.u // pdeg.outdeg) AS infl
+         |    FROM pe JOIN r${k - 1} ON pe.src = r${k - 1}.id
+         |      JOIN pdeg ON pe.src = pdeg.src GROUP BY 1) f USING (id))"""
+        .stripMargin
+    s"""WITH ol AS ($oWebOutlinks),
+       |pe AS (SELECT src_domain AS src, dst_domain AS dst FROM ol),
+       |v AS (SELECT DISTINCT src AS id FROM pe
+       |  UNION SELECT DISTINCT dst FROM pe),
+       |pdeg AS (SELECT src, count(*) AS outdeg FROM pe GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |tp AS (SELECT ((1000000000000 * 15) // 100) // n AS t FROM nn),
+       |r0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS u FROM v),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT id AS domain, u AS rank_units,
+       |  round(CAST(u AS DOUBLE) / 1000000000000, 6) AS rank
+       |FROM r3 ORDER BY u DESC, id LIMIT 10""".stripMargin
+  }
+
   private def qWebDomainCap(s: SparkSession, dir: String): DataFrame = {
     val dom = plantedUrls(s, dir)
       .withColumn("domain", Web.registeredDomain(Web.host(col("url"))))
@@ -4938,6 +4992,7 @@ object OpsQueries {
     "text_badwords" -> (qTextBadwords _),
     "web_url_dedup" -> (qWebUrlDedup _),
     "web_outlinks" -> (qWebOutlinks _),
+    "web_authority" -> (qWebAuthority _),
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
@@ -5099,6 +5154,7 @@ object OpsQueries {
     "text_badwords" -> oTextBadwords,
     "web_url_dedup" -> oWebUrlDedup,
     "web_outlinks" -> oWebOutlinks,
+    "web_authority" -> oWebAuthority,
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
     "text_ngram_diversity" -> oTextNgramDiversity,
