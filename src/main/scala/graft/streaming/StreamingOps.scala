@@ -551,24 +551,35 @@ object StreamingOps {
     * Column names must be disjoint (stream-stream joins cannot alias
     * their way out of ambiguity after the fact — rename before
     * joining). `withWatermark` is a no-op on batch inputs, so the same
-    * call is the backfill twin (kappa). Inner join: unmatched rows on
-    * either side expire silently with their state. */
+    * call is the backfill twin (kappa).
+    *
+    * `joinType`: "inner" (default — unmatched rows on either side
+    * expire silently with their state) or "left_outer" (an unmatched
+    * LEFT row is emitted null-padded once the watermark passes its
+    * join window and Spark can PROVE no future match exists — the
+    * un-attributed-impressions report; emission therefore lags by the
+    * lateness horizon, the price of a sound negative). */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTs: String, rightTs: String,
                          beforeSec: Long, afterSec: Long,
-                         lateness: String = "1 hour"): DataFrame = {
+                         lateness: String = "1 hour",
+                         joinType: String = "inner"): DataFrame = {
     val overlap = left.columns.toSet intersect right.columns.toSet
     require(overlap.isEmpty,
       s"intervalJoinStream: columns ${overlap.mkString(", ")} exist on both " +
         "sides; rename one side first")
     require(beforeSec >= 0 && afterSec >= 0,
       "intervalJoinStream: beforeSec/afterSec must be >= 0")
+    require(joinType == "inner" || joinType == "left_outer",
+      "intervalJoinStream: joinType must be inner or left_outer " +
+        "(right_outer: swap the sides)")
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r, col(leftKey) === col(rightKey) &&
       col(rightTs) >= col(leftTs) - expr(s"INTERVAL $beforeSec SECONDS") &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $afterSec SECONDS"))
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $afterSec SECONDS"),
+      joinType)
   }
 
   /** One user event as consumed by the sessionizer. */

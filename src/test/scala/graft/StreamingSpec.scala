@@ -939,6 +939,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream left_outer emits unmatched impressions after the watermark") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.intervalJoinStream(
+      imps.toDF().toDF("i_uid", "i_ts"), clicks.toDF().toDF("c_uid", "c_ts"),
+      "i_uid", "c_uid", "i_ts", "c_ts",
+      beforeSec = 0, afterSec = 60, lateness = "1 minute",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData((1L, ts(1))) // only uid 1 converts
+      q.processAllAvailable()
+      // push both watermarks far past uid 2's join window so the
+      // engine can prove no future click can match it
+      imps.addData((9L, ts(60))) // minute 60
+      clicks.addData((9L, ts(61)))
+      q.processAllAvailable()
+      imps.addData((10L, ts(120)))
+      clicks.addData((10L, ts(121)))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer")
+        .select("i_uid", "c_uid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // uid 1 matched; uid 2 emitted null-padded (no click ever)
+      assert(got.contains((1L, 1L)) && got.contains((2L, -1L)), s"got $got")
+      // batch twin: the same call on static frames is a plain left join
+      val bi = Seq((1L, ts(0)), (2L, ts(0))).toDF("i_uid", "i_ts")
+      val bc = Seq((1L, ts(1))).toDF("c_uid", "c_ts")
+      val batch = StreamingOps.intervalJoinStream(bi, bc, "i_uid", "c_uid",
+          "i_ts", "c_ts", 0, 60, joinType = "left_outer")
+        .select("i_uid", "c_uid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(batch == Set((1L, 1L), (2L, -1L)))
+    } finally q.stop()
+  }
+
   test("domainCapStream admits first cap per domain across micro-batches; one long of state") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
