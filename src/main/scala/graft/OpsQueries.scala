@@ -4587,6 +4587,20 @@ object OpsQueries {
       |  greatest(qlo, least(qhi, value)) <> value AS clipped
       |FROM events e JOIN q USING (event_type)""".stripMargin
 
+  /** Per-type percent-rank score calibration: each event's value at
+    * its type's empirical CDF position (see [[Rank.percentRank]] —
+    * (rank−1)/(n−1), tie-order-independent, exact-integer division). */
+  private def qEventsPercentRank(s: SparkSession, dir: String): DataFrame =
+    Rank.percentRank(readEvents(s, dir), Seq(col("event_type")),
+        col("value"))
+      .select(col("event_id"), col("event_type"), col("value"), col("pr"))
+
+  private val oEventsPercentRank =
+    """SELECT event_id, event_type, value,
+      |  percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+      |    AS pr
+      |FROM events""".stripMargin
+
   /** Per-type MAD outliers: modified z-score 0.6745·(x−med)/MAD over
     * the robust per-key baseline (see [[Insight.madOutliers]]). */
   private def qEventsMad(s: SparkSession, dir: String): DataFrame =
@@ -5011,6 +5025,7 @@ object OpsQueries {
     "events_anomaly" -> (qEventsAnomaly _),
     "events_winsorize" -> (qEventsWinsorize _),
     "events_mad" -> (qEventsMad _),
+    "events_percent_rank" -> (qEventsPercentRank _),
     "events_markov" -> (qEventsMarkov _),
     "events_changepoint" -> (qEventsChangepoint _),
     "events_autocorr" -> (qEventsAutocorr _),
@@ -5173,6 +5188,7 @@ object OpsQueries {
     "events_anomaly" -> oEventsAnomaly,
     "events_winsorize" -> oEventsWinsorize,
     "events_mad" -> oEventsMad,
+    "events_percent_rank" -> oEventsPercentRank,
     "events_markov" -> oEventsMarkov,
     "events_changepoint" -> oEventsChangepoint,
     "events_autocorr" -> oEventsAutocorr,

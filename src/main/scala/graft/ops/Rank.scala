@@ -29,4 +29,21 @@ object Rank {
     df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
   }
+
+  /** PERCENT-RANK normalization per group: each row's value mapped to
+    * its empirical CDF position (rank−1)/(n−1) within its group — the
+    * calibration step that makes scores from different sources/models
+    * comparable before mixing or thresholding them (a raw quality
+    * score of 0.7 means nothing across two scorers; "top 10% within
+    * its source" does). Ties share the min rank, so the result is
+    * independent of tie order — no tie-break column needed — and the
+    * value is a single division of exact integers: bit-identical on
+    * any engine (single-row groups define pr = 0). Cost model: one
+    * window partitioned by the group — state is one group's rows, the
+    * [[topNPerGroup]] shape without the limit pushdown. */
+  def percentRank(df: DataFrame, partitionBy: Seq[Column], order: Column,
+                  outCol: String = "pr"): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(order)
+    df.withColumn(outCol, percent_rank().over(w))
+  }
 }

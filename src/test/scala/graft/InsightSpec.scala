@@ -279,6 +279,16 @@ class InsightSpec extends SparkSpec {
     assert(m.toSeq == Seq(("a", 21L)))
   }
 
+  test("percentRank: ties share min rank, endpoints 0 and 1, singleton is 0") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0),
+      ("a", 4L, 30.0), ("b", 5L, 7.0)).toDF("k", "id", "v")
+    val out = graft.ops.Rank.percentRank(df, Seq(col("k")), col("v"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(4L) == 1.0)
+    assert(out(2L) == out(3L) && out(2L) == 1.0 / 3) // ties -> min rank
+    assert(out(5L) == 0.0) // single-row group defines pr = 0
+  }
+
   test("localClustering: K4+tail hand case, degree<2 is null, star is 0") {
     // K4 on 1..4 plus vertex 5 hanging off vertex 1
     val edges = ((for { u <- 1 to 4; v <- 1 to 4 if u < v }
