@@ -310,6 +310,25 @@ class InsightSpec extends SparkSpec {
       hub.getDouble(4)) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("graph plan pins: no cartesian, no window; small-graph paths broadcast") {
+    val edges = (for { u <- 1 to 30; v <- 1 to 30 if u < v && (u + v) % 3 == 0 }
+      yield (u.toLong, v.toLong)).toDF("src", "dst")
+    for ((tag, df) <- Seq(
+        "triangleStats" -> Graph.triangleStats(edges),
+        "localClustering" -> Graph.localClustering(edges),
+        "commonNeighbors" -> Graph.commonNeighbors(edges),
+        "coreness" -> Graph.coreness(edges, iterations = 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$tag: cartesian in plan")
+      assert(!plan.contains("WindowExec"), s"$tag: window in plan")
+    }
+    // below the caps the triangle/clustering joins are broadcast probes
+    val triPlan = Graph.triangleStats(edges)
+      .queryExecution.executedPlan.toString
+    assert(triPlan.contains("BroadcastHashJoin"),
+      "triangleStats small-graph path must broadcast the array tables")
+  }
+
   test("commonNeighbors: cycle/path hand cases, adjacency excluded, center cap") {
     // 4-cycle: the two diagonals each share both their neighbours —
     // jaccard = 2/(2+2-2) = 1 exactly
