@@ -4915,6 +4915,37 @@ object OpsQueries {
       |    AS assortativity
       |FROM s""".stripMargin
 
+  /** Label-propagation communities of the co-purchase graph after a
+    * FIXED 4 synchronous iterations (the deterministic cross-engine
+    * contract, like coreness — see [[Graph.labelPropagation]]). */
+  private def qGraphCommunities(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    Graph.labelPropagation(
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"),
+      iterations = 4)
+      .select(col("id").as("part"), col("community"))
+  }
+
+  private val oGraphCommunities = {
+    val iter = (k: Int) =>
+      s"""l$k AS (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY cnt DESC, lbl) AS rn
+         |    FROM (SELECT a.id, p.lbl, count(*) AS cnt
+         |      FROM adj a JOIN l${k - 1} p ON a.nbr = p.id
+         |      GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT a.item AS u, b.item AS v FROM items a
+       |  JOIN items b ON a.g = b.g AND a.item < b.item),
+       |adj AS (SELECT u AS id, v AS nbr FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |l0 AS (SELECT DISTINCT id, id AS lbl FROM adj),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT id AS part, lbl AS community FROM l4""".stripMargin
+  }
+
   /** Per-part local clustering coefficient over the co-purchase graph —
     * per-vertex triangle corners on the oriented wedge stream, lcc in
     * integer micro-units + one exact-input double division (see
@@ -5037,6 +5068,7 @@ object OpsQueries {
     "graph_kcore" -> (qGraphKcore _),
     "graph_assortativity" -> (qGraphAssortativity _),
     "graph_clustering" -> (qGraphClustering _),
+    "graph_communities" -> (qGraphCommunities _),
     "graph_linkpred" -> (qGraphLinkpred _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
@@ -5200,6 +5232,7 @@ object OpsQueries {
     "graph_kcore" -> oGraphKcore,
     "graph_assortativity" -> oGraphAssortativity,
     "graph_clustering" -> oGraphClustering,
+    "graph_communities" -> oGraphCommunities,
     "graph_linkpred" -> oGraphLinkpred,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,

@@ -328,6 +328,58 @@ object Graph {
     e
   }
 
+  /** COMMUNITY DETECTION by synchronous label propagation (Raghavan,
+    * Albert, Kumara 2007): every vertex starts as its own label and
+    * repeatedly adopts the most frequent label among its NEIGHBOURS,
+    * ties to the smallest label. Each step is a deterministic integer
+    * function of the previous step, so a FIXED iteration count is
+    * bit-identical on any engine — the same contract as [[coreness]]
+    * (synchronous LPA can oscillate on bipartite structure; the fixed
+    * count IS the spec, and production callers pick iterations ≈ the
+    * expected community diameter).
+    *
+    * Shape per iteration: adjacency ⋈ labels (label table broadcast ≤
+    * `broadcastVertexCap` vertices, the [[coreness]] contract), then
+    * the per-vertex argmax from the LABEL HISTOGRAM — groupBy(id, lbl)
+    * with map-side combine collapses a hub's neighbour list to its
+    * distinct incident labels BEFORE the shuffle, and the argmax is
+    * max(struct(count, −label)) — one hash aggregate, no window, no
+    * sort. Labels must be NUMERIC (they are negated for the min-label
+    * tie-break); vertex ids themselves are the initial labels.
+    * Cadence-3 lineage truncation like [[coreness]].
+    *
+    * @param edges undirected edge list (either or both directions)
+    * @return (id, community) — community = converged label */
+  def labelPropagation(edges: DataFrame, iterations: Int = 4,
+                       broadcastVertexCap: Long = 4L << 20): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("id"), col("v").as("nbr"))
+      .unionAll(canon.select(col("v").as("id"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    var l = adj.select(col("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    val nVertices = l.count()
+    def maybeB(df: DataFrame): DataFrame =
+      if (nVertices <= broadcastVertexCap) broadcast(df) else df
+    for (it <- 1 to iterations) {
+      val next = adj
+        .join(maybeB(l.select(col("id").as("nbr"), col("lbl"))), "nbr")
+        .groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(max(struct(col("cnt"),
+          (lit(-1L) * col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (lit(-1L) * col("m.nl")).as("lbl"))
+      l = if (it % 3 == 0) next.localCheckpoint(true) else next
+    }
+    l.withColumnRenamed("lbl", "community")
+  }
+
   /** Degree ASSORTATIVITY — the Pearson correlation of (deg(u), deg(v))
     * over the directed edge multiset (both directions of each
     * undirected edge, Newman 2002). Everything before the final

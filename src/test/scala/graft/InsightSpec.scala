@@ -310,6 +310,22 @@ class InsightSpec extends SparkSpec {
       hub.getDouble(4)) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("labelPropagation: two cliques joined by a bridge separate into two communities") {
+    // K3 {1,2,3} — K3 {4,5,6}, bridge 3-4; hand-traced 4 synchronous
+    // min-tie iterations land {1,2,3}->1 and {4,5,6}->3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // a clique alone collapses to its min label in one step
+    val k3 = Seq((7L, 8L), (7L, 9L), (8L, 9L)).toDF("src", "dst")
+    val c = Graph.labelPropagation(k3, iterations = 2).collect()
+      .map(_.getLong(1)).toSet
+    assert(c == Set(7L))
+  }
+
   test("graph plan pins: no cartesian, no window; small-graph paths broadcast") {
     val edges = (for { u <- 1 to 30; v <- 1 to 30 if u < v && (u + v) % 3 == 0 }
       yield (u.toLong, v.toLong)).toDF("src", "dst")
