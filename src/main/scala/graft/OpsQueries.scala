@@ -4915,6 +4915,51 @@ object OpsQueries {
       |    AS assortativity
       |FROM s""".stripMargin
 
+  /** WEIGHTED PageRank over the co-purchase graph: edge weight = how
+    * many orders share the part pair, so rank flows along frequently
+    * co-bought links — still exact integers, (units·w) div Σw (see
+    * [[Graph.pagerank]] weightCol). Top-20. */
+  private def qGraphPagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val g = li.select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      .distinct()
+    val edges = g.join(g.withColumnRenamed("item", "item2"), "g")
+      .filter(col("item") =!= col("item2"))
+      .groupBy(col("item").as("src"), col("item2").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    Graph.pagerank(edges, iterations = 5, weightCol = Some("w"))
+      .orderBy(col("rank_units").desc, col("id"))
+      .limit(20)
+      .select(col("id").as("part"), col("rank_units"), col("rank"))
+  }
+
+  private val oGraphPagerankWeighted = {
+    val iter = (k: Int) =>
+      s"""r$k AS (SELECT v.id,
+         |  CAST((SELECT t FROM tp) + 85 * coalesce(f.infl, 0) // 100
+         |    AS BIGINT) AS u
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r${k - 1}.u * e.w // deg.outw) AS infl
+         |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id
+         |      JOIN deg ON e.src = deg.src GROUP BY 1) f USING (id))"""
+        .stripMargin
+    s"""WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+       |  FROM lineitem),
+       |e AS (SELECT a.item AS src, b.item AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM g a JOIN g b USING (g) WHERE a.item <> b.item GROUP BY 1, 2),
+       |v AS (SELECT DISTINCT src AS id FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |deg AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |tp AS (SELECT ((1000000000000 * 15) // 100) // n AS t FROM nn),
+       |r0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS u FROM v),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id AS part, u AS rank_units,
+       |  round(CAST(u AS DOUBLE) / 1000000000000, 6) AS rank
+       |FROM r5 ORDER BY u DESC, id LIMIT 20""".stripMargin
+  }
+
   /** Label-propagation communities of the co-purchase graph after a
     * FIXED 4 synchronous iterations (the deterministic cross-engine
     * contract, like coreness — see [[Graph.labelPropagation]]). */
@@ -5069,6 +5114,7 @@ object OpsQueries {
     "graph_assortativity" -> (qGraphAssortativity _),
     "graph_clustering" -> (qGraphClustering _),
     "graph_communities" -> (qGraphCommunities _),
+    "graph_pagerank_weighted" -> (qGraphPagerankWeighted _),
     "graph_linkpred" -> (qGraphLinkpred _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
     "text_dedup_lines_global" -> (qTextDedupLinesGlobal _),
@@ -5233,6 +5279,7 @@ object OpsQueries {
     "graph_assortativity" -> oGraphAssortativity,
     "graph_clustering" -> oGraphClustering,
     "graph_communities" -> oGraphCommunities,
+    "graph_pagerank_weighted" -> oGraphPagerankWeighted,
     "graph_linkpred" -> oGraphLinkpred,
     "sample_epoch_order" -> oSampleEpochOrder,
     "text_dedup_lines_global" -> oTextDedupLinesGlobal,

@@ -46,14 +46,24 @@ object Graph {
     *
     * @param edges directed edges with columns (src, dst); duplicates
     *              count as parallel edges
+    * @param weightCol optional POSITIVE-INTEGER edge-weight column:
+    *              rank flows proportional to weight — per edge the
+    *              transfer is (units·w) div Σ_out w, still exact
+    *              integer arithmetic (weight 1 everywhere reproduces
+    *              the unweighted numbers bit-for-bit). Keep weights
+    *              small enough that Scale·max(w) fits a BIGINT
+    *              (w ≤ ~10⁶ is always safe).
     * @return (id, rank_units BIGINT, rank DOUBLE = units/Scale) */
   def pagerank(edges: DataFrame, iterations: Int = 5,
-               dampingNum: Long = 85, dampingDen: Long = 100): DataFrame = {
+               dampingNum: Long = 85, dampingDen: Long = 100,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       "damping must be a fraction in [0, 1]")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col("src"), col("dst"), w.as("__w"))
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(sum("__w").as("outdeg"))
       .localCheckpoint(true)
     val vertices = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
@@ -76,7 +86,7 @@ object Graph {
       val inflow = e.join(ranks, e("src") === ranks("id"))
         .join(outdeg, "src")
         .select(col("dst").as("id"),
-          expr("rank_units DIV outdeg").as("c"))
+          expr("rank_units * __w DIV outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
       ranks = vertices.join(inflow, Seq("id"), "left")
         .select(col("id"),

@@ -310,6 +310,24 @@ class InsightSpec extends SparkSpec {
       hub.getDouble(4)) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("weighted pagerank: heavy edge dominates rank flow; weight 1 equals unweighted") {
+    // 1 -> 2 (weight 9), 1 -> 3 (weight 1), sinks feed back to 1
+    val we = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val pr = Graph.pagerank(we, iterations = 10, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(2L) > pr(3L) && pr(2L) > pr(1L) * 4 / 10,
+      s"heavy-edge target must outrank: $pr")
+    // weight 1 everywhere reproduces the unweighted integers exactly
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val a = Graph.pagerank(e1, iterations = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pagerank(e1.withColumn("w", lit(1L)), iterations = 6,
+        weightCol = Some("w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("labelPropagation: two cliques joined by a bridge separate into two communities") {
     // K3 {1,2,3} — K3 {4,5,6}, bridge 3-4; hand-traced 4 synchronous
     // min-tie iterations land {1,2,3}->1 and {4,5,6}->3
