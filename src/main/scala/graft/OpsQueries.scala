@@ -3537,6 +3537,63 @@ object OpsQueries {
        |FROM r3 ORDER BY u DESC, id LIMIT 10""".stripMargin
   }
 
+  /** TrustRank over the outlink host graph: all teleport mass returns
+    * to two curated seed sites, so trust decays with link distance
+    * from them and unreachable domains score exactly 0 (see
+    * [[Graph.trustRank]]). Full domain table. */
+  private def qWebTrustrank(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body><A HREF=\"HTTP://Partner"),
+      (col("doc_id") % 7).cast("string"), lit(".COM/x/"), idS,
+      lit("\">p</a><a href='//cdn"),
+      (col("doc_id") % 5).cast("string"),
+      lit(".net/lib.js'>c</a><a href=\"/local/"), idS,
+      lit("\">l</a><a href=\"mailto:a@b.c\">m</a><a href=\"#top\">t</a>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<a href=\"https://partner0.com/y\">d</a>")).otherwise(lit("")),
+      lit("</body></html>"))
+    val base = concat(lit("https://WWW.Site"),
+      (col("doc_id") % 10).cast("string"), lit(".co.uk/a/"), idS)
+    val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), html.as("html"), base.as("url"))
+    val edges = Web.extractOutlinks(d, "html", "url")
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    val seeds = s.createDataFrame(
+      Seq(Tuple1("site0.co.uk"), Tuple1("site1.co.uk"))).toDF("id")
+    Graph.trustRank(edges, seeds, iterations = 3)
+      .select(col("id").as("domain"), col("trust_units"), col("trust"))
+  }
+
+  private val oWebTrustrank = {
+    val iter = (k: Int) =>
+      s"""r$k AS (SELECT v.id, v.seed,
+         |  CAST(CASE WHEN v.seed THEN (SELECT t FROM tp) ELSE 0 END
+         |    + 85 * coalesce(f.infl, 0) // 100 AS BIGINT) AS u
+         |  FROM v LEFT JOIN (
+         |    SELECT pe.dst AS id, sum(r${k - 1}.u // pdeg.outw) AS infl
+         |    FROM pe JOIN r${k - 1} ON pe.src = r${k - 1}.id
+         |      JOIN pdeg ON pe.src = pdeg.src GROUP BY 1) f USING (id))"""
+        .stripMargin
+    s"""WITH ol AS ($oWebOutlinks),
+       |pe AS (SELECT src_domain AS src, dst_domain AS dst FROM ol),
+       |sd AS (SELECT * FROM (VALUES ('site0.co.uk'), ('site1.co.uk'))
+       |  s(id)),
+       |v AS (SELECT id, id IN (SELECT id FROM sd) AS seed FROM
+       |  (SELECT DISTINCT src AS id FROM pe
+       |   UNION SELECT DISTINCT dst FROM pe)),
+       |pdeg AS (SELECT src, count(*) AS outw FROM pe GROUP BY 1),
+       |ns AS (SELECT count(*) AS n FROM v WHERE seed),
+       |tp AS (SELECT ((1000000000000 * 15) // 100) // n AS t FROM ns),
+       |r0 AS (SELECT id, seed,
+       |  CASE WHEN seed THEN (SELECT 1000000000000 // n FROM ns)
+       |    ELSE 0 END AS u FROM v),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT id AS domain, u AS trust_units,
+       |  round(CAST(u AS DOUBLE) / 1000000000000, 6) AS trust
+       |FROM r3""".stripMargin
+  }
+
   private def qWebDomainCap(s: SparkSession, dir: String): DataFrame = {
     val dom = plantedUrls(s, dir)
       .withColumn("domain", Web.registeredDomain(Web.host(col("url"))))
@@ -5083,6 +5140,7 @@ object OpsQueries {
     "web_url_dedup" -> (qWebUrlDedup _),
     "web_outlinks" -> (qWebOutlinks _),
     "web_authority" -> (qWebAuthority _),
+    "web_trustrank" -> (qWebTrustrank _),
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
@@ -5248,6 +5306,7 @@ object OpsQueries {
     "web_url_dedup" -> oWebUrlDedup,
     "web_outlinks" -> oWebOutlinks,
     "web_authority" -> oWebAuthority,
+    "web_trustrank" -> oWebTrustrank,
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
     "text_ngram_diversity" -> oTextNgramDiversity,

@@ -310,6 +310,23 @@ class InsightSpec extends SparkSpec {
       hub.getDouble(4)) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("trustRank: trust decays with seed distance; unreachable is exactly 0") {
+    // chain seed(1) -> 2 -> 3; island 9 -> 10 unreachable from the seed
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val tr = Graph.trustRank(edges, seeds, iterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr(1L) > tr(2L) && tr(2L) > tr(3L), s"decay broken: $tr")
+    assert(tr(9L) == 0L && tr(10L) == 0L, s"island must hold zero trust: $tr")
+    // a seed absent from the graph is ignored; all-absent seeds throw
+    val tr2 = Graph.trustRank(edges, Seq(1L, 77L).toDF("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr2(1L) > 0L)
+    intercept[IllegalArgumentException] {
+      Graph.trustRank(edges, Seq(Tuple1(77L)).toDF("id"), 2)
+    }
+  }
+
   test("weighted pagerank: heavy edge dominates rank flow; weight 1 equals unweighted") {
     // 1 -> 2 (weight 9), 1 -> 3 (weight 1), sinks feed back to 1
     val we = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
