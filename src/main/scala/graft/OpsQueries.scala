@@ -3594,6 +3594,42 @@ object OpsQueries {
        |FROM r3""".stripMargin
   }
 
+  /** Mirror-host detection over planted hosts: documents shard onto 10
+    * hosts by id, plus a planted mirror carrying 80% of one host's
+    * docs — exact fingerprint-set Jaccard flags the (host, mirror)
+    * pair at ~0.8 while organic duplicate texts stay far below the
+    * 0.5 bar (see [[Web.mirrorHosts]]). */
+  private def qWebMirrors(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = d.select(
+      concat(lit("h"), (col("doc_id") % 10).cast("string")).as("host"),
+      md5(col("text")).as("fp"))
+    val mirror = d
+      .filter(col("doc_id") % 10 === 3 &&
+        expr("doc_id DIV 10 % 10 < 8"))
+      .select(lit("m3").as("host"), md5(col("text")).as("fp"))
+    Web.mirrorHosts(base.unionAll(mirror), "host", "fp", minJaccard = 0.5)
+  }
+
+  private val oWebMirrors =
+    """WITH hf AS (
+      |  SELECT DISTINCT 'h' || CAST(doc_id % 10 AS VARCHAR) AS h,
+      |    md5(text) AS fp FROM documents
+      |  UNION
+      |  SELECT DISTINCT 'm3' AS h, md5(text) AS fp FROM documents
+      |  WHERE doc_id % 10 = 3 AND doc_id // 10 % 10 < 8),
+      |sizes AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM hf
+      |  GROUP BY h),
+      |c AS (SELECT a.h AS host_a, b.h AS host_b,
+      |    CAST(count(*) AS BIGINT) AS common
+      |  FROM hf a JOIN hf b ON a.fp = b.fp AND a.h < b.h GROUP BY 1, 2)
+      |SELECT host_a, host_b, common, sa.n AS na, sb.n AS nb,
+      |  common * 1000000 // (sa.n + sb.n - common) AS jaccard_micro
+      |FROM c JOIN sizes sa ON sa.h = c.host_a
+      |  JOIN sizes sb ON sb.h = c.host_b
+      |WHERE common * 1000000 // (sa.n + sb.n - common) >= 500000"""
+      .stripMargin
+
   private def qWebDomainCap(s: SparkSession, dir: String): DataFrame = {
     val dom = plantedUrls(s, dir)
       .withColumn("domain", Web.registeredDomain(Web.host(col("url"))))
@@ -5141,6 +5177,7 @@ object OpsQueries {
     "web_outlinks" -> (qWebOutlinks _),
     "web_authority" -> (qWebAuthority _),
     "web_trustrank" -> (qWebTrustrank _),
+    "web_mirrors" -> (qWebMirrors _),
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
@@ -5307,6 +5344,7 @@ object OpsQueries {
     "web_outlinks" -> oWebOutlinks,
     "web_authority" -> oWebAuthority,
     "web_trustrank" -> oWebTrustrank,
+    "web_mirrors" -> oWebMirrors,
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
     "text_ngram_diversity" -> oTextNgramDiversity,

@@ -237,6 +237,42 @@ object Web {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** MIRROR-HOST detection (Bharat & Broder 1999): host pairs whose
+    * CONTENT FINGERPRINT sets overlap by at least `minJaccard` — the
+    * "same site under two names" case that per-document dedup sees
+    * only as n² scattered duplicate pairs, but a crawler wants as ONE
+    * host-level decision (drop the mirror, keep the canonical host).
+    * Pair generation goes through shared fingerprints (hosts sharing
+    * at least one document): the self-join is per-FINGERPRINT, so its
+    * cost is Σ_fp C(hosts(fp), 2) — bounded by how many hosts carry
+    * one document (small by construction of a fingerprint), never
+    * all-host-pairs. Counts and set sizes are exact integers;
+    * `jaccard_micro` = common·10⁶ div (|A|+|B|−common), the same
+    * no-round() rails as the graph family.
+    *
+    * @param df one row per (host, document); duplicates collapse
+    * @return (host_a, host_b, common, na, nb, jaccard_micro) with
+    *         host_a < host_b, jaccard_micro ≥ minJaccard·10⁶ */
+  def mirrorHosts(df: DataFrame, hostCol: String, fpCol: String,
+                  minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
+    val hf = df.select(col(hostCol).as("h"), col(fpCol).as("fp")).distinct()
+      .localCheckpoint(true)
+    val sizes = hf.groupBy("h").agg(count(lit(1)).as("n"))
+    val common = hf.as("a")
+      .join(hf.withColumnRenamed("h", "h2").as("b"), "fp")
+      .filter(col("h") < col("h2"))
+      .groupBy(col("h").as("host_a"), col("h2").as("host_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("h").as("host_a"), col("n").as("na")), "host_a")
+      .join(sizes.select(col("h").as("host_b"), col("n").as("nb")), "host_b")
+      .withColumn("jaccard_micro",
+        expr("common * 1000000 DIV (na + nb - common)"))
+      .filter(col("jaccard_micro") >= (minJaccard * 1000000).toLong)
+      .select("host_a", "host_b", "common", "na", "nb", "jaccard_micro")
+  }
+
   /** Above this many blocked domains the blocklist becomes a broadcast
     * join instead of an inlined InSet literal — the same
     * literal/broadcast crossover as

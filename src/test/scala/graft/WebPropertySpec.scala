@@ -59,6 +59,26 @@ class WebPropertySpec extends SparkSpec {
     assert(Web.extractOutlinks(none, "html", "url").isEmpty)
   }
 
+  test("mirrorHosts: planted 80% mirror found exactly; disjoint hosts silent") {
+    // host A: fps 1..10; mirror B: fps 1..8 (j = 8/10 = 0.8);
+    // host C: fps 11..20 (disjoint); host D shares 2 with A (j = 2/18)
+    val rows =
+      (1 to 10).map(i => ("a.com", s"f$i")) ++
+      (1 to 8).map(i => ("b.com", s"f$i")) ++
+      (11 to 20).map(i => ("c.com", s"f$i")) ++
+      ((1 to 2).map(i => ("d.com", s"f$i")) ++
+        (21 to 28).map(i => ("d.com", s"f$i")))
+    val df = rows.toDF("host", "fp")
+    val out = Web.mirrorHosts(df, "host", "fp", minJaccard = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    assert(out.toSeq == Seq(("a.com", "b.com", 8L, 800000L)), out.toSeq)
+    // duplicate (host, fp) rows collapse before counting
+    val dup = df.unionAll(df)
+    val out2 = Web.mirrorHosts(dup, "host", "fp", 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out2.toSeq == Seq(("a.com", "b.com", 8L)))
+  }
+
   test("canonicalize: idempotent and fragment/tracking/port-insensitive on random URLs") {
     for (seed <- 1L to 4L) {
       val urls = urlsFromSeed(seed)
