@@ -77,6 +77,11 @@ class WebPropertySpec extends SparkSpec {
     val out2 = Web.mirrorHosts(dup, "host", "fp", 0.5).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out2.toSeq == Seq(("a.com", "b.com", 8L)))
+    // pair generation is the per-fingerprint equi-join — never cartesian
+    val plan = Web.mirrorHosts(df, "host", "fp", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("canonicalize: idempotent and fragment/tracking/port-insensitive on random URLs") {
