@@ -3594,6 +3594,58 @@ object OpsQueries {
        |FROM r3""".stripMargin
   }
 
+  /** Changelog application onto the orders snapshot: superseded
+    * updates, deletes, and inserts materialize in one pass — latest
+    * sequence wins per key via a map-side max_by, untouched base rows
+    * pass through an anti-join (see [[Diff.applyChangelog]]). */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    def ch(f: org.apache.spark.sql.Column, price: org.apache.spark.sql.Column,
+           status: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+           op: String, seq: Long) =
+      base.filter(f).select(key.as("o_orderkey"), col("o_custkey"),
+        price.as("o_totalprice"), status.as("o_orderstatus"),
+        lit(op).as("op"), lit(seq).as("seq"))
+    val k = col("o_orderkey")
+    val changes = ch(k % 7 === 0, col("o_totalprice") + 100,
+        col("o_orderstatus"), k, "U", 1L)
+      .unionByName(ch(k % 7 === 0, col("o_totalprice") + 200,
+        col("o_orderstatus"), k, "U", 2L))
+      .unionByName(ch(k % 7 === 1, col("o_totalprice"),
+        col("o_orderstatus"), k, "D", 1L))
+      .unionByName(ch(k % 7 === 2, col("o_totalprice"), lit("O"),
+        k + 1000000000L, "I", 1L))
+    Diff.applyChangelog(base, changes, Seq("o_orderkey"), "seq", "op")
+  }
+
+  private val oCdcApply =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      |    o_orderstatus FROM orders),
+      |ch AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 100 AS o_totalprice,
+      |    o_orderstatus, 'U' AS op, 1 AS seq FROM base
+      |  WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 200, o_orderstatus,
+      |    'U', 2 FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+      |    'D', 1 FROM base WHERE o_orderkey % 7 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, 'O',
+      |    'I', 1 FROM base WHERE o_orderkey % 7 = 2),
+      |latest AS (SELECT * FROM (SELECT ch.*,
+      |    row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+      |SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus
+      |FROM base b
+      |WHERE NOT EXISTS (SELECT 1 FROM latest l
+      |  WHERE l.o_orderkey = b.o_orderkey)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM latest WHERE op <> 'D'""".stripMargin
+
   /** Mirror-host detection over planted hosts: documents shard onto 10
     * hosts by id, plus a planted mirror carrying 80% of one host's
     * docs — exact fingerprint-set Jaccard flags the (host, mirror)
@@ -5178,6 +5230,7 @@ object OpsQueries {
     "web_authority" -> (qWebAuthority _),
     "web_trustrank" -> (qWebTrustrank _),
     "web_mirrors" -> (qWebMirrors _),
+    "cdc_apply" -> (qCdcApply _),
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
@@ -5345,6 +5398,7 @@ object OpsQueries {
     "web_authority" -> oWebAuthority,
     "web_trustrank" -> oWebTrustrank,
     "web_mirrors" -> oWebMirrors,
+    "cdc_apply" -> oCdcApply,
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
     "text_ngram_diversity" -> oTextNgramDiversity,

@@ -18,6 +18,47 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
+  /** CHANGELOG APPLICATION — materialize the next snapshot from a base
+    * table plus a stream of keyed changes (the upsert/delete compaction
+    * every mutable dataset needs before a pipeline can treat it as a
+    * plain table; the CDC-merge a lakehouse format performs, expressed
+    * as two aggregates and an anti-join, format-free):
+    *
+    *   - per key, the HIGHEST-`seqCol` change wins (earlier changes to
+    *     the same key are superseded, order-free — no window over the
+    *     changelog, a map-side-combinable max_by aggregate)
+    *   - winning op 'D' deletes the key; any other op ('I'/'U' — the
+    *     distinction doesn't matter for materialization) replaces or
+    *     inserts the row with the change's payload columns
+    *   - base rows whose key never appears in the changelog pass
+    *     through untouched (one left-anti join on the key-cardinality
+    *     aggregate — the base table itself never shuffles wide)
+    *
+    * `(keys, seqCol)` must be unique within `changes` (two changes to
+    * one key with the same sequence number have no defined winner);
+    * `changes` must carry every `base` column plus `opCol` + `seqCol`.
+    *
+    * @return the next snapshot, schema = base */
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+                     keyCols: Seq[String], seqCol: String,
+                     opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangelog: need at least one key")
+    val payload = base.columns.filterNot(keyCols.contains)
+    val latest = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct((payload.map(col) :+ col(opCol).as("__op")): _*),
+        col(seqCol)).as("__w"))
+      .select(keyCols.map(col) ++
+        payload.map(c => col(s"__w.$c").as(c)) :+
+        col("__w.__op").as("__op"): _*)
+      .localCheckpoint(true) // referenced by the anti-join AND the union
+    val untouched = base.join(latest.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    val applied = latest.filter(col("__op") =!= "D").drop("__op")
+    untouched.unionByName(applied)
+  }
+
   /** Row-level snapshot diff: one row per id present in either
     * snapshot, with `status` ∈ added (only in `b`), removed (only in
     * `a`), changed (both, canonical-text fingerprint differs),

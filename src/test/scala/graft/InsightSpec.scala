@@ -310,6 +310,22 @@ class InsightSpec extends SparkSpec {
       hub.getDouble(4)) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("applyChangelog: latest seq wins, deletes drop, inserts add, untouched pass") {
+    import graft.ops.Diff
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "v")
+    val changes = Seq(
+      (1L, "a", 11.0, "U", 1L), (1L, "a2", 12.0, "U", 2L), // superseded
+      (2L, "b", 20.0, "D", 1L), // delete
+      (9L, "i", 90.0, "I", 1L), // insert
+      (3L, "x", 0.0, "U", 1L), (3L, "c", 30.0, "D", 2L)) // update then delete
+      .toDF("k", "name", "v", "op", "seq")
+    val out = Diff.applyChangelog(base, changes, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(out == Set((1L, "a2", 12.0), (4L, "d", 40.0), (9L, "i", 90.0)))
+  }
+
   test("trustRank: trust decays with seed distance; unreachable is exactly 0") {
     // chain seed(1) -> 2 -> 3; island 9 -> 10 unreachable from the seed
     val edges = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("src", "dst")
