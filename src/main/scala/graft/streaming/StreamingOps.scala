@@ -539,6 +539,68 @@ object StreamingOps {
     }
   }
 
+  /** Streaming CHANGELOG sink — the live leg of
+    * [[graft.ops.Diff.applyChangelog]]: a `foreachBatch` sink that
+    * folds each micro-batch of keyed I/U/D changes into a persisted
+    * snapshot table. Layout: `snapshotDir/v<batchId>/` parquet
+    * versions plus a `_latest` one-line marker naming the committed
+    * version — the marker write is the commit point, so a crash
+    * between data write and marker leaves an orphan directory the
+    * retry simply overwrites.
+    *
+    * Exactly-once under retries: the marker carries the high-water
+    * batch id and the sink SKIPS any batch at-or-below it (the
+    * [[pcaStateSink]] idempotence contract). Correctness contract:
+    * per-key sequence numbers must be NON-DECREASING across batches
+    * (the ordering a keyed CDC stream provides) — then incremental
+    * application equals the one-shot batch apply, spec-pinned; a
+    * lower-seq change arriving after a later one was already folded
+    * would need tombstone retention, which this sink deliberately
+    * does not do.
+    *
+    * Usage: `changes.writeStream.foreachBatch(
+    *   changelogSink(dir, Seq("k"), "seq", "op")).start()`; read the
+    * current snapshot with [[readSnapshot]]. */
+  def changelogSink(snapshotDir: String, keyCols: Seq[String],
+                    seqCol: String, opCol: String)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(snapshotDir, "_latest")
+    val current: Option[Long] =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+        finally in.close()
+      } else None
+    if (current.forall(_ < batchId)) {
+      val base = current match {
+        case Some(v) => spark.read.parquet(s"$snapshotDir/v$v")
+        case None => batch.drop(opCol, seqCol).limit(0)
+      }
+      val next = graft.ops.Diff.applyChangelog(base, batch, keyCols,
+        seqCol, opCol)
+      next.write.mode("overwrite").parquet(s"$snapshotDir/v$batchId")
+      val out = fs.create(marker, true)
+      try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The committed snapshot a [[changelogSink]] maintains (empty-schema
+    * error if no batch has committed yet). */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   snapshotDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(snapshotDir, "_latest")
+    require(fs.exists(marker), s"no committed snapshot at $snapshotDir")
+    val in = fs.open(marker)
+    val v = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    spark.read.parquet(s"$snapshotDir/v$v")
+  }
+
   /** STREAM-STREAM interval join (attribution: "right events with the
     * same key within [leftTs − beforeSec, leftTs + afterSec]") — the
     * join Structured Streaming supports only when BOTH sides carry

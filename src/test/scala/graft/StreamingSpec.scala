@@ -981,6 +981,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changelogSink: incremental apply equals one-shot; duplicate batch skipped") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cl").toString
+    val input = MemoryStream[(Long, String, Double, String, Long)]
+    val sink = StreamingOps.changelogSink(dir, Seq("k"), "seq", "op")
+    val q = input.toDF().toDF("k", "name", "v", "op", "seq")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      input.addData((1L, "a", 1.0, "I", 1L), (2L, "b", 2.0, "I", 2L))
+      q.processAllAvailable()
+      input.addData((1L, "a2", 1.5, "U", 3L), (2L, "b", 2.0, "D", 4L),
+        (3L, "c", 3.0, "I", 5L))
+      q.processAllAvailable()
+      val got = StreamingOps.readSnapshot(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, "a2", 1.5), (3L, "c", 3.0)), s"got $got")
+      // one-shot batch twin over ALL changes lands on the same table
+      val all = Seq((1L, "a", 1.0, "I", 1L), (2L, "b", 2.0, "I", 2L),
+        (1L, "a2", 1.5, "U", 3L), (2L, "b", 2.0, "D", 4L),
+        (3L, "c", 3.0, "I", 5L)).toDF("k", "name", "v", "op", "seq")
+      val empty = all.drop("op", "seq").limit(0)
+      val oneShot = graft.ops.Diff.applyChangelog(empty, all,
+          Seq("k"), "seq", "op").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == oneShot)
+      // a re-delivered (duplicate) batch id must be skipped, not re-applied
+      val dup = Seq((1L, "zz", 9.9, "U", 0L)).toDF("k", "name", "v", "op", "seq")
+      sink(dup, 0L) // batchId 0 <= high-water -> no-op
+      val got2 = StreamingOps.readSnapshot(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got2 == got)
+    } finally q.stop()
+  }
+
   test("domainCapStream admits first cap per domain across micro-batches; one long of state") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
