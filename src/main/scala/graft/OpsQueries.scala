@@ -3594,6 +3594,69 @@ object OpsQueries {
        |FROM r3""".stripMargin
   }
 
+  /** HITS hubs-and-authorities over the outlink host graph: link
+    * directories (high hub) separate from link targets (high auth) —
+    * the two-score signal PageRank can't give (see [[Graph.hits]]).
+    * Full domain table, exact integer units. */
+  private def qWebHits(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body><A HREF=\"HTTP://Partner"),
+      (col("doc_id") % 7).cast("string"), lit(".COM/x/"), idS,
+      lit("\">p</a><a href='//cdn"),
+      (col("doc_id") % 5).cast("string"),
+      lit(".net/lib.js'>c</a><a href=\"/local/"), idS,
+      lit("\">l</a><a href=\"mailto:a@b.c\">m</a><a href=\"#top\">t</a>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<a href=\"https://partner0.com/y\">d</a>")).otherwise(lit("")),
+      lit("</body></html>"))
+    val base = concat(lit("https://WWW.Site"),
+      (col("doc_id") % 10).cast("string"), lit(".co.uk/a/"), idS)
+    val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), html.as("html"), base.as("url"))
+    val edges = Web.extractOutlinks(d, "html", "url")
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    Graph.hits(edges, iterations = 4)
+      .select(col("id").as("domain"), col("hub_units"), col("auth_units"),
+        col("hub"), col("auth"))
+  }
+
+  private val oWebHits = {
+    val sc = "1000000000000"
+    // MATERIALIZED + window-total renorm: each CTE level is evaluated
+    // once. DuckDB inlines plain CTEs, so with the edge list referenced
+    // in both half-steps and h_k referenced by both a_k and the final
+    // select, the naive spelling re-runs the regex base ~2^iters times
+    // (measured: >120 s naive vs 1.4 s materialized at sf0.01).
+    val iter = (k: Int) =>
+      s"""h$k AS MATERIALIZED (SELECT v.id,
+         |    CAST(CAST(coalesce(hr.raw, 0) AS HUGEINT) * $sc
+         |      // sum(coalesce(hr.raw, 0)) OVER () AS BIGINT) AS u
+         |  FROM v LEFT JOIN (
+         |    SELECT pe.src AS id, sum(a${k - 1}.u) AS raw
+         |    FROM pe JOIN a${k - 1} ON pe.dst = a${k - 1}.id
+         |    GROUP BY 1) hr ON v.id = hr.id),
+         |a$k AS MATERIALIZED (SELECT v.id,
+         |    CAST(CAST(coalesce(ar.raw, 0) AS HUGEINT) * $sc
+         |      // sum(coalesce(ar.raw, 0)) OVER () AS BIGINT) AS u
+         |  FROM v LEFT JOIN (
+         |    SELECT pe.dst AS id, sum(h$k.u) AS raw
+         |    FROM pe JOIN h$k ON pe.src = h$k.id
+         |    GROUP BY 1) ar ON v.id = ar.id)""".stripMargin
+    s"""WITH ol AS MATERIALIZED ($oWebOutlinks),
+       |pe AS MATERIALIZED (
+       |  SELECT src_domain AS src, dst_domain AS dst FROM ol),
+       |v AS MATERIALIZED (SELECT DISTINCT src AS id FROM pe
+       |  UNION SELECT DISTINCT dst FROM pe),
+       |a0 AS (SELECT id, (SELECT $sc // count(*) FROM v) AS u FROM v),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT v.id AS domain, h4.u AS hub_units, a4.u AS auth_units,
+       |  round(CAST(h4.u AS DOUBLE) / $sc, 6) AS hub,
+       |  round(CAST(a4.u AS DOUBLE) / $sc, 6) AS auth
+       |FROM v JOIN h4 ON v.id = h4.id JOIN a4 ON v.id = a4.id"""
+      .stripMargin
+  }
+
   /** Changelog application onto the orders snapshot: superseded
     * updates, deletes, and inserts materialize in one pass — latest
     * sequence wins per key via a map-side max_by, untouched base rows
@@ -5229,6 +5292,7 @@ object OpsQueries {
     "web_outlinks" -> (qWebOutlinks _),
     "web_authority" -> (qWebAuthority _),
     "web_trustrank" -> (qWebTrustrank _),
+    "web_hits" -> (qWebHits _),
     "web_mirrors" -> (qWebMirrors _),
     "cdc_apply" -> (qCdcApply _),
     "corpus_report" -> (qCorpusReport _),
@@ -5397,6 +5461,7 @@ object OpsQueries {
     "web_outlinks" -> oWebOutlinks,
     "web_authority" -> oWebAuthority,
     "web_trustrank" -> oWebTrustrank,
+    "web_hits" -> oWebHits,
     "web_mirrors" -> oWebMirrors,
     "cdc_apply" -> oCdcApply,
     "corpus_report" -> oCorpusReport,

@@ -158,6 +158,79 @@ object Graph {
         round(col("rank_units").cast("double") / Scale, 6).as("trust"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) on the exact-integer
+    * rails of [[pagerank]]: a good HUB points at many good authorities
+    * (hub(u) = Σ_{u→v} auth(v)); a good AUTHORITY is pointed at by many
+    * good hubs (auth(v) = Σ_{u→v} hub(u)). On a crawl's outlink host
+    * graph the two scores separate link DIRECTORIES (high hub, low
+    * auth) from link TARGETS (the reverse) — a distinction PageRank's
+    * single score cannot make, and the signal a curation pipeline uses
+    * to keep list-page boilerplate out of the training set while
+    * keeping what the lists point AT.
+    *
+    * Kleinberg's L2 normalization is replaced by L1 in integer units —
+    * after each half-step every score is rescaled so the total mass is
+    * exactly [[Scale]]:
+    *
+    *   norm(x) = (x · Scale) div Σ x
+    *
+    * computed in DECIMAL(38,0) (x ≤ outdeg·Scale, so x·Scale ≤ ~1e29 —
+    * far inside 38 digits, and DIV truncation loses < 1e-12·|V| mass:
+    * noise at the 6-dp reporting precision). Every sum is an order-free
+    * BIGINT/DECIMAL sum and every division integral, so a FIXED
+    * iteration count is bit-identical on any engine — the same
+    * cross-engine contract as the rest of the family. (The L1/L2
+    * difference only rescales scores within an iteration; the relative
+    * ORDER of hubs and of authorities — the useful output — matches the
+    * classical formulation.)
+    *
+    * Shape per iteration: two edge⋈score equi-joins (one per
+    * direction), each followed by a map-side-combinable sum and a
+    * 1-row total that AQE broadcasts back — no driver action inside
+    * the loop. Score tables are vertex-cardinality; the edge list is
+    * scanned twice per iteration, shuffle-partitioned on the join key.
+    *
+    * @param edges directed edges (src, dst); duplicates count as
+    *              parallel links
+    * @return full vertex table (id, hub_units, auth_units, hub, auth);
+    *         a vertex with no out-edges has hub 0, no in-edges auth 0 */
+  def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val vertices = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = vertices.count()
+    require(n > 0, "hits: empty graph")
+    def renorm(raw: DataFrame): DataFrame = {
+      val total = raw.agg(sum("raw").as("__t"))
+      vertices.join(raw, vertices("id") === raw("rid"), "left")
+        .crossJoin(total)
+        .select(col("id"),
+          expr("CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) " +
+            s"* $Scale DIV __t").as("units"))
+    }
+    var auth = vertices.withColumn("units", lit(Scale / n))
+    var hubs = auth
+    for (it <- 1 to iterations) {
+      hubs = renorm(
+        e.join(auth, e("dst") === auth("id"))
+          .groupBy(e("src").as("rid")).agg(sum("units").as("raw")))
+      auth = renorm(
+        e.join(hubs, e("src") === hubs("id"))
+          .groupBy(e("dst").as("rid")).agg(sum("units").as("raw")))
+      if (it % 8 == 0) {
+        hubs = hubs.localCheckpoint(true)
+        auth = auth.localCheckpoint(true)
+      }
+    }
+    hubs.select(col("id"), col("units").as("hub_units"))
+      .join(auth.select(col("id"), col("units").as("auth_units")), "id")
+      .select(col("id"), col("hub_units"), col("auth_units"),
+        round(col("hub_units").cast("double") / Scale, 6).as("hub"),
+        round(col("auth_units").cast("double") / Scale, 6).as("auth"))
+  }
+
   /** Exact triangle census by DEGREE-ORDERED ORIENTATION — the classic
     * trick that makes exact triangle counting scale: orient each
     * undirected edge from its (degree, id)-smaller endpoint to the

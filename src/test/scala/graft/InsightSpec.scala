@@ -143,6 +143,35 @@ class InsightSpec extends SparkSpec {
     assert(total <= Graph.Scale && total > Graph.Scale * 98 / 100)
   }
 
+  test("hits: hand-exact first iteration; roles separate on a bipartite star") {
+    // hubs 1..3 -> authorities 10..12: 1 links all three, 2 and 3 only
+    // the top authority. Pure sources get auth 0, pure sinks hub 0.
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (3L, 10L))
+      .toDF("src", "dst")
+    // One iteration by hand (n=6, s0 = Scale div 6 = 166666666666):
+    //   h_raw = (1 -> 3 s0, 2 -> s0, 3 -> s0), total 5 s0
+    //   h     = (1 -> 3*Scale div 5, 2,3 -> Scale div 5)
+    //   a_raw = (10 -> Scale, 11,12 -> 6e11), total 22e11
+    //   a     = (10 -> 454545454545, 11,12 -> 272727272727)
+    val one = Graph.hits(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(one(1L) == ((600000000000L, 0L)))
+    assert(one(2L) == ((200000000000L, 0L)) && one(2L) == one(3L))
+    assert(one(10L) == ((0L, 454545454545L)))
+    assert(one(11L) == ((0L, 272727272727L)) && one(11L) == one(12L))
+    // Role separation and mass conservation persist at depth
+    val four = Graph.hits(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(four(1L)._1 > four(2L)._1 && four(2L)._1 > 0)
+    assert(four(10L)._2 > four(11L)._2 && four(11L)._2 > 0)
+    assert(Seq(10L, 11L, 12L).forall(four(_)._1 == 0L))
+    assert(Seq(1L, 2L, 3L).forall(four(_)._2 == 0L))
+    val hubMass = four.values.map(_._1).sum
+    val authMass = four.values.map(_._2).sum
+    assert(hubMass <= Graph.Scale && hubMass > Graph.Scale * 98 / 100)
+    assert(authMass <= Graph.Scale && authMass > Graph.Scale * 98 / 100)
+  }
+
   test("compressionRatio orders repetitive < prose < random; null/empty guarded") {
     import graft.ops.TextFunctions
     val rep = "spam spam spam spam " * 50
