@@ -84,6 +84,67 @@ object OpsQueries {
       TextFunctions.langId(col("text")).getField("lang").as("lang_pred"),
       TextFunctions.langId(col("text")).getField("score").as("lang_score"))
 
+  /** Unicode-script mix profile over a deterministically multilingual
+    * corpus slice: docs rotate through Han/Cyrillic/Arabic/Hangul/
+    * Kana/Greek bodies by doc_id so dominance genuinely flips (the
+    * synthetic corpus is ASCII; see [[TextFunctions.scriptProfile]]).
+    * Exact integer counts + ppm share. */
+  private def qTextScript(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 10
+    val txt = when(m === 1, lit("数据处理引擎机器学习模型训练"))
+      .when(m === 2, lit("данные поток обработка система"))
+      .when(m === 3, lit("نص عربي للاختبار فقط"))
+      .when(m === 4, lit("한국어 자연어 처리"))
+      .when(m === 5, lit("ひらがなとカタカナのテキスト"))
+      .when(m === 6, lit("ελληνικό κείμενο δοκιμής"))
+      .when(m === 7, concat(col("text"), lit(" 混合 mixed текст")))
+      .otherwise(col("text"))
+    val p = TextFunctions.scriptProfile(txt)
+    t(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(Seq(col("doc_id")) ++
+        Seq("n_chars", "latin", "han", "cyrillic", "arabic", "greek",
+          "hangul", "kana", "other", "dominant_script", "dominant_ppm")
+          .map(f => p.getField(f).as(f)): _*)
+  }
+
+  private val oTextScript = {
+    val txt =
+      """CASE doc_id % 10
+        |    WHEN 1 THEN '数据处理引擎机器学习模型训练'
+        |    WHEN 2 THEN 'данные поток обработка система'
+        |    WHEN 3 THEN 'نص عربي للاختبار فقط'
+        |    WHEN 4 THEN '한국어 자연어 처리'
+        |    WHEN 5 THEN 'ひらがなとカタカナのテキスト'
+        |    WHEN 6 THEN 'ελληνικό κείμενο δοκιμής'
+        |    WHEN 7 THEN text || ' 混合 mixed текст'
+        |    ELSE text END""".stripMargin
+    val classes = Seq(
+      "latin" -> "\\p{Latin}", "han" -> "\\p{Han}",
+      "cyrillic" -> "\\p{Cyrillic}", "arabic" -> "\\p{Arabic}",
+      "greek" -> "\\p{Greek}", "hangul" -> "\\p{Hangul}",
+      "kana" -> "[\\p{Hiragana}\\p{Katakana}]")
+    val cnt = classes.map { case (n, re) =>
+      s"len(regexp_extract_all(txt, '$re')) AS $n" }.mkString(",\n  ")
+    val names = classes.map(_._1)
+    val maxExpr = s"greatest(${names.mkString(", ")})"
+    val domCase = names.map(n => s"WHEN $n = mx THEN '$n'")
+      .mkString("\n    ")
+    s"""WITH base AS MATERIALIZED (SELECT doc_id, $txt AS txt
+       |  FROM documents WHERE doc_id < 400),
+       |c AS (SELECT doc_id,
+       |  len(regexp_extract_all(txt, '\\S')) AS n_chars,
+       |  $cnt
+       |FROM base),
+       |m AS (SELECT *, $maxExpr AS mx FROM c)
+       |SELECT doc_id, n_chars, ${names.mkString(", ")},
+       |  n_chars - (${names.mkString(" + ")}) AS other,
+       |  CASE WHEN mx = 0 THEN 'none'
+       |    $domCase END AS dominant_script,
+       |  CASE WHEN n_chars > 0 THEN mx * 1000000 // n_chars
+       |    ELSE 0 END AS dominant_ppm
+       |FROM m""".stripMargin
+  }
+
   // First language (in en,de,fr,es,zh order) reaching the max score — the
   // same strict-> fold semantics as TextFunctions.langId.
   private val oTextLangId = {
@@ -5281,6 +5342,7 @@ object OpsQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (qTextStats _),
     "text_langid" -> (qTextLangId _),
+    "text_script" -> (qTextScript _),
     "text_fingerprint" -> (qTextFingerprint _),
     "web_canonical" -> (qWebCanonical _),
     "web_domain_cap" -> (qWebDomainCap _),
@@ -5450,6 +5512,7 @@ object OpsQueries {
   def oracles: Map[String, String] = Map(
     "text_stats" -> oTextStats,
     "text_langid" -> oTextLangId,
+    "text_script" -> oTextScript,
     "text_fingerprint" -> oTextFingerprint,
     "web_canonical" -> oWebCanonical,
     "web_domain_cap" -> oWebDomainCap,

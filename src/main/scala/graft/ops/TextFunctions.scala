@@ -235,6 +235,57 @@ object TextFunctions {
     }
   }
 
+  /** Unicode-SCRIPT mix profile — the multilingual-curation twin of
+    * [[charProfile]]'s ASCII classes: per-script character counts
+    * (Latin/Han/Cyrillic/Arabic/Greek/Hangul/Kana — the scripts that
+    * cover the big crawl languages), the dominant script, and its
+    * share in exact ppm (integer DIV — no float rounding to drift
+    * cross-engine). The signal catches what n-gram langid cannot:
+    * wrong-script spam inside a language bucket, mixed-script mashups,
+    * and transliteration leakage — a doc whose langid says "en" but
+    * whose chars are 40% Han is a labeling bug, not English.
+    *
+    * Counts use one codegen'd `regexp_count` per script class
+    * (Unicode script properties — identical definitions in Java regex
+    * `\p{IsX}` and RE2 `\p{X}`, so the DuckDB oracle matches per
+    * char). All snippets BMP-safe: Spark counts code points, so
+    * supplementary-plane text would count 1 where engines counting
+    * UTF-16 units say 2 — keep oracle fixtures inside the BMP.
+    *
+    * @return struct(n_chars=non-whitespace count, latin, han,
+    *         cyrillic, arabic, greek, hangul, kana, other,
+    *         dominant_script, dominant_ppm); ties break in the listed
+    *         script order, an all-zero profile is ("none", 0) */
+  def scriptProfile(text: Column): Column = {
+    val classes = Seq(
+      "latin" -> "\\p{IsLatin}", "han" -> "\\p{IsHan}",
+      "cyrillic" -> "\\p{IsCyrillic}", "arabic" -> "\\p{IsArabic}",
+      "greek" -> "\\p{IsGreek}", "hangul" -> "\\p{IsHangul}",
+      "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]")
+    val counts = classes.map { case (name, re) =>
+      name -> regexp_count(text, lit(re)).cast("long")
+    }
+    val n = regexp_count(text, lit("\\S")).cast("long")
+    val maxC = greatest(counts.map(_._2): _*)
+    val dominant = when(maxC === 0, lit("none")).otherwise(
+      counts.tail.foldLeft(when(counts.head._2 === maxC,
+          lit(counts.head._1))) {
+        case (acc, (name, c)) => acc.when(c === maxC, lit(name))
+      })
+    val fields =
+      n.as("n_chars") +:
+        counts.map { case (name, c) => c.as(name) } :+
+        (n - counts.map(_._2).reduce(_ + _)).as("other") :+
+        dominant.as("dominant_script") :+
+        when(n > 0, expr_intdiv(maxC * 1000000L, n))
+          .otherwise(lit(0L)).as("dominant_ppm")
+    struct(fields: _*)
+  }
+
+  /** `a DIV b` as a Column (IntegralDivide — exact, truncating). */
+  private def expr_intdiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
+
   private val Ln2 = math.log(2.0)
 
   /** 64-bit rolling polynomial hash (base-31 Horner over UTF-8 code

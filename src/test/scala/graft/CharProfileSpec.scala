@@ -83,4 +83,35 @@ class CharProfileSpec extends SparkSpec {
       .select("p.*").head()
     assert(r.getLong(0) == 3 && r.getLong(5) == 1 && r.getInt(6) == 3)
   }
+
+  test("scriptProfile: hand counts, dominance ties, punctuation to other") {
+    val rows = Seq(
+      (1L, "abc 数据 xyz!"),      // latin 6, han 2, punct 1 -> other
+      (2L, "данные 数据数据"),     // cyrillic 6, han 4
+      (3L, "... 123 ..."),         // no script at all
+      (4L, "ab 数据"),             // 2-2 tie -> listed order: latin
+      (5L, ""),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.scriptProfile(col("t")).as("p"))
+      .select(col("id"), col("p.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, name: String): Any =
+      rows(id).getAs[Any](name)
+    assert(f(1L, "n_chars") == 9L && f(1L, "latin") == 6L &&
+      f(1L, "han") == 2L && f(1L, "other") == 1L)
+    assert(f(1L, "dominant_script") == "latin" &&
+      f(1L, "dominant_ppm") == 666666L)
+    assert(f(2L, "cyrillic") == 6L && f(2L, "han") == 4L &&
+      f(2L, "dominant_script") == "cyrillic" &&
+      f(2L, "dominant_ppm") == 600000L)
+    assert(f(3L, "dominant_script") == "none" &&
+      f(3L, "dominant_ppm") == 0L && f(3L, "other") == 9L)
+    assert(f(4L, "dominant_script") == "latin" &&
+      f(4L, "dominant_ppm") == 500000L)
+    assert(f(5L, "n_chars") == 0L && f(5L, "dominant_script") == "none" &&
+      f(5L, "dominant_ppm") == 0L)
+    // null text propagates null through the struct fields
+    assert(rows(6L).isNullAt(rows(6L).fieldIndex("n_chars")))
+  }
 }
