@@ -1039,6 +1039,53 @@ object OpsQueries {
       k = 5)
   }
 
+  /** Margin-based bitext mining across the two vec_id parities of the
+    * embeddings table (stand-ins for the two languages): best pair per
+    * source by ratio margin over k=4 neighbourhoods, with the
+    * mutual-best flag. Exact micro-unit arithmetic throughout (see
+    * [[Similarity.bitextMarginPairs]]). */
+  private def qSimBitext(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+    Similarity.bitextMarginPairs(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", k = 4)
+  }
+
+  private val oSimBitext =
+    """WITH u AS MATERIALIZED (SELECT vec_id,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings
+      |  WHERE vec_id < 200),
+      |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS n
+      |  FROM u GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i
+      |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+      |  GROUP BY 1, 2),
+      |cm0 AS (SELECT src, dst,
+      |    CAST(round(d / (ns.n * nd.n) * 1000000) AS BIGINT) AS cm
+      |  FROM dots JOIN norms ns ON ns.vec_id = src
+      |    JOIN norms nd ON nd.vec_id = dst),
+      |cand AS MATERIALIZED (SELECT src, dst, cm,
+      |    row_number() OVER (PARTITION BY src ORDER BY cm DESC, dst) AS rx,
+      |    row_number() OVER (PARTITION BY dst ORDER BY cm DESC, src) AS ry
+      |  FROM cm0 WHERE cm > 0),
+      |sx AS (SELECT src, sum(cm) AS sx FROM cand WHERE rx <= 4 GROUP BY 1),
+      |sy AS (SELECT dst, sum(cm) AS sy FROM cand WHERE ry <= 4 GROUP BY 1),
+      |m AS MATERIALIZED (SELECT c.src, c.dst, c.cm, c.rx, c.ry,
+      |    CAST(c.cm * 8 * 1000000 // (sx.sx + sy.sy) AS BIGINT) AS margin
+      |  FROM cand c JOIN sx ON sx.src = c.src JOIN sy ON sy.dst = c.dst
+      |  WHERE (c.rx <= 4 OR c.ry <= 4)),
+      |bf AS (SELECT * FROM (SELECT src, dst, cm, margin, row_number()
+      |    OVER (PARTITION BY src ORDER BY margin DESC, dst) AS bf
+      |  FROM m WHERE rx <= 4) WHERE bf = 1),
+      |bb AS (SELECT dst, src AS bsrc FROM (SELECT dst, src, row_number()
+      |    OVER (PARTITION BY dst ORDER BY margin DESC, src) AS bb
+      |  FROM m WHERE ry <= 4) WHERE bb = 1)
+      |SELECT f.src, f.dst, f.cm AS cos_micro, f.margin AS margin_micro,
+      |  coalesce(bb.bsrc = f.src, FALSE) AS mutual
+      |FROM bf f LEFT JOIN bb ON bb.dst = f.dst""".stripMargin
+
   private val oSimTopK =
     """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |    generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -5428,6 +5475,7 @@ object OpsQueries {
     "dedup_incremental_minhash" -> (qDedupIncrementalMinhash _),
     "dedup_incremental_semantic" -> (qDedupIncrementalSemantic _),
     "sim_topk" -> (qSimTopK _),
+    "sim_bitext" -> (qSimBitext _),
     "sim_topk_agg" -> (qSimTopKAgg _),
     "sim_topk_lsh" -> (qSimTopKLsh _),
     "sim_topk_ivf" -> (qSimTopKIvf _),
@@ -5598,6 +5646,7 @@ object OpsQueries {
     "dedup_incremental_minhash" -> oDedupIncrementalMinhash,
     "dedup_incremental_semantic" -> oDedupIncrementalSemantic,
     "sim_topk" -> oSimTopK,
+    "sim_bitext" -> oSimBitext,
     "sim_topk_agg" -> oSimTopK,
     "sim_topk_lsh" -> oAnnWellFormed,
     "sim_topk_ivf" -> oAnnWellFormed,

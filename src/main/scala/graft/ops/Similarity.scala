@@ -99,6 +99,73 @@ object Similarity {
         col("s.id").as("id"), col("s.sim").as("sim"))
   }
 
+  /** MARGIN-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix recipe): pair sentences across two embedding sets
+    * by RELATIVE similarity — cos(x,y) scaled by how similar each side
+    * is to its other nearest neighbours — because absolute cosine
+    * cannot separate a true translation from a hub sentence that is
+    * close to EVERYTHING:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgk_Y(x) + avgk_X(y)) / 2)
+    *
+    * All scoring is in integer MICRO-units on the graph family's
+    * exact rails: cos_micro = round(cos·10⁶) (the same 6-dp grid as
+    * [[bruteForceTopK]]), neighbourhood sums are order-free BIGINT
+    * sums of micro-units over each side's top-`k` candidates (cm desc,
+    * id tie-break), and margin_micro = cm·2k·10⁶ div (sx+sy) — one
+    * integral division, bit-identical cross-engine. Only POSITIVE-
+    * cosine candidates are mined (a negative-cosine "translation" is
+    * noise, and the restriction keeps every div operand positive).
+    *
+    * Emits x's best candidate by (margin desc, dst id) with a `mutual`
+    * flag — y's best candidate is x too: the high-precision tier a
+    * parallel-corpus build keeps.
+    *
+    * Candidate generation here is the exact cross score with the `ys`
+    * side broadcast (the verify-scale contract); at corpus scale the
+    * X×Y score matrix is the cost driver, so feed the same margin
+    * pipeline from [[ivfTopK]]/[[lshTopK]] candidates instead — the
+    * margin math only ever touches each side's top-k rows.
+    *
+    * @return (src, dst, cos_micro, margin_micro, mutual) — one row per
+    *         src with at least one positive-cosine candidate */
+  def bitextMarginPairs(xs: DataFrame, ys: DataFrame, vecCol: String,
+                        idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val s = xs.sparkSession
+    val x = xs.select(col(idCol).as("src"), col(vecCol).as("xv"))
+    val y = broadcast(ys.select(col(idCol).as("dst"), col(vecCol).as("yv")))
+    val cm = round(cosineFast(s, col("xv"), col("yv")) * 1e6).cast("long")
+    val scored = x.join(y).select(col("src"), col("dst"), cm.as("cm"))
+      .filter(col("cm") > 0)
+    val wx = Window.partitionBy("src").orderBy(col("cm").desc, col("dst"))
+    val wy = Window.partitionBy("dst").orderBy(col("cm").desc, col("src"))
+    val cand = scored
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .filter(col("rx") <= k || col("ry") <= k)
+    val sx = cand.filter(col("rx") <= k)
+      .groupBy("src").agg(sum("cm").as("sx"))
+    val sy = cand.filter(col("ry") <= k)
+      .groupBy("dst").agg(sum("cm").as("sy"))
+    val m = cand.join(sx, "src").join(sy, "dst")
+      .withColumn("margin",
+        expr(s"cm * ${2 * k} * 1000000 DIV (sx + sy)"))
+    val bfW = Window.partitionBy("src")
+      .orderBy(col("margin").desc, col("dst"))
+    val bbW = Window.partitionBy("dst")
+      .orderBy(col("margin").desc, col("src"))
+    val bestF = m.filter(col("rx") <= k)
+      .withColumn("bf", row_number().over(bfW)).filter(col("bf") === 1)
+    val bestB = m.filter(col("ry") <= k)
+      .withColumn("bb", row_number().over(bbW)).filter(col("bb") === 1)
+      .select(col("dst"), col("src").as("bsrc"))
+    bestF.join(bestB, Seq("dst"), "left")
+      .select(col("src"), col("dst"), col("cm").as("cos_micro"),
+        col("margin").as("margin_micro"),
+        coalesce(col("bsrc") === col("src"), lit(false)).as("mutual"))
+  }
+
   /** Deterministic random hyperplanes: `nbits × dim` doubles in [-1, 1)
     * from a seeded RNG (no runtime randomness — same planes every run). */
   private def hyperplanes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -251,6 +251,26 @@ class OpsSpec extends SparkSpec {
     assert(topk(3) == topk(17))
   }
 
+  test("bitextMarginPairs: margin demotes the hub; mutual flags; exact units") {
+    // x0 has an exact translation y1 AND a hub y3 = (0.7, 0.7) that is
+    // 1/sqrt(2)-close to EVERYTHING; x2's only positive candidate is
+    // the hub. Margin scoring sends x0 to its exact match (the hub's
+    // inflated neighbourhood sum demotes it) and x2 to the hub.
+    val xs = Seq((0L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "v")
+    val ys = Seq((1L, Array(1f, 0f)), (3L, Array(0.7f, 0.7f)))
+      .toDF("id", "v")
+    val out = Similarity.bitextMarginPairs(xs, ys, "v", "id", k = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // cos(x, hub) = 1/sqrt(2) exactly regardless of the 0.7f rounding
+    // -> 707107 micro; hand sums: sx0=1707107, sx2=707107,
+    // sy1=1000000, sy3=1414214
+    assert(out(0L) == ((1L, 1000000L, 1477592L, true)))
+    assert(out(2L) == ((3L, 707107L, 1333333L, true)))
+  }
+
   // ------------------------------------------------------------- ranking
 
   test("topNPerGroup keeps n best rows per group; plan uses WindowGroupLimit") {
