@@ -2218,6 +2218,60 @@ object OpsQueries {
       |SELECT corpus_id, bench_id, count(*) AS shared
       |FROM c JOIN b USING (s) GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin
 
+  /** U-shaped multi-touch attribution: each purchase of the first 10
+    * users splits 10⁶ ppm of credit over the view/click touches in its
+    * 72 h lookback — 40/20/40 with the exact-integer remainder rule
+    * (see [[Funnel.positionAttribution]]). Per-(conversion, touch)
+    * rows. */
+  private def qEventsAttribution(s: SparkSession, dir: String): DataFrame =
+    Funnel.positionAttribution(
+      readEvents(s, dir).filter(col("user_id") < 10),
+      "user_id", "ts", "event_id", "event_type",
+      convType = "purchase", touchTypes = Seq("view", "click"),
+      lookbackMs = 72L * 3600 * 1000)
+
+  private val oEventsAttribution =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |    event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE user_id < 10),
+      |c AS (SELECT user_id, us AS cus, event_id AS conv_id, ts AS conv_ts
+      |  FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, us AS tus, event_id AS touch_id,
+      |    event_type AS touch_type
+      |  FROM e WHERE event_type IN ('view', 'click')),
+      |j AS (SELECT c.user_id, c.conv_id, c.conv_ts, c.cus,
+      |    t.tus, t.touch_id, t.touch_type
+      |  FROM c JOIN t USING (user_id)
+      |  WHERE t.tus <= c.cus AND t.tus > c.cus - 259200000000),
+      |p AS (SELECT *, CAST(row_number() OVER (PARTITION BY conv_id
+      |      ORDER BY tus, touch_id) AS BIGINT) AS pos,
+      |    count(*) OVER (PARTITION BY conv_id) AS n_touches FROM j)
+      |SELECT conv_id, user_id, conv_ts, touch_id, touch_type, pos,
+      |  n_touches,
+      |  CAST(CASE WHEN n_touches = 1 THEN 1000000
+      |    WHEN n_touches = 2 THEN 500000
+      |    WHEN pos = n_touches THEN 400000
+      |    WHEN pos = 1
+      |      THEN 600000 - (200000 // (n_touches - 2)) * (n_touches - 2)
+      |    ELSE 200000 // (n_touches - 2) END AS BIGINT) AS credit_ppm
+      |FROM p""".stripMargin
+
+  /** Channel-level attribution report: total exact-ppm credit and
+    * touch count per channel — the order-free BIGINT sum the per-touch
+    * contract exists to make possible. */
+  private def qEventsAttributionChannel(s: SparkSession,
+                                        dir: String): DataFrame =
+    qEventsAttribution(s, dir)
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("credit_ppm").as("credit_ppm_total"))
+
+  private val oEventsAttributionChannel =
+    s"""WITH a AS ($oEventsAttribution)
+       |SELECT touch_type, count(*) AS n_touches,
+       |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+       |FROM a GROUP BY 1""".stripMargin
+
   /** Ordered funnel over the events table: view → click → purchase per
     * user, strict-after step times; the oracle replays the sequential
     * conditional mins (min view; min click after it; min purchase
@@ -5413,6 +5467,8 @@ object OpsQueries {
     "sample_split" -> (qSampleSplit _),
     "sample_repeat_schedule" -> (qSampleRepeatSchedule _),
     "events_funnel" -> (qEventsFunnel _),
+    "events_attribution" -> (qEventsAttribution _),
+    "events_attribution_channel" -> (qEventsAttributionChannel _),
     "events_funnel_summary" -> (qEventsFunnelSummary _),
     "events_funnel_timing" -> (qEventsFunnelTiming _),
     "events_retention" -> (qEventsRetention _),
@@ -5584,6 +5640,8 @@ object OpsQueries {
     "sample_split" -> oSampleSplit,
     "sample_repeat_schedule" -> oSampleRepeatSchedule,
     "events_funnel" -> oEventsFunnel,
+    "events_attribution" -> oEventsAttribution,
+    "events_attribution_channel" -> oEventsAttributionChannel,
     "events_funnel_summary" -> oEventsFunnelSummary,
     "events_funnel_timing" -> oEventsFunnelTiming,
     "events_retention" -> oEventsRetention,

@@ -71,6 +71,66 @@ object Funnel {
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
 
+  /** U-SHAPED (position-based) multi-touch attribution: every
+    * conversion splits ONE unit of credit across the touch events in
+    * its lookback window — 40% to the first touch, 40% to the last,
+    * 20% spread over the middles — the standard position-based model
+    * between last-touch (all credit to the final click) and linear
+    * (credit diluted over every impression).
+    *
+    * Credit is EXACT integer ppm so per-channel sums are order-free
+    * BIGINTs: n=1 → 1,000,000; n=2 → 500,000 each; n≥3 → last
+    * 400,000, middles 200,000 div (n−2) each, and the first takes
+    * 400,000 PLUS the division remainder (credits per conversion
+    * always sum to exactly 10⁶ — an auditor can assert the invariant).
+    *
+    * Shape: one equi-join on the user key with the time bounds as
+    * join-side filters (conversions ⋈ touches co-partitioned by user —
+    * no cross-user data movement), then one window per conversion for
+    * (position, count). Each conversion's fan-out is bounded by its
+    * window's touch count; at crawl scale cap the lookback, not the
+    * join. Conversions with no touch in the window emit nothing
+    * (attribute-or-drop; compose with an anti-join for the
+    * "unattributed" report).
+    *
+    * @return (conv_id, user, conv_ts, touch_id, touch_type, pos,
+    *         n_touches, credit_ppm), pos 1-based in (ts, id) order */
+  def positionAttribution(events: DataFrame, userCol: String,
+                          tsCol: String, idCol: String, typeCol: String,
+                          convType: String, touchTypes: Seq[String],
+                          lookbackMs: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touch types must be non-empty and exclude the conversion type")
+    require(lookbackMs > 0, "lookback must be positive")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), us.as("cus"),
+        col(idCol).as("conv_id"), col(tsCol).as("conv_ts"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), us.as("tus"),
+        col(idCol).as("touch_id"), col(typeCol).as("touch_type"))
+    val joined = conv.join(touch, Seq("__u"))
+      .filter(col("tus") <= col("cus") &&
+        col("tus") > col("cus") - lit(lookbackMs * 1000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id")
+    val pos = row_number().over(w.orderBy(col("tus"), col("touch_id")))
+    val n = count(lit(1L)).over(w)
+    val mid = expr("200000 DIV (n_touches - 2)")
+    val credit = when(col("n_touches") === 1, lit(1000000L))
+      .when(col("n_touches") === 2, lit(500000L))
+      .when(col("pos") === col("n_touches"), lit(400000L))
+      .when(col("pos") === 1,
+        lit(600000L) - mid * (col("n_touches") - 2))
+      .otherwise(mid)
+    joined
+      .withColumn("pos", pos.cast("long"))
+      .withColumn("n_touches", n)
+      .select(col("conv_id"), col("__u").as(userCol), col("conv_ts"),
+        col("touch_id"), col("touch_type"), col("pos"), col("n_touches"),
+        credit.cast("long").as("credit_ppm"))
+  }
+
   /** Step-conversion summary of a [[funnel]] result: users reaching at
     * least each step, with `conversion` = n_users / previous step's
     * n_users (null for step 1, and when the previous step had no

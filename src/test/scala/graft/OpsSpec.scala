@@ -285,6 +285,56 @@ class OpsSpec extends SparkSpec {
       s"rank<=n filter should compile to a map-side group limit:\n$plan")
   }
 
+  test("positionAttribution: 40/20/40 credit, remainder to first, boundaries") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: 5 touches -> mid 200000 div 3 = 66666, first 400002
+    // user 2: 1 touch AT the conversion instant (<= inclusive)
+    // user 3: 2 touches -> 500000/500000
+    // user 4: 3 touches -> 400000/200000/400000
+    // user 5: touch exactly at cus - lookback is EXCLUDED (strict >)
+    // user 6: only touch after the conversion -> conversion drops
+    val lookbackMs = 60L * 60 * 1000 // 1 h
+    val rows = Seq(
+      (10L, ts("2024-01-01 10:10:00"), 1L, "view"),
+      (11L, ts("2024-01-01 10:20:00"), 1L, "click"),
+      (12L, ts("2024-01-01 10:30:00"), 1L, "view"),
+      (13L, ts("2024-01-01 10:40:00"), 1L, "click"),
+      (14L, ts("2024-01-01 10:50:00"), 1L, "view"),
+      (15L, ts("2024-01-01 11:00:00"), 1L, "purchase"),
+      (20L, ts("2024-01-01 11:00:00"), 2L, "view"),
+      (21L, ts("2024-01-01 11:00:00"), 2L, "purchase"),
+      (30L, ts("2024-01-01 10:30:00"), 3L, "view"),
+      (31L, ts("2024-01-01 10:40:00"), 3L, "click"),
+      (32L, ts("2024-01-01 11:00:00"), 3L, "purchase"),
+      (40L, ts("2024-01-01 10:30:00"), 4L, "view"),
+      (41L, ts("2024-01-01 10:40:00"), 4L, "click"),
+      (42L, ts("2024-01-01 10:50:00"), 4L, "view"),
+      (43L, ts("2024-01-01 11:00:00"), 4L, "purchase"),
+      (50L, ts("2024-01-01 10:00:00"), 5L, "view"), // == cus - 1h: out
+      (51L, ts("2024-01-01 10:30:00"), 5L, "click"),
+      (52L, ts("2024-01-01 11:00:00"), 5L, "purchase"),
+      (60L, ts("2024-01-01 11:30:00"), 6L, "view"),
+      (61L, ts("2024-01-01 11:00:00"), 6L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Funnel.positionAttribution(rows, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("view", "click"), lookbackMs)
+      .collect()
+      .map(r => (r.getLong(3), (r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(out.size == 12, s"got ${out.size} attributed touches")
+    assert(out(10L) == ((1L, 5L, 400002L)))
+    assert(out(11L) == ((2L, 5L, 66666L)) && out(12L) == ((3L, 5L, 66666L))
+      && out(13L) == ((4L, 5L, 66666L)))
+    assert(out(14L) == ((5L, 5L, 400000L)))
+    assert(out(20L) == ((1L, 1L, 1000000L)))
+    assert(out(30L) == ((1L, 2L, 500000L)) && out(31L) == ((2L, 2L, 500000L)))
+    assert(out(40L) == ((1L, 3L, 400000L)) && out(41L) == ((2L, 3L, 200000L))
+      && out(42L) == ((3L, 3L, 400000L)))
+    assert(out(51L) == ((1L, 1L, 1000000L)) && !out.contains(50L))
+    assert(!out.contains(60L))
+  }
+
   // ------------------------------------------------------------- as-of
 
   test("asOf attaches latest right row at or before left ts; null when none") {
