@@ -2218,6 +2218,28 @@ object OpsQueries {
       |SELECT corpus_id, bench_id, count(*) AS shared
       |FROM c JOIN b USING (s) GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin
 
+  /** Hierarchical rollup report over events: (event_type, week) totals
+    * plus per-type subtotals plus the grand total in ONE Expand-based
+    * aggregate — `gid` disambiguates subtotal rows from NULL dimension
+    * values (see [[Report.rollupReport]]). */
+  private def qEventsRollup(s: SparkSession, dir: String): DataFrame =
+    Report.rollupReport(
+      readEvents(s, dir)
+        .select(col("event_type"), weekofyear(col("ts")).as("week"),
+          col("value")),
+      Seq("event_type", "week"),
+      Seq(count(lit(1)).as("n"),
+        sum(col("value")).cast("float").as("total")))
+
+  private val oEventsRollup =
+    """SELECT event_type, CAST(week(CAST(ts AS TIMESTAMP)) AS INT) AS week,
+      |  CAST(GROUPING(event_type, week(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |    AS gid,
+      |  count(*) AS n, CAST(sum(value) AS REAL) AS total
+      |FROM events
+      |GROUP BY ROLLUP(event_type, week(CAST(ts AS TIMESTAMP)))"""
+      .stripMargin
+
   /** U-shaped multi-touch attribution: each purchase of the first 10
     * users splits 10⁶ ppm of credit over the view/click touches in its
     * 72 h lookback — 40/20/40 with the exact-integer remainder rule
@@ -5468,6 +5490,7 @@ object OpsQueries {
     "sample_repeat_schedule" -> (qSampleRepeatSchedule _),
     "events_funnel" -> (qEventsFunnel _),
     "events_attribution" -> (qEventsAttribution _),
+    "events_rollup" -> (qEventsRollup _),
     "events_attribution_channel" -> (qEventsAttributionChannel _),
     "events_funnel_summary" -> (qEventsFunnelSummary _),
     "events_funnel_timing" -> (qEventsFunnelTiming _),
@@ -5641,6 +5664,7 @@ object OpsQueries {
     "sample_repeat_schedule" -> oSampleRepeatSchedule,
     "events_funnel" -> oEventsFunnel,
     "events_attribution" -> oEventsAttribution,
+    "events_rollup" -> oEventsRollup,
     "events_attribution_channel" -> oEventsAttributionChannel,
     "events_funnel_summary" -> oEventsFunnelSummary,
     "events_funnel_timing" -> oEventsFunnelTiming,

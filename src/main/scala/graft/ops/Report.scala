@@ -61,6 +61,29 @@ object Report {
       .withColumn("distinct_is_estimate", isEstimateUdf(col("__th")))
       .drop("__th")
 
+  /** Hierarchical ROLLUP report: every prefix level of the dimension
+    * list aggregated in ONE pass — the "by (a,b), by (a), grand total"
+    * report that would otherwise be |dims|+1 scans and shuffles. Spark
+    * expands the grouping sets inside a single hash aggregate
+    * (Expand + one exchange), so the cost is one scan regardless of
+    * how many levels the report carries — at corpus scale this is the
+    * difference between one job and a job per drill-down level.
+    *
+    * Emits `gid` (= grouping_id(): first dimension is the MOST
+    * significant bit, 0 = fully grouped row, 2^|dims|−1 = grand
+    * total) because rolled-up dimensions surface as NULL — without
+    * the bitmask a NULL dimension VALUE is indistinguishable from a
+    * subtotal row, the classic rollup-consumer bug. Aggregates are the
+    * caller's; pass order-free ones (counts, integer sums, float-cast
+    * doubles) if the result feeds a hash compare. */
+  def rollupReport(df: DataFrame, dims: Seq[String],
+                   aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(dims.nonEmpty, "rollupReport needs at least one dimension")
+    require(aggs.nonEmpty, "rollupReport needs at least one aggregate")
+    df.rollup(dims.map(col): _*)
+      .agg(grouping_id().cast("long").as("gid"), aggs: _*)
+  }
+
   /** True iff the serialized theta sketch left exact mode (theta < 1 —
     * it started sampling). Reads the DataSketches binary Spark's
     * theta_union_agg emits; driver-free, one tiny call per card row. */

@@ -285,6 +285,29 @@ class OpsSpec extends SparkSpec {
       s"rank<=n filter should compile to a map-side group limit:\n$plan")
   }
 
+  test("rollupReport: gid separates NULL dimension values from subtotals") {
+    val d = Seq(("a", "x", 1L), ("a", null, 2L), ("b", "x", 4L))
+      .toDF("g1", "g2", "v")
+    val out = graft.ops.Report.rollupReport(d, Seq("g1", "g2"),
+        Seq(sum("v").as("s")))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2)) -> r.getLong(3)).toMap
+    // detail row with a REAL null g2 (gid 0) is distinct from the
+    // per-g1 subtotal (gid 1) even though both print (a, null)
+    assert(out((Some("a"), None, 0L)) == 2L)
+    assert(out((Some("a"), None, 1L)) == 3L)
+    assert(out((Some("a"), Some("x"), 0L)) == 1L)
+    assert(out((Some("b"), None, 1L)) == 4L)
+    assert(out((None, None, 3L)) == 7L)
+    // rollup = prefix levels only: no (None, Some(x), 2) rows
+    assert(!out.keys.exists(_._3 == 2L))
+    // single Expand-based aggregate: exactly one shuffle in the plan
+    val plan = graft.ops.Report.rollupReport(d, Seq("g1", "g2"),
+      Seq(sum("v").as("s"))).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+  }
+
   test("positionAttribution: 40/20/40 credit, remainder to first, boundaries") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
