@@ -3778,6 +3778,85 @@ object OpsQueries {
        |FROM r3""".stripMargin
   }
 
+  /** Anchor-text index over the synthetic outlink corpus: how linking
+    * pages describe each external domain — top-3 normalized anchors
+    * per destination by count (see [[Web.anchorTexts]]). Anchors vary
+    * by doc_id and carry case/whitespace noise so normalization is
+    * exercised; same-domain links drop. */
+  private def qWebAnchorText(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val adj = element_at(
+      array(lit("fast"), lit("cheap"), lit("rare"), lit("big")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val html = concat(
+      lit("<html><body><a href=\"http://partner"),
+      (col("doc_id") % 7).cast("string"), lit(".com/x/"), idS,
+      lit("\">best "), adj, lit(" partner</a><a href='//cdn"),
+      (col("doc_id") % 5).cast("string"),
+      lit(".net/lib.js'>cdn  Asset</a><a href=\"/local/"), idS,
+      lit("\">home</a>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<a href=\"https://partner0.com/y\">top partner hub</a>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    val base = concat(lit("https://www.site"),
+      (col("doc_id") % 10).cast("string"), lit(".co.uk/a/"), idS)
+    val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), html.as("html"), base.as("url"))
+    Web.anchorTexts(d, "html", "url", topN = 3)
+  }
+
+  private val oWebAnchorText = {
+    val re = "'(?i)<a\\b[^>]*href\\s*=\\s*[\"'']?([^\"''#\\s>]+)[^>]*>([^<]*)'"
+    val hostRe = "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)'"
+    s"""WITH h AS MATERIALIZED (SELECT doc_id,
+       |    '<html><body><a href="http://partner' ||
+       |      CAST(doc_id % 7 AS VARCHAR) ||
+       |      '.com/x/' || CAST(doc_id AS VARCHAR) || '">best ' ||
+       |      CASE doc_id % 4 WHEN 0 THEN 'fast' WHEN 1 THEN 'cheap'
+       |        WHEN 2 THEN 'rare' ELSE 'big' END ||
+       |      ' partner</a><a href=''//cdn' ||
+       |      CAST(doc_id % 5 AS VARCHAR) ||
+       |      '.net/lib.js''>cdn  Asset</a><a href="/local/' ||
+       |      CAST(doc_id AS VARCHAR) || '">home</a>' ||
+       |      CASE WHEN doc_id % 3 = 0
+       |        THEN '<a href="https://partner0.com/y">top partner hub</a>'
+       |        ELSE '' END ||
+       |      '</body></html>' AS html,
+       |    'https://www.site' || CAST(doc_id % 10 AS VARCHAR) ||
+       |      '.co.uk/a/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents WHERE doc_id < 500),
+       |l AS (SELECT
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS sch,
+       |    lower(regexp_extract(url, $hostRe, 1)) AS bhost,
+       |    unnest(regexp_extract_all(html, $re, 0)) AS m
+       |  FROM h),
+       |x AS (SELECT sch, bhost,
+       |    regexp_extract(m, $re, 1) AS lnk,
+       |    trim(regexp_replace(lower(regexp_extract(m, $re, 2)),
+       |      '\\s+', ' ', 'g')) AS anchor
+       |  FROM l),
+       |res AS (SELECT bhost, anchor,
+       |    CASE WHEN regexp_matches(lnk, '(?i)^https?://') THEN lnk
+       |         WHEN lnk LIKE '//%' THEN sch || ':' || lnk
+       |         WHEN lnk LIKE '/%' THEN sch || '://' || bhost || lnk
+       |    END AS rl FROM x WHERE anchor <> ''),
+       |d AS (SELECT ${oRegisteredDomain("bhost")} AS src_domain, anchor,
+       |    lower(regexp_extract(rl, $hostRe, 1)) AS dhost FROM res),
+       |dd AS (SELECT src_domain, anchor,
+       |    ${oRegisteredDomain("dhost")} AS dst_domain FROM d),
+       |cnt AS (SELECT dst_domain, anchor, count(*) AS n FROM dd
+       |  WHERE dst_domain IS NOT NULL AND dst_domain <> ''
+       |    AND dst_domain <> src_domain
+       |  GROUP BY 1, 2),
+       |r AS (SELECT dst_domain, anchor, n, CAST(row_number() OVER (
+       |    PARTITION BY dst_domain ORDER BY n DESC, anchor) AS BIGINT)
+       |    AS rank FROM cnt)
+       |SELECT dst_domain, anchor, n, rank FROM r WHERE rank <= 3"""
+      .stripMargin
+  }
+
   /** HITS hubs-and-authorities over the outlink host graph: link
     * directories (high hub) separate from link targets (high auth) —
     * the two-score signal PageRank can't give (see [[Graph.hits]]).
@@ -5478,6 +5557,7 @@ object OpsQueries {
     "web_authority" -> (qWebAuthority _),
     "web_trustrank" -> (qWebTrustrank _),
     "web_hits" -> (qWebHits _),
+    "web_anchor_text" -> (qWebAnchorText _),
     "web_mirrors" -> (qWebMirrors _),
     "cdc_apply" -> (qCdcApply _),
     "corpus_report" -> (qCorpusReport _),
@@ -5652,6 +5732,7 @@ object OpsQueries {
     "web_authority" -> oWebAuthority,
     "web_trustrank" -> oWebTrustrank,
     "web_hits" -> oWebHits,
+    "web_anchor_text" -> oWebAnchorText,
     "web_mirrors" -> oWebMirrors,
     "cdc_apply" -> oCdcApply,
     "corpus_report" -> oCorpusReport,

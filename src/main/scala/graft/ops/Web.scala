@@ -237,6 +237,60 @@ object Web {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Full `<a ...>text</a>` matcher: group 1 = href value, group 2 =
+    * the inner text up to the next tag (no backreferences — RE2-safe
+    * for oracle replay). */
+  private val AnchorRe =
+    "(?i)<a\\b[^>]*href\\s*=\\s*[\"']?([^\"'#\\s>]+)[^>]*>([^<]*)"
+
+  /** ANCHOR-TEXT index over external links: how the web DESCRIBES each
+    * target domain — the classic relevance signal that beats the
+    * target's own content for navigational queries, and the label
+    * source anchor-text document expansion trains on. For every
+    * external link, pairs the resolved destination's registered domain
+    * with the link's normalized inner text (lowercased, whitespace
+    * collapsed); keeps each domain's `topN` anchors by count.
+    *
+    * Same single-pass shape as [[extractOutlinks]]: one regex explode,
+    * resolution is per-row expressions, one (domain, anchor) count
+    * aggregate (map-side combinable), and the per-domain cut runs as a
+    * map-side WindowGroupLimit prune — no domain's full anchor list is
+    * ever collected anywhere.
+    *
+    * @return (dst_domain, anchor, n, rank) — rank 1-based per domain
+    *         by (n desc, anchor) */
+  def anchorTexts(df: DataFrame, htmlCol: String, urlCol: String,
+                  topN: Int = 5): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val base = col(urlCol)
+    val links = df
+      .select(scheme(base).as("__sch"), host(base).as("__host"),
+        registeredDomain(host(base)).as("src_domain"),
+        explode(regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(0)))
+          .as("__m"))
+      .select(col("__sch"), col("__host"), col("src_domain"),
+        regexp_extract(col("__m"), AnchorRe, 1).as("__lnk"),
+        trim(regexp_replace(lower(
+          regexp_extract(col("__m"), AnchorRe, 2)), "\\s+", " "))
+          .as("anchor"))
+      .filter(col("anchor") =!= "")
+    val resolved =
+      when(col("__lnk").rlike("(?i)^https?://"), col("__lnk"))
+        .when(col("__lnk").startsWith("//"),
+          concat(col("__sch"), lit(":"), col("__lnk")))
+        .when(col("__lnk").startsWith("/"),
+          concat(col("__sch"), lit("://"), col("__host"), col("__lnk")))
+    val counted = links
+      .withColumn("dst_domain", registeredDomain(host(resolved)))
+      .filter(col("dst_domain").isNotNull && col("dst_domain") =!= "" &&
+        col("dst_domain") =!= col("src_domain"))
+      .groupBy("dst_domain", "anchor")
+      .agg(count(lit(1)).as("n"))
+    Rank.topNPerGroup(counted, Seq(col("dst_domain")),
+        Seq(col("n").desc, col("anchor").asc), topN)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** MIRROR-HOST detection (Bharat & Broder 1999): host pairs whose
     * CONTENT FINGERPRINT sets overlap by at least `minJaccard` — the
     * "same site under two names" case that per-document dedup sees

@@ -352,6 +352,27 @@ class WebPropertySpec extends SparkSpec {
     assert(viaAc.values.count(identity) > 0)
   }
 
+  test("anchorTexts: case/whitespace normalization, same-domain and " +
+      "blank-anchor drops") {
+    val html = "<a href=\"http://X.com/a\">Buy  NOW</a>" +
+      "<a href=\"http://x.com/b\">buy now</a>" +
+      "<a href=\"/local\">self link</a>" +
+      "<a href=\"http://y.com/c\">   </a>" +
+      "<a HREF='//Z.net/d'>Mixed Case</a>"
+    val d = Seq((1L, html, "https://me.org/p")).toDF("id", "html", "url")
+    val out = Web.anchorTexts(d, "html", "url", topN = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // "Buy  NOW" and "buy now" normalize to the same anchor for x.com
+    assert(out(("x.com", "buy now")) == ((2L, 1L)))
+    assert(out(("z.net", "mixed case")) == ((1L, 1L)))
+    // blank anchor (y.com) and same-domain /local (me.org) emit nothing
+    assert(!out.keys.exists { case (dom, _) =>
+      dom == "y.com" || dom == "me.org" })
+    assert(out.size == 2)
+  }
+
   test("applyBlocklist pattern tier and null-url contract") {
     val urls = Seq(
       (1L, "https://ok.example.com/a?utm_campaign=spring"),
