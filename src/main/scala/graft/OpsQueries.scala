@@ -3857,6 +3857,77 @@ object OpsQueries {
       .stripMargin
   }
 
+  /** In/out degree distribution of the outlink host graph — the
+    * asymmetry (pure-source sites, pure-sink cdns) lands in two
+    * different histograms over the same vertex set (see
+    * [[Graph.degreeReport]]). */
+  private def qGraphDegrees(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body><A HREF=\"HTTP://Partner"),
+      (col("doc_id") % 7).cast("string"), lit(".COM/x/"), idS,
+      lit("\">p</a><a href='//cdn"),
+      (col("doc_id") % 5).cast("string"),
+      lit(".net/lib.js'>c</a><a href=\"/local/"), idS,
+      lit("\">l</a><a href=\"mailto:a@b.c\">m</a><a href=\"#top\">t</a>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<a href=\"https://partner0.com/y\">d</a>")).otherwise(lit("")),
+      lit("</body></html>"))
+    val base = concat(lit("https://WWW.Site"),
+      (col("doc_id") % 10).cast("string"), lit(".co.uk/a/"), idS)
+    val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), html.as("html"), base.as("url"))
+    val edges = Web.extractOutlinks(d, "html", "url")
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    Graph.degreeReport(edges)
+  }
+
+  private val oGraphDegrees =
+    s"""WITH ol AS MATERIALIZED ($oWebOutlinks),
+       |e AS MATERIALIZED (SELECT DISTINCT src_domain AS src,
+       |  dst_domain AS dst FROM ol),
+       |v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |outd AS (SELECT v.id, coalesce(d.c, 0) AS degree FROM v
+       |  LEFT JOIN (SELECT src AS id, count(*) AS c FROM e GROUP BY 1) d
+       |  USING (id)),
+       |ind AS (SELECT v.id, coalesce(d.c, 0) AS degree FROM v
+       |  LEFT JOIN (SELECT dst AS id, count(*) AS c FROM e GROUP BY 1) d
+       |  USING (id))
+       |SELECT 'out' AS kind, degree, count(*) AS n_nodes FROM outd
+       |  GROUP BY 2
+       |UNION ALL
+       |SELECT 'in' AS kind, degree, count(*) AS n_nodes FROM ind
+       |  GROUP BY 2""".stripMargin
+
+  /** Reciprocity of a directed part→supplier incidence graph where
+    * only high-quantity incidences link back — the mutual-link share
+    * in exact micro-units (see [[Graph.reciprocity]]). */
+  private def qGraphReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fwd = li.select(col("l_partkey").as("src"),
+      col("l_suppkey").as("dst"))
+    val rev = li.filter(col("l_quantity") > 40)
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+    Graph.reciprocity(fwd.unionAll(rev))
+  }
+
+  private val oGraphReciprocity =
+    """WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |    SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem
+      |    UNION ALL
+      |    SELECT l_suppkey, l_partkey FROM lineitem WHERE l_quantity > 40)
+      |  WHERE src <> dst),
+      |r AS (SELECT count(*) AS n_reciprocated FROM e
+      |  WHERE EXISTS (SELECT 1 FROM e e2
+      |    WHERE e2.src = e.dst AND e2.dst = e.src)),
+      |n AS (SELECT count(*) AS n_edges FROM e)
+      |SELECT n_edges, n_reciprocated,
+      |  CAST(CASE WHEN n_edges > 0
+      |    THEN n_reciprocated * 1000000 // n_edges ELSE 0 END AS BIGINT)
+      |    AS reciprocity_micro
+      |FROM n, r""".stripMargin
+
   /** HITS hubs-and-authorities over the outlink host graph: link
     * directories (high hub) separate from link targets (high auth) —
     * the two-score signal PageRank can't give (see [[Graph.hits]]).
@@ -5588,6 +5659,8 @@ object OpsQueries {
     "events_seasonality" -> (qEventsSeasonality _),
     "source_orc_roundtrip" -> (qSourceOrcRoundtrip _),
     "graph_pagerank" -> (qGraphPagerank _),
+    "graph_degrees" -> (qGraphDegrees _),
+    "graph_reciprocity" -> (qGraphReciprocity _),
     "graph_triangles" -> (qGraphTriangles _),
     "graph_coreness" -> (qGraphCoreness _),
     "graph_kcore" -> (qGraphKcore _),
@@ -5763,6 +5836,8 @@ object OpsQueries {
     "events_seasonality" -> oEventsSeasonality,
     "source_orc_roundtrip" -> oSourceOrcRoundtrip,
     "graph_pagerank" -> oGraphPagerank,
+    "graph_degrees" -> oGraphDegrees,
+    "graph_reciprocity" -> oGraphReciprocity,
     "graph_triangles" -> oGraphTriangles,
     "graph_coreness" -> oGraphCoreness,
     "graph_kcore" -> oGraphKcore,

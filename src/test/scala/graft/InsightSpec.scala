@@ -172,6 +172,22 @@ class InsightSpec extends SparkSpec {
     assert(authMass <= Graph.Scale && authMass > Graph.Scale * 98 / 100)
   }
 
+  test("degreeReport zero-fills missing sides; reciprocity counts both " +
+      "directions, drops loops and dups") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 3L), (4L, 4L))
+      .toDF("src", "dst")
+    val deg = Graph.degreeReport(edges.filter(col("src") =!= col("dst")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(deg(("out", 2L)) == 1 && deg(("out", 1L)) == 1 &&
+      deg(("out", 0L)) == 1)            // vertex 3 has no out-edges
+    assert(deg(("in", 1L)) == 3 && !deg.contains(("in", 0L)))
+    val r = Graph.reciprocity(edges).head()
+    // 3 distinct loop-free edges; 1<->2 reciprocated in BOTH rows
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2 &&
+      r.getLong(2) == 666666L)
+  }
+
   test("compressionRatio orders repetitive < prose < random; null/empty guarded") {
     import graft.ops.TextFunctions
     val rep = "spam spam spam spam " * 50
