@@ -202,7 +202,16 @@ object Graph {
       .distinct().localCheckpoint(true)
     val n = vertices.count()
     require(n > 0, "hits: empty graph")
-    def renorm(raw: DataFrame): DataFrame = {
+    // Each renorm references its input aggregate TWICE (the total and
+    // the join back onto the vertex set), so without materialization
+    // the lineage re-executes and the plan DOUBLES per half-step —
+    // 2^(2·iters) recomputation (measured 20.9 s vs 1.9 s at sf0.1).
+    // The checkpointed frame is vertex-cardinality — the same
+    // per-iteration materialization class as the CC loop; this is why
+    // hits checkpoints every half-step while pagerank (single-
+    // reference lineage) checkpoints every 8.
+    def renorm(rawIn: DataFrame): DataFrame = {
+      val raw = rawIn.localCheckpoint(true)
       val total = raw.agg(sum("raw").as("__t"))
       vertices.join(raw, vertices("id") === raw("rid"), "left")
         .crossJoin(total)
@@ -219,10 +228,6 @@ object Graph {
       auth = renorm(
         e.join(hubs, e("src") === hubs("id"))
           .groupBy(e("dst").as("rid")).agg(sum("units").as("raw")))
-      if (it % 8 == 0) {
-        hubs = hubs.localCheckpoint(true)
-        auth = auth.localCheckpoint(true)
-      }
     }
     hubs.select(col("id"), col("units").as("hub_units"))
       .join(auth.select(col("id"), col("units").as("auth_units")), "id")
