@@ -734,6 +734,111 @@ object StreamingOps {
       }
   }
 
+  /** One identified event for the streaming attributor. */
+  final case class IdEvent(event_id: Long, user_id: Long, ts: Timestamp,
+                           event_type: String)
+
+  /** One attributed (conversion, touch) credit row; `conv_us` is the
+    * conversion time in epoch micros (the batch op's unix_micros
+    * grid). */
+  final case class Attribution(conv_id: Long, user_id: Long, conv_us: Long,
+                               touch_id: Long, touch_type: String,
+                               pos: Long, n_touches: Long, credit_ppm: Long)
+
+  /** Streaming U-shaped attribution — the live twin of
+    * [[graft.ops.Funnel.positionAttribution]] via
+    * flatMapGroupsWithState: one state entry per user holding only the
+    * touches inside the lookback window (pruned on every batch, so
+    * state per user is bounded by the window's touch count, not the
+    * stream's length). Each micro-batch's events are folded in
+    * (ts, touch-before-conversion, id) order: touches enter the
+    * window; a conversion immediately emits its credit rows over the
+    * CURRENT window under the batch op's exact rules — same 40/20/40
+    * ppm credit table, remainder to the first touch, inclusive-at-
+    * conversion / strict-at-edge bounds, (ts, id) position order. An
+    * in-order stream reproduces the batch output exactly
+    * (spec-pinned); a touch arriving after its conversion was
+    * processed does not retro-credit — the honest append-mode
+    * approximation, with the batch op as backfill corrector.
+    *
+    * State eviction mirrors [[funnelStream]]: with `idle` set the
+    * stream is watermarked and each user carries an event-time timeout
+    * renewed per event — idle users are silently dropped (their
+    * window's touches could never credit a future conversion anyway
+    * once the watermark passed the lookback). Without `idle`, a user
+    * whose window empties releases state immediately. */
+  def attributionStream(events: Dataset[IdEvent], convType: String,
+                        touchTypes: Seq[String], lookbackMs: Long,
+                        idle: Option[String] = None,
+                        lateness: String = "15 minutes")
+  : Dataset[Attribution] = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touch types must be non-empty and exclude the conversion type")
+    require(lookbackMs > 0, "lookback must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def credit(pos: Long, n: Long): Long =
+      if (n == 1L) 1000000L
+      else if (n == 2L) 500000L
+      else if (pos == n) 400000L
+      else {
+        val mid = 200000L / (n - 2)
+        if (pos == 1L) 600000L - mid * (n - 2) else mid
+      }
+    val lookUs = lookbackMs * 1000L
+    val touchSet = touchTypes.toSet
+    val src = idle.map(_ => events.withWatermark("ts", lateness))
+      .getOrElse(events)
+    val timeoutConf =
+      if (idle.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Long, Long, String)], Attribution](
+        OutputMode.Append(), timeoutConf) {
+        case (uid, it, state: GroupState[Seq[(Long, Long, String)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var touches = state.getOption.getOrElse(Seq.empty).toVector
+            val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+            // touches sort BEFORE conversions at equal timestamps so an
+            // equal-ts touch credits the conversion — batch-join parity
+            val sorted = it.toSeq.sortBy(e =>
+              (micros(e.ts), if (touchSet(e.event_type)) 0 else 1,
+                e.event_id))
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              if (touchSet(e.event_type))
+                touches = (touches :+ ((us, e.event_id, e.event_type)))
+                  .filter(_._1 > us - lookUs)
+              else if (e.event_type == convType) {
+                val win = touches.filter(t => t._1 <= us && t._1 > us - lookUs)
+                  .sortBy(t => (t._1, t._2))
+                val n = win.size.toLong
+                win.iterator.zipWithIndex.foreach {
+                  case ((_, tid, tty), i) =>
+                    out += Attribution(e.event_id, uid, us, tid, tty,
+                      i + 1L, n, credit(i + 1L, n))
+                }
+              }
+            }
+            sorted.lastOption.foreach { last =>
+              touches = touches.filter(_._1 > micros(last.ts) - lookUs)
+            }
+            if (touches.isEmpty && idle.isEmpty) state.remove()
+            else {
+              state.update(touches)
+              if (idle.isDefined)
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs(),
+                  sorted.iterator.map(_.ts.getTime).max), idle.get)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: events of one
     * user belong to a session until a gap > `gapMs`; with
     * `idleTimeout=true`, idle sessions are additionally closed by a

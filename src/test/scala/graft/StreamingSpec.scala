@@ -375,6 +375,83 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream matches batch positionAttribution on in-order " +
+      "events; window prune releases state") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      // user 1: 3 touches then purchase (crosses a batch boundary)
+      StreamingOps.IdEvent(10L, 1L, ts(0), "view"),
+      StreamingOps.IdEvent(11L, 1L, ts(5), "click"),
+      StreamingOps.IdEvent(12L, 1L, ts(10), "view"),
+      StreamingOps.IdEvent(13L, 1L, ts(20), "purchase"),
+      // user 2: touch at the conversion instant (inclusive) + a stale
+      // touch outside the 30-min lookback (strict edge)
+      StreamingOps.IdEvent(20L, 2L, ts(0), "view"),
+      StreamingOps.IdEvent(21L, 2L, ts(31), "click"),
+      StreamingOps.IdEvent(22L, 2L, ts(31), "purchase"),
+      // user 3: conversion with no touches emits nothing
+      StreamingOps.IdEvent(30L, 3L, ts(2), "purchase"))
+    val input = MemoryStream[StreamingOps.IdEvent]
+    val q = StreamingOps.attributionStream(input.toDS(), "purchase",
+        Seq("view", "click"), lookbackMs = 30L * 60000)
+      .writeStream.format("memory").queryName("attrst")
+      .outputMode("append").start()
+    try {
+      val (a, b) = events.splitAt(2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      val got = spark.table("attrst")
+        .select("conv_id", "user_id", "conv_us", "touch_id", "touch_type",
+          "pos", "n_touches", "credit_ppm")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.ops.Funnel.positionAttribution(events.toDF(),
+          "user_id", "ts", "event_id", "event_type", "purchase",
+          Seq("view", "click"), 30L * 60000)
+        .select(col("conv_id"), col("user_id"),
+          unix_micros(col("conv_ts")).as("conv_us"), col("touch_id"),
+          col("touch_type"), col("pos"), col("n_touches"),
+          col("credit_ppm"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == batch, s"\nstream: $got\nbatch:  $batch")
+      // 3 for user 1; 1 for user 2 (its ts(0) view is outside the
+      // lookback); 0 for user 3
+      assert(got.size == 4)
+      // users whose windows emptied (all touches older than lookback
+      // relative to their newest event) release state: user 3 held none,
+      // users 1/2 still hold in-window touches
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 2L)
+    } finally q.stop()
+  }
+
+  test("attributionStream evicts idle users via event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val input = MemoryStream[StreamingOps.IdEvent]
+    val q = StreamingOps.attributionStream(input.toDS(), "purchase",
+        Seq("view", "click"), lookbackMs = 120L * 60000,
+        idle = Some("10 minutes"), lateness = "1 minute")
+      .writeStream.format("memory").queryName("attrev")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 15L).map(u =>
+        StreamingOps.IdEvent(u, u, ts(0), "view")): _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 15L)
+      input.addData(StreamingOps.IdEvent(100L, 100L, ts(60), "view"))
+      q.processAllAvailable()
+      input.addData(StreamingOps.IdEvent(101L, 101L, ts(61), "view"))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after <= 2L, s"idle users must be evicted, got $after")
+      // an evicted user's conversion restarts from scratch: no credit
+      input.addData(StreamingOps.IdEvent(200L, 1L, ts(62), "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("attrev").filter(col("conv_id") === 200L).count()
+        == 0L)
+    } finally q.stop()
+  }
+
   test("late events: stream approximates, batch backfill corrector restores exactness") {
     implicit val ctx = spark.sqlContext
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
