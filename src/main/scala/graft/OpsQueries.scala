@@ -1900,6 +1900,65 @@ object OpsQueries {
     * corpus has none): an email, an IPv4, and a phone number derived
     * from doc_id are appended, then scrubbed; outputs redaction counts
     * and the md5 of the redacted text. */
+  /** Luhn-gated payment-card scrub over planted candidates: valid test
+    * PANs (Visa 16, Amex 15, spaced/dashed/bare) redact; checksum-
+    * failing 16-digit runs (order ids) survive untouched (see
+    * [[Scrub.cardScrub]]). */
+  private def qTextCardScrub(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 5
+    val planted = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .withColumn("card_text", concat(col("text"),
+        when(m === 1, lit(" pay with 4111 1111 1111 1111 today"))
+          .when(m === 2, lit(" order 4111-1111-1111-1112 shipped"))
+          .when(m === 3, lit(" amex 371449635398431 on file"))
+          .when(m === 4,
+            lit(" visa 4012888888881881 and junk 1234567890123456"))
+          .otherwise(lit(""))))
+    val sc = Scrub.cardScrub(col("card_text"))
+    planted.select(col("doc_id"),
+      sc.getField("n_candidates").as("n_candidates"),
+      sc.getField("n_valid").as("n_valid"),
+      md5(sc.getField("redacted")).as("redacted_md5"))
+  }
+
+  private val oTextCardScrub = {
+    val cand = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+    val luhn =
+      """list_sum(list_transform(range(1, length(regexp_replace(c, '[ -]',
+        |  '', 'g')) + 1, 1), i -> CASE WHEN i % 2 = 0
+        |  THEN CASE WHEN 2 * CAST(substr(regexp_replace(c, '[ -]', '',
+        |      'g'), length(regexp_replace(c, '[ -]', '', 'g')) - i + 1,
+        |      1) AS INT) > 9
+        |    THEN 2 * CAST(substr(regexp_replace(c, '[ -]', '', 'g'),
+        |      length(regexp_replace(c, '[ -]', '', 'g')) - i + 1, 1)
+        |      AS INT) - 9
+        |    ELSE 2 * CAST(substr(regexp_replace(c, '[ -]', '', 'g'),
+        |      length(regexp_replace(c, '[ -]', '', 'g')) - i + 1, 1)
+        |      AS INT) END
+        |  ELSE CAST(substr(regexp_replace(c, '[ -]', '', 'g'),
+        |    length(regexp_replace(c, '[ -]', '', 'g')) - i + 1, 1)
+        |    AS INT) END)) % 10 = 0""".stripMargin
+    s"""WITH p AS MATERIALIZED (SELECT doc_id, text ||
+       |    CASE doc_id % 5
+       |      WHEN 1 THEN ' pay with 4111 1111 1111 1111 today'
+       |      WHEN 2 THEN ' order 4111-1111-1111-1112 shipped'
+       |      WHEN 3 THEN ' amex 371449635398431 on file'
+       |      WHEN 4 THEN ' visa 4012888888881881 and junk 1234567890123456'
+       |      ELSE '' END AS card_text
+       |  FROM documents WHERE doc_id < 300),
+       |x AS (SELECT doc_id, card_text,
+       |    regexp_extract_all(card_text, '$cand') AS cands
+       |  FROM p),
+       |v AS (SELECT doc_id, card_text, cands,
+       |    list_filter(cands, c -> $luhn) AS valid
+       |  FROM x)
+       |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+       |  CAST(len(valid) AS BIGINT) AS n_valid,
+       |  md5(list_reduce(list_prepend(card_text, valid),
+       |    (acc, c) -> replace(acc, c, '<CARD>'))) AS redacted_md5
+       |FROM v""".stripMargin
+  }
+
   private def qTextScrub(s: SparkSession, dir: String): DataFrame = {
     val planted = t(s, dir, "documents").filter(col("doc_id") < 200)
       .withColumn("pii_text", concat(col("text"),
@@ -5753,6 +5812,7 @@ object OpsQueries {
     "doc_chunks" -> (qDocChunks _),
     "doc_packing" -> (qDocPacking _),
     "text_scrub" -> (qTextScrub _),
+    "text_card_scrub" -> (qTextCardScrub _),
     "text_normalize" -> (qTextNormalize _),
     "text_dedup_lines" -> (qTextDedupLines _),
     "text_c4_clean" -> (qTextC4Clean _),
@@ -5930,6 +5990,7 @@ object OpsQueries {
     "doc_chunks" -> oDocChunks,
     "doc_packing" -> oDocPacking,
     "text_scrub" -> oTextScrub,
+    "text_card_scrub" -> oTextCardScrub,
     "text_normalize" -> oTextNormalize,
     "text_dedup_lines" -> oTextDedupLines,
     "text_c4_clean" -> oTextC4Clean,

@@ -28,6 +28,53 @@ object Scrub {
   }
 
 
+  /** 13–19 digit runs with optional single space/dash separators — the
+    * payment-card candidate net (word-bounded; RE2-safe). */
+  val CardCandRe = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** LUHN (mod-10) check over a separator-free digit string, as a pure
+    * expression: from the RIGHT, every second digit doubles (folding
+    * >9 back by −9), the total must divide by 10. Identical integer
+    * arithmetic spells in DuckDB's list_transform, so the tier is
+    * oracle-checkable. Runs per CANDIDATE (a handful per document),
+    * not per char — the interpreted higher-order fold never touches
+    * non-candidate text. */
+  private def luhnOk(cand: Column): Column = {
+    val dg = regexp_replace(cand, "[ -]", "")
+    val n = length(dg)
+    val total = aggregate(
+      transform(sequence(lit(1), n), i => {
+        val d = dg.substr(n - i + 1, lit(1)).cast("int")
+        when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
+
+  /** Payment-card scrub with CHECKSUM validation — the precision tier
+    * a blanket digit-run redaction can't give: a 16-digit order id or
+    * tracking number stays intact (it fails Luhn with probability
+    * 0.9), while a real card number — spaced, dashed, or bare, 13–19
+    * digits — is replaced by `<CARD>`. Candidates come from ONE
+    * codegen'd regex extraction; only the few candidates per document
+    * pay the interpreted Luhn fold; redaction is a literal-replace
+    * fold over the VALID candidates only. A valid card whose digit
+    * string recurs verbatim elsewhere in the document is redacted at
+    * every occurrence (documented over-redaction — the safe side for
+    * PII).
+    *
+    * @return struct(n_candidates, n_valid, redacted) */
+  def cardScrub(text: Column): Column = {
+    val cands = regexp_extract_all(text, lit(CardCandRe), lit(0))
+    val valid = filter(cands, luhnOk _)
+    struct(
+      size(cands).cast("long").as("n_candidates"),
+      size(valid).cast("long").as("n_valid"),
+      aggregate(valid, text,
+        (acc, c) => replace(acc, c, lit("<CARD>"))).as("redacted"))
+  }
+
   /** Exotic Unicode whitespace (NBSP, en/em/thin spaces, narrow NBSP,
     * math space, ideographic space) — characters that defeat `\\s`-based
     * tokenizers and fingerprints if left in place. `\\x{...}` hex

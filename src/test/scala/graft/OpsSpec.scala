@@ -1514,6 +1514,32 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("cardScrub redacts only Luhn-valid candidates, every format") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),   // valid Visa, spaced
+      (2L, "pay 4111-1111-1111-1112 now"),   // bad checksum
+      (3L, "amex 371449635398431 ok"),        // valid 15-digit
+      (4L, "order 1234567890123456 shipped"), // 16 digits, fails Luhn
+      (5L, "short 123456789012 run"),         // 12 digits: below net
+      (6L, "two 4012888888881881 and 4111 1111 1111 1111 cards"),
+      (7L, "none here"))
+    val out = cases.toDF("id", "t")
+      .select(col("id"), Scrub.cardScrub(col("t")).as("s"))
+      .select(col("id"), col("s.n_candidates"), col("s.n_valid"),
+        col("s.redacted"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, "pay <CARD> now")))
+    assert(out(2L) == ((1L, 0L, "pay 4111-1111-1111-1112 now")))
+    assert(out(3L) == ((1L, 1L, "amex <CARD> ok")))
+    assert(out(4L) == ((1L, 0L, "order 1234567890123456 shipped")))
+    assert(out(5L) == ((0L, 0L, "short 123456789012 run")))
+    assert(out(6L) == ((2L, 2L, "two <CARD> and <CARD> cards")))
+    assert(out(7L) == ((0L, 0L, "none here")))
+  }
+
   // ---------------------------------------------------------- chunking
 
   test("slidingWindows covers every token with the expected overlap") {
