@@ -235,6 +235,32 @@ object OpsQueries {
       |SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** BM25 hard negatives against synthetic relevance labels
+    * (doc_id % 17 = qid): per query, the top lexically-confusable
+    * candidates that are NOT labeled positive (see
+    * [[TextRank.hardNegatives]]). */
+  private def qTextHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val positives = d.select((col("doc_id") % 17).cast("int").as("qid"),
+      col("doc_id"))
+    TextRank.hardNegatives(d, "text", "doc_id", bm25Queries, positives,
+      kCandidates = 10, nNeg = 5)
+  }
+
+  private val oTextHardNegatives = {
+    val inner = oTextBm25
+    s"""WITH cand AS MATERIALIZED ($inner),
+       |neg AS (SELECT qid, doc_id, score FROM cand
+       |  WHERE NOT EXISTS (SELECT 1 FROM documents p
+       |    WHERE CAST(p.doc_id % 17 AS INT) = cand.qid
+       |      AND p.doc_id = cand.doc_id))
+       |SELECT qid, neg_rank, doc_id, score FROM (
+       |  SELECT qid, doc_id, score, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
+       |    AS neg_rank FROM neg)
+       |WHERE neg_rank <= 5""".stripMargin
+  }
+
   /** Gopher-style quality rules per doc (word-count/mean-length/symbol/
     * 2-gram-repetition gates and their conjunction). */
   private def qTextGopher(s: SparkSession, dir: String): DataFrame =
@@ -5749,6 +5775,7 @@ object OpsQueries {
     "web_html_text" -> (qWebHtmlText _),
     "text_tfidf" -> (qTextTfidf _),
     "text_bm25" -> (qTextBm25 _),
+    "text_hard_negatives" -> (qTextHardNegatives _),
     "text_gopher" -> (qTextGopher _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -5927,6 +5954,7 @@ object OpsQueries {
     "web_html_text" -> oWebHtmlText,
     "text_tfidf" -> oTextTfidf,
     "text_bm25" -> oTextBm25,
+    "text_hard_negatives" -> oTextHardNegatives,
     "text_gopher" -> oTextGopher,
     "dedup_exact" -> oDedupExact,
     "dedup_ngram_jaccard" -> oJaccardPairs(0.5),

@@ -120,6 +120,40 @@ object TextRank {
       .select(col("qid"), col("rank"), col("id").as(idCol), col("score"))
   }
 
+  /** HARD-NEGATIVE mining for retrieval/reranker training (the DPR /
+    * sentence-transformers recipe): the top BM25 candidates for each
+    * query that are NOT labeled positive — lexically confusable with
+    * the answer, which is exactly what a trainable scorer must learn
+    * to push down; random negatives teach nothing a stoplist wouldn't.
+    *
+    * Shape: the k-bounded [[bm25TopK]] candidate list (posting-index
+    * scoring — the corpus is never scanned per query), one LEFT-ANTI
+    * join against the positive labels on (qid, id) — labels are
+    * query-cardinality, AQE broadcasts — and a re-rank window over the
+    * ≤k survivors per query. Deterministic: candidate order is the
+    * BM25 contract's (score desc, id), re-rank preserves it.
+    *
+    * @param positives labeled (qid, id) pairs; extra columns ignored
+    * @return (qid, neg_rank 1-based, idCol, score) with neg_rank ≤
+    *         nNeg */
+  def hardNegatives(docs: DataFrame, textCol: String, idCol: String,
+                    queries: Seq[(Int, String)], positives: DataFrame,
+                    kCandidates: Int, nNeg: Int): DataFrame = {
+    require(nNeg >= 1 && kCandidates >= nNeg,
+      "need kCandidates >= nNeg >= 1")
+    val cand = bm25TopK(docs, textCol, idCol, queries, kCandidates)
+    val pos = positives.columns.take(2) match {
+      case Array(q, i) =>
+        positives.select(col(q).as("qid"), col(i).as(idCol))
+    }
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col(idCol))
+    cand.join(pos, Seq("qid", idCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("qid"), col("neg_rank"), col(idCol), col("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two rank lists —
     * the standard hybrid-retrieval combiner (BM25 + dense ANN): each
     * candidate scores Σ 1/(c + rank) over the lists that returned it,

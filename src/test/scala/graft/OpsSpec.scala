@@ -1514,6 +1514,21 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("hardNegatives excludes labeled positives and re-ranks densely") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple pie recipe"), (2L, "apple tart recipe"),
+      (3L, "banana bread"), (4L, "apple cider"))
+      .toDF("doc_id", "text")
+    val positives = Seq((0, 1L)).toDF("qid", "doc_id")
+    val out = TextRank.hardNegatives(docs, "text", "doc_id",
+        Seq(0 -> "apple recipe"), positives, kCandidates = 4, nNeg = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sorted.toSeq
+    // doc 1 is positive (excluded); doc 2 matches both terms, doc 4 one;
+    // doc 3 matches nothing and is no candidate. Ranks re-pack densely.
+    assert(out == Seq((1, 2L), (2, 4L)))
+  }
+
   test("cardScrub redacts only Luhn-valid candidates, every format") {
     import spark.implicits._
     val cases = Seq(
