@@ -4952,6 +4952,20 @@ object OpsQueries {
     * relative 1e-6 — ties the driver-side eigen solve to the
     * distributed projection path. Oracle recomputes n/dim/k and pins
     * the contract booleans TRUE. */
+  /** Per-label centroid embeddings, flattened to (label, idx, n, mean)
+    * rows — distributed class prototypes (see
+    * [[Cluster.groupCentroids]]). */
+  private def qEmbGroupCentroid(s: SparkSession, dir: String): DataFrame =
+    Cluster.groupCentroids(t(s, dir, "embeddings"), "embedding", "label")
+      .withColumnRenamed("key", "label")
+
+  private val oEmbGroupCentroid =
+    """SELECT label, CAST(i - 1 AS BIGINT) AS idx, count(*) AS n,
+      |  CAST(avg(CAST(x AS DOUBLE)) AS REAL) AS mean
+      |FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |  generate_subscripts(embedding, 1) AS i FROM embeddings)
+      |GROUP BY label, i""".stripMargin
+
   private def qEmbPca(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val k = 8
@@ -5799,6 +5813,7 @@ object OpsQueries {
     "sim_topk_ivf" -> (qSimTopKIvf _),
     "emb_quantize" -> (qEmbQuantize _),
     "emb_pca" -> (qEmbPca _),
+    "emb_group_centroid" -> (qEmbGroupCentroid _),
     "emb_pca_incremental" -> (qEmbPcaIncremental _),
     "emb_pca_pq_recall" -> (qEmbPcaPqRecall _),
     "profile_numeric" -> (qProfileNumeric _),
@@ -5978,6 +5993,7 @@ object OpsQueries {
     "sim_topk_ivf" -> oAnnWellFormed,
     "emb_quantize" -> oEmbQuantize,
     "emb_pca" -> oEmbPca,
+    "emb_group_centroid" -> oEmbGroupCentroid,
     "emb_pca_incremental" -> oEmbPcaIncremental,
     "emb_pca_pq_recall" -> oAnnRecall,
     "profile_numeric" -> oProfileNumeric,

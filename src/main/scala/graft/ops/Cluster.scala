@@ -26,6 +26,28 @@ object Cluster {
           lloydIters: Int = 3): Array[(Array[Double], Double)] =
     Similarity.trainCentroids(corpus, vecCol, idCol, k, lloydIters)
 
+  /** GROUPWISE CENTROID embeddings, fully distributed: the elementwise
+    * mean vector per key (class/domain/language prototypes — the
+    * nearest-centroid baseline classifier, drift monitors, and the
+    * query vectors for "find docs like this bucket"). Flattened to one
+    * row per (key, idx) so the result is oracle-comparable (array
+    * cells break the driver's row-sort) and so the aggregation is a
+    * single map-side-combinable shuffle on (key, idx) — no per-key
+    * vector state, no collect, works at any key cardinality and any
+    * dimension. Means are float-cast (the repo's sum-order absorption
+    * convention).
+    *
+    * @return (key, idx 0-based, n rows carrying that component, mean) */
+  def groupCentroids(df: DataFrame, vecCol: String,
+                     keyCol: String): DataFrame =
+    df.select(col(keyCol).as("key"),
+        posexplode(col(vecCol)).as(Seq("idx", "x")))
+      .groupBy("key", "idx")
+      .agg(count(lit(1)).as("n"),
+        avg(col("x").cast("double")).cast("float").as("mean"))
+      .select(col("key"), col("idx").cast("long").as("idx"), col("n"),
+        col("mean"))
+
   /** Persist fitted centroids as a (cid, vec, norm) parquet table —
     * the train-once/assign-many artifact: cluster ids are only
     * comparable across jobs that assigned against the SAME centroids

@@ -1514,6 +1514,18 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("groupCentroids: hand means per (key, idx), count carried") {
+    import spark.implicits._
+    val d = Seq((1, Array(1f, 3f)), (1, Array(3f, 5f)), (2, Array(2f, 2f)))
+      .toDF("label", "v")
+    val out = graft.ops.Cluster.groupCentroids(d, "v", "label")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getFloat(3)))).toMap
+    assert(out((1, 0L)) == ((2L, 2.0f)) && out((1, 1L)) == ((2L, 4.0f)))
+    assert(out((2, 0L)) == ((1L, 2.0f)) && out.size == 4)
+  }
+
   test("hardNegatives excludes labeled positives and re-ranks densely") {
     import spark.implicits._
     val docs = Seq(
