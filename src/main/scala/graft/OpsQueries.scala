@@ -4952,6 +4952,55 @@ object OpsQueries {
     * relative 1e-6 — ties the driver-side eigen solve to the
     * distributed projection path. Oracle recomputes n/dim/k and pins
     * the contract booleans TRUE. */
+  /** Greedy k-center coreset over the first 300 embeddings: 6 maximally
+    * spread centers with their non-increasing coverage radii, exact
+    * integer micro-distances (see [[Sample.kCenters]]). */
+  private def qSampleKcenters(s: SparkSession, dir: String): DataFrame =
+    Sample.kCenters(t(s, dir, "embeddings").filter(col("vec_id") < 300),
+      "embedding", "vec_id", k = 6)
+
+  private val oSampleKcenters = {
+    val k = 6
+    def notSel(t: Int): String =
+      (1 until t).map(j => s"id <> (SELECT id FROM s$j)").mkString(" AND ")
+    val levels = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT id, mind FROM m${t - 1}
+         |  WHERE ${notSel(t)}
+         |  ORDER BY mind DESC, id LIMIT 1)""".stripMargin +
+        (if (t < k)
+          s""",
+             |m$t AS MATERIALIZED (SELECT m.id,
+             |    least(m.mind, cm.d) AS mind
+             |  FROM m${t - 1} m JOIN cm ON cm.x = m.id
+             |    AND cm.c = (SELECT id FROM s$t))""".stripMargin
+        else "")
+    }.mkString(",\n")
+    val out = (2 to k).map(t =>
+      s"SELECT $t AS step, id, mind AS radius_micro FROM s$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH u AS MATERIALIZED (SELECT vec_id,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i FROM embeddings
+       |  WHERE vec_id < 300),
+       |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS n
+       |  FROM u GROUP BY vec_id),
+       |dots AS (SELECT a.vec_id AS x, b.vec_id AS c, sum(a.x * b.x) AS d
+       |  FROM u a JOIN u b ON a.i = b.i GROUP BY 1, 2),
+       |cm AS MATERIALIZED (SELECT x, c, 1000000 -
+       |    CAST(round(d / (nx.n * nc.n) * 1000000) AS BIGINT) AS d
+       |  FROM dots JOIN norms nx ON nx.vec_id = x
+       |    JOIN norms nc ON nc.vec_id = c),
+       |s1 AS MATERIALIZED (SELECT min(vec_id) AS id FROM norms),
+       |m1 AS MATERIALIZED (SELECT cm.x AS id, cm.d AS mind FROM cm
+       |  WHERE cm.c = (SELECT id FROM s1)),
+       |$levels
+       |SELECT CAST(1 AS BIGINT) AS step, (SELECT id FROM s1) AS id,
+       |  CAST(NULL AS BIGINT) AS radius_micro
+       |UNION ALL
+       |SELECT CAST(step AS BIGINT), id, radius_micro FROM ($out)"""
+      .stripMargin
+  }
+
   /** Per-label centroid embeddings, flattened to (label, idx, n, mean)
     * rows — distributed class prototypes (see
     * [[Cluster.groupCentroids]]). */
@@ -5847,6 +5896,7 @@ object OpsQueries {
     "doc_tokens_bpe" -> (qDocTokensBpe _),
     "doc_tokens_unigram" -> (qDocTokensUnigram _),
     "sample_stratified" -> (qSampleStratified _),
+    "sample_kcenters" -> (qSampleKcenters _),
     "sample_priority" -> (qSamplePriority _),
     "sample_dsir" -> (qSampleDsir _),
     "text_perplexity" -> (qTextPerplexity _),
@@ -6027,6 +6077,7 @@ object OpsQueries {
     "doc_tokens_bpe" -> oDocTokensBpe,
     "doc_tokens_unigram" -> oDocTokensUnigram,
     "sample_stratified" -> oSampleStratified,
+    "sample_kcenters" -> oSampleKcenters,
     "sample_priority" -> oSamplePriority,
     "sample_dsir" -> oSampleDsir,
     "text_perplexity" -> oTextPerplexity,

@@ -232,4 +232,69 @@ object Sample {
           coalesce(col("__tau"), lit(0.0))))
       .drop("__rk", "__tau")
   }
+
+  /** GREEDY K-CENTER (farthest-point) coreset selection — Gonzalez
+    * 1985, the 2-approximation of the k-center cover and the standard
+    * DIVERSE-subset picker for training-data curation (random sampling
+    * oversamples dense regions; k-centers spreads the budget over the
+    * embedding space, and the returned `radius_micro` IS the coverage
+    * guarantee: every corpus point sits within that cosine distance of
+    * some selected center).
+    *
+    * Deterministic and engine-exact: distances are integer micro-units
+    * (10⁶ − round(cos·10⁶)), the seed is the LOWEST id, each step
+    * picks the candidate maximizing the running min-distance with ties
+    * to the lowest id. Radii are non-increasing by construction.
+    *
+    * Shape: k−1 passes; each keeps a running `mind` column updated
+    * against ONLY the newest center (a broadcast-literal vector — no
+    * join), takes the arg-max via TakeOrderedAndProject (map-side
+    * top-1 per partition, driver merges partition winners), and
+    * localCheckpoints the (id, v, mind) frame so lineage stays flat.
+    * k full scans total — the textbook trade for an exact greedy
+    * cover; `idCol` must be LongType.
+    *
+    * @return (step 1-based, id, radius_micro — null for the seed) */
+  def kCenters(df: DataFrame, vecCol: String, idCol: String,
+               k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).localCheckpoint(true)
+    val seed = base.orderBy("id").limit(1).select("id", "v").head()
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+    def distTo(c: Array[Double]): Column =
+      lit(1000000L) -
+        round(Similarity.cosine(col("v"), typedlit(c)) * 1e6).cast("long")
+    val seedId = seed.getLong(0)
+    var selected = Vector[(Long, Long, Option[Long])]((1L, seedId, None))
+    var cur = base.withColumn("mind", distTo(vecOf(seed)))
+      .localCheckpoint(true)
+    var t = 2
+    var exhausted = false
+    while (t <= k && !exhausted) {
+      val picked = cur.filter(!col("id").isin(selected.map(_._2): _*))
+        .orderBy(col("mind").desc, col("id")).limit(1)
+        .select("id", "v", "mind").collect()
+      picked.headOption match {
+        case None => exhausted = true
+        case Some(r) =>
+          selected :+= ((t.toLong, r.getLong(0), Some(r.getLong(2))))
+          cur = cur.withColumn("mind",
+              least(col("mind"), distTo(vecOf(r))))
+            .localCheckpoint(true)
+          t += 1
+      }
+    }
+    import spark.implicits._
+    selected.map { case (s, id, rad) =>
+      (s, id, rad.map(Long.box).orNull.asInstanceOf[java.lang.Long])
+    }.toDF("step", "id", "radius_micro")
+      .select(col("step"), col("id"),
+        col("radius_micro").cast("long").as("radius_micro"))
+  }
 }

@@ -1514,6 +1514,26 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("kCenters: farthest-first order, monotone radii, exhaustion stop") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f)),       // seed (lowest id)
+      (2L, Array(0f, 1f)),       // orthogonal: dist 1e6
+      (3L, Array(1f, 0.001f)),   // nearly the seed
+      (4L, Array(-1f, 0f)))      // antipode: dist 2e6 — picked first
+      .toDF("vec_id", "v")
+    val out = graft.ops.Sample.kCenters(vecs, "v", "vec_id", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(out == Seq((1L, 1L, None), (2L, 4L, Some(2000000L)),
+      (3L, 2L, Some(1000000L))))
+    // k beyond the corpus stops after every point is selected
+    val all = graft.ops.Sample.kCenters(vecs, "v", "vec_id", k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+  }
+
   test("groupCentroids: hand means per (key, idx), count carried") {
     import spark.implicits._
     val d = Seq((1, Array(1f, 3f)), (1, Array(3f, 5f)), (2, Array(2f, 2f)))
