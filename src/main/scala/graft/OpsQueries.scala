@@ -79,6 +79,64 @@ object OpsQueries {
       |      / greatest(length(text), 1) < 0.1 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END) AS quality
       |FROM documents""".stripMargin
 
+  /** The oTextStats quality-score expression, reused by the AUC /
+    * calibration oracles. */
+  private val oQualityExpr =
+    s"""(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.5 AS DOUBLE) ELSE 0.0 END)
+      |  + (CASE WHEN CAST(len(list_filter($oToks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+      |      / len($oToks) > 0.02 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END)
+      |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+      |      / greatest(length(text), 1) < 0.1 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END)""".stripMargin
+
+  /** Exact midrank AUC of the heuristic quality score against the
+    * is-English label — integer rank-sum arithmetic, heavy ties (the
+    * score takes 5 dyadic values), one group-cardinality window (see
+    * [[Classify.aucExact]]). */
+  private def qQualityAuc(s: SparkSession, dir: String): DataFrame =
+    Classify.aucExact(
+      t(s, dir, "documents").select(
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en")
+
+  private val oQualityAuc =
+    s"""WITH sc AS MATERIALIZED (SELECT $oQualityExpr AS s,
+       |    lang = 'en' AS y FROM documents),
+       |g AS (SELECT s, count(*) AS n,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS np FROM sc GROUP BY s),
+       |c AS (SELECT s, n, np, sum(n) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cb
+       |  FROM g),
+       |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+       |    CAST(sum(np * (2 * cb + n + 1)) AS BIGINT) AS s2 FROM c)
+       |SELECT n_pos, n_neg,
+       |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN (s2 - n_pos * (n_pos + 1)) * 1000000
+       |      // (2 * n_pos * n_neg) END AS BIGINT) AS auc_ppm,
+       |  round(CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN (s2 - n_pos * (n_pos + 1)) * 1000000
+       |      // (2 * n_pos * n_neg) END AS DOUBLE) / 1000000, 6) AS auc
+       |FROM a""".stripMargin
+
+  /** Decile calibration bins of the quality score vs the is-English
+    * label (see [[Classify.calibrationBins]]). */
+  private def qQualityCalibration(s: SparkSession, dir: String): DataFrame =
+    Classify.calibrationBins(
+      t(s, dir, "documents").select(
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en")
+
+  private val oQualityCalibration =
+    s"""WITH sc AS (SELECT $oQualityExpr AS s, lang = 'en' AS y
+       |  FROM documents)
+       |SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+       |  count(*) AS n,
+       |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(avg(s) AS REAL) AS mean_score
+       |FROM sc GROUP BY 1""".stripMargin
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.langId(col("text")).getField("lang").as("lang_pred"),
@@ -259,6 +317,31 @@ object OpsQueries {
        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
        |    AS neg_rank FROM neg)
        |WHERE neg_rank <= 5""".stripMargin
+  }
+
+  /** Benford first-digit audit of lineitem extended prices — exact
+    * per-digit counts, observed ppm share, the hardcoded reference,
+    * and the signed deviation (see [[Profile.benford]]). */
+  private def qProfileBenford(s: SparkSession, dir: String): DataFrame =
+    Profile.benford(t(s, dir, "lineitem"), "l_extendedprice")
+
+  private val oProfileBenford = {
+    val ref = Profile.BenfordPpm.toSeq.sorted
+      .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH d AS (SELECT CAST(regexp_extract(
+       |    CAST(l_extendedprice AS VARCHAR), '[1-9]', 0) AS INT) AS digit
+       |  FROM lineitem
+       |  WHERE regexp_extract(CAST(l_extendedprice AS VARCHAR),
+       |    '[1-9]', 0) <> ''),
+       |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+       |ref(digit, benford_ppm) AS (VALUES $ref)
+       |SELECT c.digit, c.n,
+       |  CAST(c.n * 1000000 // (SELECT sum(n) FROM c) AS BIGINT)
+       |    AS observed_ppm,
+       |  CAST(ref.benford_ppm AS BIGINT) AS benford_ppm,
+       |  CAST(c.n * 1000000 // (SELECT sum(n) FROM c)
+       |    - ref.benford_ppm AS BIGINT) AS dev_ppm
+       |FROM c JOIN ref ON ref.digit = c.digit""".stripMargin
   }
 
   /** Gopher-style quality rules per doc (word-count/mean-length/symbol/
@@ -5825,6 +5908,8 @@ object OpsQueries {
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
     "link_edit_join" -> (qLinkEditJoin _),
     "quality_classifier" -> (qQualityClassifier _),
+    "quality_auc" -> (qQualityAuc _),
+    "quality_calibration" -> (qQualityCalibration _),
     "quality_classifier_reload" -> (qQualityClassifierReload _),
     "quality_expect" -> (qQualityExpect _),
     "quality_expect_slice" -> (qQualityExpectSlice _),
@@ -5866,6 +5951,7 @@ object OpsQueries {
     "emb_pca_incremental" -> (qEmbPcaIncremental _),
     "emb_pca_pq_recall" -> (qEmbPcaPqRecall _),
     "profile_numeric" -> (qProfileNumeric _),
+    "profile_benford" -> (qProfileBenford _),
     "profile_sketch" -> (qProfileSketch _),
     "skew_agg" -> (qSkewAgg _),
     "profile_moments" -> (qProfileMoments _),
@@ -6006,6 +6092,8 @@ object OpsQueries {
     "link_fuzzy_join" -> oLinkFuzzyJoin,
     "link_edit_join" -> oLinkEditJoin,
     "quality_classifier" -> oQualityClassifier,
+    "quality_auc" -> oQualityAuc,
+    "quality_calibration" -> oQualityCalibration,
     "quality_classifier_reload" -> oQualityClassifierReload,
     "quality_expect" -> oQualityExpect,
     "quality_expect_slice" -> oQualityExpectSlice,
@@ -6047,6 +6135,7 @@ object OpsQueries {
     "emb_pca_incremental" -> oEmbPcaIncremental,
     "emb_pca_pq_recall" -> oAnnRecall,
     "profile_numeric" -> oProfileNumeric,
+    "profile_benford" -> oProfileBenford,
     "profile_sketch" -> oProfileSketch,
     "skew_agg" -> oSkewAgg,
     "profile_moments" -> oProfileMoments,

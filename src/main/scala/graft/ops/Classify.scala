@@ -156,6 +156,69 @@ object Classify {
       rows(0).getInt(2))
   }
 
+  /** EXACT AUC (Mann–Whitney rank-sum with midrank tie handling) in
+    * pure integer arithmetic — the evaluation number every quality
+    * scorer ships with, computed so any engine reproduces it
+    * bit-for-bit: group rows by exact score, one small window over the
+    * GROUP table (distinct-score cardinality, not row cardinality) for
+    * the cumulative count, then
+    *
+    *   2·Σ_pos midrank = Σ_g n_pos(g) · (2·cum_before(g) + n(g) + 1)
+    *
+    * is an order-free BIGINT sum and
+    *
+    *   auc_ppm = (2Σ − 2·nPos·(nPos+1)/2) · 10⁶ div (2·nPos·nNeg).
+    *
+    * No per-row global sort (the classic AUC spelling) — rows collapse
+    * to their score groups map-side first; the window's partition is
+    * as wide as the number of DISTINCT scores. Ties across classes are
+    * handled by midranks (the standard correction). Returns one row
+    * (n_pos, n_neg, auc_ppm, auc); degenerate single-class input
+    * yields auc_ppm null. */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String)
+  : DataFrame = {
+    val g = df
+      .select(col(scoreCol).as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = g.withColumn("cb", sum("n").over(w) - col("n"))
+    cum.agg(
+        sum("np").as("n_pos"),
+        (sum("n") - sum("np")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cb") + col("n") + 1L)).as("s2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(s2 - n_pos * (n_pos + 1)) * 1000000" +
+            " DIV (2 * n_pos * n_neg)")).as("auc_ppm"))
+      .withColumn("auc",
+        round(col("auc_ppm").cast("double") / 1e6, 6))
+  }
+
+  /** CALIBRATION (reliability) bins for a [0, 1] score: decile bins by
+    * floor(score·10) with the top edge clamped into bin 9, exact
+    * integer counts and a float-cast mean score per bin — read
+    * `n_pos/n` against `mean_score` to see whether 0.8 means 80%. One
+    * map-side-combinable aggregate. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val b = least(floor(col(scoreCol) * bins).cast("long"),
+      lit(bins - 1L))
+    df.select(b.as("bin"), col(scoreCol).as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        avg("s").cast("float").as("mean_score"))
+  }
+
   /** Per-row quality score in [0, 1] under a trained model — sigmoid of
     * the same index-ordered dense dot product training used, over the
     * ~8 KB broadcast weights. Null text scores sigmoid(bias). */

@@ -16,6 +16,44 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Benford first-digit reference distribution, ppm, hardcoded so
+    * both engines compare against the SAME integers (computing
+    * log10(1+1/d) at runtime risks an ulp landing a rounding boundary
+    * differently per libm). The nine values sum to exactly 10⁶. */
+  val BenfordPpm: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** BENFORD first-significant-digit audit of a numeric column — the
+    * classic fabricated-data / unit-mixing signal: organically grown
+    * magnitudes (prices, populations, file sizes) start with 1 ~30%
+    * of the time; uniform or hand-typed numbers don't. Emits one row
+    * per digit with exact counts, the observed share in integer ppm,
+    * the hardcoded Benford reference, and the signed deviation — the
+    * χ²-free spelling that stays engine-exact (the consumer applies
+    * whatever test it likes to exact integers).
+    *
+    * The first significant digit comes from the value's string
+    * rendering (both engines print doubles in shortest-round-trip
+    * form, so the digit sequences agree; '-', '0.', and 'E' prefixes
+    * are skipped by matching the first [1-9]). Zero/null rows carry no
+    * significant digit and are excluded from the denominator. One
+    * map-side-combinable count; the total is a window over ≤9 rows. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = regexp_extract(col(valueCol).cast("string"), "[1-9]", 0)
+    val counts = df.select(digit.as("d"))
+      .filter(col("d") =!= "")
+      .groupBy(col("d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("__t", sum("n").over(w))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 DIV __t").as("observed_ppm"),
+        element_at(typedlit(BenfordPpm), col("digit")).as("benford_ppm"))
+      .withColumn("dev_ppm", col("observed_ppm") - col("benford_ppm"))
+  }
+
   /** Profile the given numeric columns; returns
     * (column, n, nulls, min, max, mean, p25, p50, p95). */
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {

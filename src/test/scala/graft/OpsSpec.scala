@@ -1514,6 +1514,53 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("benford: first significant digit through sign/decimal/zero") {
+    import spark.implicits._
+    assert(graft.ops.Profile.BenfordPpm.values.sum == 1000000L)
+    val out = graft.ops.Profile.benford(
+        Seq[java.lang.Double](1.0, 19.5, 0.25, -3.2, 0.0, null, 900.0)
+          .toDF("v"), "v")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // 0.0 and null carry no significant digit: total 5
+    assert(out(1) == ((2L, 400000L, 301030L, 98970L)))
+    assert(out(2) == ((1L, 200000L, 176091L, 23909L)))
+    assert(out(3) == ((1L, 200000L, 124939L, 75061L)))
+    assert(out(9) == ((1L, 200000L, 45757L, 154243L)))
+    assert(out.size == 4)
+  }
+
+  test("aucExact: separation, midrank ties, degenerate single class") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): Option[Long] = {
+      val r = graft.ops.Classify.aucExact(rows.toDF("s", "y"), "s", "y")
+        .head()
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // perfect separation -> 1.0
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+      == Some(1000000L))
+    // full tie -> exactly 0.5 by midranks
+    assert(auc(Seq((0.5, true), (0.5, false))) == Some(500000L))
+    // hand midrank case: ranks 0.2->1, 0.5->2.5/2.5, 0.8->4;
+    // AUC = (6.5 - 3) / 4 = 0.875
+    assert(auc(Seq((0.8, true), (0.5, true), (0.5, false), (0.2, false)))
+      == Some(875000L))
+    // single class -> null
+    assert(auc(Seq((0.9, true), (0.1, true))).isEmpty)
+  }
+
+  test("calibrationBins clamps the top edge into the last bin") {
+    import spark.implicits._
+    val out = graft.ops.Classify.calibrationBins(
+        Seq((0.05, false), (0.95, true), (1.0, true), (0.91, false))
+          .toDF("s", "y"), "s", "y")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(0L) == ((1L, 0L)) && out(9L) == ((3L, 2L)) && out.size == 2)
+  }
+
   test("kCenters: farthest-first order, monotone radii, exhaustion stop") {
     import spark.implicits._
     val vecs = Seq(
