@@ -261,17 +261,20 @@ object OpsQueries {
     TextRank.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
       bm25Queries, k = 10)
 
-  private val oTextBm25 = {
+  /** The BM25 oracle parameterized by the corpus source expression, so
+    * compositions (hard negatives on the full table, MMR on the
+    * embedding-aligned slice) replay the same scoring pipeline. */
+  private def oTextBm25From(src: String): String = {
     val qvals = bm25Queries.flatMap { case (qid, text) =>
       text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
         .map(t => s"($qid, '$t')")
     }.mkString(", ")
     s"""WITH terms AS (
       |  SELECT doc_id, t.term, count(*) AS tf
-      |  FROM (SELECT doc_id, unnest($oToks) AS term FROM documents) t
+      |  FROM (SELECT doc_id, unnest($oToks) AS term FROM $src) t
       |  WHERE t.term <> '' GROUP BY doc_id, t.term),
       |dl AS (SELECT doc_id, sum(tf) AS dl FROM terms GROUP BY doc_id),
-      |stats AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+      |stats AS (SELECT CAST((SELECT count(*) FROM $src) AS BIGINT) AS n,
       |    (SELECT sum(dl) FROM dl) AS tot),
       |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
       |q(qid, qterm) AS (VALUES $qvals),
@@ -292,6 +295,8 @@ object OpsQueries {
       |  FROM agg)
       |SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 10""".stripMargin
   }
+
+  private val oTextBm25 = oTextBm25From("documents")
 
   /** BM25 hard negatives against synthetic relevance labels
     * (doc_id % 17 = qid): per query, the top lexically-confusable
@@ -1194,6 +1199,78 @@ object OpsQueries {
       |SELECT f.src, f.dst, f.cm AS cos_micro, f.margin AS margin_micro,
       |  coalesce(bb.bsrc = f.src, FALSE) AS mutual
       |FROM bf f LEFT JOIN bb ON bb.dst = f.dst""".stripMargin
+
+  /** MMR diversity re-rank of the BM25 top-8 per keyword query, λ=1/2,
+    * over the aligned dense embeddings (vec_id ≡ doc_id): 4 greedy
+    * selections balancing rank-normalized relevance against max
+    * similarity to what's already picked (see [[Rank.mmrRerank]]). */
+  private def qSimMmr(s: SparkSession, dir: String): DataFrame = {
+    // the embedding-ALIGNED corpus slice (vec_id ≡ doc_id < 500): at
+    // larger SFs the full table's top candidates have no vector
+    val cand = TextRank.bm25TopK(
+      t(s, dir, "documents").filter(col("doc_id") < 500),
+      "text", "doc_id", bm25Queries, k = 8)
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Rank.mmrRerank(cand, vecs, "qid", "doc_id", "rank", "embedding",
+        m = 4)
+      .select(col("qid"), col("sel_rank"), col("id").as("doc_id"),
+        col("mmr_units"))
+  }
+
+  private val oSimMmr = {
+    val m = 4
+    val level = (t: Int) =>
+      s"""s$t AS MATERIALIZED (SELECT qid, id,
+         |    CAST($t AS BIGINT) AS sel_rank, score AS mmr_units FROM (
+         |  SELECT r.qid, r.id, CAST(r.rel - ms.maxsim AS BIGINT) AS score,
+         |    row_number() OVER (PARTITION BY r.qid
+         |      ORDER BY (r.rel - ms.maxsim) DESC, r.id) AS rn
+         |  FROM rel r JOIN (SELECT p2.qid, p2.a AS id,
+         |      max(p2.sim) AS maxsim
+         |    FROM pairs p2 JOIN pk${t - 1} p
+         |      ON p2.qid = p.qid AND p2.b = p.id GROUP BY 1, 2) ms
+         |    ON ms.qid = r.qid AND ms.id = r.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM pk${t - 1} p
+         |    WHERE p.qid = r.qid AND p.id = r.id))
+         |  WHERE rn = 1),
+         |pk$t AS MATERIALIZED (SELECT * FROM pk${t - 1}
+         |  UNION ALL SELECT * FROM s$t)""".stripMargin
+    val bm25Aligned =
+      oTextBm25From("(SELECT * FROM documents WHERE doc_id < 500)")
+    s"""WITH bm AS MATERIALIZED ($bm25Aligned),
+       |base AS MATERIALIZED (SELECT qid, doc_id AS id, rank FROM bm
+       |  WHERE rank <= 8),
+       |kk AS (SELECT qid, CAST(max(rank) AS BIGINT) AS kmax FROM base
+       |  GROUP BY 1),
+       |rel AS MATERIALIZED (SELECT b.qid, b.id, b.rank,
+       |    CASE WHEN kmax = 1 THEN 1000000
+       |      ELSE CAST((kmax - rank) * 1000000 // (kmax - 1) AS BIGINT)
+       |    END AS rel
+       |  FROM base b JOIN kk USING (qid)),
+       |u AS MATERIALIZED (SELECT vec_id,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i FROM embeddings
+       |  WHERE vec_id IN (SELECT id FROM base)),
+       |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS n
+       |  FROM u GROUP BY vec_id),
+       |dots AS (SELECT a.vec_id AS x, b.vec_id AS c, sum(a.x * b.x) AS d
+       |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |cm AS MATERIALIZED (SELECT x, c,
+       |    CAST(round(d / (nx.n * nc.n) * 1000000) AS BIGINT) AS sim
+       |  FROM dots JOIN norms nx ON nx.vec_id = x
+       |    JOIN norms nc ON nc.vec_id = c),
+       |pairs AS MATERIALIZED (SELECT r1.qid, r1.id AS a, r2.id AS b,
+       |    cm.sim
+       |  FROM rel r1 JOIN rel r2 ON r1.qid = r2.qid AND r1.id <> r2.id
+       |  JOIN cm ON cm.x = r1.id AND cm.c = r2.id),
+       |pk1 AS MATERIALIZED (SELECT qid, id, CAST(1 AS BIGINT) AS sel_rank,
+       |    CAST(NULL AS BIGINT) AS mmr_units FROM rel WHERE rank = 1),
+       |${(2 to m).map(level).mkString(",\n")}
+       |SELECT qid, sel_rank, id AS doc_id, mmr_units FROM pk$m"""
+      .stripMargin
+  }
 
   private val oSimTopK =
     """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -5942,6 +6019,7 @@ object OpsQueries {
     "dedup_incremental_semantic" -> (qDedupIncrementalSemantic _),
     "sim_topk" -> (qSimTopK _),
     "sim_bitext" -> (qSimBitext _),
+    "sim_mmr" -> (qSimMmr _),
     "sim_topk_agg" -> (qSimTopKAgg _),
     "sim_topk_lsh" -> (qSimTopKLsh _),
     "sim_topk_ivf" -> (qSimTopKIvf _),
@@ -6126,6 +6204,7 @@ object OpsQueries {
     "dedup_incremental_semantic" -> oDedupIncrementalSemantic,
     "sim_topk" -> oSimTopK,
     "sim_bitext" -> oSimBitext,
+    "sim_mmr" -> oSimMmr,
     "sim_topk_agg" -> oSimTopK,
     "sim_topk_lsh" -> oAnnWellFormed,
     "sim_topk_ivf" -> oAnnWellFormed,

@@ -46,4 +46,80 @@ object Rank {
     val w = Window.partitionBy(partitionBy: _*).orderBy(order)
     df.withColumn(outCol, percent_rank().over(w))
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    * 1998): pick `m` of each query's candidates greedily by
+    *
+    *   λ · relevance − (1−λ) · max_{s ∈ picked} sim(c, s)
+    *
+    * — the diversity cut that keeps a result list (or a training
+    * batch) from being m copies of the same document. Everything is
+    * exact integers so the greedy choice is engine-stable: relevance
+    * is RANK-normalized to micro-units ((kmax−rank)·10⁶ div (kmax−1) —
+    * rank 1 → 10⁶, last → 0; no score normalization to drift),
+    * similarity is round-to-micro cosine, λ a rational num/den, and
+    * the objective num·rel − (den−num)·maxsim with ties to the lowest
+    * id. Selection 1 is the relevance top; its `mmr_units` is null
+    * (no redundancy term exists yet).
+    *
+    * Fully distributed — NO per-query driver loop: candidate-pair
+    * cosines are one k²-bounded self-join, then m−1 unrolled rounds of
+    * (anti-join picked → max-sim join → per-query argmax window), each
+    * on candidate-cardinality data; the picked set is checkpointed per
+    * round (multi-referenced lineage — the HITS lesson). Cost scales
+    * with queries × k², never with the corpus.
+    *
+    * @param cand (qidCol, idCol, rankCol) — k-bounded, rank 1 best
+    * @param vecs (idCol, vecCol) — one vector per candidate id
+    * @return (qid, sel_rank 1..m, id, mmr_units) */
+  def mmrRerank(cand: DataFrame, vecs: DataFrame, qidCol: String,
+                idCol: String, rankCol: String, vecCol: String, m: Int,
+                lambdaNum: Long = 1, lambdaDen: Long = 2): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "lambda must be a fraction in [0, 1]")
+    val spark = cand.sparkSession
+    val base = cand.select(col(qidCol).as("qid"), col(idCol).as("id"),
+        col(rankCol).cast("long").as("rank"))
+      .join(vecs.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+      .localCheckpoint(true)
+    val kmax = base.groupBy("qid").agg(max("rank").as("kmax"))
+    val rel = base.join(kmax, "qid")
+      .select(col("qid"), col("id"), col("v"),
+        when(col("kmax") === 1, lit(1000000L))
+          .otherwise(expr("(kmax - rank) * 1000000 DIV (kmax - 1)"))
+          .as("rel"),
+        col("rank"))
+      .localCheckpoint(true)
+    val a = rel.select(col("qid"), col("id").as("a"), col("v").as("va"))
+    val b = rel.select(col("qid"), col("id").as("b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        round(Similarity.cosineFast(spark, col("va"), col("vb")) * 1e6)
+          .cast("long").as("sim"))
+      .localCheckpoint(true)
+    var picked = rel.filter(col("rank") === 1)
+      .select(col("qid"), col("id"), lit(1L).as("sel_rank"),
+        lit(null).cast("long").as("mmr_units"))
+      .localCheckpoint(true)
+    for (t <- 2 to m) {
+      val ms = pairs
+        .join(picked.select(col("qid"), col("id").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("id"))
+        .agg(max("sim").as("maxsim"))
+      val scored = rel
+        .join(picked.select("qid", "id"), Seq("qid", "id"), "left_anti")
+        .join(ms, Seq("qid", "id"))
+        .withColumn("score",
+          expr(s"$lambdaNum * rel - ${lambdaDen - lambdaNum} * maxsim"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("id"))
+      val pick = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("id"), lit(t.toLong).as("sel_rank"),
+          col("score").as("mmr_units"))
+      picked = picked.unionAll(pick).localCheckpoint(true)
+    }
+    picked
+  }
 }

@@ -1514,6 +1514,23 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("mmrRerank: diversity beats a higher-ranked near-duplicate") {
+    import spark.implicits._
+    val cand = Seq((0, 1L, 1), (0, 2L, 2), (0, 3L, 3))
+      .toDF("qid", "id", "rank")
+    // id 2 is a near-copy of the top pick; id 3 is orthogonal
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0.001f)),
+      (3L, Array(0f, 1f))).toDF("id", "v")
+    val out = Rank.mmrRerank(cand, vecs, "qid", "id", "rank", "v", m = 3)
+      .collect()
+      .map(r => r.getLong(2) -> ((r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // rel: 1e6 / 500000 / 0; sim(2,1) rounds to 1e6, sim(3,1) = 0
+    assert(out(1L) == ((1L, None)))
+    assert(out(2L) == ((3L, Some(0L))))        // orthogonal picked 2nd
+    assert(out(3L) == ((2L, Some(-500000L))))  // near-dup demoted last
+  }
+
   test("benford: first significant digit through sign/decimal/zero") {
     import spark.implicits._
     assert(graft.ops.Profile.BenfordPpm.values.sum == 1000000L)
