@@ -324,6 +324,83 @@ object OpsQueries {
        |WHERE neg_rank <= 5""".stripMargin
   }
 
+  /** One-pass Pearson correlation matrix over four lineitem measures
+    * (see [[Profile.corrMatrix]]): C(4,2) pairs from a single
+    * aggregate row. */
+  private def qProfileCorr(s: SparkSession, dir: String): DataFrame =
+    Profile.corrMatrix(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  private val oProfileCorr = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, count(*) AS n,
+         |  CAST(CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) > 0
+         |        AND count(*) * sum(y * y) - sum(y) * sum(y) > 0
+         |    THEN (count(*) * sum(x * y) - sum(x) * sum(y))
+         |      / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+         |           * (count(*) * sum(y * y) - sum(y) * sum(y)))
+         |  END AS REAL) AS corr
+         |FROM (SELECT CAST($a AS DOUBLE) AS x, CAST($b AS DOUBLE) AS y
+         |  FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** Mutual information between event type and hour-of-day — the
+    * any-association dependence screen in exact micro-nats (see
+    * [[Insight.mutualInformation]]). */
+  private def qEventsMi(s: SparkSession, dir: String): DataFrame =
+    Insight.mutualInformation(
+      readEvents(s, dir).select(col("event_type"),
+        hour(col("ts")).as("hr")),
+      "event_type", "hr")
+
+  private val oEventsMi =
+    """WITH cells AS (SELECT event_type AS x,
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr, count(*) AS nxy
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT nxy,
+      |    sum(nxy) OVER (PARTITION BY x) AS nx,
+      |    sum(nxy) OVER (PARTITION BY hr) AS ny,
+      |    sum(nxy) OVER () AS n FROM cells),
+      |m AS (SELECT n, CAST(floor(
+      |    (CAST(nxy AS DOUBLE) / n)
+      |      * ln((CAST(nxy AS DOUBLE) * n) /
+      |           (CAST(nx AS DOUBLE) * ny)) * 1000000 + 0.5) AS BIGINT)
+      |  AS tm FROM t)
+      |SELECT CAST(min(n) AS BIGINT) AS n, count(*) AS n_cells,
+      |  CAST(sum(tm) AS BIGINT) AS mi_micro,
+      |  round(CAST(sum(tm) AS DOUBLE) / 1000000, 6) AS mi
+      |FROM m""".stripMargin
+
+  /** Tokenizer fertility per language: BPE-ish tokens per whitespace
+    * word in exact ppm — the "this language costs 2.3× more tokens"
+    * number a multilingual token budget needs. */
+  private def qDocTokenFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        sum(TextFunctions.tokenCountWs(col("text")).cast("long"))
+          .as("ws_tokens"),
+        sum(TextFunctions.tokenCountBpe(col("text")).cast("long"))
+          .as("bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("bpe_tokens * 1000000 DIV ws_tokens"))
+
+  private val oDocTokenFertility =
+    s"""SELECT lang,
+       |  CAST(sum(len($oToks)) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1000000
+       |    // sum(len($oToks)) AS BIGINT) AS fertility_ppm
+       |FROM documents GROUP BY lang""".stripMargin
+
   /** Benford first-digit audit of lineitem extended prices — exact
     * per-digit counts, observed ppm share, the hardcoded reference,
     * and the signed deviation (see [[Profile.benford]]). */
@@ -6030,6 +6107,9 @@ object OpsQueries {
     "emb_pca_pq_recall" -> (qEmbPcaPqRecall _),
     "profile_numeric" -> (qProfileNumeric _),
     "profile_benford" -> (qProfileBenford _),
+    "profile_corr" -> (qProfileCorr _),
+    "events_mi" -> (qEventsMi _),
+    "doc_token_fertility" -> (qDocTokenFertility _),
     "profile_sketch" -> (qProfileSketch _),
     "skew_agg" -> (qSkewAgg _),
     "profile_moments" -> (qProfileMoments _),
@@ -6215,6 +6295,9 @@ object OpsQueries {
     "emb_pca_pq_recall" -> oAnnRecall,
     "profile_numeric" -> oProfileNumeric,
     "profile_benford" -> oProfileBenford,
+    "profile_corr" -> oProfileCorr,
+    "events_mi" -> oEventsMi,
+    "doc_token_fertility" -> oDocTokenFertility,
     "profile_sketch" -> oProfileSketch,
     "skew_agg" -> oSkewAgg,
     "profile_moments" -> oProfileMoments,

@@ -306,4 +306,43 @@ object Insight {
       .select(col("src"), col("dst"), col("n"),
         round(col("n") / col("__tot"), 6).as("p"))
   }
+
+  /** MUTUAL INFORMATION between two categorical columns — "does the
+    * event mix actually depend on the hour / does language depend on
+    * source", the dependence screen that catches what correlation
+    * can't (it sees any association, not just monotone ones). Zero
+    * iff independent; reported in nats.
+    *
+    * Engine-exact by the charProfile entropy trick: each cell's term
+    * (p_xy · ln(p_xy / (p_x·p_y))) is computed from EXACT integer
+    * counts (identical doubles on any engine), rounded to 1e-6 via
+    * floor(x·10⁶ + 0.5) (the Math.round twin — spelled identically in
+    * SQL, unlike round()'s negative-half conventions), and summed as
+    * an order-free BIGINT. One count aggregate; the marginal/total
+    * sums are windows over the CELL table (|X|·|Y| rows, not data
+    * rows).
+    *
+    * @return one row (n, n_cells, mi_micro, mi) */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val cells = df
+      .select(col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+    val wx = Window.partitionBy("x")
+    val wy = Window.partitionBy("y")
+    val wall = Window.partitionBy()
+    val t = cells
+      .withColumn("nx", sum("nxy").over(wx))
+      .withColumn("ny", sum("nxy").over(wy))
+      .withColumn("n", sum("nxy").over(wall))
+    val term = (col("nxy").cast("double") / col("n")) *
+      log((col("nxy").cast("double") * col("n")) /
+        (col("nx").cast("double") * col("ny")))
+    t.withColumn("tm", floor(term * 1e6 + 0.5).cast("long"))
+      .agg(first(col("n")).as("n"),
+        count(lit(1)).as("n_cells"),
+        sum("tm").as("mi_micro"))
+      .withColumn("mi", round(col("mi_micro").cast("double") / 1e6, 6))
+  }
 }

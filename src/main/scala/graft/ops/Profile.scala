@@ -54,6 +54,47 @@ object Profile {
       .withColumn("dev_ppm", col("observed_ppm") - col("benford_ppm"))
   }
 
+  /** Pairwise PEARSON correlation matrix over numeric columns in ONE
+    * aggregate pass: every Σx, Σx², Σxy partial is map-side
+    * combinable, the single result row explodes into C(k,2) pair
+    * rows — one scan and one 1-row shuffle regardless of row count,
+    * never a pass per pair. r is computed from the raw-moment identity
+    * (n·Σxy − ΣxΣy)/√(…); the sample/population factor cancels, and
+    * the float-cast output absorbs sum-order ulps (the repo
+    * convention). Rows where EITHER column is null are excluded
+    * per-pair (pairwise deletion); a zero-variance side yields null. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val x = col(a).cast("double")
+      val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      val xv = when(both, x)
+      val yv = when(both, y)
+      Seq(
+        count(when(both, 1)).as(s"n_${a}_$b"),
+        sum(xv).as(s"sx_${a}_$b"), sum(yv).as(s"sy_${a}_$b"),
+        sum(xv * xv).as(s"sxx_${a}_$b"), sum(yv * yv).as(s"syy_${a}_$b"),
+        sum(xv * yv).as(s"sxy_${a}_$b"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairs.map { case (a, b) =>
+      val s = s"${a}_$b"
+      val n = col(s"n_$s").cast("double")
+      val num = n * col(s"sxy_$s") - col(s"sx_$s") * col(s"sy_$s")
+      val dx = n * col(s"sxx_$s") - col(s"sx_$s") * col(s"sx_$s")
+      val dy = n * col(s"syy_$s") - col(s"sy_$s") * col(s"sy_$s")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col(s"n_$s").as("n"),
+        when(dx > 0 && dy > 0, (num / sqrt(dx * dy)).cast("float"))
+          .as("corr"))
+    }
+    row.select(explode(array(pairStructs: _*)).as("p")).select("p.*")
+  }
+
   /** Profile the given numeric columns; returns
     * (column, n, nulls, min, max, mean, p25, p50, p95). */
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {

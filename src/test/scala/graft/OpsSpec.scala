@@ -1514,6 +1514,32 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("corrMatrix: exact ±1 on linear data, null on zero variance") {
+    import spark.implicits._
+    val d = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0)).toDF("a", "b", "c", "d")
+    val out = graft.ops.Profile.corrMatrix(d, Seq("a", "b", "c", "d"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getFloat(3)))).toMap
+    assert(out(("a", "b")) == Some(1.0f))
+    assert(out(("a", "c")) == Some(-1.0f) && out(("b", "c")) == Some(-1.0f))
+    assert(out(("a", "d")).isEmpty && out(("c", "d")).isEmpty)
+    assert(out.size == 6)
+  }
+
+  test("mutualInformation: ln2 micro-nats when determined, 0 independent") {
+    import spark.implicits._
+    val dep = Seq((0, 0), (0, 0), (1, 1), (1, 1)).toDF("x", "y")
+    val rDep = graft.ops.Insight.mutualInformation(dep, "x", "y").head()
+    // per-cell rounding: 2 * round(0.5*ln2 * 1e6) = 693148
+    assert(rDep.getLong(0) == 4 && rDep.getLong(1) == 2 &&
+      rDep.getLong(2) == 693148L)
+    val ind = Seq((0, 0), (0, 1), (1, 0), (1, 1)).toDF("x", "y")
+    val rInd = graft.ops.Insight.mutualInformation(ind, "x", "y").head()
+    assert(rInd.getLong(2) == 0L && rInd.getLong(1) == 4)
+  }
+
   test("mmrRerank: diversity beats a higher-ranked near-duplicate") {
     import spark.implicits._
     val cand = Seq((0, 1L, 1), (0, 2L, 2), (0, 3L, 3))
