@@ -401,6 +401,55 @@ object OpsQueries {
        |    // sum(len($oToks)) AS BIGINT) AS fertility_ppm
        |FROM documents GROUP BY lang""".stripMargin
 
+  /** Recency-weighted event counts per type, 7-day half-life anchored
+    * at the corpus max timestamp (see [[Insight.decayedCounts]]). */
+  private def qEventsDecay(s: SparkSession, dir: String): DataFrame =
+    Insight.decayedCounts(readEvents(s, dir), "event_type", "ts",
+        halfLifeDays = 7.0)
+      .withColumnRenamed("key", "event_type")
+
+  private val oEventsDecay =
+    """WITH e AS (SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |a AS (SELECT max(us) AS anchor FROM e),
+      |w AS (SELECT event_type, CAST(floor(
+      |    pow(2.0, -((CAST(anchor - us AS DOUBLE) / 86400000000.0)
+      |      / 7.0)) * 1000000 + 0.5) AS BIGINT) AS w
+      |  FROM e, a)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(w) AS BIGINT) AS decayed_micro,
+      |  round(CAST(sum(w) AS DOUBLE) / 1000000, 6) AS decayed
+      |FROM w GROUP BY 1""".stripMargin
+
+  /** Theil–Sen robust daily-volume trend per event type: median of
+    * pairwise slopes over the (day, count) series (see
+    * [[Insight.theilSen]]). */
+  private def qEventsTheilsen(s: SparkSession, dir: String): DataFrame = {
+    val daily = readEvents(s, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    Insight.theilSen(daily, "event_type", "day", "cnt")
+      .withColumnRenamed("key", "event_type")
+  }
+
+  private val oEventsTheilsen =
+    """WITH daily AS MATERIALIZED (SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(ts AS TIMESTAMP)) AS BIGINT) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |np AS (SELECT event_type, count(*) AS n_points FROM daily
+      |  GROUP BY 1),
+      |pairs AS (SELECT a.event_type,
+      |    CAST(b.cnt - a.cnt AS DOUBLE) / (b.day - a.day) AS slope
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+      |    AND a.day < b.day)
+      |SELECT p.event_type, np.n_points, count(*) AS n_pairs,
+      |  round(quantile_cont(slope, 0.5), 6) AS slope
+      |FROM pairs p JOIN np ON np.event_type = p.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   /** Benford first-digit audit of lineitem extended prices — exact
     * per-digit counts, observed ppm share, the hardcoded reference,
     * and the signed deviation (see [[Profile.benford]]). */
@@ -6109,6 +6158,8 @@ object OpsQueries {
     "profile_benford" -> (qProfileBenford _),
     "profile_corr" -> (qProfileCorr _),
     "events_mi" -> (qEventsMi _),
+    "events_decay" -> (qEventsDecay _),
+    "events_theilsen" -> (qEventsTheilsen _),
     "doc_token_fertility" -> (qDocTokenFertility _),
     "profile_sketch" -> (qProfileSketch _),
     "skew_agg" -> (qSkewAgg _),
@@ -6297,6 +6348,8 @@ object OpsQueries {
     "profile_benford" -> oProfileBenford,
     "profile_corr" -> oProfileCorr,
     "events_mi" -> oEventsMi,
+    "events_decay" -> oEventsDecay,
+    "events_theilsen" -> oEventsTheilsen,
     "doc_token_fertility" -> oDocTokenFertility,
     "profile_sketch" -> oProfileSketch,
     "skew_agg" -> oSkewAgg,

@@ -307,6 +307,67 @@ object Insight {
         round(col("n") / col("__tot"), 6).as("p"))
   }
 
+  /** EXPONENTIALLY-DECAYED counts per key — the recency-weighted
+    * frequency a crawl scheduler or trending detector actually wants
+    * (a hit 3 half-lives ago is worth 1/8 of one today; a plain count
+    * can't tell "was hot" from "is hot"). Anchored at the GLOBAL max
+    * timestamp so the result is a pure function of the data (no
+    * wall-clock — replays and oracles agree forever).
+    *
+    * Engine-exact by per-row micro rounding: each row's weight
+    * 2^(−Δdays/halfLife) is one identical double expression, rounded
+    * via floor(w·10⁶ + 0.5), summed as an order-free BIGINT. One
+    * aggregate; the anchor is a 1-row broadcast.
+    *
+    * @return (key, n, decayed_micro, decayed) — decayed ≤ n, equality
+    *         iff every event is at the anchor instant */
+  def decayedCounts(events: DataFrame, keyCol: String, tsCol: String,
+                    halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val anchor = events.agg(max(us).as("__anchor"))
+    val dt = (col("__anchor") - us).cast("double") /
+      lit(86400000000.0) / lit(halfLifeDays)
+    events.crossJoin(anchor)
+      .select(col(keyCol).as("key"),
+        floor(pow(lit(2.0), -dt) * 1e6 + 0.5).cast("long").as("w"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("w").as("decayed_micro"))
+      .withColumn("decayed",
+        round(col("decayed_micro").cast("double") / 1e6, 6))
+  }
+
+  /** THEIL–SEN robust trend per key: the MEDIAN of all pairwise
+    * slopes on an integer (x, y) grid — up to ~29% contamination
+    * cannot move it, where least squares chases every spike; the
+    * robust answer to "is this source's volume actually drifting".
+    * Pairwise slopes are IEEE-exact doubles of integer differences
+    * (identical on any engine), and the median is the exact
+    * interpolating percentile the winsorize family already pinned
+    * against quantile_cont. The per-key self-join is C(n,2) on the
+    * KEY'S OWN points — use on per-key series (daily counts), not raw
+    * events.
+    *
+    * @return (key, n_points, n_pairs, slope) */
+  def theilSen(df: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val a = df.select(col(keyCol).as("key"), col(xCol).as("xi"),
+      col(yCol).as("yi"))
+    val b = df.select(col(keyCol).as("key"), col(xCol).as("xj"),
+      col(yCol).as("yj"))
+    val pairs = a.join(b, Seq("key")).filter(col("xi") < col("xj"))
+      .withColumn("slope",
+        (col("yj") - col("yi")).cast("double") /
+          (col("xj") - col("xi")).cast("double"))
+    val nPoints = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_points"))
+    pairs.groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("slope"))
+      .join(nPoints, "key")
+      .select(col("key"), col("n_points"), col("n_pairs"), col("slope"))
+  }
+
   /** MUTUAL INFORMATION between two categorical columns — "does the
     * event mix actually depend on the hour / does language depend on
     * source", the dependence screen that catches what correlation

@@ -1514,6 +1514,30 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("decayedCounts: anchor weighs 1, one half-life weighs 1/2") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val e = Seq(("a", ts("2024-01-08 00:00:00")),  // anchor: weight 1e6
+      ("a", ts("2024-01-01 00:00:00")),            // 7d = 1 half-life
+      ("b", ts("2023-12-25 00:00:00")))            // 2 half-lives
+      .toDF("k", "ts")
+    val out = graft.ops.Insight.decayedCounts(e, "k", "ts", 7.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("a") == ((2L, 1500000L)))
+    assert(out("b") == ((1L, 250000L)))
+  }
+
+  test("theilSen: one wild outlier point cannot move the median slope") {
+    import spark.implicits._
+    val d = Seq(("s", 0L, 0L), ("s", 1L, 2L), ("s", 2L, 4L),
+      ("s", 3L, 6L), ("s", 4L, 1000L)).toDF("k", "x", "y")
+    val r = graft.ops.Insight.theilSen(d, "k", "x", "y").head()
+    assert(r.getLong(1) == 5 && r.getLong(2) == 10 &&
+      r.getDouble(3) == 2.0)
+  }
+
   test("corrMatrix: exact ±1 on linear data, null on zero variance") {
     import spark.implicits._
     val d = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
