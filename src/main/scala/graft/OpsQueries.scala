@@ -4366,7 +4366,11 @@ object OpsQueries {
     * updates, deletes, and inserts materialize in one pass — latest
     * sequence wins per key via a map-side max_by, untouched base rows
     * pass through an anti-join (see [[Diff.applyChangelog]]). */
-  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+  /** Shared CDC fixture: the orders base snapshot and a deterministic
+    * changelog (two stacked updates on k%7=0, a delete on k%7=1, an
+    * insert under shifted keys for k%7=2). */
+  private def cdcFixture(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame) = {
     val base = t(s, dir, "orders").select(col("o_orderkey"),
       col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
     def ch(f: org.apache.spark.sql.Column, price: org.apache.spark.sql.Column,
@@ -4384,8 +4388,106 @@ object OpsQueries {
         col("o_orderstatus"), k, "D", 1L))
       .unionByName(ch(k % 7 === 2, col("o_totalprice"), lit("O"),
         k + 1000000000L, "I", 1L))
+    (base, changes)
+  }
+
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val (base, changes) = cdcFixture(s, dir)
     Diff.applyChangelog(base, changes, Seq("o_orderkey"), "seq", "op")
   }
+
+  /** SCD2 history build over the CDC fixture: the base snapshot enters
+    * as seq-0 inserts, every I/U becomes a version row with
+    * [valid_from_seq, valid_to_seq) bounds, deletes close versions
+    * without emitting rows (see [[Diff.scd2]]). */
+  private def qCdcScd2(s: SparkSession, dir: String): DataFrame = {
+    val (base, changes) = cdcFixture(s, dir)
+    val all = base.withColumn("op", lit("I")).withColumn("seq", lit(0L))
+      .unionByName(changes)
+    Diff.scd2(all, Seq("o_orderkey"), "seq", "op")
+  }
+
+  private val oCdcScd2 =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      |    o_orderstatus FROM orders),
+      |ch AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+      |    'I' AS op, 0 AS seq FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 100,
+      |    o_orderstatus, 'U', 1 FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 200, o_orderstatus,
+      |    'U', 2 FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+      |    'D', 1 FROM base WHERE o_orderkey % 7 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, 'O',
+      |    'I', 1 FROM base WHERE o_orderkey % 7 = 2),
+      |v AS (SELECT *, lead(seq) OVER (PARTITION BY o_orderkey
+      |    ORDER BY seq) AS valid_to_seq FROM ch)
+      |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+      |  CAST(valid_to_seq AS BIGINT) AS valid_to_seq,
+      |  CAST(seq AS BIGINT) AS valid_from_seq,
+      |  valid_to_seq IS NULL AS is_current
+      |FROM v WHERE op <> 'D'""".stripMargin
+
+  /** Referential-integrity audit of two relations: the intact
+    * lineitem→orders FK and a deliberately broken orders→customer
+    * slice (every third customer dropped) — orphan counts and ppm
+    * (see [[Diff.riAudit]]). */
+  private def qDatasetRiAudit(s: SparkSession, dir: String): DataFrame = {
+    val intact = Diff.riAudit(
+      t(s, dir, "lineitem"), "l_orderkey",
+      t(s, dir, "orders"), "o_orderkey", "lineitem->orders")
+    val broken = Diff.riAudit(
+      t(s, dir, "orders"), "o_custkey",
+      t(s, dir, "customer").filter(col("c_custkey") % 3 =!= 0),
+      "c_custkey", "orders->customer_gapped")
+    intact.unionByName(broken)
+  }
+
+  private val oDatasetRiAudit =
+    """SELECT 'lineitem->orders' AS relation,
+      |  (SELECT count(l_orderkey) FROM lineitem) AS n_child,
+      |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM orders
+      |      WHERE o_orderkey = l_orderkey)) AS n_orphans,
+      |  CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM orders
+      |      WHERE o_orderkey = l_orderkey)) * 1000000
+      |    // (SELECT count(l_orderkey) FROM lineitem) AS BIGINT)
+      |    AS orphan_ppm
+      |UNION ALL
+      |SELECT 'orders->customer_gapped',
+      |  (SELECT count(o_custkey) FROM orders),
+      |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer
+      |      WHERE c_custkey % 3 <> 0 AND c_custkey = o_custkey)),
+      |  CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer
+      |      WHERE c_custkey % 3 <> 0 AND c_custkey = o_custkey)) * 1000000
+      |    // (SELECT count(o_custkey) FROM orders) AS BIGINT)""".stripMargin
+
+  /** K-anonymity audit of customer (nation, market segment) quasi-ids
+    * at k=10 (see [[Diff.kAnonymity]]). */
+  private def qDatasetKanonymity(s: SparkSession, dir: String): DataFrame =
+    Diff.kAnonymity(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 10)
+
+  private val oDatasetKanonymity =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(min(n) AS BIGINT) AS min_group_size,
+      |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_groups,
+      |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_violating_rows,
+      |  CAST(10 AS BIGINT) AS k,
+      |  sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) = 0 AS anonymous
+      |FROM g""".stripMargin
 
   private val oCdcApply =
     """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
@@ -6065,6 +6167,9 @@ object OpsQueries {
     "web_anchor_text" -> (qWebAnchorText _),
     "web_mirrors" -> (qWebMirrors _),
     "cdc_apply" -> (qCdcApply _),
+    "cdc_scd2" -> (qCdcScd2 _),
+    "dataset_ri_audit" -> (qDatasetRiAudit _),
+    "dataset_kanonymity" -> (qDatasetKanonymity _),
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
@@ -6255,6 +6360,9 @@ object OpsQueries {
     "web_anchor_text" -> oWebAnchorText,
     "web_mirrors" -> oWebMirrors,
     "cdc_apply" -> oCdcApply,
+    "cdc_scd2" -> oCdcScd2,
+    "dataset_ri_audit" -> oDatasetRiAudit,
+    "dataset_kanonymity" -> oDatasetKanonymity,
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
     "text_ngram_diversity" -> oTextNgramDiversity,

@@ -59,6 +59,74 @@ object Diff {
     untouched.unionByName(applied)
   }
 
+  /** SCD TYPE-2 versioned-dimension build from a keyed changelog —
+    * the lakehouse "history table": every I/U change becomes a version
+    * row valid over [its seq, the key's next change's seq); a D closes
+    * the predecessor (it provides the boundary via the window, then
+    * drops — no tombstone row in the output). `is_current` marks open
+    * versions; a key whose LAST change is a delete therefore has no
+    * current row. Feed `base` as seq-0 inserts unioned with the
+    * changelog to version a whole snapshot.
+    *
+    * One window per key ordered by seq — co-partitioned, no
+    * self-join; version counts per key are the change counts, so the
+    * window state is bounded by per-key churn.
+    *
+    * @return change columns (minus `opCol`) + (valid_from_seq,
+    *         valid_to_seq null = open, is_current) */
+  def scd2(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+           opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2: need at least one key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_to_seq", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .withColumn("valid_from_seq", col(seqCol))
+      .withColumn("is_current", col("valid_to_seq").isNull)
+      .drop(opCol, seqCol)
+  }
+
+  /** REFERENTIAL-INTEGRITY audit of one child→parent relation: how
+    * many child rows point at no parent — the orphan count a
+    * fact/dimension join silently drops (inner) or null-fills (left).
+    * One left-anti join on the key (co-partitioned; AQE broadcasts a
+    * small parent) + exact counts; `orphan_ppm` integer-DIV exact. */
+  def riAudit(child: DataFrame, childKey: String, parent: DataFrame,
+              parentKey: String, relation: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+    child.agg(count(col(childKey)).as("n_child"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(relation).as("relation"), col("n_child"),
+        col("n_orphans"),
+        when(col("n_child") > 0,
+          expr("n_orphans * 1000000 DIV n_child")).otherwise(lit(0L))
+          .as("orphan_ppm"))
+  }
+
+  /** K-ANONYMITY audit over quasi-identifier columns: how much of the
+    * table sits in groups smaller than `k` — the re-identification
+    * screen run before any tabular release. One aggregate over the
+    * quasi-id combination; exact integers. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi-ids and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum("__n").as("n_rows"),
+        min("__n").as("min_group_size"),
+        sum(when(col("__n") < k, 1L).otherwise(0L))
+          .as("n_violating_groups"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("n_violating_rows"))
+      .withColumn("k", lit(k))
+      .withColumn("anonymous", col("n_violating_groups") === 0)
+  }
+
   /** Row-level snapshot diff: one row per id present in either
     * snapshot, with `status` ∈ added (only in `b`), removed (only in
     * `a`), changed (both, canonical-text fingerprint differs),

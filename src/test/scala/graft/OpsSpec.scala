@@ -1514,6 +1514,46 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("scd2: insert/update/delete lifecycle, reinsert after delete") {
+    import spark.implicits._
+    val ch = Seq(
+      ("A", 10.0, "I", 0L), ("A", 20.0, "U", 2L), ("A", 20.0, "D", 5L),
+      ("B", 1.0, "I", 1L),
+      ("C", 5.0, "I", 0L), ("C", 5.0, "D", 1L), ("C", 7.0, "I", 3L))
+      .toDF("k", "price", "op", "seq")
+    val out = graft.ops.Diff.scd2(ch, Seq("k"), "seq", "op")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getDouble(1), r.getBoolean(4)))).toMap
+    // A: [0,2) then [2,5); the delete closes it — no current row
+    assert(out(("A", 0L)) == ((Some(2L), 10.0, false)))
+    assert(out(("A", 2L)) == ((Some(5L), 20.0, false)))
+    assert(out(("B", 1L)) == ((None, 1.0, true)))
+    // C: deleted then reinserted — two versions, second current
+    assert(out(("C", 0L)) == ((Some(1L), 5.0, false)))
+    assert(out(("C", 3L)) == ((None, 7.0, true)))
+    assert(out.size == 5)
+  }
+
+  test("riAudit counts orphans exactly; kAnonymity flags small groups") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.ops.Diff.riAudit(child, "fk", parent, "pk", "c->p")
+      .head()
+    // null FK is excluded from both numerator and denominator
+    assert(r.getString(0) == "c->p" && r.getLong(1) == 3 &&
+      r.getLong(2) == 1 && r.getLong(3) == 333333L)
+    val ka = graft.ops.Diff.kAnonymity(
+        Seq(("x", 1), ("x", 1), ("x", 1), ("y", 2)).toDF("a", "b"),
+        Seq("a", "b"), k = 3)
+      .head()
+    assert(ka.getLong(0) == 2 && ka.getLong(1) == 4 &&
+      ka.getLong(2) == 1 && ka.getLong(3) == 1 && ka.getLong(4) == 1 &&
+      !ka.getBoolean(6))
+  }
+
   test("decayedCounts: anchor weighs 1, one half-life weighs 1/2") {
     import spark.implicits._
     import java.sql.Timestamp
