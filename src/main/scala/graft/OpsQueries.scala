@@ -4433,6 +4433,28 @@ object OpsQueries {
       |  valid_to_seq IS NULL AS is_current
       |FROM v WHERE op <> 'D'""".stripMargin
 
+  /** Point-in-time lookup against the SCD2 history AT seq 1: each key
+    * resolves to the version whose [valid_from, valid_to) interval
+    * contains the probe seq — k%7=0 keys show the first update's
+    * price, keys deleted AT 1 vanish (valid_to is exclusive), keys
+    * inserted at 1 appear. The interval probe is a half-open range
+    * join on the version table (key-equi + two bound filters). */
+  private def qCdcPitLookup(s: SparkSession, dir: String): DataFrame = {
+    val hist = qCdcScd2(s, dir)
+    val at = 1L
+    hist.filter(col("valid_from_seq") <= at &&
+        (col("valid_to_seq").isNull || col("valid_to_seq") > at))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("valid_from_seq"))
+  }
+
+  private val oCdcPitLookup =
+    s"""WITH h AS MATERIALIZED ($oCdcScd2)
+       |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+       |  valid_from_seq
+       |FROM h WHERE valid_from_seq <= 1
+       |  AND (valid_to_seq IS NULL OR valid_to_seq > 1)""".stripMargin
+
   /** Referential-integrity audit of two relations: the intact
     * lineitem→orders FK and a deliberately broken orders→customer
     * slice (every third customer dropped) — orphan counts and ppm
@@ -6168,6 +6190,7 @@ object OpsQueries {
     "web_mirrors" -> (qWebMirrors _),
     "cdc_apply" -> (qCdcApply _),
     "cdc_scd2" -> (qCdcScd2 _),
+    "cdc_pit_lookup" -> (qCdcPitLookup _),
     "dataset_ri_audit" -> (qDatasetRiAudit _),
     "dataset_kanonymity" -> (qDatasetKanonymity _),
     "corpus_report" -> (qCorpusReport _),
@@ -6361,6 +6384,7 @@ object OpsQueries {
     "web_mirrors" -> oWebMirrors,
     "cdc_apply" -> oCdcApply,
     "cdc_scd2" -> oCdcScd2,
+    "cdc_pit_lookup" -> oCdcPitLookup,
     "dataset_ri_audit" -> oDatasetRiAudit,
     "dataset_kanonymity" -> oDatasetKanonymity,
     "corpus_report" -> oCorpusReport,
