@@ -4366,6 +4366,44 @@ object OpsQueries {
     * updates, deletes, and inserts materialize in one pass — latest
     * sequence wins per key via a map-side max_by, untouched base rows
     * pass through an anti-join (see [[Diff.applyChangelog]]). */
+  /** Jaro–Winkler linkage of part names against deterministically
+    * typo'd variants (even keys drop the 3rd char, odd keys swap
+    * chars 3/4): prefix-2 + length-band blocking, DuckDB's own
+    * jaro_winkler_similarity as the oracle scorer (see
+    * [[Link.jaroWinklerJoin]]). */
+  private def qLinkJwJoin(s: SparkSession, dir: String): DataFrame = {
+    val lp = t(s, dir, "part").filter(col("p_partkey") < 300)
+      .select(col("p_partkey"), col("p_name"))
+    val typo = when(col("p_partkey") % 2 === 0,
+        concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4)")))
+      .otherwise(concat(substring(col("p_name"), 1, 2),
+        substring(col("p_name"), 4, 1), substring(col("p_name"), 3, 1),
+        expr("substring(p_name, 5)")))
+    val rp = lp.select((col("p_partkey") + 100000L).as("alt_key"),
+      typo.as("alt_name"))
+    Link.jaroWinklerJoin(lp, rp, "p_name", "p_partkey",
+      "alt_name", "alt_key", threshold = 0.9)
+  }
+
+  private val oLinkJwJoin =
+    """WITH lp AS MATERIALIZED (SELECT p_partkey, p_name FROM part
+      |  WHERE p_partkey < 300),
+      |rp AS MATERIALIZED (SELECT p_partkey + 100000 AS alt_key,
+      |    CASE WHEN p_partkey % 2 = 0
+      |      THEN substr(p_name, 1, 2) || substr(p_name, 4)
+      |      ELSE substr(p_name, 1, 2) || substr(p_name, 4, 1)
+      |        || substr(p_name, 3, 1) || substr(p_name, 5)
+      |    END AS alt_name
+      |  FROM lp),
+      |sc AS (SELECT lp.p_partkey AS id_left, rp.alt_key AS id_right,
+      |    round(jaro_winkler_similarity(lp.p_name, rp.alt_name), 6) AS jw
+      |  FROM lp JOIN rp
+      |    ON substr(lp.p_name, 1, 2) = substr(rp.alt_name, 1, 2)
+      |    AND abs(length(lp.p_name) - length(rp.alt_name)) <= 3)
+      |SELECT id_left, id_right, jw FROM sc WHERE jw >= 0.9"""
+      .stripMargin
+
   /** Shared CDC fixture: the orders base snapshot and a deterministic
     * changelog (two stacked updates on k%7=0, a delete on k%7=1, an
     * insert under shifted keys for k%7=2). */
@@ -6238,6 +6276,7 @@ object OpsQueries {
     "multimodal_cdc_restore" -> (qMultimodalCdcRestore _),
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
     "link_edit_join" -> (qLinkEditJoin _),
+    "link_jw_join" -> (qLinkJwJoin _),
     "quality_classifier" -> (qQualityClassifier _),
     "quality_auc" -> (qQualityAuc _),
     "quality_calibration" -> (qQualityCalibration _),
@@ -6432,6 +6471,7 @@ object OpsQueries {
     "multimodal_cdc_restore" -> oMultimodalCdcRestore,
     "link_fuzzy_join" -> oLinkFuzzyJoin,
     "link_edit_join" -> oLinkEditJoin,
+    "link_jw_join" -> oLinkJwJoin,
     "quality_classifier" -> oQualityClassifier,
     "quality_auc" -> oQualityAuc,
     "quality_calibration" -> oQualityCalibration,

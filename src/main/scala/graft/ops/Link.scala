@@ -147,6 +147,93 @@ object Link {
       .select(col("id_left"), col("id_right"), col("dist"))
   }
 
+  /** Jaro–Winkler similarity, spelled to agree with DuckDB's
+    * `jaro_winkler_similarity` on every probed case (empty → 0, the
+    * classic 0.7 boost threshold, prefix bonus capped at 4, p = 0.1):
+    * greedy in-window matching, half-transposition count, then
+    * (m/|a| + m/|b| + (m−t)/m)/3. Per-CANDIDATE cost O(|a|·window) —
+    * run it on blocked pairs, never the cross product. */
+  private[graft] def jaroWinklerJvm(a: String, b: String): Double = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) 0.0
+    else if (a == b) 1.0
+    else {
+      val la = a.length
+      val lb = b.length
+      val window = math.max(math.max(la, lb) / 2 - 1, 0)
+      val ma = new Array[Boolean](la)
+      val mb = new Array[Boolean](lb)
+      var m = 0
+      var i = 0
+      while (i < la) {
+        val hi = math.min(lb - 1, i + window)
+        var j = math.max(0, i - window)
+        var done = false
+        while (j <= hi && !done) {
+          if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+            ma(i) = true; mb(j) = true; m += 1; done = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (m == 0) 0.0
+      else {
+        var t = 0
+        var j = 0
+        i = 0
+        while (i < la) {
+          if (ma(i)) {
+            while (!mb(j)) j += 1
+            if (a.charAt(i) != b.charAt(j)) t += 1
+            j += 1
+          }
+          i += 1
+        }
+        val jaro = (m.toDouble / la + m.toDouble / lb +
+          (m - t / 2).toDouble / m) / 3.0
+        if (jaro > 0.7) {
+          val cap = math.min(4, math.min(la, lb))
+          var p = 0
+          while (p < cap && a.charAt(p) == b.charAt(p)) p += 1
+          jaro + p * 0.1 * (1 - jaro)
+        } else jaro
+      }
+    }
+  }
+
+  /** JARO–WINKLER record linkage — the name-matching metric (census /
+    * customer-dedup lineage): char-level with a prefix premium, it
+    * forgives the mid-word typos and truncations that n-gram Jaccard
+    * over-penalizes on SHORT strings. Candidates block on the first
+    * `prefixBlock` characters plus a length band (JW ≥ 0.9 pairs on
+    * realistic names share a prefix; a deployment with noisier heads
+    * swaps in a phonetic block key) — never the cross product — and
+    * only candidates pay the scalar scorer.
+    *
+    * @return (id_left, id_right, jw) with jw ≥ threshold, 6 dp */
+  def jaroWinklerJoin(left: DataFrame, right: DataFrame,
+                      leftText: String, leftId: String,
+                      rightText: String, rightId: String,
+                      threshold: Double, prefixBlock: Int = 2,
+                      maxLenDiff: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    require(prefixBlock >= 1 && maxLenDiff >= 0, "bad blocking params")
+    val jw = udf(jaroWinklerJvm _)
+    val l = left.select(col(leftId).as("id_left"),
+      col(leftText).as("__a"),
+      substring(col(leftText), 1, prefixBlock).as("__blk"),
+      length(col(leftText)).as("__la"))
+    val r = right.select(col(rightId).as("id_right"),
+      col(rightText).as("__b"),
+      substring(col(rightText), 1, prefixBlock).as("__blk"),
+      length(col(rightText)).as("__lb"))
+    l.join(r, Seq("__blk"))
+      .filter(abs(col("__la") - col("__lb")) <= maxLenDiff)
+      .withColumn("jw", round(jw(col("__a"), col("__b")), 6))
+      .filter(col("jw") >= threshold)
+      .select("id_left", "id_right", "jw")
+  }
+
   /** Same hashed-shingle family as the Dedup operators (codegen
     * graft_shingles when registered, string-shingle + xxhash64
     * fallback) — signatures and verification must agree with the band

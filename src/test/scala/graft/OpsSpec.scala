@@ -1514,6 +1514,22 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("jaroWinklerJvm matches the canonical values and edge conventions") {
+    import graft.ops.Link.jaroWinklerJvm
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r6(jaroWinklerJvm("martha", "marhta")) == 0.961111)
+    assert(r6(jaroWinklerJvm("dixon", "dicksonx")) == 0.813333)
+    assert(r6(jaroWinklerJvm("DWAYNE", "DUANE")) == 0.84)
+    assert(jaroWinklerJvm("abc", "abc") == 1.0)
+    // empty/one-sided and the zero-window adjacent swap
+    assert(jaroWinklerJvm("", "abc") == 0.0)
+    assert(jaroWinklerJvm("", "") == 0.0)
+    assert(jaroWinklerJvm("ab", "ba") == 0.0)
+    // 0.7 boost threshold: common prefix earns nothing below it
+    assert(jaroWinklerJvm("abcdefgh", "abzzzzzz") == 0.5)
+    assert(r6(jaroWinklerJvm("xy", "xq")) == 0.666667)
+  }
+
   test("scd2: insert/update/delete lifecycle, reinsert after delete") {
     import spark.implicits._
     val ch = Seq(
