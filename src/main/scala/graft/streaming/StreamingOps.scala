@@ -734,6 +734,81 @@ object StreamingOps {
       }
   }
 
+  /** A key's decayed-count progress: `decayed_micro` is the
+    * recency-weighted count in micro-units anchored at the key's own
+    * newest event (`last_us`). */
+  final case class DecayProgress(key: String, last_us: Long, n: Long,
+                                 decayed_micro: Long)
+
+  /** Streaming EXPONENTIAL-DECAY counters — the live twin of
+    * [[graft.ops.Insight.decayedCounts]] with O(1) state per key: on
+    * each event the stored mass rescales by 2^(−Δ/halfLife) (rounded
+    * back to micro) and gains 10⁶; the anchor is the key's own newest
+    * event. For one or two events this is BIT-EQUAL to the batch op
+    * anchored at the key's last event; beyond that the
+    * rescale-the-aggregate recurrence can drift from the batch's
+    * per-row rounding by at most ±1 micro per decay hop (spec-bounded)
+    * — the price of not storing every timestamp. Emits the key's
+    * progress each batch (downstream keeps the latest).
+    *
+    * Eviction: with `idle` set, the stream is watermarked and idle
+    * keys are dropped via event-time timeout after emitting once more
+    * — correct for a decayed counter, since an evicted key's mass is
+    * itself near-decayed; a returning key restarts, with the batch op
+    * as backfill corrector. Out-of-order events within a batch sort by
+    * (ts, type); an event OLDER than the stored anchor contributes its
+    * own decayed weight without moving the anchor. */
+  def decayStream(events: Dataset[UserEvent], halfLifeDays: Double,
+                  idle: Option[String] = None,
+                  lateness: String = "15 minutes")
+  : Dataset[DecayProgress] = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hlUs = halfLifeDays * 86400000000.0
+    def micros(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val src = idle.map(_ => events.withWatermark("ts", lateness))
+      .getOrElse(events)
+    val timeoutConf =
+      if (idle.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.event_type)
+      .mapGroupsWithState[(Long, Long, Long), DecayProgress](timeoutConf) {
+        case (key, it, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (a, n, m) = state.get
+            state.remove()
+            DecayProgress(key, a, n, m)
+          } else {
+            var (anchor, n, mass) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_type))
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              if (us >= anchor) {
+                val decay =
+                  if (anchor == Long.MinValue) 0L
+                  else mass - math.floor(
+                    mass * math.pow(2.0, -((us - anchor) / hlUs)) + 0.5).toLong
+                mass = mass - decay + 1000000L
+                anchor = us
+              } else {
+                // late event: its own weight at the CURRENT anchor
+                mass += math.floor(
+                  math.pow(2.0, -((anchor - us) / hlUs)) * 1e6 + 0.5).toLong
+              }
+              n += 1
+            }
+            state.update((anchor, n, mass))
+            if (idle.isDefined)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs(),
+                sorted.iterator.map(_.ts.getTime).max), idle.get)
+            DecayProgress(key, anchor, n, mass)
+          }
+      }
+  }
+
   /** One identified event for the streaming attributor. */
   final case class IdEvent(event_id: Long, user_id: Long, ts: Timestamp,
                            event_type: String)

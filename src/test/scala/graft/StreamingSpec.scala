@@ -424,6 +424,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decayStream: two-event exactness vs batch, bounded drift, " +
+      "late-event weight, eviction") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val hl = 7.0
+    val input = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.decayStream(input.toDS(), hl)
+      .writeStream.format("memory").queryName("decayst")
+      .outputMode("update").start()
+    try {
+      val day = 24 * 60
+      input.addData(
+        StreamingOps.UserEvent(1L, ts(0), "a", 1.0),
+        StreamingOps.UserEvent(1L, ts(7 * day), "a", 1.0), // 1 half-life
+        StreamingOps.UserEvent(1L, ts(0), "b", 1.0))
+      q.processAllAvailable()
+      // late event for b (older than anchor): weight at current anchor
+      input.addData(StreamingOps.UserEvent(1L, ts(-7 * day), "b", 1.0))
+      q.processAllAvailable()
+      val fin = spark.table("decayst")
+        .groupBy("key").agg(max(struct(col("n"), col("decayed_micro")))
+          .as("m"))
+        .select(col("key"), col("m.n"), col("m.decayed_micro"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      // a: floor(1e6 * 0.5 + .5) + 1e6 — bit-equal to the batch op
+      // anchored at the key's last event
+      assert(fin("a") == ((2L, 1500000L)))
+      assert(fin("b") == ((2L, 1500000L)))
+      // batch twin agrees on these (<= 2-event keys are exact)
+      import spark.implicits._
+      val batch = graft.ops.Insight.decayedCounts(
+          Seq(("a", ts(0)), ("a", ts(7 * day))).toDF("k", "ts"), "k", "ts",
+          hl).head()
+      assert(batch.getLong(2) == 1500000L)
+    } finally q.stop()
+  }
+
+  test("decayStream evicts idle keys via event-time timeout") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val input = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.decayStream(input.toDS(), 7.0,
+        idle = Some("10 minutes"), lateness = "1 minute")
+      .writeStream.format("memory").queryName("decayev")
+      .outputMode("update").start()
+    try {
+      input.addData((1 to 12).map(i =>
+        StreamingOps.UserEvent(1L, ts(0), s"k$i", 1.0)): _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 12L)
+      input.addData(StreamingOps.UserEvent(1L, ts(60), "fresh1", 1.0))
+      q.processAllAvailable()
+      input.addData(StreamingOps.UserEvent(1L, ts(61), "fresh2", 1.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 2L)
+    } finally q.stop()
+  }
+
   test("attributionStream evicts idle users via event-time timeout") {
     implicit val ctx = spark.sqlContext
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
