@@ -2448,6 +2448,40 @@ object OpsQueries {
 
   /** Sentence segmentation profile on planted punctuated text (three
     * terminated sentences plus an unterminated tail per doc). */
+  /** Sentence-aligned chunks over the planted multi-sentence fixture,
+    * 8-token budget with quantized boundaries (see
+    * [[Chunk.sentenceChunks]]). */
+  private def qDocChunksSentences(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .withColumn("st", concat(
+        substring(col("text"), 1, 80), lit(". "),
+        substring(col("text"), 30, 40), lit("! So is this one? "),
+        substring(col("text"), 60, 30), lit(" trailing fragment")))
+    Chunk.sentenceChunks(planted, "st", "doc_id", budget = 8)
+  }
+
+  private val oDocChunksSentences =
+    """WITH p AS MATERIALIZED (SELECT doc_id,
+      |    substr(text, 1, 80) || '. ' || substr(text, 30, 40) ||
+      |    '! So is this one? ' || substr(text, 60, 30) ||
+      |    ' trailing fragment' AS st
+      |  FROM documents WHERE doc_id < 300),
+      |s AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(st, '[^.!?]+[.!?]+')) AS sent,
+      |    generate_subscripts(regexp_extract_all(st, '[^.!?]+[.!?]+'), 1)
+      |      AS sidx
+      |  FROM p),
+      |t AS (SELECT doc_id, sidx, sent,
+      |    CAST(len(regexp_extract_all(sent, '\S+')) AS BIGINT) AS stoks
+      |  FROM s),
+      |c AS (SELECT *, sum(stoks) OVER (PARTITION BY doc_id ORDER BY sidx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - stoks
+      |    AS cumb FROM t)
+      |SELECT doc_id, CAST(cumb // 8 AS BIGINT) AS chunk_idx,
+      |  count(*) AS n_sentences, CAST(sum(stoks) AS BIGINT) AS n_tokens,
+      |  string_agg(sent, '' ORDER BY sidx) AS chunk_text
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   private def qTextSentences(s: SparkSession, dir: String): DataFrame = {
     val st = Clean.sentenceStats(col("st"))
     t(s, dir, "documents").filter(col("doc_id") < 300)
@@ -6364,6 +6398,7 @@ object OpsQueries {
     "text_perplexity" -> (qTextPerplexity _),
     "text_perplexity_kn" -> (qTextPerplexityKn _),
     "doc_chunks" -> (qDocChunks _),
+    "doc_chunks_sentences" -> (qDocChunksSentences _),
     "doc_packing" -> (qDocPacking _),
     "text_scrub" -> (qTextScrub _),
     "text_card_scrub" -> (qTextCardScrub _),
@@ -6559,6 +6594,7 @@ object OpsQueries {
     "text_perplexity" -> oTextPerplexity,
     "text_perplexity_kn" -> oTextPerplexityKn,
     "doc_chunks" -> oDocChunks,
+    "doc_chunks_sentences" -> oDocChunksSentences,
     "doc_packing" -> oDocPacking,
     "text_scrub" -> oTextScrub,
     "text_card_scrub" -> oTextCardScrub,

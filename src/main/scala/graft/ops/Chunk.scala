@@ -46,6 +46,43 @@ object Chunk {
         array_join(col("ctoks"), " ").as("chunk_text"))
   }
 
+  /** SENTENCE-ALIGNED chunking — the RAG-passage splitter: sentences
+    * (the [[Clean.sentenceStats]] convention — maximal runs ending in
+    * terminal punctuation; unterminated tails drop) are never split;
+    * a sentence starts a new chunk when the tokens accumulated BEFORE
+    * it cross a `budget` multiple (capacity-QUANTIZED boundaries:
+    * chunk_idx = floor(tokens_before / budget)). The quantized rule is
+    * deliberately chosen over greedy first-fit because it is a pure
+    * window expression — one per-doc cumulative sum, no recursion, and
+    * replayable in any engine — while keeping chunks within one
+    * sentence of the budget (a single over-budget sentence forms its
+    * own over-budget chunk rather than being split).
+    *
+    * Shape: one regex explode, one doc-keyed window, one group-by —
+    * all bounded by the document's own sentence count.
+    *
+    * @return (idCol, chunk_idx, n_sentences, n_tokens, chunk_text) */
+  def sentenceChunks(df: DataFrame, textCol: String, idCol: String,
+                     budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val sents = regexp_extract_all(col(textCol),
+      lit("[^.!?]+[.!?]+"), lit(0))
+    val ex = df
+      .select(col(idCol), posexplode(sents).as(Seq("sidx", "sent")))
+      .withColumn("stoks",
+        regexp_count(col("sent"), lit("\\S+")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("sidx")
+    ex.withColumn("cumb", sum("stoks").over(w) - col("stoks"))
+      .withColumn("chunk_idx", expr(s"cumb DIV $budget"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum("stoks").as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sidx"), col("sent")))),
+          x => x.getField("sent")), "").as("chunk_text"))
+  }
+
   /** One packed training sequence: the chunk ids it holds and the token
     * count. (Top-level for encoder codegen.) */
   final case class PackedSeq(part: Int, seq_idx: Long, n_chunks: Int,

@@ -100,6 +100,114 @@ object Pca {
     CovState(n, sum, tri)
   }
 
+  /** ORTHOGONAL PROCRUSTES alignment of two paired embedding spaces —
+    * the rotation (+reflection) W minimizing ‖XW − Y‖_F over
+    * orthogonal W: the standard bridge when an embedding model is
+    * retrained/upgraded and the old index must keep serving (align
+    * old→new on the overlap, re-use the index), or when two
+    * monolingual spaces are mapped via a seed dictionary (the
+    * Artetxe/MUSE recipe — the same margin-mining pipeline upstream).
+    *
+    * Distributed part: ONE shuffle-free treeAggregate of the d×d
+    * cross-gram M = XᵀY over the paired rows (the [[fitState]]
+    * pattern — d² doubles per partition, never row-cardinality).
+    * Driver part (d×d only): W = M(MᵀM)^(−1/2) via the
+    * [[jacobiEigen]] symmetric solver — algebraically UVᵀ of M's SVD,
+    * the closed-form optimum. Near-zero singular values (rank-
+    * deficient overlap) clamp to the pseudo-inverse.
+    *
+    * @param pairs rows carrying BOTH vectors (join the spaces first)
+    * @return d×d transform W, row-vector convention: aligned = x·W */
+  def procrustesAlign(pairs: DataFrame, xCol: String,
+                      yCol: String): Array[Array[Double]] = {
+    val first = pairs.select(col(xCol), col(yCol)).head()
+    val d = first.getSeq[Float](0).length
+    require(first.getSeq[Float](1).length == d,
+      "procrustes: spaces must share the dimension")
+    val data = pairs.select(col(xCol), col(yCol)).rdd
+      .map(r => (r.getSeq[Float](0), r.getSeq[Float](1)))
+    val m = data.treeAggregate(Array.ofDim[Double](d * d))(
+      seqOp = { case (acc, (x, y)) =>
+        var i = 0
+        while (i < d) {
+          val xi = x(i).toDouble
+          var j = 0
+          while (j < d) { acc(i * d + j) += xi * y(j).toDouble; j += 1 }
+          i += 1
+        }
+        acc
+      },
+      combOp = { (a, b) =>
+        var t = 0
+        while (t < d * d) { a(t) += b(t); t += 1 }
+        a
+      })
+    // S = MᵀM (symmetric PSD), eigen S = V diag(vals) Vᵀ
+    val s = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        var acc = 0.0
+        var r = 0
+        while (r < d) { acc += m(r * d + i) * m(r * d + j); r += 1 }
+        s(i)(j) = acc; s(j)(i) = acc
+        j += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(s)
+    val maxVal = vals.map(math.abs).max
+    val floor = 1e-12 * math.max(1.0, maxVal)
+    // W = M · V · diag(vals^(-1/2)) · Vᵀ  (pseudo-inverse under floor)
+    val w = Array.ofDim[Double](d, d)
+    i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var acc = 0.0
+        var k = 0
+        while (k < d) {
+          if (vals(k) > floor) {
+            val invSqrt = 1.0 / math.sqrt(vals(k))
+            // (M V)_{i,k} computed inline
+            var mv = 0.0
+            var r = 0
+            while (r < d) { mv += m(i * d + r) * vecs(r)(k); r += 1 }
+            acc += mv * invSqrt * vecs(j)(k)
+          }
+          k += 1
+        }
+        w(i)(j) = acc
+        j += 1
+      }
+      i += 1
+    }
+    w
+  }
+
+  /** aligned = x·W as a per-row expression over the broadcast-literal
+    * transform — the corpus is scanned once, never shuffled. */
+  def applyTransform(spark: org.apache.spark.sql.SparkSession,
+                     vec: Column, w: Array[Array[Double]]): Column = {
+    val bc = spark.sparkContext.broadcast(w)
+    val f = udf { (x: Seq[Float]) =>
+      val ww = bc.value
+      val d = ww.length
+      val out = new Array[Double](d)
+      var j = 0
+      while (j < d) {
+        var acc = 0.0
+        var i = 0
+        while (i < d) { acc += x(i).toDouble * ww(i)(j); i += 1 }
+        out(j) = acc
+        j += 1
+      }
+      out
+    }
+    f(vec)
+  }
+
   /** The eigen half of [[fit]]: mean/covariance from a [[CovState]],
     * then the driver-side Jacobi decomposition. Deterministic given
     * the state. */

@@ -1514,6 +1514,74 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("sentenceChunks: quantized boundaries, never splits, drops tails") {
+    import spark.implicits._
+    // sentences of 3/3/7/2 words + an unterminated tail; budget 5:
+    // chunk 0 <- s1 (cum 0) and s2 (cum 3); chunk 1 <- s3 (cum 6);
+    // chunk 2 <- s4 (cum 13); the 7-word sentence is NOT split even
+    // though it exceeds the budget
+    val d = Seq((1L, "one two three. four five six! " +
+      "a b c d e f g? last one. no terminal tail"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Chunk.sentenceChunks(d, "text", "doc_id", 5)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(out(0L) == ((2L, 6L, "one two three. four five six!")))
+    assert(out(1L)._1 == 1L && out(1L)._2 == 7L)
+    assert(out(2L) == ((1L, 2L, " last one.")))
+    assert(out.size == 3)
+  }
+
+  test("procrustesAlign recovers a planted rotation+reflection exactly") {
+    import spark.implicits._
+    val d = 8
+    // deterministic full-rank X: per-dimension distinct frequencies
+    // (a single shared frequency makes the sum-of-sines rank 3 and
+    // the rotation unrecoverable on the null space)
+    val xs = (0 until 60).map { r =>
+      (r.toLong, Array.tabulate(d)(j =>
+        math.sin(r * (0.7 + 0.13 * j) + j).toFloat))
+    }
+    // planted orthogonal R: three Givens rotations + one reflection
+    val rot = {
+      val m = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      def givens(p: Int, q: Int, th: Double): Unit = {
+        val (c, s) = (math.cos(th), math.sin(th))
+        for (i <- 0 until d) {
+          val a = m(i)(p); val b = m(i)(q)
+          m(i)(p) = c * a - s * b; m(i)(q) = s * a + c * b
+        }
+      }
+      givens(0, 1, 0.3); givens(2, 3, 1.1); givens(4, 5, -0.7)
+      for (i <- 0 until d) m(i)(6) = -m(i)(6) // reflection
+      m
+    }
+    val pairs = xs.map { case (id, x) =>
+      val y = Array.tabulate(d)(j =>
+        (0 until d).map(i => x(i) * rot(i)(j)).sum.toFloat)
+      (id, x, y)
+    }.toDF("id", "x", "y")
+    val w = graft.ops.Pca.procrustesAlign(pairs, "x", "y")
+    val maxDiff = (for (i <- 0 until d; j <- 0 until d)
+      yield math.abs(w(i)(j) - rot(i)(j))).max
+    assert(maxDiff < 1e-5, s"recovered transform off by $maxDiff")
+    // orthogonality: WᵀW = I
+    val ortho = (for (i <- 0 until d; j <- 0 until d) yield {
+      val dot = (0 until d).map(k => w(k)(i) * w(k)(j)).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    assert(ortho < 1e-9, s"transform not orthogonal: $ortho")
+    // aligned rows land on Y
+    val err = graft.ops.Pca.applyTransform(spark, col("x"), w)
+    val worst = pairs.select(col("y"), err.as("a"))
+      .collect().map { r =>
+        val y = r.getSeq[Float](0); val a = r.getSeq[Double](1)
+        y.indices.map(i => math.abs(y(i) - a(i))).max
+      }.max
+    assert(worst < 1e-4, s"alignment residual $worst")
+  }
+
   test("jaroWinklerJvm matches the canonical values and edge conventions") {
     import graft.ops.Link.jaroWinklerJvm
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
