@@ -4333,6 +4333,101 @@ object OpsQueries {
       |    AS reciprocity_micro
       |FROM n, r""".stripMargin
 
+  /** Page-metadata extraction over synthetic heads: title with
+    * whitespace noise, optional meta description and canonical link by
+    * doc_id class — missing fields land as null (see
+    * [[Web.pageMeta]]). */
+  private def qWebMeta(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val m = col("doc_id") % 4
+    val html = concat(
+      lit("<html><head>"),
+      when(m =!= 3, concat(lit("<title>  Page "), idS,
+        lit("   Guide </title>"))).otherwise(lit("")),
+      when(m <= 2, concat(lit("<meta name=\"description\" " +
+          "content=\"All  about topic "), (col("doc_id") % 7).cast("string"),
+        lit("\">"))).otherwise(lit("")),
+      when(m <= 1, concat(lit("<link rel=\"canonical\" " +
+          "href=\"https://site"), (col("doc_id") % 5).cast("string"),
+        lit(".com/page/"), idS, lit("\">"))).otherwise(lit("")),
+      lit("</head><body>x</body></html>"))
+    val meta = Web.pageMeta(html)
+    t(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), meta.getField("title").as("title"),
+        meta.getField("meta_description").as("meta_description"),
+        meta.getField("canonical").as("canonical"))
+  }
+
+  private val oWebMeta =
+    """WITH h AS (SELECT doc_id,
+      |    '<html><head>' ||
+      |    CASE WHEN doc_id % 4 <> 3 THEN '<title>  Page ' ||
+      |      CAST(doc_id AS VARCHAR) || '   Guide </title>' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 <= 2 THEN '<meta name="description" ' ||
+      |      'content="All  about topic ' || CAST(doc_id % 7 AS VARCHAR) ||
+      |      '">' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 <= 1 THEN '<link rel="canonical" ' ||
+      |      'href="https://site' || CAST(doc_id % 5 AS VARCHAR) ||
+      |      '.com/page/' || CAST(doc_id AS VARCHAR) || '">' ELSE '' END ||
+      |    '</head><body>x</body></html>' AS html
+      |  FROM documents WHERE doc_id < 400)
+      |SELECT doc_id,
+      |  nullif(trim(regexp_replace(
+      |    regexp_extract(html, '(?i)<title[^>]*>([^<]*)', 1),
+      |    '\s+', ' ', 'g')), '') AS title,
+      |  nullif(trim(regexp_replace(regexp_extract(html,
+      |    '(?i)<meta\s+name=["'']description["'']\s+content=["'']([^"'']*)',
+      |    1), '\s+', ' ', 'g')), '') AS meta_description,
+      |  nullif(trim(regexp_replace(regexp_extract(html,
+      |    '(?i)<link\s+rel=["'']canonical["'']\s+href=["'']([^"''#\s>]+)',
+      |    1), '\s+', ' ', 'g')), '') AS canonical
+      |FROM h""".stripMargin
+
+  /** URL route templates: digit runs collapse to {n}, grouped per
+    * domain — a million URLs fold to the dozen route shapes a frontier
+    * budgets by (see [[Web.urlTemplate]]). */
+  private def qWebUrlTemplates(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val m = col("doc_id") % 4
+    val url = concat(lit("https://site"),
+      (col("doc_id") % 5).cast("string"), lit(".com"),
+      when(m === 0, concat(lit("/product/"), idS))
+        .when(m === 1, concat(lit("/product/"), idS, lit("/review/"),
+          (col("doc_id") % 7).cast("string")))
+        .when(m === 2, concat(lit("/blog/2024/"),
+          (col("doc_id") % 12 + 1).cast("string"), lit("/post-"), idS))
+        .otherwise(lit("/about")))
+    t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(Web.host(url).as("domain"),
+        Web.urlTemplate(url).as("template"))
+      .groupBy("domain", "template")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val oWebUrlTemplates =
+    """WITH u AS (SELECT doc_id,
+      |    'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.com' ||
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN '/product/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN '/product/' || CAST(doc_id AS VARCHAR) ||
+      |        '/review/' || CAST(doc_id % 7 AS VARCHAR)
+      |      WHEN 2 THEN '/blog/2024/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+      |        || '/post-' || CAST(doc_id AS VARCHAR)
+      |      ELSE '/about' END AS url
+      |  FROM documents WHERE doc_id < 500),
+      |t AS (SELECT
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1))
+      |      AS domain,
+      |    regexp_replace(CASE WHEN regexp_extract(url,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+      |      THEN '/' ELSE regexp_extract(url,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END,
+      |      '[0-9]+', '{n}', 'g') AS template
+      |  FROM u)
+      |SELECT domain, template, count(*) AS n FROM t GROUP BY 1, 2"""
+      .stripMargin
+
   /** HITS hubs-and-authorities over the outlink host graph: link
     * directories (high hub) separate from link targets (high auth) —
     * the two-score signal PageRank can't give (see [[Graph.hits]]).
@@ -6259,6 +6354,8 @@ object OpsQueries {
     "web_trustrank" -> (qWebTrustrank _),
     "web_hits" -> (qWebHits _),
     "web_anchor_text" -> (qWebAnchorText _),
+    "web_meta" -> (qWebMeta _),
+    "web_url_templates" -> (qWebUrlTemplates _),
     "web_mirrors" -> (qWebMirrors _),
     "cdc_apply" -> (qCdcApply _),
     "cdc_scd2" -> (qCdcScd2 _),
@@ -6455,6 +6552,8 @@ object OpsQueries {
     "web_trustrank" -> oWebTrustrank,
     "web_hits" -> oWebHits,
     "web_anchor_text" -> oWebAnchorText,
+    "web_meta" -> oWebMeta,
+    "web_url_templates" -> oWebUrlTemplates,
     "web_mirrors" -> oWebMirrors,
     "cdc_apply" -> oCdcApply,
     "cdc_scd2" -> oCdcScd2,

@@ -237,6 +237,41 @@ object Web {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** PAGE METADATA extraction — title, meta description, canonical
+    * URL: the head-of-page fields a crawl indexes before it ever
+    * parses the body (title/description feed snippets and BM25 field
+    * boosts; rel=canonical drives URL dedup at the source's own
+    * authority). Pure per-row RE2-safe regex expressions (no
+    * backreferences), whitespace-normalized; a missing field is null,
+    * not "". */
+  def pageMeta(html: Column): Column = {
+    def clean(c: Column): Column = {
+      val t = trim(regexp_replace(c, "\\s+", " "))
+      when(t =!= "", t)
+    }
+    struct(
+      clean(regexp_extract(html, "(?i)<title[^>]*>([^<]*)", 1))
+        .as("title"),
+      clean(regexp_extract(html,
+        "(?i)<meta\\s+name=[\"']description[\"']\\s+content=[\"']([^\"']*)",
+        1)).as("meta_description"),
+      clean(regexp_extract(html,
+        "(?i)<link\\s+rel=[\"']canonical[\"']\\s+href=[\"']([^\"'#\\s>]+)",
+        1)).as("canonical"))
+  }
+
+  /** URL PATH TEMPLATE: digit runs collapse to `{n}` — the pattern
+    * that folds /product/123 and /product/456 into one shape, turning
+    * a million crawled URLs into the dozen route templates a frontier
+    * scheduler budgets by (and making template-cardinality explosions
+    * — calendars, session ids — visible as one hot row). */
+  def urlTemplate(url: Column): Column = {
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    regexp_replace(when(path === "", lit("/")).otherwise(path),
+      "[0-9]+", "{n}")
+  }
+
   /** Full `<a ...>text</a>` matcher: group 1 = href value, group 2 =
     * the inner text up to the next tag (no backreferences — RE2-safe
     * for oracle replay). */

@@ -373,6 +373,29 @@ class WebPropertySpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("pageMeta nulls missing fields; urlTemplate folds ids, keeps slugs") {
+    val html = "<html><head><title> My   Page </title>" +
+      "<meta name=\"description\" content=\"a  b\"></head></html>"
+    val r = Seq(Tuple1(html)).toDF("h")
+      .select(Web.pageMeta(col("h")).as("m")).select("m.*").head()
+    assert(r.getString(0) == "My Page" && r.getString(1) == "a b" &&
+      r.isNullAt(2))
+    val empty = Seq(Tuple1("<html><body>no head</body></html>")).toDF("h")
+      .select(Web.pageMeta(col("h")).as("m")).select("m.*").head()
+    assert(empty.isNullAt(0) && empty.isNullAt(1) && empty.isNullAt(2))
+    val t = Seq(
+      "https://a.com/product/123/review/9?page=2",
+      "https://a.com/product/77/review/1",
+      "https://a.com/",
+      "https://a.com").toDF("u")
+      .select(Web.urlTemplate(col("u")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    // ids fold to {n}; the query string is not part of the template;
+    // a bare host maps to "/"
+    assert(t == Seq("/product/{n}/review/{n}", "/product/{n}/review/{n}",
+      "/", "/"))
+  }
+
   test("applyBlocklist pattern tier and null-url contract") {
     val urls = Seq(
       (1L, "https://ok.example.com/a?utm_campaign=spring"),
