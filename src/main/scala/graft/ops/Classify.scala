@@ -219,6 +219,67 @@ object Classify {
         avg("s").cast("float").as("mean_score"))
   }
 
+  /** A fitted isotonic (monotone step) calibration map: `scores` are
+    * the step anchors ascending, `rates` the calibrated values
+    * (non-decreasing by construction); a score maps to the rate of the
+    * LAST anchor ≤ it (scores below the first anchor take the first
+    * rate). */
+  final case class IsotonicModel(scores: Array[Double],
+                                 rates: Array[Double])
+
+  /** ISOTONIC calibration fit (pool-adjacent-violators) on a BINNED
+    * reliability table — the non-parametric repair for a scorer whose
+    * [[calibrationBins]] curve wobbles: unlike Platt scaling it
+    * assumes nothing but monotonicity, and PAVA is the exact optimal
+    * monotone fit under weighted squared loss. Runs on the DRIVER over
+    * the bin table — bounded by construction (bins, not rows), the
+    * same driver-fit class as the k-means/GD trainers; the fitted map
+    * applies distributed via [[isotonicApply]].
+    *
+    * @param bins (scoreCol ascending anchor, nCol weight, posCol
+    *             positives) — e.g. [[calibrationBins]] output with
+    *             mean_score/n/n_pos */
+  def isotonicFit(bins: DataFrame, scoreCol: String, nCol: String,
+                  posCol: String): IsotonicModel = {
+    val rows = bins.select(col(scoreCol).cast("double"),
+        col(nCol).cast("long"), col(posCol).cast("long"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "isotonicFit: empty bin table")
+    require(rows.forall(r => r._2 > 0 && r._3 >= 0 && r._3 <= r._2),
+      "isotonicFit: need 0 <= positives <= n per bin")
+    // stack of pooled blocks: (anchor score = first bin's, n, pos)
+    val st = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Long, Long)]
+    rows.foreach { r =>
+      st += r
+      // pool while the last block's rate exceeds.. (violates monotone)
+      while (st.length >= 2 &&
+        st(st.length - 2)._3.toDouble * st.last._2 >
+          st.last._3.toDouble * st(st.length - 2)._2) {
+        val b = st.remove(st.length - 1)
+        val a = st.remove(st.length - 1)
+        st += ((a._1, a._2 + b._2, a._3 + b._3))
+      }
+    }
+    IsotonicModel(st.map(_._1).toArray,
+      st.map(b => b._3.toDouble / b._2).toArray)
+  }
+
+  /** calibrated(score) as a pure chained-when expression over the
+    * (bounded) fitted steps — codegen'd, no UDF, corpus scanned
+    * once. Null score stays null. */
+  def isotonicApply(score: Column, model: IsotonicModel): Column = {
+    val base = when(score.isNull, lit(null).cast("double"))
+      .when(score >= model.scores.last, lit(model.rates.last))
+    val stepped = (model.scores.length - 2 to 0 by -1)
+      .foldLeft(base) { (acc, i) =>
+        acc.when(score >= model.scores(i), lit(model.rates(i)))
+      }
+    stepped.otherwise(lit(model.rates.head))
+  }
+
   /** Per-row quality score in [0, 1] under a trained model — sigmoid of
     * the same index-ordered dense dot product training used, over the
     * ~8 KB broadcast weights. Null text scores sigmoid(bias). */

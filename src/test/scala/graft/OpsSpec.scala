@@ -1514,6 +1514,28 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("isotonicFit pools violators weighted; apply is a monotone step") {
+    import spark.implicits._
+    // rates 0.1, 0.3, 0.2, 0.6 with equal weights: the 0.3/0.2
+    // violation pools to 0.25
+    val bins = Seq((0.1, 10L, 1L), (0.3, 10L, 3L), (0.5, 10L, 2L),
+      (0.7, 10L, 6L)).toDF("s", "n", "pos")
+    val m = graft.ops.Classify.isotonicFit(bins, "s", "n", "pos")
+    assert(m.scores.toSeq == Seq(0.1, 0.3, 0.7))
+    assert(m.rates.toSeq == Seq(0.1, 0.25, 0.6))
+    // weighted pooling: heavy low-rate bin drags the pool down
+    val wb = Seq((0.2, 10L, 4L), (0.4, 30L, 3L)).toDF("s", "n", "pos")
+    val wm = graft.ops.Classify.isotonicFit(wb, "s", "n", "pos")
+    assert(wm.scores.toSeq == Seq(0.2) && wm.rates.toSeq == Seq(0.175))
+    // apply: last step at-or-below wins; below-first clamps; null stays
+    val applied = Seq[java.lang.Double](0.05, 0.1, 0.35, 0.9, null)
+      .toDF("x")
+      .select(graft.ops.Classify.isotonicApply(col("x"), m).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(applied.toSeq == Seq(Some(0.1), Some(0.1), Some(0.25),
+      Some(0.6), None))
+  }
+
   test("sentenceChunks: quantized boundaries, never splits, drops tails") {
     import spark.implicits._
     // sentences of 3/3/7/2 words + an unterminated tail; budget 5:
