@@ -2859,6 +2859,82 @@ object OpsQueries {
       |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
       |FROM c""".stripMargin
 
+  /** Contrastive (anchor, positive, negative) pairs from 64-token
+    * windows of the first 200 docs — in-doc agreement positives,
+    * md5-bucketed cyclic cross-doc negatives (see
+    * [[Chunk.contrastivePairs]]); texts md5'd for compact hashing. */
+  private def qTrainContrastivePairs(s: SparkSession,
+                                     dir: String): DataFrame = {
+    val chunks = Chunk.slidingWindows(
+      t(s, dir, "documents").filter(col("doc_id") < 200),
+      "text", "doc_id", window = 64, stride = 64)
+    Chunk.contrastivePairs(chunks, "doc_id", "chunk_idx", "chunk_text",
+        buckets = 8)
+      .select(col("doc_id"), col("bucket"),
+        md5(col("anchor")).as("anchor_md5"),
+        md5(col("positive")).as("positive_md5"),
+        md5(col("negative")).as("negative_md5"))
+  }
+
+  private val oTrainContrastivePairs =
+    s"""WITH d AS (SELECT doc_id, $oToks AS toks FROM documents
+       |  WHERE doc_id < 200),
+       |ft AS (SELECT doc_id,
+       |    array_to_string(toks[1:64], ' ') AS anchor,
+       |    CASE WHEN len(toks) > 64
+       |      THEN array_to_string(toks[65:128], ' ') END AS positive
+       |  FROM d WHERE len(toks) > 0),
+       |fb AS (SELECT doc_id, anchor, positive,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 8 AS bucket
+       |  FROM ft WHERE positive IS NOT NULL AND anchor IS NOT NULL),
+       |n AS (SELECT *, coalesce(
+       |    lead(anchor) OVER (PARTITION BY bucket ORDER BY doc_id),
+       |    first_value(anchor) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |    AS negative FROM fb)
+       |SELECT doc_id, bucket, md5(anchor) AS anchor_md5,
+       |  md5(positive) AS positive_md5, md5(negative) AS negative_md5
+       |FROM n WHERE negative <> anchor""".stripMargin
+
+  /** Transitive duplicate-cluster audit: per near-dup group its size,
+    * id span, and char mass — survivor-keyed so it joins the
+    * [[Dedup.nearDupSurvivors]] output directly (see
+    * [[Dedup.dupClusterReport]]). */
+  private def qDedupClusterReport(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusterReport(t(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.5)
+
+  private val oDedupClusterReport =
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len($oToks) - 2, 0)),
+      |    i -> $oToks[i] || ' ' || $oToks[i+1] || ' ' || $oToks[i+2])) AS sh
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (SELECT ida, idb FROM p
+      |  JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+      |edges AS (SELECT ida AS src, idb AS dst FROM jp
+      |  UNION SELECT idb, ida FROM jp),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |    WHERE r.src <> e.dst),
+      |lbl AS (SELECT d.doc_id, least(d.doc_id, coalesce(
+      |    (SELECT min(dst) FROM reach WHERE src = d.doc_id), d.doc_id))
+      |    AS component
+      |  FROM (SELECT DISTINCT src AS doc_id FROM edges) d)
+      |SELECT component, count(*) AS n_docs,
+      |  max(l.doc_id) AS max_doc_id,
+      |  CAST(sum(length(doc.text)) AS BIGINT) AS total_chars
+      |FROM lbl l JOIN documents doc USING (doc_id) GROUP BY 1"""
+      .stripMargin
+
   // =====================================================================
   // Reproducible sampling
   // =====================================================================
@@ -6430,6 +6506,8 @@ object OpsQueries {
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_containment" -> (qDedupContainment _),
     "dedup_survivors" -> (qDedupSurvivors _),
+    "dedup_cluster_report" -> (qDedupClusterReport _),
+    "train_contrastive_pairs" -> (qTrainContrastivePairs _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -6628,6 +6706,8 @@ object OpsQueries {
     "dedup_ngram_jaccard" -> oJaccardPairs(0.5),
     "dedup_containment" -> oDedupContainment,
     "dedup_survivors" -> oDedupSurvivors,
+    "dedup_cluster_report" -> oDedupClusterReport,
+    "train_contrastive_pairs" -> oTrainContrastivePairs,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

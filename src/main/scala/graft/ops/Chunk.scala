@@ -83,6 +83,46 @@ object Chunk {
           x => x.getField("sent")), "").as("chunk_text"))
   }
 
+  /** CONTRASTIVE training pairs from chunked documents — the
+    * self-supervised recipe embedders train on (two windows of one
+    * document agree; windows of different documents don't): per
+    * multi-chunk document, (anchor, positive) = its first two chunks,
+    * and the negative = the NEXT multi-chunk document's anchor within
+    * the doc's md5 BUCKET, cyclic — deterministic (no RNG) and
+    * partition-LOCAL: the lead window partitions by bucket, so no
+    * single-partition global sort exists at any corpus size. A
+    * one-document bucket would pair a doc with itself; those rows
+    * drop (and shrink to zero as buckets fill). Upgrade the negative
+    * tier with ANN mining once embeddings exist.
+    *
+    * @return (idCol, bucket, anchor, positive, negative) */
+  def contrastivePairs(chunks: DataFrame, idCol: String,
+                       chunkIdxCol: String, textCol: String,
+                       buckets: Int = 16): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val firstTwo = chunks
+      .filter(col(chunkIdxCol) <= 1)
+      .groupBy(col(idCol))
+      .agg(
+        min(when(col(chunkIdxCol) === 0, col(textCol))).as("anchor"),
+        min(when(col(chunkIdxCol) === 1, col(textCol))).as("positive"))
+      .filter(col("positive").isNotNull && col("anchor").isNotNull)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(buckets.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col(idCol))
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    firstTwo
+      .withColumn("negative",
+        coalesce(lead("anchor", 1).over(w), first("anchor").over(wAll)))
+      .filter(col("negative") =!= col("anchor"))
+      .select(col(idCol), col("bucket"), col("anchor"), col("positive"),
+        col("negative"))
+  }
+
   /** One packed training sequence: the chunk ids it holds and the token
     * count. (Top-level for encoder codegen.) */
   final case class PackedSeq(part: Int, seq_idx: Long, n_chunks: Int,

@@ -1206,6 +1206,27 @@ object Dedup {
     out
   }
 
+  /** DUPLICATE-CLUSTER report — the audit a dedup decision ships with:
+    * per transitive near-dup group, its size, id span, and total char
+    * mass (how much of the corpus each template/mirror family
+    * occupies; the biggest rows are the boilerplate sources worth
+    * fixing at the CRAWLER, not the dedup stage). `component` is the
+    * group's min id — the same survivor [[nearDupSurvivors]] keeps, so
+    * the two outputs join directly. Pair generation and CC are the
+    * audited banded/star paths; the report adds one key-bounded
+    * aggregate. */
+  def dupClusterReport(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, n: Int = 3): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, threshold, n)
+    connectedComponentsStar(pairs)
+      .join(df.select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("__len")), "id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        max("id").as("max_doc_id"),
+        sum("__len").as("total_chars"))
+  }
+
   /** Union-find over collected edges; returns every member that is NOT
     * the minimum id of its component. */
   private def driverVictims(edges: Array[(Long, Long)]): Array[Long] = {

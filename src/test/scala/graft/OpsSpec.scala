@@ -1514,6 +1514,35 @@ class OpsSpec extends SparkSpec {
     assert(out == "mail <EMAIL> now, ping <IP>, call <PHONE>.")
   }
 
+  test("dupClusterReport: planted group keyed by its survivor") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq((1L, base), (2L, base), (5L, base),
+      (7L, "totally different words here and nothing shared at all"),
+      (9L, "another unrelated pile of words with no overlap either"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupClusterReport(d, "text", "doc_id", 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((3L, 5L, 3L * base.length))))
+  }
+
+  test("contrastivePairs: in-doc positive, cyclic cross-doc negative") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, 0, "a1"), (1L, 1, "p1"),
+      (2L, 0, "a2"), (2L, 1, "p2"),
+      (3L, 0, "only one chunk")) // single-chunk doc drops
+      .toDF("doc_id", "chunk_idx", "chunk_text")
+    val out = graft.ops.Chunk.contrastivePairs(chunks, "doc_id",
+        "chunk_idx", "chunk_text", buckets = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(out(1L) == (("a1", "p1", "a2")))
+    assert(out(2L) == (("a2", "p2", "a1"))) // cyclic wrap
+    assert(out.size == 2)
+  }
+
   test("isotonicFit pools violators weighted; apply is a monotone step") {
     import spark.implicits._
     // rates 0.1, 0.3, 0.2, 0.6 with equal weights: the 0.3/0.2
