@@ -2683,6 +2683,78 @@ object OpsQueries {
       |    ELSE 200000 // (n_touches - 2) END AS BIGINT) AS credit_ppm
       |FROM p""".stripMargin
 
+  /** Markov removal-effect attribution over event journeys: per
+    * channel, how much the conversion probability drops when its node
+    * is removed — 16 exact-integer absorption iterations, the
+    * pagerank contract (see [[Funnel.markovAttribution]]). */
+  private def qEventsAttributionMarkov(s: SparkSession,
+                                       dir: String): DataFrame =
+    Funnel.markovAttribution(readEvents(s, dir), "user_id", "ts",
+      "event_id", "event_type", convType = "purchase")
+
+  private val oEventsAttributionMarkov = {
+    val step = (k: Int) =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT pv.variant, pv.state,
+         |    CASE WHEN pv.state = 'CONV' THEN 1000000
+         |         WHEN pv.state = 'NULL' THEN 0
+         |         WHEN pv.state = pv.variant THEN 0
+         |         ELSE coalesce(agg.val, 0) END AS p
+         |  FROM p${k - 1} pv LEFT JOIN (
+         |    SELECT pr.variant, t.src AS state,
+         |      CAST(sum(t.cnt * pr.p) // tot.total AS BIGINT) AS val
+         |    FROM tr t JOIN p${k - 1} pr ON pr.state = t.dst
+         |      JOIN tot ON tot.src = t.src
+         |    GROUP BY pr.variant, t.src, tot.total) agg
+         |  ON agg.variant = pv.variant AND agg.state = pv.state)"""
+        .stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT user_id, event_type, event_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+       |  FROM events),
+       |pm AS MATERIALIZED (SELECT user_id, min(rn) AS prn FROM e
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |j AS MATERIALIZED (SELECT e.user_id, e.event_type, e.rn,
+       |    pm.prn IS NOT NULL AS conv
+       |  FROM e LEFT JOIN pm USING (user_id)
+       |  WHERE e.event_type <> 'purchase'
+       |    AND (pm.prn IS NULL OR e.rn < pm.prn)),
+       |sq AS MATERIALIZED (SELECT user_id, event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+       |      AS nxt,
+       |    conv, row_number() OVER (PARTITION BY user_id ORDER BY rn)
+       |      AS jrn
+       |  FROM j),
+       |tr0 AS (
+       |  SELECT src, coalesce(nxt,
+       |    CASE WHEN conv THEN 'CONV' ELSE 'NULL' END) AS dst FROM sq
+       |  UNION ALL SELECT 'START', src FROM sq WHERE jrn = 1
+       |  UNION ALL SELECT 'START', 'CONV' FROM pm
+       |    WHERE user_id NOT IN (SELECT DISTINCT user_id FROM j)),
+       |tr AS MATERIALIZED (SELECT src, dst, count(*) AS cnt FROM tr0
+       |  GROUP BY 1, 2),
+       |tot AS MATERIALIZED (SELECT src, sum(cnt) AS total FROM tr
+       |  GROUP BY 1),
+       |v(variant) AS (VALUES ('FULL'), ('click'), ('error'),
+       |  ('signup'), ('view')),
+       |st AS (SELECT DISTINCT src AS state FROM tr
+       |  UNION SELECT 'CONV' UNION SELECT 'NULL'),
+       |p0 AS MATERIALIZED (SELECT v.variant, st.state,
+       |    CASE st.state WHEN 'CONV' THEN 1000000 ELSE 0 END AS p
+       |  FROM v, st),
+       |${(1 to 16).map(step).mkString(",\n")},
+       |fullp AS (SELECT p FROM p16
+       |  WHERE variant = 'FULL' AND state = 'START'),
+       |rem AS MATERIALIZED (SELECT variant AS channel,
+       |    (SELECT p FROM fullp) - p AS removal
+       |  FROM p16 WHERE state = 'START' AND variant <> 'FULL')
+       |SELECT channel, CAST(removal AS BIGINT) AS removal_micro,
+       |  CAST(CASE WHEN (SELECT sum(removal) FROM rem) > 0
+       |    THEN removal * 1000000 // (SELECT sum(removal) FROM rem)
+       |    ELSE 0 END AS BIGINT) AS credit_ppm
+       |FROM rem""".stripMargin
+  }
+
   /** Channel-level attribution report: total exact-ppm credit and
     * touch count per channel — the order-free BIGINT sum the per-touch
     * contract exists to make possible. */
@@ -6450,6 +6522,7 @@ object OpsQueries {
     "events_attribution" -> (qEventsAttribution _),
     "events_rollup" -> (qEventsRollup _),
     "events_attribution_channel" -> (qEventsAttributionChannel _),
+    "events_attribution_markov" -> (qEventsAttributionMarkov _),
     "events_funnel_summary" -> (qEventsFunnelSummary _),
     "events_funnel_timing" -> (qEventsFunnelTiming _),
     "events_retention" -> (qEventsRetention _),
@@ -6650,6 +6723,7 @@ object OpsQueries {
     "events_attribution" -> oEventsAttribution,
     "events_rollup" -> oEventsRollup,
     "events_attribution_channel" -> oEventsAttributionChannel,
+    "events_attribution_markov" -> oEventsAttributionMarkov,
     "events_funnel_summary" -> oEventsFunnelSummary,
     "events_funnel_timing" -> oEventsFunnelTiming,
     "events_retention" -> oEventsRetention,

@@ -131,6 +131,102 @@ object Funnel {
         credit.cast("long").as("credit_ppm"))
   }
 
+  /** First-order MARKOV journey transitions: per user, the ordered
+    * touch sequence up to (exclusive) the first `convType` event,
+    * opened by START and closed by CONV (converted) or NULL (never
+    * did) — the input of removal-effect attribution. Exact integer
+    * counts; ordering ties break on `idCol` (the cross-engine
+    * contract). One window per user.
+    *
+    * @return (src, dst, cnt) over states {START, channels…, CONV,
+    *         NULL} */
+  def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String,
+                        convType: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val rn = events.withColumn("__rn", row_number().over(w))
+    val pm = rn.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min("__rn").as("__prn"))
+    val j = rn.join(pm, Seq(userCol), "left")
+      .filter(col(typeCol) =!= convType &&
+        (col("__prn").isNull || col("__rn") < col("__prn")))
+      .withColumn("__conv", col("__prn").isNotNull)
+    val wj = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy("__rn")
+    val seq = j.select(col(userCol), col(typeCol).as("src"),
+      lead(typeCol, 1).over(wj).as("__nxt"), col("__conv"),
+      row_number().over(wj).as("__jrn"))
+    val terminal = when(col("__conv"), lit("CONV")).otherwise(lit("NULL"))
+    val mids = seq.select(col("src"),
+      coalesce(col("__nxt"), terminal).as("dst"))
+    val starts = seq.filter(col("__jrn") === 1)
+      .select(lit("START").as("src"), col("src").as("dst"))
+    // converting users with NO touches: START -> CONV directly
+    val direct = pm.join(
+        j.select(col(userCol)).distinct(), Seq(userCol), "left_anti")
+      .select(lit("START").as("src"), lit("CONV").as("dst"))
+    mids.unionAll(starts).unionAll(direct)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** MARKOV REMOVAL-EFFECT attribution (Anderl et al. 2014) — the
+    * "data-driven" model: a channel's credit is how much the
+    * conversion probability DROPS when that channel's node is removed
+    * from the journey graph (replaced by NULL), so channels that
+    * merely appear in many journeys earn nothing unless paths
+    * actually break without them — the bias position rules can't
+    * remove.
+    *
+    * Absorption probabilities run on the graph family's exact-integer
+    * rails: p is micro-units, each of the FIXED `iterations` steps is
+    * p'(s) = (Σ_dst cnt·p(dst)) div total(s) — order-free BIGINT sums,
+    * one integral division per state, bit-identical on any engine
+    * (the pagerank contract). The removed-channel variant pins that
+    * state's p to 0; removal_micro = p_full(START) − p_variant(START)
+    * (≥ 0 by monotonicity), credit_ppm normalizes by the removal sum.
+    *
+    * The iteration itself runs on the DRIVER over the transition
+    * matrix — bounded by the CHANNEL VOCABULARY squared, never by
+    * rows (the PAVA/k-means driver-fit class); journey/transition
+    * extraction is fully distributed.
+    *
+    * @return (channel, removal_micro, credit_ppm) */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String, convType: String,
+                        iterations: Int = 16): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = events.sparkSession
+    val trans = markovTransitions(events, userCol, tsCol, idCol,
+        typeCol, convType)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = trans.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._3).sum }
+    val channels = trans.map(_._1).filter(_ != "START").distinct.sorted
+    def absorb(pinned: Option[String]): Long = {
+      var p = Map("CONV" -> 1000000L, "NULL" -> 0L)
+        .withDefaultValue(0L)
+      for (_ <- 1 to iterations) {
+        val next = trans.groupBy(_._1).map { case (s, xs) =>
+          s -> (if (pinned.contains(s)) 0L
+          else xs.map { case (_, d, c) =>
+            c * (if (pinned.contains(d)) 0L else p(d)) }.sum / totals(s))
+        }
+        p = (next ++ Map("CONV" -> 1000000L, "NULL" -> 0L))
+          .withDefaultValue(0L)
+      }
+      p("START")
+    }
+    val full = absorb(None)
+    val removals = channels.map(c => c -> (full - absorb(Some(c))))
+    val totalRemoval = removals.map(_._2).sum
+    import spark.implicits._
+    removals.toSeq.map { case (c, r) =>
+      (c, r,
+        if (totalRemoval > 0) r * 1000000L / totalRemoval else 0L)
+    }.toDF("channel", "removal_micro", "credit_ppm")
+  }
+
   /** Step-conversion summary of a [[funnel]] result: users reaching at
     * least each step, with `conversion` = n_users / previous step's
     * n_users (null for step 1, and when the previous step had no

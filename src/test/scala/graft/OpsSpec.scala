@@ -308,6 +308,34 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("Expand"))
   }
 
+  test("markovAttribution: hand-exact removal effects on a small graph") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // u1: A -> B -> CONV; u2: A -> NULL; u3: B -> CONV
+    // p(B)=1e6, p(A)=5e5, p(START)=666666;
+    // remove A -> 333333; remove B -> 0
+    val rows = Seq(
+      (10L, ts(0), 1L, "A"), (11L, ts(1), 1L, "B"),
+      (12L, ts(2), 1L, "purchase"),
+      (20L, ts(0), 2L, "A"),
+      (30L, ts(0), 3L, "B"), (31L, ts(1), 3L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.Funnel.markovAttribution(rows, "user_id", "ts",
+        "event_id", "event_type", "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("A") == ((333333L, 333333L)))
+    assert(out("B") == ((666666L, 666666L)))
+    // a channel that only touches broken paths earns ZERO under
+    // removal (position rules would still credit it)
+    val rows2 = rows.unionByName(Seq((40L, ts(0), 4L, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type"))
+    val out2 = graft.ops.Funnel.markovAttribution(rows2, "user_id", "ts",
+        "event_id", "event_type", "purchase")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2("C") == 0L)
+  }
+
   test("positionAttribution: 40/20/40 credit, remainder to first, boundaries") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
