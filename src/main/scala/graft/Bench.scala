@@ -79,16 +79,25 @@ object Bench {
     val totalMin = mins.map(_._2).sum
     val perQ = if (med.nonEmpty) total / med.size else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},"sec_per_query":$perQ,"reps":$reps,"total_min":$totalMin,"queries":${fmt(med)},"queries_min":${fmt(mins)},"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: the driver's log capture has truncated the
-    // stdout line in past rounds (BENCH_r09 kept only the tail), and the
-    // per-query times are the regression signal for the NEXT round.
+    // Persist the FULL per-query JSON to files: the driver's log capture
+    // keeps only the last ~2000 chars of stdout, so the ~14 KB full line
+    // can never survive in BENCH_r{N}.json (r09/r10 both arrived with
+    // parsed:null and a mid-map tail). BENCH_full.json at the repo root is
+    // the durable copy the next round's regression diff reads.
     try {
+      val bytes = (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(out, bytes)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"), bytes)
     } catch { case _: Throwable => () } // file write is best-effort
+    println(json)
+    // FINAL stdout line: a compact summary that FITS the driver's 2000-char
+    // tail (so `parsed` is non-null), carrying the headline numbers plus
+    // the slowest-15 per-query medians — the part of the regression signal
+    // that matters most — and a pointer to the full artifact.
+    val slow = med.sortBy(-_._2).take(15)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${med.size},"sec_per_query":$perQ,"reps":$reps,"total_min":$totalMin,"queries":${fmt(slow)},"queries_full":"BENCH_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

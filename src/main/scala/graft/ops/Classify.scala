@@ -174,7 +174,14 @@ object Classify {
     * as wide as the number of DISTINCT scores. Ties across classes are
     * handled by midranks (the standard correction). Returns one row
     * (n_pos, n_neg, auc_ppm, auc); degenerate single-class input
-    * yields auc_ppm null. */
+    * yields auc_ppm null.
+    *
+    * Overflow rail (mirrors the hits() renorm in Graph.scala): s2 ≈
+    * 2·n_pos·N wraps BIGINT silently at N ≈ 2-3e9 rows under non-ANSI
+    * Spark while DuckDB promotes — a cross-engine divergence exactly at
+    * corpus scale. Both the rank-sum accumulation and the ·10⁶ numerator
+    * therefore run in DECIMAL(38,0) (exact to 10³⁸, i.e. N up to ~10¹⁶);
+    * IntegralDivide on decimals returns the BIGINT quotient directly. */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String)
   : DataFrame = {
     val g = df
@@ -191,11 +198,15 @@ object Classify {
     cum.agg(
         sum("np").as("n_pos"),
         (sum("n") - sum("np")).as("n_neg"),
-        sum(col("np") * (lit(2L) * col("cb") + col("n") + 1L)).as("s2"))
+        sum((col("np").cast("decimal(38,0)") *
+          (lit(2L) * col("cb") + col("n") + 1L)).cast("decimal(38,0)"))
+          .as("s2"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          expr("(s2 - n_pos * (n_pos + 1)) * 1000000" +
-            " DIV (2 * n_pos * n_neg)")).as("auc_ppm"))
+          expr("CAST((s2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))" +
+            " * 1000000 DIV" +
+            " (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)"))
+          .as("auc_ppm"))
       .withColumn("auc",
         round(col("auc_ppm").cast("double") / 1e6, 6))
   }

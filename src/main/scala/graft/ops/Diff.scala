@@ -29,7 +29,10 @@ object Diff {
     *     changelog, a map-side-combinable max_by aggregate)
     *   - winning op 'D' deletes the key; any other op ('I'/'U' — the
     *     distinction doesn't matter for materialization) replaces or
-    *     inserts the row with the change's payload columns
+    *     inserts the row with the change's payload columns. A NULL op
+    *     counts as "other" (upsert), not delete — without the coalesce
+    *     a null-valued `__op =!= 'D'` comparison would silently DROP
+    *     the row, turning a malformed changelog entry into a delete
     *   - base rows whose key never appears in the changelog pass
     *     through untouched (one left-anti join on the key-cardinality
     *     aggregate — the base table itself never shuffles wide)
@@ -55,7 +58,8 @@ object Diff {
       .localCheckpoint(true) // referenced by the anti-join AND the union
     val untouched = base.join(latest.select(keyCols.map(col): _*),
       keyCols, "left_anti")
-    val applied = latest.filter(col("__op") =!= "D").drop("__op")
+    val applied = latest
+      .filter(coalesce(col("__op"), lit("")) =!= "D").drop("__op")
     untouched.unionByName(applied)
   }
 

@@ -11,16 +11,20 @@ import org.apache.spark.sql.functions._
   *   - [[sniff]]: REAL container-header parsing (png/jpeg/gif/bmp/wav)
   *     — the prune/route/validate pass before any pixel work.
   *   - [[decodeImage]]/[[decodeAudio]]/[[resizeNearest]]: REAL pixel
-  *     and sample decode for the formats the bare JVM can fully
-  *     reconstruct — 24-bit BMP, 8-bit PNG (zlib inflate + filter
-  *     reconstruction via java.util.zip), PCM16 WAV — plus a real
-  *     nearest-neighbor resize. Oracle-checked pixel-exactly against
-  *     planted files.
-  *   - `decodeStub`: the remaining codec-class formats (JPEG/GIF
-  *     entropy decode, video) — this container ships no codec libs, so
-  *     those derive deterministic fake features; the schema contract,
-  *     mapPartitions batching and no-shuffle execution around the stub
-  *     are the real shape a JNI/FFmpeg decoder plugs into.
+  *     and sample decode for FIVE formats — 24-bit BMP and 8-bit PNG
+  *     through hand-rolled exact parsers (zlib inflate + PNG filter
+  *     reconstruction via java.util.zip), PCM16 WAV, and JPEG/GIF
+  *     through the JDK's own ImageIO codecs ([[decodeViaImageIO]],
+  *     java.desktop — present in the bare JDK, headless-safe) — plus a
+  *     real nearest-neighbor resize. BMP/PNG/GIF are oracle-checked
+  *     pixel-exactly against planted files (GIF's LZW round-trips
+  *     losslessly); JPEG is codec-defined (IDCT rounding) and
+  *     contract-checked.
+  *   - `decodeStub`: VIDEO only (no JVM-native codec exists and this
+  *     container ships no FFmpeg/JNI) — derives deterministic fake
+  *     features; the schema contract, mapPartitions batching and
+  *     no-shuffle execution around the stub are the real shape a
+  *     codec drop-in plugs into. [[mp4Meta]] covers the metadata tier.
   *
   * Scale notes: decode is the classic CPU-heavy map stage — partition-
   * local (no shuffle), pipelineable after a pushed-down metadata filter
@@ -116,8 +120,9 @@ object Multimodal {
   // REAL container-header metadata (not stubbed): magic-byte sniffing
   // and dimension/rate parsing straight off the payload bytes — what a
   // pipeline runs BEFORE any codec to prune, validate and route
-  // ("jpeg under 10 MB with sane dims"). Pure JVM byte inspection; only
-  // the pixel/audio DECODE remains a stub in this container.
+  // ("jpeg under 10 MB with sane dims"). Pure JVM byte inspection; the
+  // REAL pixel/sample decode for bmp/png/wav/jpeg/gif lives further
+  // down ([[decodeImage]]/[[decodeAudio]]); only VIDEO decode is a stub.
   // ===================================================================
 
   /** Parsed header: format ∈ png/jpeg/gif/bmp/wav/unknown; width/height
@@ -202,17 +207,20 @@ object Multimodal {
   }
 
   // ===================================================================
-  // REAL pixel/sample decode — pure JVM, no codec libraries: the three
-  // container formats whose payloads the JDK can fully reconstruct.
+  // REAL pixel/sample decode — no external codec libraries:
   //   BMP  : 24-bit uncompressed BI_RGB (padded rows, bottom-up or
-  //          top-down), emitted as row-major top-down RGB.
+  //          top-down), emitted as row-major top-down RGB (hand-rolled,
+  //          bit-exact).
   //   PNG  : 8-bit gray/RGB/RGBA, non-interlaced — real zlib inflate
   //          (java.util.zip) + per-row filter reconstruction
-  //          (None/Sub/Up/Average/Paeth per the PNG spec).
-  //   WAV  : PCM 16-bit little-endian, any channel count.
-  // JPEG/GIF pixel decode stays honestly stubbed (entropy decoders the
-  // container doesn't ship); [[decodeImage]] returns None for them, and
-  // the metadata tier ([[sniff]]) still routes/prunes/validates them.
+  //          (None/Sub/Up/Average/Paeth per the PNG spec; hand-rolled,
+  //          bit-exact).
+  //   WAV  : PCM 16-bit little-endian, any channel count (hand-rolled).
+  //   JPEG / GIF : the JDK's OWN ImageIO codecs (java.desktop,
+  //          headless-safe) via [[decodeViaImageIO]] — GIF losslessly
+  //          (exact pixel oracle), JPEG codec-defined (contract-checked).
+  // Only VIDEO pixel decode remains stubbed ([[decodeStub]]); its
+  // metadata tier is [[mp4Meta]] and [[sniff]] routes/prunes/validates.
   // ===================================================================
 
   /** A fully-decoded image: `pixels` row-major, top-down, channel-

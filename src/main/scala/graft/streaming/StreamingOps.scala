@@ -519,8 +519,12 @@ object StreamingOps {
   def pcaStateSink(vecCol: String, statePath: String)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // path.getFileSystem, NOT FileSystem.get: the latter returns the
+    // DEFAULT scheme's FS, so a state path on s3a://, abfs://, … would
+    // be probed on the wrong filesystem and the high-water skip would
+    // never see prior commits (the Warc/AvroSink/Layout pattern).
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(statePath))
     val prior =
       if (exists) Some(graft.ops.Pca.loadStateWithBatch(spark, statePath))
@@ -565,8 +569,12 @@ object StreamingOps {
                     seqCol: String, opCol: String)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // path.getFileSystem so the marker lives on snapshotDir's own
+    // scheme (s3a://, abfs://, …), matching the parquet version writes
+    // — FileSystem.get would consult the default FS and break the
+    // exactly-once high-water skip.
+    val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(snapshotDir, "_latest")
     val current: Option[Long] =
       if (fs.exists(marker)) {
@@ -591,8 +599,8 @@ object StreamingOps {
     * error if no batch has committed yet). */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
                    snapshotDir: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(snapshotDir, "_latest")
     require(fs.exists(marker), s"no committed snapshot at $snapshotDir")
     val in = fs.open(marker)
