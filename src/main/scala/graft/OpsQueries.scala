@@ -137,6 +137,59 @@ object OpsQueries {
        |  CAST(avg(s) AS REAL) AS mean_score
        |FROM sc GROUP BY 1""".stripMargin
 
+  /** END-TO-END isotonic calibration: fit PAVA on a HOLDOUT's decile
+    * reliability bins (doc_id % 5 = 0), apply the fitted monotone step
+    * map to the remaining documents, and report (calibrated_rate, n,
+    * n_pos) per step level. The oracle replays the PAVA fit EXACTLY in
+    * SQL via the minimax characterization of isotonic regression —
+    * iso(i) = max over j ≤ i of min over k ≥ i of the pooled rate of
+    * bins [j..k] — which over 10 decile bins is a bounded triple join;
+    * pooled rates are single correctly-rounded divisions of exact
+    * integer sums on both engines, so the doubles match bit-for-bit
+    * (see [[Classify.isotonicFit]]/[[Classify.isotonicApply]]). */
+  private def qQualityCalibrationIsotonic(s: SparkSession, dir: String)
+      : DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("score"),
+      (col("lang") === "en").as("is_en"))
+    val bins = Classify.calibrationBins(
+      scored.filter(col("doc_id") % 5 === 0), "score", "is_en")
+    val model = Classify.isotonicFit(bins, "mean_score", "n", "n_pos")
+    scored.filter(col("doc_id") % 5 =!= 0)
+      .select(Classify.isotonicApply(col("score"), model).as("cal_rate"),
+        col("is_en"))
+      .groupBy("cal_rate")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"))
+  }
+
+  private val oQualityCalibrationIsotonic =
+    s"""WITH sc AS MATERIALIZED (SELECT doc_id, $oQualityExpr AS s,
+       |    lang = 'en' AS y FROM documents),
+       |hb AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+       |    count(*) AS n, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+       |    CAST(CAST(avg(s) AS REAL) AS DOUBLE) AS ms
+       |  FROM sc WHERE doc_id % 5 = 0 GROUP BY 1),
+       |rng AS (SELECT j.bin AS jb, k.bin AS kb,
+       |    CAST(sum(m.np) AS DOUBLE) / sum(m.n) AS r
+       |  FROM hb j JOIN hb k ON j.bin <= k.bin
+       |    JOIN hb m ON m.bin BETWEEN j.bin AND k.bin
+       |  GROUP BY 1, 2),
+       |mins AS (SELECT rng.jb, i.bin, min(rng.r) AS mn
+       |  FROM hb i JOIN rng ON rng.jb <= i.bin AND rng.kb >= i.bin
+       |  GROUP BY 1, 2),
+       |step AS (SELECT bin, ms, (SELECT max(mn) FROM mins
+       |    WHERE mins.bin = hb.bin AND mins.jb <= hb.bin) AS v FROM hb),
+       |test AS (SELECT s, y FROM sc WHERE doc_id % 5 <> 0),
+       |cal AS (SELECT y, coalesce(
+       |    (SELECT v FROM step WHERE step.ms <= test.s
+       |       ORDER BY step.ms DESC LIMIT 1),
+       |    (SELECT v FROM step ORDER BY bin LIMIT 1)) AS cal_rate
+       |  FROM test)
+       |SELECT cal_rate, count(*) AS n,
+       |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |FROM cal GROUP BY 1""".stripMargin
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.langId(col("text")).getField("lang").as("lang_pred"),
@@ -2964,10 +3017,90 @@ object OpsQueries {
        |    lead(anchor) OVER (PARTITION BY bucket ORDER BY doc_id),
        |    first_value(anchor) OVER (PARTITION BY bucket ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-       |    AS negative FROM fb)
+       |    AS negative, coalesce(
+       |    lead(doc_id) OVER (PARTITION BY bucket ORDER BY doc_id),
+       |    first_value(doc_id) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |    AS neg_id FROM fb)
        |SELECT doc_id, bucket, md5(anchor) AS anchor_md5,
        |  md5(positive) AS positive_md5, md5(negative) AS negative_md5
-       |FROM n WHERE negative <> anchor""".stripMargin
+       |FROM n WHERE neg_id <> doc_id""".stripMargin
+
+  /** ANN-mined hard negatives for the contrastive pairs (see
+    * [[Chunk.contrastivePairsAnn]]) as an oracle-checkable CONTRACT row
+    * (the `text_hard_negatives` / `sim_topk_ivf` precedent — the mined
+    * ranking itself is quantizer-dependent): every pair-document with
+    * an embedding gets exactly one mined negative; no negative is the
+    * document itself (exclusion); every negative is drawn from the
+    * pair-document universe (candidate contract); every reported sim
+    * is the exact re-computed cosine; and the miner's top-1 must land
+    * in the exact brute-force top-3 for ≥70% of documents (measured
+    * 0.78/0.85/0.83 at sf0.001/0.01/0.1 — deterministic seed
+    * quantizer, no runtime randomness, so the margin cannot drift). */
+  private def qTrainContrastiveAnn(s: SparkSession, dir: String)
+      : DataFrame = {
+    val chunks = Chunk.slidingWindows(
+      t(s, dir, "documents").filter(col("doc_id") < 200),
+      "text", "doc_id", window = 64, stride = 64)
+    val e = t(s, dir, "embeddings")
+    val mined = Chunk.contrastivePairsAnn(chunks, e, "doc_id", "chunk_idx",
+      "chunk_text", "vec_id", "embedding", ncentroids = 8, nprobe = 2,
+      kCandidates = 3)
+    // The pair-document universe, re-derived independently of the op.
+    val ft = chunks.filter(col("chunk_idx") <= 1)
+      .groupBy("doc_id")
+      .agg(min(when(col("chunk_idx") === 0, col("chunk_text"))).as("anchor"),
+        min(when(col("chunk_idx") === 1, col("chunk_text"))).as("positive"))
+      .filter(col("positive").isNotNull && col("anchor").isNotNull)
+    val uni = ft.select("doc_id", "anchor")
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val exact = Similarity.bruteForceTopK(
+      uni.select("doc_id", "embedding"), uni.select("doc_id", "embedding"),
+      "embedding", "doc_id", k = 3)
+    val hits = mined.select(col("doc_id").as("qid"), col("neg_id").as("id"))
+      .join(exact.select("qid", "id"), Seq("qid", "id"), "left_semi")
+    val checked = mined
+      .join(uni.select(col("doc_id").as("__qid"), col("embedding").as("__qv")),
+        col("doc_id") === col("__qid"))
+      .join(uni.select(col("doc_id").as("__nid"), col("embedding").as("__nv"),
+        col("anchor").as("__na")), col("neg_id") === col("__nid"))
+      .select(
+        when(col("neg_id") =!= col("doc_id"), 1).otherwise(0).as("__excl"),
+        when(col("neg_sim") ===
+          round(Similarity.cosineFast(s, col("__qv"), col("__nv")), 6), 1)
+          .otherwise(0).as("__sim_ok"),
+        when(col("negative") === col("__na"), 1).otherwise(0).as("__txt_ok"))
+    // candidates_ok: every mined neg_id resolves inside the universe —
+    // the inner joins above drop out-of-universe rows, so equality of
+    // the checked count with the mined count IS the containment check.
+    uni.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(mined.agg(count(lit(1)).as("n_mined")))
+      .crossJoin(checked.agg(
+        count(lit(1)).as("__n_checked"),
+        (min(col("__excl")) === 1).as("exclusion_ok"),
+        (min(col("__sim_ok")) === 1).as("sims_exact_ok"),
+        (min(col("__txt_ok")) === 1).as("negative_text_ok")))
+      .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+      .select(col("n_docs"), col("n_mined"), lit(3L).as("k"),
+        (col("__n_checked") === col("n_mined")).as("candidates_ok"),
+        col("exclusion_ok"), col("sims_exact_ok"), col("negative_text_ok"),
+        (col("__n_hit") >= col("n_mined") * lit(0.7)).as("recall_ok"))
+  }
+
+  private val oTrainContrastiveAnn =
+    s"""WITH d AS (SELECT doc_id, $oToks AS toks FROM documents
+       |  WHERE doc_id < 200),
+       |ft AS (SELECT doc_id FROM d WHERE len(toks) > 64
+       |  AND len(toks) > 0),
+       |uni AS (SELECT f.doc_id FROM ft f
+       |  JOIN embeddings e ON e.vec_id = f.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_mined, CAST(3 AS BIGINT) AS k,
+       |  TRUE AS candidates_ok, TRUE AS exclusion_ok,
+       |  TRUE AS sims_exact_ok, TRUE AS negative_text_ok,
+       |  TRUE AS recall_ok
+       |FROM uni""".stripMargin
 
   /** Transitive duplicate-cluster audit: per near-dup group its size,
     * id span, and char mass — survivor-keyed so it joins the
@@ -6581,6 +6714,8 @@ object OpsQueries {
     "dedup_survivors" -> (qDedupSurvivors _),
     "dedup_cluster_report" -> (qDedupClusterReport _),
     "train_contrastive_pairs" -> (qTrainContrastivePairs _),
+    "train_contrastive_ann" -> (qTrainContrastiveAnn _),
+    "quality_calibration_isotonic" -> (qQualityCalibrationIsotonic _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -6782,6 +6917,8 @@ object OpsQueries {
     "dedup_survivors" -> oDedupSurvivors,
     "dedup_cluster_report" -> oDedupClusterReport,
     "train_contrastive_pairs" -> oTrainContrastivePairs,
+    "train_contrastive_ann" -> oTrainContrastiveAnn,
+    "quality_calibration_isotonic" -> oQualityCalibrationIsotonic,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

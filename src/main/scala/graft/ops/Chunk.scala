@@ -92,21 +92,19 @@ object Chunk {
     * partition-LOCAL: the lead window partitions by bucket, so no
     * single-partition global sort exists at any corpus size. A
     * one-document bucket would pair a doc with itself; those rows
-    * drop (and shrink to zero as buckets fill). Upgrade the negative
-    * tier with ANN mining once embeddings exist.
+    * drop (and shrink to zero as buckets fill). Self-pairs are
+    * detected by DOCUMENT ID, not anchor text — two distinct docs
+    * sharing a byte-identical first chunk (common pre-dedup) still
+    * produce a pair (a zero-signal one the trainer's in-batch loss
+    * tolerates; run dedup first to remove them). The embedding-mined
+    * upgrade tier is [[contrastivePairsAnn]].
     *
     * @return (idCol, bucket, anchor, positive, negative) */
   def contrastivePairs(chunks: DataFrame, idCol: String,
                        chunkIdxCol: String, textCol: String,
                        buckets: Int = 16): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val firstTwo = chunks
-      .filter(col(chunkIdxCol) <= 1)
-      .groupBy(col(idCol))
-      .agg(
-        min(when(col(chunkIdxCol) === 0, col(textCol))).as("anchor"),
-        min(when(col(chunkIdxCol) === 1, col(textCol))).as("positive"))
-      .filter(col("positive").isNotNull && col("anchor").isNotNull)
+    val firstTwo = firstTwoChunks(chunks, idCol, chunkIdxCol, textCol)
       .withColumn("bucket",
         pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
           .cast("long"), lit(buckets.toLong)))
@@ -118,9 +116,66 @@ object Chunk {
     firstTwo
       .withColumn("negative",
         coalesce(lead("anchor", 1).over(w), first("anchor").over(wAll)))
-      .filter(col("negative") =!= col("anchor"))
+      .withColumn("__neg_id",
+        coalesce(lead(col(idCol), 1).over(w), first(col(idCol)).over(wAll)))
+      .filter(col("__neg_id") =!= col(idCol))
       .select(col(idCol), col("bucket"), col("anchor"), col("positive"),
         col("negative"))
+  }
+
+  /** Per-document (anchor, positive) = its first two chunks — the shared
+    * lead of both negative-mining tiers ([[contrastivePairs]] cyclic,
+    * [[contrastivePairsAnn]] embedding-mined). One map-side-combinable
+    * aggregate over the chunk_idx ≤ 1 slice. */
+  private def firstTwoChunks(chunks: DataFrame, idCol: String,
+                             chunkIdxCol: String,
+                             textCol: String): DataFrame =
+    chunks
+      .filter(col(chunkIdxCol) <= 1)
+      .groupBy(col(idCol))
+      .agg(
+        min(when(col(chunkIdxCol) === 0, col(textCol))).as("anchor"),
+        min(when(col(chunkIdxCol) === 1, col(textCol))).as("positive"))
+      .filter(col("positive").isNotNull && col("anchor").isNotNull)
+
+  /** CONTRASTIVE pairs with ANN-MINED HARD negatives — the upgrade tier
+    * over [[contrastivePairs]]' cyclic baseline: the negative for each
+    * (anchor, positive) document is the document whose EMBEDDING is its
+    * nearest approximate neighbor among the other pair-documents (the
+    * "hardest" in-distribution distractor, the standard recipe once an
+    * embedding column exists). Mining runs through
+    * [[Similarity.ivfTopK]] — coarse-quantized cells, nprobe-bounded
+    * candidate generation, NO all-pairs join at any corpus size — and
+    * the negative's sim is the exact re-computed cosine (ANN selects,
+    * it never fabricates scores). Self-exclusion is ivfTopK's
+    * `qid =!= id` guard; a document whose probed cells hold no other
+    * pair-document (or that lacks an embedding row) drops.
+    *
+    * @param embeddings table carrying `vecIdCol` (joinable to `idCol`)
+    *                   and `vecCol` (the vector)
+    * @param kCandidates ANN depth the miner ranks before taking top-1 —
+    *                    also the depth the recall contract compares at
+    * @return (idCol, anchor, positive, negative, neg_id, neg_sim) */
+  def contrastivePairsAnn(chunks: DataFrame, embeddings: DataFrame,
+                          idCol: String, chunkIdxCol: String,
+                          textCol: String, vecIdCol: String,
+                          vecCol: String, ncentroids: Int = 8,
+                          nprobe: Int = 2,
+                          kCandidates: Int = 3): DataFrame = {
+    val firstTwo = firstTwoChunks(chunks, idCol, chunkIdxCol, textCol)
+    val universe = firstTwo.select(col(idCol))
+      .join(embeddings.select(col(vecIdCol).as(idCol), col(vecCol).as("__v")),
+        Seq(idCol))
+    val ann = Similarity.ivfTopK(universe, universe, "__v", idCol,
+      k = kCandidates, ncentroids = ncentroids, nprobe = nprobe)
+    val hard = ann.filter(col("rank") === 1)
+      .select(col("qid").as(idCol), col("id").as("neg_id"),
+        col("sim").as("neg_sim"))
+    firstTwo.join(hard, Seq(idCol))
+      .join(firstTwo.select(col(idCol).as("neg_id"),
+        col("anchor").as("negative")), Seq("neg_id"))
+      .select(col(idCol), col("anchor"), col("positive"), col("negative"),
+        col("neg_id"), col("neg_sim"))
   }
 
   /** One packed training sequence: the chunk ids it holds and the token

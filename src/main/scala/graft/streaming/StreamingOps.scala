@@ -112,6 +112,42 @@ object StreamingOps {
       .drop("w")
   }
 
+  /** Streaming hierarchical ROLLUP — the live twin of
+    * [[graft.ops.Report.rollupReport]]: every prefix level of the
+    * dimension list ("by (a,b), by (a), grand total") aggregated per
+    * watermarked tumbling window, emitted with the same `gid` bitmask
+    * when the watermark closes the window.
+    *
+    * Structured Streaming rejects rollup/cube/grouping-sets outright
+    * (UnsupportedOperationChecker), so this twin spells the SAME plan
+    * shape Catalyst builds internally for batch rollup — an Expand
+    * (each row explodes into |dims|+1 level copies via
+    * [[graft.ops.Report.rollupExpand]], trailing dims nulled,
+    * gid = 2^L − 1) feeding ONE hash aggregate — which streaming
+    * accepts, because after the explode it is just a single windowed
+    * aggregation. Equivalence to the batch operator is spec-pinned at
+    * both seams (expand ≡ native rollup; stream ≡ batch).
+    *
+    * State: one row per (open window × live group × level) — the
+    * |dims|+1 level fan-out multiplies state rows exactly like it
+    * multiplies batch shuffle rows, and every level evicts at window
+    * close like [[windowedCounts]]. Aggregates must be append-mode
+    * compatible and order-free (counts, sums) — the same contract as
+    * the batch report when it feeds a hash compare. */
+  def rollupStream(events: DataFrame, dims: Seq[String],
+                   aggs: Seq[org.apache.spark.sql.Column],
+                   tsCol: String = "ts", window_ : String = "1 hour",
+                   lateness: String = "15 minutes"): DataFrame = {
+    require(aggs.nonEmpty, "rollupStream needs at least one aggregate")
+    graft.ops.Report.rollupExpand(events, dims)
+      .withWatermark(tsCol, lateness)
+      .groupBy((window(col(tsCol), window_).as("w") +:
+        dims.map(col)) :+ col("gid"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
   /** Streaming distinct-count sketches — the live leg of the
     * [[graft.ops.Profile.hllSketches]] incremental-aggregation pattern:
     * each watermarked (window × keys) slice aggregates its values into

@@ -308,6 +308,23 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("Expand"))
   }
 
+  test("rollupExpand + one groupBy reproduces native rollup exactly") {
+    // the streaming-legal spelling (explode per level + single
+    // aggregate) must be row-identical to Catalyst's rollup — gid
+    // bitmask, NULL-vs-subtotal separation, prefix levels only
+    val d = Seq(("a", "x", 1L), ("a", null, 2L), ("b", "x", 4L),
+      ("b", "y", 8L)).toDF("g1", "g2", "v")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    val native = toMap(graft.ops.Report.rollupReport(d, Seq("g1", "g2"),
+      Seq(sum("v").as("s"))).collect())
+    val emulated = toMap(graft.ops.Report.rollupExpand(d, Seq("g1", "g2"))
+      .groupBy("g1", "g2", "gid").agg(sum("v").as("s")).collect())
+    assert(emulated == native)
+    assert(native.size == 4 + 2 + 1) // detail, per-g1, grand total
+  }
+
   test("markovAttribution: hand-exact removal effects on a small graph") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
@@ -1569,6 +1586,57 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == (("a1", "p1", "a2")))
     assert(out(2L) == (("a2", "p2", "a1"))) // cyclic wrap
     assert(out.size == 2)
+  }
+
+  test("contrastivePairs: self-pairs drop by doc ID, not anchor text") {
+    import spark.implicits._
+    // docs 1 and 2 share a byte-identical anchor (duplicate first
+    // chunks, common pre-dedup): the pair (1 -> anchor of 2) is a
+    // zero-signal but VALID cross-doc pair and must survive; only a
+    // true self-pair (single-doc bucket) drops.
+    val chunks = Seq(
+      (1L, 0, "same"), (1L, 1, "p1"),
+      (2L, 0, "same"), (2L, 1, "p2"))
+      .toDF("doc_id", "chunk_idx", "chunk_text")
+    val out = graft.ops.Chunk.contrastivePairs(chunks, "doc_id",
+        "chunk_idx", "chunk_text", buckets = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(out == Map(
+      1L -> (("same", "p1", "same")),
+      2L -> (("same", "p2", "same"))))
+  }
+
+  test("contrastivePairsAnn: nearest-embedding negative, self excluded") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, 0, "a1"), (1L, 1, "p1"),
+      (2L, 0, "a2"), (2L, 1, "p2"),
+      (3L, 0, "a3"), (3L, 1, "p3"),
+      (4L, 0, "a4"), (4L, 1, "p4"),
+      (5L, 0, "single-chunk doc drops"))
+      .toDF("doc_id", "chunk_idx", "chunk_text")
+    // two tight clusters: {1,2} along +x, {3,4} along +y — each doc's
+    // nearest OTHER pair-doc is its cluster twin; doc 5 has an
+    // embedding but no positive, doc 6 an embedding but no chunks.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.14f, 0.99f)),
+      (5L, Array(1.0f, 1.0f)), (6L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.ops.Chunk.contrastivePairsAnn(chunks, emb,
+      "doc_id", "chunk_idx", "chunk_text", "vec_id", "embedding",
+      ncentroids = 2, nprobe = 2, kCandidates = 2)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val out = pairs.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getString(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(out == Map(
+      1L -> (("a1", "p1", "a2", 2L)),
+      2L -> (("a2", "p2", "a1", 1L)),
+      3L -> (("a3", "p3", "a4", 4L)),
+      4L -> (("a4", "p4", "a3", 3L))))
   }
 
   test("isotonicFit pools violators weighted; apply is a monotone step") {

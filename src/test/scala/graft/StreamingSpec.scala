@@ -1028,6 +1028,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollupStream: every rollup level per window equals the batch report; closed windows evict") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String, Double)]
+    val df = input.toDF().toDF("ts", "region", "event_type", "value")
+    val q = StreamingOps.rollupStream(df, Seq("region", "event_type"),
+        Seq(count(lit(1)).as("n"), sum("value").as("total")),
+        tsCol = "ts", window_ = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("rollupst")
+      .outputMode("append").start()
+    // powers of two so the double sums are exact under any fold order
+    val batch1 = Seq((ts(1), "eu", "view", 1.0), (ts(2), "eu", "click", 2.0),
+      (ts(3), "us", "view", 4.0))
+    val batch2 = Seq((ts(10), "us", "click", 8.0), (ts(40), "eu", "view", 16.0))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      // an event 3 hours on pushes the watermark past the first window
+      input.addData((Timestamp.valueOf("2026-01-01 13:30:00"), "eu", "view", 32.0))
+      q.processAllAvailable()
+      def toMap(rows: Array[Row]) = rows.map(r =>
+        (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)) ->
+          ((r.getLong(3), r.getDouble(4)))).toMap
+      // only the closed 10:00 window has emitted
+      val streamed = toMap(spark.table("rollupst")
+        .select("region", "event_type", "gid", "n", "total").collect())
+      val expected = toMap(graft.ops.Report.rollupReport(
+          (batch1 ++ batch2).toDF("ts", "region", "event_type", "value"),
+          Seq("region", "event_type"),
+          Seq(count(lit(1)).as("n"), sum("value").as("total")))
+        .select("region", "event_type", "gid", "n", "total").collect())
+      assert(streamed == expected)
+      assert(streamed((Some("eu"), None, 1L)) == ((3L, 19.0))) // subtotal
+      assert(streamed((None, None, 3L)) == ((5L, 31.0))) // grand total
+      // eviction: state holds only the open 13:00 window — one live
+      // group at 3 rollup levels
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 3L)
+    } finally q.stop()
+  }
+
   test("batch sessionizer agrees with the session definition") {
     val events = Seq(
       (7L, ts(1), 1.0), (7L, Timestamp.valueOf("2026-01-01 10:01:30"), 2.0),

@@ -1,43 +1,63 @@
 #!/usr/bin/env python3
-"""Build the ~10x-sf0.1 soak tables under target/sf1ish (dev tooling).
+"""Build shard-disjoint scaled soak tables (dev tooling).
 
 Shard-disjoint scaling: every token gains a per-shard suffix so
 cross-shard n-gram overlap is zero and the within-shard duplicate
-structure matches sf0.1 exactly ("10x corpus, same dup-group
+structure matches sf0.1 exactly ("Nx corpus, same dup-group
 distribution"). Embeddings are rotated per shard — an orthogonal
 permutation, so within-shard cosines are unchanged while cross-shard
-pairs decorrelate. A naive union (same text + tiny suffix) instead
-multiplies every duplicate GROUP by the shard count and blows pair
-volume up quadratically — kept documented in BASELINE.md as a
-finding, not used here.
+pairs decorrelate. Lineitem/events keys are offset per shard
+(disconnected graph components / disjoint user populations). A naive
+union (same text + tiny suffix) instead multiplies every duplicate
+GROUP by the shard count and blows pair volume up quadratically —
+kept documented in BASELINE.md as a finding, not used here.
 
-Usage: python3 tools/make_sf1ish.py [shards=10]
+Usage: make_sf1ish.py [shards=10] [outdir=target/sf1ish] [tables...]
+       (tables default: documents embeddings events lineitem)
+e.g. the 100x soak tables: make_sf1ish.py 100 target/sf100ish documents lineitem
 """
 import sys
 import duckdb
 
 shards = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+outdir = sys.argv[2] if len(sys.argv) > 2 else "target/sf1ish"
+tables = sys.argv[3:] or ["documents", "embeddings", "events", "lineitem"]
 sf = "/root/testdata/sf0.1"
+OFF = 10_000_000       # doc/vec id shard offset
+KOFF = 1_000_000_000   # graph/event key shard offset
 con = duckdb.connect()
-con.execute(f"""
-COPY (SELECT doc_id + s*10000000 AS doc_id,
-             CASE WHEN s = 0 THEN text
-                  ELSE regexp_replace(text, '(\\S+)',
-                         '\\1x' || CAST(s AS VARCHAR), 'g') END AS text,
-             lang, source, n_chars
-      FROM read_parquet('{sf}/documents.parquet')
-      CROSS JOIN (SELECT unnest(range({shards})) AS s))
-TO 'target/sf1ish/documents.parquet' (FORMAT PARQUET)""")
-con.execute(f"""
-COPY (SELECT vec_id + s*10000000 AS vec_id,
-             CASE WHEN s = 0 THEN embedding
-                  ELSE embedding[(s+1):] || embedding[1:s] END AS embedding,
-             label
-      FROM read_parquet('{sf}/embeddings.parquet')
-      CROSS JOIN (SELECT unnest(range({shards})) AS s))
-TO 'target/sf1ish/embeddings.parquet' (FORMAT PARQUET)""")
-for t in ["documents", "embeddings"]:
+sql = {
+    "documents": f"""
+        SELECT doc_id + s*{OFF} AS doc_id,
+               CASE WHEN s = 0 THEN text
+                    ELSE regexp_replace(text, '(\\S+)',
+                           '\\1x' || CAST(s AS VARCHAR), 'g') END AS text,
+               lang, source, n_chars
+        FROM read_parquet('{sf}/documents.parquet')
+        CROSS JOIN (SELECT unnest(range({shards})) AS s)""",
+    "embeddings": f"""
+        SELECT vec_id + s*{OFF} AS vec_id,
+               CASE WHEN s = 0 THEN embedding
+                    ELSE embedding[((s-1)%63+2):] || embedding[1:((s-1)%63+1)]
+                    END AS embedding,
+               label
+        FROM read_parquet('{sf}/embeddings.parquet')
+        CROSS JOIN (SELECT unnest(range({shards})) AS s)""",
+    "events": f"""
+        SELECT event_id + s*{KOFF} AS event_id, ts,
+               user_id + s*{KOFF} AS user_id, event_type, value, props
+        FROM read_parquet('{sf}/events.parquet')
+        CROSS JOIN (SELECT unnest(range({shards})) AS s)""",
+    "lineitem": f"""
+        SELECT l_orderkey + s*{KOFF} AS l_orderkey,
+               l_partkey + s*{KOFF} AS l_partkey
+        FROM read_parquet('{sf}/lineitem.parquet')
+        CROSS JOIN (SELECT unnest(range({shards})) AS s)""",
+}
+for t in tables:
+    con.execute(
+        f"COPY ({sql[t]}) TO '{outdir}/{t}.parquet' (FORMAT PARQUET)")
     n = con.execute(
-        f"SELECT count(*) FROM read_parquet('target/sf1ish/{t}.parquet')"
+        f"SELECT count(*) FROM read_parquet('{outdir}/{t}.parquet')"
     ).fetchone()[0]
     print(t, n)
