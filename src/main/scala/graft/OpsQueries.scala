@@ -3102,6 +3102,212 @@ object OpsQueries {
        |  TRUE AS recall_ok
        |FROM uni""".stripMargin
 
+  // =====================================================================
+  // Global ranking, segmentation, leak-audit, cross-source overlap (r11)
+  // =====================================================================
+
+  /** RFM segmentation over purchase events (see [[Insight.rfm]]):
+    * recency/frequency/monetary per user, each scored into quintiles by
+    * EXACT global rank through [[Rank.globalRank]] — range-partitioned
+    * prefix-offset ranking, NO unpartitioned window anywhere in the
+    * plan. Money is exact integer cents (floor(v·100 + 0.5), the
+    * Math.round spelling both engines share), days are integer µs
+    * division, tiers integer div — the oracle replays every rank and
+    * tier bit-for-bit via row_number. */
+  private def qEventsRfm(s: SparkSession, dir: String): DataFrame =
+    Insight.rfm(readEvents(s, dir), "user_id", "ts", "event_type", "value")
+      .select(col("user").as("user_id"), col("r_days"), col("f"),
+        col("m_cents"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+
+  private val oEventsRfm =
+    """WITH p AS (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts,
+      |    count(*) AS f,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS m_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (SELECT max(last_ts) AS max_ts, count(*) AS n FROM p),
+      |b AS (SELECT p.*, n,
+      |    (epoch_us(max_ts) - epoch_us(last_ts)) // 86400000000 AS r_days
+      |  FROM p, t),
+      |r AS (SELECT *,
+      |    row_number() OVER (ORDER BY r_days, user_id) AS rr,
+      |    row_number() OVER (ORDER BY f, user_id) AS rf,
+      |    row_number() OVER (ORDER BY m_cents, user_id) AS rm FROM b)
+      |SELECT user_id, r_days, f, m_cents,
+      |  6 - ((rr - 1) * 5 // n + 1) AS r_score,
+      |  (rf - 1) * 5 // n + 1 AS f_score,
+      |  (rm - 1) * 5 // n + 1 AS m_score,
+      |  CAST(6 - ((rr - 1) * 5 // n + 1) AS VARCHAR) ||
+      |    CAST((rf - 1) * 5 // n + 1 AS VARCHAR) ||
+      |    CAST((rm - 1) * 5 // n + 1 AS VARCHAR) AS segment
+      |FROM r""".stripMargin
+
+  /** Cross-source QUANTILE NORMALIZATION of the quality score (see
+    * [[Rank.quantileNormalize]]): each document's score replaced by the
+    * global score at its within-source quantile position — within-source
+    * rank via a source-partitioned window, the global value table via
+    * [[Rank.globalRank]], target position by exact integer division.
+    * Scores are dyadic (multiples of 0.25), so every compared double is
+    * exact on both engines. */
+  private def qQualityQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    Rank.quantileNormalize(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("score")),
+      "source", "score", "doc_id", "norm")
+      .select("doc_id", "source", "score", "norm")
+
+  private val oQualityQuantileNorm =
+    s"""WITH sc AS MATERIALIZED (SELECT doc_id, source,
+      |    $oQualityExpr AS score FROM documents),
+      |g AS (SELECT score AS gv,
+      |    row_number() OVER (ORDER BY score, doc_id) AS gk FROM sc),
+      |t AS (SELECT count(*) AS n FROM sc),
+      |r AS (SELECT doc_id, source, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id)
+      |      AS rg,
+      |    count(*) OVER (PARTITION BY source) AS ng FROM sc)
+      |SELECT r.doc_id, r.source, r.score, g.gv AS norm
+      |FROM r JOIN t ON TRUE
+      |JOIN g ON g.gk = CASE WHEN r.ng = 1 THEN 1
+      |  ELSE (r.rg - 1) * (t.n - 1) // (r.ng - 1) + 1 END""".stripMargin
+
+  /** Domain-grouped LEAK-PROOF split + audit: registered domains (PSL)
+    * are hash-split 80/10/10 as GROUPS, then [[Sample.leakAudit]]
+    * independently verifies no domain straddles splits (the guard that
+    * makes a web eval set measure generalization, not memorized
+    * near-dups of training pages). The oracle replays host extraction,
+    * PSL reduction, md5 cutoffs and both aggregates. */
+  private def qSplitLeakAudit(s: SparkSession, dir: String): DataFrame = {
+    val dom = plantedUrls(s, dir).select(col("doc_id"),
+      Web.registeredDomain(Web.host(col("url"))).as("domain"))
+    Sample.leakAudit(
+      Sample.split(dom, "domain",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "gsplit"),
+      "domain", "split")
+  }
+
+  // lazy: oPlantedUrls is declared later in the file — an eager val
+  // here would read null at object init
+  private lazy val oSplitLeakAudit = {
+    val t1 = math.floor(0.8 * 4294967296.0).toLong
+    val t2 = t1 + math.floor(0.1 * 4294967296.0).toLong
+    s"""WITH u AS ($oPlantedUrls),
+      |h AS (SELECT doc_id, lower(regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1))
+      |    AS host FROM u),
+      |d AS (SELECT doc_id, ${oRegisteredDomain("host")} AS domain FROM h),
+      |sp AS (SELECT doc_id, domain,
+      |    CASE WHEN b < $t1 THEN 'train'
+      |         WHEN b < $t2 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT *, ('0x' || substr(md5('gsplit:' || domain), 1, 8))::BIGINT
+      |      AS b FROM d)),
+      |sg AS (SELECT split, domain, count(*) AS n_rows FROM sp GROUP BY 1, 2),
+      |gs AS (SELECT domain, count(*) AS n_splits FROM sg GROUP BY 1)
+      |SELECT split, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+      |  count(*) AS n_groups,
+      |  CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_leaked_groups
+      |FROM sg JOIN gs USING (domain) GROUP BY 1""".stripMargin
+  }
+
+  /** Cross-source line-overlap matrix (see
+    * [[Contamination.crossSourceMatrix]]): distinct line fingerprints
+    * per source pair through ONE per-fingerprint source-set aggregate
+    * (bounded by source vocabulary — never a fingerprint self-join that
+    * squares hot-line buckets). */
+  private def qContaminationMatrix(s: SparkSession, dir: String): DataFrame =
+    Contamination.crossSourceMatrix(t(s, dir, "documents"), "text", "source")
+
+  private val oContaminationMatrix =
+    """WITH l AS (SELECT DISTINCT source AS src,
+      |    md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS fp
+      |  FROM (SELECT source, unnest(string_split(text, chr(10))) AS line
+      |    FROM documents) WHERE trim(line) <> ''),
+      |ps AS (SELECT src, count(*) AS n_lines FROM l GROUP BY 1),
+      |pr AS (SELECT a.src AS source_a, b.src AS source_b,
+      |    count(*) AS shared_lines
+      |  FROM l a JOIN l b ON a.fp = b.fp AND a.src < b.src GROUP BY 1, 2)
+      |SELECT source_a, source_b, shared_lines,
+      |  pa.n_lines AS lines_a, pb.n_lines AS lines_b
+      |FROM pr JOIN ps pa ON pa.src = source_a
+      |JOIN ps pb ON pb.src = source_b""".stripMargin
+
+  /** Perceptual image near-dup via dHash over REAL decoded pixels:
+    * planted 9×8 grayscale BMPs (group pattern + per-doc tweak pixel),
+    * decoded by the exact BMP parser, hashed by [[Multimodal.dhash64]]
+    * (one bit per adjacent-luminance comparison), paired through the
+    * shared banding engine. 8 bands × Hamming ≤ 4 is pigeonhole-
+    * lossless, so the oracle is ALL pairs with bit-distance ≤ 4,
+    * recomputed from the closed-form pixels — equality, not a recall
+    * contract. dHash's brightness invariance shows up structurally:
+    * same-group docs differ only at the tweak pixel (≤ 2 bits). */
+  private def qMultimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    val build = udf((id: Long) => {
+      val g = id % 25
+      val px = new Array[Byte](9 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = ((g * 37 + x * 11 + y * 7 +
+          (if (x == 3 && y == 2) (id % 2) * 40 else 0)) % 256).toInt
+        for (c <- 0 until 3) px((y * 9 + x) * 3 + c) = (v & 0xff).toByte
+      }
+      Multimodal.bmpImage(9, 8, px)
+    })
+    val media = t(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.perceptualPairs(Multimodal.decodeImage(media),
+      maxDist = 4, bands = 8)
+  }
+
+  private val oMultimodalPhash =
+    """WITH px AS (SELECT doc_id, x.g AS x, y.g AS y,
+      |    ((doc_id % 25)*37 + x.g*11 + y.g*7 +
+      |     CASE WHEN x.g = 3 AND y.g = 2 THEN (doc_id % 2) * 40
+      |          ELSE 0 END) % 256 AS v
+      |  FROM documents, generate_series(0, 8) x(g), generate_series(0, 7) y(g)
+      |  WHERE doc_id < 400),
+      |bits AS (SELECT a.doc_id, a.y*8 + a.x AS pos,
+      |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+      |    AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT)
+      |      AS hamming
+      |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ida, idb, hamming FROM pairs WHERE hamming <= 4""".stripMargin
+
+  /** Audio clip features over REAL WAV decode (see
+    * [[Multimodal.audioFeatures]]): planted closed-form PCM16 clips;
+    * duration/peak/energy/zero-crossings/silence all exact integers the
+    * oracle recomputes sample-by-sample. */
+  private def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    val build = udf((id: Long) => Multimodal.wavPcm16(8000, 1,
+      Array.tabulate(120)(i => (((id * 13 + i * 97) % 7000) - 3500).toShort)))
+    val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.audioFeatures(Multimodal.decodeAudio(media),
+      silenceFloor = 512)
+  }
+
+  private val oMultimodalAudio =
+    """WITH sm AS (SELECT doc_id, i.g AS i,
+      |    (doc_id*13 + i.g*97) % 7000 - 3500 AS v
+      |  FROM documents, generate_series(0, 119) i(g) WHERE doc_id < 300),
+      |l AS (SELECT doc_id, i, v,
+      |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM sm)
+      |SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(15 AS BIGINT) AS duration_ms,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak,
+      |  CAST(sum(v * v) AS BIGINT) AS energy,
+      |  CAST(sum(CASE WHEN pv IS NOT NULL AND
+      |      ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |  CAST(sum(CASE WHEN abs(v) < 512 THEN 1 ELSE 0 END)
+      |    * 1000000 // 120 AS BIGINT) AS silence_ppm
+      |FROM l GROUP BY doc_id""".stripMargin
+
   /** Transitive duplicate-cluster audit: per near-dup group its size,
     * id span, and char mass — survivor-keyed so it joins the
     * [[Dedup.nearDupSurvivors]] output directly (see
@@ -6716,6 +6922,12 @@ object OpsQueries {
     "train_contrastive_pairs" -> (qTrainContrastivePairs _),
     "train_contrastive_ann" -> (qTrainContrastiveAnn _),
     "quality_calibration_isotonic" -> (qQualityCalibrationIsotonic _),
+    "events_rfm" -> (qEventsRfm _),
+    "quality_quantile_norm" -> (qQualityQuantileNorm _),
+    "split_leak_audit" -> (qSplitLeakAudit _),
+    "contamination_matrix" -> (qContaminationMatrix _),
+    "multimodal_phash" -> (qMultimodalPhash _),
+    "multimodal_audio_features" -> (qMultimodalAudio _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -6919,6 +7131,12 @@ object OpsQueries {
     "train_contrastive_pairs" -> oTrainContrastivePairs,
     "train_contrastive_ann" -> oTrainContrastiveAnn,
     "quality_calibration_isotonic" -> oQualityCalibrationIsotonic,
+    "events_rfm" -> oEventsRfm,
+    "quality_quantile_norm" -> oQualityQuantileNorm,
+    "split_leak_audit" -> oSplitLeakAudit,
+    "contamination_matrix" -> oContaminationMatrix,
+    "multimodal_phash" -> oMultimodalPhash,
+    "multimodal_audio_features" -> oMultimodalAudio,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

@@ -69,4 +69,45 @@ object Contamination {
     docs.withColumn("shared", hits(shingleHashes(docs)))
       .filter(col("shared") >= minShared)
   }
+
+  /** CROSS-SOURCE overlap matrix: for every pair of sources, how many
+    * distinct LINE fingerprints ([[TextFunctions.fingerprint]] per
+    * non-blank line) they share, plus each side's distinct-line count —
+    * the provenance-dedup planning view ("CommonCrawl and C4 share 38%
+    * of their lines; dedup them together, sample them separately").
+    *
+    * Shape: explode to (source, line_fp), distinct, then ONE aggregate
+    * per fingerprint collecting its source set — bounded by the source
+    * vocabulary, never by row count — and an explode of the set's
+    * within-pairs. A self-join on fingerprint would square the hot-line
+    * buckets; the set aggregate caps the per-fingerprint work at
+    * |sources|². Symmetric pairs emit once (a < b, lexicographic).
+    *
+    * @return (source_a, source_b, shared_lines, lines_a, lines_b) */
+  def crossSourceMatrix(docs: DataFrame, textCol: String,
+                        sourceCol: String): DataFrame = {
+    val lines = docs
+      .select(col(sourceCol).as("src"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .filter(trim(col("__line")) =!= "")
+      .select(col("src"), TextFunctions.fingerprint(col("__line")).as("fp"))
+      .distinct()
+    val perSource = lines.groupBy("src").agg(count(lit(1)).as("n_lines"))
+    val pairs = lines
+      .groupBy("fp")
+      .agg(collect_set(col("src")).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(array_sort(srcs), (x, i) -> " +
+          "transform(slice(array_sort(srcs), i + 2, size(srcs)), y -> " +
+          "named_struct('a', x, 'b', y))))")).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("shared_lines"))
+    pairs
+      .join(perSource.select(col("src").as("source_a"),
+        col("n_lines").as("lines_a")), Seq("source_a"))
+      .join(perSource.select(col("src").as("source_b"),
+        col("n_lines").as("lines_b")), Seq("source_b"))
+      .select("source_a", "source_b", "shared_lines", "lines_a", "lines_b")
+  }
 }

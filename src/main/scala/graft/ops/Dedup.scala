@@ -472,10 +472,20 @@ object Dedup {
     * otherwise explode quadratically. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3, bands: Int = 4,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000): DataFrame =
+    hammingPairs64(simhashTable(df, textCol, idCol), maxDist, bands,
+      maxBucket)
+
+  /** Near-dup pairs over ANY 64-bit fingerprint table (id, fp) with
+    * Hamming distance ≤ maxDist — the banding/verify engine behind
+    * [[simhashPairs]], shared by perceptual image hashing
+    * ([[Multimodal.perceptualPairs]]) and any other bit-fingerprint
+    * near-dup. Pigeonhole guarantee: maxDist < bands ⇒ any qualifying
+    * pair shares at least one exact band chunk. */
+  def hammingPairs64(fp: DataFrame, maxDist: Int = 3, bands: Int = 4,
+                     maxBucket: Int = 1000): DataFrame = {
     require(maxDist < bands, "pigeonhole needs maxDist < bands")
     val w = 64 / bands
-    val fp = simhashTable(df, textCol, idCol)
     val banded = fp.select(col("id"), col("fp"), posexplode(
       array((0 until bands).map(b =>
         shiftright(col("fp"), b * w).bitwiseAND((1L << w) - 1)): _*))

@@ -406,4 +406,65 @@ object Insight {
         sum("tm").as("mi_micro"))
       .withColumn("mi", round(col("mi_micro").cast("double") / 1e6, 6))
   }
+
+  /** RFM segmentation (Recency / Frequency / Monetary — the classic
+    * behavioral-cohort model): per user over their `targetType` events,
+    *
+    *   r_days  = whole days between the user's last event and the
+    *             corpus max (exact integer µs division),
+    *   f       = event count,
+    *   m_cents = Σ floor(value·100 + 0.5) — money as exact integer
+    *             cents (the Math.round spelling both engines share —
+    *             round()'s tie conventions differ), so the sum is
+    *             order-free and engine-identical (a double sum would
+    *             drift by fold order),
+    *
+    * then each metric is scored into `buckets` equal-population tiers
+    * by its EXACT global rank ([[Rank.globalRank]] — range-partitioned,
+    * never an unpartitioned ntile window):
+    *
+    *   tier  = (rank − 1)·buckets div n_users + 1
+    *   r_score = buckets + 1 − tier(r_days asc)   (recent = high)
+    *   f_score = tier(f asc),  m_score = tier(m asc)
+    *
+    * Ties break by user id, so every score is engine-deterministic.
+    * Cost: one filter+aggregate over the events (map-side combinable),
+    * then three globalRank passes over the per-USER table — user
+    * cardinality, not event cardinality.
+    *
+    * @return (user, r_days, f, m_cents, r_score, f_score, m_score,
+    *         segment "RFM" digits) */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+          typeCol: String, valueCol: String,
+          targetType: String = "purchase", buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val per = events.filter(col(typeCol) === targetType)
+      .groupBy(col(userCol).as("user"))
+      .agg(max(col(tsCol)).as("__last_ts"),
+        count(lit(1)).as("f"),
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("m_cents"))
+    val tops = per.agg(max("__last_ts").as("__max_ts"),
+      count(lit(1)).as("__n"))
+    val base = per.crossJoin(broadcast(tops))
+      // casts are no-ops for TIMESTAMP and lift TIMESTAMP_NTZ (UTC
+      // sessions) — unix_micros rejects NTZ outright
+      .withColumn("r_days", expr(
+        "(unix_micros(CAST(__max_ts AS TIMESTAMP)) - " +
+          "unix_micros(CAST(__last_ts AS TIMESTAMP))) DIV 86400000000"))
+      .drop("__last_ts", "__max_ts")
+    def tier(rankCol: String): Column =
+      expr(s"($rankCol - 1) * $buckets DIV __n + 1")
+    val ranked = Rank.globalRank(
+      Rank.globalRank(
+        Rank.globalRank(base, Seq(col("r_days"), col("user")), "__rr"),
+        Seq(col("f"), col("user")), "__rf"),
+      Seq(col("m_cents"), col("user")), "__rm")
+    ranked
+      .withColumn("r_score", lit(buckets + 1) - tier("__rr"))
+      .withColumn("f_score", tier("__rf"))
+      .withColumn("m_score", tier("__rm"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"),
+        col("m_score")))
+      .drop("__rr", "__rf", "__rm", "__n")
+  }
 }

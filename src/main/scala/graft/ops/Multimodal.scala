@@ -625,6 +625,95 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash (dHash) of decoded images: one bit per
+    * horizontally-adjacent luminance comparison over a (w−1)×h grid,
+    * bit index y·(w−1)+x set iff lum(x+1, y) > lum(x, y). Luminance is
+    * the integer BT.601 approximation (299·R + 587·G + 114·B) div 1000
+    * — exact, engine-replayable. dHash is the standard cheap
+    * image-near-dup fingerprint: invariant to uniform brightness shifts
+    * and (with a pre-resize to 9×8 via [[resizeNearest]]) to scale,
+    * while any structural change flips bits ∝ its area. Feed a 9×8
+    * input for the classic 64-bit hash; larger grids truncate to the
+    * first 64 comparisons (row-major).
+    *
+    * @return (id, fp) — the [[graft.ops.Dedup.hammingPairs64]] input
+    *         shape */
+  def dhash64(decoded: Dataset[DecodedImage]): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      var fp = 0L
+      var bit = 0
+      var y = 0
+      while (y < d.height && bit < 64) {
+        var x = 0
+        while (x < d.width - 1 && bit < 64) {
+          def lum(px: Int): Long = {
+            if (d.channels >= 3) {
+              val o = px * d.channels
+              (299L * (d.pixels(o) & 0xff) + 587L * (d.pixels(o + 1) & 0xff) +
+                114L * (d.pixels(o + 2) & 0xff)) / 1000L
+            } else (d.pixels(px * d.channels) & 0xff).toLong
+          }
+          if (lum(y * d.width + x + 1) > lum(y * d.width + x))
+            fp |= (1L << bit)
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      (d.media_id, fp)
+    }.toDF("id", "fp")
+  }
+
+  /** Image near-dup pairs: [[dhash64]] fingerprints banded and
+    * verified through the shared [[graft.ops.Dedup.hammingPairs64]]
+    * engine — (ida, idb, hamming ≤ maxDist). The image-payload bytes
+    * never shuffle: only (id, 64-bit fp) rows leave the decode
+    * partition. */
+  def perceptualPairs(decoded: Dataset[DecodedImage], maxDist: Int = 4,
+                      bands: Int = 8, maxBucket: Int = 1000): DataFrame =
+    Dedup.hammingPairs64(dhash64(decoded), maxDist, bands, maxBucket)
+
+  /** Audio clip features from decoded PCM — the route/filter tier of an
+    * audio pipeline (drop silence, cap clipping, length-bucket), all
+    * exact integers so any engine replays them:
+    *
+    *   duration_ms     = frames·1000 div rate
+    *   peak            = max |sample|
+    *   energy          = Σ sample² (the RMS numerator, kept unrooted
+    *                     and integral)
+    *   zero_crossings  = sign changes between consecutive samples
+    *                     (channel-interleave-agnostic on mono; callers
+    *                     with multichannel audio should split first)
+    *   silence_ppm     = samples with |s| < silenceFloor, per million
+    *                     (integer div)
+    */
+  def audioFeatures(decoded: Dataset[DecodedAudio],
+                    silenceFloor: Int = 512): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      var peak = 0L; var energy = 0L; var zc = 0L; var quiet = 0L
+      var i = 0
+      while (i < d.samples.length) {
+        val v = d.samples(i).toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        energy += v * v
+        if (a < silenceFloor) quiet += 1
+        if (i > 0 && ((d.samples(i - 1) < 0 && v >= 0) ||
+            (d.samples(i - 1) >= 0 && v < 0))) zc += 1
+        i += 1
+      }
+      val frames = if (d.channels > 0) d.n_samples / d.channels else 0
+      val durMs = if (d.sample_rate > 0) frames * 1000L / d.sample_rate else 0L
+      val ppm = if (d.n_samples > 0) quiet * 1000000L / d.n_samples else 0L
+      (d.media_id, durMs, peak, energy, zc, ppm)
+    }.toDF("media_id", "duration_ms", "peak", "energy", "zero_crossings",
+      "silence_ppm")
+  }
+
   // ------------------------- builder twins --------------------------
   // Writers for the same three formats — fixture generation for specs
   // and oracles (and the WARC-style "wrap derived bytes back into a

@@ -47,6 +47,152 @@ object Rank {
     df.withColumn(outCol, percent_rank().over(w))
   }
 
+  /** EXACT global 1-based rank under a total order — with NO
+    * single-partition window. `row_number() OVER (ORDER BY …)` forces
+    * every row through one task (Spark itself warns "Moving all data to
+    * a single partition"), which is the canonical 100 TB scale-killer
+    * for global ordering. This is the distributed spelling:
+    *
+    *   1. `repartitionByRange(n, order)` — one range exchange; every
+    *      row of range-partition p sorts before every row of p+1
+    *      (RangePartitioner's deterministic sampled bounds); the
+    *      partition id is MATERIALIZED as a column and the frame
+    *      localCheckpoint'd, so the id is data, not physical layout,
+    *   2. one tiny count-per-range-partition aggregate (≤ n rows to
+    *      the driver — partition COUNTS, never data) folded into a
+    *      prefix-offset table,
+    *   3. `row_number` over a window partitioned BY THE RANGE-PARTITION
+    *      COLUMN (state = one range partition's rows, codegen'd, never
+    *      the whole dataset) plus a broadcast join adding the offset.
+    *
+    * Deriving the ranks from the materialized pid column (rather than
+    * `TaskContext.getPartitionId` in a mapPartitions) keeps them
+    * correct under ANY downstream physical re-layout — a
+    * `.coalesce(1)` before a write merges partitions without a
+    * shuffle, which silently corrupts task-id-based positions.
+    * `order` must be a TOTAL order — append a unique id as the last
+    * key; with ties the rank would depend on partition-internal order.
+    * Rank semantics = `row_number`: consecutive, starting at 1.
+    *
+    * Cost: one range shuffle + one pid hash shuffle with local sorts —
+    * comparable to the one total-sort ANY exact global ordering needs —
+    * plus an O(n-partitions) driver exchange. Every downstream
+    * quantile/ntile/median surface ([[Insight.rfm]],
+    * [[quantileNormalize]]) builds on this instead of an unpartitioned
+    * window. */
+  def globalRank(df: DataFrame, order: Seq[Column], outCol: String = "rank",
+                 numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalRank needs at least one sort key")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, order: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy("__gr_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L) { (acc, p) =>
+      acc + counts.getOrElse(p, 0L)
+    } // offsets(p) = total rows in partitions before p
+    import spark.implicits._
+    val offDf = (0 until n).map(p => (p, offsets(p))).toDF("__gr_pid", "__gr_off")
+    val w = Window.partitionBy("__gr_pid").orderBy(order: _*)
+    parted.join(broadcast(offDf), "__gr_pid")
+      .withColumn(outCol,
+        row_number().over(w).cast("long") + col("__gr_off"))
+      .drop("__gr_pid", "__gr_off")
+  }
+
+  /** EXACT global PREFIX SUM of an integer column under a total order —
+    * the running-total primitive behind budgeted selection ("greedily
+    * take documents by quality until the token budget is spent"),
+    * Lorenz/Gini curves and cumulative mixtures. Same distributed
+    * spelling as [[globalRank]] — `sum() OVER (ORDER BY …)` would move
+    * every row through one task:
+    *
+    *   1. range exchange on the order keys, partition id materialized
+    *      and checkpointed (ids are data — immune to downstream
+    *      re-layout, the [[globalRank]] lesson),
+    *   2. one per-range-partition SUM aggregate (≤ n-partitions rows to
+    *      the driver — partial SUMS, never data) folded into prefix
+    *      offsets,
+    *   3. a running `sum` over a window partitioned BY THE RANGE
+    *      PARTITION (state = one range partition) plus the broadcast
+    *      offset.
+    *
+    * `valueCol` is summed as LONG (the repo's exact-integer rail; at
+    * 10¹¹ rows × 10⁴-token docs the total is 10¹⁵ ≪ 2⁶³). `order` must
+    * be total — append a unique id. The result is inclusive: `outCol`
+    * at a row includes that row's value. */
+  def prefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                outCol: String = "cum", numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "prefixSum needs at least one sort key")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, order: _*)
+      .withColumn("__ps_pid", spark_partition_id())
+      .withColumn("__ps_v", col(valueCol).cast("long"))
+      .localCheckpoint(true)
+    val sums = parted.groupBy("__ps_pid")
+      .agg(sum("__ps_v").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L) { (acc, p) =>
+      acc + sums.getOrElse(p, 0L)
+    }
+    import spark.implicits._
+    val offDf = (0 until n).map(p => (p, offsets(p))).toDF("__ps_pid", "__ps_off")
+    val w = Window.partitionBy("__ps_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offDf), "__ps_pid")
+      .withColumn(outCol, sum("__ps_v").over(w) + col("__ps_off"))
+      .drop("__ps_pid", "__ps_off", "__ps_v")
+  }
+
+  /** Cross-group QUANTILE NORMALIZATION: each row's value is replaced
+    * by the GLOBAL value found at its within-group quantile position —
+    * the calibration step that makes scores from different sources
+    * directly comparable AND identically distributed (percent-rank
+    * normalization only equalizes ranks; quantile normalization
+    * equalizes the whole distribution, the microarray-classic recipe).
+    *
+    * Everything is exact integers, so the mapping is engine-stable:
+    * within-group rank r_g of n_g (row_number by (value, id) — a
+    * GROUP-partitioned window, never global), global target position
+    *
+    *   k = (r_g − 1)·(N − 1) div (n_g − 1) + 1   (n_g = 1 → k = 1)
+    *
+    * and one equi-join against the [[globalRank]] table to fetch the
+    * global value at position k. Cost: one group window + the
+    * globalRank range shuffle + one join on a long key. The smallest
+    * row of every group maps to the global minimum (k = 1) and the
+    * largest to the global maximum (k = N) — ties broken by id stay
+    * deterministic on any engine.
+    *
+    * @return input columns + `outCol` (the normalized value) */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String, outCol: String = "norm"):
+      DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__rg", row_number().over(w).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(wAll))
+    val global = globalRank(
+      df.select(col(valueCol).as("__gv"), col(idCol).as("__gid")),
+      Seq(col("__gv"), col("__gid")), outCol = "__k")
+      .select(col("__k"), col("__gv"))
+    val total = global.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("__k",
+        when(col("__ng") === 1, lit(1L)).otherwise(
+          expr("(__rg - 1) * (__n - 1) DIV (__ng - 1) + 1")))
+      .join(global, Seq("__k"))
+      .withColumn(outCol, col("__gv"))
+      .drop("__rg", "__ng", "__n", "__k", "__gv")
+  }
+
   /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
     * 1998): pick `m` of each query's candidates greedily by
     *

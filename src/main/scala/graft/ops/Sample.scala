@@ -297,4 +297,56 @@ object Sample {
       .select(col("step"), col("id"),
         col("radius_micro").cast("long").as("radius_micro"))
   }
+
+  /** GROUP-LEAKAGE audit of a labeled split: per split, how many rows
+    * and distinct groups it holds, and how many of those groups ALSO
+    * appear in another split ("leaked"). A train/test split that cuts
+    * by document id leaks — near-identical pages from one site land on
+    * both sides and the eval set stops measuring generalization; the
+    * guard is to split by the GROUP key (registered domain, source,
+    * repository) and assert `n_leaked_groups = 0`. Splitting with
+    * [[split]] keyed on the group column is leak-free by construction —
+    * this audit is the independent check (and the detector for splits
+    * produced elsewhere).
+    *
+    * Cost: two hash aggregates (rows → (split, group), then group →
+    * split count) and one join on the group key — no windows, no
+    * driver data. */
+  def leakAudit(df: DataFrame, groupCol: String,
+                splitCol: String = "split"): DataFrame = {
+    val sg = df.groupBy(col(splitCol).as("split"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n_rows"))
+    val gs = sg.groupBy("__g").agg(count(lit(1)).as("__n_splits"))
+    sg.join(gs, "__g")
+      .groupBy("split")
+      .agg(sum("__n_rows").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__n_splits") > 1, 1L).otherwise(0L))
+          .as("n_leaked_groups"))
+  }
+
+  /** TOKEN-BUDGET greedy selection: take documents best-first (by
+    * `scoreCol` descending, ties to the lowest id) until the cumulative
+    * token count would exceed `budget` — the "we can afford 2T training
+    * tokens, which documents make the cut?" step after scoring. The
+    * greedy prefix rule is strict: a document is kept iff the running
+    * total THROUGH it stays ≤ budget, so one oversized document blocks
+    * only itself (later smaller docs on the sorted order are NOT
+    * back-filled — the deterministic prefix contract an engine-portable
+    * oracle can replay; knapsack back-fill would be order-dependent).
+    *
+    * Distributed via [[Rank.prefixSum]]: one range exchange on
+    * (−score, id), per-range-partition partial sums to the driver,
+    * range-local running sums + broadcast offsets — `sum() OVER
+    * (ORDER BY …)`'s semantics with no single-partition window.
+    *
+    * @return input columns + `cum_tokens` (inclusive running total),
+    *         only rows with `cum_tokens` ≤ budget */
+  def budgetSelect(df: DataFrame, scoreCol: String, tokenCol: String,
+                   idCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    Rank.prefixSum(df, Seq(col(scoreCol).desc, col(idCol)), tokenCol,
+        outCol = "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+  }
 }

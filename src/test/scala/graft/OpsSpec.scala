@@ -3170,4 +3170,131 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == "gamma")
     assert(out(3L) == "")
   }
+
+  test("globalRank equals a single-partition row_number, at any partitioning") {
+    val d = spark.range(0, 500).select(
+      (col("id") * 2654435761L % 97).as("v"), col("id"))
+    val expected = d.orderBy(col("v"), col("id")).collect()
+      .zipWithIndex.map { case (r, i) => (r.getLong(0), r.getLong(1)) -> (i + 1L) }.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Rank.globalRank(d, Seq(col("v"), col("id")), "rank",
+          numPartitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"parts=$parts")
+      // ranks are data, not physical layout: a downstream coalesce(1)
+      // (what any single-file write does) must not corrupt them — the
+      // TaskContext-based formulation failed exactly here
+      val coalesced = Rank.globalRank(d, Seq(col("v"), col("id")), "rank",
+          numPartitions = parts)
+        .coalesce(1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(coalesced == expected, s"coalesced parts=$parts")
+    }
+    // the scale property: the only window is partitioned by the range
+    // partition id — never an unpartitioned (single-task) window
+    val plan = Rank.globalRank(d, Seq(col("v"), col("id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__gr_pid"), plan)
+    assert(!plan.contains("windowspecdefinition(v#"), plan)
+  }
+
+  test("quantileNormalize maps each group onto the global distribution") {
+    // group a: 4 rows, group b: 2 rows, global N = 6 values 1..6
+    val d = Seq(("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 30.0, 3L),
+      ("a", 40.0, 4L), ("b", 5.0, 5L), ("b", 50.0, 6L))
+      .toDF("src", "score", "id")
+    val out = Rank.quantileNormalize(d, "src", "score", "id", "norm")
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // global sorted: 5,10,20,30,40,50. a's ranks 1..4 of 4 -> global
+    // k = (r-1)*5 div 3 + 1 = 1,2,4,6 -> 5,10,30,50
+    assert(out == Map(1L -> 5.0, 2L -> 10.0, 3L -> 30.0, 4L -> 50.0,
+      5L -> 5.0, 6L -> 50.0))
+  }
+
+  test("rfm: hand-exact quintile scores, purchase-only, integer cents") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2026-01-${d}%02d 00:00:00")
+    // 5 users, metrics engineered so each rank order is distinct
+    val ev = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong, ts(u), "purchase", 10.005 + u)) :+
+        ((u.toLong, ts(28), "view", 999.0)) // non-purchases ignored
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = Insight.rfm(ev, "user_id", "ts", "event_type", "value")
+      .collect().map(r => r.getAs[Long]("user") ->
+        ((r.getAs[Long]("r_days"), r.getAs[Long]("f"),
+          r.getAs[Long]("m_cents"), r.getAs[String]("segment")))).toMap
+    // user u: last purchase day u (max day 5 -> r_days = 5 - u), f = u,
+    // m_cents = u * floor((10.005 + u)*100 + 0.5) = u * (1001 + 100u)
+    assert(out(5L) == ((0L, 5L, 5 * 1501L, "555")))
+    assert(out(1L) == ((4L, 1L, 1101L, "111")))
+    assert(out(3L) == ((2L, 3L, 3 * 1301L, "333")))
+  }
+
+  test("leakAudit counts straddling groups per split") {
+    val d = Seq(("train", "g1", 1L), ("train", "g1", 2L), ("train", "g2", 3L),
+      ("test", "g2", 4L), ("test", "g3", 5L))
+      .toDF("split", "dom", "id")
+    val out = Sample.leakAudit(d, "dom", "split")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "train" -> ((3L, 2L, 1L)), // 3 rows, groups g1 g2, g2 leaked
+      "test" -> ((2L, 2L, 1L))))
+  }
+
+  test("crossSourceMatrix: distinct shared lines per source pair") {
+    val d = Seq(
+      (1L, "wiki", "alpha\nbeta\ngamma"),
+      (2L, "wiki", "alpha\nshared only once"), // dup within source: distinct
+      (3L, "web", "ALPHA\n  beta  \ndelta"), // fingerprint-normalized match
+      (4L, "books", "gamma\nepsilon"))
+      .toDF("doc_id", "source", "text")
+    val out = Contamination.crossSourceMatrix(d, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      ("web", "wiki") -> ((2L, 3L, 4L)), // alpha + beta, |web|=3, |wiki|=4
+      ("books", "wiki") -> ((1L, 2L, 4L)))) // gamma
+  }
+
+  test("dhash64: brightness-invariant, structural change flips local bits") {
+    def gray(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) = (f(x, y) & 0xff).toByte
+      px
+    }
+    val ramp = (x: Int, y: Int) => 10 + x * 5 + y
+    val media = Seq(
+      (1L, Multimodal.bmpImage(9, 8, gray(9, 8, ramp))),
+      (2L, Multimodal.bmpImage(9, 8, gray(9, 8, (x, y) => ramp(x, y) + 40))),
+      (3L, Multimodal.bmpImage(9, 8, gray(9, 8,
+        (x, y) => if (x == 4 && y == 3) 0 else ramp(x, y)))))
+      .toDF("media_id", "payload")
+    val fp = Multimodal.dhash64(Multimodal.decodeImage(media))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L)) // +40 brightness: every comparison unchanged
+    assert(fp(1L) != fp(3L))
+    val d13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(d13 >= 1 && d13 <= 2) // one dark pixel flips <= 2 comparisons
+    val pairs = Multimodal.perceptualPairs(
+        Multimodal.decodeImage(media), maxDist = 4, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) == d13)
+  }
+
+  test("audioFeatures: hand-exact on a signed square wave") {
+    // 8 samples: +1000 x4 then -1000 x4 at 8000 Hz -> 1 ms, 1 crossing
+    val wav = Multimodal.wavPcm16(8000, 1,
+      Array[Short](1000, 1000, 1000, 1000, -1000, -1000, -1000, -300))
+    val out = Multimodal.audioFeatures(
+        Multimodal.decodeAudio(Seq((7L, wav)).toDF("media_id", "payload")),
+        silenceFloor = 512)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).head
+    // duration 8*1000/8000 = 1 ms; peak 1000; energy 7*1e6 + 9e4;
+    // 1 crossing; 1 of 8 samples under the floor -> 125000 ppm
+    assert(out == ((1L, 1000L, 7090000L, 1L, 125000L)))
+  }
 }
