@@ -3308,6 +3308,213 @@ object OpsQueries {
       |    * 1000000 // 120 AS BIGINT) AS silence_ppm
       |FROM l GROUP BY doc_id""".stripMargin
 
+  // =====================================================================
+  // Drift, inequality, winnowing, budget selection, A/B (r11 batch 2)
+  // =====================================================================
+
+  /** Exact pairwise two-sample Kolmogorov–Smirnov distance between the
+    * sources' document-length distributions (see [[Diff.ksPairwise]]):
+    * integer CDF-gap maximization over the shared length vocabulary —
+    * the binning-free companion to dataset_psi. */
+  private def qDatasetKsDrift(s: SparkSession, dir: String): DataFrame =
+    Diff.ksPairwise(
+      t(s, dir, "documents").select(col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("len")),
+      "source", "len")
+
+  private val oDatasetKsDrift =
+    s"""WITH d AS (SELECT source AS g, len($oToks) AS v FROM documents),
+      |c AS (SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |grid AS (SELECT gg.g, vv.v, coalesce(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT g FROM c) gg
+      |  CROSS JOIN (SELECT DISTINCT v FROM c) vv
+      |  LEFT JOIN c ON c.g = gg.g AND c.v = vv.v),
+      |cum AS (SELECT g, v,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM grid),
+      |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+      |SELECT a.g AS group_a, b.g AS group_b, ta.n AS n_a, tb.n AS n_b,
+      |  CAST(max(abs(a.cum * tb.n - b.cum * ta.n)) * 1000000
+      |    // (ta.n * tb.n) AS BIGINT) AS ks_ppm
+      |FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+      |JOIN tot ta ON ta.g = a.g
+      |JOIN tot tb ON tb.g = b.g
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Exact Gini coefficient of token mass across documents, per source
+    * (see [[Profile.gini]]): tie-block rank algebra over the length
+    * vocabulary, integer ppm output. */
+  private def qProfileGini(s: SparkSession, dir: String): DataFrame =
+    Profile.gini(
+      t(s, dir, "documents").select(col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("len")),
+      "source", "len")
+
+  private val oProfileGini =
+    s"""WITH d AS (SELECT source AS grp, len($oToks) AS v FROM documents),
+      |c AS (SELECT grp, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |cc AS (SELECT grp, v, c,
+      |    sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum FROM c)
+      |SELECT grp AS "group", CAST(sum(c) AS BIGINT) AS n,
+      |  CAST(sum(v * c) AS BIGINT) AS total,
+      |  CAST((2 * sum(v * (c * (cum - c) + c * (c + 1) // 2))
+      |      - (sum(c) + 1) * sum(v * c)) * 1000000
+      |    // (sum(c) * sum(v * c)) AS BIGINT) AS gini_ppm
+      |FROM cc GROUP BY 1""".stripMargin
+
+  /** Winnowing fingerprints (MOSS) per document (see
+    * [[Dedup.winnowFingerprints]]): rightmost-min of each 4-window of
+    * word-3-gram hashes via the single-integer tie-break key; the
+    * oracle replays hash, key, window min, distinct and digest
+    * verbatim. */
+  private def qTextWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id",
+      k = 3, w = 4)
+
+  private val oTextWinnow =
+    s"""WITH tk AS (SELECT doc_id, $oToks AS t FROM documents),
+      |kg0 AS (SELECT doc_id, len(t) - 2 AS nk,
+      |    list_transform(generate_series(1, len(t) - 2), i -> struct_pack(
+      |      pos := i - 1,
+      |      key := ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+      |        t[i+2]), 1, 8))::BIGINT * 1048576 + (1048575 - (i - 1)))) AS ks
+      |  FROM tk WHERE len(t) - 2 >= 4),
+      |kg AS (SELECT doc_id, nk, u.pos AS pos, u.key AS key
+      |  FROM (SELECT doc_id, nk, unnest(ks) AS u FROM kg0)),
+      |wm AS (SELECT doc_id, nk, pos, min(key) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+      |  FROM kg),
+      |sel AS (SELECT DISTINCT doc_id, nk, wmin FROM wm WHERE pos >= 3)
+      |SELECT doc_id, CAST(nk AS BIGINT) AS n_kgrams, count(*) AS n_fps,
+      |  CAST(sum(wmin // 1048576) AS BIGINT) AS fp_sum
+      |FROM sel GROUP BY 1, 2""".stripMargin
+
+  /** Token-budget greedy selection (see [[Sample.budgetSelect]]):
+    * best-quality-first running total through [[Rank.prefixSum]] (range
+    * exchange + broadcast offsets — no single-partition window), strict
+    * prefix cutoff at 100k tokens. */
+  private def qSampleBudgetGreedy(s: SparkSession, dir: String): DataFrame =
+    Sample.budgetSelect(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("score"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("toks")),
+      "score", "toks", "doc_id", budget = 100000L)
+
+  private val oSampleBudgetGreedy =
+    s"""WITH d AS (SELECT doc_id, source, $oQualityExpr AS score,
+      |    len($oToks) AS toks FROM documents),
+      |r AS (SELECT *, CAST(sum(toks) OVER (ORDER BY score DESC, doc_id)
+      |    AS BIGINT) AS cum_tokens FROM d)
+      |SELECT doc_id, source, score, CAST(toks AS BIGINT) AS toks,
+      |  cum_tokens
+      |FROM r WHERE cum_tokens <= 100000""".stripMargin
+
+  /** Deterministic A/B read-out over purchase conversion (see
+    * [[Insight.abTest]]): hash-assigned arms, exact integer rates and
+    * pooled z² ppm — every product replayed in HUGEINT by the oracle. */
+  private def qEventsAbtest(s: SparkSession, dir: String): DataFrame =
+    Insight.abTest(readEvents(s, dir), "user_id", "event_type", "purchase")
+
+  private val oEventsAbtest =
+    """WITH pu AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |au AS (SELECT *, CASE WHEN ('0x' || substr(md5('ab:' ||
+      |    CAST(user_id AS VARCHAR)), 1, 8))::BIGINT < 2147483648
+      |    THEN 'A' ELSE 'B' END AS arm FROM pu),
+      |pa AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM au GROUP BY 1),
+      |w AS (SELECT
+      |    max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+      |    max(CASE WHEN arm = 'A' THEN c END) AS conv_a,
+      |    max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+      |    max(CASE WHEN arm = 'B' THEN c END) AS conv_b
+      |  FROM pa)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+      |  CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+      |  CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+      |  CAST(CASE WHEN conv_a * n_b > conv_b * n_a THEN 1
+      |       WHEN conv_a * n_b < conv_b * n_a THEN -1 ELSE 0 END
+      |    AS INTEGER) AS diff_sign,
+      |  CAST(abs(conv_a * n_b - conv_b * n_a) * 1000000
+      |    // (n_a * n_b) AS BIGINT) AS diff_ppm,
+      |  CAST(CASE WHEN conv_a + conv_b = 0
+      |       OR conv_a + conv_b = n_a + n_b THEN 0
+      |    ELSE (conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
+      |      * (n_a + n_b) * 1000000
+      |      // (n_a * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b))
+      |    END AS BIGINT) AS z2_ppm
+      |FROM w""".stripMargin
+
+  /** Cohen's kappa between the Gopher pass flag and the composite
+    * quality-score rater (see [[Insight.cohenKappa]]): chance-corrected
+    * agreement of two quality filters, exact integer ppm with signed
+    * division avoided (sign + magnitude). */
+  private def qQualityKappa(s: SparkSession, dir: String): DataFrame =
+    Insight.cohenKappa(
+      t(s, dir, "documents").select(
+        TextFunctions.gopherRules(col("text")).getField("pass").as("a"),
+        (TextFunctions.qualityScore(col("text")) >= 0.75).as("b")),
+      "a", "b")
+
+  private val oQualityKappa = {
+    val N = "(n11 + n10 + n01 + n00)"
+    val chance = s"((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    val numer = s"($N * (n11 + n00) - $chance)"
+    val denom = s"($N * $N - $chance)"
+    s"""WITH d AS (SELECT doc_id, $oToks AS t, text, $oQualityExpr AS score
+      |  FROM documents),
+      |g AS (SELECT doc_id, t, text, score,
+      |    CASE WHEN len(t) >= 2 THEN list_transform(
+      |      generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END AS grams FROM d),
+      |f AS (SELECT
+      |    (len(t) BETWEEN 50 AND 100000)
+      |    AND ((CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t))
+      |      BETWEEN 3.0 AND 10.0)
+      |    AND ((CAST(len(regexp_extract_all(text, '#')) +
+      |          len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+      |      / greatest(len(t), 1)) < 0.1)
+      |    AND ((CASE WHEN len(grams) = 0 THEN 0.0
+      |      ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+      |        / len(grams) END) < 0.2) AS a,
+      |    score >= 0.75 AS b
+      |  FROM g),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n00
+      |  FROM f)
+      |SELECT n11, n10, n01, n00,
+      |  CAST((n11 + n00) * 1000000 // $N AS BIGINT) AS po_ppm,
+      |  CAST($chance * 1000000 // ($N * $N) AS BIGINT) AS pe_ppm,
+      |  CAST(CASE WHEN $denom = 0 THEN 0
+      |       WHEN $numer > 0 THEN 1 WHEN $numer < 0 THEN -1
+      |       ELSE 0 END AS INTEGER) AS kappa_sign,
+      |  CAST(CASE WHEN $denom = 0 THEN 0
+      |       ELSE abs($numer) * 1000000 // $denom END AS BIGINT) AS kappa_ppm
+      |FROM c""".stripMargin
+  }
+
+  /** Corpus vocabulary-coverage report (see [[Tokenize.vocabCoverage]]):
+    * type/hapax counts plus top-100 head mass via TakeOrderedAndProject
+    * — never a global sort. */
+  private def qTextVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    Tokenize.vocabCoverage(t(s, dir, "documents"), "text", k = 100)
+
+  private val oTextVocabCoverage =
+    s"""WITH c AS (SELECT tok, count(*) AS c
+      |  FROM (SELECT unnest($oToks) AS tok FROM documents) GROUP BY 1),
+      |s AS (SELECT count(*) AS vocab_size,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |    CAST(sum(c) AS BIGINT) AS total_tokens FROM c),
+      |tp AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS topk_tokens
+      |  FROM (SELECT c FROM c ORDER BY c DESC, tok LIMIT 100))
+      |SELECT vocab_size, hapax, total_tokens, topk_tokens,
+      |  CAST(topk_tokens * 1000000 // total_tokens AS BIGINT) AS topk_ppm
+      |FROM s, tp""".stripMargin
+
   /** Transitive duplicate-cluster audit: per near-dup group its size,
     * id span, and char mass — survivor-keyed so it joins the
     * [[Dedup.nearDupSurvivors]] output directly (see
@@ -6928,6 +7135,13 @@ object OpsQueries {
     "contamination_matrix" -> (qContaminationMatrix _),
     "multimodal_phash" -> (qMultimodalPhash _),
     "multimodal_audio_features" -> (qMultimodalAudio _),
+    "dataset_ks_drift" -> (qDatasetKsDrift _),
+    "profile_gini" -> (qProfileGini _),
+    "text_winnow" -> (qTextWinnow _),
+    "sample_budget_greedy" -> (qSampleBudgetGreedy _),
+    "events_abtest" -> (qEventsAbtest _),
+    "quality_kappa" -> (qQualityKappa _),
+    "text_vocab_coverage" -> (qTextVocabCoverage _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -7137,6 +7351,13 @@ object OpsQueries {
     "contamination_matrix" -> oContaminationMatrix,
     "multimodal_phash" -> oMultimodalPhash,
     "multimodal_audio_features" -> oMultimodalAudio,
+    "dataset_ks_drift" -> oDatasetKsDrift,
+    "profile_gini" -> oProfileGini,
+    "text_winnow" -> oTextWinnow,
+    "sample_budget_greedy" -> oSampleBudgetGreedy,
+    "events_abtest" -> oEventsAbtest,
+    "quality_kappa" -> oQualityKappa,
+    "text_vocab_coverage" -> oTextVocabCoverage,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

@@ -45,6 +45,50 @@ object Dedup {
       call_function("graft_shingles", col(textCol), lit(n))
     else transform(shingles(col(textCol), n), s => xxhash64(s))
 
+  /** WINNOWING document fingerprints (Schleimer–Wilkerson–Aiken, the
+    * MOSS algorithm): hash every word `k`-gram, slide a window of `w`
+    * consecutive hashes, and keep each window's minimum — guaranteeing
+    * any shared run of ≥ w+k−1 words between two documents shares a
+    * fingerprint, at ~2/(w+1) of the k-gram density. The local-min rule
+    * beats "every j-th hash" (position-shift fragile) and plain min-hash
+    * (no locality guarantee) for plagiarism/quotation span detection.
+    *
+    * Determinism: ties are broken to the RIGHTMOST minimal position by
+    * minimizing the single integer key hash·2²⁰ + (2²⁰−1−pos) — hash is
+    * the first 8 md5 hex digits (< 2³², engine-portable), so the key is
+    * exact in a BIGINT (docs capped at 2²⁰ k-grams). One trailing
+    * `rowsBetween(-(w−1), 0)` min per document (window partitioned by
+    * doc — state is w keys), then a distinct on selected keys. Documents
+    * with fewer than w k-grams have no full window and emit nothing.
+    *
+    * @return (idCol, n_kgrams, n_fps, fp_sum) — n_fps distinct selected
+    *         fingerprints, fp_sum the sum of their hash values (the
+    *         compact per-doc signature digest oracles can replay) */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnow: k and w must be >= 1")
+    val toks = TextFunctions.tokens(col(textCol))
+    val kgrams = transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    val ex = df
+      .filter(size(toks) - (k - 1) >= w)
+      .select(col(idCol), (size(toks) - (k - 1)).cast("long").as("n_kgrams"),
+        posexplode(kgrams).as(Seq("__pos", "__kg")))
+      .withColumn("__key",
+        conv(substring(md5(col("__kg")), 1, 8), 16, 10).cast("long") *
+          lit(1048576L) + (lit(1048575L) - col("__pos")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy("__pos")
+      .rowsBetween(-(w - 1), 0)
+    ex.withColumn("__wmin", min("__key").over(win))
+      .filter(col("__pos") >= w - 1)
+      .select(col(idCol), col("n_kgrams"), col("__wmin"))
+      .distinct()
+      .groupBy(col(idCol), col("n_kgrams"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(expr("__wmin div 1048576")).as("fp_sum"))
+  }
+
   /** Exact dedup: keep the lowest-id document per canonical-text
     * fingerprint. One hash aggregate on md5 (uniform keys, no skew);
     * survivor choice is deterministic (min id). min_by over the whole row

@@ -197,4 +197,61 @@ object Diff {
         round((col("pb") - col("pa")) * log(col("pb") / col("pa")), 6))
       .select("bucket", "na", "nb", "pa", "pb", "term")
   }
+
+  /** Exact two-sample KOLMOGOROV–SMIRNOV distance between every pair of
+    * groups over an INTEGER-valued column — the binning-free drift test
+    * [[psi]] can't give (PSI depends on a declared grid; KS is the sup
+    * of the empirical-CDF gap, invariant under any monotone rescale).
+    * "Did source X's document-length distribution move away from source
+    * Y's" with no tuning knob.
+    *
+    * Everything is exact integer arithmetic, so the statistic is
+    * engine-identical: with cumulative counts A(v), B(v) at each value
+    * v and group sizes nA, nB,
+    *
+    *   D = max_v |A(v)·nB − B(v)·nA| / (nA·nB)
+    *
+    * and the reported `ks_ppm` = num·10⁶ div (nA·nB). The max over the
+    * merged support is attained at support points, and the dense
+    * (group × value) grid makes every group's CDF defined at every
+    * support point. Products run in DECIMAL(38,0) (the aucExact rail —
+    * A(v)·nB wraps BIGINT near 3·10⁹ rows per group).
+    *
+    * Scale contract: the shape is counts-per-(group, value) → a window
+    * partitioned by GROUP over the VALUE VOCABULARY → a vocabulary-
+    * bounded pair join. Cost is |groups|²·|distinct values|, never row
+    * count — right for discrete/bucketed columns (token counts, scores,
+    * sizes); pre-bucket continuous columns first (at which point the
+    * sup over buckets is exact for the bucketed variable). */
+  def ksPairwise(df: DataFrame, groupCol: String, valueCol: String):
+      DataFrame = {
+    val cnt = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val grid = cnt.select("__g").distinct()
+      .crossJoin(cnt.select("__v").distinct())
+      .join(cnt, Seq("__g", "__v"), "left")
+      .select(col("__g"), col("__v"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("__v")
+    val cum = grid.withColumn("__cum", sum("__c").over(w))
+    val tot = cnt.groupBy("__g").agg(sum("__c").as("__n"))
+    val dec = "cast(%s as decimal(38,0))"
+    val a = cum.join(tot, "__g").select(col("__g").as("group_a"),
+      col("__v"), col("__cum").as("__ca"), col("__n").as("__na"))
+    val b = cum.join(tot, "__g").select(col("__g").as("group_b"),
+      col("__v"), col("__cum").as("__cb"), col("__n").as("__nb"))
+    a.join(b, Seq("__v")).filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b", "__na", "__nb")
+      .agg(max(abs(expr(dec.format("__ca")) * expr(dec.format("__nb")) -
+        expr(dec.format("__cb")) * expr(dec.format("__na")))).as("__num"))
+      .select(col("group_a"), col("group_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        // IntegralDivide on decimals: exact floor quotient as LONG —
+        // decimal `/` would round the quotient at its result scale and
+        // can round UP across the integer boundary (engine-divergent).
+        expr("cast(__num as decimal(38,0)) * 1000000 div " +
+          "(cast(__na as decimal(38,0)) * cast(__nb as decimal(38,0)))")
+          .as("ks_ppm"))
+  }
 }

@@ -467,4 +467,111 @@ object Insight {
         col("m_score")))
       .drop("__rr", "__rf", "__rm", "__n")
   }
+
+  /** Deterministic A/B TEST read-out: users are hash-split 50/50 into
+    * arms by md5(salt:user) (the [[Sample.split]] rail — assignment is
+    * a pure function of the user id, so re-runs, engines, and late
+    * data never move a user), conversion = "did the user ever fire
+    * `convType`", and the two-proportion pooled z² statistic comes out
+    * as an EXACT integer ppm:
+    *
+    *   z² = (cA·nB − cB·nA)² · N / (nA·nB·C·(N−C)) · 10⁶
+    *
+    * with C = cA+cB, N = nA+nB — the algebraic expansion of
+    * (p̂A−p̂B)² / (p̂(1−p̂)(1/nA+1/nB)) over counts, DECIMAL(38,0)
+    * products with a `div` floor quotient (engine-bit-identical; the
+    * 128-bit rail holds to ~2·10⁶ users/arm — 2n⁵·10⁶ < 10³⁸ — beyond
+    * that, split the quotient or sample arms down first).
+    * z² ≥ 3.84·10⁶ ppm ≈ the two-sided 5% line.
+    * Rates are ppm by integral division; the signed rate difference is
+    * reported as magnitude + sign (both engines floor-divide positive
+    * integers identically; a signed DIV would hit the truncate-vs-floor
+    * divergence).
+    *
+    * One aggregate per user, one 2-row aggregate per arm, one 1-row
+    * reshape — no windows, no driver data.
+    *
+    * @return single row (n_a, conv_a, rate_a_ppm, n_b, conv_b,
+    *         rate_b_ppm, diff_sign, diff_ppm, z2_ppm) */
+  /** COHEN'S KAPPA agreement between two binary raters (quality
+    * filters, classifiers, annotators) — the chance-corrected answer to
+    * "do these two quality signals actually agree, or do they just both
+    * say yes a lot". From the 2×2 confusion counts n11/n10/n01/n00:
+    *
+    *   κ = (N·(n11+n00) − r1·c1 − r0·c0) / (N² − r1·c1 − r0·c0)
+    *
+    * (r = rater-a margins, c = rater-b margins) — the observed-minus-
+    * chance agreement over one-minus-chance, cleared of denominators.
+    * One count aggregate (map-side combinable) + a 1-row reshape.
+    * All products in DECIMAL(38,0) with `div` floor quotients; κ can be
+    * negative, and signed integral division diverges between engines
+    * (truncate vs floor), so the result ships as sign + magnitude ppm.
+    * Degenerate margins (pe = 1: both raters constant) define κ = 0.
+    *
+    * @return single row (n11, n10, n01, n00, po_ppm, pe_ppm,
+    *         kappa_sign, kappa_ppm) */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = "cast(%s as decimal(38,0))"
+    val wide = df.groupBy()
+      .agg(sum(when(col(aCol) && col(bCol), 1L).otherwise(0L)).as("n11"),
+        sum(when(col(aCol) && !col(bCol), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col(aCol) && col(bCol), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col(aCol) && !col(bCol), 1L).otherwise(0L)).as("n00"))
+    val N = "(n11 + n10 + n01 + n00)"
+    val chance = s"(${d.format("n11 + n10")} * ${d.format("n11 + n01")} + " +
+      s"${d.format("n01 + n00")} * ${d.format("n10 + n00")})"
+    val denom = s"(${d.format(N)} * ${d.format(N)} - $chance)"
+    val numer = s"(${d.format(N)} * ${d.format("n11 + n00")} - $chance)"
+    wide.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      expr(s"(n11 + n00) * 1000000 div $N").as("po_ppm"),
+      expr(s"$chance * 1000000 div (${d.format(N)} * ${d.format(N)})")
+        .as("pe_ppm"),
+      when(expr(denom) === 0, lit(0))
+        .otherwise(signum(expr(numer)).cast("int")).as("kappa_sign"),
+      when(expr(denom) === 0, lit(0L))
+        .otherwise(expr(s"abs($numer) * 1000000 div $denom"))
+        .as("kappa_ppm"))
+  }
+
+  def abTest(events: DataFrame, userCol: String, typeCol: String,
+             convType: String, salt: String = "ab"): DataFrame = {
+    def armOf(u: Column): Column = when(conv(substring(
+      md5(concat(lit(salt), lit(":"), u.cast("string"))), 1, 8),
+      16, 10).cast("long") < 2147483648L, "A").otherwise("B")
+    val perUser = events
+      .groupBy(col(userCol).as("__u"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("__conv"))
+      .withColumn("__arm", armOf(col("__u")))
+    val perArm = perUser.groupBy("__arm")
+      .agg(count(lit(1)).as("n"), sum("__conv").as("c"))
+    val wide = perArm
+      .groupBy()
+      .agg(max(when(col("__arm") === "A", col("n"))).as("n_a"),
+        max(when(col("__arm") === "A", col("c"))).as("conv_a"),
+        max(when(col("__arm") === "B", col("n"))).as("n_b"),
+        max(when(col("__arm") === "B", col("c"))).as("conv_b"))
+    val d = "cast(%s as decimal(38,0))"
+    wide.select(
+      col("n_a"), col("conv_a"),
+      expr("conv_a * 1000000 div n_a").as("rate_a_ppm"),
+      col("n_b"), col("conv_b"),
+      expr("conv_b * 1000000 div n_b").as("rate_b_ppm"),
+      signum(expr("conv_a * n_b - conv_b * n_a")).cast("int")
+        .as("diff_sign"),
+      expr(s"abs(${d.format("conv_a")} * ${d.format("n_b")} - " +
+        s"${d.format("conv_b")} * ${d.format("n_a")}) * 1000000 div " +
+        s"(${d.format("n_a")} * ${d.format("n_b")})").as("diff_ppm"),
+      when(expr("conv_a + conv_b") === 0 ||
+          expr("conv_a + conv_b") === expr("n_a + n_b"), lit(0L))
+        .otherwise(expr(
+          s"(${d.format("conv_a")} * ${d.format("n_b")} - " +
+            s"${d.format("conv_b")} * ${d.format("n_a")}) * " +
+            s"(${d.format("conv_a")} * ${d.format("n_b")} - " +
+            s"${d.format("conv_b")} * ${d.format("n_a")}) * " +
+            s"${d.format("n_a + n_b")} * 1000000 div " +
+            s"(${d.format("n_a")} * ${d.format("n_b")} * " +
+            s"${d.format("conv_a + conv_b")} * " +
+            s"${d.format("n_a + n_b - conv_a - conv_b")})"))
+        .as("z2_ppm"))
+  }
 }

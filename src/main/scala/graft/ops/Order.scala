@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Deterministic global ordering for training data.
   *
@@ -14,9 +13,11 @@ import org.apache.spark.sql.types.LongType
   * operation"), which at 100 TB is not a slow plan but a dead one.
   *
   * [[globalIndex]] is the scalable two-pass shape: range-repartition on
-  * the sort key (one shuffle, all partitions), sort within partitions,
-  * then assign contiguous indices with per-partition offsets (one small
-  * count job — the classic zipWithIndex pattern). Every partition works;
+  * the sort key (one shuffle, all partitions), then contiguous indices
+  * from per-partition offsets (one small count job). Both entry points
+  * here are thin adapters over the [[Rank.globalRank]] /
+  * [[Rank.prefixSum]] core — one audited implementation of the
+  * range-exchange + broadcast-offset primitive. Every partition works;
   * nothing ever sees more than its share.
   */
 object Order {
@@ -27,27 +28,20 @@ object Order {
     * the data — independent of input partitioning — because range
     * boundaries only decide WHERE a row sits, never its global rank.
     *
-    * Cost: one range shuffle + a per-partition count job over the
-    * materialized sort (the localCheckpoint keeps zipWithIndex's two
-    * passes from re-running the sort). The RDD hop is deliberate: index
-    * assignment is genuine per-partition imperative logic — exactly the
-    * "rarely" case for dropping out of DataFrames. */
+    * 0-based adapter over [[Rank.globalRank]] — one range shuffle, a
+    * per-range-partition count job (≤ n-partitions longs to the
+    * driver), then a pid-partitioned codegen window + broadcast offset.
+    * (Earlier rounds used an RDD zipWithIndex here; the window spelling
+    * keeps every pass in Tungsten — no Row materialization — and shares
+    * the one audited implementation with every rank/quantile surface.) */
   def globalIndex(df: DataFrame, sortKey: Column,
                   posCol: String = "pos"): DataFrame = {
-    val spark = df.sparkSession
     require(!df.columns.contains("__gi_key"),
       "globalIndex: input already has a __gi_key column")
-    val np = spark.sessionState.conf.numShufflePartitions
-    val sorted = df.withColumn("__gi_key", sortKey)
-      .repartitionByRange(np, col("__gi_key"))
-      .sortWithinPartitions(col("__gi_key"))
-      .localCheckpoint(true)
-    val outSchema = sorted.schema
-      .add(posCol, LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ i)
-    }
-    spark.createDataFrame(indexed, outSchema).drop("__gi_key")
+    Rank.globalRank(df.withColumn("__gi_key", sortKey),
+        Seq(col("__gi_key")), posCol)
+      .withColumn(posCol, col(posCol) - 1)
+      .drop("__gi_key")
   }
 
   /** Reproducible epoch ordering: global positions over the stable
@@ -104,41 +98,20 @@ object Order {
     * `sortKey` must be unique per row (same contract as
     * [[globalIndex]]); `weight` is read as a long, nulls count 0.
     * Longs hold the running total exactly — no 2^53 double cliff at
-    * 100 TB token counts. */
+    * 100 TB token counts.
+    *
+    * Exclusive adapter over the inclusive [[Rank.prefixSum]] core
+    * (same range-exchange + per-partition-totals + pid-window shape;
+    * exclusive = inclusive − own weight). */
   def prefixSum(df: DataFrame, sortKey: Column, weight: Column,
                 cumCol: String = "cum_before"): DataFrame = {
-    val spark = df.sparkSession
     require(!df.columns.contains("__ps_key") && !df.columns.contains("__ps_w"),
       "prefixSum: input already has a __ps_key/__ps_w column")
-    val np = spark.sessionState.conf.numShufflePartitions
-    val sorted = df.withColumn("__ps_key", sortKey)
-      .withColumn("__ps_w", coalesce(weight.cast("long"), lit(0L)))
-      .repartitionByRange(np, col("__ps_key"))
-      .sortWithinPartitions(col("__ps_key"))
-      .localCheckpoint(true)
-    val wIdx = sorted.schema.fieldIndex("__ps_w")
-    val partTotals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(wIdx))
-      Iterator((i, s))
-    }.collect().toMap
-    val nParts = sorted.rdd.getNumPartitions
-    val offsets = new Array[Long](math.max(nParts, 1))
-    var acc = 0L
-    for (i <- 0 until nParts) {
-      offsets(i) = acc
-      acc += partTotals.getOrElse(i, 0L)
-    }
-    val bOff = spark.sparkContext.broadcast(offsets)
-    val outSchema = sorted.schema.add(cumCol, LongType, nullable = false)
-    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var run = bOff.value(i)
-      it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ run)
-        run += r.getLong(wIdx)
-        out
-      }
-    }
-    spark.createDataFrame(rows, outSchema).drop("__ps_key", "__ps_w")
+    Rank.prefixSum(
+        df.withColumn("__ps_key", sortKey)
+          .withColumn("__ps_w", coalesce(weight.cast("long"), lit(0L))),
+        Seq(col("__ps_key")), "__ps_w", cumCol)
+      .withColumn(cumCol, col(cumCol) - col("__ps_w"))
+      .drop("__ps_key", "__ps_w")
   }
 }

@@ -474,4 +474,44 @@ object Profile {
           .as("n_or"))
       .withColumn("jaccard", col("n_and").cast("double") / col("n_or"))
   }
+
+  /** Exact GINI COEFFICIENT of a non-negative integer column per group
+    * — the one-number inequality read on a corpus ("are this source's
+    * tokens spread across many documents or concentrated in a few
+    * giants"), the scalar companion to a Lorenz curve. For sorted
+    * values x₍₁₎…x₍ₙ₎: G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx).
+    *
+    * Computed from the per-(group, value) FREQUENCY table, never a
+    * per-row sort: a tie-block at value v with count c and C rows
+    * before it contributes ranks C+1…C+c, so
+    * Σi·x₍ᵢ₎ = Σ_v v·(c·C + c(c+1)/2) — cumulative counts come from a
+    * window partitioned by GROUP over the VALUE VOCABULARY (state
+    * bounded by distinct values, not rows). All integer arithmetic in
+    * DECIMAL(38,0) with a `div` floor quotient (v·rank products pass
+    * BIGINT near 10⁹·10⁴-token rows), engine-bit-identical.
+    *
+    * @return (group, n, total, gini_ppm) — gini_ppm in [0, 10⁶) */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cnt = df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .groupBy(col(groupCol).as("group"), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cnt.withColumn("__cum", sum("__c").over(w))
+      .groupBy("group")
+      .agg(sum("__c").as("n"),
+        sum(expr("cast(__v as decimal(38,0)) * cast(__c as decimal(38,0))"))
+          .as("__s"),
+        sum(expr("cast(__v as decimal(38,0)) * " +
+          "(cast(__c as decimal(38,0)) * cast(__cum - __c as decimal(38,0)) + " +
+          "cast(__c as decimal(38,0)) * cast(__c + 1 as decimal(38,0)) / 2)"))
+          .as("__r"))
+      .select(col("group"), col("n"),
+        col("__s").cast("long").as("total"),
+        when(col("__s") === 0, lit(0L)).otherwise(
+          expr("(2 * __r - (n + 1) * __s) * 1000000 div " +
+            "(cast(n as decimal(38,0)) * __s)")).as("gini_ppm"))
+  }
 }

@@ -120,10 +120,11 @@ object Rank {
     *      PARTITION (state = one range partition) plus the broadcast
     *      offset.
     *
-    * `valueCol` is summed as LONG (the repo's exact-integer rail; at
-    * 10¹¹ rows × 10⁴-token docs the total is 10¹⁵ ≪ 2⁶³). `order` must
-    * be total — append a unique id. The result is inclusive: `outCol`
-    * at a row includes that row's value. */
+    * `valueCol` is summed as LONG, nulls as 0 (the repo's exact-integer
+    * rail; at 10¹¹ rows × 10⁴-token docs the total is 10¹⁵ ≪ 2⁶³).
+    * `order` must be total — append a unique id. The result is
+    * inclusive: `outCol` at a row includes that row's value
+    * ([[Order.prefixSum]] is the exclusive adapter). */
   def prefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
                 outCol: String = "cum", numPartitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "prefixSum needs at least one sort key")
@@ -132,7 +133,7 @@ object Rank {
       else spark.sessionState.conf.numShufflePartitions
     val parted = df.repartitionByRange(n, order: _*)
       .withColumn("__ps_pid", spark_partition_id())
-      .withColumn("__ps_v", col(valueCol).cast("long"))
+      .withColumn("__ps_v", coalesce(col(valueCol).cast("long"), lit(0L)))
       .localCheckpoint(true)
     val sums = parted.groupBy("__ps_pid")
       .agg(sum("__ps_v").as("s"))

@@ -329,11 +329,12 @@ object Sample {
     * `scoreCol` descending, ties to the lowest id) until the cumulative
     * token count would exceed `budget` — the "we can afford 2T training
     * tokens, which documents make the cut?" step after scoring. The
-    * greedy prefix rule is strict: a document is kept iff the running
-    * total THROUGH it stays ≤ budget, so one oversized document blocks
-    * only itself (later smaller docs on the sorted order are NOT
-    * back-filled — the deterministic prefix contract an engine-portable
-    * oracle can replay; knapsack back-fill would be order-dependent).
+    * rule is a strict prefix: a document is kept iff the running total
+    * THROUGH it stays ≤ budget — the running sum is monotone along the
+    * order, so the cut lands at the first document that would overflow
+    * and nothing after it is back-filled (the deterministic contract an
+    * engine-portable oracle can replay; knapsack back-fill would be
+    * order-dependent).
     *
     * Distributed via [[Rank.prefixSum]]: one range exchange on
     * (−score, id), per-range-partition partial sums to the driver,

@@ -427,6 +427,41 @@ object Tokenize {
         size(filter(col("token_ids"), _ === lit(unkId))))
   }
 
+  /** Corpus VOCABULARY-COVERAGE report: how concentrated is the token
+    * distribution — total tokens, distinct types, hapax legomena
+    * (frequency-1 types, the misspelling/noise tail a tokenizer's vocab
+    * budget should not chase) and the corpus mass captured by the top
+    * `k` types (the head a tiny vocab already covers). The one-page
+    * read before choosing a vocab size or a subword granularity.
+    *
+    * Scale shape: one token-count aggregate (map-side combinable,
+    * explode never shuffles raw text), one summary aggregate over the
+    * type table, and a `TakeOrderedAndProject` top-k (per-partition
+    * heaps of k, k rows to the driver-side merge — never a global sort
+    * or a single-partition window) with the total order (count desc,
+    * token asc) making boundary ties engine-deterministic.
+    *
+    * @return single row (vocab_size, hapax, total_tokens, topk_tokens,
+    *         topk_ppm) */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int = 100):
+      DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy()
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum("c").as("total_tokens"))
+    val top = counts.orderBy(col("c").desc, col("tok")).limit(k)
+      .groupBy().agg(coalesce(sum("c"), lit(0L)).as("topk_tokens"))
+    stats.crossJoin(top)
+      .withColumn("topk_ppm",
+        // DECIMAL(38,0) product: topk·10⁶ passes BIGINT at ~10¹³ tokens
+        expr("cast(topk_tokens as decimal(38,0)) * 1000000 div " +
+          "cast(total_tokens as decimal(38,0))"))
+  }
+
   /** Decode a `token_ids` column back to text (pieces joined, "##"
     * continuations fused) — the round-trip check for vocab coverage. */
   def detokenize(ids: Column, vocab: Seq[String]): Column = {

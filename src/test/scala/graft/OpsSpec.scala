@@ -2738,10 +2738,13 @@ class OpsSpec extends SparkSpec {
     shards.dropRight(1).foreach { case (k, mass) =>
       assert(math.abs(mass - target) < maxW, s"shard $k mass $mass")
     }
-    // no single-partition window in the plan (the RDD scan shape)
+    // the running total comes from the consolidated Rank.prefixSum core:
+    // the only window is partitioned by the range-partition id — never
+    // an unpartitioned (single-task) window over the sort key
     val plan = Layout.tokenShards(d, col("id"), col("w"), target)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("windowspecdefinition(__ps_pid"), plan)
+    assert(!plan.contains("windowspecdefinition(__ps_key#"), plan)
   }
 
   // --------------------------------------- content-defined chunking
@@ -3282,6 +3285,175 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((1L, 2L)) == 0)
     assert(pairs((1L, 3L)) == d13)
+  }
+
+  test("prefixSum equals a single-partition running sum, at any partitioning") {
+    val d = spark.range(0, 300).select(
+      (col("id") * 2654435761L % 83).as("v"), col("id"),
+      (col("id") % 7 + 1).as("tok"))
+    val rows = d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val expected = rows.zip(rows.scanLeft(0L)(_ + _._3).tail)
+      .map { case ((v, id, _), cum) => (v, id) -> cum }.toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Rank.prefixSum(d, Seq(col("v"), col("id")), "tok",
+          numPartitions = parts)
+        .coalesce(1) // re-layout immunity, the globalRank regression case
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+    val plan = Rank.prefixSum(d, Seq(col("v"), col("id")), "tok")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__ps_pid"), plan)
+    assert(!plan.contains("windowspecdefinition(v#"), plan)
+  }
+
+  test("budgetSelect keeps the strict best-first prefix under the budget") {
+    val d = Seq((1L, 0.9, 50L), (2L, 0.9, 40L), (3L, 0.7, 30L),
+      (4L, 0.5, 10L), (5L, 0.3, 5L)).toDF("id", "score", "tok")
+    // order: 1 (cum 50), 2 (90), 3 (120 > 100 -> cut; 4 and 5 NOT
+    // back-filled even though they'd fit)
+    val got = Sample.budgetSelect(d, "score", "tok", "id", budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 50L, 2L -> 90L))
+  }
+
+  test("ksPairwise: exact CDF-gap ppm on a hand case") {
+    val d = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("src", "v")
+    val out = Diff.ksPairwise(d, "src", "v").collect()
+    assert(out.length == 1)
+    val r = out.head
+    // A cum at v=1,2,3: 2,3,3 of nA=3; B: 0,1,2 of nB=2
+    // max |A*nB - B*nA| = |2*2 - 0*3| = 4 -> 4e6 div 6 = 666666
+    assert((r.getAs[String]("group_a"), r.getAs[String]("group_b"),
+      r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("ks_ppm")) == (("a", "b", 3L, 2L, 666666L)))
+    // identical distributions -> 0
+    val same = Diff.ksPairwise(
+      Seq(("x", 5L), ("x", 6L), ("y", 5L), ("y", 6L)).toDF("src", "v"),
+      "src", "v").collect().head
+    assert(same.getAs[Long]("ks_ppm") == 0L)
+  }
+
+  test("gini: tie-block rank algebra, hand-exact") {
+    val d = Seq(("s", 1L), ("s", 1L), ("s", 2L), ("e", 7L), ("e", 7L))
+      .toDF("src", "v")
+    val out = Profile.gini(d, "src", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // s: sorted 1,1,2 -> sum i*x = 9, n=3, S=4:
+    //   (18 - 16) * 1e6 div 12 = 166666. e: equal values -> 0
+    assert(out == Map("s" -> ((3L, 4L, 166666L)), "e" -> ((2L, 14L, 0L))))
+  }
+
+  test("winnowFingerprints matches a JVM reference; shared runs share prints") {
+    def refWinnow(text: String, k: Int, w: Int): (Long, Long, Long) = {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val kgrams = toks.sliding(k).map(_.mkString(" ")).toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val keys = kgrams.zipWithIndex.map { case (g, p) =>
+        val hex = md.digest(g.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) * 1048576L + (1048575L - p)
+      }
+      val sel = (w - 1 until keys.length)
+        .map(i => keys.slice(i - w + 1, i + 1).min).distinct
+      (kgrams.length.toLong, sel.size.toLong,
+        sel.map(_ / 1048576L).sum)
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "prefix words then the quick brown fox jumps over the lazy dog"),
+      (3L, "too short here"), // 1 kgram < w -> no output row
+      (4L, "a b c a b c a b c a b c")) // periodic: heavy ties
+    val got = Dedup.winnowFingerprints(
+        texts.toDF("doc_id", "text").toDF("doc_id", "text"), "text",
+        "doc_id", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.contains(3L))
+    for (id <- Seq(1L, 2L, 4L))
+      assert(got(id) == refWinnow(texts.find(_._1 == id).get._2, 3, 4),
+        s"doc $id")
+    // the winnowing guarantee: docs 1 and 2 share a run of >= w+k-1 = 6
+    // words, so they must share at least one selected hash — digests
+    // can't show intersection, so check via the reference sets
+    def refSet(text: String): Set[Long] = {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val kgrams = toks.sliding(3).map(_.mkString(" ")).toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = kgrams.map(g => java.lang.Long.parseLong(
+        md.digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8), 16))
+      val keys = hs.zipWithIndex.map { case (h, p) => h * 1048576L + (1048575L - p) }
+      (3 until keys.length).map(i => keys.slice(i - 3, i + 1).min / 1048576L).toSet
+    }
+    assert(refSet(texts(0)._2).intersect(refSet(texts(1)._2)).nonEmpty)
+  }
+
+  test("abTest: exact integer read-out vs a JVM reference") {
+    def arm(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab:$u".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) < 2147483648L) "A" else "B"
+    }
+    val users = (1L to 40L)
+    val ev = users.flatMap { u =>
+      Seq((u, "view")) ++ (if (u % 3 == 0) Seq((u, "purchase")) else Nil)
+    }.toDF("user_id", "event_type")
+    val (na, ca) = (users.count(arm(_) == "A"),
+      users.count(u => arm(u) == "A" && u % 3 == 0))
+    val (nb, cb) = (users.count(arm(_) == "B"),
+      users.count(u => arm(u) == "B" && u % 3 == 0))
+    val r = Insight.abTest(ev, "user_id", "event_type", "purchase")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("conv_a") == ca)
+    assert(r.getAs[Long]("n_b") == nb && r.getAs[Long]("conv_b") == cb)
+    assert(r.getAs[Long]("rate_a_ppm") == ca.toLong * 1000000 / na)
+    val num = BigInt(ca) * nb - BigInt(cb) * na
+    val (bN, bC) = (BigInt(na + nb), BigInt(ca + cb))
+    assert(r.getAs[Int]("diff_sign") == num.signum)
+    assert(r.getAs[Long]("diff_ppm") ==
+      (num.abs * 1000000 / (BigInt(na) * nb)).toLong)
+    assert(r.getAs[Long]("z2_ppm") ==
+      (num * num * bN * 1000000 /
+        (BigInt(na) * nb * bC * (bN - bC))).toLong)
+  }
+
+  test("cohenKappa: hand-exact, perfect disagreement, degenerate raters") {
+    def run(rows: Seq[(Boolean, Boolean)]) =
+      Insight.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    // 4/1/1/4: po = .8, pe = .5, kappa = .6
+    val r = run(Seq.fill(4)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(4)((false, false)))
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n10"), r.getAs[Long]("n01"),
+      r.getAs[Long]("n00")) == ((4L, 1L, 1L, 4L)))
+    assert(r.getAs[Long]("po_ppm") == 800000L)
+    assert(r.getAs[Long]("pe_ppm") == 500000L)
+    assert(r.getAs[Int]("kappa_sign") == 1 &&
+      r.getAs[Long]("kappa_ppm") == 600000L)
+    // complete disagreement with balanced margins: kappa = -1
+    val neg = run(Seq.fill(5)((true, false)) ++ Seq.fill(5)((false, true)))
+    assert(neg.getAs[Int]("kappa_sign") == -1 &&
+      neg.getAs[Long]("kappa_ppm") == 1000000L)
+    // both raters constant: pe = 1, defined kappa = 0
+    val degen = run(Seq.fill(10)((true, true)))
+    assert(degen.getAs[Int]("kappa_sign") == 0 &&
+      degen.getAs[Long]("kappa_ppm") == 0L)
+  }
+
+  test("vocabCoverage: types, hapax, deterministic top-k boundary ties") {
+    val d = Seq(Tuple1("a a b"), Tuple1("a c")).toDF("text")
+    val r = Tokenize.vocabCoverage(d, "text", k = 2).collect().head
+    // counts: a=3, b=1, c=1; top-2 = a + b (tie b<c on token order)
+    assert((r.getAs[Long]("vocab_size"), r.getAs[Long]("hapax"),
+      r.getAs[Long]("total_tokens"), r.getAs[Long]("topk_tokens"),
+      r.getAs[Long]("topk_ppm")) == ((3L, 2L, 5L, 4L, 800000L)))
+    // no global sort: the top-k is a TakeOrderedAndProject
+    val plan = Tokenize.vocabCoverage(d, "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("audioFeatures: hand-exact on a signed square wave") {
