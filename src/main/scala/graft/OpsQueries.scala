@@ -3515,6 +3515,58 @@ object OpsQueries {
       |  CAST(topk_tokens * 1000000 // total_tokens AS BIGINT) AS topk_ppm
       |FROM s, tp""".stripMargin
 
+  /** Winnow-print pair shortlist (see [[Dedup.winnowPairs]]): document
+    * pairs sharing ≥ 2 selected fingerprints through the df-capped
+    * inverted index — the guaranteed-span-overlap candidate generator;
+    * the oracle replays selection, cap, pair counts and overlap ppm. */
+  private def qDedupWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(t(s, dir, "documents"), "text", "doc_id",
+      k = 3, w = 4, minShared = 2, dfCap = 64)
+
+  private val oDedupWinnowPairs =
+    s"""WITH tk AS (SELECT doc_id, $oToks AS t FROM documents),
+      |kg0 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(t) - 2), i -> struct_pack(
+      |      pos := i - 1,
+      |      key := ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+      |        t[i+2]), 1, 8))::BIGINT * 1048576 + (1048575 - (i - 1)))) AS ks
+      |  FROM tk WHERE len(t) - 2 >= 4),
+      |kg AS (SELECT doc_id, u.pos AS pos, u.key AS key
+      |  FROM (SELECT doc_id, unnest(ks) AS u FROM kg0)),
+      |wm AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+      |  FROM kg),
+      |sel AS (SELECT DISTINCT doc_id, wmin // 1048576 AS h
+      |  FROM wm WHERE pos >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sel GROUP BY 1),
+      |bk AS (SELECT h FROM (SELECT h, count(*) AS dfc FROM sel GROUP BY 1)
+      |  WHERE dfc BETWEEN 2 AND 64),
+      |pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |    count(*) AS shared_prints
+      |  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  JOIN bk ON bk.h = a.h
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT ida, idb, shared_prints, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(shared_prints * 1000000 // (sa.n + sb.n - shared_prints)
+      |    AS BIGINT) AS overlap_ppm
+      |FROM pr JOIN sizes sa ON sa.doc_id = ida
+      |JOIN sizes sb ON sb.doc_id = idb""".stripMargin
+
+  /** Rendezvous (highest-random-weight) shard assignment (see
+    * [[Layout.rendezvousShard]]): argmax of md5(s:key) hex over 8
+    * shards — the stable-resharding layout primitive; pure per-row
+    * codegen expression, no shuffle. */
+  private def qLayoutRendezvous(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Layout.rendezvousShard(col("doc_id"), 8).as("shard"))
+
+  private val oLayoutRendezvous =
+    """SELECT doc_id, CAST(arg_max(s.g,
+      |    md5(CAST(s.g AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)))
+      |  AS INTEGER) AS shard
+      |FROM documents, generate_series(0, 7) s(g)
+      |GROUP BY doc_id""".stripMargin
+
   /** Transitive duplicate-cluster audit: per near-dup group its size,
     * id span, and char mass — survivor-keyed so it joins the
     * [[Dedup.nearDupSurvivors]] output directly (see
@@ -7142,6 +7194,8 @@ object OpsQueries {
     "events_abtest" -> (qEventsAbtest _),
     "quality_kappa" -> (qQualityKappa _),
     "text_vocab_coverage" -> (qTextVocabCoverage _),
+    "layout_rendezvous" -> (qLayoutRendezvous _),
+    "dedup_winnow_pairs" -> (qDedupWinnowPairs _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -7358,6 +7412,8 @@ object OpsQueries {
     "events_abtest" -> oEventsAbtest,
     "quality_kappa" -> oQualityKappa,
     "text_vocab_coverage" -> oTextVocabCoverage,
+    "layout_rendezvous" -> oLayoutRendezvous,
+    "dedup_winnow_pairs" -> oDedupWinnowPairs,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-tooling main for SCALED soaks of operators whose oracle QUERY
+  * deliberately caps its input for DuckDB tractability (e.g.
+  * `text_dup_spans_removed_exact` runs on `doc_id < 30` + planted rows
+  * so the oracle's quadratic SQL twin terminates) — benching that query on
+  * 10×/100× tables measures scan growth, not operator scaling. This
+  * main drives the OPERATOR directly over the FULL named table with the
+  * bench protocol's honest action (`toRdd.count()`), printing one JSON
+  * line per run.
+  *
+  * Usage: runMain graft.Soak <op> <tableDir> [reps]
+  *   op ∈ dup_spans_exact | dup_span_longest | winnow
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val op = args(0)
+    val dir = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    docs.count() // untimed warmup: scan-path compile + footer decode
+    // construction goes INSIDE the timer: iterative ops do real work
+    // eagerly (localCheckpoint rounds, offset collects) while the frame
+    // is being BUILT — timing only the final action misses most of it
+    // (Bench.timeOnce has the same contract)
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      val df = op match {
+        case "dup_spans_exact" =>
+          ops.Dedup.removeDupSpansExact(docs, "text", "doc_id",
+            minLen = 8, maxPow = 5)
+        case "dup_span_longest" =>
+          ops.Dedup.longestDupSpanExact(docs, "text", "doc_id", maxPow = 5)
+        case "winnow" =>
+          ops.Dedup.winnowFingerprints(docs, "text", "doc_id")
+        case other => sys.error(s"unknown op $other")
+      }
+      df.queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val times = (1 to reps).map(_ => run())
+    println(s"""{"op":"$op","dir":"$dir","reps":$reps,""" +
+      s""""times":[${times.map(t => f"$t%.2f").mkString(",")}],""" +
+      s""""min":${f"${times.min}%.2f"}}""")
+    spark.stop()
+  }
+}

@@ -65,7 +65,19 @@ object Dedup {
     *         fingerprints, fp_sum the sum of their hash values (the
     *         compact per-doc signature digest oracles can replay) */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-                         k: Int = 3, w: Int = 4): DataFrame = {
+                         k: Int = 3, w: Int = 4): DataFrame =
+    winnowSelected(df, textCol, idCol, k, w)
+      .groupBy(col(idCol), col("n_kgrams"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(expr("__key div 1048576")).as("fp_sum"))
+
+  /** Shared winnowing core: one row per (doc, DISTINCT selected KEY) —
+    * a key is (hash, position), so a periodic document that re-selects
+    * the same hash at several positions keeps one row per position (the
+    * per-doc digest counts selections; the pair shortlist collapses to
+    * distinct hashes on top). */
+  private def winnowSelected(df: DataFrame, textCol: String, idCol: String,
+                             k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, "winnow: k and w must be >= 1")
     val toks = TextFunctions.tokens(col(textCol))
     val kgrams = transform(sequence(lit(1), size(toks) - (k - 1)),
@@ -82,11 +94,57 @@ object Dedup {
       .rowsBetween(-(w - 1), 0)
     ex.withColumn("__wmin", min("__key").over(win))
       .filter(col("__pos") >= w - 1)
-      .select(col(idCol), col("n_kgrams"), col("__wmin"))
+      .select(col(idCol), col("n_kgrams"), col("__wmin").as("__key"))
       .distinct()
-      .groupBy(col(idCol), col("n_kgrams"))
-      .agg(count(lit(1)).as("n_fps"),
-        sum(expr("__wmin div 1048576")).as("fp_sum"))
+  }
+
+  /** Winnow-print PAIR SHORTLIST: document pairs sharing ≥ `minShared`
+    * selected fingerprints, with the print-set overlap ratio — the
+    * plagiarism/quotation candidate generator with winnowing's
+    * GUARANTEE behind it: any shared run of ≥ w+k−1 words shares a
+    * print, so every pair with a long verbatim overlap appears (at
+    * minShared prints ≈ a run of ~w+k−1 + (minShared−1)·(w+1)/2 words,
+    * or several shorter ones). MinHash bounds the Jaccard ESTIMATE;
+    * winnowing bounds what a shared SPAN must leave behind — the right
+    * shortlist when the question is "who copied a passage", not "who
+    * is globally similar".
+    *
+    * Scale shape: the [[minhashPairs]] inverted-index discipline — one
+    * (print → docs) aggregate with a document-frequency cap (`dfCap`
+    * drops boilerplate prints that would square hot buckets; dropped
+    * prints are exactly the non-discriminative ones), within-bucket
+    * pair explode bounded by dfCap², then a count aggregate per pair.
+    * Never an all-pairs join. Overlap ppm = shared·10⁶ div
+    * (n_a + n_b − shared) on DISTINCT print sets (both sides long;
+    * exact).
+    *
+    * @return (ida, idb, shared_prints, n_a, n_b, overlap_ppm) */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 3, w: Int = 4, minShared: Int = 2,
+                  dfCap: Int = 64): DataFrame = {
+    require(minShared >= 1 && dfCap >= 2, "winnowPairs: bad thresholds")
+    val sel = winnowSelected(df, textCol, idCol, k, w)
+      .select(col(idCol).as("__id"), expr("__key div 1048576").as("__hash"))
+      .distinct()
+    val sizes = sel.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val buckets = sel.groupBy("__hash")
+      .agg(collect_set("__id").as("__ids"))
+      .filter(size(col("__ids")) between (2, dfCap))
+    val pairs = buckets
+      .select(explode(expr(
+        "flatten(transform(array_sort(__ids), (x, i) -> " +
+          "transform(slice(array_sort(__ids), i + 2, size(__ids)), y -> " +
+          "named_struct('a', x, 'b', y))))")).as("p"))
+      .groupBy(col("p.a").as("ida"), col("p.b").as("idb"))
+      .agg(count(lit(1)).as("shared_prints"))
+      .filter(col("shared_prints") >= minShared)
+    pairs
+      .join(sizes.select(col("__id").as("ida"), col("__n").as("n_a")), "ida")
+      .join(sizes.select(col("__id").as("idb"), col("__n").as("n_b")), "idb")
+      .select(col("ida"), col("idb"), col("shared_prints"),
+        col("n_a"), col("n_b"),
+        expr("shared_prints * 1000000 div (n_a + n_b - shared_prints)")
+          .as("overlap_ppm"))
   }
 
   /** Exact dedup: keep the lowest-id document per canonical-text

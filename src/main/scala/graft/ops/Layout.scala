@@ -25,6 +25,29 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** RENDEZVOUS (highest-random-weight) shard assignment: every key
+    * goes to argmax over shards s of md5(s:key). The property modular
+    * hashing lacks: growing n → n+1 shards moves ONLY the ~1/(n+1) of
+    * keys whose new shard wins the argmax — no global reshuffle of a
+    * 100 TB layout when capacity is added (mod-n would relocate
+    * (n−1)/n of all keys). The comparison is on the md5 HEX STRING
+    * (fixed 32 lowercase hex chars, so lexicographic = numeric), which
+    * every engine orders identically — no integer conversion to drift.
+    *
+    * Pure per-row expression: one transform over n seeds + array_max
+    * of (hash, shard) structs, codegen end to end, no shuffle, no UDF.
+    * Cost is n md5s per row — right for shard counts in the
+    * hundreds-to-thousands; beyond that, two-level rendezvous (groups,
+    * then shards within the winning group) keeps it O(√n) per row. */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    require(shards >= 1, "shards must be >= 1")
+    array_max(transform(sequence(lit(0), lit(shards - 1)),
+      s => struct(
+        md5(concat(s.cast("string"), lit(":"), key.cast("string")))
+          .as("h"),
+        s.as("s")))).getField("s")
+  }
+
   /** Assign every row to an output SHARD of ~`targetPerShard` weight
     * (tokens, bytes, chars) in deterministic `sortKey` order — the
     * "write the final pretraining shards" step, where a training run

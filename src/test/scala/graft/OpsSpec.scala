@@ -3456,6 +3456,59 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("winnowPairs: shared-run guarantee, minShared filter, df cap") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one unique opening here $run and some tail words follow now"),
+      (2L, s"different lead tokens precede $run then diverge completely away"),
+      (3L, "wholly unrelated text with enough words to clear the window"),
+      (4L, "another separate document about nothing shared with the others"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "text", "doc_id",
+        k = 3, w = 4, minShared = 1, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the guarantee: a shared 10-word run (>= w+k-1 = 6) must share a print
+    assert(pairs.contains((1L, 2L)), s"pairs=$pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // minShared = 2 prunes single-print coincidences but keeps the run
+    // (10 words = 8 kgrams = 5 full windows -> typically > 1 print)
+    val strict = Dedup.winnowPairs(docs, "text", "doc_id",
+        k = 3, w = 4, minShared = 2, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.subsetOf(pairs.keySet))
+    // df cap: a print present in EVERY doc is non-discriminative; with
+    // dfCap < corpus df it contributes no pairs
+    val boiler = (1L to 5L).map(i =>
+      (i, s"shared boilerplate footer row here always $i distinct middle part"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(boiler, "text", "doc_id",
+      k = 3, w = 4, minShared = 1, dfCap = 4)
+    val uncapped = Dedup.winnowPairs(boiler, "text", "doc_id",
+      k = 3, w = 4, minShared = 1, dfCap = 64)
+    assert(capped.count() <= uncapped.count())
+  }
+
+  test("rendezvousShard: JVM-exact, balanced, minimal movement on resize") {
+    def ref(id: Long, n: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until n).maxBy { s =>
+        md.digest(s"$s:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+    }
+    val d = spark.range(0, 500).select(col("id"))
+    val at8 = d.select(col("id"), Layout.rendezvousShard(col("id"), 8)
+        .as("s8")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0L until 500L).forall(i => at8(i) == ref(i, 8)))
+    assert(at8.values.toSet == (0 until 8).toSet) // every shard lands keys
+    // growing 8 -> 9 shards: ONLY keys won by the new shard move
+    val at9 = d.select(col("id"), Layout.rendezvousShard(col("id"), 9)
+        .as("s9")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val moved = (0L until 500L).filter(i => at9(i) != at8(i))
+    assert(moved.forall(i => at9(i) == 8), "movers must all join the new shard")
+    assert(moved.size > 10 && moved.size < 125, // ~1/9 of 500 = 56
+      s"moved ${moved.size}, expected ~56")
+  }
+
   test("audioFeatures: hand-exact on a signed square wave") {
     // 8 samples: +1000 x4 then -1000 x4 at 8000 Hz -> 1 ms, 1 crossing
     val wav = Multimodal.wavPcm16(8000, 1,
