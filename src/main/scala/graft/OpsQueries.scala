@@ -3515,6 +3515,65 @@ object OpsQueries {
       |  CAST(topk_tokens * 1000000 // total_tokens AS BIGINT) AS topk_ppm
       |FROM s, tp""".stripMargin
 
+  /** Lift/capture curve by score decile (see [[Classify.liftCurve]]):
+    * globalRank best-first deciles of the quality score against the
+    * lang=en label — rate/capture/lift all exact integer ppm. */
+  private def qQualityLiftCurve(s: SparkSession, dir: String): DataFrame =
+    Classify.liftCurve(
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en", "doc_id", buckets = 10)
+
+  private val oQualityLiftCurve =
+    s"""WITH sc AS MATERIALIZED (SELECT doc_id, $oQualityExpr AS s,
+      |    lang = 'en' AS y FROM documents),
+      |t AS (SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS tp FROM sc),
+      |r AS (SELECT doc_id, s, y,
+      |    row_number() OVER (ORDER BY s DESC, doc_id) AS rr FROM sc),
+      |b AS (SELECT (rr - 1) * 10 // t.n + 1 AS bucket, y FROM r, t),
+      |pb AS (SELECT bucket, count(*) AS n,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      |  FROM b GROUP BY 1),
+      |c AS (SELECT *, CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT)
+      |    AS cum_pos FROM pb)
+      |SELECT bucket, c.n, n_pos,
+      |  CAST(n_pos * 1000000 // c.n AS BIGINT) AS rate_ppm, cum_pos,
+      |  CAST(CASE WHEN t.tp = 0 THEN 0
+      |    ELSE cum_pos * 1000000 // t.tp END AS BIGINT) AS capture_ppm,
+      |  CAST(CASE WHEN t.tp = 0 THEN 0
+      |    ELSE n_pos * t.n * 1000000 // (c.n * t.tp) END AS BIGINT)
+      |    AS lift_ppm
+      |FROM c, t""".stripMargin
+
+  /** Per-state transition entropy of the behavior Markov chain (see
+    * [[Insight.transitionEntropy]]): micro-bit rounded-term sums, the
+    * text_entropy convention on the transition matrix. */
+  private def qEventsMarkovEntropy(s: SparkSession, dir: String): DataFrame =
+    Insight.transitionEntropy(readEvents(s, dir), "user_id", "ts",
+      "event_type", "event_id")
+
+  private val oEventsMarkovEntropy =
+    """WITH o AS (SELECT user_id, event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |n AS (SELECT src, dst, count(*) AS n FROM o
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT src, sum(n) AS tot FROM n GROUP BY 1),
+      |term AS (SELECT src,
+      |    CAST(floor(-(n / tot) * log2(n / tot) * 1e6 + 0.5) AS BIGINT)
+      |      AS term
+      |  FROM n JOIN t USING (src)),
+      |d AS (SELECT src, count(*) AS n_dst,
+      |    CAST(sum(term) AS BIGINT) AS entropy_micro FROM term GROUP BY 1)
+      |SELECT d.src, CAST(t.tot AS BIGINT) AS n_trans, d.n_dst,
+      |  d.entropy_micro,
+      |  CAST(floor(log2(CAST(n_dst AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |    AS max_entropy_micro
+      |FROM d JOIN t USING (src)""".stripMargin
+
   /** Winnow-print pair shortlist (see [[Dedup.winnowPairs]]): document
     * pairs sharing ≥ 2 selected fingerprints through the df-capped
     * inverted index — the guaranteed-span-overlap candidate generator;
@@ -7196,6 +7255,8 @@ object OpsQueries {
     "text_vocab_coverage" -> (qTextVocabCoverage _),
     "layout_rendezvous" -> (qLayoutRendezvous _),
     "dedup_winnow_pairs" -> (qDedupWinnowPairs _),
+    "quality_lift_curve" -> (qQualityLiftCurve _),
+    "events_markov_entropy" -> (qEventsMarkovEntropy _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -7414,6 +7475,8 @@ object OpsQueries {
     "text_vocab_coverage" -> oTextVocabCoverage,
     "layout_rendezvous" -> oLayoutRendezvous,
     "dedup_winnow_pairs" -> oDedupWinnowPairs,
+    "quality_lift_curve" -> oQualityLiftCurve,
+    "events_markov_entropy" -> oEventsMarkovEntropy,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

@@ -182,6 +182,57 @@ object Classify {
     * corpus scale. Both the rank-sum accumulation and the ·10⁶ numerator
     * therefore run in DECIMAL(38,0) (exact to 10³⁸, i.e. N up to ~10¹⁶);
     * IntegralDivide on decimals returns the BIGINT quotient directly. */
+  /** LIFT / CAPTURE curve by score decile — the business-facing
+    * companion to [[aucExact]]: rank rows best-score-first into
+    * `buckets` equal-count bins and report each bin's positive rate,
+    * cumulative capture (what share of ALL positives the top-k bins
+    * hold) and lift vs the base rate. "The top decile captures 38% of
+    * positives at 3.1× base rate" is the sentence a threshold decision
+    * actually uses.
+    *
+    * Ranking is [[Rank.globalRank]] on (score desc, id) — never a
+    * single-partition window over the data; the only unpartitioned
+    * window left runs over the BUCKET AGGREGATE (`buckets` rows, a
+    * driver-fit-class frame bounded by construction). Every output is
+    * exact-integer ppm: rate = pos·10⁶ div n, capture = cum_pos·10⁶
+    * div total_pos, lift = pos·N·10⁶ div (n·total_pos), products in
+    * DECIMAL(38,0).
+    *
+    * @return (bucket 1..buckets best-first, n, n_pos, rate_ppm,
+    *         cum_pos, capture_ppm, lift_ppm) */
+  def liftCurve(df: DataFrame, scoreCol: String, labelCol: String,
+                idCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val base = df.select(col(scoreCol).as("__s"),
+        col(labelCol).cast("boolean").as("__y"), col(idCol).as("__id"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val ranked = Rank.globalRank(base,
+      Seq(col("__s").desc, col("__id")), "__r")
+    val tot = ranked.groupBy().agg(count(lit(1)).as("__n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__tp"))
+    val perBucket = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"(__r - 1) * $buckets DIV __n + 1"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        max("__n").as("__n"), max("__tp").as("__tp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val d = "cast(%s as decimal(38,0))"
+    perBucket
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("rate_ppm"),
+        col("cum_pos"),
+        when(col("__tp") === 0, lit(0L)).otherwise(
+          expr("cum_pos * 1000000 div __tp")).as("capture_ppm"),
+        when(col("__tp") === 0, lit(0L)).otherwise(
+          expr(s"${d.format("n_pos")} * ${d.format("__n")} * 1000000 div " +
+            s"(${d.format("n")} * ${d.format("__tp")})")).as("lift_ppm"))
+  }
+
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String)
   : DataFrame = {
     val g = df

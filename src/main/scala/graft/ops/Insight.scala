@@ -307,6 +307,43 @@ object Insight {
         round(col("n") / col("__tot"), 6).as("p"))
   }
 
+  /** Per-state TRANSITION ENTROPY of the behavior Markov chain — how
+    * predictable is what users do NEXT from each state (entropy 0 = a
+    * forced move, log₂(out-degree) = uniform chaos). The sequence-
+    * predictability health read on an event stream: a state whose
+    * entropy jumps after a release means a funnel stopped funneling.
+    *
+    * Same pair extraction as [[transitions]] (per-user lead window,
+    * deterministic tie order). Engine-exact by the repo's micro-bit
+    * convention (text_entropy precedent): each destination contributes
+    * floor(−p·log₂p·10⁶ + 0.5) with p = n/tot — one identical double
+    * expression on both engines — and the rounded integer terms sum
+    * order-free. Cost: one count aggregate + a per-src total join,
+    * state vocabulary sized.
+    *
+    * @return (src, n_trans, n_dst, entropy_micro, max_entropy_micro) —
+    *         entropy in 10⁻⁶ bits, max = log₂(n_dst) scaled the same */
+  def transitionEntropy(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("src"),
+        lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val n = pairs.groupBy("src", "dst").agg(count(lit(1)).as("__n"))
+    val tot = n.groupBy("src").agg(sum("__n").as("__tot"))
+    n.join(tot, "src")
+      .withColumn("__term", floor(
+        -(col("__n") / col("__tot")) *
+          log2(col("__n") / col("__tot")) * 1e6 + 0.5).cast("long"))
+      .groupBy("src")
+      .agg(max("__tot").as("n_trans"),
+        count(lit(1)).as("n_dst"),
+        sum("__term").as("entropy_micro"))
+      .withColumn("max_entropy_micro",
+        floor(log2(col("n_dst").cast("double")) * 1e6 + 0.5).cast("long"))
+  }
+
   /** EXPONENTIALLY-DECAYED counts per key — the recency-weighted
     * frequency a crawl scheduler or trending detector actually wants
     * (a hit 3 half-lives ago is worth 1/8 of one today; a plain count

@@ -3456,6 +3456,47 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("liftCurve: hand-exact deciles, capture sums to all positives") {
+    // 20 rows, scores 20..1, positives at the 8 highest scores
+    val d = (1 to 20).map(i => (i.toLong, (21 - i).toDouble, i <= 8))
+      .toDF("id", "score", "y")
+    val rows = Classify.liftCurve(d, "score", "y", "id", buckets = 4)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // buckets of 5 best-first: pos 5,3,0,0
+    assert(rows.map(_.getAs[Long]("n_pos")).toSeq == Seq(5L, 3L, 0L, 0L))
+    assert(rows.map(_.getAs[Long]("cum_pos")).toSeq == Seq(5L, 8L, 8L, 8L))
+    assert(rows.map(_.getAs[Long]("capture_ppm")).toSeq ==
+      Seq(625000L, 1000000L, 1000000L, 1000000L))
+    // lift of bucket 1: rate 1.0 vs base 0.4 -> 2.5x
+    assert(rows.head.getAs[Long]("rate_ppm") == 1000000L)
+    assert(rows.head.getAs[Long]("lift_ppm") == 2500000L)
+    // no single-partition window over the DATA: ranking is globalRank
+    val plan = Classify.liftCurve(d, "score", "y", "id", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__gr_pid"), plan)
+  }
+
+  test("transitionEntropy: forced moves 0 bits, uniform hits the max") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:${m}%02d:00")
+    // user 1: a->b, b->a, a->b (from a: always b; from b: always a)
+    // users 2,3: c->d, c->e (from c: uniform over 2)
+    val ev = Seq(
+      (1L, ts(1), "a", 1L), (1L, ts(2), "b", 2L), (1L, ts(3), "a", 3L),
+      (1L, ts(4), "b", 4L),
+      (2L, ts(1), "c", 5L), (2L, ts(2), "d", 6L),
+      (3L, ts(1), "c", 7L), (3L, ts(2), "e", 8L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = Insight.transitionEntropy(ev, "user_id", "ts", "event_type",
+        "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((2L, 1L, 0L, 0L))) // forced: 0 bits, max log2(1)=0
+    assert(out("b") == ((1L, 1L, 0L, 0L)))
+    assert(out("c") == ((2L, 2L, 1000000L, 1000000L))) // uniform: 1 bit
+  }
+
   test("winnowPairs: shared-run guarantee, minShared filter, df cap") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
