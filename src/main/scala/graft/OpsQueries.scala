@@ -3574,6 +3574,41 @@ object OpsQueries {
       |    AS max_entropy_micro
       |FROM d JOIN t USING (src)""".stripMargin
 
+  /** Redirect-chain resolution (see [[Web.resolveChains]]): pointer
+    * doubling over a planted functional graph of 20-node chains (even
+    * groups, terminal) and 20-cycles (odd groups) — 4 self-join rounds
+    * = 16-hop cap; the oracle steps ONE hop at a time in a recursive
+    * CTE and lands on identical (final, hops, terminal). */
+  private def qWebRedirects(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 20
+    val edges = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      .select(col("doc_id").as("src"),
+        when(m < 19, col("doc_id") + 1)
+          .when(expr("doc_id DIV 20") % 2 === 1, col("doc_id") - 19)
+          .otherwise(lit(null)).as("dst"))
+      .filter(col("dst").isNotNull)
+    Web.resolveChains(edges, "src", "dst", rounds = 4)
+      .select("src", "final", "hops", "terminal")
+  }
+
+  private val oWebRedirects =
+    """WITH RECURSIVE e AS (SELECT src, min(dst) AS dst FROM (
+      |  SELECT doc_id AS src,
+      |    CASE WHEN doc_id % 20 < 19 THEN doc_id + 1
+      |         WHEN (doc_id // 20) % 2 = 1 THEN doc_id - 19
+      |         ELSE NULL END AS dst
+      |  FROM documents WHERE doc_id < 2000)
+      |  WHERE dst IS NOT NULL GROUP BY 1),
+      |walk(src, cur, hops) AS (
+      |  SELECT src, dst, CAST(1 AS BIGINT) FROM e
+      |  UNION ALL
+      |  SELECT w.src, e2.dst, w.hops + 1
+      |  FROM walk w JOIN e e2 ON e2.src = w.cur WHERE w.hops < 16),
+      |fin AS (SELECT src, arg_max(cur, hops) AS final,
+      |    max(hops) AS hops FROM walk GROUP BY 1)
+      |SELECT f.src, f.final, f.hops, e3.src IS NULL AS terminal
+      |FROM fin f LEFT JOIN e e3 ON e3.src = f.final""".stripMargin
+
   /** Winnow-print pair shortlist (see [[Dedup.winnowPairs]]): document
     * pairs sharing ≥ 2 selected fingerprints through the df-capped
     * inverted index — the guaranteed-span-overlap candidate generator;
@@ -7257,6 +7292,7 @@ object OpsQueries {
     "dedup_winnow_pairs" -> (qDedupWinnowPairs _),
     "quality_lift_curve" -> (qQualityLiftCurve _),
     "events_markov_entropy" -> (qEventsMarkovEntropy _),
+    "web_redirects" -> (qWebRedirects _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -7477,6 +7513,7 @@ object OpsQueries {
     "dedup_winnow_pairs" -> oDedupWinnowPairs,
     "quality_lift_curve" -> oQualityLiftCurve,
     "events_markov_entropy" -> oEventsMarkovEntropy,
+    "web_redirects" -> oWebRedirects,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

@@ -342,6 +342,50 @@ object Web {
     * @param df one row per (host, document); duplicates collapse
     * @return (host_a, host_b, common, na, nb, jaccard_micro) with
     *         host_a < host_b, jaccard_micro ≥ minJaccard·10⁶ */
+  /** REDIRECT-CHAIN resolution by POINTER DOUBLING: each source follows
+    * its (functional) redirect edge to the final target, with the hop
+    * count, in ⌈log₂ cap⌉ self-joins instead of cap sequential ones —
+    * the difference between 4 shuffles and 16 at crawl scale, and the
+    * log-round primitive (path halving) the star-CC family already
+    * uses, here on a functional graph with cycles.
+    *
+    * Contract (engine-replayable — a recursive CTE stepping one hop at
+    * a time with `hops < 2^rounds` reproduces it exactly): each src
+    * reports the node at distance min(dist-to-terminal, 2^rounds) and
+    * that distance; `terminal` is true iff the reported node has no
+    * outgoing edge (false = still redirecting at the cap: a loop or a
+    * too-deep chain — either way a crawler should drop it). Dirty
+    * multi-edges collapse deterministically to min(dst). Invariant per
+    * round r: hops = min(dist, 2^r) — rows that reach a terminal
+    * freeze exactly; rows in flight double.
+    *
+    * @return (src, final, hops, terminal) — one row per src with an
+    *         outgoing edge */
+  def resolveChains(edges: DataFrame, srcCol: String, dstCol: String,
+                    rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds in [1, 20]")
+    val e = edges.groupBy(col(srcCol).as("src"))
+      .agg(min(col(dstCol)).as("dst"))
+      .localCheckpoint(true)
+    var state = e.select(col("src"), col("dst").as("cur"),
+      lit(1L).as("hops"))
+    for (_ <- 1 to rounds) {
+      val t = state.select(col("src").as("__t_src"),
+        col("cur").as("__t_cur"), col("hops").as("__t_hops"))
+      state = state
+        .join(t, state("cur") === t("__t_src"), "left")
+        .select(col("src"),
+          coalesce(col("__t_cur"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("__t_hops"), lit(0L))).as("hops"))
+        .localCheckpoint(true)
+    }
+    state
+      .join(e.select(col("src").as("cur"), lit(true).as("__out")),
+        Seq("cur"), "left")
+      .select(col("src"), col("cur").as("final"), col("hops"),
+        col("__out").isNull.as("terminal"))
+  }
+
   def mirrorHosts(df: DataFrame, hostCol: String, fpCol: String,
                   minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")

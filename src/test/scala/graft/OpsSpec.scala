@@ -3456,6 +3456,30 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("resolveChains: exact hops, cycle cap, long-chain cap, dirty edges") {
+    val edges = (
+      Seq((1L, 2L), (2L, 3L)) ++          // chain 1->2->3, 3 terminal
+      Seq((10L, 11L), (11L, 10L)) ++      // 2-cycle
+      (20L until 45L).map(i => (i, i + 1)) ++ // chain of 25 > cap 16
+      Seq((50L, 60L), (50L, 55L))         // dirty multi-edge -> min dst
+    ).toDF("src", "dst")
+    val out = Web.resolveChains(edges, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3L, 2L, true)))
+    assert(out(2L) == ((3L, 1L, true)))
+    // 2-cycle: 16 hops of period 2 lands back on the src, not terminal
+    assert(out(10L) == ((10L, 16L, false)))
+    assert(out(11L) == ((11L, 16L, false)))
+    // deep chain: capped at 16 hops, node src+16, still redirecting
+    assert(out(20L) == ((36L, 16L, false)))
+    // 15 hops to terminal 45: exact, NOT capped
+    assert(out(30L) == ((45L, 15L, true)))
+    assert(out(44L) == ((45L, 1L, true)))
+    // dirty edges collapse to min dst (55 terminal)
+    assert(out(50L) == ((55L, 1L, true)))
+  }
+
   test("liftCurve: hand-exact deciles, capture sums to all positives") {
     // 20 rows, scores 20..1, positives at the 8 highest scores
     val d = (1 to 20).map(i => (i.toLong, (21 - i).toDouble, i <= 8))
