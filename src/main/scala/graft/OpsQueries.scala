@@ -3574,6 +3574,54 @@ object OpsQueries {
       |    AS max_entropy_micro
       |FROM d JOIN t USING (src)""".stripMargin
 
+  /** Exact per-source median document length (see
+    * [[Profile.exactMedian]]): the value-frequency rail — no sort of
+    * the data, no percentile_approx error bar. */
+  private def qProfileMedian(s: SparkSession, dir: String): DataFrame =
+    Profile.exactMedian(
+      t(s, dir, "documents").select(col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("len")),
+      "source", "len")
+
+  private val oProfileMedian =
+    s"""WITH d AS (SELECT source AS g, len($oToks) AS v FROM documents),
+      |c AS (SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |cc AS (SELECT g, v, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS n FROM c)
+      |SELECT g AS "group", CAST(max(n) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT) AS median
+      |FROM cc GROUP BY 1""".stripMargin
+
+  /** Pairwise Jensen–Shannon divergence between the sources' token
+    * unigram distributions (see [[Diff.jsdPairwise]]): rounded
+    * micro-bit terms over the shared vocabulary grid. */
+  private def qDatasetJsd(s: SparkSession, dir: String): DataFrame =
+    Diff.jsdPairwise(
+      t(s, dir, "documents").select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok")),
+      "source", "tok")
+
+  private val oDatasetJsd =
+    s"""WITH t0 AS (SELECT source AS g, unnest($oToks) AS i FROM documents),
+      |c AS (SELECT g, i, count(*) AS c FROM t0 GROUP BY 1, 2),
+      |grid AS (SELECT gg.g, ii.i, coalesce(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT g FROM c) gg
+      |  CROSS JOIN (SELECT DISTINCT i FROM c) ii
+      |  LEFT JOIN c ON c.g = gg.g AND c.i = ii.i),
+      |tt AS (SELECT g, sum(c) AS n FROM c GROUP BY 1),
+      |s AS (SELECT grid.g, grid.i, grid.c / tt.n AS p
+      |  FROM grid JOIN tt USING (g))
+      |SELECT a.g AS group_a, b.g AS group_b,
+      |  CAST(sum(CAST(floor((
+      |    (CASE WHEN a.p > 0
+      |      THEN a.p * 0.5 * log2(a.p * 2 / (a.p + b.p)) ELSE 0 END) +
+      |    (CASE WHEN b.p > 0
+      |      THEN b.p * 0.5 * log2(b.p * 2 / (a.p + b.p)) ELSE 0 END)
+      |  ) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS jsd_micro
+      |FROM s a JOIN s b ON a.i = b.i AND a.g < b.g
+      |GROUP BY 1, 2""".stripMargin
+
   /** Redirect-chain resolution (see [[Web.resolveChains]]): pointer
     * doubling over a planted functional graph of 20-node chains (even
     * groups, terminal) and 20-cycles (odd groups) — 4 self-join rounds
@@ -7293,6 +7341,8 @@ object OpsQueries {
     "quality_lift_curve" -> (qQualityLiftCurve _),
     "events_markov_entropy" -> (qEventsMarkovEntropy _),
     "web_redirects" -> (qWebRedirects _),
+    "profile_median" -> (qProfileMedian _),
+    "dataset_jsd" -> (qDatasetJsd _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -7514,6 +7564,8 @@ object OpsQueries {
     "quality_lift_curve" -> oQualityLiftCurve,
     "events_markov_entropy" -> oEventsMarkovEntropy,
     "web_redirects" -> oWebRedirects,
+    "profile_median" -> oProfileMedian,
+    "dataset_jsd" -> oDatasetJsd,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

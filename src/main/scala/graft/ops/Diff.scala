@@ -223,6 +223,55 @@ object Diff {
     * count — right for discrete/bucketed columns (token counts, scores,
     * sizes); pre-bucket continuous columns first (at which point the
     * sup over buckets is exact for the bucketed variable). */
+  /** Pairwise JENSEN–SHANNON divergence between the groups' ITEM
+    * distributions (token unigrams, domains, event types…) — the
+    * content-level companion to [[ksPairwise]] (KS compares one numeric
+    * marginal; JSD compares what the groups are actually made of).
+    * Symmetric, bounded [0, 1] bit: 0 = identical mixture, 10⁶ µbits =
+    * disjoint support.
+    *
+    * Engine-exact by the rounded-term convention ([[psi]] /
+    * text_entropy precedent): per item,
+    *
+    *   term = ½p·log₂(2p/(p+q)) [p>0] + ½q·log₂(2q/(p+q)) [q>0]
+    *
+    * evaluated as ONE identical double expression on both engines
+    * (p, q are exact-integer ratios), rounded to µbits via
+    * floor(·10⁶ + 0.5), summed order-free as BIGINT. A group missing
+    * an item contributes the other side's ½·p mass exactly.
+    *
+    * Scale contract: counts-first (rows collapse to the item
+    * vocabulary before any shuffle), dense (group × item) grid,
+    * pair join bounded by |groups|²·|vocabulary| — never row count. */
+  def jsdPairwise(df: DataFrame, groupCol: String, itemCol: String):
+      DataFrame = {
+    val cnt = df.filter(col(itemCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .agg(count(lit(1)).as("__c"))
+    val grid = cnt.select("__g").distinct()
+      .crossJoin(cnt.select("__i").distinct())
+      .join(cnt, Seq("__g", "__i"), "left")
+      .select(col("__g"), col("__i"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = cnt.groupBy("__g").agg(sum("__c").as("__n"))
+    val sided = grid.join(tot, "__g")
+    val a = sided.select(col("__g").as("group_a"), col("__i"),
+      (col("__c").cast("double") / col("__n")).as("__p"))
+    val b = sided.select(col("__g").as("group_b"), col("__i"),
+      (col("__c").cast("double") / col("__n")).as("__q"))
+    a.join(b, Seq("__i")).filter(col("group_a") < col("group_b"))
+      .withColumn("__term", floor((
+        when(col("__p") > 0,
+          col("__p") * lit(0.5) *
+            log2(col("__p") * 2 / (col("__p") + col("__q"))))
+          .otherwise(lit(0.0)) +
+        when(col("__q") > 0,
+          col("__q") * lit(0.5) *
+            log2(col("__q") * 2 / (col("__p") + col("__q"))))
+          .otherwise(lit(0.0))) * 1e6 + 0.5).cast("long"))
+      .groupBy("group_a", "group_b")
+      .agg(sum("__term").as("jsd_micro"))
+  }
+
   def ksPairwise(df: DataFrame, groupCol: String, valueCol: String):
       DataFrame = {
     val cnt = df.filter(col(valueCol).isNotNull)

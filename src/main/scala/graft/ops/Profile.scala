@@ -475,6 +475,38 @@ object Profile {
       .withColumn("jaccard", col("n_and").cast("double") / col("n_or"))
   }
 
+  /** EXACT MEDIAN (and any fixed quantile) per group over an integer
+    * column — without sorting rows: the value-frequency rail shared
+    * with [[gini]]/[[Diff.ksPairwise]]. percentile_approx answers
+    * "roughly where is the middle" with a sketch error bar; this
+    * answers it exactly, because for discrete columns the cumulative
+    * count table IS the quantile function: median = smallest v with
+    * 2·cum(v) ≥ n (the lower statistical median — deterministic for
+    * even n on any engine, no averaging of middles to drift).
+    *
+    * Scale: one count aggregate (map-side combinable — a trillion rows
+    * collapse to the value vocabulary before shuffling), a group-
+    * partitioned window over the VOCABULARY, one min-aggregate. Never
+    * a sort of the data.
+    *
+    * @return (group, n, median) */
+  def exactMedian(df: DataFrame, groupCol: String, valueCol: String):
+      DataFrame = {
+    val cnt = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("group"), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("group")
+    cnt.withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(wAll))
+      .groupBy("group")
+      .agg(max("__n").as("n"),
+        min(when(col("__cum") * 2 >= col("__n"), col("__v"))).as("median"))
+  }
+
   /** Exact GINI COEFFICIENT of a non-negative integer column per group
     * — the one-number inequality read on a corpus ("are this source's
     * tokens spread across many documents or concentrated in a few

@@ -3456,6 +3456,42 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("exactMedian: lower median on odd/even/tied groups") {
+    val d = Seq(("o", 1L), ("o", 5L), ("o", 9L), // odd: 5
+      ("e", 1L), ("e", 2L), ("e", 8L), ("e", 9L), // even: lower middle 2
+      ("t", 4L), ("t", 4L), ("t", 4L), ("t", 7L)) // ties: 4
+      .toDF("src", "v")
+    val out = Profile.exactMedian(d, "src", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map("o" -> ((3L, 5L)), "e" -> ((4L, 2L)),
+      "t" -> ((4L, 4L))))
+  }
+
+  test("jsdPairwise: identical 0, disjoint 1 bit, JVM-exact mixed case") {
+    def jsd(rows: Seq[(String, String)]) = Diff.jsdPairwise(
+        rows.toDF("g", "i"), "g", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val same = jsd(Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
+    assert(same(("a", "b")) == 0L)
+    val disj = jsd(Seq(("a", "x"), ("a", "y"), ("b", "z"), ("b", "w")))
+    assert(disj(("a", "b")) == 1000000L)
+    // mixed: a = {x:2, y:1}, b = {x:1, z:2} — replicate the exact term
+    // arithmetic (one double expression per item, floor-rounded micro)
+    val mixed = jsd(Seq(("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "z"), ("b", "z")))
+    def term(p: Double, q: Double): Long = {
+      val v = (if (p > 0) p * 0.5 * (math.log(p * 2 / (p + q)) / math.log(2.0))
+        else 0.0) +
+        (if (q > 0) q * 0.5 * (math.log(q * 2 / (p + q)) / math.log(2.0))
+        else 0.0)
+      math.floor(v * 1e6 + 0.5).toLong
+    }
+    val exp = term(2.0 / 3, 1.0 / 3) + term(1.0 / 3, 0.0) + term(0.0, 2.0 / 3)
+    assert(mixed(("a", "b")) == exp)
+  }
+
   test("resolveChains: exact hops, cycle cap, long-chain cap, dirty edges") {
     val edges = (
       Seq((1L, 2L), (2L, 3L)) ++          // chain 1->2->3, 3 terminal
