@@ -3574,6 +3574,69 @@ object OpsQueries {
       |    AS max_entropy_micro
       |FROM d JOIN t USING (src)""".stripMargin
 
+  /** Planted chat transcripts as REAL JSON (built with to_json, parsed
+    * back by [[Chat.turns]]'s from_json — the full round-trip): 2–5
+    * turns, alternating user-first except every 11th conversation
+    * (all-user, the broken shape), empty content every 17th (id+i). */
+  private def plantedChats(s: SparkSession, dir: String): DataFrame = {
+    val nt = (col("doc_id") % 4 + 2).cast("int")
+    val conv = to_json(transform(sequence(lit(0), nt - 1), i => struct(
+      when(col("doc_id") % 11 === 0, "user")
+        .when(i % 2 === 0, "user").otherwise("assistant").as("role"),
+      when((col("doc_id") + i) % 17 === 0, "")
+        .otherwise(concat(lit("t"), col("doc_id"), lit("_"), i))
+        .as("content"))))
+    t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id").as("conv_id"), conv.as("conv"))
+  }
+
+  private val oChatTurns =
+    """SELECT conv_id, i.g AS i,
+      |    CASE WHEN conv_id % 11 = 0 THEN 'user'
+      |         WHEN i.g % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    CASE WHEN (conv_id + i.g) % 17 = 0 THEN ''
+      |         ELSE 't' || conv_id || '_' || i.g END AS content
+      |  FROM (SELECT doc_id AS conv_id, doc_id % 4 + 2 AS nt
+      |    FROM documents WHERE doc_id < 500) c,
+      |  generate_series(0, 5) i(g) WHERE i.g < nt""".stripMargin
+
+  /** Structural audit of chat transcripts (see [[Chat.audit]]):
+    * role counts, user-first alternation, empty turns, char mass. */
+  private def qChatAudit(s: SparkSession, dir: String): DataFrame =
+    Chat.audit(plantedChats(s, dir), "conv", "conv_id")
+
+  private val oChatAudit =
+    s"""WITH t AS ($oChatTurns)
+      |SELECT conv_id, count(*) AS n_turns,
+      |  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_user,
+      |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_assistant,
+      |  sum(CASE WHEN role <> (CASE WHEN i % 2 = 0 THEN 'user'
+      |    ELSE 'assistant' END) THEN 1 ELSE 0 END) = 0 AS alternating,
+      |  CAST(sum(CASE WHEN content = '' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_empty,
+      |  CAST(sum(length(content)) AS BIGINT) AS total_chars
+      |FROM t GROUP BY 1""".stripMargin
+
+  /** SFT pair unroll (see [[Chat.sftPairs]]): one (prompt, response)
+    * per assistant turn, prompt = preceding "role: content" lines. */
+  private def qChatSftPairs(s: SparkSession, dir: String): DataFrame =
+    Chat.sftPairs(plantedChats(s, dir), "conv", "conv_id")
+
+  private val oChatSftPairs =
+    s"""WITH t AS ($oChatTurns),
+      |p AS (SELECT conv_id, i, role, content,
+      |    string_agg(role || ': ' || content, chr(10)) OVER (
+      |      PARTITION BY conv_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt,
+      |    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY conv_id ORDER BY i) AS aidx
+      |  FROM t)
+      |SELECT conv_id, CAST(aidx AS BIGINT) AS pair_idx, prompt,
+      |  content AS response
+      |FROM p WHERE role = 'assistant'""".stripMargin
+
   /** Exact per-source median document length (see
     * [[Profile.exactMedian]]): the value-frequency rail — no sort of
     * the data, no percentile_approx error bar. */
@@ -7343,6 +7406,8 @@ object OpsQueries {
     "web_redirects" -> (qWebRedirects _),
     "profile_median" -> (qProfileMedian _),
     "dataset_jsd" -> (qDatasetJsd _),
+    "chat_audit" -> (qChatAudit _),
+    "chat_sft_pairs" -> (qChatSftPairs _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -7566,6 +7631,8 @@ object OpsQueries {
     "web_redirects" -> oWebRedirects,
     "profile_median" -> oProfileMedian,
     "dataset_jsd" -> oDatasetJsd,
+    "chat_audit" -> oChatAudit,
+    "chat_sft_pairs" -> oChatSftPairs,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/** Conversation / SFT-data operators: parse chat transcripts stored as
+  * JSON (`[{"role":"user","content":"…"}, …]` — the interchange shape
+  * every instruction-tuning corpus ships in), audit their structure,
+  * and unroll them into (prompt, response) training pairs.
+  *
+  * All shapes are per-conversation local: one `from_json` + generator
+  * per row, windows partitioned by the conversation id (state = one
+  * conversation's turns) — nothing global, nothing driver-side.
+  */
+object Chat {
+
+  /** Schema of one parsed conversation. */
+  val turnSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType))))
+
+  /** Explode a JSON conversation column into one row per turn:
+    * (idCol, turn_idx, role, content). Malformed JSON parses to null
+    * and contributes no rows (from_json's PERMISSIVE contract). */
+  def turns(df: DataFrame, convCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(from_json(col(convCol), turnSchema)).as(Seq("turn_idx", "t")))
+      .select(col(idCol), col("turn_idx"),
+        col("t.role").as("role"), col("t.content").as("content"))
+
+  /** Structural AUDIT per conversation — the gate before a transcript
+    * enters an SFT mix: turn counts by role, whether roles strictly
+    * alternate user-first (the canonical shape; anything else needs
+    * review), how many turns are empty, and the char mass.
+    *
+    * @return (idCol, n_turns, n_user, n_assistant, alternating,
+    *         n_empty, total_chars) */
+  def audit(df: DataFrame, convCol: String, idCol: String): DataFrame = {
+    val expected = when(col("turn_idx") % 2 === 0, "user")
+      .otherwise("assistant")
+    turns(df, convCol, idCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant"),
+        (sum(when(col("role") =!= expected, 1L).otherwise(0L)) === 0)
+          .as("alternating"),
+        sum(when(coalesce(col("content"), lit("")) === "", 1L)
+          .otherwise(0L)).as("n_empty"),
+        sum(length(coalesce(col("content"), lit(""))).cast("long"))
+          .as("total_chars"))
+  }
+
+  /** Unroll each conversation into SFT (prompt, response) PAIRS: one
+    * row per assistant turn, `response` = that turn's content, `prompt`
+    * = every preceding turn rendered as "role: content" lines joined by
+    * newlines (the flattened-context convention; swap the renderer for
+    * a chat template downstream). `pair_idx` numbers a conversation's
+    * pairs 1..k in turn order. The window is conversation-partitioned —
+    * state is one transcript, never the corpus.
+    *
+    * @return (idCol, pair_idx, prompt, response) */
+  def sftPairs(df: DataFrame, convCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy("turn_idx")
+    val hist = w.rowsBetween(Window.unboundedPreceding, -1)
+    turns(df, convCol, idCol)
+      .withColumn("__line",
+        concat(col("role"), lit(": "), coalesce(col("content"), lit(""))))
+      .withColumn("prompt", array_join(collect_list("__line").over(hist), "\n"))
+      .withColumn("__aidx",
+        sum(when(col("role") === "assistant", 1).otherwise(0)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("role") === "assistant")
+      .select(col(idCol), col("__aidx").cast("long").as("pair_idx"),
+        col("prompt"), col("content").as("response"))
+  }
+}

@@ -3456,6 +3456,32 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("chat: JSON round-trip turns, audit flags, SFT pair unroll") {
+    val conv1 = """[{"role":"user","content":"hi"},
+      {"role":"assistant","content":"hello"},
+      {"role":"user","content":"how?"},
+      {"role":"assistant","content":"fine"}]"""
+    val conv2 = """[{"role":"user","content":"a"},{"role":"user","content":""}]"""
+    val bad = """not json at all"""
+    val d = Seq((1L, conv1), (2L, conv2), (3L, bad)).toDF("id", "conv")
+    val audit = Chat.audit(d, "conv", "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(audit(1L).getAs[Long]("n_turns") == 4L)
+    assert(audit(1L).getAs[Boolean]("alternating"))
+    assert(audit(1L).getAs[Long]("total_chars") == 15L)
+    assert(audit(2L).getAs[Long]("n_user") == 2L)
+    assert(!audit(2L).getAs[Boolean]("alternating"))
+    assert(audit(2L).getAs[Long]("n_empty") == 1L)
+    assert(!audit.contains(3L)) // malformed JSON parses to no rows
+    val pairs = Chat.sftPairs(d, "conv", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3)))).toMap
+    assert(pairs((1L, 1L)) == (("user: hi", "hello")))
+    assert(pairs((1L, 2L)) ==
+      (("user: hi\nassistant: hello\nuser: how?", "fine")))
+    assert(!pairs.keySet.exists(_._1 == 2L)) // no assistant turns
+  }
+
   test("exactMedian: lower median on odd/even/tied groups") {
     val d = Seq(("o", 1L), ("o", 5L), ("o", 9L), // odd: 5
       ("e", 1L), ("e", 2L), ("e", 8L), ("e", 9L), // even: lower middle 2
