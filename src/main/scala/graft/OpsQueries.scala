@@ -3637,6 +3637,77 @@ object OpsQueries {
       |  content AS response
       |FROM p WHERE role = 'assistant'""".stripMargin
 
+  /** PII audit over chat transcripts — the [[Chat.turns]] ×
+    * [[Scrub.redactionCounts]] composition: per conversation, how many
+    * emails/IPs its turns leak (the screen before a transcript enters
+    * an SFT mix). Planted PII every 5th (conv+turn). */
+  private def qChatPii(s: SparkSession, dir: String): DataFrame = {
+    val nt = (col("doc_id") % 3 + 2).cast("int")
+    val conv = to_json(transform(sequence(lit(0), nt - 1), i => struct(
+      when(i % 2 === 0, "user").otherwise("assistant").as("role"),
+      concat(lit("m"), col("doc_id"), lit("_"), i,
+        when((col("doc_id") + i) % 5 === 0,
+          concat(lit(" mail u"), col("doc_id"), lit("@ex.com or 10.1."),
+            col("doc_id") % 256, lit(".9"))).otherwise(lit("")))
+        .as("content"))))
+    val chats = t(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id").as("conv_id"), conv.as("conv"))
+    Chat.turns(chats, "conv", "conv_id")
+      .select(col("conv_id"),
+        Scrub.redactionCounts(col("content")).getField("emails").as("__e"),
+        Scrub.redactionCounts(col("content")).getField("ips").as("__i"))
+      .groupBy("conv_id")
+      .agg(sum("__e").as("emails"), sum("__i").as("ips"))
+  }
+
+  private val oChatPii = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    s"""WITH t AS (SELECT conv_id, i.g AS i,
+      |    'm' || conv_id || '_' || i.g ||
+      |    CASE WHEN (conv_id + i.g) % 5 = 0
+      |      THEN ' mail u' || conv_id || '@ex.com or 10.1.' ||
+      |        (conv_id % 256) || '.9'
+      |      ELSE '' END AS content
+      |  FROM (SELECT doc_id AS conv_id, doc_id % 3 + 2 AS nt
+      |    FROM documents WHERE doc_id < 400) c,
+      |  generate_series(0, 4) i(g) WHERE i.g < nt)
+      |SELECT conv_id,
+      |  CAST(sum(len(regexp_extract_all(content, '$email'))) AS BIGINT)
+      |    AS emails,
+      |  CAST(sum(len(regexp_extract_all(content, '$ip'))) AS BIGINT)
+      |    AS ips
+      |FROM t GROUP BY 1""".stripMargin
+  }
+
+  /** Top user journey prefixes: each user's first 5 event types in
+    * time order as a path string, globally ranked by frequency — the
+    * "how do sessions start" read. Per-user window + one count
+    * aggregate + TakeOrderedAndProject top-20 (never a global sort). */
+  private def qEventsTopPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    readEvents(s, dir)
+      .select(col("user_id"), col("event_type").as("et"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(rn, et))), x -> x.et), '>')").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+  }
+
+  private val oEventsTopPaths =
+    """WITH r AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+      |    AS path FROM r WHERE rn <= 5 GROUP BY 1)
+      |SELECT path, count(*) AS n FROM p GROUP BY 1
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   /** Exact per-source median document length (see
     * [[Profile.exactMedian]]): the value-frequency rail — no sort of
     * the data, no percentile_approx error bar. */
@@ -7408,6 +7479,8 @@ object OpsQueries {
     "dataset_jsd" -> (qDatasetJsd _),
     "chat_audit" -> (qChatAudit _),
     "chat_sft_pairs" -> (qChatSftPairs _),
+    "chat_pii_audit" -> (qChatPii _),
+    "events_top_paths" -> (qEventsTopPaths _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -7633,6 +7706,8 @@ object OpsQueries {
     "dataset_jsd" -> oDatasetJsd,
     "chat_audit" -> oChatAudit,
     "chat_sft_pairs" -> oChatSftPairs,
+    "chat_pii_audit" -> oChatPii,
+    "events_top_paths" -> oEventsTopPaths,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

@@ -3456,6 +3456,32 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("top paths: first-N prefix in event order, frequency-ranked") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:${m}%02d:00")
+    // 3 users a>b, 1 user b>a; one user with 7 events keeps first 5
+    val ev = (Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "a"), (2L, 2, "b"),
+      (3L, 1, "a"), (3L, 2, "b"), (4L, 1, "b"), (4L, 2, "a")) ++
+      (1 to 7).map(i => (9L, i, if (i <= 5) "c" else "zz")))
+      .map { case (u, m, e) => (u, ts(m), e, (u * 100 + m)) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val paths = ev
+      .select(col("user_id"), col("event_type").as("et"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(rn, et))), x -> x.et), '>')").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(paths.head == ("a>b", 3L))
+    assert(paths.toMap == Map("a>b" -> 3L, "b>a" -> 1L,
+      "c>c>c>c>c" -> 1L))
+  }
+
   test("chat: JSON round-trip turns, audit flags, SFT pair unroll") {
     val conv1 = """[{"role":"user","content":"hi"},
       {"role":"assistant","content":"hello"},
