@@ -89,7 +89,12 @@ object Bench {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, bytes)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"), bytes)
+      // the durable full-suite artifact: ONLY full runs may write it — a
+      // SPARK_GRAFT_ONLY subset run (local soak/bisection) would clobber
+      // the round's regression baseline with a 2-query fragment
+      if (only.isEmpty)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_full.json"), bytes)
     } catch { case _: Throwable => () } // file write is best-effort
     println(json)
     // FINAL stdout line: a compact summary that FITS the driver's 2000-char

@@ -137,6 +137,36 @@ object OpsQueries {
        |  CAST(avg(s) AS REAL) AS mean_score
        |FROM sc GROUP BY 1""".stripMargin
 
+  /** Exact average precision (PR-AP) of the quality score against the
+    * is-English label under the deterministic (score desc, doc_id)
+    * order — one range exchange for rank + running positives, integer
+    * term fold (see [[Classify.averagePrecision]]). */
+  private def qQualityPrAp(s: SparkSession, dir: String): DataFrame =
+    Classify.averagePrecision(
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en", "doc_id")
+
+  private val oQualityPrAp =
+    s"""WITH sc AS (SELECT doc_id, $oQualityExpr AS s, lang = 'en' AS y
+       |  FROM documents),
+       |r AS (SELECT y,
+       |    row_number() OVER (ORDER BY s DESC, doc_id) AS k,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY s DESC, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+       |  FROM sc),
+       |a AS (SELECT count(*) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN y THEN cp * 1000000 // k ELSE 0 END)
+       |      AS BIGINT) AS terms FROM r)
+       |SELECT n, n_pos,
+       |  CASE WHEN n_pos > 0 THEN terms // n_pos END AS ap_ppm,
+       |  round(CAST(CASE WHEN n_pos > 0 THEN terms // n_pos END
+       |    AS DOUBLE) / 1000000, 6) AS ap
+       |FROM a""".stripMargin
+
   /** END-TO-END isotonic calibration: fit PAVA on a HOLDOUT's decile
     * reliability bins (doc_id % 5 = 0), apply the fitted monotone step
     * map to the remaining documents, and report (calibrated_rate, n,
@@ -3114,6 +3144,71 @@ object OpsQueries {
     * Math.round spelling both engines share), days are integer µs
     * division, tiers integer div — the oracle replays every rank and
     * tier bit-for-bit via row_number. */
+  /** Pairwise association rules over order baskets (order = basket,
+    * part = item): support / directional confidence / lift in exact
+    * ppm, basket-size-capped pair join (see
+    * [[Basket.associationRules]]). */
+  /** Count-min sketch of event user_ids (depth 3 × width 64 — sized
+    * to force measurable collisions) probed for every distinct user:
+    * (key, true_n, est) with est ≥ true_n one-sided error, the whole
+    * grid + probe replayed hash-exactly by the oracle (see
+    * [[Profile.countMinSketch]]/[[Profile.countMinEstimate]]). */
+  private def qProfileCountMin(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir)
+    val sk = Profile.countMinSketch(ev, "user_id", depth = 3, width = 64)
+    val tru = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id").cast("string").as("key"))
+      .agg(count(lit(1)).as("true_n"))
+    tru.join(
+      Profile.countMinEstimate(sk, ev, "user_id", depth = 3, width = 64),
+      "key")
+  }
+
+  private val oProfileCountMin =
+    """WITH ks AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      |  WHERE user_id IS NOT NULL),
+      |tr AS (SELECT k, count(*) AS true_n FROM ks GROUP BY 1),
+      |js AS (SELECT * FROM (VALUES (0), (1), (2)) j(j)),
+      |g AS (SELECT j,
+      |    ('0x' || substr(md5(j::VARCHAR || ':' || k), 1, 8))::BIGINT % 64
+      |      AS bucket, count(*) AS cnt
+      |  FROM ks CROSS JOIN js GROUP BY 1, 2),
+      |pe AS (SELECT tr.k, j,
+      |    ('0x' || substr(md5(j::VARCHAR || ':' || tr.k), 1, 8))::BIGINT % 64
+      |      AS bucket
+      |  FROM tr CROSS JOIN js),
+      |est AS (SELECT k, min(coalesce(cnt, 0)) AS est
+      |  FROM pe LEFT JOIN g USING (j, bucket) GROUP BY 1)
+      |SELECT tr.k AS key, tr.true_n, est.est
+      |FROM tr JOIN est USING (k)""".stripMargin
+
+  private def qBasketRules(s: SparkSession, dir: String): DataFrame =
+    Basket.associationRules(t(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 2)
+
+  private val oBasketRules =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      |  FROM lineitem),
+      |keep AS (SELECT b FROM (SELECT b, count(*) AS n FROM it GROUP BY 1)
+      |  WHERE n <= 64),
+      |u AS (SELECT it.b, it.i FROM it JOIN keep USING (b)),
+      |nb AS (SELECT count(DISTINCT b) AS n FROM u),
+      |m AS (SELECT i, count(*) AS ni FROM u GROUP BY 1),
+      |p AS (SELECT a.i AS ia, b2.i AS ib, count(*) AS n_both
+      |  FROM u a JOIN u b2 ON a.b = b2.b AND a.i < b2.i GROUP BY 1, 2
+      |  HAVING count(*) >= 2),
+      |d AS (SELECT ia AS antecedent, ib AS consequent, n_both FROM p
+      |  UNION ALL SELECT ib, ia, n_both FROM p)
+      |SELECT d.antecedent, d.consequent, d.n_both,
+      |  ma.ni AS n_ante, mc.ni AS n_cons,
+      |  n_both * 1000000 // nb.n AS support_ppm,
+      |  n_both * 1000000 // ma.ni AS confidence_ppm,
+      |  CAST(CAST(n_both AS HUGEINT) * nb.n * 1000000
+      |    // (CAST(ma.ni AS HUGEINT) * mc.ni) AS BIGINT) AS lift_ppm
+      |FROM d CROSS JOIN nb
+      |JOIN m ma ON ma.i = d.antecedent
+      |JOIN m mc ON mc.i = d.consequent""".stripMargin
+
   private def qEventsRfm(s: SparkSession, dir: String): DataFrame =
     Insight.rfm(readEvents(s, dir), "user_id", "ts", "event_type", "value")
       .select(col("user").as("user_id"), col("r_days"), col("f"),
@@ -3827,6 +3922,51 @@ object OpsQueries {
       |    AS BIGINT) AS overlap_ppm
       |FROM pr JOIN sizes sa ON sa.doc_id = ida
       |JOIN sizes sb ON sb.doc_id = idb""".stripMargin
+
+  /** Incremental span-copy shortlist (see
+    * [[Dedup.incrementalWinnowPairs]]): new batch (doc_id ≥ 400) probed
+    * against the persisted winnow index of the history (doc_id < 400) —
+    * history never re-tokenized; the oracle replays selection, split,
+    * index-side cap and the frontier pair counts. */
+  private def qDedupIncrementalWinnow(s: SparkSession, dir: String):
+      DataFrame = {
+    val d = t(s, dir, "documents")
+    val index = Dedup.winnowIndex(d.filter(col("doc_id") < 400),
+      "text", "doc_id")
+    Dedup.incrementalWinnowPairs(d.filter(col("doc_id") >= 400),
+      "text", "doc_id", index, minShared = 1)
+  }
+
+  private val oDedupIncrementalWinnow =
+    s"""WITH tk AS (SELECT doc_id, $oToks AS t FROM documents),
+      |kg0 AS (SELECT doc_id,
+      |    list_transform(generate_series(1, len(t) - 2), i -> struct_pack(
+      |      pos := i - 1,
+      |      key := ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+      |        t[i+2]), 1, 8))::BIGINT * 1048576 + (1048575 - (i - 1)))) AS ks
+      |  FROM tk WHERE len(t) - 2 >= 4),
+      |kg AS (SELECT doc_id, u.pos AS pos, u.key AS key
+      |  FROM (SELECT doc_id, unnest(ks) AS u FROM kg0)),
+      |wm AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+      |  FROM kg),
+      |sel AS (SELECT DISTINCT doc_id, wmin // 1048576 AS h
+      |  FROM wm WHERE pos >= 3),
+      |idx AS (SELECT doc_id, h FROM sel WHERE doc_id < 400),
+      |bt AS (SELECT doc_id, h FROM sel WHERE doc_id >= 400),
+      |cap AS (SELECT h FROM (SELECT h, count(*) AS n FROM idx GROUP BY 1)
+      |  WHERE n <= 64),
+      |pr AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+      |    count(*) AS shared_prints
+      |  FROM bt a JOIN idx b ON a.h = b.h JOIN cap ON cap.h = a.h
+      |  GROUP BY 1, 2),
+      |sn AS (SELECT doc_id, count(*) AS n FROM bt GROUP BY 1),
+      |so AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1)
+      |SELECT id_new, id_old, shared_prints, sn.n AS n_new, so.n AS n_old,
+      |  CAST(shared_prints * 1000000 // (sn.n + so.n - shared_prints)
+      |    AS BIGINT) AS overlap_ppm
+      |FROM pr JOIN sn ON sn.doc_id = id_new
+      |JOIN so ON so.doc_id = id_old""".stripMargin
 
   /** Rendezvous (highest-random-weight) shard assignment (see
     * [[Layout.rendezvousShard]]): argmax of md5(s:key) hex over 8
@@ -7457,7 +7597,10 @@ object OpsQueries {
     "train_contrastive_pairs" -> (qTrainContrastivePairs _),
     "train_contrastive_ann" -> (qTrainContrastiveAnn _),
     "quality_calibration_isotonic" -> (qQualityCalibrationIsotonic _),
+    "quality_pr_ap" -> (qQualityPrAp _),
     "events_rfm" -> (qEventsRfm _),
+    "basket_rules" -> (qBasketRules _),
+    "profile_countmin" -> (qProfileCountMin _),
     "quality_quantile_norm" -> (qQualityQuantileNorm _),
     "split_leak_audit" -> (qSplitLeakAudit _),
     "contamination_matrix" -> (qContaminationMatrix _),
@@ -7472,6 +7615,7 @@ object OpsQueries {
     "text_vocab_coverage" -> (qTextVocabCoverage _),
     "layout_rendezvous" -> (qLayoutRendezvous _),
     "dedup_winnow_pairs" -> (qDedupWinnowPairs _),
+    "dedup_incremental_winnow" -> (qDedupIncrementalWinnow _),
     "quality_lift_curve" -> (qQualityLiftCurve _),
     "events_markov_entropy" -> (qEventsMarkovEntropy _),
     "web_redirects" -> (qWebRedirects _),
@@ -7684,7 +7828,10 @@ object OpsQueries {
     "train_contrastive_pairs" -> oTrainContrastivePairs,
     "train_contrastive_ann" -> oTrainContrastiveAnn,
     "quality_calibration_isotonic" -> oQualityCalibrationIsotonic,
+    "quality_pr_ap" -> oQualityPrAp,
     "events_rfm" -> oEventsRfm,
+    "basket_rules" -> oBasketRules,
+    "profile_countmin" -> oProfileCountMin,
     "quality_quantile_norm" -> oQualityQuantileNorm,
     "split_leak_audit" -> oSplitLeakAudit,
     "contamination_matrix" -> oContaminationMatrix,
@@ -7699,6 +7846,7 @@ object OpsQueries {
     "text_vocab_coverage" -> oTextVocabCoverage,
     "layout_rendezvous" -> oLayoutRendezvous,
     "dedup_winnow_pairs" -> oDedupWinnowPairs,
+    "dedup_incremental_winnow" -> oDedupIncrementalWinnow,
     "quality_lift_curve" -> oQualityLiftCurve,
     "events_markov_entropy" -> oEventsMarkovEntropy,
     "web_redirects" -> oWebRedirects,

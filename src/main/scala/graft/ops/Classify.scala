@@ -262,6 +262,47 @@ object Classify {
         round(col("auc_ppm").cast("double") / 1e6, 6))
   }
 
+  /** EXACT AVERAGE PRECISION (area under the precision–recall curve at
+    * the operating points a ranked retrieval actually visits) — the
+    * class-imbalance-honest companion to [[aucExact]]: with 0.1%
+    * positives an AUC of 0.99 can hide a precision@top-k near zero,
+    * and PR-AP is the number that shows it.
+    *
+    *   AP = (1/n_pos) · Σ_{k : y_(k)=1} precision@k,
+    *   precision@k = cum_pos(k)/k
+    *
+    * under the deterministic total order (score desc, id asc). Ties
+    * are resolved BY ID, not midranked (AP is an order functional —
+    * the midrank trick that de-ties AUC has no PR analogue); the id
+    * tie-break makes the number reproducible on any engine, and the
+    * scaladoc contract is "AP of this explicit order".
+    *
+    * Scale shape: ONE range exchange computes both the global rank k
+    * and the running positive count ([[Rank.rankedPrefixSum]] — never
+    * a single-partition `ORDER BY` window), then one aggregate folds
+    * the per-positive terms. Integer rail: term = cum_pos·10⁶ div k
+    * (≤ 10⁶), summed BIGINT (safe to ~9·10¹² positives), ap_ppm =
+    * Σterm div n_pos — every step replayable in any engine.
+    *
+    * @return one row (n, n_pos, ap_ppm, ap); ap_ppm null if n_pos = 0 */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+                       idCol: String): DataFrame = {
+    val base = df.select(col(scoreCol).as("__s"),
+        col(labelCol).cast("boolean").as("__y"), col(idCol).as("__id"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("__yi", when(col("__y"), 1L).otherwise(0L))
+    val ranked = Rank.rankedPrefixSum(base,
+      Seq(col("__s").desc, col("__id")), "__yi", "__k", "__cp")
+    ranked
+      .agg(count(lit(1)).as("n"), sum("__yi").as("n_pos"),
+        sum(when(col("__y"),
+            expr("__cp * 1000000 div __k")).otherwise(0L))
+          .as("__terms"))
+      .select(col("n"), col("n_pos"),
+        when(col("n_pos") > 0, expr("__terms div n_pos")).as("ap_ppm"))
+      .withColumn("ap", round(col("ap_ppm").cast("double") / 1e6, 6))
+  }
+
   /** CALIBRATION (reliability) bins for a [0, 1] score: decile bins by
     * floor(score·10) with the top edge clamped into bin 9, exact
     * integer counts and a float-cast mean score per bin — read

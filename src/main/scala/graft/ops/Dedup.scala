@@ -147,6 +147,54 @@ object Dedup {
           .as("overlap_ppm"))
   }
 
+  /** Persisted WINNOW-PRINT index: one (id, hash) row per document per
+    * DISTINCT selected fingerprint — the rolling-ingest state for
+    * [[incrementalWinnowPairs]] (the span-copy twin of
+    * [[minhashIndex]]). Union each batch's `winnowIndex` rows in to
+    * advance; history is never re-winnowed. */
+  def winnowIndex(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 3, w: Int = 4): DataFrame =
+    winnowSelected(df, textCol, idCol, k, w)
+      .select(col(idCol).as("id"), expr("__key div 1048576").as("hash"))
+      .distinct()
+
+  /** Incremental span-copy shortlist: (batch doc, historical doc) pairs
+    * sharing ≥ `minShared` winnow prints, found by probing the persisted
+    * [[winnowIndex]] — history is never re-tokenized; only its print
+    * table is joined. Hot prints are capped ON THE INDEX SIDE (`dfCap`
+    * occurrences — boilerplate prints that would square the bucket),
+    * mirroring [[incrementalMinhashPairs]]' maxBucket discipline.
+    * Batch-internal pairs are [[winnowPairs]] on the batch alone; this
+    * emits only the batch×history frontier. Winnowing's guarantee
+    * carries over: a batch document sharing a run of ≥ w+k−1 words with
+    * any uncapped historical document surfaces here.
+    *
+    * @return (id_new, id_old, shared_prints, n_new, n_old, overlap_ppm) */
+  def incrementalWinnowPairs(batch: DataFrame, textCol: String,
+                             idCol: String, index: DataFrame,
+                             k: Int = 3, w: Int = 4, minShared: Int = 2,
+                             dfCap: Int = 64): DataFrame = {
+    require(minShared >= 1 && dfCap >= 1, "incrementalWinnow: bad thresholds")
+    val sel = winnowIndex(batch, textCol, idCol, k, w)
+    val capped = index.groupBy("hash").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= dfCap).select("hash")
+    val shared = sel.as("a")
+      .join(index.join(capped, "hash").as("b"),
+        col("a.hash") === col("b.hash") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_new"), col("b.id").as("id_old"))
+      .agg(count(lit(1)).as("shared_prints"))
+      .filter(col("shared_prints") >= minShared)
+    val nNew = sel.groupBy(col("id").as("id_new"))
+      .agg(count(lit(1)).as("n_new"))
+    val nOld = index.groupBy(col("id").as("id_old"))
+      .agg(count(lit(1)).as("n_old"))
+    shared.join(nNew, "id_new").join(nOld, "id_old")
+      .select(col("id_new"), col("id_old"), col("shared_prints"),
+        col("n_new"), col("n_old"),
+        expr("shared_prints * 1000000 div (n_new + n_old - shared_prints)")
+          .as("overlap_ppm"))
+  }
+
   /** Exact dedup: keep the lowest-id document per canonical-text
     * fingerprint. One hash aggregate on md5 (uniform keys, no skew);
     * survivor choice is deterministic (min id). min_by over the whole row

@@ -546,4 +546,56 @@ object Profile {
           expr("(2 * __r - (n + 1) * __s) * 1000000 div " +
             "(cast(n as decimal(38,0)) * __s)")).as("gini_ppm"))
   }
+
+  /** COUNT-MIN sketch of a key column: a depth×width grid of counters
+    * where row j buckets each occurrence at md5(j:key) mod width, and
+    * a key's estimate is the MINIMUM of its depth counters — the
+    * fixed-memory frequency summary that answers "how often does any
+    * key occur" in O(depth) reads with a one-sided error (estimates
+    * never undercount; collisions only inflate). The practical role in
+    * a 100 TB pipeline: a depth·width grid of BIGINTs is kilobytes —
+    * shippable to every executor or a stream processor — while the
+    * exact key-count table it approximates is corpus-cardinality.
+    *
+    * Engine-portable by construction: the hash is the repo's md5-hex
+    * convention (first 8 hex digits of md5("j:key") as an integer, mod
+    * width — any engine replays it), counters are exact BIGINT sums,
+    * and the grid is built in ONE aggregate over a depth-way explode
+    * (rows × depth intermediate, map-side combinable to ≤ depth·width
+    * counter cells).
+    *
+    * @return (row_j 0-based, bucket, cnt) — at most depth·width rows */
+  def countMinSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+                     width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, "countMin: bad depth/width")
+    df.filter(col(keyCol).isNotNull)
+      .select(explode(array((0 until depth).map(lit): _*)).as("row_j"),
+        col(keyCol).cast("string").as("__k"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat_ws(":", col("row_j"), col("__k"))),
+          1, 8), 16, 10).cast("long"), lit(width.toLong)))
+      .groupBy("row_j", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the [[countMinSketch]] grid for every key in `keys`:
+    * est = min over depth rows of the key's bucket counter (0 if a
+    * bucket row is absent — width cells nobody hashed into emit no
+    * row). The sketch side is ≤ depth·width rows, so the probe join
+    * broadcasts the SKETCH, never shuffles the key table.
+    *
+    * @return (key, est) */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                       depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, "countMin: bad depth/width")
+    val probes = keys.select(col(keyCol).cast("string").as("key")).distinct()
+      .select(col("key"),
+        explode(array((0 until depth).map(lit): _*)).as("row_j"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat_ws(":", col("row_j"), col("key"))),
+          1, 8), 16, 10).cast("long"), lit(width.toLong)))
+    probes.join(broadcast(sketch), Seq("row_j", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

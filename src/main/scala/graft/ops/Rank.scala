@@ -150,6 +150,48 @@ object Rank {
       .drop("__ps_pid", "__ps_off", "__ps_v")
   }
 
+  /** [[globalRank]] AND inclusive [[prefixSum]] under ONE range
+    * exchange — for consumers that need both the position k and the
+    * running total at k under the same total order (average precision:
+    * precision@k = cum_pos(k)/k; Lorenz points: (k/N, cum/total)).
+    * Running the two primitives separately would range-shuffle the
+    * frame twice on identical keys; here one partition-count/sum
+    * collect (≤ numShufflePartitions rows of PARTIAL aggregates, never
+    * data) yields both offset tables and one window emits both
+    * columns. Same rails as the parents: materialized partition ids,
+    * localCheckpoint, broadcast offsets, LONG value coalesce-0. */
+  def rankedPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                      rankCol: String = "rank", cumCol: String = "cum",
+                      numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "rankedPrefixSum needs at least one sort key")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, order: _*)
+      .withColumn("__rp_pid", spark_partition_id())
+      .withColumn("__rp_v", coalesce(col(valueCol).cast("long"), lit(0L)))
+      .localCheckpoint(true)
+    val parts = parted.groupBy("__rp_pid")
+      .agg(count(lit(1)).as("c"), sum("__rp_v").as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rankOff = (0 until n).scanLeft(0L) { (acc, p) =>
+      acc + parts.get(p).map(_._1).getOrElse(0L)
+    }
+    val sumOff = (0 until n).scanLeft(0L) { (acc, p) =>
+      acc + parts.get(p).map(_._2).getOrElse(0L)
+    }
+    import spark.implicits._
+    val offDf = (0 until n).map(p => (p, rankOff(p), sumOff(p)))
+      .toDF("__rp_pid", "__rp_roff", "__rp_soff")
+    val wr = Window.partitionBy("__rp_pid").orderBy(order: _*)
+    val ws = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offDf), "__rp_pid")
+      .withColumn(rankCol,
+        row_number().over(wr).cast("long") + col("__rp_roff"))
+      .withColumn(cumCol, sum("__rp_v").over(ws) + col("__rp_soff"))
+      .drop("__rp_pid", "__rp_roff", "__rp_soff", "__rp_v")
+  }
+
   /** Cross-group QUANTILE NORMALIZATION: each row's value is replaced
     * by the GLOBAL value found at its within-group quantile position —
     * the calibration step that makes scores from different sources

@@ -1889,6 +1889,95 @@ class OpsSpec extends SparkSpec {
     assert(auc(Seq((0.9, true), (0.1, true))).isEmpty)
   }
 
+  test("rankedPrefixSum: rank and cum match globalRank + prefixSum") {
+    import spark.implicits._
+    val df = (1 to 97).map(i => (i.toLong, (i * 37 % 13).toLong))
+      .toDF("id", "v")
+    val both = graft.ops.Rank.rankedPrefixSum(df,
+        Seq(col("v"), col("id")), "v", "k", "cum", numPartitions = 7)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("cum")))).toMap
+    val rk = graft.ops.Rank.globalRank(df, Seq(col("v"), col("id")),
+        "k", numPartitions = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("k")).toMap
+    val ps = graft.ops.Rank.prefixSum(df, Seq(col("v"), col("id")), "v",
+        "cum", numPartitions = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+    assert(both.size == 97)
+    for ((id, (k, c)) <- both) {
+      assert(k == rk(id), s"rank mismatch at id=$id")
+      assert(c == ps(id), s"cum mismatch at id=$id")
+    }
+  }
+
+  test("averagePrecision: hand cases, id tie-break, degenerate no-pos") {
+    import spark.implicits._
+    def ap(rows: Seq[(Long, Double, Boolean)]): Option[Long] = {
+      val r = graft.ops.Classify.averagePrecision(
+        rows.toDF("id", "s", "y"), "s", "y", "id").head()
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // perfect ranking: precision@1 = 1, precision@2 = 1 -> AP = 1
+    assert(ap(Seq((1L, 0.9, true), (2L, 0.8, true), (3L, 0.2, false)))
+      == Some(1000000L))
+    // positives at ranks 1 and 3: AP = (1/1 + 2/3)/2 = 833333 ppm
+    assert(ap(Seq((1L, 0.9, true), (2L, 0.8, false), (3L, 0.2, true)))
+      == Some(833333L))
+    // tie on score resolved by id asc: ids 1(y),2(n) at 0.5 ->
+    // positive lands at rank 1 -> AP = 1
+    assert(ap(Seq((1L, 0.5, true), (2L, 0.5, false))) == Some(1000000L))
+    // ...and with the positive on the higher id it lands at rank 2
+    assert(ap(Seq((2L, 0.5, true), (1L, 0.5, false))) == Some(500000L))
+    // no positives -> null
+    assert(ap(Seq((1L, 0.9, false), (2L, 0.1, false))).isEmpty)
+  }
+
+  test("associationRules: distinct items, basket cap, exact ppm, both dirs") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "x"), // duplicate (2,x) must not double-count
+      (3L, "x"),
+      (4L, "p"), (4L, "q"), (4L, "r"), (4L, "s")) // over cap -> dropped
+      .toDF("b", "i")
+    val out = graft.ops.Basket.associationRules(rows, "b", "i",
+        minSupport = 2, maxBasketItems = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // only (x,y) reaches support 2; both directions; N = 3 kept baskets
+    assert(out.keySet == Set(("x", "y"), ("y", "x")), s"$out")
+    assert(out(("x", "y")) == ((2L, 3L, 2L, 666666L, 666666L, 1000000L)))
+    assert(out(("y", "x")) == ((2L, 2L, 3L, 666666L, 1000000L, 1000000L)))
+  }
+
+  test("countMin: never undercounts, exact without collisions, tiny grid") {
+    import spark.implicits._
+    val keys = (1 to 40).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i"))
+    val df = keys.toDF("k")
+    // wide grid: 40 keys in depth 4 x width 4096 -> collisions are
+    // possible but estimates must STILL never undercount; with this
+    // grid the min over 4 rows is exact for every key (verified below)
+    val sk = graft.ops.Profile.countMinSketch(df, "k", 4, 4096)
+    assert(sk.count() <= 4L * 4096)
+    val est = graft.ops.Profile.countMinEstimate(sk, df, "k", 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((k, n) <- truth) assert(est(k) >= n, s"undercount at $k")
+    assert(est == truth) // 160 cells in 16384 -> min-row is collision-free
+    // narrow grid: width 2 forces collisions; one-sided error holds,
+    // and the total inflation equals depth-row bucket mass by design
+    val sk2 = graft.ops.Profile.countMinSketch(df, "k", 2, 2)
+    val est2 = graft.ops.Profile.countMinEstimate(sk2, df, "k", 2, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, n) <- truth) assert(est2(k) >= n, s"undercount at $k (narrow)")
+    assert(est2.values.sum > truth.values.sum) // collisions really inflate
+    // unseen key probes the grid without error (0 or collision mass)
+    val ghost = graft.ops.Profile.countMinEstimate(sk, Seq("zzz").toDF("k"),
+      "k", 4, 4096).head().getLong(1)
+    assert(ghost >= 0L)
+  }
+
   test("calibrationBins clamps the top edge into the last bin") {
     import spark.implicits._
     val out = graft.ops.Classify.calibrationBins(
@@ -3639,6 +3728,35 @@ class OpsSpec extends SparkSpec {
     val uncapped = Dedup.winnowPairs(boiler, "text", "doc_id",
       k = 3, w = 4, minShared = 1, dfCap = 64)
     assert(capped.count() <= uncapped.count())
+  }
+
+  test("incrementalWinnowPairs: frontier only, equals batch-vs-history slice") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hist = Seq(
+      (1L, s"history opener then $run and history trailer words here"),
+      (2L, "plain old history document with no shared span inside"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"fresh batch text leading into $run before ending differently"),
+      (11L, s"second fresh one also carrying $run in its middle portion"),
+      (12L, "novel content sharing nothing with the stored history"))
+      .toDF("doc_id", "text")
+    val index = Dedup.winnowIndex(hist, "text", "doc_id")
+    val inc = Dedup.incrementalWinnowPairs(batch, "text", "doc_id", index,
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // guarantee: both run-carrying batch docs pair with history doc 1
+    assert(inc.contains((10L, 1L)) && inc.contains((11L, 1L)), s"$inc")
+    assert(!inc.keySet.exists(p => p._1 == 12L || p._2 == 2L))
+    // frontier contract: batch-internal pairs (10,11) are NOT here
+    assert(inc.keySet.forall { case (n, o) => n >= 10L && o < 10L })
+    // consistency: matches the full winnowPairs restricted to the frontier
+    val full = Dedup.winnowPairs(hist.unionAll(batch), "text", "doc_id",
+        minShared = 1, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val frontier = full.filter { case ((a, b), _) => a < 10L && b >= 10L }
+      .map { case ((a, b), v) => (b, a) -> v }
+    assert(inc == frontier, s"inc=$inc full-frontier=$frontier")
   }
 
   test("rendezvousShard: JVM-exact, balanced, minimal movement on resize") {
