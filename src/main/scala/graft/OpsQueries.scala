@@ -7497,6 +7497,227 @@ object OpsQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v)
       |ORDER BY common DESC, u, v LIMIT 50""".stripMargin
 
+  /** Multi-source BFS hop distances over the co-purchase graph from a
+    * deterministic seed set (every 101st part id), 3 hops out (see
+    * [[Graph.bfsDistances]]) — exact integer depths; the oracle is a
+    * recursive CTE bounded by the same hop cap, min-dist per vertex. */
+  private def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val seeds = li.filter(col("l_partkey") % 101 === 0)
+      .select(col("l_partkey").as("id"))
+    Graph.bfsDistances(edges, seeds, maxHops = 3)
+  }
+
+  private val oGraphBfs =
+    """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS g,
+      |    l_partkey AS item FROM lineitem),
+      |e AS (SELECT DISTINCT a.item AS src, b.item AS dst FROM items a
+      |  JOIN items b ON a.g = b.g AND a.item <> b.item),
+      |sd AS (SELECT DISTINCT l_partkey AS id FROM lineitem
+      |  WHERE l_partkey % 101 = 0),
+      |walk(id, dist) AS (
+      |  SELECT id, 0 FROM sd
+      |  UNION
+      |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.id
+      |  WHERE w.dist < 3)
+      |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk
+      |GROUP BY 1""".stripMargin
+
+  /** Deterministic Poisson-bootstrap CI for the mean document length
+    * (see [[Insight.bootstrapMeanCI]]): 20 hash-armed resamples, exact
+    * integer order-statistic bounds — the oracle replays the md5
+    * inverse-CDF weights and the rep-mean selection literally. */
+  private def qInsightBootstrap(s: SparkSession, dir: String): DataFrame =
+    Insight.bootstrapMeanCI(t(s, dir, "documents"), "n_chars", "doc_id",
+      reps = 20, salt = "boot")
+
+  private val oInsightBootstrap = {
+    val cases = Insight.PoissonT.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("\n      |    ")
+    s"""WITH r AS (SELECT g AS rep FROM generate_series(-1, 19) t(g)),
+      |b AS (SELECT CAST(floor(d.n_chars * 1000000 + 0.5) AS BIGINT) AS vm,
+      |    r.rep,
+      |    ('0x' || substr(md5('boot:' || CAST(r.rep AS VARCHAR) || ':' ||
+      |      CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+      |  FROM documents d, r
+      |  WHERE d.n_chars IS NOT NULL AND d.doc_id IS NOT NULL),
+      |w AS (SELECT rep, vm, CASE WHEN rep = -1 THEN 1
+      |    $cases
+      |    ELSE 9 END AS w FROM b),
+      |pr AS (SELECT rep, CAST(sum(w) AS BIGINT) AS n,
+      |    CAST(sum(w * vm) AS BIGINT) AS s FROM w GROUP BY 1),
+      |m AS (SELECT rep, n, CAST(s // n AS BIGINT) AS mean FROM pr),
+      |o AS (SELECT mean, row_number() OVER (ORDER BY mean, rep) AS rr
+      |  FROM m WHERE rep <> -1)
+      |SELECT f.n, f.mean AS mean_micro,
+      |  (SELECT mean FROM o WHERE rr = 1) AS ci_lo_micro,
+      |  (SELECT mean FROM o WHERE rr = 19) AS ci_hi_micro,
+      |  CAST(20 AS BIGINT) AS reps
+      |FROM m f WHERE f.rep = -1""".stripMargin
+  }
+
+  /** Time-weighted mean event value per user (see
+    * [[Insight.timeWeightedMean]]): each value weighted by its hold
+    * duration in integer µs, weighted sum on DECIMAL(38,0). */
+  private def qEventsTwap(s: SparkSession, dir: String): DataFrame =
+    Insight.timeWeightedMean(readEvents(s, dir), "user_id", "ts",
+      "value", "event_id")
+
+  private val oEventsTwap =
+    """WITH o AS (SELECT user_id AS key,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, value AS v,
+      |    event_id FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |d AS (SELECT key, CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS vm,
+      |    coalesce(lead(t) OVER (PARTITION BY key ORDER BY t, event_id) - t,
+      |      0) AS dur FROM o)
+      |SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(dur) AS BIGINT) AS span_us,
+      |  CASE WHEN sum(dur) > 0
+      |    THEN CAST(sum(CAST(dur AS HUGEINT) * vm) // sum(dur) AS BIGINT)
+      |  END AS twap_micro
+      |FROM d GROUP BY 1""".stripMargin
+
+  /** Skip-gram co-occurrence counts within a 3-token window, hapax
+    * pairs pruned (see [[Phrases.skipgramCounts]]) — the oracle
+    * replays the positional band self-join on 1-indexed DuckDB
+    * subscripts (the offset cancels in the distance). */
+  private def qTextSkipgrams(s: SparkSession, dir: String): DataFrame =
+    Phrases.skipgramCounts(t(s, dir, "documents"), "text", "doc_id",
+      window = 3, minCount = 2L)
+
+  private val oTextSkipgrams =
+    s"""WITH d AS (SELECT doc_id, $oToks AS t FROM documents),
+      |p AS (SELECT doc_id, i.g AS i, t[i.g] AS w
+      |  FROM d, unnest(generate_series(1, len(t))) AS i(g)
+      |  WHERE len(t[i.g]) > 0),
+      |pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+      |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i > a.i
+      |    AND b.i <= a.i + 3)
+      |SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pr
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** Clipped n-gram precision (the BLEU per-order core) of each
+    * document against its successor (see [[Insight.ngramPrecision]]):
+    * exact clipped-match integers, precision in ppm, orders 1–2. */
+  private def qTextNgramPrecision(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = d.as("h")
+      .join(d.as("r"), col("r.doc_id") === col("h.doc_id") + 1)
+      .select(col("h.doc_id").as("doc_id"), col("h.text").as("hyp"),
+        col("r.text").as("ref"))
+    Insight.ngramPrecision(pairs, "hyp", "ref", "doc_id", maxN = 2)
+  }
+
+  private val oTextNgramPrecision = {
+    val hToks = oToks.replace("text", "htext")
+    val rToks = oToks.replace("text", "rtext")
+    def g(t: String) =
+      s"""CASE WHEN n = 1 THEN $t
+         |    WHEN len($t) >= n THEN list_transform(
+         |      generate_series(1, len($t) - n + 1),
+         |      i -> array_to_string($t[i:i+n-1], ' '))
+         |    ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+    s"""WITH p AS (SELECT h.doc_id AS id, $hToks AS ht, $rToks AS rt
+      |  FROM (SELECT doc_id, text AS htext FROM documents) h
+      |  JOIN (SELECT doc_id, text AS rtext FROM documents) r
+      |    ON r.doc_id = h.doc_id + 1),
+      |g AS (SELECT id, n,
+      |    ${g("ht")} AS hg,
+      |    ${g("rt")} AS rg
+      |  FROM p, (VALUES (1), (2)) nn(n)),
+      |hc AS (SELECT id, n, t.g AS gram, CAST(count(*) AS BIGINT) AS ch
+      |  FROM g, unnest(hg) AS t(g) GROUP BY 1, 2, 3),
+      |rc AS (SELECT id, n, t.g AS gram, CAST(count(*) AS BIGINT) AS cr
+      |  FROM g, unnest(rg) AS t(g) GROUP BY 1, 2, 3),
+      |m AS (SELECT hc.id, hc.n, CAST(sum(ch) AS BIGINT) AS n_hyp,
+      |    CAST(sum(least(ch, coalesce(cr, 0))) AS BIGINT) AS n_match
+      |  FROM hc LEFT JOIN rc ON rc.id = hc.id AND rc.n = hc.n
+      |    AND rc.gram = hc.gram
+      |  GROUP BY 1, 2)
+      |SELECT g.id, g.n, CAST(coalesce(m.n_hyp, 0) AS BIGINT) AS n_hyp,
+      |  CAST(coalesce(m.n_match, 0) AS BIGINT) AS n_match,
+      |  CASE WHEN coalesce(m.n_hyp, 0) > 0
+      |    THEN m.n_match * 1000000 // m.n_hyp END AS p_ppm
+      |FROM g LEFT JOIN m ON m.id = g.id AND m.n = g.n""".stripMargin
+  }
+
+  /** word2vec negative-sampling table over the corpus vocabulary (see
+    * [[Sample.negativeSamplingTable]]): count^0.75 weights via the
+    * correctly-rounded sqrt(c·sqrt(c)) spelling, DECIMAL share, exact
+    * cumulative weights on the prefix-sum rail. */
+  private def qTrainNegativeTable(s: SparkSession, dir: String): DataFrame =
+    Sample.negativeSamplingTable(t(s, dir, "documents"), "text",
+      minCount = 2L)
+
+  private val oTrainNegativeTable =
+    s"""WITH c AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest($oToks) AS tok FROM documents)
+      |  WHERE len(tok) > 0 GROUP BY 1 HAVING count(*) >= 2),
+      |w AS (SELECT token, cnt,
+      |    CAST(floor(sqrt(cnt * sqrt(cnt)) * 1000000 + 0.5) AS BIGINT)
+      |      AS weight_micro FROM c),
+      |t AS (SELECT CAST(sum(weight_micro) AS HUGEINT) AS tot FROM w)
+      |SELECT token, cnt, weight_micro,
+      |  CAST(CAST(weight_micro AS HUGEINT) * 1000000000 // tot AS BIGINT)
+      |    AS share_ppb,
+      |  CAST(sum(weight_micro)
+      |    OVER (ORDER BY weight_micro DESC, token) AS BIGINT) AS cum_weight
+      |FROM w, t""".stripMargin
+
+  /** Pre-flight join fan-out audit of lineitem ⋈ orders on orderkey
+    * (see [[Join.fanoutAudit]]): top-20 keys by output contribution
+    * with exact DECIMAL products and ppm shares — the skew-candidate
+    * list BEFORE paying for the shuffle join. */
+  private def qJoinFanout(s: SparkSession, dir: String): DataFrame =
+    Join.fanoutAudit(t(s, dir, "lineitem"), t(s, dir, "orders"),
+      "l_orderkey", "o_orderkey", topK = 20)
+
+  private val oJoinFanout =
+    """WITH l AS (SELECT l_orderkey AS key, CAST(count(*) AS BIGINT)
+      |    AS n_left FROM lineitem WHERE l_orderkey IS NOT NULL
+      |  GROUP BY 1),
+      |r AS (SELECT o_orderkey AS key, CAST(count(*) AS BIGINT) AS n_right
+      |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+      |p AS (SELECT key, n_left, n_right,
+      |    CAST(n_left AS HUGEINT) * n_right AS o FROM l JOIN r USING (key)),
+      |t AS (SELECT sum(o) AS tot FROM p)
+      |SELECT key, n_left, n_right, CAST(o AS BIGINT) AS out_rows,
+      |  CAST(CASE WHEN tot > 0 THEN o * 1000000 // tot ELSE 0 END
+      |    AS BIGINT) AS share_ppm
+      |FROM p, t ORDER BY o DESC, key LIMIT 20""".stripMargin
+
+  /** Sampled harmonic centrality of the co-purchase graph from
+    * deterministic pivots (every 499th part id), 3 hops (see
+    * [[Graph.harmonicCentrality]]): Σ 10⁶ div dist over per-pivot
+    * exact BFS distances — the labeled-BFS recursive-CTE twin. */
+  private def qGraphHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val pivots = li.filter(col("l_partkey") % 499 === 0)
+      .select(col("l_partkey").as("id")).distinct()
+    Graph.harmonicCentrality(edges, pivots, maxHops = 3)
+  }
+
+  private val oGraphHarmonic =
+    """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS g,
+      |    l_partkey AS item FROM lineitem),
+      |e AS (SELECT DISTINCT a.item AS src, b.item AS dst FROM items a
+      |  JOIN items b ON a.g = b.g AND a.item <> b.item),
+      |pv AS (SELECT DISTINCT l_partkey AS label FROM lineitem
+      |  WHERE l_partkey % 499 = 0),
+      |walk(label, id, dist) AS (
+      |  SELECT label, label, 0 FROM pv
+      |  UNION
+      |  SELECT w.label, e.dst, w.dist + 1 FROM walk w
+      |  JOIN e ON e.src = w.id WHERE w.dist < 3),
+      |md AS (SELECT label, id, min(dist) AS dist FROM walk GROUP BY 1, 2)
+      |SELECT id, CAST(count(*) AS BIGINT) AS n_pivots,
+      |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+      |FROM md WHERE dist > 0 GROUP BY 1""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7625,6 +7846,14 @@ object OpsQueries {
     "chat_sft_pairs" -> (qChatSftPairs _),
     "chat_pii_audit" -> (qChatPii _),
     "events_top_paths" -> (qEventsTopPaths _),
+    "graph_bfs" -> (qGraphBfs _),
+    "insight_bootstrap_ci" -> (qInsightBootstrap _),
+    "events_twap" -> (qEventsTwap _),
+    "text_skipgrams" -> (qTextSkipgrams _),
+    "text_ngram_precision" -> (qTextNgramPrecision _),
+    "train_negative_table" -> (qTrainNegativeTable _),
+    "join_fanout_audit" -> (qJoinFanout _),
+    "graph_harmonic" -> (qGraphHarmonic _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -7856,6 +8085,14 @@ object OpsQueries {
     "chat_sft_pairs" -> oChatSftPairs,
     "chat_pii_audit" -> oChatPii,
     "events_top_paths" -> oEventsTopPaths,
+    "graph_bfs" -> oGraphBfs,
+    "insight_bootstrap_ci" -> oInsightBootstrap,
+    "events_twap" -> oEventsTwap,
+    "text_skipgrams" -> oTextSkipgrams,
+    "text_ngram_precision" -> oTextNgramPrecision,
+    "train_negative_table" -> oTrainNegativeTable,
+    "join_fanout_audit" -> oJoinFanout,
+    "graph_harmonic" -> oGraphHarmonic,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

@@ -804,4 +804,135 @@ object Graph {
           expr("n_reciprocated * 1000000 DIV n_edges"))
           .otherwise(lit(0L)).as("reciprocity_micro"))
   }
+
+  /** MULTI-SOURCE BFS hop distances: the exact unweighted shortest-hop
+    * distance from ANY seed vertex, out to `maxHops` — the
+    * crawl-frontier / influence-radius primitive ("everything within 3
+    * clicks of the trusted set"), and the exact companion to
+    * [[trustRank]]'s damped mass (TrustRank tells you HOW MUCH seed
+    * authority reaches a page; BFS tells you at WHAT DEPTH it first
+    * does). Vertices unreachable within `maxHops` are absent.
+    *
+    * Level-synchronous frontier expansion — the standard distributed
+    * BFS: hop h joins the CURRENT FRONTIER (vertices first seen at
+    * h−1, never the whole visited set) against the edge list on src
+    * (co-keyed shuffle), dedups the targets, and anti-joins the
+    * visited table to keep only first sightings. Per-hop cost is
+    * ∝ edges incident to the frontier, total cost ∝ edges reached —
+    * never hops × |E|. Both loop-carried frames are eagerly
+    * localCheckpoint'ed (the CC-loop lineage contract) and the
+    * frontier/visited probes broadcast below `broadcastVertexCap` ids
+    * (the [[kCore]] keep-list discipline; AQE handles them beyond).
+    * Distances are exact integers — same result on any engine, any
+    * partitioning; each hop is one job (the emptiness check that
+    * terminates the loop doubles as the checkpoint action).
+    *
+    * @param edges directed edges (src, dst); pass both directions for
+    *              an undirected read
+    * @param seeds one-column frame of seed vertex ids (column `id`)
+    * @return (id, dist) — dist 0 for seeds, ≤ maxHops elsewhere */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6,
+                   broadcastVertexCap: Long = 4L << 20): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    def maybeB(df: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastVertexCap) broadcast(df) else df
+    var visited = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("id").localCheckpoint(true)
+    var nFrontier = frontier.count()
+    var nVisited = nFrontier
+    var h = 0L
+    while (nFrontier > 0 && h < maxHops) {
+      h += 1
+      val next = e
+        .join(maybeB(frontier.withColumnRenamed("id", "src"), nFrontier),
+          Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(maybeB(visited.select("id"), nVisited), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      nFrontier = next.count()
+      if (nFrontier > 0) {
+        visited = visited
+          .unionAll(next.withColumn("dist", lit(h)))
+          .localCheckpoint(true)
+        nVisited += nFrontier
+      }
+      frontier = next
+    }
+    visited
+  }
+
+  /** LABELED multi-source BFS: exact hop distance from EACH seed
+    * separately — (label, id, dist) per (seed, reached vertex) pair,
+    * where [[bfsDistances]] collapses all seeds into one wave. This is
+    * the pivot-distance primitive behind sampled closeness/harmonic
+    * centrality (Eppstein–Wang 2001: k random pivots estimate
+    * centrality within O(√(log n / k)) — exact per-pivot distances,
+    * sampling error only in the pivot choice) and per-seed influence
+    * radii.
+    *
+    * Same level-synchronous shape as [[bfsDistances]] with the label
+    * carried through the frontier: hop h joins the (label, id) frontier
+    * to the edge list on src (co-keyed shuffle; the frontier side
+    * broadcasts below `broadcastRowCap` rows), dedups per (label, dst),
+    * and anti-joins the visited table on BOTH columns. State is
+    * |seeds| × reached — keep the pivot set small (tens), which is
+    * exactly the sampled-centrality regime.
+    *
+    * @param seeds (id, label) — one BFS wave per distinct label;
+    *              typically label = the pivot's own id
+    * @return (label, id, dist) with dist ≤ maxHops, dist 0 = the seed */
+  def bfsDistancesLabeled(edges: DataFrame, seeds: DataFrame,
+                          maxHops: Int = 6,
+                          broadcastRowCap: Long = 4L << 20): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    def maybeB(df: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastRowCap) broadcast(df) else df
+    var visited = seeds.select(col("label"), col("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("label", "id").localCheckpoint(true)
+    var nFrontier = frontier.count()
+    var nVisited = nFrontier
+    var h = 0L
+    while (nFrontier > 0 && h < maxHops) {
+      h += 1
+      val next = e
+        .join(maybeB(frontier.withColumnRenamed("id", "src"), nFrontier),
+          Seq("src"))
+        .select(col("label"), col("dst").as("id")).distinct()
+        .join(maybeB(visited.select("label", "id"), nVisited),
+          Seq("label", "id"), "left_anti")
+        .localCheckpoint(true)
+      nFrontier = next.count()
+      if (nFrontier > 0) {
+        visited = visited
+          .unionAll(next.withColumn("dist", lit(h)))
+          .localCheckpoint(true)
+        nVisited += nFrontier
+      }
+      frontier = next
+    }
+    visited
+  }
+
+  /** Sampled HARMONIC CENTRALITY from pivot seeds: per vertex,
+    * Σ over pivots within `maxHops` of 1/dist in exact micro-units
+    * (10⁶ div dist — integer, engine-identical), plus the pivot count
+    * reached. Harmonic (not closeness) so disconnected pivots simply
+    * contribute 0 rather than poisoning the mean (Boldi–Vigna 2014's
+    * argument for harmonic as THE centrality on disconnected graphs).
+    * Pivots themselves are excluded from their own sum (dist 0).
+    * Cost: [[bfsDistancesLabeled]] + one hash aggregate. */
+  def harmonicCentrality(edges: DataFrame, pivots: DataFrame,
+                         maxHops: Int = 4): DataFrame =
+    bfsDistancesLabeled(edges,
+        pivots.select(col("id"), col("id").as("label")), maxHops)
+      .filter(col("dist") > 0)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_pivots"),
+        sum(expr("1000000 div dist")).as("harmonic_micro"))
 }

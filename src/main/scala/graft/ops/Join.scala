@@ -83,4 +83,45 @@ object Join {
                       fpp: Double = 0.01): DataFrame =
     bloomPrune(fact, dim, factKey, dimKey, expectedKeys, fpp)
       .join(dim, col(factKey) === col(dimKey))
+
+  /** JOIN FAN-OUT AUDIT: what `left ⋈ right` on `key` would produce,
+    * computed from per-key cardinalities WITHOUT running the join —
+    * the pre-flight check before a 100 TB shuffle join. Each surviving
+    * key row reports its output contribution (n_left × n_right) and
+    * its share of the total join output in ppm; the top-K keys by
+    * contribution are exactly the salting / skew-hint candidates
+    * (a single key above ~5% of the output is the classic straggler).
+    *
+    * Cost: one hash aggregate per side (map-side combinable to the key
+    * vocabulary), an inner join of the two KEY-LEVEL count tables
+    * (dim-sized, not data-sized), one 1-row total broadcast, and
+    * top-K through TakeOrderedAndProject (per-partition heaps, never a
+    * global sort). Products and the total ride DECIMAL(38,0) — two
+    * 10⁹-row sides sharing one hot key already put n_l × n_r past
+    * BIGINT (the aucExact overflow lesson).
+    *
+    * @return top-K of (key, n_left, n_right, out_rows, share_ppm)
+    *         ordered by (out_rows DESC, key) */
+  def fanoutAudit(left: DataFrame, right: DataFrame, leftKey: String,
+                  rightKey: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, "fanoutAudit needs topK >= 1")
+    def counts(df: DataFrame, k: String) = df
+      .select(col(k).as("key")).filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    val per = counts(left, leftKey)
+      .withColumnRenamed("n", "n_left")
+      .join(counts(right, rightKey).withColumnRenamed("n", "n_right"),
+        Seq("key"))
+      .withColumn("out_rows",
+        expr("CAST(n_left AS DECIMAL(38,0)) * n_right"))
+    val total = per.agg(sum("out_rows").as("__tot"))
+    per.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr(
+        "CAST(CASE WHEN __tot > 0 THEN out_rows * 1000000 div __tot" +
+          " ELSE 0 END AS BIGINT)"))
+      .select(col("key"), col("n_left"), col("n_right"),
+        col("out_rows").cast("long").as("out_rows"), col("share_ppm"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -115,4 +115,44 @@ object Phrases {
       .withColumn("phrase_allowed", col("phrase_hits") === 0L)
       .drop("__ph")
   }
+
+  /** SKIP-GRAM CO-OCCURRENCE counts: unordered word pairs within a
+    * `window`-token distance of each other, summed over the corpus —
+    * the word2vec/GloVe preprocessing staple and the general-purpose
+    * distributional-similarity table that adjacent-only
+    * [[Insight.pmiBigrams]] cannot provide (window 1 reproduces it).
+    * Pairs are canonicalized lexicographically (w1 ≤ w2; both
+    * directions collapse into one row) and identical-token pairs from
+    * repeated words still count (a real co-occurrence).
+    *
+    * Scale shape: tokens are posexploded and self-joined PER DOCUMENT
+    * on a position band (0 < j−i ≤ window) — co-keyed on doc id, so
+    * the shuffle is one repartition of the token table and the band
+    * join runs inside each doc's partition; pair volume is exactly
+    * Σ_docs (n_tokens·window − triangle corrections) ≈ linear in
+    * corpus size for fixed window. The aggregate is map-side
+    * combinable to the distinct-pair vocabulary. `minCount` prunes
+    * the hapax-pair tail (which at corpus scale is most of the
+    * output) AFTER the exact count — the filter is on the result, not
+    * a sketch.
+    *
+    * @return (w1, w2, cnt) with w1 ≤ w2, cnt ≥ minCount */
+  def skipgramCounts(df: DataFrame, textCol: String, idCol: String,
+                     window: Int = 3, minCount: Long = 2L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = df
+      .select(col(idCol).as("__d"), TextFunctions.tokens(col(textCol))
+        .as("__t"))
+      .select(col("__d"), posexplode(col("__t")).as(Seq("__p", "__w")))
+      .filter(length(col("__w")) > 0)
+    toks.as("a")
+      .join(toks.as("b"),
+        col("a.__d") === col("b.__d") &&
+          col("b.__p") > col("a.__p") &&
+          col("b.__p") <= col("a.__p") + window)
+      .select(least(col("a.__w"), col("b.__w")).as("w1"),
+        greatest(col("a.__w"), col("b.__w")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 }

@@ -350,4 +350,41 @@ object Sample {
         outCol = "cum_tokens")
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** word2vec NEGATIVE-SAMPLING table: P(w) ∝ count(w)^0.75 (Mikolov
+    * et al. 2013's smoothing — down-weights stopwords, up-weights the
+    * tail vs the raw unigram), materialized as exact integer weights
+    * plus the inclusive cumulative sum a sampler binary-searches.
+    *
+    * The 3/4 power is spelled sqrt(c·sqrt(c)) ON PURPOSE: IEEE sqrt
+    * and multiply are correctly rounded on every engine, while
+    * pow(c, 0.75) goes through exp/log in libm and differs in the
+    * last ulp across builds — the same transcendental-avoidance rule
+    * as [[graft.ops.Insight.PoissonT]]'s hardcoded thresholds. Weights
+    * ride micro-units (floor(w·10⁶ + 0.5)); the share is computed on
+    * DECIMAL(38,0) (weight_micro × 10⁹ reaches ~10¹⁹ on web-scale
+    * counts — past BIGINT, the aucExact overflow lesson); the
+    * cumulative sum is [[Rank.prefixSum]]'s range-exchange rail, never
+    * an unpartitioned window over the vocabulary.
+    *
+    * @return (token, cnt, weight_micro, share_ppb, cum_weight) with
+    *         cum_weight inclusive under (weight_micro DESC, token) */
+  def negativeSamplingTable(df: DataFrame, textCol: String,
+                            minCount: Long = 1L): DataFrame = {
+    val counts = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("weight_micro",
+        expr("CAST(floor(sqrt(cnt * sqrt(cnt)) * 1000000 + 0.5) AS BIGINT)"))
+    val total = counts.agg(sum("weight_micro").as("__tot"))
+    Rank.prefixSum(counts.crossJoin(broadcast(total)),
+        Seq(col("weight_micro").desc, col("token")), "weight_micro",
+        outCol = "cum_weight")
+      .withColumn("share_ppb", expr(
+        "CAST(CAST(weight_micro AS DECIMAL(38,0)) * 1000000000 div __tot" +
+          " AS BIGINT)"))
+      .select("token", "cnt", "weight_micro", "share_ppb", "cum_weight")
+  }
 }

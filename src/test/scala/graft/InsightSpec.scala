@@ -459,4 +459,102 @@ class InsightSpec extends SparkSpec {
     assert(r2.length == 6 && r2.forall(_.getLong(2) == 1L))
     assert(Graph.commonNeighbors(star, maxCenterDeg = Some(3L)).isEmpty)
   }
+
+  test("bfsDistances: exact hop depths, hop cap, cycle safety, multi-seed min") {
+    // chain 1 -> 2 -> 3 -> 4 -> 5: depth = position, 5 beyond maxHops=3
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    def run(e: org.apache.spark.sql.DataFrame,
+            s: org.apache.spark.sql.DataFrame, h: Int) =
+      Graph.bfsDistances(e, s, maxHops = h).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(chain, seeds, 3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(run(chain, seeds, 0) == Map(1L -> 0L)) // seeds only
+    // 2-cycle terminates; revisits never shorten a recorded distance
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(run(cyc, seeds, 9) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // two seeds: each vertex takes the NEAREST seed's depth
+    val two = Seq(1L, 4L).toDF("id")
+    assert(run(chain, two, 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L))
+    // an isolated seed (no edges touch it) still reports depth 0
+    assert(run(chain, Seq(1L, 42L).toDF("id"), 1) ==
+      Map(1L -> 0L, 2L -> 1L, 42L -> 0L))
+  }
+
+  test("bootstrapMeanCI: deterministic, ordered bounds, constant column collapses") {
+    val d = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val r1 = Insight.bootstrapMeanCI(d, "v", "id", reps = 20).collect()(0)
+    val r2 = Insight.bootstrapMeanCI(d, "v", "id", reps = 20).collect()(0)
+    assert(r1 == r2, "hash-armed resampling must be run-to-run identical")
+    val (n, mean, lo, hi) = (r1.getLong(0), r1.getLong(1),
+      r1.getLong(2), r1.getLong(3))
+    assert(n == 50L)
+    assert(mean == (1 to 50).map(_ * 1000000L).sum / 50)
+    assert(lo <= hi, s"order statistics inverted: $lo > $hi")
+    assert(lo <= mean && mean <= hi, s"full mean outside CI: $lo $mean $hi")
+    // constant column: every resample averages the same value
+    val c = (1 to 30).map(i => (i.toLong, 2.5)).toDF("id", "v")
+    val rc = Insight.bootstrapMeanCI(c, "v", "id", reps = 20).collect()(0)
+    assert(rc.getLong(1) == 2500000L && rc.getLong(2) == 2500000L &&
+      rc.getLong(3) == 2500000L)
+    // null value/id rows are excluded from n
+    val withNull = d.unionAll(Seq((null.asInstanceOf[java.lang.Long], 9.0))
+      .toDF("id", "v").select(col("id").cast("long"), col("v")))
+    assert(Insight.bootstrapMeanCI(withNull, "v", "id", reps = 20)
+      .collect()(0).getLong(0) == 50L)
+  }
+
+  test("ngramPrecision: clipping, short-hyp null, perfect and zero overlap") {
+    val d = Seq(
+      // hyp repeats "the" 4x; ref has it twice -> clipped p1 = 2/4
+      (1L, "the the the the", "the cat the dog"),
+      // exact match: p1 = p2 = 1.0
+      (2L, "a b c", "a b c"),
+      // zero overlap
+      (3L, "x y", "p q r"),
+      // hyp shorter than the order: n=2 row exists with n_hyp = 0
+      (4L, "solo", "solo duo")
+    ).toDF("id", "hyp", "ref")
+    val out = Insight.ngramPrecision(d, "hyp", "ref", "id", maxN = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out((1L, 1)) == (4L, 2L, 500000L))   // clipped at ref count
+    assert(out((1L, 2)) == (3L, 0L, 0L))        // "the the" absent from ref
+    assert(out((2L, 1)) == (3L, 3L, 1000000L))
+    assert(out((2L, 2)) == (2L, 2L, 1000000L))
+    assert(out((3L, 1)) == (2L, 0L, 0L))
+    assert(out((3L, 2)) == (1L, 0L, 0L))
+    assert(out((4L, 1)) == (1L, 1L, 1000000L))
+    assert(out((4L, 2)) == (0L, 0L, -1L))       // no bigrams -> null ppm
+  }
+
+  test("timeWeightedMean: hold-duration weighting, zero-span null, tie order") {
+    val ev = Seq(
+      // key a: 10.0 held 2 s, 20.0 held 4 s, 40.0 terminal (weight 0)
+      ("a", "2024-01-01 00:00:00", 10.0, 1L),
+      ("a", "2024-01-01 00:00:02", 20.0, 2L),
+      ("a", "2024-01-01 00:00:06", 40.0, 3L),
+      // key b: single event — span 0, twap null
+      ("b", "2024-01-01 00:00:00", 7.0, 4L)
+    ).toDF("k", "ts", "v", "tie")
+    val out = Insight.timeWeightedMean(ev, "k", "ts", "v", "tie")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 6000000L)
+    // (2e6*10e6 + 4e6*20e6) div 6e6 = 16_666_666 (truncating div)
+    assert(a.getLong(3) == 16666666L)
+    val b = out("b")
+    assert(b.getLong(1) == 1L && b.getLong(2) == 0L && b.isNullAt(3))
+    // equal timestamps: the tie column orders the lead deterministically
+    val tied = Seq(("c", "2024-01-01 00:00:00", 1.0, 1L),
+      ("c", "2024-01-01 00:00:00", 2.0, 2L),
+      ("c", "2024-01-01 00:00:10", 3.0, 3L)).toDF("k", "ts", "v", "tie")
+    val c = Insight.timeWeightedMean(tied, "k", "ts", "v", "tie")
+      .collect()(0)
+    // v=1 holds 0 µs (tie-next is same ts), v=2 holds the full 10 s
+    assert(c.getLong(3) == 2000000L)
+  }
 }

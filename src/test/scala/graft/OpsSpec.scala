@@ -3793,4 +3793,40 @@ class OpsSpec extends SparkSpec {
     // 1 crossing; 1 of 8 samples under the floor -> 125000 ppm
     assert(out == ((1L, 1000L, 7090000L, 1L, 125000L)))
   }
+
+  test("fanoutAudit: exact products, ppm shares, topK order, null keys out") {
+    val l = Seq(1L, 1L, 1L, 2L, 3L).map(Tuple1(_)).toDF("lk")
+      .unionAll(Seq(Tuple1(null.asInstanceOf[java.lang.Long]))
+        .toDF("lk").select(col("lk").cast("long")))
+    val r = Seq(1L, 1L, 2L, 4L).map(Tuple1(_)).toDF("rk")
+    val out = Join.fanoutAudit(l, r, "lk", "rk", topK = 10).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1), rr.getLong(2),
+        rr.getLong(3), rr.getLong(4)))
+    // key 1: 3x2=6 of 7 total; key 2: 1x1=1; keys 3/4/null never join
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, 6L, 6L * 1000000L / 7),
+      (2L, 1L, 1L, 1L, 1000000L / 7)))
+    // topK truncates at the heaviest keys
+    val top1 = Join.fanoutAudit(l, r, "lk", "rk", topK = 1).collect()
+    assert(top1.length == 1 && top1(0).getLong(0) == 1L)
+  }
+
+  test("bfsDistancesLabeled + harmonicCentrality: per-pivot waves stay separate") {
+    // path 1 - 2 - 3 - 4 (undirected), pivots at both ends
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq((1L, 1L), (4L, 4L)).toDF("id", "label")
+    val d = Graph.bfsDistancesLabeled(e, seeds, maxHops = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L, (1L, 4L) -> 3L,
+      (4L, 4L) -> 0L, (4L, 3L) -> 1L, (4L, 2L) -> 2L, (4L, 1L) -> 3L))
+    // harmonic: vertex 2 sees pivots at dist 1 and 2 -> 1.5e6 micro
+    val h = Graph.harmonicCentrality(e, Seq(1L, 4L).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(h(2L) == (2L, 1500000L) && h(3L) == (2L, 1500000L))
+    // each pivot excludes its own dist-0 row but counts the other
+    assert(h(1L) == (1L, 333333L) && h(4L) == (1L, 333333L))
+  }
 }

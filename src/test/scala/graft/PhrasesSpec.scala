@@ -65,4 +65,27 @@ class PhrasesSpec extends SparkSpec {
     assert(hits == 2)
     assert(idx.toSeq.map(ac.patterns(_)).sorted == Seq("needle term", "phrase42 x"))
   }
+
+  test("skipgramCounts: window band, canonical pair order, repeats, minCount") {
+    val docs = Seq(
+      (1L, "a b c a"),   // window 2: (a,b)x2 (a,c)x2 (b,c) (a,a) — c..a in band
+      (2L, "a b")        // one more (a,b) across the corpus
+    ).toDF("doc_id", "text")
+    val out = Phrases.skipgramCounts(docs, "text", "doc_id",
+        window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // doc1 bands (0,1)(0,2)(1,2)(1,3)(2,3): ab ac bc ba→ab ca→ac; doc2: ab
+    assert(out == Map(
+      ("a", "b") -> 3L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+    // minCount prunes the tail; window 1 is adjacent-only
+    val pruned = Phrases.skipgramCounts(docs, "text", "doc_id", 2, 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(pruned == Map(("a", "b") -> 3L, ("a", "c") -> 2L))
+    val adj = Phrases.skipgramCounts(docs, "text", "doc_id", 1, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(adj == Map(("a", "b") -> 2L, ("b", "c") -> 1L, ("a", "c") -> 1L))
+  }
 }

@@ -87,4 +87,28 @@ class SamplePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("negativeSamplingTable: 3/4-power weights, exact cum rail, minCount") {
+    // counts: a=16 (w=8.0), b=4 (w=2.828427...), c=1 (pruned at minCount 2)
+    val docs = (Seq.fill(16)("a") ++ Seq.fill(4)("b") ++ Seq("c"))
+      .map(Tuple1(_)).toDF("text")
+    val out = Sample.negativeSamplingTable(docs, "text", minCount = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set("a", "b"))
+    // 16^0.75 = 8 exactly; 4^0.75 = 2*sqrt(2) -> floor micro of the
+    // correctly-rounded double (JVM and oracle agree bit-for-bit)
+    val wb = math.floor(math.sqrt(4.0 * math.sqrt(4.0)) * 1e6 + 0.5).toLong
+    assert(out("a") == (16L, 8000000L,
+      8000000L * 1000000000L / (8000000L + wb), 8000000L))
+    assert(out("b")._2 == wb && out("b")._4 == 8000000L + wb)
+    // cum under (weight DESC, token) is inclusive and gapless: the
+    // last token's cum equals the weight total
+    val full = Sample.negativeSamplingTable(docs, "text", minCount = 1L)
+      .orderBy(col("cum_weight")).collect()
+    val tot = full.map(_.getLong(2)).sum
+    assert(full.last.getLong(4) == tot)
+    assert(full.map(_.getLong(4)).toSeq ==
+      full.map(_.getLong(2)).scanLeft(0L)(_ + _).tail.toSeq)
+  }
 }
