@@ -7689,15 +7689,18 @@ object OpsQueries {
       |    AS BIGINT) AS share_ppm
       |FROM p, t ORDER BY o DESC, key LIMIT 20""".stripMargin
 
-  /** Sampled harmonic centrality of the co-purchase graph from
-    * deterministic pivots (every 499th part id), 3 hops (see
+  /** Sampled harmonic centrality of the co-purchase graph from a
+    * FIXED-COUNT deterministic pivot set (the 8 lowest part ids — the
+    * labeled-BFS cost is pivots × reached edges, so the pivot count
+    * must NOT scale with the data; Eppstein–Wang sampling is a
+    * constant-k estimate by design), 3 hops (see
     * [[Graph.harmonicCentrality]]): Σ 10⁶ div dist over per-pivot
     * exact BFS distances — the labeled-BFS recursive-CTE twin. */
   private def qGraphHarmonic(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-    val pivots = li.filter(col("l_partkey") % 499 === 0)
-      .select(col("l_partkey").as("id")).distinct()
+    val pivots = li.select(col("l_partkey").as("id")).distinct()
+      .orderBy("id").limit(8)
     Graph.harmonicCentrality(edges, pivots, maxHops = 3)
   }
 
@@ -7707,7 +7710,7 @@ object OpsQueries {
       |e AS (SELECT DISTINCT a.item AS src, b.item AS dst FROM items a
       |  JOIN items b ON a.g = b.g AND a.item <> b.item),
       |pv AS (SELECT DISTINCT l_partkey AS label FROM lineitem
-      |  WHERE l_partkey % 499 = 0),
+      |  ORDER BY 1 LIMIT 8),
       |walk(label, id, dist) AS (
       |  SELECT label, label, 0 FROM pv
       |  UNION
@@ -7717,6 +7720,192 @@ object OpsQueries {
       |SELECT id, CAST(count(*) AS BIGINT) AS n_pivots,
       |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
       |FROM md WHERE dist > 0 GROUP BY 1""".stripMargin
+
+  /** Ranking-eval read-out per order (see [[Classify.rankingMetrics]]):
+    * parts ranked by spend within each order, relevant = any returned
+    * line — MRR / P@5 / recall@5 / nDCG@5 on integer rails with
+    * driver-literal DCG weights. */
+  private def qEvalRanking(s: SparkSession, dir: String): DataFrame = {
+    val cand = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("qid"), col("l_partkey").as("doc"))
+      .agg(sum("l_extendedprice").as("score"),
+        max(col("l_returnflag") === "R").as("rel"))
+    Classify.rankingMetrics(cand, "qid", "doc", "score", "rel", k = 5)
+  }
+
+  private val oEvalRanking = {
+    val w = Classify.dcgWeights(5)
+    val cum = w.scanLeft(0L)(_ + _).tail
+    val wCase = "CASE r " + w.zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i + 1} THEN $v" }.mkString(" ") + " ELSE 0 END"
+    val idcgCase = "CASE least(n_pos, 5) " +
+      cum.zipWithIndex.map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString(" ") + " ELSE 0 END"
+    s"""WITH cand AS (SELECT l_orderkey AS qid, l_partkey AS doc,
+      |    sum(l_extendedprice) AS score,
+      |    max(l_returnflag = 'R') AS rel
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT qid, rel,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc)
+      |      AS r FROM cand),
+      |g AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    min(CASE WHEN rel AND r <= 5 THEN r END) AS fr,
+      |    CAST(sum(CASE WHEN rel AND r <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hits,
+      |    CAST(sum(CASE WHEN rel AND r <= 5 THEN $wCase ELSE 0 END)
+      |      AS BIGINT) AS dcg_micro
+      |  FROM r GROUP BY 1)
+      |SELECT qid, n_docs, n_pos,
+      |  CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS rr_ppm,
+      |  CAST(hits * 1000000 // 5 AS BIGINT) AS p_at_k_ppm,
+      |  CAST(CASE WHEN n_pos > 0 THEN hits * 1000000 // n_pos
+      |    ELSE 0 END AS BIGINT) AS r_at_k_ppm,
+      |  dcg_micro,
+      |  CAST(CASE WHEN $idcgCase > 0
+      |    THEN dcg_micro * 1000000 // ($idcgCase) ELSE 0 END AS BIGINT)
+      |    AS ndcg_ppm
+      |FROM g""".stripMargin
+  }
+
+  /** Wilson score interval per event type for the high-value-event
+    * rate (see [[Classify.wilsonCI]]): engine-exact doubles (the
+    * formula is sqrt/×/÷ only — every op correctly rounded), bounds
+    * micro-rounded. */
+  private def qQualityWilson(s: SparkSession, dir: String): DataFrame =
+    Classify.wilsonCI(
+      readEvents(s, dir).select(col("event_type"),
+        (col("value") > 200.0).as("hi")),
+      "event_type", "hi")
+
+  private val oQualityWilson = {
+    val zl = Classify.dlit(1.96)
+    val zzl = Classify.dlit(1.96 * 1.96)
+    s"""WITH g AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_pos
+      |  FROM events WHERE (value > 200.0) IS NOT NULL GROUP BY 1),
+      |d AS (SELECT key, n, n_pos,
+      |    CAST(n_pos AS DOUBLE) / n AS ph FROM g),
+      |e AS (SELECT key, n, n_pos, ph,
+      |    ph + $zzl / (2.0E0 * n) AS c,
+      |    $zl * sqrt(ph * (1.0E0 - ph) / n +
+      |      $zzl / (4.0E0 * n * n)) AS s,
+      |    1.0E0 + $zzl / n AS den
+      |  FROM d)
+      |SELECT key, n, n_pos,
+      |  CAST(n_pos * 1000000 // n AS BIGINT) AS p_ppm,
+      |  CAST(floor((c - s) / den * 1.0E6 + 0.5E0) AS BIGINT) AS lo_micro,
+      |  CAST(floor((c + s) / den * 1.0E6 + 0.5E0) AS BIGINT) AS hi_micro
+      |FROM e""".stripMargin
+  }
+
+  /** χ² independence of event type × value bucket (see
+    * [[Insight.chiSquare]]): exact contingency counts, per-cell terms
+    * as identical-expression-tree doubles micro-rounded (the Wilson
+    * determinism rule), Cramér's V effect size. */
+  private def qEventsChi2(s: SparkSession, dir: String): DataFrame =
+    Insight.chiSquare(
+      readEvents(s, dir).select(col("event_type"),
+        floor(col("value") / lit(50.0)).cast("long").as("vb")),
+      "event_type", "vb")
+
+  private val oEventsChi2 =
+    """WITH cells AS (SELECT
+      |    coalesce(CAST(event_type AS VARCHAR), chr(0)) AS a,
+      |    coalesce(CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR),
+      |      chr(0)) AS b,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+      |    CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+      |tm AS (SELECT
+      |    CAST(floor((o - CAST(rt AS DOUBLE) * ct / n) *
+      |        (o - CAST(rt AS DOUBLE) * ct / n) /
+      |        (CAST(rt AS DOUBLE) * ct / n) * 1.0E6 + 0.5E0) AS BIGINT)
+      |      AS t
+      |  FROM cells JOIN rt USING (a) JOIN ct USING (b), tt),
+      |ag AS (SELECT (SELECT n FROM tt) AS n, (SELECT r FROM tt) AS r,
+      |    (SELECT c FROM tt) AS c, CAST(sum(t) AS BIGINT) AS chi2_micro
+      |  FROM tm)
+      |SELECT n, r, c, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+      |  chi2_micro,
+      |  CAST(CASE WHEN (r - 1) * (c - 1) > 0
+      |    THEN floor(sqrt((chi2_micro / 1.0E6) /
+      |      (CAST(n AS DOUBLE) * (least(r, c) - 1))) * 1.0E6 + 0.5E0)
+      |    ELSE 0 END AS BIGINT) AS cramers_v_micro
+      |FROM ag""".stripMargin
+
+  /** Benjamini–Hochberg selection over a PLANTED p-value column (10%
+    * of docs carry signal p ≤ 10⁻⁴, the rest hash-uniform — BH at
+    * α = 0.05 recovers essentially the signal set; see
+    * [[Insight.bhSelect]]): the md5 arming and the step-up rule replay
+    * exactly in SQL. */
+  private def qQualityBh(s: SparkSession, dir: String): DataFrame = {
+    val u = expr("CAST(conv(substring(md5(concat('bh:', " +
+      "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    val scored = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, u % 100)
+        .otherwise(u % 1000000).as("p_micro"))
+    Insight.bhSelect(scored, "p_micro", "doc_id", alphaMicro = 50000L)
+  }
+
+  private val oQualityBh =
+    """WITH s AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0
+      |      THEN ('0x' || substr(md5('bh:' || CAST(doc_id AS VARCHAR)),
+      |        1, 8))::BIGINT % 100
+      |      ELSE ('0x' || substr(md5('bh:' || CAST(doc_id AS VARCHAR)),
+      |        1, 8))::BIGINT % 1000000 END AS p_micro
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |r AS (SELECT doc_id, p_micro,
+      |    CAST(row_number() OVER (ORDER BY p_micro, doc_id) AS BIGINT)
+      |      AS rank, CAST(count(*) OVER () AS BIGINT) AS m FROM s),
+      |k AS (SELECT coalesce(max(rank), 0) AS kmax FROM r
+      |  WHERE p_micro * m <= rank * 50000)
+      |SELECT doc_id, p_micro, rank, m FROM r, k WHERE rank <= kmax"""
+      .stripMargin
+
+  /** Mann–Whitney U of purchase vs non-purchase event values (see
+    * [[Insight.mannWhitney]]): doubled-midrank integers on the
+    * counts-first rail, tie-corrected z as an identical-tree double. */
+  private def qEventsMannWhitney(s: SparkSession, dir: String): DataFrame =
+    Insight.mannWhitney(
+      readEvents(s, dir).select(col("value"),
+        (col("event_type") === "purchase").as("grp")),
+      "value", "grp")
+
+  private val oEventsMannWhitney =
+    """WITH per AS (SELECT value AS v,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS ct
+      |  FROM events WHERE value IS NOT NULL
+      |    AND (event_type = 'purchase') IS NOT NULL
+      |  GROUP BY 1),
+      |cum AS (SELECT c1, ct,
+      |    CAST(sum(ct) OVER (ORDER BY v) AS BIGINT) AS cum FROM per),
+      |ag AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(ct) AS BIGINT) AS n,
+      |    sum(CAST(c1 AS HUGEINT) * (2 * cum - ct + 1)) AS r1x2,
+      |    sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS ties
+      |  FROM cum),
+      |st AS (SELECT n1, n - n1 AS n2, n, ties,
+      |    r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2 FROM ag)
+      |SELECT n1, n2, CAST(u1x2 AS BIGINT) AS u1_x2,
+      |  CAST(2 * CAST(n1 AS HUGEINT) * n2 - u1x2 AS BIGINT) AS u2_x2,
+      |  CASE WHEN n1 > 0 AND n2 > 0 AND n > 1
+      |      AND CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) < n + 1
+      |    THEN CAST(floor(CAST(u1x2 - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+      |      / (2.0E0 * sqrt(CAST(n1 AS DOUBLE) * n2 *
+      |        ((n + 1) - CAST(ties AS DOUBLE) /
+      |          (CAST(n AS DOUBLE) * (n - 1))) / 12.0E0))
+      |      * 1.0E6 + 0.5E0) AS BIGINT)
+      |  END AS z_micro
+      |FROM st""".stripMargin
 
   // =====================================================================
 
@@ -7854,6 +8043,11 @@ object OpsQueries {
     "train_negative_table" -> (qTrainNegativeTable _),
     "join_fanout_audit" -> (qJoinFanout _),
     "graph_harmonic" -> (qGraphHarmonic _),
+    "eval_ranking" -> (qEvalRanking _),
+    "quality_wilson" -> (qQualityWilson _),
+    "events_chi2" -> (qEventsChi2 _),
+    "quality_bh_select" -> (qQualityBh _),
+    "events_mannwhitney" -> (qEventsMannWhitney _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -8093,6 +8287,11 @@ object OpsQueries {
     "train_negative_table" -> oTrainNegativeTable,
     "join_fanout_audit" -> oJoinFanout,
     "graph_harmonic" -> oGraphHarmonic,
+    "eval_ranking" -> oEvalRanking,
+    "quality_wilson" -> oQualityWilson,
+    "events_chi2" -> oEventsChi2,
+    "quality_bh_select" -> oQualityBh,
+    "events_mannwhitney" -> oEventsMannWhitney,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

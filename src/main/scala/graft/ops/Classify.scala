@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** FastText/CCNet-style LINEAR quality classifier: logistic regression
@@ -301,6 +302,125 @@ object Classify {
       .select(col("n"), col("n_pos"),
         when(col("n_pos") > 0, expr("__terms div n_pos")).as("ap_ppm"))
       .withColumn("ap", round(col("ap_ppm").cast("double") / 1e6, 6))
+  }
+
+  /** Integer DCG position weights: w(i) = floor(10⁶/log₂(i+1) + 0.5)
+    * for ranks 1..k, computed ONCE on the driver and injected as
+    * literals into both the Spark plan and the SQL oracle — the
+    * [[graft.ops.Insight.PoissonT]] discipline for log₂: executors and
+    * oracle engines never evaluate a transcendental, so the metric is
+    * bit-identical everywhere. w(1) = 10⁶, w(2) ≈ 630930, … */
+  private[graft] def dcgWeights(k: Int): Array[Long] =
+    (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+      .toArray
+
+  /** PER-QUERY RANKING METRICS at cutoff k — the retrieval/eval
+    * read-out over (query, candidate, score, binary label) rows: MRR,
+    * precision@k, recall@k and nDCG@k, each on the exact integer rail
+    * under the deterministic total order (score desc, candidate id) —
+    * the [[averagePrecision]] tie-break contract, per group.
+    *
+    *   rr        = 10⁶ div rank of the first relevant ≤ k (0 if none)
+    *   p@k       = hits(k)·10⁶ div k        (k the cutoff, by IR convention)
+    *   recall@k  = hits(k)·10⁶ div n_pos
+    *   nDCG@k    = DCG·10⁶ div IDCG, DCG = Σ_{relevant i ≤ k} w(i),
+    *               IDCG = Σ_{i ≤ min(k, n_pos)} w(i), w from [[dcgWeights]]
+    *
+    * Shape: one per-query window (row_number over groups — state is
+    * group-sized, never corpus-wide) + one hash aggregate; the w(i)
+    * and cumulative-IDCG tables are CASE literals (k-bounded). Rows
+    * with null score/label are dropped; queries with no relevant
+    * candidate report rr/recall/ndcg = 0 (the macro-average-friendly
+    * convention).
+    *
+    * @return (qid, n_docs, n_pos, rr_ppm, p_at_k_ppm, r_at_k_ppm,
+    *         dcg_micro, ndcg_ppm) — one row per query id */
+  def rankingMetrics(df: DataFrame, qidCol: String, docCol: String,
+                     scoreCol: String, labelCol: String,
+                     k: Int = 5): DataFrame = {
+    require(k >= 1, "rankingMetrics needs k >= 1")
+    val w = dcgWeights(k)
+    val cum = w.scanLeft(0L)(_ + _).tail // IDCG at n_pos = 1..k
+    val wCase = "CASE __r " + w.zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i + 1} THEN ${v}L" }.mkString(" ") + " ELSE 0L END"
+    val idcgCase = "CASE least(n_pos, " + k + "L) " +
+      cum.zipWithIndex.map { case (v, i) => s"WHEN ${i + 1} THEN ${v}L" }
+        .mkString(" ") + " ELSE 0L END"
+    val win = Window.partitionBy("__q")
+      .orderBy(col("__s").desc, col("__d"))
+    df.select(col(qidCol).as("__q"), col(docCol).as("__d"),
+        col(scoreCol).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("__r", row_number().over(win).cast("long"))
+      .groupBy(col("__q").as("qid"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        min(when(col("__y") && col("__r") <= k, col("__r"))).as("__fr"),
+        sum(when(col("__y") && col("__r") <= k, 1L).otherwise(0L))
+          .as("__hits"),
+        sum(when(col("__y") && col("__r") <= k, expr(wCase))
+          .otherwise(0L)).as("dcg_micro"))
+      .withColumn("__idcg", expr(idcgCase))
+      .select(col("qid"), col("n_docs"), col("n_pos"),
+        coalesce(expr("1000000 div __fr"), lit(0L)).as("rr_ppm"),
+        expr(s"__hits * 1000000 div ${k}L").as("p_at_k_ppm"),
+        when(col("n_pos") > 0, expr("__hits * 1000000 div n_pos"))
+          .otherwise(0L).as("r_at_k_ppm"),
+        col("dcg_micro"),
+        when(col("__idcg") > 0,
+          expr("dcg_micro * 1000000 div __idcg"))
+          .otherwise(0L).as("ndcg_ppm"))
+  }
+
+  /** WILSON SCORE INTERVAL per group for a binary rate — the
+    * small-n-honest CI (a 2/2 success rate reports [0.34, 1.0], not
+    * the Wald interval's degenerate [1, 1]):
+    *
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * Engine-exact BY CONSTRUCTION without an integer rail: every
+    * operation in the formula (+, ×, ÷, √) is IEEE correctly-rounded
+    * and both engines parse the same z literal to the same double, so
+    * the identical expression tree yields bit-identical doubles — the
+    * reason Wilson is computable exactly where a pow/log-based
+    * interval would drift by libm ulps ([[dcgWeights]]' note). Bounds
+    * are reported micro-rounded. One map-combinable aggregate.
+    *
+    * @return (key, n, n_pos, p_ppm, lo_micro, hi_micro) */
+  /** Round-trip DOUBLE literal for generated SQL: E-notation forces
+    * DOUBLE in both Spark and DuckDB (a bare `1.96` parses as DECIMAL
+    * in BOTH engines, and decimal arithmetic rounds at result scale —
+    * a silent divergence from the double math the formula means).
+    * `Double.toString` is shortest-round-trip, so both engines parse
+    * back the EXACT same double. */
+  private[graft] def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  def wilsonCI(df: DataFrame, keyCol: String, labelCol: String,
+               z: Double = 1.96): DataFrame = {
+    require(z > 0, "z must be positive")
+    val zl = dlit(z)
+    val zzl = dlit(z * z) // driver-folded z², one shared literal
+    df.select(col(keyCol).as("key"), col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("p_ppm", expr("n_pos * 1000000 div n"))
+      .withColumn("__ph", expr("CAST(n_pos AS DOUBLE) / n"))
+      .withColumn("__c", expr(s"__ph + $zzl / (2.0E0 * n)"))
+      .withColumn("__s", expr(
+        s"$zl * sqrt(__ph * (1.0E0 - __ph) / n + $zzl / (4.0E0 * n * n))"))
+      .withColumn("__den", expr(s"1.0E0 + $zzl / n"))
+      .select(col("key"), col("n"), col("n_pos"), col("p_ppm"),
+        expr("CAST(floor((__c - __s) / __den * 1.0E6 + 0.5E0) AS BIGINT)")
+          .as("lo_micro"),
+        expr("CAST(floor((__c + __s) / __den * 1.0E6 + 0.5E0) AS BIGINT)")
+          .as("hi_micro"))
   }
 
   /** CALIBRATION (reliability) bins for a [0, 1] score: decile bins by

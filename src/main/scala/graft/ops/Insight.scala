@@ -708,6 +708,149 @@ object Insight {
     *
     * @return (key, n_events, span_us, twap_micro) — keys with a
     *         single event (span 0) report null twap_micro */
+  /** PEARSON χ² TEST OF INDEPENDENCE between two categorical columns,
+    * plus Cramér's V effect size — the first question about any two
+    * discrete attributes ("is source independent of language?").
+    *
+    *   χ² = Σ_cells (o − e)²/e,  e = row_tot·col_tot/N,
+    *   V  = √(χ² / (N·(min(r,c) − 1)))
+    *
+    * Determinism: counts are exact integers; each cell term is IEEE
+    * double math on exact-integer inputs with an IDENTICAL expression
+    * tree on every engine (+, ×, ÷ are correctly rounded — the
+    * [[graft.ops.Classify.wilsonCI]] rule), rounded to micro per term
+    * and summed as BIGINT (the text_entropy convention), so the
+    * statistic is bit-identical everywhere without an integer rail —
+    * which a pure rail can't provide here: at 10¹² rows the exact
+    * rational (o·N − rt·ct)² overflows even DECIMAL(38).
+    *
+    * Shape: one (a, b) count aggregate (map-combinable to the r×c
+    * contingency table), two margin re-aggregates of THAT table, two
+    * vocabulary-sized joins, one fold. Null categories count as a
+    * level (they are data).
+    *
+    * @return one row (n, r, c, dof, chi2_micro, cramers_v_micro) */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // null is a level: coalesce to a NUL sentinel so countDistinct
+    // (which skips SQL nulls) still counts it as a category
+    val cells = df
+      .select(coalesce(col(aCol).cast("string"), lit("\u0000")).as("__a"),
+        coalesce(col(bCol).cast("string"), lit("\u0000")).as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true) // margins + terms re-read it three ways
+    val rt = cells.groupBy("__a").agg(sum("__o").as("__rt"))
+    val ct = cells.groupBy("__b").agg(sum("__o").as("__ct"))
+    val tot = cells.agg(sum("__o").as("__n"),
+      countDistinct("__a").as("__r"), countDistinct("__b").as("__c"))
+    val term = cells
+      .join(broadcast(rt), Seq("__a")).join(broadcast(ct), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__e",
+        expr("CAST(__rt AS DOUBLE) * __ct / __n"))
+      .withColumn("__t", expr("CAST(floor((__o - __e) * (__o - __e)" +
+        " / __e * 1.0E6 + 0.5E0) AS BIGINT)"))
+    term
+      .agg(first(col("__n")).as("n"), first(col("__r")).as("r"),
+        first(col("__c")).as("c"), sum("__t").as("chi2_micro"))
+      .withColumn("dof", expr("(r - 1) * (c - 1)"))
+      .withColumn("cramers_v_micro", when(col("dof") > 0,
+        expr("CAST(floor(sqrt((chi2_micro / 1.0E6) /" +
+          " (CAST(n AS DOUBLE) * (least(r, c) - 1))) * 1.0E6 + 0.5E0)" +
+          " AS BIGINT)")).otherwise(0L))
+      .select("n", "r", "c", "dof", "chi2_micro", "cramers_v_micro")
+  }
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) between two groups — the
+    * distribution-free "is A stochastically larger than B?" test that
+    * replaces the t-test when values are skewed (latencies, spends,
+    * token counts — i.e. everything in a pipeline). Midranks handle
+    * ties; everything is carried in DOUBLED rank units (a midrank can
+    * end in .5 — ×2 keeps the entire statistic exact-integer):
+    *
+    *   midrank×2(v) = 2·cum_before(v) + t_v + 1,
+    *   U₁×2 = R₁×2 − n₁(n₁+1),  U₂×2 = 2n₁n₂ − U₁×2,
+    *   z = (U₁×2 − n₁n₂) / (2·σ),
+    *   σ² = n₁n₂((n+1) − Σ(t³−t)/(n(n−1)))/12   (tie-corrected)
+    *
+    * Scale shape: COUNTS-FIRST (the [[graft.ops.Profile]] exactMedian
+    * rail) — one per-distinct-value aggregate, [[graft.ops.Rank
+    * .prefixSum]]'s range exchange for the cumulative counts (never a
+    * data-wide window), one fold. Rank/tie sums ride DECIMAL(38,0)
+    * (Σ c·midrank×2 ~ 2n², Σt³ ~ n³ — far past BIGINT at 10¹² rows);
+    * z is the one double, computed on an identical expression tree
+    * both engines share ([[graft.ops.Classify.wilsonCI]]'s rule) and
+    * reported micro-rounded.
+    *
+    * @param groupCol boolean — true rows are group 1
+    * @return one row (n1, n2, u1_x2, u2_x2, z_micro) */
+  def mannWhitney(df: DataFrame, valueCol: String,
+                  groupCol: String): DataFrame = {
+    val per = df
+      .select(col(valueCol).as("__v"), col(groupCol).cast("boolean").as("__g"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .groupBy("__v")
+      .agg(sum(when(col("__g"), 1L).otherwise(0L)).as("__c1"),
+        count(lit(1)).as("__ct"))
+    Rank.prefixSum(per, Seq(col("__v")), "__ct", outCol = "__cum")
+      .agg(sum("__c1").as("n1"), sum("__ct").as("__n"),
+        sum(expr("CAST(__c1 AS DECIMAL(38,0)) * (2 * __cum - __ct + 1)"))
+          .as("__r1x2"),
+        sum(expr("CAST(__ct AS DECIMAL(38,0)) * __ct * __ct - __ct"))
+          .as("__ties"))
+      .withColumn("n2", expr("__n - n1"))
+      .withColumn("u1_x2", expr(
+        "CAST(__r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DECIMAL(38,0))"))
+      .withColumn("u2_x2", expr(
+        "CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2 - u1_x2 AS DECIMAL(38,0))"))
+      .withColumn("z_micro",
+        when(col("n1") > 0 && col("n2") > 0 && col("__n") > 1 &&
+          // all-tied input: the tie correction zeroes σ — no z
+          expr("CAST(__ties AS DOUBLE) /" +
+            " (CAST(__n AS DOUBLE) * (__n - 1)) < __n + 1"),
+          expr("CAST(floor(CAST(u1_x2 - CAST(n1 AS DECIMAL(38,0)) * n2" +
+            " AS DOUBLE) / (2.0E0 * sqrt(CAST(n1 AS DOUBLE) * n2 *" +
+            " ((__n + 1) - CAST(__ties AS DOUBLE) /" +
+            " (CAST(__n AS DOUBLE) * (__n - 1))) / 12.0E0))" +
+            " * 1.0E6 + 0.5E0) AS BIGINT)"))
+          .otherwise(lit(null).cast("long")))
+      .select(col("n1"), col("n2"),
+        col("u1_x2").cast("long").as("u1_x2"),
+        col("u2_x2").cast("long").as("u2_x2"), col("z_micro"))
+  }
+
+  /** BENJAMINI–HOCHBERG FDR selection over a micro-unit p-value
+    * column: keep the largest prefix (under p ascending) where
+    * p_(k) ≤ k·α/m — the standard multiple-testing gate when a sweep
+    * produces thousands of per-segment statistics and "p < 0.05"
+    * alone would flood the report with false discoveries.
+    *
+    * EXACT integer decision: the inequality is evaluated as
+    * p_micro·m ≤ k·alpha_micro on DECIMAL(38,0) (no division — at
+    * 10¹² tests p·m passes BIGINT), the rank k comes from
+    * [[graft.ops.Rank.globalRank]]'s range-exchange rail under the
+    * total order (p, id), and the cutoff is one max-aggregate over
+    * the rows that satisfy it. Same selected set on any engine, any
+    * partitioning.
+    *
+    * @return input rows that survive, + (rank, m) — empty if none */
+  def bhSelect(df: DataFrame, pMicroCol: String, idCol: String,
+               alphaMicro: Long = 50000L): DataFrame = {
+    require(alphaMicro > 0, "alphaMicro must be positive")
+    val ranked = Rank.globalRank(
+        df.filter(col(pMicroCol).isNotNull),
+        Seq(col(pMicroCol), col(idCol)), outCol = "rank")
+      .localCheckpoint(true) // cutoff aggregate + final filter share it
+    val m = ranked.agg(count(lit(1)).as("m"))
+    val withM = ranked.crossJoin(broadcast(m))
+    val cutoff = withM
+      .filter(expr(s"CAST($pMicroCol AS DECIMAL(38,0)) * m" +
+        s" <= CAST(rank AS DECIMAL(38,0)) * $alphaMicro"))
+      .agg(coalesce(max("rank"), lit(0L)).as("__kmax"))
+    withM.crossJoin(broadcast(cutoff))
+      .filter(col("rank") <= col("__kmax"))
+      .drop("__kmax")
+  }
+
   /** CLIPPED N-GRAM PRECISION (the per-order core of BLEU, Papineni
     * et al. 2002) between a hypothesis and a reference text column:
     * for each order n ≤ maxN, the fraction of hypothesis n-grams that

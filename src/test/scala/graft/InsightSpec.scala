@@ -505,6 +505,66 @@ class InsightSpec extends SparkSpec {
       .collect()(0).getLong(0) == 50L)
   }
 
+  test("chiSquare: hand 2x2, perfect independence is 0, null is a level") {
+    def rows(n: Int, a: String, b: String) = Seq.fill(n)((a, b))
+    val dep = (rows(20, "x", "u") ++ rows(10, "x", "v") ++
+      rows(10, "y", "u") ++ rows(20, "y", "v")).toDF("a", "b")
+    val r = Insight.chiSquare(dep, "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((60L, 2L, 2L, 1L)))
+    // e = 15 per cell, term = floor((o-15)^2/15 * 1e6 + .5) = 1666667
+    assert(r.getLong(4) == 4 * 1666667L)
+    val v = math.floor(math.sqrt((4 * 1666667L / 1.0e6) / 60.0) * 1e6
+      + 0.5).toLong
+    assert(r.getLong(5) == v)
+    // exact independence: every (o - e) = 0
+    val ind = (rows(10, "x", "u") ++ rows(10, "x", "v") ++
+      rows(10, "y", "u") ++ rows(10, "y", "v")).toDF("a", "b")
+    assert(Insight.chiSquare(ind, "a", "b").collect()(0).getLong(4) == 0L)
+    // a null category participates as its own level
+    val withNull = dep.unionAll(Seq.fill(5)((null.asInstanceOf[String], "u"))
+      .toDF("a", "b"))
+    val rn = Insight.chiSquare(withNull, "a", "b").collect()(0)
+    assert(rn.getLong(0) == 65L && rn.getLong(1) == 3L)
+  }
+
+  test("mannWhitney: midrank ties, separation extreme, all-tied degenerate") {
+    // interleaved with a tie: g1={1,3}, g2={2,2} -> U1 = U2 (no shift)
+    val mixed = Seq((1.0, true), (3.0, true), (2.0, false), (2.0, false))
+      .toDF("v", "g")
+    val r = Insight.mannWhitney(mixed, "v", "g").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 4L, 4L)))            // doubled units: U1 = U2 = 2
+    assert(r.getLong(4) == 0L)       // centered -> z exactly 0
+    // complete separation: U1 maxes at n1*n2, z hand-computed
+    val sep = Seq((10.0, true), (20.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "g")
+    val s = Insight.mannWhitney(sep, "v", "g").collect()(0)
+    assert(s.getLong(2) == 8L && s.getLong(3) == 0L)
+    val zExp = math.floor(4.0 / (2.0 * math.sqrt(2.0 * 2 * 5 / 12.0))
+      * 1e6 + 0.5).toLong
+    assert(s.getLong(4) == zExp)
+    // every value identical: tie correction zeroes sigma -> null z
+    val flat = Seq((5.0, true), (5.0, true), (5.0, false)).toDF("v", "g")
+    val f = Insight.mannWhitney(flat, "v", "g").collect()(0)
+    assert(f.isNullAt(4))
+  }
+
+  test("bhSelect: step-up keeps a row above its own line, exact cutoff, empty") {
+    val d = Seq((1L, 1000L), (2L, 2000L), (3L, 900000L))
+      .toDF("id", "p_micro")
+    val out = Insight.bhSelect(d, "p_micro", "id", alphaMicro = 50000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((1L, 1L, 3L), (2L, 2L, 3L)))
+    // classic step-up: rank 1 fails its own line (30000*2 > 50000) but
+    // rank 2 passes (33000*2 <= 100000), so BOTH are kept
+    val su = Seq((1L, 30000L), (2L, 33000L)).toDF("id", "p_micro")
+    assert(Insight.bhSelect(su, "p_micro", "id", 50000L).count() == 2L)
+    // nothing under the line -> empty, not an error
+    val none = Seq((1L, 999000L), (2L, 999999L)).toDF("id", "p_micro")
+    assert(Insight.bhSelect(none, "p_micro", "id", 50000L).isEmpty)
+  }
+
   test("ngramPrecision: clipping, short-hyp null, perfect and zero overlap") {
     val d = Seq(
       // hyp repeats "the" 4x; ref has it twice -> clipped p1 = 2/4

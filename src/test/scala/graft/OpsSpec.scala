@@ -3794,6 +3794,51 @@ class OpsSpec extends SparkSpec {
     assert(out == ((1L, 1000L, 7090000L, 1L, 125000L)))
   }
 
+  test("rankingMetrics: hand-exact MRR/P@k/recall/nDCG, tie-break, no-pos zeroes") {
+    val w = graft.ops.Classify.dcgWeights(3)
+    assert(w(0) == 1000000L) // 1/log2(2)
+    val d = Seq(
+      // q1 ranked by (score desc, doc): d3(5) d1(4,rel) d2(3,rel) d4(1)
+      (1L, 1L, 4.0, true), (1L, 2L, 3.0, true),
+      (1L, 3L, 5.0, false), (1L, 4L, 1.0, false),
+      // q2: no relevant docs
+      (2L, 1L, 2.0, false), (2L, 2L, 1.0, false),
+      // q3: score tie resolved by doc id — d1 first, relevant at rank 1
+      (3L, 1L, 7.0, true), (3L, 2L, 7.0, false)
+    ).toDF("qid", "doc", "score", "rel")
+    val out = graft.ops.Classify
+      .rankingMetrics(d, "qid", "doc", "score", "rel", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    // q1: first rel at rank 2 -> rr 500000; hits 2 of top-3 -> p 666666;
+    // recall 2/2; dcg = w(2)+w(3); idcg = w(1)+w(2)
+    val dcg1 = w(1) + w(2); val idcg1 = w(0) + w(1)
+    assert(out(1L) == (4L, 2L, 500000L, 666666L, 1000000L, dcg1,
+      dcg1 * 1000000L / idcg1))
+    assert(out(2L) == (2L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(out(3L) == (2L, 1L, 1000000L, 333333L, 1000000L, w(0),
+      1000000L))
+  }
+
+  test("wilsonCI: textbook small-n bounds, p=0 and p=1 stay inside (0,1)") {
+    val d = (Seq.fill(8)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(3)(("b", true)) ++ Seq.fill(4)(("c", false)))
+      .toDF("k", "y")
+    val out = graft.ops.Classify.wilsonCI(d, "k", "y").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // a: 8/10 -> Wilson 95% ≈ [0.490, 0.943] (textbook value)
+    val (n, np, p, lo, hi) = out("a")
+    assert(n == 10L && np == 8L && p == 800000L)
+    assert(lo > 480000L && lo < 500000L, s"lo=$lo")
+    assert(hi > 930000L && hi < 950000L, s"hi=$hi")
+    // all-success and all-failure never report a degenerate interval
+    assert(out("b")._4 > 0L && out("b")._5 == 1000000L)
+    assert(out("c")._4 == 0L && out("c")._5 < 1000000L &&
+      out("c")._5 > 0L)
+  }
+
   test("fanoutAudit: exact products, ppm shares, topK order, null keys out") {
     val l = Seq(1L, 1L, 1L, 2L, 3L).map(Tuple1(_)).toDF("lk")
       .unionAll(Seq(Tuple1(null.asInstanceOf[java.lang.Long]))
