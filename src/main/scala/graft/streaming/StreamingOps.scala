@@ -853,6 +853,80 @@ object StreamingOps {
       }
   }
 
+  /** Per-key running TWAP snapshot: `twap_micro` is None until the key
+    * has a second event (the batch op's zero-span null). */
+  final case class TwapProgress(key: Long, n_events: Long, span_us: Long,
+                                twap_micro: Option[Long])
+
+  /** Streaming time-weighted mean — the live twin of
+    * [[graft.ops.Insight.timeWeightedMean]] via mapGroupsWithState:
+    * one tiny state entry per key (last observation + the running
+    * duration-weighted sum), each micro-batch folded in
+    * (ts, event_type)-sorted order under the batch op's exact rail
+    * (micro values, integer-µs durations, terminal observation weight
+    * 0), the key's current TWAP emitted per batch. The weighted sum
+    * lives in state as a BigInt (Decimal(38,0) in the state store) —
+    * duration × micro-value products pass BIGINT on day-long holds,
+    * the same overflow the batch op absorbs in DECIMAL(38,0).
+    *
+    * An in-order stream reproduces the batch TWAP exactly
+    * (spec-pinned). An event arriving with ts BEHIND the key's anchor
+    * cannot retro-split an already-credited hold interval in O(1)
+    * state: it counts into n_events with zero duration and the batch
+    * op is the backfill corrector — funnelStream's late-event
+    * contract. State eviction mirrors [[decayStream]]: with `idle`
+    * set, event-time timers emit a final snapshot and evict. */
+  def twapStream(events: Dataset[UserEvent], idle: Option[String] = None,
+                 lateness: String = "15 minutes"): Dataset[TwapProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val src = idle.map(_ => events.withWatermark("ts", lateness))
+      .getOrElse(events)
+    val timeoutConf =
+      if (idle.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long, BigInt, Long), TwapProgress](
+        timeoutConf) {
+        case (key, it, state) =>
+          def snap(s: (Long, Long, Long, BigInt, Long)) = {
+            val (_, _, span, ws, n) = s
+            TwapProgress(key, n, span,
+              if (span > 0) Some((ws / span).toLong) else None)
+          }
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            snap(st)
+          } else {
+            var (lastUs, lastVm, span, ws, n) =
+              state.getOption.getOrElse((0L, 0L, 0L, BigInt(0), 0L))
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_type))
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              val vm = math.floor(e.value * 1e6 + 0.5).toLong
+              if (n == 0L) { lastUs = us; lastVm = vm }
+              else if (us >= lastUs) {
+                val dur = us - lastUs
+                ws += BigInt(dur) * lastVm
+                span += dur
+                lastUs = us; lastVm = vm
+              } // else: late event — zero duration, anchor unchanged
+              n += 1
+            }
+            val st = (lastUs, lastVm, span, ws, n)
+            state.update(st)
+            if (idle.isDefined)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs(),
+                sorted.iterator.map(_.ts.getTime).max), idle.get)
+            snap(st)
+          }
+      }
+  }
+
   /** One identified event for the streaming attributor. */
   final case class IdEvent(event_id: Long, user_id: Long, ts: Timestamp,
                            event_type: String)

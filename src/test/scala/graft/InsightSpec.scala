@@ -441,6 +441,50 @@ class InsightSpec extends SparkSpec {
       "triangleStats small-graph path must broadcast the array tables")
   }
 
+  test("r11 batch plan pins: no cartesian, no data-wide window, co-keyed shapes") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta tok$i epsilon")).toDF("id", "text")
+    val pairs = docs.toDF("doc_id", "hyp")
+      .withColumn("ref", col("hyp"))
+    for ((tag, df) <- Seq(
+        "ngramPrecision" ->
+          Insight.ngramPrecision(pairs, "hyp", "ref", "doc_id"),
+        "skipgramCounts" ->
+          graft.ops.Phrases.skipgramCounts(docs, "text", "id", 3, 1L),
+        "chiSquare" -> Insight.chiSquare(
+          docs.select(col("id") % 3 as "a", col("id") % 2 as "b"), "a", "b"),
+        "rankingMetrics" -> graft.ops.Classify.rankingMetrics(
+          docs.select(col("id") % 5 as "q", col("id") as "d",
+            col("id") % 7 as "s", (col("id") % 2 === 0) as "y"),
+          "q", "d", "s", "y"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$tag: cartesian in plan")
+    }
+    // rankingMetrics' only window is PARTITIONED by the query id
+    val rmPlan = graft.ops.Classify.rankingMetrics(
+        docs.select(col("id") % 5 as "q", col("id") as "d",
+          col("id") % 7 as "s", (col("id") % 2 === 0) as "y"),
+        "q", "d", "s", "y")
+      .queryExecution.executedPlan.toString
+    assert(!rmPlan.contains("Window [") ||
+      rmPlan.contains("windowspecdefinition(__q"),
+      "rankingMetrics window must be per-query, not data-wide")
+    // mannWhitney / bhSelect ride the prefix-sum rail: the window in
+    // their plans is the pid-partitioned range-local one, never global
+    for ((tag, df) <- Seq(
+        "mannWhitney" -> Insight.mannWhitney(
+          docs.select(col("id").cast("double") as "v",
+            (col("id") % 2 === 0) as "g"), "v", "g"),
+        "bhSelect" -> Insight.bhSelect(
+          docs.select(col("id"), (col("id") * 1000L) as "p"), "p", "id"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$tag: cartesian in plan")
+      assert(!plan.contains("windowspecdefinition()") ||
+        plan.contains("__ps_pid"),
+        s"$tag: unpartitioned window outside the prefix-sum rail")
+    }
+  }
+
   test("commonNeighbors: cycle/path hand cases, adjacency excluded, center cap") {
     // 4-cycle: the two diagonals each share both their neighbours —
     // jaccard = 2/(2+2-2) = 1 exactly

@@ -316,6 +316,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twapStream matches the batch TWAP on in-order events; zero-span null") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val events = Seq(
+      // key 1: 10.0 held 2 s, 20.0 held 4 s, terminal 40.0 — batch case
+      StreamingOps.UserEvent(1L, ts(0), "a", 10.0),
+      StreamingOps.UserEvent(1L, ts(2), "b", 20.0),
+      StreamingOps.UserEvent(1L, ts(6), "c", 40.0),
+      // key 2: single event -> span 0, twap null
+      StreamingOps.UserEvent(2L, ts(0), "a", 7.0))
+    val input = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.twapStream(input.toDS())
+      .writeStream.format("memory").queryName("twapst")
+      .outputMode("update").start()
+    try {
+      val (a, b) = events.splitAt(2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      // n_events is monotone: max row per key is the final snapshot
+      val fin = spark.table("twapst")
+        .groupBy("key").agg(max(struct(col("n_events"), col("span_us"),
+          col("twap_micro"))).as("m"))
+        .select(col("key"), col("m.n_events"), col("m.span_us"),
+          col("m.twap_micro"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(fin(1L) == (3L, 6000000L, 16666666L))
+      assert(fin(2L) == (1L, 0L, -1L))
+      // the batch twin lands on the same numbers for every key
+      val batch = graft.ops.Insight.timeWeightedMean(
+          events.toDF(), "user_id", "ts", "value", "event_type")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(batch == fin)
+    } finally q.stop()
+  }
+
+  test("twapStream evicts idle keys; the final snapshot survives eviction") {
+    implicit val ctx = spark.sqlContext
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val input = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.twapStream(input.toDS(),
+        idle = Some("10 minutes"), lateness = "1 minute")
+      .writeStream.format("memory").queryName("twapev")
+      .outputMode("update").start()
+    try {
+      input.addData((1L to 10L).flatMap(u => Seq(
+        StreamingOps.UserEvent(u, ts(0), "a", 10.0),
+        StreamingOps.UserEvent(u, ts(1), "b", 30.0))): _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 10L)
+      input.addData(StreamingOps.UserEvent(100L, ts(60), "a", 1.0))
+      q.processAllAvailable()
+      input.addData(StreamingOps.UserEvent(101L, ts(61), "a", 1.0))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after <= 2L, s"idle keys must be evicted, got $after")
+      // the evicted key's last emission still carries its exact TWAP
+      // (10.0 held the full closed minute)
+      val u1 = spark.table("twapev").filter(col("key") === 1L)
+        .select("twap_micro").collect().map(_.getLong(0))
+      assert(u1.nonEmpty && u1.forall(_ == 10000000L))
+    } finally q.stop()
+  }
+
   test("funnelStream evicts idle users via event-time timeout; state stays bounded") {
     implicit val ctx = spark.sqlContext
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
