@@ -7907,6 +7907,54 @@ object OpsQueries {
       |  END AS z_micro
       |FROM st""".stripMargin
 
+  /** CIDR blocklist screen over planted source IPs (see
+    * [[Web.cidrBlocklist]]): dotted-quad → integer, chained-when range
+    * membership (no join), malformed IPs surfaced as null. Every 9th
+    * doc plants an out-of-range octet; the list mixes specific and
+    * broad blocks so first-match order is exercised. */
+  private val cidrList = Seq("100.64.0.0/10", "10.0.0.0/8", "0.0.0.0/8")
+
+  private def qWebCidr(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ip = when(id % 9 === 0,
+      concat(lit("999.1.2."), (id % 256).cast("string")))
+      .otherwise(concat(
+        (id % 200).cast("string"), lit("."),
+        (id * 7 % 256).cast("string"), lit("."),
+        (id * 13 % 256).cast("string"), lit("."),
+        (id * 29 % 256).cast("string")))
+    Web.cidrBlocklist(
+      t(s, dir, "documents").select(col("doc_id"), ip.as("src_ip")),
+      "src_ip", cidrList)
+  }
+
+  private val oWebCidr = {
+    val ranges = cidrList.map(Web.parseCidr)
+    val blockCase = "CASE " + ranges.map(r =>
+      s"WHEN ip_long BETWEEN ${r.lo} AND ${r.hi} THEN '${r.cidr}'")
+      .mkString(" ") + " END"
+    s"""WITH d AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 0
+      |      THEN '999.1.2.' || CAST(doc_id % 256 AS VARCHAR)
+      |      ELSE CAST(doc_id % 200 AS VARCHAR) || '.' ||
+      |        CAST(doc_id * 7 % 256 AS VARCHAR) || '.' ||
+      |        CAST(doc_id * 13 % 256 AS VARCHAR) || '.' ||
+      |        CAST(doc_id * 29 % 256 AS VARCHAR) END AS src_ip
+      |  FROM documents),
+      |p AS (SELECT doc_id, src_ip,
+      |    CASE WHEN doc_id % 9 = 0 THEN NULL
+      |      ELSE (doc_id % 200) * 16777216 + (doc_id * 7 % 256) * 65536 +
+      |        (doc_id * 13 % 256) * 256 + (doc_id * 29 % 256) END
+      |      AS ip_long
+      |  FROM d)
+      |SELECT doc_id, src_ip, CAST(ip_long AS BIGINT) AS ip_long,
+      |  coalesce(${ranges.map(r =>
+        s"ip_long BETWEEN ${r.lo} AND ${r.hi}").mkString(" OR ")}, false)
+      |    AS blocked,
+      |  $blockCase AS block
+      |FROM p""".stripMargin
+  }
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8048,6 +8096,7 @@ object OpsQueries {
     "events_chi2" -> (qEventsChi2 _),
     "quality_bh_select" -> (qQualityBh _),
     "events_mannwhitney" -> (qEventsMannWhitney _),
+    "web_cidr_block" -> (qWebCidr _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -8292,6 +8341,7 @@ object OpsQueries {
     "events_chi2" -> oEventsChi2,
     "quality_bh_select" -> oQualityBh,
     "events_mannwhitney" -> oEventsMannWhitney,
+    "web_cidr_block" -> oWebCidr,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

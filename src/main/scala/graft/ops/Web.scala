@@ -609,4 +609,67 @@ object Web {
         coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L)))
       .filter(col("cum_before") < budget)
   }
+
+  /** Dotted-quad IPv4 → integer (0..2³²−1 as LONG), null for anything
+    * that is not exactly four in-range octets — malformed strings must
+    * not silently alias a real address. Pure column expression (one
+    * regex gate + split arithmetic, codegen, no UDF). */
+  def ipv4ToLong(ip: Column): Column = {
+    val ok = ip.rlike(
+      "^(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}$")
+    val p = split(ip, "\\.")
+    when(ok,
+      element_at(p, 1).cast("long") * 16777216L +
+        element_at(p, 2).cast("long") * 65536L +
+        element_at(p, 3).cast("long") * 256L +
+        element_at(p, 4).cast("long"))
+  }
+
+  /** One parsed CIDR block: inclusive integer bounds. */
+  final case class CidrRange(cidr: String, lo: Long, hi: Long)
+
+  /** Parse `a.b.c.d/p` on the driver; the HOST bits of the base are
+    * zeroed (the standard reading of a sloppy base like 10.0.0.7/8). */
+  private[graft] def parseCidr(cidr: String): CidrRange = {
+    val Array(base, p) = cidr.split("/")
+    val prefix = p.toInt
+    require(prefix >= 0 && prefix <= 32, s"bad prefix in $cidr")
+    val oct = base.split("\\.").map(_.toLong)
+    require(oct.length == 4 && oct.forall(o => o >= 0 && o <= 255),
+      s"bad base in $cidr")
+    val raw = oct(0) * 16777216L + oct(1) * 65536L + oct(2) * 256L + oct(3)
+    val mask = if (prefix == 0) 0L else (0xffffffffL << (32 - prefix)) & 0xffffffffL
+    val lo = raw & mask
+    CidrRange(cidr, lo, lo + (0xffffffffL ^ mask))
+  }
+
+  /** CIDR BLOCKLIST SCREEN — the IP-level twin of [[applyBlocklist]]:
+    * flags rows whose IPv4 lands inside any listed block (private
+    * ranges, known-abuse netblocks, cloud egress pools — the standard
+    * crawl-source hygiene gate). The list is parsed ON THE DRIVER into
+    * integer ranges and compiled into ONE chained-when projection —
+    * no join, no shuffle, no broadcast table; at 100 TB this is a pure
+    * map pass fused into whatever scan precedes it (blocklists are
+    * hundreds of rows — the [[applyBlocklist]] compile-the-list
+    * discipline). First matching block in list order wins the label
+    * (order the list most-specific-first for longest-prefix reads).
+    * Unparseable IPs are NOT blocked but surface ip_long = null for a
+    * separate hygiene check.
+    *
+    * @return input + (ip_long, blocked, block) */
+  def cidrBlocklist(df: DataFrame, ipCol: String,
+                    cidrs: Seq[String]): DataFrame = {
+    require(cidrs.nonEmpty, "cidrBlocklist needs at least one CIDR")
+    val ranges = cidrs.map(parseCidr)
+    val ipl = ipv4ToLong(col(ipCol))
+    val withIp = df.withColumn("ip_long", ipl)
+    val hit = ranges.map(r =>
+      col("ip_long").between(r.lo, r.hi)).reduce(_ || _)
+    val label = ranges.foldRight(lit(null).cast("string")) { (r, els) =>
+      when(col("ip_long").between(r.lo, r.hi), lit(r.cidr)).otherwise(els)
+    }
+    withIp
+      .withColumn("blocked", coalesce(hit, lit(false)))
+      .withColumn("block", label)
+  }
 }

@@ -410,4 +410,34 @@ class WebPropertySpec extends SparkSpec {
     assert(out == Seq((1L, false, true, false), (2L, false, true, false),
       (3L, false, false, true), (4L, false, false, true)))
   }
+
+  test("ipv4ToLong: endpoints exact, out-of-range/malformed/null -> null") {
+    val d = Seq("0.0.0.0", "255.255.255.255", "10.0.0.7", "1.2.3",
+      "1.2.3.4.5", "256.1.2.3", "a.b.c.d", "1..2.3", null)
+      .map(Tuple1(_)).toDF("ip")
+    val out = d.select(Web.ipv4ToLong(col("ip"))).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(out == Seq(0L, 4294967295L, 167772167L, -1L, -1L, -1L, -1L,
+      -1L, -1L))
+  }
+
+  test("parseCidr zeroes host bits; cidrBlocklist first-match order, null ip") {
+    val r = Web.parseCidr("10.0.0.7/8") // sloppy base -> 10.0.0.0/8
+    assert(r.lo == 167772160L && r.hi == 184549375L)
+    val all = Web.parseCidr("0.0.0.0/0")
+    assert(all.lo == 0L && all.hi == 4294967295L)
+    val one = Web.parseCidr("1.2.3.4/32")
+    assert(one.lo == one.hi && one.lo == 16909060L)
+    intercept[IllegalArgumentException](Web.parseCidr("1.2.3.4/33"))
+    val ips = Seq((1L, "10.1.2.3"), (2L, "10.0.0.1"), (3L, "9.9.9.9"),
+      (4L, "999.1.1.1")).toDF("id", "ip")
+    // 10.0.0.0/16 listed before 10.0.0.0/8: the narrower block wins
+    // for ids inside both
+    val out = Web.cidrBlocklist(ips, "ip", Seq("10.0.0.0/16", "10.0.0.0/8"))
+      .select("id", "blocked", "block").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) "" else r.getString(2))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, true, "10.0.0.0/8"), (2L, true, "10.0.0.0/16"),
+      (3L, false, ""), (4L, false, "")))
+  }
 }
