@@ -7955,6 +7955,33 @@ object OpsQueries {
       |FROM p""".stripMargin
   }
 
+  /** SPRT monitor per event type for the high-value rate (see
+    * [[Insight.sprt]], H₀ p=0.2 vs H₁ p=0.3): driver-literal micro
+    * log-coefficients, BIGINT LLR, integer boundary compare. */
+  private def qEventsSprt(s: SparkSession, dir: String): DataFrame =
+    Insight.sprt(
+      readEvents(s, dir).select(col("event_type"),
+        (col("value") > 200.0).as("hi")),
+      "event_type", "hi", p0 = 0.2, p1 = 0.3)
+
+  private val oEventsSprt = {
+    def mic(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val c1 = mic(math.log(0.3 / 0.2))
+    val c0 = mic(math.log(0.7 / 0.8))
+    val up = mic(math.log(0.8 / 0.05))
+    val lo = mic(math.log(0.2 / 0.95))
+    s"""WITH g AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS s
+      |  FROM events WHERE (value > 200.0) IS NOT NULL GROUP BY 1)
+      |SELECT key, n, s,
+      |  CAST(s * $c1 + (n - s) * $c0 AS BIGINT) AS llr_micro,
+      |  CASE WHEN s * $c1 + (n - s) * $c0 >= $up THEN 'accept_h1'
+      |       WHEN s * $c1 + (n - s) * $c0 <= $lo THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision
+      |FROM g""".stripMargin
+  }
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8097,6 +8124,7 @@ object OpsQueries {
     "quality_bh_select" -> (qQualityBh _),
     "events_mannwhitney" -> (qEventsMannWhitney _),
     "web_cidr_block" -> (qWebCidr _),
+    "events_sprt" -> (qEventsSprt _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -8342,6 +8370,7 @@ object OpsQueries {
     "quality_bh_select" -> oQualityBh,
     "events_mannwhitney" -> oEventsMannWhitney,
     "web_cidr_block" -> oWebCidr,
+    "events_sprt" -> oEventsSprt,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

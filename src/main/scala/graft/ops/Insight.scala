@@ -760,6 +760,49 @@ object Insight {
       .select("n", "r", "c", "dof", "chi2_micro", "cramers_v_micro")
   }
 
+  /** WALD SPRT (sequential probability ratio test) read-out per key
+    * for a Bernoulli metric — the always-valid A/B monitor: stop the
+    * moment the evidence crosses a boundary instead of waiting for a
+    * fixed n (Wald 1945). For H₀: p = p0 vs H₁: p = p1,
+    *
+    *   LLR = s·ln(p1/p0) + f·ln((1−p1)/(1−p0)),
+    *   accept H₁ at LLR ≥ ln((1−β)/α),  accept H₀ at LLR ≤ ln(β/(1−α))
+    *
+    * Engine-exact the [[PoissonT]] way: all four logs are computed ON
+    * THE DRIVER, rounded to micro, and injected as integer literals —
+    * executors and the oracle only ever do s·c1 + f·c0 in BIGINT and
+    * two integer comparisons. (The micro-rounding of the coefficients
+    * perturbs the boundary by < 10⁻⁶·n — the same tolerance every
+    * micro-rail op in this repo accepts — in exchange for a decision
+    * that is bit-identical on every engine.) One map-combinable
+    * aggregate.
+    *
+    * @return (key, n, s, llr_micro, decision ∈ accept_h1/accept_h0/
+    *         continue) */
+  def sprt(df: DataFrame, keyCol: String, labelCol: String,
+           p0: Double, p1: Double, alpha: Double = 0.05,
+           beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      "need 0 < p0, p1 < 1 and p1 != p0")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "need 0 < alpha, beta < 1")
+    def mic(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val c1 = mic(math.log(p1 / p0))
+    val c0 = mic(math.log((1 - p1) / (1 - p0)))
+    val up = mic(math.log((1 - beta) / alpha))
+    val lo = mic(math.log(beta / (1 - alpha)))
+    df.select(col(keyCol).as("key"), col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("s"))
+      .withColumn("llr_micro", expr(s"s * ${c1}L + (n - s) * ${c0}L"))
+      .withColumn("decision",
+        when(col("llr_micro") >= up, "accept_h1")
+          .when(col("llr_micro") <= lo, "accept_h0")
+          .otherwise("continue"))
+  }
+
   /** MANN–WHITNEY U (Wilcoxon rank-sum) between two groups — the
     * distribution-free "is A stochastically larger than B?" test that
     * replaces the t-test when values are skewed (latencies, spends,

@@ -572,6 +572,24 @@ class InsightSpec extends SparkSpec {
     assert(rn.getLong(0) == 65L && rn.getLong(1) == 3L)
   }
 
+  test("sprt: exact integer LLR, both boundaries, continue band") {
+    def mic(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val c1 = mic(math.log(0.3 / 0.2)); val c0 = mic(math.log(0.7 / 0.8))
+    val d = (Seq.fill(40)(("hot", true)) ++ Seq.fill(10)(("hot", false)) ++
+      Seq.fill(50)(("cold", false)) ++
+      Seq.fill(2)(("new", true)) ++ Seq.fill(3)(("new", false)))
+      .toDF("k", "y")
+    val out = Insight.sprt(d, "k", "y", p0 = 0.2, p1 = 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out("hot") == (50L, 40L, 40 * c1 + 10 * c0, "accept_h1"))
+    assert(out("cold") == (50L, 0L, 50 * c0, "accept_h0"))
+    assert(out("new")._4 == "continue")
+    // boundary literals: h1 needs LLR >= ln(0.8/0.05) in micro
+    assert(40 * c1 + 10 * c0 >= mic(math.log(0.8 / 0.05)))
+    assert(50 * c0 <= mic(math.log(0.2 / 0.95)))
+  }
+
   test("mannWhitney: midrank ties, separation extreme, all-tied degenerate") {
     // interleaved with a tie: g1={1,3}, g2={2,2} -> U1 = U2 (no shift)
     val mixed = Seq((1.0, true), (3.0, true), (2.0, false), (2.0, false))
