@@ -7982,6 +7982,66 @@ object OpsQueries {
       |FROM g""".stripMargin
   }
 
+  /** Interval-union coverage per user over value-length event windows
+    * (see [[RangeJoin.intervalCoverage]]): overlap never double-counts,
+    * nesting contributes zero, exact integer µs. */
+  private def qEventsCoverage(s: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(s, dir)
+    val startUs = unix_micros(col("ts").cast("timestamp"))
+    val iv = ev.select(col("user_id"),
+      timestamp_micros(startUs).as("w_start"),
+      timestamp_micros(startUs +
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)")).as("w_end"))
+    RangeJoin.intervalCoverage(iv, "user_id", "w_start", "w_end")
+  }
+
+  private val oEventsCoverage =
+    """WITH iv AS (SELECT user_id AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) +
+      |      CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS e
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |sw AS (SELECT k, s, e,
+      |    max(e) OVER (PARTITION BY k ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv WHERE s <= e)
+      |SELECT k AS key, CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_runs,
+      |  CAST(sum(greatest(e - greatest(s, coalesce(pmax, s)), 0))
+      |    AS BIGINT) AS covered_us,
+      |  CAST(max(e) - min(s) AS BIGINT) AS span_us
+      |FROM sw GROUP BY 1""".stripMargin
+
+  /** DKW-banded median of micro event values per event type (see
+    * [[Profile.quantileBand]], q = 0.5, δ = 0.05): exact order
+    * statistics at r ∓ ⌈√(C·n)⌉ with the one log a driver literal. */
+  private def qEventsQuantileBand(s: SparkSession, dir: String): DataFrame =
+    Profile.quantileBand(
+      readEvents(s, dir).select(col("event_type"),
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("vm")),
+      "event_type", "vm", qPpm = 500000L, delta = 0.05)
+
+  private val oEventsQuantileBand = {
+    val cLit = Classify.dlit(math.log(2.0 / 0.05) / 2.0)
+    s"""WITH c AS (SELECT event_type AS g,
+      |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |w AS (SELECT g, v,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n FROM c),
+      |r AS (SELECT g, v, cum, n,
+      |    (500000 * n + 999999) // 1000000 AS r,
+      |    CAST(ceil(sqrt($cLit * n)) AS BIGINT) AS h FROM w)
+      |SELECT g AS "group", max(n) AS n, max(h) AS half_rank,
+      |  min(CASE WHEN cum >= greatest(r - h, 1) THEN v END) AS v_lo,
+      |  min(CASE WHEN cum >= r THEN v END) AS v_mid,
+      |  min(CASE WHEN cum >= least(r + h, n) THEN v END) AS v_hi
+      |FROM r GROUP BY 1""".stripMargin
+  }
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8125,6 +8185,8 @@ object OpsQueries {
     "events_mannwhitney" -> (qEventsMannWhitney _),
     "web_cidr_block" -> (qWebCidr _),
     "events_sprt" -> (qEventsSprt _),
+    "events_coverage" -> (qEventsCoverage _),
+    "events_quantile_band" -> (qEventsQuantileBand _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -8371,6 +8433,8 @@ object OpsQueries {
     "events_mannwhitney" -> oEventsMannWhitney,
     "web_cidr_block" -> oWebCidr,
     "events_sprt" -> oEventsSprt,
+    "events_coverage" -> oEventsCoverage,
+    "events_quantile_band" -> oEventsQuantileBand,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

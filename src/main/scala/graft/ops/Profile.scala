@@ -507,6 +507,52 @@ object Profile {
         min(when(col("__cum") * 2 >= col("__n"), col("__v"))).as("median"))
   }
 
+  /** DKW-BOUNDED QUANTILE per group: the exact q-quantile PLUS a
+    * finite-sample confidence band from the Dvoretzky–Kiefer–Wolfowitz
+    * inequality — with probability ≥ 1−δ the true quantile lies
+    * between the order statistics at ranks r ∓ ⌈√(ln(2/δ)/2 · n)⌉
+    * (ε = √(ln(2/δ)/2n), rank width = εn). The honest answer to "the
+    * p95 is 412 ms — plus or minus WHAT?" that a point
+    * percentile_approx can never give, and the band is distribution-
+    * free (no normality assumption — latencies aren't normal).
+    *
+    * Rails: counts-first ([[exactMedian]]'s shape — per-(group, value)
+    * frequency table, cum window over the VALUE VOCABULARY), target
+    * rank ⌈q·n⌉ in exact ppm integer arithmetic, and the single
+    * transcendental ln(2/δ) is a DRIVER literal (the PoissonT
+    * discipline) so the half-width ⌈√(C·n)⌉ is an identical-tree
+    * double both engines ceil identically. All three selections are
+    * exact order statistics from one aggregate.
+    *
+    * @param qPpm quantile in ppm (500000 = median); rank products stay
+    *             in BIGINT to ~9·10¹² rows per group
+    * @return (group, n, half_rank, v_lo, v_mid, v_hi) */
+  def quantileBand(df: DataFrame, groupCol: String, valueCol: String,
+                   qPpm: Long, delta: Double = 0.05): DataFrame = {
+    require(qPpm >= 1 && qPpm <= 1000000, "qPpm must be in [1, 1000000]")
+    require(delta > 0 && delta < 1, "delta must be in (0, 1)")
+    val cLit = graft.ops.Classify.dlit(math.log(2.0 / delta) / 2.0)
+    val cnt = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("group"), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("group")
+    cnt.withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(wAll))
+      .withColumn("__r", expr(s"($qPpm * __n + 999999) div 1000000"))
+      .withColumn("__h", expr(s"ceil(sqrt($cLit * __n))"))
+      .withColumn("__rl", greatest(col("__r") - col("__h"), lit(1L)))
+      .withColumn("__ru", least(col("__r") + col("__h"), col("__n")))
+      .groupBy("group")
+      .agg(max("__n").as("n"), max("__h").as("half_rank"),
+        min(when(col("__cum") >= col("__rl"), col("__v"))).as("v_lo"),
+        min(when(col("__cum") >= col("__r"), col("__v"))).as("v_mid"),
+        min(when(col("__cum") >= col("__ru"), col("__v"))).as("v_hi"))
+  }
+
   /** Exact GINI COEFFICIENT of a non-negative integer column per group
     * — the one-number inequality read on a corpus ("are this source's
     * tokens spread across many documents or concentrated in a few

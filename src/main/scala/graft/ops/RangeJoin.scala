@@ -108,4 +108,43 @@ object RangeJoin {
       .filter(col(leftStart) <= col("__rend") && col("__rstart") <= col(leftEnd))
       .drop("__key", "__bin", "__rstart", "__rend")
   }
+
+  /** INTERVAL-UNION COVERAGE per key: total time covered by the UNION
+    * of (possibly overlapping, possibly nested) intervals, plus the
+    * count of disjoint merged runs — uptime from overlapping incident
+    * windows, user active-time from overlapping sessions, effective
+    * crawl coverage from retried fetches. The classic sweep, but
+    * distributed: one per-key window ordered by (start, end) carries
+    * the running max of PRIOR interval ends; each interval then
+    * contributes exactly max(0, end − max(start, that running max))
+    * µs, so overlap is never double-counted and nested intervals
+    * contribute 0 — summing per key needs no second pass. A row
+    * starting strictly past every prior end opens a new run. All
+    * integer µs (unix_micros grid), exact on any engine.
+    *
+    * @return (key, n_intervals, n_runs, covered_us, span_us) — span is
+    *         max(end) − min(start), so span − covered = the gap mass */
+  def intervalCoverage(df: DataFrame, keyCol: String,
+                       startCol: String, endCol: String): DataFrame = {
+    def micros(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__s"), col("__e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    df.select(col(keyCol).as("__k"),
+        micros(col(startCol)).as("__s"), micros(col(endCol)).as("__e"))
+      .filter(col("__k").isNotNull && col("__s").isNotNull &&
+        col("__e").isNotNull && col("__s") <= col("__e"))
+      .withColumn("__pmax", max("__e").over(w)) // null on the first row
+      .withColumn("__cov",
+        greatest(col("__e") - greatest(col("__s"),
+          coalesce(col("__pmax"), col("__s"))), lit(0L)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n_intervals"), sum("__new").as("n_runs"),
+        sum("__cov").as("covered_us"),
+        (max("__e") - min("__s")).as("span_us"))
+  }
 }

@@ -3794,6 +3794,42 @@ class OpsSpec extends SparkSpec {
     assert(out == ((1L, 1000L, 7090000L, 1L, 125000L)))
   }
 
+  test("intervalCoverage: overlap merges, nesting adds zero, gaps split runs") {
+    def ts(s: Int) = s"2024-01-01 00:00:${"%02d".format(s)}"
+    val iv = Seq(
+      // key a: [0,10] + [5,15] overlap -> 15 s one run; [20,25] new run;
+      // [21,22] nested -> zero; [25,30] touches -> same run
+      ("a", ts(0), ts(10)), ("a", ts(5), ts(15)), ("a", ts(20), ts(25)),
+      ("a", ts(21), ts(22)), ("a", ts(25), ts(30)),
+      // key b: one zero-length interval
+      ("b", ts(3), ts(3))
+    ).toDF("k", "st", "en")
+    val out = RangeJoin.intervalCoverage(iv, "k", "st", "en")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == (5L, 2L, 25000000L, 30000000L))
+    assert(out("b") == (1L, 1L, 0L, 0L))
+    // inverted intervals are dropped, not negative
+    val bad = Seq(("c", ts(9), ts(1))).toDF("k", "st", "en")
+    assert(RangeJoin.intervalCoverage(bad, "k", "st", "en").isEmpty)
+  }
+
+  test("quantileBand: exact mid rank, band clamps at the extremes") {
+    // 1..100 in one group: median rank 50 -> value 50
+    val d = (1 to 100).map(i => ("g", i.toLong)).toDF("k", "v")
+    val r = graft.ops.Profile.quantileBand(d, "k", "v", 500000L, 0.05)
+      .collect()(0)
+    val h = math.ceil(math.sqrt(math.log(2.0 / 0.05) / 2.0 * 100)).toLong
+    assert(r.getLong(1) == 100L && r.getLong(2) == h)
+    assert(r.getLong(4) == 50L)                        // v_mid
+    assert(r.getLong(3) == math.max(50 - h, 1))        // v_lo = rank 50-h
+    assert(r.getLong(5) == math.min(50 + h, 100))      // v_hi
+    // q at the top: rank n, upper clamp holds
+    val top = graft.ops.Profile.quantileBand(d, "k", "v", 1000000L, 0.05)
+      .collect()(0)
+    assert(top.getLong(4) == 100L && top.getLong(5) == 100L)
+  }
+
   test("rankingMetrics: hand-exact MRR/P@k/recall/nDCG, tie-break, no-pos zeroes") {
     val w = graft.ops.Classify.dcgWeights(3)
     assert(w(0) == 1000000L) // 1/log2(2)
