@@ -8042,6 +8042,87 @@ object OpsQueries {
       |FROM r GROUP BY 1""".stripMargin
   }
 
+  /** Per-type OLS of event value on hour of day (see
+    * [[Insight.olsByKey]]): exact DECIMAL rational slope/intercept,
+    * identical-tree-double r². */
+  private def qEventsOls(s: SparkSession, dir: String): DataFrame =
+    Insight.olsByKey(
+      readEvents(s, dir).select(col("event_type"),
+        hour(col("ts").cast("timestamp")).as("hr"),
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("vm")),
+      "event_type", "hr", "vm")
+
+  private val oEventsOls =
+    """WITH d AS (SELECT event_type AS key,
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+      |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM d GROUP BY 1),
+      |b AS (SELECT key, n, sx, sy,
+      |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    n * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+      |    n * syy - CAST(sy AS HUGEINT) * sy AS dy
+      |  FROM a)
+      |SELECT key, n,
+      |  CASE WHEN dx > 0 THEN CAST(num * 1000000 // dx AS BIGINT) END
+      |    AS slope_ppm,
+      |  CASE WHEN dx > 0 THEN CAST((CAST(sy AS HUGEINT) * dx - num * sx)
+      |    * 1000000 // (CAST(n AS HUGEINT) * dx) AS BIGINT) END
+      |    AS intercept_micro,
+      |  CASE WHEN dx > 0 AND dy > 0 THEN CAST(floor(
+      |    CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+      |    (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) * 1.0E6 + 0.5E0)
+      |    AS BIGINT) END AS r2_ppm
+      |FROM b""".stripMargin
+
+  /** CUPED-adjusted arm means over a planted correlated pre-metric
+    * (see [[Insight.cupedAdjust]]): pooled θ in exact ppm, one
+    * division per reported term. */
+  private def qEventsCuped(s: SparkSession, dir: String): DataFrame = {
+    val base = readEvents(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select((col("user_id") % 2).as("arm"),
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("y"),
+        col("user_id"))
+      .withColumn("x",
+        expr("y div 2 + user_id * 37 % 1000 * 1000"))
+    Insight.cupedAdjust(base, "arm", "y", "x")
+  }
+
+  private val oEventsCuped =
+    """WITH d AS (SELECT user_id % 2 AS arm,
+      |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+      |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) // 2
+      |      + user_id * 37 % 1000 * 1000 AS x
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |p AS (SELECT CAST(count(*) AS BIGINT) AS np,
+      |    CAST(sum(x) AS BIGINT) AS sxp, CAST(sum(y) AS BIGINT) AS syp,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxyp,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxxp
+      |  FROM d),
+      |t AS (SELECT np, sxp,
+      |    np * sxyp - CAST(sxp AS HUGEINT) * syp AS num,
+      |    np * sxxp - CAST(sxp AS HUGEINT) * sxp AS dx
+      |  FROM p),
+      |th AS (SELECT np, sxp, CASE WHEN dx > 0
+      |    THEN CAST(num * 1000000 // dx AS BIGINT) ELSE 0 END AS theta_ppm
+      |  FROM t),
+      |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx
+      |  FROM d GROUP BY 1)
+      |SELECT arm, n,
+      |  CAST(CAST(sy AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_y_micro,
+      |  CAST(CAST(sy AS HUGEINT) * 1000000 // n + CAST(theta_ppm AS HUGEINT) *
+      |    (n * CAST(sxp AS HUGEINT) - np * sx) //
+      |    (CAST(n AS HUGEINT) * np) AS BIGINT) AS adj_mean_micro,
+      |  theta_ppm
+      |FROM arms, th""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8187,6 +8268,8 @@ object OpsQueries {
     "events_sprt" -> (qEventsSprt _),
     "events_coverage" -> (qEventsCoverage _),
     "events_quantile_band" -> (qEventsQuantileBand _),
+    "events_ols" -> (qEventsOls _),
+    "events_cuped" -> (qEventsCuped _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -8435,6 +8518,8 @@ object OpsQueries {
     "events_sprt" -> oEventsSprt,
     "events_coverage" -> oEventsCoverage,
     "events_quantile_band" -> oEventsQuantileBand,
+    "events_ols" -> oEventsOls,
+    "events_cuped" -> oEventsCuped,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

@@ -760,6 +760,99 @@ object Insight {
       .select("n", "r", "c", "dof", "chi2_micro", "cramers_v_micro")
   }
 
+  /** PER-KEY OLS REGRESSION of integer y on integer x — slope and
+    * intercept as EXACT rational read-outs from the five moment sums:
+    *
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),  intercept = ȳ − slope·x̄,
+    *   r² = num² / (dx·dy)
+    *
+    * slope_ppm and intercept rails are integer: numerator and
+    * denominator both on DECIMAL(38,0) with one `div` at the end
+    * (moment products pass BIGINT by ~10⁸ micro-value rows);
+    * intercept_micro = (Σy·dx − num·Σx) div (n·dx) — one division
+    * total, so no compounding truncation. r² alone is an
+    * identical-tree double (num² overflows even DECIMAL(38) at corpus
+    * scale — the [[chiSquare]] trade), micro-rounded. One
+    * map-combinable aggregate; keys with zero x-variance report null
+    * slope (vertical fits are not fits).
+    *
+    * @return (key, n, slope_ppm, intercept_micro, r2_ppm) */
+  def olsByKey(df: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    df.select(col(keyCol).as("key"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __y")).as("__sxy"),
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __x")).as("__sxx"),
+        sum(expr("CAST(__y AS DECIMAL(38,0)) * __y")).as("__syy"))
+      .withColumn("__num", expr(
+        "n * __sxy - CAST(__sx AS DECIMAL(38,0)) * __sy"))
+      .withColumn("__dx", expr(
+        "n * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sx"))
+      .withColumn("__dy", expr(
+        "n * __syy - CAST(__sy AS DECIMAL(38,0)) * __sy"))
+      .withColumn("slope_ppm", when(col("__dx") > 0,
+        expr("CAST(__num * 1000000 div __dx AS BIGINT)")))
+      .withColumn("intercept_micro", when(col("__dx") > 0, expr(
+        "CAST((CAST(__sy AS DECIMAL(38,0)) * __dx - __num * __sx)" +
+          " * 1000000 div (CAST(n AS DECIMAL(38,0)) * __dx) AS BIGINT)")))
+      .withColumn("r2_ppm", when(col("__dx") > 0 && col("__dy") > 0, expr(
+        "CAST(floor(CAST(__num AS DOUBLE) * CAST(__num AS DOUBLE) /" +
+          " (CAST(__dx AS DOUBLE) * CAST(__dy AS DOUBLE))" +
+          " * 1.0E6 + 0.5E0) AS BIGINT)")))
+      .select("key", "n", "slope_ppm", "intercept_micro", "r2_ppm")
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) for an A/B metric
+    * with a pre-period covariate: the adjusted metric
+    * ŷ = y − θ(x − x̄), θ = cov(x, y)/var(x) pooled across arms,
+    * removes the variance the pre-period already explains — the
+    * standard way to make an experiment read in days instead of
+    * weeks. Exact integer rails end to end: θ in ppm from the pooled
+    * DECIMAL moment sums ([[olsByKey]]'s core), per-arm adjusted mean
+    *
+    *   adj_micro = Σy div n_a − θ_ppm·(Σx·n_a-weighted gap) …
+    *
+    * spelled with ONE division per term so truncation never
+    * compounds: mean_y + (θ_ppm · (n_a·Σx_pool − n_pool·Σx_a)) div
+    * (10⁶·n_a·n_pool). Two map-combinable aggregates (pooled + per
+    * arm, the same shuffle key).
+    *
+    * @return (arm, n, mean_y_micro, adj_mean_micro, theta_ppm) */
+  def cupedAdjust(df: DataFrame, armCol: String, yCol: String,
+                  xCol: String): DataFrame = {
+    val base = df.select(col(armCol).as("arm"),
+        col(yCol).cast("long").as("__y"), col(xCol).cast("long").as("__x"))
+      .filter(col("arm").isNotNull && col("__y").isNotNull &&
+        col("__x").isNotNull)
+      .localCheckpoint(true) // pooled + per-arm aggregates share it
+    val pooled = base.agg(count(lit(1)).as("__np"),
+      sum("__x").as("__sxp"), sum("__y").as("__syp"),
+      sum(expr("CAST(__x AS DECIMAL(38,0)) * __y")).as("__sxyp"),
+      sum(expr("CAST(__x AS DECIMAL(38,0)) * __x")).as("__sxxp"))
+      .withColumn("__num", expr(
+        "__np * __sxyp - CAST(__sxp AS DECIMAL(38,0)) * __syp"))
+      .withColumn("__dx", expr(
+        "__np * __sxxp - CAST(__sxp AS DECIMAL(38,0)) * __sxp"))
+      .withColumn("theta_ppm", when(col("__dx") > 0,
+        expr("CAST(__num * 1000000 div __dx AS BIGINT)")).otherwise(0L))
+    base.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("__y").as("__sy"),
+        sum("__x").as("__sx"))
+      .crossJoin(broadcast(pooled.select("__np", "__sxp", "theta_ppm")))
+      // Σy·10⁶ passes BIGINT already at ~10⁴ micro-value rows — DECIMAL
+      .withColumn("mean_y_micro",
+        expr("CAST(CAST(__sy AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+      .withColumn("adj_mean_micro", expr(
+        "mean_y_micro + CAST(theta_ppm AS DECIMAL(38,0)) *" +
+          " (n * CAST(__sxp AS DECIMAL(38,0)) - __np * __sx)" +
+          " div (CAST(n AS DECIMAL(38,0)) * __np)"))
+      .select("arm", "n", "mean_y_micro", "adj_mean_micro", "theta_ppm")
+  }
+
   /** WALD SPRT (sequential probability ratio test) read-out per key
     * for a Bernoulli metric — the always-valid A/B monitor: stop the
     * moment the evidence crosses a boundary instead of waiting for a

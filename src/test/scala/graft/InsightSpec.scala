@@ -572,6 +572,41 @@ class InsightSpec extends SparkSpec {
     assert(rn.getLong(0) == 65L && rn.getLong(1) == 3L)
   }
 
+  test("olsByKey: exact line recovered, negative slope, zero-variance null") {
+    // y = 3x + 7 exactly -> slope 3e6 ppm, intercept 7e6 micro, r2 = 1e6
+    val line = (1 to 10).map(i => ("a", i.toLong, 3L * i + 7)).toDF("k", "x", "y")
+    val a = Insight.olsByKey(line, "k", "x", "y").collect()(0)
+    assert((a.getLong(2), a.getLong(3), a.getLong(4)) ==
+      ((3000000L, 7000000L, 1000000L)))
+    // y = -2x: negative slope truncates toward zero on BOTH engines
+    val neg = (1 to 5).map(i => ("b", i.toLong, -2L * i)).toDF("k", "x", "y")
+    val b = Insight.olsByKey(neg, "k", "x", "y").collect()(0)
+    assert(b.getLong(2) == -2000000L && b.getLong(3) == 0L)
+    // constant x: vertical fit -> all null
+    val v = Seq(("c", 4L, 1L), ("c", 4L, 9L)).toDF("k", "x", "y")
+    val c = Insight.olsByKey(v, "k", "x", "y").collect()(0)
+    assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4))
+  }
+
+  test("cupedAdjust: perfectly-correlated covariate equalizes arms; theta exact") {
+    // y = x per unit; arm 1 drew larger x by luck — CUPED removes it all
+    val d = Seq((0L, 10L, 10L), (0L, 20L, 20L), (1L, 30L, 30L),
+      (1L, 40L, 40L)).toDF("arm", "y", "x")
+    val out = Insight.cupedAdjust(d, "arm", "y", "x").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out(0L)._4 == 1000000L)              // theta = 1 exactly
+    // adjusted means collapse to the pooled mean (25) for both arms
+    assert(out(0L)._3 == 25000000L && out(1L)._3 == 25000000L)
+    assert(out(0L)._2 == 15000000L && out(1L)._2 == 35000000L)
+    // equal covariate means across arms: zero gap, adjustment no-op
+    val u = Seq((0L, 10L, 5L), (0L, 20L, 7L), (1L, 30L, 5L), (1L, 40L, 7L))
+      .toDF("arm", "y", "x")
+    val ou = Insight.cupedAdjust(u, "arm", "y", "x").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(ou(0L)._1 == ou(0L)._2 && ou(1L)._1 == ou(1L)._2)
+  }
+
   test("sprt: exact integer LLR, both boundaries, continue band") {
     def mic(x: Double) = math.floor(x * 1e6 + 0.5).toLong
     val c1 = mic(math.log(0.3 / 0.2)); val c0 = mic(math.log(0.7 / 0.8))
