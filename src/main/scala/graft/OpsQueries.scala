@@ -8123,6 +8123,60 @@ object OpsQueries {
       |  theta_ppm
       |FROM arms, th""".stripMargin
 
+  /** Inter-arrival burstiness per user (see [[Insight.burstiness]]):
+    * exact integer gaps, CV² as a DECIMAL rational — the automation
+    * screen. */
+  private def qEventsBurstiness(s: SparkSession, dir: String): DataFrame =
+    Insight.burstiness(readEvents(s, dir), "user_id", "ts", "event_id")
+
+  private val oEventsBurstiness =
+    """WITH o AS (SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    event_id FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |g AS (SELECT k, lead(t) OVER (PARTITION BY k ORDER BY t, event_id)
+      |      - t AS g
+      |  FROM o),
+      |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(sum(g) AS BIGINT) AS sg,
+      |    sum(CAST(g AS HUGEINT) * g) AS sgg
+      |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+      |SELECT k AS key, n_gaps,
+      |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+      |  CASE WHEN sg > 0 THEN
+      |    CAST((n_gaps * sgg - CAST(sg AS HUGEINT) * sg) * 1000000 //
+      |      (CAST(sg AS HUGEINT) * sg) AS BIGINT) END AS cv2_ppm
+      |FROM a""".stripMargin
+
+  /** Journey skip-grams: event types co-occurring within 3 steps of
+    * each other in a user's (ts, event_id)-ordered journey — the
+    * behavioral analogue of [[Phrases.skipgramCounts]], composed over
+    * per-user path strings (order carried through the collect the way
+    * [[qEventsTopPaths]] builds journeys). */
+  private def qEventsSkipgrams(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val journeys = readEvents(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("__path", collect_list("event_type").over(w))
+      .groupBy("user_id")
+      .agg(max(struct(size(col("__path")).as("__n"), col("__path")))
+        .as("__m"))
+      .select(col("user_id"), array_join(col("__m.__path"), " ").as("path"))
+    Phrases.skipgramCounts(journeys, "path", "user_id",
+      window = 3, minCount = 2L)
+  }
+
+  private val oEventsSkipgrams =
+    """WITH o AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS i
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |pr AS (SELECT least(a.event_type, b.event_type) AS w1,
+      |    greatest(a.event_type, b.event_type) AS w2
+      |  FROM o a JOIN o b ON a.user_id = b.user_id AND b.i > a.i
+      |    AND b.i <= a.i + 3)
+      |SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pr
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8270,6 +8324,8 @@ object OpsQueries {
     "events_quantile_band" -> (qEventsQuantileBand _),
     "events_ols" -> (qEventsOls _),
     "events_cuped" -> (qEventsCuped _),
+    "events_burstiness" -> (qEventsBurstiness _),
+    "events_skipgrams" -> (qEventsSkipgrams _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -8520,6 +8576,8 @@ object OpsQueries {
     "events_quantile_band" -> oEventsQuantileBand,
     "events_ols" -> oEventsOls,
     "events_cuped" -> oEventsCuped,
+    "events_burstiness" -> oEventsBurstiness,
+    "events_skipgrams" -> oEventsSkipgrams,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

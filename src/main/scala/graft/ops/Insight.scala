@@ -760,6 +760,39 @@ object Insight {
       .select("n", "r", "c", "dof", "chi2_micro", "cramers_v_micro")
   }
 
+  /** INTER-ARRIVAL BURSTINESS per key: the squared coefficient of
+    * variation of the gaps between consecutive events — THE cheap
+    * bot/automation signal (a cron job's CV² ≈ 0, a human's ≫ 1;
+    * Poisson arrivals sit at exactly 1), plus the mean gap. Gaps are
+    * exact integer µs from one per-key lead window; CV² is the exact
+    * rational (n·Σg² − (Σg)²)·10⁶ div (Σg)² on DECIMAL(38,0)
+    * ([[olsByKey]]'s moment rail — population variance over mean², no
+    * doubles anywhere). Keys with < 2 events have no gaps and are
+    * absent; keys whose events all share one timestamp (Σg = 0)
+    * report null cv2.
+    *
+    * @return (key, n_gaps, mean_gap_us, cv2_ppm) */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tie"))
+    events
+      .select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__ts"),
+        col(tieCol).as("__tie"))
+      .filter(col("__k").isNotNull && col("__ts").isNotNull)
+      .withColumn("__g", lead(col("__ts"), 1).over(w) - col("__ts"))
+      .filter(col("__g").isNotNull)
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n_gaps"), sum("__g").as("__sg"),
+        sum(expr("CAST(__g AS DECIMAL(38,0)) * __g")).as("__sgg"))
+      .select(col("key"), col("n_gaps"),
+        expr("__sg div n_gaps").as("mean_gap_us"),
+        when(col("__sg") > 0, expr(
+          "CAST((n_gaps * __sgg - CAST(__sg AS DECIMAL(38,0)) * __sg)" +
+            " * 1000000 div (CAST(__sg AS DECIMAL(38,0)) * __sg)" +
+            " AS BIGINT)")).as("cv2_ppm"))
+  }
+
   /** PER-KEY OLS REGRESSION of integer y on integer x — slope and
     * intercept as EXACT rational read-outs from the five moment sums:
     *

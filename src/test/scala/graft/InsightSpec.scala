@@ -572,6 +572,28 @@ class InsightSpec extends SparkSpec {
     assert(rn.getLong(0) == 65L && rn.getLong(1) == 3L)
   }
 
+  test("burstiness: cron-regular is 0, hand CV2, single event absent, tied ts null") {
+    def t(s: Int) = s"2024-01-01 00:00:${"%02d".format(s)}"
+    val ev = Seq(
+      // bot: gaps exactly 10 s -> cv2 = 0
+      ("bot", t(0), 1L), ("bot", t(10), 2L), ("bot", t(20), 3L),
+      // human: gaps 1 s and 9 s -> var = 16, mean = 5 -> cv2 = 0.64
+      ("hum", t(0), 4L), ("hum", t(1), 5L), ("hum", t(10), 6L),
+      // single event: no gaps
+      ("solo", t(0), 7L),
+      // both events on one timestamp: gap 0 -> sg = 0 -> null cv2
+      ("tied", t(3), 8L), ("tied", t(3), 9L)
+    ).toDF("k", "ts", "id")
+    val out = Insight.burstiness(ev, "k", "ts", "id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out("bot") == (2L, 10000000L, 0L))
+    // (2*(1e12+81e12) - 100e12)*1e6 div 100e12 = 640000
+    assert(out("hum") == (2L, 5000000L, 640000L))
+    assert(!out.contains("solo"))
+    assert(out("tied") == (1L, 0L, -1L))
+  }
+
   test("olsByKey: exact line recovered, negative slope, zero-variance null") {
     // y = 3x + 7 exactly -> slope 3e6 ppm, intercept 7e6 micro, r2 = 1e6
     val line = (1 to 10).map(i => ("a", i.toLong, 3L * i + 7)).toDF("k", "x", "y")
