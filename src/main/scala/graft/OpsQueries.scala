@@ -8177,6 +8177,93 @@ object OpsQueries {
       |SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pr
       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  /** Welch's t between purchase and non-purchase event values (see
+    * [[Insight.welchT]]) — the parametric companion to
+    * `events_mannwhitney` on the same split: exact integer moments,
+    * identical-tree-double t and Welch–Satterthwaite df. */
+  private def qEventsWelch(s: SparkSession, dir: String): DataFrame =
+    Insight.welchT(
+      readEvents(s, dir).select(
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("vm"),
+        (col("event_type") === "purchase").as("grp")),
+      "vm", "grp")
+
+  private val oEventsWelch = {
+    def vOverN(n: String, s: String, q: String) =
+      s"(CAST($n AS DOUBLE) * CAST($q AS DOUBLE)" +
+        s" - CAST($s AS DOUBLE) * CAST($s AS DOUBLE))" +
+        s" / (CAST($n AS DOUBLE) * ($n - 1) * $n)"
+    val a = vOverN("n1", "s1", "q1")
+    val b = vOverN("n2", "s2", "q2")
+    s"""WITH d AS (SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+      |    event_type = 'purchase' AS g
+      |  FROM events
+      |  WHERE value IS NOT NULL AND (event_type = 'purchase') IS NOT NULL),
+      |m AS (SELECT
+      |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN g THEN v ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN g THEN 0 ELSE v END) AS BIGINT) AS s2,
+      |    sum(CASE WHEN g THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q1,
+      |    sum(CASE WHEN g THEN 0 ELSE CAST(v AS HUGEINT) * v END) AS q2
+      |  FROM d)
+      |SELECT n1, n2,
+      |  CASE WHEN n1 > 0 THEN
+      |    CAST(CAST(s1 AS HUGEINT) * 1000000 // n1 AS BIGINT) END
+      |    AS mean1_micro,
+      |  CASE WHEN n2 > 0 THEN
+      |    CAST(CAST(s2 AS HUGEINT) * 1000000 // n2 AS BIGINT) END
+      |    AS mean2_micro,
+      |  CASE WHEN n1 > 1 AND n2 > 1 AND $a + $b > 0.0E0 THEN
+      |    CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      |      / sqrt($a + $b) * 1.0E6 + 0.5E0) AS BIGINT) END AS t_micro,
+      |  CASE WHEN n1 > 1 AND n2 > 1
+      |      AND ($a) * ($a) / (n1 - 1) + ($b) * ($b) / (n2 - 1) > 0.0E0
+      |    THEN CAST(floor(($a + $b) * ($a + $b) /
+      |      (($a) * ($a) / (n1 - 1) + ($b) * ($b) / (n2 - 1))
+      |      * 1.0E6 + 0.5E0) AS BIGINT) END AS df_micro
+      |FROM m""".stripMargin
+  }
+
+  /** Peak/average concurrency of user activity spans (see
+    * [[RangeJoin.concurrency]]): ±1 boundary sweep on the prefix-sum
+    * rail, exact integer µs and depth·µs integral. */
+  private def qEventsConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val spans = readEvents(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("w_start"), max(col("ts")).as("w_end"))
+    RangeJoin.concurrency(spans, "w_start", "w_end")
+  }
+
+  private val oEventsConcurrency =
+    """WITH sp AS (SELECT
+      |    CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+      |    CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS e
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY user_id),
+      |b AS (SELECT s AS t, CAST(1 AS BIGINT) AS d FROM sp
+      |  UNION ALL SELECT e, -1 FROM sp),
+      |r AS (SELECT t, d,
+      |    row_number() OVER (ORDER BY t, d) AS r,
+      |    CAST(sum(d) OVER (ORDER BY t, d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS depth
+      |  FROM b),
+      |seg AS (SELECT a.depth AS depth, b.t - a.t AS len
+      |  FROM r a JOIN r b ON b.r = a.r + 1)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM sp) AS n_intervals,
+      |  max(depth) AS peak,
+      |  CAST(sum(CASE WHEN depth > 0 THEN len ELSE 0 END) AS BIGINT)
+      |    AS covered_us,
+      |  CAST(sum(CAST(depth AS HUGEINT) * len) AS BIGINT)
+      |    AS depth_us_integral,
+      |  CASE WHEN sum(CASE WHEN depth > 0 THEN len ELSE 0 END) > 0 THEN
+      |    CAST(sum(CAST(depth AS HUGEINT) * len) * 1000000 //
+      |      sum(CASE WHEN depth > 0 THEN len ELSE 0 END) AS BIGINT) END
+      |    AS avg_depth_ppm
+      |FROM seg""".stripMargin
+
   // =====================================================================
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8326,6 +8413,8 @@ object OpsQueries {
     "events_cuped" -> (qEventsCuped _),
     "events_burstiness" -> (qEventsBurstiness _),
     "events_skipgrams" -> (qEventsSkipgrams _),
+    "events_welch" -> (qEventsWelch _),
+    "events_concurrency" -> (qEventsConcurrency _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -8578,6 +8667,8 @@ object OpsQueries {
     "events_cuped" -> oEventsCuped,
     "events_burstiness" -> oEventsBurstiness,
     "events_skipgrams" -> oEventsSkipgrams,
+    "events_welch" -> oEventsWelch,
+    "events_concurrency" -> oEventsConcurrency,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,

@@ -760,6 +760,69 @@ object Insight {
       .select("n", "r", "c", "dof", "chi2_micro", "cramers_v_micro")
   }
 
+  /** WELCH'S T-TEST between two groups of an integer metric — the
+    * means-difference companion to [[sprt]]/[[graft.ops.Classify
+    * .wilsonCI]] (those read rates; this reads magnitudes) that does
+    * NOT assume equal variances (the classic A/B mistake Welch 1947
+    * fixes):
+    *
+    *   t = (x̄₁ − x̄₂) / √(s₁²/n₁ + s₂²/n₂),
+    *   df = (s₁²/n₁ + s₂²/n₂)² / ((s₁²/n₁)²/(n₁−1) + (s₂²/n₂)²/(n₂−1))
+    *
+    * Moments are EXACT integer sums (one map-combinable aggregate,
+    * DECIMAL(38,0) squares); t and the Welch–Satterthwaite df are
+    * identical-tree doubles over those exact integers (the
+    * [[chiSquare]] trade — the rationals here have degree-4 products
+    * that pass DECIMAL(38)), both micro-rounded. Sample variance
+    * (n−1); groups need n ≥ 2 or the result row is null-valued.
+    *
+    * @param groupCol boolean — true rows are group 1
+    * @return one row (n1, n2, mean1_micro, mean2_micro, t_micro,
+    *         df_micro) */
+  def welchT(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val agg = df
+      .select(col(valueCol).cast("long").as("__v"),
+        col(groupCol).cast("boolean").as("__g"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .groupBy()
+      .agg(
+        sum(when(col("__g"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("__g"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__g"), col("__v")).otherwise(0L)).as("__s1"),
+        sum(when(!col("__g"), col("__v")).otherwise(0L)).as("__s2"),
+        sum(when(col("__g"), expr("CAST(__v AS DECIMAL(38,0)) * __v"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("__q1"),
+        sum(when(!col("__g"), expr("CAST(__v AS DECIMAL(38,0)) * __v"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("__q2"))
+    // s²/n as identical-tree doubles over the exact integer moments:
+    // v1 = (n·Σv² − (Σv)²) / (n·(n−1)) per group, then /n once more
+    def vOverN(n: String, s: String, q: String) =
+      s"(CAST($n AS DOUBLE) * CAST($q AS DOUBLE)" +
+        s" - CAST($s AS DOUBLE) * CAST($s AS DOUBLE))" +
+        s" / (CAST($n AS DOUBLE) * ($n - 1) * $n)"
+    val a = vOverN("n1", "__s1", "__q1")
+    val b = vOverN("n2", "__s2", "__q2")
+    agg
+      .withColumn("mean1_micro", when(col("n1") > 0,
+        expr("CAST(CAST(__s1 AS DECIMAL(38,0)) * 1000000 div n1 AS BIGINT)")))
+      .withColumn("mean2_micro", when(col("n2") > 0,
+        expr("CAST(CAST(__s2 AS DECIMAL(38,0)) * 1000000 div n2 AS BIGINT)")))
+      .withColumn("t_micro",
+        when(col("n1") > 1 && col("n2") > 1 &&
+          expr(s"$a + $b") > 0.0,
+          expr(s"CAST(floor((CAST(__s1 AS DOUBLE) / n1" +
+            s" - CAST(__s2 AS DOUBLE) / n2) / sqrt($a + $b)" +
+            " * 1.0E6 + 0.5E0) AS BIGINT)")))
+      .withColumn("df_micro",
+        when(col("n1") > 1 && col("n2") > 1 &&
+          expr(s"($a) * ($a) / (n1 - 1) + ($b) * ($b) / (n2 - 1)") > 0.0,
+          expr(s"CAST(floor(($a + $b) * ($a + $b) /" +
+            s" (($a) * ($a) / (n1 - 1) + ($b) * ($b) / (n2 - 1))" +
+            " * 1.0E6 + 0.5E0) AS BIGINT)")))
+      .select("n1", "n2", "mean1_micro", "mean2_micro", "t_micro",
+        "df_micro")
+  }
+
   /** INTER-ARRIVAL BURSTINESS per key: the squared coefficient of
     * variation of the gaps between consecutive events — THE cheap
     * bot/automation signal (a cron job's CV² ≈ 0, a human's ≫ 1;

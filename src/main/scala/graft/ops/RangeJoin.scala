@@ -147,4 +147,53 @@ object RangeJoin {
         sum("__cov").as("covered_us"),
         (max("__e") - min("__s")).as("span_us"))
   }
+
+  /** CONCURRENCY SWEEP over a set of intervals: peak simultaneous
+    * count, busy time, and the time-weighted average depth — the load
+    * curve in three numbers (peak sessions, cluster-hour integral,
+    * average parallelism). Half-open [s, e) semantics: a span ending
+    * exactly when another starts is NOT concurrent with it (ends sort
+    * before starts at equal t).
+    *
+    * Distributed sweep, never a single-partition sort: the ±1
+    * boundary events go through [[graft.ops.Rank.rankedPrefixSum]]'s
+    * range exchange (one shuffle — rank + running depth together),
+    * each boundary finds its successor by a co-keyed self-join on
+    * rank+1, and one aggregate folds the constant-depth segments.
+    * depth·µs products ride DECIMAL(38,0) (a 10⁶-deep second is
+    * already 10¹²; years × millions of spans pass BIGINT). All exact
+    * integers.
+    *
+    * @return one row (n_intervals, peak, covered_us, depth_us_integral,
+    *         avg_depth_ppm) — avg over BUSY time (depth > 0) */
+  def concurrency(df: DataFrame, startCol: String,
+                  endCol: String): DataFrame = {
+    def micros(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val iv = df
+      .select(micros(col(startCol)).as("__s"), micros(col(endCol)).as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__s") <= col("__e"))
+      .localCheckpoint(true) // count + two boundary projections
+    val n = iv.count()
+    val bounds = iv.select(col("__s").as("t"), lit(1L).as("d"))
+      .unionAll(iv.select(col("__e").as("t"), lit(-1L).as("d")))
+    val ranked = Rank.rankedPrefixSum(bounds, Seq(col("t"), col("d")),
+        "d", rankCol = "__r", cumCol = "depth")
+      .localCheckpoint(true) // self-join both sides
+    val seg = ranked.as("a")
+      .join(ranked.as("b"), col("b.__r") === col("a.__r") + 1)
+      .select(col("a.depth").as("depth"),
+        (col("b.t") - col("a.t")).as("len"))
+    seg
+      .agg(max("depth").as("peak"),
+        sum(when(col("depth") > 0, col("len")).otherwise(0L))
+          .as("covered_us"),
+        sum(expr("CAST(depth AS DECIMAL(38,0)) * len"))
+          .as("__integral"))
+      .select(lit(n).as("n_intervals"), col("peak"), col("covered_us"),
+        col("__integral").cast("long").as("depth_us_integral"),
+        when(col("covered_us") > 0,
+          expr("CAST(__integral * 1000000 div covered_us AS BIGINT)"))
+          .as("avg_depth_ppm"))
+  }
 }

@@ -572,6 +572,41 @@ class InsightSpec extends SparkSpec {
     assert(rn.getLong(0) == 65L && rn.getLong(1) == 3L)
   }
 
+  test("welchT: hand case vs textbook, degenerate small groups null") {
+    // g1 = {1,2,3} (mean 2, s2 = 1), g2 = {6,10} (mean 8, s2 = 8)
+    val d = Seq((1L, true), (2L, true), (3L, true), (6L, false),
+      (10L, false)).toDF("v", "g")
+    val r = Insight.welchT(d, "v", "g").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2000000L && r.getLong(3) == 8000000L)
+    // t = (2-8)/sqrt(1/3 + 8/2) = -6/sqrt(13/3); df = (13/3)^2 /
+    //     ((1/3)^2/2 + 16/1)
+    val a = 1.0 / 3; val b = 4.0
+    val tExp = math.floor(-6.0 / math.sqrt(a + b) * 1e6 + 0.5).toLong
+    val dfExp = math.floor((a + b) * (a + b) /
+      (a * a / 2 + b * b / 1) * 1e6 + 0.5).toLong
+    assert(r.getLong(4) == tExp && r.getLong(5) == dfExp)
+    // n2 = 1: variance undefined -> t/df null, means still reported
+    val tiny = Seq((1L, true), (2L, true), (9L, false)).toDF("v", "g")
+    val rt = Insight.welchT(tiny, "v", "g").collect()(0)
+    assert(rt.isNullAt(4) && rt.isNullAt(5) && rt.getLong(3) == 9000000L)
+  }
+
+  test("concurrency: hand sweep, half-open touch, peak and integral exact") {
+    def t(s: Int) = s"2024-01-01 00:00:${"%02d".format(s)}"
+    // [0,10) [5,15) [10,20): depth 1,2,1,2,1 over 0-5-10-15-20;
+    // at t=10 one ends as one starts -> NOT concurrent (depth stays 2->1->2? )
+    val iv = Seq((t(0), t(10)), (t(5), t(15)), (t(10), t(20)))
+      .toDF("st", "en")
+    val r = graft.ops.RangeJoin.concurrency(iv, "st", "en").collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 2L, s"peak=${r.getLong(1)}") // never 3: touch at 10
+    assert(r.getLong(2) == 20000000L)                   // busy the whole span
+    // integral: 5s@1 + 5s@2 + 5s@2 + 5s@1 = 30 s·depth
+    assert(r.getLong(3) == 30000000L)
+    assert(r.getLong(4) == 1500000L)                    // avg depth 1.5
+  }
+
   test("burstiness: cron-regular is 0, hand CV2, single event absent, tied ts null") {
     def t(s: Int) = s"2024-01-01 00:00:${"%02d".format(s)}"
     val ev = Seq(
