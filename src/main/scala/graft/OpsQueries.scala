@@ -220,6 +220,145 @@ object OpsQueries {
        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
        |FROM cal GROUP BY 1""".stripMargin
 
+  /** Brier score with Murphy decomposition + ECE of the quality score
+    * vs the is-English label (see [[Classify.brierDecomposition]]):
+    * distinct-score bins, exact micro integers end to end. */
+  private def qQualityBrier(s: SparkSession, dir: String): DataFrame =
+    Classify.brierDecomposition(
+      t(s, dir, "documents").select(
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en")
+
+  private val oQualityBrier =
+    s"""WITH sc AS (SELECT
+       |    CAST(floor(($oQualityExpr) * 1000000 + 0.5) AS BIGINT) AS s,
+       |    lang = 'en' AS y FROM documents),
+       |b AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+       |  FROM sc GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(p) AS BIGINT) AS pt,
+       |    CAST(CAST(sum(p) AS HUGEINT) * 1000000 // sum(n) AS BIGINT)
+       |      AS yb FROM b),
+       |a AS (SELECT
+       |    sum(CAST(p AS HUGEINT) * (1000000 - s) * (1000000 - s)
+       |      + CAST(n - p AS HUGEINT) * s * s) AS bt,
+       |    sum((CAST(n AS HUGEINT) * s - CAST(p AS HUGEINT) * 1000000)
+       |      * (CAST(n AS HUGEINT) * s - CAST(p AS HUGEINT) * 1000000)
+       |      // (CAST(n AS HUGEINT) * 1000000)) AS rel,
+       |    sum((CAST(p AS HUGEINT) * 1000000
+       |        - CAST(n AS HUGEINT) * (SELECT yb FROM t))
+       |      * (CAST(p AS HUGEINT) * 1000000
+       |        - CAST(n AS HUGEINT) * (SELECT yb FROM t))
+       |      // (CAST(n AS HUGEINT) * 1000000)) AS res,
+       |    sum(abs(CAST(p AS HUGEINT) * 1000000
+       |      - CAST(n AS HUGEINT) * s)) AS ece
+       |  FROM b)
+       |SELECT t.nt AS n, t.pt AS n_pos,
+       |  CAST(a.bt // (CAST(t.nt AS HUGEINT) * 1000000) AS BIGINT)
+       |    AS brier_micro,
+       |  CAST(a.rel // t.nt AS BIGINT) AS rel_micro,
+       |  CAST(a.res // t.nt AS BIGINT) AS res_micro,
+       |  CAST(CAST(t.pt AS HUGEINT) * (t.nt - t.pt) * 1000000
+       |    // (CAST(t.nt AS HUGEINT) * t.nt) AS BIGINT) AS unc_micro,
+       |  CAST(a.ece // (CAST(t.nt AS HUGEINT) * 1000000) AS BIGINT)
+       |    AS ece_micro
+       |FROM t, a""".stripMargin
+
+  /** Split-conformal coverage audit of a chars→tokens linear
+    * predictor over documents (see [[Classify.conformalCoverage]]):
+    * even doc_ids calibrate an exact-rail OLS, q̂ is the
+    * ⌈(n+1)·0.9⌉-th smallest calibration residual off the
+    * value-frequency rail, and the odd half reports exact ppm
+    * coverage. */
+  private def qQualityConformal(s: SparkSession, dir: String): DataFrame =
+    Classify.conformalCoverage(
+      t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("toks")),
+      "chars", "toks", "doc_id", alphaPpm = 100000L)
+
+  private val oQualityConformal =
+    s"""WITH d AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS x,
+       |    CAST(len($oToks) AS BIGINT) AS y FROM documents),
+       |dd AS (SELECT id, x, y, id % 2 = 0 AS cal FROM d
+       |  WHERE id IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL),
+       |f AS (SELECT CAST(count(*) AS BIGINT) AS ncal,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM dd WHERE cal),
+       |fb AS (SELECT ncal, sx, sy,
+       |    ncal * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |    ncal * sxx - CAST(sx AS HUGEINT) * sx AS dx FROM f),
+       |fit AS (SELECT ncal,
+       |    CASE WHEN dx > 0 THEN CAST(num * 1000000 // dx AS BIGINT) END
+       |      AS slope,
+       |    CASE WHEN dx > 0 THEN CAST((CAST(sy AS HUGEINT) * dx
+       |      - num * sx) * 1000000 // (CAST(ncal AS HUGEINT) * dx)
+       |      AS BIGINT) END AS icept
+       |  FROM fb),
+       |r AS (SELECT dd.id, dd.cal,
+       |    CAST(abs(CAST(dd.y AS HUGEINT) * 1000000
+       |      - (CAST(fit.slope AS HUGEINT) * dd.x + fit.icept))
+       |      AS BIGINT) AS r
+       |  FROM dd, fit),
+       |cc AS (SELECT r, count(*) AS c FROM r WHERE cal GROUP BY 1),
+       |cw AS (SELECT r, sum(c) OVER (ORDER BY r
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cc),
+       |q AS (SELECT ncal,
+       |    CAST((CAST(ncal + 1 AS HUGEINT) * 900000 + 999999) // 1000000
+       |      AS BIGINT) AS k FROM fit),
+       |qh AS (SELECT (SELECT ncal FROM q) AS n_cal,
+       |    (SELECT k FROM q) AS k_rank,
+       |    CASE WHEN (SELECT k FROM q) <= (SELECT ncal FROM q) THEN
+       |      min(CASE WHEN cum >= (SELECT k FROM q) THEN r END) END
+       |      AS qhat
+       |  FROM cw)
+       |SELECT qh.n_cal, count(*) AS n_test, qh.k_rank,
+       |  qh.qhat AS qhat_micro,
+       |  CASE WHEN qh.qhat IS NOT NULL THEN
+       |    CAST(sum(CASE WHEN r.r <= qh.qhat THEN 1 ELSE 0 END)
+       |      AS BIGINT) END AS covered,
+       |  CASE WHEN qh.qhat IS NOT NULL AND count(*) > 0 THEN
+       |    CAST(CAST(sum(CASE WHEN r.r <= qh.qhat THEN 1 ELSE 0 END)
+       |      AS HUGEINT) * 1000000 // count(*) AS BIGINT) END
+       |    AS coverage_ppm
+       |FROM r, qh WHERE NOT r.cal
+       |GROUP BY qh.n_cal, qh.k_rank, qh.qhat""".stripMargin
+
+  /** Heaps'-law vocabulary growth curve over documents in doc_id
+    * order (see [[Report.vocabGrowth]]): V(n) and T(n) at 10
+    * checkpoints off the range-exchange rank rail — exact, no prefix
+    * re-scans. */
+  private def qCorpusVocabGrowth(s: SparkSession, dir: String): DataFrame =
+    Report.vocabGrowth(
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", points = 10)
+
+  private val oCorpusVocabGrowth =
+    s"""WITH d AS (SELECT doc_id, $oToks AS t,
+       |    row_number() OVER (ORDER BY doc_id) AS pos
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |cp AS (SELECT CAST(p AS BIGINT) AS point,
+       |    CAST(p * (SELECT n FROM n) // 10 AS BIGINT) AS n_docs
+       |  FROM generate_series(1, 10) AS g(p)),
+       |fp AS (SELECT tok, min(pos) AS fp FROM
+       |  (SELECT pos, unnest(t) AS tok FROM d) GROUP BY 1),
+       |v AS (SELECT cp.point, cp.n_docs, CAST(count(*) AS BIGINT)
+       |    AS vocab
+       |  FROM fp JOIN cp ON fp.fp <= cp.n_docs GROUP BY 1, 2),
+       |tk AS (SELECT cp.point, cp.n_docs,
+       |    CAST(sum(len(d.t)) AS BIGINT) AS tokens
+       |  FROM d JOIN cp ON d.pos <= cp.n_docs GROUP BY 1, 2)
+       |SELECT tk.point, tk.n_docs,
+       |  CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab, tk.tokens
+       |FROM tk LEFT JOIN v USING (point, n_docs)""".stripMargin
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.langId(col("text")).getField("lang").as("lang_pred"),
@@ -7420,6 +7559,55 @@ object OpsQueries {
        |SELECT id AS part, lbl AS community FROM l4""".stripMargin
   }
 
+  /** Newman modularity of the 4-iteration LPA partition of the
+    * co-purchase graph (see [[Graph.modularity]]): exact integer
+    * numerators summed BEFORE the single ppm division. */
+  private def qGraphModularity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = Graph.coOccurrenceEdgesCanonical(li, "l_orderkey",
+      "l_partkey").localCheckpoint(true) // LPA + modularity share it
+    Graph.modularity(edges, Graph.labelPropagation(edges, iterations = 4))
+  }
+
+  private val oGraphModularity = {
+    val iter = (k: Int) =>
+      s"""l$k AS (SELECT id, lbl FROM (
+         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |      ORDER BY cnt DESC, lbl) AS rn
+         |    FROM (SELECT a.id, p.lbl, count(*) AS cnt
+         |      FROM adj a JOIN l${k - 1} p ON a.nbr = p.id
+         |      GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT a.item AS u, b.item AS v FROM items a
+       |  JOIN items b ON a.g = b.g AND a.item < b.item),
+       |adj AS (SELECT u AS id, v AS nbr FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |l0 AS (SELECT DISTINCT id, id AS lbl FROM adj),
+       |${(1 to 4).map(iter).mkString(",\n")},
+       |lab AS (SELECT id, lbl FROM l4),
+       |te AS MATERIALIZED (SELECT cu.lbl AS cu, cv.lbl AS cv
+       |  FROM e JOIN lab cu ON cu.id = e.u JOIN lab cv ON cv.id = e.v),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM te),
+       |intra AS (SELECT cu AS c, CAST(count(*) AS BIGINT) AS l
+       |  FROM te WHERE cu = cv GROUP BY 1),
+       |degc AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM
+       |  (SELECT cu AS c FROM te UNION ALL SELECT cv FROM te)
+       |  GROUP BY 1),
+       |nv AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS nv FROM lab),
+       |num AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    sum(4 * CAST((SELECT m FROM m) AS HUGEINT) * coalesce(intra.l, 0)
+       |      - CAST(degc.d AS HUGEINT) * degc.d) AS num
+       |  FROM degc LEFT JOIN intra USING (c))
+       |SELECT (SELECT nv FROM nv) AS n_vertices,
+       |  (SELECT m FROM m) AS m_edges, k AS n_communities,
+       |  CASE WHEN (SELECT m FROM m) > 0 THEN CAST(num * 1000000 //
+       |    (4 * CAST((SELECT m FROM m) AS HUGEINT) * (SELECT m FROM m))
+       |    AS BIGINT) END AS q_ppm
+       |FROM num""".stripMargin
+  }
+
   /** Per-part local clustering coefficient over the co-purchase graph —
     * per-vertex triangle corners on the oriented wedge stream, lcc in
     * integer micro-units + one exact-input double division (see
@@ -7462,6 +7650,48 @@ object OpsQueries {
       |    THEN 2 * coalesce(tri, 0) * 1000000 // (d * (d - 1)) END
       |    AS DOUBLE) / 1000000 AS lcc
       |FROM deg LEFT JOIN tc ON tc.id = deg.id""".stripMargin
+
+  /** 4-truss of the mod-4 co-purchase subgraph after 2 fixed peel
+    * rounds (see [[Graph.ktruss]]): support re-counted among
+    * survivors each round and once more for the report; the oracle
+    * peels un-oriented (the triangle set is orientation-free). */
+  private def qGraphKtruss(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    Graph.ktruss(
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"),
+      k = 4, iterations = 2)
+  }
+
+  private val oGraphKtruss = {
+    // one peel round: support of each e{i} edge counted inside e{i},
+    // survivors = support >= k-2 = 2
+    def round(i: Int): String =
+      s"""adj$i AS (SELECT u AS id, v AS nbr FROM e$i
+         |  UNION ALL SELECT v, u FROM e$i),
+         |sup$i AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS c
+         |  FROM e$i e JOIN adj$i a ON a.id = e.u
+         |    JOIN adj$i b ON b.id = e.v AND b.nbr = a.nbr
+         |  GROUP BY 1, 2),
+         |e${i + 1} AS (SELECT e.u, e.v FROM e$i e LEFT JOIN sup$i s
+         |  ON s.u = e.u AND s.v = e.v
+         |  WHERE coalesce(s.c, 0) >= 2)""".stripMargin
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+       |  FROM lineitem WHERE l_partkey % 4 = 0),
+       |e1 AS (SELECT DISTINCT a.item AS u, b.item AS v FROM items a
+       |  JOIN items b ON a.g = b.g AND a.item < b.item),
+       |${(1 to 2).map(round).mkString(",\n")},
+       |adjf AS (SELECT u AS id, v AS nbr FROM e3
+       |  UNION ALL SELECT v, u FROM e3),
+       |supf AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS c
+       |  FROM e3 e JOIN adjf a ON a.id = e.u
+       |    JOIN adjf b ON b.id = e.v AND b.nbr = a.nbr
+       |  GROUP BY 1, 2)
+       |SELECT e.u, e.v, coalesce(s.c, 0) AS support
+       |FROM e3 e LEFT JOIN supf s ON s.u = e.u AND s.v = e.v"""
+      .stripMargin
+  }
 
   /** Common-neighbor link prediction on the mod-4 co-purchase subgraph
     * (the wedge volume of the full graph is the honest Σ C(d,2) cost —
@@ -8225,6 +8455,216 @@ object OpsQueries {
       |FROM m""".stripMargin
   }
 
+  /** One-way ANOVA F across the five event-type arms (see
+    * [[Insight.anovaF]]): exact micro-scaled sums of squares from
+    * per-group integer moments; only the F ratio is a double. */
+  private def qEventsAnova(s: SparkSession, dir: String): DataFrame =
+    Insight.anovaF(
+      readEvents(s, dir).select(col("event_type"),
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("vm")),
+      "vm", "event_type")
+
+  private val oEventsAnova =
+    """WITH d AS (SELECT event_type AS g,
+      |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |p AS (SELECT g, count(*) AS cn, sum(v) AS s,
+      |    sum(CAST(v AS HUGEINT) * v) AS q FROM d GROUP BY g),
+      |m AS (SELECT CAST(sum(cn) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    sum(CAST(s AS HUGEINT)) AS st, sum(q) AS qt,
+      |    sum(CAST(s AS HUGEINT) * s * 1000000 // cn) AS a FROM p),
+      |e AS (SELECT n, k, st, a - st * st * 1000000 // n AS ssb,
+      |    qt * 1000000 - a AS ssw FROM m)
+      |SELECT n, k,
+      |  CASE WHEN n > 0 THEN CAST(st * 1000000 // n AS BIGINT) END
+      |    AS grand_mean_micro,
+      |  CASE WHEN ssb > 0 AND ssb + ssw > 0
+      |      THEN CAST(ssb * 1000000 // (ssb + ssw) AS BIGINT)
+      |    WHEN n > 0 THEN 0 END AS eta2_ppm,
+      |  CASE WHEN k >= 2 AND n > k AND ssw > 0 AND ssb > 0 THEN
+      |    CAST(floor(CAST(ssb AS DOUBLE) / (k - 1) /
+      |      (CAST(ssw AS DOUBLE) / (n - k)) * 1.0E6 + 0.5E0) AS BIGINT)
+      |  END AS f_micro
+      |FROM e""".stripMargin
+
+  /** Kruskal–Wallis H across the event-type arms (see
+    * [[Insight.kruskalWallis]]): doubled midranks over the value
+    * vocabulary, exact micro H, tie-corrected H as the only double. */
+  private def qEventsKruskal(s: SparkSession, dir: String): DataFrame =
+    Insight.kruskalWallis(
+      readEvents(s, dir).select(col("event_type"),
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("vm")),
+      "vm", "event_type")
+
+  private val oEventsKruskal =
+    """WITH d AS (SELECT event_type AS g,
+      |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |gv AS (SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |pv AS (SELECT v, sum(c) AS ct FROM gv GROUP BY 1),
+      |vt AS (SELECT v, ct,
+      |    sum(ct) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM pv),
+      |tt AS (SELECT coalesce(sum(CAST(ct AS HUGEINT) * ct * ct - ct), 0)
+      |    AS t FROM vt),
+      |pg AS (SELECT g, sum(c) AS n,
+      |    sum(CAST(c AS HUGEINT) * (2 * cum - ct + 1)) AS r2
+      |  FROM gv JOIN vt USING (v) GROUP BY g),
+      |m AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    sum(r2 * r2 * 1000000 // (4 * n)) AS a FROM pg),
+      |e AS (SELECT n, k,
+      |    CASE WHEN n >= 2 THEN
+      |      CAST(12 * a // (CAST(n AS HUGEINT) * (n + 1))
+      |        - 3 * (n + 1) * 1000000 AS BIGINT) END AS h_micro,
+      |    CASE WHEN n >= 2 THEN
+      |      CAST(1000000 - (SELECT t FROM tt) * 1000000 //
+      |        (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) END AS tie_ppm
+      |  FROM m)
+      |SELECT n, k, h_micro, tie_ppm,
+      |  CASE WHEN n >= 2 AND tie_ppm > 0 THEN
+      |    CAST(floor(CAST(h_micro AS DOUBLE) * 1.0E6 / tie_ppm + 0.5E0)
+      |      AS BIGINT) END AS h_adj_micro
+      |FROM e""".stripMargin
+
+  /** Brown–Forsythe spread-homogeneity test across the event-type
+    * arms (see [[Insight.brownForsythe]]): ANOVA on |v − group
+    * median| with the exact lower median — fully integer until the
+    * final F. */
+  private def qEventsBrownForsythe(s: SparkSession, dir: String): DataFrame =
+    Insight.brownForsythe(
+      readEvents(s, dir).select(col("event_type"),
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("vm")),
+      "vm", "event_type")
+
+  private val oEventsBrownForsythe =
+    """WITH d AS (SELECT event_type AS g,
+      |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |c AS (SELECT g, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |cc AS (SELECT g, v, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS nn FROM c),
+      |md AS (SELECT g, min(CASE WHEN cum * 2 >= nn THEN v END) AS med
+      |  FROM cc GROUP BY g),
+      |z AS (SELECT d.g, abs(d.v - md.med) AS v
+      |  FROM d JOIN md USING (g)),
+      |p AS (SELECT g, count(*) AS cn, sum(v) AS s,
+      |    sum(CAST(v AS HUGEINT) * v) AS q FROM z GROUP BY g),
+      |m AS (SELECT CAST(sum(cn) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    sum(CAST(s AS HUGEINT)) AS st, sum(q) AS qt,
+      |    sum(CAST(s AS HUGEINT) * s * 1000000 // cn) AS a FROM p),
+      |e AS (SELECT n, k, st, a - st * st * 1000000 // n AS ssb,
+      |    qt * 1000000 - a AS ssw FROM m)
+      |SELECT n, k,
+      |  CASE WHEN n > 0 THEN CAST(st * 1000000 // n AS BIGINT) END
+      |    AS grand_mean_micro,
+      |  CASE WHEN ssb > 0 AND ssb + ssw > 0
+      |      THEN CAST(ssb * 1000000 // (ssb + ssw) AS BIGINT)
+      |    WHEN n > 0 THEN 0 END AS eta2_ppm,
+      |  CASE WHEN k >= 2 AND n > k AND ssw > 0 AND ssb > 0 THEN
+      |    CAST(floor(CAST(ssb AS DOUBLE) / (k - 1) /
+      |      (CAST(ssw AS DOUBLE) / (n - k)) * 1.0E6 + 0.5E0) AS BIGINT)
+      |  END AS f_micro
+      |FROM e""".stripMargin
+
+  /** Kaplan–Meier time-to-purchase survival curves by user cohort
+    * (see [[Insight.kaplanMeier]]): hour-bucketed durations, purchase
+    * = event, no-purchase = censored at last activity; exact ppm
+    * product-limit fold, recursive-CTE oracle. */
+  private def qEventsSurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    val u = readEvents(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts").cast("timestamp"))).as("t0"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts").cast("timestamp")))).as("tp"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("tl"))
+      .select((col("user_id") % 2).as("cohort"),
+        expr("(coalesce(tp, tl) - t0) div 3600000000").as("dur_h"),
+        col("tp").isNotNull.as("converted"))
+    Insight.kaplanMeier(u, "cohort", "dur_h", "converted")
+  }
+
+  private val oEventsSurvivalKm =
+    """WITH RECURSIVE u AS (SELECT user_id,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+      |    min(CASE WHEN event_type = 'purchase'
+      |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tp,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS tl
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1),
+      |dd AS (SELECT CAST(user_id % 2 AS BIGINT) AS g,
+      |    CAST((coalesce(tp, tl) - t0) // 3600000000 AS BIGINT) AS t,
+      |    tp IS NOT NULL AS e FROM u),
+      |c AS (SELECT g, t, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM dd GROUP BY 1, 2),
+      |r AS (SELECT g, t, n, d,
+      |    CAST(sum(n) OVER (PARTITION BY g ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS risk FROM c),
+      |grid AS (SELECT g, t, d, risk,
+      |    row_number() OVER (PARTITION BY g ORDER BY t) AS rn
+      |  FROM r WHERE d > 0),
+      |rec AS (
+      |  SELECT g, t, d, risk, rn,
+      |    CAST(1000000 * (risk - d) // risk AS BIGINT) AS s
+      |  FROM grid WHERE rn = 1
+      |  UNION ALL
+      |  SELECT gd.g, gd.t, gd.d, gd.risk, gd.rn,
+      |    CAST(rc.s * (gd.risk - gd.d) // gd.risk AS BIGINT)
+      |  FROM grid gd JOIN rec rc ON gd.g = rc.g AND gd.rn = rc.rn + 1)
+      |SELECT g AS "group", t, d, risk AS n_risk, s AS s_ppm
+      |FROM rec""".stripMargin
+
+  /** Deterministic sign-flip randomization test over adjacent-user
+    * pairs of total spend (see [[Insight.signFlipTest]]): md5-keyed
+    * ±1 matrix, 200 resamples, exact integer p. */
+  private def qEventsSignflip(s: SparkSession, dir: String): DataFrame = {
+    val x = readEvents(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+        .as("xv"))
+      .select(expr("user_id div 2").as("pair"),
+        when(col("user_id") % 2 === 0, col("xv"))
+          .otherwise(-col("xv")).as("sx"))
+    val pairs = x.groupBy("pair")
+      .agg(count(lit(1)).as("np"), sum("sx").as("diff"))
+      .filter(col("np") === 2)
+    Insight.signFlipTest(pairs, "pair", "diff", resamples = 200)
+  }
+
+  private val oEventsSignflip =
+    """WITH x AS (SELECT user_id,
+      |    sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS xv
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      |p AS (SELECT user_id // 2 AS pair,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN xv ELSE -xv END)
+      |      AS BIGINT) AS diff
+      |  FROM x GROUP BY 1 HAVING count(*) = 2),
+      |o AS (SELECT CAST(sum(diff) AS BIGINT) AS t0,
+      |    CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+      |b AS (SELECT CAST(bb AS BIGINT) AS b
+      |  FROM generate_series(1, 200) g(bb)),
+      |r AS (SELECT b.b, CAST(sum(CASE WHEN
+      |      ('0x' || substr(md5(CAST(p.pair AS VARCHAR) || '_' ||
+      |        CAST(b.b AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+      |      THEN p.diff ELSE -p.diff END) AS BIGINT) AS t
+      |  FROM p CROSS JOIN b GROUP BY 1)
+      |SELECT o.n_pairs, CAST(count(*) AS BIGINT) AS n_resamples,
+      |  abs(o.t0) AS t_obs,
+      |  CAST(sum(CASE WHEN abs(r.t) >= abs(o.t0) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_extreme,
+      |  CAST((sum(CASE WHEN abs(r.t) >= abs(o.t0) THEN 1 ELSE 0 END)
+      |    + 1) * 1000000 // (count(*) + 1) AS BIGINT) AS p_ppm
+      |FROM r, o GROUP BY o.n_pairs, o.t0""".stripMargin
+
   /** Peak/average concurrency of user activity spans (see
     * [[RangeJoin.concurrency]]): ±1 boundary sweep on the prefix-sum
     * rail, exact integer µs and depth·µs integral. */
@@ -8292,6 +8732,7 @@ object OpsQueries {
     "dataset_ri_audit" -> (qDatasetRiAudit _),
     "dataset_kanonymity" -> (qDatasetKanonymity _),
     "corpus_report" -> (qCorpusReport _),
+    "corpus_vocab_growth" -> (qCorpusVocabGrowth _),
     "export_jsonl" -> (qExportJsonl _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
     "dedup_exact_best" -> (qDedupExactBest _),
@@ -8328,6 +8769,8 @@ object OpsQueries {
     "graph_assortativity" -> (qGraphAssortativity _),
     "graph_clustering" -> (qGraphClustering _),
     "graph_communities" -> (qGraphCommunities _),
+    "graph_modularity" -> (qGraphModularity _),
+    "graph_ktruss" -> (qGraphKtruss _),
     "graph_pagerank_weighted" -> (qGraphPagerankWeighted _),
     "graph_linkpred" -> (qGraphLinkpred _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
@@ -8341,6 +8784,8 @@ object OpsQueries {
     "quality_classifier" -> (qQualityClassifier _),
     "quality_auc" -> (qQualityAuc _),
     "quality_calibration" -> (qQualityCalibration _),
+    "quality_brier" -> (qQualityBrier _),
+    "quality_conformal" -> (qQualityConformal _),
     "quality_classifier_reload" -> (qQualityClassifierReload _),
     "quality_expect" -> (qQualityExpect _),
     "quality_expect_slice" -> (qQualityExpectSlice _),
@@ -8414,6 +8859,11 @@ object OpsQueries {
     "events_burstiness" -> (qEventsBurstiness _),
     "events_skipgrams" -> (qEventsSkipgrams _),
     "events_welch" -> (qEventsWelch _),
+    "events_anova" -> (qEventsAnova _),
+    "events_kruskal" -> (qEventsKruskal _),
+    "events_brown_forsythe" -> (qEventsBrownForsythe _),
+    "events_survival_km" -> (qEventsSurvivalKm _),
+    "events_signflip" -> (qEventsSignflip _),
     "events_concurrency" -> (qEventsConcurrency _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
@@ -8546,6 +8996,7 @@ object OpsQueries {
     "dataset_ri_audit" -> oDatasetRiAudit,
     "dataset_kanonymity" -> oDatasetKanonymity,
     "corpus_report" -> oCorpusReport,
+    "corpus_vocab_growth" -> oCorpusVocabGrowth,
     "export_jsonl" -> oExportJsonl,
     "text_ngram_diversity" -> oTextNgramDiversity,
     "dedup_exact_best" -> oDedupExactBest,
@@ -8582,6 +9033,8 @@ object OpsQueries {
     "graph_assortativity" -> oGraphAssortativity,
     "graph_clustering" -> oGraphClustering,
     "graph_communities" -> oGraphCommunities,
+    "graph_modularity" -> oGraphModularity,
+    "graph_ktruss" -> oGraphKtruss,
     "graph_pagerank_weighted" -> oGraphPagerankWeighted,
     "graph_linkpred" -> oGraphLinkpred,
     "sample_epoch_order" -> oSampleEpochOrder,
@@ -8595,6 +9048,8 @@ object OpsQueries {
     "quality_classifier" -> oQualityClassifier,
     "quality_auc" -> oQualityAuc,
     "quality_calibration" -> oQualityCalibration,
+    "quality_brier" -> oQualityBrier,
+    "quality_conformal" -> oQualityConformal,
     "quality_classifier_reload" -> oQualityClassifierReload,
     "quality_expect" -> oQualityExpect,
     "quality_expect_slice" -> oQualityExpectSlice,
@@ -8668,6 +9123,11 @@ object OpsQueries {
     "events_burstiness" -> oEventsBurstiness,
     "events_skipgrams" -> oEventsSkipgrams,
     "events_welch" -> oEventsWelch,
+    "events_anova" -> oEventsAnova,
+    "events_kruskal" -> oEventsKruskal,
+    "events_brown_forsythe" -> oEventsBrownForsythe,
+    "events_survival_km" -> oEventsSurvivalKm,
+    "events_signflip" -> oEventsSignflip,
     "events_concurrency" -> oEventsConcurrency,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),

@@ -503,6 +503,146 @@ object Classify {
     stepped.otherwise(lit(model.rates.head))
   }
 
+  /** BRIER SCORE with Murphy (1973) decomposition + expected
+    * calibration error for a [0, 1] probabilistic score against a
+    * binary label — the full "is 0.8 really 80%?" audit in one pass:
+    *
+    *   Brier = REL − RES + UNC
+    *   REL (reliability)  = (1/N)·Σ_k n_k(p_k − ȳ_k)²   — miscalibration
+    *   RES (resolution)   = (1/N)·Σ_k n_k(ȳ_k − ȳ)²     — discrimination
+    *   UNC (uncertainty)  = ȳ(1 − ȳ)                     — label entropy
+    *   ECE                = Σ_k (n_k/N)·|ȳ_k − p_k|
+    *
+    * Bins are the DISTINCT micro-rounded score values (p_k = the
+    * score itself, which makes the decomposition identity exact —
+    * decile-bin variants trade that away); callers with genuinely
+    * continuous scores pre-bucket (the bounded-domain contract shared
+    * with [[graft.ops.Diff.ksPairwise]]). EXACT integer rail end to
+    * end: per-bin terms like (n·s − p·10⁶)² ride DECIMAL(38,0) with
+    * one `div` per term (truncation < 1 micro, replayed verbatim by
+    * the oracle); ȳ enters RES as the pre-divided global ppm so bin
+    * products stay ≤ 10³⁶ at 10¹² rows. No doubles anywhere. The
+    * reported identity drift |brier − (rel − res + unc)| is a few
+    * micro of truncation, deterministic on every engine.
+    *
+    * @return one row (n, n_pos, brier_micro, rel_micro, res_micro,
+    *         unc_micro, ece_micro) */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+                         labelCol: String): DataFrame = {
+    val d = df
+      .select(expr(s"CAST(floor($scoreCol * 1000000 + 0.5) AS BIGINT)")
+          .as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val bins = d.groupBy("__s")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    val tot = bins.agg(sum("__n").as("__nt"), sum("__p").as("__pt"))
+      .withColumn("__yb", expr("__pt * 1000000 div __nt"))
+    bins.crossJoin(broadcast(tot))
+      .agg(first("__nt").as("n"), first("__pt").as("n_pos"),
+        sum(expr("(CAST(__p AS DECIMAL(38,0)) * (1000000 - __s)" +
+          " * (1000000 - __s) + CAST(__n - __p AS DECIMAL(38,0))" +
+          " * __s * __s)")).as("__bt"),
+        sum(expr("(CAST(__n AS DECIMAL(38,0)) * __s - " +
+          "CAST(__p AS DECIMAL(38,0)) * 1000000)" +
+          " * (CAST(__n AS DECIMAL(38,0)) * __s -" +
+          " CAST(__p AS DECIMAL(38,0)) * 1000000)" +
+          " div (CAST(__n AS DECIMAL(38,0)) * 1000000)")).as("__rel"),
+        sum(expr("(CAST(__p AS DECIMAL(38,0)) * 1000000 -" +
+          " CAST(__n AS DECIMAL(38,0)) * __yb)" +
+          " * (CAST(__p AS DECIMAL(38,0)) * 1000000 -" +
+          " CAST(__n AS DECIMAL(38,0)) * __yb)" +
+          " div (CAST(__n AS DECIMAL(38,0)) * 1000000)")).as("__res"),
+        sum(expr("abs(CAST(__p AS DECIMAL(38,0)) * 1000000 -" +
+          " CAST(__n AS DECIMAL(38,0)) * __s)")).as("__ece"))
+      .select(col("n"), col("n_pos"),
+        expr("CAST(__bt div (CAST(n AS DECIMAL(38,0)) * 1000000)" +
+          " AS BIGINT)").as("brier_micro"),
+        expr("CAST(__rel div n AS BIGINT)").as("rel_micro"),
+        expr("CAST(__res div n AS BIGINT)").as("res_micro"),
+        expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos)" +
+          " * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("unc_micro"),
+        expr("CAST(__ece div (CAST(n AS DECIMAL(38,0)) * 1000000)" +
+          " AS BIGINT)").as("ece_micro"))
+  }
+
+  /** SPLIT-CONFORMAL coverage audit for a linear regression predictor
+    * — the distribution-free "my 90% interval really covers 90%"
+    * check (Vovk et al.; Lei et al. 2018) on the repo's exact rails:
+    *
+    *   1. deterministic split: even ids calibrate, odd ids test,
+    *   2. OLS of y on x over the CALIBRATION half
+    *      ([[graft.ops.Insight.olsByKey]]'s exact rational
+    *      slope_ppm/intercept_micro, one fit),
+    *   3. nonconformity r = |y·10⁶ − (slope_ppm·x + intercept_micro)|
+    *      — exact integer micro residuals,
+    *   4. q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual,
+    *      via the value-frequency rail (per-residual counts +
+    *      [[graft.ops.Rank.prefixSum]] over the residual VOCABULARY —
+    *      never a row sort),
+    *   5. coverage = share of TEST residuals ≤ q̂, in exact ppm.
+    *
+    * Finite-sample guarantee: coverage ≥ 1−α in expectation whatever
+    * the data distribution — which is why the audit belongs next to
+    * [[wilsonCI]] in the eval deck. If (n_cal+1)(1−α) > n_cal the
+    * interval is infinite: q̂ and coverage report null. One scan for
+    * the fit, one for the residual rail; the fit row and q̂ row ride
+    * broadcasts.
+    *
+    * @param alphaPpm miscoverage α in ppm (100000 = 90% target)
+    * @return one row (n_cal, n_test, k_rank, qhat_micro, covered,
+    *         coverage_ppm) */
+  def conformalCoverage(df: DataFrame, xCol: String, yCol: String,
+                        idCol: String,
+                        alphaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000,
+      "alphaPpm must be in (0, 1000000)")
+    val d = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .filter(col("__id").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+      .withColumn("__cal", pmod(col("__id"), lit(2L)) === 0)
+      .localCheckpoint(true) // fit pass + residual rail share it
+    val fit = graft.ops.Insight
+      .olsByKey(d.filter(col("__cal")).withColumn("__k", lit(0)),
+        "__k", "__x", "__y")
+      .select(col("slope_ppm"), col("intercept_micro"))
+    val res = d.crossJoin(broadcast(fit))
+      .withColumn("__r", expr("abs(CAST(__y AS DECIMAL(38,0)) * 1000000" +
+        " - (CAST(slope_ppm AS DECIMAL(38,0)) * __x + intercept_micro))")
+        .cast("long"))
+      .select(col("__cal"), col("__r"))
+      .localCheckpoint(true) // q̂ rail + test coverage share it
+    val calCnt = res.filter(col("__cal")).groupBy("__r")
+      .agg(count(lit(1)).as("__c"))
+    val qhat = Rank.prefixSum(calCnt, Seq(col("__r")), "__c",
+        outCol = "__cum")
+      .crossJoin(broadcast(res.filter(col("__cal"))
+        .agg(count(lit(1)).as("__ncal"))))
+      .withColumn("__k", expr(
+        s"((__ncal + 1) * ${1000000L - alphaPpm} + 999999) div 1000000"))
+      .agg(first("__ncal").as("n_cal"), first("__k").as("k_rank"),
+        min(when(col("__cum") >= col("__k"), col("__r")))
+          .as("qhat_micro"))
+      .withColumn("qhat_micro",
+        when(col("k_rank") <= col("n_cal"), col("qhat_micro")))
+    res.filter(!col("__cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(first("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        first("k_rank").as("k_rank"),
+        first("qhat_micro").as("qhat_micro"),
+        sum(when(col("__r") <= col("qhat_micro"), 1L).otherwise(0L))
+          .as("covered"))
+      .select(col("n_cal"), col("n_test"), col("k_rank"),
+        col("qhat_micro"),
+        when(col("qhat_micro").isNotNull, col("covered")).as("covered"),
+        when(col("qhat_micro").isNotNull && col("n_test") > 0,
+          expr("covered * 1000000 div n_test")).as("coverage_ppm"))
+  }
+
   /** Per-row quality score in [0, 1] under a trained model — sigmoid of
     * the same index-ordered dense dot product training used, over the
     * ~8 KB broadcast weights. Null text scores sigmoid(bias). */

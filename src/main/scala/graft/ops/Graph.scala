@@ -935,4 +935,145 @@ object Graph {
       .groupBy("id")
       .agg(count(lit(1)).as("n_pivots"),
         sum(expr("1000000 div dist")).as("harmonic_micro"))
+
+  /** K-TRUSS peel — the triangle-reinforced community core (Cohen
+    * 2008): keep only edges supported by ≥ k−2 triangles, where the
+    * support is re-counted in the SURVIVING subgraph each round — the
+    * edge-level analogue of [[kCore]], and much harder to fake with a
+    * star (a hub's spokes have support 0). Like [[coreness]]/
+    * [[labelPropagation]], the cross-engine contract is a FIXED
+    * number of synchronous peel rounds (`iterations`), after which
+    * support is counted once more on the survivors for the report —
+    * so every reported number is consistent with the returned
+    * subgraph, not a stale pre-peel count.
+    *
+    * Each round's census is the [[localClustering]] edge-iterator:
+    * degree-ordered orientation (wedge stream Σ outdeg² — hub-proof;
+    * recomputed per round as degrees shrink, which preserves the
+    * bound and never changes the triangle SET, so the oracle may
+    * enumerate un-oriented), sorted neighbor-array intersection per
+    * edge, support keyed back to canonical (min, max) ids. 2–3 rounds
+    * settle typical co-occurrence graphs; each round is one join +
+    * one aggregate over the (shrinking) edge set.
+    *
+    * @param edges undirected edge list (either or both directions)
+    * @param k     truss order (k ≥ 3; support threshold = k − 2)
+    * @return surviving (u, v, support) — support within the survivors */
+  def ktruss(edges: DataFrame, k: Int, iterations: Int = 2,
+             broadcastEdgeCap: Long = 4L << 20): DataFrame = {
+    require(k >= 3, "ktruss needs k >= 3")
+    require(iterations >= 0, "iterations must be >= 0")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def support(ec: DataFrame): DataFrame = {
+      val m = ec.count()
+      def maybeB(df: DataFrame): DataFrame =
+        if (m <= broadcastEdgeCap) broadcast(df) else df
+      val deg = ec.select(col("u").as("id"))
+        .unionAll(ec.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val ew = ec
+        .join(maybeB(deg.select(col("id").as("u"), col("d").as("du"))),
+          "u")
+        .join(maybeB(deg.select(col("id").as("v"), col("d").as("dv"))),
+          "v")
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val o = ew.select(
+          when(uFirst, col("u")).otherwise(col("v")).as("s"),
+          when(uFirst, col("v")).otherwise(col("u")).as("t"))
+        .localCheckpoint(true)
+      val nbrs = o.groupBy("s")
+        .agg(sort_array(collect_list(col("t"))).as("ns"))
+        .localCheckpoint(true)
+      val empty = slice(col("ns"), 1, 0)
+      val ws = coalesce(when(col("nt").isNotNull,
+        array_intersect(col("ns"), col("nt"))), empty)
+      def ckey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        struct(least(a, b).as("u"), greatest(a, b).as("v"))
+      o.join(maybeB(nbrs), "s")
+        .join(maybeB(nbrs.select(col("s").as("t"), col("ns").as("nt"))),
+          Seq("t"), "left")
+        .select(explode(concat(
+          array(struct(ckey(col("s"), col("t")).as("e"),
+            size(ws).cast("long").as("c"))),
+          transform(ws, w => struct(ckey(col("s"), w).as("e"),
+            lit(1L).as("c"))),
+          transform(ws, w => struct(ckey(col("t"), w).as("e"),
+            lit(1L).as("c"))))).as("x"))
+        .groupBy(col("x.e.u").as("u"), col("x.e.v").as("v"))
+        .agg(sum(col("x.c")).as("support"))
+    }
+    for (_ <- 1 to iterations) {
+      val sup = support(e)
+      e = e.join(sup, Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** NEWMAN MODULARITY of a vertex partition — THE "did the community
+    * detection find real structure?" number (Q ≈ 0: no better than
+    * random; Q ≳ 0.3: strong structure), computed over a canonical
+    * undirected edge list and a (vertex, community) labeling such as
+    * [[labelPropagation]]'s output:
+    *
+    *   Q = Σ_c [ L_c/m − (D_c/2m)² ]
+    *     = Σ_c (4·m·L_c − D_c²) / (4m²)
+    *
+    * with L_c intra-community edges, D_c the community's degree sum,
+    * m total edges. EXACT integer rail: the per-community numerators
+    * ride DECIMAL(38,0) (4·m·L_c ≤ 4m² passes 10³⁸ to m ≈ 10¹⁸ edges)
+    * and ONE integer division lands q_ppm — per-community terms are
+    * summed BEFORE dividing, so there is no per-term truncation at
+    * all, unlike the micro-term rails that need one div per group.
+    * Communities with no internal edge contribute −D_c² (negative
+    * numerators are fine: `div` truncates toward zero identically on
+    * both engines). Plan: two co-keyed label joins over the edge
+    * list, a degree aggregate, one global sum — no windows, no
+    * driver data.
+    *
+    * @param edges  canonical undirected edges (src < dst, distinct)
+    * @param labels (idCol, labelCol) — every endpoint must be labeled
+    * @return one row (n_vertices, m_edges, n_communities, q_ppm) */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 idCol: String = "id",
+                 labelCol: String = "community"): DataFrame = {
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__c"))
+      .localCheckpoint(true) // joined on both endpoints + degree side
+    val e = edges.select(col("src").as("__u"), col("dst").as("__v"))
+    val tagged = e
+      .join(lab.select(col("__id").as("__u"), col("__c").as("__cu")), "__u")
+      .join(lab.select(col("__id").as("__v"), col("__c").as("__cv")), "__v")
+      .localCheckpoint(true) // m count + intra count share it
+    val m = tagged.agg(count(lit(1)).as("__m"))
+    val intra = tagged.filter(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("__c")).agg(count(lit(1)).as("__l"))
+    val degC = tagged.select(col("__cu").as("__c"))
+      .unionAll(tagged.select(col("__cv").as("__c")))
+      .groupBy("__c").agg(count(lit(1)).as("__d"))
+    val nv = lab.agg(countDistinct("__id").as("__nv"))
+    degC.join(intra, Seq("__c"), "left")
+      .select(col("__c"), col("__d"),
+        coalesce(col("__l"), lit(0L)).as("__l"))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"),
+        first("__m").as("m_edges"),
+        sum(expr("4 * CAST(__m AS DECIMAL(38,0)) * __l" +
+          " - CAST(__d AS DECIMAL(38,0)) * __d")).as("__num"))
+      .crossJoin(broadcast(nv))
+      .select(col("__nv").as("n_vertices"), col("m_edges"),
+        col("n_communities"),
+        when(col("m_edges") > 0, expr(
+          "CAST(__num * 1000000 div (4 * CAST(m_edges AS DECIMAL(38,0))" +
+            " * m_edges) AS BIGINT)")).as("q_ppm"))
+  }
 }

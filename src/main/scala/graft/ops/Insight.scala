@@ -1162,4 +1162,251 @@ object Insight {
         when(col("span_us") > 0,
           expr("CAST(__ws div span_us AS BIGINT)")).as("twap_micro"))
   }
+
+  /** Exact floor division for NON-NEGATIVE big-decimal quotients that
+    * overflow Spark's `div` (which always returns BIGINT): subtract
+    * the remainder, then divide exactly — the quotient stays
+    * DECIMAL(38,6)-representable (≤ 10³²) with a zero fraction, so
+    * the result is exact on any rounding mode. The SQL oracle's `//`
+    * replays it verbatim for non-negative operands. */
+  private def fdiv(num: String, den: String): String =
+    s"CAST((($num) - (($num) % ($den))) / ($den) AS DECIMAL(38,0))"
+
+  /** ONE-WAY ANOVA (fixed effects, k arms) over an integer metric —
+    * the k-group generalization of [[welchT]]'s two-arm read: does ANY
+    * arm's mean differ? F = (SSB/(k−1)) / (SSW/(N−k)), with η² =
+    * SSB/(SSB+SSW) as the practical effect size a significance-only
+    * read-out hides.
+    *
+    * Rails: per-group moments (n, Σv, Σv² on DECIMAL(38,0)) from ONE
+    * map-combinable aggregate; the between/within sums of squares are
+    * kept micro-scaled EXACT integers via per-group `Σv²·10⁶ div n`
+    * terms (truncation < 1 micro-unit per group, replayed verbatim by
+    * the oracle — no order-dependent double fold anywhere, the
+    * k-group trap the two-arm [[welchT]] never hits because its two
+    * terms are written out explicitly). Only the final F ratio is an
+    * identical-tree double over those exact integers.
+    *
+    * The big-quotient divisions use [[fdiv]], NOT `div`: Spark's `div`
+    * returns BIGINT, and Σv²·10⁶/n here exceeds 2⁶³ long before the
+    * DECIMAL(38,0) sums do (this overflowed silently on the first cut
+    * — the oracle caught η² collapsing to 0). Bounds: (Σv)²·10⁶ must
+    * fit DECIMAL(38,0) and the per-group quotient must fit
+    * DECIMAL(38,6), i.e. Σ|v| ≲ 5·10¹⁵ and Σv² ≲ 10²⁶ per group —
+    * ~10⁸ rows/arm of 10⁹-micro values; pre-scale to milli for hotter
+    * columns. Degenerate guards: k < 2, N ≤ k or SSW = 0 report null
+    * F; η² reports 0 when SSB truncates to ≤ 0.
+    *
+    * @return one row (n, k, grand_mean_micro, eta2_ppm, f_micro) */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val per = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum("__v").as("__s"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).as("__q"))
+    per.agg(
+        sum("__n").as("n"), count(lit(1)).as("k"),
+        sum(expr("CAST(__s AS DECIMAL(38,0))")).as("__st"),
+        sum("__q").as("__qt"),
+        sum(expr(fdiv("CAST(__s AS DECIMAL(38,0)) * __s * 1000000",
+          "__n"))).as("__a"))
+      .withColumn("__ssb",
+        expr("__a - " + fdiv("__st * __st * 1000000", "n")))
+      .withColumn("__ssw", expr("__qt * 1000000 - __a"))
+      .withColumn("grand_mean_micro", when(col("n") > 0,
+        expr("CAST(__st * 1000000 div n AS BIGINT)")))
+      .withColumn("eta2_ppm",
+        when(expr("__ssb > 0 AND __ssb + __ssw > 0"),
+          expr("CAST(__ssb * 1000000 div (__ssb + __ssw) AS BIGINT)"))
+          .otherwise(when(col("n") > 0, lit(0L))))
+      .withColumn("f_micro",
+        when(expr("k >= 2 AND n > k AND __ssw > 0 AND __ssb > 0"),
+          expr("CAST(floor(CAST(__ssb AS DOUBLE) / (k - 1) /" +
+            " (CAST(__ssw AS DOUBLE) / (n - k)) * 1.0E6 + 0.5E0)" +
+            " AS BIGINT)")))
+      .select("n", "k", "grand_mean_micro", "eta2_ppm", "f_micro")
+  }
+
+  /** KRUSKAL–WALLIS H over k groups — the rank-based (distribution-
+    * free) counterpart of [[anovaF]], generalizing [[mannWhitney]]
+    * beyond two arms: H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) on
+    * midranks, with the standard tie correction C = 1 − Σ(t³−t)/(N³−N)
+    * applied as H/C.
+    *
+    * Rails: counts-first — per-(group, value) frequencies from one
+    * aggregate, the midrank table over the VALUE VOCABULARY via
+    * [[graft.ops.Rank.prefixSum]]'s range-exchange (never a global
+    * sort of rows; doubled midranks 2a_v = 2·cum − cnt + 1 keep the
+    * ½-ranks integer — the [[mannWhitney]] trick), per-group doubled
+    * rank sums R2_g on DECIMAL(38,0), and H micro-scaled exact via
+    * `R2²·10⁶ / (4n_g)` [[fdiv]] terms (the quotient ≈ N²·10⁶ passes
+    * BIGINT only below ~10⁶ rows — `div` would wrap silently at the
+    * very scale the test matters). The tie term and N³ ride
+    * DECIMAL(38,0) (BIGINT cubes overflow past ~2·10⁶ rows). Only the
+    * tie-corrected H is an identical-tree double. Truncation can push
+    * an all-tied H a few micro below 0 — deterministically, on both
+    * engines.
+    *
+    * @return one row (n, k, h_micro, tie_ppm, h_adj_micro) */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+                    groupCol: String): DataFrame = {
+    val gv = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g", "__v")
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // value-vocabulary pass + per-group join
+    val perV = gv.groupBy("__v").agg(sum("__c").as("__ct"))
+    val vtab = Rank.prefixSum(perV, Seq(col("__v")), "__ct", outCol = "__cum")
+      .localCheckpoint(true) // midrank join + tie aggregate
+    val ties = vtab.agg(coalesce(
+      sum(expr("CAST(__ct AS DECIMAL(38,0)) * __ct * __ct - __ct")),
+      expr("CAST(0 AS DECIMAL(38,0))")).as("__t"))
+    val perG = gv
+      .join(vtab.select(col("__v"), col("__ct"), col("__cum")), Seq("__v"))
+      .groupBy("__g")
+      .agg(sum("__c").as("__n"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * (2 * __cum - __ct + 1)"))
+          .as("__r2"))
+    perG
+      .agg(sum("__n").as("n"), count(lit(1)).as("k"),
+        sum(expr(fdiv("__r2 * __r2 * 1000000", "4 * __n"))).as("__a"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h_micro", when(expr("n >= 2"),
+        expr("CAST(12 * __a div (CAST(n AS DECIMAL(38,0)) * (n + 1))" +
+          " - 3 * (n + 1) * 1000000 AS BIGINT)")))
+      .withColumn("tie_ppm", when(expr("n >= 2"),
+        expr("CAST(1000000 - __t * 1000000 div" +
+          " (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)")))
+      .withColumn("h_adj_micro",
+        when(expr("n >= 2 AND tie_ppm > 0"),
+          expr("CAST(floor(CAST(h_micro AS DOUBLE) * 1.0E6 / tie_ppm" +
+            " + 0.5E0) AS BIGINT)")))
+      .select("n", "k", "h_micro", "tie_ppm", "h_adj_micro")
+  }
+
+  /** KAPLAN–MEIER survival curve per group — the product-limit
+    * estimator over right-censored integer durations (the time-to-
+    * conversion / retention read that respects users who simply
+    * haven't converted YET, which a naive conversion rate silently
+    * miscounts as failures):
+    *
+    *   S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)   (dᵢ deaths at tᵢ, nᵢ at risk)
+    *
+    * EXACT integer ppm recurrence: S_ppm(i) = S_ppm(i−1)·(nᵢ−dᵢ) div
+    * nᵢ — the truncating fold is deterministic on every engine (the
+    * oracle replays it one step at a time in a recursive CTE), unlike
+    * an exp(Σ log(1−d/n)) spelling which forks by libm ulps. At-risk
+    * counts come from a REVERSE cumulative window over the per-(group,
+    * duration) frequency table — the counts-first rail, so rows never
+    * sort; the fold itself runs per group over the collected DEATH-
+    * TIME grid (an interpreted higher-order aggregate — fine off the
+    * hot path). Bounded-domain contract: the grid is the distinct
+    * duration vocabulary per group — bucket durations (hours/days)
+    * before calling, as the window state and fold array are grid-
+    * sized. Ties: deaths-before-censors (the standard convention,
+    * implied by counting censored rows at duration t as still at
+    * risk at t).
+    *
+    * @param eventCol boolean — true = event observed, false = censored
+    * @return (group, t, d, n_risk, s_ppm) — one row per group per
+    *         death time, S non-increasing from 10⁶ */
+  def kaplanMeier(df: DataFrame, groupCol: String, durCol: String,
+                  eventCol: String): DataFrame = {
+    val cnt = df
+      .select(col(groupCol).as("__g"), col(durCol).cast("long").as("__t"),
+        col(eventCol).cast("boolean").as("__e"))
+      .filter(col("__g").isNotNull && col("__t").isNotNull &&
+        col("__e").isNotNull)
+      .groupBy("__g", "__t")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("__d"))
+    val w = Window.partitionBy("__g").orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = cnt.withColumn("__risk", sum("__n").over(w))
+      .filter(col("__d") > 0)
+    grid
+      .groupBy(col("__g").as("group"))
+      .agg(array_sort(collect_list(
+        struct(col("__t"), col("__d"), col("__risk")))).as("__a"))
+      .withColumn("__s", expr(
+        "aggregate(__a, CAST(array() AS array<bigint>), (acc, x) -> " +
+          "concat(acc, array(coalesce(element_at(acc, -1), 1000000L)" +
+          " * (x.__risk - x.__d) div x.__risk)))"))
+      .select(col("group"),
+        explode(arrays_zip(col("__a"), col("__s"))).as("__z"))
+      .select(col("group"), col("__z.__a.__t").as("t"),
+        col("__z.__a.__d").as("d"), col("__z.__a.__risk").as("n_risk"),
+        col("__z.__s").as("s_ppm"))
+  }
+
+  /** SIGN-FLIP (paired randomization) TEST — the permutation test
+    * that needs NO distributional assumption and no variance formula:
+    * under H₀ each pair's difference is sign-symmetric, so the null
+    * distribution of T = Σ dₖ is sampled by flipping signs. The flips
+    * are DETERMINISTIC md5 bits keyed on (pair, resample) — both
+    * engines derive the identical ±1 matrix, so the p-value is exact
+    * integer arithmetic, not "seed luck": the repo's answer to "how
+    * do you bootstrap reproducibly across engines?" alongside
+    * [[bootstrapMeanCI]]'s Poisson rail.
+    *
+    *   p = (1 + #{b : |T_b| ≥ |T_obs|}) / (B + 1)
+    *
+    * Shape: one observed aggregate + one pairs×B explode (B·n rows,
+    * map-side combined into B partial sums — co-keyed on the resample
+    * id, never a driver loop). |Σd| ≤ B·Σ|d| stays in BIGINT to
+    * ~10¹³ micro-pairs.
+    *
+    * @param diffCol integer per-pair difference (pre-aggregated)
+    * @return one row (n_pairs, n_resamples, t_obs, n_extreme, p_ppm) */
+  def signFlipTest(df: DataFrame, pairCol: String, diffCol: String,
+                   resamples: Int = 200): DataFrame = {
+    require(resamples >= 1, "signFlipTest needs resamples >= 1")
+    val d = df
+      .select(col(pairCol).cast("string").as("__p"),
+        col(diffCol).cast("long").as("__d"))
+      .filter(col("__p").isNotNull && col("__d").isNotNull)
+      .localCheckpoint(true) // observed pass + resample pass share it
+    val obs = d.agg(sum("__d").as("__t0"), count(lit(1)).as("n_pairs"))
+    d.select(col("__p"), col("__d"),
+        explode(expr(s"sequence(1, $resamples)")).as("__b"))
+      .withColumn("__s", when(
+        expr("CAST(conv(substring(md5(concat(__p, '_', __b)), 1, 8)," +
+          " 16, 10) AS BIGINT) % 2 = 0"), 1L).otherwise(-1L))
+      .groupBy("__b").agg(sum(expr("__s * __d")).as("__t"))
+      .crossJoin(broadcast(obs))
+      .agg(first("n_pairs").as("n_pairs"),
+        count(lit(1)).as("n_resamples"),
+        first(abs(col("__t0"))).as("t_obs"),
+        sum(when(abs(col("__t")) >= abs(col("__t0")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .withColumn("p_ppm",
+        expr("(n_extreme + 1) * 1000000 div (n_resamples + 1)"))
+  }
+
+  /** BROWN–FORSYTHE homogeneity-of-variance test: [[anovaF]] run on
+    * the absolute deviations |v − median_g| — the robust Levene
+    * variant (Brown & Forsythe 1974) that answers "do the arms even
+    * HAVE comparable spread?" before a pooled-variance read is
+    * trusted. Centering on the group MEDIAN (not the mean) is what
+    * makes the test robust to heavy tails — and the median here is
+    * [[graft.ops.Profile.exactMedian]]'s lower statistical median
+    * (smallest v with 2·cum ≥ n), deterministic on every engine, so
+    * the deviations are exact integers and the whole composition
+    * inherits [[anovaF]]'s integer rails. Two scans of the input (one
+    * per-group median pass, one deviation pass over a broadcast
+    * k-row median table) — both map-combinable, no row sort. */
+  def brownForsythe(df: DataFrame, valueCol: String,
+                    groupCol: String): DataFrame = {
+    val d = df
+      .select(col(groupCol).as("__bg"), col(valueCol).cast("long").as("__bv"))
+      .filter(col("__bg").isNotNull && col("__bv").isNotNull)
+    val med = Profile.exactMedian(d, "__bg", "__bv")
+      .select(col("group").as("__bg"), col("median").as("__med"))
+    val z = d.join(broadcast(med), Seq("__bg"))
+      .select(col("__bg").as("__zg"),
+        abs(col("__bv") - col("__med")).as("__z"))
+    anovaF(z, "__z", "__zg")
+  }
 }

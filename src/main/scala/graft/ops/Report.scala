@@ -120,4 +120,54 @@ object Report {
     else org.apache.datasketches.theta.Sketch.wrap(
       org.apache.datasketches.memory.Memory.wrap(b)).isEstimationMode
   }
+
+  /** VOCABULARY GROWTH CURVE (Heaps' law read-out): distinct-token
+    * count V(n) and total-token count T(n) after the first n documents
+    * under the deterministic global id order, at `points` evenly
+    * spaced checkpoints — THE corpus-health curve that says whether
+    * more data still buys new vocabulary (V ~ K·T^β with β ≈ 0.4–0.6
+    * for natural text; a flattening curve says the source is
+    * exhausted, a β near 1 says the "text" is serial-numbered
+    * boilerplate). Log-log-regress V on T at report time for β.
+    *
+    * Exact and distributed: document positions come from
+    * [[graft.ops.Rank.globalRank]]'s range-exchange (never a global
+    * sort), each token's FIRST position is one min-aggregate, and each
+    * checkpoint's V is a count of tokens whose first position ≤ the
+    * cutoff — so the curve is exactly right even though no prefix is
+    * ever re-scanned. The checkpoint table is `points` rows riding a
+    * broadcast; worst-case intermediate is points × vocabulary rows
+    * (band-join on first_pos ≤ cutoff), map-side collapsed.
+    *
+    * @param docs (idCol, toksCol: array&lt;string&gt;) one row per doc
+    * @return (point, n_docs, vocab, tokens) — point = 1..points,
+    *         n_docs = point·N div points */
+  def vocabGrowth(docs: DataFrame, idCol: String, toksCol: String,
+                  points: Int = 10): DataFrame = {
+    require(points >= 1, "vocabGrowth needs points >= 1")
+    val ranked = Rank.globalRank(
+        docs.select(col(idCol).as("__id"), col(toksCol).as("__t"))
+          .filter(col("__id").isNotNull),
+        Seq(col("__id")), outCol = "__pos")
+      .localCheckpoint(true) // first-pos pass + per-doc count pass
+    val nRow = ranked.agg(count(lit(1)).as("__n"))
+    val cps = nRow
+      .select(explode(expr(s"sequence(1, $points)")).as("__p"),
+        col("__n"))
+      .select(col("__p").cast("long").as("point"),
+        expr(s"CAST(__p AS BIGINT) * __n div $points").as("n_docs"))
+    val firstPos = ranked
+      .select(col("__pos"), explode(col("__t")).as("__tok"))
+      .groupBy("__tok").agg(min("__pos").as("__fp"))
+    val vocab = firstPos
+      .join(broadcast(cps), col("__fp") <= col("n_docs"))
+      .groupBy("point", "n_docs").agg(count(lit(1)).as("vocab"))
+    val toks = ranked
+      .select(col("__pos"), size(col("__t")).cast("long").as("__nt"))
+      .join(broadcast(cps), col("__pos") <= col("n_docs"))
+      .groupBy("point", "n_docs").agg(sum("__nt").as("tokens"))
+    toks.join(vocab, Seq("point", "n_docs"), "left")
+      .select(col("point"), col("n_docs"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"), col("tokens"))
+  }
 }
