@@ -91,8 +91,11 @@ object Bench {
       java.nio.file.Files.write(out, bytes)
       // the durable full-suite artifact: ONLY full runs may write it — a
       // SPARK_GRAFT_ONLY subset run (local soak/bisection) would clobber
-      // the round's regression baseline with a 2-query fragment
-      if (only.isEmpty)
+      // the round's regression baseline with a 2-query fragment. Belt
+      // AND suspenders (a stale-classpath subset run clobbered it in
+      // r11 despite the env guard): also require every registered
+      // query to be present in this run's results.
+      if (only.isEmpty && med.size == SparkEntry.queries.size)
         java.nio.file.Files.write(
           java.nio.file.Paths.get("BENCH_full.json"), bytes)
     } catch { case _: Throwable => () } // file write is best-effort
