@@ -3942,6 +3942,63 @@ object OpsQueries {
       |SELECT path, count(*) AS n FROM p GROUP BY 1
       |ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** Cramér's V association matrix over the categorical order columns
+    * (composing [[Insight.chiSquare]] per unordered pair): the
+    * column-profiling "which dimensions are redundant?" read; the
+    * year column exercises the numeric-category cast path. */
+  private def qProfileCramers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    Seq(("o_orderstatus", "o_orderpriority"),
+        ("o_orderstatus", "o_year"),
+        ("o_orderpriority", "o_year"))
+      .map { case (a, b) =>
+        Insight.chiSquare(o.select(col(a), col(b)), a, b)
+          .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+            col("r"), col("c"), col("dof"), col("chi2_micro"),
+            col("cramers_v_micro"))
+      }
+      .reduce(_ unionAll _)
+  }
+
+  private val oProfileCramers = {
+    def one(a: String, b: String) =
+      s"""SELECT * FROM (
+         |WITH cells AS (SELECT
+         |    coalesce(CAST($a AS VARCHAR), chr(0)) AS a,
+         |    coalesce(CAST($b AS VARCHAR), chr(0)) AS b,
+         |    CAST(count(*) AS BIGINT) AS o
+         |  FROM (SELECT *, year(o_orderdate) AS o_year FROM orders)
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells
+         |  GROUP BY 1),
+         |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells
+         |  GROUP BY 1),
+         |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+         |    CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+         |tm AS (SELECT
+         |    CAST(floor((o - CAST(rt AS DOUBLE) * ct / n) *
+         |        (o - CAST(rt AS DOUBLE) * ct / n) /
+         |        (CAST(rt AS DOUBLE) * ct / n) * 1.0E6 + 0.5E0)
+         |      AS BIGINT) AS t
+         |  FROM cells JOIN rt USING (a) JOIN ct USING (b), tt),
+         |ag AS (SELECT (SELECT n FROM tt) AS n, (SELECT r FROM tt) AS r,
+         |    (SELECT c FROM tt) AS c, CAST(sum(t) AS BIGINT)
+         |      AS chi2_micro FROM tm)
+         |SELECT '$a' AS col_a, '$b' AS col_b, n, r, c,
+         |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof, chi2_micro,
+         |  CAST(CASE WHEN (r - 1) * (c - 1) > 0
+         |    THEN floor(sqrt((chi2_micro / 1.0E6) /
+         |      (CAST(n AS DOUBLE) * (least(r, c) - 1))) * 1.0E6 + 0.5E0)
+         |    ELSE 0 END AS BIGINT) AS cramers_v_micro
+         |FROM ag)""".stripMargin
+    Seq(("o_orderstatus", "o_orderpriority"),
+      ("o_orderstatus", "o_year"),
+      ("o_orderpriority", "o_year"))
+      .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
+  }
+
   /** Exact per-source median document length (see
     * [[Profile.exactMedian]]): the value-frequency rail — no sort of
     * the data, no percentile_approx error bar. */
@@ -8621,6 +8678,109 @@ object OpsQueries {
       |SELECT g AS "group", t, d, risk AS n_risk, s AS s_ppm
       |FROM rec""".stripMargin
 
+  /** Log-rank test between the two [[qEventsSurvivalKm]] cohorts (see
+    * [[Insight.logRank]]): zero-filled at-risk grid over the duration
+    * vocabulary, hypergeometric terms micro-rounded and BIGINT-summed. */
+  private def qEventsLogrank(s: SparkSession, dir: String): DataFrame = {
+    val u = readEvents(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts").cast("timestamp"))).as("t0"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts").cast("timestamp")))).as("tp"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("tl"))
+      .select((col("user_id") % 2 === 1).as("cohort"),
+        expr("(coalesce(tp, tl) - t0) div 3600000000").as("dur_h"),
+        col("tp").isNotNull.as("converted"))
+    Insight.logRank(u, "cohort", "dur_h", "converted")
+  }
+
+  private val oEventsLogrank =
+    """WITH u AS (SELECT user_id,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+      |    min(CASE WHEN event_type = 'purchase'
+      |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tp,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS tl
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1),
+      |dd AS (SELECT user_id % 2 = 1 AS g,
+      |    CAST((coalesce(tp, tl) - t0) // 3600000000 AS BIGINT) AS t,
+      |    tp IS NOT NULL AS e FROM u),
+      |c AS (SELECT t, g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM dd GROUP BY 1, 2),
+      |grid AS (SELECT tt.t, gg.g, coalesce(c.n, 0) AS n,
+      |    coalesce(c.d, 0) AS d
+      |  FROM (SELECT DISTINCT t FROM c) tt
+      |  CROSS JOIN (SELECT DISTINCT g FROM c) gg
+      |  LEFT JOIN c ON c.t = tt.t AND c.g = gg.g),
+      |rk AS (SELECT t, g, d,
+      |    CAST(sum(n) OVER (PARTITION BY g ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS risk FROM grid),
+      |wide AS (SELECT t, CAST(sum(risk) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN g THEN risk ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(d) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN g THEN d ELSE 0 END) AS BIGINT) AS d1
+      |  FROM rk GROUP BY 1 HAVING sum(d) > 0),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+      |    CAST(sum(d1) AS BIGINT) AS o1,
+      |    CAST(sum(CAST(floor(CAST(d AS DOUBLE) * n1 / n * 1.0E6
+      |      + 0.5E0) AS BIGINT)) AS BIGINT) AS e1_micro,
+      |    CAST(sum(CASE WHEN n > 1 THEN
+      |      CAST(floor(CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d) /
+      |        (CAST(n AS DOUBLE) * n * (n - 1)) * 1.0E6 + 0.5E0)
+      |        AS BIGINT) ELSE 0 END) AS BIGINT) AS v_micro
+      |  FROM wide)
+      |SELECT n_times, o1, e1_micro, v_micro,
+      |  CASE WHEN v_micro > 0 THEN
+      |    CAST(floor((CAST(o1 AS DOUBLE) * 1.0E6 - e1_micro)
+      |      * (CAST(o1 AS DOUBLE) * 1.0E6 - e1_micro) / v_micro
+      |      + 0.5E0) AS BIGINT) END AS chi2_micro
+      |FROM ag""".stripMargin
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 test: arm = even user id,
+    * outcome = converted, strata = user_id % 5 (see [[Insight.cmh]])
+    * — the Simpson's-paradox-proof pooled association read. */
+  private def qEventsCmh(s: SparkSession, dir: String): DataFrame = {
+    val u = readEvents(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("pur"))
+      .select((col("user_id") % 5).as("stratum"),
+        (col("user_id") % 2 === 0).as("arm"),
+        (col("pur") === 1L).as("purchased"))
+    Insight.cmh(u, "stratum", "arm", "purchased")
+  }
+
+  private val oEventsCmh =
+    """WITH u AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |s AS (SELECT user_id % 5 AS st, user_id % 2 = 0 AS x, p = 1 AS y
+      |  FROM u),
+      |cells AS (SELECT st, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM s GROUP BY 1 HAVING count(*) > 1),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |    CAST(sum(a) AS BIGINT) AS a_sum,
+      |    CAST(sum(CAST(floor(CAST(r1 AS DOUBLE) * c1 / n * 1.0E6
+      |      + 0.5E0) AS BIGINT)) AS BIGINT) AS e_micro,
+      |    CAST(sum(CAST(floor(CAST(r1 AS DOUBLE) * (n - r1) * c1
+      |      * (n - c1) / (CAST(n AS DOUBLE) * n * (n - 1)) * 1.0E6
+      |      + 0.5E0) AS BIGINT)) AS BIGINT) AS v_micro
+      |  FROM cells)
+      |SELECT n_strata, a_sum, e_micro, v_micro,
+      |  CASE WHEN v_micro > 0 THEN
+      |    CAST(floor((abs(CAST(a_sum AS DOUBLE) * 1.0E6 - e_micro)
+      |      - 0.5E6) * (abs(CAST(a_sum AS DOUBLE) * 1.0E6 - e_micro)
+      |      - 0.5E6) / v_micro + 0.5E0) AS BIGINT) END
+      |    AS cmh_micro
+      |FROM ag""".stripMargin
+
   /** Deterministic sign-flip randomization test over adjacent-user
     * pairs of total spend (see [[Insight.signFlipTest]]): md5-keyed
     * ±1 matrix, 200 resamples, exact integer p. */
@@ -8832,6 +8992,7 @@ object OpsQueries {
     "events_markov_entropy" -> (qEventsMarkovEntropy _),
     "web_redirects" -> (qWebRedirects _),
     "profile_median" -> (qProfileMedian _),
+    "profile_cramers" -> (qProfileCramers _),
     "dataset_jsd" -> (qDatasetJsd _),
     "chat_audit" -> (qChatAudit _),
     "chat_sft_pairs" -> (qChatSftPairs _),
@@ -8864,6 +9025,8 @@ object OpsQueries {
     "events_brown_forsythe" -> (qEventsBrownForsythe _),
     "events_survival_km" -> (qEventsSurvivalKm _),
     "events_signflip" -> (qEventsSignflip _),
+    "events_logrank" -> (qEventsLogrank _),
+    "events_cmh" -> (qEventsCmh _),
     "events_concurrency" -> (qEventsConcurrency _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_minhash" -> (qDedupMinhash _),
@@ -9096,6 +9259,7 @@ object OpsQueries {
     "events_markov_entropy" -> oEventsMarkovEntropy,
     "web_redirects" -> oWebRedirects,
     "profile_median" -> oProfileMedian,
+    "profile_cramers" -> oProfileCramers,
     "dataset_jsd" -> oDatasetJsd,
     "chat_audit" -> oChatAudit,
     "chat_sft_pairs" -> oChatSftPairs,
@@ -9128,6 +9292,8 @@ object OpsQueries {
     "events_brown_forsythe" -> oEventsBrownForsythe,
     "events_survival_km" -> oEventsSurvivalKm,
     "events_signflip" -> oEventsSignflip,
+    "events_logrank" -> oEventsLogrank,
+    "events_cmh" -> oEventsCmh,
     "events_concurrency" -> oEventsConcurrency,
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_minhash" -> oJaccardPairs(0.5),

@@ -1341,6 +1341,115 @@ object Insight {
         col("__z.__s").as("s_ppm"))
   }
 
+  /** LOG-RANK TEST between two survival cohorts — "are these two
+    * [[kaplanMeier]] curves actually different?" (Mantel 1966), the
+    * standard follow-up the curves alone can't answer:
+    *
+    *   O₁ = Σ d₁ᵢ,  E₁ = Σ dᵢ·n₁ᵢ/nᵢ,
+    *   V  = Σ dᵢ·(n₁ᵢ/nᵢ)·(1 − n₁ᵢ/nᵢ)·(nᵢ − dᵢ)/(nᵢ − 1),
+    *   χ² = (O₁ − E₁)²/V
+    *
+    * Rails: the at-risk tables come from the zero-filled (time ×
+    * cohort) grid over the duration VOCABULARY (bounded-domain
+    * contract — bucket durations) with one reverse cumulative window
+    * per cohort; O₁ and the death counts are exact integers; the E
+    * and V hypergeometric terms are identical-tree IEEE doubles
+    * micro-rounded then BIGINT-summed (the [[chiSquare]] trade — the
+    * pure-rational spelling overflows DECIMAL(38) on the degree-4
+    * products), and χ² is one more identical-tree double over the
+    * summed integers.
+    *
+    * @param groupCol boolean — true rows are cohort 1
+    * @param eventCol boolean — true = event, false = censored
+    * @return one row (n_times, o1, e1_micro, v_micro, chi2_micro) */
+  def logRank(df: DataFrame, groupCol: String, durCol: String,
+              eventCol: String): DataFrame = {
+    val d0 = df
+      .select(col(groupCol).cast("boolean").as("__g"),
+        col(durCol).cast("long").as("__t"),
+        col(eventCol).cast("boolean").as("__e"))
+      .filter(col("__g").isNotNull && col("__t").isNotNull &&
+        col("__e").isNotNull)
+    val cnt = d0.groupBy("__t", "__g")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("__d"))
+      .localCheckpoint(true) // grid zero-fill + vocab both read it
+    val grid = cnt.select("__t").distinct()
+      .crossJoin(cnt.select("__g").distinct())
+      .join(cnt, Seq("__t", "__g"), "left")
+      .select(col("__t"), col("__g"),
+        coalesce(col("__n"), lit(0L)).as("__n"),
+        coalesce(col("__d"), lit(0L)).as("__d"))
+    val w = Window.partitionBy("__g").orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wide = grid.withColumn("__risk", sum("__n").over(w))
+      .groupBy("__t")
+      .agg(sum("__risk").as("n"),
+        sum(when(col("__g"), col("__risk")).otherwise(0L)).as("n1"),
+        sum("__d").as("d"),
+        sum(when(col("__g"), col("__d")).otherwise(0L)).as("d1"))
+      .filter(col("d") > 0)
+    wide
+      .agg(count(lit(1)).as("n_times"), sum("d1").as("o1"),
+        sum(expr("CAST(floor(CAST(d AS DOUBLE) * n1 / n * 1.0E6" +
+          " + 0.5E0) AS BIGINT)")).as("e1_micro"),
+        sum(when(col("n") > 1, expr(
+          "CAST(floor(CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d) /" +
+            " (CAST(n AS DOUBLE) * n * (n - 1)) * 1.0E6 + 0.5E0)" +
+            " AS BIGINT)")).otherwise(0L)).as("v_micro"))
+      .withColumn("chi2_micro", when(col("v_micro") > 0, expr(
+        "CAST(floor((CAST(o1 AS DOUBLE) * 1.0E6 - e1_micro)" +
+          " * (CAST(o1 AS DOUBLE) * 1.0E6 - e1_micro) / v_micro" +
+          " + 0.5E0) AS BIGINT)")))
+      .select("n_times", "o1", "e1_micro", "v_micro", "chi2_micro")
+  }
+
+  /** COCHRAN–MANTEL–HAENSZEL TEST — the stratified 2×2 association
+    * read that survives Simpson's paradox (pool the strata naively
+    * and a confounder can flip the sign; CMH conditions on each
+    * stratum's margins):
+    *
+    *   CMH = (|Σ(aᵢ − r₁ᵢc₁ᵢ/nᵢ)| − ½)² / Σ r₁ᵢr₀ᵢc₁ᵢc₀ᵢ/(nᵢ²(nᵢ−1))
+    *
+    * with a = exposed-positive count, r/c the stratum margins, and
+    * the ½ the standard continuity correction. Counts are exact
+    * integers from ONE aggregate over (stratum, exposed, outcome);
+    * the per-stratum expectation/variance terms are identical-tree
+    * doubles micro-rounded then summed as BIGINTs ([[chiSquare]]'s
+    * trade), χ² one final identical-tree double. Single-row strata
+    * (n = 1) contribute zero variance and are excluded from both
+    * sums, deterministically.
+    *
+    * @param exposedCol boolean arm; @param outcomeCol boolean outcome
+    * @return one row (n_strata, a_sum, e_micro, v_micro, cmh_micro) */
+  def cmh(df: DataFrame, stratumCol: String, exposedCol: String,
+          outcomeCol: String): DataFrame = {
+    val cells = df
+      .select(col(stratumCol).as("__s"),
+        col(exposedCol).cast("boolean").as("__x"),
+        col(outcomeCol).cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__x") && col("__y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__x"), 1L).otherwise(0L)).as("r1"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("c1"))
+      .filter(col("n") > 1)
+    cells
+      .agg(count(lit(1)).as("n_strata"), sum("a").as("a_sum"),
+        sum(expr("CAST(floor(CAST(r1 AS DOUBLE) * c1 / n * 1.0E6" +
+          " + 0.5E0) AS BIGINT)")).as("e_micro"),
+        sum(expr("CAST(floor(CAST(r1 AS DOUBLE) * (n - r1) * c1" +
+          " * (n - c1) / (CAST(n AS DOUBLE) * n * (n - 1)) * 1.0E6" +
+          " + 0.5E0) AS BIGINT)")).as("v_micro"))
+      .withColumn("cmh_micro", when(col("v_micro") > 0, expr(
+        "CAST(floor((abs(CAST(a_sum AS DOUBLE) * 1.0E6 - e_micro)" +
+          " - 0.5E6) * (abs(CAST(a_sum AS DOUBLE) * 1.0E6 - e_micro)" +
+          " - 0.5E6) / v_micro + 0.5E0) AS BIGINT)")))
+      .select("n_strata", "a_sum", "e_micro", "v_micro", "cmh_micro")
+  }
+
   /** SIGN-FLIP (paired randomization) TEST — the permutation test
     * that needs NO distributional assumption and no variance formula:
     * under H₀ each pair's difference is sign-symmetric, so the null

@@ -67,6 +67,41 @@ class StatSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 1L, 5L, 800000L), (3L, 2L, 3L, 266666L)))
   }
 
+  test("logRank: separated cohorts hand chi2; identical cohorts chi2 = 0") {
+    val sep = Seq((true, 1L, true), (true, 1L, true), (true, 1L, true),
+      (false, 5L, true), (false, 5L, true), (false, 5L, true))
+      .toDF("g", "dur", "ev")
+    val r = Insight.logRank(sep, "g", "dur", "ev").collect().head
+    assert(r.getAs[Long]("o1") == 3L)
+    assert(r.getAs[Long]("e1_micro") == 1500000L) // 3*3/6 at t=1 only
+    assert(r.getAs[Long]("v_micro") == 450000L)   // 81/180
+    assert(r.getAs[Long]("chi2_micro") == 5000000L) // 1.5^2/0.45 = 5
+    val same = Seq((true, 1L, true), (true, 2L, true),
+      (false, 1L, true), (false, 2L, true)).toDF("g", "dur", "ev")
+    val r2 = Insight.logRank(same, "g", "dur", "ev").collect().head
+    assert(r2.getAs[Long]("chi2_micro") == 0L) // O1 = E1 exactly
+  }
+
+  test("cmh: single-stratum 2x2 with continuity correction, hand value") {
+    val rows = Seq(
+      ("a", true, true), ("a", true, true), ("a", true, true),
+      ("a", true, false), ("a", false, true), ("a", false, false),
+      ("a", false, false), ("a", false, false)).toDF("st", "x", "y")
+    val r = Insight.cmh(rows, "st", "x", "y").collect().head
+    assert(r.getAs[Long]("n_strata") == 1L)
+    assert(r.getAs[Long]("a_sum") == 3L)
+    assert(r.getAs[Long]("e_micro") == 2000000L)  // 4*4/8
+    assert(r.getAs[Long]("v_micro") == 571429L)   // 4/7 rounded
+    // ((|3-2| - .5)^2) / (4/7) = 0.4375 -> 437500 micro
+    assert(r.getAs[Long]("cmh_micro") == 437500L)
+    // single-row strata are excluded: adding one leaves the result alone
+    val withSingleton = rows.unionAll(
+      Seq(("z", true, true)).toDF("st", "x", "y"))
+    val r2 = Insight.cmh(withSingleton, "st", "x", "y").collect().head
+    assert(r2.getAs[Long]("n_strata") == 1L &&
+      r2.getAs[Long]("cmh_micro") == 437500L)
+  }
+
   test("signFlipTest: deterministic across runs; degenerate all-zero p = 1") {
     val d = (1 to 40).map(i => (i.toLong, (if (i % 3 == 0) 5L else -2L)))
       .toDF("pair", "diff")
