@@ -1198,13 +1198,34 @@ object Insight {
     * F; η² reports 0 when SSB truncates to ≤ 0.
     *
     * @return one row (n, k, grand_mean_micro, eta2_ppm, f_micro) */
-  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
-    val per = df
-      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
-      .filter(col("__g").isNotNull && col("__v").isNotNull)
-      .groupBy("__g")
-      .agg(count(lit(1)).as("__n"), sum("__v").as("__s"),
-        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).as("__q"))
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame =
+    anovaFromMoments(groupMoments(df, valueCol, groupCol))
+
+  /** Per-group EXACT integer moments (n, Σv, Σv² on DECIMAL(38,0)) —
+    * the add-mergeable partial behind [[anovaF]]/[[welchT]]-class
+    * reads: moments from disjoint slices (shards, stream windows,
+    * backfill drops) SUM to the full-data moments, so any downstream
+    * test can run incrementally without rescanning raw rows — the
+    * same train-once/merge-many contract as the HLL/theta sketch
+    * partials, but exact. One map-combinable aggregate.
+    *
+    * @return (group, n, s, q) */
+  def groupMoments(df: DataFrame, valueCol: String,
+                   groupCol: String): DataFrame =
+    df.select(col(groupCol).as("group"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("group").isNotNull && col("__v").isNotNull)
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"), sum("__v").as("s"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).as("q"))
+
+  /** The [[anovaF]] read-out over a [[groupMoments]]-shaped table
+    * (one row per group; merge shard/window partials by summing
+    * n/s/q per group first). Same output contract as [[anovaF]]. */
+  def anovaFromMoments(moments: DataFrame): DataFrame = {
+    val per = moments.select(col("group").as("__g"), col("n").as("__n"),
+      col("s").cast("long").as("__s"),
+      col("q").cast("decimal(38,0)").as("__q"))
     per.agg(
         sum("__n").as("n"), count(lit(1)).as("k"),
         sum(expr("CAST(__s AS DECIMAL(38,0))")).as("__st"),

@@ -196,6 +196,31 @@ object StreamingOps {
       .drop("w")
   }
 
+  /** Streaming EXACT-MOMENT partials — the live leg of
+    * [[graft.ops.Insight.groupMoments]]: each watermarked (window ×
+    * group) slice emits its exact integer moments (n, Σv, Σv² on
+    * DECIMAL(38,0)), which ADD-merge across windows and with batch
+    * backfill partials — so the k-arm tests
+    * ([[graft.ops.Insight.anovaFromMoments]], Welch, Cohen's d) run
+    * over a live stream without ever rescanning raw events, and the
+    * merged read is BIT-EQUAL to the batch test on the union of the
+    * slices (integer addition is associative — no sketch error bar,
+    * unlike the HLL/KLL legs). State per open (window × group) is one
+    * 3-number row, dropped at window close. */
+  def momentsStream(events: DataFrame, groupCol: String, valueCol: String,
+                    tsCol: String = "ts", window_ : String = "1 day",
+                    lateness: String = "15 minutes"): DataFrame =
+    events
+      .select(col(tsCol), col(groupCol).as("group"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("group").isNotNull && col("__v").isNotNull)
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_).as("w"), col("group"))
+      .agg(count(lit(1)).as("n"), sum("__v").as("s"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).as("q"))
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+
   /** Streaming windowed top-k — the live leg of
     * [[graft.ops.Rank.topNPerGroup]]: per watermarked (window × keys)
     * group, the k highest-`scoreCol` rows (ties broken by ascending

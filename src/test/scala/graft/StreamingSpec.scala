@@ -1132,6 +1132,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("momentsStream: merged window partials give a bit-equal ANOVA to batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "arm", "v")
+    val q = StreamingOps.momentsStream(df, "arm", "v",
+        tsCol = "ts", window_ = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("momst")
+      .outputMode("append").start()
+    val batch1 = Seq((ts(1), "a", 3L), (ts(2), "a", 7L), (ts(3), "b", 11L))
+    val batch2 = Seq((Timestamp.valueOf("2026-01-01 11:10:00"), "b", 2L),
+      (Timestamp.valueOf("2026-01-01 11:20:00"), "a", 5L))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      // advance the watermark to close both windows
+      input.addData((Timestamp.valueOf("2026-01-01 14:00:00"), "a", 1L))
+      q.processAllAvailable()
+      // merge the emitted per-window partials per arm, then read ANOVA
+      val merged = spark.table("momst")
+        .groupBy("group")
+        .agg(sum("n").as("n"), sum("s").as("s"), sum("q").as("q"))
+      val viaStream = graft.ops.Insight.anovaFromMoments(merged)
+        .collect().head
+      val viaBatch = graft.ops.Insight.anovaF(
+        (batch1 ++ batch2).toDF("ts", "arm", "v"), "v", "arm")
+        .collect().head
+      assert(viaStream == viaBatch) // exact integers: bit-equal merge
+      // eviction: only the still-open 14:00 window holds state
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L)
+    } finally q.stop()
+  }
+
   test("batch sessionizer agrees with the session definition") {
     val events = Seq(
       (7L, ts(1), 1.0), (7L, Timestamp.valueOf("2026-01-01 10:01:30"), 2.0),
