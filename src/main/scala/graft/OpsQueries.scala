@@ -7750,6 +7750,43 @@ object OpsQueries {
       .stripMargin
   }
 
+  /** Deterministic random-walk corpus over the mod-4 co-purchase
+    * subgraph (see [[Graph.walkCorpus]]): 3 md5-driven steps per
+    * node, the node2vec/DeepWalk prep — identical walks on every
+    * engine, replayed hop-by-hop in a recursive CTE. */
+  private def qGraphWalks(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    Graph.walkCorpus(
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"),
+      steps = 3, walksPerNode = 1)
+  }
+
+  private val oGraphWalks = {
+    val nxt = "a.ns[CAST(('0x' || substr(md5(CAST(w.start AS VARCHAR)" +
+      " || '_' || CAST(w.wid AS VARCHAR) || '_' ||" +
+      " CAST(w.s + 1 AS VARCHAR) || '_' || CAST(w.cur AS VARCHAR))," +
+      " 1, 8))::BIGINT % len(a.ns) + 1 AS BIGINT)]"
+    s"""WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS g,
+       |    l_partkey AS item FROM lineitem WHERE l_partkey % 4 = 0),
+       |e AS (SELECT DISTINCT a.item AS u, b.item AS v FROM items a
+       |  JOIN items b ON a.g = b.g AND a.item < b.item),
+       |adj0 AS (SELECT u AS id, v AS nbr FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |adj AS (SELECT id, list(nbr ORDER BY nbr) AS ns FROM adj0
+       |  GROUP BY 1),
+       |walk AS (
+       |  SELECT id AS start, CAST(1 AS BIGINT) AS wid, id AS cur,
+       |    CAST(id AS VARCHAR) AS path, 0 AS s FROM adj
+       |  UNION ALL
+       |  SELECT w.start, w.wid, $nxt AS cur,
+       |    w.path || ' ' || CAST($nxt AS VARCHAR) AS path, w.s + 1
+       |  FROM walk w JOIN adj a ON a.id = w.cur WHERE w.s < 3)
+       |SELECT start, wid AS walk_id, path FROM walk
+       |WHERE s = 3""".stripMargin
+  }
+
   /** Common-neighbor link prediction on the mod-4 co-purchase subgraph
     * (the wedge volume of the full graph is the honest Σ C(d,2) cost —
     * the subgraph keeps the bench query inside one shuffle budget while
@@ -8931,6 +8968,7 @@ object OpsQueries {
     "graph_communities" -> (qGraphCommunities _),
     "graph_modularity" -> (qGraphModularity _),
     "graph_ktruss" -> (qGraphKtruss _),
+    "graph_walks" -> (qGraphWalks _),
     "graph_pagerank_weighted" -> (qGraphPagerankWeighted _),
     "graph_linkpred" -> (qGraphLinkpred _),
     "sample_epoch_order" -> (qSampleEpochOrder _),
@@ -9198,6 +9236,7 @@ object OpsQueries {
     "graph_communities" -> oGraphCommunities,
     "graph_modularity" -> oGraphModularity,
     "graph_ktruss" -> oGraphKtruss,
+    "graph_walks" -> oGraphWalks,
     "graph_pagerank_weighted" -> oGraphPagerankWeighted,
     "graph_linkpred" -> oGraphLinkpred,
     "sample_epoch_order" -> oSampleEpochOrder,

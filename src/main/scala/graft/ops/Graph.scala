@@ -936,6 +936,64 @@ object Graph {
       .agg(count(lit(1)).as("n_pivots"),
         sum(expr("1000000 div dist")).as("harmonic_micro"))
 
+  /** RANDOM-WALK CORPUS over an undirected graph — the DeepWalk /
+    * node2vec PREP step (Perozzi 2014): emit per-node walk sequences
+    * that a skip-gram trainer ([[graft.ops.Phrases.skipgramCounts]],
+    * `train_negative_table`) then consumes like sentences. The walks
+    * are DETERMINISTIC: step s from node cur draws neighbor index
+    * md5(start, walk, s, cur) % deg(cur) — the repo's reproducible-
+    * randomization rail ([[graft.ops.Insight.signFlipTest]]'s bits),
+    * so the corpus is identical on any engine, any partitioning, any
+    * rerun; conditioning on (start, walk, s) as well as cur keeps
+    * revisits from looping deterministically.
+    *
+    * Shape: one adjacency aggregate (sorted neighbor arrays — sorting
+    * fixes the index→neighbor map cross-engine), then `steps` co-keyed
+    * joins of the walk frontier against the adjacency table (broadcast
+    * below the vertex cap). Hub rows carry their neighbor array
+    * through the join — the honest cost of array-indexed stepping; at
+    * crawl scale cap hub degree upstream (the [[commonNeighbors]]
+    * maxCenterDeg precedent). Isolated vertices never seed (no
+    * neighbors to step to — they are absent from the edge list).
+    *
+    * @return (start, walk_id, path) — path = space-joined node ids,
+    *         steps+1 entries */
+  def walkCorpus(edges: DataFrame, steps: Int = 3, walksPerNode: Int = 1,
+                 broadcastVertexCap: Long = 4L << 20): DataFrame = {
+    require(steps >= 1, "walkCorpus needs steps >= 1")
+    require(walksPerNode >= 1, "walkCorpus needs walksPerNode >= 1")
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = canon.select(col("u").as("id"), col("v").as("nbr"))
+      .unionAll(canon.select(col("v").as("id"), col("u").as("nbr")))
+      .groupBy("id").agg(sort_array(collect_list("nbr")).as("ns"))
+      .localCheckpoint(true) // seeds + one probe per step
+    val nV = adj.count()
+    def maybeB(df: DataFrame): DataFrame =
+      if (nV <= broadcastVertexCap) broadcast(df) else df
+    var state = adj
+      .select(col("id").as("start"),
+        explode(expr(s"sequence(1, $walksPerNode)")).as("__w"))
+      .select(col("start"), col("__w").cast("long").as("walk_id"))
+      .withColumn("cur", col("start"))
+      .withColumn("__path", array(col("start")))
+    for (s <- 1 to steps) {
+      state = state
+        .join(maybeB(adj.withColumnRenamed("id", "cur")), Seq("cur"))
+        .withColumn("__nxt", expr("element_at(ns, CAST(" +
+          s"CAST(conv(substring(md5(concat(start, '_', walk_id, '_', " +
+          s"$s, '_', cur)), 1, 8), 16, 10) AS BIGINT) % size(ns) + 1" +
+          " AS INT))"))
+        .select(col("start"), col("walk_id"), col("__nxt").as("cur"),
+          concat(col("__path"), array(col("__nxt"))).as("__path"))
+    }
+    state.select(col("start"), col("walk_id"),
+      array_join(col("__path").cast("array<string>"), " ").as("path"))
+  }
+
   /** K-TRUSS peel — the triangle-reinforced community core (Cohen
     * 2008): keep only edges supported by ≥ k−2 triangles, where the
     * support is re-counted in the SURVIVING subgraph each round — the

@@ -132,6 +132,28 @@ class StatSpec extends SparkSpec {
     assert(out.values.forall(_ == 2L)) // each K4 edge closes 2 triangles
   }
 
+  test("walkCorpus: every hop follows an edge; walks are deterministic") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val adj = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val out = Graph.walkCorpus(edges, steps = 3, walksPerNode = 2)
+      .collect().map(r => (r.getAs[Long]("start"),
+        r.getAs[Long]("walk_id"), r.getAs[String]("path")))
+    assert(out.length == 8) // 4 nodes x 2 walks
+    out.foreach { case (start, _, path) =>
+      val hops = path.split(" ").map(_.toLong).toSeq
+      assert(hops.length == 4 && hops.head == start)
+      hops.sliding(2).foreach { p =>
+        assert(adj.contains((p(0), p(1))), s"non-edge hop in $path")
+      }
+    }
+    val again = Graph.walkCorpus(edges, steps = 3, walksPerNode = 2)
+      .collect().map(r => (r.getAs[Long]("start"),
+        r.getAs[Long]("walk_id"), r.getAs[String]("path")))
+    assert(out.toSet == again.toSet) // md5 steps, not RNG
+  }
+
   test("modularity: two disjoint triangles labeled by component give Q = 1/2") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
