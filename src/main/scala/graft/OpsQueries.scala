@@ -329,6 +329,94 @@ object OpsQueries {
        |FROM r, qh WHERE NOT r.cal
        |GROUP BY qh.n_cal, qh.k_rank, qh.qhat""".stripMargin
 
+  /** Inverted-index postings head: for the 100 highest-df tokens,
+    * document frequency, collection frequency and the top-5 posting
+    * docs by in-doc count (composing [[Rank.topNPerGroup]] — window
+    * state is one token's postings; swap in the bounded
+    * TopKAggregator for web-scale hot tokens). The retrieval-index
+    * build read: which terms dominate and where. */
+  private def qTextPostings(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // df/cf aggregate + top-5 window share it
+    val top = Rank.topNPerGroup(c, Seq(col("tok")),
+        Seq(col("c").desc, col("doc_id")), 5)
+      .groupBy("tok")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "named_struct('r', rank, 'd', doc_id))), " +
+        "x -> CAST(x.d AS STRING)), ',')").as("top_docs"))
+    c.groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum("c").as("cf"))
+      .join(top, Seq("tok"))
+      .orderBy(col("df").desc, col("tok")).limit(100)
+  }
+
+  private val oTextPostings =
+    s"""WITH t0 AS (SELECT doc_id, unnest($oToks) AS tok FROM documents),
+       |c AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM t0 GROUP BY 1, 2),
+       |r AS (SELECT tok, doc_id, c, row_number() OVER (PARTITION BY tok
+       |    ORDER BY c DESC, doc_id) AS rn FROM c),
+       |g AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(c) AS BIGINT) AS cf FROM c GROUP BY 1),
+       |tp AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ','
+       |    ORDER BY rn) AS top_docs FROM r WHERE rn <= 5 GROUP BY 1)
+       |SELECT g.tok, g.df, g.cf, tp.top_docs
+       |FROM g JOIN tp USING (tok)
+       |ORDER BY df DESC, tok LIMIT 100""".stripMargin
+
+  /** Zipf-slope read over the token frequency table: OLS of
+    * floor(log₂ freq) on floor(log₂ rank) — both exponents EXACT
+    * integers via binary-string length (no libm log anywhere, the
+    * engine-portable spelling; a natural-text corpus reads slope_ppm
+    * ≈ −10⁶). Ranks off [[Rank.globalRank]]'s range exchange,
+    * regression via [[Insight.olsByKey]]'s exact rational rail. */
+  private def qCorpusZipf(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    Insight.olsByKey(
+      Rank.globalRank(freq, Seq(col("cnt").desc, col("tok")),
+          outCol = "rank")
+        .select(lit("zipf").as("k"),
+          (length(expr("bin(rank)")) - 1).cast("long").as("lg_rank"),
+          (length(expr("bin(cnt)")) - 1).cast("long").as("lg_freq")),
+      "k", "lg_rank", "lg_freq")
+  }
+
+  private val oCorpusZipf =
+    s"""WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM
+       |  (SELECT unnest($oToks) AS tok FROM documents) GROUP BY 1),
+       |r AS (SELECT cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM f),
+       |d AS (SELECT 'zipf' AS key,
+       |    CAST(length(format('{:b}', rank)) - 1 AS BIGINT) AS x,
+       |    CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS y FROM r),
+       |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM d GROUP BY 1),
+       |b AS (SELECT key, n, sx, sy,
+       |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |    n * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+       |    n * syy - CAST(sy AS HUGEINT) * sy AS dy
+       |  FROM a)
+       |SELECT key, n,
+       |  CASE WHEN dx > 0 THEN CAST(num * 1000000 // dx AS BIGINT) END
+       |    AS slope_ppm,
+       |  CASE WHEN dx > 0 THEN CAST((CAST(sy AS HUGEINT) * dx - num * sx)
+       |    * 1000000 // (CAST(n AS HUGEINT) * dx) AS BIGINT) END
+       |    AS intercept_micro,
+       |  CASE WHEN dx > 0 AND dy > 0 THEN CAST(floor(
+       |    CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+       |    (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) * 1.0E6 + 0.5E0)
+       |    AS BIGINT) END AS r2_ppm
+       |FROM b""".stripMargin
+
   /** Heaps'-law vocabulary growth curve over documents in doc_id
     * order (see [[Report.vocabGrowth]]): V(n) and T(n) at 10
     * checkpoints off the range-exchange rank rail — exact, no prefix
@@ -8930,6 +9018,8 @@ object OpsQueries {
     "dataset_kanonymity" -> (qDatasetKanonymity _),
     "corpus_report" -> (qCorpusReport _),
     "corpus_vocab_growth" -> (qCorpusVocabGrowth _),
+    "corpus_zipf" -> (qCorpusZipf _),
+    "text_postings" -> (qTextPostings _),
     "export_jsonl" -> (qExportJsonl _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
     "dedup_exact_best" -> (qDedupExactBest _),
@@ -9198,6 +9288,8 @@ object OpsQueries {
     "dataset_kanonymity" -> oDatasetKanonymity,
     "corpus_report" -> oCorpusReport,
     "corpus_vocab_growth" -> oCorpusVocabGrowth,
+    "corpus_zipf" -> oCorpusZipf,
+    "text_postings" -> oTextPostings,
     "export_jsonl" -> oExportJsonl,
     "text_ngram_diversity" -> oTextNgramDiversity,
     "dedup_exact_best" -> oDedupExactBest,
