@@ -447,6 +447,80 @@ object OpsQueries {
        |  CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab, tk.tokens
        |FROM tk LEFT JOIN v USING (point, n_docs)""".stripMargin
 
+  /** McNemar's paired test between the quality-score classifier and a
+    * crude length gate on the is-English label (see
+    * [[Classify.mcnemar]]): only discordant pairs carry information;
+    * fully exact integers. */
+  private def qQualityMcnemar(s: SparkSession, dir: String): DataFrame =
+    Classify.mcnemar(
+      t(s, dir, "documents").select(
+        (TextFunctions.qualityScore(col("text")) >= 0.5).as("pred_a"),
+        (col("text").isNotNull &&
+          length(col("text")).between(200, 8000)).as("pred_b"),
+        (col("lang") === "en").as("is_en")),
+      "pred_a", "pred_b", "is_en")
+
+  private val oQualityMcnemar =
+    s"""WITH d AS (SELECT ($oQualityExpr) >= 0.5 AS a,
+       |    text IS NOT NULL AND length(text) BETWEEN 200 AND 8000 AS b,
+       |    lang = 'en' AS y FROM documents)
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_b,
+       |  CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_c,
+       |  CASE WHEN sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+       |      + sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END) > 0
+       |    THEN CAST((abs(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0
+       |      END) - sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END))
+       |      - 1) * (abs(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0
+       |      END) - sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END))
+       |      - 1) * 1000000 // (sum(CASE WHEN a = y AND b <> y THEN 1
+       |      ELSE 0 END) + sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0
+       |      END)) AS BIGINT) END AS chi2_micro
+       |FROM d""".stripMargin
+
+  /** Holt linear-trend smoothing of the hourly per-type value series
+    * (see [[Insight.holt]]): exact integer ppm recurrence replayed
+    * one step at a time by the oracle's recursive CTE. */
+  private def qEventsHolt(s: SparkSession, dir: String): DataFrame = {
+    val hourly = readEvents(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+          .as("hr"))
+      .agg(sum(expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+        .as("xv"))
+    Insight.holt(hourly, "event_type", "hr", "xv",
+      alphaPpm = 300000L, betaPpm = 100000L)
+  }
+
+  private val oEventsHolt =
+    """WITH RECURSIVE h AS (SELECT event_type AS key,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+      |    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |g AS (SELECT key, t, x,
+      |    row_number() OVER (PARTITION BY key ORDER BY t) AS rn FROM h),
+      |nn AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM g
+      |  GROUP BY 1),
+      |rec AS (
+      |  SELECT key, rn, CAST(x AS BIGINT) AS l, CAST(0 AS BIGINT) AS tr
+      |  FROM g WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.key, g.rn,
+      |    CAST((300000 * g.x + 700000 * (r.l + r.tr)) // 1000000
+      |      AS BIGINT),
+      |    CAST((100000 * ((300000 * g.x + 700000 * (r.l + r.tr))
+      |      // 1000000 - r.l) + 900000 * r.tr) // 1000000 AS BIGINT)
+      |  FROM g JOIN rec r ON g.key = r.key AND g.rn = r.rn + 1)
+      |SELECT rec.key, nn.n AS n_points, rec.l AS level_micro,
+      |  rec.tr AS trend_micro, rec.l + rec.tr AS forecast_micro
+      |FROM rec JOIN nn ON nn.key = rec.key AND rec.rn = nn.n"""
+      .stripMargin
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.langId(col("text")).getField("lang").as("lang_pred"),
@@ -9073,6 +9147,7 @@ object OpsQueries {
     "quality_auc" -> (qQualityAuc _),
     "quality_calibration" -> (qQualityCalibration _),
     "quality_brier" -> (qQualityBrier _),
+    "quality_mcnemar" -> (qQualityMcnemar _),
     "quality_conformal" -> (qQualityConformal _),
     "quality_classifier_reload" -> (qQualityClassifierReload _),
     "quality_expect" -> (qQualityExpect _),
@@ -9152,6 +9227,7 @@ object OpsQueries {
     "events_kruskal" -> (qEventsKruskal _),
     "events_brown_forsythe" -> (qEventsBrownForsythe _),
     "events_survival_km" -> (qEventsSurvivalKm _),
+    "events_holt" -> (qEventsHolt _),
     "events_signflip" -> (qEventsSignflip _),
     "events_logrank" -> (qEventsLogrank _),
     "events_cmh" -> (qEventsCmh _),
@@ -9343,6 +9419,7 @@ object OpsQueries {
     "quality_auc" -> oQualityAuc,
     "quality_calibration" -> oQualityCalibration,
     "quality_brier" -> oQualityBrier,
+    "quality_mcnemar" -> oQualityMcnemar,
     "quality_conformal" -> oQualityConformal,
     "quality_classifier_reload" -> oQualityClassifierReload,
     "quality_expect" -> oQualityExpect,
@@ -9422,6 +9499,7 @@ object OpsQueries {
     "events_kruskal" -> oEventsKruskal,
     "events_brown_forsythe" -> oEventsBrownForsythe,
     "events_survival_km" -> oEventsSurvivalKm,
+    "events_holt" -> oEventsHolt,
     "events_signflip" -> oEventsSignflip,
     "events_logrank" -> oEventsLogrank,
     "events_cmh" -> oEventsCmh,

@@ -643,6 +643,37 @@ object Classify {
           expr("covered * 1000000 div n_test")).as("coverage_ppm"))
   }
 
+  /** McNEMAR'S TEST between two classifiers scored on the SAME rows —
+    * the paired comparison that a naive "accuracy A vs accuracy B"
+    * read gets wrong (shared errors cancel; only the DISCORDANT pairs
+    * carry information):
+    *
+    *   b = A right, B wrong;  c = A wrong, B right
+    *   χ² = (|b − c| − 1)² / (b + c)   (continuity-corrected)
+    *
+    * FULLY exact integer — counts from one map-combinable aggregate
+    * and one ppm division, no doubles at all (the rare test where the
+    * statistic is a pure rational of counts). b + c = 0 (classifiers
+    * never disagree) reports null χ².
+    *
+    * @return one row (n, n_b, n_c, chi2_micro) */
+  def mcnemar(df: DataFrame, predACol: String, predBCol: String,
+              labelCol: String): DataFrame =
+    df.select(col(predACol).cast("boolean").as("__a"),
+        col(predBCol).cast("boolean").as("__b"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") === col("__y") && col("__b") =!= col("__y"),
+          1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__a") =!= col("__y") && col("__b") === col("__y"),
+          1L).otherwise(0L)).as("n_c"))
+      .withColumn("chi2_micro", when(expr("n_b + n_c > 0"), expr(
+        "(abs(n_b - n_c) - 1) * (abs(n_b - n_c) - 1) * 1000000" +
+          " div (n_b + n_c)")))
+      .select("n", "n_b", "n_c", "chi2_micro")
+
   /** Per-row quality score in [0, 1] under a trained model — sigmoid of
     * the same index-ordered dense dot product training used, over the
     * ~8 KB broadcast weights. Null text scores sigmoid(bias). */

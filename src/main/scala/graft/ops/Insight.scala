@@ -1471,6 +1471,51 @@ object Insight {
       .select("n_strata", "a_sum", "e_micro", "v_micro", "cmh_micro")
   }
 
+  /** HOLT LINEAR-TREND smoothing per key — double exponential
+    * smoothing over an integer time series, the 1-step-ahead
+    * level+trend forecast the ops dashboards want where a bare EWMA
+    * ([[graft.ops.Resample]] decay) lags every ramp:
+    *
+    *   l_i = (α·x_i + (10⁶−α)·(l_{i−1} + t_{i−1})) div 10⁶
+    *   t_i = (β·(l_i − l_{i−1}) + (10⁶−β)·t_{i−1}) div 10⁶
+    *
+    * EXACT integer ppm recurrence (α, β in ppm; init l₀ = x₀, t₀ = 0)
+    * — the truncating fold is deterministic on every engine like
+    * [[kaplanMeier]]'s, replayed one step at a time by the oracle's
+    * recursive CTE; negative trends truncate toward zero identically
+    * (`div` ≡ `//`, both verified). Fold runs over the per-key sorted
+    * bucket grid (bounded-domain contract — bucket timestamps before
+    * calling); |α·x| must stay under 2⁶³, i.e. |x| ≲ 9·10¹² micro.
+    *
+    * @return (key, n_points, level_micro, trend_micro,
+    *         forecast_micro) — forecast = level + trend */
+  def holt(df: DataFrame, keyCol: String, bucketCol: String,
+           valueCol: String, alphaPpm: Long = 300000L,
+           betaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000, "alphaPpm in [0, 1e6]")
+    require(betaPpm >= 0 && betaPpm <= 1000000, "betaPpm in [0, 1e6]")
+    val a = alphaPpm; val b = betaPpm
+    df.select(col(keyCol).as("key"), col(bucketCol).cast("long").as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .filter(col("key").isNotNull && col("__t").isNotNull &&
+        col("__x").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_points"),
+        array_sort(collect_list(struct(col("__t"), col("__x"))))
+          .as("__a"))
+      .withColumn("__st", expr(
+        "aggregate(slice(__a, 2, size(__a) - 1), " +
+          "named_struct('l', __a[0].__x, 'tr', 0L), (acc, e) -> " +
+          s"named_struct('l', ($a * e.__x + ${1000000 - a} * " +
+          "(acc.l + acc.tr)) div 1000000, 'tr', " +
+          s"($b * (($a * e.__x + ${1000000 - a} * (acc.l + acc.tr))" +
+          s" div 1000000 - acc.l) + ${1000000 - b} * acc.tr)" +
+          " div 1000000))"))
+      .select(col("key"), col("n_points"),
+        col("__st.l").as("level_micro"), col("__st.tr").as("trend_micro"),
+        (col("__st.l") + col("__st.tr")).as("forecast_micro"))
+  }
+
   /** SIGN-FLIP (paired randomization) TEST — the permutation test
     * that needs NO distributional assumption and no variance formula:
     * under H₀ each pair's difference is sign-symmetric, so the null

@@ -132,6 +132,34 @@ class StatSpec extends SparkSpec {
     assert(out.values.forall(_ == 2L)) // each K4 edge closes 2 triangles
   }
 
+  test("mcnemar: hand-counted discordant pairs; agreement gives null chi2") {
+    // 3 rows where A right / B wrong, 1 the reverse, 6 concordant
+    val d = (Seq.fill(3)((true, false, true)) ++ Seq((false, true, true)) ++
+      Seq.fill(6)((true, true, true))).toDF("a", "b", "y")
+    val r = Classify.mcnemar(d, "a", "b", "y").collect().head
+    assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("n_b") == 3 &&
+      r.getAs[Long]("n_c") == 1)
+    assert(r.getAs[Long]("chi2_micro") == 250000L) // (|2|-1)^2/4
+    val agree = Seq((true, true, true), (false, false, true)).toDF("a", "b", "y")
+    val r2 = Classify.mcnemar(agree, "a", "b", "y").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("chi2_micro")))
+  }
+
+  test("holt: constant series is a fixed point; hand ramp step") {
+    val flat = Seq(("k", 1L, 10000000L), ("k", 2L, 10000000L),
+      ("k", 3L, 10000000L)).toDF("key", "t", "x")
+    val r = Insight.holt(flat, "key", "t", "x").collect().head
+    assert(r.getAs[Long]("level_micro") == 10000000L)
+    assert(r.getAs[Long]("trend_micro") == 0L)
+    assert(r.getAs[Long]("forecast_micro") == 10000000L)
+    val ramp = Seq(("k", 1L, 0L), ("k", 2L, 1000000L)).toDF("key", "t", "x")
+    val r2 = Insight.holt(ramp, "key", "t", "x").collect().head
+    // l1 = 0.3e6, tr1 = 0.1*0.3e6 = 30000, forecast 330000
+    assert(r2.getAs[Long]("level_micro") == 300000L)
+    assert(r2.getAs[Long]("trend_micro") == 30000L)
+    assert(r2.getAs[Long]("forecast_micro") == 330000L)
+  }
+
   test("walkCorpus: every hop follows an edge; walks are deterministic") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
       .toDF("src", "dst")
