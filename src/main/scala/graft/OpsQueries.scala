@@ -480,6 +480,43 @@ object OpsQueries {
        |      END)) AS BIGINT) END AS chi2_micro
        |FROM d""".stripMargin
 
+  /** Exact ROC points of the quality score vs is-English (see
+    * [[Classify.rocPoints]]): one row per distinct (dyadic) score,
+    * ppm TPR/FPR/Youden off the counts-first rail. */
+  private def qQualityRoc(s: SparkSession, dir: String): DataFrame =
+    Classify.rocPoints(
+      t(s, dir, "documents").select(
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en")
+
+  private val oQualityRoc =
+    s"""WITH sc AS (SELECT
+       |    CAST(floor(($oQualityExpr) * 1000000 + 0.5) AS BIGINT) AS s,
+       |    lang = 'en' AS y FROM documents),
+       |g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+       |  FROM sc GROUP BY 1),
+       |c AS (SELECT s,
+       |    CAST(sum(p) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(n - p) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(p) OVER () AS BIGINT) AS pos,
+       |    CAST(sum(n - p) OVER () AS BIGINT) AS neg
+       |  FROM g)
+       |SELECT s AS threshold_micro, tp, fp,
+       |  CASE WHEN pos > 0 THEN CAST(tp * 1000000 // pos AS BIGINT) END
+       |    AS tpr_ppm,
+       |  CASE WHEN neg > 0 THEN CAST(fp * 1000000 // neg AS BIGINT) END
+       |    AS fpr_ppm,
+       |  CASE WHEN pos > 0 AND neg > 0 THEN
+       |    CAST(tp * 1000000 // pos - fp * 1000000 // neg AS BIGINT) END
+       |    AS youden_ppm
+       |FROM c""".stripMargin
+
   /** Holt linear-trend smoothing of the hourly per-type value series
     * (see [[Insight.holt]]): exact integer ppm recurrence replayed
     * one step at a time by the oracle's recursive CTE. */
@@ -9148,6 +9185,7 @@ object OpsQueries {
     "quality_calibration" -> (qQualityCalibration _),
     "quality_brier" -> (qQualityBrier _),
     "quality_mcnemar" -> (qQualityMcnemar _),
+    "quality_roc" -> (qQualityRoc _),
     "quality_conformal" -> (qQualityConformal _),
     "quality_classifier_reload" -> (qQualityClassifierReload _),
     "quality_expect" -> (qQualityExpect _),
@@ -9420,6 +9458,7 @@ object OpsQueries {
     "quality_calibration" -> oQualityCalibration,
     "quality_brier" -> oQualityBrier,
     "quality_mcnemar" -> oQualityMcnemar,
+    "quality_roc" -> oQualityRoc,
     "quality_conformal" -> oQualityConformal,
     "quality_classifier_reload" -> oQualityClassifierReload,
     "quality_expect" -> oQualityExpect,

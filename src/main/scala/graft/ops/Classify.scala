@@ -643,6 +643,47 @@ object Classify {
           expr("covered * 1000000 div n_test")).as("coverage_ppm"))
   }
 
+  /** EXACT ROC CURVE POINTS — one (threshold, TPR, FPR) row per
+    * distinct score value under the "predict positive when score ≥ t"
+    * convention: the curve [[aucExact]] integrates, materialized for
+    * threshold picking (Youden J = TPR − FPR maximizes at the optimal
+    * cut — read it straight off the ppm columns). Counts-first rail:
+    * per-distinct-score (n, pos) aggregate, cumulative TP/FP from one
+    * window over the score VOCABULARY descending (bounded-domain
+    * contract — scores are binned/dyadic here; pre-bucket a continuous
+    * scorer), ratios exact ppm integers.
+    *
+    * @return (threshold_micro, tp, fp, tpr_ppm, fpr_ppm, youden_ppm) */
+  def rocPoints(df: DataFrame, scoreCol: String,
+                labelCol: String): DataFrame = {
+    val per = df
+      .select(expr(s"CAST(floor($scoreCol * 1000000 + 0.5) AS BIGINT)")
+          .as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    val perCk = per.localCheckpoint(true) // totals + curve share it
+    val tot = perCk.agg(sum("__p").as("__pos"),
+      sum(expr("__n - __p")).as("__neg"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perCk
+      .withColumn("__tp", sum("__p").over(w))
+      .withColumn("__fp", sum(col("__n") - col("__p")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("__s").as("threshold_micro"),
+        col("__tp").as("tp"), col("__fp").as("fp"),
+        when(col("__pos") > 0, expr("__tp * 1000000 div __pos"))
+          .as("tpr_ppm"),
+        when(col("__neg") > 0, expr("__fp * 1000000 div __neg"))
+          .as("fpr_ppm"),
+        when(col("__pos") > 0 && col("__neg") > 0,
+          expr("__tp * 1000000 div __pos - __fp * 1000000 div __neg"))
+          .as("youden_ppm"))
+  }
+
   /** McNEMAR'S TEST between two classifiers scored on the SAME rows —
     * the paired comparison that a naive "accuracy A vs accuracy B"
     * read gets wrong (shared errors cancel; only the DISCORDANT pairs
