@@ -517,6 +517,50 @@ object OpsQueries {
        |    AS youden_ppm
        |FROM c""".stripMargin
 
+  /** Minimum detectable effect of the purchase/non-purchase value
+    * split (see [[Insight.mde]]): driver-literal z quantiles, exact
+    * moments, one IEEE expression — the "flat or underpowered?" read
+    * next to `events_welch`. */
+  private def qEventsMde(s: SparkSession, dir: String): DataFrame =
+    Insight.mde(
+      readEvents(s, dir).select(
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("vm"),
+        (col("event_type") === "purchase").as("grp")),
+      "vm", "grp")
+
+  private val oEventsMde = {
+    val zl = Classify.dlit(1.959963984540054 + 0.8416212335729143)
+    val ss1 = "(CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)" +
+      " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n1"
+    val ss2 = "(CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)" +
+      " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / n2"
+    s"""WITH d AS (SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+       |    AS v, event_type = 'purchase' AS g
+       |  FROM events
+       |  WHERE value IS NOT NULL AND (event_type = 'purchase') IS NOT NULL),
+       |m AS (SELECT
+       |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN g THEN v ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN g THEN 0 ELSE v END) AS BIGINT) AS s2,
+       |    sum(CASE WHEN g THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q1,
+       |    sum(CASE WHEN g THEN 0 ELSE CAST(v AS HUGEINT) * v END) AS q2
+       |  FROM d)
+       |SELECT n1, n2,
+       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    CAST(floor(abs(CAST(s1 AS DOUBLE) / n1
+       |      - CAST(s2 AS DOUBLE) / n2) + 0.5E0) AS BIGINT) END
+       |    AS diff_abs_micro,
+       |  CASE WHEN n1 > 1 AND n2 > 1 AND n1 + n2 > 2 THEN
+       |    CAST(floor(sqrt((($ss1) + ($ss2)) / (n1 + n2 - 2)) + 0.5E0)
+       |      AS BIGINT) END AS sd_pooled_micro,
+       |  CASE WHEN n1 > 1 AND n2 > 1 THEN
+       |    CAST(floor($zl * sqrt((($ss1) + ($ss2)) / (n1 + n2 - 2)
+       |      * (1.0E0 / n1 + 1.0E0 / n2)) + 0.5E0) AS BIGINT) END
+       |    AS mde_micro
+       |FROM m""".stripMargin
+  }
+
   /** Holt linear-trend smoothing of the hourly per-type value series
     * (see [[Insight.holt]]): exact integer ppm recurrence replayed
     * one step at a time by the oracle's recursive CTE. */
@@ -9266,6 +9310,7 @@ object OpsQueries {
     "events_brown_forsythe" -> (qEventsBrownForsythe _),
     "events_survival_km" -> (qEventsSurvivalKm _),
     "events_holt" -> (qEventsHolt _),
+    "events_mde" -> (qEventsMde _),
     "events_signflip" -> (qEventsSignflip _),
     "events_logrank" -> (qEventsLogrank _),
     "events_cmh" -> (qEventsCmh _),
@@ -9539,6 +9584,7 @@ object OpsQueries {
     "events_brown_forsythe" -> oEventsBrownForsythe,
     "events_survival_km" -> oEventsSurvivalKm,
     "events_holt" -> oEventsHolt,
+    "events_mde" -> oEventsMde,
     "events_signflip" -> oEventsSignflip,
     "events_logrank" -> oEventsLogrank,
     "events_cmh" -> oEventsCmh,

@@ -1471,6 +1471,66 @@ object Insight {
       .select("n_strata", "a_sum", "e_micro", "v_micro", "cmh_micro")
   }
 
+  /** MINIMUM DETECTABLE EFFECT for a two-arm mean test — the power-
+    * analysis read every "the A/B was flat" claim needs ("flat, or
+    * underpowered?"): with pooled variance s_p² and the standard
+    * normal approximation,
+    *
+    *   MDE = (z_{1−α/2} + z_{power}) · √(s_p²·(1/n₁ + 1/n₂))
+    *
+    * The two z quantiles are DRIVER-computed literals (the PoissonT /
+    * dcgWeights discipline — no executor/oracle inverse-CDF), moments
+    * are the exact integer [[groupMoments]] rail, and the final
+    * expression is +,×,÷,√ over exact integers — IEEE correctly-
+    * rounded, identical tree both engines ([[graft.ops.Classify
+    * .wilsonCI]]'s argument), micro-rounded. The observed |Δmean| is
+    * reported next to the MDE so the flat/underpowered read is one
+    * comparison. Arms with n < 2 report nulls.
+    *
+    * @param groupCol boolean — true rows are arm 1
+    * @return one row (n1, n2, diff_abs_micro, sd_pooled_micro,
+    *         mde_micro) */
+  def mde(df: DataFrame, valueCol: String, groupCol: String,
+          zAlpha: Double = 1.959963984540054,
+          zPower: Double = 0.8416212335729143): DataFrame = {
+    val zl = graft.ops.Classify.dlit(zAlpha + zPower)
+    val agg = df
+      .select(col(valueCol).cast("long").as("__v"),
+        col(groupCol).cast("boolean").as("__g"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .groupBy()
+      .agg(
+        sum(when(col("__g"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("__g"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__g"), col("__v")).otherwise(0L)).as("__s1"),
+        sum(when(!col("__g"), col("__v")).otherwise(0L)).as("__s2"),
+        sum(when(col("__g"), expr("CAST(__v AS DECIMAL(38,0)) * __v"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("__q1"),
+        sum(when(!col("__g"), expr("CAST(__v AS DECIMAL(38,0)) * __v"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("__q2"))
+    // pooled s² = ((n1·q1 − s1²)/n1 + (n2·q2 − s2²)/n2) / (n1+n2−2),
+    // each arm's SS as an identical-tree double over exact integers
+    val ss1 = "(CAST(n1 AS DOUBLE) * CAST(__q1 AS DOUBLE)" +
+      " - CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE)) / n1"
+    val ss2 = "(CAST(n2 AS DOUBLE) * CAST(__q2 AS DOUBLE)" +
+      " - CAST(__s2 AS DOUBLE) * CAST(__s2 AS DOUBLE)) / n2"
+    agg
+      .withColumn("diff_abs_micro", when(col("n1") > 0 && col("n2") > 0,
+        expr("CAST(floor(abs(CAST(__s1 AS DOUBLE) / n1" +
+          " - CAST(__s2 AS DOUBLE) / n2) + 0.5E0) AS BIGINT)")))
+      .withColumn("sd_pooled_micro",
+        when(col("n1") > 1 && col("n2") > 1 && col("n1") + col("n2") > 2,
+          expr(s"CAST(floor(sqrt((($ss1) + ($ss2)) / (n1 + n2 - 2))" +
+            " + 0.5E0) AS BIGINT)")))
+      .withColumn("mde_micro",
+        when(col("n1") > 1 && col("n2") > 1,
+          expr(s"CAST(floor($zl * sqrt((($ss1) + ($ss2)) /" +
+            " (n1 + n2 - 2) * (1.0E0 / n1 + 1.0E0 / n2)) + 0.5E0)" +
+            " AS BIGINT)")))
+      .select("n1", "n2", "diff_abs_micro", "sd_pooled_micro",
+        "mde_micro")
+  }
+
   /** HOLT LINEAR-TREND smoothing per key — double exponential
     * smoothing over an integer time series, the 1-step-ahead
     * level+trend forecast the ops dashboards want where a bare EWMA
