@@ -517,6 +517,74 @@ object OpsQueries {
        |    AS youden_ppm
        |FROM c""".stripMargin
 
+  /** Lagged cross-correlation between hourly view and purchase counts
+    * (see [[Insight.crossCorrelation]]): exact moments per lag, r as
+    * the only double — the lead–lag funnel read. */
+  private def qEventsCcf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = readEvents(s, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+        .as("hr"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+    Insight.crossCorrelation(hourly, "hr", "views", "purchases",
+      maxLag = 6)
+  }
+
+  private val oEventsCcf =
+    """WITH h AS (SELECT
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |lg AS (SELECT CAST(l AS BIGINT) AS lag
+      |  FROM generate_series(-6, 6) g(l)),
+      |j AS (SELECT lg.lag, a.x, b.y
+      |  FROM h a CROSS JOIN lg JOIN h b ON b.hr = a.hr + lg.lag),
+      |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM j GROUP BY 1),
+      |b AS (SELECT lag, n,
+      |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    n * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+      |    n * syy - CAST(sy AS HUGEINT) * sy AS dy
+      |  FROM m)
+      |SELECT lag, n,
+      |  CASE WHEN n >= 3 AND dx > 0 AND dy > 0 THEN
+      |    CAST(floor(CAST(num AS DOUBLE) /
+      |      sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+      |      * 1.0E6 + 0.5E0) AS BIGINT) END AS r_micro
+      |FROM b""".stripMargin
+
+  /** Distinct-l-diversity audit on customer quasi-identifiers with
+    * the market segment... sensitive column (see [[Diff.lDiversity]]):
+    * the homogeneity-attack screen k-anonymity misses. */
+  private def qDatasetLdiversity(s: SparkSession, dir: String): DataFrame =
+    Diff.lDiversity(t(s, dir, "customer"),
+      Seq("c_nationkey"), "c_mktsegment", l = 3)
+
+  private val oDatasetLdiversity =
+    """WITH g AS (SELECT c_nationkey, count(*) AS n,
+      |    count(DISTINCT c_mktsegment) AS l FROM customer GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(min(l) AS BIGINT) AS min_l,
+      |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_groups,
+      |  CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_violating_rows,
+      |  CAST(3 AS BIGINT) AS l,
+      |  sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) = 0 AS diverse
+      |FROM g""".stripMargin
+
   /** Minimum detectable effect of the purchase/non-purchase value
     * split (see [[Insight.mde]]): driver-literal z quantiles, exact
     * moments, one IEEE expression — the "flat or underpowered?" read
@@ -9171,6 +9239,7 @@ object OpsQueries {
     "cdc_pit_lookup" -> (qCdcPitLookup _),
     "dataset_ri_audit" -> (qDatasetRiAudit _),
     "dataset_kanonymity" -> (qDatasetKanonymity _),
+    "dataset_ldiversity" -> (qDatasetLdiversity _),
     "corpus_report" -> (qCorpusReport _),
     "corpus_vocab_growth" -> (qCorpusVocabGrowth _),
     "corpus_zipf" -> (qCorpusZipf _),
@@ -9311,6 +9380,7 @@ object OpsQueries {
     "events_survival_km" -> (qEventsSurvivalKm _),
     "events_holt" -> (qEventsHolt _),
     "events_mde" -> (qEventsMde _),
+    "events_ccf" -> (qEventsCcf _),
     "events_signflip" -> (qEventsSignflip _),
     "events_logrank" -> (qEventsLogrank _),
     "events_cmh" -> (qEventsCmh _),
@@ -9445,6 +9515,7 @@ object OpsQueries {
     "cdc_pit_lookup" -> oCdcPitLookup,
     "dataset_ri_audit" -> oDatasetRiAudit,
     "dataset_kanonymity" -> oDatasetKanonymity,
+    "dataset_ldiversity" -> oDatasetLdiversity,
     "corpus_report" -> oCorpusReport,
     "corpus_vocab_growth" -> oCorpusVocabGrowth,
     "corpus_zipf" -> oCorpusZipf,
@@ -9585,6 +9656,7 @@ object OpsQueries {
     "events_survival_km" -> oEventsSurvivalKm,
     "events_holt" -> oEventsHolt,
     "events_mde" -> oEventsMde,
+    "events_ccf" -> oEventsCcf,
     "events_signflip" -> oEventsSignflip,
     "events_logrank" -> oEventsLogrank,
     "events_cmh" -> oEventsCmh,

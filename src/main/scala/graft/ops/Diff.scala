@@ -131,6 +131,34 @@ object Diff {
       .withColumn("anonymous", col("n_violating_groups") === 0)
   }
 
+  /** L-DIVERSITY audit — the [[kAnonymity]] follow-up that catches the
+    * attack k-anonymity misses: a group of 50 identical quasi-ids is
+    * 50-anonymous, but if all 50 share ONE sensitive value the
+    * attacker learns it anyway (homogeneity attack, Machanavajjhala
+    * 2007). Distinct-l-diversity: every quasi-id group must contain
+    * ≥ l distinct sensitive values. Two aggregates over the quasi-id
+    * combination (count-distinct adds the standard expand — the
+    * honest price of an exact distinct per group); exact integers.
+    *
+    * @return one row (n_groups, n_rows, min_l, n_violating_groups,
+    *         n_violating_rows, l, diverse) */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, "need quasi-ids and l >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__l"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum("__n").as("n_rows"),
+        min("__l").as("min_l"),
+        sum(when(col("__l") < l, 1L).otherwise(0L))
+          .as("n_violating_groups"),
+        sum(when(col("__l") < l, col("__n")).otherwise(0L))
+          .as("n_violating_rows"))
+      .withColumn("l", lit(l))
+      .withColumn("diverse", col("n_violating_groups") === 0)
+  }
+
   /** Row-level snapshot diff: one row per id present in either
     * snapshot, with `status` ∈ added (only in `b`), removed (only in
     * `a`), changed (both, canonical-text fingerprint differs),

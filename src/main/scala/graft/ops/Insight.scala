@@ -1471,6 +1471,56 @@ object Insight {
       .select("n_strata", "a_sum", "e_micro", "v_micro", "cmh_micro")
   }
 
+  /** LAGGED CROSS-CORRELATION between two integer bucket series —
+    * the lead–lag read ("do purchases follow views, and by how many
+    * hours?"): Pearson r of (x_t, y_{t+lag}) for every lag in
+    * [−maxLag, maxLag], peak lag = argmax |r|. Each lag's moments are
+    * EXACT integers (DECIMAL(38,0) products) over the inner-joined
+    * bucket grid; r alone is an identical-tree double micro-rounded
+    * (the [[olsByKey]] r² trade). Shape: the x-side explodes into
+    * 2·maxLag+1 shifted copies (bounded fan-out), ONE co-keyed join
+    * against the y-side on the shifted bucket, one aggregate per lag
+    * — never a window, never a cartesian. Lags with < 3 overlapping
+    * buckets or zero variance report null r.
+    *
+    * @return (lag, n, r_micro) — one row per lag */
+  def crossCorrelation(series: DataFrame, bucketCol: String,
+                       xCol: String, yCol: String,
+                       maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1, "crossCorrelation needs maxLag >= 1")
+    val xs = series
+      .select(col(bucketCol).cast("long").as("__t"),
+        col(xCol).cast("long").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    val ys = series
+      .select(col(bucketCol).cast("long").as("__ty"),
+        col(yCol).cast("long").as("__y"))
+      .filter(col("__ty").isNotNull && col("__y").isNotNull)
+    xs
+      .select(col("__t"), col("__x"),
+        explode(expr(s"sequence(${-maxLag}, $maxLag)")).as("__lag"))
+      .withColumn("__ty", col("__t") + col("__lag"))
+      .join(ys, Seq("__ty"))
+      .groupBy(col("__lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __y")).as("__sxy"),
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __x")).as("__sxx"),
+        sum(expr("CAST(__y AS DECIMAL(38,0)) * __y")).as("__syy"))
+      .withColumn("__num",
+        expr("n * __sxy - CAST(__sx AS DECIMAL(38,0)) * __sy"))
+      .withColumn("__dx",
+        expr("n * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sx"))
+      .withColumn("__dy",
+        expr("n * __syy - CAST(__sy AS DECIMAL(38,0)) * __sy"))
+      .withColumn("r_micro",
+        when(col("n") >= 3 && col("__dx") > 0 && col("__dy") > 0,
+          expr("CAST(floor(CAST(__num AS DOUBLE) /" +
+            " sqrt(CAST(__dx AS DOUBLE) * CAST(__dy AS DOUBLE))" +
+            " * 1.0E6 + 0.5E0) AS BIGINT)")))
+      .select("lag", "n", "r_micro")
+  }
+
   /** MINIMUM DETECTABLE EFFECT for a two-arm mean test — the power-
     * analysis read every "the A/B was flat" claim needs ("flat, or
     * underpowered?"): with pooled variance s_p² and the standard
