@@ -7934,7 +7934,9 @@ object OpsQueries {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val edges = Graph.coOccurrenceEdgesCanonical(li, "l_orderkey",
       "l_partkey").localCheckpoint(true) // LPA + modularity share it
-    Graph.modularity(edges, Graph.labelPropagation(edges, iterations = 4))
+    Graph.modularity(edges,
+      Graph.labelPropagation(edges, iterations = 4,
+        assumeCanonical = true))
   }
 
   private val oGraphModularity = {

@@ -498,9 +498,17 @@ object Graph {
     * @param edges undirected edge list (either or both directions)
     * @return (id, community) — community = converged label */
   def labelPropagation(edges: DataFrame, iterations: Int = 4,
-                       broadcastVertexCap: Long = 4L << 20): DataFrame = {
+                       broadcastVertexCap: Long = 4L << 20,
+                       assumeCanonical: Boolean = false): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    val canon = edges
+    // assumeCanonical skips the least/greatest + distinct pre-shuffle
+    // when the caller guarantees (src < dst, deduplicated) input —
+    // e.g. coOccurrenceEdgesCanonical output reused across LPA AND a
+    // downstream modularity read; wrong input silently double-counts
+    // neighbor votes, so it is opt-in
+    val canon = if (assumeCanonical)
+      edges.select(col("src").as("u"), col("dst").as("v"))
+    else edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
