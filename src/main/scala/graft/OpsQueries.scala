@@ -4225,6 +4225,212 @@ object OpsQueries {
       |FROM t GROUP BY 1""".stripMargin
   }
 
+  // =====================================================================
+  // Training-data construction: preference pairs, leakage-safe split,
+  // fill-in-the-middle, JL random projection
+  // =====================================================================
+
+  /** DPO/RLHF preference pairs (see [[Chat.preferencePairs]]): planted
+    * scored candidates — prompt = doc_id < 600, 2–4 candidates each,
+    * score = md5 bucket of (prompt, cand) — best vs worst per prompt
+    * with a 2²⁸ minimum gap; the oracle replays the argmax/argmin with
+    * the same (score, cand-id) tie-break as window ranks. */
+  private def qChatDpoPairs(s: SparkSession, dir: String): DataFrame = {
+    val cands = t(s, dir, "documents").filter(col("doc_id") < 600)
+      .select(col("doc_id").as("prompt_id"),
+        explode(sequence(lit(0L), col("doc_id") % 3 + 1)).as("cand_id"))
+      .select(col("prompt_id"), col("cand_id"),
+        concat(lit("r"), col("prompt_id").cast("string"), lit("_"),
+          col("cand_id").cast("string")).as("resp"),
+        conv(substring(md5(concat(lit("sc:"), col("prompt_id").cast("string"),
+          lit(":"), col("cand_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("score"))
+    Chat.preferencePairs(cands, "prompt_id", "cand_id", "resp", "score",
+      minGap = 1L << 28)
+  }
+
+  private val oChatDpoPairs =
+    """WITH c AS (SELECT doc_id AS prompt_id, i.g AS cand_id,
+      |    'r' || doc_id || '_' || i.g AS resp,
+      |    ('0x' || substr(md5('sc:' || doc_id || ':' || i.g), 1, 8))::BIGINT
+      |      AS score
+      |  FROM documents, generate_series(0, 4) i(g)
+      |  WHERE doc_id < 600 AND i.g <= doc_id % 3 + 1),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |      ORDER BY score DESC, cand_id) AS rk_hi,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |      ORDER BY score ASC, cand_id) AS rk_lo,
+      |    count(*) OVER (PARTITION BY prompt_id) AS n_cands
+      |  FROM c)
+      |SELECT h.prompt_id, h.cand_id AS chosen_id, h.resp AS chosen,
+      |  l.cand_id AS rejected_id, l.resp AS rejected,
+      |  h.score - l.score AS score_gap, CAST(h.n_cands AS BIGINT) AS n_cands
+      |FROM (SELECT * FROM r WHERE rk_hi = 1) h
+      |JOIN (SELECT * FROM r WHERE rk_lo = 1) l USING (prompt_id)
+      |WHERE h.score - l.score >= 268435456""".stripMargin
+
+  /** Leakage-safe train/val/test split (see [[Sample.splitByGroup]]):
+    * documents plus a planted re-crawl shard (byte-identical copies of
+    * doc_id < 100 under new ids) split by exact-text group
+    * representative — every copy lands in its original's split, the
+    * contamination plain [[Sample.split]] cannot prevent. */
+  private def qSampleSplitSafe(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val copies = d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val all = d.unionByName(copies).withColumn("grp", md5(col("text")))
+    Sample.splitByGroup(all, "doc_id", "grp",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "rep_id", "split")
+  }
+
+  private val oSampleSplitSafe = {
+    val t1 = math.floor(0.9 * 4294967296.0).toLong
+    val t2 = t1 + math.floor(0.05 * 4294967296.0).toLong
+    s"""WITH a AS (SELECT doc_id, text FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+      |g AS (SELECT doc_id, md5(text) AS grp FROM a),
+      |r AS (SELECT grp, min(doc_id) AS rep_id FROM g GROUP BY 1),
+      |b AS (SELECT grp, rep_id,
+      |    ('0x' || substr(md5('split:' || rep_id), 1, 8))::BIGINT AS bk
+      |  FROM r)
+      |SELECT g.doc_id, b.rep_id,
+      |  CASE WHEN bk < $t1 THEN 'train'
+      |       WHEN bk < $t2 THEN 'val' ELSE 'test' END AS split
+      |FROM g JOIN b USING (grp)""".stripMargin
+  }
+
+  /** Fill-in-the-middle transform (see [[Chunk.fimSplit]]) at rate 0.5:
+    * md5-gated docs re-rendered as <PRE>prefix<SUF>suffix<MID>middle at
+    * two md5-derived cut points, the rest raw — the oracle replays the
+    * gate, the cuts, and the character-based substrings verbatim. */
+  private def qDocFim(s: SparkSession, dir: String): DataFrame =
+    Chunk.fimSplit(t(s, dir, "documents"), "doc_id", "text", rate = 0.5)
+
+  private val oDocFim =
+    """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+      |    ('0x' || substr(md5('fim:' || doc_id), 1, 8))::BIGINT AS hg,
+      |    ('0x' || substr(md5('fima:' || doc_id), 1, 8))::BIGINT AS ha,
+      |    ('0x' || substr(md5('fimb:' || doc_id), 1, 8))::BIGINT AS hb
+      |  FROM documents),
+      |e AS (SELECT doc_id, text, n,
+      |    hg < 2147483648 AND n >= 2 AND text IS NOT NULL AS fim,
+      |    least(ha % n, hb % n) AS lo, greatest(ha % n, hb % n) AS hi
+      |  FROM d)
+      |SELECT doc_id, CASE WHEN fim THEN 'fim' ELSE 'raw' END AS mode,
+      |  CASE WHEN fim THEN lo END AS cut_lo,
+      |  CASE WHEN fim THEN hi END AS cut_hi,
+      |  CASE WHEN fim THEN '<PRE>' || substr(text, 1, lo)
+      |      || '<SUF>' || substr(text, hi + 1, n - hi)
+      |      || '<MID>' || substr(text, lo + 1, hi - lo)
+      |    ELSE text END AS out
+      |FROM e""".stripMargin
+
+  /** JL random projection 64 → 16 dims (see [[Rp.project]]): signed
+    * integer micro-unit sums, per-row norm-preservation ratio in exact
+    * ppm; the oracle rebuilds the md5-parity sign matrix and replays
+    * every sum (integer addition is order-independent, so the
+    * group-by fold matches Spark's zip_with fold bit-for-bit). */
+  private def qEmbRp(s: SparkSession, dir: String): DataFrame =
+    Rp.project(t(s, dir, "embeddings"), "embedding", "vec_id",
+      d = 64, k = 16)
+
+  private val oEmbRp =
+    """WITH u AS (SELECT vec_id, list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+      |      AS u
+      |  FROM embeddings),
+      |s AS (SELECT j.g AS j, i.g AS i,
+      |    CASE WHEN ('0x' || substr(md5('rp:' || i.g || ':' || j.g), 1, 8))
+      |      ::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |  FROM generate_series(0, 15) j(g), generate_series(0, 63) i(g)),
+      |p AS (SELECT vec_id, j, CAST(sum(sgn * u[i + 1]) AS BIGINT) AS pj
+      |  FROM u, s GROUP BY 1, 2),
+      |w AS (SELECT vec_id,
+      |    string_agg(CAST(pj AS VARCHAR), ',' ORDER BY j) AS proj,
+      |    CAST(sum(CAST(pj AS HUGEINT) * pj) AS BIGINT) AS pnorm2
+      |  FROM p GROUP BY 1),
+      |n AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(u, x -> x * x)) AS BIGINT) AS norm2
+      |  FROM u)
+      |SELECT w.vec_id, w.proj, n.norm2, w.pnorm2,
+      |  CASE WHEN n.norm2 > 0 THEN CAST(CAST(pnorm2 AS HUGEINT) * 1000000
+      |    // (16 * CAST(norm2 AS HUGEINT)) AS BIGINT) ELSE 0 END AS ratio_ppm
+      |FROM w JOIN n USING (vec_id)""".stripMargin
+
+  /** Corpus-level JL distortion audit (see [[Rp.normAudit]]) over the
+    * [[qEmbRp]] rail: count, min/max/mean norm ratio, rows within
+    * [0.5, 2]× — exact integers, the mean on the DECIMAL(38,0) rail. */
+  private def qEmbRpAudit(s: SparkSession, dir: String): DataFrame =
+    Rp.normAudit(qEmbRp(s, dir))
+
+  private val oEmbRpAudit =
+    s"""WITH q AS ($oEmbRp)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  min(ratio_ppm) AS min_ppm, max(ratio_ppm) AS max_ppm,
+      |  CAST(sum(CAST(ratio_ppm AS HUGEINT)) // count(*) AS BIGINT)
+      |    AS mean_ppm,
+      |  CAST(sum(CASE WHEN ratio_ppm BETWEEN 500000 AND 2000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+      |FROM q""".stripMargin
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) composed
+    * from two existing exact rails: the corpus word co-occurrence
+    * graph ([[Phrases.skipgramCounts]], ±3 window, hapax pairs
+    * pruned) feeds count-weighted bidirectional edges into the
+    * integer-exact weighted [[Graph.pagerank]]; top-20 words by rank
+    * are the corpus keywords. Everything is the same cross-engine
+    * integer-unit contract as `graph_pagerank_weighted` — the oracle
+    * replays the co-occurrence self-join AND all 5 rank iterations. */
+  private def qTextTextrank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Phrases.skipgramCounts(t(s, dir, "documents"), "text",
+        "doc_id", window = 3, minCount = 2L)
+      .filter(col("w1") =!= col("w2"))
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"),
+        col("cnt"))
+      .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst"),
+        col("cnt")))
+    Graph.pagerank(edges, iterations = 5, weightCol = Some("cnt"))
+      .orderBy(col("rank_units").desc, col("id"))
+      .limit(20)
+      .select(col("id").as("word"), col("rank_units"), col("rank"))
+  }
+
+  private val oTextTextrank = {
+    val iter = (k: Int) =>
+      s"""r$k AS (SELECT v.id,
+         |  CAST((SELECT t FROM tp) + 85 * coalesce(f.infl, 0) // 100
+         |    AS BIGINT) AS u
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r${k - 1}.u * e.w // deg.outw) AS infl
+         |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id
+         |      JOIN deg ON e.src = deg.src GROUP BY 1) f USING (id))"""
+        .stripMargin
+    s"""WITH d AS (SELECT doc_id, $oToks AS t FROM documents),
+       |p AS (SELECT doc_id, i.g AS i, t[i.g] AS w
+       |  FROM d, unnest(generate_series(1, len(t))) AS i(g)
+       |  WHERE len(t[i.g]) > 0),
+       |pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+       |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i > a.i
+       |    AND b.i <= a.i + 3),
+       |cw AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pr
+       |  WHERE w1 <> w2 GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT w1 AS src, w2 AS dst, cnt AS w FROM cw
+       |  UNION ALL SELECT w2, w1, cnt FROM cw),
+       |v AS (SELECT DISTINCT src AS id FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |deg AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |tp AS (SELECT ((1000000000000 * 15) // 100) // n AS t FROM nn),
+       |r0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS u FROM v),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id AS word, u AS rank_units,
+       |  round(CAST(u AS DOUBLE) / 1000000000000, 6) AS rank
+       |FROM r5 ORDER BY u DESC, id LIMIT 20""".stripMargin
+  }
+
   /** Top user journey prefixes: each user's first 5 event types in
     * time order as a path string, globally ranked by frequency — the
     * "how do sessions start" read. Per-user window + one count
@@ -9353,6 +9559,12 @@ object OpsQueries {
     "chat_audit" -> (qChatAudit _),
     "chat_sft_pairs" -> (qChatSftPairs _),
     "chat_pii_audit" -> (qChatPii _),
+    "chat_dpo_pairs" -> (qChatDpoPairs _),
+    "sample_split_safe" -> (qSampleSplitSafe _),
+    "doc_fim" -> (qDocFim _),
+    "emb_rp" -> (qEmbRp _),
+    "emb_rp_audit" -> (qEmbRpAudit _),
+    "text_textrank" -> (qTextTextrank _),
     "events_top_paths" -> (qEventsTopPaths _),
     "graph_bfs" -> (qGraphBfs _),
     "insight_bootstrap_ci" -> (qInsightBootstrap _),
@@ -9629,6 +9841,12 @@ object OpsQueries {
     "chat_audit" -> oChatAudit,
     "chat_sft_pairs" -> oChatSftPairs,
     "chat_pii_audit" -> oChatPii,
+    "chat_dpo_pairs" -> oChatDpoPairs,
+    "sample_split_safe" -> oSampleSplitSafe,
+    "doc_fim" -> oDocFim,
+    "emb_rp" -> oEmbRp,
+    "emb_rp_audit" -> oEmbRpAudit,
+    "text_textrank" -> oTextTextrank,
     "events_top_paths" -> oEventsTopPaths,
     "graph_bfs" -> oGraphBfs,
     "insight_bootstrap_ci" -> oInsightBootstrap,

@@ -76,4 +76,50 @@ object Chat {
       .select(col(idCol), col("__aidx").cast("long").as("pair_idx"),
         col("prompt"), col("content").as("response"))
   }
+
+  /** Preference-pair construction for DPO/RLHF-style training: from a
+    * frame of scored candidate responses (one row per (prompt,
+    * candidate)), emit per prompt the best-scored response as `chosen`
+    * and the worst as `rejected`, keeping only prompts whose score gap
+    * is at least `minGap` (pairs the reward signal can't separate are
+    * noise, not training data).
+    *
+    * Selection is ONE aggregate — `max_by`/`min_by` keyed on
+    * `(score, candidate-id)` so the ordering key is UNIQUE per prompt
+    * (lowest id wins either side on score ties; max_by's
+    * first-encountered tie rule never engages). Any arg-max spelling
+    * that carries a payload (max_by, max(struct…)) has a struct
+    * aggregation buffer, which Spark's hash aggregates cannot hold —
+    * the plan is SortAggregate. That is still the right single-pass
+    * shape: the PARTIAL SortAggregate collapses each prompt's
+    * candidates to two rows map-side (the sort is partition-local
+    * over raw candidates), so the shuffle moves two rows per
+    * (prompt, partition) — a window/row_number spelling would shuffle
+    * EVERY raw candidate with its full text and collapse nothing.
+    * Prompts where every candidate scores equally select the same
+    * candidate on both sides and fall to the gap filter
+    * (gap 0 < minGap).
+    *
+    * @return (promptCol, chosen_id, chosen, rejected_id, rejected,
+    *         score_gap, n_cands) */
+  def preferencePairs(df: DataFrame, promptCol: String, candCol: String,
+                      textCol: String, scoreCol: String,
+                      minGap: Long): DataFrame = {
+    require(minGap >= 1, "minGap must be >= 1 (0 admits degenerate pairs)")
+    val cand = struct(col(candCol).as("c"), col(textCol).as("t"))
+    df.groupBy(col(promptCol))
+      .agg(
+        max_by(cand, struct(col(scoreCol).as("s"),
+          (-col(candCol)).as("nc"))).as("__hi"),
+        max(col(scoreCol)).as("__smax"),
+        min_by(cand, struct(col(scoreCol).as("s"),
+          col(candCol).as("c"))).as("__lo"),
+        min(col(scoreCol)).as("__smin"),
+        count(lit(1)).as("n_cands"))
+      .filter(col("__smax") - col("__smin") >= minGap)
+      .select(col(promptCol),
+        col("__hi.c").as("chosen_id"), col("__hi.t").as("chosen"),
+        col("__lo.c").as("rejected_id"), col("__lo.t").as("rejected"),
+        (col("__smax") - col("__smin")).as("score_gap"), col("n_cands"))
+  }
 }

@@ -83,6 +83,46 @@ object Chunk {
           x => x.getField("sent")), "").as("chunk_text"))
   }
 
+  /** Fill-in-the-middle (FIM) transform — the code/infilling pretrain
+    * recipe (Bavarian et al. 2022, "Efficient Training of Language
+    * Models to Fill in the Middle"): for a deterministic `rate`
+    * fraction of documents, pick two hash-derived cut points, split the
+    * text into (prefix, middle, suffix), and emit the PSM rendering
+    * `<PRE>prefix<SUF>suffix<MID>middle` so the model learns to infill
+    * from bidirectional context; the rest pass through unchanged as
+    * `mode = 'raw'`. Everything is md5-derived from the document id —
+    * no RNG, the same corpus always transforms the same rows at the
+    * same cuts (reproducible epochs, replayable by the oracle).
+    *
+    * Pure per-row projection: zero shuffles, zero state, codegen
+    * string ops — at 100 TB this pipelines inside the scan stage.
+    * Documents shorter than 2 chars stay raw (no room for two cuts).
+    *
+    * @return (idCol, mode 'fim'|'raw', cut_lo, cut_hi, out) */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+               rate: Double, seed: String = "fim"): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0,1]")
+    val cut = math.floor(rate * 4294967296.0).toLong
+    def h(tag: String) = conv(substring(
+      md5(concat(lit(s"$seed$tag:"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val n = length(col(textCol)).cast("long")
+    val p1 = h("a") % n
+    val p2 = h("b") % n
+    val lo = least(p1, p2)
+    val hi = greatest(p1, p2)
+    val fim = h("") < cut && n >= 2 && col(textCol).isNotNull
+    val prefix = col(textCol).substr(lit(1L), lo)
+    val middle = col(textCol).substr(lo + 1L, hi - lo)
+    val suffix = col(textCol).substr(hi + 1L, n - hi)
+    df.select(col(idCol),
+      when(fim, "fim").otherwise("raw").as("mode"),
+      when(fim, lo).as("cut_lo"),
+      when(fim, hi).as("cut_hi"),
+      when(fim, concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+        lit("<MID>"), middle)).otherwise(col(textCol)).as("out"))
+  }
+
   /** CONTRASTIVE training pairs from chunked documents — the
     * self-supervised recipe embedders train on (two windows of one
     * document agree; windows of different documents don't): per

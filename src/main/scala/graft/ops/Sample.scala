@@ -57,6 +57,32 @@ object Sample {
     df.withColumn("split", label)
   }
 
+  /** Leakage-safe split: the split label is decided by each row's GROUP
+    * representative (min `idCol` within `groupCol`), so an entire
+    * duplicate group — or near-dup cluster — lands in ONE split. Plain
+    * [[split]] leaks: a test document's byte-twin sitting in train is
+    * contamination even after dedup kept one copy per side, because the
+    * two copies hash to independent buckets. `groupCol` is any cluster
+    * id: `md5(text)` for exact groups, a minhash-CC component id for
+    * near-dup clusters (compose with [[Dedup]]'s survivor output).
+    *
+    * Plan shape: one hash aggregate for the representative (map-side
+    * min collapses each group before the shuffle) + one co-keyed join
+    * back on `groupCol` — both shuffles hash the same key, and AQE
+    * broadcasts the rep table when it is small. No windows over the
+    * corpus, nothing driver-side; at 100 TB the rep table is one row
+    * per distinct group.
+    *
+    * @return input columns + (rep_id, split) */
+  def splitByGroup(df: DataFrame, idCol: String, groupCol: String,
+                   fractions: Seq[(String, Double)],
+                   seed: String = "split"): DataFrame = {
+    val reps = df.groupBy(col(groupCol))
+      .agg(min(col(idCol)).as("rep_id"))
+    val labeled = split(reps, "rep_id", fractions, seed)
+    df.join(labeled, Seq(groupCol))
+  }
+
   /** Stratified variant: per-stratum percentage with a default — e.g.
     * keep 50% of English, 10% of everything else. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.{Chat, Chunk, Rp, Sample}
+
+/** Training-data construction ops: preference pairs, leakage-safe
+  * split, fill-in-the-middle, JL random projection. */
+class TrainDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- DPO
+
+  test("preferencePairs picks argmax/argmin with id tie-break and gap gate") {
+    val cands = Seq(
+      // p1: clear winner c2 (9), loser c0 (1), gap 8
+      (1L, 0L, "a0", 1L), (1L, 1L, "a1", 5L), (1L, 2L, "a2", 9L),
+      // p2: tie at top (7,7) -> lower cand 0 chosen; loser c2 (2), gap 5
+      (2L, 0L, "b0", 7L), (2L, 1L, "b1", 7L), (2L, 2L, "b2", 2L),
+      // p3: all equal -> same cand both sides, gap 0, filtered
+      (3L, 0L, "c0", 4L), (3L, 1L, "c1", 4L),
+      // p4: gap 2 below minGap 3, filtered
+      (4L, 0L, "d0", 5L), (4L, 1L, "d1", 7L)
+    ).toDF("p", "c", "t", "s")
+    val got = Chat.preferencePairs(cands, "p", "c", "t", "s", minGap = 3L)
+    assertRowsMatch(got, Seq(
+      Row(1L, 2L, "a2", 0L, "a0", 8L, 3L),
+      Row(2L, 0L, "b0", 2L, "b2", 5L, 3L)))
+    // payload-carrying arg-max has a struct buffer -> SortAggregate is
+    // the only spelling; pin that it at least collapses map-side
+    // (partial + final pair around one exchange, no window shuffle of
+    // raw candidates)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"),
+      s"expected map-side partial aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+  }
+
+  test("preferencePairs rejected tie-break is also lowest cand id") {
+    val cands = Seq(
+      (1L, 5L, "x5", 1L), (1L, 3L, "x3", 1L), (1L, 9L, "x9", 8L)
+    ).toDF("p", "c", "t", "s")
+    val got = Chat.preferencePairs(cands, "p", "c", "t", "s", minGap = 1L)
+    assertRowsMatch(got, Seq(Row(1L, 9L, "x9", 3L, "x3", 7L, 3L)))
+  }
+
+  // ------------------------------------------------- leakage-safe split
+
+  test("splitByGroup lands a whole group in one split") {
+    val df = (0L until 400L).map(i => (i, s"text${i % 80}")).toDF("id", "txt")
+      .withColumn("grp", md5(col("txt")))
+    val got = Sample.splitByGroup(df, "id", "grp",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    // every group has exactly one distinct split label
+    val perGroup = got.groupBy("grp")
+      .agg(countDistinct("split").as("k"), min("id").as("lo"),
+        max("rep_id").as("rep"))
+      .collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    // and the representative is the group's min id
+    assert(perGroup.forall(r => r.getLong(2) == r.getLong(3)))
+    // labels come from Sample.split applied to the representative
+    val reps = got.select("rep_id", "split").distinct()
+    val expect = Sample.split(
+      got.select("rep_id").distinct(), "rep_id",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    assert(reps.except(expect).count() == 0 &&
+      expect.except(reps).count() == 0)
+  }
+
+  test("splitByGroup with all-unique groups degrades to plain split") {
+    val df = (0L until 200L).map(i => (i, s"u$i")).toDF("id", "txt")
+      .withColumn("grp", md5(col("txt")))
+    val safe = Sample.splitByGroup(df, "id", "grp",
+      Seq("a" -> 0.5, "b" -> 0.5)).select("id", "split")
+    val plain = Sample.split(df.select("id"), "id",
+      Seq("a" -> 0.5, "b" -> 0.5))
+    assert(safe.except(plain).count() == 0 && plain.except(safe).count() == 0)
+  }
+
+  // ------------------------------------------------------------- FIM
+
+  test("fimSplit reconstructs the original text from the PSM parts") {
+    val df = (0L until 300L).map(i => (i, s"document body number $i with tail"))
+      .toDF("id", "txt")
+    val got = Chunk.fimSplit(df, "id", "txt", rate = 1.0)
+    assert(got.filter(col("mode") =!= "fim").count() == 0)
+    // parse <PRE>p<SUF>s<MID>m and check p || m || s == original
+    val back = got.join(df, "id")
+      .withColumn("p", regexp_extract(col("out"), "(?s)<PRE>(.*)<SUF>", 1))
+      .withColumn("sfx", regexp_extract(col("out"), "(?s)<SUF>(.*)<MID>", 1))
+      .withColumn("m", regexp_extract(col("out"), "(?s)<MID>(.*)$", 1))
+    assert(back.filter(concat(col("p"), col("m"), col("sfx")) =!= col("txt"))
+      .count() == 0)
+    // cuts are consistent with the part lengths
+    assert(back.filter(length(col("p")) =!= col("cut_lo") ||
+      length(col("p")) + length(col("m")) =!= col("cut_hi")).count() == 0)
+  }
+
+  test("fimSplit rate 0 passes everything through raw") {
+    val df = Seq((1L, "hello world")).toDF("id", "txt")
+    val got = Chunk.fimSplit(df, "id", "txt", rate = 0.0)
+    assertRowsMatch(got, Seq(Row(1L, "raw", null, null, "hello world")))
+  }
+
+  test("fimSplit gate rate is approximately honored and deterministic") {
+    val df = (0L until 2000L).map(i => (i, s"text body $i")).toDF("id", "txt")
+    val n = Chunk.fimSplit(df, "id", "txt", rate = 0.5)
+      .filter(col("mode") === "fim").count()
+    assert(n > 850 && n < 1150, s"rate 0.5 produced $n/2000 fim rows")
+    val n2 = Chunk.fimSplit(df, "id", "txt", rate = 0.5)
+      .filter(col("mode") === "fim").count()
+    assert(n == n2)
+  }
+
+  test("fimSplit leaves 1-char and null docs raw") {
+    val df = Seq((1L, "x"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "txt")
+    val got = Chunk.fimSplit(df, "id", "txt", rate = 1.0)
+    assertRowsMatch(got, Seq(
+      Row(1L, "raw", null, null, "x"), Row(2L, "raw", null, null, null)))
+  }
+
+  // -------------------------------------------------------------- JL RP
+
+  test("Rp.sign matches the oracle's md5 first-8-hex parity") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (i <- 0 until 8; j <- 0 until 4) {
+      val hex = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val expect = if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+      assert(Rp.sign("rp", i, j) == expect)
+    }
+  }
+
+  test("Rp.project computes exact signed micro-unit sums") {
+    val vec = Array(0.5f, -0.25f, 1.0f)
+    val df = Seq((1L, vec.toSeq)).toDF("id", "v")
+    val got = Rp.project(df, "v", "id", d = 3, k = 2).collect().head
+    val micro = vec.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val exp = (0 until 2).map { j =>
+      (0 until 3).map(i => Rp.sign("rp", i, j) * micro(i)).sum
+    }
+    assert(got.getString(1) == exp.mkString(","))
+    val norm2 = micro.map(m => m * m).sum
+    val pnorm2 = exp.map(p => p * p).sum
+    assert(got.getLong(2) == norm2 && got.getLong(3) == pnorm2)
+    assert(got.getLong(4) ==
+      (BigInt(pnorm2) * 1000000 / (2 * BigInt(norm2))).toLong)
+  }
+
+  test("Rp projection roughly preserves norms across a corpus") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map { i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("id", "v")
+    val audit = Rp.normAudit(Rp.project(df, "v", "id", d = 64, k = 16))
+      .collect().head
+    assert(audit.getLong(0) == 200L)
+    // ratio ~ chi2_16/16 (sd ~ 0.35): ~93% of mass sits inside
+    // [0.5, 2]x, so 200 rows land ~186 inside; floor at 175 (4 sd)
+    assert(audit.getLong(4) >= 175L,
+      s"only ${audit.getLong(4)}/200 rows within [0.5,2]x")
+    assert(math.abs(audit.getLong(3) - 1000000L) < 150000L)
+  }
+
+  test("Rp.project plan has no shuffle") {
+    val df = (0L until 50L).map(i => (i, Seq.fill(64)(0.1f))).toDF("id", "v")
+    val plan = Rp.project(df, "v", "id", d = 64, k = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
