@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
-import graft.functions.{BloomMightContain, CharClassProfile, CosineSimilarity, DeflateSize, DotProduct, GopherStats, HashedShingles, KllSketchAgg, LshSignatures, MinHashSig, PqLookupSum, SimHash64, StopProfile}
+import graft.functions.{BloomMightContain, CharClassProfile, CosineSimilarity, DeflateSize, DotProduct, GopherStats, HashedShingles, KllSketchAgg, LshSignatures, MinHashSig, PqLookupSum, RpProjectExpr, SimHash64, StopProfile}
 
 /** Session extensions registering graft's native (codegen) functions.
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rp_project"),
+      new ExpressionInfo(classOf[RpProjectExpr].getName, "graft_rp_project"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_rp_project(vec, flatSigns) takes 2 arguments")
+        RpProjectExpr(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),

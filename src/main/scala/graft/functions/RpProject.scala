@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+
+/** One-pass JL ±1 projection on the integer micro-unit rail (the
+  * codegen twin of [[graft.ops.Rp.project]]'s higher-order-function
+  * spelling, which is CodegenFallback/interpreted — measured ~5× the
+  * cost at 10× scale): quantize the vector to `floor(x·10⁶ + 0.5)`
+  * BIGOINTs once, then fold all `k` signed sums AND the input norm in a
+  * single pass over a flattened sign matrix.
+  *
+  * `right` is the literal sign array (length d·k, layout
+  * `signs[j·d + i]`); `k` is derived at eval time as
+  * `signs.length / vec.length`. Returns `array<long>` of length k+1:
+  * positions 0..k-1 are the projected sums, position k is Σ micro².
+  */
+case class RpProjectExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def vecOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override lazy val resolved: Boolean =
+    left.resolved && right.resolved && vecOk(left) &&
+      (right.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      })
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_rp_project"
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any, s: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val xs = if (isFloat) RpProjectExpr.floatsToDoubles(a.toFloatArray())
+             else a.toDoubleArray()
+    new GenericArrayData(RpProjectExpr.compute(
+      xs, s.asInstanceOf[ArrayData].toIntArray()))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) => {
+      val conv =
+        if (isFloat) s"graft.functions.RpProjectExpr.floatsToDoubles($v.toFloatArray())"
+        else s"$v.toDoubleArray()"
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.RpProjectExpr.compute($conv, $s.toIntArray()))"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RpProjectExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object RpProjectExpr {
+  def floatsToDoubles(f: Array[Float]): Array[Double] = {
+    val d = new Array[Double](f.length)
+    var i = 0
+    while (i < f.length) { d(i) = f(i); i += 1 }
+    d
+  }
+
+  def compute(x: Array[Double], signs: Array[Int]): Array[Long] = {
+    val d = x.length
+    val k = if (d == 0) 0 else signs.length / d
+    val micro = new Array[Long](d)
+    var i = 0
+    while (i < d) { micro(i) = math.floor(x(i) * 1e6 + 0.5).toLong; i += 1 }
+    val out = new Array[Long](k + 1)
+    var j = 0
+    while (j < k) {
+      val base = j * d
+      var s = 0L
+      var t = 0
+      while (t < d) { s += signs(base + t) * micro(t); t += 1 }
+      out(j) = s
+      j += 1
+    }
+    var n2 = 0L
+    i = 0
+    while (i < d) { n2 += micro(i) * micro(i); i += 1 }
+    out(k) = n2
+    out
+  }
+}
