@@ -77,6 +77,37 @@ object Chat {
         col("prompt"), col("content").as("response"))
   }
 
+  /** Prompt-injection screen over chat transcripts — the safety gate
+    * before a conversation enters an SFT/RLHF mix: flag turns whose
+    * content contains any of a small list of injection phrases
+    * (case-insensitive substring), and report per conversation the
+    * flagged-turn count, the first flagged turn, and a clean verdict.
+    *
+    * The phrase list compiles to a codegen `contains` when-chain —
+    * right for the handful of canonical injection markers this gate
+    * screens; at real blocklist sizes (hundreds+), tier up to
+    * [[Phrases.flagPhrases]]'s broadcast Aho–Corasick automaton
+    * (one O(len) pass, cost independent of list size). One
+    * conversation-keyed hash aggregate; nothing global.
+    *
+    * @return (idCol, n_turns, n_flagged, first_flagged_turn|null,
+    *         clean) */
+  def injectionScreen(df: DataFrame, convCol: String, idCol: String,
+                      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val lc = lower(coalesce(col("content"), lit("")))
+    val flagged = phrases.map(p => lc.contains(lit(p.toLowerCase)))
+      .reduce(_ || _)
+    turns(df, convCol, idCol)
+      .withColumn("__f", flagged)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("__f"), 1L).otherwise(0L)).as("n_flagged"),
+        min(when(col("__f"), col("turn_idx"))).cast("long")
+          .as("first_flagged_turn"),
+        (sum(when(col("__f"), 1L).otherwise(0L)) === 0).as("clean"))
+  }
+
   /** Preference-pair construction for DPO/RLHF-style training: from a
     * frame of scored candidate responses (one row per (prompt,
     * candidate)), emit per prompt the best-scored response as `chosen`

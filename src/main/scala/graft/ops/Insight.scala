@@ -1694,4 +1694,123 @@ object Insight {
         abs(col("__bv") - col("__med")).as("__z"))
     anovaF(z, "__z", "__zg")
   }
+
+  /** Per-document n-gram NOVELTY — "how much content does this
+    * document add that no earlier document already claimed": the
+    * fraction of its distinct word n-grams whose FIRST corpus
+    * occurrence (minimum `idCol`) is this document. The incremental
+    * twin of dedup: near-1 novelty = fresh content, near-0 = the
+    * corpus already has it (boilerplate, mirrors, quotations) —
+    * a curation score you can threshold instead of hard-dropping.
+    *
+    * Plan: explode distinct (doc, gram) pairs, ONE gram-keyed hash
+    * aggregate for the first-claim owner, one co-keyed join back, one
+    * doc-keyed aggregate. The distinct's gram-keyed shuffle is the
+    * dominant cost and is irreducible (first-claim is a global
+    * statement); an alternative two-independent-aggregate spelling
+    * that avoids the join-back (owner table re-aggregated BY owner,
+    * doc-cardinality join) measured EQUAL at 10× (42.9 s vs 43.6 —
+    * the eager checkpoint it needs to share the pair frame costs what
+    * the join saves), so the simpler shape stays. Cost is linear in
+    * total trigram count — the same per-3-gram law as winnowing.
+    *
+    * @return (idCol, n_grams, n_novel, novelty_ppm) for docs with at
+    *         least one n-gram */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams = df
+      .select(col(idCol).as("__d"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("__d"),
+        when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => concat_ws(" ", slice(col("__t"), i, lit(n)))))
+          .otherwise(array().cast("array<string>")).as("__gs"))
+      .select(col("__d"), explode(col("__gs")).as("__g"))
+      .distinct()
+    val owner = grams.groupBy("__g").agg(min("__d").as("__own"))
+    grams.join(owner, "__g")
+      .groupBy("__d")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__own") === col("__d"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("__d").as(idCol), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+  }
+
+  /** Uplift (qini) deciles for a two-arm experiment with a targeting
+    * score — "does treating the HIGH-score users buy more incremental
+    * conversions than treating everyone": users ranked by score
+    * (activity count of `scoreType` events) into `buckets` via the
+    * exact distributed rank, per-bucket treated/control counts and
+    * conversions, cumulative qini = treated conversions minus
+    * control conversions scaled to the treated population.
+    *
+    * Arms are the md5 split of [[abTest]] (A = control, B = treated).
+    * All ratios are exact ppm with the wide products on DECIMAL(38,0);
+    * negative uplifts are emitted as (sign, abs ppm) pairs because
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    * signed integer division is NOT cross-engine portable, magnitudes
+    * are (the `events_abtest` diff_sign precedent).
+    *
+    * Plan: one user-keyed hash aggregate, one range-exchange rank, one
+    * bucket aggregate; the only unpartitioned window runs over the
+    * `buckets`-row bucket frame.
+    *
+    * @return (bucket best-first, n_t, c_t, n_c, c_c, cum_nt, cum_ct,
+    *         cum_nc, cum_cc, uplift_sign, uplift_abs_ppm, qini_sign,
+    *         qini_abs_ppm) */
+  def upliftDeciles(events: DataFrame, userCol: String, typeCol: String,
+                    convType: String, scoreType: String,
+                    seed: String = "ab", buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val pu = events.groupBy(col(userCol).as("__u"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L))
+        .as("__conv"),
+        sum(when(col(typeCol) === scoreType, 1L).otherwise(0L))
+          .as("__score"))
+    val armed = pu.withColumn("__arm",
+      when(conv(substring(md5(concat(lit(s"$seed:"),
+        col("__u").cast("string"))), 1, 8), 16, 10).cast("long")
+        < 2147483648L, "A").otherwise("B"))
+    val ranked = Rank.globalRank(armed,
+      Seq(col("__score").desc, col("__u")), "__r")
+    val tot = ranked.groupBy().agg(count(lit(1)).as("__n"))
+    val perBucket = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        expr(s"(__r - 1) * $buckets DIV __n + 1").cast("int"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__arm") === "B", 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("__arm") === "B", col("__conv")).otherwise(0L))
+          .as("c_t"),
+        sum(when(col("__arm") === "A", 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("__arm") === "A", col("__conv")).otherwise(0L))
+          .as("c_c"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = "cast(%s as decimal(38,0))"
+    def signedPpm(cPos: String, nPos: String, cNeg: String, nNeg: String,
+                  sign: String, mag: String) = Seq(
+      when(col(nPos) > 0 && col(nNeg) > 0,
+        expr(s"""cast(sign(${d.format(cPos)} * $nNeg
+                 - ${d.format(cNeg)} * $nPos) as int)""".stripMargin))
+        .as(sign),
+      when(col(nPos) > 0 && col(nNeg) > 0,
+        expr(s"""abs(${d.format(cPos)} * $nNeg - ${d.format(cNeg)} * $nPos)
+                 * 1000000 div (${d.format(nPos)} * $nNeg)""".stripMargin))
+        .as(mag))
+    perBucket
+      .withColumn("cum_nt", sum("n_t").over(w))
+      .withColumn("cum_ct", sum("c_t").over(w))
+      .withColumn("cum_nc", sum("n_c").over(w))
+      .withColumn("cum_cc", sum("c_c").over(w))
+      .select(Seq(col("bucket"), col("n_t"), col("c_t"), col("n_c"),
+        col("c_c"), col("cum_nt"), col("cum_ct"), col("cum_nc"),
+        col("cum_cc")) ++
+        signedPpm("c_t", "n_t", "c_c", "n_c",
+          "uplift_sign", "uplift_abs_ppm") ++
+        signedPpm("cum_ct", "cum_nt", "cum_cc", "cum_nc",
+          "qini_sign", "qini_abs_ppm"): _*)
+  }
 }

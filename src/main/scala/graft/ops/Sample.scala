@@ -83,6 +83,36 @@ object Sample {
     df.join(labeled, Seq(groupCol))
   }
 
+  /** Curriculum ordering: a single global training order that walks
+    * difficulty PHASES easiest-first (score ascending = easier) while
+    * shuffling deterministically WITHIN each phase — the standard
+    * curriculum-learning data layout (Bengio et al. 2009) with
+    * md5-keyed reproducible shuffles instead of RNG.
+    *
+    * Two passes over the exact distributed-rank rail
+    * ([[Rank.globalRank]] — range exchange + prefix offsets, never a
+    * single-partition window): rank by (score, id) → exact-integer
+    * phase `(rank−1)·phases div N + 1`; rank again by
+    * (phase, md5 key, id) → the global position `pos` a sequential
+    * trainer reads in order. Writers can range-partition on `pos`
+    * directly; no driver-side ordering at any corpus size.
+    *
+    * @return input columns + (phase 1..phases, pos 1..N) */
+  def curriculum(df: DataFrame, idCol: String, scoreCol: String,
+                 phases: Int, seed: String = "cur"): DataFrame = {
+    require(phases >= 1, "phases must be >= 1")
+    val ranked = Rank.globalRank(df, Seq(col(scoreCol), col(idCol)), "__cr")
+    val tot = ranked.groupBy().agg(count(lit(1)).as("__n"))
+    val phased = ranked.crossJoin(broadcast(tot))
+      .withColumn("phase",
+        expr(s"((__cr - 1) * $phases DIV __n + 1)").cast("int"))
+      .drop("__n")
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    Rank.globalRank(phased.withColumn("__k", key),
+        Seq(col("phase"), col("__k"), col(idCol)), "pos")
+      .drop("__k", "__cr")
+  }
+
   /** Stratified variant: per-stratum percentage with a default — e.g.
     * keep 50% of English, 10% of everything else. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,
