@@ -2505,7 +2505,11 @@ object OpsQueries {
         col("n_unk").cast("long").as("n_unk"))
   }
 
-  private val oDocTokens =
+  /** Shared WordPiece-encode CTE prefix (vocab train on the 256
+    * lowest-id docs + whole-corpus encode) — the SQL twin of
+    * [[Tokenize.trainVocab]] + [[Tokenize.wordpiece]], reused by
+    * `doc_tokens` and `doc_vocab_coverage`. */
+  private val oWpEnc =
     s"""WITH smp AS (SELECT doc_id, text FROM documents
       |    ORDER BY doc_id LIMIT 256),
       |sw AS (SELECT unnest($oToks) AS term FROM smp),
@@ -2523,11 +2527,49 @@ object OpsQueries {
       |enc AS (SELECT doc_id, array_to_string(list(id ORDER BY pos), ',') AS ids,
       |    count(*) AS n_tokens,
       |    sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_unk
-      |  FROM j GROUP BY doc_id)
+      |  FROM j GROUP BY doc_id)""".stripMargin
+
+  private val oDocTokens =
+    s"""$oWpEnc
       |SELECT documents.doc_id, COALESCE(enc.ids, '') AS ids,
       |  CAST(COALESCE(enc.n_tokens, 0) AS BIGINT) AS n_tokens,
       |  CAST(COALESCE(enc.n_unk, 0) AS BIGINT) AS n_unk
       |FROM documents LEFT JOIN enc ON documents.doc_id = enc.doc_id""".stripMargin
+
+  /** Per-language tokenizer coverage audit (the OOV read a vocab-size
+    * decision actually uses — "which languages does this vocab
+    * shortchange"): the [[qDocTokens]] WordPiece rail aggregated by
+    * `lang` — docs, token mass, UNK mass, exact OOV ppm, and how many
+    * docs encode with zero UNKs. */
+  private def qDocVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val vocab = Tokenize.trainVocab(d, "text", "doc_id",
+      vocabSize = 24, sampleN = 256)
+    val vpath = new java.io.File(scratchRoot, "vocab_cov").getAbsolutePath
+    Tokenize.saveVocab(s, vocab, vpath)
+    Tokenize.wordpiece(d, "text", Tokenize.loadVocab(s, vpath))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_unk").cast("long").as("n_unk"))
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"), sum("n_unk").as("n_unk"),
+        expr("sum(n_unk) * 1000000 div sum(n_tokens)").as("oov_ppm"),
+        sum(when(col("n_unk") === 0, 1L).otherwise(0L))
+          .as("n_docs_full_cover"))
+  }
+
+  private val oDocVocabCoverage =
+    s"""$oWpEnc
+      |SELECT d2.lang, count(*) AS n_docs,
+      |  CAST(sum(enc.n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(enc.n_unk) AS BIGINT) AS n_unk,
+      |  CAST(sum(enc.n_unk) * 1000000 // sum(enc.n_tokens) AS BIGINT)
+      |    AS oov_ppm,
+      |  CAST(sum(CASE WHEN enc.n_unk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_docs_full_cover
+      |FROM documents d2 JOIN enc ON d2.doc_id = enc.doc_id
+      |GROUP BY 1""".stripMargin
 
   /** BPE-trained subword tokenization CONTRACT: a vocab of byte-pair
     * merges trained on the 256 lowest-id docs encodes the whole corpus;
@@ -4460,6 +4502,90 @@ object OpsQueries {
       |  CAST(sum(CASE WHEN o.own = g.doc_id THEN 1 ELSE 0 END)
       |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
       |FROM g JOIN o USING (gram) GROUP BY 1""".stripMargin
+
+  /** Language-ID confusion matrix: the [[qTextLangId]] detector scored
+    * against the labeled `lang` column — per (true, predicted) cell
+    * counts and the within-true-language share in exact ppm; the
+    * detector-quality read before trusting langid-based filtering. */
+  private def qTextLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val cells = d.select(col("lang"),
+        TextFunctions.langId(col("text")).getField("lang").as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    // window over the confusion matrix itself — a language-vocabulary-
+    // bounded frame, never the corpus
+    val w = Window.partitionBy("lang")
+    cells
+      .withColumn("n_true", sum("n").over(w))
+      .select(col("lang"), col("lang_pred"), col("n"), col("n_true"),
+        expr("n * 1000000 div n_true").as("share_ppm"))
+  }
+
+  private val oTextLangConfusion =
+    s"""WITH pred AS ($oTextLangId),
+      |cells AS (SELECT d.lang, pred.lang_pred, count(*) AS n
+      |  FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2)
+      |SELECT lang, lang_pred, n,
+      |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
+      |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+      |    AS share_ppm
+      |FROM cells""".stripMargin
+
+  /** Leakage-safe 5-fold CV assignment (see [[Sample.kfoldByGroup]]):
+    * same planted re-crawl copies as `sample_split_safe` — a copy
+    * always lands in its original's fold. */
+  private def qSampleKfoldSafe(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val copies = d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val all = d.unionByName(copies).withColumn("grp", md5(col("text")))
+    Sample.kfoldByGroup(all, "doc_id", "grp", k = 5)
+      .select("doc_id", "rep_id", "fold")
+  }
+
+  private val oSampleKfoldSafe =
+    """WITH a AS (SELECT doc_id, text FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+      |g AS (SELECT doc_id, md5(text) AS grp FROM a),
+      |r AS (SELECT grp, min(doc_id) AS rep_id FROM g GROUP BY 1),
+      |b AS (SELECT grp, rep_id,
+      |    CAST(('0x' || substr(md5('fold:' || rep_id), 1, 8))::BIGINT % 5
+      |      AS INT) AS fold
+      |  FROM r)
+      |SELECT g.doc_id, b.rep_id, b.fold
+      |FROM g JOIN b USING (grp)""".stripMargin
+
+  /** Per-label embedding centroid drift (see [[Diff.centroidDrift]]):
+    * even vec_ids as version A, odd as version B — the
+    * nothing-changed null read on synthetic data (tiny drifts, exact
+    * to the ppm) whose every sum the oracle replays. */
+  private def qEmbCentroidDrift(s: SparkSession, dir: String): DataFrame =
+    Diff.centroidDrift(
+      t(s, dir, "embeddings")
+        .withColumn("in_a", col("vec_id") % 2 === 0),
+      "embedding", "label", "in_a")
+
+  private val oEmbCentroidDrift =
+    """WITH e AS (SELECT label, vec_id % 2 = 0 AS a, i.g - 1 AS dim,
+      |    CAST(floor(CAST(embedding[i.g] AS DOUBLE) * 1000000 + 0.5)
+      |      AS BIGINT) AS m
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS i(g)),
+      |s AS (SELECT label, dim,
+      |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN a THEN m ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN NOT a THEN m ELSE 0 END) AS BIGINT) AS s_b
+      |  FROM e GROUP BY 1, 2)
+      |SELECT label, CAST(dim AS INT) AS dim, n_a, n_b,
+      |  CAST(sign(CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a)
+      |    AS INT) AS drift_sign,
+      |  CAST(abs(CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a)
+      |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+      |    AS drift_abs_micro
+      |FROM s WHERE n_a > 0 AND n_b > 0""".stripMargin
 
   /** Uplift/qini deciles (see [[Insight.upliftDeciles]]): users ranked
     * by click activity, md5 arms, per-decile and cumulative
@@ -9705,6 +9831,10 @@ object OpsQueries {
     "sample_curriculum" -> (qSampleCurriculum _),
     "events_uplift_qini" -> (qEventsUpliftQini _),
     "text_ngram_novelty" -> (qTextNgramNovelty _),
+    "doc_vocab_coverage" -> (qDocVocabCoverage _),
+    "emb_centroid_drift" -> (qEmbCentroidDrift _),
+    "text_langid_confusion" -> (qTextLangConfusion _),
+    "sample_kfold_safe" -> (qSampleKfoldSafe _),
     "events_top_paths" -> (qEventsTopPaths _),
     "graph_bfs" -> (qGraphBfs _),
     "insight_bootstrap_ci" -> (qInsightBootstrap _),
@@ -9991,6 +10121,10 @@ object OpsQueries {
     "sample_curriculum" -> oSampleCurriculum,
     "events_uplift_qini" -> oEventsUpliftQini,
     "text_ngram_novelty" -> oTextNgramNovelty,
+    "doc_vocab_coverage" -> oDocVocabCoverage,
+    "emb_centroid_drift" -> oEmbCentroidDrift,
+    "text_langid_confusion" -> oTextLangConfusion,
+    "sample_kfold_safe" -> oSampleKfoldSafe,
     "events_top_paths" -> oEventsTopPaths,
     "graph_bfs" -> oGraphBfs,
     "insight_bootstrap_ci" -> oInsightBootstrap,

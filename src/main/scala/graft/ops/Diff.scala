@@ -331,4 +331,46 @@ object Diff {
           "(cast(__na as decimal(38,0)) * cast(__nb as decimal(38,0)))")
           .as("ks_ppm"))
   }
+
+  /** Embedding centroid DRIFT between two dataset versions, per label
+    * and dimension — the monitoring read for "did this class's
+    * embedding distribution move" (re-embedding runs, encoder swaps,
+    * data shifts). Version membership is a boolean column; the drift
+    * per (label, dim) is the signed mean difference
+    * s_a/n_a − s_b/n_b put on the common-denominator integer rail:
+    * sign(s_a·n_b − s_b·n_a) and |s_a·n_b − s_b·n_a| div (n_a·n_b) —
+    * the sums are already micro-units, so the quotient IS the mean
+    * difference in micro-units (no second 10⁶ scale). (sign, abs)
+    * split because signed integer division is not cross-engine
+    * portable; wide products on DECIMAL(38,0) (s·n exceeds BIGINT at
+    * ~10⁷ rows of micro-unit sums).
+    *
+    * Plan: one explode + ONE (label, dim)-keyed hash aggregate with
+    * conditional sums — both versions fold in the same pass, no join
+    * of the two halves. Labels × dims output rows.
+    *
+    * @return (label, dim 0-based, n_a, n_b, drift_sign,
+    *         drift_abs_micro) for (label, dim) present in both
+    *         versions */
+  def centroidDrift(vecs: DataFrame, vecCol: String, labelCol: String,
+                    inACol: String): DataFrame = {
+    val e = vecs
+      .select(col(labelCol).as("label"), col(inACol).as("__a"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .withColumn("__m",
+        floor(col("__x").cast("double") * 1e6 + 0.5).cast("long"))
+    val d = "cast(%s as decimal(38,0))"
+    e.groupBy("label", "dim")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a"), col("__m")).otherwise(0L)).as("s_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__a"), col("__m")).otherwise(0L)).as("s_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("label"), col("dim"), col("n_a"), col("n_b"),
+        expr(s"cast(sign(${d.format("s_a")} * n_b" +
+          s" - ${d.format("s_b")} * n_a) as int)").as("drift_sign"),
+        expr(s"abs(${d.format("s_a")} * n_b - ${d.format("s_b")} * n_a)" +
+          s" div (${d.format("n_a")} * n_b)")
+          .as("drift_abs_micro"))
+  }
 }

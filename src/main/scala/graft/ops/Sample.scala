@@ -113,6 +113,25 @@ object Sample {
       .drop("__k", "__cr")
   }
 
+  /** Leakage-safe k-fold assignment: like [[splitByGroup]] but modular
+    * — every row's fold is the md5 bucket of its GROUP representative
+    * mod k, so duplicate groups / near-dup clusters never straddle CV
+    * folds (train-on-fold-1, eval-on-fold-2 with a byte-twin across
+    * them is the silent CV inflation this prevents). Same plan shape:
+    * one map-side-collapsed hash agg + one co-keyed join.
+    *
+    * @return input columns + (rep_id, fold 0..k-1) */
+  def kfoldByGroup(df: DataFrame, idCol: String, groupCol: String,
+                   k: Int, seed: String = "fold"): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val reps = df.groupBy(col(groupCol))
+      .agg(min(col(idCol)).as("rep_id"))
+      .withColumn("fold", pmod(conv(substring(
+        md5(concat(lit(s"$seed:"), col("rep_id").cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(k.toLong)).cast("int"))
+    df.join(reps, Seq(groupCol))
+  }
+
   /** Stratified variant: per-stratum percentage with a default — e.g.
     * keep 50% of English, 10% of everything else. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,

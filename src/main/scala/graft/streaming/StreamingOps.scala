@@ -249,6 +249,44 @@ object StreamingOps {
         col("s.id").as("id") :+ col("s.sim").as("score"): _*)
   }
 
+  /** Streaming preference pairs — the live twin of
+    * [[graft.ops.Chat.preferencePairs]]: scored candidate responses
+    * arrive continuously; per watermarked (window × prompt) group the
+    * best/worst candidate pair (same unique (score, cand-id) ordering
+    * key, same minimum-gap gate) emits when the watermark closes the
+    * window. State per open group is ONE aggregation buffer (two
+    * candidate structs + two extremes + a count), merged incrementally
+    * across micro-batches exactly like the batch partial aggregates —
+    * an unbounded candidate stream never buffers its raw rows.
+    *
+    * @return (window_start, promptCol, chosen_id, chosen, rejected_id,
+    *         rejected, score_gap, n_cands) */
+  def preferencePairStream(cands: DataFrame, promptCol: String,
+                           candCol: String, textCol: String,
+                           scoreCol: String, minGap: Long,
+                           tsCol: String = "ts", window_ : String = "1 day",
+                           lateness: String = "15 minutes"): DataFrame = {
+    require(minGap >= 1, "minGap must be >= 1")
+    val cand = struct(col(candCol).as("c"), col(textCol).as("t"))
+    cands.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_).as("w"), col(promptCol))
+      .agg(
+        max_by(cand, struct(col(scoreCol).as("s"),
+          (-col(candCol)).as("nc"))).as("__hi"),
+        max(col(scoreCol)).as("__smax"),
+        min_by(cand, struct(col(scoreCol).as("s"),
+          col(candCol).as("c"))).as("__lo"),
+        min(col(scoreCol)).as("__smin"),
+        count(lit(1)).as("n_cands"))
+      .filter(col("__smax") - col("__smin") >= minGap)
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+      .select(col("window_start"), col(promptCol),
+        col("__hi.c").as("chosen_id"), col("__hi.t").as("chosen"),
+        col("__lo.c").as("rejected_id"), col("__lo.t").as("rejected"),
+        (col("__smax") - col("__smin")).as("score_gap"), col("n_cands"))
+  }
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped; state ages out beyond it. */
   def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =

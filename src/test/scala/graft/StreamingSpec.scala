@@ -1164,6 +1164,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("preferencePairStream equals batch preferencePairs per closed window") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long, String, Long)]
+    val df = input.toDF().toDF("ts", "p", "c", "t", "s")
+    val q = StreamingOps.preferencePairStream(df, "p", "c", "t", "s",
+        minGap = 3L, tsCol = "ts", window_ = "1 hour",
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("prefst")
+      .outputMode("append").start()
+    // candidates for two prompts split ACROSS micro-batches: the winner
+    // of p=1 arrives in batch 2, after batch 1's local best
+    val batch1 = Seq((ts(1), 1L, 0L, "a0", 5L), (ts(2), 2L, 0L, "b0", 7L),
+      (ts(3), 1L, 1L, "a1", 2L))
+    val batch2 = Seq((ts(4), 1L, 2L, "a2", 9L), (ts(5), 2L, 1L, "b1", 7L),
+      (ts(6), 2L, 2L, "b2", 2L))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2026-01-01 14:00:00"),
+        9L, 0L, "z", 1L))
+      q.processAllAvailable() // watermark closes the 10:00 window
+      val streamed = spark.table("prefst")
+        .select("p", "chosen_id", "chosen", "rejected_id", "rejected",
+          "score_gap", "n_cands")
+      val batch = graft.ops.Chat.preferencePairs(
+        (batch1 ++ batch2).toDF("ts", "p", "c", "t", "s")
+          .drop("ts"), "p", "c", "t", "s", minGap = 3L)
+      assert(streamed.except(batch).count() == 0 &&
+        batch.except(streamed).count() == 0)
+      // cross-batch merge picked batch-2's candidate for p=1
+      assert(streamed.filter(col("p") === 1L).head().getLong(1) == 2L)
+      // eviction: only the still-open 14:00 window group holds state
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L)
+    } finally q.stop()
+  }
+
   test("batch sessionizer agrees with the session definition") {
     val events = Seq(
       (7L, ts(1), 1.0), (7L, Timestamp.valueOf("2026-01-01 10:01:30"), 2.0),

@@ -78,6 +78,20 @@ class TrainDataSpec extends SparkSpec {
     assert(safe.except(plain).count() == 0 && plain.except(safe).count() == 0)
   }
 
+  test("kfoldByGroup keeps a group in one fold and uses all folds") {
+    val df = (0L until 500L).map(i => (i, s"text${i % 100}")).toDF("id", "txt")
+      .withColumn("grp", md5(col("txt")))
+    val got = graft.ops.Sample.kfoldByGroup(df, "id", "grp", k = 5)
+    val perGroup = got.groupBy("grp")
+      .agg(countDistinct("fold").as("kf"), min("id").as("lo"),
+        max("rep_id").as("rep"))
+      .collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    assert(perGroup.forall(r => r.getLong(2) == r.getLong(3)))
+    val folds = got.select("fold").distinct().collect().map(_.getInt(0)).sorted
+    assert(folds.toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
   // ------------------------------------------------------------- FIM
 
   test("fimSplit reconstructs the original text from the PSM parts") {
@@ -208,6 +222,23 @@ class TrainDataSpec extends SparkSpec {
       assert(BigInt(r.getLong(10)) ==
         num.abs * 1000000 / (BigInt(r.getLong(1)) * r.getLong(3)))
     }
+  }
+
+  // -------------------------------------------------------- centroid drift
+
+  test("centroidDrift: identical halves drift zero, shifted half exact") {
+    // labels 0/1; version A = first two rows per label
+    val rows = Seq(
+      (0, true, Seq(1.0f, 2.0f)), (0, true, Seq(3.0f, 4.0f)),
+      (0, false, Seq(1.0f, 2.0f)), (0, false, Seq(3.0f, 4.0f)), // same mean
+      (1, true, Seq(1.0f, 1.0f)), (1, false, Seq(2.0f, 1.0f))   // dim0 +1
+    ).toDF("label", "in_a", "v")
+    val got = graft.ops.Diff.centroidDrift(rows, "v", "label", "in_a")
+    assertRowsMatch(got, Seq(
+      Row(0, 0, 2L, 2L, 0, 0L), Row(0, 1, 2L, 2L, 0, 0L),
+      // mean_a - mean_b = 1 - 2 = -1.0 -> sign -1, 1e6 ppm
+      Row(1, 0, 1L, 1L, -1, 1000000L),
+      Row(1, 1, 1L, 1L, 0, 0L)))
   }
 
   // -------------------------------------------------------------- JL RP
