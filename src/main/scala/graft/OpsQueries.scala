@@ -4638,6 +4638,41 @@ object OpsQueries {
       |    END AS qini_abs_ppm
       |FROM c""".stripMargin
 
+  /** RAKE keyphrases (see [[Phrases.rakeKeyphrases]]): top-20
+    * stopword-free runs scored deg/freq on the exact ppm rail — the
+    * non-iterative complement to `text_textrank`; every window,
+    * aggregate, and truncated ratio replayed in SQL. */
+  private def qTextKeyphrases(s: SparkSession, dir: String): DataFrame =
+    Phrases.rakeKeyphrases(t(s, dir, "documents"), "text", "doc_id",
+      stopwords = Seq("the", "a", "and", "of", "to", "in", "is"), topN = 20)
+
+  private val oTextKeyphrases =
+    s"""WITH d AS (SELECT doc_id, $oToks AS t FROM documents),
+      |p AS (SELECT doc_id, i.g AS pos, t[i.g] AS w
+      |  FROM d, unnest(generate_series(1, len(t))) AS i(g)),
+      |m AS (SELECT doc_id, pos, w,
+      |    w IN ('the','a','and','of','to','in','is') OR len(w) = 0 AS stop
+      |  FROM p),
+      |r AS (SELECT doc_id, pos, w, stop,
+      |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+      |  FROM m),
+      |ph AS (SELECT doc_id, seg,
+      |    string_agg(w, ' ' ORDER BY pos) AS phrase, count(*) AS len
+      |  FROM r WHERE NOT stop GROUP BY 1, 2),
+      |wd AS (SELECT doc_id, seg, phrase, len,
+      |    unnest(string_split(phrase, ' ')) AS w FROM ph),
+      |st AS (SELECT w, count(*) AS freq, sum(len) AS deg
+      |  FROM wd GROUP BY 1),
+      |sc AS (SELECT wd.doc_id, wd.seg, wd.phrase, wd.len,
+      |    sum(CAST(st.deg AS HUGEINT) * 1000000 // st.freq) AS score
+      |  FROM wd JOIN st USING (w) GROUP BY 1, 2, 3, 4)
+      |SELECT phrase, CAST(len AS BIGINT) AS n_words,
+      |  CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  CAST(score AS BIGINT) AS score_ppm
+      |FROM sc GROUP BY phrase, len, score
+      |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004) composed
     * from two existing exact rails: the corpus word co-occurrence
     * graph ([[Phrases.skipgramCounts]], ±3 window, hapax pairs
@@ -9835,6 +9870,7 @@ object OpsQueries {
     "emb_centroid_drift" -> (qEmbCentroidDrift _),
     "text_langid_confusion" -> (qTextLangConfusion _),
     "sample_kfold_safe" -> (qSampleKfoldSafe _),
+    "text_keyphrases" -> (qTextKeyphrases _),
     "events_top_paths" -> (qEventsTopPaths _),
     "graph_bfs" -> (qGraphBfs _),
     "insight_bootstrap_ci" -> (qInsightBootstrap _),
@@ -10125,6 +10161,7 @@ object OpsQueries {
     "emb_centroid_drift" -> oEmbCentroidDrift,
     "text_langid_confusion" -> oTextLangConfusion,
     "sample_kfold_safe" -> oSampleKfoldSafe,
+    "text_keyphrases" -> oTextKeyphrases,
     "events_top_paths" -> oEventsTopPaths,
     "graph_bfs" -> oGraphBfs,
     "insight_bootstrap_ci" -> oInsightBootstrap,

@@ -137,6 +137,68 @@ object Phrases {
     * a sketch.
     *
     * @return (w1, w2, cnt) with w1 ≤ w2, cnt ≥ minCount */
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * degree/frequency over the candidate corpus (degree = Σ length of
+    * phrases containing it, frequency = occurrence count — words that
+    * live in LONG phrases beat words that appear alone); a phrase
+    * scores the sum of its words' ratios. The non-iterative complement
+    * to TextRank: no graph, no fixpoint, two aggregates.
+    *
+    * Exact-integer contract: per-word ratio is `deg·10⁶ div freq`
+    * (truncated ppm), phrase score the plain BIGINT sum of member-
+    * token ratios (multiplicity counts) — order-free, so the oracle
+    * replays it exactly.
+    *
+    * Plan: per-doc run segmentation is ONE doc-partitioned running-sum
+    * window (state = one document), then a word-keyed aggregate
+    * (vocabulary-bounded), a co-keyed join back, and a phrase-text
+    * aggregate; top-N via TakeOrderedAndProject, never a global sort.
+    *
+    * @return top-N of (phrase, n_words, n_occurrences, score_ppm) by
+    *         (score desc, phrase) */
+  def rakeKeyphrases(df: DataFrame, textCol: String, idCol: String,
+                     stopwords: Seq[String], topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stopwords.nonEmpty && topN >= 1, "need stopwords and topN >= 1")
+    val toks = df
+      .select(col(idCol).as("__d"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("__d"), posexplode(col("__t")).as(Seq("__p", "__w")))
+      .withColumn("__stop",
+        col("__w").isin(stopwords.map(lit): _*) || length(col("__w")) === 0)
+    val byDoc = Window.partitionBy("__d").orderBy("__p")
+    val runs = toks
+      .withColumn("__seg",
+        sum(when(col("__stop"), 1).otherwise(0)).over(byDoc))
+      .filter(!col("__stop"))
+    val phrases = runs.groupBy("__d", "__seg")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__w")))),
+          x => x.getField("__w")), " ").as("__phrase"),
+        count(lit(1)).as("__len"))
+    val words = phrases
+      .select(col("__d"), col("__seg"), col("__phrase"), col("__len"),
+        explode(split(col("__phrase"), " ")).as("__w"))
+    val stats = words.groupBy("__w")
+      .agg(count(lit(1)).as("__freq"), sum("__len").as("__deg"))
+      // DECIMAL(38,0) product: deg is a token-mass sum and deg*10^6
+      // brushes BIGINT at web-corpus scale
+      .withColumn("__ratio",
+        expr("cast(__deg as decimal(38,0)) * 1000000 div __freq"))
+    words.join(stats.select("__w", "__ratio"), "__w")
+      .groupBy("__d", "__seg", "__phrase", "__len")
+      .agg(sum("__ratio").as("__score"))
+      .groupBy(col("__phrase").as("phrase"), col("__len").as("n_words"),
+        col("__score").as("score_ppm"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(topN)
+  }
+
   def skipgramCounts(df: DataFrame, textCol: String, idCol: String,
                      window: Int = 3, minCount: Long = 2L): DataFrame = {
     require(window >= 1, "window must be >= 1")

@@ -224,6 +224,33 @@ class TrainDataSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- RAKE
+
+  test("rakeKeyphrases: hand-exact deg/freq scores and ordering") {
+    val df = Seq(
+      (1L, "deep learning of deep systems"), // runs: [deep learning], [deep systems]
+      (2L, "systems")                        // run: [systems]
+    ).toDF("id", "txt")
+    val got = graft.ops.Phrases.rakeKeyphrases(df, "txt", "id",
+      stopwords = Seq("of"), topN = 10).collect()
+    // deep: f2 d4 r=2e6; learning: f1 d2 r=2e6; systems: f2 d3 r=1.5e6
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq(
+      ("deep learning", 2L, 1L, 4000000L),
+      ("deep systems", 2L, 1L, 3500000L),
+      ("systems", 1L, 1L, 1500000L)))
+  }
+
+  test("rakeKeyphrases groups repeated phrase occurrences") {
+    val df = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      .toDF("id", "txt")
+    val got = graft.ops.Phrases.rakeKeyphrases(df, "txt", "id",
+      stopwords = Seq("the"), topN = 10).collect()
+    val ab = got.find(_.getString(0) == "alpha beta").get
+    assert(ab.getLong(2) == 2L) // two occurrences, one output row
+    assert(got.count(_.getString(0) == "alpha beta") == 1)
+  }
+
   // -------------------------------------------------------- centroid drift
 
   test("centroidDrift: identical halves drift zero, shifted half exact") {
