@@ -3895,6 +3895,53 @@ object OpsQueries {
       |    * 1000000 // 120 AS BIGINT) AS silence_ppm
       |FROM l GROUP BY doc_id""".stripMargin
 
+  /** Voice-activity segmentation over REAL WAV decode (see
+    * [[Multimodal.vadSegments]]): planted clips alternate loud and
+    * near-silent 40-sample frames by a closed-form rule; frame
+    * energies, voiced runs, and segment counts are exact integers the
+    * oracle recomputes sample-by-sample with island windows. */
+  private def qMultimodalVad(s: SparkSession, dir: String): DataFrame = {
+    val build = udf((id: Long) => Multimodal.wavPcm16(8000, 1,
+      Array.tabulate(240) { i =>
+        if ((i / 40 + id) % 3 == 0) ((id + i) % 200 - 100).toShort
+        else (((id * 13 + i * 97) % 7000) - 3500).toShort
+      }))
+    val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.vadSegments(Multimodal.decodeAudio(media),
+      frameSize = 40, energyFloor = 10000000L)
+  }
+
+  private val oMultimodalVad =
+    """WITH sm AS (SELECT doc_id, i.g AS i,
+      |    CASE WHEN (i.g // 40 + doc_id) % 3 = 0
+      |      THEN (doc_id + i.g) % 200 - 100
+      |      ELSE (doc_id*13 + i.g*97) % 7000 - 3500 END AS v
+      |  FROM documents, generate_series(0, 239) i(g) WHERE doc_id < 300),
+      |fr AS (SELECT doc_id, i // 40 AS f, sum(v * v) AS e
+      |  FROM sm GROUP BY 1, 2),
+      |vf AS (SELECT doc_id, f, e > 10000000 AS voiced,
+      |    coalesce(lag(e > 10000000) OVER (
+      |      PARTITION BY doc_id ORDER BY f), FALSE) AS pvoiced
+      |  FROM fr),
+      |seg AS (SELECT doc_id, f, voiced,
+      |    sum(CASE WHEN voiced AND NOT pvoiced THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY doc_id ORDER BY f) AS seg_id
+      |  FROM vf),
+      |runs AS (SELECT doc_id, seg_id, count(*) AS rl
+      |  FROM seg WHERE voiced GROUP BY 1, 2)
+      |SELECT CAST(sm2.doc_id AS BIGINT) AS media_id,
+      |  CAST(6 AS BIGINT) AS n_frames,
+      |  CAST(coalesce(v.nv, 0) AS BIGINT) AS n_voiced,
+      |  CAST(coalesce(r.ns, 0) AS BIGINT) AS n_segments,
+      |  CAST(coalesce(r.lr, 0) AS BIGINT) AS longest_run,
+      |  CAST(coalesce(v.ff, -1) AS BIGINT) AS first_voiced_frame
+      |FROM (SELECT DISTINCT doc_id FROM sm) sm2
+      |LEFT JOIN (SELECT doc_id, count(*) AS nv, min(f) AS ff
+      |  FROM vf WHERE voiced GROUP BY 1) v ON v.doc_id = sm2.doc_id
+      |LEFT JOIN (SELECT doc_id, count(*) AS ns, max(rl) AS lr
+      |  FROM runs GROUP BY 1) r ON r.doc_id = sm2.doc_id""".stripMargin
+
   // =====================================================================
   // Drift, inequality, winnowing, budget selection, A/B (r11 batch 2)
   // =====================================================================
@@ -9871,6 +9918,7 @@ object OpsQueries {
     "text_langid_confusion" -> (qTextLangConfusion _),
     "sample_kfold_safe" -> (qSampleKfoldSafe _),
     "text_keyphrases" -> (qTextKeyphrases _),
+    "multimodal_vad" -> (qMultimodalVad _),
     "events_top_paths" -> (qEventsTopPaths _),
     "graph_bfs" -> (qGraphBfs _),
     "insight_bootstrap_ci" -> (qInsightBootstrap _),
@@ -10162,6 +10210,7 @@ object OpsQueries {
     "text_langid_confusion" -> oTextLangConfusion,
     "sample_kfold_safe" -> oSampleKfoldSafe,
     "text_keyphrases" -> oTextKeyphrases,
+    "multimodal_vad" -> oMultimodalVad,
     "events_top_paths" -> oEventsTopPaths,
     "graph_bfs" -> oGraphBfs,
     "insight_bootstrap_ci" -> oInsightBootstrap,

@@ -714,6 +714,49 @@ object Multimodal {
       "silence_ppm")
   }
 
+  /** Energy-threshold voice-activity segmentation over decoded PCM —
+    * the "which parts of this clip carry signal" pass an audio
+    * pipeline runs before transcription/feature cuts: fixed
+    * `frameSize`-sample frames, a frame is VOICED when its exact
+    * integer energy Σv² exceeds `energyFloor`, and segments are
+    * maximal voiced runs. Trailing samples short of a full frame are
+    * ignored (frame grid contract).
+    *
+    * Partition-local imperative fold over one clip's short[] (the
+    * decode-tier mapPartitions class — no Catalyst expression covers
+    * sample-array folds); all outputs exact integers.
+    *
+    * @return (media_id, n_frames, n_voiced, n_segments, longest_run,
+    *         first_voiced_frame — −1 when silent) */
+  def vadSegments(decoded: Dataset[DecodedAudio], frameSize: Int = 40,
+                  energyFloor: Long = 10000000L): DataFrame = {
+    require(frameSize >= 1 && energyFloor >= 0, "bad VAD parameters")
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val n = d.samples.length / frameSize
+      var voiced = 0L; var segs = 0L; var run = 0L; var longest = 0L
+      var first = -1L
+      var f = 0
+      while (f < n) {
+        var e = 0L
+        var i = f * frameSize
+        val end = i + frameSize
+        while (i < end) { val v = d.samples(i).toLong; e += v * v; i += 1 }
+        if (e > energyFloor) {
+          voiced += 1
+          if (first < 0) first = f.toLong
+          if (run == 0) segs += 1
+          run += 1
+          if (run > longest) longest = run
+        } else run = 0
+        f += 1
+      }
+      (d.media_id, n.toLong, voiced, segs, longest, first)
+    }.toDF("media_id", "n_frames", "n_voiced", "n_segments",
+      "longest_run", "first_voiced_frame")
+  }
+
   // ------------------------- builder twins --------------------------
   // Writers for the same three formats — fixture generation for specs
   // and oracles (and the WARC-style "wrap derived bytes back into a

@@ -224,6 +224,30 @@ class TrainDataSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------------- VAD
+
+  test("vadSegments: hand case with runs, silence, and frame grid") {
+    import graft.ops.Multimodal
+    val loud = Array.fill(40)(3000.toShort)
+    val quiet = Array.fill(40)(10.toShort)
+    // frames: V V q V q q  + 7 trailing samples (ignored)
+    val samples = loud ++ loud ++ quiet ++ loud ++ quiet ++ quiet ++
+      Array.fill(7)(3000.toShort)
+    val media = Seq((5L, Multimodal.wavPcm16(8000, 1, samples)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.vadSegments(Multimodal.decodeAudio(media),
+      frameSize = 40, energyFloor = 10000000L)
+    assertRowsMatch(got, Seq(Row(5L, 6L, 3L, 2L, 2L, 0L)))
+  }
+
+  test("vadSegments: all-silent clip reports first_voiced_frame -1") {
+    import graft.ops.Multimodal
+    val media = Seq((7L, Multimodal.wavPcm16(8000, 1,
+      Array.fill(80)(5.toShort)))).toDF("media_id", "payload")
+    val got = Multimodal.vadSegments(Multimodal.decodeAudio(media))
+    assertRowsMatch(got, Seq(Row(7L, 2L, 0L, 0L, 0L, -1L)))
+  }
+
   // ---------------------------------------------------------------- RAKE
 
   test("rakeKeyphrases: hand-exact deg/freq scores and ordering") {
