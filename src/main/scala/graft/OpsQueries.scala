@@ -4634,6 +4634,28 @@ object OpsQueries {
       |    AS drift_abs_micro
       |FROM s WHERE n_a > 0 AND n_b > 0""".stripMargin
 
+  /** Sample-ratio mismatch guardrail (see [[Insight.srmCheck]]): the
+    * md5 50/50 split's arm counts χ²-checked on the exact integer
+    * rail — the null read on a healthy assignment. */
+  private def qEventsSrm(s: SparkSession, dir: String): DataFrame =
+    Insight.srmCheck(readEvents(s, dir), "user_id")
+
+  private val oEventsSrm =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |a AS (SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN ('0x' || substr(md5('ab:' ||
+      |      CAST(user_id AS VARCHAR)), 1, 8))::BIGINT < 2147483648
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+      |  FROM u)
+      |SELECT n AS n_users, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+      |  CAST((CAST(n_a AS HUGEINT) - (n - n_a))
+      |    * (CAST(n_a AS HUGEINT) - (n - n_a)) * 1000000 // n AS BIGINT)
+      |    AS chi2_ppm,
+      |  (CAST(n_a AS HUGEINT) - (n - n_a))
+      |    * (CAST(n_a AS HUGEINT) - (n - n_a)) * 1000000
+      |    > CAST(n AS HUGEINT) * 3841459 AS suspect
+      |FROM a""".stripMargin
+
   /** Uplift/qini deciles (see [[Insight.upliftDeciles]]): users ranked
     * by click activity, md5 arms, per-decile and cumulative
     * treated-vs-control conversion gaps as (sign, abs ppm) pairs —
@@ -9919,6 +9941,7 @@ object OpsQueries {
     "sample_kfold_safe" -> (qSampleKfoldSafe _),
     "text_keyphrases" -> (qTextKeyphrases _),
     "multimodal_vad" -> (qMultimodalVad _),
+    "events_srm" -> (qEventsSrm _),
     "events_top_paths" -> (qEventsTopPaths _),
     "graph_bfs" -> (qGraphBfs _),
     "insight_bootstrap_ci" -> (qInsightBootstrap _),
@@ -10211,6 +10234,7 @@ object OpsQueries {
     "sample_kfold_safe" -> oSampleKfoldSafe,
     "text_keyphrases" -> oTextKeyphrases,
     "multimodal_vad" -> oMultimodalVad,
+    "events_srm" -> oEventsSrm,
     "events_top_paths" -> oEventsTopPaths,
     "graph_bfs" -> oGraphBfs,
     "insight_bootstrap_ci" -> oInsightBootstrap,

@@ -1739,6 +1739,36 @@ object Insight {
         expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
   }
 
+  /** Sample-ratio mismatch (SRM) check — the first guardrail every
+    * experiment readout runs: under a 50/50 md5 split the arm counts
+    * should differ only by chance, and χ²₁ = (n_a−n_b)²/n far above
+    * 3.84 (the 95% critical value) means assignment or logging is
+    * broken and every downstream metric is suspect. Exact integer
+    * rail: chi2_ppm = (n_a−n_b)²·10⁶ div n with the square on
+    * DECIMAL(38,0) (overflows BIGINT near 10⁹-user imbalances);
+    * `suspect` compares cross-multiplied integers, no float anywhere.
+    * One distinct-user aggregate + one 2-row fold.
+    *
+    * @return one row (n_users, n_a, n_b, chi2_ppm, suspect) */
+  def srmCheck(events: DataFrame, userCol: String,
+               seed: String = "ab"): DataFrame = {
+    val users = events.select(col(userCol).as("__u")).distinct()
+      .withColumn("__a",
+        conv(substring(md5(concat(lit(s"$seed:"),
+          col("__u").cast("string"))), 1, 8), 16, 10).cast("long")
+          < 2147483648L)
+    users.agg(count(lit(1)).as("n_users"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_users"), col("n_a"), col("n_b"),
+        expr("cast(n_a - n_b as decimal(38,0)) * (n_a - n_b) * 1000000" +
+          " div n_users").as("chi2_ppm"),
+        // (n_a-n_b)^2 * 10^6 > 3841459 * n  <=>  chi2 > 3.841459
+        (expr("cast(n_a - n_b as decimal(38,0)) * (n_a - n_b) * 1000000") >
+          expr("cast(n_users as decimal(38,0)) * 3841459"))
+          .as("suspect"))
+  }
+
   /** Uplift (qini) deciles for a two-arm experiment with a targeting
     * score — "does treating the HIGH-score users buy more incremental
     * conversions than treating everyone": users ranked by score

@@ -224,6 +224,25 @@ class TrainDataSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------------- SRM
+
+  test("srmCheck matches a driver-side md5 replay and the chi2 rail") {
+    val events = (0L until 1000L).flatMap(u => Seq((u, "view"), (u, "click")))
+      .toDF("user_id", "event_type")
+    val got = graft.ops.Insight.srmCheck(events, "user_id").head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val na = (0L until 1000L).count { u =>
+      val hex = md.digest(s"ab:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) < 2147483648L
+    }.toLong
+    assert(got.getLong(0) == 1000L && got.getLong(1) == na &&
+      got.getLong(2) == 1000L - na)
+    val d = na - (1000L - na)
+    assert(got.getLong(3) == d * d * 1000000L / 1000L)
+    assert(got.getBoolean(4) == (d * d * 1000000L > 3841459L * 1000L))
+  }
+
   // ----------------------------------------------------------------- VAD
 
   test("vadSegments: hand case with runs, silence, and frame grid") {
