@@ -1157,6 +1157,98 @@ object OpsQueries {
       |FROM pairs JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold""".stripMargin
 
+  /** LSH S-curve audit — the banding-parameter tuning read ("what
+    * similarity does THIS (bands, rows) config actually catch"):
+    * every doc < 2200 pairs with a mutated twin whose token-mutation
+    * rate m/11 walks the Jaccard range j ≈ (9−m)/(9+m) from 1.0 to 0,
+    * each pair gets an EXACT trigram Jaccard (integer bucket
+    * j·20 div 1) and a minhash-LSH capture bit from the shipped
+    * 128-hash/32-band [[Dedup.minhashIndex]] self-probe. Output per
+    * bucket: exact pair count (oracle-replayed) + the S-curve CONTRACT
+    * — capture ≥ 90% where j ≥ 0.6 (theory ≥ 98.8% at the boundary),
+    * ≤ 10% where j < 0.15 (theory ≤ 1.6%) — the hash-family-dependent
+    * capture side stays TRUE-contract like every sketch oracle.
+    * Per-pair joins are all co-keyed on the pair id; the band
+    * self-join probes (band, bh) buckets exactly like production
+    * near-dup. */
+  private def qDedupLshScurve(s: SparkSession, dir: String): DataFrame = {
+    val off = 5000000L
+    val base = t(s, dir, "documents").filter(col("doc_id") < 2200)
+      .select("doc_id", "text")
+    def toks(c: org.apache.spark.sql.Column) = TextFunctions.tokens(c)
+    val m = col("doc_id") % 11
+    val twin = base.select((col("doc_id") + off).as("doc_id"),
+      array_join(transform(toks(col("text")),
+        (t, i) => when(i % 11 < m, concat(t, lit("q9"))).otherwise(t)),
+        " ").as("text"))
+    val all = base.unionByName(twin)
+    val tk = toks(col("text"))
+    val grams = all.select(pmod(col("doc_id"), lit(off)).as("pid"),
+        (col("doc_id") >= off).as("tw"),
+        explode(array_distinct(when(size(tk) >= 3,
+          transform(sequence(lit(1), size(tk) - 2),
+            i => concat_ws(" ", slice(tk, i, lit(3)))))
+          .otherwise(array().cast("array<string>")))).as("g"))
+    val sizes = grams.groupBy("pid")
+      .agg(sum(when(col("tw"), 0L).otherwise(1L)).as("na"),
+        sum(when(col("tw"), 1L).otherwise(0L)).as("nb"))
+    val inter = grams.filter(!col("tw")).select("pid", "g")
+      .join(grams.filter(col("tw")).select("pid", "g"), Seq("pid", "g"))
+      .groupBy("pid").agg(count(lit(1)).as("c"))
+    val buckets = sizes.join(inter, Seq("pid"), "left")
+      .select(col("pid"),
+        expr("least(coalesce(c, 0) * 20 div (na + nb - coalesce(c, 0)), 19)")
+          .as("bucket"))
+    val idx = Dedup.minhashIndex(all, "text", "doc_id")
+    val cap = idx.as("a").join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("b.id") === col("a.id") + off)
+      .select(col("a.id").as("pid")).distinct()
+      .withColumn("__cap", lit(1L))
+    buckets.join(cap, Seq("pid"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__cap"), lit(0L))).as("__capt"))
+      .select(col("bucket"), col("n_pairs"),
+        when(col("bucket") >= 12, col("__capt") * 10 >= col("n_pairs") * 9)
+          .when(col("bucket") <= 2, col("__capt") * 10 <= col("n_pairs"))
+          .otherwise(lit(true)).as("contract_ok"))
+  }
+
+  private val oDedupLshScurve = {
+    val toks = oToks
+    s"""WITH b0 AS (SELECT doc_id, $toks AS t FROM documents
+      |  WHERE doc_id < 2200),
+      |tw AS (SELECT doc_id, list_transform(
+      |    generate_series(1, len(t)),
+      |    i -> CASE WHEN (i - 1) % 11 < doc_id % 11
+      |      THEN t[i] || 'q9' ELSE t[i] END) AS t
+      |  FROM b0),
+      |sh AS (
+      |  SELECT doc_id AS pid, FALSE AS tww, unnest(list_distinct(
+      |    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g FROM b0
+      |  UNION ALL
+      |  SELECT doc_id, TRUE, unnest(list_distinct(
+      |    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) FROM tw),
+      |sizes AS (SELECT pid,
+      |    sum(CASE WHEN tww THEN 0 ELSE 1 END) AS na,
+      |    sum(CASE WHEN tww THEN 1 ELSE 0 END) AS nb
+      |  FROM sh GROUP BY 1),
+      |inter AS (SELECT a.pid, count(*) AS c
+      |  FROM (SELECT pid, g FROM sh WHERE NOT tww) a
+      |  JOIN (SELECT pid, g FROM sh WHERE tww) b
+      |    ON a.pid = b.pid AND a.g = b.g
+      |  GROUP BY 1),
+      |bk AS (SELECT s.pid, least(coalesce(i.c, 0) * 20
+      |    // (s.na + s.nb - coalesce(i.c, 0)), 19) AS bucket
+      |  FROM sizes s LEFT JOIN inter i ON i.pid = s.pid)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  count(*) AS n_pairs, TRUE AS contract_ok
+      |FROM bk GROUP BY 1""".stripMargin
+  }
+
   /** Directed containment pairs at 0.6 — the near-subset/quotation
     * signal Jaccard misses. */
   private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
@@ -9942,6 +10034,7 @@ object OpsQueries {
     "text_keyphrases" -> (qTextKeyphrases _),
     "multimodal_vad" -> (qMultimodalVad _),
     "events_srm" -> (qEventsSrm _),
+    "dedup_lsh_scurve" -> (qDedupLshScurve _),
     "events_top_paths" -> (qEventsTopPaths _),
     "graph_bfs" -> (qGraphBfs _),
     "insight_bootstrap_ci" -> (qInsightBootstrap _),
@@ -10235,6 +10328,7 @@ object OpsQueries {
     "text_keyphrases" -> oTextKeyphrases,
     "multimodal_vad" -> oMultimodalVad,
     "events_srm" -> oEventsSrm,
+    "dedup_lsh_scurve" -> oDedupLshScurve,
     "events_top_paths" -> oEventsTopPaths,
     "graph_bfs" -> oGraphBfs,
     "insight_bootstrap_ci" -> oInsightBootstrap,
