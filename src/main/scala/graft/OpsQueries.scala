@@ -262,8 +262,7 @@ object OpsQueries {
        |  CAST(a.res // t.nt AS BIGINT) AS res_micro,
        |  CAST(CAST(t.pt AS HUGEINT) * (t.nt - t.pt) * 1000000
        |    // (CAST(t.nt AS HUGEINT) * t.nt) AS BIGINT) AS unc_micro,
-       |  CAST(a.ece // (CAST(t.nt AS HUGEINT) * 1000000) AS BIGINT)
-       |    AS ece_micro
+       |  CAST(a.ece // CAST(t.nt AS HUGEINT) AS BIGINT) AS ece_micro
        |FROM t, a""".stripMargin
 
   /** Split-conformal coverage audit of a chars→tokens linear
@@ -1176,11 +1175,18 @@ object OpsQueries {
     val base = t(s, dir, "documents").filter(col("doc_id") < 2200)
       .select("doc_id", "text")
     def toks(c: org.apache.spark.sql.Column) = TextFunctions.tokens(c)
-    val m = col("doc_id") % 11
-    val twin = base.select((col("doc_id") + off).as("doc_id"),
-      array_join(transform(toks(col("text")),
-        (t, i) => when(i % 11 < m, concat(t, lit("q9"))).otherwise(t)),
-        " ").as("text"))
+    // The mutation rate m must read the ORIGINAL doc_id: a bare
+    // col("doc_id") inside the transform lambda would lateral-alias-
+    // resolve against the earlier `(doc_id + off).as("doc_id")` output
+    // in the same select, silently shifting every pair's rate to
+    // (m + off%11) % 11 — the r11 red row. Stage the original id under
+    // an unshadowed name first.
+    val twin = base.select(col("doc_id").as("__orig"), col("text"))
+      .select((col("__orig") + off).as("doc_id"),
+        array_join(transform(toks(col("text")),
+          (t, i) => when(i % 11 < col("__orig") % 11,
+            concat(t, lit("q9"))).otherwise(t)),
+          " ").as("text"))
     val all = base.unionByName(twin)
     val tk = toks(col("text"))
     val grams = all.select(pmod(col("doc_id"), lit(off)).as("pid"),
@@ -2720,6 +2726,157 @@ object OpsQueries {
   private val oDocTokensUnigram =
     """SELECT doc_id, TRUE AS ids_in_range, TRUE AS roundtrip_ok,
       |  TRUE AS tokens_ge_words FROM documents""".stripMargin
+
+  /** Unigram-LM Viterbi ENCODE with a full SQL-replay oracle — the
+    * exact-ids complement to the contract-only [[qDocTokensUnigram]]
+    * (whose EM-trained float model no SQL engine can replay). The
+    * model here is CLOSED-FORM on the [[Tokenize.trainVocab]] sample
+    * contract (256 lowest-id docs) with EXACT INTEGER piece weights:
+    *
+    *   - every sample character c, bare and "##"-continuation:
+    *     weight = cnt_c·10⁶ div totChars − 2·10⁶
+    *   - the top-16 sample words (len 2..64, count desc then word),
+    *     bare and "##": weight = cnt_w·10⁶ div totWords − 10⁶
+    *
+    * Integer weights make the max-sum Viterbi DP ([[Tokenize.unigram]]
+    * runs it over doubles; path sums ≤ 1.3e8 are dyadic-exact) bit-
+    * identical on any engine — the oracle replays model construction
+    * AND the DP (recursive CTE: forward best/backpointer lists per
+    * distinct word, then backtrack), including the earliest-split tie
+    * rule (ORDER BY score DESC, split ASC = the encode's strict `>`
+    * over ascending splits). The model round-trips through
+    * [[Tokenize.saveUnigramVocab]]/load like a production artifact.
+    * Same output shape as `doc_tokens`: (doc_id, ids, n_tokens,
+    * n_unk). */
+  private def qDocTokensUnigramExact(s: SparkSession,
+                                     dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sample = d.select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(256)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "" && !col("w").startsWith("##") &&
+        length(col("w")) <= 64)
+    val wc = sample.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // words + chars + totals read it 3×
+    val totWords = wc.agg(sum("c")).collect().head.getLong(0)
+    val topWords = wc.filter(length(col("w")) >= 2)
+      .orderBy(col("c").desc, col("w")).limit(16)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val charCnt = wc
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as("ch"), col("c"))
+      .groupBy("ch").agg(sum("c").as("n"))
+      .orderBy("ch")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totChars = charCnt.map(_._2).sum
+    def wgtC(n: Long) = (n * 1000000L / totChars - 2000000L).toDouble
+    def wgtW(n: Long) = (n * 1000000L / totWords - 1000000L).toDouble
+    val vocab: Seq[(String, Double)] =
+      (Tokenize.Unk, 0.0) +:
+        (charCnt.map { case (c, n) => (c, wgtC(n)) } ++
+          charCnt.map { case (c, n) => ("##" + c, wgtC(n)) } ++
+          topWords.map { case (w, n) => (w, wgtW(n)) } ++
+          topWords.map { case (w, n) => ("##" + w, wgtW(n)) }).toSeq
+    val vpath = new java.io.File(scratchRoot, "uvocab_exact")
+      .getAbsolutePath
+    Tokenize.saveUnigramVocab(s, vocab, vpath)
+    Tokenize.unigram(d, "text", Tokenize.loadUnigramVocab(s, vpath))
+      .select(col("doc_id"), array_join(col("token_ids"), ",").as("ids"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_unk").cast("long").as("n_unk"))
+  }
+
+  private val oDocTokensUnigramExact =
+    s"""WITH RECURSIVE
+      |smp AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 256),
+      |sw AS (SELECT unnest($oToks) AS w FROM smp),
+      |swf AS (SELECT w FROM sw
+      |  WHERE w <> '' AND w NOT LIKE '##%' AND len(w) <= 64),
+      |wc AS (SELECT w, count(*) AS c FROM swf GROUP BY 1),
+      |wtot AS (SELECT sum(c) AS t FROM wc),
+      |topw AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS r
+      |  FROM wc WHERE len(w) >= 2 ORDER BY c DESC, w LIMIT 16),
+      |ser AS (SELECT i FROM generate_series(1, 64) s(i)),
+      |cc AS (SELECT substr(w, i, 1) AS ch, sum(c) AS n
+      |  FROM wc JOIN ser ON ser.i <= len(w) GROUP BY 1),
+      |ctot AS (SELECT sum(n) AS t FROM cc),
+      |charw AS (SELECT ch, row_number() OVER (ORDER BY ch) AS rc,
+      |    n * 1000000 // t - 2000000 AS wgt FROM cc, ctot),
+      |nch AS (SELECT count(*) AS n FROM charw),
+      |wordw AS (SELECT w, r, c * 1000000 // t - 1000000 AS wgt
+      |  FROM topw, wtot),
+      |nwd AS (SELECT count(*) AS k FROM wordw),
+      |pieces AS (
+      |  SELECT ch AS piece, CAST(rc AS INT) AS id, wgt FROM charw
+      |  UNION ALL SELECT '##' || ch, CAST(rc + n AS INT), wgt
+      |    FROM charw, nch
+      |  UNION ALL SELECT w, CAST(2 * n + r AS INT), wgt
+      |    FROM wordw, nch
+      |  UNION ALL SELECT '##' || w, CAST(2 * n + k + r AS INT), wgt
+      |    FROM wordw, nch, nwd),
+      |t0 AS (SELECT doc_id, unnest($oToks) AS w,
+      |    generate_subscripts($oToks, 1) AS pos FROM documents),
+      |tf AS (SELECT doc_id, pos, w FROM t0 WHERE w <> ''),
+      |dw AS (SELECT DISTINCT w AS word FROM tf),
+      |dpw AS (SELECT word FROM dw
+      |  WHERE len(word) <= 64 AND word NOT LIKE '##%'),
+      |splits AS (SELECT i.i, s.s FROM generate_series(0, 63) i(i)
+      |  JOIN generate_series(0, 63) s(s) ON s.s <= i.i),
+      |dp AS (
+      |  SELECT word, 0 AS i,
+      |    [CAST(0 AS BIGINT)] AS best, [CAST(-1 AS INT)] AS back
+      |  FROM dpw
+      |  UNION ALL
+      |  SELECT word, i + 1,
+      |    list_append(best, (
+      |      SELECT dp.best[sp.s + 1] + p.wgt
+      |      FROM splits sp JOIN pieces p ON p.piece = CASE WHEN sp.s = 0
+      |        THEN substr(dp.word, 1, dp.i + 1)
+      |        ELSE '##' || substr(dp.word, sp.s + 1, dp.i + 1 - sp.s) END
+      |      WHERE sp.i = dp.i AND dp.best[sp.s + 1] IS NOT NULL
+      |      ORDER BY dp.best[sp.s + 1] + p.wgt DESC, sp.s ASC LIMIT 1)),
+      |    list_append(back, (
+      |      SELECT CAST(sp.s AS INT)
+      |      FROM splits sp JOIN pieces p ON p.piece = CASE WHEN sp.s = 0
+      |        THEN substr(dp.word, 1, dp.i + 1)
+      |        ELSE '##' || substr(dp.word, sp.s + 1, dp.i + 1 - sp.s) END
+      |      WHERE sp.i = dp.i AND dp.best[sp.s + 1] IS NOT NULL
+      |      ORDER BY dp.best[sp.s + 1] + p.wgt DESC, sp.s ASC LIMIT 1))
+      |  FROM dp WHERE i < len(word)),
+      |fin AS (SELECT word, best, back FROM dp WHERE i = len(word)),
+      |bt AS (
+      |  SELECT word, len(word) AS pos, CAST([] AS VARCHAR[]) AS pcs,
+      |    best[len(word) + 1] IS NOT NULL AS ok, back
+      |  FROM fin
+      |  UNION ALL
+      |  SELECT word, back[pos + 1],
+      |    list_prepend(CASE WHEN back[pos + 1] = 0
+      |      THEN substr(word, 1, pos)
+      |      ELSE '##' ||
+      |        substr(word, back[pos + 1] + 1, pos - back[pos + 1]) END,
+      |      pcs), ok, back
+      |  FROM bt WHERE ok AND pos > 0),
+      |seg AS (SELECT word, pcs FROM bt WHERE ok AND pos = 0),
+      |segx AS (SELECT word, unnest(pcs) AS piece,
+      |    generate_subscripts(pcs, 1) AS ord FROM seg),
+      |wid AS (SELECT s.word, list(p.id ORDER BY s.ord) AS ids
+      |  FROM segx s JOIN pieces p USING (piece) GROUP BY s.word),
+      |allw AS (SELECT dw.word, COALESCE(wid.ids, [CAST(0 AS INT)]) AS ids
+      |  FROM dw LEFT JOIN wid ON dw.word = wid.word),
+      |flat AS (SELECT doc_id, pos, unnest(ids) AS id,
+      |    generate_subscripts(ids, 1) AS sub
+      |  FROM tf JOIN allw ON tf.w = allw.word),
+      |enc AS (SELECT doc_id,
+      |    array_to_string(list(id ORDER BY pos, sub), ',') AS ids,
+      |    count(*) AS n_tokens,
+      |    sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_unk
+      |  FROM flat GROUP BY 1)
+      |SELECT documents.doc_id, COALESCE(enc.ids, '') AS ids,
+      |  CAST(COALESCE(enc.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(enc.n_unk, 0) AS BIGINT) AS n_unk
+      |FROM documents LEFT JOIN enc ON documents.doc_id = enc.doc_id"""
+      .stripMargin
 
   /** Second END-TO-END composition, from this library's model-based
     * tier: LM-perplexity gate (keep docs the English reference model
@@ -10127,6 +10284,7 @@ object OpsQueries {
     "doc_tokens" -> (qDocTokens _),
     "doc_tokens_bpe" -> (qDocTokensBpe _),
     "doc_tokens_unigram" -> (qDocTokensUnigram _),
+    "doc_tokens_unigram_exact" -> (qDocTokensUnigramExact _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_kcenters" -> (qSampleKcenters _),
     "sample_priority" -> (qSamplePriority _),
@@ -10421,6 +10579,7 @@ object OpsQueries {
     "doc_tokens" -> oDocTokens,
     "doc_tokens_bpe" -> oDocTokensBpe,
     "doc_tokens_unigram" -> oDocTokensUnigram,
+    "doc_tokens_unigram_exact" -> oDocTokensUnigramExact,
     "sample_stratified" -> oSampleStratified,
     "sample_kcenters" -> oSampleKcenters,
     "sample_priority" -> oSamplePriority,

@@ -140,8 +140,12 @@ object Chat {
     val cand = struct(col(candCol).as("c"), col(textCol).as("t"))
     df.groupBy(col(promptCol))
       .agg(
-        max_by(cand, struct(col(scoreCol).as("s"),
-          (-col(candCol)).as("nc"))).as("__hi"),
+        // chosen = min_by over (−score, id): the negation rides the
+        // score (numeric by contract — score_gap arithmetic), never the
+        // candidate id, so string ids order correctly instead of
+        // silently nulling the tie-break key.
+        min_by(cand, struct((-col(scoreCol)).as("ns"),
+          col(candCol).as("c"))).as("__hi"),
         max(col(scoreCol)).as("__smax"),
         min_by(cand, struct(col(scoreCol).as("s"),
           col(candCol).as("c"))).as("__lo"),

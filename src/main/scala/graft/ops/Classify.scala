@@ -564,8 +564,11 @@ object Classify {
         expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos)" +
           " * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
           .as("unc_micro"),
-        expr("CAST(__ece div (CAST(n AS DECIMAL(38,0)) * 1000000)" +
-          " AS BIGINT)").as("ece_micro"))
+        // __ece = Σ|p·10⁶ − n_bin·s| is already count×micro scale, so
+        // micro-ECE divides by n only (div n·10⁶ would yield the plain
+        // 0..1 fraction, truncating to 0 for any real miscalibration).
+        expr("CAST(__ece div CAST(n AS DECIMAL(38,0)) AS BIGINT)")
+          .as("ece_micro"))
   }
 
   /** SPLIT-CONFORMAL coverage audit for a linear regression predictor

@@ -156,12 +156,27 @@ object Phrases {
     * (vocabulary-bounded), a co-keyed join back, and a phrase-text
     * aggregate; top-N via TakeOrderedAndProject, never a global sort.
     *
+    * PARTITION SIZING: every shuffle here carries phrase STRINGS at
+    * roughly token mass, and the global `shuffle.partitions` knob is
+    * sized for the session, not this op — the r11 100× soak measured a
+    * superlinear second decade (4.1 s → 184 s) that was pure
+    * single-heap spill pressure through 32 partitions (doubling them
+    * cut 24%, same plan). AQE coalesces small partitions but never
+    * SPLITS oversized aggregate inputs, so the op sizes its own
+    * exchanges: partition count = input bytes (optimizer estimate) ×
+    * string-expansion factor / 64 MiB, clamped to [session default,
+    * 4096], pinned with key-matching `repartition` calls that the
+    * window / groupBy / join then REUSE (subset-clustering rule) — at
+    * small SF the plan is byte-identical to the unhinted one.
+    *
     * @return top-N of (phrase, n_words, n_occurrences, score_ppm) by
     *         (score desc, phrase) */
   def rakeKeyphrases(df: DataFrame, textCol: String, idCol: String,
                      stopwords: Seq[String], topN: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(stopwords.nonEmpty && topN >= 1, "need stopwords and topN >= 1")
+    val nPart = sizedShufflePartitions(
+      df.select(col(idCol), col(textCol)), expansion = 4)
     val toks = df
       .select(col(idCol).as("__d"),
         TextFunctions.tokens(col(textCol)).as("__t"))
@@ -170,6 +185,7 @@ object Phrases {
         col("__w").isin(stopwords.map(lit): _*) || length(col("__w")) === 0)
     val byDoc = Window.partitionBy("__d").orderBy("__p")
     val runs = toks
+      .repartition(nPart, col("__d")) // window + run-agg reuse this
       .withColumn("__seg",
         sum(when(col("__stop"), 1).otherwise(0)).over(byDoc))
       .filter(!col("__stop"))
@@ -181,6 +197,7 @@ object Phrases {
     val words = phrases
       .select(col("__d"), col("__seg"), col("__phrase"), col("__len"),
         explode(split(col("__phrase"), " ")).as("__w"))
+      .repartition(nPart, col("__w")) // stats agg + join back reuse this
     val stats = words.groupBy("__w")
       .agg(count(lit(1)).as("__freq"), sum("__len").as("__deg"))
       // DECIMAL(38,0) product: deg is a token-mass sum and deg*10^6
@@ -188,8 +205,10 @@ object Phrases {
       .withColumn("__ratio",
         expr("cast(__deg as decimal(38,0)) * 1000000 div __freq"))
     words.join(stats.select("__w", "__ratio"), "__w")
+      .repartition(nPart, col("__d"), col("__seg")) // phrase-score agg
       .groupBy("__d", "__seg", "__phrase", "__len")
       .agg(sum("__ratio").as("__score"))
+      .repartition(nPart, col("__phrase")) // occurrence agg reuses
       .groupBy(col("__phrase").as("phrase"), col("__len").as("n_words"),
         col("__score").as("score_ppm"))
       .agg(count(lit(1)).as("n_occurrences"))
@@ -197,6 +216,23 @@ object Phrases {
         col("score_ppm"))
       .orderBy(col("score_ppm").desc, col("phrase"))
       .limit(topN)
+  }
+
+  /** Rows-or-bytes-derived shuffle-partition count for ops whose
+    * shuffles materially EXPAND the input (string-heavy explodes): the
+    * optimizer's size estimate × `expansion`, one partition per
+    * `targetBytes` (64 MiB — comfortably in-heap with aggregation
+    * state), clamped to [session shuffle.partitions, 4096]. Never
+    * shrinks below the session default, so small inputs keep the
+    * session plan exactly; statistics-only — triggers no job. */
+  private[graft] def sizedShufflePartitions(df: DataFrame, expansion: Int,
+      targetBytes: Long = 64L << 20): Int = {
+    val bytes = BigInt(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.toString())
+    val base = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val want = (bytes * expansion / targetBytes + 1).min(BigInt(4096)).toInt
+    math.max(base, want)
   }
 
   def skipgramCounts(df: DataFrame, textCol: String, idCol: String,

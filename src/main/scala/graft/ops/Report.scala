@@ -166,8 +166,14 @@ object Report {
       .select(col("__pos"), size(col("__t")).cast("long").as("__nt"))
       .join(broadcast(cps), col("__pos") <= col("n_docs"))
       .groupBy("point", "n_docs").agg(sum("__nt").as("tokens"))
-    toks.join(vocab, Seq("point", "n_docs"), "left")
+    // Drive the result from the checkpoint table itself: a cutoff whose
+    // n_docs rounds to 0 (points > N) matches no band-join row and would
+    // vanish from an inner-join spelling — the contract is ALL
+    // `1..points` rows, with vocab/tokens 0 for empty prefixes.
+    cps.join(vocab, Seq("point", "n_docs"), "left")
+      .join(toks, Seq("point", "n_docs"), "left")
       .select(col("point"), col("n_docs"),
-        coalesce(col("vocab"), lit(0L)).as("vocab"), col("tokens"))
+        coalesce(col("vocab"), lit(0L)).as("vocab"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"))
   }
 }

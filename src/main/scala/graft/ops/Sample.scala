@@ -80,7 +80,13 @@ object Sample {
     val reps = df.groupBy(col(groupCol))
       .agg(min(col(idCol)).as("rep_id"))
     val labeled = split(reps, "rep_id", fractions, seed)
-    df.join(labeled, Seq(groupCol))
+    // Null-safe join key: groupBy collects null-group rows into ONE
+    // group, but a plain equi-join would silently drop them on the way
+    // back (null never equals null) — shrinking the corpus with no
+    // signal. <=> matches the null group and still plans as a hash join.
+    df.join(labeled.withColumnRenamed(groupCol, "__g"),
+        col(groupCol) <=> col("__g"))
+      .drop("__g")
   }
 
   /** Curriculum ordering: a single global training order that walks
@@ -129,7 +135,11 @@ object Sample {
       .withColumn("fold", pmod(conv(substring(
         md5(concat(lit(s"$seed:"), col("rep_id").cast("string"))), 1, 8),
         16, 10).cast("long"), lit(k.toLong)).cast("int"))
-    df.join(reps, Seq(groupCol))
+    // Null-safe join back (see splitByGroup): the null group must keep
+    // its fold, not vanish through a null-rejecting equi-join.
+    df.join(reps.withColumnRenamed(groupCol, "__g"),
+        col(groupCol) <=> col("__g"))
+      .drop("__g")
   }
 
   /** Stratified variant: per-stratum percentage with a default — e.g.

@@ -271,8 +271,11 @@ object StreamingOps {
     cands.withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), window_).as("w"), col(promptCol))
       .agg(
-        max_by(cand, struct(col(scoreCol).as("s"),
-          (-col(candCol)).as("nc"))).as("__hi"),
+        // Negation rides the (numeric-by-contract) score, not the
+        // candidate id — string ids order correctly (see batch twin
+        // graft.ops.Chat.preferencePairs).
+        min_by(cand, struct((-col(scoreCol)).as("ns"),
+          col(candCol).as("c"))).as("__hi"),
         max(col(scoreCol)).as("__smax"),
         min_by(cand, struct(col(scoreCol).as("s"),
           col(candCol).as("c"))).as("__lo"),

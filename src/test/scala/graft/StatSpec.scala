@@ -242,4 +242,30 @@ class StatSpec extends SparkSpec {
         r.getAs[Long]("vocab"), r.getAs[Long]("tokens")))
     assert(rows.toSeq == Seq((1L, 2L, 3L, 4L), (2L, 4L, 4L, 7L)))
   }
+
+  test("vocabGrowth: points > N still emits every checkpoint row") {
+    // 3 docs, 10 points: cutoffs 0,0,0,1,1,1,2,2,2,3 — the zero-prefix
+    // checkpoints must appear with vocab = tokens = 0, not vanish.
+    val docs = Seq((1L, Seq("a", "b")), (2L, Seq("a")), (3L, Seq("c")))
+      .toDF("id", "toks")
+    val rows = Report.vocabGrowth(docs, "id", "toks", points = 10)
+      .orderBy("point").collect()
+      .map(r => (r.getAs[Long]("point"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("vocab"), r.getAs[Long]("tokens")))
+    assert(rows.length == 10, s"expected all 10 checkpoints, got $rows")
+    assert(rows.take(3).forall { case (_, n, v, t) =>
+      n == 0L && v == 0L && t == 0L })
+    assert(rows(9) == (10L, 3L, 3L, 4L))
+  }
+
+  test("brierDecomposition: miscalibrated fixture has nonzero micro-ECE") {
+    // constant 0.8 score, half positive: |ȳ − p| = 0.3 → ece 300000;
+    // guards the count×micro scale of the __ece rail (a div n·10⁶
+    // regression truncates this to 0).
+    val d = Seq((0.8, true), (0.8, false), (0.8, true), (0.8, false))
+      .toDF("s", "y")
+    val r = Classify.brierDecomposition(d, "s", "y").collect().head
+    assert(r.getAs[Long]("ece_micro") == 300000L)
+    assert(r.getAs[Long]("rel_micro") == 90000L) // 0.3² = 0.09
+  }
 }

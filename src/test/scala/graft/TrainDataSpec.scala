@@ -31,7 +31,7 @@ class TrainDataSpec extends SparkSpec {
     // (partial + final pair around one exchange, no window shuffle of
     // raw candidates)
     val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_max_by"),
+    assert(plan.contains("partial_min_by"),
       s"expected map-side partial aggregation:\n$plan")
     assert(!plan.contains("Window"), s"window crept in:\n$plan")
   }
@@ -42,6 +42,20 @@ class TrainDataSpec extends SparkSpec {
     ).toDF("p", "c", "t", "s")
     val got = Chat.preferencePairs(cands, "p", "c", "t", "s", minGap = 1L)
     assertRowsMatch(got, Seq(Row(1L, 9L, "x9", 3L, "x3", 7L, 3L)))
+  }
+
+  test("preferencePairs works with STRING candidate ids (tie-break intact)") {
+    // the chosen-side tie-break must not negate the id column — with
+    // string ids a negation nulls the key and the unique ordering
+    // silently degrades to first-encountered.
+    val cands = Seq(
+      (1L, "cb", "xb", 7L), (1L, "ca", "xa", 7L), (1L, "cz", "xz", 2L),
+      (2L, "m2", "y2", 9L), (2L, "m1", "y1", 1L)
+    ).toDF("p", "c", "t", "s")
+    val got = Chat.preferencePairs(cands, "p", "c", "t", "s", minGap = 1L)
+    assertRowsMatch(got, Seq(
+      Row(1L, "ca", "xa", "cz", "xz", 5L, 3L), // score tie → lowest id "ca"
+      Row(2L, "m2", "y2", "m1", "y1", 8L, 2L)))
   }
 
   // ------------------------------------------------- leakage-safe split
@@ -90,6 +104,23 @@ class TrainDataSpec extends SparkSpec {
     assert(perGroup.forall(r => r.getLong(2) == r.getLong(3)))
     val folds = got.select("fold").distinct().collect().map(_.getInt(0)).sorted
     assert(folds.toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("splitByGroup/kfoldByGroup keep null-group rows (one null group)") {
+    // rows whose group key is null (e.g. md5 of a null text) must not
+    // be silently dropped by the join back; they form ONE group.
+    val df = Seq((1L, "g1"), (2L, "g1"), (3L, null), (4L, null), (5L, "g2"))
+      .toDF("id", "grp")
+    val split = Sample.splitByGroup(df, "id", "grp",
+      Seq("a" -> 0.5, "b" -> 0.5))
+    assert(split.count() == 5L, "null-group rows were dropped")
+    val nulls = split.filter(col("grp").isNull)
+      .select("rep_id", "split").distinct().collect()
+    assert(nulls.length == 1 && nulls.head.getLong(0) == 3L)
+    val folds = graft.ops.Sample.kfoldByGroup(df, "id", "grp", k = 2)
+    assert(folds.count() == 5L)
+    assert(folds.filter(col("grp").isNull)
+      .select("fold").distinct().count() == 1L)
   }
 
   // ------------------------------------------------------------- FIM
