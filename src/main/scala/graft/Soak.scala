@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * line per run.
   *
   * Usage: runMain graft.Soak <op> <tableDir> [reps]
-  *   op ∈ dup_spans_exact | dup_span_longest | winnow
+  *   op ∈ dup_spans_exact | dup_span_longest | winnow | keyphrases
+  *      | pagerank | kcore | bfs | harmonic   (graph ops read
+  *        <tableDir>/lineitem.parquet, doc ops documents.parquet)
   */
 object Soak {
   def main(args: Array[String]): Unit = {
@@ -21,18 +23,25 @@ object Soak {
     val dir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle partitions from cores for
+    // partition-sizing probes (defaults to cores, the bench contract)
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val graphOps = Set("pagerank", "kcore", "bfs", "harmonic")
+    lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
-    docs.count() // untimed warmup: scan-path compile + footer decode
+    lazy val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    // untimed warmup: scan-path compile + footer decode
+    if (graphOps(op)) li.count() else docs.count()
     // construction goes INSIDE the timer: iterative ops do real work
     // eagerly (localCheckpoint rounds, offset collects) while the frame
     // is being BUILT — timing only the final action misses most of it
@@ -47,6 +56,34 @@ object Soak {
           ops.Dedup.longestDupSpanExact(docs, "text", "doc_id", maxPow = 5)
         case "winnow" =>
           ops.Dedup.winnowFingerprints(docs, "text", "doc_id")
+        case "keyphrases" => // same config as the text_keyphrases query
+          ops.Phrases.rakeKeyphrases(docs, "text", "doc_id",
+            stopwords = Seq("the", "a", "and", "of", "to", "in", "is"),
+            topN = 20)
+        case "pagerank" => // graph_pagerank's exact shape
+          ops.Graph.pagerank(
+              ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
+              iterations = 5)
+            .orderBy(col("rank_units").desc, col("id")).limit(20)
+        case "kcore" => // graph_kcore's exact shape
+          val core = ops.Graph.kCore(
+            ops.Graph.coOccurrenceEdgesCanonical(
+              li, "l_orderkey", "l_partkey"), k = 80)
+          core.select(col("src").as("id"))
+            .unionAll(core.select(col("dst").as("id")))
+            .groupBy("id").agg(count(lit(1)).as("deg"))
+        case "bfs" => // graph_bfs's exact shape
+          ops.Graph.bfsDistances(
+            ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
+            li.filter(col("l_partkey") % 101 === 0)
+              .select(col("l_partkey").as("id")),
+            maxHops = 3)
+        case "harmonic" => // graph_harmonic's exact shape
+          ops.Graph.harmonicCentrality(
+            ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
+            li.select(col("l_partkey").as("id")).distinct()
+              .orderBy("id").limit(8),
+            maxHops = 3)
         case other => sys.error(s"unknown op $other")
       }
       df.queryExecution.toRdd.count()

@@ -156,18 +156,23 @@ object Phrases {
     * (vocabulary-bounded), a co-keyed join back, and a phrase-text
     * aggregate; top-N via TakeOrderedAndProject, never a global sort.
     *
-    * PARTITION SIZING: every shuffle here carries phrase STRINGS at
-    * roughly token mass, and the global `shuffle.partitions` knob is
-    * sized for the session, not this op — the r11 100× soak measured a
-    * superlinear second decade (4.1 s → 184 s) that was pure
-    * single-heap spill pressure through 32 partitions (doubling them
-    * cut 24%, same plan). AQE coalesces small partitions but never
-    * SPLITS oversized aggregate inputs, so the op sizes its own
-    * exchanges: partition count = input bytes (optimizer estimate) ×
-    * string-expansion factor / 64 MiB, clamped to [session default,
-    * 4096], pinned with key-matching `repartition` calls that the
-    * window / groupBy / join then REUSE (subset-clustering rule) — at
-    * small SF the plan is byte-identical to the unhinted one.
+    * PARTITION SIZING: the window exchange and the word join carry raw
+    * phrase/word STRINGS at token mass, and the global
+    * `shuffle.partitions` knob is sized for the session, not this op —
+    * the r11 100× soak measured a superlinear second decade
+    * (4.1 s → 184 s) that was single-heap spill pressure through 32
+    * partitions (doubling them cut 24%, same plan). AQE coalesces
+    * small partitions but never SPLITS oversized ones, so the op sizes
+    * those two exchanges itself: partition count = input bytes
+    * (optimizer estimate, COMPRESSED for parquet) × expansion / 64 MiB
+    * clamped to [session default, 4096], pinned with key-matching
+    * `repartition` calls the window and join REUSE (subset-clustering
+    * rule). The aggregate exchanges are deliberately NOT pinned: a
+    * repartition(keys) under groupBy(keys) would replace the
+    * aggregate's own exchange and discard map-side partial aggregation
+    * (measured 6× slower) — they ride partially-combined volumes on
+    * the session knob. At small SF nPart = the session default and the
+    * plan is byte-identical to the unhinted one.
     *
     * @return top-N of (phrase, n_words, n_occurrences, score_ppm) by
     *         (score desc, phrase) */
@@ -175,8 +180,12 @@ object Phrases {
                      stopwords: Seq[String], topN: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(stopwords.nonEmpty && topN >= 1, "need stopwords and topN >= 1")
+    // expansion = 64: the size estimate for a parquet scan is the
+    // COMPRESSED file size; text decompresses ~8× and the exploded
+    // phrase/word tables multiply the token mass ~8× again (measured on
+    // the 100× soak corpus: 59.5 MB parquet → ~4 GB phrase shuffle).
     val nPart = sizedShufflePartitions(
-      df.select(col(idCol), col(textCol)), expansion = 4)
+      df.select(col(idCol), col(textCol)), expansion = 64)
     val toks = df
       .select(col(idCol).as("__d"),
         TextFunctions.tokens(col(textCol)).as("__t"))
@@ -204,11 +213,15 @@ object Phrases {
       // brushes BIGINT at web-corpus scale
       .withColumn("__ratio",
         expr("cast(__deg as decimal(38,0)) * 1000000 div __freq"))
+    // NOTE: the two aggregates below are deliberately NOT repartitioned
+    // to nPart — repartition(keys) immediately under groupBy(keys)
+    // replaces the aggregate's own exchange and thereby DISCARDS
+    // map-side partial aggregation (raw rows cross the wire instead of
+    // combined partials; measured 6× slower at 10×). Their exchanges
+    // carry partially-combined volumes and stay on the session knob.
     words.join(stats.select("__w", "__ratio"), "__w")
-      .repartition(nPart, col("__d"), col("__seg")) // phrase-score agg
       .groupBy("__d", "__seg", "__phrase", "__len")
       .agg(sum("__ratio").as("__score"))
-      .repartition(nPart, col("__phrase")) // occurrence agg reuses
       .groupBy(col("__phrase").as("phrase"), col("__len").as("n_words"),
         col("__score").as("score_ppm"))
       .agg(count(lit(1)).as("n_occurrences"))

@@ -1,0 +1,427 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.pivot.PivotOps
+import graft.QueryShared._
+import graft.TextQueries.{bm25Queries, oTextBm25, oTextBm25From}
+
+/** Similarity search + embedding quantization verification queries — split from the former monolithic
+  * OpsQueries.scala (round 12); see [[graft.OpsQueries]] for the
+  * oracle conventions and the aggregate registry. */
+private[graft] object SimilarityQueries {
+  // =====================================================================
+  // Similarity search
+  // =====================================================================
+
+  private[graft] def qSimTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, annQueries(e), "embedding", "vec_id", k = 5)
+  }
+
+  /** The bounded-Aggregator top-k path (map-side k-row partials, no
+    * sort of the scored set) — same deterministic output contract as
+    * the window formulation, so it shares sim_topk's SQL oracle. */
+  private[graft] def qSimTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopKAgg(e, annQueries(e), "embedding", "vec_id",
+      k = 5)
+  }
+
+  /** Margin-based bitext mining across the two vec_id parities of the
+    * embeddings table (stand-ins for the two languages): best pair per
+    * source by ratio margin over k=4 neighbourhoods, with the
+    * mutual-best flag. Exact micro-unit arithmetic throughout (see
+    * [[Similarity.bitextMarginPairs]]). */
+  private[graft] def qSimBitext(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+    Similarity.bitextMarginPairs(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", k = 4)
+  }
+
+  private[graft] val oSimBitext =
+    """WITH u AS MATERIALIZED (SELECT vec_id,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings
+      |  WHERE vec_id < 200),
+      |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS n
+      |  FROM u GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i
+      |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+      |  GROUP BY 1, 2),
+      |cm0 AS (SELECT src, dst,
+      |    CAST(round(d / (ns.n * nd.n) * 1000000) AS BIGINT) AS cm
+      |  FROM dots JOIN norms ns ON ns.vec_id = src
+      |    JOIN norms nd ON nd.vec_id = dst),
+      |cand AS MATERIALIZED (SELECT src, dst, cm,
+      |    row_number() OVER (PARTITION BY src ORDER BY cm DESC, dst) AS rx,
+      |    row_number() OVER (PARTITION BY dst ORDER BY cm DESC, src) AS ry
+      |  FROM cm0 WHERE cm > 0),
+      |sx AS (SELECT src, sum(cm) AS sx FROM cand WHERE rx <= 4 GROUP BY 1),
+      |sy AS (SELECT dst, sum(cm) AS sy FROM cand WHERE ry <= 4 GROUP BY 1),
+      |m AS MATERIALIZED (SELECT c.src, c.dst, c.cm, c.rx, c.ry,
+      |    CAST(c.cm * 8 * 1000000 // (sx.sx + sy.sy) AS BIGINT) AS margin
+      |  FROM cand c JOIN sx ON sx.src = c.src JOIN sy ON sy.dst = c.dst
+      |  WHERE (c.rx <= 4 OR c.ry <= 4)),
+      |bf AS (SELECT * FROM (SELECT src, dst, cm, margin, row_number()
+      |    OVER (PARTITION BY src ORDER BY margin DESC, dst) AS bf
+      |  FROM m WHERE rx <= 4) WHERE bf = 1),
+      |bb AS (SELECT dst, src AS bsrc FROM (SELECT dst, src, row_number()
+      |    OVER (PARTITION BY dst ORDER BY margin DESC, src) AS bb
+      |  FROM m WHERE ry <= 4) WHERE bb = 1)
+      |SELECT f.src, f.dst, f.cm AS cos_micro, f.margin AS margin_micro,
+      |  coalesce(bb.bsrc = f.src, FALSE) AS mutual
+      |FROM bf f LEFT JOIN bb ON bb.dst = f.dst""".stripMargin
+
+  /** MMR diversity re-rank of the BM25 top-8 per keyword query, λ=1/2,
+    * over the aligned dense embeddings (vec_id ≡ doc_id): 4 greedy
+    * selections balancing rank-normalized relevance against max
+    * similarity to what's already picked (see [[Rank.mmrRerank]]). */
+  private[graft] def qSimMmr(s: SparkSession, dir: String): DataFrame = {
+    // the embedding-ALIGNED corpus slice (vec_id ≡ doc_id < 500): at
+    // larger SFs the full table's top candidates have no vector
+    val cand = TextRank.bm25TopK(
+      t(s, dir, "documents").filter(col("doc_id") < 500),
+      "text", "doc_id", bm25Queries, k = 8)
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Rank.mmrRerank(cand, vecs, "qid", "doc_id", "rank", "embedding",
+        m = 4)
+      .select(col("qid"), col("sel_rank"), col("id").as("doc_id"),
+        col("mmr_units"))
+  }
+
+  private[graft] val oSimMmr = {
+    val m = 4
+    val level = (t: Int) =>
+      s"""s$t AS MATERIALIZED (SELECT qid, id,
+         |    CAST($t AS BIGINT) AS sel_rank, score AS mmr_units FROM (
+         |  SELECT r.qid, r.id, CAST(r.rel - ms.maxsim AS BIGINT) AS score,
+         |    row_number() OVER (PARTITION BY r.qid
+         |      ORDER BY (r.rel - ms.maxsim) DESC, r.id) AS rn
+         |  FROM rel r JOIN (SELECT p2.qid, p2.a AS id,
+         |      max(p2.sim) AS maxsim
+         |    FROM pairs p2 JOIN pk${t - 1} p
+         |      ON p2.qid = p.qid AND p2.b = p.id GROUP BY 1, 2) ms
+         |    ON ms.qid = r.qid AND ms.id = r.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM pk${t - 1} p
+         |    WHERE p.qid = r.qid AND p.id = r.id))
+         |  WHERE rn = 1),
+         |pk$t AS MATERIALIZED (SELECT * FROM pk${t - 1}
+         |  UNION ALL SELECT * FROM s$t)""".stripMargin
+    val bm25Aligned =
+      oTextBm25From("(SELECT * FROM documents WHERE doc_id < 500)")
+    s"""WITH bm AS MATERIALIZED ($bm25Aligned),
+       |base AS MATERIALIZED (SELECT qid, doc_id AS id, rank FROM bm
+       |  WHERE rank <= 8),
+       |kk AS (SELECT qid, CAST(max(rank) AS BIGINT) AS kmax FROM base
+       |  GROUP BY 1),
+       |rel AS MATERIALIZED (SELECT b.qid, b.id, b.rank,
+       |    CASE WHEN kmax = 1 THEN 1000000
+       |      ELSE CAST((kmax - rank) * 1000000 // (kmax - 1) AS BIGINT)
+       |    END AS rel
+       |  FROM base b JOIN kk USING (qid)),
+       |u AS MATERIALIZED (SELECT vec_id,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i FROM embeddings
+       |  WHERE vec_id IN (SELECT id FROM base)),
+       |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS n
+       |  FROM u GROUP BY vec_id),
+       |dots AS (SELECT a.vec_id AS x, b.vec_id AS c, sum(a.x * b.x) AS d
+       |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |cm AS MATERIALIZED (SELECT x, c,
+       |    CAST(round(d / (nx.n * nc.n) * 1000000) AS BIGINT) AS sim
+       |  FROM dots JOIN norms nx ON nx.vec_id = x
+       |    JOIN norms nc ON nc.vec_id = c),
+       |pairs AS MATERIALIZED (SELECT r1.qid, r1.id AS a, r2.id AS b,
+       |    cm.sim
+       |  FROM rel r1 JOIN rel r2 ON r1.qid = r2.qid AND r1.id <> r2.id
+       |  JOIN cm ON cm.x = r1.id AND cm.c = r2.id),
+       |pk1 AS MATERIALIZED (SELECT qid, id, CAST(1 AS BIGINT) AS sel_rank,
+       |    CAST(NULL AS BIGINT) AS mmr_units FROM rel WHERE rank = 1),
+       |${(2 to m).map(level).mkString(",\n")}
+       |SELECT qid, sel_rank, id AS doc_id, mmr_units FROM pk$m"""
+      .stripMargin
+  }
+
+  private[graft] val oSimTopK =
+    """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS id, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < 8 AND b.vec_id <> a.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (SELECT qid, id, round(d / (nq.n * nc.n), 6) AS sim
+      |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = id),
+      |ranked AS (SELECT qid, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rank FROM scored)
+      |SELECT qid, rank, id, sim FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Hybrid retrieval: BM25 keyword ranking over documents fused with
+    * exact dense cosine ranking over the aligned embeddings (vec_id ≡
+    * doc_id) by reciprocal-rank fusion — dense query-by-example uses
+    * vec_id < 3 paired with the three BM25 keyword queries. Both rank
+    * lists AND the fusion are replayed in SQL (fixed-order reciprocal
+    * adds, id ties), so the whole hybrid is hash-compared. */
+  private[graft] def qSimHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+        "embedding", "vec_id", k = 10)
+      .select(col("qid"), col("id"), col("rank"))
+    val sparse = TextRank.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        bm25Queries, k = 10)
+      .select(col("qid").cast("long").as("qid"), col("doc_id").as("id"),
+        col("rank"))
+    TextRank.rrfFuse(dense, sparse, "qid", "id", "rank", k = 10)
+  }
+
+  private[graft] val oSimHybridRrf =
+    s"""WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS id, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < 3
+      |    AND b.vec_id <> a.vec_id
+      |  GROUP BY 1, 2),
+      |dscored AS (SELECT qid, id, round(d / (nq.n * nc.n), 6) AS sim
+      |  FROM dots JOIN norms nq ON nq.vec_id = qid
+      |    JOIN norms nc ON nc.vec_id = id),
+      |dense AS (SELECT * FROM (SELECT qid, id, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM dscored) WHERE rank <= 10),
+      |sparse AS ($oTextBm25),
+      |fused AS (SELECT COALESCE(d.qid, s.qid) AS qid,
+      |    COALESCE(d.id, s.doc_id) AS id,
+      |    COALESCE(CAST(1 AS DOUBLE) / (60 + d.rank), CAST(0 AS DOUBLE)) +
+      |      COALESCE(CAST(1 AS DOUBLE) / (60 + s.rank), CAST(0 AS DOUBLE))
+      |      AS rrf_score
+      |  FROM dense d FULL JOIN sparse s
+      |    ON d.qid = s.qid AND d.id = s.doc_id)
+      |SELECT * FROM (SELECT qid, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY rrf_score DESC, id) AS INTEGER) AS rank,
+      |  id, rrf_score FROM fused) WHERE rank <= 10""".stripMargin
+
+  /** nbits=7 × 8 tables: measured recall@5 0.85 (sf0.01) / 0.80 (sf0.1)
+    * at the same local cost as the old 8×4 setting's 0.45 — each table
+    * probes (nbits+1)/2^nbits of the corpus, so raise nbits (and tables
+    * with it) as corpus size grows to hold the probed fraction flat. */
+  /** The ANN query set: one definition shared by the raw top-k queries
+    * and the contracts, so n_queries can never drift from the rank
+    * lists it is compared against. */
+  private[graft] def annQueries(e: DataFrame): DataFrame = e.filter(col("vec_id") < 8)
+
+  private[graft] def rawSimTopKLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, annQueries(e),
+      "embedding", "vec_id", k = 5, nbits = 7, dim = 64, tables = 8)
+  }
+
+  /** Measured recall@5 (sf0.01/sf0.1): lloyd=0 0.925/1.000, lloyd=2
+    * 0.900/0.925 — Lloyd refinement REDUCES recall on this synthetic
+    * near-uniform data, because balancing the cells shrinks the corpus
+    * fraction nprobe=4/16 scans (the unrefined seed quantizer's skewed
+    * cells were scanning more). On clustered real embeddings refinement
+    * aligns cells with the clusters and helps; here the honest default
+    * is the deterministic seed quantizer. */
+  private[graft] def rawSimTopKIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, annQueries(e),
+      "embedding", "vec_id", k = 5, ncentroids = 16, nprobe = 4)
+  }
+
+  /** Well-formedness CONTRACT of an ANN rank list — the list itself is
+    * hash/sketch-family-dependent (its recall is the separate
+    * sim_*_recall contract), but these properties are engine-agnostic:
+    * every query returns exactly k rows; every reported sim IS the exact
+    * cosine of (query, candidate) re-computed from the vectors (ANN
+    * selects candidates, it never fabricates scores); ranks are exactly
+    * row_number by (sim DESC, id). */
+  private[graft] def annWellFormed(s: SparkSession, dir: String, approx: DataFrame,
+                            k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val withVecs = approx
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("__qv")), "qid")
+      .join(e.select(col("vec_id").as("id"), col("embedding").as("__cv")), "id")
+      .withColumn("__true_sim",
+        round(Similarity.cosineFast(s, col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    val checked = withVecs
+      .withColumn("__rn", row_number().over(w))
+      .select(
+        when(col("sim") === col("__true_sim"), 1).otherwise(0).as("__sim_ok"),
+        when(col("rank") === col("__rn"), 1).otherwise(0).as("__rank_ok"))
+    annQueries(e).agg(count(lit(1)).as("n_queries"))
+      .crossJoin(checked.agg(
+        count(lit(1)).as("n_rows"),
+        (min(col("__sim_ok")) === 1).as("sims_exact_ok"),
+        (min(col("__rank_ok")) === 1).as("ranked_ok")))
+      .select(col("n_queries"), lit(k).cast("long").as("k"), col("n_rows"),
+        col("sims_exact_ok"), col("ranked_ok"))
+  }
+
+  private[graft] def qSimTopKLsh(s: SparkSession, dir: String): DataFrame =
+    annWellFormed(s, dir, rawSimTopKLsh(s, dir), k = 5)
+
+  private[graft] def qSimTopKIvf(s: SparkSession, dir: String): DataFrame =
+    annWellFormed(s, dir, rawSimTopKIvf(s, dir), k = 5)
+
+  private[graft] val oAnnWellFormed =
+    """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+      |  count(*) * CAST(5 AS BIGINT) AS n_rows,
+      |  TRUE AS sims_exact_ok, TRUE AS ranked_ok
+      |FROM embeddings WHERE vec_id < 8""".stripMargin
+
+  /** Recall of an ANN result against the exact brute-force top-k, as an
+    * oracle-checkable CONTRACT row: the raw approximate rankings are
+    * hash-family-dependent (rows-only checks `sim_topk_lsh`/`sim_topk_ivf`
+    * pin them), but "finds at least `bound` of the true top-k" is
+    * engine-agnostic and is what a user of the operator relies on. */
+  private[graft] def annRecall(exact: DataFrame, approx: DataFrame, k: Int,
+                        bound: Double): DataFrame = {
+    val hits = exact.select("qid", "id")
+      .join(approx.select("qid", "id"), Seq("qid", "id"), "left_semi")
+    exact.agg(
+        count_distinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_queries"), lit(k).cast("long").as("k"),
+        (col("n_hit") >= col("n_exact") * lit(bound)).as("recall_ok"))
+  }
+
+  /** LSH top-k must recover ≥60% of the exact top-5 set (measured 0.85
+    * at sf0.01, 0.80 at sf0.1 — deterministic for the fixed hyperplane
+    * family). */
+  private[graft] def qSimLshRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(qSimTopK(s, dir), rawSimTopKLsh(s, dir), k = 5, bound = 0.6)
+
+  /** IVF top-k (nprobe 4 of 16 cells) must recover ≥90% of the exact
+    * top-5 set — measured 0.925 at sf0.01, 1.000 at sf0.1, and
+    * deterministic (fixed sample + seed quantizer, no runtime
+    * randomness), so the slim sf0.01 margin cannot drift. */
+  private[graft] def qSimIvfRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(qSimTopK(s, dir), rawSimTopKIvf(s, dir), k = 5, bound = 0.9)
+
+  /** Search over PQ-RECONSTRUCTED vectors (m=16 × 256 centroids — 16
+    * bytes/vec, 16x smaller than float32) must recover ≥40% of the
+    * exact top-5 (measured 0.83/0.58 at sf0.01/sf0.1 on these
+    * near-random synthetic embeddings — clustered real embeddings
+    * quantize far better; deterministic: fixed sample + Lloyd). */
+  private[graft] def qEmbPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cb = Quantize.pqTrain(e, "embedding", "vec_id", m = 16, k = 256)
+    val codes = Quantize.pqEncode(e, "embedding", "vec_id", cb)
+    // ADC search straight over the 16-byte codes (never reconstructs);
+    // spec-pinned equal to brute force over the decoded vectors
+    val approx = Similarity.pqTopK(codes, "codes", "vec_id",
+      annQueries(e), "embedding", "vec_id", cb, k = 5)
+    annRecall(qSimTopK(s, dir), approx, k = 5, bound = 0.4)
+  }
+
+  /** OPQ-lite composed compression: PCA-rotate 64-dim embeddings to the
+    * top-32 principal dims (decorrelation is exactly what PQ's
+    * independent-subspace assumption wants), then PQ to 8 bytes/vector
+    * — 32× smaller than float32, HALF the bytes of the flat 16-byte PQ
+    * — and ADC-search in the projected space. Recall is judged against
+    * the ORIGINAL-space exact top-5, so the contract covers both the
+    * rotation and the quantization loss. Near-ISOTROPIC synthetic
+    * embeddings are PCA's worst case (all 64 eigvals comparable, so
+    * dropping 32 dims discards ~half the variance — same caveat as
+    * cosine-LSH at low thresholds): measured 0.35–0.45 at sf0.01 and
+    * 0.25–0.35 at sf0.1, floor 0.2; clustered REAL embeddings
+    * concentrate variance and recall rises toward the flat-PQ level.
+    * Deterministic: fixed sample + Jacobi + Lloyd, no runtime
+    * randomness. */
+  private[graft] def qEmbPcaPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pca = Pca.fit(e, "embedding", k = 32)
+    val proj = e.select(col("vec_id"),
+      Pca.projectCol(pca, col("embedding")).as("z"))
+    val cb = Quantize.pqTrain(proj, "z", "vec_id", m = 8, k = 256)
+    val codes = Quantize.pqEncode(proj, "z", "vec_id", cb)
+    val approx = Similarity.pqTopK(codes, "codes", "vec_id",
+      proj.filter(col("vec_id") < 8), "z", "vec_id", cb, k = 5)
+    annRecall(qSimTopK(s, dir), approx, k = 5, bound = 0.2)
+  }
+
+  /** IVF-PQ composed search (16 cells × nprobe 4, PQ m=16 × 256 — the
+    * faiss IVFADC shape: probing bounds rows scored, ADC bounds cost per
+    * row, the index is 16 B + cell id per vector and the float corpus is
+    * never read at search time). Recall compounds both approximations
+    * (IVF ≈ 0.93+, PQ ≈ 0.58-0.83 on these near-random synthetic
+    * embeddings), so the contract floor matches `emb_pq_recall`'s 0.4;
+    * deterministic (fixed sample + seed quantizers). */
+  private[graft] def qSimIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = Similarity.ivfPqIndex(e, "embedding", "vec_id")
+    val approx = Similarity.ivfPqTopK(idx, annQueries(e), "embedding", "vec_id", k = 5)
+    annRecall(qSimTopK(s, dir), approx, k = 5, bound = 0.4)
+  }
+
+  private[graft] val oAnnRecall =
+    """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 8""".stripMargin
+
+  // =====================================================================
+  // Embedding quantization
+  // =====================================================================
+
+  /** int8 scalar quantization of the embeddings: codes serialized to a
+    * string (the driver compare cannot sort array cells), scale/error
+    * float-quantized. */
+  private[graft] def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
+    Quantize.int8Table(t(s, dir, "embeddings"), "embedding", "vec_id")
+      .select(col("vec_id"), col("scale").cast("float").as("scale"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes"),
+        col("err").cast("float").as("err"))
+
+  private[graft] val oEmbQuantize =
+    """WITH q AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+      |  FROM embeddings),
+      |c AS (SELECT vec_id, embedding, sc,
+      |    list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0
+      |      ELSE CAST(round(CAST(x AS DOUBLE) / sc) AS BIGINT) END) AS codes
+      |  FROM q)
+      |SELECT vec_id, CAST(sc AS REAL) AS scale,
+      |  array_to_string(codes, ',') AS codes,
+      |  CAST(sqrt(list_sum(list_transform(list_zip(embedding, codes),
+      |    p -> pow(CAST(p[1] AS DOUBLE) - p[2] * sc, 2)))) AS REAL) AS err
+      |FROM c""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hybrid_rrf" -> (qSimHybridRrf _),
+    "sim_topk" -> (qSimTopK _),
+    "sim_bitext" -> (qSimBitext _),
+    "sim_mmr" -> (qSimMmr _),
+    "sim_topk_agg" -> (qSimTopKAgg _),
+    "sim_topk_lsh" -> (qSimTopKLsh _),
+    "sim_topk_ivf" -> (qSimTopKIvf _),
+    "emb_quantize" -> (qEmbQuantize _),
+    "emb_pca_pq_recall" -> (qEmbPcaPqRecall _),
+    "sim_lsh_recall" -> (qSimLshRecall _),
+    "sim_ivf_recall" -> (qSimIvfRecall _),
+    "sim_ivfpq_recall" -> (qSimIvfPqRecall _),
+    "emb_pq_recall" -> (qEmbPqRecall _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_hybrid_rrf" -> oSimHybridRrf,
+    "sim_topk" -> oSimTopK,
+    "sim_bitext" -> oSimBitext,
+    "sim_mmr" -> oSimMmr,
+    "sim_topk_agg" -> oSimTopK,
+    "sim_topk_lsh" -> oAnnWellFormed,
+    "sim_topk_ivf" -> oAnnWellFormed,
+    "emb_quantize" -> oEmbQuantize,
+    "emb_pca_pq_recall" -> oAnnRecall,
+    "sim_lsh_recall" -> oAnnRecall,
+    "sim_ivf_recall" -> oAnnRecall,
+    "sim_ivfpq_recall" -> oAnnRecall,
+    "emb_pq_recall" -> oAnnRecall
+  )
+}

@@ -1,0 +1,1122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.pivot.PivotOps
+import graft.QueryShared._
+
+/** Text analysis verification queries — split from the former monolithic
+  * OpsQueries.scala (round 12); see [[graft.OpsQueries]] for the
+  * oracle conventions and the aggregate registry. */
+private[graft] object TextQueries {
+  // =====================================================================
+  // Text analysis
+  // =====================================================================
+
+  private[graft] def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+      TextFunctions.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"),
+      TextFunctions.avgTokenLen(col("text")).as("avg_tok_len"),
+      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+  }
+
+  private[graft] val oTextStats =
+    s"""SELECT doc_id,
+      |  len($oToks) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+      |  CAST(len(array_to_string($oToks, '')) AS DOUBLE) / len($oToks) AS avg_tok_len,
+      |  CAST(len(list_filter($oToks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+      |    / len($oToks) AS stop_ratio,
+      |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+      |    / greatest(length(text), 1) AS punct_ratio,
+      |  (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.5 AS DOUBLE) ELSE 0.0 END)
+      |  + (CASE WHEN CAST(len(list_filter($oToks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+      |      / len($oToks) > 0.02 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END)
+      |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+      |      / greatest(length(text), 1) < 0.1 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END) AS quality
+      |FROM documents""".stripMargin
+
+  /** The oTextStats quality-score expression, reused by the AUC /
+    * calibration oracles. */
+  private[graft] val oQualityExpr =
+    s"""(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.5 AS DOUBLE) ELSE 0.0 END)
+      |  + (CASE WHEN CAST(len(list_filter($oToks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+      |      / len($oToks) > 0.02 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END)
+      |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+      |      / greatest(length(text), 1) < 0.1 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END)""".stripMargin
+
+  /** Exact midrank AUC of the heuristic quality score against the
+    * is-English label — integer rank-sum arithmetic, heavy ties (the
+    * score takes 5 dyadic values), one group-cardinality window (see
+    * [[Classify.aucExact]]). */
+  private[graft] def qQualityAuc(s: SparkSession, dir: String): DataFrame =
+    Classify.aucExact(
+      t(s, dir, "documents").select(
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en")
+
+  private[graft] val oQualityAuc =
+    s"""WITH sc AS MATERIALIZED (SELECT $oQualityExpr AS s,
+       |    lang = 'en' AS y FROM documents),
+       |g AS (SELECT s, count(*) AS n,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS np FROM sc GROUP BY s),
+       |c AS (SELECT s, n, np, sum(n) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cb
+       |  FROM g),
+       |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |    CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+       |    CAST(sum(np * (2 * cb + n + 1)) AS BIGINT) AS s2 FROM c)
+       |SELECT n_pos, n_neg,
+       |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN (s2 - n_pos * (n_pos + 1)) * 1000000
+       |      // (2 * n_pos * n_neg) END AS BIGINT) AS auc_ppm,
+       |  round(CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN (s2 - n_pos * (n_pos + 1)) * 1000000
+       |      // (2 * n_pos * n_neg) END AS DOUBLE) / 1000000, 6) AS auc
+       |FROM a""".stripMargin
+
+  /** Decile calibration bins of the quality score vs the is-English
+    * label (see [[Classify.calibrationBins]]). */
+  private[graft] def qQualityCalibration(s: SparkSession, dir: String): DataFrame =
+    Classify.calibrationBins(
+      t(s, dir, "documents").select(
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en")
+
+  private[graft] val oQualityCalibration =
+    s"""WITH sc AS (SELECT $oQualityExpr AS s, lang = 'en' AS y
+       |  FROM documents)
+       |SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+       |  count(*) AS n,
+       |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(avg(s) AS REAL) AS mean_score
+       |FROM sc GROUP BY 1""".stripMargin
+
+  /** Exact average precision (PR-AP) of the quality score against the
+    * is-English label under the deterministic (score desc, doc_id)
+    * order — one range exchange for rank + running positives, integer
+    * term fold (see [[Classify.averagePrecision]]). */
+  private[graft] def qQualityPrAp(s: SparkSession, dir: String): DataFrame =
+    Classify.averagePrecision(
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en", "doc_id")
+
+  private[graft] val oQualityPrAp =
+    s"""WITH sc AS (SELECT doc_id, $oQualityExpr AS s, lang = 'en' AS y
+       |  FROM documents),
+       |r AS (SELECT y,
+       |    row_number() OVER (ORDER BY s DESC, doc_id) AS k,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY s DESC, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+       |  FROM sc),
+       |a AS (SELECT count(*) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN y THEN cp * 1000000 // k ELSE 0 END)
+       |      AS BIGINT) AS terms FROM r)
+       |SELECT n, n_pos,
+       |  CASE WHEN n_pos > 0 THEN terms // n_pos END AS ap_ppm,
+       |  round(CAST(CASE WHEN n_pos > 0 THEN terms // n_pos END
+       |    AS DOUBLE) / 1000000, 6) AS ap
+       |FROM a""".stripMargin
+
+  /** END-TO-END isotonic calibration: fit PAVA on a HOLDOUT's decile
+    * reliability bins (doc_id % 5 = 0), apply the fitted monotone step
+    * map to the remaining documents, and report (calibrated_rate, n,
+    * n_pos) per step level. The oracle replays the PAVA fit EXACTLY in
+    * SQL via the minimax characterization of isotonic regression —
+    * iso(i) = max over j ≤ i of min over k ≥ i of the pooled rate of
+    * bins [j..k] — which over 10 decile bins is a bounded triple join;
+    * pooled rates are single correctly-rounded divisions of exact
+    * integer sums on both engines, so the doubles match bit-for-bit
+    * (see [[Classify.isotonicFit]]/[[Classify.isotonicApply]]). */
+  private[graft] def qQualityCalibrationIsotonic(s: SparkSession, dir: String)
+      : DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("score"),
+      (col("lang") === "en").as("is_en"))
+    val bins = Classify.calibrationBins(
+      scored.filter(col("doc_id") % 5 === 0), "score", "is_en")
+    val model = Classify.isotonicFit(bins, "mean_score", "n", "n_pos")
+    scored.filter(col("doc_id") % 5 =!= 0)
+      .select(Classify.isotonicApply(col("score"), model).as("cal_rate"),
+        col("is_en"))
+      .groupBy("cal_rate")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"))
+  }
+
+  private[graft] val oQualityCalibrationIsotonic =
+    s"""WITH sc AS MATERIALIZED (SELECT doc_id, $oQualityExpr AS s,
+       |    lang = 'en' AS y FROM documents),
+       |hb AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+       |    count(*) AS n, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+       |    CAST(CAST(avg(s) AS REAL) AS DOUBLE) AS ms
+       |  FROM sc WHERE doc_id % 5 = 0 GROUP BY 1),
+       |rng AS (SELECT j.bin AS jb, k.bin AS kb,
+       |    CAST(sum(m.np) AS DOUBLE) / sum(m.n) AS r
+       |  FROM hb j JOIN hb k ON j.bin <= k.bin
+       |    JOIN hb m ON m.bin BETWEEN j.bin AND k.bin
+       |  GROUP BY 1, 2),
+       |mins AS (SELECT rng.jb, i.bin, min(rng.r) AS mn
+       |  FROM hb i JOIN rng ON rng.jb <= i.bin AND rng.kb >= i.bin
+       |  GROUP BY 1, 2),
+       |step AS (SELECT bin, ms, (SELECT max(mn) FROM mins
+       |    WHERE mins.bin = hb.bin AND mins.jb <= hb.bin) AS v FROM hb),
+       |test AS (SELECT s, y FROM sc WHERE doc_id % 5 <> 0),
+       |cal AS (SELECT y, coalesce(
+       |    (SELECT v FROM step WHERE step.ms <= test.s
+       |       ORDER BY step.ms DESC LIMIT 1),
+       |    (SELECT v FROM step ORDER BY bin LIMIT 1)) AS cal_rate
+       |  FROM test)
+       |SELECT cal_rate, count(*) AS n,
+       |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |FROM cal GROUP BY 1""".stripMargin
+
+  /** Brier score with Murphy decomposition + ECE of the quality score
+    * vs the is-English label (see [[Classify.brierDecomposition]]):
+    * distinct-score bins, exact micro integers end to end. */
+  private[graft] def qQualityBrier(s: SparkSession, dir: String): DataFrame =
+    Classify.brierDecomposition(
+      t(s, dir, "documents").select(
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en")
+
+  private[graft] val oQualityBrier =
+    s"""WITH sc AS (SELECT
+       |    CAST(floor(($oQualityExpr) * 1000000 + 0.5) AS BIGINT) AS s,
+       |    lang = 'en' AS y FROM documents),
+       |b AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+       |  FROM sc GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(p) AS BIGINT) AS pt,
+       |    CAST(CAST(sum(p) AS HUGEINT) * 1000000 // sum(n) AS BIGINT)
+       |      AS yb FROM b),
+       |a AS (SELECT
+       |    sum(CAST(p AS HUGEINT) * (1000000 - s) * (1000000 - s)
+       |      + CAST(n - p AS HUGEINT) * s * s) AS bt,
+       |    sum((CAST(n AS HUGEINT) * s - CAST(p AS HUGEINT) * 1000000)
+       |      * (CAST(n AS HUGEINT) * s - CAST(p AS HUGEINT) * 1000000)
+       |      // (CAST(n AS HUGEINT) * 1000000)) AS rel,
+       |    sum((CAST(p AS HUGEINT) * 1000000
+       |        - CAST(n AS HUGEINT) * (SELECT yb FROM t))
+       |      * (CAST(p AS HUGEINT) * 1000000
+       |        - CAST(n AS HUGEINT) * (SELECT yb FROM t))
+       |      // (CAST(n AS HUGEINT) * 1000000)) AS res,
+       |    sum(abs(CAST(p AS HUGEINT) * 1000000
+       |      - CAST(n AS HUGEINT) * s)) AS ece
+       |  FROM b)
+       |SELECT t.nt AS n, t.pt AS n_pos,
+       |  CAST(a.bt // (CAST(t.nt AS HUGEINT) * 1000000) AS BIGINT)
+       |    AS brier_micro,
+       |  CAST(a.rel // t.nt AS BIGINT) AS rel_micro,
+       |  CAST(a.res // t.nt AS BIGINT) AS res_micro,
+       |  CAST(CAST(t.pt AS HUGEINT) * (t.nt - t.pt) * 1000000
+       |    // (CAST(t.nt AS HUGEINT) * t.nt) AS BIGINT) AS unc_micro,
+       |  CAST(a.ece // CAST(t.nt AS HUGEINT) AS BIGINT) AS ece_micro
+       |FROM t, a""".stripMargin
+
+  /** Split-conformal coverage audit of a chars→tokens linear
+    * predictor over documents (see [[Classify.conformalCoverage]]):
+    * even doc_ids calibrate an exact-rail OLS, q̂ is the
+    * ⌈(n+1)·0.9⌉-th smallest calibration residual off the
+    * value-frequency rail, and the odd half reports exact ppm
+    * coverage. */
+  private[graft] def qQualityConformal(s: SparkSession, dir: String): DataFrame =
+    Classify.conformalCoverage(
+      t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("toks")),
+      "chars", "toks", "doc_id", alphaPpm = 100000L)
+
+  private[graft] val oQualityConformal =
+    s"""WITH d AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS x,
+       |    CAST(len($oToks) AS BIGINT) AS y FROM documents),
+       |dd AS (SELECT id, x, y, id % 2 = 0 AS cal FROM d
+       |  WHERE id IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL),
+       |f AS (SELECT CAST(count(*) AS BIGINT) AS ncal,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM dd WHERE cal),
+       |fb AS (SELECT ncal, sx, sy,
+       |    ncal * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |    ncal * sxx - CAST(sx AS HUGEINT) * sx AS dx FROM f),
+       |fit AS (SELECT ncal,
+       |    CASE WHEN dx > 0 THEN CAST(num * 1000000 // dx AS BIGINT) END
+       |      AS slope,
+       |    CASE WHEN dx > 0 THEN CAST((CAST(sy AS HUGEINT) * dx
+       |      - num * sx) * 1000000 // (CAST(ncal AS HUGEINT) * dx)
+       |      AS BIGINT) END AS icept
+       |  FROM fb),
+       |r AS (SELECT dd.id, dd.cal,
+       |    CAST(abs(CAST(dd.y AS HUGEINT) * 1000000
+       |      - (CAST(fit.slope AS HUGEINT) * dd.x + fit.icept))
+       |      AS BIGINT) AS r
+       |  FROM dd, fit),
+       |cc AS (SELECT r, count(*) AS c FROM r WHERE cal GROUP BY 1),
+       |cw AS (SELECT r, sum(c) OVER (ORDER BY r
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cc),
+       |q AS (SELECT ncal,
+       |    CAST((CAST(ncal + 1 AS HUGEINT) * 900000 + 999999) // 1000000
+       |      AS BIGINT) AS k FROM fit),
+       |qh AS (SELECT (SELECT ncal FROM q) AS n_cal,
+       |    (SELECT k FROM q) AS k_rank,
+       |    CASE WHEN (SELECT k FROM q) <= (SELECT ncal FROM q) THEN
+       |      min(CASE WHEN cum >= (SELECT k FROM q) THEN r END) END
+       |      AS qhat
+       |  FROM cw)
+       |SELECT qh.n_cal, count(*) AS n_test, qh.k_rank,
+       |  qh.qhat AS qhat_micro,
+       |  CASE WHEN qh.qhat IS NOT NULL THEN
+       |    CAST(sum(CASE WHEN r.r <= qh.qhat THEN 1 ELSE 0 END)
+       |      AS BIGINT) END AS covered,
+       |  CASE WHEN qh.qhat IS NOT NULL AND count(*) > 0 THEN
+       |    CAST(CAST(sum(CASE WHEN r.r <= qh.qhat THEN 1 ELSE 0 END)
+       |      AS HUGEINT) * 1000000 // count(*) AS BIGINT) END
+       |    AS coverage_ppm
+       |FROM r, qh WHERE NOT r.cal
+       |GROUP BY qh.n_cal, qh.k_rank, qh.qhat""".stripMargin
+
+  /** Inverted-index postings head: for the 100 highest-df tokens,
+    * document frequency, collection frequency and the top-5 posting
+    * docs by in-doc count (composing [[Rank.topNPerGroup]] — window
+    * state is one token's postings; swap in the bounded
+    * TopKAggregator for web-scale hot tokens). The retrieval-index
+    * build read: which terms dominate and where. */
+  private[graft] def qTextPostings(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // df/cf aggregate + top-5 window share it
+    val top = Rank.topNPerGroup(c, Seq(col("tok")),
+        Seq(col("c").desc, col("doc_id")), 5)
+      .groupBy("tok")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "named_struct('r', rank, 'd', doc_id))), " +
+        "x -> CAST(x.d AS STRING)), ',')").as("top_docs"))
+    c.groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum("c").as("cf"))
+      .join(top, Seq("tok"))
+      .orderBy(col("df").desc, col("tok")).limit(100)
+  }
+
+  private[graft] val oTextPostings =
+    s"""WITH t0 AS (SELECT doc_id, unnest($oToks) AS tok FROM documents),
+       |c AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM t0 GROUP BY 1, 2),
+       |r AS (SELECT tok, doc_id, c, row_number() OVER (PARTITION BY tok
+       |    ORDER BY c DESC, doc_id) AS rn FROM c),
+       |g AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(c) AS BIGINT) AS cf FROM c GROUP BY 1),
+       |tp AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ','
+       |    ORDER BY rn) AS top_docs FROM r WHERE rn <= 5 GROUP BY 1)
+       |SELECT g.tok, g.df, g.cf, tp.top_docs
+       |FROM g JOIN tp USING (tok)
+       |ORDER BY df DESC, tok LIMIT 100""".stripMargin
+
+  /** Zipf-slope read over the token frequency table: OLS of
+    * floor(log₂ freq) on floor(log₂ rank) — both exponents EXACT
+    * integers via binary-string length (no libm log anywhere, the
+    * engine-portable spelling; a natural-text corpus reads slope_ppm
+    * ≈ −10⁶). Ranks off [[Rank.globalRank]]'s range exchange,
+    * regression via [[Insight.olsByKey]]'s exact rational rail. */
+  private[graft] def qCorpusZipf(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    Insight.olsByKey(
+      Rank.globalRank(freq, Seq(col("cnt").desc, col("tok")),
+          outCol = "rank")
+        .select(lit("zipf").as("k"),
+          (length(expr("bin(rank)")) - 1).cast("long").as("lg_rank"),
+          (length(expr("bin(cnt)")) - 1).cast("long").as("lg_freq")),
+      "k", "lg_rank", "lg_freq")
+  }
+
+  private[graft] val oCorpusZipf =
+    s"""WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM
+       |  (SELECT unnest($oToks) AS tok FROM documents) GROUP BY 1),
+       |r AS (SELECT cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM f),
+       |d AS (SELECT 'zipf' AS key,
+       |    CAST(length(format('{:b}', rank)) - 1 AS BIGINT) AS x,
+       |    CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS y FROM r),
+       |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM d GROUP BY 1),
+       |b AS (SELECT key, n, sx, sy,
+       |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |    n * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+       |    n * syy - CAST(sy AS HUGEINT) * sy AS dy
+       |  FROM a)
+       |SELECT key, n,
+       |  CASE WHEN dx > 0 THEN CAST(num * 1000000 // dx AS BIGINT) END
+       |    AS slope_ppm,
+       |  CASE WHEN dx > 0 THEN CAST((CAST(sy AS HUGEINT) * dx - num * sx)
+       |    * 1000000 // (CAST(n AS HUGEINT) * dx) AS BIGINT) END
+       |    AS intercept_micro,
+       |  CASE WHEN dx > 0 AND dy > 0 THEN CAST(floor(
+       |    CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+       |    (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) * 1.0E6 + 0.5E0)
+       |    AS BIGINT) END AS r2_ppm
+       |FROM b""".stripMargin
+
+  /** Heaps'-law vocabulary growth curve over documents in doc_id
+    * order (see [[Report.vocabGrowth]]): V(n) and T(n) at 10
+    * checkpoints off the range-exchange rank rail — exact, no prefix
+    * re-scans. */
+  private[graft] def qCorpusVocabGrowth(s: SparkSession, dir: String): DataFrame =
+    Report.vocabGrowth(
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", points = 10)
+
+  private[graft] val oCorpusVocabGrowth =
+    s"""WITH d AS (SELECT doc_id, $oToks AS t,
+       |    row_number() OVER (ORDER BY doc_id) AS pos
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |cp AS (SELECT CAST(p AS BIGINT) AS point,
+       |    CAST(p * (SELECT n FROM n) // 10 AS BIGINT) AS n_docs
+       |  FROM generate_series(1, 10) AS g(p)),
+       |fp AS (SELECT tok, min(pos) AS fp FROM
+       |  (SELECT pos, unnest(t) AS tok FROM d) GROUP BY 1),
+       |v AS (SELECT cp.point, cp.n_docs, CAST(count(*) AS BIGINT)
+       |    AS vocab
+       |  FROM fp JOIN cp ON fp.fp <= cp.n_docs GROUP BY 1, 2),
+       |tk AS (SELECT cp.point, cp.n_docs,
+       |    CAST(sum(len(d.t)) AS BIGINT) AS tokens
+       |  FROM d JOIN cp ON d.pos <= cp.n_docs GROUP BY 1, 2)
+       |SELECT tk.point, tk.n_docs,
+       |  CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab, tk.tokens
+       |FROM tk LEFT JOIN v USING (point, n_docs)""".stripMargin
+
+  /** McNemar's paired test between the quality-score classifier and a
+    * crude length gate on the is-English label (see
+    * [[Classify.mcnemar]]): only discordant pairs carry information;
+    * fully exact integers. */
+  private[graft] def qQualityMcnemar(s: SparkSession, dir: String): DataFrame =
+    Classify.mcnemar(
+      t(s, dir, "documents").select(
+        (TextFunctions.qualityScore(col("text")) >= 0.5).as("pred_a"),
+        (col("text").isNotNull &&
+          length(col("text")).between(200, 8000)).as("pred_b"),
+        (col("lang") === "en").as("is_en")),
+      "pred_a", "pred_b", "is_en")
+
+  private[graft] val oQualityMcnemar =
+    s"""WITH d AS (SELECT ($oQualityExpr) >= 0.5 AS a,
+       |    text IS NOT NULL AND length(text) BETWEEN 200 AND 8000 AS b,
+       |    lang = 'en' AS y FROM documents)
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_b,
+       |  CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_c,
+       |  CASE WHEN sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+       |      + sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END) > 0
+       |    THEN CAST((abs(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0
+       |      END) - sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END))
+       |      - 1) * (abs(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0
+       |      END) - sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END))
+       |      - 1) * 1000000 // (sum(CASE WHEN a = y AND b <> y THEN 1
+       |      ELSE 0 END) + sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0
+       |      END)) AS BIGINT) END AS chi2_micro
+       |FROM d""".stripMargin
+
+  /** Exact ROC points of the quality score vs is-English (see
+    * [[Classify.rocPoints]]): one row per distinct (dyadic) score,
+    * ppm TPR/FPR/Youden off the counts-first rail. */
+  private[graft] def qQualityRoc(s: SparkSession, dir: String): DataFrame =
+    Classify.rocPoints(
+      t(s, dir, "documents").select(
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en")),
+      "score", "is_en")
+
+  private[graft] val oQualityRoc =
+    s"""WITH sc AS (SELECT
+       |    CAST(floor(($oQualityExpr) * 1000000 + 0.5) AS BIGINT) AS s,
+       |    lang = 'en' AS y FROM documents),
+       |g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+       |  FROM sc GROUP BY 1),
+       |c AS (SELECT s,
+       |    CAST(sum(p) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(n - p) OVER (ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(p) OVER () AS BIGINT) AS pos,
+       |    CAST(sum(n - p) OVER () AS BIGINT) AS neg
+       |  FROM g)
+       |SELECT s AS threshold_micro, tp, fp,
+       |  CASE WHEN pos > 0 THEN CAST(tp * 1000000 // pos AS BIGINT) END
+       |    AS tpr_ppm,
+       |  CASE WHEN neg > 0 THEN CAST(fp * 1000000 // neg AS BIGINT) END
+       |    AS fpr_ppm,
+       |  CASE WHEN pos > 0 AND neg > 0 THEN
+       |    CAST(tp * 1000000 // pos - fp * 1000000 // neg AS BIGINT) END
+       |    AS youden_ppm
+       |FROM c""".stripMargin
+
+  /** Lagged cross-correlation between hourly view and purchase counts
+    * (see [[Insight.crossCorrelation]]): exact moments per lag, r as
+    * the only double — the lead–lag funnel read. */
+  private[graft] def qEventsCcf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = readEvents(s, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+        .as("hr"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+    Insight.crossCorrelation(hourly, "hr", "views", "purchases",
+      maxLag = 6)
+  }
+
+  private[graft] val oEventsCcf =
+    """WITH h AS (SELECT
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |lg AS (SELECT CAST(l AS BIGINT) AS lag
+      |  FROM generate_series(-6, 6) g(l)),
+      |j AS (SELECT lg.lag, a.x, b.y
+      |  FROM h a CROSS JOIN lg JOIN h b ON b.hr = a.hr + lg.lag),
+      |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM j GROUP BY 1),
+      |b AS (SELECT lag, n,
+      |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    n * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+      |    n * syy - CAST(sy AS HUGEINT) * sy AS dy
+      |  FROM m)
+      |SELECT lag, n,
+      |  CASE WHEN n >= 3 AND dx > 0 AND dy > 0 THEN
+      |    CAST(floor(CAST(num AS DOUBLE) /
+      |      sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+      |      * 1.0E6 + 0.5E0) AS BIGINT) END AS r_micro
+      |FROM b""".stripMargin
+
+  /** Distinct-l-diversity audit on customer quasi-identifiers with
+    * the market segment... sensitive column (see [[Diff.lDiversity]]):
+    * the homogeneity-attack screen k-anonymity misses. */
+  private[graft] def qDatasetLdiversity(s: SparkSession, dir: String): DataFrame =
+    Diff.lDiversity(t(s, dir, "customer"),
+      Seq("c_nationkey"), "c_mktsegment", l = 3)
+
+  private[graft] val oDatasetLdiversity =
+    """WITH g AS (SELECT c_nationkey, count(*) AS n,
+      |    count(DISTINCT c_mktsegment) AS l FROM customer GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(min(l) AS BIGINT) AS min_l,
+      |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_groups,
+      |  CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_violating_rows,
+      |  CAST(3 AS BIGINT) AS l,
+      |  sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) = 0 AS diverse
+      |FROM g""".stripMargin
+
+  /** Minimum detectable effect of the purchase/non-purchase value
+    * split (see [[Insight.mde]]): driver-literal z quantiles, exact
+    * moments, one IEEE expression — the "flat or underpowered?" read
+    * next to `events_welch`. */
+  private[graft] def qEventsMde(s: SparkSession, dir: String): DataFrame =
+    Insight.mde(
+      readEvents(s, dir).select(
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("vm"),
+        (col("event_type") === "purchase").as("grp")),
+      "vm", "grp")
+
+  private[graft] val oEventsMde = {
+    val zl = Classify.dlit(1.959963984540054 + 0.8416212335729143)
+    val ss1 = "(CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)" +
+      " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n1"
+    val ss2 = "(CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)" +
+      " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / n2"
+    s"""WITH d AS (SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+       |    AS v, event_type = 'purchase' AS g
+       |  FROM events
+       |  WHERE value IS NOT NULL AND (event_type = 'purchase') IS NOT NULL),
+       |m AS (SELECT
+       |    CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN g THEN v ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN g THEN 0 ELSE v END) AS BIGINT) AS s2,
+       |    sum(CASE WHEN g THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q1,
+       |    sum(CASE WHEN g THEN 0 ELSE CAST(v AS HUGEINT) * v END) AS q2
+       |  FROM d)
+       |SELECT n1, n2,
+       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    CAST(floor(abs(CAST(s1 AS DOUBLE) / n1
+       |      - CAST(s2 AS DOUBLE) / n2) + 0.5E0) AS BIGINT) END
+       |    AS diff_abs_micro,
+       |  CASE WHEN n1 > 1 AND n2 > 1 AND n1 + n2 > 2 THEN
+       |    CAST(floor(sqrt((($ss1) + ($ss2)) / (n1 + n2 - 2)) + 0.5E0)
+       |      AS BIGINT) END AS sd_pooled_micro,
+       |  CASE WHEN n1 > 1 AND n2 > 1 THEN
+       |    CAST(floor($zl * sqrt((($ss1) + ($ss2)) / (n1 + n2 - 2)
+       |      * (1.0E0 / n1 + 1.0E0 / n2)) + 0.5E0) AS BIGINT) END
+       |    AS mde_micro
+       |FROM m""".stripMargin
+  }
+
+  /** Holt linear-trend smoothing of the hourly per-type value series
+    * (see [[Insight.holt]]): exact integer ppm recurrence replayed
+    * one step at a time by the oracle's recursive CTE. */
+  private[graft] def qEventsHolt(s: SparkSession, dir: String): DataFrame = {
+    val hourly = readEvents(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+          .as("hr"))
+      .agg(sum(expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+        .as("xv"))
+    Insight.holt(hourly, "event_type", "hr", "xv",
+      alphaPpm = 300000L, betaPpm = 100000L)
+  }
+
+  private[graft] val oEventsHolt =
+    """WITH RECURSIVE h AS (SELECT event_type AS key,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+      |    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |g AS (SELECT key, t, x,
+      |    row_number() OVER (PARTITION BY key ORDER BY t) AS rn FROM h),
+      |nn AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM g
+      |  GROUP BY 1),
+      |rec AS (
+      |  SELECT key, rn, CAST(x AS BIGINT) AS l, CAST(0 AS BIGINT) AS tr
+      |  FROM g WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.key, g.rn,
+      |    CAST((300000 * g.x + 700000 * (r.l + r.tr)) // 1000000
+      |      AS BIGINT),
+      |    CAST((100000 * ((300000 * g.x + 700000 * (r.l + r.tr))
+      |      // 1000000 - r.l) + 900000 * r.tr) // 1000000 AS BIGINT)
+      |  FROM g JOIN rec r ON g.key = r.key AND g.rn = r.rn + 1)
+      |SELECT rec.key, nn.n AS n_points, rec.l AS level_micro,
+      |  rec.tr AS trend_micro, rec.l + rec.tr AS forecast_micro
+      |FROM rec JOIN nn ON nn.key = rec.key AND rec.rn = nn.n"""
+      .stripMargin
+
+  private[graft] def qTextLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.langId(col("text")).getField("lang").as("lang_pred"),
+      TextFunctions.langId(col("text")).getField("score").as("lang_score"))
+
+  /** Unicode-script mix profile over a deterministically multilingual
+    * corpus slice: docs rotate through Han/Cyrillic/Arabic/Hangul/
+    * Kana/Greek bodies by doc_id so dominance genuinely flips (the
+    * synthetic corpus is ASCII; see [[TextFunctions.scriptProfile]]).
+    * Exact integer counts + ppm share. */
+  private[graft] def qTextScript(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 10
+    val txt = when(m === 1, lit("数据处理引擎机器学习模型训练"))
+      .when(m === 2, lit("данные поток обработка система"))
+      .when(m === 3, lit("نص عربي للاختبار فقط"))
+      .when(m === 4, lit("한국어 자연어 처리"))
+      .when(m === 5, lit("ひらがなとカタカナのテキスト"))
+      .when(m === 6, lit("ελληνικό κείμενο δοκιμής"))
+      .when(m === 7, concat(col("text"), lit(" 混合 mixed текст")))
+      .otherwise(col("text"))
+    val p = TextFunctions.scriptProfile(txt)
+    t(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(Seq(col("doc_id")) ++
+        Seq("n_chars", "latin", "han", "cyrillic", "arabic", "greek",
+          "hangul", "kana", "other", "dominant_script", "dominant_ppm")
+          .map(f => p.getField(f).as(f)): _*)
+  }
+
+  private[graft] val oTextScript = {
+    val txt =
+      """CASE doc_id % 10
+        |    WHEN 1 THEN '数据处理引擎机器学习模型训练'
+        |    WHEN 2 THEN 'данные поток обработка система'
+        |    WHEN 3 THEN 'نص عربي للاختبار فقط'
+        |    WHEN 4 THEN '한국어 자연어 처리'
+        |    WHEN 5 THEN 'ひらがなとカタカナのテキスト'
+        |    WHEN 6 THEN 'ελληνικό κείμενο δοκιμής'
+        |    WHEN 7 THEN text || ' 混合 mixed текст'
+        |    ELSE text END""".stripMargin
+    val classes = Seq(
+      "latin" -> "\\p{Latin}", "han" -> "\\p{Han}",
+      "cyrillic" -> "\\p{Cyrillic}", "arabic" -> "\\p{Arabic}",
+      "greek" -> "\\p{Greek}", "hangul" -> "\\p{Hangul}",
+      "kana" -> "[\\p{Hiragana}\\p{Katakana}]")
+    val cnt = classes.map { case (n, re) =>
+      s"len(regexp_extract_all(txt, '$re')) AS $n" }.mkString(",\n  ")
+    val names = classes.map(_._1)
+    val maxExpr = s"greatest(${names.mkString(", ")})"
+    val domCase = names.map(n => s"WHEN $n = mx THEN '$n'")
+      .mkString("\n    ")
+    s"""WITH base AS MATERIALIZED (SELECT doc_id, $txt AS txt
+       |  FROM documents WHERE doc_id < 400),
+       |c AS (SELECT doc_id,
+       |  len(regexp_extract_all(txt, '\\S')) AS n_chars,
+       |  $cnt
+       |FROM base),
+       |m AS (SELECT *, $maxExpr AS mx FROM c)
+       |SELECT doc_id, n_chars, ${names.mkString(", ")},
+       |  n_chars - (${names.mkString(" + ")}) AS other,
+       |  CASE WHEN mx = 0 THEN 'none'
+       |    $domCase END AS dominant_script,
+       |  CASE WHEN n_chars > 0 THEN mx * 1000000 // n_chars
+       |    ELSE 0 END AS dominant_ppm
+       |FROM m""".stripMargin
+  }
+
+  // First language (in en,de,fr,es,zh order) reaching the max score — the
+  // same strict-> fold semantics as TextFunctions.langId.
+  private[graft] val oTextLangId = {
+    val stops = Seq(
+      "en" -> "('the','a','and','of','to','in','is')",
+      "de" -> "('der','die','das','und','ist','nicht','ein')",
+      "fr" -> "('le','la','les','et','est','un','une')",
+      "es" -> "('el','los','las','y','es','un','una')",
+      "zh" -> "('的','是','了','在','和')")
+    val scoreExprs = stops.map { case (l, set) =>
+      s"CAST(len(list_filter($oToks, x -> x IN $set)) AS DOUBLE) / greatest(len($oToks), 1) AS s_$l"
+    }.mkString(",\n  ")
+    s"""WITH scored AS (SELECT doc_id,
+      |  $scoreExprs
+      |FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+      |       WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+      |       WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+      |       WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred,
+      |  greatest(s_en, s_de, s_fr, s_es, s_zh) AS lang_score
+      |FROM scored""".stripMargin
+  }
+
+  /** Top-3 TF-IDF terms per doc (restricted to doc_id < 100 to keep the
+    * compare set small; the computation still uses corpus-wide df/N). */
+  private[graft] def qTextTfidf(s: SparkSession, dir: String): DataFrame =
+    TextRank.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)
+      .filter(col("doc_id") < 100)
+
+  private[graft] val oTextTfidf =
+    s"""WITH terms AS (
+      |  SELECT doc_id, t.term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest($oToks) AS term FROM documents) t
+      |  WHERE t.term <> '' GROUP BY doc_id, t.term),
+      |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (SELECT doc_id, terms.term,
+      |    round(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS tfidf
+      |  FROM terms JOIN dfreq ON terms.term = dfreq.term CROSS JOIN n),
+      |ranked AS (SELECT doc_id, term, tfidf, CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tfidf FROM ranked
+      |WHERE rank <= 3 AND doc_id < 100""".stripMargin
+
+  /** BM25 retrieval over the documents corpus: three fixed keyword
+    * queries, top-10 docs each. The oracle recomputes the full Okapi
+    * scoring pipeline (same parenthesization, 6-dp-rounded partials
+    * summed as DECIMAL) in SQL. */
+  private[graft] val bm25Queries = Seq(
+    0 -> "spark query table", 1 -> "vector hash join",
+    2 -> "customer order line")
+
+  private[graft] def qTextBm25(s: SparkSession, dir: String): DataFrame =
+    TextRank.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+      bm25Queries, k = 10)
+
+  /** The BM25 oracle parameterized by the corpus source expression, so
+    * compositions (hard negatives on the full table, MMR on the
+    * embedding-aligned slice) replay the same scoring pipeline. */
+  private[graft] def oTextBm25From(src: String): String = {
+    val qvals = bm25Queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH terms AS (
+      |  SELECT doc_id, t.term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest($oToks) AS term FROM $src) t
+      |  WHERE t.term <> '' GROUP BY doc_id, t.term),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM terms GROUP BY doc_id),
+      |stats AS (SELECT CAST((SELECT count(*) FROM $src) AS BIGINT) AS n,
+      |    (SELECT sum(dl) FROM dl) AS tot),
+      |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+      |q(qid, qterm) AS (VALUES $qvals),
+      |scored AS (SELECT q.qid, terms.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+      |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * (dl.dl /
+      |        (CAST(tot AS DOUBLE) / n))))),
+      |    6) AS DECIMAL(18,6)) AS ts
+      |  FROM q JOIN terms ON q.qterm = terms.term
+      |    JOIN dfreq ON terms.term = dfreq.term
+      |    JOIN dl ON terms.doc_id = dl.doc_id
+      |    CROSS JOIN stats),
+      |agg AS (SELECT qid, doc_id, CAST(sum(ts) AS DOUBLE) AS score
+      |  FROM scored GROUP BY 1, 2),
+      |ranked AS (SELECT qid, doc_id, score, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      |  FROM agg)
+      |SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
+  private[graft] val oTextBm25 = oTextBm25From("documents")
+
+  /** BM25 hard negatives against synthetic relevance labels
+    * (doc_id % 17 = qid): per query, the top lexically-confusable
+    * candidates that are NOT labeled positive (see
+    * [[TextRank.hardNegatives]]). */
+  private[graft] def qTextHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val positives = d.select((col("doc_id") % 17).cast("int").as("qid"),
+      col("doc_id"))
+    TextRank.hardNegatives(d, "text", "doc_id", bm25Queries, positives,
+      kCandidates = 10, nNeg = 5)
+  }
+
+  private[graft] val oTextHardNegatives = {
+    val inner = oTextBm25
+    s"""WITH cand AS MATERIALIZED ($inner),
+       |neg AS (SELECT qid, doc_id, score FROM cand
+       |  WHERE NOT EXISTS (SELECT 1 FROM documents p
+       |    WHERE CAST(p.doc_id % 17 AS INT) = cand.qid
+       |      AND p.doc_id = cand.doc_id))
+       |SELECT qid, neg_rank, doc_id, score FROM (
+       |  SELECT qid, doc_id, score, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER)
+       |    AS neg_rank FROM neg)
+       |WHERE neg_rank <= 5""".stripMargin
+  }
+
+  /** One-pass Pearson correlation matrix over four lineitem measures
+    * (see [[Profile.corrMatrix]]): C(4,2) pairs from a single
+    * aggregate row. */
+  private[graft] def qProfileCorr(s: SparkSession, dir: String): DataFrame =
+    Profile.corrMatrix(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  private[graft] val oProfileCorr = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, count(*) AS n,
+         |  CAST(CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) > 0
+         |        AND count(*) * sum(y * y) - sum(y) * sum(y) > 0
+         |    THEN (count(*) * sum(x * y) - sum(x) * sum(y))
+         |      / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+         |           * (count(*) * sum(y * y) - sum(y) * sum(y)))
+         |  END AS REAL) AS corr
+         |FROM (SELECT CAST($a AS DOUBLE) AS x, CAST($b AS DOUBLE) AS y
+         |  FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** Mutual information between event type and hour-of-day — the
+    * any-association dependence screen in exact micro-nats (see
+    * [[Insight.mutualInformation]]). */
+  private[graft] def qEventsMi(s: SparkSession, dir: String): DataFrame =
+    Insight.mutualInformation(
+      readEvents(s, dir).select(col("event_type"),
+        hour(col("ts")).as("hr")),
+      "event_type", "hr")
+
+  private[graft] val oEventsMi =
+    """WITH cells AS (SELECT event_type AS x,
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr, count(*) AS nxy
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT nxy,
+      |    sum(nxy) OVER (PARTITION BY x) AS nx,
+      |    sum(nxy) OVER (PARTITION BY hr) AS ny,
+      |    sum(nxy) OVER () AS n FROM cells),
+      |m AS (SELECT n, CAST(floor(
+      |    (CAST(nxy AS DOUBLE) / n)
+      |      * ln((CAST(nxy AS DOUBLE) * n) /
+      |           (CAST(nx AS DOUBLE) * ny)) * 1000000 + 0.5) AS BIGINT)
+      |  AS tm FROM t)
+      |SELECT CAST(min(n) AS BIGINT) AS n, count(*) AS n_cells,
+      |  CAST(sum(tm) AS BIGINT) AS mi_micro,
+      |  round(CAST(sum(tm) AS DOUBLE) / 1000000, 6) AS mi
+      |FROM m""".stripMargin
+
+  /** Tokenizer fertility per language: BPE-ish tokens per whitespace
+    * word in exact ppm — the "this language costs 2.3× more tokens"
+    * number a multilingual token budget needs. */
+  private[graft] def qDocTokenFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        sum(TextFunctions.tokenCountWs(col("text")).cast("long"))
+          .as("ws_tokens"),
+        sum(TextFunctions.tokenCountBpe(col("text")).cast("long"))
+          .as("bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("bpe_tokens * 1000000 DIV ws_tokens"))
+
+  private[graft] val oDocTokenFertility =
+    s"""SELECT lang,
+       |  CAST(sum(len($oToks)) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1000000
+       |    // sum(len($oToks)) AS BIGINT) AS fertility_ppm
+       |FROM documents GROUP BY lang""".stripMargin
+
+  /** Recency-weighted event counts per type, 7-day half-life anchored
+    * at the corpus max timestamp (see [[Insight.decayedCounts]]). */
+  private[graft] def qEventsDecay(s: SparkSession, dir: String): DataFrame =
+    Insight.decayedCounts(readEvents(s, dir), "event_type", "ts",
+        halfLifeDays = 7.0)
+      .withColumnRenamed("key", "event_type")
+
+  private[graft] val oEventsDecay =
+    """WITH e AS (SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |a AS (SELECT max(us) AS anchor FROM e),
+      |w AS (SELECT event_type, CAST(floor(
+      |    pow(2.0, -((CAST(anchor - us AS DOUBLE) / 86400000000.0)
+      |      / 7.0)) * 1000000 + 0.5) AS BIGINT) AS w
+      |  FROM e, a)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(w) AS BIGINT) AS decayed_micro,
+      |  round(CAST(sum(w) AS DOUBLE) / 1000000, 6) AS decayed
+      |FROM w GROUP BY 1""".stripMargin
+
+  /** Theil–Sen robust daily-volume trend per event type: median of
+    * pairwise slopes over the (day, count) series (see
+    * [[Insight.theilSen]]). */
+  private[graft] def qEventsTheilsen(s: SparkSession, dir: String): DataFrame = {
+    val daily = readEvents(s, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    Insight.theilSen(daily, "event_type", "day", "cnt")
+      .withColumnRenamed("key", "event_type")
+  }
+
+  private[graft] val oEventsTheilsen =
+    """WITH daily AS MATERIALIZED (SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(ts AS TIMESTAMP)) AS BIGINT) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |np AS (SELECT event_type, count(*) AS n_points FROM daily
+      |  GROUP BY 1),
+      |pairs AS (SELECT a.event_type,
+      |    CAST(b.cnt - a.cnt AS DOUBLE) / (b.day - a.day) AS slope
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+      |    AND a.day < b.day)
+      |SELECT p.event_type, np.n_points, count(*) AS n_pairs,
+      |  round(quantile_cont(slope, 0.5), 6) AS slope
+      |FROM pairs p JOIN np ON np.event_type = p.event_type
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Benford first-digit audit of lineitem extended prices — exact
+    * per-digit counts, observed ppm share, the hardcoded reference,
+    * and the signed deviation (see [[Profile.benford]]). */
+  private[graft] def qProfileBenford(s: SparkSession, dir: String): DataFrame =
+    Profile.benford(t(s, dir, "lineitem"), "l_extendedprice")
+
+  private[graft] val oProfileBenford = {
+    val ref = Profile.BenfordPpm.toSeq.sorted
+      .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH d AS (SELECT CAST(regexp_extract(
+       |    CAST(l_extendedprice AS VARCHAR), '[1-9]', 0) AS INT) AS digit
+       |  FROM lineitem
+       |  WHERE regexp_extract(CAST(l_extendedprice AS VARCHAR),
+       |    '[1-9]', 0) <> ''),
+       |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+       |ref(digit, benford_ppm) AS (VALUES $ref)
+       |SELECT c.digit, c.n,
+       |  CAST(c.n * 1000000 // (SELECT sum(n) FROM c) AS BIGINT)
+       |    AS observed_ppm,
+       |  CAST(ref.benford_ppm AS BIGINT) AS benford_ppm,
+       |  CAST(c.n * 1000000 // (SELECT sum(n) FROM c)
+       |    - ref.benford_ppm AS BIGINT) AS dev_ppm
+       |FROM c JOIN ref ON ref.digit = c.digit""".stripMargin
+  }
+
+  /** Gopher-style quality rules per doc (word-count/mean-length/symbol/
+    * 2-gram-repetition gates and their conjunction). */
+  private[graft] def qTextGopher(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.dupBigramFraction(col("text")).as("dup2"),
+      TextFunctions.gopherRules(col("text")).getField("word_count_ok").as("word_count_ok"),
+      TextFunctions.gopherRules(col("text")).getField("mean_len_ok").as("mean_len_ok"),
+      TextFunctions.gopherRules(col("text")).getField("symbol_ok").as("symbol_ok"),
+      TextFunctions.gopherRules(col("text")).getField("dup_ok").as("dup_ok"),
+      TextFunctions.gopherRules(col("text")).getField("pass").as("pass"))
+
+  private[graft] val oTextGopher =
+    s"""WITH d AS (SELECT doc_id, $oToks AS t, text FROM documents),
+      |g AS (SELECT doc_id, t, text,
+      |    CASE WHEN len(t) >= 2 THEN list_transform(
+      |      generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END AS grams FROM d),
+      |m AS (SELECT doc_id,
+      |    CASE WHEN len(grams) = 0 THEN 0.0
+      |      ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+      |    END AS dup2,
+      |    len(t) BETWEEN 50 AND 100000 AS word_count_ok,
+      |    (CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t))
+      |      BETWEEN 3.0 AND 10.0 AS mean_len_ok,
+      |    (CAST(len(regexp_extract_all(text, '#')) +
+      |          len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+      |      / greatest(len(t), 1)) < 0.1 AS symbol_ok
+      |  FROM g)
+      |SELECT doc_id, dup2, word_count_ok, mean_len_ok, symbol_ok,
+      |  dup2 < 0.2 AS dup_ok,
+      |  word_count_ok AND mean_len_ok AND symbol_ok AND dup2 < 0.2 AS pass
+      |FROM m""".stripMargin
+
+  private[graft] def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+
+  private[graft] val oTextFingerprint =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  /** One-pass char-class/entropy profile over the raw documents. The
+    * entropy contract: per-distinct-char `-p·log2 p` contributions in
+    * rounded 1e-6-bit integer units, summed exactly (order-independent),
+    * then one double division — both engines reproduce it bit-for-bit
+    * (see [[graft.functions.CharClassProfile]]). */
+  private[graft] def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
+    val p = TextFunctions.charProfile(col("text"))
+    t(s, dir, "documents").select(col("doc_id"),
+      p.getField("n_chars").as("n_chars"),
+      p.getField("n_letters").as("n_letters"),
+      p.getField("n_digits").as("n_digits"),
+      p.getField("n_spaces").as("n_spaces"),
+      p.getField("n_punct").as("n_punct"),
+      p.getField("n_other").as("n_other"),
+      p.getField("n_distinct").cast("long").as("n_distinct"),
+      p.getField("entropy").as("entropy"))
+  }
+
+  private[graft] val oTextEntropy =
+    """WITH ch AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '[\s\S]')) AS c FROM documents),
+      |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(n) AS t, count(*) AS nd FROM cnt
+      |  GROUP BY 1),
+      |e AS (SELECT cnt.doc_id,
+      |    sum(CAST(round(-(CAST(n AS DOUBLE) / t) * ln(CAST(n AS DOUBLE) / t)
+      |      / ln(2) * 1e6) AS BIGINT)) AS micros
+      |  FROM cnt JOIN tot USING (doc_id) GROUP BY 1),
+      |cls AS (SELECT doc_id, length(text) AS n_chars,
+      |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_letters,
+      |    len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+      |    len(regexp_extract_all(text, '[ \t\n\r]')) AS n_spaces,
+      |    len(regexp_extract_all(text, '[!-~]')) AS printable
+      |  FROM documents)
+      |SELECT cls.doc_id, n_chars, n_letters, n_digits, n_spaces,
+      |  printable - n_letters - n_digits AS n_punct,
+      |  n_chars - printable - n_spaces AS n_other,
+      |  nd AS n_distinct,
+      |  CAST(micros AS DOUBLE) / 1e6 AS entropy
+      |FROM cls JOIN tot ON cls.doc_id = tot.doc_id
+      |  JOIN e ON cls.doc_id = e.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (qTextStats _),
+    "text_langid" -> (qTextLangId _),
+    "text_script" -> (qTextScript _),
+    "text_fingerprint" -> (qTextFingerprint _),
+    "dataset_ldiversity" -> (qDatasetLdiversity _),
+    "corpus_vocab_growth" -> (qCorpusVocabGrowth _),
+    "corpus_zipf" -> (qCorpusZipf _),
+    "text_postings" -> (qTextPostings _),
+    "quality_auc" -> (qQualityAuc _),
+    "quality_calibration" -> (qQualityCalibration _),
+    "quality_brier" -> (qQualityBrier _),
+    "quality_mcnemar" -> (qQualityMcnemar _),
+    "quality_roc" -> (qQualityRoc _),
+    "quality_conformal" -> (qQualityConformal _),
+    "text_tfidf" -> (qTextTfidf _),
+    "text_bm25" -> (qTextBm25 _),
+    "text_hard_negatives" -> (qTextHardNegatives _),
+    "text_gopher" -> (qTextGopher _),
+    "quality_calibration_isotonic" -> (qQualityCalibrationIsotonic _),
+    "quality_pr_ap" -> (qQualityPrAp _),
+    "events_holt" -> (qEventsHolt _),
+    "events_mde" -> (qEventsMde _),
+    "events_ccf" -> (qEventsCcf _),
+    "profile_benford" -> (qProfileBenford _),
+    "profile_corr" -> (qProfileCorr _),
+    "events_mi" -> (qEventsMi _),
+    "events_decay" -> (qEventsDecay _),
+    "events_theilsen" -> (qEventsTheilsen _),
+    "doc_token_fertility" -> (qDocTokenFertility _),
+    "text_entropy" -> (qTextEntropy _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> oTextStats,
+    "text_langid" -> oTextLangId,
+    "text_script" -> oTextScript,
+    "text_fingerprint" -> oTextFingerprint,
+    "dataset_ldiversity" -> oDatasetLdiversity,
+    "corpus_vocab_growth" -> oCorpusVocabGrowth,
+    "corpus_zipf" -> oCorpusZipf,
+    "text_postings" -> oTextPostings,
+    "quality_auc" -> oQualityAuc,
+    "quality_calibration" -> oQualityCalibration,
+    "quality_brier" -> oQualityBrier,
+    "quality_mcnemar" -> oQualityMcnemar,
+    "quality_roc" -> oQualityRoc,
+    "quality_conformal" -> oQualityConformal,
+    "text_tfidf" -> oTextTfidf,
+    "text_bm25" -> oTextBm25,
+    "text_hard_negatives" -> oTextHardNegatives,
+    "text_gopher" -> oTextGopher,
+    "quality_calibration_isotonic" -> oQualityCalibrationIsotonic,
+    "quality_pr_ap" -> oQualityPrAp,
+    "events_holt" -> oEventsHolt,
+    "events_mde" -> oEventsMde,
+    "events_ccf" -> oEventsCcf,
+    "profile_benford" -> oProfileBenford,
+    "profile_corr" -> oProfileCorr,
+    "events_mi" -> oEventsMi,
+    "events_decay" -> oEventsDecay,
+    "events_theilsen" -> oEventsTheilsen,
+    "doc_token_fertility" -> oDocTokenFertility,
+    "text_entropy" -> oTextEntropy
+  )
+}

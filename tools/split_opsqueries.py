@@ -1,0 +1,204 @@
+#!/usr/bin/env python3
+"""One-shot mechanical splitter: OpsQueries.scala -> per-family files
+behind the same registry map (round-12 verdict item 8). Dev tooling;
+kept for the record of how the split was produced."""
+import re
+import sys
+import collections
+
+SRC = 'src/main/scala/graft/OpsQueries.scala'
+OUT = 'src/main/scala/graft/queries'
+src = open(SRC).read().split('\n')  # 0-based lines
+
+# ---- section boundaries (marker line pairs) -------------------------
+marks = []
+for i, l in enumerate(src):
+    if re.match(r'^  // =+$', l) and i + 1 < len(src) and \
+       src[i + 1].startswith('  //') and not re.match(r'^  // =+$', src[i + 1]):
+        marks.append(i)
+# the final bare marker before the maps (no title line)
+maps_mark = None
+for i, l in enumerate(src):
+    if re.match(r'^  // =+$', l) and i + 1 < len(src) and \
+       re.match(r'^\s*$', src[i + 1]):
+        maps_mark = i
+assert maps_mark is not None and len(marks) == 26, (len(marks), maps_mark)
+bounds = marks + [maps_mark]
+
+GROUPS = [
+    ('TextQueries', [0], 'Text analysis'),
+    ('DedupQueries', [1], 'Deduplication'),
+    ('SimilarityQueries', [2, 3], 'Similarity search + embedding quantization'),
+    ('MultimodalQueries', [4], 'Multimodal'),
+    ('CurationQueries', [5, 6, 7, 8, 9],
+     'Curation: top-N, as-of, PII, C4 cleaning, decontamination'),
+    ('TrainQueries', [10, 11, 12, 13],
+     'Training-data construction: chunking, ranking, drift, pairs/splits'),
+    ('SampleQueries', [14, 15, 16, 17, 18, 19, 20, 21, 22, 23],
+     'Sampling, joins, profiling, windowing, sketches'),
+    ('WebQueries', [24], 'Web-corpus curation'),
+    ('InsightQueries', [25], 'Corpus insight and reporting'),
+]
+
+# ---- carve out shared helpers ---------------------------------------
+# preamble members: t, scratchRoot, f32, oToks live between the object
+# open and the first section marker
+obj_open = next(i for i, l in enumerate(src) if l.startswith('object OpsQueries'))
+preamble = src[obj_open + 1:marks[0]]
+# readEvents block inside section 20: doc comment through closing brace
+re_start = next(i for i, l in enumerate(src)
+                if l.strip().startswith('/** events.parquet stores ts'))
+re_end = next(i for i in range(re_start, len(src))
+              if re.match(r'^  \}\s*$', src[i]))
+readevents = src[re_start:re_end + 1]
+
+sections = {}
+for k in range(26):
+    body = src[bounds[k]:bounds[k + 1]]
+    if k == 20:  # drop the readEvents block (relative indices)
+        body = body[:re_start - bounds[20]] + body[re_end + 1 - bounds[20]:]
+    sections[k] = body
+
+# ---- parse the two maps ----------------------------------------------
+def parse_map(start_pat, sym_pat):
+    s = next(i for i, l in enumerate(src) if re.match(start_pat, l))
+    entries, i = [], s + 1
+    while not re.match(r'^  \)\s*$', src[i]):
+        m = re.match(r'^    ("[^"]+" -> ' + sym_pat + r'),?\s*$', src[i])
+        assert m, f'unparsed map line {i + 1}: {src[i]!r}'
+        entries.append((m.group(1), m.group(2)))
+        i += 1
+    return entries
+
+q_entries = parse_map(r'^  def all: Map', r'\((q\w+) _\)')
+o_entries = parse_map(r'^  def oracles: Map', r'(o\w+)(?:\([^()]*\))?')
+assert len(q_entries) == 292 and len(o_entries) == 292, \
+    (len(q_entries), len(o_entries))
+
+# ---- member -> group assignment --------------------------------------
+sec_group = {}
+for name, secs, _ in GROUPS:
+    for k in secs:
+        sec_group[k] = name
+member_home = {}
+for k, body in sections.items():
+    for l in body:
+        m = re.match(r'^  private (?:lazy )?(?:def|val) (\w+)', l)
+        if m:
+            member_home[m.group(1)] = sec_group[k]
+for n in ('t', 'scratchRoot', 'f32', 'oToks', 'readEvents'):
+    member_home[n] = 'QueryShared'
+
+grp_q = collections.defaultdict(list)
+for line, sym in q_entries:
+    grp_q[member_home[sym]].append(line)
+grp_o = collections.defaultdict(list)
+for line, sym in o_entries:
+    grp_o[member_home[sym]].append(line)
+
+HEADER = '''package graft
+
+import org.apache.spark.sql.{{DataFrame, SparkSession}}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.pivot.PivotOps
+import graft.QueryShared._
+{imports}
+/** {title} verification queries — split from the former monolithic
+  * OpsQueries.scala (round 12); see [[graft.OpsQueries]] for the
+  * oracle conventions and the aggregate registry. */
+private[graft] object {name} {{
+'''
+
+# which members each group references but does not define
+def member_names():
+    return set(member_home)
+
+all_members = member_names()
+import_needs = {}
+file_bodies = {}
+for name, secs, title in GROUPS:
+    body = []
+    for k in secs:
+        body.extend(sections[k])
+    text = '\n'.join(body)
+    defined = {m for m, h in member_home.items() if h == name}
+    used = {m for m in all_members
+            if m not in defined and member_home[m] != 'QueryShared'
+            and re.search(r'\b' + re.escape(m) + r'\b', text)}
+    # also map-entry symbols
+    for line in grp_q[name]:
+        sym = re.search(r'\((q\w+) _\)', line).group(1)
+        if member_home[sym] != name:
+            used.add(sym)
+    for line in grp_o[name]:
+        sym = re.search(r'-> (o\w+)', line).group(1)
+        if member_home[sym] != name:
+            used.add(sym)
+    by_home = collections.defaultdict(list)
+    for m in sorted(used):
+        by_home[member_home[m]].append(m)
+    imports = ''
+    for h in sorted(by_home):
+        imports += f'import graft.{h}.{{{", ".join(by_home[h])}}}\n'
+    import_needs[name] = by_home
+    # widen member visibility for the cross-file references
+    out_lines = []
+    for l in body:
+        out_lines.append(re.sub(r'^  private ((?:lazy )?(?:def|val) )',
+                                r'  private[graft] \1', l))
+    maps = []
+    maps.append('')
+    maps.append('  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(')
+    maps.append(',\n'.join('    ' + e for e in grp_q[name]))
+    maps.append('  )')
+    maps.append('')
+    maps.append('  val oracles: Map[String, String] = Map(')
+    maps.append(',\n'.join('    ' + e for e in grp_o[name]))
+    maps.append('  )')
+    maps.append('}')
+    file_bodies[name] = (
+        HEADER.format(imports=imports, title=title, name=name) +
+        '\n'.join(out_lines).rstrip() + '\n' + '\n'.join(maps) + '\n')
+
+# ---- QueryShared ------------------------------------------------------
+shared_lines = []
+for l in preamble + [''] + readevents:
+    shared_lines.append(re.sub(r'^  private ((?:lazy )?(?:def|val) )',
+                               r'  private[graft] \1', l))
+shared = '''package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Helpers shared by every per-family query file (split from the
+  * former monolithic OpsQueries.scala): table readers, the canonical
+  * DuckDB tokenizer twin, float quantization, per-JVM scratch. */
+private[graft] object QueryShared {
+''' + '\n'.join(shared_lines).rstrip() + '\n}\n'
+
+# ---- slim aggregator ---------------------------------------------------
+doc_end = obj_open  # keep the original file-level scaladoc + imports
+agg_header = '\n'.join(src[:obj_open]).rstrip()
+agg = agg_header + '''
+object OpsQueries {
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+''' + '    ' + ' ++\n      '.join(f'{n}.queries' for n, _, _ in GROUPS) + '''
+
+  def oracles: Map[String, String] =
+''' + '    ' + ' ++\n      '.join(f'{n}.oracles' for n, _, _ in GROUPS) + '''
+}
+'''
+
+import os
+os.makedirs(OUT, exist_ok=True)
+for name, _, _ in GROUPS:
+    open(f'{OUT}/{name}.scala', 'w').write(file_bodies[name])
+open(f'{OUT}/QueryShared.scala', 'w').write(shared)
+open(SRC, 'w').write(agg + '')
+tot_q = sum(len(grp_q[n]) for n, _, _ in GROUPS)
+tot_o = sum(len(grp_o[n]) for n, _, _ in GROUPS)
+print('families:', {n: (len(grp_q[n]), len(grp_o[n])) for n, _, _ in GROUPS})
+print('totals:', tot_q, tot_o)
+print('cross-imports:', {n: dict(v) for n, v in import_needs.items() if v})
