@@ -260,6 +260,102 @@ object Layout {
     terms.reduce(_ + _)
   }
 
+  /** HILBERT-curve index of an integer 2-D bucket pair — the
+    * locality-preserving space-filling curve Z-order approximates:
+    * consecutive Hilbert indices are always GRID NEIGHBORS (Manhattan
+    * distance 1 — property-tested over the full grid in LayoutSpec),
+    * where the Morton curve takes long diagonal jumps at quadrant
+    * boundaries, so a box query touches fewer, more contiguous key
+    * ranges (Moon et al. 2001 measure ~25-50% fewer cluster splits).
+    *
+    * Computed as the standard 4-state rotation automaton over the
+    * per-level (x-bit, y-bit) digits, MSB first — the state tables are
+    * derived from the textbook xy2d rotate-and-flip loop and verified
+    * against it exhaustively in LayoutSpec. PURE INTEGER arithmetic end
+    * to end (bit shifts, table lookups on literal arrays, base-4
+    * accumulate), so the index replays EXACTLY in any SQL engine —
+    * unlike the double-scaled [[zOrderKey]], this core is oracle-exact.
+    * The per-row fold is a higher-order `aggregate` over `bitsPerDim`
+    * digits (CodegenFallback — interpreted, ~bitsPerDim table lookups
+    * per row; a layout key is computed once per row ahead of a
+    * range-exchange + sort, which dominate).
+    *
+    * @param xBucket,yBucket integer buckets in [0, 2^bitsPerDim) —
+    *        scale values yourself (exact integer rail:
+    *        `(v - lo) * 2^bits div (hi - lo + 1)`) or use [[hilbertKey]]
+    * @return the Hilbert index in [0, 4^bitsPerDim) as a long */
+  def hilbertIndex(xBucket: Column, yBucket: Column,
+                   bitsPerDim: Int = 16): Column = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31,
+      s"need 1 <= bitsPerDim <= 31, got $bitsPerDim")
+    // state = (swap, invx, invy) of the remaining subsquare, packed to
+    // 4 reachable values; digit = (xbit << 1) | ybit. Tables verified
+    // exhaustively against the reference rotate loop (LayoutSpec).
+    val OUT = Seq(0, 1, 3, 2, 2, 3, 1, 0, 0, 3, 1, 2, 2, 1, 3, 0)
+    val NXT = Seq(2, 0, 3, 0, 1, 2, 1, 3, 0, 1, 2, 2, 3, 3, 0, 1)
+    val outA = array(OUT.map(v => lit(v.toLong)): _*)
+    val nxtA = array(NXT.map(v => lit(v.toLong)): _*)
+    val x = xBucket.cast("long")
+    val y = yBucket.cast("long")
+    val digits = array((bitsPerDim - 1 to 0 by -1).map { l =>
+      shiftrightunsigned(x, l).bitwiseAND(lit(1L)) * 2 +
+        shiftrightunsigned(y, l).bitwiseAND(lit(1L))
+    }: _*)
+    aggregate(digits,
+      struct(lit(0L).as("st"), lit(0L).as("d")),
+      (acc, dig) => {
+        val idx = (acc.getField("st") * 4 + dig + 1).cast("int")
+        struct(element_at(nxtA, idx).as("st"),
+          (acc.getField("d") * 4 + element_at(outA, idx)).as("d"))
+      },
+      acc => acc.getField("d"))
+  }
+
+  /** Hilbert key over two numeric columns, each width_bucket-scaled to
+    * `bitsPerDim` bits between its observed min and max — the drop-in
+    * locality upgrade for [[writeZOrdered]]'s 2-D case (same scaling
+    * contract as [[zOrderKey]]; see [[hilbertIndex]] for why the curve
+    * clusters better). */
+  def hilbertKey(xCol: Column, yCol: Column,
+                 mins: Seq[Double], maxs: Seq[Double],
+                 bitsPerDim: Int = 16): Column = {
+    require(mins.size == 2 && maxs.size == 2, "hilbertKey is 2-D")
+    val nb = 1 << bitsPerDim
+    val buckets = Seq(xCol, yCol).zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = if (maxs(i) > mins(i)) (mins(i), maxs(i))
+                     else (mins(i), mins(i) + 1.0)
+      least(width_bucket(c.cast("double"), lit(lo), lit(hi), lit(nb)),
+        lit(nb)) - lit(1)
+    }
+    hilbertIndex(buckets(0), buckets(1), bitsPerDim)
+  }
+
+  /** Write `df` Hilbert-ordered on two columns into `numFiles`
+    * range-partitioned, internally sorted files — [[writeZOrdered]]
+    * with the better curve (2-D only; Z-order generalizes to more
+    * dims, Hilbert's rotation tables grow exponentially with them). */
+  def writeHilbertOrdered(df: DataFrame, path: String,
+                          xCol: String, yCol: String, numFiles: Int,
+                          bitsPerDim: Int = 16): Unit = {
+    val cols = Seq(xCol, yCol)
+    val statsExprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c")))
+    val statsRow = df.agg(statsExprs.head, statsExprs.tail: _*).head()
+    cols.foreach { c =>
+      require(!statsRow.isNullAt(statsRow.fieldIndex(s"mn_$c")),
+        s"writeHilbertOrdered: no non-null values for '$c'")
+    }
+    val mins = cols.map(c => statsRow.getAs[Double](s"mn_$c"))
+    val maxs = cols.map(c => statsRow.getAs[Double](s"mx_$c"))
+    df.withColumn("__h",
+        hilbertKey(col(xCol), col(yCol), mins, maxs, bitsPerDim))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` Z-ordered on `cols` into `numFiles` range-partitioned,
     * internally sorted files. A multi-dimensional filter then prunes by
     * parquet min/max stats: a box selective in ANY subset of the ordered

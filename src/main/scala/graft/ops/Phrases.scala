@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** List-scale phrase matching — the C4-style "word list" document
@@ -186,6 +186,15 @@ object Phrases {
     // the 100× soak corpus: 59.5 MB parquet → ~4 GB phrase shuffle).
     val nPart = sizedShufflePartitions(
       df.select(col(idCol), col(textCol)), expansion = 64)
+    val base = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    // Pin ONLY when the data demands MORE than the session default: an
+    // explicit repartition is user-specified, so AQE stops COALESCING
+    // it — at small scale that costs real task overhead (measured
+    // ~2× on the sf0.1 floor) for zero benefit. nPart == base → the
+    // exact r11 plan, AQE coalescing included.
+    def pinned(keys: Column*): DataFrame => DataFrame =
+      if (nPart > base) _.repartition(nPart, keys: _*) else identity
     val toks = df
       .select(col(idCol).as("__d"),
         TextFunctions.tokens(col(textCol)).as("__t"))
@@ -193,8 +202,7 @@ object Phrases {
       .withColumn("__stop",
         col("__w").isin(stopwords.map(lit): _*) || length(col("__w")) === 0)
     val byDoc = Window.partitionBy("__d").orderBy("__p")
-    val runs = toks
-      .repartition(nPart, col("__d")) // window + run-agg reuse this
+    val runs = pinned(col("__d"))(toks) // window + run-agg reuse this
       .withColumn("__seg",
         sum(when(col("__stop"), 1).otherwise(0)).over(byDoc))
       .filter(!col("__stop"))
@@ -203,10 +211,10 @@ object Phrases {
           array_sort(collect_list(struct(col("__p"), col("__w")))),
           x => x.getField("__w")), " ").as("__phrase"),
         count(lit(1)).as("__len"))
-    val words = phrases
+    val words = pinned(col("__w"))(phrases
       .select(col("__d"), col("__seg"), col("__phrase"), col("__len"),
-        explode(split(col("__phrase"), " ")).as("__w"))
-      .repartition(nPart, col("__w")) // stats agg + join back reuse this
+        explode(split(col("__phrase"), " ")).as("__w")))
+      // ^ stats agg + join back reuse this exchange when pinned
     val stats = words.groupBy("__w")
       .agg(count(lit(1)).as("__freq"), sum("__len").as("__deg"))
       // DECIMAL(38,0) product: deg is a token-mass sum and deg*10^6

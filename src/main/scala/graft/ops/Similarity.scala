@@ -253,6 +253,95 @@ object Similarity {
       .select("qid", "rank", "id", "sim")
   }
 
+  /** Assign every vector to its nearest trained centroid — the IVF
+    * index body (cid, id, vec). One broadcast-centroid map pass, no
+    * shuffle; argmax ties break to the LOWEST cell id
+    * (array_position finds the first maximum), deterministic. */
+  def ivfAssign(corpus: DataFrame, vecCol: String, idCol: String,
+                cents: Array[(Array[Double], Double)]): DataFrame = {
+    val sims = centroidSims(corpus.sparkSession, cents, col("cv"))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+      .withColumn("cid",
+        (array_position(sims, array_max(sims)) - 1).cast("int"))
+      .select("cid", "id", "cv")
+  }
+
+  /** Persist an IVF index: quantizer centroids (cid, centroid, norm)
+    * plus cell assignments (cid, id, vec) — the train-once artifact an
+    * INCREMENTAL ingest appends to. Assignments are written
+    * partitioned by cell id so probes prune at the directory level. */
+  def ivfIndexSave(corpus: DataFrame, vecCol: String, idCol: String,
+                   path: String, ncentroids: Int = 16,
+                   lloydIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, vecCol, idCol, ncentroids, lloydIters)
+    cents.zipWithIndex
+      .map { case ((v, n), i) => (i, v.toSeq, n) }.toSeq
+      .toDF("cid", "centroid", "norm").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(corpus, vecCol, idCol, cents)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/assign")
+  }
+
+  /** Load a persisted quantizer (vocab-sized collect; doubles
+    * round-trip parquet bit-exactly, so reloaded assignments are
+    * IDENTICAL to train-time assignments). */
+  def ivfCentroidsLoad(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[(Array[Double], Double)] =
+    spark.read.parquet(s"$path/centroids").orderBy("cid").collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** INCREMENTAL IVF ingest: assign ONLY the new batch under the
+    * persisted quantizer and append — history is never re-read, never
+    * re-assigned (the [[graft.ops.Dedup.incrementalExact]] shape for
+    * vector search). New ids already present in the index are dropped
+    * from the batch (first write wins, idempotent re-ingest); pass the
+    * batch through [[ivfAssign]] + append. Returns the appended rows. */
+  def ivfIndexUpsert(spark: org.apache.spark.sql.SparkSession,
+                     path: String, batch: DataFrame, vecCol: String,
+                     idCol: String): DataFrame = {
+    val cents = ivfCentroidsLoad(spark, path)
+    val existing = spark.read.parquet(s"$path/assign").select("id")
+    val fresh = batch.join(existing,
+      batch(idCol) === existing("id"), "left_anti")
+    val assigned = ivfAssign(fresh, vecCol, idCol, cents)
+    assigned.write.mode("append").partitionBy("cid")
+      .parquet(s"$path/assign")
+    assigned
+  }
+
+  /** Probe a PREBUILT IVF index (persisted or in-memory assignments):
+    * same cell-probed search as [[ivfTopK]] but against an index that
+    * was built once and incrementally extended — queries broadcast,
+    * candidates come from an equi-join on cell id (partition-pruned
+    * when the index is stored partitionBy(cid)). */
+  def ivfTopKIndexed(assign: DataFrame,
+                     cents: Array[(Array[Double], Double)],
+                     queries: DataFrame, vecCol: String, idCol: String,
+                     k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = assign.sparkSession
+    val qsims = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(centroidSims(spark, cents, col("qv")))
+          .as(Seq("cid", "csim")))
+    val probeW = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = broadcast(qsims
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select("qid", "qv", "cid"))
+    val scored = assign.join(probes, "cid")
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim",
+        round(cosineFast(spark, col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "sim")
+  }
+
   /** ncentroids × dim element count above which [[centroidSims]] ships
     * the centroid table as a BROADCAST VARIABLE instead of expression
     * literals. Literals win below it (whole-stage codegen, no

@@ -149,6 +149,104 @@ private[graft] object SimilarityQueries {
       .stripMargin
   }
 
+  /** METADATA-FILTERED vector search — the production retrieval shape
+    * "top-k among documents matching a predicate" (permissioning,
+    * language routing, freshness windows): the corpus side is
+    * restricted to English documents via the aligned metadata table
+    * (vec_id ≡ doc_id) BEFORE scoring, so the filter rides the join
+    * build and the scan prunes to the eligible subset — pre-filtering,
+    * not the post-filter-and-hope-k-survive anti-pattern (which
+    * silently returns < k when the filter is selective). Spark-first:
+    * the predicate is a broadcast semi-join into the streamed corpus;
+    * scoring work is |eligible| × |queries|, never |corpus|. Exact
+    * oracle — same cosine replay as `sim_topk` over the filtered set. */
+  private[graft] def qSimTopKFiltered(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val eligible = e.join(
+      t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    Similarity.bruteForceTopKAgg(eligible, annQueries(e),
+      "embedding", "vec_id", k = 5)
+  }
+
+  private[graft] val oSimTopKFiltered =
+    """WITH el AS (SELECT e.vec_id, e.embedding FROM embeddings e
+      |  JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en'),
+      |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM el),
+      |uq AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings
+      |  WHERE vec_id < 8),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u GROUP BY vec_id),
+      |qnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM uq
+      |  GROUP BY vec_id),
+      |dots AS (SELECT q.vec_id AS qid, c.vec_id AS id, sum(q.x * c.x) AS d
+      |  FROM uq q JOIN u c ON q.i = c.i AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (SELECT qid, id, round(d / (nq.n * nc.n), 6) AS sim
+      |  FROM dots JOIN qnorms nq ON nq.vec_id = qid
+      |  JOIN norms nc ON nc.vec_id = id),
+      |ranked AS (SELECT qid, id, sim, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT qid, rank, id, sim FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** INCREMENTAL IVF index maintenance — the missing lifecycle piece
+    * between one-shot [[Similarity.ivfTopK]] and a production vector
+    * store: the quantizer trains ONCE on the base corpus and persists;
+    * each new batch is assigned under the frozen quantizer and APPENDED
+    * (history never re-read — the `dedup_incremental_*` shape for
+    * search). Contract: (a) the incrementally-grown index equals a
+    * one-shot assignment of the full corpus under the same centroids,
+    * row for row (cell stability through the parquet round-trip —
+    * doubles are bit-exact); (b) probing the incremental index returns
+    * exactly the one-shot index's top-k. Counts replay in SQL; the
+    * parity checks ride the engine (both sides same expressions, the
+    * check is the PLUMBING: no dropped, duplicated, or re-celled ids). */
+  private[graft] def qSimIvfIncremental(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val path = new java.io.File(scratchRoot, "ivf_inc").getAbsolutePath
+    val base = e.filter(col("vec_id") < 300)
+    Similarity.ivfIndexSave(base, "embedding", "vec_id", path,
+      ncentroids = 16)
+    Similarity.ivfIndexUpsert(s, path, e.filter(col("vec_id") >= 300),
+      "embedding", "vec_id")
+    val cents = Similarity.ivfCentroidsLoad(s, path)
+    val inc = s.read.parquet(s"$path/assign")
+    val full = Similarity.ivfAssign(e, "embedding", "vec_id", cents)
+    val cellsMatch =
+      inc.select("cid", "id").except(full.select("cid", "id")).count() +
+        full.select("cid", "id").except(inc.select("cid", "id")).count()
+    val qz = e.filter(col("vec_id") < 8)
+    val sInc = Similarity.ivfTopKIndexed(inc, cents, qz,
+      "embedding", "vec_id", k = 5)
+    val sFull = Similarity.ivfTopKIndexed(full, cents, qz,
+      "embedding", "vec_id", k = 5)
+    val searchMatch =
+      sInc.except(sFull).count() + sFull.except(sInc).count()
+    val n = e.agg(
+      sum(when(col("vec_id") < 300, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("vec_id") >= 300, 1L).otherwise(0L)).as("nn"),
+      count(lit(1)).as("nt")).head()
+    import s.implicits._
+    Seq((n.getLong(0), n.getLong(1), n.getLong(2),
+      cellsMatch == 0L, searchMatch == 0L))
+      .toDF("n_base", "n_new", "n_total",
+        "assignments_match", "search_match")
+  }
+
+  private[graft] val oSimIvfIncremental =
+    """SELECT CAST(sum(CASE WHEN vec_id < 300 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_base,
+      |  CAST(sum(CASE WHEN vec_id >= 300 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new,
+      |  count(*) AS n_total,
+      |  TRUE AS assignments_match, TRUE AS search_match
+      |FROM embeddings""".stripMargin
+
   private[graft] val oSimTopK =
     """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |    generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -396,6 +494,8 @@ private[graft] object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hybrid_rrf" -> (qSimHybridRrf _),
     "sim_topk" -> (qSimTopK _),
+    "sim_topk_filtered" -> (qSimTopKFiltered _),
+    "sim_ivf_incremental" -> (qSimIvfIncremental _),
     "sim_bitext" -> (qSimBitext _),
     "sim_mmr" -> (qSimMmr _),
     "sim_topk_agg" -> (qSimTopKAgg _),
@@ -412,6 +512,8 @@ private[graft] object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "sim_hybrid_rrf" -> oSimHybridRrf,
     "sim_topk" -> oSimTopK,
+    "sim_topk_filtered" -> oSimTopKFiltered,
+    "sim_ivf_incremental" -> oSimIvfIncremental,
     "sim_bitext" -> oSimBitext,
     "sim_mmr" -> oSimMmr,
     "sim_topk_agg" -> oSimTopK,

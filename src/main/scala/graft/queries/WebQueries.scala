@@ -1491,6 +1491,56 @@ private[graft] object WebQueries {
       |  TRUE AS files_in_range, TRUE AS box_prunes
       |FROM lineitem""".stripMargin
 
+  /** Hilbert clustering key over (p_partkey, p_size), EXACT-oracle —
+    * unlike `layout_zorder`'s contract oracle (width_bucket's double
+    * scaling is not replayable), the buckets here ride the exact
+    * integer rail `(v − lo)·256 div (hi − lo + 1)` and
+    * [[Layout.hilbertIndex]] is integer table arithmetic end to end,
+    * so DuckDB replays the per-level rotation automaton verbatim
+    * (8 unrolled levels) and the KEYS hash-match — the strongest
+    * cross-engine statement a space-filling curve can make. Locality
+    * and write-path behavior are pinned in LayoutSpec. */
+  private[graft] def qLayoutHilbert(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_size"))
+    val b = p.agg(min("p_partkey").as("kLo"), max("p_partkey").as("kHi"),
+      min("p_size").as("sLo"), max("p_size").as("sHi"))
+    p.crossJoin(broadcast(b))
+      .withColumn("bx",
+        expr("(p_partkey - kLo) * 256 div (kHi - kLo + 1)"))
+      .withColumn("by",
+        expr("CAST(p_size - sLo AS BIGINT) * 256 div (sHi - sLo + 1)"))
+      .select(col("p_partkey"), col("bx"), col("by"),
+        Layout.hilbertIndex(col("bx"), col("by"), bitsPerDim = 8)
+          .as("hkey"))
+  }
+
+  private[graft] val oLayoutHilbert = {
+    val OUT = "[0,1,3,2, 2,3,1,0, 0,3,1,2, 2,1,3,0]"
+    val NXT = "[2,0,3,0, 1,2,1,3, 0,1,2,2, 3,3,0,1]"
+    // unique st{i}/d{i} names per level — a reused name would be
+    // ambiguous between the input column and DuckDB's lateral column
+    // alias (the same shadowing class as the r11 scurve bug)
+    val levels = (7 to 0 by -1).zipWithIndex.map { case (l, i) =>
+      val (p, n) = (i, i + 1)
+      s"""l$n AS (SELECT p_partkey, bx, by,
+         |    ($NXT)[CAST(st$p * 4 + ((bx >> $l) & 1) * 2 +
+         |      ((by >> $l) & 1) + 1 AS INT)] AS st$n,
+         |    d$p * 4 + ($OUT)[CAST(st$p * 4 + ((bx >> $l) & 1) * 2 +
+         |      ((by >> $l) & 1) + 1 AS INT)] AS d$n
+         |  FROM l$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT min(p_partkey) AS kLo, max(p_partkey) AS kHi,
+      |    min(p_size) AS sLo, max(p_size) AS sHi FROM part),
+      |g AS (SELECT p_partkey,
+      |    (p_partkey - kLo) * 256 // (kHi - kLo + 1) AS bx,
+      |    CAST(p_size - sLo AS BIGINT) * 256 // (sHi - sLo + 1) AS by
+      |  FROM part, b),
+      |l0 AS (SELECT p_partkey, bx, by, CAST(0 AS BIGINT) AS st0,
+      |    CAST(0 AS BIGINT) AS d0 FROM g),
+      |$levels
+      |SELECT p_partkey, bx, by, d8 AS hkey FROM l8""".stripMargin
+  }
+
   /** Small-file compaction as a CONTRACT query: documents are scattered
     * into 64 tiny files (the classic ingestion pathology), compacted to
     * a byte-budgeted file count, and the round trip must preserve row
@@ -1953,6 +2003,7 @@ private[graft] object WebQueries {
     "dataset_psi" -> (qDatasetPsi _),
     "layout_manifest" -> (qLayoutManifest _),
     "layout_zorder" -> (qLayoutZorder _),
+    "layout_hilbert" -> (qLayoutHilbert _),
     "layout_compact" -> (qLayoutCompact _),
     "layout_token_shards" -> (qLayoutTokenShards _),
     "web_curation_pipeline" -> (qWebCurationPipeline _),
@@ -2003,6 +2054,7 @@ private[graft] object WebQueries {
     "dataset_psi" -> oDatasetPsi,
     "layout_manifest" -> oLayoutManifest,
     "layout_zorder" -> oLayoutZorder,
+    "layout_hilbert" -> oLayoutHilbert,
     "layout_compact" -> oLayoutCompact,
     "layout_token_shards" -> oLayoutTokenShards,
     "web_curation_pipeline" -> oWebCurationPipeline,

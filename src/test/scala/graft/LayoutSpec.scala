@@ -105,6 +105,85 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).count() == n)
   }
 
+  test("hilbertIndex matches the textbook rotate loop; consecutive keys are grid neighbors") {
+    // reference: the classic xy2d rotate-and-flip loop the state tables
+    // were derived from
+    def xy2d(order: Int, x0: Int, y0: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = order / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val bits = 4
+    val n = 1 << bits
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") / n).cast("long").as("x"), (col("id") % n).as("y"))
+    val got = grid.select(col("x"), col("y"),
+        Layout.hilbertIndex(col("x"), col("y"), bits).as("h"))
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        r.getLong(2))).toMap
+    // exhaustive equality over the full 16x16 grid
+    for (x <- 0 until n; y <- 0 until n)
+      assert(got((x, y)) == xy2d(n, x, y), s"($x,$y)")
+    // the Hilbert property Z-order lacks: consecutive indices are
+    // Manhattan-distance-1 neighbors, over the WHOLE curve
+    val inv = got.map(_.swap)
+    for (d <- 0L until (n.toLong * n - 1)) {
+      val (x1, y1) = inv(d)
+      val (x2, y2) = inv(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+    // spot-check a deeper order against the reference
+    val deep = spark.range(50).select(
+        (col("id") * 37 % 251).as("x"), (col("id") * 101 % 249).as("y"))
+      .select(col("x"), col("y"),
+        Layout.hilbertIndex(col("x"), col("y"), 8).as("h"))
+      .collect()
+    deep.foreach(r => assert(r.getLong(2) ==
+      xy2d(256, r.getLong(0).toInt, r.getLong(1).toInt)))
+  }
+
+  test("hilbert write clusters boxes at least as well as z-order") {
+    val n = 20000
+    val df = spark.range(n).select(
+      (col("id") % 141).cast("double").as("x"),
+      ((col("id") * 2654435761L) % 139).cast("double").as("y"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_h")
+    val hPath = s"$tmp/h"
+    val zPath = s"$tmp/z"
+    val files = 16
+    Layout.writeHilbertOrdered(df, hPath, "x", "y", numFiles = files,
+      bitsPerDim = 8)
+    Layout.writeZOrdered(df, zPath, Seq("x", "y"), numFiles = files,
+      bitsPerDim = 8)
+    def filesTouched(path: String, xLo: Double, xHi: Double,
+                     yLo: Double, yHi: Double): Long = {
+      import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(fmin("x").as("xmn"), fmax("x").as("xmx"),
+          fmin("y").as("ymn"), fmax("y").as("ymx"))
+        .filter(col("xmx") >= xLo && col("xmn") <= xHi &&
+          col("ymx") >= yLo && col("ymn") <= yHi)
+        .count()
+    }
+    val hBox = filesTouched(hPath, 10, 30, 10, 30)
+    val zBox = filesTouched(zPath, 10, 30, 10, 30)
+    assert(hBox <= zBox,
+      s"hilbert touched $hBox files, z-order $zBox — curve regressed")
+    assert(hBox < files / 2, s"hilbert box query touched $hBox of $files")
+    assert(spark.read.parquet(hPath).count() == n)
+  }
+
   test("same-bucketing join plans with no shuffle on either side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang", "n_chars")

@@ -1453,6 +1453,32 @@ class OpsSpec extends SparkSpec {
     assert(agg == win)
   }
 
+  test("ivf index upsert: idempotent re-ingest, frozen quantizer, probe parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val base = emb.filter(col("vec_id") < 300)
+    Similarity.ivfIndexSave(base, "embedding", "vec_id", tmp, ncentroids = 8)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val added = Similarity.ivfIndexUpsert(spark, tmp, batch,
+      "embedding", "vec_id")
+    assert(added.count() == batch.count())
+    // re-ingesting the same batch adds NOTHING (first write wins)
+    val again = Similarity.ivfIndexUpsert(spark, tmp, batch,
+      "embedding", "vec_id")
+    assert(again.count() == 0)
+    val cents = Similarity.ivfCentroidsLoad(spark, tmp)
+    assert(cents.length == 8)
+    val inc = spark.read.parquet(s"$tmp/assign")
+    assert(inc.count() == emb.count(), "index must cover the corpus once")
+    // the incrementally-grown index probes identically to a one-shot one
+    val full = Similarity.ivfAssign(emb, "embedding", "vec_id", cents)
+    val q = emb.filter(col("vec_id") < 4)
+    val a = Similarity.ivfTopKIndexed(inc, cents, q, "embedding", "vec_id", 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Similarity.ivfTopKIndexed(full, cents, q, "embedding", "vec_id", 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("lshTopK returns well-formed ranks with reasonable recall@5") {
     val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 16),
         "embedding", "vec_id", 5)
