@@ -157,4 +157,78 @@ object Chat {
         col("__lo.c").as("rejected_id"), col("__lo.t").as("rejected"),
         (col("__smax") - col("__smin")).as("score_gap"), col("n_cands"))
   }
+
+  /** BRADLEY–TERRY strength ranking from pairwise preference outcomes —
+    * the arena-style readout over [[preferencePairs]]' output (or any
+    * (winner, loser) stream): which SYSTEM wins head-to-heads, as a
+    * latent strength rather than a raw win rate (win rate rewards easy
+    * matchups; BT conditions on WHO was beaten). Strengths come from
+    * Hunter 2004's MM iterations,
+    *
+    *   s_i ← w_i / Σ_j n_ij / (s_i + s_j),
+    *
+    * run a FIXED `iters` rounds on the EXACT integer rail: strengths
+    * in micro-units, each pair term `n_ij·10¹² div (s_i + s_j)` one
+    * integral division (so the per-system sums are order-free
+    * integers), the update `w_i·10¹² div D_i`, and a mean-10⁶
+    * renormalization each round — bit-identical on any engine, which
+    * is what lets the SQL oracle replay the whole fit.
+    *
+    * Scale shape: the only distributed work is ONE aggregate compressing
+    * the outcome stream to the (winner, loser) count matrix —
+    * systems² rows (model variants: tens, not millions). The MM loop
+    * runs on the driver over that bounded matrix, the same honest
+    * bounded-driver contract as BPE merges or PQ training.
+    *
+    * @return (system, s_micro, rank, wins, losses, games) —
+    *         rank by (s_micro desc, system) */
+  def btRanking(pairs: DataFrame, winCol: String, loseCol: String,
+                iters: Int = 8): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val spark = pairs.sparkSession
+    val counts = pairs
+      .filter(col(winCol).isNotNull && col(loseCol).isNotNull)
+      .groupBy(col(winCol).cast("string").as("__w"),
+        col(loseCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(counts.nonEmpty, "btRanking needs at least one outcome")
+    val systems = counts.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val idx = systems.zipWithIndex.toMap
+    val nSys = systems.length
+    val games = Array.ofDim[Long](nSys, nSys) // games(i)(j): i beat j
+    counts.foreach { case (w, l, n) => games(idx(w))(idx(l)) += n }
+    val wins = Array.tabulate(nSys)(i => games(i).sum)
+    val losses = Array.tabulate(nSys)(j => games.map(_(j)).sum)
+    val T = BigInt(1000000000000L)
+    var s = Array.fill(nSys)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val next = Array.tabulate(nSys) { i =>
+        var d = BigInt(0)
+        var j = 0
+        while (j < nSys) {
+          val nij = games(i)(j) + games(j)(i)
+          // two zero-strength opponents would divide by zero; the limit
+          // of n/(s_i+s_j) as both → 0 contributes nothing decidable —
+          // skip the term (the oracle replays the same guard)
+          if (j != i && nij > 0 && s(i) + s(j) > 0)
+            d += BigInt(nij) * T / (s(i) + s(j))
+          j += 1
+        }
+        if (d == 0) BigInt(0) else BigInt(wins(i)) * T / d
+      }
+      val tot = next.sum
+      s = if (tot == 0) next
+          else next.map(_ * nSys * 1000000 / tot)
+    }
+    import spark.implicits._
+    val ranked = systems.indices
+      .map(i => (systems(i), s(i).toLong, wins(i), losses(i),
+        wins(i) + losses(i)))
+      .sortBy { case (sys, sm, _, _, _) => (-sm, sys) }
+      .zipWithIndex
+      .map { case ((sys, sm, w, l, g), r) => (sys, sm, r + 1, w, l, g) }
+    ranked.toDF("system", "s_micro", "rank", "wins", "losses", "games")
+      .withColumn("rank", col("rank").cast("long"))
+  }
 }

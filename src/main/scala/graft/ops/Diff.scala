@@ -159,6 +159,77 @@ object Diff {
       .withColumn("diverse", col("n_violating_groups") === 0)
   }
 
+  /** T-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the
+    * [[lDiversity]] follow-up that catches the attack distinct-l
+    * misses: a group holding l distinct sensitive values can still be
+    * SKEWED toward one of them (skewness attack — "has the disease" at
+    * 90% inside the group vs 1% globally leaks plenty). t-closeness
+    * bounds, per quasi-id group, the distance between the group's
+    * sensitive-value distribution and the global one. For an ORDINAL
+    * sensitive column that distance is the 1-D Earth Mover's Distance,
+    * whose closed form is the mean |prefix-sum difference| over the
+    * ordered value vocabulary.
+    *
+    * EXACT integer rail: with group counts c_i (n_g rows), global
+    * counts C_i (N rows), vocabulary size m,
+    *
+    *   emd_ppm(g) = Σ_j |Σ_{i≤j} (c_i·N − C_i·n_g)| · 10⁶
+    *                  div ((m−1) · n_g · N)
+    *
+    * on DECIMAL(38,0) (c·N reaches rows² — BIGINT overflows near 10⁁⁹
+    * rows) — one integral division per group, replayed verbatim by the
+    * SQL oracle.
+    *
+    * Plan shape: one sparse (group × value) aggregate, densified
+    * against the BROADCAST value vocabulary (m is bounded — ordinal
+    * buckets, not raw values), one per-group window over m rows
+    * (bounded state), one final fold. No corpus-wide window, nothing
+    * driver-side.
+    *
+    * @param sensCol ordinal sensitive column (bucket continuous values
+    *        onto an exact integer grid first)
+    * @return one row (n_groups, n_rows, m_values, max_emd_ppm,
+    *         n_violating_groups, t_ppm, close) */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensCol: String,
+                 tPpm: Long): DataFrame = {
+    require(quasiCols.nonEmpty && tPpm > 0, "need quasi-ids and t > 0")
+    import org.apache.spark.sql.expressions.Window
+    val qi = quasiCols.map(col)
+    val sparse = df.filter(col(sensCol).isNotNull)
+      .groupBy(qi :+ col(sensCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = sparse.groupBy("__v").agg(sum("__c").as("__cg"))
+    val tot = global.agg(sum("__cg").as("__nt"),
+      count(lit(1)).as("__m"))
+    val vocab = broadcast(global.crossJoin(broadcast(tot)))
+    val groups = sparse.groupBy(qi: _*).agg(sum("__c").as("__ng"))
+    val dense = groups.crossJoin(vocab) // bounded: groups × m values
+      .join(sparse, quasiCols :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+    val byG = Window.partitionBy(qi: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emd = dense
+      .withColumn("__pfx", sum(expr(
+        "CAST(__c AS DECIMAL(38,0)) * __nt" +
+          " - CAST(__cg AS DECIMAL(38,0)) * __ng")).over(byG))
+      .groupBy(qi :+ col("__ng") :+ col("__m") :+ col("__nt"): _*)
+      .agg(sum(abs(col("__pfx"))).as("__num"))
+      // m = 1 (a single sensitive value) means every distribution is
+      // the global one: EMD is 0, and the (m−1) divisor is degenerate
+      .withColumn("__emd_ppm", expr(
+        "CASE WHEN __m <= 1 THEN CAST(0 AS BIGINT) ELSE" +
+          " CAST(__num * 1000000 div (CAST(__m - 1 AS DECIMAL(38,0))" +
+          " * __ng * __nt) AS BIGINT) END"))
+    emd.agg(count(lit(1)).as("n_groups"),
+        sum("__ng").as("n_rows"),
+        max("__m").cast("long").as("m_values"),
+        max("__emd_ppm").as("max_emd_ppm"),
+        sum(when(col("__emd_ppm") > tPpm, 1L).otherwise(0L))
+          .as("n_violating_groups"))
+      .withColumn("t_ppm", lit(tPpm))
+      .withColumn("close", col("n_violating_groups") === 0)
+  }
+
   /** Row-level snapshot diff: one row per id present in either
     * snapshot, with `status` ∈ added (only in `b`), removed (only in
     * `a`), changed (both, canonical-text fingerprint differs),

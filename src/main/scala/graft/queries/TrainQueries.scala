@@ -927,6 +927,98 @@ private[graft] object TrainQueries {
       |JOIN (SELECT * FROM r WHERE rk_lo = 1) l USING (prompt_id)
       |WHERE h.score - l.score >= 268435456""".stripMargin
 
+  /** BRADLEY–TERRY system ranking over the DPO candidate corpus (see
+    * [[Chat.btRanking]]): the chat_dpo_pairs construction emits
+    * (chosen, rejected) head-to-heads between candidate ids 0..4 —
+    * exactly an arena log — and BT turns them into latent strengths.
+    * The whole fit is on the exact micro-integer rail (one integral
+    * division per pair term, order-free integer sums, mean-10⁶
+    * renorm), so the oracle replays candidate scoring, argmax/argmin
+    * selection, the count matrix AND all 4 MM iterations verbatim. */
+  private[graft] def qChatBtRanking(s: SparkSession, dir: String): DataFrame = {
+    val cands = t(s, dir, "documents").filter(col("doc_id") < 600)
+      .select(col("doc_id").as("prompt_id"),
+        explode(sequence(lit(0L), col("doc_id") % 3 + 1)).as("cand_id"))
+      .select(col("prompt_id"), col("cand_id"),
+        concat(lit("r"), col("prompt_id").cast("string"), lit("_"),
+          col("cand_id").cast("string")).as("resp"),
+        conv(substring(md5(concat(lit("sc:"), col("prompt_id").cast("string"),
+          lit(":"), col("cand_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("score"))
+    val pairs = Chat.preferencePairs(cands, "prompt_id", "cand_id",
+      "resp", "score", minGap = 1L)
+    Chat.btRanking(pairs, "chosen_id", "rejected_id", iters = 4)
+  }
+
+  private[graft] val oChatBtRanking = {
+    val T = "1000000000000"
+    // MATERIALIZED is load-bearing (same reason as the kcore oracle):
+    // every iteration references the previous one twice and the
+    // normalizer once — inlined, the 4-round unroll re-evaluates the
+    // base scan exponentially and exhausts file handles
+    def iter(k: Int): String = {
+      val p = k - 1
+      s"""d$k AS MATERIALIZED (SELECT nij.i AS s,
+         |    sum(CASE WHEN si.sm + sj.sm > 0
+         |      THEN CAST(nij.nij AS HUGEINT) * $T // (si.sm + sj.sm)
+         |      ELSE CAST(0 AS HUGEINT) END) AS d
+         |  FROM nij JOIN s$p si ON si.s = nij.i
+         |  JOIN s$p sj ON sj.s = nij.j GROUP BY 1),
+         |u$k AS MATERIALIZED (SELECT sys.s,
+         |    CASE WHEN COALESCE(d.d, 0) = 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE CAST(COALESCE(w.wins, 0) AS HUGEINT) * $T // d.d END
+         |      AS su
+         |  FROM sys LEFT JOIN d$k d ON d.s = sys.s
+         |  LEFT JOIN wtab w ON w.s = sys.s),
+         |t$k AS MATERIALIZED (SELECT sum(su) AS ts,
+         |    (SELECT count(*) FROM sys) AS nsys FROM u$k),
+         |s$k AS MATERIALIZED (SELECT s, CASE WHEN ts = 0
+         |    THEN su ELSE su * nsys * 1000000 // ts END AS sm
+         |  FROM u$k, t$k)""".stripMargin
+    }
+    s"""WITH c AS (SELECT doc_id AS prompt_id, i.g AS cand_id,
+      |    ('0x' || substr(md5('sc:' || doc_id || ':' || i.g), 1, 8))::BIGINT
+      |      AS score
+      |  FROM documents, generate_series(0, 4) i(g)
+      |  WHERE doc_id < 600 AND i.g <= doc_id % 3 + 1),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |      ORDER BY score DESC, cand_id) AS rk_hi,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |      ORDER BY score ASC, cand_id) AS rk_lo
+      |  FROM c),
+      |p AS (SELECT CAST(h.cand_id AS VARCHAR) AS w,
+      |    CAST(l.cand_id AS VARCHAR) AS l
+      |  FROM (SELECT * FROM r WHERE rk_hi = 1) h
+      |  JOIN (SELECT * FROM r WHERE rk_lo = 1) l USING (prompt_id)
+      |  WHERE h.score - l.score >= 1),
+      |cnt AS MATERIALIZED (SELECT w, l, count(*) AS n FROM p
+      |  GROUP BY 1, 2),
+      |sys AS MATERIALIZED (SELECT DISTINCT s FROM
+      |  (SELECT w AS s FROM cnt UNION ALL SELECT l FROM cnt)),
+      |nij AS MATERIALIZED (SELECT a.s AS i, b.s AS j,
+      |    COALESCE(c1.n, 0) + COALESCE(c2.n, 0) AS nij
+      |  FROM sys a JOIN sys b ON a.s <> b.s
+      |  LEFT JOIN cnt c1 ON c1.w = a.s AND c1.l = b.s
+      |  LEFT JOIN cnt c2 ON c2.w = b.s AND c2.l = a.s
+      |  WHERE COALESCE(c1.n, 0) + COALESCE(c2.n, 0) > 0),
+      |wtab AS MATERIALIZED (SELECT w AS s, CAST(sum(n) AS BIGINT)
+      |    AS wins FROM cnt GROUP BY 1),
+      |ltab AS MATERIALIZED (SELECT l AS s, CAST(sum(n) AS BIGINT)
+      |    AS losses FROM cnt GROUP BY 1),
+      |s0 AS MATERIALIZED (SELECT s, CAST(1000000 AS HUGEINT) AS sm
+      |  FROM sys),
+      |${(1 to 4).map(iter).mkString(",\n")}
+      |SELECT sys.s AS system, CAST(s4.sm AS BIGINT) AS s_micro,
+      |  CAST(row_number() OVER (ORDER BY s4.sm DESC, sys.s)
+      |    AS BIGINT) AS rank,
+      |  COALESCE(w.wins, 0) AS wins, COALESCE(l.losses, 0) AS losses,
+      |  COALESCE(w.wins, 0) + COALESCE(l.losses, 0) AS games
+      |FROM sys JOIN s4 ON s4.s = sys.s
+      |LEFT JOIN wtab w ON w.s = sys.s
+      |LEFT JOIN ltab l ON l.s = sys.s""".stripMargin
+  }
+
   /** Leakage-safe train/val/test split (see [[Sample.splitByGroup]]):
     * documents plus a planted re-crawl shard (byte-identical copies of
     * doc_id < 100 under new ids) split by exact-text group
@@ -1700,6 +1792,7 @@ private[graft] object TrainQueries {
     "chat_sft_pairs" -> (qChatSftPairs _),
     "chat_pii_audit" -> (qChatPii _),
     "chat_dpo_pairs" -> (qChatDpoPairs _),
+    "chat_bt_ranking" -> (qChatBtRanking _),
     "sample_split_safe" -> (qSampleSplitSafe _),
     "doc_fim" -> (qDocFim _),
     "emb_rp" -> (qEmbRp _),
@@ -1752,6 +1845,7 @@ private[graft] object TrainQueries {
     "chat_sft_pairs" -> oChatSftPairs,
     "chat_pii_audit" -> oChatPii,
     "chat_dpo_pairs" -> oChatDpoPairs,
+    "chat_bt_ranking" -> oChatBtRanking,
     "sample_split_safe" -> oSampleSplitSafe,
     "doc_fim" -> oDocFim,
     "emb_rp" -> oEmbRp,

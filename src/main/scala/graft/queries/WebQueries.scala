@@ -827,6 +827,67 @@ private[graft] object WebQueries {
     Diff.kAnonymity(t(s, dir, "customer"),
       Seq("c_nationkey", "c_mktsegment"), k = 10)
 
+  /** T-CLOSENESS audit (see [[Diff.tCloseness]]) completing the
+    * release-screen trio next to `dataset_kanonymity` and
+    * `dataset_ldiversity`: the sensitive attribute is account balance
+    * on the EXACT integer grid — cents floored (IEEE floor is
+    * engine-stable; a bare double→int cast truncates in Spark but
+    * rounds in DuckDB), bucketed `(v − lo)·8 div (hi − lo + 1)` — and
+    * every group's 1-D EMD against the global distribution replays in
+    * SQL down to the integral division. */
+  private[graft] def qDatasetTcloseness(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val cents = expr("CAST(floor(c_acctbal * 100) AS BIGINT)")
+    val b = c.agg(min(cents).as("lo"), max(cents).as("hi"))
+    val bucketed = c.crossJoin(broadcast(b))
+      .withColumn("sens", expr(
+        "(CAST(floor(c_acctbal * 100) AS BIGINT) - lo) * 8" +
+          " div (hi - lo + 1)"))
+    Diff.tCloseness(bucketed, Seq("c_nationkey", "c_mktsegment"),
+      "sens", tPpm = 250000L)
+  }
+
+  private[graft] val oDatasetTcloseness =
+    """WITH lohi AS (SELECT min(CAST(floor(c_acctbal * 100) AS BIGINT))
+      |    AS lo, max(CAST(floor(c_acctbal * 100) AS BIGINT)) AS hi
+      |  FROM customer),
+      |base AS (SELECT c_nationkey, c_mktsegment,
+      |    (CAST(floor(c_acctbal * 100) AS BIGINT) - lo) * 8
+      |      // (hi - lo + 1) AS v
+      |  FROM customer, lohi),
+      |sp AS (SELECT c_nationkey, c_mktsegment, v, count(*) AS c
+      |  FROM base GROUP BY 1, 2, 3),
+      |gl AS (SELECT v, sum(c) AS cg FROM sp GROUP BY 1),
+      |tt AS (SELECT sum(cg) AS nt, count(*) AS m FROM gl),
+      |grp AS (SELECT c_nationkey, c_mktsegment, sum(c) AS ng FROM sp
+      |  GROUP BY 1, 2),
+      |dn AS (SELECT g.c_nationkey, g.c_mktsegment, g.ng, gl.v, gl.cg,
+      |    COALESCE(sp.c, 0) AS c, tt.nt, tt.m
+      |  FROM grp g CROSS JOIN gl CROSS JOIN tt
+      |  LEFT JOIN sp ON sp.c_nationkey = g.c_nationkey
+      |    AND sp.c_mktsegment = g.c_mktsegment AND sp.v = gl.v),
+      |pf AS (SELECT *, sum(CAST(c AS HUGEINT) * nt
+      |      - CAST(cg AS HUGEINT) * ng)
+      |    OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY v)
+      |      AS pfx
+      |  FROM dn),
+      |em AS (SELECT c_nationkey, c_mktsegment, ng, m, nt,
+      |    sum(abs(pfx)) AS num
+      |  FROM pf GROUP BY 1, 2, 3, 4, 5),
+      |ee AS (SELECT *, CASE WHEN m <= 1 THEN 0
+      |    ELSE CAST(num * 1000000
+      |      // (CAST(m - 1 AS HUGEINT) * ng * nt) AS BIGINT) END AS emd
+      |  FROM em)
+      |SELECT count(*) AS n_groups, CAST(sum(ng) AS BIGINT) AS n_rows,
+      |  CAST(max(m) AS BIGINT) AS m_values,
+      |  max(emd) AS max_emd_ppm,
+      |  CAST(sum(CASE WHEN emd > 250000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_groups,
+      |  CAST(250000 AS BIGINT) AS t_ppm,
+      |  sum(CASE WHEN emd > 250000 THEN 1 ELSE 0 END) = 0 AS close
+      |FROM ee""".stripMargin
+
   private[graft] val oDatasetKanonymity =
     """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
       |  FROM customer GROUP BY 1, 2)
@@ -1984,6 +2045,7 @@ private[graft] object WebQueries {
     "cdc_pit_lookup" -> (qCdcPitLookup _),
     "dataset_ri_audit" -> (qDatasetRiAudit _),
     "dataset_kanonymity" -> (qDatasetKanonymity _),
+    "dataset_tcloseness" -> (qDatasetTcloseness _),
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
     "corpus_report_incremental" -> (qCorpusReportIncremental _),
@@ -2035,6 +2097,7 @@ private[graft] object WebQueries {
     "cdc_pit_lookup" -> oCdcPitLookup,
     "dataset_ri_audit" -> oDatasetRiAudit,
     "dataset_kanonymity" -> oDatasetKanonymity,
+    "dataset_tcloseness" -> oDatasetTcloseness,
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
     "corpus_report_incremental" -> oCorpusReportIncremental,

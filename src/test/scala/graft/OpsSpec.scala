@@ -1811,6 +1811,43 @@ class OpsSpec extends SparkSpec {
       !ka.getBoolean(6))
   }
 
+  test("tCloseness: hand EMD on a two-value skew; single-value corpus is trivially close") {
+    import spark.implicits._
+    // group a: 3×v0 + 1×v1; group b: 1×v0 + 3×v1 — global is 50/50, so
+    // each group's 1-D EMD is |3/4 − 1/2| = 0.25 → 250000 ppm exactly
+    val d = Seq(("a", 0), ("a", 0), ("a", 0), ("a", 1),
+      ("b", 0), ("b", 1), ("b", 1), ("b", 1)).toDF("g", "v")
+    val r = graft.ops.Diff.tCloseness(d, Seq("g"), "v", tPpm = 200000L)
+      .head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 8 && r.getLong(2) == 2)
+    assert(r.getAs[Long]("max_emd_ppm") == 250000L)
+    assert(r.getAs[Long]("n_violating_groups") == 2)
+    assert(!r.getAs[Boolean]("close"))
+    // m = 1: every group IS the global distribution; no degenerate div
+    val one = Seq(("a", 7), ("b", 7)).toDF("g", "v")
+    val r1 = graft.ops.Diff.tCloseness(one, Seq("g"), "v", 1L).head()
+    assert(r1.getAs[Long]("max_emd_ppm") == 0L &&
+      r1.getAs[Boolean]("close"))
+  }
+
+  test("btRanking: 3:1 head-to-head converges to the exact 3x strength ratio") {
+    import spark.implicits._
+    val pairs = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"))
+      .toDF("w", "l")
+    val out = graft.ops.Chat.btRanking(pairs, "w", "l", iters = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // BT fixpoint for one pair: s_A/s_B = wins_A/wins_B = 3, mean 10⁶
+    assert(out("A") == ((1500000L, 1L, 3L, 1L)))
+    assert(out("B") == ((500000L, 2L, 1L, 3L)))
+    // symmetric record → equal strengths, rank tie broken by system id
+    val even = Seq(("A", "B"), ("B", "A")).toDF("w", "l")
+    val e = graft.ops.Chat.btRanking(even, "w", "l", iters = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e("A") == 1000000L && e("B") == 1000000L)
+  }
+
   test("decayedCounts: anchor weighs 1, one half-life weighs 1/2") {
     import spark.implicits._
     import java.sql.Timestamp
