@@ -689,6 +689,90 @@ object Insight {
       .withColumn("reps", lit(reps.toLong))
   }
 
+  /** PAIRED deterministic Poisson-bootstrap comparison of two metrics
+    * measured on the SAME rows — the eval-deck question "is scorer A
+    * really better than scorer B on this corpus, or is the gap
+    * resampling noise?" answered WITHOUT the independence mistake:
+    * each resample draws ONE Poisson(1) weight per row and applies it
+    * to BOTH metrics (the pairing), so row-level correlation between
+    * the metrics — usually most of the variance — cancels in the
+    * difference. Same hash-armed [[PoissonT]] inverse-CDF rail as
+    * [[bootstrapMeanCI]]: the "random" weights are a pure per-row
+    * function, identical on any engine or partitioning.
+    *
+    * Exact integer rail, signed-division checked: Spark `div` and
+    * DuckDB `//` both TRUNCATE toward zero (measured: −7//2 = −3), so
+    * the signed per-rep mean differences divide identically with the
+    * plain operators; CI bounds are order statistics of those
+    * truncated means. The p-value never divides at all — it counts
+    * resample SIGNS:
+    * p_two_ppm = min(10⁶, 2·(1+min(#≤0, #≥0))·10⁶ div (reps+1)).
+    *
+    * Shape: ONE aggregate over rows × (reps+1) (map-side combinable to
+    * ≤ reps cells per partition), one reps-row window. The full-data
+    * read rides rep −1 with weight 1.
+    *
+    * @return one row (n, mean_a_micro, mean_b_micro, mean_diff_micro,
+    *         ci_lo_micro, ci_hi_micro, n_reps_le0, n_reps_ge0,
+    *         p_two_ppm, reps) */
+  def pairedBootstrap(df: DataFrame, aCol: String, bCol: String,
+                      idCol: String, reps: Int = 20,
+                      salt: String = "pboot"): DataFrame = {
+    require(reps >= 2, "pairedBootstrap needs reps >= 2")
+    val loRank = math.ceil(0.025 * reps).toLong
+    val hiRank = math.ceil(0.975 * reps).toLong
+    val weightExpr = {
+      val u = "CAST(conv(substring(md5(concat_ws(':', '" + salt +
+        "', __rep, __id)), 1, 8), 16, 10) AS BIGINT)"
+      val cases = PoissonT.zipWithIndex
+        .map { case (t, k) => s"WHEN $u < ${t}L THEN ${k}L" }
+        .mkString(" ")
+      expr(s"CASE WHEN __rep = -1 THEN 1L $cases ELSE 9L END")
+    }
+    val base = df
+      .select(col(aCol).as("__a"), col(bCol).as("__b"),
+        col(idCol).cast("string").as("__id"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__id").isNotNull)
+      .withColumn("__am", expr("CAST(floor(__a * 1000000 + 0.5) AS BIGINT)"))
+      .withColumn("__bm", expr("CAST(floor(__b * 1000000 + 0.5) AS BIGINT)"))
+      .select(col("__id"), col("__am"), col("__bm"),
+        explode(array((-1 until reps).map(r => lit(r.toLong)): _*))
+          .as("__rep"))
+      .withColumn("__w", weightExpr)
+    val perRep = base.groupBy("__rep")
+      .agg(sum("__w").as("__n"),
+        sum(expr("__w * __am")).as("__sa"),
+        sum(expr("__w * __bm")).as("__sb"))
+      .withColumn("__d", expr("(__sa - __sb) div __n"))
+      .localCheckpoint(true) // tiny (reps+1 rows); read four ways below
+    val full = perRep.filter(col("__rep") === -1L)
+      .select(col("__n").as("n"),
+        expr("__sa div __n").as("mean_a_micro"),
+        expr("__sb div __n").as("mean_b_micro"),
+        col("__d").as("mean_diff_micro"))
+    val resamples = perRep.filter(col("__rep") =!= -1L)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__d"), col("__rep"))
+    val ordered = resamples
+      .withColumn("__r", row_number().over(wOrd).cast("long"))
+    val signs = resamples.agg(
+      sum(when(expr("__sa - __sb") <= 0, 1L).otherwise(0L))
+        .as("n_reps_le0"),
+      sum(when(expr("__sa - __sb") >= 0, 1L).otherwise(0L))
+        .as("n_reps_ge0"))
+    full
+      .crossJoin(ordered.filter(col("__r") === loRank)
+        .select(col("__d").as("ci_lo_micro")))
+      .crossJoin(ordered.filter(col("__r") === hiRank)
+        .select(col("__d").as("ci_hi_micro")))
+      .crossJoin(signs)
+      .withColumn("p_two_ppm", expr(
+        s"least(1000000L, 2 * (1 + least(n_reps_le0, n_reps_ge0))" +
+          s" * 1000000 div ${reps + 1}L)"))
+      .withColumn("reps", lit(reps.toLong))
+  }
+
   /** TIME-WEIGHTED MEAN (TWAP) per key over an irregular event series:
     * each observation is weighted by HOW LONG it was the current value
     * (ts → next ts), so a burst of 100 readings in one second no
@@ -1779,10 +1863,11 @@ object Insight {
     *
     * Arms are the md5 split of [[abTest]] (A = control, B = treated).
     * All ratios are exact ppm with the wide products on DECIMAL(38,0);
-    * negative uplifts are emitted as (sign, abs ppm) pairs because
-    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
-    * signed integer division is NOT cross-engine portable, magnitudes
-    * are (the `events_abtest` diff_sign precedent).
+    * negative uplifts are emitted as (sign, abs ppm) pairs — the
+    * conservative (`events_abtest` diff_sign precedent) spelling.
+    * (r12 correction: BIGINT `div`/`//` in fact BOTH truncate toward
+    * zero — measured, and [[pairedBootstrap]] relies on it — but
+    * DECIMAL division behaviors still differ, so the split stays.)
     *
     * Plan: one user-keyed hash aggregate, one range-exchange rank, one
     * bucket aggregate; the only unpartitioned window runs over the

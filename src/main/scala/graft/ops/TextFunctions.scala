@@ -189,6 +189,23 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Unicode NFC normalization (canonical composition) — the step that
+    * makes "é" and "e"+U+0301 the SAME bytes before any fingerprint,
+    * token, or dedup key is derived: without it, byte-twins that render
+    * identically hash apart and every exact rail silently under-dedups
+    * mixed-source corpora. JVM `java.text.Normalizer` UDF (no Spark
+    * built-in exists; DuckDB's `nfc_normalize` implements the same
+    * Unicode mapping — verified equal on the combining-mark cases the
+    * audit query plants). Null passes through. */
+  val nfc: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC)
+    }
+    c => f(c)
+  }
+
   /** Character-level profile — class counts, distinct characters, and
     * Shannon entropy over the char distribution (bits): the
     * charset-health battery (encoding damage → high `n_other`,

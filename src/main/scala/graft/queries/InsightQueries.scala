@@ -787,6 +787,71 @@ private[graft] object InsightQueries {
       |FROM m f WHERE f.rep = -1""".stripMargin
   }
 
+  /** Paired Poisson-bootstrap metric comparison (see
+    * [[Insight.pairedBootstrap]]): document char counts vs a
+    * 6-chars-per-word model on the SAME rows — 20 hash-armed paired
+    * resamples, truncating signed mean-difference divisions (Spark
+    * `div` ≡ DuckDB `//`, both toward zero — measured), sign-counted
+    * p-value. The oracle replays weights, divisions, order statistics,
+    * and the p rail literally. */
+  private[graft] def qEvalPairedBootstrap(s: SparkSession,
+                                          dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("a", col("n_chars").cast("double"))
+      .withColumn("b",
+        size(filter(TextFunctions.tokens(col("text")), w => w =!= ""))
+          .cast("double") * 6.0)
+    Insight.pairedBootstrap(d, "a", "b", "doc_id", reps = 20,
+      salt = "pb")
+  }
+
+  private[graft] val oEvalPairedBootstrap = {
+    val cases = Insight.PoissonT.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("\n      |    ")
+    s"""WITH src AS (SELECT doc_id,
+      |    CAST(n_chars AS DOUBLE) AS a,
+      |    CAST(len(list_filter($oToks, w -> w <> '')) AS DOUBLE) * 6.0
+      |      AS b
+      |  FROM documents),
+      |r AS (SELECT g AS rep FROM generate_series(-1, 19) t(g)),
+      |bb AS (SELECT
+      |    CAST(floor(src.a * 1000000 + 0.5) AS BIGINT) AS am,
+      |    CAST(floor(src.b * 1000000 + 0.5) AS BIGINT) AS bm,
+      |    r.rep,
+      |    ('0x' || substr(md5('pb:' || CAST(r.rep AS VARCHAR) || ':' ||
+      |      CAST(src.doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+      |  FROM src, r
+      |  WHERE src.a IS NOT NULL AND src.b IS NOT NULL
+      |    AND src.doc_id IS NOT NULL),
+      |w AS (SELECT rep, am, bm, CASE WHEN rep = -1 THEN 1
+      |    $cases
+      |    ELSE 9 END AS w FROM bb),
+      |pr AS MATERIALIZED (SELECT rep, CAST(sum(w) AS BIGINT) AS n,
+      |    CAST(sum(w * am) AS BIGINT) AS sa,
+      |    CAST(sum(w * bm) AS BIGINT) AS sb FROM w GROUP BY 1),
+      |m AS MATERIALIZED (SELECT rep, n, sa, sb,
+      |    CAST((sa - sb) // n AS BIGINT) AS d FROM pr),
+      |o AS (SELECT d, row_number() OVER (ORDER BY d, rep) AS rr
+      |  FROM m WHERE rep <> -1),
+      |sg AS (SELECT
+      |    CAST(sum(CASE WHEN sa - sb <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS le0,
+      |    CAST(sum(CASE WHEN sa - sb >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ge0
+      |  FROM m WHERE rep <> -1)
+      |SELECT f.n, CAST(f.sa // f.n AS BIGINT) AS mean_a_micro,
+      |  CAST(f.sb // f.n AS BIGINT) AS mean_b_micro,
+      |  f.d AS mean_diff_micro,
+      |  (SELECT d FROM o WHERE rr = 1) AS ci_lo_micro,
+      |  (SELECT d FROM o WHERE rr = 20) AS ci_hi_micro,
+      |  sg.le0 AS n_reps_le0, sg.ge0 AS n_reps_ge0,
+      |  least(1000000, 2 * (1 + least(sg.le0, sg.ge0)) * 1000000 // 21)
+      |    AS p_two_ppm,
+      |  CAST(20 AS BIGINT) AS reps
+      |FROM m f, sg WHERE f.rep = -1""".stripMargin
+  }
+
   /** Time-weighted mean event value per user (see
     * [[Insight.timeWeightedMean]]): each value weighted by its hold
     * duration in integer µs, weighted sum on DECIMAL(38,0). */
@@ -1833,6 +1898,7 @@ private[graft] object InsightQueries {
     "graph_linkpred" -> (qGraphLinkpred _),
     "graph_bfs" -> (qGraphBfs _),
     "insight_bootstrap_ci" -> (qInsightBootstrap _),
+    "eval_paired_bootstrap" -> (qEvalPairedBootstrap _),
     "events_twap" -> (qEventsTwap _),
     "text_skipgrams" -> (qTextSkipgrams _),
     "text_ngram_precision" -> (qTextNgramPrecision _),
@@ -1890,6 +1956,7 @@ private[graft] object InsightQueries {
     "graph_linkpred" -> oGraphLinkpred,
     "graph_bfs" -> oGraphBfs,
     "insight_bootstrap_ci" -> oInsightBootstrap,
+    "eval_paired_bootstrap" -> oEvalPairedBootstrap,
     "events_twap" -> oEventsTwap,
     "text_skipgrams" -> oTextSkipgrams,
     "text_ngram_precision" -> oTextNgramPrecision,

@@ -1012,6 +1012,66 @@ private[graft] object TextQueries {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  /** Unicode NFC normalization audit (see [[TextFunctions.nfc]]) — the
+    * mixed-source-corpus hazard every exact rail inherits: "é" and
+    * "e"+COMBINING ACUTE render identically but hash apart, so
+    * un-normalized text silently under-dedups. Twin sets planted per
+    * base doc — one suffixed with precomposed " café" (already NFC),
+    * one with the DECOMPOSED spelling — make the audit self-proving:
+    * the NFD twins are exactly the non-NFC rows, and their normalized
+    * fingerprints collide with the NFC twins' while raw fingerprints
+    * do not (`hidden_dup_groups` = what normalization-aware dedup
+    * recovers). JVM Normalizer and DuckDB `nfc_normalize` implement the
+    * same Unicode mapping, so every count hash-matches. */
+  private[graft] def qTextNfcAudit(s: SparkSession, dir: String): DataFrame = {
+    val off = 5000000L
+    val base = t(s, dir, "documents").filter(col("doc_id") < 500)
+      .select("doc_id", "text")
+    val nfcTwin = base.select((col("doc_id") + off).as("doc_id"),
+      concat(col("text"), lit(" caf\u00e9")).as("text"))
+    val nfdTwin = base.select((col("doc_id") + 2 * off).as("doc_id"),
+      concat(col("text"), lit(" cafe\u0301")).as("text"))
+    val all = base.unionByName(nfcTwin).unionByName(nfdTwin)
+      .withColumn("__nfc", TextFunctions.nfc(col("text")))
+    val flat = all.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNotNull && col("text") =!= col("__nfc"),
+        1L).otherwise(0L)).as("n_not_nfc"))
+    def dupGroups(key: org.apache.spark.sql.Column) =
+      all.groupBy(key.as("__g")).agg(count(lit(1)).as("__c"))
+        .agg(sum(when(col("__c") > 1, 1L).otherwise(0L)).as("g"))
+    val raw = dupGroups(md5(col("text")))
+      .select(col("g").as("raw_dup_groups"))
+    val norm = dupGroups(md5(col("__nfc")))
+      .select(col("g").as("nfc_dup_groups"))
+    flat.crossJoin(raw).crossJoin(norm)
+      .withColumn("hidden_dup_groups",
+        col("nfc_dup_groups") - col("raw_dup_groups"))
+  }
+
+  private[graft] val oTextNfcAudit =
+    """WITH base AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id < 500),
+      |allr AS MATERIALIZED (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL SELECT doc_id + 5000000,
+      |    text || ' caf' || chr(233) FROM base
+      |  UNION ALL SELECT doc_id + 10000000,
+      |    text || ' cafe' || chr(769) FROM base),
+      |a AS (SELECT text, nfc_normalize(text) AS nt FROM allr),
+      |flat AS (SELECT count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN text IS NOT NULL AND text <> nt
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_not_nfc FROM a),
+      |rg AS (SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS raw_dup_groups
+      |  FROM (SELECT md5(text) AS g, count(*) AS c FROM a GROUP BY 1)),
+      |ng AS (SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nfc_dup_groups
+      |  FROM (SELECT md5(nt) AS g, count(*) AS c FROM a GROUP BY 1))
+      |SELECT flat.n_rows, flat.n_not_nfc, rg.raw_dup_groups,
+      |  ng.nfc_dup_groups,
+      |  ng.nfc_dup_groups - rg.raw_dup_groups AS hidden_dup_groups
+      |FROM flat, rg, ng""".stripMargin
+
   /** One-pass char-class/entropy profile over the raw documents. The
     * entropy contract: per-distinct-char `-p·log2 p` contributions in
     * rounded 1e-6-bit integer units, summed exactly (order-independent),
@@ -1059,6 +1119,7 @@ private[graft] object TextQueries {
     "text_langid" -> (qTextLangId _),
     "text_script" -> (qTextScript _),
     "text_fingerprint" -> (qTextFingerprint _),
+    "text_nfc_audit" -> (qTextNfcAudit _),
     "dataset_ldiversity" -> (qDatasetLdiversity _),
     "corpus_vocab_growth" -> (qCorpusVocabGrowth _),
     "corpus_zipf" -> (qCorpusZipf _),
@@ -1092,6 +1153,7 @@ private[graft] object TextQueries {
     "text_langid" -> oTextLangId,
     "text_script" -> oTextScript,
     "text_fingerprint" -> oTextFingerprint,
+    "text_nfc_audit" -> oTextNfcAudit,
     "dataset_ldiversity" -> oDatasetLdiversity,
     "corpus_vocab_growth" -> oCorpusVocabGrowth,
     "corpus_zipf" -> oCorpusZipf,
