@@ -1315,4 +1315,21 @@ object StreamingOps {
           flagged.result().iterator
       }
   }
+
+  /** Streaming Bradley–Terry count matrix — the live half of
+    * [[graft.ops.Chat.btRanking]]'s arena leaderboard: outcomes
+    * accumulate into the UNWINDOWED (winner, loser) count aggregate
+    * (complete output mode; state = one long per observed ordered pair
+    * — systems², bounded by the model-variant catalog, never by
+    * traffic). The fit is a pure function of the matrix snapshot
+    * ([[graft.ops.Chat.btRankingFromCounts]]), so the live leaderboard
+    * equals the batch one over the same outcomes exactly
+    * (StreamingSpec). */
+  def btCountsStream(outcomes: DataFrame, winCol: String,
+                     loseCol: String): DataFrame =
+    outcomes
+      .filter(col(winCol).isNotNull && col(loseCol).isNotNull)
+      .groupBy(col(winCol).cast("string").as("__w"),
+        col(loseCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n"))
 }

@@ -1408,4 +1408,30 @@ class StreamingSpec extends SparkSpec {
     val (afterEmpty, b3) = Pca.loadStateWithBatch(spark, statePath)
     assert(b3 == 3L && afterEmpty.n == streamed.n)
   }
+
+  test("btCountsStream: live leaderboard equals batch Bradley-Terry over the same outcomes") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.btCountsStream(input.toDF()
+        .toDF("w", "l"), "w", "l")
+      .writeStream.format("memory").queryName("btc")
+      .outputMode("complete").start()
+    try {
+      input.addData(("A", "B"), ("A", "B"), ("B", "C"))
+      q.processAllAvailable()
+      input.addData(("A", "B"), ("B", "A"), ("C", "B"), ("A", "C"))
+      q.processAllAvailable()
+      val live = graft.ops.Chat.btRankingFromCounts(spark.table("btc"),
+        iters = 8)
+      val batch = graft.ops.Chat.btRanking(
+        Seq(("A", "B"), ("A", "B"), ("B", "C"),
+          ("A", "B"), ("B", "A"), ("C", "B"), ("A", "C")).toDF("w", "l"),
+        "w", "l", iters = 8)
+      assert(live.collect().map(_.toString).sorted.toSeq ==
+        batch.collect().map(_.toString).sorted.toSeq)
+      // state is the ordered-pair matrix: 5 observed pairs
+      assert(spark.table("btc").count() == 5)
+    } finally q.stop()
+  }
 }
