@@ -944,6 +944,95 @@ object Graph {
       .agg(count(lit(1)).as("n_pivots"),
         sum(expr("1000000 div dist")).as("harmonic_micro"))
 
+  /** Pivot-sampled BOUNDED-DISTANCE BETWEENNESS — Brandes 2001
+    * restricted to shortest paths from `pivots` of length ≤ `maxHops`
+    * (the k-betweenness/ego-betweenness family: Everett & Borgatti
+    * 2005): which vertices sit ON the short paths between others — the
+    * broker read that degree/harmonic/pagerank all miss (a low-degree
+    * bridge between two communities scores ~0 on all three).
+    *
+    * Forward: the [[bfsDistancesLabeled]] level-synchronous wave also
+    * carrying σ — the NUMBER of shortest paths, exact BIGINT:
+    * σ_h(w) = Σ σ_{h−1}(v) over its level-(h−1) predecessors (one
+    * grouped aggregate per hop instead of the distinct). Backward:
+    * Brandes' pair dependencies in micro-units, per successor edge
+    *
+    *   term(v→w) = σ(v)·(10⁶ + δ(w)) div σ(w)
+    *
+    * — positive truncated integer terms on DECIMAL(38,0) (σ products
+    * overflow BIGINT on dense graphs), summed order-free, one backward
+    * join per level. δ_s(s) rows are excluded (endpoints don't count);
+    * on an undirected graph each unordered (s,t) pair is counted once
+    * per pivot endpoint that is sampled — the standard sampled-source
+    * convention.
+    *
+    * Scale shape: forward = maxHops grouped frontier joins (frontier
+    * broadcasts below the cap); backward = maxHops co-keyed joins of
+    * adjacent levels. State is |pivots| × reached, the sampled-
+    * centrality regime (keep pivots in the tens).
+    *
+    * @return (id, bc_micro) for non-pivot vertices with bc_micro > 0 */
+  def betweennessPivots(edges: DataFrame, pivots: DataFrame,
+                        maxHops: Int = 3,
+                        broadcastRowCap: Long = 4L << 20): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    def maybeB(df: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastRowCap) broadcast(df) else df
+    // forward: levels(h) = (label, id, sig)
+    val l0 = pivots.select(col("id").as("label"), col("id")).distinct()
+      .withColumn("sig", lit(1L).cast("decimal(38,0)"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(l0)
+    var visited = l0.select("label", "id").localCheckpoint(true)
+    var nFrontier = l0.count()
+    var nVisited = nFrontier
+    var h = 0
+    while (nFrontier > 0 && h < maxHops) {
+      h += 1
+      val next = e
+        .join(maybeB(levels.last.withColumnRenamed("id", "src"),
+          nFrontier), Seq("src"))
+        .groupBy(col("label"), col("dst").as("id"))
+        .agg(sum("sig").as("sig"))
+        .join(maybeB(visited, nVisited), Seq("label", "id"), "left_anti")
+        .localCheckpoint(true)
+      nFrontier = next.count()
+      if (nFrontier > 0) {
+        levels += next
+        visited = visited.unionAll(next.select("label", "id"))
+          .localCheckpoint(true)
+        nVisited += nFrontier
+      }
+    }
+    // backward: δ over adjacent levels, deepest level δ = 0
+    val maxL = levels.length - 1
+    var delta = levels(maxL).select(col("label"), col("id"),
+      lit(0L).as("d")).localCheckpoint(true)
+    var acc = if (maxL > 0) delta else delta.limit(0)
+    for (k <- (maxL - 1) to 0 by -1) {
+      val succ = delta.select(col("label"), col("id").as("dst"),
+        col("d").as("__dw"))
+      val sigW = levels(k + 1).select(col("label"),
+        col("id").as("dst"), col("sig").as("__sw"))
+      val dk = levels(k).as("v")
+        .join(e, col("v.id") === col("src"), "left")
+        .join(sigW.join(succ, Seq("label", "dst")).as("w"),
+          Seq("label", "dst"), "left")
+        .groupBy(col("label"), col("v.id").as("id"))
+        .agg(coalesce(sum(expr(
+          "CAST(sig AS DECIMAL(38,0)) * (1000000 + __dw) div __sw")),
+          lit(0)).cast("long").as("d"))
+        .localCheckpoint(true)
+      delta = dk
+      acc = if (k > 0) acc.unionAll(dk) else acc // pivot rows excluded
+    }
+    acc.filter(col("d") > 0)
+      .groupBy("id").agg(sum("d").as("bc_micro"))
+      .filter(col("bc_micro") > 0)
+  }
+
   /** RANDOM-WALK CORPUS over an undirected graph — the DeepWalk /
     * node2vec PREP step (Perozzi 2014): emit per-node walk sequences
     * that a skip-gram trainer ([[graft.ops.Phrases.skipgramCounts]],

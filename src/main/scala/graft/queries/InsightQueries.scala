@@ -998,6 +998,70 @@ private[graft] object InsightQueries {
     Graph.harmonicCentrality(edges, pivots, maxHops = 3)
   }
 
+  /** Pivot-sampled bounded-distance betweenness over the co-purchase
+    * graph (see [[Graph.betweennessPivots]]) — the broker/bridge read
+    * completing the centrality family (degree, pagerank, harmonic,
+    * coreness): same 8 lowest-id pivots and 3-hop horizon as
+    * `graph_harmonic`. EXACT oracle: forward σ counts are integers,
+    * backward dependencies are positive truncated integer terms —
+    * the whole Brandes accumulation replays level by level in SQL. */
+  private[graft] def qGraphBetweenness(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val pivots = li.select(col("l_partkey").as("id")).distinct()
+      .orderBy("id").limit(8)
+    Graph.betweennessPivots(edges, pivots, maxHops = 3)
+  }
+
+  private[graft] val oGraphBetweenness =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+      |    FROM lineitem),
+      |e AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+      |  FROM items a JOIN items b ON a.g = b.g AND a.item <> b.item),
+      |pv AS (SELECT DISTINCT l_partkey AS id FROM lineitem
+      |  ORDER BY 1 LIMIT 8),
+      |l0 AS MATERIALIZED (SELECT id AS label, id,
+      |  CAST(1 AS HUGEINT) AS sig FROM pv),
+      |l1 AS MATERIALIZED (SELECT l0.label, e.dst AS id,
+      |    sum(l0.sig) AS sig
+      |  FROM l0 JOIN e ON e.src = l0.id
+      |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+      |    WHERE x.label = l0.label AND x.id = e.dst)
+      |  GROUP BY 1, 2),
+      |v1 AS MATERIALIZED (SELECT label, id FROM l0
+      |  UNION ALL SELECT label, id FROM l1),
+      |l2 AS MATERIALIZED (SELECT l1.label, e.dst AS id,
+      |    sum(l1.sig) AS sig
+      |  FROM l1 JOIN e ON e.src = l1.id
+      |  WHERE NOT EXISTS (SELECT 1 FROM v1 x
+      |    WHERE x.label = l1.label AND x.id = e.dst)
+      |  GROUP BY 1, 2),
+      |v2 AS MATERIALIZED (SELECT * FROM v1
+      |  UNION ALL SELECT label, id FROM l2),
+      |l3 AS MATERIALIZED (SELECT l2.label, e.dst AS id,
+      |    sum(l2.sig) AS sig
+      |  FROM l2 JOIN e ON e.src = l2.id
+      |  WHERE NOT EXISTS (SELECT 1 FROM v2 x
+      |    WHERE x.label = l2.label AND x.id = e.dst)
+      |  GROUP BY 1, 2),
+      |d2 AS MATERIALIZED (SELECT v.label, v.id,
+      |    COALESCE(sum(v.sig * 1000000 // w.sig), 0) AS d
+      |  FROM l2 v LEFT JOIN e ON e.src = v.id
+      |  LEFT JOIN l3 w ON w.label = v.label AND w.id = e.dst
+      |  GROUP BY 1, 2),
+      |d1 AS MATERIALIZED (SELECT v.label, v.id,
+      |    COALESCE(sum(v.sig * (1000000 + w.d) // w.sig), 0) AS d
+      |  FROM l1 v LEFT JOIN e ON e.src = v.id
+      |  LEFT JOIN (SELECT l2.label, l2.id, l2.sig, d2.d
+      |    FROM l2 JOIN d2 ON d2.label = l2.label AND d2.id = l2.id) w
+      |    ON w.label = v.label AND w.id = e.dst
+      |  GROUP BY 1, 2)
+      |SELECT id, CAST(sum(d) AS BIGINT) AS bc_micro
+      |FROM (SELECT label, id, d FROM d1 WHERE d > 0
+      |  UNION ALL SELECT label, id, d FROM d2 WHERE d > 0)
+      |GROUP BY 1""".stripMargin
+
   private[graft] val oGraphHarmonic =
     """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS g,
       |    l_partkey AS item FROM lineitem),
@@ -1905,6 +1969,7 @@ private[graft] object InsightQueries {
     "train_negative_table" -> (qTrainNegativeTable _),
     "join_fanout_audit" -> (qJoinFanout _),
     "graph_harmonic" -> (qGraphHarmonic _),
+    "graph_betweenness" -> (qGraphBetweenness _),
     "eval_ranking" -> (qEvalRanking _),
     "quality_wilson" -> (qQualityWilson _),
     "events_chi2" -> (qEventsChi2 _),
@@ -1963,6 +2028,7 @@ private[graft] object InsightQueries {
     "train_negative_table" -> oTrainNegativeTable,
     "join_fanout_audit" -> oJoinFanout,
     "graph_harmonic" -> oGraphHarmonic,
+    "graph_betweenness" -> oGraphBetweenness,
     "eval_ranking" -> oEvalRanking,
     "quality_wilson" -> oQualityWilson,
     "events_chi2" -> oEventsChi2,

@@ -3973,4 +3973,23 @@ class OpsSpec extends SparkSpec {
     // each pivot excludes its own dist-0 row but counts the other
     assert(h(1L) == (1L, 333333L) && h(4L) == (1L, 333333L))
   }
+
+  test("betweennessPivots: hand Brandes on a path and a diamond") {
+    import spark.implicits._
+    // path 1-2-3-4-5, pivot 1: δ(v) = #endpoints beyond v
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val bc = Graph.betweennessPivots(path, Seq(1L).toDF("id"),
+        maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bc == Map(2L -> 3000000L, 3L -> 2000000L, 4L -> 1000000L))
+    // diamond 1-2-4, 1-3-4: two shortest 1→4 paths, each middle
+    // vertex carries HALF the dependency (σ division engages)
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val bd = Graph.betweennessPivots(diamond, Seq(1L).toDF("id"),
+        maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bd == Map(2L -> 500000L, 3L -> 500000L))
+  }
 }
