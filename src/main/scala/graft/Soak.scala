@@ -78,6 +78,12 @@ object Soak {
             li.filter(col("l_partkey") % 101 === 0)
               .select(col("l_partkey").as("id")),
             maxHops = 3)
+        case "betweenness" => // graph_betweenness's exact shape
+          ops.Graph.betweennessPivots(
+            ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
+            li.select(col("l_partkey").as("id")).distinct()
+              .orderBy("id").limit(8),
+            maxHops = 3)
         case "harmonic" => // graph_harmonic's exact shape
           ops.Graph.harmonicCentrality(
             ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),

@@ -187,7 +187,9 @@ object Diff {
     * driver-side.
     *
     * @param sensCol ordinal sensitive column (bucket continuous values
-    *        onto an exact integer grid first)
+    *        onto an exact integer grid first); rows with a NULL
+    *        sensitive value are excluded (no distribution mass), while
+    *        a NULL quasi-id value forms its own audited group
     * @return one row (n_groups, n_rows, m_values, max_emd_ppm,
     *         n_violating_groups, t_ppm, close) */
   def tCloseness(df: DataFrame, quasiCols: Seq[String], sensCol: String,
@@ -203,8 +205,17 @@ object Diff {
       count(lit(1)).as("__m"))
     val vocab = broadcast(global.crossJoin(broadcast(tot)))
     val groups = sparse.groupBy(qi: _*).agg(sum("__c").as("__ng"))
+    // Null-safe rejoin keys: groupBy collects a null quasi-id value
+    // into ONE group, but a plain equi-join back would zero its counts
+    // (null never equals null) and silently corrupt that group's EMD —
+    // the splitByGroup lesson. <=> matches and still hash-joins.
+    val sp2 = (quasiCols :+ "__v").foldLeft(sparse)((d, c) =>
+      d.withColumnRenamed(c, s"__s_$c"))
     val dense = groups.crossJoin(vocab) // bounded: groups × m values
-      .join(sparse, quasiCols :+ "__v", "left")
+      .join(sp2,
+        (quasiCols :+ "__v").map(c => col(c) <=> col(s"__s_$c"))
+          .reduce(_ && _), "left")
+      .drop((quasiCols :+ "__v").map(c => s"__s_$c"): _*)
       .na.fill(0L, Seq("__c"))
     val byG = Window.partitionBy(qi: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1828,6 +1828,19 @@ class OpsSpec extends SparkSpec {
     val r1 = graft.ops.Diff.tCloseness(one, Seq("g"), "v", 1L).head()
     assert(r1.getAs[Long]("max_emd_ppm") == 0L &&
       r1.getAs[Boolean]("close"))
+    // a NULL quasi-id group is audited with ITS OWN counts (a plain
+    // equi-join back would zero them and corrupt its EMD): null group
+    // 2:2 matches the global 6:6 exactly -> EMD 0, a/b stay at 250000
+    val withNull = Seq(
+      ("a", 0), ("a", 0), ("a", 0), ("a", 1),
+      ("b", 0), ("b", 1), ("b", 1), ("b", 1),
+      (null, 0), (null, 0), (null, 1), (null, 1))
+      .toDF("g", "v")
+    val rn = graft.ops.Diff.tCloseness(withNull, Seq("g"), "v", 200000L)
+      .head()
+    assert(rn.getLong(0) == 3 && rn.getLong(1) == 12)
+    assert(rn.getAs[Long]("max_emd_ppm") == 250000L)
+    assert(rn.getAs[Long]("n_violating_groups") == 2)
   }
 
   test("btRanking: 3:1 head-to-head converges to the exact 3x strength ratio") {
