@@ -35,9 +35,10 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val graphOps = Set("pagerank", "kcore", "bfs", "harmonic")
-    lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text")
+    val graphOps = Set("pagerank", "kcore", "bfs", "harmonic",
+      "betweenness")
+    lazy val docsFull = spark.read.parquet(s"$dir/documents.parquet")
+    lazy val docs = docsFull.select("doc_id", "text")
     lazy val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
     // untimed warmup: scan-path compile + footer decode
@@ -56,6 +57,14 @@ object Soak {
           ops.Dedup.longestDupSpanExact(docs, "text", "doc_id", maxPow = 5)
         case "winnow" =>
           ops.Dedup.winnowFingerprints(docs, "text", "doc_id")
+        case "paired_bootstrap" => // eval_paired_bootstrap's exact shape
+          ops.Insight.pairedBootstrap(
+            docsFull
+              .withColumn("a", col("n_chars").cast("double"))
+              .withColumn("b", size(filter(
+                ops.TextFunctions.tokens(col("text")), w => w =!= ""))
+                .cast("double") * 6.0),
+            "a", "b", "doc_id", reps = 20, salt = "pb")
         case "keyphrases" => // same config as the text_keyphrases query
           ops.Phrases.rakeKeyphrases(docs, "text", "doc_id",
             stopwords = Seq("the", "a", "and", "of", "to", "in", "is"),
