@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry discipline guards — process misses promoted to test
+  * failures. The r11 round shipped a query (`dedup_lsh_scurve`) in an
+  * end-of-round commit with no floor and no verified oracle run; these
+  * assertions make that class of landing fail `sbt test` instead of
+  * surfacing as a red row in the next round's verdict. */
+class RegistrySpec extends AnyFunSuite {
+
+  private lazy val queries = SparkEntry.queries.keySet
+  private lazy val oracles = SparkEntry.oracleSql.keySet
+
+  test("every registered query has an oracle") {
+    val missing = queries -- oracles
+    assert(missing.isEmpty,
+      s"queries without oracleSql entries: ${missing.toSeq.sorted}")
+    val orphans = oracles -- queries
+    assert(orphans.isEmpty,
+      s"oracleSql entries without queries: ${orphans.toSeq.sorted}")
+  }
+
+  test("every registered query has a recorded performance floor") {
+    val floorsFile = new java.io.File("BASELINE_FLOORS.json")
+    assume(floorsFile.exists(), "floors file present in repo root")
+    val txt = scala.io.Source.fromFile(floorsFile, "UTF-8").mkString
+    // one "name": value per line — parsed structurally, no JSON dep
+    val keys = "\"([^\"]+)\"\\s*:".r.findAllMatchIn(txt)
+      .map(_.group(1)).toSet
+    val missing = queries -- keys
+    assert(missing.isEmpty,
+      s"queries without floors (run Bench with SPARK_GRAFT_ONLY and " +
+        s"record min-of-reps): ${missing.toSeq.sorted}")
+    val stale = keys -- queries
+    assert(stale.isEmpty,
+      s"floors for queries that no longer exist: ${stale.toSeq.sorted}")
+  }
+
+  test("no duplicate query names across family files") {
+    val perFamily = Seq(
+      TextQueries.queries, DedupQueries.queries,
+      SimilarityQueries.queries, MultimodalQueries.queries,
+      CurationQueries.queries, TrainQueries.queries,
+      SampleQueries.queries, WebQueries.queries,
+      InsightQueries.queries, PivotQueries.all)
+    val all = perFamily.flatMap(_.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty,
+      s"query names registered in more than one family: ${dups.toSeq.sorted}")
+  }
+}
