@@ -971,38 +971,46 @@ object Graph {
     * adjacent levels. State is |pivots| × reached, the sampled-
     * centrality regime (keep pivots in the tens).
     *
+    * Action economy (r13): each frontier materializes through
+    * [[org.apache.spark.sql.GraftShim.materializeWithCount]] — the
+    * checkpoint-materializing job itself returns the count, instead of
+    * the eager-localCheckpoint + separate-count pair that ran two jobs
+    * per level — and the visited set is a lazy union over the
+    * checkpointed frontiers (the per-level visited re-checkpoint
+    * re-copied O(reached) rows every hop for nothing). Same raw-row
+    * storage, same plans, ~half the scheduler round-trips: this was
+    * the most contention-sensitive query in the bench suite (r12).
+    *
     * @return (id, bc_micro) for non-pivot vertices with bc_micro > 0 */
   def betweennessPivots(edges: DataFrame, pivots: DataFrame,
                         maxHops: Int = 3,
                         broadcastRowCap: Long = 4L << 20): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
+    val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
     def maybeB(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastRowCap) broadcast(df) else df
     // forward: levels(h) = (label, id, sig)
-    val l0 = pivots.select(col("id").as("label"), col("id")).distinct()
-      .withColumn("sig", lit(1L).cast("decimal(38,0)"))
-      .localCheckpoint(true)
+    val (l0, n0) = mat(pivots.select(col("id").as("label"), col("id"))
+      .distinct().withColumn("sig", lit(1L).cast("decimal(38,0)")))
     val levels = scala.collection.mutable.ArrayBuffer(l0)
-    var visited = l0.select("label", "id").localCheckpoint(true)
-    var nFrontier = l0.count()
+    var visited = l0.select("label", "id")
+    var nFrontier = n0
     var nVisited = nFrontier
     var h = 0
     while (nFrontier > 0 && h < maxHops) {
       h += 1
-      val next = e
+      val (next, n) = mat(e
         .join(maybeB(levels.last.withColumnRenamed("id", "src"),
           nFrontier), Seq("src"))
         .groupBy(col("label"), col("dst").as("id"))
         .agg(sum("sig").as("sig"))
-        .join(maybeB(visited, nVisited), Seq("label", "id"), "left_anti")
-        .localCheckpoint(true)
-      nFrontier = next.count()
+        .join(maybeB(visited, nVisited), Seq("label", "id"), "left_anti"))
+      nFrontier = n
       if (nFrontier > 0) {
         levels += next
         visited = visited.unionAll(next.select("label", "id"))
-          .localCheckpoint(true)
         nVisited += nFrontier
       }
     }

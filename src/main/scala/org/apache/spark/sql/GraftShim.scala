@@ -1,0 +1,36 @@
+package org.apache.spark.sql
+
+/** Minimal `private[sql]` access shim (the standard Spark-extension
+  * pattern of placing one file in the `org.apache.spark.sql` package —
+  * everything used here is Spark's own public-source API surface).
+  *
+  * [[materializeWithCount]] exists because `Dataset.localCheckpoint
+  * (eager = true)` already runs a full `count()` job to materialize the
+  * checkpoint and then DISCARDS the number, so iterative operators that
+  * also need the row count (frontier loops deciding termination and
+  * broadcast eligibility) pay a second scheduler round-trip per
+  * iteration just to re-read it from the cached blocks. Folding the two
+  * into one action halves the job count of every level-synchronous loop
+  * that adopts it — the difference is pure scheduler latency, which is
+  * exactly what made `graph_betweenness` the most contention-sensitive
+  * query in the bench suite (r12 verdict).
+  */
+object GraftShim {
+
+  /** Materialize `df` as an UNRELIABLE (executor-local) checkpoint and
+    * return the re-wrapped DataFrame plus its row count, in ONE job.
+    * Mirrors `Dataset.checkpoint(eager=true, reliableCheckpoint=false)`:
+    * rows are copied (unsafe-row buffers are reused by the scan),
+    * lineage is truncated at the checkpointed RDD, storage is raw
+    * InternalRows (no columnar re-encode, unlike `persist()`), and the
+    * blocks die with the RDD reference — nothing registers in the
+    * CacheManager, so re-running the same plan recomputes honestly. */
+  def materializeWithCount(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    (spark.internalCreateDataFrame(rdd, df.schema), n)
+  }
+}
