@@ -470,4 +470,244 @@ object Tokenize {
     // join on space, then fuse continuations: "a ##b" -> "ab"
     regexp_replace(array_join(pieces, " "), " ##", "")
   }
+
+  // ------------- byte-level BPE (the GPT-2 / tiktoken class) -------------
+
+  /** Byte-level BPE model. `pieces(id)` is the piece's byte sequence
+    * packed as a JVM string of chars 0–255 (one char per byte); ids
+    * 0–255 are ALWAYS the 256 single bytes — the zero-[UNK] guarantee
+    * the char-seeded [[trainVocabBpe]]/[[trainVocabUnigram]] tiers lack:
+    * any text over any script (or binary junk) encodes, because every
+    * UTF-8 byte has a base token. `merges` is the ranked pair list; the
+    * encoder applies the lowest-rank adjacent pair first (Sennrich 2016
+    * training, Radford 2019 GPT-2 deployment shape). */
+  final case class ByteBpeModel(pieces: IndexedSeq[String],
+                                merges: IndexedSeq[(String, String)]) {
+    require(pieces.length >= 256, "byte BPE needs the 256 byte singles")
+    @transient lazy val pieceId: Map[String, Int] =
+      pieces.zipWithIndex.toMap
+    // a merged pair can never re-form (merging shortens the symbol list
+    // and neighbors adjoin the NEW symbol), so pairs are unique
+    @transient lazy val pairRank: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  /** Pre-tokens of `text` for byte-level BPE: the canonical whitespace
+    * words ([[TextFunctions.tokensJvm]], empties dropped), the first
+    * bare and every later one carrying its LEADING SPACE (GPT-2's
+    * convention) — so the concatenation of all pre-token bytes is
+    * exactly the canonical text's UTF-8 bytes and decode is lossless by
+    * construction. Each pre-token is the word's UTF-8 bytes packed as
+    * chars 0–255, split into `maxTokenBytes` slices (the cost guard the
+    * quadratic-ish merge search needs against pathological megawords;
+    * slicing only forbids merges across the cut — still lossless,
+    * still zero-UNK). */
+  private[graft] def preTokensBytes(text: String,
+                                    maxTokenBytes: Int): Array[String] = {
+    val ws = TextFunctions.tokensJvm(text).filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < ws.length) {
+      val s = if (i == 0) ws(i) else " " + ws(i)
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val chars = new Array[Char](bytes.length)
+      var j = 0
+      while (j < bytes.length) { chars(j) = (bytes(j) & 0xff).toChar; j += 1 }
+      val bs = new String(chars)
+      var off = 0
+      while (off < bs.length) {
+        out += bs.substring(off, math.min(off + maxTokenBytes, bs.length))
+        off += maxTokenBytes
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Train a BYTE-LEVEL BPE vocabulary on the bounded lowest-id sample
+    * contract of [[trainVocabBpe]]: pre-tokens decompose into single
+    * bytes, then the most frequent adjacent symbol pair merges (ties by
+    * byte-lexicographic pair order — chars 0–255 compare unsigned, so
+    * String order IS byte order) until `vocabSize − 256` distinct merged
+    * pieces exist or no pair repeats. Driver state is the capped
+    * sample's pre-token frequency table — the corpus never participates;
+    * training is deterministic end to end, so a persisted model
+    * retrains identically.
+    *
+    * vocabSize counts ALL pieces including the 256 byte singles
+    * (GPT-2's 50257 counts its 256 the same way). */
+  def trainVocabByteBpe(df: DataFrame, textCol: String, idCol: String,
+                        vocabSize: Int, sampleN: Int = 4096,
+                        maxTokenBytes: Int = 256): ByteBpeModel = {
+    require(vocabSize >= 256, "vocabSize must fit the 256 byte singles")
+    require(maxTokenBytes >= 2, "maxTokenBytes must allow a pair")
+    val texts = df.select(col(idCol), col(textCol))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect().map(_.getString(1)).filter(_ != null)
+    val freq = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    texts.foreach(preTokensBytes(_, maxTokenBytes).foreach { p =>
+      freq.update(p, freq.getOrElse(p, 0L) + 1L)
+    })
+    val live = freq.toArray.sortBy(_._1).map { case (s, f) =>
+      (scala.collection.mutable.ArrayBuffer(
+        s.map(String.valueOf(_)).toIndexedSeq: _*), f)
+    }
+    val pieceSet = scala.collection.mutable.LinkedHashSet.empty[String]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var room = vocabSize - 256
+    var done = room <= 0
+    while (!done) {
+      val pairs = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      live.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairs.update(k, pairs.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      // a pair seen once carries no compression signal and would let a
+      // big budget memorize whole sample words — stop at frequency 2
+      val candidates = pairs.filter(_._2 >= 2L)
+      if (candidates.isEmpty) done = true
+      else {
+        val ((a, b), _) = candidates.minBy { case ((x, y), f) => (-f, x, y) }
+        val merged = a + b
+        // distinct pairs can concatenate to one byte string; the piece
+        // is added once, the rewrite still applies (char-BPE precedent)
+        val fresh = !pieceSet.contains(merged)
+        if (fresh) pieceSet += merged
+        merges += ((a, b))
+        live.foreach { case (syms, _) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == a && syms(i + 1) == b) {
+              syms(i) = merged
+              syms.remove(i + 1)
+            } else i += 1
+          }
+        }
+        if (fresh) room -= 1
+        if (room <= 0) done = true
+      }
+    }
+    ByteBpeModel(
+      (0 until 256).map(b => String.valueOf(b.toChar)) ++
+        pieceSet.toIndexedSeq,
+      merges.toIndexedSeq)
+  }
+
+  /** Tokenize `textCol` against a byte-level BPE model: per pre-token,
+    * repeatedly merge the adjacent pair with the LOWEST merge rank
+    * (all occurrences, left to right) until none applies — the exact
+    * GPT-2 encoder loop, reproducing the training segmentation for
+    * in-sample words. NO [UNK] exists: unseen scripts, emoji, or
+    * binary-ish text fall back to single-byte tokens. Broadcast-map
+    * shape — no shuffle, no driver state, composes with
+    * [[Chunk.packSequences]] downstream like the other tiers.
+    *
+    * @return input + `token_ids array<int>`, `n_tokens`, `n_bytes`
+    *         (UTF-8 bytes of the canonical text — Σ piece lengths by
+    *         construction, the budget denominator bytes-per-token
+    *         reads need) */
+  def byteBpe(df: DataFrame, textCol: String, model: ByteBpeModel,
+              maxTokenBytes: Int = 256): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val encode = udf { (text: String) =>
+      if (text == null) Seq.empty[Int]
+      else {
+        val m = bc.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        preTokensBytes(text, maxTokenBytes).foreach { tok =>
+          val syms = scala.collection.mutable.ArrayBuffer(
+            tok.map(String.valueOf(_)).toIndexedSeq: _*)
+          var done = syms.length < 2
+          while (!done) {
+            var bestRank = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              val r = m.pairRank.getOrElse((syms(i), syms(i + 1)),
+                Int.MaxValue)
+              if (r < bestRank) bestRank = r
+              i += 1
+            }
+            if (bestRank == Int.MaxValue) done = true
+            else {
+              val (a, b) = m.merges(bestRank)
+              val merged = a + b
+              var i = 0
+              while (i < syms.length - 1) {
+                if (syms(i) == a && syms(i + 1) == b) {
+                  syms(i) = merged
+                  syms.remove(i + 1)
+                } else i += 1
+              }
+              if (syms.length < 2) done = true
+            }
+          }
+          syms.foreach(s => out += m.pieceId(s))
+        }
+        out.toSeq
+      }
+    }
+    df.withColumn("token_ids", encode(col(textCol)))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .withColumn("n_bytes", octet_length(array_join(
+        filter(TextFunctions.tokens(col(textCol)), w => w =!= ""), " "))
+        .cast("long"))
+  }
+
+  /** Decode a byte-BPE `token_ids` column back to text: piece byte
+    * sequences concatenated, UTF-8 decoded — equals the canonical text
+    * exactly (losslessness is structural: pre-token bytes ARE the
+    * canonical bytes). */
+  def byteBpeDecode(ids: Column, model: ByteBpeModel): Column = {
+    val pieces = model.pieces
+    val f = udf { (xs: Seq[Int]) =>
+      if (xs == null) null
+      else {
+        val sb = new StringBuilder
+        xs.foreach(i => sb.append(pieces(i)))
+        val chars = sb.toString
+        val bytes = new Array[Byte](chars.length)
+        var j = 0
+        while (j < chars.length) { bytes(j) = chars.charAt(j).toByte; j += 1 }
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      }
+    }
+    f(ids)
+  }
+
+  private def bytesHex(s: String): String =
+    s.map(c => f"${c.toInt}%02x").mkString
+  private def hexBytes(h: String): String =
+    new String(h.grouped(2).map(x => Integer.parseInt(x, 16).toChar).toArray)
+
+  /** Persist a byte-BPE model as one parquet table: piece rows
+    * (kind='piece', idx=id, a=hex bytes) + merge rows (kind='merge',
+    * idx=rank, a/b=hex pair) — the train-once artifact. */
+  def saveByteBpeVocab(spark: org.apache.spark.sql.SparkSession,
+                       model: ByteBpeModel, path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      model.pieces.zipWithIndex.map { case (p, i) =>
+        ("piece", i, bytesHex(p), "") } ++
+        model.merges.zipWithIndex.map { case ((a, b), r) =>
+          ("merge", r, bytesHex(a), bytesHex(b)) }
+    rows.toDF("kind", "idx", "a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted byte-BPE model (vocab-sized collect). */
+  def loadByteBpeVocab(spark: org.apache.spark.sql.SparkSession,
+                       path: String): ByteBpeModel = {
+    val rows = spark.read.parquet(path).orderBy("kind", "idx").collect()
+    ByteBpeModel(
+      rows.filter(_.getString(0) == "piece")
+        .map(r => hexBytes(r.getString(2))).toIndexedSeq,
+      rows.filter(_.getString(0) == "merge")
+        .map(r => (hexBytes(r.getString(2)), hexBytes(r.getString(3))))
+        .toIndexedSeq)
+  }
 }

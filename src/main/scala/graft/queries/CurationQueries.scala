@@ -156,6 +156,56 @@ private[graft] object CurationQueries {
     """SELECT doc_id, TRUE AS ids_in_range, TRUE AS roundtrip_ok,
       |  TRUE AS tokens_ge_words FROM documents""".stripMargin
 
+  /** BYTE-LEVEL BPE tokenization (the GPT-2/tiktoken class — see
+    * [[Tokenize.trainVocabByteBpe]]): merges learned over UTF-8 bytes
+    * on the 256-lowest-id sample, 256 single-byte base tokens always
+    * present, model persisted and reloaded before encoding. The corpus
+    * is deterministically multilingualized (accents / Han / Cyrillic /
+    * supplementary-plane emoji by doc_id — scripts a char-seeded vocab
+    * would [UNK]) and the round-trip contract holds UNCONDITIONALLY:
+    * zero-UNK is structural, not sampled. `n_bytes` is the exact rail
+    * the oracle replays (UTF-8 bytes of the canonical text = Σ piece
+    * lengths by construction); merge mechanics are pinned by
+    * ByteBpeSpec's hand-traced fixtures. */
+  private[graft] def qDocTokensByteBpe(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 5
+    val txt = when(m === 1, concat(col("text"), lit(" héllo wörld naïve café")))
+      .when(m === 2, concat(col("text"), lit(" 中文数据处理 机器学习")))
+      .when(m === 3, concat(col("text"), lit(" привет мир данные")))
+      .when(m === 4, concat(col("text"), lit(" 😀🚀 emoji bytes")))
+      .otherwise(col("text"))
+    val d = t(s, dir, "documents").select(col("doc_id"), txt.as("text"))
+    val model = Tokenize.trainVocabByteBpe(d, "text", "doc_id",
+      vocabSize = 300, sampleN = 256)
+    val vpath = new java.io.File(scratchRoot, "bytebpe").getAbsolutePath
+    Tokenize.saveByteBpeVocab(s, model, vpath)
+    val loaded = Tokenize.loadByteBpeVocab(s, vpath)
+    val canon = array_join(
+      filter(TextFunctions.tokens(col("text")), w => w =!= ""), " ")
+    Tokenize.byteBpe(d, "text", loaded)
+      .select(col("doc_id"), col("n_bytes"),
+        forall(col("token_ids"),
+          i => i >= 0 && i < lit(loaded.pieces.size)).as("ids_in_range"),
+        (Tokenize.byteBpeDecode(col("token_ids"), loaded) === canon)
+          .as("roundtrip_ok"),
+        (col("n_tokens").cast("long") <= col("n_bytes"))
+          .as("tokens_le_bytes"))
+  }
+
+  private[graft] val oDocTokensByteBpe =
+    s"""WITH d AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 1 THEN text || ' héllo wörld naïve café'
+      |    WHEN 2 THEN text || ' 中文数据处理 机器学习'
+      |    WHEN 3 THEN text || ' привет мир данные'
+      |    WHEN 4 THEN text || ' 😀🚀 emoji bytes'
+      |    ELSE text END AS text FROM documents)
+      |SELECT doc_id,
+      |  CAST(octet_length(encode(array_to_string(
+      |    list_filter($oToks, x -> x <> ''), ' '))) AS BIGINT) AS n_bytes,
+      |  TRUE AS ids_in_range, TRUE AS roundtrip_ok,
+      |  TRUE AS tokens_le_bytes
+      |FROM d""".stripMargin
+
   /** Unigram-LM tokenizer (Viterbi-EM trained), same CONTRACT rows as
     * the BPE query: id-range, lossless round-trip on fully-covered
     * docs, and the tokens >= words bound — the raw Viterbi
@@ -1167,6 +1217,7 @@ private[graft] object CurationQueries {
     "pretrain_pipeline" -> (qPretrainPipeline _),
     "doc_tokens" -> (qDocTokens _),
     "doc_tokens_bpe" -> (qDocTokensBpe _),
+    "doc_tokens_bytebpe" -> (qDocTokensByteBpe _),
     "doc_tokens_unigram" -> (qDocTokensUnigram _),
     "doc_tokens_unigram_exact" -> (qDocTokensUnigramExact _),
     "doc_chunks_sentences" -> (qDocChunksSentences _),
@@ -1199,6 +1250,7 @@ private[graft] object CurationQueries {
     "pretrain_pipeline" -> oPretrainPipeline,
     "doc_tokens" -> oDocTokens,
     "doc_tokens_bpe" -> oDocTokensBpe,
+    "doc_tokens_bytebpe" -> oDocTokensByteBpe,
     "doc_tokens_unigram" -> oDocTokensUnigram,
     "doc_tokens_unigram_exact" -> oDocTokensUnigramExact,
     "doc_chunks_sentences" -> oDocChunksSentences,

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextFunctions, Tokenize}
+
+/** Pins the byte-level BPE tier (the GPT-2/tiktoken class): hand-traced
+  * merge order, exact encodes, the ZERO-UNK guarantee on scripts the
+  * sample never saw, lossless round-trips (incl. the maxTokenBytes
+  * slicing guard), and persisted-model reload equality — the properties
+  * the contract oracle (doc_tokens_bytebpe) can't see from booleans. */
+class ByteBpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tiny = Seq((0L, "aa aa ab")).toDF("doc_id", "text")
+
+  test("hand-traced merge: tie breaks byte-lexicographic, exact ids") {
+    // pre-tokens: "aa", " aa", " ab" → pair counts ("a","a")=2,
+    // (" ","a")=2, ("a","b")=1; tie at 2 → (" ","a") wins (0x20 < 0x61).
+    // After the rewrite no pair repeats (min frequency 2) → one merge.
+    val m = Tokenize.trainVocabByteBpe(tiny, "text", "doc_id",
+      vocabSize = 300)
+    assert(m.merges == IndexedSeq((" ", "a")))
+    assert(m.pieces.length == 257 && m.pieces(256) == " a")
+    val enc = Tokenize.byteBpe(tiny, "text", m)
+      .select("token_ids", "n_tokens", "n_bytes").collect().head
+    assert(enc.getSeq[Int](0) == Seq(97, 97, 256, 97, 256, 98))
+    assert(enc.getInt(1) == 6 && enc.getLong(2) == 8L)
+  }
+
+  test("training is deterministic") {
+    val corpus = Seq((0L, "the quick brown fox"), (1L, "the lazy dog"),
+      (2L, "the quick dog")).toDF("doc_id", "text")
+    val m1 = Tokenize.trainVocabByteBpe(corpus, "text", "doc_id", 280)
+    val m2 = Tokenize.trainVocabByteBpe(corpus, "text", "doc_id", 280)
+    assert(m1 == m2)
+    assert(m1.pieces.take(256) ==
+      (0 until 256).map(b => String.valueOf(b.toChar)))
+  }
+
+  test("zero-UNK: unseen scripts/emoji encode and round-trip exactly") {
+    val train = Seq((0L, "plain ascii training text only"),
+      (1L, "more plain ascii words here")).toDF("doc_id", "text")
+    val m = Tokenize.trainVocabByteBpe(train, "text", "doc_id", 300)
+    val wild = Seq((0L, "héllo  wörld\t中文数据 😀🚀 привет"),
+      (1L, "naïve café résumé"), (2L, "")).toDF("doc_id", "text")
+    val out = Tokenize.byteBpe(wild, "text", m)
+      .select(col("doc_id"), col("token_ids"),
+        Tokenize.byteBpeDecode(col("token_ids"), m).as("decoded"),
+        col("n_bytes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1),
+        r.getString(2), r.getLong(3))).sortBy(_._1)
+    val canon = wild.collect().map(r => (r.getLong(0),
+      TextFunctions.tokensJvm(r.getString(1)).filter(_.nonEmpty)
+        .mkString(" "))).toMap
+    out.foreach { case (id, ids, dec, nb) =>
+      assert(ids.forall(i => i >= 0 && i < m.pieces.length))
+      assert(dec == canon(id), s"doc $id")
+      assert(nb == canon(id)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+    }
+  }
+
+  test("maxTokenBytes slicing stays lossless") {
+    val train = Seq((0L, "short words")).toDF("doc_id", "text")
+    val m = Tokenize.trainVocabByteBpe(train, "text", "doc_id", 280,
+      maxTokenBytes = 4)
+    val doc = Seq((0L, "supercalifragilistic 中文数据处理引擎"))
+      .toDF("doc_id", "text")
+    val r = Tokenize.byteBpe(doc, "text", m, maxTokenBytes = 4)
+      .select(Tokenize.byteBpeDecode(col("token_ids"), m)).collect().head
+    assert(r.getString(0) == "supercalifragilistic 中文数据处理引擎")
+  }
+
+  test("save/load round-trips the model") {
+    val corpus = Seq((0L, "the quick brown fox jumps"),
+      (1L, "the quick dog runs")).toDF("doc_id", "text")
+    val m = Tokenize.trainVocabByteBpe(corpus, "text", "doc_id", 300)
+    val path = java.nio.file.Files
+      .createTempDirectory("bytebpe").resolve("v").toString
+    Tokenize.saveByteBpeVocab(spark, m, path)
+    val loaded = Tokenize.loadByteBpeVocab(spark, path)
+    assert(loaded == m)
+  }
+}
