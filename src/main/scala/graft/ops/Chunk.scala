@@ -83,6 +83,51 @@ object Chunk {
           x => x.getField("sent")), "").as("chunk_text"))
   }
 
+  /** WITHIN-DOCUMENT language segmentation — the code-switching split
+    * that document-level langid cannot express: a crawl page that
+    * opens in English, quotes two German paragraphs, and closes in
+    * French gets ONE doc-level label and either pollutes the English
+    * bucket or is dropped whole; segmenting first lets a curation
+    * pipeline keep each run under its own language (and measure
+    * code-switching rates per source). Sentences follow the
+    * [[sentenceChunks]] regex convention (maximal runs ending in
+    * terminal punctuation; unterminated tails drop), each sentence is
+    * labeled by [[TextFunctions.langId]] (stopword-profile n-gram
+    * heuristic — swap in char-n-gram tables at production scale, the
+    * plan shape is identical), and maximal runs of consecutive
+    * same-language sentences merge via gaps-and-islands over one
+    * doc-keyed window.
+    *
+    * Shape: one regex explode, one per-doc window, one group-by — the
+    * [[sentenceChunks]] scale contract (all state bounded by a doc's
+    * own sentence count; docs hash-partition independently).
+    *
+    * @return (idCol, seg_idx, lang, n_sentences, start_sidx, seg_text)
+    *         — seg_text is the raw sentence run, concatenated */
+  def languageSegments(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val sents = regexp_extract_all(col(textCol),
+      lit("[^.!?]+[.!?]+"), lit(0))
+    val ex = df
+      .select(col(idCol), posexplode(sents).as(Seq("sidx", "sent")))
+      .withColumn("sidx", col("sidx").cast("long"))
+      .withColumn("lang",
+        TextFunctions.langId(col("sent")).getField("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("sidx")
+    ex.withColumn("brk",
+        when(lag("lang", 1).over(w).isNull ||
+          lag("lang", 1).over(w) =!= col("lang"), 1L).otherwise(0L))
+      .withColumn("seg_idx", sum("brk").over(w) - 1)
+      .groupBy(col(idCol), col("seg_idx"))
+      .agg(min("lang").as("lang"), // constant within a segment
+        count(lit(1)).as("n_sentences"),
+        min("sidx").as("start_sidx"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sidx"), col("sent")))),
+          x => x.getField("sent")), "").as("seg_text"))
+  }
+
   /** Fill-in-the-middle (FIM) transform — the code/infilling pretrain
     * recipe (Bavarian et al. 2022, "Efficient Training of Language
     * Models to Fill in the Middle"): for a deterministic `rate`

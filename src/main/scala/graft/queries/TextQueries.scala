@@ -722,6 +722,86 @@ private[graft] object TextQueries {
       |FROM scored""".stripMargin
   }
 
+  /** Within-document language segmentation (code-switching split — see
+    * [[graft.ops.Chunk.languageSegments]]) over a deterministically
+    * code-switched corpus slice: docs rotate through appended en/de/
+    * fr/es/zh sentence runs by doc_id (the base synthetic text has no
+    * terminal punctuation, so fixture sentences are the sentence
+    * stream), including back-to-back same-language sentences so the
+    * island merge is exercised. The oracle replays sentence split,
+    * per-sentence stopword-profile langid (the `text_langid` twin, on
+    * sentences), and the gaps-and-islands window — segment text
+    * equality pins order and boundaries exactly. */
+  private[graft] def qTextLangSegments(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val m = col("doc_id") % 4
+    val txt = when(m === 1, concat(col("text"),
+        lit(" the cat and the dog is of the day." +
+          " der hund und die katze ist nicht ein das." +
+          " der die das und ist ein hier." +
+          " le chat et le chien est un une les la.")))
+      .when(m === 2, concat(col("text"),
+        lit(" el perro y el gato es un una los las." +
+          " el gato y el perro es la cosa y es una." +
+          " the dog of the day is a cat and a dog.")))
+      .when(m === 3, concat(col("text"),
+        lit(" 的 是 了 在 和 的. der die das und ist nicht." +
+          " the cat of the day and a dog. 的 是 在 和 了.")))
+      .otherwise(col("text"))
+    val d = t(s, dir, "documents").select(col("doc_id"), txt.as("text"))
+    Chunk.languageSegments(d, "text", "doc_id")
+  }
+
+  private[graft] val oTextLangSegments = {
+    val stops = Seq(
+      "en" -> "('the','a','and','of','to','in','is')",
+      "de" -> "('der','die','das','und','ist','nicht','ein')",
+      "fr" -> "('le','la','les','et','est','un','une')",
+      "es" -> "('el','los','las','y','es','un','una')",
+      "zh" -> "('的','是','了','在','和')")
+    val scoreExprs = stops.map { case (l, set) =>
+      s"CAST(len(list_filter(tk, x -> x IN $set)) AS DOUBLE) / " +
+        s"greatest(len(tk), 1) AS s_$l"
+    }.mkString(",\n  ")
+    s"""WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 1 THEN text || ' the cat and the dog is of the day.' ||
+      |      ' der hund und die katze ist nicht ein das.' ||
+      |      ' der die das und ist ein hier.' ||
+      |      ' le chat et le chien est un une les la.'
+      |    WHEN 2 THEN text || ' el perro y el gato es un una los las.' ||
+      |      ' el gato y el perro es la cosa y es una.' ||
+      |      ' the dog of the day is a cat and a dog.'
+      |    WHEN 3 THEN text || ' 的 是 了 在 和 的. der die das und ist nicht.' ||
+      |      ' the cat of the day and a dog. 的 是 在 和 了.'
+      |    ELSE text END AS text FROM documents),
+      |sl AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]+') AS ss
+      |  FROM d),
+      |sx AS (SELECT doc_id, unnest(ss) AS sent,
+      |    generate_subscripts(ss, 1) - 1 AS sidx FROM sl),
+      |tok AS (SELECT doc_id, sidx, sent,
+      |    string_split(regexp_replace(lower(trim(sent)), '\\s+', ' ', 'g'),
+      |      ' ') AS tk FROM sx),
+      |sc AS (SELECT doc_id, sidx, sent,
+      |  $scoreExprs
+      |FROM tok),
+      |pick AS (SELECT doc_id, sidx, sent,
+      |    CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+      |         WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+      |         WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+      |         WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang FROM sc),
+      |br AS (SELECT doc_id, sidx, sent, lang,
+      |    CASE WHEN lang IS DISTINCT FROM
+      |      lag(lang) OVER (PARTITION BY doc_id ORDER BY sidx)
+      |    THEN 1 ELSE 0 END AS brk FROM pick),
+      |seg AS (SELECT doc_id, sidx, sent, lang,
+      |    CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY sidx)
+      |      AS BIGINT) - 1 AS seg_idx FROM br)
+      |SELECT doc_id, seg_idx, min(lang) AS lang,
+      |  count(*) AS n_sentences, min(sidx) AS start_sidx,
+      |  string_agg(sent, '' ORDER BY sidx) AS seg_text
+      |FROM seg GROUP BY 1, 2""".stripMargin
+  }
+
   /** Top-3 TF-IDF terms per doc (restricted to doc_id < 100 to keep the
     * compare set small; the computation still uses corpus-wide df/N). */
   private[graft] def qTextTfidf(s: SparkSession, dir: String): DataFrame =
@@ -1117,6 +1197,7 @@ private[graft] object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (qTextStats _),
     "text_langid" -> (qTextLangId _),
+    "text_lang_segments" -> (qTextLangSegments _),
     "text_script" -> (qTextScript _),
     "text_fingerprint" -> (qTextFingerprint _),
     "text_nfc_audit" -> (qTextNfcAudit _),
@@ -1151,6 +1232,7 @@ private[graft] object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_stats" -> oTextStats,
     "text_langid" -> oTextLangId,
+    "text_lang_segments" -> oTextLangSegments,
     "text_script" -> oTextScript,
     "text_fingerprint" -> oTextFingerprint,
     "text_nfc_audit" -> oTextNfcAudit,

@@ -1706,6 +1706,32 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("languageSegments: island merge, boundaries, silent docs") {
+    import spark.implicits._
+    // en / de / de / fr sentences: the two consecutive de sentences
+    // must merge into ONE segment; a doc with no terminal punctuation
+    // yields no rows
+    val d = Seq(
+      (1L, "the cat and the dog is of the day." +
+        " der hund und die katze ist nicht ein das." +
+        " der die das und ist ein hier." +
+        " le chat et le chien est un une les la."),
+      (2L, "no punctuation no sentences here")).toDF("doc_id", "text")
+    val out = graft.ops.Chunk.languageSegments(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "en", 1L, 0L),
+      (1L, 1L, "de", 2L, 1L),
+      (1L, 2L, "fr", 1L, 3L)))
+    // segment text round-trips the sentence run verbatim
+    val segText = graft.ops.Chunk.languageSegments(d, "text", "doc_id")
+      .filter(col("seg_idx") === 1).select("seg_text").collect()
+      .head.getString(0)
+    assert(segText == " der hund und die katze ist nicht ein das." +
+      " der die das und ist ein hier.")
+  }
+
   test("procrustesAlign recovers a planted rotation+reflection exactly") {
     import spark.implicits._
     val d = 8
