@@ -675,6 +675,81 @@ object Multimodal {
                       bands: Int = 8, maxBucket: Int = 1000): DataFrame =
     Dedup.hammingPairs64(dhash64(decoded), maxDist, bands, maxBucket)
 
+  /** Perceptual audio fingerprint (64-bit) from decoded PCM — the
+    * audio twin of [[dhash64]], closing the near-dup family (images
+    * had dHash pairs, audio had only exact features): the
+    * Haitsma–Kalker 2002 construction with time-domain sub-band
+    * energies standing in for the filterbank (no FFT dependency —
+    * energies are EXACT integers, so any engine replays every bit).
+    * Per `frameSize`-sample frame, `nBands` equal sub-bands get energy
+    * E(f,b) = Σ v²; the inter-band difference D(f,b) = E(f,b) −
+    * E(f,b+1) is the spectral-shape proxy, and bit (f−1)·(nBands−1)+b
+    * is set iff D(f,b) > D(f−1,b) — the sign of the difference's time
+    * derivative, invariant to uniform gain (energy scaling preserves
+    * D ordering) and to DC-ish shifts, while any localized content
+    * change flips the bits of the frames it touches. Row-major over
+    * (frame-diff, band-diff), truncated to 64 bits like dHash; the
+    * default 45×9 grid fills exactly 64 from 405 samples. Trailing
+    * samples short of a full frame are ignored (frame grid contract,
+    * as [[vadSegments]]).
+    *
+    * @return (id, fp) — the [[graft.ops.Dedup.hammingPairs64]] input
+    *         shape */
+  def audioFingerprint64(decoded: Dataset[DecodedAudio],
+                         frameSize: Int = 45,
+                         nBands: Int = 9): DataFrame = {
+    require(nBands >= 2 && frameSize % nBands == 0,
+      "need nBands >= 2 dividing frameSize")
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val sub = frameSize / nBands
+      val nFrames = d.samples.length / frameSize
+      val e = Array.ofDim[Long](math.max(nFrames, 0), nBands)
+      var f = 0
+      while (f < nFrames) {
+        var b = 0
+        while (b < nBands) {
+          var s = 0L
+          var i = f * frameSize + b * sub
+          val end = i + sub
+          while (i < end) { val v = d.samples(i).toLong; s += v * v; i += 1 }
+          e(f)(b) = s
+          b += 1
+        }
+        f += 1
+      }
+      var fp = 0L
+      var bit = 0
+      f = 1
+      while (f < nFrames && bit < 64) {
+        var b = 0
+        while (b < nBands - 1 && bit < 64) {
+          if (e(f)(b) - e(f)(b + 1) > e(f - 1)(b) - e(f - 1)(b + 1))
+            fp |= (1L << bit)
+          bit += 1
+          b += 1
+        }
+        f += 1
+      }
+      (d.media_id, fp)
+    }.toDF("id", "fp")
+  }
+
+  /** Audio near-dup pairs: [[audioFingerprint64]] fingerprints banded
+    * and verified through the shared [[graft.ops.Dedup.hammingPairs64]]
+    * engine — (ida, idb, hamming ≤ maxDist). As with image
+    * [[perceptualPairs]], the PCM payload never shuffles: only
+    * (id, 64-bit fp) rows leave the decode partition, and 8 LSH bands
+    * over 64 bits are pigeonhole-lossless for maxDist ≤ 7. */
+  def audioPerceptualPairs(decoded: Dataset[DecodedAudio],
+                           maxDist: Int = 4, lshBands: Int = 8,
+                           maxBucket: Int = 1000,
+                           frameSize: Int = 45,
+                           nBands: Int = 9): DataFrame =
+    Dedup.hammingPairs64(audioFingerprint64(decoded, frameSize, nBands),
+      maxDist, lshBands, maxBucket)
+
   /** Audio clip features from decoded PCM — the route/filter tier of an
     * audio pipeline (drop silence, cap clipping, length-bucket), all
     * exact integers so any engine replays them:

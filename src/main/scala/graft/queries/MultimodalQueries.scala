@@ -294,6 +294,53 @@ private[graft] object MultimodalQueries {
       |  CAST(sum(v * ((y*3 + x)*3 + c + 1)) AS BIGINT) AS pos_checksum
       |FROM px GROUP BY doc_id""".stripMargin
 
+  /** Perceptual audio near-dup via the Haitsma–Kalker band-energy
+    * fingerprint over REAL WAV decode (see
+    * [[Multimodal.audioFingerprint64]]): planted 405-sample PCM16
+    * clips — group base pattern (doc_id % 25) + a per-doc sub-band
+    * bump in frame 4 — decoded, fingerprinted on the 45×9 grid
+    * (8 frame-diffs × 8 band-diffs = exactly 64 bits), paired through
+    * the shared banding engine. 8 bands × Hamming ≤ 4 is
+    * pigeonhole-lossless, so the oracle is ALL pairs with bit
+    * distance ≤ 4, recomputed sample-by-sample from the closed-form
+    * PCM — equality, not a recall contract. Same-group clips differ
+    * only at the bumped sub-band (≤ 4 bits); the gain-invariance and
+    * grid mechanics are pinned spec-side. */
+  private[graft] def qMultimodalAudioFp(s: SparkSession, dir: String): DataFrame = {
+    val build = udf((id: Long) => Multimodal.wavPcm16(8000, 1,
+      Array.tabulate(405) { i =>
+        val base = ((id % 25) * 13 + i * 29) % 2400 - 1200
+        (if (id % 3 == 1 && i >= 200 && i < 205) base + 900
+         else base).toShort
+      }))
+    val media = t(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.audioPerceptualPairs(Multimodal.decodeAudio(media))
+  }
+
+  private[graft] val oMultimodalAudioFp =
+    """WITH sm AS (SELECT doc_id, i.g AS i,
+      |    ((doc_id % 25) * 13 + i.g * 29) % 2400 - 1200 +
+      |    CASE WHEN doc_id % 3 = 1 AND i.g >= 200 AND i.g < 205
+      |      THEN 900 ELSE 0 END AS v
+      |  FROM documents, generate_series(0, 404) i(g) WHERE doc_id < 400),
+      |be AS (SELECT doc_id, i // 45 AS f, (i % 45) // 5 AS b,
+      |    sum(v * v) AS e
+      |  FROM sm GROUP BY 1, 2, 3),
+      |dd AS (SELECT a.doc_id, a.f, a.b, a.e - b2.e AS d
+      |  FROM be a JOIN be b2 ON b2.doc_id = a.doc_id AND b2.f = a.f
+      |    AND b2.b = a.b + 1),
+      |bits AS (SELECT cur.doc_id, (cur.f - 1) * 8 + cur.b AS pos,
+      |    CASE WHEN cur.d > prev.d THEN 1 ELSE 0 END AS bit
+      |  FROM dd cur JOIN dd prev ON prev.doc_id = cur.doc_id
+      |    AND prev.f = cur.f - 1 AND prev.b = cur.b),
+      |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT)
+      |      AS hamming
+      |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ida, idb, hamming FROM pairs WHERE hamming <= 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (qMultimodalMeta _),
     "multimodal_sniff" -> (qMultimodalSniff _),
@@ -304,6 +351,7 @@ private[graft] object MultimodalQueries {
     "multimodal_mp4_meta" -> (qMultimodalMp4Meta _),
     "multimodal_decode_jpeg" -> (qMultimodalDecodeJpeg _),
     "multimodal_decode_wav" -> (qMultimodalDecodeWav _),
+    "multimodal_audio_fp" -> (qMultimodalAudioFp _),
     "multimodal_resize" -> (qMultimodalResize _)
   )
 
@@ -317,6 +365,7 @@ private[graft] object MultimodalQueries {
     "multimodal_mp4_meta" -> oMultimodalMp4Meta,
     "multimodal_decode_jpeg" -> oMultimodalDecodeJpeg,
     "multimodal_decode_wav" -> oMultimodalDecodeWav,
+    "multimodal_audio_fp" -> oMultimodalAudioFp,
     "multimodal_resize" -> oMultimodalResize
   )
 }

@@ -3896,6 +3896,28 @@ class OpsSpec extends SparkSpec {
     assert(out == ((1L, 1000L, 7090000L, 1L, 125000L)))
   }
 
+  test("audioFingerprint64: hand bits, gain invariance, exact pairs") {
+    // frameSize 4, nBands 2: E(f,b) over 2-sample sub-bands;
+    // D(f) = E(f,0) - E(f,1); bit0 = D(1) > D(0)
+    def clip(id: Long, s: Short*) =
+      (id, Multimodal.wavPcm16(8000, 1, s.toArray))
+    val media = Seq(
+      clip(1L, 1, 1, 2, 2, 5, 5, 1, 1),   // D: -6 -> 48, bit0 = 1
+      clip(2L, 5, 5, 1, 1, 1, 1, 2, 2),   // D: 48 -> -6, bit0 = 0
+      clip(3L, 2, 2, 4, 4, 10, 10, 2, 2)) // clip 1 at 2x gain: same fp
+      .toDF("media_id", "payload")
+    val fps = Multimodal.audioFingerprint64(
+        Multimodal.decodeAudio(media), frameSize = 4, nBands = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == 1L && fps(2L) == 0L)
+    assert(fps(3L) == fps(1L), "uniform gain must not move any bit")
+    val pairs = Multimodal.audioPerceptualPairs(
+        Multimodal.decodeAudio(media), maxDist = 0, lshBands = 8,
+        frameSize = 4, nBands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 3L, 0)))
+  }
+
   test("intervalCoverage: overlap merges, nesting adds zero, gaps split runs") {
     def ts(s: Int) = s"2024-01-01 00:00:${"%02d".format(s)}"
     val iv = Seq(
