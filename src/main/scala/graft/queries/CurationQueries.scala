@@ -206,6 +206,77 @@ private[graft] object CurationQueries {
       |  TRUE AS tokens_le_bytes
       |FROM d""".stripMargin
 
+  /** BYTE-LEVEL BPE EXACT-ENCODE oracle — the exact-ids complement to
+    * the contract-only [[qDocTokensByteBpe]] (whose corpus-trained
+    * merges no SQL engine can replay): a DECLARED merge table (the
+    * fixed-artifact analog of declared pivot values — seven ranked
+    * merges incl. a two-level chain t+a→ta, ta+b→tab, tab+le→table, a
+    * leading-space merge ' '+q, and the same-symbol run pair g+g) over
+    * the ASCII base corpus, so every id is SQL-derivable. The oracle
+    * replays the GPT-2 encode LOOP itself, resting on two exact
+    * equivalences: (1) applying merges in rank order equals repeatedly
+    * merging the lowest-rank pair present, because a pair involving a
+    * rank-k product can only have rank > k (products post-date their
+    * parts); (2) one rank's all-occurrences left-to-right rewrite is a
+    * LEFT FOLD over the symbol list — if the accumulated tail ends in
+    * `a` and the next symbol is `b`, fuse, else append ("aaaa" →
+    * [aa,aa], not [aa,a,a]) — spelled as `list_reduce` over a
+    * chr(1)-delimited accumulator, one unrolled CTE level per rank.
+    * Single-byte ids are `ord(sym)` (= the UTF-8 byte for ASCII);
+    * ASCII-only fixture because the SQL splits per CHAR while the
+    * encoder splits per BYTE. */
+  private[graft] def qDocTokensByteBpeExact(s: SparkSession,
+                                            dir: String): DataFrame = {
+    val model = Tokenize.ByteBpeModel(
+      (0 until 256).map(b => String.valueOf(b.toChar)) ++
+        IndexedSeq("ta", "le", "tab", " q", "er", "table", "gg"),
+      IndexedSeq("t" -> "a", "l" -> "e", "ta" -> "b", " " -> "q",
+        "e" -> "r", "tab" -> "le", "g" -> "g"))
+    Tokenize.byteBpe(t(s, dir, "documents"), "text", model)
+      .select(col("doc_id"), array_join(col("token_ids"), ",").as("ids"),
+        col("n_tokens").cast("long").as("n_tokens"), col("n_bytes"))
+  }
+
+  private[graft] val oDocTokensByteBpeExact = {
+    def fold(a: String, b: String) =
+      s"""string_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN regexp_extract(acc, '([^'||chr(1)||']*)$$', 1) = '$a'
+         |        AND x = '$b'
+         |      THEN regexp_replace(acc, '[^'||chr(1)||']*$$', '$a$b')
+         |      ELSE acc || chr(1) || x END), chr(1))""".stripMargin
+    val levels = Seq("t" -> "a", "l" -> "e", "ta" -> "b", " " -> "q",
+      "e" -> "r", "tab" -> "le", "g" -> "g").zipWithIndex
+      .map { case ((a, b), i) =>
+        s"s${i + 1} AS (SELECT p, ${fold(a, b)} AS syms FROM s$i)"
+      }.mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id, unnest($oToks) AS w,
+      |    generate_subscripts($oToks, 1) AS pos FROM documents),
+      |tf AS (SELECT doc_id, w, pos, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY pos) AS rn
+      |  FROM t0 WHERE w <> ''),
+      |pre AS (SELECT doc_id, pos,
+      |    CASE WHEN rn = 1 THEN w ELSE ' ' || w END AS p FROM tf),
+      |dw AS (SELECT DISTINCT p FROM pre),
+      |s0 AS (SELECT p, string_split_regex(p, '') AS syms FROM dw),
+      |$levels,
+      |wid AS (SELECT p, list_transform(syms, x -> CASE x
+      |    WHEN 'ta' THEN 256 WHEN 'le' THEN 257 WHEN 'tab' THEN 258
+      |    WHEN ' q' THEN 259 WHEN 'er' THEN 260 WHEN 'table' THEN 261
+      |    WHEN 'gg' THEN 262 ELSE ord(x) END) AS ids FROM s7),
+      |flat AS (SELECT doc_id, pos, unnest(ids) AS id,
+      |    generate_subscripts(ids, 1) AS sub
+      |  FROM pre JOIN wid USING (p)),
+      |enc AS (SELECT doc_id,
+      |    array_to_string(list(id ORDER BY pos, sub), ',') AS ids,
+      |    count(*) AS n_tokens FROM flat GROUP BY 1)
+      |SELECT documents.doc_id, COALESCE(enc.ids, '') AS ids,
+      |  CAST(COALESCE(enc.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(octet_length(encode(array_to_string(
+      |    list_filter($oToks, x -> x <> ''), ' '))) AS BIGINT) AS n_bytes
+      |FROM documents LEFT JOIN enc ON documents.doc_id = enc.doc_id"""
+      .stripMargin
+  }
+
   /** Unigram-LM tokenizer (Viterbi-EM trained), same CONTRACT rows as
     * the BPE query: id-range, lossless round-trip on fully-covered
     * docs, and the tokens >= words bound — the raw Viterbi
@@ -1218,6 +1289,7 @@ private[graft] object CurationQueries {
     "doc_tokens" -> (qDocTokens _),
     "doc_tokens_bpe" -> (qDocTokensBpe _),
     "doc_tokens_bytebpe" -> (qDocTokensByteBpe _),
+    "doc_tokens_bytebpe_exact" -> (qDocTokensByteBpeExact _),
     "doc_tokens_unigram" -> (qDocTokensUnigram _),
     "doc_tokens_unigram_exact" -> (qDocTokensUnigramExact _),
     "doc_chunks_sentences" -> (qDocChunksSentences _),
@@ -1251,6 +1323,7 @@ private[graft] object CurationQueries {
     "doc_tokens" -> oDocTokens,
     "doc_tokens_bpe" -> oDocTokensBpe,
     "doc_tokens_bytebpe" -> oDocTokensByteBpe,
+    "doc_tokens_bytebpe_exact" -> oDocTokensByteBpeExact,
     "doc_tokens_unigram" -> oDocTokensUnigram,
     "doc_tokens_unigram_exact" -> oDocTokensUnigramExact,
     "doc_chunks_sentences" -> oDocChunksSentences,
