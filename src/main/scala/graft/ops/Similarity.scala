@@ -99,6 +99,51 @@ object Similarity {
         col("s.id").as("id"), col("s.sim").as("sim"))
   }
 
+  /** MATRYOSHKA truncation-quality read (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): per prefix dimension d,
+    * the top-k retrieval agreement between full-dim cosine and cosine
+    * over only the FIRST d dims — |top-k ∩ top-k_d| and whether top-1
+    * matches. This is the decision table for serving truncated
+    * embeddings (store d of D dims at D/d× density, re-rank survivors
+    * at full width): MRL-trained encoders front-load information, so
+    * the curve says which d keeps recall.
+    *
+    * Scale shape: one broadcast-queries brute-force pass per tier
+    * ([[bruteForceTopKAgg]] — bounded k-row aggregate partials, no
+    * sort of the scored set); prefix slices are column expressions
+    * (zero copy of the corpus); tiers union into one result. At
+    * corpus scale swap the per-tier scorer for [[ivfTopK]] — the
+    * agreement read is unchanged.
+    *
+    * @return (qid, prefix_dim, overlap, top1_match) */
+  def matryoshkaOverlap(corpus: DataFrame, queries: DataFrame,
+                        vecCol: String, idCol: String, k: Int,
+                        prefixDims: Seq[Int]): DataFrame = {
+    require(k >= 1 && prefixDims.nonEmpty, "need k >= 1 and >= 1 tier")
+    require(prefixDims.forall(_ >= 1), "prefix dims must be >= 1")
+    def rankedIds(df: DataFrame) = df.groupBy("qid")
+      .agg(collect_list(struct(col("rank"), col("id"))).as("rs"))
+      .select(col("qid"),
+        transform(array_sort(col("rs")), x => x.getField("id")).as("ids"))
+    val full = rankedIds(
+      bruteForceTopKAgg(corpus, queries, vecCol, idCol, k))
+    val tiers = prefixDims.map { d =>
+      val c = corpus.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val qd = queries.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      rankedIds(bruteForceTopKAgg(c, qd, vecCol, idCol, k))
+        .withColumnRenamed("ids", "ids_d")
+        .withColumn("prefix_dim", lit(d))
+    }.reduce(_ unionAll _)
+    full.join(tiers, "qid")
+      .select(col("qid"), col("prefix_dim"),
+        size(array_intersect(col("ids"), col("ids_d"))).cast("long")
+          .as("overlap"),
+        (element_at(col("ids_d"), 1) === element_at(col("ids"), 1))
+          .as("top1_match"))
+  }
+
   /** MARGIN-based bitext mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix recipe): pair sentences across two embedding sets
     * by RELATIVE similarity — cos(x,y) scaled by how similar each side

@@ -313,6 +313,55 @@ private[graft] object SimilarityQueries {
     * lists it is compared against. */
   private[graft] def annQueries(e: DataFrame): DataFrame = e.filter(col("vec_id") < 8)
 
+  /** Matryoshka truncation-quality curve (see
+    * [[Similarity.matryoshkaOverlap]]): top-5 agreement between
+    * full-64-dim cosine retrieval and prefix-8/16/32-dim retrieval for
+    * the 8 standard ANN probes. Exact oracle: both rank lists replay
+    * in SQL on the shared 6-dp cosine grid (the `sim_topk` scoring
+    * twin, once per tier with `i <= d`), agreement is a list
+    * intersection. */
+  private[graft] def qSimMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.matryoshkaOverlap(e, annQueries(e), "embedding", "vec_id",
+      k = 5, prefixDims = Seq(8, 16, 32))
+  }
+
+  private[graft] val oSimMatryoshka = {
+    def tier(d: Int) =
+      s"""ids$d AS MATERIALIZED (SELECT qid, list(id ORDER BY rank) AS ids
+         |  FROM (SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, id) AS rank
+         |    FROM (SELECT dots.qid, dots.id,
+         |        round(dots.dt / (nq.n * nc.n), 6) AS sim
+         |      FROM (SELECT q.vec_id AS qid, c.vec_id AS id,
+         |          sum(q.x * c.x) AS dt
+         |        FROM u q JOIN u c ON q.i = c.i AND q.i <= $d
+         |          AND c.vec_id <> q.vec_id
+         |        WHERE q.vec_id < 8
+         |        GROUP BY 1, 2) dots
+         |      JOIN (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u
+         |        WHERE i <= $d AND vec_id < 8 GROUP BY 1) nq
+         |        ON nq.vec_id = dots.qid
+         |      JOIN (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u
+         |        WHERE i <= $d GROUP BY 1) nc ON nc.vec_id = dots.id))
+         |  WHERE rank <= 5 GROUP BY qid)""".stripMargin
+    s"""WITH u AS MATERIALIZED (SELECT vec_id,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |${tier(64)},
+      |${tier(8)},
+      |${tier(16)},
+      |${tier(32)}
+      |SELECT f.qid, t.d AS prefix_dim,
+      |  CAST(len(list_intersect(f.ids, t.ids)) AS BIGINT) AS overlap,
+      |  t.ids[1] = f.ids[1] AS top1_match
+      |FROM ids64 f JOIN (
+      |  SELECT qid, 8 AS d, ids FROM ids8
+      |  UNION ALL SELECT qid, 16 AS d, ids FROM ids16
+      |  UNION ALL SELECT qid, 32 AS d, ids FROM ids32) t
+      |  ON t.qid = f.qid""".stripMargin
+  }
+
   private[graft] def rawSimTopKLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e, annQueries(e),
@@ -494,6 +543,7 @@ private[graft] object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hybrid_rrf" -> (qSimHybridRrf _),
     "sim_topk" -> (qSimTopK _),
+    "sim_matryoshka" -> (qSimMatryoshka _),
     "sim_topk_filtered" -> (qSimTopKFiltered _),
     "sim_ivf_incremental" -> (qSimIvfIncremental _),
     "sim_bitext" -> (qSimBitext _),
@@ -512,6 +562,7 @@ private[graft] object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "sim_hybrid_rrf" -> oSimHybridRrf,
     "sim_topk" -> oSimTopK,
+    "sim_matryoshka" -> oSimMatryoshka,
     "sim_topk_filtered" -> oSimTopKFiltered,
     "sim_ivf_incremental" -> oSimIvfIncremental,
     "sim_bitext" -> oSimBitext,
