@@ -32,7 +32,10 @@ object Plans {
       "profile_kll_quantile", "events_kll_window",
       "web_domain_cap", "text_dedup_lines_global", "multimodal_cdc",
       "events_asof_forward", "link_fuzzy_join", "quality_expect",
-      "web_html_text", "web_curation_pipeline")
+      "web_html_text", "web_curation_pipeline",
+      // r13 additions
+      "doc_tokens_bytebpe", "text_lang_segments", "multimodal_audio_fp",
+      "sim_matryoshka")
 
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")

@@ -108,12 +108,17 @@ object Similarity {
     * at full width): MRL-trained encoders front-load information, so
     * the curve says which d keeps recall.
     *
-    * Scale shape: one broadcast-queries brute-force pass per tier
-    * ([[bruteForceTopKAgg]] — bounded k-row aggregate partials, no
-    * sort of the scored set); prefix slices are column expressions
-    * (zero copy of the corpus); tiers union into one result. At
-    * corpus scale swap the per-tier scorer for [[ivfTopK]] — the
-    * agreement read is unchanged.
+    * Scale shape: ONE corpus scan for all tiers — every (query,
+    * candidate) pair is scored at each prefix width in the same
+    * projection (prefix slices are column expressions, zero copy),
+    * tiers explode to (qid, tier, id, sim) rows, and a single bounded
+    * [[graft.functions.TopKAggregator]] grouped by (qid, tier) keeps
+    * k-row partials per key (a per-tier [[bruteForceTopKAgg]] loop
+    * would re-scan the corpus once per tier — 4× the I/O for the
+    * same answer). The agreement join is a per-query fold over the
+    * collected tier lists, not a self-join, so nothing re-reads the
+    * scored set. At corpus scale swap the scorer for [[ivfTopK]] per
+    * tier — the agreement read is unchanged.
     *
     * @return (qid, prefix_dim, overlap, top1_match) */
   def matryoshkaOverlap(corpus: DataFrame, queries: DataFrame,
@@ -121,26 +126,43 @@ object Similarity {
                         prefixDims: Seq[Int]): DataFrame = {
     require(k >= 1 && prefixDims.nonEmpty, "need k >= 1 and >= 1 tier")
     require(prefixDims.forall(_ >= 1), "prefix dims must be >= 1")
-    def rankedIds(df: DataFrame) = df.groupBy("qid")
-      .agg(collect_list(struct(col("rank"), col("id"))).as("rs"))
-      .select(col("qid"),
-        transform(array_sort(col("rs")), x => x.getField("id")).as("ids"))
-    val full = rankedIds(
-      bruteForceTopKAgg(corpus, queries, vecCol, idCol, k))
-    val tiers = prefixDims.map { d =>
-      val c = corpus.select(col(idCol),
-        slice(col(vecCol), 1, d).as(vecCol))
-      val qd = queries.select(col(idCol),
-        slice(col(vecCol), 1, d).as(vecCol))
-      rankedIds(bruteForceTopKAgg(c, qd, vecCol, idCol, k))
-        .withColumnRenamed("ids", "ids_d")
-        .withColumn("prefix_dim", lit(d))
-    }.reduce(_ unionAll _)
-    full.join(tiers, "qid")
+    import graft.functions.TopKAggregator
+    val spark = corpus.sparkSession
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qv")))
+    // same under-partitioned-source guard as bruteForceTopK
+    val par = spark.sparkContext.defaultParallelism
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    val c = if (c0.rdd.getNumPartitions < par / 2) c0.repartition(par)
+      else c0
+    // tier 0 = full width; prefix tiers by first-d-dims slices
+    val tierCols = struct(lit(0).as("prefix_dim"),
+      round(cosineFast(spark, col("qv"), col("cv")), 6).as("sim")) +:
+      prefixDims.map(d => struct(lit(d).as("prefix_dim"),
+        round(cosineFast(spark, slice(col("qv"), 1, d),
+          slice(col("cv"), 1, d)), 6).as("sim")))
+    val scored = c.join(q, col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        explode(array(tierCols: _*)).as("t"))
+      .select(col("qid"), col("t.prefix_dim").as("prefix_dim"),
+        col("id"), col("t.sim").as("sim"))
+    val topk = udaf(new TopKAggregator(k), TopKAggregator.inputEncoder)
+    val ranked = scored.groupBy("qid", "prefix_dim")
+      .agg(topk(col("sim"), col("id")).as("top"))
       .select(col("qid"), col("prefix_dim"),
-        size(array_intersect(col("ids"), col("ids_d"))).cast("long")
+        expr("transform(top, s -> s.id)").as("ids"))
+    ranked.groupBy("qid")
+      .agg(collect_list(struct(col("prefix_dim"), col("ids"))).as("ts"))
+      .select(col("qid"),
+        element_at(filter(col("ts"),
+          t => t.getField("prefix_dim") === 0), 1)
+          .getField("ids").as("ids_full"),
+        explode(filter(col("ts"),
+          t => t.getField("prefix_dim") =!= 0)).as("t"))
+      .select(col("qid"), col("t.prefix_dim").as("prefix_dim"),
+        size(array_intersect(col("ids_full"), col("t.ids"))).cast("long")
           .as("overlap"),
-        (element_at(col("ids_d"), 1) === element_at(col("ids"), 1))
+        (element_at(col("t.ids"), 1) === element_at(col("ids_full"), 1))
           .as("top1_match"))
   }
 
