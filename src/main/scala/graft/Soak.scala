@@ -99,6 +99,36 @@ object Soak {
             li.select(col("l_partkey").as("id")).distinct()
               .orderBy("id").limit(8),
             maxHops = 3)
+        case "bytebpe" => // doc_tokens_bytebpe's exact train+encode shape
+          val model = ops.Tokenize.trainVocabByteBpe(docs, "text",
+            "doc_id", vocabSize = 300, sampleN = 256)
+          ops.Tokenize.byteBpe(docs, "text", model)
+        case "lang_segments" =>
+          // the base corpus has no terminal punctuation (zero
+          // sentences — a trivial explode); sentence-ify every 6th
+          // word boundary so the per-doc window sees real runs
+          val punct = docs.select(col("doc_id"),
+            regexp_replace(col("text"), "((\\S+ ){5}\\S+) ", "$1. ")
+              .as("text"))
+          ops.Chunk.languageSegments(punct, "text", "doc_id")
+        case "audio_fp" =>
+          // one 405-sample clip per doc; ~10 clips share a base
+          // pattern at 10x (group = id % 5000) so near-dup pairs exist
+          // without blowing the bucket cap
+          val build = udf((id: Long) => ops.Multimodal.wavPcm16(8000, 1,
+            Array.tabulate(405) { i =>
+              val base = ((id % 5000) * 13 + i * 29) % 2400 - 1200
+              (if (id % 3 == 1 && i >= 200 && i < 205) base + 900
+               else base).toShort
+            }))
+          ops.Multimodal.audioPerceptualPairs(ops.Multimodal.decodeAudio(
+            docs.select(col("doc_id").as("media_id"),
+              build(col("doc_id")).as("payload"))))
+        case "matryoshka" => // sim_matryoshka's exact shape
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          ops.Similarity.matryoshkaOverlap(e,
+            e.filter(col("vec_id") < 8), "embedding", "vec_id",
+            k = 5, prefixDims = Seq(8, 16, 32))
         case other => sys.error(s"unknown op $other")
       }
       df.queryExecution.toRdd.count()

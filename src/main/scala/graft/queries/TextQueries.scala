@@ -752,7 +752,12 @@ private[graft] object TextQueries {
     Chunk.languageSegments(d, "text", "doc_id")
   }
 
-  private[graft] val oTextLangSegments = {
+  /** Shared sentence→langid→islands CTE prefix (through `seg`: one row
+    * per sentence with its segment index) — the SQL twin of the
+    * [[qTextLangSegments]] fixture + [[graft.ops.Chunk.languageSegments]]
+    * mechanics, reused by `text_lang_segments` and
+    * `text_code_switching`. */
+  private[graft] val oLangSegPrefix = {
     val stops = Seq(
       "en" -> "('the','a','and','of','to','in','is')",
       "de" -> "('der','die','das','und','ist','nicht','ein')",
@@ -795,12 +800,60 @@ private[graft] object TextQueries {
       |    THEN 1 ELSE 0 END AS brk FROM pick),
       |seg AS (SELECT doc_id, sidx, sent, lang,
       |    CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY sidx)
-      |      AS BIGINT) - 1 AS seg_idx FROM br)
+      |      AS BIGINT) - 1 AS seg_idx FROM br)""".stripMargin
+  }
+
+  private[graft] val oTextLangSegments =
+    s"""$oLangSegPrefix
       |SELECT doc_id, seg_idx, min(lang) AS lang,
       |  count(*) AS n_sentences, min(sidx) AS start_sidx,
       |  string_agg(sent, '' ORDER BY sidx) AS seg_text
       |FROM seg GROUP BY 1, 2""".stripMargin
+
+  /** Per-document CODE-SWITCHING report over the
+    * [[qTextLangSegments]] segmentation: segment/switch counts,
+    * distinct languages, and the dominant language by sentence mass
+    * (ties to the lexicographically smaller tag) — the per-doc read a
+    * curation pipeline routes on ("monolingual en", "en with quoted de",
+    * "mixed-script mashup"). Same fixture, one more aggregation level;
+    * the oracle reuses the shared CTE prefix. */
+  private[graft] def qTextCodeSwitching(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val segs = qTextLangSegments(s, dir)
+    val perLang = segs.groupBy("doc_id", "lang")
+      .agg(sum("n_sentences").as("ns"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("ns").desc, col("lang"))
+    val top = perLang.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("main_lang"),
+        col("ns").as("main_sentences"))
+    segs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("n_sentences").as("n_sentences"),
+        countDistinct("lang").cast("long").as("n_langs"),
+        (count(lit(1)) - 1).as("n_switches"))
+      .join(top, "doc_id")
   }
+
+  private[graft] val oTextCodeSwitching =
+    s"""$oLangSegPrefix,
+      |segrows AS (SELECT doc_id, seg_idx, min(lang) AS lang,
+      |    count(*) AS ns FROM seg GROUP BY 1, 2),
+      |perlang AS (SELECT doc_id, lang, CAST(sum(ns) AS BIGINT) AS ns
+      |  FROM segrows GROUP BY 1, 2),
+      |top AS (SELECT doc_id, lang AS main_lang, ns AS main_sentences,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY ns DESC, lang) AS rn FROM perlang)
+      |SELECT s.doc_id, count(*) AS n_segments,
+      |  CAST(sum(s.ns) AS BIGINT) AS n_sentences,
+      |  CAST(count(DISTINCT s.lang) AS BIGINT) AS n_langs,
+      |  CAST(count(*) - 1 AS BIGINT) AS n_switches,
+      |  min(t.main_lang) AS main_lang,
+      |  min(t.main_sentences) AS main_sentences
+      |FROM segrows s JOIN (SELECT * FROM top WHERE rn = 1) t
+      |  ON t.doc_id = s.doc_id
+      |GROUP BY 1""".stripMargin
 
   /** Top-3 TF-IDF terms per doc (restricted to doc_id < 100 to keep the
     * compare set small; the computation still uses corpus-wide df/N). */
@@ -1198,6 +1251,7 @@ private[graft] object TextQueries {
     "text_stats" -> (qTextStats _),
     "text_langid" -> (qTextLangId _),
     "text_lang_segments" -> (qTextLangSegments _),
+    "text_code_switching" -> (qTextCodeSwitching _),
     "text_script" -> (qTextScript _),
     "text_fingerprint" -> (qTextFingerprint _),
     "text_nfc_audit" -> (qTextNfcAudit _),
@@ -1233,6 +1287,7 @@ private[graft] object TextQueries {
     "text_stats" -> oTextStats,
     "text_langid" -> oTextLangId,
     "text_lang_segments" -> oTextLangSegments,
+    "text_code_switching" -> oTextCodeSwitching,
     "text_script" -> oTextScript,
     "text_fingerprint" -> oTextFingerprint,
     "text_nfc_audit" -> oTextNfcAudit,
