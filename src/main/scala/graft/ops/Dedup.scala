@@ -1323,6 +1323,44 @@ object Dedup {
     members.unionAll(centers).localCheckpoint(true)
   }
 
+  /** INCREMENTAL connected components — the rolling-ingest tier of
+    * transitive dup-cluster maintenance, completing the incremental
+    * family (exact: [[incrementalExact]], near: [[incrementalMinhashPairs]],
+    * semantic: [[graft.ops.Cluster.incrementalSemanticPairs]] — those
+    * find the new PAIRS; this folds the pairs into the persisted
+    * cluster labels without re-clustering history). `labels` is a
+    * persisted (id, component) table ([[connectedComponentsStar]]
+    * output over all history pairs); `newPairs` is the latest batch.
+    *
+    * Correctness rests on star equivalence: the edge set
+    * {id — component} has exactly the connectivity of the history
+    * pairs it summarizes, so CC over (star edges ∪ new pairs) equals
+    * CC from scratch over (history ∪ batch). Cost is the incremental
+    * contract: history pairs (≫ |V| after heavy crawling — every
+    * O(n²)-ish near-dup clique compresses to a star) are never
+    * re-read; the loop input is |labels| + |batch| rows and the star
+    * half is already depth-1, so convergence takes ~1 round beyond
+    * the batch's own diameter. Components never split on edge
+    * addition, so labeled ids untouched by the batch keep their rows
+    * (passed through, including caller-materialized singletons).
+    * Incremental ≡ from-scratch is spec-pinned; the min-id component
+    * convention is preserved.
+    *
+    * @return updated (id, component) covering every id in `labels` or
+    *         in a `newPairs` edge */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+                            maxIter: Int = 50,
+                            hotKeyThreshold: Long = 0L): DataFrame = {
+    val star = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as("ida"), col("component").as("idb"))
+    val updated = connectedComponentsStar(
+      star.unionAll(newPairs.select(col("ida"), col("idb"))),
+      maxIter, hotKeyThreshold)
+    val untouched = labels
+      .join(updated.select("id"), Seq("id"), "left_anti")
+    updated.unionAll(untouched.select(col("id"), col("component")))
+  }
+
   /** Near-duplicate SURVIVORS: the corpus minus all but the min-id member
     * of each transitive near-dup group (pairs from
     * [[ngramJaccardPairs]]). This is the operator a training pipeline

@@ -345,6 +345,50 @@ private[graft] object DedupQueries {
       |SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT DISTINCT dst FROM reach WHERE src < dst)""".stripMargin
 
+  /** INCREMENTAL transitive dup-cluster maintenance (see
+    * [[Dedup.incrementalComponents]]): the 0.5-Jaccard pairs split
+    * into a "history" half (both endpoints < 250 — labeled once by
+    * star CC) and an "increment" (everything touching a newer doc);
+    * the increment folds into the persisted labels without re-reading
+    * history pairs. The oracle is FROM-SCRATCH components over ALL
+    * pairs (recursive min-reachable per id) — passing it IS the
+    * incremental ≡ one-shot guarantee, on real corpus pairs including
+    * cross-batch merges of previously separate clusters. */
+  private[graft] def qDedupIncrementalComponents(s: SparkSession,
+                                                 dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        threshold = 0.5)
+      .select("ida", "idb").localCheckpoint(true) // base + increment read it
+    val base = pairs.filter(col("ida") < 250 && col("idb") < 250)
+    val inc = pairs.filter(col("ida") >= 250 || col("idb") >= 250)
+    val labels = Dedup.connectedComponentsStar(base)
+    Dedup.incrementalComponents(labels, inc)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  private[graft] val oDedupIncrementalComponents =
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len($oToks) - 2, 0)),
+      |    i -> $oToks[i] || ' ' || $oToks[i+1] || ' ' || $oToks[i+2])) AS sh
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jp AS (SELECT ida, idb FROM p
+      |  JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+      |edges AS (SELECT ida AS src, idb AS dst FROM jp
+      |  UNION SELECT idb, ida FROM jp),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |    WHERE r.src <> e.dst)
+      |SELECT src AS doc_id, least(src, min(dst)) AS component
+      |FROM reach GROUP BY src""".stripMargin
+
   /** SimHash CONTRACT row — the raw (ida, idb, hamming) pair list is
     * hash-family-dependent, but the properties a user relies on are not:
     * RECALL (at least half of the exact jaccard≥0.9 near-dup pairs are
@@ -820,6 +864,7 @@ private[graft] object DedupQueries {
     "dedup_survivors" -> (qDedupSurvivors _),
     "dedup_lsh_scurve" -> (qDedupLshScurve _),
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
+    "dedup_incremental_components" -> (qDedupIncrementalComponents _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_embedding" -> (qDedupEmbedding _),
@@ -848,6 +893,7 @@ private[graft] object DedupQueries {
     "dedup_survivors" -> oDedupSurvivors,
     "dedup_lsh_scurve" -> oDedupLshScurve,
     "dedup_survivors_star" -> oDedupSurvivors,
+    "dedup_incremental_components" -> oDedupIncrementalComponents,
     "dedup_minhash" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,
     "dedup_embedding" -> oDedupEmbedding,

@@ -543,6 +543,29 @@ class OpsSpec extends SparkSpec {
     assert(byId(50L) == 40L && byId(41L) == 40L)
   }
 
+  test("incrementalComponents == from-scratch CC; untouched labels pass through") {
+    def ccStar(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // history: components {1,2,3}, {10,11}, {20,21}; batch merges the
+    // first two via (3,10), starts a brand-new component {30,31}, and
+    // leaves {20,21} untouched
+    val hist = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("ida", "idb")
+    val batch = Seq((3L, 10L), (30L, 31L)).toDF("ida", "idb")
+    val labels = Dedup.connectedComponentsStar(hist)
+    val inc = Dedup.incrementalComponents(labels, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == ccStar(hist.unionAll(batch)))
+    val byId = inc.toMap
+    assert(byId(11L) == 1L && byId(21L) == 20L && byId(31L) == 30L)
+    // caller-materialized singleton rows survive the increment
+    val withSingleton = labels.unionAll(Seq((99L, 99L)).toDF("id", "component"))
+    val inc2 = Dedup.incrementalComponents(withSingleton, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc2 == inc + ((99L, 99L)))
+  }
+
   test("star CC hot-key broadcast split matches the plain path on a mega-star") {
     // Adversarial skew: one non-minimal hub (id 5000) wired to 4999 spokes
     // incl. the true minimum 1, a chain grafted onto a spoke, and an
