@@ -36,7 +36,7 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val graphOps = Set("pagerank", "kcore", "bfs", "harmonic",
-      "betweenness")
+      "betweenness", "scc")
     lazy val docsFull = spark.read.parquet(s"$dir/documents.parquet")
     lazy val docs = docsFull.select("doc_id", "text")
     lazy val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -124,6 +124,21 @@ object Soak {
           ops.Multimodal.audioPerceptualPairs(ops.Multimodal.decodeAudio(
             docs.select(col("doc_id").as("media_id"),
               build(col("doc_id")).as("payload"))))
+        case "scc" => // graph_scc's exact shape, DISTRIBUTED loop forced
+          val lif = spark.read.parquet(s"$dir/lineitem.parquet")
+            .filter(col("l_partkey") % 4 === 0 &&
+              col("l_orderkey") % 11 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("l_orderkey")
+            .orderBy("l_linenumber", "l_partkey")
+          val e = lif.withColumn("__nxt", lead("l_partkey", 1).over(w))
+            .filter(col("__nxt").isNotNull &&
+              col("__nxt") =!= col("l_partkey"))
+            .select(col("l_partkey").cast("long").as("src"),
+              col("__nxt").cast("long").as("dst"))
+          ops.Graph.scc(e, driverMaxEdges = 0L)
         case "matryoshka" => // sim_matryoshka's exact shape
           val e = spark.read.parquet(s"$dir/embeddings.parquet")
           ops.Similarity.matryoshkaOverlap(e,

@@ -455,4 +455,70 @@ object Diff {
           s" div (${d.format("n_a")} * n_b)")
           .as("drift_abs_micro"))
   }
+
+  /** Cumulative CDF thresholds of the two-sided geometric (discrete
+    * Laplace) distribution P(X = k) ∝ α^|k|, α = e^(−ε), scaled to
+    * 2³² — noise k is assigned when a 32-bit hash-uniform falls in
+    * [T(k−1), T(k)), the [[Insight.bootstrapMeanCI]] Poisson-threshold
+    * discipline applied to DP noise. exp(−ε) is transcendental, so the
+    * thresholds are computed HERE once and inlined as integer literals
+    * into any replay (a runtime exp() could drift in the last ulp
+    * across libm builds). The tail |X| > K collapses into ±K, with K
+    * sized so the collapsed mass is below 32-bit resolution
+    * (α^K < 2⁻³³ ⇒ K ≈ 33·ln2/ε, capped at 64).
+    *
+    * @return (K, thresholds for k = −K..K, ascending) */
+  private[graft] def geometricThresholds(eps: Double): (Int, Array[Long]) = {
+    require(eps > 0, "eps must be positive")
+    val alpha = math.exp(-eps)
+    val kMax = math.min(64,
+      math.max(1, math.ceil(33.0 * math.log(2) / eps).toInt))
+    val ts = (-kMax to kMax).map { k =>
+      val f =
+        if (k < 0) math.pow(alpha, -k) / (1 + alpha)
+        else 1.0 - math.pow(alpha, k + 1) / (1 + alpha)
+      math.floor(f * 4294967296.0).toLong
+    }.toArray
+    (kMax, ts)
+  }
+
+  /** ε-DIFFERENTIALLY-PRIVATE count release by the GEOMETRIC MECHANISM
+    * (Ghosh, Roughgarden, Sundararajan STOC 2009 — universally optimal
+    * for counting queries; the integer-valued Laplace mechanism every
+    * production DP stack ships for histograms). Per group the true
+    * count n is released as max(0, n + X), X two-sided geometric with
+    * parameter e^(−ε); each unit change of one row shifts n by 1, so
+    * the release is ε-DP for the add/remove-one-row neighbor relation.
+    *
+    * Noise is hash-armed: u = top 32 md5 bits of (salt : group key),
+    * X = inverse CDF of u through the [[geometricThresholds]] integer
+    * table — a pure per-group function, so the whole release is one
+    * map-side-combinable aggregate plus a projection: no second pass,
+    * no driver state, no RNG service at any scale.
+    *
+    * DETERMINISM CAVEAT (deliberate, documented): a fixed salt makes
+    * the release reproducible — and therefore REPLAYABLE, which a real
+    * DP deployment must not allow (averaging replays cancels the
+    * noise). This operator is the release rail with the distribution
+    * exactly right; production callers supply a FRESH salt per release
+    * and account the ε budget across releases.
+    *
+    * @return one row per group: the group columns + n_released */
+  def dpGeometricCounts(df: DataFrame, groupCols: Seq[String],
+                        eps: Double, salt: String = "dp"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val (kMax, ts) = geometricThresholds(eps)
+    val gkey = concat_ws(":", lit(salt) +: groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit("null"))): _*)
+    val u = "CAST(conv(substring(md5(__gkey), 1, 8), 16, 10) AS BIGINT)"
+    val cases = ts.zipWithIndex.map { case (t, i) =>
+      s"WHEN $u < ${t}L THEN ${i - kMax}L"
+    }.mkString(" ")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__gkey", gkey)
+      .withColumn("__noise", expr(s"CASE $cases ELSE ${kMax}L END"))
+      .select(groupCols.map(col) :+
+        expr("greatest(0L, __n + __noise)").as("n_released"): _*)
+  }
 }

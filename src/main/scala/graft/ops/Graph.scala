@@ -1239,4 +1239,286 @@ object Graph {
           "CAST(__num * 1000000 div (4 * CAST(m_edges AS DECIMAL(38,0))" +
             " * m_edges) AS BIGINT)")).as("q_ppm"))
   }
+
+  /** STRONGLY connected components of a DIRECTED graph — trim +
+    * forward coloring + per-color backward sweep (the FW-BW-Trim /
+    * coloring family: Orzan 2004; McLendon et al. 2005; Slota,
+    * Rajamanickam, Madduri IPDPS 2014 — the standard distributed SCC
+    * scheme; Tarjan's DFS stack is inherently sequential).
+    * Directedness is the point: the undirected
+    * [[Dedup.connectedComponentsStar]] would merge a link farm's
+    * one-way in-links into the farm's component; mutual reachability
+    * keeps them out.
+    *
+    * Per round over the live subgraph:
+    *   1. TRIM to fixpoint: a vertex with no in-edges or no out-edges
+    *      cannot lie on a cycle, so it is its own SCC. Each pass drops
+    *      the edges such vertices anchor — ONE materialization (two
+    *      semi joins against the live endpoint sets), with no per-pass
+    *      vertex bookkeeping: a cycle-free vertex simply loses all its
+    *      edges, and one final anti-join emits everything the sweeps
+    *      never claimed as singletons. This dissolves the tree-like
+    *      periphery and, iterated, whole acyclic chains without paying
+    *      a fixpoint.
+    *   2. COLOR: forward min-label fixpoint, label(v) = min id over
+    *      {v} ∪ ancestors(v) — the diameter-bounded CC-style loop on
+    *      DIRECTED edges. Every path from a color's root r (the vertex
+    *      with label(r) = r) stays inside r's class: any vertex on it
+    *      that knew a smaller ancestor would recolor everything
+    *      downstream of itself, contradicting the label on the path's
+    *      endpoint. So classes partition the live graph into regions
+    *      reachable from their root.
+    *   3. SWEEP: backward reachability TO the root along intra-class
+    *      edges, seeded at the roots. u joins SCC(r) iff u also
+    *      reaches r — together with r→u (step 2) that is exactly
+    *      mutual reachability, so the extraction is EXACT, not a
+    *      heuristic. Monotone set growth; converges when the reached
+    *      count stops moving.
+    *   4. Extract, remove, repeat. Every class loses at least its
+    *      root's SCC per round, so rounds ≤ the condensation peel
+    *      depth: 1 for a pure cycle, small for web-shaped graphs
+    *      whose giant SCC dominates one color; the O(V) adversary is
+    *      a long chain of TRIVIAL SCCs, which TRIM dissolves instead.
+    *
+    * Both fixpoints are the SAME min-label kernel: forward coloring is
+    * min-over-ancestors along (src→dst), the sweep is min-over-WITHIN-
+    * CLASS-descendants along the reversed intra-class edges — and
+    * because a class root is necessarily its class's MINIMUM id
+    * (label(v) = min({v} ∪ anc(v)) ≤ v), "u reaches the root inside
+    * the class" is exactly "u's within-class min descendant IS the
+    * root", so extraction is F(u) = B(u) over the RESTRICTED backward
+    * labels (sound, unlike the same test on unrestricted labels). The
+    * kernel converges in ≤ eccentricity-of-the-min-vertex relax hops
+    * and chains several hops per materialization (see `minLabels`), so
+    * scheduler round-trips are ecc/K, not ecc.
+    *
+    * Every step is a co-keyed join + a map-side-combinable min/count
+    * aggregate — no windows, no driver-side graph state on the
+    * distributed path. Loop frames materialize through
+    * [[org.apache.spark.sql.GraftShim.materializeWithCount]] (lineage
+    * stays O(1), the convergence/broadcast-eligibility count folds
+    * into the materialization job); label/frontier tables broadcast
+    * below `broadcastVertexCap` with the shuffled fallback beyond.
+    *
+    * Below `driverMaxEdges` (integral ids) the edge list collects and
+    * an iterative Tarjan answers in ONE job — the
+    * [[Dedup.nearDupSurvivors]] `driverCCMaxPairs` contract: SCC
+    * worklists are usually subgraphs (a filtered host graph, a
+    * candidate cluster) tiny next to the corpus, and the distributed
+    * loop's ~2 scheduler round-trips per materialization dominate at
+    * that size. Above the cap (or non-integral ids) the full loop
+    * runs — spec-pinned identical output.
+    *
+    * @param edges directed (src, dst), numeric ids; self-loops and
+    *              duplicate edges drop
+    * @return (id, scc_id = min vertex id of the SCC), one row per
+    *         vertex incident to at least one non-loop edge */
+  def scc(edges: DataFrame, maxRounds: Int = 50, trimIters: Int = 50,
+          maxFixpointIters: Int = 100,
+          broadcastVertexCap: Long = 4L << 20,
+          driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
+    def maybeB(df: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastVertexCap) broadcast(df) else df
+    val idType = edges.schema("src").dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    var (e, ne) = mat(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    if (integralIds && ne <= driverMaxEdges)
+      return sccDriver(e, ne, idType)
+    val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // every vertex the SWEEP never claims is a singleton SCC (trim
+    // removes exactly the provably-cycle-free: no bookkeeping per pass,
+    // one anti-join at the end settles them all)
+    val (initVerts, _) = mat(e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct())
+    // min-label fixpoint, `relaxPerSync` hops per materialization: the
+    // edge set gains self-loops once so each relax step is ONE join +
+    // one min-aggregate referencing the previous labels exactly once —
+    // K steps chain inside a single job with LINEAR plan growth (a
+    // self-union spelling would recompute the label frame 2^K times),
+    // and the scheduler round-trip + convergence probe amortize over K
+    // hops. Pointer jumping is deliberately absent: measured on this
+    // graph class it saves ~2% of iterations (the walk is bounded by
+    // the min vertex's eccentricity, not label-chain length) while its
+    // self-join doubles per-step cost.
+    def minLabels(g: DataFrame, vs: DataFrame, n: Long,
+                  relaxPerSync: Int = 6): DataFrame = {
+      val (gSelf, _) = mat(g.unionAll(
+        vs.select(col("id").as("src"), col("id").as("dst"))))
+      var (labels, _) = mat(vs.select(col("id"), col("id").as("c")))
+      def checksum(l: DataFrame): Option[java.math.BigDecimal] =
+        Option(l.agg(sum(col("c").cast("decimal(38,0)"))).head()
+          .getDecimal(0))
+      var prev = checksum(labels)
+      var it = 0
+      var converged = false
+      while (!converged && it < maxFixpointIters) {
+        it += 1
+        var cur = labels
+        for (_ <- 1 to relaxPerSync)
+          cur = gSelf.join(maybeB(cur, n).withColumnRenamed("id", "src"),
+            Seq("src"))
+            .groupBy(col("dst").as("id")).agg(min(col("c")).as("c"))
+        val (merged, _) = mat(cur)
+        val cs = checksum(merged)
+        converged = cs == prev
+        prev = cs
+        labels = merged
+      }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"scc fixpoint stopped at maxFixpointIters=$maxFixpointIters")
+      labels
+    }
+    var rounds = 0
+    while (ne > 0 && rounds < maxRounds) {
+      rounds += 1
+      // ---- 1. trim to fixpoint: drop every edge whose src has no
+      // in-edge or whose dst has no out-edge — ONE materialization per
+      // pass, no vertex bookkeeping (cycle-free vertices just lose all
+      // their edges and fall out to the final singleton sweep-up)
+      var trimming = true
+      var t = 0
+      while (trimming && t < trimIters && ne > 0) {
+        t += 1
+        val haveIn = e.select(col("dst").as("src")).distinct()
+        val haveOut = e.select(col("src").as("dst")).distinct()
+        val (e2, ne2) = mat(e
+          .join(maybeB(haveIn, ne), Seq("src"), "left_semi")
+          .join(maybeB(haveOut, ne), Seq("dst"), "left_semi"))
+        trimming = ne2 != ne
+        e = e2; ne = ne2
+      }
+      if (ne > 0) {
+        val (verts, nv) = mat(e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct())
+        // ---- 2. forward coloring: F = min over {v} ∪ ancestors
+        val f = minLabels(e, verts, nv)
+        val fb = maybeB(f, nv)
+        // ---- 3. backward sweep: B = min over within-class
+        // descendants, on reversed intra-class edges
+        val (ec, _) = mat(e
+          .join(fb.select(col("id").as("src"), col("c").as("__cs")), "src")
+          .join(fb.select(col("id").as("dst"), col("c").as("__cd")), "dst")
+          .filter(col("__cs") === col("__cd"))
+          .select(col("dst").as("src"), col("src").as("dst")))
+        val b = minLabels(ec, verts, nv)
+        // ---- 4. extract F = B (mutual reachability with the root)
+        val (done, nd) = mat(f.join(
+          b.select(col("id"), col("c").as("__b")), Seq("id"))
+          .filter(col("c") === col("__b"))
+          .select(col("id"), col("c").as("scc_id")))
+        parts += done
+        val db = maybeB(done.select("id"), nd)
+        val (e2, ne2) = mat(e
+          .join(db.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(db.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+        e = e2; ne = ne2
+      }
+    }
+    if (ne > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"scc stopped at maxRounds=$maxRounds with $ne edges live " +
+          "(their endpoints will be MIS-reported as singletons)")
+    val swept = parts.reduceOption(_ unionAll _)
+    val singletons = swept match {
+      case Some(s) => initVerts
+        .join(s.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("scc_id"))
+      case None => initVerts.select(col("id"), col("id").as("scc_id"))
+    }
+    swept.map(_.unionAll(singletons)).getOrElse(singletons)
+  }
+
+  /** CONDENSATION DAG: collapse every SCC to one node and aggregate
+    * the cross-SCC edges — the graph the downstream topology actually
+    * sees (a link farm becomes one vertex; inter-community flow
+    * becomes weighted DAG edges; cycle-free algorithms become legal).
+    * Two label joins + one map-side-combinable count — labels are one
+    * row per vertex, so AQE broadcasts them below its threshold and
+    * the edge list streams through without a shuffle of its own.
+    *
+    * @param edges  directed (src, dst) — the [[scc]] input
+    * @param labels (id, scc_id) — the [[scc]] output
+    * @return (src_scc, dst_scc, n_edges) for src_scc ≠ dst_scc */
+  def condense(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("id").as("src"),
+        col("scc_id").as("src_scc")), "src")
+      .join(labels.select(col("id").as("dst"),
+        col("scc_id").as("dst_scc")), "dst")
+      .filter(col("src_scc") =!= col("dst_scc"))
+      .groupBy("src_scc", "dst_scc")
+      .agg(count(lit(1)).as("n_edges"))
+
+  /** Driver fast path: iterative Tarjan over the collected (deduped,
+    * loop-free) edge list; scc_id normalized to the component minimum
+    * to match the distributed contract. */
+  private def sccDriver(e: DataFrame, ne: Long,
+                        idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    val spark = e.sparkSession
+    val pairs = e.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val index = scala.collection.mutable.LongMap.empty[Int]
+    val low = scala.collection.mutable.LongMap.empty[Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = scala.collection.mutable.LongMap.empty[Long]
+    var counter = 0
+    // explicit work stack: (vertex, next-child index) — no recursion
+    val work = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    for (root <- verts if !index.contains(root)) {
+      work += ((root, 0))
+      while (work.nonEmpty) {
+        val (u, ci) = work.remove(work.length - 1)
+        if (ci == 0) {
+          index(u) = counter; low(u) = counter; counter += 1
+          stack += u; onStack += u
+        }
+        val kids = adj.getOrElse(u, Array.empty[Long])
+        var i = ci
+        var descended = false
+        while (i < kids.length && !descended) {
+          val w = kids(i)
+          if (!index.contains(w)) {
+            work += ((u, i + 1)); work += ((w, 0)); descended = true
+          } else {
+            if (onStack(w)) low(u) = math.min(low(u), index(w))
+            i += 1
+          }
+        }
+        if (!descended) {
+          if (low(u) == index(u)) {
+            // pop the SCC; min id is the label
+            var members = List.empty[Long]
+            var w = 0L
+            do {
+              w = stack.remove(stack.length - 1); onStack -= w
+              members ::= w
+            } while (w != u)
+            val m = members.min
+            members.foreach(comp(_) = m)
+          }
+          // propagate low to the parent (top of work stack)
+          if (work.nonEmpty) {
+            val (p, pi) = work(work.length - 1)
+            if (low(u) < low(p)) low(p) = low(u)
+            work(work.length - 1) = (p, pi)
+          }
+        }
+      }
+    }
+    import spark.implicits._
+    comp.toSeq.toDF("id", "scc_id")
+      .select(col("id").cast(idType).as("id"),
+        col("scc_id").cast(idType).as("scc_id"))
+  }
 }

@@ -243,4 +243,97 @@ object Link {
     if (df.sparkSession.catalog.functionExists("graft_shingles"))
       call_function("graft_shingles", col(textCol), lit(n))
     else transform(Dedup.shingles(col(textCol), n), s => xxhash64(s))
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    * JASA 1969; the Splink/fastLink model): per-field conditional
+    * agreement probabilities m_i = P(agree_i | match) and
+    * u_i = P(agree_i | non-match), estimated CLOSED-FORM from a
+    * labeled candidate set (`truthCol` — supervised FS, the variant
+    * production linkage runs once a clerical-review sample exists;
+    * the unsupervised EM variant converges to the same table), with
+    * add-one smoothing so a never-agreeing field (u = 0) yields a
+    * large finite weight instead of a division by zero.
+    *
+    * The decision statistic is the likelihood RATIO
+    * Π_i (m_i/u_i)^{a_i} ((1−m_i)/(1−u_i))^{1−a_i}, kept EXACT: with
+    * m_i = (tm_i+1)/(nm+2) and u_i = (tu_i+1)/(nu+2) every factor is a
+    * ratio of integers, so `odds` is one DECIMAL(38,0) product
+    * quotient — Spark `div` ≡ DuckDB `//` (both truncate toward
+    * zero) — and the output is pure BIGINT, no cross-engine float
+    * risk anywhere. Bound: (nm+2)^k (nu+2)^k must stay below 10^38 —
+    * holds whenever the LABELED estimation set is ≤ ~10^(32/k) pairs
+    * (estimate on a bounded clerical sample at scale, the standard
+    * practice; the scored set itself is unbounded).
+    *
+    * Plan shape: one pass over the candidates for the (2k+2)-cell
+    * stats row + one map-side-combinable groupBy over the 2^k
+    * agreement patterns, then a broadcast cross join of the 1-row
+    * stats onto the pattern table — candidates are touched exactly
+    * twice, nothing driver-side, no windows.
+    *
+    * @param cands     candidate pairs (from any blocking upstream)
+    *                  carrying boolean agreement columns + the truth
+    *                  label
+    * @param agreeCols boolean per-field agreement column names
+    * @param truthCol  boolean ground-truth (match) column
+    * @return one row per observed agreement pattern: the agreement
+    *         booleans, n_pairs, n_truth, per-field odds_<col>, total
+    *         `odds` (truncated integer likelihood ratio) and the
+    *         three-way `decision` (match / review / nonmatch) */
+  def fellegiSunterTable(cands: DataFrame, agreeCols: Seq[String],
+                         truthCol: String,
+                         matchOdds: Long = 1000L,
+                         reviewOdds: Long = 1L): DataFrame = {
+    require(agreeCols.nonEmpty, "need at least one agreement column")
+    val truth = col(truthCol).cast("boolean")
+    val statAggs = Seq(
+      sum(when(truth, 1L).otherwise(0L)).as("__nm"),
+      sum(when(!truth, 1L).otherwise(0L)).as("__nu")) ++
+      agreeCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(when(truth && col(c), 1L).otherwise(0L)).as(s"__tm$i"),
+          sum(when(!truth && col(c), 1L).otherwise(0L)).as(s"__tu$i"))
+      }
+    val stats = cands.agg(statAggs.head, statAggs.tail: _*)
+    val pat = cands.groupBy(agreeCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(truth, 1L).otherwise(0L)).as("n_truth"))
+    def dec(e: String) = s"CAST(($e) AS DECIMAL(38,0))"
+    def numF(c: String, i: Int) =
+      dec(s"CASE WHEN $c THEN __tm$i + 1 ELSE __nm - __tm$i + 1 END")
+    def denF(c: String, i: Int) =
+      dec(s"CASE WHEN $c THEN __tu$i + 1 ELSE __nu - __tu$i + 1 END")
+    val k = agreeCols.size
+    val numProd = agreeCols.zipWithIndex
+      .map { case (c, i) => numF(c, i) }.mkString(" * ")
+    val denProd = agreeCols.zipWithIndex
+      .map { case (c, i) => denF(c, i) }.mkString(" * ")
+    val nuPow = Seq.fill(k)(dec("__nu + 2")).mkString(" * ")
+    val nmPow = Seq.fill(k)(dec("__nm + 2")).mkString(" * ")
+    val perField = agreeCols.zipWithIndex.map { case (c, i) =>
+      expr(s"CAST(${numF(c, i)} * ${dec("__nu + 2")} div " +
+        s"(${dec("__nm + 2")} * ${denF(c, i)}) AS BIGINT)").as(s"odds_$c")
+    }
+    pat.crossJoin(broadcast(stats))
+      .withColumn("odds", expr(
+        s"CAST(($numProd) * ($nuPow) div (($nmPow) * ($denProd)) AS BIGINT)"))
+      .select(agreeCols.map(col) ++ Seq(col("n_pairs"), col("n_truth")) ++
+        perField ++ Seq(col("odds"),
+          when(col("odds") >= matchOdds, "match")
+            .when(col("odds") >= reviewOdds, "review")
+            .otherwise("nonmatch").as("decision")): _*)
+  }
+
+  /** Per-pair Fellegi–Sunter scores: the pattern table above broadcast
+    * back onto the candidates — a map-side hash join on the 2^k
+    * agreement booleans, so scoring N pairs costs one pass whatever N
+    * is. Adds odds + decision to every candidate row. */
+  def fellegiSunterScore(cands: DataFrame, agreeCols: Seq[String],
+                         truthCol: String,
+                         matchOdds: Long = 1000L,
+                         reviewOdds: Long = 1L): DataFrame = {
+    val table = fellegiSunterTable(cands, agreeCols, truthCol, matchOdds,
+      reviewOdds)
+      .select(agreeCols.map(col) ++ Seq(col("odds"), col("decision")): _*)
+    cands.join(broadcast(table), agreeCols)
+  }
 }

@@ -753,6 +753,95 @@ private[graft] object InsightQueries {
       |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk
       |GROUP BY 1""".stripMargin
 
+  /** Strongly connected components of the DIRECTED consecutive-
+    * co-purchase graph — part at line position i → part at position
+    * i+1 within an order, on the mod-4-part / mod-11-order subgraph
+    * (the sparse regime with a full SCC-size spectrum: ~96%
+    * singletons for TRIM, a handful of mid-size cycles, one moderate
+    * giant for the coloring+sweep path). See [[Graph.scc]]. The
+    * oracle is GROUND TRUTH, not a replay: recursive-CTE transitive
+    * closure + mutual-reachability minimum per vertex — any
+    * trim/coloring/sweep defect shows as a hash mismatch, the same
+    * exact-truth contract as `graph_bfs`. */
+  private[graft] def qGraphScc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey")
+    val e = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 11 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("__nxt", lead("l_partkey", 1).over(w))
+      .filter(col("__nxt").isNotNull && col("__nxt") =!= col("l_partkey"))
+      .select(col("l_partkey").cast("long").as("src"),
+        col("__nxt").cast("long").as("dst"))
+    Graph.scc(e).select(col("id").cast("long").as("id"),
+      col("scc_id").cast("long").as("scc_id"))
+  }
+
+  private[graft] val oGraphScc =
+    """WITH RECURSIVE f AS (SELECT l_orderkey, l_linenumber, l_partkey
+      |  FROM lineitem WHERE l_partkey % 4 = 0 AND l_orderkey % 11 = 0),
+      |p AS (SELECT l_partkey AS src,
+      |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_partkey) AS dst FROM f),
+      |e AS (SELECT DISTINCT src, dst FROM p
+      |  WHERE dst IS NOT NULL AND dst <> src),
+      |verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+      |  WHERE e.dst <> r.src),
+      |mut AS (SELECT a.src AS u, a.dst AS v FROM reach a
+      |  JOIN reach b ON b.src = a.dst AND b.dst = a.src)
+      |SELECT CAST(v.id AS BIGINT) AS id,
+      |  CAST(least(v.id, coalesce(min(m.v), v.id)) AS BIGINT) AS scc_id
+      |FROM verts v LEFT JOIN mut m ON m.u = v.id GROUP BY v.id"""
+      .stripMargin
+
+  /** Condensation DAG of the `graph_scc` subgraph (see
+    * [[Graph.condense]]): SCCs collapse to single nodes, cross-SCC
+    * edges aggregate to weighted DAG edges. Same ground-truth oracle
+    * rail — the recursive-CTE SCC labels joined back onto the distinct
+    * edge list. */
+  private[graft] def qGraphCondensation(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey")
+    val e = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 11 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("__nxt", lead("l_partkey", 1).over(w))
+      .filter(col("__nxt").isNotNull && col("__nxt") =!= col("l_partkey"))
+      .select(col("l_partkey").cast("long").as("src"),
+        col("__nxt").cast("long").as("dst"))
+      .distinct()
+    Graph.condense(e, Graph.scc(e))
+  }
+
+  private[graft] val oGraphCondensation =
+    """WITH RECURSIVE f AS (SELECT l_orderkey, l_linenumber, l_partkey
+      |  FROM lineitem WHERE l_partkey % 4 = 0 AND l_orderkey % 11 = 0),
+      |p AS (SELECT l_partkey AS src,
+      |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_partkey) AS dst FROM f),
+      |e AS (SELECT DISTINCT src, dst FROM p
+      |  WHERE dst IS NOT NULL AND dst <> src),
+      |verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+      |  WHERE e.dst <> r.src),
+      |mut AS (SELECT a.src AS u, a.dst AS v FROM reach a
+      |  JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+      |lab AS (SELECT v.id,
+      |    CAST(least(v.id, coalesce(min(m.v), v.id)) AS BIGINT) AS scc_id
+      |  FROM verts v LEFT JOIN mut m ON m.u = v.id GROUP BY v.id)
+      |SELECT la.scc_id AS src_scc, lb.scc_id AS dst_scc,
+      |  CAST(count(*) AS BIGINT) AS n_edges
+      |FROM e JOIN lab la ON la.id = e.src JOIN lab lb ON lb.id = e.dst
+      |WHERE la.scc_id <> lb.scc_id GROUP BY 1, 2""".stripMargin
+
   /** Deterministic Poisson-bootstrap CI for the mean document length
     * (see [[Insight.bootstrapMeanCI]]): 20 hash-armed resamples, exact
     * integer order-statistic bounds — the oracle replays the md5
@@ -1961,6 +2050,8 @@ private[graft] object InsightQueries {
     "graph_pagerank_weighted" -> (qGraphPagerankWeighted _),
     "graph_linkpred" -> (qGraphLinkpred _),
     "graph_bfs" -> (qGraphBfs _),
+    "graph_scc" -> (qGraphScc _),
+    "graph_condensation" -> (qGraphCondensation _),
     "insight_bootstrap_ci" -> (qInsightBootstrap _),
     "eval_paired_bootstrap" -> (qEvalPairedBootstrap _),
     "events_twap" -> (qEventsTwap _),
@@ -2020,6 +2111,8 @@ private[graft] object InsightQueries {
     "graph_pagerank_weighted" -> oGraphPagerankWeighted,
     "graph_linkpred" -> oGraphLinkpred,
     "graph_bfs" -> oGraphBfs,
+    "graph_scc" -> oGraphScc,
+    "graph_condensation" -> oGraphCondensation,
     "insight_bootstrap_ci" -> oInsightBootstrap,
     "eval_paired_bootstrap" -> oEvalPairedBootstrap,
     "events_twap" -> oEventsTwap,

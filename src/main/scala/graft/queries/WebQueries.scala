@@ -827,6 +827,33 @@ private[graft] object WebQueries {
     Diff.kAnonymity(t(s, dir, "customer"),
       Seq("c_nationkey", "c_mktsegment"), k = 10)
 
+  /** ε-DP histogram release of documents by (lang, source) via the
+    * geometric mechanism (see [[Diff.dpGeometricCounts]], ε = 1). The
+    * noise thresholds are integer literals computed ONCE in Scala and
+    * interpolated into BOTH the operator and this oracle — exp(−ε)
+    * never evaluates inside either engine, so the replay is exact down
+    * to the 32-bit inverse-CDF lookup and the max(0, ·) clamp. */
+  private[graft] def qDatasetDpCounts(s: SparkSession, dir: String): DataFrame =
+    Diff.dpGeometricCounts(t(s, dir, "documents"),
+      Seq("lang", "source"), eps = 1.0)
+
+  private[graft] val oDatasetDpCounts = {
+    val (kMax, ts) = Diff.geometricThresholds(1.0)
+    val u = "('0x' || substr(md5('dp:' ||" +
+      " coalesce(CAST(lang AS VARCHAR), 'null') || ':' ||" +
+      " coalesce(CAST(source AS VARCHAR), 'null')), 1, 8))::BIGINT"
+    val cases = ts.zipWithIndex.map { case (t, i) =>
+      s"WHEN $u < $t THEN ${i - kMax}"
+    }.mkString("\n      |    ")
+    s"""WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang, source,
+      |  greatest(0, n + CASE
+      |    $cases
+      |    ELSE $kMax END) AS n_released
+      |FROM g""".stripMargin
+  }
+
   /** T-CLOSENESS audit (see [[Diff.tCloseness]]) completing the
     * release-screen trio next to `dataset_kanonymity` and
     * `dataset_ldiversity`: the sensitive attribute is account balance
@@ -1444,6 +1471,123 @@ private[graft] object WebQueries {
       |SELECT id_left, id_right, CAST(levenshtein(a, b) AS INTEGER) AS dist
       |FROM l CROSS JOIN r WHERE levenshtein(a, b) <= 1""".stripMargin
 
+  /** Fellegi–Sunter probabilistic record linkage over planted customer
+    * twins (see [[Link.fellegiSunterTable]]): every customer < 2000
+    * gains a twin with md5-armed per-field corruption (name 1-in-5,
+    * segment 1-in-3, balance bucket 1-in-7) plus an equal-sized noise
+    * relation sharing only the nation block key. Candidates = the
+    * nation-blocked cross, truth = twin identity; the decision table
+    * (2³ agreement patterns → smoothed integer likelihood-ratio odds
+    * → match/review/nonmatch) is exact BIGINT end to end — the oracle
+    * replays m/u estimation, the DECIMAL/HUGEINT ratio and both
+    * thresholds literally. */
+  private[graft] def qLinkFellegiSunter(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") < 2000)
+    def h(tag: String) = conv(substring(md5(concat(
+      col("c_custkey").cast("string"), lit(tag))), 1, 8), 16, 10)
+      .cast("long")
+    val left = c.select(col("c_custkey").as("lid"),
+      col("c_name").as("lname"), col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("lseg"),
+      floor(col("c_acctbal") / 1000).cast("long").as("lbal"))
+    val twins = c.select((col("c_custkey") + 1000000L).as("rid"),
+      when(h("n") % 5 === 0, concat(col("c_name"), lit("x")))
+        .otherwise(col("c_name")).as("rname"),
+      col("c_nationkey").as("nat"),
+      when(h("s") % 3 === 0, lit("CORRUPT"))
+        .otherwise(col("c_mktsegment")).as("rseg"),
+      (floor(col("c_acctbal") / 1000).cast("long") +
+        when(h("b") % 7 === 0, 1L).otherwise(0L)).as("rbal"))
+    val noise = c.select((col("c_custkey") + 2000000L).as("rid"),
+      substring(md5(concat(lit("z"), col("c_custkey").cast("string"))),
+        1, 10).as("rname"),
+      col("c_nationkey").as("nat"),
+      when(h("t") % 5 === 0, "AUTOMOBILE").when(h("t") % 5 === 1, "BUILDING")
+        .when(h("t") % 5 === 2, "FURNITURE")
+        .when(h("t") % 5 === 3, "MACHINERY")
+        .otherwise("HOUSEHOLD").as("rseg"),
+      (h("u") % 12).as("rbal"))
+    val cands = left.join(twins.unionAll(noise), Seq("nat"))
+      .select(col("lid"), col("rid"),
+        (col("lname") === col("rname")).as("a_name"),
+        (col("lseg") === col("rseg")).as("a_seg"),
+        (col("lbal") === col("rbal")).as("a_bal"),
+        (col("rid") === col("lid") + 1000000L).as("truth"))
+    Link.fellegiSunterTable(cands, Seq("a_name", "a_seg", "a_bal"),
+      "truth")
+  }
+
+  private[graft] val oLinkFellegiSunter = {
+    def hh(tag: String) =
+      s"('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '$tag'), 1, 8))::BIGINT"
+    def field(a: String, i: Int) = {
+      val nf = s"CASE WHEN $a THEN tm$i + 1 ELSE nm - tm$i + 1 END"
+      val df = s"CASE WHEN $a THEN tu$i + 1 ELSE nu - tu$i + 1 END"
+      (s"CAST($nf AS HUGEINT)", s"CAST($df AS HUGEINT)")
+    }
+    val (n0, d0) = field("a_name", 0)
+    val (n1, d1) = field("a_seg", 1)
+    val (n2, d2) = field("a_bal", 2)
+    s"""WITH c AS (SELECT * FROM customer WHERE c_custkey < 2000),
+       |l AS (SELECT c_custkey AS lid, c_name AS lname,
+       |    c_nationkey AS nat, c_mktsegment AS lseg,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS lbal FROM c),
+       |r AS (
+       |  SELECT c_custkey + 1000000 AS rid,
+       |    CASE WHEN ${hh("n")} % 5 = 0 THEN c_name || 'x'
+       |      ELSE c_name END AS rname,
+       |    c_nationkey AS nat,
+       |    CASE WHEN ${hh("s")} % 3 = 0 THEN 'CORRUPT'
+       |      ELSE c_mktsegment END AS rseg,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) +
+       |      CASE WHEN ${hh("b")} % 7 = 0 THEN 1 ELSE 0 END AS rbal
+       |  FROM c
+       |  UNION ALL
+       |  SELECT c_custkey + 2000000,
+       |    substr(md5('z' || CAST(c_custkey AS VARCHAR)), 1, 10),
+       |    c_nationkey,
+       |    CASE ${hh("t")} % 5 WHEN 0 THEN 'AUTOMOBILE'
+       |      WHEN 1 THEN 'BUILDING' WHEN 2 THEN 'FURNITURE'
+       |      WHEN 3 THEN 'MACHINERY' ELSE 'HOUSEHOLD' END,
+       |    ${hh("u")} % 12
+       |  FROM c),
+       |cand AS (SELECT (lname = rname) AS a_name, (lseg = rseg) AS a_seg,
+       |    (lbal = rbal) AS a_bal, (rid = lid + 1000000) AS truth
+       |  FROM l JOIN r ON l.nat = r.nat),
+       |stats AS (SELECT
+       |    CAST(count(*) FILTER (WHERE truth) AS BIGINT) AS nm,
+       |    CAST(count(*) FILTER (WHERE NOT truth) AS BIGINT) AS nu,
+       |    CAST(count(*) FILTER (WHERE truth AND a_name) AS BIGINT) AS tm0,
+       |    CAST(count(*) FILTER (WHERE NOT truth AND a_name) AS BIGINT) AS tu0,
+       |    CAST(count(*) FILTER (WHERE truth AND a_seg) AS BIGINT) AS tm1,
+       |    CAST(count(*) FILTER (WHERE NOT truth AND a_seg) AS BIGINT) AS tu1,
+       |    CAST(count(*) FILTER (WHERE truth AND a_bal) AS BIGINT) AS tm2,
+       |    CAST(count(*) FILTER (WHERE NOT truth AND a_bal) AS BIGINT) AS tu2
+       |  FROM cand),
+       |pat AS (SELECT a_name, a_seg, a_bal,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(count(*) FILTER (WHERE truth) AS BIGINT) AS n_truth
+       |  FROM cand GROUP BY 1, 2, 3),
+       |scored AS (SELECT a_name, a_seg, a_bal, n_pairs, n_truth,
+       |    CAST($n0 * (nu + 2) // (CAST(nm + 2 AS HUGEINT) * $d0)
+       |      AS BIGINT) AS odds_a_name,
+       |    CAST($n1 * (nu + 2) // (CAST(nm + 2 AS HUGEINT) * $d1)
+       |      AS BIGINT) AS odds_a_seg,
+       |    CAST($n2 * (nu + 2) // (CAST(nm + 2 AS HUGEINT) * $d2)
+       |      AS BIGINT) AS odds_a_bal,
+       |    CAST($n0 * $n1 * $n2 * CAST(nu + 2 AS HUGEINT) * (nu + 2)
+       |        * (nu + 2) //
+       |      (CAST(nm + 2 AS HUGEINT) * (nm + 2) * (nm + 2)
+       |        * $d0 * $d1 * $d2) AS BIGINT) AS odds
+       |  FROM pat CROSS JOIN stats)
+       |SELECT a_name, a_seg, a_bal, n_pairs, n_truth,
+       |  odds_a_name, odds_a_seg, odds_a_bal, odds,
+       |  CASE WHEN odds >= 1000 THEN 'match'
+       |    WHEN odds >= 1 THEN 'review' ELSE 'nonmatch' END AS decision
+       |FROM scored""".stripMargin
+  }
+
   /** Declarative data-quality gate over `documents`: five check kinds in
     * one aggregation pass; the oracle recomputes every metric and
     * verdict as plain SQL aggregates. The n_chars range is set to
@@ -2045,6 +2189,7 @@ private[graft] object WebQueries {
     "cdc_pit_lookup" -> (qCdcPitLookup _),
     "dataset_ri_audit" -> (qDatasetRiAudit _),
     "dataset_kanonymity" -> (qDatasetKanonymity _),
+    "dataset_dp_counts" -> (qDatasetDpCounts _),
     "dataset_tcloseness" -> (qDatasetTcloseness _),
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
@@ -2058,6 +2203,7 @@ private[graft] object WebQueries {
     "multimodal_cdc_restore" -> (qMultimodalCdcRestore _),
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
     "link_edit_join" -> (qLinkEditJoin _),
+    "link_fellegi_sunter" -> (qLinkFellegiSunter _),
     "link_jw_join" -> (qLinkJwJoin _),
     "quality_expect" -> (qQualityExpect _),
     "quality_expect_slice" -> (qQualityExpectSlice _),
@@ -2097,6 +2243,7 @@ private[graft] object WebQueries {
     "cdc_pit_lookup" -> oCdcPitLookup,
     "dataset_ri_audit" -> oDatasetRiAudit,
     "dataset_kanonymity" -> oDatasetKanonymity,
+    "dataset_dp_counts" -> oDatasetDpCounts,
     "dataset_tcloseness" -> oDatasetTcloseness,
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
@@ -2110,6 +2257,7 @@ private[graft] object WebQueries {
     "multimodal_cdc_restore" -> oMultimodalCdcRestore,
     "link_fuzzy_join" -> oLinkFuzzyJoin,
     "link_edit_join" -> oLinkEditJoin,
+    "link_fellegi_sunter" -> oLinkFellegiSunter,
     "link_jw_join" -> oLinkJwJoin,
     "quality_expect" -> oQualityExpect,
     "quality_expect_slice" -> oQualityExpectSlice,

@@ -4076,4 +4076,129 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bd == Map(2L -> 500000L, 3L -> 500000L))
   }
+
+  private def sccMap(edges: Seq[(Long, Long)], trimIters: Int = 3,
+                     distributed: Boolean = true): Map[Long, Long] = {
+    import spark.implicits._
+    // driverMaxEdges = 0 forces the distributed trim/color/sweep loop;
+    // the default exercises the driver Tarjan fast path
+    Graph.scc(edges.toDF("src", "dst"), trimIters = trimIters,
+      driverMaxEdges = if (distributed) 0L else (1L << 20))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("scc: cycles, one-way bridge, anti-ordered chain, self-loops") {
+    // 3-cycle → 2-cycle over a one-way bridge: two SCCs, no merge
+    assert(sccMap(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // anti-ordered chain (ids descend along edges): all singletons —
+    // the O(V)-round adversary for naive min-label peeling; trim
+    // dissolves it, and with trim DISABLED coloring still must
+    assert(sccMap(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    assert(sccMap(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)),
+      trimIters = 0) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    // diamond 0→2→1, 0→3→1: the counterexample to the F(u)=B(u)
+    // min-ancestor/min-descendant heuristic (2 and 3 share F=0, B=1
+    // yet are NOT mutually reachable) — the sweep must keep them apart
+    assert(sccMap(Seq((0L, 2L), (0L, 3L), (2L, 1L), (3L, 1L))) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // self-loops and duplicate edges drop; a self-loop-only vertex is
+    // not a graph vertex at all
+    assert(sccMap(Seq((7L, 7L), (1L, 2L), (1L, 2L), (2L, 1L))) ==
+      Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("scc matches an in-JVM Kosaraju on a deterministic random graph") {
+    // LCG-seeded digraph: 48 vertices, 96 edges — mixes tendrils,
+    // small cycles and a nontrivial core
+    var x = 12345L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
+    val edges = Seq.fill(96)((nxt() % 48, nxt() % 48)).filter(p => p._1 != p._2)
+    // Kosaraju reference
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val radj = edges.map(e => (e._2, e._1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val visited = scala.collection.mutable.Set.empty[Long]
+    val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def dfs1(u: Long): Unit = if (visited.add(u)) {
+      adj.getOrElse(u, Nil).foreach(dfs1); order += u
+    }
+    verts.foreach(dfs1)
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    def dfs2(u: Long, root: Long): Unit =
+      if (!comp.contains(u)) {
+        comp(u) = root; radj.getOrElse(u, Nil).foreach(dfs2(_, root))
+      }
+    order.reverse.foreach(u => dfs2(u, u))
+    // normalize roots to min member id (the Graph.scc contract)
+    val minOf = comp.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    val expect = comp.map { case (u, r) => u -> minOf(r) }.toMap
+    // both paths, spec-pinned identical: the distributed
+    // trim/color/sweep loop and the under-cap driver Tarjan
+    assert(sccMap(edges) == expect)
+    assert(sccMap(edges, distributed = false) == expect)
+  }
+
+  test("condense: SCCs collapse to a weighted DAG edge list") {
+    import spark.implicits._
+    // two 2-cycles {1,2} and {4,5} joined by parallel-ish bridges
+    val e = Seq((1L, 2L), (2L, 1L), (4L, 5L), (5L, 4L),
+      (1L, 4L), (2L, 5L), (4L, 9L)).toDF("src", "dst")
+    val got = Graph.condense(e, Graph.scc(e))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, 4L) -> 2L, (4L, 9L) -> 1L))
+  }
+
+  test("dpGeometricCounts: thresholds, determinism, clamp, utility") {
+    import spark.implicits._
+    // thresholds: strictly increasing, symmetric-ish mass around 0
+    val (k, ts) = Diff.geometricThresholds(1.0)
+    assert(ts.length == 2 * k + 1)
+    // non-decreasing everywhere (tail entries saturate at 0 / 2³² —
+    // sub-resolution mass, dead CASE branches); strict near the center
+    // where the real mass lives
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    assert((k - 8 until k + 8).forall(i => ts(i) < ts(i + 1)))
+    // P(X <= -1) ≈ P(X >= 1): CDF(-1) ≈ 1 - CDF(0)
+    val pNeg = ts(k - 1).toDouble / 4294967296.0
+    val pPos = 1.0 - ts(k).toDouble / 4294967296.0
+    assert(math.abs(pNeg - pPos) < 1e-6)
+    // mechanism: deterministic, nonnegative, within ±K of truth
+    val df = (1 to 300).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    val rel = Diff.dpGeometricCounts(df, Seq("g"), eps = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rel2 = Diff.dpGeometricCounts(df, Seq("g"), eps = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rel == rel2 && rel.size == 3)
+    assert(rel.values.forall(v => v >= 0 && math.abs(v - 100L) <= k))
+    // clamp: a 1-row group under a huge-noise regime never goes negative
+    val tiny = Seq(("a", 1)).toDF("g", "v")
+    val r = Diff.dpGeometricCounts(tiny, Seq("g"), eps = 0.05)
+      .collect().head.getLong(1)
+    assert(r >= 0)
+  }
+
+  test("scc: distributed ≡ driver on the real sf0.001 co-purchase graph") {
+    // the graph_scc query's edge shape without the order filter —
+    // ~500 vertices, one giant SCC + tendrils at sf0.001
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val e = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("__nxt", lead("l_partkey", 1).over(w))
+      .filter(col("__nxt").isNotNull && col("__nxt") =!= col("l_partkey"))
+      .select(col("l_partkey").cast("long").as("src"),
+        col("__nxt").cast("long").as("dst"))
+    val driver = Graph.scc(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.scc(e, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver.nonEmpty && dist == driver)
+  }
 }

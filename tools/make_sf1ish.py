@@ -50,7 +50,8 @@ sql = {
         CROSS JOIN (SELECT unnest(range({shards})) AS s)""",
     "lineitem": f"""
         SELECT l_orderkey + s*{KOFF} AS l_orderkey,
-               l_partkey + s*{KOFF} AS l_partkey
+               l_partkey + s*{KOFF} AS l_partkey,
+               l_linenumber
         FROM read_parquet('{sf}/lineitem.parquet')
         CROSS JOIN (SELECT unnest(range({shards})) AS s)""",
 }
