@@ -1456,6 +1456,54 @@ object Graph {
       .groupBy("src_scc", "dst_scc")
       .agg(count(lit(1)).as("n_edges"))
 
+  /** INCREMENTAL SCC under edge ARRIVALS — the rolling-ingest contract
+    * of [[Dedup.incrementalComponents]] for the directed case. Edge
+    * additions can only MERGE SCCs (mutual reachability never breaks
+    * when edges appear), so the persisted index — the (id, scc_id)
+    * labels plus the condensation edge list — is sufficient: contract
+    * every old SCC to its label, overlay the batch (endpoints mapped
+    * through the labels; unseen vertices stand for themselves), run
+    * [[scc]] on that SMALL graph, and compose. History edges are never
+    * re-read; the loop input is |condensation| + |batch| rows. Labels
+    * stay on the min-member convention: a merged group's new label is
+    * the min of its old labels and new vertex ids = the min member.
+    * Incremental ≡ from-scratch is spec-pinned and oracle-checked
+    * against ground truth on the union graph.
+    *
+    * @param labels    (id, scc_id) from a prior [[scc]] run
+    * @param condEdges (src_scc, dst_scc) from [[condense]] on the same
+    *                  run (extra columns ignored)
+    * @param newEdges  directed (src, dst) batch
+    * @return updated (id, scc_id) covering every previously-labeled id
+    *         and every batch endpoint */
+  def incrementalScc(labels: DataFrame, condEdges: DataFrame,
+                     newEdges: DataFrame,
+                     driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val lab = labels.select(col("id"), col("scc_id"))
+      .localCheckpoint(true) // joined on both batch endpoints + compose
+    val mapped = newEdges.select(col("src"), col("dst"))
+      .join(lab.select(col("id").as("src"), col("scc_id").as("__sl")),
+        Seq("src"), "left")
+      .join(lab.select(col("id").as("dst"), col("scc_id").as("__dl")),
+        Seq("dst"), "left")
+      .select(coalesce(col("__sl"), col("src")).as("src"),
+        coalesce(col("__dl"), col("dst")).as("dst"))
+    val overlay = condEdges
+      .select(col("src_scc").as("src"), col("dst_scc").as("dst"))
+      .unionAll(mapped)
+    val l2 = scc(overlay, driverMaxEdges = driverMaxEdges)
+      .localCheckpoint(true) // compose join + new-vertex anti-join
+    val composed = lab
+      .join(l2.select(col("id").as("scc_id"), col("scc_id").as("__nl")),
+        Seq("scc_id"), "left")
+      .select(col("id"), coalesce(col("__nl"), col("scc_id")).as("scc_id"))
+    // overlay vertices that are NOT old group labels are brand-new ids
+    val newRows = l2
+      .join(lab.select(col("scc_id").as("id")).distinct(), Seq("id"),
+        "left_anti")
+    composed.unionAll(newRows.select(col("id"), col("scc_id")))
+  }
+
   /** Driver fast path: iterative Tarjan over the collected (deduped,
     * loop-free) edge list; scc_id normalized to the component minimum
     * to match the distributed contract. */

@@ -842,6 +842,52 @@ private[graft] object InsightQueries {
       |FROM e JOIN lab la ON la.id = e.src JOIN lab lb ON lb.id = e.dst
       |WHERE la.scc_id <> lb.scc_id GROUP BY 1, 2""".stripMargin
 
+  /** Incremental SCC under edge arrivals (see [[Graph.incrementalScc]]):
+    * index = labels + condensation from the `graph_scc` base subgraph
+    * (orders ≡ 0 mod 11), batch = the disjoint orders ≡ 3 mod 11
+    * slice. The oracle is ground truth over the UNION graph — the
+    * incremental composition must equal from-scratch SCC down to the
+    * min-member labels, the `dedup_incremental_*` contract on the
+    * directed rail. */
+  private[graft] def qGraphSccIncremental(s: SparkSession,
+                                          dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey")
+    def edges(m: Int) = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 11 === m)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("__nxt", lead("l_partkey", 1).over(w))
+      .filter(col("__nxt").isNotNull && col("__nxt") =!= col("l_partkey"))
+      .select(col("l_partkey").cast("long").as("src"),
+        col("__nxt").cast("long").as("dst"))
+    val base = edges(0)
+    val lab = Graph.scc(base)
+    Graph.incrementalScc(lab, Graph.condense(base, lab), edges(3))
+  }
+
+  private[graft] val oGraphSccIncremental =
+    """WITH RECURSIVE f AS (SELECT l_orderkey, l_linenumber, l_partkey,
+      |    l_orderkey % 11 AS m
+      |  FROM lineitem WHERE l_partkey % 4 = 0
+      |    AND l_orderkey % 11 IN (0, 3)),
+      |p AS (SELECT m, l_partkey AS src,
+      |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_partkey) AS dst FROM f),
+      |e AS (SELECT DISTINCT src, dst FROM p
+      |  WHERE dst IS NOT NULL AND dst <> src),
+      |verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+      |  WHERE e.dst <> r.src),
+      |mut AS (SELECT a.src AS u, a.dst AS v FROM reach a
+      |  JOIN reach b ON b.src = a.dst AND b.dst = a.src)
+      |SELECT CAST(v.id AS BIGINT) AS id,
+      |  CAST(least(v.id, coalesce(min(m.v), v.id)) AS BIGINT) AS scc_id
+      |FROM verts v LEFT JOIN mut m ON m.u = v.id GROUP BY v.id"""
+      .stripMargin
+
   /** Deterministic Poisson-bootstrap CI for the mean document length
     * (see [[Insight.bootstrapMeanCI]]): 20 hash-armed resamples, exact
     * integer order-statistic bounds — the oracle replays the md5
@@ -2052,6 +2098,7 @@ private[graft] object InsightQueries {
     "graph_bfs" -> (qGraphBfs _),
     "graph_scc" -> (qGraphScc _),
     "graph_condensation" -> (qGraphCondensation _),
+    "graph_scc_incremental" -> (qGraphSccIncremental _),
     "insight_bootstrap_ci" -> (qInsightBootstrap _),
     "eval_paired_bootstrap" -> (qEvalPairedBootstrap _),
     "events_twap" -> (qEventsTwap _),
@@ -2113,6 +2160,7 @@ private[graft] object InsightQueries {
     "graph_bfs" -> oGraphBfs,
     "graph_scc" -> oGraphScc,
     "graph_condensation" -> oGraphCondensation,
+    "graph_scc_incremental" -> oGraphSccIncremental,
     "insight_bootstrap_ci" -> oInsightBootstrap,
     "eval_paired_bootstrap" -> oEvalPairedBootstrap,
     "events_twap" -> oEventsTwap,

@@ -4183,6 +4183,25 @@ class OpsSpec extends SparkSpec {
     assert(r >= 0)
   }
 
+  test("incrementalScc ≡ from-scratch on a two-batch random digraph") {
+    import spark.implicits._
+    var x = 99L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
+    val all = Seq.fill(140)((nxt() % 60, nxt() % 60)).filter(p => p._1 != p._2)
+    val (base, batch) = all.splitAt(80)
+    val baseDf = base.toDF("src", "dst")
+    val lab = Graph.scc(baseDf)
+    val inc = Graph.incrementalScc(lab, Graph.condense(baseDf, lab),
+        batch.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Graph.scc(all.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scratch covers edge-incident vertices; incremental additionally
+    // keeps base-labeled vertices whose edges were self-loop-only — the
+    // random pairs here produce none, so the maps compare directly
+    assert(inc == scratch && inc.nonEmpty)
+  }
+
   test("scc: distributed ≡ driver on the real sf0.001 co-purchase graph") {
     // the graph_scc query's edge shape without the order filter —
     // ~500 vertices, one giant SCC + tendrils at sf0.001
