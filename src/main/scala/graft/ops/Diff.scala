@@ -507,18 +507,27 @@ object Diff {
   def dpGeometricCounts(df: DataFrame, groupCols: Seq[String],
                         eps: Double, salt: String = "dp"): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val (kMax, ts) = geometricThresholds(eps)
     val gkey = concat_ws(":", lit(salt) +: groupCols.map(c =>
       coalesce(col(c).cast("string"), lit("null"))): _*)
-    val u = "CAST(conv(substring(md5(__gkey), 1, 8), 16, 10) AS BIGINT)"
-    val cases = ts.zipWithIndex.map { case (t, i) =>
-      s"WHEN $u < ${t}L THEN ${i - kMax}L"
-    }.mkString(" ")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .withColumn("__gkey", gkey)
-      .withColumn("__noise", expr(s"CASE $cases ELSE ${kMax}L END"))
+      .withColumn("__noise", expr(geometricNoiseSql("__gkey", eps)))
       .select(groupCols.map(col) :+
         expr("greatest(0L, __n + __noise)").as("n_released"): _*)
+  }
+
+  /** The inverse-CDF noise lookup as a SQL CASE over a hash-key
+    * column: md5(keyCol)'s top 32 bits through the
+    * [[geometricThresholds]] integer table. Shared by the batch
+    * release above and the streaming twin. */
+  private[graft] def geometricNoiseSql(keyCol: String,
+                                       eps: Double): String = {
+    val (kMax, ts) = geometricThresholds(eps)
+    val u = s"CAST(conv(substring(md5($keyCol), 1, 8), 16, 10) AS BIGINT)"
+    val cases = ts.zipWithIndex.map { case (t, i) =>
+      s"WHEN $u < ${t}L THEN ${i - kMax}L"
+    }.mkString(" ")
+    s"CASE $cases ELSE ${kMax}L END"
   }
 }

@@ -80,6 +80,40 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** ε-DP windowed count release on a live stream — the streaming twin
+    * of [[graft.ops.Diff.dpGeometricCounts]]: watermarked tumbling-
+    * window counts with geometric-mechanism noise applied AT EMISSION,
+    * keyed on (salt, window_start, group) so every (window, group)
+    * cell is an independent, deterministic release (each event falls
+    * in exactly one window and shifts one cell's count by 1, so a
+    * per-window release is ε-DP for add/remove-one-event; composition
+    * ACROSS windows is the caller's budget accounting, as in batch —
+    * and as in batch, production supplies a fresh salt per release).
+    * State is count-only per open (window, group), bounded by the
+    * watermark; the noise CASE is a projection after the aggregate —
+    * nothing about the mechanism touches state management. */
+  def dpCountsStream(events: DataFrame, groupCols: Seq[String],
+                     eps: Double, window_ : String = "1 hour",
+                     lateness: String = "15 minutes",
+                     tsCol: String = "ts",
+                     salt: String = "dp"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val gkey = concat_ws(":",
+      lit(salt) +: col("window_start").cast("string") +:
+        groupCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_).as("w") +:
+        groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("window_start", col("w.start"))
+      .withColumn("__gkey", gkey)
+      .withColumn("__noise",
+        expr(graft.ops.Diff.geometricNoiseSql("__gkey", eps)))
+      .select(col("window_start") +: groupCols.map(col) :+
+        expr("greatest(0L, __n + __noise)").as("n_released"): _*)
+  }
+
   /** The pivot operator on a live stream: the same (cell × aggregate)
     * conditional-aggregate expressions as the batch
     * [[graft.pivot.PivotOps.pivot]], hosted in a watermarked tumbling-

@@ -40,6 +40,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DP count release equals the batch mechanism per window") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.dpCountsStream(input.toDF(), Seq("event_type"),
+        eps = 1.0, window_ = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("dpc").outputMode("append")
+      .start()
+    try {
+      val batch1 = Seq(
+        UserEvent(1, ts(1), "click", 1.0), UserEvent(2, ts(4), "click", 2.0),
+        UserEvent(1, ts(7), "view", 3.0), UserEvent(3, ts(8), "click", 4.0))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(UserEvent(4,
+        Timestamp.valueOf("2026-01-01 11:30:00"), "click", 1.0))
+      q.processAllAvailable() // watermark closes the 10:00 window
+      val got = spark.table("dpc")
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n_released"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // batch twin: same counts, same (salt:window:group) noise key
+      val expect = batch1.toDF()
+        .withColumn("window_start",
+          lit(Timestamp.valueOf("2026-01-01 10:00:00")))
+        .groupBy("window_start", "event_type")
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__gkey", concat_ws(":", lit("dp"),
+          col("window_start").cast("string"), col("event_type")))
+        .withColumn("__noise",
+          expr(graft.ops.Diff.geometricNoiseSql("__gkey", 1.0)))
+        .select(col("window_start").cast("string"), col("event_type"),
+          expr("greatest(0L, __n + __noise)").as("n_released"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == expect && got.size == 2)
+      assert(got.forall(_._3 >= 0))
+    } finally q.stop()
+  }
+
   test("streaming pivot emits the batch cross-tab per closed window") {
     implicit val ctx = spark.sqlContext
     val spec = graft.pivot.PivotSpec.parse("user_id", "event_type=click,view",
