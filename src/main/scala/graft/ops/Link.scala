@@ -323,6 +323,100 @@ object Link {
             .otherwise("nonmatch").as("decision")): _*)
   }
 
+  /** UNSUPERVISED Fellegi–Sunter via EM (Winkler 1988; the
+    * Splink/fastLink default when no labeled pairs exist): estimate
+    * p = P(match), m_i, u_i from the agreement-pattern COUNTS alone by
+    * expectation-maximization, then classify patterns by posterior
+    * match probability. The whole trajectory runs in FIXED-POINT
+    * micro-integer arithmetic (probabilities in units of 1e-6, every
+    * division a truncating integer div, params clamped to [1, 1e6−1]
+    * after each M-step so a degenerate field can't zero a
+    * denominator) — so the estimates are bit-identical on any engine
+    * and the oracle can replay all `iters` E/M rounds as unrolled
+    * HUGEINT CTEs. Floats never appear.
+    *
+    * Scale shape: ONE map-side-combinable aggregate collapses any
+    * number of candidate pairs to ≤ 2^k pattern counts; EM itself is
+    * driver-side over that bounded table (the [[graft.ops.Chat]]
+    * Bradley–Terry contract: the aggregate is the only thing that
+    * scales). The returned frame stays derived from the input — final
+    * posteriors are DECIMAL(38,0) expressions over the literal
+    * converged params.
+    *
+    * @return one row per observed pattern: agreement booleans,
+    *         n_pairs, converged p/m_i/u_i (micro), posterior w_micro,
+    *         decision (match ≥ `matchW` / review ≥ `reviewW` /
+    *         nonmatch) */
+  def fellegiSunterEm(cands: DataFrame, agreeCols: Seq[String],
+                      iters: Int = 15,
+                      initP: Long = 100000L, initM: Long = 900000L,
+                      initU: Long = 100000L,
+                      matchW: Long = 900000L,
+                      reviewW: Long = 100000L): DataFrame = {
+    require(agreeCols.nonEmpty && agreeCols.size <= 16, "1..16 fields")
+    val k = agreeCols.size
+    val S = 1000000L
+    val pat = cands.groupBy(agreeCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(true) // collected for EM + returned enriched
+    // bounded collect: ≤ 2^k rows by construction
+    val rows = pat.collect().map { r =>
+      (agreeCols.indices.map(i => r.getBoolean(r.fieldIndex(agreeCols(i))))
+        .toArray, r.getLong(r.fieldIndex("n_pairs")))
+    }
+    def clamp(x: BigInt): Long =
+      x.max(BigInt(1)).min(BigInt(S - 1)).toLong
+    var p = initP
+    var m = Array.fill(k)(initM)
+    var u = Array.fill(k)(initU)
+    for (_ <- 1 to iters) {
+      // E-step: posterior w per pattern, micro, truncating div
+      val ws = rows.map { case (bits, _) =>
+        val nm = bits.zipWithIndex.foldLeft(BigInt(p)) { case (acc, (a, i)) =>
+          acc * BigInt(if (a) m(i) else S - m(i)) }
+        val nu = bits.zipWithIndex.foldLeft(BigInt(S - p)) { case (acc, (a, i)) =>
+          acc * BigInt(if (a) u(i) else S - u(i)) }
+        (nm * S / (nm + nu)).toLong // nm,nu > 0 by clamping
+      }
+      // M-step over weighted counts
+      val nTot = rows.map(_._2).sum
+      val sw = rows.zip(ws).map { case ((_, n), w) => BigInt(n) * w }.sum
+      val swc = rows.zip(ws).map { case ((_, n), w) => BigInt(n) * (S - w) }.sum
+      p = clamp(sw / nTot)
+      m = Array.tabulate(k) { i =>
+        val a = rows.zip(ws).collect { case ((b, n), w) if b(i) =>
+          BigInt(n) * w }.sum
+        clamp(a * S / sw)
+      }
+      u = Array.tabulate(k) { i =>
+        val a = rows.zip(ws).collect { case ((b, n), w) if b(i) =>
+          BigInt(n) * (S - w) }.sum
+        clamp(a * S / swc)
+      }
+    }
+    // final posterior as DECIMAL(38,0) expressions over the literals
+    def dec(e: String) = s"CAST(($e) AS DECIMAL(38,0))"
+    val nmE = (dec(p.toString) +: agreeCols.zipWithIndex.map { case (c, i) =>
+      dec(s"CASE WHEN $c THEN ${m(i)}L ELSE ${S - m(i)}L END")
+    }).mkString(" * ")
+    val nuE = (dec((S - p).toString) +: agreeCols.zipWithIndex.map {
+      case (c, i) =>
+        dec(s"CASE WHEN $c THEN ${u(i)}L ELSE ${S - u(i)}L END")
+    }).mkString(" * ")
+    val enriched = pat
+      .withColumn("w_micro",
+        expr(s"CAST(($nmE) * ${S}L div (($nmE) + ($nuE)) AS BIGINT)"))
+      .withColumn("p_micro", lit(p))
+    val withParams = agreeCols.zipWithIndex.foldLeft(enriched) {
+      case (df, (c, i)) => df.withColumn(s"m_${c}_micro", lit(m(i)))
+        .withColumn(s"u_${c}_micro", lit(u(i)))
+    }
+    withParams.withColumn("decision",
+      when(col("w_micro") >= matchW, "match")
+        .when(col("w_micro") >= reviewW, "review")
+        .otherwise("nonmatch"))
+  }
+
   /** Per-pair Fellegi–Sunter scores: the pattern table above broadcast
     * back onto the candidates — a map-side hash join on the 2^k
     * agreement booleans, so scoring N pairs costs one pass whatever N

@@ -1482,7 +1482,13 @@ private[graft] object WebQueries {
     * replays m/u estimation, the DECIMAL/HUGEINT ratio and both
     * thresholds literally. */
   private[graft] def qLinkFellegiSunter(s: SparkSession,
-                                        dir: String): DataFrame = {
+                                        dir: String): DataFrame =
+    Link.fellegiSunterTable(fsCands(s, dir),
+      Seq("a_name", "a_seg", "a_bal"), "truth")
+
+  /** Shared planted-linkage candidate set for the Fellegi–Sunter
+    * queries (supervised table + unsupervised EM twin). */
+  private def fsCands(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").filter(col("c_custkey") < 2000)
     def h(tag: String) = conv(substring(md5(concat(
       col("c_custkey").cast("string"), lit(tag))), 1, 8), 16, 10)
@@ -1508,28 +1514,29 @@ private[graft] object WebQueries {
         .when(h("t") % 5 === 3, "MACHINERY")
         .otherwise("HOUSEHOLD").as("rseg"),
       (h("u") % 12).as("rbal"))
-    val cands = left.join(twins.unionAll(noise), Seq("nat"))
+    left.join(twins.unionAll(noise), Seq("nat"))
       .select(col("lid"), col("rid"),
         (col("lname") === col("rname")).as("a_name"),
         (col("lseg") === col("rseg")).as("a_seg"),
         (col("lbal") === col("rbal")).as("a_bal"),
         (col("rid") === col("lid") + 1000000L).as("truth"))
-    Link.fellegiSunterTable(cands, Seq("a_name", "a_seg", "a_bal"),
-      "truth")
   }
 
-  private[graft] val oLinkFellegiSunter = {
+  /** UNSUPERVISED Fellegi–Sunter twin of `link_fellegi_sunter` (see
+    * [[Link.fellegiSunterEm]]): same planted candidates, NO truth
+    * labels — 15 fixed-point EM rounds estimate p/m/u from the pattern
+    * counts alone, every probability a micro-integer and every division
+    * truncating, so the oracle replays the full trajectory as unrolled
+    * HUGEINT CTEs and the converged params + posteriors hash-match. */
+  private[graft] def qLinkFsEm(s: SparkSession, dir: String): DataFrame =
+    Link.fellegiSunterEm(fsCands(s, dir), Seq("a_name", "a_seg", "a_bal"))
+
+  /** Shared oracle CTE block for the planted Fellegi–Sunter candidate
+    * set (mirrors [[fsCands]] literally). */
+  private val oFsCandCtes = {
     def hh(tag: String) =
       s"('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '$tag'), 1, 8))::BIGINT"
-    def field(a: String, i: Int) = {
-      val nf = s"CASE WHEN $a THEN tm$i + 1 ELSE nm - tm$i + 1 END"
-      val df = s"CASE WHEN $a THEN tu$i + 1 ELSE nu - tu$i + 1 END"
-      (s"CAST($nf AS HUGEINT)", s"CAST($df AS HUGEINT)")
-    }
-    val (n0, d0) = field("a_name", 0)
-    val (n1, d1) = field("a_seg", 1)
-    val (n2, d2) = field("a_bal", 2)
-    s"""WITH c AS (SELECT * FROM customer WHERE c_custkey < 2000),
+    s"""c AS (SELECT * FROM customer WHERE c_custkey < 2000),
        |l AS (SELECT c_custkey AS lid, c_name AS lname,
        |    c_nationkey AS nat, c_mktsegment AS lseg,
        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS lbal FROM c),
@@ -1554,7 +1561,19 @@ private[graft] object WebQueries {
        |  FROM c),
        |cand AS (SELECT (lname = rname) AS a_name, (lseg = rseg) AS a_seg,
        |    (lbal = rbal) AS a_bal, (rid = lid + 1000000) AS truth
-       |  FROM l JOIN r ON l.nat = r.nat),
+       |  FROM l JOIN r ON l.nat = r.nat)""".stripMargin
+  }
+
+  private[graft] val oLinkFellegiSunter = {
+    def field(a: String, i: Int) = {
+      val nf = s"CASE WHEN $a THEN tm$i + 1 ELSE nm - tm$i + 1 END"
+      val df = s"CASE WHEN $a THEN tu$i + 1 ELSE nu - tu$i + 1 END"
+      (s"CAST($nf AS HUGEINT)", s"CAST($df AS HUGEINT)")
+    }
+    val (n0, d0) = field("a_name", 0)
+    val (n1, d1) = field("a_seg", 1)
+    val (n2, d2) = field("a_bal", 2)
+    s"""WITH $oFsCandCtes,
        |stats AS (SELECT
        |    CAST(count(*) FILTER (WHERE truth) AS BIGINT) AS nm,
        |    CAST(count(*) FILTER (WHERE NOT truth) AS BIGINT) AS nu,
@@ -1586,6 +1605,65 @@ private[graft] object WebQueries {
        |  CASE WHEN odds >= 1000 THEN 'match'
        |    WHEN odds >= 1 THEN 'review' ELSE 'nonmatch' END AS decision
        |FROM scored""".stripMargin
+  }
+
+  private[graft] val oLinkFsEm = {
+    val S = "1000000"
+    def mt(a: String, p: String) =
+      s"(CASE WHEN $a THEN q.$p ELSE $S - q.$p END)"
+    def nmNu(pre: String) =
+      s"""q.p * ${mt(s"$pre.a_name", "m1")} * ${mt(s"$pre.a_seg", "m2")}
+         |      * ${mt(s"$pre.a_bal", "m3")} AS nm,
+         |    ($S - q.p) * ${mt(s"$pre.a_name", "u1")}
+         |      * ${mt(s"$pre.a_seg", "u2")}
+         |      * ${mt(s"$pre.a_bal", "u3")} AS nu""".stripMargin
+    def mStep(a: String, out: String) =
+      s"least(999999, greatest(1, sum(CASE WHEN $a THEN n * w ELSE 0 END)" +
+        s" * $S // sum(n * w))) AS $out"
+    def uStep(a: String, out: String) =
+      s"least(999999, greatest(1," +
+        s" sum(CASE WHEN $a THEN n * ($S - w) ELSE 0 END)" +
+        s" * $S // sum(n * ($S - w)))) AS $out"
+    def iter(t: Int): String =
+      s"""e$t AS (SELECT p.a_name, p.a_seg, p.a_bal, p.n,
+         |    ${nmNu("p")}
+         |  FROM pat p CROSS JOIN par${t - 1} q),
+         |w$t AS (SELECT *, nm * $S // (nm + nu) AS w FROM e$t),
+         |par$t AS (SELECT
+         |    least(999999, greatest(1, sum(n * w) // sum(n))) AS p,
+         |    ${mStep("a_name", "m1")},
+         |    ${mStep("a_seg", "m2")},
+         |    ${mStep("a_bal", "m3")},
+         |    ${uStep("a_name", "u1")},
+         |    ${uStep("a_seg", "u2")},
+         |    ${uStep("a_bal", "u3")}
+         |  FROM w$t)""".stripMargin
+    s"""WITH $oFsCandCtes,
+       |pat AS MATERIALIZED (SELECT a_name, a_seg, a_bal,
+       |  CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY 1, 2, 3),
+       |par0 AS (SELECT CAST(100000 AS HUGEINT) AS p,
+       |  CAST(900000 AS HUGEINT) AS m1, CAST(900000 AS HUGEINT) AS m2,
+       |  CAST(900000 AS HUGEINT) AS m3, CAST(100000 AS HUGEINT) AS u1,
+       |  CAST(100000 AS HUGEINT) AS u2, CAST(100000 AS HUGEINT) AS u3),
+       |${(1 to 15).map(iter).mkString(",\n")},
+       |fin AS (SELECT p.a_name, p.a_seg, p.a_bal, p.n AS n_pairs,
+       |    ${nmNu("p")},
+       |    q.p AS fp, q.m1 AS fm1, q.m2 AS fm2, q.m3 AS fm3,
+       |    q.u1 AS fu1, q.u2 AS fu2, q.u3 AS fu3
+       |  FROM pat p CROSS JOIN par15 q),
+       |post AS (SELECT *, nm * $S // (nm + nu) AS w FROM fin)
+       |SELECT a_name, a_seg, a_bal, n_pairs,
+       |  CAST(w AS BIGINT) AS w_micro,
+       |  CAST(fp AS BIGINT) AS p_micro,
+       |  CAST(fm1 AS BIGINT) AS m_a_name_micro,
+       |  CAST(fu1 AS BIGINT) AS u_a_name_micro,
+       |  CAST(fm2 AS BIGINT) AS m_a_seg_micro,
+       |  CAST(fu2 AS BIGINT) AS u_a_seg_micro,
+       |  CAST(fm3 AS BIGINT) AS m_a_bal_micro,
+       |  CAST(fu3 AS BIGINT) AS u_a_bal_micro,
+       |  CASE WHEN w >= 900000 THEN 'match'
+       |    WHEN w >= 100000 THEN 'review' ELSE 'nonmatch' END AS decision
+       |FROM post""".stripMargin
   }
 
   /** Declarative data-quality gate over `documents`: five check kinds in
@@ -2204,6 +2282,7 @@ private[graft] object WebQueries {
     "link_fuzzy_join" -> (qLinkFuzzyJoin _),
     "link_edit_join" -> (qLinkEditJoin _),
     "link_fellegi_sunter" -> (qLinkFellegiSunter _),
+    "link_fs_em" -> (qLinkFsEm _),
     "link_jw_join" -> (qLinkJwJoin _),
     "quality_expect" -> (qQualityExpect _),
     "quality_expect_slice" -> (qQualityExpectSlice _),
@@ -2258,6 +2337,7 @@ private[graft] object WebQueries {
     "link_fuzzy_join" -> oLinkFuzzyJoin,
     "link_edit_join" -> oLinkEditJoin,
     "link_fellegi_sunter" -> oLinkFellegiSunter,
+    "link_fs_em" -> oLinkFsEm,
     "link_jw_join" -> oLinkJwJoin,
     "quality_expect" -> oQualityExpect,
     "quality_expect_slice" -> oQualityExpectSlice,

@@ -4202,6 +4202,32 @@ class OpsSpec extends SparkSpec {
     assert(inc == scratch && inc.nonEmpty)
   }
 
+  test("fellegiSunterEm: separates planted matches without labels") {
+    import spark.implicits._
+    // 200 true pairs (mostly all-agree) + 2000 noise pairs (mostly
+    // all-disagree), with per-field corruption — EM must learn
+    // m >> u per field and give the all-agree pattern a high posterior
+    val rng = new scala.util.Random(7)
+    val truth = (1 to 200).map { _ =>
+      (rng.nextDouble() > 0.2, rng.nextDouble() > 0.3, rng.nextDouble() > 0.25) }
+    val noise = (1 to 2000).map { _ =>
+      (rng.nextDouble() > 0.95, rng.nextDouble() > 0.8, rng.nextDouble() > 0.9) }
+    val cands = (truth ++ noise).toDF("a_name", "a_seg", "a_bal")
+    val out = Link.fellegiSunterEm(cands, Seq("a_name", "a_seg", "a_bal"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+        (r.getLong(r.fieldIndex("w_micro")),
+          r.getString(r.fieldIndex("decision")))).toMap
+    val wAll = out((true, true, true))._1
+    val wNone = out((false, false, false))._1
+    assert(wAll > 900000L && wNone < 100000L)
+    assert(out((true, true, true))._2 == "match")
+    assert(out((false, false, false))._2 == "nonmatch")
+    // deterministic: second run bit-identical
+    val out2 = Link.fellegiSunterEm(cands, Seq("a_name", "a_seg", "a_bal"))
+      .collect().map(r => r.getLong(r.fieldIndex("w_micro"))).sorted.toSeq
+    assert(out2 == out.values.map(_._1).toSeq.sorted)
+  }
+
   test("scc: distributed ≡ driver on the real sf0.001 co-purchase graph") {
     // the graph_scc query's edge shape without the order filter —
     // ~500 vertices, one giant SCC + tendrils at sf0.001
