@@ -570,6 +570,57 @@ object Insight {
         .as("kappa_ppm"))
   }
 
+  /** KRIPPENDORFF'S ALPHA, nominal — chance-corrected agreement for
+    * ANY number of raters with per-unit rater counts free to vary
+    * (missing ratings just shrink m_u): the generalization of
+    * [[cohenKappa]] an annotation campaign actually needs
+    * (Krippendorff, "Content Analysis", 2004; the labeling-ops gate
+    * before rater pools scale). Coincidence formulation:
+    *
+    *   α = 1 − [(n−1) · Σ_u (m_u² − Σ_c n_uc²)/(m_u−1)] / (n² − Σ_c n_c²)
+    *
+    * over pairable units (m_u ≥ 2), n = Σ m_u, n_c = value marginals.
+    * Integer rail: the per-unit term rides the micro grid —
+    * (m_u² − Σ n_uc²)·10⁶ div (m_u−1), the `lcc_micro` discipline —
+    * while marginals and the expected-disagreement denominator are
+    * exact integers; every division has positive operands so
+    * truncation is engine-portable, and α_ppm ships SIGNED (negative =
+    * systematic disagreement). Both-raters-constant degeneracy
+    * (denominator 0) defines α = 0, the [[cohenKappa]] convention.
+    *
+    * Plan: one (unit, value) count aggregate feeding a per-unit
+    * aggregate and (semi-joined to pairable units) a marginal
+    * aggregate — all map-side combinable, 1-row combine at the end.
+    *
+    * @return single row (n, do_scaled, de_num, alpha_ppm) */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        valueCol: String): DataFrame = {
+    val uv = df
+      .filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(valueCol).as("__c"))
+      .agg(count(lit(1)).as("__nuc"))
+      .localCheckpoint(true) // feeds the unit aggregate AND the marginals
+    val perUnit = uv.groupBy("__u")
+      .agg(sum("__nuc").as("__m"),
+        sum(expr("__nuc * __nuc")).as("__s2"))
+      .filter(col("__m") >= 2)
+      .localCheckpoint(true) // 1-row sums + the pairable-unit semi join
+    val doRow = perUnit.agg(
+      sum(expr("(__m * __m - __s2) * 1000000L div (__m - 1L)"))
+        .as("do_scaled"),
+      sum("__m").as("n"))
+    val margRow = uv
+      .join(perUnit.select("__u"), Seq("__u"), "left_semi")
+      .groupBy("__c").agg(sum("__nuc").as("__nc"))
+      .agg(sum(expr("__nc * __nc")).as("__sc2"))
+    doRow.crossJoin(margRow)
+      .select(col("n"), col("do_scaled"),
+        expr("n * n - __sc2").as("de_num"),
+        expr("CASE WHEN n * n - __sc2 = 0 THEN 0L ELSE " +
+          "1000000L - CAST(CAST(do_scaled AS DECIMAL(38,0)) * (n - 1) " +
+          "div (n * n - __sc2) AS BIGINT) END").as("alpha_ppm"))
+  }
+
   def abTest(events: DataFrame, userCol: String, typeCol: String,
              convType: String, salt: String = "ab"): DataFrame = {
     def armOf(u: Column): Column = when(conv(substring(

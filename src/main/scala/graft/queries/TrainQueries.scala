@@ -658,6 +658,53 @@ private[graft] object TrainQueries {
         (TextFunctions.qualityScore(col("text")) >= 0.75).as("b")),
       "a", "b")
 
+  /** Krippendorff's α over a planted 3-rater annotation campaign (see
+    * [[Insight.krippendorffAlpha]]): each order gets 3 md5-armed
+    * ratings — 70% the unit's base category, 30% hash noise over 4
+    * categories — so α lands mid-range and every term (per-unit micro
+    * disagreement, integer marginals, signed ppm) is exercised and
+    * replayed literally. */
+  private[graft] def qQualityKrippendorff(s: SparkSession,
+                                          dir: String): DataFrame = {
+    val r = t(s, dir, "orders").select(col("o_orderkey").as("unit"))
+      .select(col("unit"),
+        explode(array(lit(0), lit(1), lit(2))).as("rater"))
+    def h(tag: String) = conv(substring(md5(concat_ws(":",
+      col("unit").cast("string"), col("rater").cast("string"),
+      lit(tag))), 1, 8), 16, 10).cast("long")
+    val ratings = r.select(col("unit"),
+      when(h("a") % 10 < 7, col("unit") % 4)
+        .otherwise(h("v") % 4).as("value"))
+    Insight.krippendorffAlpha(ratings, "unit", "value")
+  }
+
+  private[graft] val oQualityKrippendorff = {
+    def hh(tag: String) = "('0x' || substr(md5(CAST(unit AS VARCHAR)" +
+      s" || ':' || CAST(rater AS VARCHAR) || ':$tag'), 1, 8))::BIGINT"
+    s"""WITH r AS (SELECT o_orderkey AS unit, g AS rater FROM orders
+       |  CROSS JOIN (SELECT unnest(range(3)) AS g)),
+       |ratings AS (SELECT unit,
+       |    CASE WHEN ${hh("a")} % 10 < 7 THEN unit % 4
+       |      ELSE ${hh("v")} % 4 END AS value
+       |  FROM r),
+       |uv AS (SELECT unit, value, CAST(count(*) AS BIGINT) AS nuc
+       |  FROM ratings GROUP BY 1, 2),
+       |pu AS (SELECT unit, sum(nuc) AS m, sum(nuc * nuc) AS s2
+       |  FROM uv GROUP BY 1 HAVING sum(nuc) >= 2),
+       |dos AS (SELECT
+       |    CAST(sum((m * m - s2) * 1000000 // (m - 1)) AS BIGINT)
+       |      AS do_scaled,
+       |    CAST(sum(m) AS BIGINT) AS n FROM pu),
+       |marg AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS sc2 FROM
+       |  (SELECT sum(nuc) AS nc FROM uv JOIN pu USING (unit)
+       |   GROUP BY value))
+       |SELECT n, do_scaled, n * n - sc2 AS de_num,
+       |  CASE WHEN n * n - sc2 = 0 THEN 0
+       |    ELSE 1000000 - CAST(CAST(do_scaled AS HUGEINT) * (n - 1)
+       |      // (n * n - sc2) AS BIGINT) END AS alpha_ppm
+       |FROM dos CROSS JOIN marg""".stripMargin
+  }
+
   private[graft] val oQualityKappa = {
     val N = "(n11 + n10 + n01 + n00)"
     val chance = s"((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
@@ -1778,6 +1825,7 @@ private[graft] object TrainQueries {
     "sample_budget_greedy" -> (qSampleBudgetGreedy _),
     "events_abtest" -> (qEventsAbtest _),
     "quality_kappa" -> (qQualityKappa _),
+    "quality_krippendorff" -> (qQualityKrippendorff _),
     "text_vocab_coverage" -> (qTextVocabCoverage _),
     "layout_rendezvous" -> (qLayoutRendezvous _),
     "dedup_winnow_pairs" -> (qDedupWinnowPairs _),
@@ -1831,6 +1879,7 @@ private[graft] object TrainQueries {
     "sample_budget_greedy" -> oSampleBudgetGreedy,
     "events_abtest" -> oEventsAbtest,
     "quality_kappa" -> oQualityKappa,
+    "quality_krippendorff" -> oQualityKrippendorff,
     "text_vocab_coverage" -> oTextVocabCoverage,
     "layout_rendezvous" -> oLayoutRendezvous,
     "dedup_winnow_pairs" -> oDedupWinnowPairs,

@@ -4202,6 +4202,25 @@ class OpsSpec extends SparkSpec {
     assert(inc == scratch && inc.nonEmpty)
   }
 
+  test("krippendorffAlpha: perfect, adversarial, and unpairable cases") {
+    import spark.implicits._
+    def alpha(rows: Seq[(Long, String)]): (Long, Long) = {
+      val r = Insight.krippendorffAlpha(rows.toDF("unit", "value"),
+        "unit", "value").collect().head
+      (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("alpha_ppm")))
+    }
+    // perfect agreement → α = 1
+    assert(alpha(Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))) ==
+      (4L, 1000000L))
+    // systematic disagreement → α < 0: DoS = 2·(4−2)·1e6/1 = 4e6,
+    // de = 16−8 = 8, α_ppm = 1e6 − 4e6·3/8 = −500000
+    assert(alpha(Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))) ==
+      (4L, -500000L))
+    // single-rating units are unpairable and drop from n entirely
+    assert(alpha(Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "z"))) == (4L, 1000000L))
+  }
+
   test("fellegiSunterEm: separates planted matches without labels") {
     import spark.implicits._
     // 200 true pairs (mostly all-agree) + 2000 noise pairs (mostly
