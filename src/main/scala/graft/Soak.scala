@@ -41,8 +41,13 @@ object Soak {
     lazy val docs = docsFull.select("doc_id", "text")
     lazy val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
-    // untimed warmup: scan-path compile + footer decode
-    if (graphOps(op)) li.count() else docs.count()
+    // untimed warmup: scan-path compile + footer decode — against the
+    // table the op actually reads (a documents warmup would leave the
+    // embeddings footer decode inside matryoshka's first timed rep)
+    if (graphOps(op)) li.count()
+    else if (op == "matryoshka")
+      spark.read.parquet(s"$dir/embeddings.parquet").count()
+    else docs.count()
     // construction goes INSIDE the timer: iterative ops do real work
     // eagerly (localCheckpoint rounds, offset collects) while the frame
     // is being BUILT — timing only the final action misses most of it
@@ -125,20 +130,8 @@ object Soak {
             docs.select(col("doc_id").as("media_id"),
               build(col("doc_id")).as("payload"))))
         case "scc" => // graph_scc's exact shape, DISTRIBUTED loop forced
-          val lif = spark.read.parquet(s"$dir/lineitem.parquet")
-            .filter(col("l_partkey") % 4 === 0 &&
-              col("l_orderkey") % 11 === 0)
-            .select(col("l_orderkey"), col("l_linenumber"),
-              col("l_partkey"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("l_orderkey")
-            .orderBy("l_linenumber", "l_partkey")
-          val e = lif.withColumn("__nxt", lead("l_partkey", 1).over(w))
-            .filter(col("__nxt").isNotNull &&
-              col("__nxt") =!= col("l_partkey"))
-            .select(col("l_partkey").cast("long").as("src"),
-              col("__nxt").cast("long").as("dst"))
-          ops.Graph.scc(e, driverMaxEdges = 0L)
+          ops.Graph.scc(InsightQueries.sccEdges(spark, dir, orderMod = 0),
+            driverMaxEdges = 0L)
         case "matryoshka" => // sim_matryoshka's exact shape
           val e = spark.read.parquet(s"$dir/embeddings.parquet")
           ops.Similarity.matryoshkaOverlap(e,

@@ -1358,7 +1358,16 @@ object Dedup {
       maxIter, hotKeyThreshold)
     val untouched = labels
       .join(updated.select("id"), Seq("id"), "left_anti")
+    // a brand-new id whose only batch pair is a SELF-pair is dropped by
+    // the star loop's u ≠ v filter — it is its own singleton component
+    // and must still appear (coverage contract; r13 review)
+    val selfOnly = newPairs.select(col("ida").as("id"))
+      .unionAll(newPairs.select(col("idb").as("id"))).distinct()
+      .join(updated.select("id"), Seq("id"), "left_anti")
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
     updated.unionAll(untouched.select(col("id"), col("component")))
+      .unionAll(selfOnly)
   }
 
   /** Near-duplicate SURVIVORS: the corpus minus all but the min-id member

@@ -463,16 +463,27 @@ object Diff {
     * discipline applied to DP noise. exp(−ε) is transcendental, so the
     * thresholds are computed HERE once and inlined as integer literals
     * into any replay (a runtime exp() could drift in the last ulp
-    * across libm builds). The tail |X| > K collapses into ±K, with K
+    * across libm builds). The tail |X| > K collapses into ±K with K
     * sized so the collapsed mass is below 32-bit resolution
-    * (α^K < 2⁻³³ ⇒ K ≈ 33·ln2/ε, capped at 64).
+    * (α^K < 2⁻³³ ⇒ K = ⌈33·ln2/ε⌉) — the collapse is then invisible
+    * to the 32-bit inverse-CDF lookup and the mechanism really is
+    * ε-DP. K is capped at 256 CASE branches per side, which makes
+    * ε ≥ 33·ln2/256 ≈ 0.09 a hard REQUIREMENT rather than a silent
+    * truncation: capping the tail at a too-small K would collapse
+    * REAL probability mass onto ±K and the boundary release n+K vs
+    * (n+1)+K would leak ln(α/(1−α)) ≫ ε (r13 review finding — the
+    * earlier cap of 64 silently voided the guarantee below ε ≈ 0.36;
+    * for smaller ε, widen the hash beyond 32 bits and re-derive).
     *
     * @return (K, thresholds for k = −K..K, ascending) */
   private[graft] def geometricThresholds(eps: Double): (Int, Array[Long]) = {
-    require(eps > 0, "eps must be positive")
+    require(eps >= 33.0 * math.log(2) / 256,
+      s"eps=$eps below the 32-bit-resolution floor ~0.0894: the ±256 " +
+        "threshold table cannot hold the tail mass and the release " +
+        "would NOT be eps-DP; widen the hash to support smaller eps")
     val alpha = math.exp(-eps)
-    val kMax = math.min(64,
-      math.max(1, math.ceil(33.0 * math.log(2) / eps).toInt))
+    val kMax =
+      math.max(1, math.ceil(33.0 * math.log(2) / eps).toInt)
     val ts = (-kMax to kMax).map { k =>
       val f =
         if (k < 0) math.pow(alpha, -k) / (1 + alpha)

@@ -1501,7 +1501,16 @@ object Graph {
     val newRows = l2
       .join(lab.select(col("scc_id").as("id")).distinct(), Seq("id"),
         "left_anti")
+    // a brand-new id whose only batch edges were self-loops is dropped
+    // by scc()'s loop filter — it is its own SCC and must still appear
+    // (the coverage contract; r13 review)
+    val selfOnly = mapped.select(col("src").as("id"))
+      .unionAll(mapped.select(col("dst").as("id"))).distinct()
+      .join(lab.select("id"), Seq("id"), "left_anti")
+      .join(l2.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("scc_id"))
     composed.unionAll(newRows.select(col("id"), col("scc_id")))
+      .unionAll(selfOnly)
   }
 
   /** Driver fast path: iterative Tarjan over the collected (deduped,

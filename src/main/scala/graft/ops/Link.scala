@@ -260,10 +260,14 @@ object Link {
     * ratio of integers, so `odds` is one DECIMAL(38,0) product
     * quotient — Spark `div` ≡ DuckDB `//` (both truncate toward
     * zero) — and the output is pure BIGINT, no cross-engine float
-    * risk anywhere. Bound: (nm+2)^k (nu+2)^k must stay below 10^38 —
-    * holds whenever the LABELED estimation set is ≤ ~10^(32/k) pairs
-    * (estimate on a bounded clerical sample at scale, the standard
-    * practice; the scored set itself is unbounded).
+    * risk anywhere. Bound: the odds numerator is ≤ ((nm+1)(nu+2))^k,
+    * so the LABELED estimation set must stay ≤ ~10^(19/k) pairs
+    * (k = 3: ~2·10⁶ — r13 review corrected the earlier ~10^(32/k)
+    * claim, wrong by the square). Estimate on a bounded clerical
+    * sample at scale, the standard practice; the SCORED set is
+    * unbounded. Past the bound Spark's non-ANSI DECIMAL overflow
+    * yields NULL odds — the decision then reads 'overflow' instead of
+    * silently defaulting to nonmatch.
     *
     * Plan shape: one pass over the candidates for the (2k+2)-cell
     * stats row + one map-side-combinable groupBy over the 2^k
@@ -318,7 +322,8 @@ object Link {
         s"CAST(($numProd) * ($nuPow) div (($nmPow) * ($denProd)) AS BIGINT)"))
       .select(agreeCols.map(col) ++ Seq(col("n_pairs"), col("n_truth")) ++
         perField ++ Seq(col("odds"),
-          when(col("odds") >= matchOdds, "match")
+          when(col("odds").isNull, "overflow")
+            .when(col("odds") >= matchOdds, "match")
             .when(col("odds") >= reviewOdds, "review")
             .otherwise("nonmatch").as("decision")): _*)
   }
@@ -425,9 +430,16 @@ object Link {
                          truthCol: String,
                          matchOdds: Long = 1000L,
                          reviewOdds: Long = 1L): DataFrame = {
+    // null-safe <=> keys: a NULL agreement (NULL field compared) is a
+    // real pattern group — a null-rejecting equi-join would silently
+    // DROP those candidates from the scored output (r13 review)
     val table = fellegiSunterTable(cands, agreeCols, truthCol, matchOdds,
       reviewOdds)
-      .select(agreeCols.map(col) ++ Seq(col("odds"), col("decision")): _*)
-    cands.join(broadcast(table), agreeCols)
+      .select(agreeCols.map(c => col(c).as(s"__t_$c")) ++
+        Seq(col("odds"), col("decision")): _*)
+    val cond = agreeCols.map(c => col(c) <=> col(s"__t_$c"))
+      .reduce(_ && _)
+    cands.join(broadcast(table), cond)
+      .drop(agreeCols.map(c => s"__t_$c"): _*)
   }
 }

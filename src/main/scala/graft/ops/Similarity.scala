@@ -126,6 +126,10 @@ object Similarity {
                         prefixDims: Seq[Int]): DataFrame = {
     require(k >= 1 && prefixDims.nonEmpty, "need k >= 1 and >= 1 tier")
     require(prefixDims.forall(_ >= 1), "prefix dims must be >= 1")
+    // a duplicated tier would feed every (qid, tier) group each
+    // candidate twice and corrupt the top-k lists (r13 review)
+    require(prefixDims.distinct.size == prefixDims.size,
+      "prefix dims must be distinct")
     import graft.functions.TopKAggregator
     val spark = corpus.sparkSession
     val q = broadcast(queries.select(col(idCol).as("qid"),

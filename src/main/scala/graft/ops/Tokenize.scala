@@ -653,9 +653,12 @@ object Tokenize {
     }
     df.withColumn("token_ids", encode(col(textCol)))
       .withColumn("n_tokens", size(col("token_ids")))
-      .withColumn("n_bytes", octet_length(array_join(
+      // NULL text must mirror the encode UDF's null guard (0 tokens →
+      // 0 bytes), not propagate NULL and break the n_tokens ≤ n_bytes
+      // rail (r13 review)
+      .withColumn("n_bytes", coalesce(octet_length(array_join(
         filter(TextFunctions.tokens(col(textCol)), w => w =!= ""), " "))
-        .cast("long"))
+        .cast("long"), lit(0L)))
   }
 
   /** Decode a byte-BPE `token_ids` column back to text: piece byte

@@ -763,19 +763,29 @@ private[graft] object InsightQueries {
     * closure + mutual-reachability minimum per vertex — any
     * trim/coloring/sweep defect shows as a hash mismatch, the same
     * exact-truth contract as `graph_bfs`. */
-  private[graft] def qGraphScc(s: SparkSession, dir: String): DataFrame = {
+  /** Consecutive-co-purchase DIRECTED edges shared by the SCC family
+    * (part at line position i → position i+1 within an order; mod-4
+    * parts, orders ≡ orderMod mod 11). The window ORDER BY is a TOTAL
+    * order — the synthetic lineitem has duplicate (l_orderkey,
+    * l_linenumber) pairs, and lead() over ties is nondeterministic. */
+  private[graft] def sccEdges(s: SparkSession, dir: String,
+                              orderMod: Int): DataFrame = {
     val w = Window.partitionBy("l_orderkey")
       .orderBy("l_linenumber", "l_partkey")
-    val e = t(s, dir, "lineitem")
-      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 11 === 0)
+    t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0 &&
+        col("l_orderkey") % 11 === orderMod)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       .withColumn("__nxt", lead("l_partkey", 1).over(w))
       .filter(col("__nxt").isNotNull && col("__nxt") =!= col("l_partkey"))
       .select(col("l_partkey").cast("long").as("src"),
         col("__nxt").cast("long").as("dst"))
-    Graph.scc(e).select(col("id").cast("long").as("id"),
-      col("scc_id").cast("long").as("scc_id"))
   }
+
+  private[graft] def qGraphScc(s: SparkSession, dir: String): DataFrame =
+    Graph.scc(sccEdges(s, dir, 0))
+      .select(col("id").cast("long").as("id"),
+        col("scc_id").cast("long").as("scc_id"))
 
   private[graft] val oGraphScc =
     """WITH RECURSIVE f AS (SELECT l_orderkey, l_linenumber, l_partkey
@@ -805,16 +815,7 @@ private[graft] object InsightQueries {
     * edge list. */
   private[graft] def qGraphCondensation(s: SparkSession,
                                         dir: String): DataFrame = {
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy("l_linenumber", "l_partkey")
-    val e = t(s, dir, "lineitem")
-      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 11 === 0)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      .withColumn("__nxt", lead("l_partkey", 1).over(w))
-      .filter(col("__nxt").isNotNull && col("__nxt") =!= col("l_partkey"))
-      .select(col("l_partkey").cast("long").as("src"),
-        col("__nxt").cast("long").as("dst"))
-      .distinct()
+    val e = sccEdges(s, dir, 0).distinct()
     Graph.condense(e, Graph.scc(e))
   }
 
@@ -851,18 +852,10 @@ private[graft] object InsightQueries {
     * directed rail. */
   private[graft] def qGraphSccIncremental(s: SparkSession,
                                           dir: String): DataFrame = {
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy("l_linenumber", "l_partkey")
-    def edges(m: Int) = t(s, dir, "lineitem")
-      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 11 === m)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      .withColumn("__nxt", lead("l_partkey", 1).over(w))
-      .filter(col("__nxt").isNotNull && col("__nxt") =!= col("l_partkey"))
-      .select(col("l_partkey").cast("long").as("src"),
-        col("__nxt").cast("long").as("dst"))
-    val base = edges(0)
+    val base = sccEdges(s, dir, 0)
     val lab = Graph.scc(base)
-    Graph.incrementalScc(lab, Graph.condense(base, lab), edges(3))
+    Graph.incrementalScc(lab, Graph.condense(base, lab),
+      sccEdges(s, dir, 3))
   }
 
   private[graft] val oGraphSccIncremental =

@@ -819,7 +819,10 @@ private[graft] object TextQueries {
     * the oracle reuses the shared CTE prefix. */
   private[graft] def qTextCodeSwitching(s: SparkSession,
                                         dir: String): DataFrame = {
-    val segs = qTextLangSegments(s, dir)
+    // two consumers (per-lang top + the per-doc aggregate): checkpoint
+    // or the sentence-explode + langid + double-window pipeline runs
+    // twice (r13 review)
+    val segs = qTextLangSegments(s, dir).localCheckpoint(true)
     val perLang = segs.groupBy("doc_id", "lang")
       .agg(sum("n_sentences").as("ns"))
     val w = Window.partitionBy("doc_id")

@@ -60,6 +60,19 @@ class ByteBpeSpec extends SparkSpec {
     }
   }
 
+  test("NULL text: 0 tokens AND 0 bytes (no NULL leak in n_bytes)") {
+    val train = Seq((0L, "plain ascii training text")).toDF("doc_id", "text")
+    val m = Tokenize.trainVocabByteBpe(train, "text", "doc_id", 300)
+    val d = Seq((0L, null.asInstanceOf[String]), (1L, "ok"))
+      .toDF("doc_id", "text")
+    val r = Tokenize.byteBpe(d, "text", m)
+      .select("doc_id", "n_tokens", "n_bytes")
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2)))
+      .toMap
+    assert(r(0L) == ((0, 0L))) // both rails agree on null
+    assert(r(1L)._1 >= 1 && r(1L)._2 == 2L)
+  }
+
   test("maxTokenBytes slicing stays lossless") {
     val train = Seq((0L, "short words")).toDF("doc_id", "text")
     val m = Tokenize.trainVocabByteBpe(train, "text", "doc_id", 280,

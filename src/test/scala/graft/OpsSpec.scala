@@ -4176,11 +4176,17 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rel == rel2 && rel.size == 3)
     assert(rel.values.forall(v => v >= 0 && math.abs(v - 100L) <= k))
-    // clamp: a 1-row group under a huge-noise regime never goes negative
+    // clamp: a 1-row group under a huge-noise regime never goes
+    // negative (eps = 0.1 → K = 229 — the big-table regime)
     val tiny = Seq(("a", 1)).toDF("g", "v")
-    val r = Diff.dpGeometricCounts(tiny, Seq("g"), eps = 0.05)
+    val r = Diff.dpGeometricCounts(tiny, Seq("g"), eps = 0.1)
       .collect().head.getLong(1)
     assert(r >= 0)
+    // below the 32-bit-resolution floor the guarantee cannot hold —
+    // must REFUSE, not silently truncate the tail (r13 review finding)
+    intercept[IllegalArgumentException] {
+      Diff.geometricThresholds(0.05)
+    }
   }
 
   test("incrementalScc ≡ from-scratch on a two-batch random digraph") {
@@ -4200,6 +4206,36 @@ class OpsSpec extends SparkSpec {
     // keeps base-labeled vertices whose edges were self-loop-only — the
     // random pairs here produce none, so the maps compare directly
     assert(inc == scratch && inc.nonEmpty)
+  }
+
+  test("incremental CC/SCC cover self-pair-only brand-new ids") {
+    import spark.implicits._
+    // SCC: batch = one self-loop on an unseen id + one real edge
+    val lab = Seq((1L, 1L), (2L, 1L)).toDF("id", "scc_id")
+    val cond = Seq.empty[(Long, Long)].toDF("src_scc", "dst_scc")
+    val inc = Graph.incrementalScc(lab, cond,
+        Seq((42L, 42L), (2L, 7L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 42L -> 42L))
+    // CC: batch = one self-pair on an unseen id
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val cc = Dedup.incrementalComponents(labels,
+        Seq((42L, 42L)).toDF("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 42L -> 42L))
+  }
+
+  test("fellegiSunterScore keeps NULL-agreement candidates") {
+    import spark.implicits._
+    val cands = Seq(
+      (Some(true), true, true), (Some(false), false, false),
+      (None, true, false) // NULL agreement on the first field
+    ).toDF("a1", "a2", "a3")
+      .withColumn("truth", col("a2"))
+    val scored = Link.fellegiSunterScore(cands, Seq("a1", "a2", "a3"),
+      "truth")
+    assert(scored.count() == 3) // no silent row drop
+    assert(scored.filter(col("a1").isNull).count() == 1)
   }
 
   test("krippendorffAlpha: perfect, adversarial, and unpairable cases") {
