@@ -621,6 +621,50 @@ object Insight {
           "div (n * n - __sc2) AS BIGINT) END").as("alpha_ppm"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES estimator — the pre/post × treat/control
+    * causal baseline (Card & Krueger 1994 canonical form) that
+    * completes the experimentation family next to [[abTest]] (no
+    * pre-period), [[cupedAdjust]] (variance reduction) and
+    * `events_uplift_qini`: DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre), the parallel-trends-adjusted effect.
+    *
+    * Exact rail: `valueCol` must be INTEGRAL (callers pre-scale to
+    * micro units, the [[cupedAdjust]] contract); each cell mean is
+    * Σy·10⁶ div n in DECIMAL(38,0) with positive operands, and the
+    * estimate is a signed difference of those already-truncated
+    * means — no signed division anywhere. One map-side-combinable
+    * 8-cell aggregate; an empty cell yields NULL means and a NULL
+    * estimate rather than a fabricated zero.
+    *
+    * @param armCol  boolean treatment indicator
+    * @param postCol boolean post-period indicator
+    * @return one row: per-cell n/mean (micro) + did_micro */
+  def diffInDiff(df: DataFrame, armCol: String, postCol: String,
+                 valueCol: String): DataFrame = {
+    val a = col(armCol).cast("boolean")
+    val p = col(postCol).cast("boolean")
+    def cell(t: Boolean, q: Boolean) = a === t && p === q
+    def tag(t: Boolean, q: Boolean) =
+      (if (t) "t" else "c") + (if (q) "1" else "0")
+    val cells = Seq((false, false), (false, true), (true, false),
+      (true, true))
+    val aggs = cells.flatMap { case (t, q) =>
+      Seq(sum(when(cell(t, q), 1L).otherwise(0L)).as(s"n_${tag(t, q)}"),
+        sum(when(cell(t, q), col(valueCol)).otherwise(0L))
+          .as(s"__s_${tag(t, q)}"))
+    }
+    def mean(tq: String) =
+      s"CASE WHEN n_$tq > 0 THEN CAST(CAST(__s_$tq AS DECIMAL(38,0))" +
+        s" * 1000000 div n_$tq AS BIGINT) END"
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(
+        (cells.map { case (t, q) => col(s"n_${tag(t, q)}") } ++
+          cells.map { case (t, q) =>
+            expr(mean(tag(t, q))).as(s"mean_${tag(t, q)}_micro") } :+
+          expr(s"((${mean("t1")}) - (${mean("t0")})) - " +
+            s"((${mean("c1")}) - (${mean("c0")}))").as("did_micro")): _*)
+  }
+
   def abTest(events: DataFrame, userCol: String, typeCol: String,
              convType: String, salt: String = "ab"): DataFrame = {
     def armOf(u: Column): Column = when(conv(substring(

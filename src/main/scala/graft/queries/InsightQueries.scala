@@ -1609,6 +1609,46 @@ private[graft] object InsightQueries {
       |  theta_ppm
       |FROM arms, th""".stripMargin
 
+  /** Difference-in-differences on events (see [[Insight.diffInDiff]]):
+    * treatment = odd user ids, post = Jan 16+ (mid-range of the fixed
+    * Jan 1–30 window, all four cells populated at every SF), outcome =
+    * micro-scaled value. Synthetic data has no planted effect — the
+    * rail, not the estimate, is what the oracle pins. */
+  private[graft] def qEventsDid(s: SparkSession, dir: String): DataFrame = {
+    val d = readEvents(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select((col("user_id") % 2 === 1).as("treated"),
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).as("post"),
+        expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("y"))
+    Insight.diffInDiff(d, "treated", "post", "y")
+  }
+
+  private[graft] val oEventsDid = {
+    def cellExprs(t: String, cond: String) = Seq(
+      s"CAST(count(*) FILTER (WHERE $cond) AS BIGINT) AS n_$t",
+      s"CAST(coalesce(sum(y) FILTER (WHERE $cond), 0) AS BIGINT) AS s_$t")
+    val cells = Seq(
+      ("c0", "NOT tr AND NOT post"), ("c1", "NOT tr AND post"),
+      ("t0", "tr AND NOT post"), ("t1", "tr AND post"))
+    def mean(t: String) =
+      s"CASE WHEN n_$t > 0 THEN CAST(CAST(s_$t AS HUGEINT) * 1000000" +
+        s" // n_$t AS BIGINT) END"
+    s"""WITH d AS (SELECT (user_id % 2 = 1) AS tr,
+       |    CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16' AS post,
+       |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+       |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+       |c AS (SELECT
+       |    ${cells.flatMap { case (t, q) => cellExprs(t, q) }
+            .mkString(",\n       |    ")}
+       |  FROM d)
+       |SELECT n_c0, n_c1, n_t0, n_t1,
+       |  ${mean("c0")} AS mean_c0_micro, ${mean("c1")} AS mean_c1_micro,
+       |  ${mean("t0")} AS mean_t0_micro, ${mean("t1")} AS mean_t1_micro,
+       |  ((${mean("t1")}) - (${mean("t0")})) -
+       |    ((${mean("c1")}) - (${mean("c0")})) AS did_micro
+       |FROM c""".stripMargin
+  }
+
   /** Inter-arrival burstiness per user (see [[Insight.burstiness]]):
     * exact integer gaps, CV² as a DECIMAL rational — the automation
     * screen. */
@@ -2112,6 +2152,7 @@ private[graft] object InsightQueries {
     "events_quantile_band" -> (qEventsQuantileBand _),
     "events_ols" -> (qEventsOls _),
     "events_cuped" -> (qEventsCuped _),
+    "events_did" -> (qEventsDid _),
     "events_burstiness" -> (qEventsBurstiness _),
     "events_skipgrams" -> (qEventsSkipgrams _),
     "events_welch" -> (qEventsWelch _),
@@ -2174,6 +2215,7 @@ private[graft] object InsightQueries {
     "events_quantile_band" -> oEventsQuantileBand,
     "events_ols" -> oEventsOls,
     "events_cuped" -> oEventsCuped,
+    "events_did" -> oEventsDid,
     "events_burstiness" -> oEventsBurstiness,
     "events_skipgrams" -> oEventsSkipgrams,
     "events_welch" -> oEventsWelch,

@@ -4238,6 +4238,25 @@ class OpsSpec extends SparkSpec {
     assert(scored.filter(col("a1").isNull).count() == 1)
   }
 
+  test("diffInDiff: hand cells, planted effect, empty-cell null") {
+    import spark.implicits._
+    // control: 10 → 12 (+2); treated: 20 → 25 (+5); DiD = +3
+    val d = Seq(
+      (false, false, 10L), (false, true, 12L),
+      (true, false, 20L), (true, true, 25L)
+    ).toDF("treated", "post", "y")
+    val r = Insight.diffInDiff(d, "treated", "post", "y").collect().head
+    assert(r.getLong(r.fieldIndex("did_micro")) == 3000000L)
+    assert(r.getLong(r.fieldIndex("mean_t1_micro")) == 25000000L)
+    // an empty cell must surface as NULL, not a fabricated zero
+    val partial = Seq((false, false, 1L), (true, true, 2L))
+      .toDF("treated", "post", "y")
+    val p = Insight.diffInDiff(partial, "treated", "post", "y")
+      .collect().head
+    assert(p.isNullAt(p.fieldIndex("did_micro")))
+    assert(p.getLong(p.fieldIndex("n_c1")) == 0L)
+  }
+
   test("krippendorffAlpha: perfect, adversarial, and unpairable cases") {
     import spark.implicits._
     def alpha(rows: Seq[(Long, String)]): (Long, Long) = {
