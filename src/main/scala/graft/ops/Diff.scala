@@ -501,7 +501,8 @@ object Diff {
     * parameter e^(−ε); each unit change of one row shifts n by 1, so
     * the release is ε-DP for the add/remove-one-row neighbor relation.
     *
-    * Noise is hash-armed: u = top 32 md5 bits of (salt : group key),
+    * Noise is hash-armed: u = top 32 md5 bits of the [[dpNoiseKey]]
+    * (salt : per-field-hashed group key — collision-free by field),
     * X = inverse CDF of u through the [[geometricThresholds]] integer
     * table — a pure per-group function, so the whole release is one
     * map-side-combinable aggregate plus a projection: no second pass,
@@ -518,8 +519,7 @@ object Diff {
   def dpGeometricCounts(df: DataFrame, groupCols: Seq[String],
                         eps: Double, salt: String = "dp"): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val gkey = concat_ws(":", lit(salt) +: groupCols.map(c =>
-      coalesce(col(c).cast("string"), lit("null"))): _*)
+    val gkey = dpNoiseKey(salt, groupCols.map(col))
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .withColumn("__gkey", gkey)
@@ -527,6 +527,19 @@ object Diff {
       .select(groupCols.map(col) :+
         expr("greatest(0L, __n + __noise)").as("n_released"): _*)
   }
+
+  /** Per-group noise key with UNAMBIGUOUS field encoding: each field
+    * hashes separately (md5 of its string form, NULL → the literal
+    * token `NULL`, which no hex digest can collide with) before the
+    * ':'-join. A raw value concat would let distinct groups collide —
+    * ("a:b","c") vs ("a","b:c"), or the string "null" vs NULL — and
+    * colliding groups would receive IDENTICAL noise, breaking the
+    * per-group independence the release documents (r13 advice).
+    * Shared by the batch release, the streaming twin, and their
+    * equivalence spec so the key format cannot drift. */
+  private[graft] def dpNoiseKey(salt: String, fields: Seq[Column]): Column =
+    concat_ws(":", lit(salt) +: fields.map(f =>
+      coalesce(md5(f.cast("string")), lit("NULL"))): _*)
 
   /** The inverse-CDF noise lookup as a SQL CASE over a hash-key
     * column: md5(keyCol)'s top 32 bits through the

@@ -363,17 +363,17 @@ object Graph {
     val adj0 = canon.select(col("u").as("id"), col("v").as("nbr"))
       .unionAll(canon.select(col("v").as("id"), col("u").as("nbr")))
       .localCheckpoint(true)
-    var c = adj0.groupBy("id").agg(count(lit(1)).cast("int").as("c"))
-      .localCheckpoint(true)
     // A checkpointed value table carries no size stats, so without a
     // hint every iteration's join plans sort-merge — re-SORTING the full
     // adjacency each round. The value table is one (id, c) row per
     // vertex; up to ~4M vertices (~64 MB) broadcast it and the whole
-    // iteration runs map-side up to the histogram shuffle. One cheap
-    // count on the checkpointed frame decides. Past the cap, the
-    // adjacency is instead pre-partitioned ONCE on the join key so the
+    // iteration runs map-side up to the histogram shuffle. The
+    // materialization job itself supplies the vertex count (GraftShim —
+    // one job, not checkpoint + count). Past the cap, the adjacency is
+    // instead pre-partitioned ONCE on the join key so the
     // per-iteration sort-merge join exchanges only the value table.
-    val nVertices = c.count()
+    var (c, nVertices) = org.apache.spark.sql.GraftShim.materializeWithCount(
+      adj0.groupBy("id").agg(count(lit(1)).cast("int").as("c")))
     val bcast = nVertices <= (4L << 20)
     def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val adj = if (bcast) adj0
@@ -440,13 +440,17 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100,
             broadcastVertexCap: Long = 4L << 20): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    var e = edges
+    // every materialization folds its row count into the checkpoint
+    // job (GraftShim) — the peel loop needs BOTH per round (broadcast
+    // eligibility + termination), and the eager-checkpoint +
+    // separate-count spelling paid 4 jobs/round where 2 suffice (the
+    // r13 betweenness action-economy contract, adopted family-wide r14)
+    val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
+    var (e, m) = mat(edges
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    var m = e.count()
+      .distinct())
     var done = m == 0
     var it = 0
     while (!done && it < maxIter) {
@@ -454,20 +458,17 @@ object Graph {
       val deg = e.select(col("src").as("id"))
         .unionAll(e.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("id").localCheckpoint(true)
-      // keep is checkpointed (reused by both semi joins) and therefore
+      // keep is materialized (reused by both semi joins) and therefore
       // carries no size stats — unhinted, both semi joins plan SMJ and
       // SORT the surviving edge list twice per round. It is one id per
       // surviving vertex: broadcast below the cap (hash semi-probe, no
       // edge sort — measured 6.8 s → 4.7 s on the bench k-core), AQE beyond.
-      val kb =
-        if (keep.count() <= broadcastVertexCap) broadcast(keep) else keep
-      val e2 = e
+      val (keep, nKeep) = mat(deg.filter(col("d") >= k).select("id"))
+      val kb = if (nKeep <= broadcastVertexCap) broadcast(keep) else keep
+      val (e2, m2) = mat(e
         .join(kb.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(kb.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .localCheckpoint(true)
-      val m2 = e2.count()
+        .select("src", "dst"))
       done = m2 == m || m2 == 0
       e = e2
       m = m2
@@ -516,10 +517,10 @@ object Graph {
     val adj = canon.select(col("u").as("id"), col("v").as("nbr"))
       .unionAll(canon.select(col("v").as("id"), col("u").as("nbr")))
       .localCheckpoint(true)
-    var l = adj.select(col("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
-    val nVertices = l.count()
+    // label-table materialization and vertex count in ONE job
+    var (l, nVertices) = org.apache.spark.sql.GraftShim.materializeWithCount(
+      adj.select(col("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
     def maybeB(df: DataFrame): DataFrame =
       if (nVertices <= broadcastVertexCap) broadcast(df) else df
     for (it <- 1 to iterations) {
@@ -827,13 +828,13 @@ object Graph {
     * (co-keyed shuffle), dedups the targets, and anti-joins the
     * visited table to keep only first sightings. Per-hop cost is
     * ∝ edges incident to the frontier, total cost ∝ edges reached —
-    * never hops × |E|. Both loop-carried frames are eagerly
-    * localCheckpoint'ed (the CC-loop lineage contract) and the
-    * frontier/visited probes broadcast below `broadcastVertexCap` ids
-    * (the [[kCore]] keep-list discipline; AQE handles them beyond).
-    * Distances are exact integers — same result on any engine, any
-    * partitioning; each hop is one job (the emptiness check that
-    * terminates the loop doubles as the checkpoint action).
+    * never hops × |E|. Each hop's frontier materializes through ONE
+    * count-folding checkpoint job (GraftShim, the betweenness action-
+    * economy contract); the visited set is a lazy union over those
+    * checkpointed frontiers, and frontier/visited probes broadcast
+    * below `broadcastVertexCap` ids (the [[kCore]] keep-list
+    * discipline; AQE handles them beyond). Distances are exact
+    * integers — same result on any engine, any partitioning.
     *
     * @param edges directed edges (src, dst); pass both directions for
     *              an undirected read
@@ -842,29 +843,33 @@ object Graph {
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6,
                    broadcastVertexCap: Long = 4L << 20): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
+    // r14 action economy (the betweenness r13 contract): each hop's
+    // frontier materializes through GraftShim — the checkpoint job IS
+    // the count job — and the visited set is a LAZY union over the
+    // already-checkpointed frontiers (the per-hop visited re-checkpoint
+    // re-copied O(reached) rows every hop for nothing). One job per
+    // hop instead of three.
+    val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
     def maybeB(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastVertexCap) broadcast(df) else df
-    var visited = seeds.select(col("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
-    var frontier = visited.select("id").localCheckpoint(true)
-    var nFrontier = frontier.count()
+    val (seed0, n0) = mat(seeds.select(col("id")).distinct())
+    var visited = seed0.withColumn("dist", lit(0L))
+    var frontier = seed0
+    var nFrontier = n0
     var nVisited = nFrontier
     var h = 0L
     while (nFrontier > 0 && h < maxHops) {
       h += 1
-      val next = e
+      val (next, nf) = mat(e
         .join(maybeB(frontier.withColumnRenamed("id", "src"), nFrontier),
           Seq("src"), "left_semi")
         .select(col("dst").as("id")).distinct()
-        .join(maybeB(visited.select("id"), nVisited), Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      nFrontier = next.count()
+        .join(maybeB(visited.select("id"), nVisited), Seq("id"), "left_anti"))
+      nFrontier = nf
       if (nFrontier > 0) {
-        visited = visited
-          .unionAll(next.withColumn("dist", lit(h)))
-          .localCheckpoint(true)
+        visited = visited.unionAll(next.withColumn("dist", lit(h)))
         nVisited += nFrontier
       }
       frontier = next
@@ -896,30 +901,29 @@ object Graph {
                           maxHops: Int = 6,
                           broadcastRowCap: Long = 4L << 20): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
+    // same one-job-per-hop shape as [[bfsDistances]] (r14)
+    val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
     def maybeB(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastRowCap) broadcast(df) else df
-    var visited = seeds.select(col("label"), col("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
-    var frontier = visited.select("label", "id").localCheckpoint(true)
-    var nFrontier = frontier.count()
+    val (seed0, n0) = mat(seeds.select(col("label"), col("id")).distinct())
+    var visited = seed0.withColumn("dist", lit(0L))
+    var frontier = seed0
+    var nFrontier = n0
     var nVisited = nFrontier
     var h = 0L
     while (nFrontier > 0 && h < maxHops) {
       h += 1
-      val next = e
+      val (next, nf) = mat(e
         .join(maybeB(frontier.withColumnRenamed("id", "src"), nFrontier),
           Seq("src"))
         .select(col("label"), col("dst").as("id")).distinct()
         .join(maybeB(visited.select("label", "id"), nVisited),
-          Seq("label", "id"), "left_anti")
-        .localCheckpoint(true)
-      nFrontier = next.count()
+          Seq("label", "id"), "left_anti"))
+      nFrontier = nf
       if (nFrontier > 0) {
-        visited = visited
-          .unionAll(next.withColumn("dist", lit(h)))
-          .localCheckpoint(true)
+        visited = visited.unionAll(next.withColumn("dist", lit(h)))
         nVisited += nFrontier
       }
       frontier = next
@@ -1309,6 +1313,14 @@ object Graph {
     * that size. Above the cap (or non-integral ids) the full loop
     * runs — spec-pinned identical output.
     *
+    * Convergence contract: the min-label fixpoint defaults to
+    * relaxPerSync·maxFixpointIters = 600 hops; a graph whose
+    * eccentricity exceeds that AUTO-ESCALATES the hops-per-sync
+    * (doubling, O(log) extra syncs) rather than emitting split SCCs,
+    * and both iteration caps THROW rather than mislabel when truly
+    * exhausted (r14: warn-and-continue could silently report a long
+    * directed cycle as singletons).
+    *
     * @param edges directed (src, dst), numeric ids; self-loops and
     *              duplicate edges drop
     * @return (id, scc_id = min vertex id of the SCC), one row per
@@ -1356,11 +1368,34 @@ object Graph {
           .getDecimal(0))
       var prev = checksum(labels)
       var it = 0
+      var relax = relaxPerSync
       var converged = false
-      while (!converged && it < maxFixpointIters) {
+      while (!converged) {
         it += 1
+        if (it > maxFixpointIters) {
+          // Reaching here means eccentricity > relax·maxFixpointIters
+          // (default ~600 hops). Warn-and-continue would let the F=B
+          // extraction SPLIT a true SCC — a long directed cycle would
+          // ship as singletons despite the exactness contract (r13
+          // advice) — so ESCALATE: labels only decrease, the fixpoint
+          // exists and is reached within eccentricity hops, and
+          // doubling the hops-per-sync covers any real eccentricity
+          // in O(log) escalations. The hard cap turns a pathological
+          // graph into an ERROR, never a silently wrong answer.
+          if (relax >= (1 << 12))
+            throw new IllegalStateException(
+              s"scc min-label fixpoint unconverged after escalating to " +
+                s"$relax relax hops/sync x $maxFixpointIters syncs " +
+                s"(eccentricity > ${relax.toLong * maxFixpointIters}); " +
+                "raise maxFixpointIters explicitly if this graph is real")
+          relax *= 2
+          it = 1
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"scc fixpoint unconverged at maxFixpointIters=" +
+              s"$maxFixpointIters; escalating to $relax hops/sync")
+        }
         var cur = labels
-        for (_ <- 1 to relaxPerSync)
+        for (_ <- 1 to relax)
           cur = gSelf.join(maybeB(cur, n).withColumnRenamed("id", "src"),
             Seq("src"))
             .groupBy(col("dst").as("id")).agg(min(col("c")).as("c"))
@@ -1370,9 +1405,6 @@ object Graph {
         prev = cs
         labels = merged
       }
-      if (!converged)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"scc fixpoint stopped at maxFixpointIters=$maxFixpointIters")
       labels
     }
     var rounds = 0
@@ -1422,9 +1454,11 @@ object Graph {
       }
     }
     if (ne > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"scc stopped at maxRounds=$maxRounds with $ne edges live " +
-          "(their endpoints will be MIS-reported as singletons)")
+      // same error-not-wrong-answer contract as the fixpoint: live
+      // edges here would emit their endpoints as FALSE singletons
+      throw new IllegalStateException(
+        s"scc stopped at maxRounds=$maxRounds with $ne edges live; " +
+          "raise maxRounds (each round extracts >= 1 SCC partition)")
     val swept = parts.reduceOption(_ unionAll _)
     val singletons = swept match {
       case Some(s) => initVerts

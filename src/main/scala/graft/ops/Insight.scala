@@ -629,12 +629,14 @@ object Insight {
     * (ȳ_ctrl,post − ȳ_ctrl,pre), the parallel-trends-adjusted effect.
     *
     * Exact rail: `valueCol` must be INTEGRAL (callers pre-scale to
-    * micro units, the [[cupedAdjust]] contract); each cell mean is
-    * Σy·10⁶ div n in DECIMAL(38,0) with positive operands, and the
-    * estimate is a signed difference of those already-truncated
-    * means — no signed division anywhere. One map-side-combinable
-    * 8-cell aggregate; an empty cell yields NULL means and a NULL
-    * estimate rather than a fabricated zero.
+    * micro units, the [[cupedAdjust]] contract) and MAY be negative —
+    * DiD outcomes are often deltas — so each cell mean rides the
+    * shared SIGNED-division discipline, sign(Σy) · (|Σy|·10⁶ div n)
+    * in DECIMAL(38,0): the division itself always sees positive
+    * operands, and the estimate is a signed difference of those
+    * already-truncated means. One map-side-combinable 8-cell
+    * aggregate; an empty cell yields NULL means and a NULL estimate
+    * rather than a fabricated zero.
     *
     * @param armCol  boolean treatment indicator
     * @param postCol boolean post-period indicator
@@ -654,8 +656,10 @@ object Insight {
           .as(s"__s_${tag(t, q)}"))
     }
     def mean(tq: String) =
-      s"CASE WHEN n_$tq > 0 THEN CAST(CAST(__s_$tq AS DECIMAL(38,0))" +
-        s" * 1000000 div n_$tq AS BIGINT) END"
+      s"CASE WHEN n_$tq > 0 THEN CAST(" +
+        s"(CASE WHEN __s_$tq < 0 THEN -1 ELSE 1 END) * " +
+        s"(CAST(abs(__s_$tq) AS DECIMAL(38,0)) * 1000000 div n_$tq)" +
+        s" AS BIGINT) END"
     df.agg(aggs.head, aggs.tail: _*)
       .select(
         (cells.map { case (t, q) => col(s"n_${tag(t, q)}") } ++

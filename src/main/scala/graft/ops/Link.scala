@@ -348,10 +348,14 @@ object Link {
     * posteriors are DECIMAL(38,0) expressions over the literal
     * converged params.
     *
-    * @return one row per observed pattern: agreement booleans,
-    *         n_pairs, converged p/m_i/u_i (micro), posterior w_micro,
-    *         decision (match ≥ `matchW` / review ≥ `reviewW` /
-    *         nonmatch) */
+    * NULL agreements (incomparable field pairs) canonicalize to
+    * disagreement before estimation — EM bits are strictly binary
+    * here, unlike the supervised path where NULL stays a pattern.
+    *
+    * @return one row per observed pattern: agreement booleans
+    *         (NULL-canonicalized to false), n_pairs, converged
+    *         p/m_i/u_i (micro), posterior w_micro, decision (match ≥
+    *         `matchW` / review ≥ `reviewW` / nonmatch) */
   def fellegiSunterEm(cands: DataFrame, agreeCols: Seq[String],
                       iters: Int = 15,
                       initP: Long = 100000L, initM: Long = 900000L,
@@ -361,7 +365,16 @@ object Link {
     require(agreeCols.nonEmpty && agreeCols.size <= 16, "1..16 fields")
     val k = agreeCols.size
     val S = 1000000L
-    val pat = cands.groupBy(agreeCols.map(col): _*)
+    // NULL agreement (an incomparable field pair) canonicalizes to
+    // disagreement BEFORE the pattern groupBy: the posterior CASE
+    // below already reads NULL as its ELSE branch, so this keeps the
+    // collected EM bits and the returned frame on one convention
+    // instead of NPE-ing on Row.getBoolean (r13 advice; the
+    // supervised [[fellegiSunterScore]] path keeps NULL as its own
+    // pattern because its table needs no driver-side bit array)
+    val canon = cands.select(agreeCols.map(c =>
+      coalesce(col(c).cast("boolean"), lit(false)).as(c)): _*)
+    val pat = canon.groupBy(agreeCols.map(col): _*)
       .agg(count(lit(1)).as("n_pairs"))
       .localCheckpoint(true) // collected for EM + returned enriched
     // bounded collect: ≤ 2^k rows by construction
@@ -385,8 +398,13 @@ object Link {
       }
       // M-step over weighted counts
       val nTot = rows.map(_._2).sum
-      val sw = rows.zip(ws).map { case ((_, n), w) => BigInt(n) * w }.sum
-      val swc = rows.zip(ws).map { case ((_, n), w) => BigInt(n) * (S - w) }.sum
+      // max(1) guards: if every posterior truncates to 0 (or S) the
+      // M-step divisions below would hit a zero denominator — same
+      // clamp discipline as the per-parameter clamps (r13 advice)
+      val sw = rows.zip(ws).map { case ((_, n), w) => BigInt(n) * w }
+        .sum.max(BigInt(1))
+      val swc = rows.zip(ws).map { case ((_, n), w) => BigInt(n) * (S - w) }
+        .sum.max(BigInt(1))
       p = clamp(sw / nTot)
       m = Array.tabulate(k) { i =>
         val a = rows.zip(ws).collect { case ((b, n), w) if b(i) =>

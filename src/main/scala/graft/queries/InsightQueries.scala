@@ -493,9 +493,14 @@ private[graft] object InsightQueries {
     * contract, like coreness — see [[Graph.labelPropagation]]). */
   private[graft] def qGraphCommunities(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // assumeCanonical: coOccurrenceEdgesCanonical already guarantees
+    // (src < dst, distinct) — the r12-r13 2x-floor readings turned out
+    // to include a redundant re-canonicalization distinct over the full
+    // co-occurrence edge set that graph_modularity had already opted
+    // out of (r14 investigation; output is identical either way)
     Graph.labelPropagation(
       Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"),
-      iterations = 4)
+      iterations = 4, assumeCanonical = true)
       .select(col("id").as("part"), col("community"))
   }
 
@@ -1630,9 +1635,14 @@ private[graft] object InsightQueries {
     val cells = Seq(
       ("c0", "NOT tr AND NOT post"), ("c1", "NOT tr AND post"),
       ("t0", "tr AND NOT post"), ("t1", "tr AND post"))
+    // signed rail in lockstep with the operator: sign(s)·(|s|·10⁶//n)
+    // (values identical — both engines truncate toward zero — but the
+    // division operands stay positive, the house discipline)
     def mean(t: String) =
-      s"CASE WHEN n_$t > 0 THEN CAST(CAST(s_$t AS HUGEINT) * 1000000" +
-        s" // n_$t AS BIGINT) END"
+      s"CASE WHEN n_$t > 0 THEN CAST(" +
+        s"(CASE WHEN s_$t < 0 THEN -1 ELSE 1 END) * " +
+        s"(CAST(abs(s_$t) AS HUGEINT) * 1000000 // n_$t)" +
+        s" AS BIGINT) END"
     s"""WITH d AS (SELECT (user_id % 2 = 1) AS tr,
        |    CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16' AS post,
        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y

@@ -839,9 +839,11 @@ private[graft] object WebQueries {
 
   private[graft] val oDatasetDpCounts = {
     val (kMax, ts) = Diff.geometricThresholds(1.0)
+    // per-field md5 before the ':'-join (Diff.dpNoiseKey): distinct
+    // groups can never collide onto one noise draw
     val u = "('0x' || substr(md5('dp:' ||" +
-      " coalesce(CAST(lang AS VARCHAR), 'null') || ':' ||" +
-      " coalesce(CAST(source AS VARCHAR), 'null')), 1, 8))::BIGINT"
+      " coalesce(md5(CAST(lang AS VARCHAR)), 'NULL') || ':' ||" +
+      " coalesce(md5(CAST(source AS VARCHAR)), 'NULL')), 1, 8))::BIGINT"
     val cases = ts.zipWithIndex.map { case (t, i) =>
       s"WHEN $u < $t THEN ${i - kMax}"
     }.mkString("\n      |    ")
@@ -1617,13 +1619,15 @@ private[graft] object WebQueries {
          |    ($S - q.p) * ${mt(s"$pre.a_name", "u1")}
          |      * ${mt(s"$pre.a_seg", "u2")}
          |      * ${mt(s"$pre.a_bal", "u3")} AS nu""".stripMargin
+    // greatest(1, ·) divisor guards mirror the operator's sw/swc
+    // max(1) clamps (degenerate all-0/all-S posteriors)
     def mStep(a: String, out: String) =
       s"least(999999, greatest(1, sum(CASE WHEN $a THEN n * w ELSE 0 END)" +
-        s" * $S // sum(n * w))) AS $out"
+        s" * $S // greatest(1, sum(n * w)))) AS $out"
     def uStep(a: String, out: String) =
       s"least(999999, greatest(1," +
         s" sum(CASE WHEN $a THEN n * ($S - w) ELSE 0 END)" +
-        s" * $S // sum(n * ($S - w)))) AS $out"
+        s" * $S // greatest(1, sum(n * ($S - w))))) AS $out"
     def iter(t: Int): String =
       s"""e$t AS (SELECT p.a_name, p.a_seg, p.a_bal, p.n,
          |    ${nmNu("p")}

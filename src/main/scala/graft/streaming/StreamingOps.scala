@@ -98,9 +98,8 @@ object StreamingOps {
                      tsCol: String = "ts",
                      salt: String = "dp"): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val gkey = concat_ws(":",
-      lit(salt) +: col("window_start").cast("string") +:
-        groupCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
+    val gkey = graft.ops.Diff.dpNoiseKey(salt,
+      col("window_start") +: groupCols.map(col))
     events
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), window_).as("w") +:

@@ -4257,6 +4257,81 @@ class OpsSpec extends SparkSpec {
     assert(p.getLong(p.fieldIndex("n_c1")) == 0L)
   }
 
+  test("diffInDiff: negative outcomes ride the signed division rail") {
+    import spark.implicits._
+    // treated post cell sums to -14 over 2 rows: mean must be exactly
+    // sign(s)*(|s|*1e6 div n) = -7000000 (r13 advice: negative DiD
+    // outcomes are legal, not a positive-operand contract violation)
+    val d = Seq(
+      (false, false, 10L), (false, true, 12L),
+      (true, false, 20L), (true, true, -7L), (true, true, -7L)
+    ).toDF("treated", "post", "y")
+    val r = Insight.diffInDiff(d, "treated", "post", "y").collect().head
+    assert(r.getLong(r.fieldIndex("mean_t1_micro")) == -7000000L)
+    // DiD = (-7 - 20) - (12 - 10) = -29
+    assert(r.getLong(r.fieldIndex("did_micro")) == -29000000L)
+    // truncation toward zero on a non-exact negative mean: -7/2 →
+    // -3500000 exactly, and -7/3 → -2333333 (not -2333334 = floor)
+    val odd = Seq((true, true, -7L), (true, true, 0L), (true, true, 0L),
+      (false, false, 0L), (false, true, 0L), (true, false, 0L))
+      .toDF("treated", "post", "y")
+    val o = Insight.diffInDiff(odd, "treated", "post", "y").collect().head
+    assert(o.getLong(o.fieldIndex("mean_t1_micro")) == -2333333L)
+  }
+
+  test("dpNoiseKey: colliding raw concats map to distinct keys") {
+    import spark.implicits._
+    // the r13 advice collisions: boundary-shifted values and the
+    // literal string "null" vs NULL — all four must draw independent
+    // noise, i.e. distinct keys
+    val df = Seq(
+      (Some("a:b"), "c"), (Some("a"), "b:c"),
+      (Some("null"), "x"), (None, "x")
+    ).toDF("g1", "g2")
+    val keys = df.select(graft.ops.Diff.dpNoiseKey("dp",
+        Seq(col("g1"), col("g2"))).as("k"))
+      .collect().map(_.getString(0))
+    assert(keys.distinct.length == 4)
+    // and the released counts really are per-group: 4 distinct groups
+    val rel = Diff.dpGeometricCounts(df, Seq("g1", "g2"), eps = 1.0)
+    assert(rel.count() == 4)
+  }
+
+  test("fellegiSunterEm canonicalizes NULL agreements to disagreement") {
+    import spark.implicits._
+    val cands = Seq(
+      (Some(true), true), (Some(true), true), (Some(false), false),
+      (None, true), (None, true) // NULL on the first field: no NPE
+    ).toDF("a1", "a2")
+    val em = Link.fellegiSunterEm(cands, Seq("a1", "a2"))
+    val got = em.select("a1", "a2", "n_pairs", "w_micro").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // (NULL, true) folded into (false, true): 2 pairs there
+    assert(got == Map((true, true) -> 2L, (false, false) -> 1L,
+      (false, true) -> 2L))
+    // bit-identical to pre-coalesced input (the documented convention)
+    val coalesced = cands.select(
+      coalesce(col("a1"), lit(false)).as("a1"), col("a2"))
+    val twin = Link.fellegiSunterEm(coalesced, Seq("a1", "a2"))
+    assert(em.collect().map(_.toString).sorted
+      .sameElements(twin.collect().map(_.toString).sorted))
+  }
+
+  test("scc escalates past a too-small fixpoint budget, throws when told") {
+    import spark.implicits._
+    // 40-cycle: one SCC, eccentricity 39 ≫ relaxPerSync·maxFixpointIters
+    // = 12 — the r13 advice scenario where warn-and-continue shipped
+    // singletons; escalation must converge to the true single SCC
+    val cyc = (0L until 40L).map(i => (i, (i + 1) % 40)).toDF("src", "dst")
+    val lab = Graph.scc(cyc, maxFixpointIters = 2, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.size == 40 && lab.values.forall(_ == 0L))
+    // exhausted round budget must ERROR, never mislabel
+    intercept[IllegalStateException] {
+      Graph.scc(cyc, maxRounds = 0, driverMaxEdges = 0L)
+    }
+  }
+
   test("krippendorffAlpha: perfect, adversarial, and unpairable cases") {
     import spark.implicits._
     def alpha(rows: Seq[(Long, String)]): (Long, Long) = {

@@ -67,8 +67,8 @@ class StreamingSpec extends SparkSpec {
           lit(Timestamp.valueOf("2026-01-01 10:00:00")))
         .groupBy("window_start", "event_type")
         .agg(count(lit(1)).as("__n"))
-        .withColumn("__gkey", concat_ws(":", lit("dp"),
-          col("window_start").cast("string"), col("event_type")))
+        .withColumn("__gkey", graft.ops.Diff.dpNoiseKey("dp",
+          Seq(col("window_start"), col("event_type"))))
         .withColumn("__noise",
           expr(graft.ops.Diff.geometricNoiseSql("__gkey", 1.0)))
         .select(col("window_start").cast("string"), col("event_type"),
