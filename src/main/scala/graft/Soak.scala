@@ -62,6 +62,18 @@ object Soak {
           ops.Dedup.longestDupSpanExact(docs, "text", "doc_id", maxPow = 5)
         case "winnow" =>
           ops.Dedup.winnowFingerprints(docs, "text", "doc_id")
+        case "winnow_fast" => // xxhash64 production tier (r14)
+          ops.Dedup.winnowFingerprints(docs, "text", "doc_id",
+            fastHash = true)
+        case "winnow_pairs" =>
+          ops.Dedup.winnowPairs(docs, "text", "doc_id")
+        case "winnow_pairs_fast" =>
+          ops.Dedup.winnowPairs(docs, "text", "doc_id", fastHash = true)
+        case "novelty" =>
+          ops.Insight.ngramNovelty(docs, "text", "doc_id", n = 3)
+        case "novelty_fast" =>
+          ops.Insight.ngramNovelty(docs, "text", "doc_id", n = 3,
+            fastHash = true)
         case "paired_bootstrap" => // eval_paired_bootstrap's exact shape
           ops.Insight.pairedBootstrap(
             docsFull

@@ -65,8 +65,9 @@ object Dedup {
     *         fingerprints, fp_sum the sum of their hash values (the
     *         compact per-doc signature digest oracles can replay) */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-                         k: Int = 3, w: Int = 4): DataFrame =
-    winnowSelected(df, textCol, idCol, k, w)
+                         k: Int = 3, w: Int = 4,
+                         fastHash: Boolean = false): DataFrame =
+    winnowSelected(df, textCol, idCol, k, w, fastHash)
       .groupBy(col(idCol), col("n_kgrams"))
       .agg(count(lit(1)).as("n_fps"),
         sum(expr("__key div 1048576")).as("fp_sum"))
@@ -75,20 +76,50 @@ object Dedup {
     * a key is (hash, position), so a periodic document that re-selects
     * the same hash at several positions keeps one row per position (the
     * per-doc digest counts selections; the pair shortlist collapses to
-    * distinct hashes on top). */
+    * distinct hashes on top).
+    *
+    * `fastHash` swaps the per-k-gram hash from the md5 oracle rail to
+    * xxhash64's low 32 bits — the PRODUCTION tier (r12 ask): md5 is a
+    * cryptographic digest interpreted through string hex, xxhash64 is
+    * one codegen'd long-returning expression. Measured at the 10×
+    * soak: 6.9 → 6.0 s min (~15%) — the r12 "md5-per-3-gram law"
+    * turned out to be a MISREAD of the per-gram re-tokenize bug fixed
+    * below, not hash cost. Winnowing's span guarantee
+    * is hash-agnostic (any shared run of ≥ w+k−1 words shares a
+    * SELECTED print under EITHER hash because selection is a function
+    * of the hash sequence, which the shared run reproduces), so the
+    * two tiers shortlist the same planted-copy pairs (spec-pinned);
+    * only the incidental fingerprint VALUES differ. Keep md5 for
+    * oracle-replayed queries; flip fastHash for 100 TB runs — and
+    * never mix tiers against one persisted [[winnowIndex]]. */
   private def winnowSelected(df: DataFrame, textCol: String, idCol: String,
-                             k: Int, w: Int): DataFrame = {
+                             k: Int, w: Int,
+                             fastHash: Boolean = false): DataFrame = {
     require(k >= 1 && w >= 1, "winnow: k and w must be >= 1")
-    val toks = TextFunctions.tokens(col(textCol))
+    // materialize the token ARRAY in its own projection before the
+    // k-gram lambda touches it: a higher-order-function body is
+    // interpreted with no subexpression reuse, so an inline tokens()
+    // there re-ran the regex split PER K-GRAM — measured 38 s of the
+    // 78 s 10x soak just to explode, vs 1.1 s to tokenize the corpus
+    // once (r14 profile; this, not md5, was the family's cost law)
+    val toks = col("__toks")
     val kgrams = transform(sequence(lit(1), size(toks) - (k - 1)),
       i => concat_ws(" ", slice(toks, i, lit(k))))
+    val hash32 =
+      if (fastHash) expr("xxhash64(__kg) & 4294967295")
+      else conv(substring(md5(col("__kg")), 1, 8), 16, 10).cast("long")
+    // posexplode_outer, not posexplode: InferFiltersFromGenerate would
+    // push a size(kgrams) > 0 row filter that REBUILDS the whole gram
+    // array once per row below the projection (the duplicatedSpanStats
+    // explode_outer lesson); the filter above already guarantees ≥ w
+    // grams, so the outer variant's null row never occurs
     val ex = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .filter(size(toks) - (k - 1) >= w)
       .select(col(idCol), (size(toks) - (k - 1)).cast("long").as("n_kgrams"),
-        posexplode(kgrams).as(Seq("__pos", "__kg")))
+        posexplode_outer(kgrams).as(Seq("__pos", "__kg")))
       .withColumn("__key",
-        conv(substring(md5(col("__kg")), 1, 8), 16, 10).cast("long") *
-          lit(1048576L) + (lit(1048575L) - col("__pos")))
+        hash32 * lit(1048576L) + (lit(1048575L) - col("__pos")))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy("__pos")
       .rowsBetween(-(w - 1), 0)
@@ -121,9 +152,9 @@ object Dedup {
     * @return (ida, idb, shared_prints, n_a, n_b, overlap_ppm) */
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
                   k: Int = 3, w: Int = 4, minShared: Int = 2,
-                  dfCap: Int = 64): DataFrame = {
+                  dfCap: Int = 64, fastHash: Boolean = false): DataFrame = {
     require(minShared >= 1 && dfCap >= 2, "winnowPairs: bad thresholds")
-    val sel = winnowSelected(df, textCol, idCol, k, w)
+    val sel = winnowSelected(df, textCol, idCol, k, w, fastHash)
       .select(col(idCol).as("__id"), expr("__key div 1048576").as("__hash"))
       .distinct()
     val sizes = sel.groupBy("__id").agg(count(lit(1)).as("__n"))
@@ -153,8 +184,9 @@ object Dedup {
     * [[minhashIndex]]). Union each batch's `winnowIndex` rows in to
     * advance; history is never re-winnowed. */
   def winnowIndex(df: DataFrame, textCol: String, idCol: String,
-                  k: Int = 3, w: Int = 4): DataFrame =
-    winnowSelected(df, textCol, idCol, k, w)
+                  k: Int = 3, w: Int = 4,
+                  fastHash: Boolean = false): DataFrame =
+    winnowSelected(df, textCol, idCol, k, w, fastHash)
       .select(col(idCol).as("id"), expr("__key div 1048576").as("hash"))
       .distinct()
 
@@ -173,9 +205,11 @@ object Dedup {
   def incrementalWinnowPairs(batch: DataFrame, textCol: String,
                              idCol: String, index: DataFrame,
                              k: Int = 3, w: Int = 4, minShared: Int = 2,
-                             dfCap: Int = 64): DataFrame = {
+                             dfCap: Int = 64,
+                             fastHash: Boolean = false): DataFrame = {
+    // fastHash must match the tier the persisted `index` was built with
     require(minShared >= 1 && dfCap >= 1, "incrementalWinnow: bad thresholds")
-    val sel = winnowIndex(batch, textCol, idCol, k, w)
+    val sel = winnowIndex(batch, textCol, idCol, k, w, fastHash)
     val capped = index.groupBy("hash").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= dfCap).select("hash")
     val shared = sel.as("a")

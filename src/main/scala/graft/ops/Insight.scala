@@ -1897,11 +1897,25 @@ object Insight {
     * the join saves), so the simpler shape stays. Cost is linear in
     * total trigram count — the same per-3-gram law as winnowing.
     *
+    * `fastHash` (production tier, r12 ask): replace each gram STRING
+    * with its xxhash64 before the distinct, carrying ~8 bytes/gram
+    * through the gram-keyed shuffles instead of the full n-gram text.
+    * Measured ~equal at the 10× single-node soak (49.0 vs 50.9 s min —
+    * the plateau is the doubly-computed explode feeding two
+    * aggregates, per the plan note above, and local shuffles don't
+    * price bytes); the narrow key is for CLUSTER shuffles, where
+    * network bytes do cost. A 64-bit collision mis-attributes one
+    * gram's first-claim owner (expected collisions ≈ G²/2⁶⁵ —
+    * harmless to a ppm-scale curation score); keep the exact string
+    * rail for oracle-replayed queries.
+    *
     * @return (idCol, n_grams, n_novel, novelty_ppm) for docs with at
     *         least one n-gram */
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3, fastHash: Boolean = false): DataFrame = {
     require(n >= 1, "n must be >= 1")
+    val gramKey: Column => Column =
+      if (fastHash) g => xxhash64(g) else identity
     val grams = df
       .select(col(idCol).as("__d"),
         TextFunctions.tokens(col(textCol)).as("__t"))
@@ -1910,7 +1924,8 @@ object Insight {
           transform(sequence(lit(1), size(col("__t")) - (n - 1)),
             i => concat_ws(" ", slice(col("__t"), i, lit(n)))))
           .otherwise(array().cast("array<string>")).as("__gs"))
-      .select(col("__d"), explode(col("__gs")).as("__g"))
+      .select(col("__d"), explode(col("__gs")).as("__g0"))
+      .select(col("__d"), gramKey(col("__g0")).as("__g"))
       .distinct()
     val owner = grams.groupBy("__g").agg(min("__d").as("__own"))
     grams.join(owner, "__g")

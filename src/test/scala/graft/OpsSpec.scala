@@ -3855,6 +3855,57 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() <= uncapped.count())
   }
 
+  test("winnow fastHash tier: same planted pair set as the md5 rail") {
+    // 30 docs of LCG-distinct filler + 6 planted copy pairs each
+    // sharing a 12-word run (>= w+k-1): BOTH hash tiers must shortlist
+    // exactly the planted pairs — winnowing's span guarantee is
+    // hash-agnostic, only the print VALUES differ (r12 ask #2 contract)
+    var x = 7L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
+    def words(n: Int): String =
+      Seq.fill(n)(s"w${nxt() % 100000}").mkString(" ")
+    val runs = (0 until 6).map(i => s"run$i " + words(11))
+    val docs = ((0 until 6).flatMap { i =>
+      Seq((2L * i, s"${words(8)} ${runs(i)} ${words(8)}"),
+        (2L * i + 1, s"${words(9)} ${runs(i)} ${words(7)}"))
+    } ++ (100L until 118L).map(i => (i, words(26)))).toDF("doc_id", "text")
+    val planted = (0 until 6).map(i => (2L * i, 2L * i + 1)).toSet
+    def pairSet(fast: Boolean) =
+      Dedup.winnowPairs(docs, "text", "doc_id", k = 3, w = 4,
+          minShared = 2, dfCap = 64, fastHash = fast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slow = pairSet(fast = false)
+    val fast = pairSet(fast = true)
+    assert(slow == planted, s"md5 tier: $slow")
+    assert(fast == planted, s"xxhash tier: $fast")
+    // incremental path honors the tier: a fast index probed by a fast
+    // batch finds the planted frontier pair
+    val hist = docs.filter(col("doc_id") % 2 === 0 || col("doc_id") >= 100)
+    val batch = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 100)
+    val idx = Dedup.winnowIndex(hist, "text", "doc_id", fastHash = true)
+    val inc = Dedup.incrementalWinnowPairs(batch, "text", "doc_id", idx,
+        minShared = 2, fastHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == planted.map { case (a, b) => (b, a) }, s"inc=$inc")
+  }
+
+  test("ngramNovelty fastHash equals the string rail at test scale") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta fresh tokens here"),
+      (3L, "entirely new material with no reuse at all"))
+      .toDF("doc_id", "text")
+    def run(fast: Boolean) =
+      graft.ops.Insight.ngramNovelty(docs, "text", "doc_id", n = 3,
+          fastHash = fast)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // no 64-bit collisions at this scale -> bit-identical output
+    assert(run(fast = false) == run(fast = true))
+    assert(run(fast = true).exists { case (id, _, _, ppm) =>
+      id == 3L && ppm == 1000000L })
+  }
+
   test("incrementalWinnowPairs: frontier only, equals batch-vs-history slice") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val hist = Seq(
