@@ -401,6 +401,100 @@ object Importance {
     score(col(textCol)).cast("struct<n_grams:long,ppl:double>")
   }
 
+  /** An interpolated Kneser–Ney TRIGRAM model backing off through the
+    * shipped [[KnBigramModel]] (r13 ask #5 — the CCNet-class filter
+    * tier between the bigram rail and a full 5-gram KenLM):
+    *
+    *   P(w3|w1 w2) = (max(c(w1w2w3) − D, 0) + D · N1+(w1w2 •)
+    *                  · P_bi(w3|w2)) / c(w1 w2)
+    *                       when c(w1 w2) > 0 and N1+(w1w2 •) > 0
+    *               = P_bi(w3|w2)    otherwise
+    *
+    * with D = 0.75 (dyadic) and P_bi the EXACT bigram estimator above
+    * — a documented deviation from textbook modified-KN, which would
+    * use continuation bigram counts at the middle layer; routing the
+    * discounted mass through the already-proven bigram tier keeps
+    * every term an integer count or the bigram expression, so the
+    * whole three-layer score replays in SQL bit-comparably after the
+    * same 6-dp per-gram round. Counts come from the same bounded
+    * lowest-id sample as the bigram tier (one pass builds both). */
+  final case class KnTrigramModel(bi: KnBigramModel,
+                                  tri: Map[String, Long],
+                                  n1tri: Map[String, Int]) {
+    /** Interpolated-KN trigram probability; always in (0, 1]. */
+    def prob(w1: String, w2: String, w3: String): Double = {
+      val c12 = bi.big.getOrElse(w1 + " " + w2, 0L)
+      val nft = n1tri.getOrElse(w1 + " " + w2, 0)
+      val pb = bi.prob(w2, w3)
+      if (c12 == 0L || nft == 0) pb
+      else {
+        val c3 = tri.getOrElse(w1 + " " + w2 + " " + w3, 0L)
+        (math.max(c3 - 0.75, 0.0) + 0.75 * nft * pb) / c12
+      }
+    }
+  }
+
+  /** Train a [[KnTrigramModel]] (and its embedded bigram tier) on the
+    * `sampleN` lowest-id documents — the [[trainKnBigram]] bounded
+    * deterministic sample, one extra counting pass for trigrams. */
+  def trainKnTrigram(df: DataFrame, textCol: String, idCol: String,
+                     sampleN: Int = 2048): KnTrigramModel = {
+    val bi = trainKnBigram(df, textCol, idCol, sampleN)
+    val texts = df.orderBy(col(idCol)).limit(sampleN)
+      .select(col(textCol).cast("string")).collect()
+      .map(_.getString(0)).filter(_ != null)
+    val tri = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach { t =>
+      val toks = TextFunctions.tokensJvm(t)
+      var i = 0
+      while (i + 3 <= toks.length) {
+        val k = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        tri.update(k, tri.getOrElse(k, 0L) + 1L)
+        i += 1
+      }
+    }
+    val n1tri = scala.collection.mutable.HashMap.empty[String, Int]
+    tri.keysIterator.foreach { k =>
+      val ctx = k.substring(0, k.lastIndexOf(' '))
+      n1tri.update(ctx, n1tri.getOrElse(ctx, 0) + 1)
+    }
+    KnTrigramModel(bi, tri.toMap, n1tri.toMap)
+  }
+
+  /** SHUFFLE-FREE per-row trigram-KN perplexity — the
+    * [[knPerplexityCol]] shape one order up: per-trigram log-probs
+    * rounded to 6 dp, BigDecimal-accumulated (exact, order-free), ppl
+    * NULL for docs with < 3 tokens. Returns struct (n_grams, ppl). */
+  def knPerplexity3Col(df: DataFrame, textCol: String,
+                       model: KnTrigramModel): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val score = udf { (text: String) =>
+      if (text == null) (0L, None: Option[Double])
+      else {
+        val m = bc.value
+        val toks = TextFunctions.tokensJvm(text)
+        var i = 0
+        var cnt = 0L
+        var sum = java.math.BigDecimal.ZERO
+        while (i + 3 <= toks.length) {
+          val lnp = java.math.BigDecimal
+            .valueOf(math.log(m.prob(toks(i), toks(i + 1), toks(i + 2))))
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+          sum = sum.add(lnp)
+          cnt += 1
+          i += 1
+        }
+        if (cnt == 0) (0L, None: Option[Double])
+        else {
+          val ppl = math.exp(-(sum.doubleValue / cnt))
+          (cnt, Some(java.math.BigDecimal.valueOf(ppl)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue))
+        }
+      }
+    }
+    score(col(textCol)).cast("struct<n_grams:long,ppl:double>")
+  }
+
   /** Gumbel top-`topN` importance resample: key = logw + Gumbel(md5(id))
     * — sampling without replacement proportional to w, derandomized via
     * the stable uniform u = (h + 0.5)/2^32 (exact, endpoint-free).

@@ -223,6 +223,140 @@ private[graft] object SampleQueries {
       |  round(exp(-(CAST(sc.s AS DOUBLE) / sc.n_grams)), 6) AS ppl
       |FROM documents LEFT JOIN sc ON documents.doc_id = sc.doc_id""".stripMargin
 
+  /** Trigram Kneser–Ney perplexity (see [[Importance.trainKnTrigram]]):
+    * same en-512 lowest-id training sample as `text_perplexity_kn`,
+    * one order up with backoff through the EXACT bigram tier — the
+    * oracle replays all three probability layers (continuation →
+    * bigram → trigram) literally, per-gram ln rounded to 6 dp. */
+  private[graft] def qTextPerplexityKn3(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val model = Importance.trainKnTrigram(
+      d.filter(col("lang") === "en"), "text", "doc_id", sampleN = 512)
+    d.select(col("doc_id"),
+        Importance.knPerplexity3Col(d, "text", model).as("s"))
+      .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+        col("s.ppl").as("ppl"))
+  }
+
+  /** Shared oracle CTE block for the trigram-KN score: model counts
+    * from the en-512 sample, per-trigram three-layer probability `p`
+    * per corpus trigram occurrence (doc_id, lnp). */
+  private val oKn3Ctes =
+    s"""d AS (SELECT doc_id, lang, $oToks AS t FROM documents),
+      |samp AS MATERIALIZED (SELECT t FROM d WHERE lang = 'en'
+      |  ORDER BY doc_id LIMIT 512),
+      |uni AS (SELECT w, count(*) AS c1 FROM
+      |  (SELECT unnest(t) AS w FROM samp) GROUP BY w),
+      |big AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM
+      |  (SELECT t[i] AS w1, t[i + 1] AS w2 FROM samp,
+      |    unnest(generate_series(1, len(t) - 1)) AS s(i)
+      |   WHERE len(t) >= 2) GROUP BY w1, w2),
+      |tri AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c3 FROM
+      |  (SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM samp,
+      |    unnest(generate_series(1, len(t) - 2)) AS s(i)
+      |   WHERE len(t) >= 3) GROUP BY w1, w2, w3),
+      |n1f AS (SELECT w1, count(*) AS nf FROM big GROUP BY w1),
+      |n1b AS (SELECT w2, count(*) AS nb FROM big GROUP BY w2),
+      |n1t AS (SELECT w1, w2, count(*) AS nft FROM tri GROUP BY w1, w2),
+      |tot AS (SELECT (SELECT count(*) FROM big) AS b,
+      |  (SELECT count(*) FROM uni) AS v),
+      |cb AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      |  FROM d, unnest(generate_series(1, len(t) - 2)) AS s(i)
+      |  WHERE len(t) >= 3),
+      |comp AS (SELECT cb.doc_id,
+      |    CAST(COALESCE(n1b.nb, 0) + 1 AS DOUBLE) /
+      |      CAST(tot.b + tot.v + 1 AS DOUBLE) AS pc,
+      |    u2.c1 AS c1b, bg23.c2 AS c2b, n1f.nf AS nfb,
+      |    bg12.c2 AS c12, n1t.nft AS nft, tri.c3 AS c3
+      |  FROM cb CROSS JOIN tot
+      |  LEFT JOIN uni u2 ON cb.w2 = u2.w
+      |  LEFT JOIN big bg23 ON cb.w2 = bg23.w1 AND cb.w3 = bg23.w2
+      |  LEFT JOIN n1f ON cb.w2 = n1f.w1
+      |  LEFT JOIN n1b ON cb.w3 = n1b.w2
+      |  LEFT JOIN big bg12 ON cb.w1 = bg12.w1 AND cb.w2 = bg12.w2
+      |  LEFT JOIN n1t ON cb.w1 = n1t.w1 AND cb.w2 = n1t.w2
+      |  LEFT JOIN tri ON cb.w1 = tri.w1 AND cb.w2 = tri.w2
+      |    AND cb.w3 = tri.w3),
+      |pbb AS (SELECT doc_id,
+      |    CASE WHEN c1b IS NULL OR nfb IS NULL THEN pc
+      |      ELSE (GREATEST(CAST(COALESCE(c2b, 0) AS DOUBLE) - 0.75, 0.0)
+      |        + 0.75 * CAST(nfb AS DOUBLE) * pc)
+      |        / CAST(c1b AS DOUBLE) END AS pb,
+      |    c12, nft, c3
+      |  FROM comp),
+      |lp3 AS (SELECT doc_id, CAST(round(ln(
+      |    CASE WHEN c12 IS NULL OR nft IS NULL THEN pb
+      |      ELSE (GREATEST(CAST(COALESCE(c3, 0) AS DOUBLE) - 0.75, 0.0)
+      |        + 0.75 * CAST(nft AS DOUBLE) * pb)
+      |        / CAST(c12 AS DOUBLE) END), 6) AS DECIMAL(18,6)) AS lnp
+      |  FROM pbb),
+      |sc3 AS (SELECT doc_id, count(*) AS n_grams, sum(lnp) AS s
+      |  FROM lp3 GROUP BY doc_id)""".stripMargin
+
+  private[graft] val oTextPerplexityKn3 =
+    s"""WITH $oKn3Ctes
+      |SELECT documents.doc_id,
+      |  CAST(COALESCE(sc3.n_grams, 0) AS BIGINT) AS n_grams,
+      |  round(exp(-(CAST(sc3.s AS DOUBLE) / sc3.n_grams)), 6) AS ppl
+      |FROM documents LEFT JOIN sc3 ON documents.doc_id = sc3.doc_id""".stripMargin
+
+  /** Bigram-vs-trigram divergence row (the r13 ask's comparison leg):
+    * per-doc ppls from BOTH KN tiers (same en-512 sample), micro-unit
+    * floored, one integer-exact aggregate over docs scoreable by both —
+    * n_docs, how many the trigram model fits strictly better, and the
+    * two ppl sums (mean = sum div n in the reader). */
+  private[graft] def qTextKnDivergence(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val en = d.filter(col("lang") === "en")
+    val m3 = Importance.trainKnTrigram(en, "text", "doc_id", sampleN = 512)
+    val scored = d.select(col("doc_id"),
+        Importance.knPerplexityCol(d, "text", m3.bi).as("s2"),
+        Importance.knPerplexity3Col(d, "text", m3).as("s3"))
+      .filter(col("s2.ppl").isNotNull && col("s3.ppl").isNotNull)
+      .select(
+        expr("CAST(floor(s2.ppl * 1000000 + 0.5) AS BIGINT)").as("p2"),
+        expr("CAST(floor(s3.ppl * 1000000 + 0.5) AS BIGINT)").as("p3"))
+    scored.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("p3") < col("p2"), 1L).otherwise(0L)).as("n_kn3_better"),
+      sum("p2").as("sum_ppl2_micro"),
+      sum("p3").as("sum_ppl3_micro"))
+  }
+
+  private[graft] val oTextKnDivergence =
+    s"""WITH $oKn3Ctes,
+      |cb2 AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM d,
+      |  unnest(generate_series(1, len(t) - 1)) AS s(i)
+      |  WHERE len(t) >= 2),
+      |comp2 AS (SELECT cb2.doc_id,
+      |    CAST(COALESCE(n1b.nb, 0) + 1 AS DOUBLE) /
+      |      CAST(tot.b + tot.v + 1 AS DOUBLE) AS pc,
+      |    uni.c1, big.c2, n1f.nf
+      |  FROM cb2 CROSS JOIN tot
+      |  LEFT JOIN uni ON cb2.w1 = uni.w
+      |  LEFT JOIN big ON cb2.w1 = big.w1 AND cb2.w2 = big.w2
+      |  LEFT JOIN n1f ON cb2.w1 = n1f.w1
+      |  LEFT JOIN n1b ON cb2.w2 = n1b.w2),
+      |lp2 AS (SELECT doc_id, CAST(round(ln(
+      |    CASE WHEN c1 IS NULL OR nf IS NULL THEN pc
+      |      ELSE (GREATEST(CAST(COALESCE(c2, 0) AS DOUBLE) - 0.75, 0.0)
+      |        + 0.75 * CAST(nf AS DOUBLE) * pc)
+      |        / CAST(c1 AS DOUBLE) END), 6) AS DECIMAL(18,6)) AS lnp
+      |  FROM comp2),
+      |sc2 AS (SELECT doc_id, count(*) AS n2, sum(lnp) AS s2
+      |  FROM lp2 GROUP BY doc_id),
+      |paired AS (SELECT
+      |    CAST(floor(round(exp(-(CAST(sc2.s2 AS DOUBLE) / sc2.n2)), 6)
+      |      * 1000000 + 0.5) AS BIGINT) AS p2,
+      |    CAST(floor(round(exp(-(CAST(sc3.s AS DOUBLE) / sc3.n_grams)), 6)
+      |      * 1000000 + 0.5) AS BIGINT) AS p3
+      |  FROM sc2 JOIN sc3 ON sc2.doc_id = sc3.doc_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(coalesce(sum(CASE WHEN p3 < p2 THEN 1 END), 0) AS BIGINT)
+      |    AS n_kn3_better,
+      |  CAST(sum(p2) AS BIGINT) AS sum_ppl2_micro,
+      |  CAST(sum(p3) AS BIGINT) AS sum_ppl3_micro
+      |FROM paired""".stripMargin
+
   // =====================================================================
   // Interval (range) join
   // =====================================================================
@@ -1009,6 +1143,8 @@ private[graft] object SampleQueries {
     "sample_dsir" -> (qSampleDsir _),
     "text_perplexity" -> (qTextPerplexity _),
     "text_perplexity_kn" -> (qTextPerplexityKn _),
+    "text_perplexity_kn3" -> (qTextPerplexityKn3 _),
+    "text_kn_divergence" -> (qTextKnDivergence _),
     "join_pivot" -> (qJoinPivot _),
     "join_bloom" -> (qJoinBloom _),
     "sample_mixture" -> (qSampleMixture _),
@@ -1047,6 +1183,8 @@ private[graft] object SampleQueries {
     "sample_dsir" -> oSampleDsir,
     "text_perplexity" -> oTextPerplexity,
     "text_perplexity_kn" -> oTextPerplexityKn,
+    "text_perplexity_kn3" -> oTextPerplexityKn3,
+    "text_kn_divergence" -> oTextKnDivergence,
     "join_pivot" -> oJoinPivot,
     "join_bloom" -> oJoinBloom,
     "sample_mixture" -> oSampleMixture,

@@ -744,6 +744,97 @@ object StreamingOps {
     spark.read.parquet(s"$snapshotDir/v$v")
   }
 
+  /** Streaming IVF index upsert — the live ingest leg of
+    * [[graft.ops.Similarity.ivfIndexUpsert]] (r12 ask #6): each
+    * micro-batch of vectors is assigned under the PERSISTED FROZEN
+    * quantizer (centroids trained once by
+    * [[graft.ops.Similarity.ivfIndexSave]] — a live stream never moves
+    * cells, the standard IVF ingest contract) and appended to the
+    * index, so [[graft.ops.Similarity.ivfTopKIndexed]] queries see new
+    * vectors one micro-batch after arrival without any re-read of
+    * history.
+    *
+    * Exactly-once under retries: plain `mode("append")` would
+    * duplicate rows when foreachBatch re-delivers a batch after a
+    * partial write, so each batch writes its OWN directory
+    * `stream_assign/b=<batchId>` with overwrite (a retry clobbers the
+    * orphan) and then advances the `_stream_latest` high-water marker
+    * — the [[changelogSink]] commit-point layout on an append-only
+    * index. Batches at-or-below the marker are skipped.
+    *
+    * First-write-wins id dedup (the batch upsert's contract): arriving
+    * ids already present in the base index or any COMMITTED stream
+    * batch are dropped via an id-only anti-join (the existing-id scan
+    * reads one column; at 100 TB the id projection is the only part of
+    * the index the ingest path touches). Ids duplicated WITHIN one
+    * micro-batch keep both rows, exactly like the batch twin — dedup
+    * upstream if sources can repeat inside a batch.
+    *
+    * Usage: `vecs.writeStream.foreachBatch(
+    *   ivfUpsertSink(indexPath, "vec", "id")).start()`; read the full
+    * index body with [[ivfStreamAssigns]] and query it with
+    * `ivfTopKIndexed(ivfStreamAssigns(spark, path),
+    * ivfCentroidsLoad(spark, path), …)`. Stream ≡ batch: the committed
+    * assignments equal ivfAssign of the same rows under the same
+    * centroids (spec-pinned across micro-batches). */
+  def ivfUpsertSink(indexPath: String, vecCol: String, idCol: String)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val spark = batch.sparkSession
+    // path.getFileSystem, not FileSystem.get — the marker must live on
+    // indexPath's own scheme (the pcaStateSink/changelogSink pattern)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_stream_latest")
+    val current: Option[Long] =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+        finally in.close()
+      } else None
+    if (current.forall(_ < batchId)) {
+      val cents = graft.ops.Similarity.ivfCentroidsLoad(spark, indexPath)
+      val existing = ivfStreamAssigns(spark, indexPath).select("id")
+      val fresh = batch.join(existing,
+        batch(idCol) === existing("id"), "left_anti")
+      graft.ops.Similarity.ivfAssign(fresh, vecCol, idCol, cents)
+        .write.mode("overwrite")
+        .parquet(s"$indexPath/stream_assign/b=$batchId")
+      val out = fs.create(marker, true)
+      try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The full IVF index body (cid, id, vec) as of the last COMMITTED
+    * stream batch: the base [[graft.ops.Similarity.ivfIndexSave]]
+    * assignments plus every `stream_assign/b=*` directory at-or-below
+    * the high-water marker (uncommitted orphans from a crashed batch
+    * are invisible until their retry commits). */
+  def ivfStreamAssigns(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(s"$indexPath/assign")
+      .select("cid", "id", "cv")
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_stream_latest")
+    if (!fs.exists(marker)) base
+    else {
+      val in = fs.open(marker)
+      val hw = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      val dir = new org.apache.hadoop.fs.Path(indexPath, "stream_assign")
+      val committed =
+        if (!fs.exists(dir)) Seq.empty[String]
+        else fs.listStatus(dir).toSeq
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("b=") &&
+            p.getName.stripPrefix("b=").toLong <= hw)
+          .map(_.toString)
+      if (committed.isEmpty) base
+      else base.unionAll(
+        spark.read.parquet(committed: _*).select("cid", "id", "cv"))
+    }
+  }
+
   /** STREAM-STREAM interval join (attribution: "right events with the
     * same key within [leftTs − beforeSec, leftTs + afterSec]") — the
     * join Structured Streaming supports only when BOTH sides carry
@@ -790,6 +881,9 @@ object StreamingOps {
   /** One user event as consumed by the sessionizer. */
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String,
                              value: Double)
+
+  /** One arriving vector for the [[ivfUpsertSink]] ingest leg. */
+  final case class VecUpsert(id: Long, vec: Seq[Float])
 
   /** A closed (or force-flushed) session. */
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,

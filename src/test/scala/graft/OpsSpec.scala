@@ -995,6 +995,44 @@ class OpsSpec extends SparkSpec {
     assert(diff == 0L, "reloaded KN model must score bit-identically")
   }
 
+  test("kn trigram model: hand counts, backoff chain, planted-fit ordering") {
+    // sample "a b c a b c d": tri "a b c":2, "b c a":1, "c a b":1,
+    // "b c d":1; contexts N1+("a b" •)=1, N1+("b c" •)=2, N1+("c a" •)=1
+    val train = Seq((0L, "a b c a b c d")).toDF("id", "text")
+    val m = Importance.trainKnTrigram(train, "text", "id", sampleN = 10)
+    assert(m.tri == Map("a b c" -> 2L, "b c a" -> 1L, "c a b" -> 1L,
+      "b c d" -> 1L))
+    assert(m.n1tri == Map("a b" -> 1, "b c" -> 2, "c a" -> 1))
+    // full trigram path: c12 = c("a b") = 2, nft = 1
+    val pb = m.bi.prob("b", "c")
+    assert(m.prob("a", "b", "c") ==
+      (math.max(2 - 0.75, 0.0) + 0.75 * 1 * pb) / 2.0)
+    // seen context, unseen continuation: discount mass through pb
+    assert(m.prob("a", "b", "zz") == (0.75 * 1 * m.bi.prob("b", "zz")) / 2.0)
+    // unseen context backs off to the bigram tier exactly
+    assert(m.prob("zz", "b", "c") == m.bi.prob("b", "c"))
+    // probabilities stay probabilities across the grid
+    for (w1 <- Seq("a", "b", "zz"); w2 <- Seq("b", "c", "zz");
+         w3 <- Seq("c", "d", "zz")) {
+      val p = m.prob(w1, w2, w3)
+      assert(p > 0.0 && p <= 1.0, s"p($w1 $w2 $w3)=$p")
+    }
+    // planted fit: a doc REPEATING the training phrase scores lower
+    // trigram-ppl than shuffled words; short docs (< 3 tokens) NULL
+    val corpus = Seq((0L, "a b c a b c d a b c"),
+      (1L, "d a c b d c a b d"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = corpus.select(col("doc_id"),
+        Importance.knPerplexity3Col(corpus, "text", m).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getStruct(1).getLong(0),
+        if (r.getStruct(1).isNullAt(1)) Double.NaN
+        else r.getStruct(1).getDouble(1))).toMap
+    assert(out(0)._2 < out(1)._2, s"$out")
+    assert(out(2)._1 == 0L && out(2)._2.isNaN)
+    // determinism: retrain is bit-equal (lowest-id sample, no RNG)
+    assert(Importance.trainKnTrigram(train, "text", "id", sampleN = 10) == m)
+  }
+
   test("wordpiece: greedy longest-match, UNK fallback, round-trip") {
     val vocab = Seq(Tokenize.Unk, "un", "##able", "##b", "able", "a")
     val d = Seq((0L, "unable able"), (1L, "ab"), (2L, "zzz able"),

@@ -80,6 +80,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IVF upsert sink: stream assignments equal the batch twin; retries no-op") {
+    implicit val ctx = spark.sqlContext
+    import graft.ops.Similarity
+    import graft.streaming.StreamingOps.VecUpsert
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfstream").toString
+    def mkVec(i: Long): Seq[Float] =
+      Seq.tabulate(4)(d => (math.sin(i * 13 + d * 7) +
+        (if (i % 4 == d) 2.0 else 0.0)).toFloat)
+    val all = (0L until 40L).map(i => VecUpsert(i, mkVec(i)))
+    val (baseRows, streamRows) = all.splitAt(20)
+    // base index: frozen quantizer + first 20 vectors
+    Similarity.ivfIndexSave(baseRows.toDF("id", "vec"), "vec", "id",
+      path, ncentroids = 4)
+    val cents = Similarity.ivfCentroidsLoad(spark, path)
+    // live leg: two micro-batches, each smuggling an already-known id
+    val input = MemoryStream[VecUpsert]
+    val q = input.toDF().writeStream
+      .foreachBatch(graft.streaming.StreamingOps.ivfUpsertSink(
+        path, "vec", "id"))
+      .start()
+    try {
+      input.addData(streamRows.take(10) :+ VecUpsert(5L, mkVec(5)): _*)
+      q.processAllAvailable()
+      input.addData(streamRows.drop(10) :+ VecUpsert(25L, mkVec(25)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def assignSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val streamed = graft.streaming.StreamingOps.ivfStreamAssigns(spark, path)
+    // batch twin: same 40 rows, same frozen centroids
+    val batchTwin = spark.read.parquet(s"$path/assign")
+      .select("cid", "id", "cv")
+      .unionAll(Similarity.ivfAssign(streamRows.toDF("id", "vec"),
+        "vec", "id", cents))
+    assert(assignSet(streamed) == assignSet(batchTwin))
+    assert(streamed.count() == 40) // duplicate-id rows dropped
+    // retry of a committed batch id must be a no-op (exactly-once)
+    graft.streaming.StreamingOps.ivfUpsertSink(path, "vec", "id")(
+      streamRows.take(10).toDF("id", "vec"), 0L)
+    assert(graft.streaming.StreamingOps.ivfStreamAssigns(spark, path).count() == 40)
+    // query parity through the probed search
+    val queries = Seq(VecUpsert(100L, mkVec(3)), VecUpsert(101L, mkVec(27)))
+      .toDF("id", "vec")
+    def topk(assign: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKIndexed(assign, cents, queries, "vec", "id",
+          k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    assert(topk(streamed) == topk(batchTwin))
+  }
+
   test("streaming pivot emits the batch cross-tab per closed window") {
     implicit val ctx = spark.sqlContext
     val spec = graft.pivot.PivotSpec.parse("user_id", "event_type=click,view",
