@@ -548,10 +548,73 @@ object Diff {
   private[graft] def geometricNoiseSql(keyCol: String,
                                        eps: Double): String = {
     val (kMax, ts) = geometricThresholds(eps)
+    thresholdNoiseSql(keyCol, kMax, ts)
+  }
+
+  /** Shared inverse-CDF CASE builder over any precomputed 2³²-scaled
+    * threshold table (geometric and discrete-Gaussian mechanisms). */
+  private def thresholdNoiseSql(keyCol: String, kMax: Int,
+                                ts: Array[Long]): String = {
     val u = s"CAST(conv(substring(md5($keyCol), 1, 8), 16, 10) AS BIGINT)"
     val cases = ts.zipWithIndex.map { case (t, i) =>
       s"WHEN $u < ${t}L THEN ${i - kMax}L"
     }.mkString(" ")
     s"CASE $cases ELSE ${kMax}L END"
+  }
+
+  /** Cumulative CDF thresholds of the DISCRETE GAUSSIAN
+    * P(X = k) ∝ exp(−k²/(2σ²)) scaled to 2³² — the
+    * [[geometricThresholds]] rail with the second mechanism every
+    * production DP stack ships (Canonne–Kamath–Steinke 2020: the
+    * discrete Gaussian with parameter σ satisfies ρ-zCDP with
+    * ρ = 1/(2σ²) for sensitivity-1 counts, hence (ε, δ)-DP with
+    * ε = ρ + 2√(ρ·ln(1/δ)) for every δ — tighter multi-release
+    * composition than the pure-ε geometric). exp is transcendental, so
+    * thresholds are computed HERE once and inlined as integer
+    * literals into operator and oracle alike.
+    *
+    * Tail: |X| > K collapses into ±K with K = ⌈σ·√(66·ln 2)⌉ ≈ 6.77σ,
+    * which puts the collapsed mass below 2⁻³³ — invisible to the
+    * 32-bit lookup, so the stated zCDP guarantee holds exactly (the
+    * r13 geometric-cap lesson). The 256-branch CASE budget therefore
+    * REQUIRES σ ≤ 37.8; for larger σ widen the hash and re-derive.
+    *
+    * @return (K, thresholds for k = −K..K, ascending) */
+  private[graft] def gaussianThresholds(sigma: Double): (Int, Array[Long]) = {
+    require(sigma > 0, "sigma must be positive")
+    val kMax = math.max(1, math.ceil(sigma * math.sqrt(66 * math.log(2))).toInt)
+    require(kMax <= 256,
+      s"sigma=$sigma needs K=$kMax > 256 CASE branches: the 32-bit " +
+        "threshold table cannot hold the tail mass below 2^-33; widen " +
+        "the hash to support larger sigma")
+    val w = (-kMax to kMax).map(k =>
+      math.exp(-(k.toDouble * k) / (2 * sigma * sigma)))
+    val z = w.sum
+    var acc = 0.0
+    val ts = w.map { wi => acc += wi; math.floor(acc / z * 4294967296.0).toLong }
+      .toArray
+    (kMax, ts)
+  }
+
+  /** zCDP count release by the DISCRETE GAUSSIAN mechanism — the
+    * [[dpGeometricCounts]] shape (one map-side-combinable aggregate,
+    * [[dpNoiseKey]]-armed inverse-CDF noise, max(0, ·) clamp) with
+    * ρ = 1/(2σ²)-zCDP accounting instead of pure ε: the mechanism of
+    * choice when many releases compose (zCDP adds ρ linearly and
+    * converts to (ε, δ) once at the end). Same determinism caveat as
+    * the geometric release: production supplies a fresh salt per
+    * release and accounts the ρ budget.
+    *
+    * @return one row per group: the group columns + n_released */
+  def dpGaussianCounts(df: DataFrame, groupCols: Seq[String],
+                       sigma: Double, salt: String = "dpg"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val (kMax, ts) = gaussianThresholds(sigma)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__gkey", dpNoiseKey(salt, groupCols.map(col)))
+      .withColumn("__noise", expr(thresholdNoiseSql("__gkey", kMax, ts)))
+      .select(groupCols.map(col) :+
+        expr("greatest(0L, __n + __noise)").as("n_released"): _*)
   }
 }

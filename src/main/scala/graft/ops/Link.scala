@@ -362,6 +362,44 @@ object Link {
                       initU: Long = 100000L,
                       matchW: Long = 900000L,
                       reviewW: Long = 100000L): DataFrame = {
+    val (pat, model) = emFit(cands, agreeCols, iters, initP, initM, initU)
+    val (p, m, u) = (model.pMicro, model.mMicro.toArray, model.uMicro.toArray)
+    // final posterior as DECIMAL(38,0) expressions over the literals
+    val enriched = pat
+      .withColumn("w_micro", fsPosteriorExpr(model))
+      .withColumn("p_micro", lit(p))
+    val withParams = agreeCols.zipWithIndex.foldLeft(enriched) {
+      case (df, (c, i)) => df.withColumn(s"m_${c}_micro", lit(m(i)))
+        .withColumn(s"u_${c}_micro", lit(u(i)))
+    }
+    withParams.withColumn("decision",
+      when(col("w_micro") >= matchW, "match")
+        .when(col("w_micro") >= reviewW, "review")
+        .otherwise("nonmatch"))
+  }
+
+  /** The converged unsupervised Fellegi–Sunter parameters in micro
+    * units — the PERSISTABLE train-once artifact ([[saveFsModel]] /
+    * [[loadFsModel]], integer-exact round trip) that turns linkage
+    * into a stateless per-row score for rolling ingest
+    * ([[fsScoreRows]]; streaming gate in
+    * [[graft.streaming.StreamingOps.fsGateStream]]). */
+  final case class FsModel(agreeCols: Seq[String], pMicro: Long,
+                           mMicro: Seq[Long], uMicro: Seq[Long])
+
+  /** [[fellegiSunterEm]]'s estimation core, returning the converged
+    * [[FsModel]] (plus the checkpointed pattern frame the enriched
+    * table builds on). Same fixed-point micro-integer EM, same
+    * NULL-canonicalization and divisor clamps. */
+  def fellegiSunterEmModel(cands: DataFrame, agreeCols: Seq[String],
+                           iters: Int = 15, initP: Long = 100000L,
+                           initM: Long = 900000L,
+                           initU: Long = 100000L): FsModel =
+    emFit(cands, agreeCols, iters, initP, initM, initU)._2
+
+  private def emFit(cands: DataFrame, agreeCols: Seq[String],
+                    iters: Int, initP: Long, initM: Long,
+                    initU: Long): (DataFrame, FsModel) = {
     require(agreeCols.nonEmpty && agreeCols.size <= 16, "1..16 fields")
     val k = agreeCols.size
     val S = 1000000L
@@ -417,27 +455,70 @@ object Link {
         clamp(a * S / swc)
       }
     }
-    // final posterior as DECIMAL(38,0) expressions over the literals
+    (pat, FsModel(agreeCols, p, m.toSeq, u.toSeq))
+  }
+
+  /** The exact per-row posterior w_micro expression over an
+    * [[FsModel]]'s literal parameters: one DECIMAL(38,0) product
+    * quotient per row, NULL agreements reading as disagreement (the
+    * EM canonicalization — the CASE's ELSE branch). Stateless and
+    * shuffle-free, so the identical expression serves the batch
+    * backfill and the live gate (kappa). */
+  private def fsPosteriorExpr(model: FsModel): org.apache.spark.sql.Column = {
+    val S = 1000000L
     def dec(e: String) = s"CAST(($e) AS DECIMAL(38,0))"
-    val nmE = (dec(p.toString) +: agreeCols.zipWithIndex.map { case (c, i) =>
-      dec(s"CASE WHEN $c THEN ${m(i)}L ELSE ${S - m(i)}L END")
-    }).mkString(" * ")
-    val nuE = (dec((S - p).toString) +: agreeCols.zipWithIndex.map {
-      case (c, i) =>
-        dec(s"CASE WHEN $c THEN ${u(i)}L ELSE ${S - u(i)}L END")
-    }).mkString(" * ")
-    val enriched = pat
-      .withColumn("w_micro",
-        expr(s"CAST(($nmE) * ${S}L div (($nmE) + ($nuE)) AS BIGINT)"))
-      .withColumn("p_micro", lit(p))
-    val withParams = agreeCols.zipWithIndex.foldLeft(enriched) {
-      case (df, (c, i)) => df.withColumn(s"m_${c}_micro", lit(m(i)))
-        .withColumn(s"u_${c}_micro", lit(u(i)))
-    }
-    withParams.withColumn("decision",
-      when(col("w_micro") >= matchW, "match")
-        .when(col("w_micro") >= reviewW, "review")
-        .otherwise("nonmatch"))
+    val nmE = (dec(model.pMicro.toString) +:
+      model.agreeCols.zip(model.mMicro).map { case (c, mi) =>
+        dec(s"CASE WHEN $c THEN ${mi}L ELSE ${S - mi}L END")
+      }).mkString(" * ")
+    val nuE = (dec((S - model.pMicro).toString) +:
+      model.agreeCols.zip(model.uMicro).map { case (c, ui) =>
+        dec(s"CASE WHEN $c THEN ${ui}L ELSE ${S - ui}L END")
+      }).mkString(" * ")
+    expr(s"CAST(($nmE) * ${S}L div (($nmE) + ($nuE)) AS BIGINT)")
+  }
+
+  /** Score candidate rows under a trained [[FsModel]]: appends
+    * `w_micro` (posterior match probability, micro) and the three-way
+    * `decision`. A pure projection — no pattern table, no join, no
+    * state — which is what makes linkage usable on a rolling ingest:
+    * train once on a bounded batch ([[fellegiSunterEmModel]]),
+    * persist, reload at stream start, score every arriving pair
+    * (the quality-classifier-gate precedent). */
+  def fsScoreRows(cands: DataFrame, model: FsModel,
+                  matchW: Long = 900000L,
+                  reviewW: Long = 100000L): DataFrame =
+    cands.withColumn("w_micro", fsPosteriorExpr(model))
+      .withColumn("decision",
+        when(col("w_micro") >= matchW, "match")
+          .when(col("w_micro") >= reviewW, "review")
+          .otherwise("nonmatch"))
+
+  /** Persist an [[FsModel]] as one tiny parquet — integer micro
+    * counts, so load(save(m)) == m exactly (the saveKnBigram /
+    * classifier-weights persisted-model family). Rows: (i, field,
+    * p/m/u) with field order preserved by `i`. */
+  def saveFsModel(spark: org.apache.spark.sql.SparkSession,
+                  model: FsModel, path: String): Unit = {
+    import spark.implicits._
+    model.agreeCols.indices.map { i =>
+      (i, model.agreeCols(i), model.pMicro, model.mMicro(i),
+        model.uMicro(i))
+    }.toDF("i", "field", "p_micro", "m_micro", "u_micro")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted [[FsModel]] (k-row collect). */
+  def loadFsModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): FsModel = {
+    val rows = spark.read.parquet(path)
+      .orderBy("i").collect()
+    require(rows.nonEmpty, s"no FS model at $path")
+    FsModel(
+      agreeCols = rows.map(_.getString(1)).toSeq,
+      pMicro = rows.head.getLong(2),
+      mMicro = rows.map(_.getLong(3)).toSeq,
+      uMicro = rows.map(_.getLong(4)).toSeq)
   }
 
   /** Per-pair Fellegi–Sunter scores: the pattern table above broadcast

@@ -856,6 +856,33 @@ private[graft] object WebQueries {
       |FROM g""".stripMargin
   }
 
+  /** Discrete-Gaussian zCDP histogram release (see
+    * [[Diff.dpGaussianCounts]], σ = 2 → ρ = 1/8-zCDP) — the second
+    * mechanism on the precomputed-threshold rail: same per-field-hashed
+    * noise key, same 2³²-scaled integer inverse-CDF inlined into BOTH
+    * engines, different distribution. */
+  private[graft] def qDatasetDpCountsGauss(s: SparkSession,
+                                           dir: String): DataFrame =
+    Diff.dpGaussianCounts(t(s, dir, "documents"),
+      Seq("lang", "source"), sigma = 2.0)
+
+  private[graft] val oDatasetDpCountsGauss = {
+    val (kMax, ts) = Diff.gaussianThresholds(2.0)
+    val u = "('0x' || substr(md5('dpg:' ||" +
+      " coalesce(md5(CAST(lang AS VARCHAR)), 'NULL') || ':' ||" +
+      " coalesce(md5(CAST(source AS VARCHAR)), 'NULL')), 1, 8))::BIGINT"
+    val cases = ts.zipWithIndex.map { case (t, i) =>
+      s"WHEN $u < $t THEN ${i - kMax}"
+    }.mkString("\n      |    ")
+    s"""WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang, source,
+      |  greatest(0, n + CASE
+      |    $cases
+      |    ELSE $kMax END) AS n_released
+      |FROM g""".stripMargin
+  }
+
   /** T-CLOSENESS audit (see [[Diff.tCloseness]]) completing the
     * release-screen trio next to `dataset_kanonymity` and
     * `dataset_ldiversity`: the sensitive attribute is account balance
@@ -1609,16 +1636,23 @@ private[graft] object WebQueries {
        |FROM scored""".stripMargin
   }
 
-  private[graft] val oLinkFsEm = {
-    val S = "1000000"
+  private val oFsS = "1000000"
+  private def oFsNmNu(pre: String) = {
     def mt(a: String, p: String) =
-      s"(CASE WHEN $a THEN q.$p ELSE $S - q.$p END)"
-    def nmNu(pre: String) =
-      s"""q.p * ${mt(s"$pre.a_name", "m1")} * ${mt(s"$pre.a_seg", "m2")}
-         |      * ${mt(s"$pre.a_bal", "m3")} AS nm,
-         |    ($S - q.p) * ${mt(s"$pre.a_name", "u1")}
-         |      * ${mt(s"$pre.a_seg", "u2")}
-         |      * ${mt(s"$pre.a_bal", "u3")} AS nu""".stripMargin
+      s"(CASE WHEN $a THEN q.$p ELSE $oFsS - q.$p END)"
+    s"""q.p * ${mt(s"$pre.a_name", "m1")} * ${mt(s"$pre.a_seg", "m2")}
+       |      * ${mt(s"$pre.a_bal", "m3")} AS nm,
+       |    ($oFsS - q.p) * ${mt(s"$pre.a_name", "u1")}
+       |      * ${mt(s"$pre.a_seg", "u2")}
+       |      * ${mt(s"$pre.a_bal", "u3")} AS nu""".stripMargin
+  }
+
+  /** Shared oracle CTE chunk replaying [[Link.fellegiSunterEm]]'s 15
+    * fixed-point EM rounds over the planted candidates: defines `pat`
+    * and `par0`..`par15` (converged micro params in par15). Shared by
+    * the pattern-table oracle and the persisted-score twin. */
+  private val oFsEmCtes = {
+    val S = oFsS
     // greatest(1, ·) divisor guards mirror the operator's sw/swc
     // max(1) clamps (degenerate all-0/all-S posteriors)
     def mStep(a: String, out: String) =
@@ -1630,7 +1664,7 @@ private[graft] object WebQueries {
         s" * $S // greatest(1, sum(n * ($S - w))))) AS $out"
     def iter(t: Int): String =
       s"""e$t AS (SELECT p.a_name, p.a_seg, p.a_bal, p.n,
-         |    ${nmNu("p")}
+         |    ${oFsNmNu("p")}
          |  FROM pat p CROSS JOIN par${t - 1} q),
          |w$t AS (SELECT *, nm * $S // (nm + nu) AS w FROM e$t),
          |par$t AS (SELECT
@@ -1642,20 +1676,24 @@ private[graft] object WebQueries {
          |    ${uStep("a_seg", "u2")},
          |    ${uStep("a_bal", "u3")}
          |  FROM w$t)""".stripMargin
-    s"""WITH $oFsCandCtes,
-       |pat AS MATERIALIZED (SELECT a_name, a_seg, a_bal,
+    s"""pat AS MATERIALIZED (SELECT a_name, a_seg, a_bal,
        |  CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY 1, 2, 3),
        |par0 AS (SELECT CAST(100000 AS HUGEINT) AS p,
        |  CAST(900000 AS HUGEINT) AS m1, CAST(900000 AS HUGEINT) AS m2,
        |  CAST(900000 AS HUGEINT) AS m3, CAST(100000 AS HUGEINT) AS u1,
        |  CAST(100000 AS HUGEINT) AS u2, CAST(100000 AS HUGEINT) AS u3),
-       |${(1 to 15).map(iter).mkString(",\n")},
+       |${(1 to 15).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  private[graft] val oLinkFsEm =
+    s"""WITH $oFsCandCtes,
+       |$oFsEmCtes,
        |fin AS (SELECT p.a_name, p.a_seg, p.a_bal, p.n AS n_pairs,
-       |    ${nmNu("p")},
+       |    ${oFsNmNu("p")},
        |    q.p AS fp, q.m1 AS fm1, q.m2 AS fm2, q.m3 AS fm3,
        |    q.u1 AS fu1, q.u2 AS fu2, q.u3 AS fu3
        |  FROM pat p CROSS JOIN par15 q),
-       |post AS (SELECT *, nm * $S // (nm + nu) AS w FROM fin)
+       |post AS (SELECT *, nm * $oFsS // (nm + nu) AS w FROM fin)
        |SELECT a_name, a_seg, a_bal, n_pairs,
        |  CAST(w AS BIGINT) AS w_micro,
        |  CAST(fp AS BIGINT) AS p_micro,
@@ -1668,7 +1706,55 @@ private[graft] object WebQueries {
        |  CASE WHEN w >= 900000 THEN 'match'
        |    WHEN w >= 100000 THEN 'review' ELSE 'nonmatch' END AS decision
        |FROM post""".stripMargin
+
+  /** Persisted-model linkage scoring (see [[Link.fellegiSunterEmModel]]
+    * / [[Link.fsScoreRows]]): train EM on the planted candidates, save
+    * the micro-integer model, reload, score every candidate PAIR with
+    * both copies — the reload must be bit-exact (integer params), and
+    * the per-pair posterior is the same DECIMAL expression the oracle
+    * replays from its own converged par15. One aggregate row. */
+  private[graft] def qLinkFsScoreReload(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val cands = fsCands(s, dir).localCheckpoint(true) // train + score
+    val cols = Seq("a_name", "a_seg", "a_bal")
+    val model = Link.fellegiSunterEmModel(cands, cols)
+    val path = java.nio.file.Files
+      .createTempDirectory("fs_model").toString + "/model"
+    Link.saveFsModel(s, model, path)
+    val reloaded = Link.loadFsModel(s, path)
+    val scored = Link.fsScoreRows(cands, reloaded)
+    scored.agg(
+      count(lit(1)).as("n_pairs"),
+      // integer params round-trip parquet exactly — compared model-to-
+      // model (scores are a pure function of the params)
+      lit(reloaded == model).as("reload_exact"),
+      sum(when(col("decision") === "match", 1L).otherwise(0L))
+        .as("n_match"),
+      sum(when(col("decision") === "review", 1L).otherwise(0L))
+        .as("n_review"),
+      sum(when(col("decision") === "nonmatch", 1L).otherwise(0L))
+        .as("n_nonmatch"),
+      sum("w_micro").as("sum_w_micro"))
   }
+
+  private[graft] val oLinkFsScoreReload =
+    s"""WITH $oFsCandCtes,
+       |$oFsEmCtes,
+       |sc AS (SELECT
+       |    ${oFsNmNu("cand")}
+       |  FROM cand CROSS JOIN par15 q),
+       |w AS (SELECT CAST(nm * $oFsS // (nm + nu) AS BIGINT) AS w
+       |  FROM sc)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  true AS reload_exact,
+       |  CAST(coalesce(sum(CASE WHEN w >= 900000 THEN 1 END), 0)
+       |    AS BIGINT) AS n_match,
+       |  CAST(coalesce(sum(CASE WHEN w >= 100000 AND w < 900000 THEN 1
+       |    END), 0) AS BIGINT) AS n_review,
+       |  CAST(coalesce(sum(CASE WHEN w < 100000 THEN 1 END), 0)
+       |    AS BIGINT) AS n_nonmatch,
+       |  CAST(sum(w) AS BIGINT) AS sum_w_micro
+       |FROM w""".stripMargin
 
   /** Declarative data-quality gate over `documents`: five check kinds in
     * one aggregation pass; the oracle recomputes every metric and
@@ -2272,6 +2358,7 @@ private[graft] object WebQueries {
     "dataset_ri_audit" -> (qDatasetRiAudit _),
     "dataset_kanonymity" -> (qDatasetKanonymity _),
     "dataset_dp_counts" -> (qDatasetDpCounts _),
+    "dataset_dp_counts_gauss" -> (qDatasetDpCountsGauss _),
     "dataset_tcloseness" -> (qDatasetTcloseness _),
     "corpus_report" -> (qCorpusReport _),
     "export_jsonl" -> (qExportJsonl _),
@@ -2287,6 +2374,7 @@ private[graft] object WebQueries {
     "link_edit_join" -> (qLinkEditJoin _),
     "link_fellegi_sunter" -> (qLinkFellegiSunter _),
     "link_fs_em" -> (qLinkFsEm _),
+    "link_fs_score_reload" -> (qLinkFsScoreReload _),
     "link_jw_join" -> (qLinkJwJoin _),
     "quality_expect" -> (qQualityExpect _),
     "quality_expect_slice" -> (qQualityExpectSlice _),
@@ -2327,6 +2415,7 @@ private[graft] object WebQueries {
     "dataset_ri_audit" -> oDatasetRiAudit,
     "dataset_kanonymity" -> oDatasetKanonymity,
     "dataset_dp_counts" -> oDatasetDpCounts,
+    "dataset_dp_counts_gauss" -> oDatasetDpCountsGauss,
     "dataset_tcloseness" -> oDatasetTcloseness,
     "corpus_report" -> oCorpusReport,
     "export_jsonl" -> oExportJsonl,
@@ -2342,6 +2431,7 @@ private[graft] object WebQueries {
     "link_edit_join" -> oLinkEditJoin,
     "link_fellegi_sunter" -> oLinkFellegiSunter,
     "link_fs_em" -> oLinkFsEm,
+    "link_fs_score_reload" -> oLinkFsScoreReload,
     "link_jw_join" -> oLinkJwJoin,
     "quality_expect" -> oQualityExpect,
     "quality_expect_slice" -> oQualityExpectSlice,

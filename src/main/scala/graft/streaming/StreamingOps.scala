@@ -590,6 +590,24 @@ object StreamingOps {
       .filter(col("quality_score") >= minScore)
   }
 
+  /** Streaming Fellegi–Sunter linkage gate — the live-ingest leg of
+    * [[graft.ops.Link.fellegiSunterEm]] (r13 ask #6): score each
+    * arriving candidate pair's agreement pattern under a TRAINED
+    * persisted [[graft.ops.Link.FsModel]]
+    * ([[graft.ops.Link.loadFsModel]] at stream start) and admit only
+    * pairs at-or-above `minW` (review threshold by default; raise to
+    * the match threshold for auto-link). The posterior is one
+    * stateless DECIMAL projection over literal micro-integer
+    * parameters — no state store, no shuffle — so the identical
+    * expression serves batch backfill and the live path (kappa;
+    * stream≡batch spec-pinned). Train on a bounded clerical batch,
+    * never on the stream. Returns the input plus `w_micro` and
+    * `decision`, filtered. */
+  def fsGateStream(cands: DataFrame, model: graft.ops.Link.FsModel,
+                   minW: Long = 100000L): DataFrame =
+    graft.ops.Link.fsScoreRows(cands, model)
+      .filter(col("w_micro") >= minW)
+
   /** Streaming C4 cleaning gate — the live-ingest twin of the batch
     * line cleaner (`text_c4_clean`): clean each arriving document's
     * lines under the C4 rules and admit only documents passing the

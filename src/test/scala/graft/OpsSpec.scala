@@ -4278,6 +4278,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dpGaussianCounts: thresholds, determinism, clamp, sigma cap") {
+    import spark.implicits._
+    val (k, ts) = Diff.gaussianThresholds(2.0)
+    assert(k == math.ceil(2.0 * math.sqrt(66 * math.log(2))).toInt)
+    assert(ts.length == 2 * k + 1)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // symmetric around 0: P(X <= -1) ≈ 1 - P(X <= 0) to table resolution
+    val pNeg = ts(k - 1).toDouble / 4294967296.0
+    val pPos = 1.0 - ts(k).toDouble / 4294967296.0
+    assert(math.abs(pNeg - pPos) < 1e-6)
+    // central mass: |X| <= sigma holds ~68%+ (discrete >= continuous here)
+    val pCore = (ts(k + 2) - ts(k - 3)).toDouble / 4294967296.0
+    assert(pCore > 0.68, s"P(|X|<=2)=$pCore")
+    // mechanism: deterministic, nonnegative, within ±K of truth
+    val df = (1 to 300).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    val rel = Diff.dpGaussianCounts(df, Seq("g"), sigma = 2.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rel2 = Diff.dpGaussianCounts(df, Seq("g"), sigma = 2.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rel == rel2 && rel.size == 3)
+    assert(rel.values.forall(v => v >= 0 && math.abs(v - 100L) <= k))
+    // the 256-branch table cannot hold sigma > ~37.8 — REFUSE, never
+    // silently collapse real mass (the r13 geometric-cap lesson)
+    intercept[IllegalArgumentException] { Diff.gaussianThresholds(40.0) }
+    intercept[IllegalArgumentException] { Diff.gaussianThresholds(0.0) }
+  }
+
   test("incrementalScc ≡ from-scratch on a two-batch random digraph") {
     import spark.implicits._
     var x = 99L

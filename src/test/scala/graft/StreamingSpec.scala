@@ -80,6 +80,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FS linkage gate: stream scores equal the batch twin per pair") {
+    implicit val ctx = spark.sqlContext
+    import graft.ops.Link
+    // train on a bounded planted batch (never on the stream)
+    val train = Seq(
+      (true, true, true), (true, true, true), (true, true, false),
+      (false, false, false), (false, false, false), (false, true, false),
+      (false, false, true), (true, false, false))
+      .toDF("a1", "a2", "a3")
+    val model = Link.fellegiSunterEmModel(train, Seq("a1", "a2", "a3"))
+    // persisted round trip is exact (integer micro params)
+    val path = java.nio.file.Files
+      .createTempDirectory("fs_model").toString + "/m"
+    Link.saveFsModel(spark, model, path)
+    assert(Link.loadFsModel(spark, path) == model)
+    // live leg: MemoryStream of candidate patterns through the gate
+    val input = MemoryStream[(Long, Boolean, Boolean, Boolean)]
+    val q = StreamingOps.fsGateStream(
+        input.toDF().toDF("pair_id", "a1", "a2", "a3"), model, minW = 0L)
+      .writeStream.format("memory").queryName("fsg").outputMode("append")
+      .start()
+    val arriving = Seq((1L, true, true, true), (2L, false, false, false),
+      (3L, true, true, false), (4L, false, true, true))
+    try {
+      input.addData(arriving.take(2): _*)
+      q.processAllAvailable()
+      input.addData(arriving.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("fsg")
+        .select("pair_id", "w_micro", "decision")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      val batchTwin = Link.fsScoreRows(
+          arriving.toDF("pair_id", "a1", "a2", "a3"), model)
+        .select("pair_id", "w_micro", "decision")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(got == batchTwin && got.size == 4)
+      // the all-agree pair posterior must dominate the all-disagree one
+      val w = got.map(t => t._1 -> t._2).toMap
+      assert(w(1L) > w(2L))
+    } finally q.stop()
+  }
+
   test("IVF upsert sink: stream assignments equal the batch twin; retries no-op") {
     implicit val ctx = spark.sqlContext
     import graft.ops.Similarity
