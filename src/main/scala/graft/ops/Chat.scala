@@ -24,8 +24,14 @@ object Chat {
     * (idCol, turn_idx, role, content). Malformed JSON parses to null
     * and contributes no rows (from_json's PERMISSIVE contract). */
   def turns(df: DataFrame, convCol: String, idCol: String): DataFrame =
+    // posexplode_outer: the inferred size(...) > 0 filter would parse
+    // the conversation JSON a second time per row (r14 sweep); null
+    // turn ELEMENTS (a literal null in the JSON array) drop with the
+    // null-array rows, which the audit treats as malformed anyway
     df.select(col(idCol),
-      posexplode(from_json(col(convCol), turnSchema)).as(Seq("turn_idx", "t")))
+      posexplode_outer(from_json(col(convCol), turnSchema))
+        .as(Seq("turn_idx", "t")))
+      .filter(col("t").isNotNull)
       .select(col(idCol), col("turn_idx"),
         col("t.role").as("role"), col("t.content").as("content"))
 

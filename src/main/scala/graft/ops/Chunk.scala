@@ -39,8 +39,15 @@ object Chunk {
       transform(sequence(lit(0), nChunks - 1),
         i => slice(toks, i * stride + 1, lit(window))))
       .otherwise(array().cast("array<array<string>>"))
+    // posexplode_outer: the inferred size(chunks) > 0 filter would
+    // push below the tokens projection with the alias substituted and
+    // re-run the TOKENIZER once per chunk inside the interpreted
+    // transform lambda (the r14 winnow lesson); chunk elements are
+    // never null, so the outer variant + null drop is row-identical
     df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
-      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "ctoks")))
+      .select(col(idCol),
+        posexplode_outer(chunks).as(Seq("chunk_idx", "ctoks")))
+      .filter(col("ctoks").isNotNull)
       .select(col(idCol), col("chunk_idx"),
         size(col("ctoks")).as("n_tokens"),
         array_join(col("ctoks"), " ").as("chunk_text"))
@@ -68,7 +75,8 @@ object Chunk {
     val sents = regexp_extract_all(col(textCol),
       lit("[^.!?]+[.!?]+"), lit(0))
     val ex = df
-      .select(col(idCol), posexplode(sents).as(Seq("sidx", "sent")))
+      .select(col(idCol), posexplode_outer(sents).as(Seq("sidx", "sent")))
+      .filter(col("sent").isNotNull) // outer: skip the 2x regex re-scan
       .withColumn("stoks",
         regexp_count(col("sent"), lit("\\S+")).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
@@ -109,7 +117,8 @@ object Chunk {
     val sents = regexp_extract_all(col(textCol),
       lit("[^.!?]+[.!?]+"), lit(0))
     val ex = df
-      .select(col(idCol), posexplode(sents).as(Seq("sidx", "sent")))
+      .select(col(idCol), posexplode_outer(sents).as(Seq("sidx", "sent")))
+      .filter(col("sent").isNotNull) // outer: skip the 2x regex re-scan
       .withColumn("sidx", col("sidx").cast("long"))
       .withColumn("lang",
         TextFunctions.langId(col("sent")).getField("lang"))

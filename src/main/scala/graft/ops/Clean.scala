@@ -134,9 +134,12 @@ object Clean {
                        sep: String = "\n", minDocs: Int = 3): DataFrame = {
     require(!df.columns.contains("line"),
       "boilerplateLines: input already has a 'line' column")
+    // explode_outer: the inferred size() > 0 filter would re-split
+    // the full text per row (r14 sweep); split elements never null
     df.select(col(idCol),
-        explode(split(col(textCol),
+        explode_outer(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as("line"))
+      .filter(col("line").isNotNull)
       .groupBy("line")
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col(idCol)).as("n_docs"))
@@ -171,7 +174,9 @@ object Clean {
       "removeBoilerplate: input already has __rb_* columns")
     val q = java.util.regex.Pattern.quote(sep)
     val lines = df.select(col(idCol).as("__rb_id"),
-      posexplode(split(col(textCol), q)).as(Seq("__rb_pos", "__rb_line")))
+        posexplode_outer(split(col(textCol), q))
+          .as(Seq("__rb_pos", "__rb_line")))
+      .filter(col("__rb_line").isNotNull) // outer: no 2x re-split
     val kept = lines.join(broadcast(boilerplate.select(col("line"))),
       lines("__rb_line") === col("line"), "left_anti")
     val rebuilt = kept.groupBy("__rb_id")

@@ -151,9 +151,16 @@ object Cluster {
     // materialized once: the cell table feeds the size cap and both
     // self-join sides — the centroid-sort assignment expression would
     // otherwise run 4× per corpus row
+    // explode_outer: InferFiltersFromGenerate would add a
+    // size(assign) > 0 pre-filter that evaluates the FULL
+    // centroid-similarity assignment expression a second time per
+    // corpus row (the r14 inferred-filter sweep; assignCol output is
+    // never empty and its elements never null, so the outer variant +
+    // null drop is row-identical)
     val cells = df
       .select(col(idCol).as("id"),
-        explode(assignCol(df, vecCol, cents, nassign)).as("cid"))
+        explode_outer(assignCol(df, vecCol, cents, nassign)).as("cid"))
+      .filter(col("cid").isNotNull)
       .localCheckpoint(true)
     // capped in-cell self-join, the embeddingNearDupPairsLsh shape:
     // row-shaped and spillable at every stage, AQE soaks residual skew

@@ -97,10 +97,12 @@ object Contamination {
       .groupBy("fp")
       .agg(collect_set(col("src")).as("srcs"))
       .filter(size(col("srcs")) > 1)
-      .select(explode(expr(
+      // explode_outer: no doubled quadratic pair build (r14 sweep)
+      .select(explode_outer(expr(
         "flatten(transform(array_sort(srcs), (x, i) -> " +
           "transform(slice(array_sort(srcs), i + 2, size(srcs)), y -> " +
           "named_struct('a', x, 'b', y))))")).as("p"))
+      .filter(col("p").isNotNull)
       .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .agg(count(lit(1)).as("shared_lines"))
     pairs

@@ -162,10 +162,13 @@ object Dedup {
       .agg(collect_set("__id").as("__ids"))
       .filter(size(col("__ids")) between (2, dfCap))
     val pairs = buckets
-      .select(explode(expr(
+      // explode_outer: the inferred size() > 0 filter would build the
+      // quadratic in-bucket pair array TWICE per bucket (r14 sweep)
+      .select(explode_outer(expr(
         "flatten(transform(array_sort(__ids), (x, i) -> " +
           "transform(slice(array_sort(__ids), i + 2, size(__ids)), y -> " +
           "named_struct('a', x, 'b', y))))")).as("p"))
+      .filter(col("p").isNotNull)
       .groupBy(col("p.a").as("ida"), col("p.b").as("idb"))
       .agg(count(lit(1)).as("shared_prints"))
       .filter(col("shared_prints") >= minShared)
@@ -278,7 +281,11 @@ object Dedup {
                             maxDf: Option[Int] = None): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         hashedShingles(df, textCol, n).as("shs"))
-      .select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+      // explode_outer: the inferred size(shs) > 0 filter re-evaluates
+      // the whole shingle expression per row (r14 sweep)
+      .select(col("id"), size(col("shs")).as("n"),
+        explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
     val filtered = maxDf match {
       case None => sh
       case Some(cap) =>
@@ -495,7 +502,10 @@ object Dedup {
     // materialized; collision odds ~1e-8 at 1M distinct shingles —
     // negligible against the exact-measure guarantee).
     val sh = df.select(col(idCol).as("id"), hashedShingles(df, textCol, n).as("shs"))
-      .select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+      // explode_outer: see ngramContainmentPairs (r14 sweep)
+      .select(col("id"), size(col("shs")).as("n"),
+        explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
     val filtered = maxDf match {
       case None => sh
       case Some(cap) =>
@@ -592,10 +602,12 @@ object Dedup {
       .groupBy("band", "bh")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(
+      // explode_outer: no doubled quadratic pair build (r14 sweep)
+      .select(explode_outer(expr(
         "flatten(transform(ids, (x, i) -> " +
           "transform(slice(ids, i + 2, size(ids)), y -> " +
           "named_struct('ida', least(x, y), 'idb', greatest(x, y)))))")).as("p"))
+      .filter(col("p").isNotNull)
       .select("p.*")
       .distinct()
     verifyJaccard(df, textCol, idCol, cand, threshold, n)
@@ -678,11 +690,13 @@ object Dedup {
       .groupBy("band", "chunk")
       .agg(collect_list(struct(col("id"), col("fp"))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(expr(
+      // explode_outer: no doubled quadratic pair build (r14 sweep)
+      .select(explode_outer(expr(
         "flatten(transform(ds, (x, i) -> " +
           "transform(slice(ds, i + 2, size(ds)), y -> named_struct(" +
           "'ida', least(x.id, y.id), 'idb', greatest(x.id, y.id), " +
           "'ha', x.fp, 'hb', y.fp))))")).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.ida"), col("p.idb"),
         bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).as("hamming"))
       .distinct()

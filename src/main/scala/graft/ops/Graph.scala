@@ -653,10 +653,13 @@ object Graph {
       .join(maybeB(nbrs), "s")
       .join(maybeB(nbrs.select(col("s").as("t"), col("ns").as("nt"))),
         Seq("t"), "left")
-      .select(explode(concat(
+      // explode_outer: the inferred size() > 0 filter would rebuild
+      // the whole per-edge wedge array a second time (r14 sweep)
+      .select(explode_outer(concat(
         array(struct(col("s").as("id"), cEdge.as("k")),
           struct(col("t").as("id"), cEdge.as("k"))),
         transform(ws, w => struct(w.as("id"), lit(1L).as("k"))))).as("x"))
+      .filter(col("x").isNotNull)
       .groupBy(col("x.id").as("id")).agg(sum(col("x.k")).as("tri"))
     deg.join(tri, Seq("id"), "left")
       .select(col("id"), col("d").as("deg"),
@@ -1165,13 +1168,16 @@ object Graph {
       o.join(maybeB(nbrs), "s")
         .join(maybeB(nbrs.select(col("s").as("t"), col("ns").as("nt"))),
           Seq("t"), "left")
-        .select(explode(concat(
+        // explode_outer: no inferred filter rebuilding the wedge
+        // array twice per edge row (r14 sweep)
+        .select(explode_outer(concat(
           array(struct(ckey(col("s"), col("t")).as("e"),
             size(ws).cast("long").as("c"))),
           transform(ws, w => struct(ckey(col("s"), w).as("e"),
             lit(1L).as("c"))),
           transform(ws, w => struct(ckey(col("t"), w).as("e"),
             lit(1L).as("c"))))).as("x"))
+        .filter(col("x").isNotNull)
         .groupBy(col("x.e.u").as("u"), col("x.e.v").as("v"))
         .agg(sum(col("x.c")).as("support"))
     }

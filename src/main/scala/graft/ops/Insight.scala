@@ -75,13 +75,17 @@ object Insight {
     require(minCount >= 1 && topK >= 1, "minCount and topK must be >= 1")
     val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))
     val base = df.select(toks.as("t"))
-    val uni = base.select(explode(col("t")).as("w"))
+    // *_outer: the inferred size() > 0 filters would re-run the
+    // token regex per row for each consumer (r14 sweep)
+    val uni = base.select(explode_outer(col("t")).as("w"))
+      .filter(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("c"))
     val bg = base
-      .select(explode(arrays_zip(
+      .select(explode_outer(arrays_zip(
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
         slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0)))
       )).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.0").as("w1"), col("p.1").as("w2"))
     val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
     // corpus totals straight from the token arrays (N_bi = Σ max(|t|−1, 0))
@@ -1900,11 +1904,11 @@ object Insight {
     * `fastHash` (production tier, r12 ask): replace each gram STRING
     * with its xxhash64 before the distinct, carrying ~8 bytes/gram
     * through the gram-keyed shuffles instead of the full n-gram text.
-    * Measured ~equal at the 10× single-node soak (49.0 vs 50.9 s min —
-    * the plateau is the doubly-computed explode feeding two
-    * aggregates, per the plan note above, and local shuffles don't
-    * price bytes); the narrow key is for CLUSTER shuffles, where
-    * network bytes do cost. A 64-bit collision mis-attributes one
+    * 10× soak: 9.4 → 6.4 s min (1.5× — measured AFTER the inferred-
+    * filter fix below; with that filter still in the plan the tiers
+    * read ~equal because the per-element re-tokenize dominated both);
+    * at cluster scale the narrow key also halves network bytes on
+    * every gram-keyed exchange. A 64-bit collision mis-attributes one
     * gram's first-claim owner (expected collisions ≈ G²/2⁶⁵ —
     * harmless to a ppm-scale curation score); keep the exact string
     * rail for oracle-replayed queries.
@@ -1924,7 +1928,14 @@ object Insight {
           transform(sequence(lit(1), size(col("__t")) - (n - 1)),
             i => concat_ws(" ", slice(col("__t"), i, lit(n)))))
           .otherwise(array().cast("array<string>")).as("__gs"))
-      .select(col("__d"), explode(col("__gs")).as("__g0"))
+      // explode_outer, NOT explode: InferFiltersFromGenerate would
+      // push a size(__gs) > 0 filter below BOTH projections with the
+      // aliases substituted — and that filter rebuilds the gram array
+      // per row with the tokenizer re-run PER ELEMENT inside the
+      // interpreted lambda (r14 profile: 42 s of the 51 s 10× soak
+      // was that one inferred filter; 9.4 s min without it)
+      .select(col("__d"), explode_outer(col("__gs")).as("__g0"))
+      .filter(col("__g0").isNotNull)
       .select(col("__d"), gramKey(col("__g0")).as("__g"))
       .distinct()
     val owner = grams.groupBy("__g").agg(min("__d").as("__own"))
