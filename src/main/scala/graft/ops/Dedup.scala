@@ -1185,10 +1185,16 @@ object Dedup {
     * same. Returns (id, component) with component = min id of the group.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
-      .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
-      .distinct()
-      .persist()
+    // materialized with a DECLARED hash(dst) layout (GraftShim, r14):
+    // each iteration's neighbor-min groupBy(dst) then plans with no
+    // exchange once the label table broadcasts (dup-graph vertex sets
+    // are candidate-sized); executor-local checkpoint blocks free via
+    // the ContextCleaner, replacing the old persist/unpersist pair
+    val (edges, _) = org.apache.spark.sql.GraftShim
+      .materializeHashPartitionedWithCount(
+        pairs.select(col("ida").as("src"), col("idb").as("dst"))
+          .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+          .distinct(), Seq("dst"))
     // Seed with one propagation step folded into the init — component =
     // min(self, direct neighbors). Near-dup graphs are mostly isolated
     // pairs/stars (diameter 1), which converge at iteration 1 this way
@@ -1252,7 +1258,6 @@ object Dedup {
     // swap for a reliable checkpoint directory.)
     val result = labels.localCheckpoint(true)
     labels.unpersist()
-    edges.unpersist()
     result
   }
 

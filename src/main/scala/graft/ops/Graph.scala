@@ -65,9 +65,9 @@ object Graph {
     // (AQE) and preserve this partitioning, so the inflow
     // groupBy(dst) — the only edge-sized exchange of the loop — plans
     // with no exchange at all (the r14 coreness co-partitioning trick)
-    val e = edges.select(col("src"), col("dst"), w.as("__w"))
-      .repartition(col("dst"))
-      .localCheckpoint(true)
+    val (e, _) = org.apache.spark.sql.GraftShim
+      .materializeHashPartitionedWithCount(
+        edges.select(col("src"), col("dst"), w.as("__w")), Seq("dst"))
     val outdeg = e.groupBy("src").agg(sum("__w").as("outdeg"))
       .localCheckpoint(true)
     val vertices = e.select(col("src").as("id"))
@@ -132,9 +132,9 @@ object Graph {
     // (AQE) and preserve this partitioning, so the inflow
     // groupBy(dst) — the only edge-sized exchange of the loop — plans
     // with no exchange at all (the r14 coreness co-partitioning trick)
-    val e = edges.select(col("src"), col("dst"), w.as("__w"))
-      .repartition(col("dst"))
-      .localCheckpoint(true)
+    val (e, _) = org.apache.spark.sql.GraftShim
+      .materializeHashPartitionedWithCount(
+        edges.select(col("src"), col("dst"), w.as("__w")), Seq("dst"))
     val outdeg = e.groupBy("src").agg(sum("__w").as("outdeg"))
       .localCheckpoint(true)
     val seedCol = seeds.columns.head
@@ -370,9 +370,18 @@ object Graph {
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val adj0 = canon.select(col("u").as("id"), col("v").as("nbr"))
-      .unionAll(canon.select(col("v").as("id"), col("u").as("nbr")))
-      .localCheckpoint(true)
+    // materialized ONCE with a DECLARED hash(id) layout (GraftShim):
+    // HashPartitioning(id) satisfies the ClusteredDistribution of the
+    // degree aggregate AND both per-iteration aggregates (id is a
+    // subset of each key set), so they all plan with zero exchanges —
+    // a plain localCheckpoint erases the layout and re-exchanges
+    // every iteration (r14; measured 13.5 -> 7.8 s from layout alone,
+    // further with the declaration)
+    val (adj0, _) = org.apache.spark.sql.GraftShim
+      .materializeHashPartitionedWithCount(
+        canon.select(col("u").as("id"), col("v").as("nbr"))
+          .unionAll(canon.select(col("v").as("id"), col("u").as("nbr"))),
+        Seq("id"))
     // A checkpointed value table carries no size stats, so without a
     // hint every iteration's join plans sort-merge — re-SORTING the full
     // adjacency each round. The value table is one (id, c) row per
@@ -392,7 +401,7 @@ object Graph {
     // then plan with no exchange at all: the broadcast join preserves
     // the id-partitioning and 8 iterations run shuffle-free (r14; the
     // eager localCheckpoint preserves outputPartitioning)
-    val adj = if (bcast) adj0.repartition(col("id")).localCheckpoint(true)
+    val adj = if (bcast) adj0
       else adj0.repartition(col("nbr")).localCheckpoint(true)
     // H-index over the per-vertex value histogram as ONE hash aggregate
     // + an inline fold: sort the ≤max-coreness (value, cnt) pairs desc
@@ -536,10 +545,11 @@ object Graph {
     // set), so every LPA iteration plans with no exchange after the
     // broadcast label join (the r14 coreness co-partitioning trick;
     // measured 13.5 → 7.8 s there in the same window)
-    val adj = canon.select(col("u").as("id"), col("v").as("nbr"))
-      .unionAll(canon.select(col("v").as("id"), col("u").as("nbr")))
-      .repartition(col("id"))
-      .localCheckpoint(true)
+    val (adj, _) = org.apache.spark.sql.GraftShim
+      .materializeHashPartitionedWithCount(
+        canon.select(col("u").as("id"), col("v").as("nbr"))
+          .unionAll(canon.select(col("v").as("id"), col("u").as("nbr"))),
+        Seq("id"))
     // label-table materialization and vertex count in ONE job
     var (l, nVertices) = org.apache.spark.sql.GraftShim.materializeWithCount(
       adj.select(col("id")).distinct()
@@ -879,9 +889,9 @@ object Graph {
     // dst-partitioned ONCE: the per-hop frontier distinct keys on
     // dst and the broadcast probes preserve this partitioning — no
     // per-hop exchange (r14 co-partitioning trick)
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("dst"))
-      .localCheckpoint(true)
+    val (e, _) = org.apache.spark.sql.GraftShim
+      .materializeHashPartitionedWithCount(
+        edges.select(col("src"), col("dst")).distinct(), Seq("dst"))
     def maybeB(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastVertexCap) broadcast(df) else df
     val (seed0, n0) = mat(seeds.select(col("id")).distinct())
@@ -936,9 +946,9 @@ object Graph {
     // dst-partitioned ONCE: the per-hop frontier distinct keys on
     // dst and the broadcast probes preserve this partitioning — no
     // per-hop exchange (r14 co-partitioning trick)
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("dst"))
-      .localCheckpoint(true)
+    val (e, _) = org.apache.spark.sql.GraftShim
+      .materializeHashPartitionedWithCount(
+        edges.select(col("src"), col("dst")).distinct(), Seq("dst"))
     def maybeB(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastRowCap) broadcast(df) else df
     val (seed0, n0) = mat(seeds.select(col("label"), col("id")).distinct())
@@ -1029,9 +1039,9 @@ object Graph {
     // aggregate keys on (label, dst) and the broadcast frontier join
     // preserves this partitioning, so the per-level exchange vanishes
     // (the r14 coreness co-partitioning trick)
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("dst"))
-      .localCheckpoint(true)
+    val (e, _) = org.apache.spark.sql.GraftShim
+      .materializeHashPartitionedWithCount(
+        edges.select(col("src"), col("dst")).distinct(), Seq("dst"))
     def maybeB(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastRowCap) broadcast(df) else df
     // forward: levels(h) = (label, id, sig)
@@ -1402,8 +1412,13 @@ object Graph {
     // self-join doubles per-step cost.
     def minLabels(g: DataFrame, vs: DataFrame, n: Long,
                   relaxPerSync: Int = 6): DataFrame = {
-      val (gSelf, _) = mat(g.unionAll(
-        vs.select(col("id").as("src"), col("id").as("dst"))))
+      // declared hash(dst) layout (GraftShim): every relax hop is
+      // join(broadcast labels) + groupBy(dst), so the whole K-hop
+      // chain pipelines as ONE exchange-free stage per sync instead
+      // of K aggregate exchanges (r14 co-partitioning)
+      val (gSelf, _) = org.apache.spark.sql.GraftShim
+        .materializeHashPartitionedWithCount(g.unionAll(
+          vs.select(col("id").as("src"), col("id").as("dst"))), Seq("dst"))
       var (labels, _) = mat(vs.select(col("id"), col("id").as("c")))
       def checksum(l: DataFrame): Option[java.math.BigDecimal] =
         Option(l.agg(sum(col("c").cast("decimal(38,0)"))).head()

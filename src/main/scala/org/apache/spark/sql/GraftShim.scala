@@ -33,4 +33,46 @@ object GraftShim {
     val n = rdd.count()
     (spark.internalCreateDataFrame(rdd, df.schema), n)
   }
+
+  /** [[materializeWithCount]] with a hash layout the OPTIMIZER can see:
+    * shuffles `df` onto `hashpartitioning(keys, N)` (N pinned to the
+    * session shuffle-partition count — an EXPLICIT count, so AQE cannot
+    * coalesce the exchange and silently break the hash(k) % N
+    * contract), materializes the executor-local checkpoint, and
+    * re-wraps it in a [[execution.LogicalRDD]] that DECLARES that
+    * partitioning. Plain `localCheckpoint` erases partitioning info
+    * (the scan comes back `UnknownPartitioning`), so every downstream
+    * aggregate or co-keyed join re-exchanges data that is already
+    * laid out correctly — for an iterative operator that is one
+    * wasted shuffle PER ITERATION. With the declared layout,
+    * `HashPartitioning(keys)` satisfies every
+    * `ClusteredDistribution` whose clustering is a superset of
+    * `keys`, so e.g. a frame partitioned by `id` feeds
+    * `groupBy(id, x)` AND `groupBy(id)` with zero exchanges.
+    *
+    * The declaration is only TRUE because this method performs the
+    * repartition itself with the pinned N — callers must NOT pass an
+    * already-repartitioned frame expecting some other layout. */
+  def materializeHashPartitionedWithCount(
+      df: DataFrame, keys: Seq[String]): (DataFrame, Long) = {
+    require(keys.nonEmpty, "need at least one partitioning key")
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val n = spark.sessionState.conf.numShufflePartitions
+    val shuffled = df.repartition(n, keys.map(df(_)): _*)
+    val qe = shuffled.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val rows = rdd.count()
+    val output = qe.analyzed.output
+    val attrs = keys.map { k =>
+      output.find(a => spark.sessionState.conf.resolver(a.name, k))
+        .getOrElse(sys.error(s"materializeHashPartitioned: no column $k"))
+    }
+    val part = org.apache.spark.sql.catalyst.plans.physical
+      .HashPartitioning(attrs, n)
+    val plan = org.apache.spark.sql.execution.LogicalRDD(
+      output, rdd, part, Nil, false, None)(spark, None, None)
+    (org.apache.spark.sql.classic.Dataset.ofRows(spark, plan), rows)
+  }
 }

@@ -441,6 +441,26 @@ class InsightSpec extends SparkSpec {
       "triangleStats small-graph path must broadcast the array tables")
   }
 
+  test("co-partitioned graph loops plan iterations with zero shuffle exchanges") {
+    // the r14 co-partitioning pin: the adjacency is repartitioned ONCE
+    // on the aggregation key, so a single-iteration plan must contain
+    // NO non-broadcast Exchange — the per-iteration aggregates ride
+    // the checkpointed partitioning (HashPartitioning(id) satisfies
+    // ClusteredDistribution(id, x)); a regression here re-adds an
+    // exchange per iteration across the whole family
+    val edges = (for { u <- 1 to 30; v <- 1 to 30 if u < v && (u + v) % 3 == 0 }
+      yield (u.toLong, v.toLong)).toDF("src", "dst")
+    for ((tag, df) <- Seq(
+        "coreness" -> Graph.coreness(edges, iterations = 1),
+        "labelPropagation" -> Graph.labelPropagation(edges, iterations = 1))) {
+      val shuffles = df.queryExecution.executedPlan.toString
+        .linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+      assert(shuffles == 0,
+        s"$tag: expected zero shuffle exchanges in the iteration plan, got $shuffles")
+    }
+  }
+
   test("r11 batch plan pins: no cartesian, no data-wide window, co-keyed shapes") {
     val docs = (1 to 40).map(i =>
       (i.toLong, s"alpha beta gamma delta tok$i epsilon")).toDF("id", "text")
