@@ -576,17 +576,18 @@ object Diff {
     * Tail: |X| > K collapses into ±K with K = ⌈σ·√(66·ln 2)⌉ ≈ 6.77σ,
     * which puts the collapsed mass below 2⁻³³ — invisible to the
     * 32-bit lookup, so the stated zCDP guarantee holds exactly (the
-    * r13 geometric-cap lesson). The 256-branch CASE budget therefore
-    * REQUIRES σ ≤ 37.8; for larger σ widen the hash and re-derive.
+    * r13 geometric-cap lesson). The K ≤ 256 cap (up to 2K+1 = 513
+    * generated CASE WHEN branches) therefore REQUIRES σ ≤ 37.8; for
+    * larger σ widen the hash and re-derive.
     *
     * @return (K, thresholds for k = −K..K, ascending) */
   private[graft] def gaussianThresholds(sigma: Double): (Int, Array[Long]) = {
     require(sigma > 0, "sigma must be positive")
     val kMax = math.max(1, math.ceil(sigma * math.sqrt(66 * math.log(2))).toInt)
     require(kMax <= 256,
-      s"sigma=$sigma needs K=$kMax > 256 CASE branches: the 32-bit " +
-        "threshold table cannot hold the tail mass below 2^-33; widen " +
-        "the hash to support larger sigma")
+      s"sigma=$sigma needs K=$kMax > 256 (up to 2K+1 = 513 CASE " +
+        "branches at the cap): the 32-bit threshold table cannot hold " +
+        "the tail mass below 2^-33; widen the hash to support larger sigma")
     val w = (-kMax to kMax).map(k =>
       math.exp(-(k.toDouble * k) / (2 * sigma * sigma)))
     val z = w.sum

@@ -802,6 +802,28 @@ object Graph {
       .distinct()
   }
 
+  /** WEIGHTED co-occurrence edges: [[coOccurrenceEdges]] with
+    * w = the number of groups the pair shares (both directions).
+    * Same canonical-half trick — co-occurrence counts are symmetric
+    * (|{g : a,b ∈ g}| = |{g : b,a ∈ g}|), so the self-join emits each
+    * unordered pair ONCE (src < dst), the counting aggregate shuffles
+    * HALF the pair volume, and the mirror directions are unioned onto
+    * the checkpointed counts for free. The naive both-directions
+    * spelling (filter `!=` + groupBy over 2× the rows) was exactly why
+    * graph_pagerank_weighted trailed its unweighted peer (r14 weak
+    * flag): same iteration rails, double the edge-build shuffle. */
+  def coOccurrenceEdgesWeighted(df: DataFrame, groupCol: String,
+                                itemCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+    val c = g.join(g.withColumnRenamed("item", "item2"), "g")
+      .filter(col("item") < col("item2"))
+      .groupBy(col("item").as("src"), col("item2").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    c.unionAll(c.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
   /** DEGREE DISTRIBUTION of a directed edge list: for each degree
     * value, how many vertices have that in-/out-degree — the
     * histogram every crawl-graph health check starts from (a power-law
@@ -911,6 +933,11 @@ object Graph {
       if (nFrontier > 0) {
         visited = visited.unionAll(next.withColumn("dist", lit(h)))
         nVisited += nFrontier
+        // the lazy frontier union keeps hops one-job, but the plan grows
+        // with h and each hop re-analyzes the whole union — collapse it
+        // periodically so a deep walk pays O(hops) analysis, not O(hops²)
+        // (labelPropagation's it%3 pattern; r14 advice)
+        if (h % 6 == 0 && h < maxHops) visited = visited.localCheckpoint(true)
       }
       frontier = next
     }
@@ -969,6 +996,8 @@ object Graph {
       if (nFrontier > 0) {
         visited = visited.unionAll(next.withColumn("dist", lit(h)))
         nVisited += nFrontier
+        // collapse the lazy union periodically — see [[bfsDistances]]
+        if (h % 6 == 0 && h < maxHops) visited = visited.localCheckpoint(true)
       }
       frontier = next
     }

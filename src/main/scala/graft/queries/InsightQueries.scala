@@ -449,12 +449,11 @@ private[graft] object InsightQueries {
     * [[Graph.pagerank]] weightCol). Top-20. */
   private[graft] def qGraphPagerankWeighted(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val g = li.select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-      .distinct()
-    val edges = g.join(g.withColumnRenamed("item", "item2"), "g")
-      .filter(col("item") =!= col("item2"))
-      .groupBy(col("item").as("src"), col("item2").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    // canonical-half weighted edge build (count once per unordered pair,
+    // mirror after) — same edge multiset as the naive `!=` self-join +
+    // full groupBy, half the shuffle (the r14 weighted/unweighted
+    // asymmetry; oracle unchanged)
+    val edges = Graph.coOccurrenceEdgesWeighted(li, "l_orderkey", "l_partkey")
     Graph.pagerank(edges, iterations = 5, weightCol = Some("w"))
       .orderBy(col("rank_units").desc, col("id"))
       .limit(20)

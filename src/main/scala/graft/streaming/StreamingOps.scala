@@ -794,7 +794,15 @@ object StreamingOps {
     * `ivfTopKIndexed(ivfStreamAssigns(spark, path),
     * ivfCentroidsLoad(spark, path), …)`. Stream ≡ batch: the committed
     * assignments equal ivfAssign of the same rows under the same
-    * centroids (spec-pinned across micro-batches). */
+    * centroids (spec-pinned across micro-batches).
+    *
+    * REQUIRES a stable checkpoint location and a SINGLE writer per
+    * index: the high-water marker is what makes retries no-ops, so a
+    * restart with a FRESH checkpoint directory (batchIds reset to 0)
+    * or a second writer would have every batch at-or-below the marker
+    * silently dropped while the query reports success. A batchId more
+    * than one below the marker is beyond any plausible foreachBatch
+    * retry and THROWS instead of losing data (r14 advice). */
   def ivfUpsertSink(indexPath: String, vecCol: String, idCol: String)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val spark = batch.sparkSession
@@ -809,6 +817,24 @@ object StreamingOps {
         try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
         finally in.close()
       } else None
+    // Skip-at-or-below-marker is exactly-once ONLY for genuine retries
+    // (batchId == marker, or marker−1 when the marker write raced the
+    // streaming commit). Anything further below means a fresh checkpoint
+    // dir (ids reset to 0) or a second writer — fail loudly rather than
+    // silently dropping the batch's vectors.
+    current.filter(_ > batchId + 1).foreach { hw =>
+      throw new IllegalStateException(
+        s"ivfUpsertSink($indexPath): batchId $batchId is ${hw - batchId} " +
+          s"below the committed high-water marker $hw — not a retry. The " +
+          "sink requires a stable checkpoint location and a single " +
+          "writer; processing this batch would clobber committed data, " +
+          "skipping it would lose vectors.")
+    }
+    current.filter(_ == batchId + 1).foreach { hw =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ivfUpsertSink($indexPath): skipping batchId $batchId one below " +
+          s"marker $hw — legitimate only as a marker/checkpoint race retry")
+    }
     if (current.forall(_ < batchId)) {
       val cents = graft.ops.Similarity.ivfCentroidsLoad(spark, indexPath)
       val existing = ivfStreamAssigns(spark, indexPath).select("id")

@@ -64,6 +64,17 @@ object GraftShim {
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
     val rows = rdd.count()
+    // The declaration below is only true if the materialized RDD really
+    // has the pinned partition count. REPARTITION_BY_NUM is AQE-stable
+    // in Spark 4.1.2, but a future planner change that restructures the
+    // exchange must fail HERE, loudly — a false HashPartitioning
+    // declaration makes downstream exchange-elided aggregates silently
+    // wrong, not slow (r14 advice).
+    require(rdd.getNumPartitions == n,
+      s"materializeHashPartitioned: expected $n partitions after " +
+        s"repartition($n, ${keys.mkString(",")}) but the materialized " +
+        s"RDD has ${rdd.getNumPartitions} — the planner restructured " +
+        "the pinned exchange; the declared layout would be a lie")
     val output = qe.analyzed.output
     val attrs = keys.map { k =>
       output.find(a => spark.sessionState.conf.resolver(a.name, k))

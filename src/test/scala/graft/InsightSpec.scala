@@ -450,9 +450,16 @@ class InsightSpec extends SparkSpec {
     // exchange per iteration across the whole family
     val edges = (for { u <- 1 to 30; v <- 1 to 30 if u < v && (u + v) % 3 == 0 }
       yield (u.toLong, v.toLong)).toDF("src", "dst")
+    val weighted = edges.withColumn("w", (col("src") + col("dst")) % 3 + 1)
     for ((tag, df) <- Seq(
         "coreness" -> Graph.coreness(edges, iterations = 1),
-        "labelPropagation" -> Graph.labelPropagation(edges, iterations = 1))) {
+        "labelPropagation" -> Graph.labelPropagation(edges, iterations = 1),
+        // the weighted iteration must ride the SAME declared hash(dst)
+        // layout as the unweighted one — the r14 weak flag was the
+        // suspicion that the weight projection erases it
+        "pagerank" -> Graph.pagerank(edges, iterations = 1),
+        "pagerankWeighted" ->
+          Graph.pagerank(weighted, iterations = 1, weightCol = Some("w")))) {
       val shuffles = df.queryExecution.executedPlan.toString
         .linesIterator
         .count(l => l.contains("Exchange") && !l.contains("Broadcast"))

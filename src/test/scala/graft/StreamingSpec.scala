@@ -175,6 +175,15 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
         .toSet
     assert(topk(streamed) == topk(batchTwin))
+    // a batchId far below the marker is NOT a retry — a fresh checkpoint
+    // dir or a second writer would silently lose vectors; it must throw
+    // (marker is 1 here, so id 0 skips as a retry but id -1 is beyond)
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.StreamingOps.ivfUpsertSink(path, "vec", "id")(
+        streamRows.take(3).toDF("id", "vec"), -1L)
+    }
+    assert(ex.getMessage.contains("not a retry"))
+    assert(graft.streaming.StreamingOps.ivfStreamAssigns(spark, path).count() == 40)
   }
 
   test("streaming pivot emits the batch cross-tab per closed window") {
