@@ -61,44 +61,61 @@ object Graph {
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       "damping must be a fraction in [0, 1]")
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    // pre-partitioned by dst ONCE: the per-iteration joins broadcast
-    // (AQE) and preserve this partitioning, so the inflow
-    // groupBy(dst) — the only edge-sized exchange of the loop — plans
-    // with no exchange at all (the r14 coreness co-partitioning trick)
-    val (e, _) = org.apache.spark.sql.GraftShim
-      .materializeHashPartitionedWithCount(
-        edges.select(col("src"), col("dst"), w.as("__w")), Seq("dst"))
+    val shim = org.apache.spark.sql.GraftShim
+    // The r15 lesson (executed-plan dump, r14 weak flag): the old
+    // "declare hash(dst), let AQE broadcast" spelling still shuffle-
+    // WROTE the edge table twice per iteration — EnsureRequirements
+    // plans the ranks join as SMJ on src, AQE's broadcast conversion
+    // lands only after the edge-side shuffle stage has already
+    // materialized, and that src-shuffle destroys the declared dst
+    // layout so the inflow aggregate re-exchanges too. The coreness
+    // pattern fixes both: ranks is MATERIALIZED per iteration
+    // (vertex-sized checkpoint — cheap) and broadcast EXPLICITLY under
+    // a vertex cap, so the static plan is two broadcast probes over
+    // the stationary edge list and the groupBy(dst) rides the declared
+    // layout with ZERO exchanges (spec-pinned). The earlier "broadcast
+    // lost 57 s" note measured broadcasting the CHAINED ranks plan
+    // (checkpoint-every-8) — a driver-serialized re-execution per
+    // build; materialize-then-broadcast is a plain scan. Past the cap
+    // the edge list is partitioned by SRC instead: the ranks join goes
+    // co-partitioned (vertex-sized exchange only) and the aggregate
+    // pays the loop's single edge-sized shuffle.
+    // the upstream edge plan executes ONCE (vertices derive from the
+    // materialized table, not from `edges` — link extraction can be the
+    // expensive part); only the rare big-vertex fallback pays one extra
+    // edge shuffle to re-key the stationary table by src
+    val (e0, _) = shim.materializeHashPartitionedWithCount(
+      edges.select(col("src"), col("dst"), w.as("__w")), Seq("dst"))
+    val (vertices, n) = shim.materializeHashPartitionedWithCount(
+      e0.select(col("src").as("id"))
+        .unionAll(e0.select(col("dst").as("id"))).distinct(), Seq("id"))
+    require(n > 0, "pagerank: empty graph")
+    val bcast = n <= (4L << 20)
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val e = if (bcast) e0
+      else shim.materializeHashPartitionedWithCount(e0, Seq("src"))._1
     val outdeg = e.groupBy("src").agg(sum("__w").as("outdeg"))
       .localCheckpoint(true)
-    val vertices = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
-    // one O(1)-result action; every iteration needs N as a literal
-    val n = vertices.count()
-    require(n > 0, "pagerank: empty graph")
-    // Deliberately NO manual join hints and NO outdeg hoist: both were
-    // tried and both LOST. ranks/outdeg/inflow are key-cardinality
-    // tables AQE already converts to runtime broadcast joins, so the
-    // naive spelling never sorts the edge list; pre-joining outdeg into
-    // the edge list widens the per-iteration scan by 50% and pays an
-    // up-front edge-sized shuffle join (measured 39 s vs 19-29 s on the
-    // 10× co-purchase graph), and forcing broadcast(ranks) serializes a
-    // per-iteration hash build AQE otherwise skips (57 s). Declare the
-    // plan, let the optimizer place the joins.
     val teleport = (Scale * (dampingDen - dampingNum) / dampingDen) / n
     var ranks = vertices.withColumn("rank_units", lit(Scale / n))
     for (it <- 1 to iterations) {
-      val inflow = e.join(ranks, e("src") === ranks("id"))
-        .join(outdeg, "src")
+      val inflow = e.join(maybeB(ranks), e("src") === ranks("id"))
+        .join(maybeB(outdeg), "src")
         .select(col("dst").as("id"),
           expr("rank_units * __w DIV outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
-      ranks = vertices.join(inflow, Seq("id"), "left")
+      val next = vertices.join(inflow, Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) +
             expr(s"$dampingNum * coalesce(inflow, 0L) DIV $dampingDen"))
             .as("rank_units"))
-      if (it % 8 == 0) ranks = ranks.localCheckpoint(true)
+      // per-iteration materialization is what makes the broadcast build
+      // a cheap scan; in the big-vertex branch it is the shim so the
+      // co-partitioned src join stays exchange-free on the edge side
+      ranks =
+        if (it == iterations) next
+        else if (bcast) next.localCheckpoint(true)
+        else shim.materializeHashPartitionedWithCount(next, Seq("id"))._1
     }
     ranks.withColumn("rank",
       round(col("rank_units").cast("double") / Scale, 6))
@@ -128,22 +145,25 @@ object Graph {
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       "damping must be a fraction in [0, 1]")
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    // pre-partitioned by dst ONCE: the per-iteration joins broadcast
-    // (AQE) and preserve this partitioning, so the inflow
-    // groupBy(dst) — the only edge-sized exchange of the loop — plans
-    // with no exchange at all (the r14 coreness co-partitioning trick)
-    val (e, _) = org.apache.spark.sql.GraftShim
-      .materializeHashPartitionedWithCount(
-        edges.select(col("src"), col("dst"), w.as("__w")), Seq("dst"))
-    val outdeg = e.groupBy("src").agg(sum("__w").as("outdeg"))
-      .localCheckpoint(true)
+    val shim = org.apache.spark.sql.GraftShim
     val seedCol = seeds.columns.head
-    val vertices = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id")))
-      .distinct()
-      .join(seeds.select(col(seedCol).as("id")).distinct()
-        .withColumn("__seed", lit(true)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("__seed"), lit(false)).as("__seed"))
+    // same per-iteration materialize-then-broadcast shape as
+    // [[pagerank]] (see the r15 note there: the AQE-broadcast spelling
+    // shuffle-wrote the edge list twice per iteration)
+    val (e0, _) = shim.materializeHashPartitionedWithCount(
+      edges.select(col("src"), col("dst"), w.as("__w")), Seq("dst"))
+    val (vertices, nV) = shim.materializeHashPartitionedWithCount(
+      e0.select(col("src").as("id"))
+        .unionAll(e0.select(col("dst").as("id"))).distinct()
+        .join(seeds.select(col(seedCol).as("id")).distinct()
+          .withColumn("__seed", lit(true)), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__seed"), lit(false)).as("__seed")), Seq("id"))
+    val bcast = nV <= (4L << 20)
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val e = if (bcast) e0
+      else shim.materializeHashPartitionedWithCount(e0, Seq("src"))._1
+    val outdeg = e.groupBy("src").agg(sum("__w").as("outdeg"))
       .localCheckpoint(true)
     val nSeeds = vertices.filter(col("__seed")).count()
     require(nSeeds > 0, "trustRank: no seed is present in the graph")
@@ -151,17 +171,20 @@ object Graph {
     var ranks = vertices.withColumn("rank_units",
       when(col("__seed"), lit(Scale / nSeeds)).otherwise(lit(0L)))
     for (it <- 1 to iterations) {
-      val inflow = e.join(ranks, e("src") === ranks("id"))
-        .join(outdeg, "src")
+      val inflow = e.join(maybeB(ranks), e("src") === ranks("id"))
+        .join(maybeB(outdeg), "src")
         .select(col("dst").as("id"),
           expr("rank_units * __w DIV outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
-      ranks = vertices.join(inflow, Seq("id"), "left")
+      val next = vertices.join(inflow, Seq("id"), "left")
         .select(col("id"), col("__seed"),
           (when(col("__seed"), lit(teleport)).otherwise(lit(0L)) +
             expr(s"$dampingNum * coalesce(inflow, 0L) DIV $dampingDen"))
             .as("rank_units"))
-      if (it % 8 == 0) ranks = ranks.localCheckpoint(true)
+      ranks =
+        if (it == iterations) next
+        else if (bcast) next.localCheckpoint(true)
+        else shim.materializeHashPartitionedWithCount(next, Seq("id"))._1
     }
     ranks
       .select(col("id"), col("rank_units").as("trust_units"),
