@@ -1318,6 +1318,16 @@ object Dedup {
     def checksum(e: DataFrame): Option[java.math.BigDecimal] =
       Option(e.agg(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
         .head().getDecimal(0))
+    // NOTE (r15, measured): materializing the mirrored adjacency on a
+    // declared hash(u) layout per star step (the graph-loop shim) was
+    // tried and REVERTED — same-window A/B at sf0.1 read
+    // dedup_incremental_components min 4.61 → 6.35 s (+38%) and
+    // cluster_report/survivors_star flat-to-worse. Near-dup pair lists
+    // are tiny relative to the corpus, so scheduler job count dominates
+    // and ReuseExchange already serves every magg consumer from one
+    // shuffle; the declared-layout variant only pays once the pair
+    // volume itself is shuffle-bound (crawl-scale mega-components) —
+    // if that regime materializes, gate the shim on the pair count.
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val nbrs = e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))

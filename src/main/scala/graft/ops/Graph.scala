@@ -1096,10 +1096,12 @@ object Graph {
         edges.select(col("src"), col("dst")).distinct(), Seq("dst"))
     def maybeB(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastRowCap) broadcast(df) else df
-    // forward: levels(h) = (label, id, sig)
+    // forward: levels(h) = (label, id, sig); per-level counts retained
+    // for the backward phase's broadcast decisions
     val (l0, n0) = mat(pivots.select(col("id").as("label"), col("id"))
       .distinct().withColumn("sig", lit(1L).cast("decimal(38,0)")))
     val levels = scala.collection.mutable.ArrayBuffer(l0)
+    val nLevels = scala.collection.mutable.ArrayBuffer(n0)
     var visited = l0.select("label", "id")
     var nFrontier = n0
     var nVisited = nFrontier
@@ -1115,31 +1117,41 @@ object Graph {
       nFrontier = n
       if (nFrontier > 0) {
         levels += next
+        nLevels += nFrontier
         visited = visited.unionAll(next.select("label", "id"))
         nVisited += nFrontier
       }
     }
-    // backward: δ over adjacent levels, deepest level δ = 0
+    // backward: δ over adjacent levels, deepest level δ = 0. Each
+    // level's (σ, δ) ride ONE frame, so a level is a single broadcast
+    // probe of the STATIONARY hash(dst) edge list (w-side) + a
+    // broadcast v-side filter + one aggregate whose exchange carries
+    // only the matched level-adjacent term rows. The previous spelling
+    // expanded levels(k) through `e` on src — re-exchanging the full
+    // edge list (declared hash(dst), so never src-aligned) AND the
+    // expanded rows again on (label,dst), every level (r15 job audit).
     val maxL = levels.length - 1
-    var delta = levels(maxL).select(col("label"), col("id"),
-      lit(0L).as("d")).localCheckpoint(true)
-    var acc = if (maxL > 0) delta else delta.limit(0)
+    var delta = levels(maxL).withColumn("d", lit(0L)).localCheckpoint(true)
+    def accSlice(df: DataFrame) = df.select("label", "id", "d")
+    var acc = if (maxL > 0) accSlice(delta) else accSlice(delta).limit(0)
     for (k <- (maxL - 1) to 0 by -1) {
-      val succ = delta.select(col("label"), col("id").as("dst"),
-        col("d").as("__dw"))
-      val sigW = levels(k + 1).select(col("label"),
-        col("id").as("dst"), col("sig").as("__sw"))
-      val dk = levels(k).as("v")
-        .join(e, col("v.id") === col("src"), "left")
-        .join(sigW.join(succ, Seq("label", "dst")).as("w"),
-          Seq("label", "dst"), "left")
-        .groupBy(col("label"), col("v.id").as("id"))
-        .agg(coalesce(sum(expr(
-          "CAST(sig AS DECIMAL(38,0)) * (1000000 + __dw) div __sw")),
-          lit(0)).cast("long").as("d"))
+      val dkAgg = e
+        .join(maybeB(delta.select(col("label"), col("id").as("dst"),
+            col("sig").as("__sw"), col("d").as("__dw")), nLevels(k + 1)),
+          Seq("dst"))
+        .join(maybeB(levels(k).select(col("label"), col("id").as("src"),
+            col("sig").as("__sv")), nLevels(k)), Seq("label", "src"))
+        .groupBy(col("label"), col("src").as("id"))
+        .agg(sum(expr(
+          "CAST(__sv AS DECIMAL(38,0)) * (1000000 + __dw) div __sw"))
+          .cast("long").as("d"))
+      // vertices with no level-(k+1) successor keep δ = 0 (they still
+      // carry σ for the next round)
+      delta = levels(k).join(dkAgg, Seq("label", "id"), "left")
+        .select(col("label"), col("id"), col("sig"),
+          coalesce(col("d"), lit(0L)).as("d"))
         .localCheckpoint(true)
-      delta = dk
-      acc = if (k > 0) acc.unionAll(dk) else acc // pivot rows excluded
+      acc = if (k > 0) acc.unionAll(accSlice(delta)) else acc // pivots excluded
     }
     acc.filter(col("d") > 0)
       .groupBy("id").agg(sum("d").as("bc_micro"))

@@ -258,6 +258,16 @@ object Rank {
     * round (multi-referenced lineage — the HITS lesson). Cost scales
     * with queries × k², never with the corpus.
     *
+    * Layout (r15, the r14 graph-loop pattern): `rel`, `pairs`, and each
+    * round's `picked` are materialized on a DECLARED hash(qid) layout
+    * (GraftShim) — HashPartitioning(qid) satisfies every per-round
+    * ClusteredDistribution (the (qid,b) join, the (qid,id) anti-join
+    * and join, the (qid,a) aggregate, the per-qid argmax window), so
+    * all m−1 rounds plan with ZERO shuffle exchanges beyond the one
+    * pinned exchange inside each tiny picked-set materialization; the
+    * plain-localCheckpoint spelling re-exchanged the k²-sized pair
+    * table every round (the erased-layout tax).
+    *
     * @param cand (qidCol, idCol, rankCol) — k-bounded, rank 1 best
     * @param vecs (idCol, vecCol) — one vector per candidate id
     * @return (qid, sel_rank 1..m, id, mmr_units) */
@@ -268,37 +278,55 @@ object Rank {
     require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       "lambda must be a fraction in [0, 1]")
     val spark = cand.sparkSession
-    val base = cand.select(col(qidCol).as("qid"), col(idCol).as("id"),
+    val shim = org.apache.spark.sql.GraftShim
+    def matQ(df: DataFrame): DataFrame =
+      shim.materializeHashPartitionedWithCount(df, Seq("qid"))._1
+    val base = matQ(cand.select(col(qidCol).as("qid"), col(idCol).as("id"),
         col(rankCol).cast("long").as("rank"))
-      .join(vecs.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
-      .localCheckpoint(true)
+      .join(vecs.select(col(idCol).as("id"), col(vecCol).as("v")), "id"))
+    // kmax groups on qid and the rel join is qid-co-partitioned — both
+    // ride base's declared layout exchange-free
     val kmax = base.groupBy("qid").agg(max("rank").as("kmax"))
-    val rel = base.join(kmax, "qid")
+    val rel = matQ(base.join(kmax, "qid")
       .select(col("qid"), col("id"), col("v"),
         when(col("kmax") === 1, lit(1000000L))
           .otherwise(expr("(kmax - rank) * 1000000 DIV (kmax - 1)"))
           .as("rel"),
-        col("rank"))
-      .localCheckpoint(true)
-    val a = rel.select(col("qid"), col("id").as("a"), col("v").as("va"))
+        col("rank")))
+    val a = rel.select(col("qid"), col("id").as("a"),
+      col("rel").as("rel_a"), col("v").as("va"))
     val b = rel.select(col("qid"), col("id").as("b"), col("v").as("vb"))
-    val pairs = a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
-      .select(col("qid"), col("a"), col("b"),
+    // rel_a rides INSIDE the pair table so the per-round score needs no
+    // (qid,id) join back to rel — joins require ALL cluster keys for
+    // co-partitioning (unlike aggregates/windows, which accept the
+    // hash(qid) subset), so any multi-key join here would re-exchange
+    // the k²-sized table every round
+    val pairs = matQ(a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"), col("rel_a"),
         round(Similarity.cosineFast(spark, col("va"), col("vb")) * 1e6)
-          .cast("long").as("sim"))
-      .localCheckpoint(true)
-    var picked = rel.filter(col("rank") === 1)
+          .cast("long").as("sim")))
+    var picked = matQ(rel.filter(col("rank") === 1)
       .select(col("qid"), col("id"), lit(1L).as("sel_rank"),
-        lit(null).cast("long").as("mmr_units"))
-      .localCheckpoint(true)
+        lit(null).cast("long").as("mmr_units")))
+    // the picked set is ≤ queries × m rows and is joined twice per
+    // round — broadcast it under the usual 4M-row cap so both joins
+    // are map-side probes PRESERVING pairs' declared hash(qid) layout;
+    // the aggregate and window then ride it too and every round plans
+    // with zero shuffle exchanges (spec-pinned). Past the cap the
+    // joins fall back to co-keyed shuffles.
+    val nQueries = picked.count() // round 1 = exactly one row per query
     for (t <- 2 to m) {
-      val ms = pairs
-        .join(picked.select(col("qid"), col("id").as("b")), Seq("qid", "b"))
+      // current picked size is ≤ nQueries·(t−1): one new row per query
+      // and round
+      def maybeB(df: DataFrame): DataFrame =
+        if (nQueries * (t - 1) <= (4L << 20)) broadcast(df) else df
+      val scored = pairs
+        .join(maybeB(picked.select(col("qid"), col("id").as("b"))),
+          Seq("qid", "b"))
         .groupBy(col("qid"), col("a").as("id"))
-        .agg(max("sim").as("maxsim"))
-      val scored = rel
-        .join(picked.select("qid", "id"), Seq("qid", "id"), "left_anti")
-        .join(ms, Seq("qid", "id"))
+        .agg(max("sim").as("maxsim"), max("rel_a").as("rel"))
+        .join(maybeB(picked.select("qid", "id")), Seq("qid", "id"),
+          "left_anti")
         .withColumn("score",
           expr(s"$lambdaNum * rel - ${lambdaDen - lambdaNum} * maxsim"))
       val w = Window.partitionBy("qid")
@@ -307,7 +335,10 @@ object Rank {
         .filter(col("rn") === 1)
         .select(col("qid"), col("id"), lit(t.toLong).as("sel_rank"),
           col("score").as("mmr_units"))
-      picked = picked.unionAll(pick).localCheckpoint(true)
+      // the last round stays lazy — callers see its plan (spec-pinned
+      // exchange-free) and skip one materialization
+      picked = if (t == m) picked.unionAll(pick)
+        else matQ(picked.unionAll(pick))
     }
     picked
   }

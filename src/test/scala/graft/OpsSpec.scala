@@ -2013,6 +2013,16 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == ((1L, None)))
     assert(out(2L) == ((3L, Some(0L))))        // orthogonal picked 2nd
     assert(out(3L) == ((2L, Some(-500000L))))  // near-dup demoted last
+    // r15 layout pin: rel/pairs/picked are materialized on a declared
+    // hash(qid) layout, so each unrolled round (the lazy last one is
+    // visible here) plans with ZERO shuffle exchanges — a regression
+    // re-adds a k²-pair-table exchange per round
+    val lastRound = Rank.mmrRerank(cand, vecs, "qid", "id", "rank", "v", m = 3)
+    val shuffles = lastRound.queryExecution.executedPlan.toString
+      .linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(shuffles == 0,
+      s"mmr round: expected zero shuffle exchanges, got $shuffles")
   }
 
   test("benford: first significant digit through sign/decimal/zero") {
