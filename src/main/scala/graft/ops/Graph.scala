@@ -229,25 +229,41 @@ object Graph {
     *         a vertex with no out-edges has hub 0, no in-edges auth 0 */
   def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val vertices = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
-    val n = vertices.count()
+    val shim = org.apache.spark.sql.GraftShim
+    // TWO stationary edge copies, one per half-step's GROUPING key
+    // (r15, the pagerank lesson: AQE's broadcast conversion lands
+    // after the edge shuffle stage already materialized, so the old
+    // spelling shuffle-wrote the edge list twice per iteration): the
+    // hub step joins broadcast(auth) on dst and aggregates on src —
+    // riding the hash(src) copy — while the auth step joins
+    // broadcast(hubs) on src and aggregates on dst on the hash(dst)
+    // copy. 2× stationary storage buys zero edge-sized exchanges
+    // across all iterations; past the broadcast cap the second copy
+    // is skipped and the joins fall back to co-keyed shuffles.
+    val (eBySrc, _) = shim.materializeHashPartitionedWithCount(
+      edges.select(col("src"), col("dst")), Seq("src"))
+    val (vertices, n) = shim.materializeHashPartitionedWithCount(
+      eBySrc.select(col("src").as("id"))
+        .unionAll(eBySrc.select(col("dst").as("id"))).distinct(), Seq("id"))
     require(n > 0, "hits: empty graph")
+    val bcast = n <= (4L << 20)
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val eByDst = if (bcast)
+      shim.materializeHashPartitionedWithCount(eBySrc, Seq("dst"))._1
+    else eBySrc
     // Each renorm references its input aggregate TWICE (the total and
     // the join back onto the vertex set), so without materialization
     // the lineage re-executes and the plan DOUBLES per half-step —
     // 2^(2·iters) recomputation (measured 20.9 s vs 1.9 s at sf0.1).
-    // The checkpointed frame is vertex-cardinality — the same
-    // per-iteration materialization class as the CC loop; this is why
-    // hits checkpoints every half-step while pagerank (single-
-    // reference lineage) checkpoints every 8.
+    // The materialization now DECLARES hash(rid) so the renorm join is
+    // co-partitioned with the vertex table (zero exchange), and the
+    // materialized score table is what the next half-step broadcasts
+    // (a plain scan per build — never a chained plan).
     def renorm(rawIn: DataFrame): DataFrame = {
-      val raw = rawIn.localCheckpoint(true)
+      val raw = shim.materializeHashPartitionedWithCount(rawIn, Seq("rid"))._1
       val total = raw.agg(sum("raw").as("__t"))
       vertices.join(raw, vertices("id") === raw("rid"), "left")
-        .crossJoin(total)
+        .crossJoin(broadcast(total))
         .select(col("id"),
           expr("CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) " +
             s"* $Scale DIV __t").as("units"))
@@ -256,11 +272,11 @@ object Graph {
     var hubs = auth
     for (it <- 1 to iterations) {
       hubs = renorm(
-        e.join(auth, e("dst") === auth("id"))
-          .groupBy(e("src").as("rid")).agg(sum("units").as("raw")))
+        eBySrc.join(maybeB(auth), eBySrc("dst") === auth("id"))
+          .groupBy(eBySrc("src").as("rid")).agg(sum("units").as("raw")))
       auth = renorm(
-        e.join(hubs, e("src") === hubs("id"))
-          .groupBy(e("dst").as("rid")).agg(sum("units").as("raw")))
+        eByDst.join(maybeB(hubs), eByDst("src") === hubs("id"))
+          .groupBy(eByDst("dst").as("rid")).agg(sum("units").as("raw")))
     }
     hubs.select(col("id"), col("units").as("hub_units"))
       .join(auth.select(col("id"), col("units").as("auth_units")), "id")

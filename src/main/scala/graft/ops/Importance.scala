@@ -495,6 +495,120 @@ object Importance {
     score(col(textCol)).cast("struct<n_grams:long,ppl:double>")
   }
 
+  /** An interpolated Kneser–Ney 5-GRAM model — the KenLM-class CCNet
+    * filter tier (r14 verdict #7), closing the n-gram LM ladder
+    * (bigram → trigram → 5-gram). Two more layers of the EXACT
+    * [[KnTrigramModel]] recursion, each routing its discounted mass
+    * through the layer below:
+    *
+    *   P_4(w|ctx₃) = (max(c₄ − D, 0) + D · N1+(ctx₃ •) · P_3) / c(ctx₃)
+    *   P_5(w|ctx₄) = (max(c₅ − D, 0) + D · N1+(ctx₄ •) · P_4) / c(ctx₄)
+    *
+    * with D = 0.75 dyadic, each layer falling back to the one below
+    * when its context count or continuation-type count is zero — every
+    * term an integer count or the lower layer's expression, so all
+    * FIVE layers replay in SQL bit-comparably after the same 6-dp
+    * per-gram round (the unrolled-oracle pattern demonstrated at n=3,
+    * extended once more). Counts come from the same bounded lowest-id
+    * sample; one pass builds the 4/5-gram tables. */
+  final case class Kn5Model(tri: KnTrigramModel,
+                            four: Map[String, Long], n1four: Map[String, Int],
+                            five: Map[String, Long], n1five: Map[String, Int]) {
+    /** Interpolated-KN 5-gram probability; always in (0, 1]. */
+    def prob(w1: String, w2: String, w3: String, w4: String,
+             w5: String): Double = {
+      val p3 = tri.prob(w3, w4, w5)
+      val ctx3 = w2 + " " + w3 + " " + w4
+      val c3ctx = tri.tri.getOrElse(ctx3, 0L)
+      val nf4 = n1four.getOrElse(ctx3, 0)
+      val p4 =
+        if (c3ctx == 0L || nf4 == 0) p3
+        else {
+          val c4 = four.getOrElse(ctx3 + " " + w5, 0L)
+          (math.max(c4 - 0.75, 0.0) + 0.75 * nf4 * p3) / c3ctx
+        }
+      val ctx4 = w1 + " " + w2 + " " + w3 + " " + w4
+      val c4ctx = four.getOrElse(ctx4, 0L)
+      val nf5 = n1five.getOrElse(ctx4, 0)
+      if (c4ctx == 0L || nf5 == 0) p4
+      else {
+        val c5 = five.getOrElse(ctx4 + " " + w5, 0L)
+        (math.max(c5 - 0.75, 0.0) + 0.75 * nf5 * p4) / c4ctx
+      }
+    }
+  }
+
+  /** Train a [[Kn5Model]] (and its embedded trigram/bigram tiers) on
+    * the `sampleN` lowest-id documents — one extra counting pass for
+    * the 4/5-gram tables over the same deterministic sample. */
+  def trainKn5(df: DataFrame, textCol: String, idCol: String,
+               sampleN: Int = 2048): Kn5Model = {
+    val tri = trainKnTrigram(df, textCol, idCol, sampleN)
+    val texts = df.orderBy(col(idCol)).limit(sampleN)
+      .select(col(textCol).cast("string")).collect()
+      .map(_.getString(0)).filter(_ != null)
+    val four = scala.collection.mutable.HashMap.empty[String, Long]
+    val five = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach { t =>
+      val toks = TextFunctions.tokensJvm(t)
+      var i = 0
+      while (i + 4 <= toks.length) {
+        val k4 = toks(i) + " " + toks(i + 1) + " " + toks(i + 2) + " " +
+          toks(i + 3)
+        four.update(k4, four.getOrElse(k4, 0L) + 1L)
+        if (i + 5 <= toks.length) {
+          val k5 = k4 + " " + toks(i + 4)
+          five.update(k5, five.getOrElse(k5, 0L) + 1L)
+        }
+        i += 1
+      }
+    }
+    def ctxTypes(m: scala.collection.Map[String, Long]): Map[String, Int] = {
+      val n1 = scala.collection.mutable.HashMap.empty[String, Int]
+      m.keysIterator.foreach { k =>
+        val ctx = k.substring(0, k.lastIndexOf(' '))
+        n1.update(ctx, n1.getOrElse(ctx, 0) + 1)
+      }
+      n1.toMap
+    }
+    Kn5Model(tri, four.toMap, ctxTypes(four), five.toMap, ctxTypes(five))
+  }
+
+  /** SHUFFLE-FREE per-row 5-gram-KN perplexity — [[knPerplexity3Col]]
+    * two orders up: per-5-gram log-probs rounded to 6 dp,
+    * BigDecimal-accumulated (exact, order-free), ppl NULL for docs
+    * with < 5 tokens. Returns struct (n_grams, ppl). */
+  def knPerplexity5Col(df: DataFrame, textCol: String,
+                       model: Kn5Model): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val score = udf { (text: String) =>
+      if (text == null) (0L, None: Option[Double])
+      else {
+        val m = bc.value
+        val toks = TextFunctions.tokensJvm(text)
+        var i = 0
+        var cnt = 0L
+        var sum = java.math.BigDecimal.ZERO
+        while (i + 5 <= toks.length) {
+          val lnp = java.math.BigDecimal
+            .valueOf(math.log(m.prob(toks(i), toks(i + 1), toks(i + 2),
+              toks(i + 3), toks(i + 4))))
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+          sum = sum.add(lnp)
+          cnt += 1
+          i += 1
+        }
+        if (cnt == 0) (0L, None: Option[Double])
+        else {
+          val ppl = math.exp(-(sum.doubleValue / cnt))
+          (cnt, Some(java.math.BigDecimal.valueOf(ppl)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue))
+        }
+      }
+    }
+    score(col(textCol)).cast("struct<n_grams:long,ppl:double>")
+  }
+
   /** Gumbel top-`topN` importance resample: key = logw + Gumbel(md5(id))
     * — sampling without replacement proportional to w, derandomized via
     * the stable uniform u = (h + 0.5)/2^32 (exact, endpoint-free).

@@ -754,4 +754,93 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "rank", "id", "sim")
   }
+
+  /** One corpus pass → (cid, id, codes, err): cell assignment and PQ
+    * code side by side (the [[ivfPqIndex]] pass) plus the L2
+    * reconstruction error per vector — the codebook-staleness signal a
+    * persisted index records at train time and every live batch is
+    * judged against. HOF arguments (the decode) evaluate once per ROW;
+    * only lambda bodies re-evaluate per element (the r14 winnow rule). */
+  private[graft] def ivfPqEncode(corpus: DataFrame, vecCol: String,
+      idCol: String, cents: Array[(Array[Double], Double)],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    val sims = centroidSims(spark, cents, col(vecCol))
+    val coded = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        (array_position(sims, array_max(sims)) - 1).cast("int").as("cid"))
+      .withColumn("codes", Quantize.pqEncodeCol(spark, cb, col("__v")))
+    Quantize.pqDecode(coded, "codes", cb)
+      .withColumn("err", sqrt(aggregate(
+        zip_with(col("__v"), col("vec_approx"),
+          (x, r) => pow(x.cast("double") - r.cast("double"), 2)),
+        lit(0.0), _ + _)))
+      .select("cid", "id", "codes", "err")
+  }
+
+  /** floor(avg(err)·10⁶ + 0.5) over an encoded slice — the integer-ppm
+    * reconstruction-error summary both the base index and each live
+    * batch report, so staleness is one integer compare. */
+  private[graft] def reconPpm(codes: DataFrame): (Long, Long) = {
+    val r = codes.agg(count(lit(1)).as("n"),
+      coalesce(floor(avg(col("err")) * 1e6 + 0.5), lit(0.0)).cast("long")
+        .as("ppm")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Persist an IVF-PQ index — the 100 TB index tier ([[ivfPqIndex]]'s
+    * train-once artifact): coarse centroids + PQ codebooks + the
+    * m-byte code table partitioned by cell id (probes prune at the
+    * directory level; float vectors appear nowhere), PLUS the
+    * train-time reconstruction error in `recon/` — the reference a
+    * rolling ingest ([[graft.streaming.StreamingOps.ivfPqUpsertSink]])
+    * compares each batch against to decide when the frozen codebooks
+    * have drifted off the live distribution and need re-training. */
+  def ivfPqIndexSave(corpus: DataFrame, vecCol: String, idCol: String,
+                     path: String, ncentroids: Int = 16, m: Int = 16,
+                     kCent: Int = 256, lloydIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, vecCol, idCol, ncentroids, lloydIters)
+    require(cents.length == ncentroids, s"corpus smaller than $ncentroids")
+    val cb = Quantize.pqTrain(corpus, vecCol, idCol, m, kCent)
+    cents.zipWithIndex
+      .map { case ((v, n), i) => (i, v.toSeq, n) }.toSeq
+      .toDF("cid", "centroid", "norm").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Quantize.savePqCodebooks(spark, cb, s"$path/codebooks")
+    val codes = ivfPqEncode(corpus, vecCol, idCol, cents, cb)
+    codes.write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    val (n, ppm) = reconPpm(spark.read.parquet(s"$path/codes"))
+    Seq((n, ppm)).toDF("n", "recon_ppm").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/recon")
+  }
+
+  /** Load a persisted IVF-PQ index (quantizers are vocab-sized
+    * collects; doubles round-trip parquet bit-exactly, so reloaded
+    * encodes are IDENTICAL to train-time encodes). The codes table is
+    * the BASE index only — a live ingest's committed batches are read
+    * by [[graft.streaming.StreamingOps.ivfPqStreamCodes]]. */
+  def ivfPqIndexLoad(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPq =
+    IvfPq(spark.read.parquet(s"$path/codes").select("cid", "id", "codes"),
+      ivfCentroidsLoad(spark, path),
+      Quantize.loadPqCodebooks(spark, s"$path/codebooks"))
+
+  /** INCREMENTAL IVF-PQ ingest — the [[ivfIndexUpsert]] shape on the
+    * code tier: encode ONLY the new batch under the persisted frozen
+    * quantizers and append; history is never re-read or re-encoded.
+    * New ids already present are dropped (first write wins). Returns
+    * the appended (cid, id, codes, err) rows. */
+  def ivfPqIndexUpsert(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame, vecCol: String,
+                       idCol: String): DataFrame = {
+    val cents = ivfCentroidsLoad(spark, path)
+    val cb = Quantize.loadPqCodebooks(spark, s"$path/codebooks")
+    val existing = spark.read.parquet(s"$path/codes").select("id")
+    val fresh = batch.join(existing,
+      batch(idCol) === existing("id"), "left_anti")
+    val coded = ivfPqEncode(fresh, vecCol, idCol, cents, cb)
+    coded.write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+    coded
+  }
 }

@@ -300,6 +300,126 @@ private[graft] object SampleQueries {
       |  round(exp(-(CAST(sc3.s AS DOUBLE) / sc3.n_grams)), 6) AS ppl
       |FROM documents LEFT JOIN sc3 ON documents.doc_id = sc3.doc_id""".stripMargin
 
+  /** 5-gram Kneser–Ney perplexity (see [[Importance.trainKn5]]) — the
+    * KenLM-class CCNet tier, closing the LM ladder (r14 verdict #7):
+    * same en-512 lowest-id sample, two more layers of the exact kn3
+    * recursion, the oracle replaying all FIVE probability layers
+    * (continuation → bigram → trigram → 4-gram → 5-gram) literally,
+    * per-gram ln rounded to 6 dp. Docs with < 5 tokens score NULL. */
+  private[graft] def qTextPerplexityKn5(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val model = Importance.trainKn5(
+      d.filter(col("lang") === "en"), "text", "doc_id", sampleN = 512)
+    d.select(col("doc_id"),
+        Importance.knPerplexity5Col(d, "text", model).as("s"))
+      .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+        col("s.ppl").as("ppl"))
+  }
+
+  /** Five-layer KN oracle: the [[oKn3Ctes]] pattern extended with
+    * 4/5-gram count tables and two more unrolled CASE layers — each
+    * layer keys on the TRAILING tokens of the 5-token corpus window
+    * (bigram on (w4,w5), trigram on (w3,w4,w5), …), unique column
+    * names per layer (the DuckDB lateral-alias rule). */
+  private[graft] val oTextPerplexityKn5 =
+    s"""WITH d AS (SELECT doc_id, lang, $oToks AS t FROM documents),
+      |samp AS MATERIALIZED (SELECT t FROM d WHERE lang = 'en'
+      |  ORDER BY doc_id LIMIT 512),
+      |uni AS (SELECT w, count(*) AS c1 FROM
+      |  (SELECT unnest(t) AS w FROM samp) GROUP BY w),
+      |big AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM
+      |  (SELECT t[i] AS w1, t[i + 1] AS w2 FROM samp,
+      |    unnest(generate_series(1, len(t) - 1)) AS s(i)
+      |   WHERE len(t) >= 2) GROUP BY w1, w2),
+      |tri AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c3 FROM
+      |  (SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM samp,
+      |    unnest(generate_series(1, len(t) - 2)) AS s(i)
+      |   WHERE len(t) >= 3) GROUP BY w1, w2, w3),
+      |four AS MATERIALIZED (SELECT w1, w2, w3, w4, count(*) AS c4 FROM
+      |  (SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+      |      t[i + 3] AS w4 FROM samp,
+      |    unnest(generate_series(1, len(t) - 3)) AS s(i)
+      |   WHERE len(t) >= 4) GROUP BY w1, w2, w3, w4),
+      |five AS MATERIALIZED (SELECT w1, w2, w3, w4, w5, count(*) AS c5 FROM
+      |  (SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+      |      t[i + 3] AS w4, t[i + 4] AS w5 FROM samp,
+      |    unnest(generate_series(1, len(t) - 4)) AS s(i)
+      |   WHERE len(t) >= 5) GROUP BY w1, w2, w3, w4, w5),
+      |n1f AS (SELECT w1, count(*) AS nf FROM big GROUP BY w1),
+      |n1b AS (SELECT w2, count(*) AS nb FROM big GROUP BY w2),
+      |n1t AS (SELECT w1, w2, count(*) AS nft FROM tri GROUP BY w1, w2),
+      |n1q AS (SELECT w1, w2, w3, count(*) AS nfq FROM four
+      |  GROUP BY w1, w2, w3),
+      |n1p AS (SELECT w1, w2, w3, w4, count(*) AS nfp FROM five
+      |  GROUP BY w1, w2, w3, w4),
+      |tot AS (SELECT (SELECT count(*) FROM big) AS b,
+      |  (SELECT count(*) FROM uni) AS v),
+      |cb5 AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+      |    t[i + 3] AS w4, t[i + 4] AS w5
+      |  FROM d, unnest(generate_series(1, len(t) - 4)) AS s(i)
+      |  WHERE len(t) >= 5),
+      |comp AS (SELECT cb5.doc_id,
+      |    CAST(COALESCE(n1b.nb, 0) + 1 AS DOUBLE) /
+      |      CAST(tot.b + tot.v + 1 AS DOUBLE) AS pc,
+      |    u4.c1 AS c1b, bg45.c2 AS c2b, nf4.nf AS nfb,
+      |    bg34.c2 AS c12, nt34.nft AS nft, tr345.c3 AS c3,
+      |    tr234.c3 AS cq, nq234.nfq AS nfq, f2345.c4 AS c4g,
+      |    f1234.c4 AS cp, np1234.nfp AS nfp, fv.c5 AS c5g
+      |  FROM cb5 CROSS JOIN tot
+      |  LEFT JOIN uni u4 ON cb5.w4 = u4.w
+      |  LEFT JOIN big bg45 ON cb5.w4 = bg45.w1 AND cb5.w5 = bg45.w2
+      |  LEFT JOIN n1f nf4 ON cb5.w4 = nf4.w1
+      |  LEFT JOIN n1b ON cb5.w5 = n1b.w2
+      |  LEFT JOIN big bg34 ON cb5.w3 = bg34.w1 AND cb5.w4 = bg34.w2
+      |  LEFT JOIN n1t nt34 ON cb5.w3 = nt34.w1 AND cb5.w4 = nt34.w2
+      |  LEFT JOIN tri tr345 ON cb5.w3 = tr345.w1 AND cb5.w4 = tr345.w2
+      |    AND cb5.w5 = tr345.w3
+      |  LEFT JOIN tri tr234 ON cb5.w2 = tr234.w1 AND cb5.w3 = tr234.w2
+      |    AND cb5.w4 = tr234.w3
+      |  LEFT JOIN n1q nq234 ON cb5.w2 = nq234.w1 AND cb5.w3 = nq234.w2
+      |    AND cb5.w4 = nq234.w3
+      |  LEFT JOIN four f2345 ON cb5.w2 = f2345.w1 AND cb5.w3 = f2345.w2
+      |    AND cb5.w4 = f2345.w3 AND cb5.w5 = f2345.w4
+      |  LEFT JOIN four f1234 ON cb5.w1 = f1234.w1 AND cb5.w2 = f1234.w2
+      |    AND cb5.w3 = f1234.w3 AND cb5.w4 = f1234.w4
+      |  LEFT JOIN n1p np1234 ON cb5.w1 = np1234.w1 AND cb5.w2 = np1234.w2
+      |    AND cb5.w3 = np1234.w3 AND cb5.w4 = np1234.w4
+      |  LEFT JOIN five fv ON cb5.w1 = fv.w1 AND cb5.w2 = fv.w2
+      |    AND cb5.w3 = fv.w3 AND cb5.w4 = fv.w4 AND cb5.w5 = fv.w5),
+      |pbb AS (SELECT doc_id,
+      |    CASE WHEN c1b IS NULL OR nfb IS NULL THEN pc
+      |      ELSE (GREATEST(CAST(COALESCE(c2b, 0) AS DOUBLE) - 0.75, 0.0)
+      |        + 0.75 * CAST(nfb AS DOUBLE) * pc)
+      |        / CAST(c1b AS DOUBLE) END AS pb,
+      |    c12, nft, c3, cq, nfq, c4g, cp, nfp, c5g
+      |  FROM comp),
+      |p3b AS (SELECT doc_id,
+      |    CASE WHEN c12 IS NULL OR nft IS NULL THEN pb
+      |      ELSE (GREATEST(CAST(COALESCE(c3, 0) AS DOUBLE) - 0.75, 0.0)
+      |        + 0.75 * CAST(nft AS DOUBLE) * pb)
+      |        / CAST(c12 AS DOUBLE) END AS p3,
+      |    cq, nfq, c4g, cp, nfp, c5g
+      |  FROM pbb),
+      |p4b AS (SELECT doc_id,
+      |    CASE WHEN cq IS NULL OR nfq IS NULL THEN p3
+      |      ELSE (GREATEST(CAST(COALESCE(c4g, 0) AS DOUBLE) - 0.75, 0.0)
+      |        + 0.75 * CAST(nfq AS DOUBLE) * p3)
+      |        / CAST(cq AS DOUBLE) END AS p4,
+      |    cp, nfp, c5g
+      |  FROM p3b),
+      |lp5 AS (SELECT doc_id, CAST(round(ln(
+      |    CASE WHEN cp IS NULL OR nfp IS NULL THEN p4
+      |      ELSE (GREATEST(CAST(COALESCE(c5g, 0) AS DOUBLE) - 0.75, 0.0)
+      |        + 0.75 * CAST(nfp AS DOUBLE) * p4)
+      |        / CAST(cp AS DOUBLE) END), 6) AS DECIMAL(18,6)) AS lnp
+      |  FROM p4b),
+      |sc5 AS (SELECT doc_id, count(*) AS n_grams, sum(lnp) AS s
+      |  FROM lp5 GROUP BY doc_id)
+      |SELECT documents.doc_id,
+      |  CAST(COALESCE(sc5.n_grams, 0) AS BIGINT) AS n_grams,
+      |  round(exp(-(CAST(sc5.s AS DOUBLE) / sc5.n_grams)), 6) AS ppl
+      |FROM documents LEFT JOIN sc5 ON documents.doc_id = sc5.doc_id""".stripMargin
+
   /** Bigram-vs-trigram divergence row (the r13 ask's comparison leg):
     * per-doc ppls from BOTH KN tiers (same en-512 sample), micro-unit
     * floored, one integer-exact aggregate over docs scoreable by both —
@@ -1144,6 +1264,7 @@ private[graft] object SampleQueries {
     "text_perplexity" -> (qTextPerplexity _),
     "text_perplexity_kn" -> (qTextPerplexityKn _),
     "text_perplexity_kn3" -> (qTextPerplexityKn3 _),
+    "text_perplexity_kn5" -> (qTextPerplexityKn5 _),
     "text_kn_divergence" -> (qTextKnDivergence _),
     "join_pivot" -> (qJoinPivot _),
     "join_bloom" -> (qJoinBloom _),
@@ -1184,6 +1305,7 @@ private[graft] object SampleQueries {
     "text_perplexity" -> oTextPerplexity,
     "text_perplexity_kn" -> oTextPerplexityKn,
     "text_perplexity_kn3" -> oTextPerplexityKn3,
+    "text_perplexity_kn5" -> oTextPerplexityKn5,
     "text_kn_divergence" -> oTextKnDivergence,
     "join_pivot" -> oJoinPivot,
     "join_bloom" -> oJoinBloom,

@@ -247,6 +247,77 @@ private[graft] object SimilarityQueries {
       |  TRUE AS assignments_match, TRUE AS search_match
       |FROM embeddings""".stripMargin
 
+  /** INCREMENTAL IVF-PQ index maintenance — [[qSimIvfIncremental]] on
+    * the CODE tier (16 B/vector, the index a 100 TB corpus ships):
+    * coarse quantizer + PQ codebooks train once and persist
+    * ([[Similarity.ivfPqIndexSave]]); each batch encodes under the
+    * FROZEN quantizers and appends ([[Similarity.ivfPqIndexUpsert]]).
+    * Contract: (a) the grown code table equals a one-shot encode of
+    * the full corpus under the same quantizers (codebook round-trip is
+    * bit-exact); (b) ADC search over the incremental index returns the
+    * one-shot index's top-k; (c) the codebook-staleness rail EXISTS —
+    * train-time reconstruction ppm is recorded and positive (PQ is
+    * lossy on these embeddings at every SF). The >25% re-train TRIGGER
+    * is deliberately NOT oracle-checked here: at sf0.001 the base
+    * slice is 300 vectors against kCent=256 codebooks, which memorize
+    * the training slice, so even a same-distribution held-out batch
+    * legitimately reconstructs >25% worse — fire/no-fire semantics are
+    * spec-pinned in the streaming twin where the distributions are
+    * controlled. Counts replay in SQL; the parity booleans ride the
+    * engine (the check is the plumbing). */
+  private[graft] def qSimIvfPqIncremental(s: SparkSession,
+                                          dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val path = new java.io.File(scratchRoot, "ivfpq_inc").getAbsolutePath
+    val base = e.filter(col("vec_id") < 300)
+    Similarity.ivfPqIndexSave(base, "embedding", "vec_id", path,
+      ncentroids = 16, m = 16, kCent = 256)
+    val appended = Similarity.ivfPqIndexUpsert(s, path,
+      e.filter(col("vec_id") >= 300), "embedding", "vec_id")
+      .localCheckpoint(true)
+    val cents = Similarity.ivfCentroidsLoad(s, path)
+    val cb = Quantize.loadPqCodebooks(s, s"$path/codebooks")
+    val inc = s.read.parquet(s"$path/codes")
+    // checkpointed: each `except` direction and the search leg would
+    // otherwise re-run the corpus encode UDF per consumer
+    val full = Similarity.ivfPqEncode(e, "embedding", "vec_id", cents, cb)
+      .localCheckpoint(true)
+    def key(df: DataFrame) = df.select(col("cid"), col("id"),
+      concat_ws(",", col("codes").cast("array<string>")).as("cs"))
+    val codesMatch =
+      key(inc).except(key(full)).count() + key(full).except(key(inc)).count()
+    val qz = e.filter(col("vec_id") < 8)
+    val sInc = Similarity.ivfPqTopK(
+      Similarity.IvfPq(inc.select("cid", "id", "codes"), cents, cb),
+      qz, "embedding", "vec_id", k = 5).localCheckpoint(true)
+    val sFull = Similarity.ivfPqTopK(
+      Similarity.IvfPq(full.select("cid", "id", "codes"), cents, cb),
+      qz, "embedding", "vec_id", k = 5).localCheckpoint(true)
+    val searchMatch =
+      sInc.except(sFull).count() + sFull.except(sInc).count()
+    val basePpm = s.read.parquet(s"$path/recon").head().getLong(1)
+    val (nBatch, _) = Similarity.reconPpm(appended)
+    val n = e.agg(
+      sum(when(col("vec_id") < 300, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("vec_id") >= 300, 1L).otherwise(0L)).as("nn"),
+      count(lit(1)).as("nt")).head()
+    import s.implicits._
+    Seq((n.getLong(0), n.getLong(1), n.getLong(2),
+      codesMatch == 0L, searchMatch == 0L,
+      basePpm > 0L && nBatch == n.getLong(1)))
+      .toDF("n_base", "n_new", "n_total",
+        "codes_match", "search_match", "recon_recorded")
+  }
+
+  private[graft] val oSimIvfPqIncremental =
+    """SELECT CAST(sum(CASE WHEN vec_id < 300 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_base,
+      |  CAST(sum(CASE WHEN vec_id >= 300 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new,
+      |  count(*) AS n_total,
+      |  TRUE AS codes_match, TRUE AS search_match, TRUE AS recon_recorded
+      |FROM embeddings""".stripMargin
+
   private[graft] val oSimTopK =
     """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |    generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -546,6 +617,7 @@ private[graft] object SimilarityQueries {
     "sim_matryoshka" -> (qSimMatryoshka _),
     "sim_topk_filtered" -> (qSimTopKFiltered _),
     "sim_ivf_incremental" -> (qSimIvfIncremental _),
+    "sim_ivfpq_incremental" -> (qSimIvfPqIncremental _),
     "sim_bitext" -> (qSimBitext _),
     "sim_mmr" -> (qSimMmr _),
     "sim_topk_agg" -> (qSimTopKAgg _),
@@ -565,6 +637,7 @@ private[graft] object SimilarityQueries {
     "sim_matryoshka" -> oSimMatryoshka,
     "sim_topk_filtered" -> oSimTopKFiltered,
     "sim_ivf_incremental" -> oSimIvfIncremental,
+    "sim_ivfpq_incremental" -> oSimIvfPqIncremental,
     "sim_bitext" -> oSimBitext,
     "sim_mmr" -> oSimMmr,
     "sim_topk_agg" -> oSimTopK,

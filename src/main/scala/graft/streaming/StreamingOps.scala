@@ -879,6 +879,131 @@ object StreamingOps {
     }
   }
 
+  /** Streaming IVF-PQ index upsert — the [[ivfUpsertSink]] twin on the
+    * CODE tier (the 16-byte-per-vector index a 100 TB corpus actually
+    * ships): each micro-batch's new ids are encoded under the FROZEN
+    * persisted quantizers ([[graft.ops.Similarity.ivfPqIndexSave]]) and
+    * appended as `stream_codes/b=<batchId>`, with the same
+    * overwrite-then-advance-marker exactly-once contract, first-write-
+    * wins id dedup (the id scan reads base + committed codes, one
+    * column), and the batchId-regression guard (throws more than one
+    * below the marker — stable checkpoint dir, single writer).
+    *
+    * CODEBOOK STALENESS: frozen quantizers slowly drift off a rolling
+    * corpus — new vectors quantize worse and recall decays silently.
+    * Each committed batch therefore also writes a `drift/b=<batchId>`
+    * row: its row count, its mean L2 reconstruction error in integer
+    * ppm ([[graft.ops.Similarity.reconPpm]]), the base index's
+    * train-time ppm, the delta, and `retrain` — true when the batch
+    * reconstructs >25% worse than training (recon·4 > base·5), the
+    * default re-train trigger. Read the log with [[ivfPqDriftLog]];
+    * when `retrain` fires, rebuild with ivfPqIndexSave (re-encoding is
+    * one corpus pass) — until then the frozen codebooks keep every
+    * persisted code valid. Stream ≡ batch: committed codes equal
+    * [[graft.ops.Similarity.ivfPqIndexUpsert]] of the same rows under
+    * the same quantizers (spec-pinned). */
+  def ivfPqUpsertSink(indexPath: String, vecCol: String, idCol: String)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_stream_latest")
+    val current: Option[Long] =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+        finally in.close()
+      } else None
+    current.filter(_ > batchId + 1).foreach { hw =>
+      throw new IllegalStateException(
+        s"ivfPqUpsertSink($indexPath): batchId $batchId is ${hw - batchId} " +
+          s"below the committed high-water marker $hw — not a retry. The " +
+          "sink requires a stable checkpoint location and a single writer.")
+    }
+    if (current.forall(_ < batchId)) {
+      val cents = graft.ops.Similarity.ivfCentroidsLoad(spark, indexPath)
+      val cb = graft.ops.Quantize.loadPqCodebooks(spark, s"$indexPath/codebooks")
+      val existing = ivfPqStreamCodes(spark, indexPath).select("id")
+      val fresh = batch.join(existing,
+        batch(idCol) === existing("id"), "left_anti")
+      val coded = graft.ops.Similarity
+        .ivfPqEncode(fresh, vecCol, idCol, cents, cb)
+      coded.write.mode("overwrite")
+        .parquet(s"$indexPath/stream_codes/b=$batchId")
+      // drift row rides the SAME commit: compute from the just-written
+      // parquet (one scan of this batch's codes, never the history)
+      val (n, ppm) = graft.ops.Similarity.reconPpm(
+        spark.read.parquet(s"$indexPath/stream_codes/b=$batchId"))
+      val basePpm = spark.read.parquet(s"$indexPath/recon")
+        .head().getLong(1)
+      Seq((batchId, n, ppm, basePpm, ppm - basePpm,
+          n > 0 && ppm * 4 > basePpm * 5))
+        .toDF("batch_id", "n", "recon_ppm", "base_ppm", "drift_ppm",
+          "retrain")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/drift/b=$batchId")
+      val out = fs.create(marker, true)
+      try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The full IVF-PQ code table (cid, id, codes) as of the last
+    * COMMITTED stream batch — base index plus committed
+    * `stream_codes/b=*` (the [[ivfStreamAssigns]] read on the code
+    * tier); feed it to ivfPqTopK via `IvfPq(this, centroids,
+    * codebooks)`. */
+  def ivfPqStreamCodes(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(s"$indexPath/codes")
+      .select("cid", "id", "codes")
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_stream_latest")
+    if (!fs.exists(marker)) base
+    else {
+      val in = fs.open(marker)
+      val hw = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      val dir = new org.apache.hadoop.fs.Path(indexPath, "stream_codes")
+      val committed =
+        if (!fs.exists(dir)) Seq.empty[String]
+        else fs.listStatus(dir).toSeq
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("b=") &&
+            p.getName.stripPrefix("b=").toLong <= hw)
+          .map(_.toString)
+      if (committed.isEmpty) base
+      else base.unionAll(
+        spark.read.parquet(committed: _*).select("cid", "id", "codes"))
+    }
+  }
+
+  /** Committed codebook-staleness rows, one per stream batch
+    * (batch_id, n, recon_ppm, base_ppm, drift_ppm, retrain) — the
+    * operator's re-train dashboard for [[ivfPqUpsertSink]]. */
+  def ivfPqDriftLog(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_stream_latest")
+    val dir = new org.apache.hadoop.fs.Path(indexPath, "drift")
+    if (!fs.exists(marker) || !fs.exists(dir))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("batch_id"), lit(0L).as("n"),
+          lit(0L).as("recon_ppm"), lit(0L).as("base_ppm"),
+          lit(0L).as("drift_ppm"), lit(false).as("retrain"))
+        .limit(0)
+    val in = fs.open(marker)
+    val hw = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    val committed = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("b=") &&
+        p.getName.stripPrefix("b=").toLong <= hw)
+      .map(_.toString)
+    spark.read.parquet(committed: _*)
+  }
+
   /** STREAM-STREAM interval join (attribution: "right events with the
     * same key within [leftTs − beforeSec, leftTs + afterSec]") — the
     * join Structured Streaming supports only when BOTH sides carry

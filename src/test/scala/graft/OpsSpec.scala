@@ -1033,6 +1033,49 @@ class OpsSpec extends SparkSpec {
     assert(Importance.trainKnTrigram(train, "text", "id", sampleN = 10) == m)
   }
 
+  test("kn 5-gram model: hand counts, four-deep backoff chain, ladder fit") {
+    // "a b c d e a b c d f": four-grams "a b c d":2, "b c d e":1,
+    // "c d e a":1, "d e a b":1, "e a b c":1, "b c d f":1;
+    // five-grams "a b c d e":1, "b c d e a":1, "c d e a b":1,
+    // "d e a b c":1, "e a b c d":1, "a b c d f":1
+    val train = Seq((0L, "a b c d e a b c d f")).toDF("id", "text")
+    val m = Importance.trainKn5(train, "text", "id", sampleN = 10)
+    assert(m.four("a b c d") == 2L && m.four("b c d e") == 1L)
+    assert(m.five("a b c d e") == 1L && m.five("a b c d f") == 1L)
+    // N1+("a b c d" •) = 2 (e and f); trigram ctx c("b c d") = 2
+    assert(m.n1five("a b c d") == 2 && m.n1four("b c d") == 2)
+    // full 5-gram path: ctx4 = c("a b c d") = 2, nf5 = 2
+    val p4 = {
+      val p3 = m.tri.prob("c", "d", "e") // trigram layer keys w3 w4 w5
+      // 4-gram layer: ctx3 "b c d" count = tri("b c d") = 2, nfq = 2
+      (math.max(m.four("b c d e") - 0.75, 0.0) + 0.75 * 2 * p3) / 2.0
+    }
+    assert(m.prob("a", "b", "c", "d", "e") ==
+      (math.max(1 - 0.75, 0.0) + 0.75 * 2 * p4) / 2.0)
+    // unseen 4-token context falls all the way to the trigram tier,
+    // then (unseen 3-token context) to the bigram tier — the ladder
+    assert(m.prob("zz", "zz", "b", "c", "d") == m.tri.prob("b", "c", "d"))
+    assert(m.prob("zz", "zz", "zz", "b", "c") == m.tri.bi.prob("b", "c"))
+    // probabilities stay probabilities across the grid
+    for (w1 <- Seq("a", "zz"); w2 <- Seq("b", "zz"); w3 <- Seq("c", "zz");
+         w4 <- Seq("d", "zz"); w5 <- Seq("e", "f", "zz")) {
+      val p = m.prob(w1, w2, w3, w4, w5)
+      assert(p > 0.0 && p <= 1.0, s"p($w1 $w2 $w3 $w4 $w5)=$p")
+    }
+    // planted fit + short-doc NULL (< 5 tokens)
+    val corpus = Seq((0L, "a b c d e a b c d f a b c d e"),
+      (1L, "f d b e a c f d b e a c"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = corpus.select(col("doc_id"),
+        Importance.knPerplexity5Col(corpus, "text", m).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getStruct(1).getLong(0),
+        if (r.getStruct(1).isNullAt(1)) Double.NaN
+        else r.getStruct(1).getDouble(1))).toMap
+    assert(out(0)._2 < out(1)._2, s"$out")
+    assert(out(2)._1 == 0L && out(2)._2.isNaN)
+    assert(Importance.trainKn5(train, "text", "id", sampleN = 10) == m)
+  }
+
   test("wordpiece: greedy longest-match, UNK fallback, round-trip") {
     val vocab = Seq(Tokenize.Unk, "un", "##able", "##b", "able", "a")
     val d = Seq((0L, "unable able"), (1L, "ab"), (2L, "zzz able"),

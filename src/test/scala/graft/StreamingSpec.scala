@@ -186,6 +186,84 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.StreamingOps.ivfStreamAssigns(spark, path).count() == 40)
   }
 
+  test("IVF-PQ upsert sink: codes equal the batch twin; drift log triggers re-train") {
+    implicit val ctx = spark.sqlContext
+    import graft.ops.Similarity
+    import graft.streaming.StreamingOps.VecUpsert
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpqstream").toString
+    def mkVec(i: Long): Seq[Float] =
+      Seq.tabulate(4)(d => (math.sin(i * 13 + d * 7) +
+        (if (i % 4 == d) 2.0 else 0.0)).toFloat)
+    val all = (0L until 40L).map(i => VecUpsert(i, mkVec(i)))
+    val (baseRows, streamRows) = all.splitAt(20)
+    // base index: frozen coarse quantizer + PQ codebooks + 20 codes
+    Similarity.ivfPqIndexSave(baseRows.toDF("id", "vec"), "vec", "id",
+      path, ncentroids = 4, m = 2, kCent = 8)
+    val cents = Similarity.ivfCentroidsLoad(spark, path)
+    val cb = graft.ops.Quantize.loadPqCodebooks(spark, s"$path/codebooks")
+    // live leg: two micro-batches, each smuggling an already-known id
+    val input = MemoryStream[VecUpsert]
+    val q = input.toDF().writeStream
+      .foreachBatch(graft.streaming.StreamingOps.ivfPqUpsertSink(
+        path, "vec", "id"))
+      .start()
+    try {
+      input.addData(streamRows.take(10) :+ VecUpsert(5L, mkVec(5)): _*)
+      q.processAllAvailable()
+      input.addData(streamRows.drop(10) :+ VecUpsert(25L, mkVec(25)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "id", "codes").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    val streamed = graft.streaming.StreamingOps.ivfPqStreamCodes(spark, path)
+    // batch twin: same 40 rows encoded under the same frozen quantizers
+    val batchTwin = spark.read.parquet(s"$path/codes")
+      .select("cid", "id", "codes")
+      .unionAll(Similarity.ivfPqEncode(streamRows.toDF("id", "vec"),
+        "vec", "id", cents, cb).select("cid", "id", "codes"))
+    assert(codeSet(streamed) == codeSet(batchTwin))
+    assert(streamed.count() == 40) // duplicate-id rows dropped
+    // drift log: one committed row per batch, same-distribution batches
+    // reconstruct like training — no re-train trigger
+    val drift = graft.streaming.StreamingOps.ivfPqDriftLog(spark, path)
+      .orderBy("batch_id").collect()
+    assert(drift.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(drift.forall(r => r.getLong(1) == 10 && r.getLong(3) > 0))
+    // a distribution-shifted batch must reconstruct worse than training
+    // and fire the re-train trigger (recon·4 > base·5)
+    val shifted = (100L until 110L)
+      .map(i => VecUpsert(i, mkVec(i).map(v => v * 3f + 7f)))
+    graft.streaming.StreamingOps.ivfPqUpsertSink(path, "vec", "id")(
+      shifted.toDF("id", "vec"), 2L)
+    val d2 = graft.streaming.StreamingOps.ivfPqDriftLog(spark, path)
+      .filter(col("batch_id") === 2L).head()
+    assert(d2.getLong(2) > d2.getLong(3), "shifted batch must drift")
+    assert(d2.getBoolean(5), "re-train trigger must fire")
+    // retry no-op + far-below throw share the marker contract
+    graft.streaming.StreamingOps.ivfPqUpsertSink(path, "vec", "id")(
+      streamRows.take(5).toDF("id", "vec"), 2L)
+    assert(graft.streaming.StreamingOps.ivfPqStreamCodes(spark, path)
+      .count() == 50)
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.StreamingOps.ivfPqUpsertSink(path, "vec", "id")(
+        streamRows.take(3).toDF("id", "vec"), 0L)
+    }
+    assert(ex.getMessage.contains("not a retry"))
+    // search parity through the probed ADC search over the merged codes
+    val queries = Seq(VecUpsert(200L, mkVec(3)), VecUpsert(201L, mkVec(27)))
+      .toDF("id", "vec")
+    def topk(codes: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(Similarity.IvfPq(codes, cents, cb),
+          queries, "vec", "id", k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    val streamedNow = graft.streaming.StreamingOps.ivfPqStreamCodes(spark, path)
+      .filter(col("id") < 100L)
+    assert(topk(streamedNow) == topk(batchTwin))
+  }
+
   test("streaming pivot emits the batch cross-tab per closed window") {
     implicit val ctx = spark.sqlContext
     val spec = graft.pivot.PivotSpec.parse("user_id", "event_type=click,view",
