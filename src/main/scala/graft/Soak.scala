@@ -35,7 +35,7 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val graphOps = Set("pagerank", "kcore", "bfs", "harmonic",
+    val graphOps = Set("pagerank", "hits", "kcore", "bfs", "harmonic",
       "betweenness", "scc")
     lazy val docsFull = spark.read.parquet(s"$dir/documents.parquet")
     lazy val docs = docsFull.select("doc_id", "text")
@@ -91,6 +91,11 @@ object Soak {
               ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
               iterations = 5)
             .orderBy(col("rank_units").desc, col("id")).limit(20)
+        case "hits" => // web_hits' loop over the co-purchase graph
+          ops.Graph.hits(
+              ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
+              iterations = 4)
+            .orderBy(col("auth_units").desc, col("id")).limit(20)
         case "kcore" => // graph_kcore's exact shape
           val core = ops.Graph.kCore(
             ops.Graph.coOccurrenceEdgesCanonical(
