@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
-import graft.functions.{BloomMightContain, CharClassProfile, CosineSimilarity, DeflateSize, DotProduct, GopherStats, HashedShingles, KllSketchAgg, LshSignatures, MinHashSig, PqLookupSum, RpProjectExpr, SimHash64, StopProfile}
+import graft.functions.{BloomMightContain, CharClassProfile, CosineSimilarity, DeflateSize, DotProduct, GopherStats, HashedShingles, KllSketchAgg, LshSignatures, MinHashOph, MinHashSig, PqLookupSum, RpProjectExpr, SimHash64, StopProfile}
 
 /** Session extensions registering graft's native (codegen) functions.
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -130,6 +130,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_stop_profile(text) takes 1 argument")
         StopProfile(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_oph"),
+      new ExpressionInfo(classOf[MinHashOph].getName, "graft_minhash_oph"),
+      (children: Seq[Expression]) => {
+        val k = children match {
+          case Seq(_, Literal(v: Int, IntegerType)) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash_oph(shingles, numHashes) needs an integer literal numHashes")
+        }
+        MinHashOph(children.head, k)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kll_agg"),

@@ -121,6 +121,14 @@ object Soak {
             li.select(col("l_partkey").as("id")).distinct()
               .orderBy("id").limit(8),
             maxHops = 3)
+        case "minhash_sig" => // classic 128-hash signature stage alone
+          ops.Dedup.minhashSignatures(docs, "text", "doc_id", 128)
+        case "minhash_sig_oph" => // OPH tier: 1 avalanche/shingle + densify
+          ops.Dedup.minhashSignatures(docs, "text", "doc_id", 128, oph = true)
+        case "minhash_lsh" => // dedup_minhash's full pipeline
+          ops.Dedup.minhashLshPairs(docs, "text", "doc_id", 0.5)
+        case "minhash_lsh_oph" =>
+          ops.Dedup.minhashLshPairs(docs, "text", "doc_id", 0.5, oph = true)
         case "bytebpe" => // doc_tokens_bytebpe's exact train+encode shape
           val model = ops.Tokenize.trainVocabByteBpe(docs, "text",
             "doc_id", vocabSize = 300, sampleN = 256)

@@ -20,6 +20,83 @@ object Chat {
   val turnSchema: ArrayType = ArrayType(StructType(Seq(
     StructField("role", StringType), StructField("content", StringType))))
 
+  /** Schema of one parsed TOOL-USE conversation: assistant turns may
+    * carry `tool_calls` [{id, name, args}], tool turns answer by
+    * `tool_call_id` — the OpenAI-interchange shape agentic training
+    * corpora ship in. Plain chat transcripts parse fine under it (the
+    * extra fields read as null). */
+  val toolTurnSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType),
+    StructField("content", StringType),
+    StructField("tool_calls", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("args", StringType))))),
+    StructField("tool_call_id", StringType))))
+
+  /** Structural audit of TOOL-USE transcripts — the gate before agent
+    * trajectories enter a training mix. Per conversation: how many
+    * tool calls the assistant issued, how many tool-result turns came
+    * back, how many calls are answered (id-matched within the SAME
+    * conversation), unanswered calls, DANGLING results (a
+    * tool_call_id no assistant turn issued — the classic truncation
+    * artifact), and calls whose `args` payload is not valid JSON.
+    * `tools_ok` = zero unanswered + zero dangling + zero bad args.
+    *
+    * Shape: one from_json + two generators per conversation, then a
+    * full-outer id join whose keys are (conv, call_id) — call/result
+    * matching never leaves the conversation, so the join is uniform
+    * and conversation-local at any corpus scale; the final aggregate
+    * is one map-side-combinable groupBy(conv).
+    *
+    * @return (idCol, n_turns, n_tool_calls, n_tool_results, n_matched,
+    *         n_unanswered, n_dangling, n_bad_args, tools_ok) */
+  def toolAudit(df: DataFrame, convCol: String, idCol: String): DataFrame = {
+    val parsed = df
+      .select(col(idCol), posexplode_outer(
+        from_json(col(convCol), toolTurnSchema)).as(Seq("turn_idx", "t")))
+      .filter(col("t").isNotNull)
+      .select(col(idCol), col("turn_idx"), col("t.role").as("role"),
+        col("t.tool_calls").as("tool_calls"),
+        col("t.tool_call_id").as("tool_call_id"))
+    val calls = parsed
+      .filter(col("role") === "assistant" && col("tool_calls").isNotNull)
+      .select(col(idCol), explode(col("tool_calls")).as("c"))
+      .select(col(idCol), col("c.id").as("call_id"),
+        // args must parse as a JSON object; from_json -> null flags it
+        when(from_json(col("c.args"),
+            org.apache.spark.sql.types.MapType(StringType, StringType)).isNull,
+          1L).otherwise(0L).as("bad_args"))
+    val results = parsed
+      .filter(col("role") === "tool" && col("tool_call_id").isNotNull)
+      .select(col(idCol), col("tool_call_id").as("call_id"),
+        lit(1L).as("is_result"))
+    val joined = calls.withColumn("is_call", lit(1L))
+      .join(results, Seq(idCol, "call_id"), "full_outer")
+    val perConv = joined.groupBy(col(idCol))
+      .agg(
+        sum(coalesce(col("is_call"), lit(0L))).as("n_tool_calls"),
+        sum(coalesce(col("is_result"), lit(0L))).as("n_tool_results"),
+        sum(when(col("is_call").isNotNull && col("is_result").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("is_result").isNull, 1L).otherwise(0L))
+          .as("n_unanswered"),
+        sum(when(col("is_call").isNull, 1L).otherwise(0L)).as("n_dangling"),
+        sum(coalesce(col("bad_args"), lit(0L))).as("n_bad_args"))
+    val nTurns = parsed.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"))
+    nTurns.join(perConv, Seq(idCol), "left")
+      .select(col(idCol), col("n_turns"),
+        coalesce(col("n_tool_calls"), lit(0L)).as("n_tool_calls"),
+        coalesce(col("n_tool_results"), lit(0L)).as("n_tool_results"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_unanswered"), lit(0L)).as("n_unanswered"),
+        coalesce(col("n_dangling"), lit(0L)).as("n_dangling"),
+        coalesce(col("n_bad_args"), lit(0L)).as("n_bad_args"))
+      .withColumn("tools_ok",
+        col("n_unanswered") + col("n_dangling") + col("n_bad_args") === 0)
+  }
+
   /** Explode a JSON conversation column into one row per turn:
     * (idCol, turn_idx, role, content). Malformed JSON parses to null
     * and contributes no rows (from_json's PERMISSIVE contract). */

@@ -547,14 +547,30 @@ object Dedup {
     * never pair. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 128, n: Int = 3,
-                        keep: Seq[String] = Nil): DataFrame = {
+                        keep: Seq[String] = Nil,
+                        oph: Boolean = false): DataFrame = {
+    val sh = hashedShingles(df, textCol, n)
     val sigCol =
-      if (df.sparkSession.catalog.functionExists("graft_minhash"))
-        call_function("graft_minhash", hashedShingles(df, textCol, n), lit(numHashes))
-      else minhashFallbackCol(hashedShingles(df, textCol, n), numHashes)
+      if (oph) {
+        // One-permutation tier: ONE avalanche per shingle instead of
+        // numHashes — the signature stage's CPU drops ~k× on long
+        // documents (see MinHashOph's scaladoc for the recall trade).
+        if (df.sparkSession.catalog.functionExists("graft_minhash_oph"))
+          call_function("graft_minhash_oph", sh, lit(numHashes))
+        else ophFallbackUdf(numHashes)(sh)
+      } else if (df.sparkSession.catalog.functionExists("graft_minhash"))
+        call_function("graft_minhash", sh, lit(numHashes))
+      else minhashFallbackCol(sh, numHashes)
     df.select(col(idCol).as("id") +: sigCol.as("sig") +: keep.map(col): _*)
       .filter(col("sig").isNotNull)
   }
+
+  /** No-extension fallback for the OPH tier: the densification walk is
+    * a state machine HOFs can't express, so (like the robots/NFC
+    * parsers) it ships as a JVM scalar calling the SAME static compute
+    * as the codegen expression — identical bits, spec-pinned. */
+  private[graft] def ophFallbackUdf(numHashes: Int) =
+    udf((sh: Seq[Long]) => graft.functions.MinHashOph.computeSeq(sh, numHashes))
 
   /** Expression-only minhash over a hashed-shingle array column — same
     * salts/mix as MinHashSig.compute (fmix of golden-ratio steps), so
@@ -586,10 +602,11 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double, numHashes: Int = 128,
                       bands: Int = 32, n: Int = 3,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000,
+                      oph: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignatures(df, textCol, idCol, numHashes, n)
+    val sig = minhashSignatures(df, textCol, idCol, numHashes, n, oph = oph)
     val banded = sig.select(col("id"), posexplode(
         array((0 until bands).map(b =>
           hash(slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bh")))

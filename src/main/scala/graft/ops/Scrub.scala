@@ -278,4 +278,78 @@ object Scrub {
     regexp_count(text, lit(Ipv4Re)).cast("long").as("ips"),
     regexp_count(regexp_replace(regexp_replace(text, EmailRe, ""), Ipv4Re, ""),
       lit(PhoneRe)).cast("long").as("phones"))
+
+  // ------------------------------------------------------ secret scan
+
+  /** AWS access key id: fixed AKIA prefix + 16 uppercase base-36. */
+  val AwsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  /** GitHub personal access token (classic): ghp_ + 36 alnum. */
+  val GithubTokenRe = "\\bghp_[A-Za-z0-9]{36}\\b"
+  /** PEM private-key header — the one line that matters; the body is
+    * useless without it and the header alone is the policy trigger. */
+  val PemKeyRe = "-----BEGIN [A-Z ]*PRIVATE KEY-----"
+  /** Credential assignment: a secret-ish key name, an = or : separator,
+    * then a ≥12-char token-shaped value. RE2-portable (no lookaround,
+    * no backreference) so the DuckDB oracle runs the SAME pattern. */
+  val SecretAssignRe =
+    "(?i)\\b(?:api[_-]?key|secret|token|passwd|password)\\b\\s*[:=]\\s*[A-Za-z0-9+/_\\-]{12,}"
+  /** High-entropy candidate net: ≥24 chars of base64/hex-ish alphabet.
+    * Candidates alone are NOT findings — a long English word chain
+    * can't match, but a URL slug can; the entropy gate below decides. */
+  val EntropyCandRe = "[A-Za-z0-9+/=_\\-]{24,}"
+
+  private val Ln2 = math.log(2.0)
+
+  /** Shannon entropy of a short candidate string in rounded 1e-6-bit
+    * integer units (the text_entropy rail — order-free BIGINT sum,
+    * bit-equal cross-engine). Interpreted HOFs, but the cost is per
+    * CANDIDATE (a handful of ≤~100-char tokens per document), never
+    * per corpus char. */
+  private def entropyMicro(cand: Column): Column = {
+    val chars = filter(split(cand, ""), c => c =!= "")
+    val n = size(chars)
+    aggregate(
+      transform(array_distinct(chars), ch => {
+        val p = size(filter(chars, x => x === ch)).cast("double") / n
+        floor(-(p * log(p) / lit(Ln2)) * 1e6 + 0.5).cast("long")
+      }),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Secret/credential scan — the code-corpus gate (Gitleaks class):
+    * pattern tiers for the formats worth an exact rule (AWS key ids,
+    * GitHub tokens, PEM private-key headers, `key = value` credential
+    * assignments) plus a HIGH-ENTROPY tier that catches what patterns
+    * can't — an unlabeled 40-char random string is a secret-shaped
+    * object whatever its prefix. Entropy rides the repo's micro-bit
+    * integer rail so the gate is engine-exact (no float threshold
+    * straddling). Counts are independent per tier (a GitHub token is
+    * also an entropy candidate — both tiers report it; dedup across
+    * tiers would make each tier's count depend on rule order).
+    *
+    * Pure per-row projection: no shuffle, no state — at 100 TB this is
+    * a scan-bandwidth pass exactly like the Gopher/C4 batteries, and
+    * composes into the same single Project.
+    *
+    * @param entropyThresholdMicro gate in 1e-6 bits/char units over the
+    *   candidate's char distribution; 3.5 bits default — English-word
+    *   chains sit ~2.8–3.2, random base64 ~5.2, random hex ~3.7–4.0 */
+  def secretScan(text: Column,
+                 entropyThresholdMicro: Long = 3500000L): Column = {
+    val cands = regexp_extract_all(text, lit(EntropyCandRe), lit(0))
+    val ents = transform(cands, c => entropyMicro(c))
+    val nEntropy = size(filter(ents, m => m >= entropyThresholdMicro)).cast("long")
+    val nAws = regexp_count(text, lit(AwsKeyRe)).cast("long")
+    val nGithub = regexp_count(text, lit(GithubTokenRe)).cast("long")
+    val nPem = regexp_count(text, lit(PemKeyRe)).cast("long")
+    val nAssign = regexp_count(text, lit(SecretAssignRe)).cast("long")
+    struct(
+      nAws.as("n_aws"),
+      nGithub.as("n_github"),
+      nPem.as("n_pem"),
+      nAssign.as("n_assign"),
+      nEntropy.as("n_entropy"),
+      coalesce(array_max(ents), lit(0L)).cast("long").as("max_entropy_micro"),
+      (nAws + nGithub + nPem + nAssign + nEntropy > 0).as("has_secret"))
+  }
 }

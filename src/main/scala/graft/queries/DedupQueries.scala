@@ -207,6 +207,18 @@ private[graft] object DedupQueries {
     Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
       threshold = 0.5, numHashes = 128, bands = 32, n = 3)
 
+  /** One-permutation-hashing tier of the same LSH pipeline — ONE
+    * avalanche per shingle instead of 128 (the signature stage is the
+    * dedup CPU bill at corpus scale; see [[graft.functions.MinHashOph]]).
+    * SAME ORACLE as `dedup_minhash`: the exact-Jaccard verify strips
+    * LSH false positives, and the testdata's qualifying pairs sit at
+    * j ≥ 0.9 where the per-pair miss probability is ≲1e-7 even with
+    * densification correlation — the scheme must be invisible in the
+    * output. */
+  private[graft] def qDedupMinhashOph(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.5, numHashes = 128, bands = 32, n = 3, oph = true)
+
   /** Incremental exact dedup: docs ≥400 are "today's batch", deduped
     * against the persisted fingerprint index of docs <400 — the corpus
     * text is never re-read. */
@@ -866,6 +878,7 @@ private[graft] object DedupQueries {
     "dedup_survivors_star" -> (qDedupSurvivorsStar _),
     "dedup_incremental_components" -> (qDedupIncrementalComponents _),
     "dedup_minhash" -> (qDedupMinhash _),
+    "dedup_minhash_oph" -> (qDedupMinhashOph _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_semantic" -> (qDedupSemantic _),
@@ -895,6 +908,7 @@ private[graft] object DedupQueries {
     "dedup_survivors_star" -> oDedupSurvivors,
     "dedup_incremental_components" -> oDedupIncrementalComponents,
     "dedup_minhash" -> oJaccardPairs(0.5),
+    "dedup_minhash_oph" -> oJaccardPairs(0.5),
     "dedup_simhash" -> oDedupSimhash,
     "dedup_embedding" -> oDedupEmbedding,
     "dedup_semantic" -> oDedupSemantic,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
@@ -853,6 +853,77 @@ private[graft] object TrainQueries {
     * role counts, user-first alternation, empty turns, char mass. */
   private[graft] def qChatAudit(s: SparkSession, dir: String): DataFrame =
     Chat.audit(plantedChats(s, dir), "conv", "conv_id")
+
+  /** Planted TOOL-USE transcripts as real JSON: user → assistant with
+    * 1–2 tool_calls → matching tool results → closing assistant. The
+    * defect classes are residue-planted: every 13th conversation drops
+    * one result (unanswered call), every 19th adds an orphan result
+    * (dangling id — the truncation artifact), every 23rd breaks the
+    * first call's args JSON. */
+  private[graft] def plantedToolChats(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val nc = (id % 2 + 1).cast("int")
+    val nr = when(id % 13 === 0, nc - 1).otherwise(nc).cast("int")
+    val callsType = "array<struct<id:string,name:string,args:string>>"
+    val nullCalls = lit(null).cast(callsType)
+    val nullId = lit(null).cast("string")
+    def turn(role: Column, content: Column, calls: Column,
+             tcid: Column): Column =
+      struct(role.as("role"), content.as("content"),
+        calls.as("tool_calls"), tcid.as("tool_call_id"))
+    val callArr = transform(sequence(lit(1), nc), j => struct(
+      concat(lit("c"), id, lit("_"), j).as("id"),
+      concat(lit("tool"), j % 2).as("name"),
+      when(id % 23 === 0 && j === 1, lit("{oops"))
+        .otherwise(concat(lit("{\"q\":\"t"), id, lit("_"), j, lit("\"}")))
+        .as("args")))
+    // slice(seq(1, max(nr,1)), 1, nr): empty array WITH the right
+    // element type when nr = 0 (sequence(1, 0) would count DOWN)
+    val toolTurns = transform(
+      slice(sequence(lit(1), greatest(nr, lit(1))), lit(1), nr),
+      j => turn(lit("tool"), concat(lit("r"), id, lit("_"), j), nullCalls,
+        concat(lit("c"), id, lit("_"), j)))
+    val orphan = turn(lit("tool"), lit("orphan"), nullCalls,
+      concat(lit("x"), id))
+    val danglingTurns = when(id % 19 === 0, array(orphan))
+      .otherwise(slice(array(orphan), 1, 0))
+    val conv = to_json(concat(
+      array(
+        turn(lit("user"), concat(lit("u"), id), nullCalls, nullId),
+        turn(lit("assistant"), concat(lit("a"), id), callArr, nullId)),
+      toolTurns,
+      danglingTurns,
+      array(turn(lit("assistant"), concat(lit("done"), id), nullCalls,
+        nullId))))
+    t(s, dir, "documents").filter(id < 500)
+      .select(id.as("conv_id"), conv.as("conv"))
+  }
+
+  /** Tool-call audit over the planted trajectories (see
+    * [[Chat.toolAudit]]) — the oracle replays the residue arithmetic
+    * the plant used, so the whole parse → explode → id-match pipeline
+    * must reproduce it exactly. */
+  private[graft] def qChatToolAudit(s: SparkSession, dir: String): DataFrame =
+    Chat.toolAudit(plantedToolChats(s, dir), "conv", "conv_id")
+
+  private[graft] val oChatToolAudit =
+    """WITH c AS (SELECT doc_id AS conv_id,
+      |    doc_id % 2 + 1 AS nc,
+      |    CASE WHEN doc_id % 13 = 0 THEN doc_id % 2
+      |         ELSE doc_id % 2 + 1 END AS nr,
+      |    CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END AS dang,
+      |    CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END AS bad
+      |  FROM documents WHERE doc_id < 500)
+      |SELECT conv_id,
+      |  CAST(3 + nr + dang AS BIGINT) AS n_turns,
+      |  CAST(nc AS BIGINT) AS n_tool_calls,
+      |  CAST(nr + dang AS BIGINT) AS n_tool_results,
+      |  CAST(nr AS BIGINT) AS n_matched,
+      |  CAST(nc - nr AS BIGINT) AS n_unanswered,
+      |  CAST(dang AS BIGINT) AS n_dangling,
+      |  CAST(bad AS BIGINT) AS n_bad_args,
+      |  (nc - nr) + dang + bad = 0 AS tools_ok
+      |FROM c""".stripMargin
 
   private[graft] val oChatAudit =
     s"""WITH t AS ($oChatTurns)
@@ -1837,6 +1908,7 @@ private[graft] object TrainQueries {
     "profile_cramers" -> (qProfileCramers _),
     "dataset_jsd" -> (qDatasetJsd _),
     "chat_audit" -> (qChatAudit _),
+    "chat_tool_audit" -> (qChatToolAudit _),
     "chat_sft_pairs" -> (qChatSftPairs _),
     "chat_pii_audit" -> (qChatPii _),
     "chat_dpo_pairs" -> (qChatDpoPairs _),
@@ -1891,6 +1963,7 @@ private[graft] object TrainQueries {
     "profile_cramers" -> oProfileCramers,
     "dataset_jsd" -> oDatasetJsd,
     "chat_audit" -> oChatAudit,
+    "chat_tool_audit" -> oChatToolAudit,
     "chat_sft_pairs" -> oChatSftPairs,
     "chat_pii_audit" -> oChatPii,
     "chat_dpo_pairs" -> oChatDpoPairs,

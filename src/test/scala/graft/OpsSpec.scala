@@ -187,6 +187,79 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"signature stage should not shuffle:\n$plan")
   }
 
+  test("graft_minhash_oph: occupied bins hold the bin min; empty bins copy occupied values") {
+    import graft.functions.MinHashOph
+    val k = 32
+    val rows = docs.limit(20).select(
+        col("doc_id"),
+        call_function("graft_shingles", col("text"), lit(3)).as("sh"),
+        call_function("graft_minhash_oph",
+          call_function("graft_shingles", col("text"), lit(3)), lit(k)).as("sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sh = r.getSeq[Long](1)
+      val got = r.getSeq[Long](2)
+      assert(got.size == k)
+      // Independent reference for the raw (pre-densification) bins.
+      val mixed = sh.map(h => fmixRef(h ^ MinHashOph.PassSalt))
+      val bins = mixed.groupBy(v => java.lang.Long.remainderUnsigned(v, k).toInt)
+        .map { case (b, vs) => b -> vs.min }
+      val occupiedVals = bins.values.toSet
+      (0 until k).foreach { i =>
+        bins.get(i) match {
+          case Some(m) => assert(got(i) == m, s"doc ${r.getLong(0)} bin $i")
+          case None => assert(occupiedVals.contains(got(i)),
+            s"doc ${r.getLong(0)} densified bin $i must copy an occupied bin")
+        }
+      }
+    }
+  }
+
+  test("OPH fallback udf equals the codegen expression bit-for-bit") {
+    val sh = call_function("graft_shingles", col("text"), lit(3))
+    val rows = docs.limit(50).select(
+        call_function("graft_minhash_oph", sh, lit(32)).as("a"),
+        Dedup.ophFallbackUdf(32)(sh).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("OPH signature stage is per-row (no shuffle in the plan)") {
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 32, oph = true)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature stage should not shuffle:\n$plan")
+  }
+
+  test("OPH per-position collision rate estimates exact Jaccard on planted pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.5)
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 128, oph = true)
+    val est = exact
+      .join(sig.select(col("id").as("ida"), col("sig").as("sa")), "ida")
+      .join(sig.select(col("id").as("idb"), col("sig").as("sb")), "idb")
+      .select(col("jaccard"),
+        (size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
+          x => x)).cast("double") / lit(128.0)).as("jhat"))
+      .collect()
+    assert(est.nonEmpty)
+    // k=128 positions: sd ≈ sqrt(j(1-j)/128) ≲ 0.045; allow 4 sd plus
+    // densification correlation slack on the high-j planted pairs.
+    est.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.2,
+        s"j=${r.getDouble(0)} jhat=${r.getDouble(1)}")
+    }
+  }
+
+  test("minhash LSH (OPH tier) finds exactly the exact-jaccard pairs (sf0.001)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 0.5, oph = true)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact) // high-jaccard pairs: recall ~1, verify removes FPs
+  }
+
   test("exact dedup keeps lowest id per duplicate text") {
     val d = Seq((1L, "A b"), (2L, "a  B"), (5L, "c"), (3L, "c"), (4L, "d"))
       .toDF("doc_id", "text")

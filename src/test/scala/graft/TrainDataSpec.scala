@@ -392,4 +392,49 @@ class TrainDataSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  // --------------------------------------------------------- tool audit
+
+  test("toolAudit: matched, unanswered, dangling, bad args on a hand fixture") {
+    val conv1 = // clean: 2 calls, 2 results
+      """[{"role":"user","content":"q"},
+        | {"role":"assistant","content":"a","tool_calls":[
+        |   {"id":"c1","name":"search","args":"{\"q\":\"x\"}"},
+        |   {"id":"c2","name":"fetch","args":"{\"u\":\"y\"}"}]},
+        | {"role":"tool","content":"r1","tool_call_id":"c1"},
+        | {"role":"tool","content":"r2","tool_call_id":"c2"},
+        | {"role":"assistant","content":"done"}]""".stripMargin
+    val conv2 = // unanswered c4 + dangling x9 + bad args on c3
+      """[{"role":"user","content":"q"},
+        | {"role":"assistant","content":"a","tool_calls":[
+        |   {"id":"c3","name":"search","args":"{oops"},
+        |   {"id":"c4","name":"fetch","args":"{}"}]},
+        | {"role":"tool","content":"r","tool_call_id":"c3"},
+        | {"role":"tool","content":"orphan","tool_call_id":"x9"},
+        | {"role":"assistant","content":"done"}]""".stripMargin
+    val df = Seq((1L, conv1), (2L, conv2)).toDF("conv_id", "conv")
+    val got = Chat.toolAudit(df, "conv", "conv_id")
+      .orderBy("conv_id").collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 2L && r1.getLong(3) == 2L)
+    assert(r1.getLong(4) == 2L && r1.getLong(5) == 0L && r1.getLong(6) == 0L)
+    assert(r1.getLong(7) == 0L && r1.getBoolean(8))
+    val r2 = got(1)
+    assert(r2.getLong(2) == 2L, "two calls")
+    assert(r2.getLong(3) == 2L, "two results (one dangling)")
+    assert(r2.getLong(4) == 1L, "only c3 matched")
+    assert(r2.getLong(5) == 1L, "c4 unanswered")
+    assert(r2.getLong(6) == 1L, "x9 dangling")
+    assert(r2.getLong(7) == 1L, "c3 args invalid")
+    assert(!r2.getBoolean(8))
+  }
+
+  test("toolAudit: conversation with no tool use is all-zero and ok") {
+    val conv = """[{"role":"user","content":"q"},
+                 | {"role":"assistant","content":"a"}]""".stripMargin
+    val got = Chat.toolAudit(Seq((7L, conv)).toDF("conv_id", "conv"),
+      "conv", "conv_id").collect().head
+    assert(got.getLong(1) == 2L && got.getLong(2) == 0L &&
+      got.getLong(3) == 0L && got.getBoolean(8))
+  }
 }
