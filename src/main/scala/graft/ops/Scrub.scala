@@ -316,6 +316,69 @@ object Scrub {
       lit(0L), (acc, x) => acc + x)
   }
 
+  // ----------------------------------------------------- license scan
+
+  /** SPDX tag extractor — group 1 is the identifier. */
+  val SpdxRe = "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)"
+
+  /** Distinctive license-header phrases, FIRST MATCH WINS — order is
+    * part of the contract (LGPL/AGPL before GPL, which their names
+    * contain). The tuples feed both the Column expression and the
+    * DuckDB oracle's generated CASE chain (the web_canonical pattern:
+    * rule data shared, logic restated). All RE2-portable. */
+  val LicensePhrases: Seq[(String, String)] = Seq(
+    ("(?i)Licensed under the Apache License, Version 2\\.0", "Apache-2.0"),
+    ("(?i)Permission is hereby granted, free of charge", "MIT"),
+    ("(?i)GNU (?:Lesser|Library) General Public License", "LGPL"),
+    ("(?i)GNU Affero General Public License", "AGPL"),
+    ("(?i)GNU General Public License", "GPL"),
+    ("(?i)Redistribution and use in source and binary forms",
+      "BSD-3-Clause"),
+    ("(?i)Mozilla Public License", "MPL-2.0"),
+    ("(?i)Creative Commons Attribution", "CC-BY"),
+    ("(?i)The Unlicense", "Unlicense"))
+
+  /** License detection for code/document corpora — the compliance gate
+    * beside [[secretScan]]: an explicit `SPDX-License-Identifier:` tag
+    * wins (first tag taken verbatim — machine-readable intent beats
+    * prose), else the first matching header phrase from
+    * [[LicensePhrases]], else `none`. `category` buckets the result
+    * the way a training-data policy consumes it (permissive /
+    * copyleft / weak-copyleft / cc / none / unknown); `n_hits` counts
+    * every tag + phrase occurrence (a file quoting three licenses is
+    * a review case even when classification is confident).
+    *
+    * Pure per-row projection — composes with secretScan and the
+    * quality batteries in one scan pass; the rule set is data, so a
+    * corpus-specific policy swaps the Seq, not the operator. */
+  def licenseScan(text: Column): Column = {
+    val spdx = regexp_extract(text, SpdxRe, 1)
+    val phrase = LicensePhrases.foldRight(lit("none")) {
+      case ((re, name), rest) =>
+        when(regexp_count(text, lit(re)) > 0, lit(name)).otherwise(rest)
+    }
+    val license = when(spdx =!= "", spdx).otherwise(phrase)
+    val category = when(license === "none", "none")
+      .when(license === "MIT" || license === "Unlicense" ||
+        license === "ISC" || license.startsWith("BSD") ||
+        license.startsWith("Apache") || license.startsWith("Zlib"),
+        "permissive")
+      .when(license.startsWith("GPL") || license.startsWith("AGPL"),
+        "copyleft")
+      .when(license.startsWith("LGPL") || license.startsWith("MPL") ||
+        license.startsWith("EPL"), "weak-copyleft")
+      .when(license.startsWith("CC"), "cc")
+      .otherwise("unknown")
+    val nHits = (regexp_count(text, lit(SpdxRe)) +:
+      LicensePhrases.map { case (re, _) => regexp_count(text, lit(re)) })
+      .reduce(_ + _).cast("long")
+    struct(
+      spdx.as("spdx"),
+      license.as("license"),
+      category.as("category"),
+      nHits.as("n_hits"))
+  }
+
   /** Secret/credential scan — the code-corpus gate (Gitleaks class):
     * pattern tiers for the formats worth an exact rule (AWS key ids,
     * GitHub tokens, PEM private-key headers, `key = value` credential

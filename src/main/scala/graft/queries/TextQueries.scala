@@ -1326,6 +1326,85 @@ private[graft] object TextQueries {
       |    AS has_secret
       |FROM base b LEFT JOIN ent USING (doc_id)""".stripMargin
 
+  /** License detection over documents with PLANTED headers/tags per
+    * residue class (MIT phrase, Apache SPDX tag, GPL phrase, BSD
+    * phrase, and a second SPDX tag that exercises first-tag-wins).
+    * The oracle RE-DETECTS with the same RE2-portable patterns and a
+    * CASE chain generated from the SAME [[graft.ops.Scrub.LicensePhrases]]
+    * rule Seq — classification logic, not residue arithmetic, is what
+    * the match certifies. */
+  private[graft] def qTextLicenseScan(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        lit(" Permission is hereby granted, free of charge, to any person."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" SPDX-License-Identifier: Apache-2.0")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit(" This program is under the GNU General Public License."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit(" Redistribution and use in source and binary forms, with or" +
+          " without modification.")).otherwise(lit("")),
+      when(col("doc_id") % 19 === 0,
+        lit(" SPDX-License-Identifier: BSD-2-Clause")).otherwise(lit("")))
+      .as("text"))
+    val lc = Scrub.licenseScan(col("text"))
+    planted.select(col("doc_id"),
+      lc.getField("spdx").as("spdx"),
+      lc.getField("license").as("license"),
+      lc.getField("category").as("category"),
+      lc.getField("n_hits").as("n_hits"))
+  }
+
+  private[graft] val oTextLicenseScan = {
+    val phraseCase = Scrub.LicensePhrases.map { case (re, name) =>
+      s"WHEN regexp_matches(text, '$re') THEN '$name'"
+    }.mkString("\n      ")
+    val hitSum = (Seq(
+      s"len(regexp_extract_all(text, '${Scrub.SpdxRe}'))") ++
+      Scrub.LicensePhrases.map { case (re, _) =>
+        s"len(regexp_extract_all(text, '$re'))"
+      }).mkString(" +\n      ")
+    val mit = " Permission is hereby granted, free of charge, to any person."
+    val gpl = " This program is under the GNU General Public License."
+    val bsd = " Redistribution and use in source and binary forms, with or" +
+      " without modification."
+    s"""WITH p AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN '$mit' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |      THEN ' SPDX-License-Identifier: Apache-2.0' ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0 THEN '$gpl' ELSE '' END ||
+       |    CASE WHEN doc_id % 17 = 0 THEN '$bsd' ELSE '' END ||
+       |    CASE WHEN doc_id % 19 = 0
+       |      THEN ' SPDX-License-Identifier: BSD-2-Clause' ELSE '' END
+       |      AS text
+       |  FROM documents),
+       |b AS (SELECT doc_id, text,
+       |    regexp_extract(text, '${Scrub.SpdxRe}', 1) AS spdx FROM p),
+       |l AS (SELECT doc_id, spdx,
+       |    CASE WHEN spdx <> '' THEN spdx
+       |      $phraseCase
+       |      ELSE 'none' END AS license,
+       |    CAST($hitSum AS BIGINT) AS n_hits
+       |  FROM b)
+       |SELECT doc_id, spdx, license,
+       |  CASE WHEN license = 'none' THEN 'none'
+       |       WHEN license = 'MIT' OR license = 'Unlicense'
+       |         OR license = 'ISC' OR license LIKE 'BSD%'
+       |         OR license LIKE 'Apache%' OR license LIKE 'Zlib%'
+       |         THEN 'permissive'
+       |       WHEN license LIKE 'GPL%' OR license LIKE 'AGPL%'
+       |         THEN 'copyleft'
+       |       WHEN license LIKE 'LGPL%' OR license LIKE 'MPL%'
+       |         OR license LIKE 'EPL%' THEN 'weak-copyleft'
+       |       WHEN license LIKE 'CC%' THEN 'cc'
+       |       ELSE 'unknown' END AS category,
+       |  n_hits
+       |FROM l""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (qTextStats _),
     "text_langid" -> (qTextLangId _),
@@ -1360,7 +1439,8 @@ private[graft] object TextQueries {
     "events_theilsen" -> (qEventsTheilsen _),
     "doc_token_fertility" -> (qDocTokenFertility _),
     "text_entropy" -> (qTextEntropy _),
-    "text_secret_scan" -> (qTextSecretScan _)
+    "text_secret_scan" -> (qTextSecretScan _),
+    "text_license_scan" -> (qTextLicenseScan _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1397,6 +1477,7 @@ private[graft] object TextQueries {
     "events_theilsen" -> oEventsTheilsen,
     "doc_token_fertility" -> oDocTokenFertility,
     "text_entropy" -> oTextEntropy,
-    "text_secret_scan" -> oTextSecretScan
+    "text_secret_scan" -> oTextSecretScan,
+    "text_license_scan" -> oTextLicenseScan
   )
 }

@@ -173,4 +173,37 @@ class CleanSpec extends SparkSpec {
     val r = secretsOf("short 9fQz2Xw7Lp4Vt8Rj3Ym6N token")
     assert(r.getLong(4) == 0L)
   }
+
+  // ------------------------------------------------------- license scan
+
+  private def licenseOf(text: String): Row =
+    Seq(text).toDF("t")
+      .select(graft.ops.Scrub.licenseScan(col("t")).as("l"))
+      .select("l.*").head()
+
+  test("licenseScan: SPDX tag wins over a contradicting phrase") {
+    val r = licenseOf("Permission is hereby granted, free of charge.\n" +
+      "SPDX-License-Identifier: GPL-3.0-only")
+    assert(r.getString(0) == "GPL-3.0-only")
+    assert(r.getString(1) == "GPL-3.0-only")
+    assert(r.getString(2) == "copyleft")
+    assert(r.getLong(3) == 2L, "one tag + one phrase")
+  }
+
+  test("licenseScan: LGPL phrase classifies weak-copyleft, not GPL") {
+    val r = licenseOf("under the GNU Lesser General Public License v2.1")
+    assert(r.getString(1) == "LGPL")
+    assert(r.getString(2) == "weak-copyleft")
+  }
+
+  test("licenseScan: plain prose is none/none with zero hits") {
+    val r = licenseOf("A plain paragraph about fishing licenses only.")
+    assert(r.getString(0) == "" && r.getString(1) == "none")
+    assert(r.getString(2) == "none" && r.getLong(3) == 0L)
+  }
+
+  test("licenseScan: unknown SPDX id falls to the unknown category") {
+    val r = licenseOf("SPDX-License-Identifier: WTFPL")
+    assert(r.getString(1) == "WTFPL" && r.getString(2) == "unknown")
+  }
 }
