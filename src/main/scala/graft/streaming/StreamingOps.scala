@@ -590,6 +590,31 @@ object StreamingOps {
       .filter(col("quality_score") >= minScore)
   }
 
+  /** Streaming COMPLIANCE gate — the live-ingest leg of
+    * [[graft.ops.Scrub.secretScan]] + [[graft.ops.Scrub.licenseScan]]
+    * (r15): each arriving document is scanned for credentials and
+    * classified for license; documents carrying any secret tier or a
+    * license category outside `allowedCategories` are rejected (route
+    * the complement to quarantine by flipping the filter). Both scans
+    * are stateless per-row projections — no state store, no shuffle,
+    * no watermark — so batch backfill and the live path run the
+    * IDENTICAL expressions (stream≡batch spec-pinned). Returns the
+    * input plus `has_secret`, `license`, `license_category`,
+    * filtered to admitted documents. */
+  def complianceGateStream(docs: DataFrame, textCol: String,
+                           allowedCategories: Seq[String] =
+                             Seq("permissive", "cc", "none")): DataFrame = {
+    require(allowedCategories.nonEmpty, "allowedCategories must be non-empty")
+    val sec = graft.ops.Scrub.secretScan(col(textCol))
+    val lic = graft.ops.Scrub.licenseScan(col(textCol))
+    docs
+      .withColumn("has_secret", sec.getField("has_secret"))
+      .withColumn("license", lic.getField("license"))
+      .withColumn("license_category", lic.getField("category"))
+      .filter(!col("has_secret") &&
+        col("license_category").isin(allowedCategories: _*))
+  }
+
   /** Streaming Fellegi–Sunter linkage gate — the live-ingest leg of
     * [[graft.ops.Link.fellegiSunterEm]] (r13 ask #6): score each
     * arriving candidate pair's agreement pattern under a TRAINED
