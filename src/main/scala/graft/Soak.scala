@@ -121,6 +121,12 @@ object Soak {
             li.select(col("l_partkey").as("id")).distinct()
               .orderBy("id").limit(8),
             maxHops = 3)
+        case "secret_scan" => // text_secret_scan's scan (no plant)
+          docs.select(col("doc_id"),
+            ops.Scrub.secretScan(col("text")).as("s")).select("doc_id", "s.*")
+        case "license_scan" =>
+          docs.select(col("doc_id"),
+            ops.Scrub.licenseScan(col("text")).as("l")).select("doc_id", "l.*")
         case "minhash_sig" => // classic 128-hash signature stage alone
           ops.Dedup.minhashSignatures(docs, "text", "doc_id", 128)
         case "minhash_sig_oph" => // OPH tier: 1 avalanche/shingle + densify

@@ -382,10 +382,10 @@ object Dedup {
     * instead of re-signing the history. */
   def minhashIndex(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 128, bands: Int = 32,
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3, oph: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    minhashSignatures(df, textCol, idCol, numHashes, n)
+    minhashSignatures(df, textCol, idCol, numHashes, n, oph = oph)
       .select(col("id"), posexplode(
         array((0 until bands).map(b =>
           hash(slice(col("sig"), b * r + 1, r))): _*)).as(Seq("band", "bh")))
@@ -396,7 +396,9 @@ object Dedup {
     * [[minhashIndex]] — the history is never re-shingled or re-banded;
     * only its band table (and, for the exact verify, the few candidate
     * ROWS, fetched by id) are touched. Band hashes must come from the
-    * same signature family (same numHashes/bands/n) as the index.
+    * same signature family (same numHashes/bands/n AND the same
+    * scheme — classic vs `oph` — as the index; the schemes occupy
+    * disjoint salt spaces, so a mismatch yields zero candidates).
     * `maxBucket` caps degenerate band buckets on the index side.
     * Verification is exact Jaccard, so emitted pairs have no false
     * positives; union `minhashIndex(batch)` into the index to advance. */
@@ -404,9 +406,10 @@ object Dedup {
                               textCol: String, idCol: String,
                               index: DataFrame, threshold: Double,
                               numHashes: Int = 128, bands: Int = 32,
-                              n: Int = 3, maxBucket: Int = 1000): DataFrame =
+                              n: Int = 3, maxBucket: Int = 1000,
+                              oph: Boolean = false): DataFrame =
     incrementalMinhashImpl(batch, corpus, textCol, idCol, index, threshold,
-      numHashes, bands, n, maxBucket, bloom = None)
+      numHashes, bands, n, maxBucket, bloom = None, oph = oph)
 
   /** Driver-held bloom over a persisted [[minhashIndex]]'s (band, bh)
     * keys — the NEAR-dup twin of [[indexBloom]]. Maintain it as rolling
@@ -439,19 +442,26 @@ object Dedup {
                                    index: DataFrame, threshold: Double,
                                    bloom: org.apache.spark.util.sketch.BloomFilter,
                                    numHashes: Int = 128, bands: Int = 32,
-                                   n: Int = 3, maxBucket: Int = 1000)
+                                   n: Int = 3, maxBucket: Int = 1000,
+                                   oph: Boolean = false)
       : DataFrame =
     incrementalMinhashImpl(batch, corpus, textCol, idCol, index, threshold,
-      numHashes, bands, n, maxBucket, Some(bloom))
+      numHashes, bands, n, maxBucket, Some(bloom), oph = oph)
 
   private def incrementalMinhashImpl(batch: DataFrame, corpus: DataFrame,
                                      textCol: String, idCol: String,
                                      index: DataFrame, threshold: Double,
                                      numHashes: Int, bands: Int,
                                      n: Int, maxBucket: Int,
-                                     bloom: Option[org.apache.spark.util.sketch.BloomFilter])
+                                     bloom: Option[org.apache.spark.util.sketch.BloomFilter],
+                                     oph: Boolean = false)
       : DataFrame = {
-    val allBands = minhashIndex(batch, textCol, idCol, numHashes, bands, n)
+    // The probe MUST band under the index's own signature scheme —
+    // mixing classic and OPH values silently yields zero candidates
+    // (distinct salt spaces by construction; spec-pinned), exactly
+    // like a numHashes/bands mismatch would.
+    val allBands = minhashIndex(batch, textCol, idCol, numHashes, bands, n,
+      oph = oph)
     val batchBands = bloom match {
       case None => allBands
       case Some(bf) => allBands.filter(Join.mightContainExpr(allBands, bf,

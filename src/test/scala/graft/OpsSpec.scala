@@ -948,6 +948,20 @@ class OpsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == plainPairs, s"expectedKeys=$keys diverged")
     }
+    // OPH end to end: an OPH-built index probed by an OPH batch yields
+    // the same verified pair set (high-j pairs, recall ~1 both schemes)
+    val mIdxOph = Dedup.minhashIndex(corpus, "text", "doc_id", oph = true)
+    val incOph = Dedup.incrementalMinhashPairs(batch, corpus,
+        "text", "doc_id", mIdxOph, 0.5, oph = true)
+      .select(col("id_old").as("ida"), col("idb_new").as("idb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incOph == crossGlobal)
+    // the mixed-scheme trap, pinned: a classic probe against the OPH
+    // index (disjoint salt spaces) must find NOTHING — the failure
+    // mode is silent zero candidates, not wrong pairs
+    val mixed = Dedup.incrementalMinhashPairs(batch, corpus,
+      "text", "doc_id", mIdxOph, 0.5, oph = false).count()
+    assert(mixed == 0L, "classic probe of an OPH index must yield nothing")
   }
 
   test("incrementalExactBloom is row-identical to the plain anti-join") {
