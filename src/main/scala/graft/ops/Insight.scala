@@ -1329,6 +1329,68 @@ object Insight {
           expr("__nm * 1000000 div __nh")).as("p_ppm"))
   }
 
+  /** Per-pair BLEU on the exact integer rails — the standard
+    * generation-eval / distillation-dedup metric composed from
+    * [[ngramPrecision]]'s clipped counts. The float minefield is the
+    * geometric mean (engine libm ln/exp differ in the last ulp), so
+    * every transcendental is rounded to integer micro-nats at the
+    * single-op boundary (the text_entropy rail): per-order smoothed
+    * log-precision terms sum as BIGINTs, the uniform 1/orders weight
+    * is one integer `div` (truncation toward zero is cross-engine —
+    * PLANS r13), the log brevity penalty is one floor(x·1e6 + 0.5) of
+    * a single IEEE expression, and the displayed score is the exp of
+    * the integer rail re-floored to micro units.
+    *
+    * Smoothing: Lin–Och add-one on zero-match HIGHER orders
+    * ((0+1)/(tot+1) for n ≥ 2); a zero-match UNIGRAM means BLEU = 0
+    * exactly (log_bleu_micro null). Orders with no hypothesis grams
+    * (hyp shorter than n) drop and the weight renormalizes over the
+    * remaining orders (sacreBLEU's effective-order convention).
+    *
+    * Plan shape: ngramPrecision's gram aggregation (per-pair local,
+    * uniform md5-free string keys) + one groupBy(id) + a lengths
+    * join — nothing corpus-global.
+    *
+    * @return (id, hyp_len, ref_len, orders, log_bleu_micro, bleu_micro,
+    *         bleu) — bleu = bleu_micro/1e6, 0 for unigram-zero pairs */
+  def bleu(df: DataFrame, hypCol: String, refCol: String, idCol: String,
+           maxN: Int = 4): DataFrame = {
+    require(maxN >= 1, "bleu needs maxN >= 1")
+    val prec = ngramPrecision(df, hypCol, refCol, idCol, maxN)
+    val lens = df.select(col(idCol).as("id"),
+      size(TextFunctions.tokens(col(hypCol))).cast("long").as("hyp_len"),
+      size(TextFunctions.tokens(col(refCol))).cast("long").as("ref_len"))
+    val t = prec.filter(col("n_hyp") > 0)
+      .withColumn("__clip",
+        when(col("n") === 1 || col("n_match") > 0, col("n_match"))
+          .otherwise(lit(1L)))
+      .withColumn("__tot",
+        when(col("n") === 1 || col("n_match") > 0, col("n_hyp"))
+          .otherwise(col("n_hyp") + 1))
+      .withColumn("__term", when(col("__clip") > 0,
+        floor(log(col("__clip").cast("double") /
+          col("__tot").cast("double")) * 1e6 + 0.5).cast("long")))
+    val agg = t.groupBy("id").agg(
+      count(lit(1)).as("orders"),
+      sum(when(col("__clip") === 0, 1L).otherwise(0L)).as("__zeros"),
+      sum("__term").as("__s"))
+    lens.join(agg, Seq("id"), "left")
+      .withColumn("orders", coalesce(col("orders"), lit(0L)))
+      .withColumn("__bp", when(col("hyp_len") >= col("ref_len"), 0L)
+        .otherwise(floor((lit(1.0) - col("ref_len").cast("double") /
+          col("hyp_len")) * 1e6 + 0.5).cast("long")))
+      .withColumn("log_bleu_micro",
+        when(col("orders") > 0 && col("__zeros") === 0,
+          expr("__s div orders") + col("__bp")))
+      .withColumn("bleu_micro",
+        when(col("log_bleu_micro").isNotNull,
+          floor(exp(col("log_bleu_micro").cast("double") / 1e6) * 1e6 + 0.5)
+            .cast("long")).otherwise(lit(0L)))
+      .select(col("id"), col("hyp_len"), col("ref_len"), col("orders"),
+        col("log_bleu_micro"), col("bleu_micro"),
+        (col("bleu_micro").cast("double") / 1e6).as("bleu"))
+  }
+
   def timeWeightedMean(events: DataFrame, keyCol: String, tsCol: String,
                        valueCol: String, tieCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

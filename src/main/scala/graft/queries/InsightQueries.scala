@@ -1070,6 +1070,76 @@ private[graft] object InsightQueries {
       |FROM g LEFT JOIN m ON m.id = g.id AND m.n = g.n""".stripMargin
   }
 
+  /** BLEU over adjacent-doc (hyp, ref) pairs — the generation-eval /
+    * distillation-dedup composition of the clipped-count rails (see
+    * [[Insight.bleu]]): 4-gram, Lin–Och add-one smoothing on zero
+    * higher orders, effective-order renormalization, integer
+    * micro-nat rails end to end. */
+  private[graft] def qTextBleu(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = d.as("h")
+      .join(d.as("r"), col("r.doc_id") === col("h.doc_id") + 1)
+      .select(col("h.doc_id").as("doc_id"), col("h.text").as("hyp"),
+        col("r.text").as("ref"))
+    Insight.bleu(pairs, "hyp", "ref", "doc_id", maxN = 4)
+  }
+
+  private[graft] val oTextBleu = {
+    val hToks = oToks.replace("text", "htext")
+    val rToks = oToks.replace("text", "rtext")
+    def g(t: String) =
+      s"""CASE WHEN n = 1 THEN $t
+         |    WHEN len($t) >= n THEN list_transform(
+         |      generate_series(1, len($t) - n + 1),
+         |      i -> array_to_string($t[i:i+n-1], ' '))
+         |    ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+    s"""WITH p AS (SELECT h.doc_id AS id, $hToks AS ht, $rToks AS rt
+      |  FROM (SELECT doc_id, text AS htext FROM documents) h
+      |  JOIN (SELECT doc_id, text AS rtext FROM documents) r
+      |    ON r.doc_id = h.doc_id + 1),
+      |lens AS (SELECT id, CAST(len(ht) AS BIGINT) AS hyp_len,
+      |    CAST(len(rt) AS BIGINT) AS ref_len FROM p),
+      |g AS (SELECT id, n,
+      |    ${g("ht")} AS hg,
+      |    ${g("rt")} AS rg
+      |  FROM p, (VALUES (1), (2), (3), (4)) nn(n)),
+      |hc AS (SELECT id, n, t.g AS gram, CAST(count(*) AS BIGINT) AS ch
+      |  FROM g, unnest(hg) AS t(g) GROUP BY 1, 2, 3),
+      |rc AS (SELECT id, n, t.g AS gram, CAST(count(*) AS BIGINT) AS cr
+      |  FROM g, unnest(rg) AS t(g) GROUP BY 1, 2, 3),
+      |m AS (SELECT hc.id, hc.n, CAST(sum(ch) AS BIGINT) AS n_hyp,
+      |    CAST(sum(least(ch, coalesce(cr, 0))) AS BIGINT) AS n_match
+      |  FROM hc LEFT JOIN rc ON rc.id = hc.id AND rc.n = hc.n
+      |    AND rc.gram = hc.gram
+      |  GROUP BY 1, 2),
+      |tt AS (SELECT id, n, n_hyp, n_match,
+      |    CASE WHEN n = 1 OR n_match > 0 THEN n_match ELSE 1 END AS clip,
+      |    CASE WHEN n = 1 OR n_match > 0 THEN n_hyp ELSE n_hyp + 1 END
+      |      AS tot
+      |  FROM m WHERE n_hyp > 0),
+      |a AS (SELECT id, CAST(count(*) AS BIGINT) AS orders,
+      |    CAST(sum(CASE WHEN clip = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS zeros,
+      |    CAST(sum(CASE WHEN clip > 0 THEN CAST(floor(
+      |      ln(CAST(clip AS DOUBLE) / tot) * 1e6 + 0.5) AS BIGINT) END)
+      |      AS BIGINT) AS s
+      |  FROM tt GROUP BY 1),
+      |f AS (SELECT lens.id, hyp_len, ref_len,
+      |    coalesce(orders, 0) AS orders,
+      |    CASE WHEN coalesce(orders, 0) > 0 AND zeros = 0 THEN
+      |      (s // orders) + (CASE WHEN hyp_len >= ref_len THEN 0
+      |        ELSE CAST(floor((1 - CAST(ref_len AS DOUBLE) / hyp_len)
+      |          * 1e6 + 0.5) AS BIGINT) END)
+      |    END AS log_bleu_micro
+      |  FROM lens LEFT JOIN a ON a.id = lens.id)
+      |SELECT id, hyp_len, ref_len, orders, log_bleu_micro,
+      |  CAST(coalesce(floor(exp(CAST(log_bleu_micro AS DOUBLE) / 1e6)
+      |    * 1e6 + 0.5), 0) AS BIGINT) AS bleu_micro,
+      |  CAST(coalesce(floor(exp(CAST(log_bleu_micro AS DOUBLE) / 1e6)
+      |    * 1e6 + 0.5), 0) AS DOUBLE) / 1e6 AS bleu
+      |FROM f""".stripMargin
+  }
+
   /** word2vec negative-sampling table over the corpus vocabulary (see
     * [[Sample.negativeSamplingTable]]): count^0.75 weights via the
     * correctly-rounded sqrt(c·sqrt(c)) spelling, DECIMAL share, exact
@@ -2146,6 +2216,7 @@ private[graft] object InsightQueries {
     "events_twap" -> (qEventsTwap _),
     "text_skipgrams" -> (qTextSkipgrams _),
     "text_ngram_precision" -> (qTextNgramPrecision _),
+    "text_bleu" -> (qTextBleu _),
     "train_negative_table" -> (qTrainNegativeTable _),
     "join_fanout_audit" -> (qJoinFanout _),
     "graph_harmonic" -> (qGraphHarmonic _),
@@ -2209,6 +2280,7 @@ private[graft] object InsightQueries {
     "events_twap" -> oEventsTwap,
     "text_skipgrams" -> oTextSkipgrams,
     "text_ngram_precision" -> oTextNgramPrecision,
+    "text_bleu" -> oTextBleu,
     "train_negative_table" -> oTrainNegativeTable,
     "join_fanout_audit" -> oJoinFanout,
     "graph_harmonic" -> oGraphHarmonic,

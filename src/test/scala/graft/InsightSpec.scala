@@ -798,4 +798,30 @@ class InsightSpec extends SparkSpec {
     // v=1 holds 0 µs (tie-next is same ts), v=2 holds the full 10 s
     assert(c.getLong(3) == 2000000L)
   }
+
+  // ------------------------------------------------------------- BLEU
+
+  test("bleu: hand-computed rails — identity, brevity, smoothing, zero") {
+    val pairs = Seq(
+      (1L, "alpha beta gamma delta", "alpha beta gamma delta"), // identical
+      (2L, "alpha beta gamma", "alpha beta gamma delta"),       // short hyp
+      (3L, "alpha beta xx yy", "alpha beta"),                   // smoothing
+      (4L, "qq rr ss tt", "alpha beta gamma delta")             // no overlap
+    ).toDF("id", "hyp", "ref")
+    val got = Insight.bleu(pairs, "hyp", "ref", "id", maxN = 4)
+      .orderBy("id").collect()
+    // identical: every order p=1 -> terms 0, bp 0 -> bleu exactly 1
+    assert(got(0).getLong(4) == 0L && got(0).getLong(5) == 1000000L)
+    // short hyp: all 3 live orders p=1; bp = floor((1-4/3)*1e6+0.5)
+    assert(got(1).getLong(3) == 3L)
+    assert(got(1).getLong(4) == -333333L)
+    assert(got(1).getLong(5) == 716532L) // exp(-0.333333) micro-floored
+    // smoothing: n1 ln(2/4), n2 ln(1/3), n3 (0+1)/(2+1), n4 (0+1)/(1+1)
+    // terms -693147 -1098612 -1098612 -693147 = -3583518; div 4, bp 0
+    assert(got(2).getLong(4) == -895879L)
+    assert(got(2).getDouble(6) > 0.40 && got(2).getDouble(6) < 0.42)
+    // zero unigram overlap: BLEU exactly 0, log null
+    assert(got(3).isNullAt(4) && got(3).getLong(5) == 0L)
+    assert(got(3).getDouble(6) == 0.0)
+  }
 }
