@@ -1875,6 +1875,77 @@ object Insight {
         (col("__st.l") + col("__st.tr")).as("forecast_micro"))
   }
 
+  /** HOLT–WINTERS additive seasonal smoothing per key — [[holt]] plus
+    * a period-m seasonal component, the hourly/daily-rhythm-aware
+    * 1-step forecast (a capacity planner watching diurnal traffic
+    * needs "tomorrow 3pm", not a trend line through the day cycle):
+    *
+    *   l_i = (α·(x_i − s_prev) + (10⁶−α)·(l + t))        div 10⁶
+    *   t_i = (β·(l_i − l) + (10⁶−β)·t)                   div 10⁶
+    *   s_i = (γ·(x_i − l_i) + (10⁶−γ)·s_prev)            div 10⁶
+    *
+    * where s_prev is the season slot written one period ago. EXACT
+    * integer ppm recurrence like holt's (truncating `div` ≡ `//`,
+    * order-pinned fold over the per-key sorted bucket grid, replayed
+    * step-for-step by a recursive-CTE oracle carrying the seasonal
+    * LIST as state). Init from the FIRST season: l = mean of the
+    * first m values (integer div), t = 0, s_j = x_j − l; keys with
+    * fewer than m points emit null smoothing fields (no season to
+    * initialize from). Forecast = l + t + s[slot of the next bucket].
+    *
+    * INDEX-BASE TRAP, pinned by the hand spec: Spark lambda indices
+    * are 0-based, DuckDB's are 1-based — the seasonal slot arithmetic
+    * is spelled per engine.
+    *
+    * @return (key, n_points, level_micro, trend_micro, season_micro,
+    *         forecast_micro) */
+  def holtWinters(df: DataFrame, keyCol: String, bucketCol: String,
+                  valueCol: String, period: Int,
+                  alphaPpm: Long = 300000L, betaPpm: Long = 100000L,
+                  gammaPpm: Long = 200000L): DataFrame = {
+    require(period >= 2, "holtWinters needs period >= 2")
+    require(alphaPpm >= 0 && alphaPpm <= 1000000, "alphaPpm in [0, 1e6]")
+    require(betaPpm >= 0 && betaPpm <= 1000000, "betaPpm in [0, 1e6]")
+    require(gammaPpm >= 0 && gammaPpm <= 1000000, "gammaPpm in [0, 1e6]")
+    val m = period; val a = alphaPpm; val b = betaPpm; val g = gammaPpm
+    // one fold step: current element e at 1-based position (acc.i + 1);
+    // 0-based season slot = acc.i % m (Spark indices are 0-based)
+    val lNew = s"(($a * (e.__x - element_at(acc.s, acc.i % $m + 1)) + " +
+      s"${1000000 - a} * (acc.l + acc.tr)) div 1000000)"
+    val step =
+      "named_struct(" +
+        s"'l', $lNew, " +
+        s"'tr', ($b * ($lNew - acc.l) + ${1000000 - b} * acc.tr)" +
+        " div 1000000, " +
+        s"'s', transform(acc.s, (v, j) -> CASE WHEN j = acc.i % $m " +
+        s"THEN ($g * (e.__x - $lNew) + ${1000000 - g} * " +
+        s"element_at(acc.s, acc.i % $m + 1)) div 1000000 " +
+        "ELSE v END), " +
+        "'i', acc.i + 1)"
+    df.select(col(keyCol).as("key"), col(bucketCol).cast("long").as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .filter(col("key").isNotNull && col("__t").isNotNull &&
+        col("__x").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_points"),
+        array_sort(collect_list(struct(col("__t"), col("__x"))))
+          .as("__a"))
+      .withColumn("__l0", expr(
+        s"aggregate(slice(__a, 1, $m), 0L, (acc, e) -> acc + e.__x)" +
+          s" div $m"))
+      .withColumn("__st", when(col("n_points") >= m, expr(
+        s"aggregate(slice(__a, ${m + 1}, size(__a) - $m), " +
+          s"named_struct('l', __l0, 'tr', 0L, " +
+          s"'s', transform(slice(__a, 1, $m), e -> e.__x - __l0), " +
+          s"'i', $m), (acc, e) -> $step)")))
+      .select(col("key"), col("n_points"),
+        col("__st.l").as("level_micro"), col("__st.tr").as("trend_micro"),
+        expr(s"element_at(__st.s, __st.i % $m + 1)").as("season_micro"),
+        (col("__st.l") + col("__st.tr") +
+          expr(s"element_at(__st.s, __st.i % $m + 1)"))
+          .as("forecast_micro"))
+  }
+
   /** SIGN-FLIP (paired randomization) TEST — the permutation test
     * that needs NO distributional assumption and no variance formula:
     * under H₀ each pair's difference is sign-symmetric, so the null

@@ -632,6 +632,67 @@ private[graft] object TextQueries {
       |FROM rec JOIN nn ON nn.key = rec.key AND rec.rn = nn.n"""
       .stripMargin
 
+  /** Holt–Winters additive seasonal forecast per event type over the
+    * hourly grid (period 6 — exercises the seasonal slot cycle at
+    * every SF), exact integer ppm recurrence replayed by a
+    * recursive-CTE oracle carrying the seasonal LIST as state (see
+    * [[Insight.holtWinters]]; DuckDB lambda indices are 1-based where
+    * Spark's are 0-based — slot arithmetic spelled per engine). */
+  private[graft] def qEventsHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val hourly = readEvents(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+          .as("hr"))
+      .agg(sum(expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+        .as("xv"))
+    Insight.holtWinters(hourly, "event_type", "hr", "xv", period = 6,
+      alphaPpm = 300000L, betaPpm = 100000L, gammaPpm = 200000L)
+  }
+
+  private[graft] val oEventsHoltWinters =
+    """WITH RECURSIVE h AS MATERIALIZED (SELECT event_type AS key,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+      |    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |g AS MATERIALIZED (SELECT key, t, x,
+      |    row_number() OVER (PARTITION BY key ORDER BY t) AS rn FROM h),
+      |nn AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM g
+      |  GROUP BY 1),
+      |init AS (SELECT key, CAST(sum(x) // 6 AS BIGINT) AS l0,
+      |    list(CAST(x AS BIGINT) ORDER BY rn) AS xs
+      |  FROM g WHERE rn <= 6 GROUP BY key HAVING count(*) = 6),
+      |rec AS (
+      |  SELECT key, CAST(6 AS BIGINT) AS rn, l0 AS l,
+      |    CAST(0 AS BIGINT) AS tr,
+      |    list_transform(xs, v -> CAST(v - l0 AS BIGINT)) AS s
+      |  FROM init
+      |  UNION ALL
+      |  SELECT key, rn, l_new,
+      |    CAST((100000 * (l_new - l) + 900000 * tr) // 1000000
+      |      AS BIGINT),
+      |    list_transform(s, (v, j) -> CASE WHEN j = slot1
+      |      THEN CAST((200000 * (x - l_new) + 800000 * sp) // 1000000
+      |        AS BIGINT)
+      |      ELSE v END)
+      |  FROM (
+      |    SELECT g.key AS key, g.rn AS rn, CAST(g.x AS BIGINT) AS x,
+      |      r.l AS l, r.tr AS tr, r.s AS s,
+      |      (r.rn % 6) + 1 AS slot1,
+      |      r.s[CAST(r.rn % 6 AS INT) + 1] AS sp,
+      |      CAST((300000 * (g.x - r.s[CAST(r.rn % 6 AS INT) + 1])
+      |        + 700000 * (r.l + r.tr)) // 1000000 AS BIGINT) AS l_new
+      |    FROM g JOIN rec r ON g.key = r.key AND g.rn = r.rn + 1) q)
+      |SELECT nn.key, nn.n AS n_points, rec.l AS level_micro,
+      |  rec.tr AS trend_micro,
+      |  rec.s[CAST(rec.rn % 6 AS INT) + 1] AS season_micro,
+      |  rec.l + rec.tr + rec.s[CAST(rec.rn % 6 AS INT) + 1]
+      |    AS forecast_micro
+      |FROM nn LEFT JOIN rec ON rec.key = nn.key AND rec.rn = nn.n"""
+      .stripMargin
+
   private[graft] def qTextLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.langId(col("text")).getField("lang").as("lang_pred"),
@@ -1440,7 +1501,8 @@ private[graft] object TextQueries {
     "doc_token_fertility" -> (qDocTokenFertility _),
     "text_entropy" -> (qTextEntropy _),
     "text_secret_scan" -> (qTextSecretScan _),
-    "text_license_scan" -> (qTextLicenseScan _)
+    "text_license_scan" -> (qTextLicenseScan _),
+    "events_holt_winters" -> (qEventsHoltWinters _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1478,6 +1540,7 @@ private[graft] object TextQueries {
     "doc_token_fertility" -> oDocTokenFertility,
     "text_entropy" -> oTextEntropy,
     "text_secret_scan" -> oTextSecretScan,
-    "text_license_scan" -> oTextLicenseScan
+    "text_license_scan" -> oTextLicenseScan,
+    "events_holt_winters" -> oEventsHoltWinters
   )
 }

@@ -799,6 +799,27 @@ class InsightSpec extends SparkSpec {
     assert(c.getLong(3) == 2000000L)
   }
 
+  // ------------------------------------------------------ Holt–Winters
+
+  test("holtWinters: hand-replayed integer recurrence, short-key nulls") {
+    val pts = Seq(10L, 12L, 8L, 14L, 11L, 13L, 9L).zipWithIndex
+      .map { case (x, i) => ("k", i.toLong, x) } ++
+      Seq(("short", 0L, 5L), ("short", 1L, 6L))
+    val got = Insight.holtWinters(pts.toDF("key", "b", "x"), "key", "b",
+        "x", period = 3, alphaPpm = 300000L, betaPpm = 100000L,
+        gammaPpm = 200000L)
+      .orderBy("key").collect()
+    val k = got(0)
+    // hand fold (also DuckDB-probed): init l=10, s=[0,2,-2]; 4 steps ->
+    // l=10, tr=0, s=[0,1,-1]; next slot (7 % 3 = 1, 0-based) -> s=1
+    assert(k.getLong(1) == 7L)
+    assert(k.getLong(2) == 10L && k.getLong(3) == 0L)
+    assert(k.getLong(4) == 1L && k.getLong(5) == 11L)
+    val sh = got(1)
+    assert(sh.getLong(1) == 2L && sh.isNullAt(2) && sh.isNullAt(5),
+      "keys shorter than one season carry null smoothing fields")
+  }
+
   // ------------------------------------------------------------- BLEU
 
   test("bleu: hand-computed rails — identity, brevity, smoothing, zero") {
