@@ -449,6 +449,64 @@ object Multimodal {
       })
   }
 
+  /** Per-image QUALITY statistics over decoded pixels — the filter
+    * signals an image-corpus curation pass gates on (blank/near-blank
+    * screenshots, all-dark frames, blown-out scans) computed in one
+    * partition-local pass per image, all on exact integer rails:
+    * brightness = mean pixel in milli-units (sum·1000 div n), contrast
+    * = population variance in milli-units² ((n·Σv² − (Σv)²)·1000 div
+    * n²... spelled as one integer expression), min/max, and Shannon
+    * entropy of the 256-bin value histogram in micro-bits (the
+    * text_entropy rail — per-bin rounded terms, order-free sum).
+    * `is_flat` = contrast below ~2 gray-levels² — the blank-image
+    * gate. Payload bytes never shuffle; the output is a ~7-column
+    * row per image. */
+  final case class ImageQuality(media_id: Long, format: String,
+                                n_px: Long, brightness_milli: Long,
+                                contrast_milli: Long, px_min: Int,
+                                px_max: Int, entropy_micro: Long,
+                                is_flat: Boolean)
+
+  def imageQuality(decoded: Dataset[DecodedImage],
+                   flatContrastMilli: Long = 4000L): Dataset[ImageQuality] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val px = d.pixels
+      val n = px.length.toLong
+      var s = 0L; var q = 0L
+      var mn = 255; var mx = 0
+      val hist = new Array[Long](256)
+      var i = 0
+      while (i < px.length) {
+        val v = px(i) & 0xff
+        s += v; q += v.toLong * v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        hist(v) += 1
+        i += 1
+      }
+      // population variance in milli-units²: (n·q − s²)·1000 div n²
+      // — exact while n·q < 2⁶³ (n ≲ 1.4e14 pixel-bytes per image)
+      val contrast: Long =
+        if (n == 0) 0L
+        else ((BigInt(n) * q - BigInt(s) * s) * 1000 / (BigInt(n) * n)).toLong
+      var ent = 0L
+      var b = 0
+      while (b < 256) {
+        if (hist(b) > 0) {
+          val p = hist(b).toDouble / n
+          ent += Math.round(-(p * Math.log(p) / Math.log(2.0)) * 1e6)
+        }
+        b += 1
+      }
+      ImageQuality(d.media_id, d.format, n,
+        if (n == 0) 0L else s * 1000L / n,
+        contrast, if (n == 0) 0 else mn, mx, ent,
+        contrast < flatContrastMilli)
+    }
+  }
+
   /** MP4 (ISO-BMFF) container metadata, parsed without any codec —
     * the honest "video tier": a 100 TB multimodal pipeline routes,
     * prunes, and shards video by CONTAINER metadata (duration, track

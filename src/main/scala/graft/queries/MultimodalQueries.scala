@@ -98,6 +98,48 @@ private[graft] object MultimodalQueries {
         "pix_sum", "pos_checksum")
   }
 
+  /** Image-quality stats over the SAME planted BMP fixture as
+    * `multimodal_decode` (pixel values are a formula, so the oracle
+    * recomputes brightness/contrast/entropy from generate_series) —
+    * the blank/dark/blown-out image gate on exact integer rails (see
+    * [[Multimodal.imageQuality]]). */
+  private[graft] def qMultimodalQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val build = udf((id: Long) => {
+      val px = new Array[Byte](7 * 5 * 3)
+      for (y <- 0 until 5; x <- 0 until 7; c <- 0 until 3)
+        px((y * 7 + x) * 3 + c) = (((x * 7 + y * 13 + c * 29 + id) % 256) & 0xff).toByte
+      Multimodal.bmpImage(7, 5, px)
+    })
+    val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id").as("media_id"), build(col("doc_id")).as("payload"))
+    Multimodal.imageQuality(Multimodal.decodeImage(media)).toDF()
+  }
+
+  private[graft] val oMultimodalQuality =
+    """WITH px AS (SELECT doc_id, x.g AS x, y.g AS y, c.g AS c,
+      |    (x.g*7 + y.g*13 + c.g*29 + doc_id) % 256 AS v
+      |  FROM documents, generate_series(0, 6) x(g),
+      |    generate_series(0, 4) y(g), generate_series(0, 2) c(g)
+      |  WHERE doc_id < 200),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+      |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v*v) AS BIGINT) AS q,
+      |    CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+      |  FROM px GROUP BY 1),
+      |hist AS (SELECT doc_id, v, count(*) AS hc FROM px GROUP BY 1, 2),
+      |ent AS (SELECT hist.doc_id,
+      |    CAST(sum(CAST(round(-(CAST(hc AS DOUBLE) / n_px) *
+      |      ln(CAST(hc AS DOUBLE) / n_px) / ln(2) * 1e6) AS BIGINT))
+      |      AS BIGINT) AS entropy_micro
+      |  FROM hist JOIN agg ON agg.doc_id = hist.doc_id GROUP BY 1)
+      |SELECT agg.doc_id AS media_id, 'bmp' AS format, n_px,
+      |  CAST(s * 1000 // n_px AS BIGINT) AS brightness_milli,
+      |  CAST((n_px*q - s*s) * 1000 // (n_px*n_px) AS BIGINT)
+      |    AS contrast_milli,
+      |  px_min, px_max, entropy_micro,
+      |  (n_px*q - s*s) * 1000 // (n_px*n_px) < 4000 AS is_flat
+      |FROM agg JOIN ent ON ent.doc_id = agg.doc_id""".stripMargin
+
   private[graft] val oMultimodalDecode =
     """WITH px AS (SELECT doc_id, x.g AS x, y.g AS y, c.g AS c,
       |    (x.g*7 + y.g*13 + c.g*29 + doc_id) % 256 AS v
@@ -346,6 +388,7 @@ private[graft] object MultimodalQueries {
     "multimodal_sniff" -> (qMultimodalSniff _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "multimodal_decode" -> (qMultimodalDecode _),
+    "multimodal_quality" -> (qMultimodalQuality _),
     "multimodal_decode_png" -> (qMultimodalDecodePng _),
     "multimodal_decode_gif" -> (qMultimodalDecodeGif _),
     "multimodal_mp4_meta" -> (qMultimodalMp4Meta _),
@@ -360,6 +403,7 @@ private[graft] object MultimodalQueries {
     "multimodal_sniff" -> oMultimodalSniff,
     "multimodal_frames" -> oMultimodalFrames,
     "multimodal_decode" -> oMultimodalDecode,
+    "multimodal_quality" -> oMultimodalQuality,
     "multimodal_decode_png" -> oMultimodalDecodePng,
     "multimodal_decode_gif" -> oMultimodalDecodeGif,
     "multimodal_mp4_meta" -> oMultimodalMp4Meta,

@@ -163,4 +163,28 @@ class DecodeSpec extends SparkSpec {
     val same = Multimodal.resizeNearest(ds, maxSide = 10).head()
     assert(same.width == 7 && same.pixels.toSeq == src.toSeq)
   }
+
+  test("imageQuality: flat, two-level, and gradient images on the integer rails") {
+    val flat = Multimodal.DecodedImage(1L, "bmp", 4, 2, 3,
+      pix(4, 2, 3)((_, _, _) => 100))
+    val duo = Multimodal.DecodedImage(2L, "bmp", 4, 2, 3,
+      pix(4, 2, 3)((x, _, _) => if (x % 2 == 0) 0 else 200))
+    val grad = Multimodal.DecodedImage(3L, "bmp", 4, 2, 3,
+      pix(4, 2, 3)((x, y, c) => (x * 40 + y * 20 + c * 10)))
+    val got = Multimodal.imageQuality(
+        spark.createDataset(Seq(flat, duo, grad)))
+      .collect().sortBy(_.media_id)
+    val f = got(0)
+    assert(f.n_px == 24L && f.brightness_milli == 100000L)
+    assert(f.contrast_milli == 0L && f.entropy_micro == 0L && f.is_flat)
+    val d = got(1)
+    // half 0s half 200s: mean 100, variance 100² = 10000 -> 1e7 milli;
+    // entropy = 2 × round(0.5e6) = exactly 1e6 micro-bits
+    assert(d.brightness_milli == 100000L)
+    assert(d.contrast_milli == 10000000L)
+    assert(d.entropy_micro == 1000000L && !d.is_flat)
+    val g = got(2)
+    assert(g.px_min == 0 && g.px_max == 160)
+    assert(!g.is_flat && g.entropy_micro > 2000000L)
+  }
 }
