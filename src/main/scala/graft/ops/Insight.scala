@@ -1329,6 +1329,56 @@ object Insight {
           expr("__nm * 1000000 div __nh")).as("p_ppm"))
   }
 
+  /** ROUGE-N per (candidate, reference) pair — the summarization-eval
+    * twin of [[ngramPrecision]], entirely on integer rails with NO
+    * transcendentals: precision = m/h, recall = m/r, and F1 collapses
+    * algebraically to 2m/(h+r) (since both numerators are the same
+    * clipped match count), so all three ship as exact ppm integer
+    * divisions — bit-stable cross-engine by construction, no
+    * micro-nat rounding needed anywhere.
+    *
+    * @return (id, n, n_hyp, n_ref, n_match, p_ppm, r_ppm, f1_ppm) */
+  def rougeN(df: DataFrame, hypCol: String, refCol: String,
+             idCol: String, maxN: Int = 2): DataFrame = {
+    require(maxN >= 1, "rougeN needs maxN >= 1")
+    def grams(c: String, n: Int): Column =
+      if (n == 1) col(c)
+      else expr(s"CASE WHEN size($c) >= $n THEN transform(" +
+        s"sequence(1, size($c) - ${n - 1}), " +
+        s"i -> array_join(slice($c, i, $n), ' ')) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+    val base = df.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(hypCol)).as("__h"),
+        TextFunctions.tokens(col(refCol)).as("__r"))
+      .localCheckpoint(true)
+    val perN = (1 to maxN).map { n =>
+      base.select(col("id"), lit(n).as("n"),
+        grams("__h", n).as("__hg"), grams("__r", n).as("__rg"))
+    }.reduce(_ unionAll _)
+    val hc = perN.select(col("id"), col("n"), explode(col("__hg")).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("__ch"))
+    val rc = perN.select(col("id"), col("n"), explode(col("__rg")).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("__cr"))
+    val m = hc.join(rc, Seq("id", "n", "g"), "full_outer")
+      .groupBy("id", "n")
+      .agg(sum(coalesce(col("__ch"), lit(0L))).as("__nh"),
+        sum(coalesce(col("__cr"), lit(0L))).as("__nr"),
+        sum(least(coalesce(col("__ch"), lit(0L)),
+          coalesce(col("__cr"), lit(0L)))).as("__nm"))
+    perN.select(col("id"), col("n"))
+      .join(m, Seq("id", "n"), "left")
+      .select(col("id"), col("n"),
+        coalesce(col("__nh"), lit(0L)).as("n_hyp"),
+        coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__nm"), lit(0L)).as("n_match"),
+        when(coalesce(col("__nh"), lit(0L)) > 0,
+          expr("__nm * 1000000 div __nh")).as("p_ppm"),
+        when(coalesce(col("__nr"), lit(0L)) > 0,
+          expr("__nm * 1000000 div __nr")).as("r_ppm"),
+        when(coalesce(col("__nh"), lit(0L)) + coalesce(col("__nr"), lit(0L)) > 0,
+          expr("2 * __nm * 1000000 div (__nh + __nr)")).as("f1_ppm"))
+  }
+
   /** Per-pair BLEU on the exact integer rails — the standard
     * generation-eval / distillation-dedup metric composed from
     * [[ngramPrecision]]'s clipped counts. The float minefield is the

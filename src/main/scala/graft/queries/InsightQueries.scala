@@ -1070,6 +1070,61 @@ private[graft] object InsightQueries {
       |FROM g LEFT JOIN m ON m.id = g.id AND m.n = g.n""".stripMargin
   }
 
+  /** ROUGE-1/2 over adjacent-doc (candidate, reference) pairs — the
+    * summarization-eval twin, exact ppm end to end (F1 = 2m/(h+r)
+    * algebraically, so no transcendental ever enters; see
+    * [[Insight.rougeN]]). */
+  private[graft] def qTextRouge(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = d.as("h")
+      .join(d.as("r"), col("r.doc_id") === col("h.doc_id") + 1)
+      .select(col("h.doc_id").as("doc_id"), col("h.text").as("hyp"),
+        col("r.text").as("ref"))
+    Insight.rougeN(pairs, "hyp", "ref", "doc_id", maxN = 2)
+  }
+
+  private[graft] val oTextRouge = {
+    val hToks = oToks.replace("text", "htext")
+    val rToks = oToks.replace("text", "rtext")
+    def g(t: String) =
+      s"""CASE WHEN n = 1 THEN $t
+         |    WHEN len($t) >= n THEN list_transform(
+         |      generate_series(1, len($t) - n + 1),
+         |      i -> array_to_string($t[i:i+n-1], ' '))
+         |    ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+    s"""WITH p AS (SELECT h.doc_id AS id, $hToks AS ht, $rToks AS rt
+      |  FROM (SELECT doc_id, text AS htext FROM documents) h
+      |  JOIN (SELECT doc_id, text AS rtext FROM documents) r
+      |    ON r.doc_id = h.doc_id + 1),
+      |g AS (SELECT id, n,
+      |    ${g("ht")} AS hg,
+      |    ${g("rt")} AS rg
+      |  FROM p, (VALUES (1), (2)) nn(n)),
+      |hc AS (SELECT id, n, t.g AS gram, CAST(count(*) AS BIGINT) AS ch
+      |  FROM g, unnest(hg) AS t(g) GROUP BY 1, 2, 3),
+      |rc AS (SELECT id, n, t.g AS gram, CAST(count(*) AS BIGINT) AS cr
+      |  FROM g, unnest(rg) AS t(g) GROUP BY 1, 2, 3),
+      |m AS (SELECT coalesce(hc.id, rc.id) AS id,
+      |    coalesce(hc.n, rc.n) AS n,
+      |    CAST(sum(coalesce(ch, 0)) AS BIGINT) AS nh,
+      |    CAST(sum(coalesce(cr, 0)) AS BIGINT) AS nr,
+      |    CAST(sum(least(coalesce(ch, 0), coalesce(cr, 0))) AS BIGINT)
+      |      AS nm
+      |  FROM hc FULL OUTER JOIN rc ON rc.id = hc.id AND rc.n = hc.n
+      |    AND rc.gram = hc.gram
+      |  GROUP BY 1, 2)
+      |SELECT g.id, g.n, CAST(coalesce(m.nh, 0) AS BIGINT) AS n_hyp,
+      |  CAST(coalesce(m.nr, 0) AS BIGINT) AS n_ref,
+      |  CAST(coalesce(m.nm, 0) AS BIGINT) AS n_match,
+      |  CASE WHEN coalesce(m.nh, 0) > 0
+      |    THEN m.nm * 1000000 // m.nh END AS p_ppm,
+      |  CASE WHEN coalesce(m.nr, 0) > 0
+      |    THEN m.nm * 1000000 // m.nr END AS r_ppm,
+      |  CASE WHEN coalesce(m.nh, 0) + coalesce(m.nr, 0) > 0
+      |    THEN 2 * m.nm * 1000000 // (m.nh + m.nr) END AS f1_ppm
+      |FROM g LEFT JOIN m ON m.id = g.id AND m.n = g.n""".stripMargin
+  }
+
   /** BLEU over adjacent-doc (hyp, ref) pairs — the generation-eval /
     * distillation-dedup composition of the clipped-count rails (see
     * [[Insight.bleu]]): 4-gram, Lin–Och add-one smoothing on zero
@@ -2217,6 +2272,7 @@ private[graft] object InsightQueries {
     "text_skipgrams" -> (qTextSkipgrams _),
     "text_ngram_precision" -> (qTextNgramPrecision _),
     "text_bleu" -> (qTextBleu _),
+    "text_rouge" -> (qTextRouge _),
     "train_negative_table" -> (qTrainNegativeTable _),
     "join_fanout_audit" -> (qJoinFanout _),
     "graph_harmonic" -> (qGraphHarmonic _),
@@ -2281,6 +2337,7 @@ private[graft] object InsightQueries {
     "text_skipgrams" -> oTextSkipgrams,
     "text_ngram_precision" -> oTextNgramPrecision,
     "text_bleu" -> oTextBleu,
+    "text_rouge" -> oTextRouge,
     "train_negative_table" -> oTrainNegativeTable,
     "join_fanout_audit" -> oJoinFanout,
     "graph_harmonic" -> oGraphHarmonic,

@@ -820,6 +820,22 @@ class InsightSpec extends SparkSpec {
       "keys shorter than one season carry null smoothing fields")
   }
 
+  // ------------------------------------------------------------ ROUGE
+
+  test("rougeN: exact ppm P/R/F1, F1 = 2m/(h+r) with no float anywhere") {
+    val pairs = Seq((1L, "a b c", "a c d e")).toDF("id", "hyp", "ref")
+    val got = Insight.rougeN(pairs, "hyp", "ref", "id", maxN = 2)
+      .orderBy("n").collect()
+    val n1 = got(0) // unigrams: h=3, r=4, m=2 (a, c)
+    assert(n1.getLong(2) == 3L && n1.getLong(3) == 4L && n1.getLong(4) == 2L)
+    assert(n1.getLong(5) == 666666L)  // 2e6 div 3
+    assert(n1.getLong(6) == 500000L)  // 2e6 div 4
+    assert(n1.getLong(7) == 571428L)  // 4e6 div 7
+    val n2 = got(1) // bigrams: no overlap
+    assert(n2.getLong(2) == 2L && n2.getLong(3) == 3L && n2.getLong(4) == 0L)
+    assert(n2.getLong(7) == 0L)
+  }
+
   // ------------------------------------------------------------- BLEU
 
   test("bleu: hand-computed rails — identity, brevity, smoothing, zero") {
