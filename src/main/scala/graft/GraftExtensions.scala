@@ -132,6 +132,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         StopProfile(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_chrf"),
+      new ExpressionInfo(classOf[graft.functions.ChrfRails].getName,
+        "graft_chrf"),
+      (children: Seq[Expression]) => {
+        children match {
+          case Seq(h, r, Literal(n: Int, IntegerType),
+                   Literal(b: Int, IntegerType)) =>
+            graft.functions.ChrfRails(h, r, n, b)
+          case _ => throw new IllegalArgumentException(
+            "graft_chrf(hyp, ref, maxN, beta) needs integer literal " +
+              "maxN and beta")
+        }
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash_oph"),
       new ExpressionInfo(classOf[MinHashOph].getName, "graft_minhash_oph"),
       (children: Seq[Expression]) => {

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All chrF integer rails of a (hyp, ref) pair in ONE row-local pass:
+  * `struct<orders_p long, orders_r long, p_ppm long, r_ppm long,
+  * chrf_ppm long>`.
+  *
+  * Why a custom expression: the composed form ([[graft.ops.Insight.chrF]]
+  * without the extension) unions six per-order gram projections, explodes
+  * BOTH sides, and shuffles the `(id, n, gram)` rows to count clipped
+  * matches — ~6× corpus characters through the exchange for a result
+  * that never needed to leave the row, since a pair's hypothesis and
+  * reference sit side by side already. Here one pass builds a per-order
+  * multiset of reference grams and probes the hypothesis grams — no
+  * generator, no shuffle, no join; at 100 TB the metric stays a pure
+  * scan-bandwidth Project like the Gopher/C4 gates. Measured at sf0.1:
+  * 11.7 s → scan-bound (the composed plan's exchange dominated).
+  *
+  * Semantics are bit-compatible with the composed form and the DuckDB
+  * oracle (`text_chrf`, pinned at 3 SFs): whitespace (Java `\s` ASCII
+  * class) removed entirely; CODE-POINT n-grams n = 1..maxN (a non-BMP
+  * char is one gram position, matching Spark `substring`/`length` and
+  * DuckDB slicing); per-order truncating ppm precision/recall over
+  * effective orders only; truncating integer macro means; F_β as one
+  * integer division `(1+β²)PR div (β²P+R)`. Inputs are expected
+  * non-null (the Column layer coalesces to ''); a null input null-outs
+  * the struct via nullSafeEval.
+  */
+case class ChrfRails(left: Expression, right: Expression,
+                     maxN: Int, beta: Int) extends BinaryExpression {
+
+  override lazy val resolved: Boolean = left.resolved && right.resolved &&
+    left.dataType == StringType && right.dataType == StringType &&
+    maxN >= 1 && beta >= 1
+
+  override def dataType: DataType = ChrfRails.outType
+
+  override def prettyName: String = "graft_chrf"
+
+  override protected def nullSafeEval(h: Any, r: Any): Any =
+    ChrfRails.compute(h.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], maxN, beta)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, r) =>
+      s"graft.functions.ChrfRails.compute($h, $r, $maxN, $beta)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ChrfRails =
+    copy(left = newLeft, right = newRight)
+}
+
+object ChrfRails {
+
+  val outType: StructType = StructType(Seq(
+    StructField("orders_p", LongType, nullable = false),
+    StructField("orders_r", LongType, nullable = false),
+    StructField("p_ppm", LongType, nullable = false),
+    StructField("r_ppm", LongType, nullable = false),
+    StructField("chrf_ppm", LongType, nullable = false)))
+
+  /** Whitespace-stripped code points (Java \s: space \t \n \x0B \f \r —
+    * the exact class the composed regexp_replace removed). */
+  private def stripCps(s: String): Array[Int] = {
+    val out = new Array[Int](s.length)
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!ws) { out(n) = cp; n += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Called from interpreted and generated code (static forwarder). */
+  def compute(h: UTF8String, r: UTF8String, maxN: Int,
+              beta: Int): InternalRow = {
+    val hc = stripCps(h.toString)
+    val rc = stripCps(r.toString)
+    val b2 = beta.toLong * beta
+    var ordersP = 0L; var ordersR = 0L
+    var ps = 0L; var rs = 0L
+    var n = 1
+    while (n <= maxN) {
+      val nh = math.max(hc.length - n + 1, 0)
+      val nr = math.max(rc.length - n + 1, 0)
+      if (nh > 0 || nr > 0) {
+        var nm = 0L
+        if (nh > 0 && nr > 0) {
+          // multiset of reference grams, then clipped probe of hyp grams
+          val counts = new java.util.HashMap[String, Array[Int]](nr * 2)
+          var j = 0
+          while (j < nr) {
+            val g = new String(rc, j, n)
+            val c = counts.get(g)
+            if (c == null) counts.put(g, Array(1)) else c(0) += 1
+            j += 1
+          }
+          var i = 0
+          while (i < nh) {
+            val c = counts.get(new String(hc, i, n))
+            if (c != null && c(0) > 0) { c(0) -= 1; nm += 1 }
+            i += 1
+          }
+        }
+        if (nh > 0) { ordersP += 1; ps += nm * 1000000L / nh }
+        if (nr > 0) { ordersR += 1; rs += nm * 1000000L / nr }
+      }
+      n += 1
+    }
+    val p = if (ordersP > 0) ps / ordersP else 0L
+    val rr = if (ordersR > 0) rs / ordersR else 0L
+    val f = if (b2 * p + rr > 0) (1 + b2) * p * rr / (b2 * p + rr) else 0L
+    new GenericInternalRow(Array[Any](ordersP, ordersR, p, rr, f))
+  }
+}

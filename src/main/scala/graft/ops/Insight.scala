@@ -213,6 +213,118 @@ object Insight {
         round(col("stat"), 6).as("stat"))
   }
 
+  /** Per-key one-sided CUSUM control charts over GAP-FILLED bucket
+    * counts — the sequential drift detector next to
+    * [[rateChangepoint]]'s single best split: where did the event rate
+    * leave its warm-up baseline, and by how much, bucket by bucket?
+    * (The streaming twin [[graft.streaming.StreamingOps.cusumStream]]
+    * keeps the same recursion as incremental state; this is the batch
+    * audit that backfills a whole history in one pass.)
+    *
+    * Exact integer end to end. Buckets are `epoch_us div bucketUs`;
+    * missing buckets inside a key's [min, max] span count as x = 0 (a
+    * silent hour IS a drift signal — rate monitors that only see
+    * non-empty buckets can never alarm on silence). Baseline mu0 =
+    * truncating mean of the first `warmup` buckets, allowance
+    * k = mu0 div 4, threshold h = 4·(mu0 + 1) (the +1 keeps h positive
+    * for all-quiet warm-ups). The textbook recursion
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − mu0 − k) is evaluated SHUFFLE-ONCE via
+    * the prefix-minimum identity S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) with
+    * Pᵢ the running sum of (xᵢ − mu0 − k) — two window functions over
+    * one per-key sort instead of a sequential fold, so one exchange
+    * covers the gap-fill join, both charts, and the alarms at any
+    * scale. The low-side chart S⁻ uses dᵢ = mu0 − k − xᵢ identically.
+    *
+    * @return (key, bucket, x, mu0, s_hi, s_lo, alarm_hi, alarm_lo) */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+            bucketUs: Long = 3600000000L, warmup: Int = 24): DataFrame = {
+    require(bucketUs > 0 && warmup >= 1, "bucketUs and warmup must be positive")
+    val bucket = expr(
+      s"unix_micros(cast(`$tsCol` as timestamp)) div ${bucketUs}L")
+    val counts = events.groupBy(col(keyCol).as("key"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val span = counts.groupBy("key")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val full = span
+      .select(col("key"), explode(expr("sequence(b0, b1)")).as("bucket"))
+      .join(counts, Seq("key", "bucket"), "left")
+      .withColumn("x", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("key").orderBy("bucket")
+    val seq = full.withColumn("rn", row_number().over(w).cast("long"))
+    val warm = seq.filter(col("rn") <= warmup).groupBy("key")
+      .agg(sum("x").as("__ws"), count(lit(1)).as("__wn"))
+      .select(col("key"), expr("__ws div __wn").as("mu0"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq.join(warm, Seq("key"))
+      .withColumn("k", expr("mu0 div 4"))
+      .withColumn("h", expr("4 * (mu0 + 1)"))
+      .withColumn("p_hi", sum(expr("x - mu0 - k")).over(run))
+      .withColumn("p_lo", sum(expr("mu0 - k - x")).over(run))
+      .withColumn("s_hi", col("p_hi") - least(lit(0L), min("p_hi").over(run)))
+      .withColumn("s_lo", col("p_lo") - least(lit(0L), min("p_lo").over(run)))
+      .select(col("key"), col("bucket"), col("x"), col("mu0"),
+        col("s_hi"), col("s_lo"),
+        (col("s_hi") > col("h")).as("alarm_hi"),
+        (col("s_lo") > col("h")).as("alarm_lo"))
+  }
+
+  /** Per-key Mann–Kendall trend test over bucket counts — the
+    * nonparametric "is this series drifting?" read next to
+    * [[theilSen]]'s slope estimate (same robustness contract: no
+    * normality assumption, rank-based, exact on the integer rails).
+    *
+    * S = Σ_{i<j} sign(xⱼ − xᵢ) is an exact integer from one pair
+    * self-join (i < j on bucket order); the tie-corrected variance is
+    * kept as the exact integer 18·Var(S) = n(n−1)(2n+5) −
+    * Σ_g t_g(t_g−1)(2t_g+5) (ties grouped by equal x); the normal
+    * z-statistic with continuity correction is the ONLY double — one
+    * identical-tree IEEE expression (S∓1)/sqrt(var18/18.0) floored to
+    * ppm at the boundary. Trend calls use the |z| > 1.96 convention
+    * (1_960_000 ppm, two-sided 5%).
+    *
+    * Scale: the pair join is O(n²) PER KEY on the bucketed grain —
+    * daily buckets bound n to the span in days (30 here → 435 pairs);
+    * years-long spans should pass a weekly bucketUs, never minute
+    * grain. Everything is key-local: one shuffle on the key, map-side
+    * combinable aggregates.
+    *
+    * @return (key, n, s, var18, z_ppm, trend) */
+  def mannKendall(events: DataFrame, keyCol: String, tsCol: String,
+                  bucketUs: Long = 86400000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val bucket = expr(
+      s"unix_micros(cast(`$tsCol` as timestamp)) div ${bucketUs}L")
+    val counts = events.groupBy(col(keyCol).as("key"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val s = counts.as("a")
+      .join(counts.as("b"),
+        col("a.key") === col("b.key") && col("a.bucket") < col("b.bucket"))
+      .groupBy(col("a.key").as("key"))
+      .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s"))
+    val n = counts.groupBy("key").agg(count(lit(1)).as("n"))
+    val ties = counts.groupBy("key", "x")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("key")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    n.join(s, Seq("key"), "left").join(ties, Seq("key"))
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("var18",
+        expr("n * (n - 1) * (2 * n + 5) - tie18"))
+      .withColumn("z_ppm",
+        when(col("var18") > 0 && col("s") =!= 0,
+          floor((col("s") - signum(col("s")).cast("long")).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)) * 1e6 + 0.5)
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("trend",
+        when(col("z_ppm") > 1960000L, lit("increasing"))
+          .when(col("z_ppm") < -1960000L, lit("decreasing"))
+          .otherwise(lit("none")))
+      .select(col("key"), col("n"), col("s"), col("var18"),
+        col("z_ppm"), col("trend"))
+  }
+
   /** Per-key rate AUTOCORRELATION at small lags — the seasonality/
     * burstiness profile next to [[rateChangepoint]]'s level shifts.
     * Same exact-integer discipline: bucket counts are integers, so all
@@ -1439,6 +1551,97 @@ object Insight {
       .select(col("id"), col("hyp_len"), col("ref_len"), col("orders"),
         col("log_bleu_micro"), col("bleu_micro"),
         (col("bleu_micro").cast("double") / 1e6).as("bleu"))
+  }
+
+  /** Per-pair chrF (character n-gram F-score, Popović 2015) — the
+    * tokenization-free MT/generation metric completing the BLEU/ROUGE
+    * family, and the only one of the three that needs NO transcendental
+    * anywhere: matches, precisions, recalls, and the F_β combination
+    * are all exact integer arithmetic on the ppm rail.
+    *
+    * Semantics (sacreBLEU chrF defaults): whitespace is removed
+    * entirely before gramming; character n-grams n = 1..maxN (6); per
+    * order, clipped matches m = Σ_g min(hyp_g, ref_g); P_n/R_n only
+    * over orders whose denominator is nonzero (effective orders, each
+    * side independently — a 3-char string contributes no n≥4 order);
+    * macro averages are truncating integer means of the per-order ppm
+    * values; F_β = (1+β²)·P·R / (β²·P + R) computed as one integer
+    * division over ppm products (β=2 → 5PR div (4P+R), products ≤
+    * 5·10¹² — far inside BIGINT). Both-empty pairs report all-zero
+    * rows rather than dropping.
+    *
+    * Plan shape: with [[graft.GraftExtensions]] registered, ONE
+    * row-local Project ([[graft.functions.ChrfRails]] — both sides of
+    * a pair sit on the same row, so nothing needs an exchange; the
+    * metric is a pure scan-bandwidth pass at any corpus size).
+    * Fallback without the extension: per-pair local gram counting (one
+    * generator + one groupBy per side, uniform keys) + one groupBy(id)
+    * — correct but it shuffles ~6× corpus characters.
+    *
+    * @return (id, orders_p, orders_r, p_ppm, r_ppm, chrf_ppm) */
+  def chrF(df: DataFrame, hypCol: String, refCol: String, idCol: String,
+           maxN: Int = 6, beta: Int = 2): DataFrame =
+    chrFImpl(df, hypCol, refCol, idCol, maxN, beta, useNative = true)
+
+  /** useNative=false forces the composed fallback (spec equivalence). */
+  private[graft] def chrFImpl(df: DataFrame, hypCol: String, refCol: String,
+                              idCol: String, maxN: Int, beta: Int,
+                              useNative: Boolean): DataFrame = {
+    require(maxN >= 1, "chrF needs maxN >= 1")
+    require(beta >= 1, "chrF needs beta >= 1")
+    if (useNative && df.sparkSession.catalog.functionExists("graft_chrf")) {
+      return df.select(col(idCol).as("id"),
+          call_function("graft_chrf",
+            coalesce(col(hypCol), lit("")), coalesce(col(refCol), lit("")),
+            lit(maxN), lit(beta)).as("__c"))
+        .select(col("id"), col("__c.orders_p").as("orders_p"),
+          col("__c.orders_r").as("orders_r"), col("__c.p_ppm").as("p_ppm"),
+          col("__c.r_ppm").as("r_ppm"), col("__c.chrf_ppm").as("chrf_ppm"))
+    }
+    val b2 = (beta.toLong * beta).toString
+    def stripWs(c: Column): Column =
+      regexp_replace(coalesce(c, lit("")), "\\s+", "")
+    val base = df.select(col(idCol).as("id"),
+        stripWs(col(hypCol)).as("__h"), stripWs(col(refCol)).as("__r"))
+      .localCheckpoint(true)
+    def grams(c: String, n: Int): Column =
+      expr(s"CASE WHEN length($c) >= $n THEN transform(" +
+        s"sequence(1, length($c) - ${n - 1}), " +
+        s"i -> substring($c, i, $n)) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+    val perN = (1 to maxN).map { n =>
+      base.select(col("id"), lit(n).as("n"),
+        grams("__h", n).as("__hg"), grams("__r", n).as("__rg"))
+    }.reduce(_ unionAll _)
+    val hc = perN.select(col("id"), col("n"), explode(col("__hg")).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("__ch"))
+    val rc = perN.select(col("id"), col("n"), explode(col("__rg")).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("__cr"))
+    val m = hc.join(rc, Seq("id", "n", "g"), "full_outer")
+      .groupBy("id", "n")
+      .agg(sum(coalesce(col("__ch"), lit(0L))).as("__nh"),
+        sum(coalesce(col("__cr"), lit(0L))).as("__nr"),
+        sum(least(coalesce(col("__ch"), lit(0L)),
+          coalesce(col("__cr"), lit(0L)))).as("__nm"))
+      .select(col("id"),
+        when(col("__nh") > 0, expr("__nm * 1000000 div __nh")).as("__pn"),
+        when(col("__nr") > 0, expr("__nm * 1000000 div __nr")).as("__rn"))
+    val agg = m.groupBy("id").agg(
+      count(col("__pn")).as("orders_p"), count(col("__rn")).as("orders_r"),
+      sum(col("__pn")).as("__ps"), sum(col("__rn")).as("__rs"))
+    base.select(col("id")).distinct()
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("orders_p"), lit(0L)).as("orders_p"),
+        coalesce(col("orders_r"), lit(0L)).as("orders_r"),
+        when(col("orders_p") > 0, expr("__ps div orders_p"))
+          .otherwise(lit(0L)).as("p_ppm"),
+        when(col("orders_r") > 0, expr("__rs div orders_r"))
+          .otherwise(lit(0L)).as("r_ppm"))
+      .withColumn("chrf_ppm",
+        when(expr(s"$b2 * p_ppm + r_ppm") > 0,
+          expr(s"(1 + $b2) * p_ppm * r_ppm div ($b2 * p_ppm + r_ppm)"))
+          .otherwise(lit(0L)))
   }
 
   def timeWeightedMean(events: DataFrame, keyCol: String, tsCol: String,

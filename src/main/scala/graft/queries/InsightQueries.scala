@@ -95,6 +95,82 @@ private[graft] object InsightQueries {
       |FROM events e JOIN st USING (event_type)
       |WHERE sd > 0 AND abs((value - mu) / sd) > 3.0""".stripMargin
 
+  /** Per-type one-sided CUSUM control charts over gap-filled hourly
+    * counts (see [[Insight.cusum]]): exact integer recursion via the
+    * prefix-minimum identity — the batch audit twin of the streaming
+    * CUSUM detector, alarming on drift AND on silence. */
+  private[graft] def qEventsCusum(s: SparkSession, dir: String): DataFrame =
+    Insight.cusum(readEvents(s, dir), "event_type", "ts")
+
+  private[graft] val oEventsCusum =
+    """WITH c AS (SELECT event_type AS key,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+      |  FROM c GROUP BY 1),
+      |f AS (SELECT key, unnest(generate_series(b0, b1)) AS bucket FROM sp),
+      |x AS (SELECT f.key, f.bucket, CAST(coalesce(c.c, 0) AS BIGINT) AS x
+      |  FROM f LEFT JOIN c ON c.key = f.key AND c.bucket = f.bucket),
+      |r AS (SELECT key, bucket, x, row_number() OVER
+      |    (PARTITION BY key ORDER BY bucket) AS rn FROM x),
+      |wm AS (SELECT key, CAST(sum(x) // count(*) AS BIGINT) AS mu0
+      |  FROM r WHERE rn <= 24 GROUP BY 1),
+      |d AS (SELECT r.key, bucket, x, mu0, mu0 // 4 AS k,
+      |    4 * (mu0 + 1) AS h
+      |  FROM r JOIN wm ON wm.key = r.key),
+      |p AS (SELECT key, bucket, x, mu0, h,
+      |    sum(x - mu0 - k) OVER w AS p_hi,
+      |    sum(mu0 - k - x) OVER w AS p_lo
+      |  FROM d WINDOW w AS (PARTITION BY key ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (SELECT key, bucket, x, mu0, h,
+      |    p_hi - least(0, min(p_hi) OVER w) AS s_hi,
+      |    p_lo - least(0, min(p_lo) OVER w) AS s_lo
+      |  FROM p WINDOW w AS (PARTITION BY key ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT key, bucket, x, mu0,
+      |  CAST(s_hi AS BIGINT) AS s_hi, CAST(s_lo AS BIGINT) AS s_lo,
+      |  s_hi > h AS alarm_hi, s_lo > h AS alarm_lo
+      |FROM s""".stripMargin
+
+  /** Per-type Mann–Kendall trend test on daily counts (see
+    * [[Insight.mannKendall]]): exact integer S and 18·Var(S) with tie
+    * correction, ppm z with continuity correction — the significance
+    * read beside `events_theilsen`'s slope. */
+  private[graft] def qEventsTrendMk(s: SparkSession, dir: String): DataFrame =
+    Insight.mannKendall(readEvents(s, dir), "event_type", "ts")
+
+  private[graft] val oEventsTrendMk =
+    """WITH c AS (SELECT event_type AS key,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT a.key, CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s
+      |  FROM c a JOIN c b ON a.key = b.key AND a.bucket < b.bucket
+      |  GROUP BY 1),
+      |n AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+      |t AS (SELECT key,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      |  FROM (SELECT key, x, CAST(count(*) AS BIGINT) AS t
+      |    FROM c GROUP BY 1, 2) GROUP BY 1),
+      |j AS (SELECT n.key, n.n, CAST(coalesce(s.s, 0) AS BIGINT) AS s,
+      |    n.n * (n.n - 1) * (2 * n.n + 5) - tie18 AS var18
+      |  FROM n LEFT JOIN s ON s.key = n.key
+      |  JOIN t ON t.key = n.key),
+      |z AS (SELECT key, n, s, CAST(var18 AS BIGINT) AS var18,
+      |    CASE WHEN var18 > 0 AND s <> 0 THEN CAST(floor(
+      |        CAST(s - sign(s) AS DOUBLE) /
+      |          sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE)) *
+      |          1e6 + 0.5) AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT) END AS z_ppm
+      |  FROM j)
+      |SELECT key, n, s, var18, z_ppm,
+      |  CASE WHEN z_ppm > 1960000 THEN 'increasing'
+      |    WHEN z_ppm < -1960000 THEN 'decreasing'
+      |    ELSE 'none' END AS trend
+      |FROM z""".stripMargin
+
   /** Per-type winsorized event values: clamp to the exact [p05, p95]
     * band via [[Profile.winsorize]] (second oracle surface for the op,
     * on the events shape, plus the `clipped` audit flag). */
@@ -1195,6 +1271,73 @@ private[graft] object InsightQueries {
       |FROM f""".stripMargin
   }
 
+  /** chrF over the same adjacent-doc (hyp, ref) pairs as BLEU/ROUGE —
+    * the tokenization-free character-level eval metric (see
+    * [[Insight.chrF]]): whitespace stripped, char 1..6-grams, clipped
+    * matches, effective-order macro P/R, F_2 — every step exact
+    * integer ppm, the only member of the eval family with NO
+    * transcendental anywhere. */
+  private[graft] def qTextChrf(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = d.as("h")
+      .join(d.as("r"), col("r.doc_id") === col("h.doc_id") + 1)
+      .select(col("h.doc_id").as("doc_id"), col("h.text").as("hyp"),
+        col("r.text").as("ref"))
+    Insight.chrF(pairs, "hyp", "ref", "doc_id", maxN = 6, beta = 2)
+  }
+
+  private[graft] val oTextChrf = {
+    def g(src: String) =
+      s"""CASE WHEN length($src) >= n THEN list_transform(
+         |      generate_series(1, length($src) - n + 1),
+         |      i -> $src[i:i+n-1])
+         |    ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+    s"""WITH p AS (SELECT h.doc_id AS id,
+      |    regexp_replace(coalesce(h.htext, ''), '\\s+', '', 'g') AS hs,
+      |    regexp_replace(coalesce(r.rtext, ''), '\\s+', '', 'g') AS rs
+      |  FROM (SELECT doc_id, text AS htext FROM documents) h
+      |  JOIN (SELECT doc_id, text AS rtext FROM documents) r
+      |    ON r.doc_id = h.doc_id + 1),
+      |g AS (SELECT id, n,
+      |    ${g("hs")} AS hg,
+      |    ${g("rs")} AS rg
+      |  FROM p, (VALUES (1), (2), (3), (4), (5), (6)) nn(n)),
+      |hc AS (SELECT id, n, t.g AS gram, CAST(count(*) AS BIGINT) AS ch
+      |  FROM g, unnest(hg) AS t(g) GROUP BY 1, 2, 3),
+      |rc AS (SELECT id, n, t.g AS gram, CAST(count(*) AS BIGINT) AS cr
+      |  FROM g, unnest(rg) AS t(g) GROUP BY 1, 2, 3),
+      |m AS (SELECT coalesce(hc.id, rc.id) AS id,
+      |    coalesce(hc.n, rc.n) AS n,
+      |    CAST(sum(coalesce(ch, 0)) AS BIGINT) AS nh,
+      |    CAST(sum(coalesce(cr, 0)) AS BIGINT) AS nr,
+      |    CAST(sum(least(coalesce(ch, 0), coalesce(cr, 0))) AS BIGINT)
+      |      AS nm
+      |  FROM hc FULL OUTER JOIN rc ON rc.id = hc.id AND rc.n = hc.n
+      |    AND rc.gram = hc.gram
+      |  GROUP BY 1, 2),
+      |o AS (SELECT id,
+      |    CASE WHEN nh > 0 THEN nm * 1000000 // nh END AS pn,
+      |    CASE WHEN nr > 0 THEN nm * 1000000 // nr END AS rn
+      |  FROM m),
+      |a AS (SELECT id, CAST(count(pn) AS BIGINT) AS orders_p,
+      |    CAST(count(rn) AS BIGINT) AS orders_r,
+      |    CASE WHEN count(pn) > 0
+      |      THEN CAST(sum(pn) // count(pn) AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT) END AS p_ppm,
+      |    CASE WHEN count(rn) > 0
+      |      THEN CAST(sum(rn) // count(rn) AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT) END AS r_ppm
+      |  FROM o GROUP BY 1)
+      |SELECT p.id, CAST(coalesce(orders_p, 0) AS BIGINT) AS orders_p,
+      |  CAST(coalesce(orders_r, 0) AS BIGINT) AS orders_r,
+      |  CAST(coalesce(p_ppm, 0) AS BIGINT) AS p_ppm,
+      |  CAST(coalesce(r_ppm, 0) AS BIGINT) AS r_ppm,
+      |  CASE WHEN 4 * coalesce(p_ppm, 0) + coalesce(r_ppm, 0) > 0
+      |    THEN CAST(5 * p_ppm * r_ppm // (4 * p_ppm + r_ppm) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS chrf_ppm
+      |FROM p LEFT JOIN a ON a.id = p.id""".stripMargin
+  }
+
   /** word2vec negative-sampling table over the corpus vocabulary (see
     * [[Sample.negativeSamplingTable]]): count^0.75 weights via the
     * correctly-rounded sqrt(c·sqrt(c)) spelling, DECIMAL share, exact
@@ -2247,6 +2390,8 @@ private[graft] object InsightQueries {
     "events_percent_rank" -> (qEventsPercentRank _),
     "events_markov" -> (qEventsMarkov _),
     "events_changepoint" -> (qEventsChangepoint _),
+    "events_cusum" -> (qEventsCusum _),
+    "events_trend_mk" -> (qEventsTrendMk _),
     "events_autocorr" -> (qEventsAutocorr _),
     "events_seasonality" -> (qEventsSeasonality _),
     "source_orc_roundtrip" -> (qSourceOrcRoundtrip _),
@@ -2272,6 +2417,7 @@ private[graft] object InsightQueries {
     "text_skipgrams" -> (qTextSkipgrams _),
     "text_ngram_precision" -> (qTextNgramPrecision _),
     "text_bleu" -> (qTextBleu _),
+    "text_chrf" -> (qTextChrf _),
     "text_rouge" -> (qTextRouge _),
     "train_negative_table" -> (qTrainNegativeTable _),
     "join_fanout_audit" -> (qJoinFanout _),
@@ -2312,6 +2458,8 @@ private[graft] object InsightQueries {
     "events_percent_rank" -> oEventsPercentRank,
     "events_markov" -> oEventsMarkov,
     "events_changepoint" -> oEventsChangepoint,
+    "events_cusum" -> oEventsCusum,
+    "events_trend_mk" -> oEventsTrendMk,
     "events_autocorr" -> oEventsAutocorr,
     "events_seasonality" -> oEventsSeasonality,
     "source_orc_roundtrip" -> oSourceOrcRoundtrip,
@@ -2337,6 +2485,7 @@ private[graft] object InsightQueries {
     "text_skipgrams" -> oTextSkipgrams,
     "text_ngram_precision" -> oTextNgramPrecision,
     "text_bleu" -> oTextBleu,
+    "text_chrf" -> oTextChrf,
     "text_rouge" -> oTextRouge,
     "train_negative_table" -> oTrainNegativeTable,
     "join_fanout_audit" -> oJoinFanout,

@@ -799,6 +799,60 @@ class InsightSpec extends SparkSpec {
     assert(c.getLong(3) == 2000000L)
   }
 
+  // ------------------------------------------------------------ CUSUM
+
+  test("cusum: prefix-min identity replays the recursion; silence fills") {
+    // 1-second buckets, warmup 2. Key a: x = [2, 1, 0(gap), 1],
+    // mu0 = (2+1) div 2 = 1, k = 0, h = 8. Hand recursion
+    // S+ = [1,1,0,0], S- = [0,0,1,1]. Key b: quiet warm-up (mu0 = 0,
+    // h = 4) then a burst -> alarm_hi fires at the burst bucket.
+    val rows = (Seq(("a", 0), ("a", 0), ("a", 1), ("a", 3), ("b", 0)) ++
+      Seq.fill(5)(("b", 5)) ++ Seq.fill(5)(("b", 6)))
+      .map { case (k, sec) => (k, s"2024-01-01 00:00:0$sec") }
+    val df = rows.toDF("k", "ts")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"))
+    val got = Insight.cusum(df, "k", "ts", bucketUs = 1000000L, warmup = 2)
+      .orderBy("key", "bucket").collect()
+    val a = got.filter(_.getString(0) == "a")
+    assert(a.map(_.getLong(2)).toSeq == Seq(2L, 1L, 0L, 1L), "gap filled")
+    assert(a.forall(_.getLong(3) == 1L), "mu0 = truncating warm-up mean")
+    assert(a.map(_.getLong(4)).toSeq == Seq(1L, 1L, 0L, 0L), "S+ rail")
+    assert(a.map(_.getLong(5)).toSeq == Seq(0L, 0L, 1L, 1L), "S- rail")
+    assert(a.forall(r => !r.getBoolean(6) && !r.getBoolean(7)))
+    val b = got.filter(_.getString(0) == "b")
+    assert(b.forall(_.getLong(3) == 0L))
+    // P(hi) = [1,1,1,1,1,6,11]; min prefix stays 0-capped -> S+ = P
+    assert(b.map(_.getLong(4)).toSeq == Seq(1L, 1L, 1L, 1L, 1L, 6L, 11L))
+    assert(b.map(_.getBoolean(6)).toSeq ==
+      Seq(false, false, false, false, false, true, true), "burst alarms")
+    assert(b.forall(r => r.getLong(5) == 0L && !r.getBoolean(7)))
+  }
+
+  // ------------------------------------------------------ Mann–Kendall
+
+  test("mannKendall: exact S, tie-corrected var18, ppm z, trend calls") {
+    // daily buckets: key up has counts [1,2,2,3] (S=5, one tie pair),
+    // key down has [5,4,3,2,1] (S=-10, no ties, significant)
+    def day(k: String, d: Int, n: Int) =
+      Seq.fill(n)((k, f"2024-01-$d%02d 12:00:00"))
+    val rows = day("up", 1, 1) ++ day("up", 2, 2) ++ day("up", 3, 2) ++
+      day("up", 4, 3) ++
+      day("down", 1, 5) ++ day("down", 2, 4) ++ day("down", 3, 3) ++
+      day("down", 4, 2) ++ day("down", 5, 1)
+    val df = rows.toDF("k", "ts")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"))
+    val got = Insight.mannKendall(df, "k", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = got("up")
+    assert(up.getLong(1) == 4L && up.getLong(2) == 5L)
+    assert(up.getLong(3) == 138L) // 4*3*13 - 2*1*9
+    assert(up.getLong(4) == 1444630L && up.getString(5) == "none")
+    val dn = got("down")
+    assert(dn.getLong(1) == 5L && dn.getLong(2) == -10L)
+    assert(dn.getLong(3) == 300L)
+    assert(dn.getLong(4) == -2204541L && dn.getString(5) == "decreasing")
+  }
+
   // ------------------------------------------------------ Holt–Winters
 
   test("holtWinters: hand-replayed integer recurrence, short-key nulls") {
@@ -834,6 +888,50 @@ class InsightSpec extends SparkSpec {
     val n2 = got(1) // bigrams: no overlap
     assert(n2.getLong(2) == 2L && n2.getLong(3) == 3L && n2.getLong(4) == 0L)
     assert(n2.getLong(7) == 0L)
+  }
+
+  // ------------------------------------------------------------- chrF
+
+  test("chrF: whitespace-stripped char grams, effective orders, F2 rail") {
+    val pairs = Seq(
+      (1L, "ab cd", "ab ce"),  // partial overlap, P = R
+      (2L, "xy z", "xyz"),     // whitespace-only difference -> exactly 1
+      (3L, "aab", "ab"),       // clipped counts, P != R (beta=2 weighting)
+      (4L, "", "ab")           // empty hyp: zero rails, no division blowup
+    ).toDF("id", "hyp", "ref")
+    val got = Insight.chrF(pairs, "hyp", "ref", "id")
+      .orderBy("id").collect()
+    // hand+python-replayed: orders_p, orders_r, p_ppm, r_ppm, chrf_ppm
+    assert(got(0).getLong(1) == 4L && got(0).getLong(2) == 4L)
+    assert(got(0).getLong(3) == 479166L && got(0).getLong(4) == 479166L)
+    assert(got(0).getLong(5) == 479166L) // P = R -> F = P exactly
+    assert(got(1).getLong(5) == 1000000L)
+    assert(got(2).getLong(1) == 3L && got(2).getLong(2) == 2L)
+    assert(got(2).getLong(3) == 388888L && got(2).getLong(4) == 1000000L)
+    assert(got(2).getLong(5) == 760868L) // 5PR div (4P+R), beta=2
+    assert(got(3).getLong(1) == 0L && got(3).getLong(3) == 0L &&
+      got(3).getLong(5) == 0L)
+  }
+
+  test("chrF: native expression == composed fallback on real corpus pairs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val pairs = d.as("h")
+      .join(d.as("r"), col("r.doc_id") === col("h.doc_id") + 1)
+      .select(col("h.doc_id").as("doc_id"), col("h.text").as("hyp"),
+        col("r.text").as("ref"))
+    assert(spark.catalog.functionExists("graft_chrf"))
+    val native = Insight.chrF(pairs, "hyp", "ref", "doc_id")
+    val composed = Insight.chrFImpl(pairs, "hyp", "ref", "doc_id",
+      maxN = 6, beta = 2, useNative = false)
+    val diff = native.as("n").join(composed.as("c"), "id")
+      .filter(not(col("n.p_ppm") <=> col("c.p_ppm")) ||
+        not(col("n.r_ppm") <=> col("c.r_ppm")) ||
+        not(col("n.chrf_ppm") <=> col("c.chrf_ppm")) ||
+        not(col("n.orders_p") <=> col("c.orders_p")) ||
+        not(col("n.orders_r") <=> col("c.orders_r")))
+    assert(diff.count() == 0)
+    assert(native.count() == composed.count())
   }
 
   // ------------------------------------------------------------- BLEU
