@@ -624,6 +624,79 @@ object Profile {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Approximate FUNCTIONAL-DEPENDENCY audit over a declared candidate
+    * set — the schema-discovery pass (TANE/g3 family) that tells a
+    * pipeline which "A determines B" rules actually hold before it
+    * keys state, dedups, or partitions on them. For each candidate
+    * lhs → rhs the g3 error is the minimum fraction of rows to delete
+    * for the FD to hold exactly:
+    *
+    *   g3 = (N − Σ_lhs max_rhs count(lhs, rhs)) / N
+    *
+    * kept EXACT on the ppm rail (counts are integers; one truncating
+    * div at the end). NULL is a value on both sides (groupBy
+    * semantics, same as the SQL oracle's GROUP BY).
+    *
+    * Scale: one (lhs, rhs) aggregate + one lhs re-aggregate per
+    * candidate — both map-side combinable, both keyed by the lhs so
+    * the second pass rides the first's layout; candidates are a
+    * declared handful, never a column-pair cross product (profile
+    * TOP-candidates explicitly rather than mining n² pairs blind).
+    *
+    * @return one row per candidate: (tbl, lhs, rhs, n_rows, n_lhs,
+    *         n_pairs, err_ppm, holds) */
+  def fdAudit(df: DataFrame, tbl: String,
+              candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "fdAudit needs at least one candidate")
+    candidates.map { case (lhs, rhs) =>
+      val pairs = df.groupBy(col(lhs).as("__l"), col(rhs).as("__r"))
+        .agg(count(lit(1)).as("__c"))
+      val perL = pairs.groupBy("__l")
+        .agg(max("__c").as("__keep"), sum("__c").as("__n"),
+          count(lit(1)).as("__p"))
+      perL.agg(sum("__n").as("n_rows"), count(lit(1)).as("n_lhs"),
+          sum("__p").as("n_pairs"), sum("__keep").as("__kept"))
+        .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_rows"), col("n_lhs"), col("n_pairs"),
+          expr("(n_rows - __kept) * 1000000 div n_rows").as("err_ppm"),
+          (col("n_rows") === col("__kept")).as("holds"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** INCLUSION-DEPENDENCY audit of one candidate "every a.aCol value
+    * appears in b.bCol" — the foreign-key discovery read that decides
+    * whether a join is lossless, a dimension is complete, or a CDC
+    * feed dropped parents. Coverage is exact ppm over DISTINCT lhs
+    * values (row multiplicity is the fan-out audit's job, not this
+    * one's); NULL lhs values are excluded (SQL FK semantics — a NULL
+    * reference is not a violation).
+    *
+    * Scale: distinct() on both sides first (map-side partial
+    * aggregates), then one left join on the value — AQE broadcasts
+    * the dimension side when it fits, and the fact side's distinct
+    * set is the join's own key layout. Nothing row-scale crosses the
+    * exchange twice.
+    *
+    * @return one row: (lhs, rhs, n_lhs, n_matched, coverage_ppm,
+    *         contained) */
+  def inclusion(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                lhsName: String, rhsName: String): DataFrame = {
+    val av = a.filter(col(aCol).isNotNull)
+      .select(col(aCol).cast("string").as("__v")).distinct()
+    val bv = b.filter(col(bCol).isNotNull)
+      .select(col(bCol).cast("string").as("__v")).distinct()
+      .withColumn("__hit", lit(1L))
+    av.join(bv, Seq("__v"), "left")
+      .agg(count(lit(1)).as("n_lhs"), sum(coalesce(col("__hit"), lit(0L)))
+        .as("n_matched"))
+      .select(lit(lhsName).as("lhs"), lit(rhsName).as("rhs"),
+        col("n_lhs"), col("n_matched"),
+        when(col("n_lhs") > 0,
+          expr("n_matched * 1000000 div n_lhs")).otherwise(lit(1000000L))
+          .as("coverage_ppm"),
+        (col("n_matched") === col("n_lhs")).as("contained"))
+  }
+
   /** Point-query the [[countMinSketch]] grid for every key in `keys`:
     * est = min over depth rows of the key's bucket counter (0 if a
     * bucket row is absent — width cells nobody hashed into emit no

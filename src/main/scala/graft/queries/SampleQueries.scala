@@ -635,6 +635,82 @@ private[graft] object SampleQueries {
   // Data profiling
   // =====================================================================
 
+  /** The FD candidate set profiled by `profile_fd` — ONE Seq feeds the
+    * engine call and generates the oracle SQL (the web_canonical
+    * rule-data pattern), so adding a candidate cannot drift the two. */
+  private val fdCandidates: Seq[(String, Seq[(String, String)])] = Seq(
+    "orders" -> Seq(
+      "o_orderkey" -> "o_custkey",        // key -> anything: holds
+      "o_custkey" -> "o_orderpriority",   // repeat customers: violated
+      "o_orderstatus" -> "o_orderpriority"),
+    "lineitem" -> Seq(
+      "l_orderkey" -> "l_returnflag",     // per-line flags under one order
+      "l_partkey" -> "l_suppkey"),        // multi-sourced parts
+    "customer" -> Seq(
+      "c_custkey" -> "c_mktsegment",      // key: holds
+      "c_nationkey" -> "c_mktsegment"))   // nations span segments
+
+  /** Approximate functional-dependency discovery (g3 error) over the
+    * declared candidate set (see [[Profile.fdAudit]]): which
+    * "A determines B" rules hold — exactly, or after deleting how many
+    * ppm of rows — before a pipeline keys state or dedups on them. */
+  private[graft] def qProfileFd(s: SparkSession, dir: String): DataFrame =
+    fdCandidates.map { case (tbl, cands) =>
+      Profile.fdAudit(t(s, dir, tbl), tbl, cands)
+    }.reduce(_ unionAll _)
+
+  private[graft] val oProfileFd = fdCandidates.flatMap { case (tbl, cands) =>
+    cands.map { case (lhs, rhs) =>
+      s"""SELECT '$tbl' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+         |  CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_lhs,
+         |  CAST(sum(p) AS BIGINT) AS n_pairs,
+         |  CAST((sum(n) - sum(keep)) * 1000000 // sum(n) AS BIGINT)
+         |    AS err_ppm,
+         |  sum(n) = sum(keep) AS holds
+         |FROM (SELECT l, max(c) AS keep, sum(c) AS n, count(*) AS p
+         |  FROM (SELECT $lhs AS l, $rhs AS r, count(*) AS c
+         |    FROM $tbl GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+    }
+  }.mkString("", "\nUNION ALL\n", "")
+
+  /** The IND candidate set probed by `profile_ind` — same shared-data
+    * contract as [[fdCandidates]]. (fromTbl, fromCol, toTbl, toCol). */
+  private val indCandidates: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"))
+
+  /** Inclusion-dependency / foreign-key discovery over the declared
+    * cross-table candidates (see [[Profile.inclusion]]): is every fact
+    * value present in the dimension — i.e. is the join lossless, did
+    * CDC drop parents, which "FK" is only approximate? */
+  private[graft] def qProfileInd(s: SparkSession, dir: String): DataFrame =
+    indCandidates.map { case (ft, fc, tt, tc) =>
+      Profile.inclusion(t(s, dir, ft), fc, t(s, dir, tt), tc,
+        s"$ft.$fc", s"$tt.$tc")
+    }.reduce(_ unionAll _)
+
+  private[graft] val oProfileInd = indCandidates.map {
+    case (ft, fc, tt, tc) =>
+      s"""SELECT '$ft.$fc' AS lhs, '$tt.$tc' AS rhs,
+         |  CAST(count(*) AS BIGINT) AS n_lhs,
+         |  CAST(sum(CASE WHEN bv.v IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_matched,
+         |  CAST(sum(CASE WHEN bv.v IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS coverage_ppm,
+         |  sum(CASE WHEN bv.v IS NOT NULL THEN 1 ELSE 0 END) = count(*)
+         |    AS contained
+         |FROM (SELECT DISTINCT CAST($fc AS VARCHAR) AS v FROM $ft
+         |  WHERE $fc IS NOT NULL) av
+         |LEFT JOIN (SELECT DISTINCT CAST($tc AS VARCHAR) AS v FROM $tt
+         |  WHERE $tc IS NOT NULL) bv ON bv.v = av.v""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "")
+
   private[graft] def qProfileNumeric(s: SparkSession, dir: String): DataFrame = {
     val out = Profile.numeric(t(s, dir, "orders"),
       Seq("o_totalprice", "o_custkey"))
@@ -1246,6 +1322,8 @@ private[graft] object SampleQueries {
     "sample_repeat_schedule" -> (qSampleRepeatSchedule _),
     "quality_classifier" -> (qQualityClassifier _),
     "quality_classifier_reload" -> (qQualityClassifierReload _),
+    "profile_fd" -> (qProfileFd _),
+    "profile_ind" -> (qProfileInd _),
     "profile_numeric" -> (qProfileNumeric _),
     "profile_sketch" -> (qProfileSketch _),
     "skew_agg" -> (qSkewAgg _),
@@ -1287,6 +1365,8 @@ private[graft] object SampleQueries {
     "sample_repeat_schedule" -> oSampleRepeatSchedule,
     "quality_classifier" -> oQualityClassifier,
     "quality_classifier_reload" -> oQualityClassifierReload,
+    "profile_fd" -> oProfileFd,
+    "profile_ind" -> oProfileInd,
     "profile_numeric" -> oProfileNumeric,
     "profile_sketch" -> oProfileSketch,
     "skew_agg" -> oSkewAgg,

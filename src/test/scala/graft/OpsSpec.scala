@@ -4651,4 +4651,33 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(driver.nonEmpty && dist == driver)
   }
+
+  test("fdAudit: g3 error counts the minimum-delete rows, nulls are values") {
+    import spark.implicits._
+    // a=1 -> b in {x,x,y}: keep max(2) of 3; a=2 -> b=z: holds;
+    // a=null -> {x, null}: null lhs is a group, null rhs a value
+    val d = Seq((Some(1), Some("x")), (Some(1), Some("x")),
+      (Some(1), Some("y")), (Some(2), Some("z")),
+      (None, Some("x")), (None, None)).toDF("a", "b")
+    val got = Profile.fdAudit(d, "t", Seq("a" -> "b")).head()
+    assert(got.getLong(3) == 6L && got.getLong(4) == 3L &&
+      got.getLong(5) == 5L)
+    // kept = 2 (a=1) + 1 (a=2) + 1 (a=null, either value) = 4 of 6
+    assert(got.getLong(6) == 333333L && !got.getBoolean(7))
+    val key = Profile.fdAudit(d.withColumn("k", monotonically_increasing_id()),
+      "t", Seq("k" -> "b")).head()
+    assert(key.getLong(6) == 0L && key.getBoolean(7))
+  }
+
+  test("inclusion: coverage over distinct non-null lhs; FK semantics") {
+    import spark.implicits._
+    val a = Seq(Some(1), Some(1), Some(2), Some(3), None).toDF("v")
+    val b = Seq(1, 2, 2, 9).toDF("w")
+    val got = Profile.inclusion(a, "v", b, "w", "a.v", "b.w").head()
+    // distinct non-null lhs {1,2,3}; matched {1,2} -> 2/3
+    assert(got.getLong(2) == 3L && got.getLong(3) == 2L)
+    assert(got.getLong(4) == 666666L && !got.getBoolean(5))
+    val full = Profile.inclusion(b, "w", b, "w", "b.w", "b.w").head()
+    assert(full.getLong(4) == 1000000L && full.getBoolean(5))
+  }
 }
