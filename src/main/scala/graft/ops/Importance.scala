@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DSIR-style importance resampling (Xie et al., "Data Selection for
@@ -607,6 +608,79 @@ object Importance {
       }
     }
     score(col(textCol)).cast("struct<n_grams:long,ppl:double>")
+  }
+
+  /** Exact KNN-SHAPLEY data valuation (Jia et al., VLDB 2019) — the
+    * closed-form Shapley value of every corpus point for a K-NN
+    * classifier over a FIXED probe set: the principled "which training
+    * points help, which hurt" signal behind valuation-driven pruning
+    * and mixture reweighting, exact in O(N log N) per probe instead of
+    * the exponential Shapley definition or Monte-Carlo sampling.
+    *
+    * Per probe q with label y, corpus points sorted by distance
+    * ascending (α₁ nearest):
+    *
+    *   s(α_N) = 1[y_{α_N} = y] / N
+    *   s(α_i) = s(α_{i+1}) + (1[y_{α_i}=y] − 1[y_{α_{i+1}}=y])/K ·
+    *            min(K,i)/i
+    *
+    * Engine rails: squared-L2 distance on the double rail rounded to
+    * 6 dp with id tie-break (the sim_topk ORDER convention — a total
+    * order any engine replays); every recurrence term is then EXACT
+    * integer ppb — term_i = diff · min(K,i)·10⁹ div (K·i) with the
+    * cross-engine truncating div, and the suffix-sum identity
+    * s_i = s_N + Σ_{j≥i} term_j turns the backward recursion into ONE
+    * window pass over the same per-probe sort that ranked distances.
+    *
+    * Scale: probes are a bounded constant (the harmonic-pivots rule —
+    * probe count must NOT grow with the corpus), so the pairs table is
+    * probes×N rows from one broadcast join, and all three window
+    * reads (rank, lead, suffix sum) share a single per-probe
+    * sort/exchange. The final per-point aggregate is map-side
+    * combinable. Nothing is quadratic in the corpus.
+    *
+    * @param corpus (id, vec, label) points being valued
+    * @param probes (id, vec, label) held-out probe points — MUST be
+    *               id-disjoint from `corpus` (caller splits)
+    * @return (id, label, n_test, shap_sum_ppb, shap_mean_ppb), one row
+    *         per corpus point */
+  def knnShapley(corpus: DataFrame, probes: DataFrame, vecCol: String,
+                 idCol: String, labelCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, "knnShapley needs k >= 1")
+    val spark = corpus.sparkSession
+    def dot(a: Column, b: Column): Column =
+      if (spark.catalog.functionExists("graft_dot"))
+        call_function("graft_dot", a, b)
+      else aggregate(zip_with(transform(a, _.cast("double")),
+        transform(b, _.cast("double")), _ * _), lit(0.0), _ + _)
+    val q = broadcast(probes.select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), col(labelCol).as("qlab")))
+    val pairs = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("cv"),
+        col(labelCol).as("lab"))
+      .crossJoin(q)
+      .withColumn("d2", round(dot(col("qv"), col("qv")) +
+        dot(col("cv"), col("cv")) -
+        lit(2.0) * dot(col("qv"), col("cv")), 6))
+      .withColumn("ind",
+        when(col("lab") === col("qlab"), 1L).otherwise(0L))
+    val w = Window.partitionBy("qid").orderBy(col("d2").asc, col("id"))
+    val wSuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val s = pairs
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("qid")))
+      .withColumn("ind_next", lead("ind", 1).over(w))
+      .withColumn("term", when(col("ind_next").isNotNull,
+        expr(s"(ind - ind_next) * least(${k}L, i) * 1000000000 " +
+          s"div (${k}L * i)")))
+      .withColumn("ind_last", last("ind").over(wSuf))
+      .withColumn("s_ppb", expr("ind_last * 1000000000 div n") +
+        coalesce(sum("term").over(wSuf), lit(0L)))
+    s.groupBy("id")
+      .agg(first("lab").as("label"), count(lit(1)).as("n_test"),
+        sum("s_ppb").as("shap_sum_ppb"))
+      .withColumn("shap_mean_ppb", expr("shap_sum_ppb div n_test"))
+      .select("id", "label", "n_test", "shap_sum_ppb", "shap_mean_ppb")
   }
 
   /** Gumbel top-`topN` importance resample: key = logw + Gumbel(md5(id))

@@ -827,6 +827,51 @@ private[graft] object WebQueries {
     Diff.kAnonymity(t(s, dir, "customer"),
       Seq("c_nationkey", "c_mktsegment"), k = 10)
 
+  /** Exact KNN-Shapley data valuation over the embeddings corpus (see
+    * [[Importance.knnShapley]]): probes = the 16 lowest vec_ids, corpus
+    * = the rest, K = 5. Distance orders on the round-6 double rail
+    * (sim_topk convention); every Shapley term is exact integer ppb via
+    * the suffix-sum identity — the oracle replays rank, recurrence, and
+    * per-point aggregate literally. */
+  private[graft] def qDatasetKnnShapley(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Importance.knnShapley(e.filter(col("vec_id") >= 16),
+      e.filter(col("vec_id") < 16), "embedding", "vec_id", "label", k = 5)
+  }
+
+  private[graft] val oDatasetKnnShapley =
+    """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |n2 AS (SELECT vec_id, sum(x * x) AS n2 FROM u GROUP BY 1),
+      |lb AS (SELECT vec_id, label FROM embeddings),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS id, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < 16
+      |    AND b.vec_id >= 16
+      |  GROUP BY 1, 2),
+      |p AS (SELECT qid, id, round(nq.n2 + nc.n2 - 2 * d, 6) AS d2,
+      |    CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS ind,
+      |    lc.label AS lab
+      |  FROM dots JOIN n2 nq ON nq.vec_id = qid
+      |  JOIN n2 nc ON nc.vec_id = id
+      |  JOIN lb lq ON lq.vec_id = qid JOIN lb lc ON lc.vec_id = id),
+      |r AS (SELECT qid, id, lab, ind,
+      |    CAST(row_number() OVER w AS BIGINT) AS i,
+      |    CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS n,
+      |    lead(ind) OVER w AS ind_next
+      |  FROM p WINDOW w AS (PARTITION BY qid ORDER BY d2, id)),
+      |s AS (SELECT qid, id, lab,
+      |    last_value(ind) OVER ws * 1000000000 // n
+      |    + coalesce(sum(CASE WHEN ind_next IS NOT NULL THEN
+      |        (ind - ind_next) * least(5, i) * 1000000000 // (5 * i)
+      |        END) OVER ws, 0) AS s_ppb
+      |  FROM r WINDOW ws AS (PARTITION BY qid ORDER BY i
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT id, lab AS label, CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(s_ppb) AS BIGINT) AS shap_sum_ppb,
+      |  CAST(sum(s_ppb) // count(*) AS BIGINT) AS shap_mean_ppb
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   /** ε-DP histogram release of documents by (lang, source) via the
     * geometric mechanism (see [[Diff.dpGeometricCounts]], ε = 1). The
     * noise thresholds are integer literals computed ONCE in Scala and
@@ -2357,6 +2402,7 @@ private[graft] object WebQueries {
     "cdc_pit_lookup" -> (qCdcPitLookup _),
     "dataset_ri_audit" -> (qDatasetRiAudit _),
     "dataset_kanonymity" -> (qDatasetKanonymity _),
+    "dataset_knn_shapley" -> (qDatasetKnnShapley _),
     "dataset_dp_counts" -> (qDatasetDpCounts _),
     "dataset_dp_counts_gauss" -> (qDatasetDpCountsGauss _),
     "dataset_tcloseness" -> (qDatasetTcloseness _),
@@ -2414,6 +2460,7 @@ private[graft] object WebQueries {
     "cdc_pit_lookup" -> oCdcPitLookup,
     "dataset_ri_audit" -> oDatasetRiAudit,
     "dataset_kanonymity" -> oDatasetKanonymity,
+    "dataset_knn_shapley" -> oDatasetKnnShapley,
     "dataset_dp_counts" -> oDatasetDpCounts,
     "dataset_dp_counts_gauss" -> oDatasetDpCountsGauss,
     "dataset_tcloseness" -> oDatasetTcloseness,

@@ -4652,6 +4652,28 @@ class OpsSpec extends SparkSpec {
     assert(driver.nonEmpty && dist == driver)
   }
 
+  test("knnShapley: hand-replayed recurrence on the exact ppb rail") {
+    import spark.implicits._
+    // probe at origin (label 1); corpus by distance: d2 = 1, 4, 9, 16
+    // with labels 1, 0, 1, 0; K = 2, N = 4. Backward recursion:
+    // s4 = 0/4 = 0; term3 = +2e9/6 = 333333333;
+    // term2 = -2e9/4 = -500000000; term1 = +1e9/2 = 500000000
+    val corpus = Seq((1L, Array(1.0f), 1), (2L, Array(-2.0f), 0),
+      (3L, Array(3.0f), 1), (4L, Array(-4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val probe = Seq((0L, Array(0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Importance.knnShapley(corpus, probe, "embedding", "vec_id",
+        "label", k = 2)
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(3)).toSeq ==
+      Seq(333333333L, -166666667L, 333333333L, 0L))
+    assert(got.forall(r => r.getLong(2) == 1L &&
+      r.getLong(3) == r.getLong(4)), "one probe: mean == sum")
+    // sanity: nearest same-label point is worth the most influence a
+    // K=2 vote can assign; the mismatched neighbor is negative
+    assert(got(1).getLong(3) < 0L)
+  }
+
   test("fdAudit: g3 error counts the minimum-delete rows, nulls are values") {
     import spark.implicits._
     // a=1 -> b in {x,x,y}: keep max(2) of 3; a=2 -> b=z: holds;
