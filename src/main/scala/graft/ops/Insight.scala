@@ -213,6 +213,38 @@ object Insight {
         round(col("stat"), 6).as("stat"))
   }
 
+  /** 2-D PARETO FRONTIER (maximize both objectives) — the
+    * multi-objective selection read behind quality-vs-coverage
+    * trade-offs ("which users/documents are not beaten on BOTH axes by
+    * anything else"). Exact integer semantics: a row is on the frontier
+    * iff no other row has (x' ≥ x ∧ y' > y) or (x' > x ∧ y' ≥ y);
+    * duplicate frontier (x, y) pairs all survive (mutually
+    * non-dominating).
+    *
+    * The naive test is an O(n²) anti-join. This evaluates it as the
+    * running-max identity instead: reduce to per-x maxima (one
+    * map-side-combinable aggregate), then a point is on the frontier
+    * iff its y equals its x's max AND that max strictly exceeds the
+    * running max over all GREATER x. The only global pass is the
+    * running max over DISTINCT x values — frontier candidates, not
+    * rows — so the data-sized work is one aggregate and one semi-join
+    * back, both keyed on x. (The distinct-x window is single-partition
+    * by construction; x should be a bounded-cardinality metric like a
+    * count — the row table never crosses that window.)
+    *
+    * @return frontier rows (id, x, y) under the caller's column names */
+  def paretoFrontier(df: DataFrame, idCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    val gx = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__my"))
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fx = gx.withColumn("__pm", max("__my").over(w))
+      .filter(col("__pm").isNull || col("__my") > col("__pm"))
+      .select(col(xCol).as("__fx"), col("__my"))
+    df.join(fx, col(xCol) === col("__fx") && col(yCol) === col("__my"))
+      .select(col(idCol), col(xCol), col(yCol))
+  }
+
   /** Per-key one-sided CUSUM control charts over GAP-FILLED bucket
     * counts — the sequential drift detector next to
     * [[rateChangepoint]]'s single best split: where did the event rate

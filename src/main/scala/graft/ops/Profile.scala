@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling for pipeline data-quality gates: one row per profiled
@@ -622,6 +622,55 @@ object Profile {
           1, 8), 16, 10).cast("long"), lit(width.toLong)))
       .groupBy("row_j", "bucket")
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Chao1 distinct-count estimation FROM A SAMPLE — the profiling
+    * read for when the full scan is the thing you cannot afford: a
+    * deterministic p% row sample (stable md5 bucket of the row key, so
+    * every engine and every run draws the SAME sample) yields abundance
+    * counts, and the Chao1 lower-bound estimator
+    *
+    *   D̂ = d + f₁²/(2f₂)          (f₂ > 0)
+    *   D̂ = d + f₁(f₁−1)/2         (f₂ = 0, bias-corrected form)
+    *
+    * extrapolates total NDV from the singleton/doubleton profile
+    * (f₁ = values seen once, f₂ = twice). Everything is exact integers
+    * on the micro rail — counts are integers and the estimator is one
+    * truncating div.
+    *
+    * The exact-NDV audit columns (d_exact, err_ppm) are computed here
+    * for estimator-quality reporting at test scale; at 100 TB the whole
+    * point is to DROP them and pay only the sample scan (pushed-down
+    * bucket filter) plus a sample-sized aggregate.
+    *
+    * @return one row per call: (col_name, n_rows, n_sample, d_sample,
+    *         f1, f2, chao1_micro, d_exact, err_ppm) */
+  def chao1(df: DataFrame, valueCol: String, rowKey: Column, pct: Int,
+            colName: String): DataFrame = {
+    require(pct >= 1 && pct <= 100, "chao1 needs 1 <= pct <= 100")
+    val base = df.filter(col(valueCol).isNotNull)
+    val sampled = base.filter(
+      Sample.bucket32(rowKey) % 100 < pct)
+    val ab = sampled.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val prof = ab.agg(count(lit(1)).as("d_sample"), sum("__c").as("n_sample"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("__c") === 2, 1L).otherwise(0L)).as("f2"))
+    val exact = base.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col(valueCol)).as("d_exact"))
+    // BIGINT bound: f1²·10⁶ must fit 2⁶³ ⇒ f1 ≲ 3·10⁶ singletons in the
+    // sample — pick pct to respect it (the estimator needs no more)
+    prof.crossJoin(exact)
+      .withColumn("chao1_micro",
+        when(col("f2") > 0,
+          expr("d_sample * 1000000 + f1 * f1 * 1000000 div (2 * f2)"))
+          .otherwise(expr("d_sample * 1000000 + " +
+            "f1 * (f1 - 1) * 1000000 div 2")))
+      .withColumn("err_ppm",
+        expr("(chao1_micro - d_exact * 1000000) div d_exact"))
+      .select(lit(colName).as("col_name"), col("n_rows"),
+        col("n_sample"), col("d_sample"), col("f1"), col("f2"),
+        col("chao1_micro"), col("d_exact"), col("err_ppm"))
   }
 
   /** Approximate FUNCTIONAL-DEPENDENCY audit over a declared candidate

@@ -171,6 +171,33 @@ private[graft] object InsightQueries {
       |    ELSE 'none' END AS trend
       |FROM z""".stripMargin
 
+  /** Pareto frontier of users on (activity, spend) — see
+    * [[Insight.paretoFrontier]]: per-user event count vs micro-exact
+    * value sum, frontier = users unbeaten on both axes, evaluated via
+    * the per-x-maxima running-max identity instead of an O(n²)
+    * dominance anti-join. */
+  private[graft] def qEventsPareto(s: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+          .as("spend_micro"))
+    Insight.paretoFrontier(agg, "user_id", "n_events", "spend_micro")
+  }
+
+  private[graft] val oEventsPareto =
+    """WITH agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS spend_micro
+      |  FROM events GROUP BY 1),
+      |gx AS (SELECT n_events, max(spend_micro) AS my FROM agg GROUP BY 1),
+      |fx AS (SELECT n_events, my, max(my) OVER (ORDER BY n_events DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM gx)
+      |SELECT a.user_id, a.n_events, a.spend_micro
+      |FROM agg a JOIN fx ON fx.n_events = a.n_events
+      |  AND a.spend_micro = fx.my
+      |WHERE fx.pm IS NULL OR fx.my > fx.pm""".stripMargin
+
   /** Per-type winsorized event values: clamp to the exact [p05, p95]
     * band via [[Profile.winsorize]] (second oracle surface for the op,
     * on the events shape, plus the `clipped` audit flag). */
@@ -2391,6 +2418,7 @@ private[graft] object InsightQueries {
     "events_markov" -> (qEventsMarkov _),
     "events_changepoint" -> (qEventsChangepoint _),
     "events_cusum" -> (qEventsCusum _),
+    "events_pareto" -> (qEventsPareto _),
     "events_trend_mk" -> (qEventsTrendMk _),
     "events_autocorr" -> (qEventsAutocorr _),
     "events_seasonality" -> (qEventsSeasonality _),
@@ -2459,6 +2487,7 @@ private[graft] object InsightQueries {
     "events_markov" -> oEventsMarkov,
     "events_changepoint" -> oEventsChangepoint,
     "events_cusum" -> oEventsCusum,
+    "events_pareto" -> oEventsPareto,
     "events_trend_mk" -> oEventsTrendMk,
     "events_autocorr" -> oEventsAutocorr,
     "events_seasonality" -> oEventsSeasonality,

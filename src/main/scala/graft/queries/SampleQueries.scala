@@ -635,6 +635,60 @@ private[graft] object SampleQueries {
   // Data profiling
   // =====================================================================
 
+  /** Chao1 NDV-from-sample estimation over three columns (see
+    * [[Profile.chao1]]): the distinct-count profile you can afford at
+    * 100 TB — a stable 20% md5 row sample extrapolated through the
+    * singleton/doubleton abundance profile, with the exact-NDV audit
+    * columns kept at test scale to report estimator error. */
+  private[graft] def qProfileChao(s: SparkSession, dir: String): DataFrame = {
+    val li = Profile.chao1(t(s, dir, "lineitem"), "l_partkey",
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")), 20,
+      "lineitem.l_partkey")
+    val or = Profile.chao1(t(s, dir, "orders"), "o_custkey",
+      col("o_orderkey"), 20, "orders.o_custkey")
+    val ev = Profile.chao1(readEvents(s, dir), "user_id",
+      col("event_id"), 20, "events.user_id")
+    li.unionAll(or).unionAll(ev)
+  }
+
+  private[graft] val oProfileChao = {
+    def leg(tbl: String, vcol: String, rowKeySql: String, name: String) =
+      s"""SELECT '$name' AS col_name, ex.n_rows, pr.n_sample, pr.d_sample,
+         |  pr.f1, pr.f2,
+         |  CASE WHEN pr.f2 > 0
+         |    THEN pr.d_sample * 1000000 + pr.f1 * pr.f1 * 1000000
+         |      // (2 * pr.f2)
+         |    ELSE pr.d_sample * 1000000 + pr.f1 * (pr.f1 - 1) * 1000000
+         |      // 2 END AS chao1_micro,
+         |  ex.d_exact,
+         |  ((CASE WHEN pr.f2 > 0
+         |    THEN pr.d_sample * 1000000 + pr.f1 * pr.f1 * 1000000
+         |      // (2 * pr.f2)
+         |    ELSE pr.d_sample * 1000000 + pr.f1 * (pr.f1 - 1) * 1000000
+         |      // 2 END) - ex.d_exact * 1000000) // ex.d_exact AS err_ppm
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS d_sample,
+         |    CAST(sum(c) AS BIGINT) AS n_sample,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM (SELECT $vcol AS v, count(*) AS c FROM $tbl
+         |    WHERE $vcol IS NOT NULL
+         |      AND ('0x' || substr(md5($rowKeySql), 1, 8))::BIGINT
+         |        % 100 < 20
+         |    GROUP BY 1)) pr,
+         |(SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(DISTINCT $vcol) AS BIGINT) AS d_exact
+         |  FROM $tbl WHERE $vcol IS NOT NULL) ex""".stripMargin
+    Seq(
+      leg("lineitem", "l_partkey",
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+        "lineitem.l_partkey"),
+      leg("orders", "o_custkey", "CAST(o_orderkey AS VARCHAR)",
+        "orders.o_custkey"),
+      leg("events", "user_id", "CAST(event_id AS VARCHAR)",
+        "events.user_id")
+    ).mkString("", "\nUNION ALL\n", "")
+  }
+
   /** The FD candidate set profiled by `profile_fd` — ONE Seq feeds the
     * engine call and generates the oracle SQL (the web_canonical
     * rule-data pattern), so adding a candidate cannot drift the two. */
@@ -1322,6 +1376,7 @@ private[graft] object SampleQueries {
     "sample_repeat_schedule" -> (qSampleRepeatSchedule _),
     "quality_classifier" -> (qQualityClassifier _),
     "quality_classifier_reload" -> (qQualityClassifierReload _),
+    "profile_chao" -> (qProfileChao _),
     "profile_fd" -> (qProfileFd _),
     "profile_ind" -> (qProfileInd _),
     "profile_numeric" -> (qProfileNumeric _),
@@ -1365,6 +1420,7 @@ private[graft] object SampleQueries {
     "sample_repeat_schedule" -> oSampleRepeatSchedule,
     "quality_classifier" -> oQualityClassifier,
     "quality_classifier_reload" -> oQualityClassifierReload,
+    "profile_chao" -> oProfileChao,
     "profile_fd" -> oProfileFd,
     "profile_ind" -> oProfileInd,
     "profile_numeric" -> oProfileNumeric,

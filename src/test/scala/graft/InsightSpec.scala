@@ -828,6 +828,19 @@ class InsightSpec extends SparkSpec {
     assert(b.forall(r => r.getLong(5) == 0L && !r.getBoolean(7)))
   }
 
+  // ---------------------------------------------------- Pareto frontier
+
+  test("paretoFrontier: strict dominance, ties, and duplicate survivors") {
+    val pts = Seq((1L, 9L, 3L), (2L, 7L, 8L), (3L, 5L, 10L),
+      (4L, 5L, 10L),  // duplicate frontier pair survives (non-strict)
+      (5L, 5L, 9L),   // same x, lower y: dominated
+      (6L, 3L, 10L),  // y tie with greater-x point: dominated
+      (7L, 2L, 2L)).toDF("id", "x", "y")
+    val got = Insight.paretoFrontier(pts, "id", "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
   // ------------------------------------------------------ Mann–Kendall
 
   test("mannKendall: exact S, tie-corrected var18, ppm z, trend calls") {

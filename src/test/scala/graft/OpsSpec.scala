@@ -4652,6 +4652,23 @@ class OpsSpec extends SparkSpec {
     assert(driver.nonEmpty && dist == driver)
   }
 
+  test("chao1: abundance profile and both estimator branches") {
+    import spark.implicits._
+    // pct=100 -> the "sample" is the data; abundance a:1 b:2 c:2 d:3
+    val d = Seq("a", "b", "b", "c", "c", "d", "d", "d").zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("rk", "v")
+    val got = Profile.chao1(d, "v", col("rk"), 100, "t.v").head()
+    assert(got.getLong(3) == 4L && got.getLong(4) == 1L &&
+      got.getLong(5) == 2L)
+    // f2 > 0: 4e6 + 1*1e6 div 4
+    assert(got.getLong(6) == 4250000L)
+    val allOnce = Profile.chao1(Seq((0L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("rk", "v"), "v", col("rk"), 100, "t.v").head()
+    // f2 = 0 branch: 3e6 + 3*2*1e6 div 2
+    assert(allOnce.getLong(6) == 6000000L)
+    assert(allOnce.getLong(7) == 3L)
+  }
+
   test("knnShapley: hand-replayed recurrence on the exact ppb rail") {
     import spark.implicits._
     // probe at origin (label 1); corpus by distance: d2 = 1, 4, 9, 16
