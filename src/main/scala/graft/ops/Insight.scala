@@ -300,6 +300,73 @@ object Insight {
         (col("s_lo") > col("h")).as("alarm_lo"))
   }
 
+  /** CLASSICAL ADDITIVE SEASONAL DECOMPOSITION (the moving-average
+    * STL-lite) of per-key bucket counts — the model-free twin of
+    * [[holtWinters]]: x = trend + seasonal + remainder, where trend is
+    * the centered 2×m moving average, seasonal is the per-slot mean of
+    * the detrended series re-centered to sum ≈ 0, and the remainder is
+    * what anomaly hunts should look at once level and cycle are
+    * explained away.
+    *
+    * Exact integer micro rails throughout: for even period m the
+    * centered MA is (x₋ₘ/₂·½ + Σ|j|<m/2 xⱼ + xₘ/₂·½)/m, evaluated as
+    * (500000·ends + 1000000·middle) div m; the per-slot seasonal mean
+    * and the grand re-centering mean are truncating divs; the
+    * remainder is a difference of exact integers. Edge buckets with an
+    * incomplete MA window carry null trend/seasonal/remainder (the
+    * honest read — classical decomposition has no trend there).
+    * Buckets are GAP-FILLED (x = 0) like [[cusum]], so silence
+    * decomposes instead of shifting slots.
+    *
+    * One per-key sort serves the MA window; the seasonal means are two
+    * map-side-combinable aggregates keyed by (key, slot) and key — at
+    * any corpus scale the pass is one exchange plus small joins.
+    *
+    * @return (key, bucket, x, trend_micro, seasonal_micro,
+    *         remainder_micro) */
+  def seasonalDecompose(events: DataFrame, keyCol: String, tsCol: String,
+                        bucketUs: Long = 3600000000L,
+                        period: Int = 24): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(period >= 2 && period % 2 == 0,
+      "seasonalDecompose needs an even period >= 2")
+    val bucket = expr(
+      s"unix_micros(cast(`$tsCol` as timestamp)) div ${bucketUs}L")
+    val counts = events.groupBy(col(keyCol).as("key"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val span = counts.groupBy("key")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val full = span
+      .select(col("key"), explode(expr("sequence(b0, b1)")).as("bucket"))
+      .join(counts, Seq("key", "bucket"), "left")
+      .withColumn("x", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("key").orderBy("bucket")
+    val half = period / 2
+    val wMid = w.rowsBetween(-(half - 1), half - 1)
+    val wAll = w.rowsBetween(-half, half)
+    val t2 = full
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .withColumn("__midsum", sum("x").over(wMid))
+      .withColumn("__ends",
+        lag("x", half).over(w) + lead("x", half).over(w))
+      .withColumn("trend_micro", when(col("__cnt") === period + 1,
+        expr(s"(500000 * __ends + 1000000 * __midsum) div $period")))
+      .withColumn("d", col("x") * lit(1000000L) - col("trend_micro"))
+      .withColumn("slot", pmod(col("bucket"), lit(period.toLong)))
+    val slotMeans = t2.filter(col("d").isNotNull)
+      .groupBy("key", "slot")
+      .agg(expr("sum(d) div count(1)").as("__sraw"))
+    val grand = slotMeans.groupBy("key")
+      .agg(expr(s"sum(__sraw) div count(1)").as("__g"))
+    t2.join(slotMeans, Seq("key", "slot"), "left")
+      .join(grand, Seq("key"), "left")
+      .withColumn("seasonal_micro",
+        when(col("d").isNotNull, col("__sraw") - col("__g")))
+      .withColumn("remainder_micro", col("d") - col("seasonal_micro"))
+      .select(col("key"), col("bucket"), col("x"), col("trend_micro"),
+        col("seasonal_micro"), col("remainder_micro"))
+  }
+
   /** Per-key Mann–Kendall trend test over bucket counts — the
     * nonparametric "is this series drifting?" read next to
     * [[theilSen]]'s slope estimate (same robustness contract: no

@@ -134,6 +134,52 @@ private[graft] object InsightQueries {
       |  s_hi > h AS alarm_hi, s_lo > h AS alarm_lo
       |FROM s""".stripMargin
 
+  /** Classical additive seasonal decomposition of hourly rates at
+    * period 24 (see [[Insight.seasonalDecompose]]): x = centered-MA
+    * trend + re-centered per-slot seasonal + remainder, exact integer
+    * micro rails, honest nulls at the MA edges — the model-free
+    * decomposition beside `events_holt_winters`. */
+  private[graft] def qEventsDecompose(s: SparkSession, dir: String): DataFrame =
+    Insight.seasonalDecompose(readEvents(s, dir), "event_type", "ts")
+
+  private[graft] val oEventsDecompose =
+    """WITH c AS (SELECT event_type AS key,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+      |  FROM c GROUP BY 1),
+      |f AS (SELECT key, unnest(generate_series(b0, b1)) AS bucket FROM sp),
+      |x AS (SELECT f.key, f.bucket, CAST(coalesce(c.c, 0) AS BIGINT) AS x,
+      |    f.bucket % 24 AS slot
+      |  FROM f LEFT JOIN c ON c.key = f.key AND c.bucket = f.bucket),
+      |t AS (SELECT key, bucket, x, slot,
+      |    count(*) OVER wa AS cnt,
+      |    sum(x) OVER wm AS midsum,
+      |    lag(x, 12) OVER w + lead(x, 12) OVER w AS ends
+      |  FROM x WINDOW w AS (PARTITION BY key ORDER BY bucket),
+      |    wm AS (PARTITION BY key ORDER BY bucket
+      |      ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING),
+      |    wa AS (PARTITION BY key ORDER BY bucket
+      |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |dd AS (SELECT key, bucket, x, slot,
+      |    CASE WHEN cnt = 25
+      |      THEN (500000 * ends + 1000000 * midsum) // 24 END
+      |      AS trend_micro,
+      |    x * 1000000 - (CASE WHEN cnt = 25
+      |      THEN (500000 * ends + 1000000 * midsum) // 24 END) AS d
+      |  FROM t),
+      |sm AS (SELECT key, slot, sum(d) // count(*) AS sraw
+      |  FROM dd WHERE d IS NOT NULL GROUP BY 1, 2),
+      |g AS (SELECT key, sum(sraw) // count(*) AS gm FROM sm GROUP BY 1)
+      |SELECT dd.key, bucket, x, CAST(trend_micro AS BIGINT) AS trend_micro,
+      |  CAST(CASE WHEN d IS NOT NULL THEN sraw - gm END AS BIGINT)
+      |    AS seasonal_micro,
+      |  CAST(CASE WHEN d IS NOT NULL THEN d - (sraw - gm) END AS BIGINT)
+      |    AS remainder_micro
+      |FROM dd LEFT JOIN sm ON sm.key = dd.key AND sm.slot = dd.slot
+      |LEFT JOIN g ON g.key = dd.key""".stripMargin
+
   /** Per-type Mann–Kendall trend test on daily counts (see
     * [[Insight.mannKendall]]): exact integer S and 18·Var(S) with tie
     * correction, ppm z with continuity correction — the significance
@@ -2419,6 +2465,7 @@ private[graft] object InsightQueries {
     "events_changepoint" -> (qEventsChangepoint _),
     "events_cusum" -> (qEventsCusum _),
     "events_pareto" -> (qEventsPareto _),
+    "events_decompose" -> (qEventsDecompose _),
     "events_trend_mk" -> (qEventsTrendMk _),
     "events_autocorr" -> (qEventsAutocorr _),
     "events_seasonality" -> (qEventsSeasonality _),
@@ -2488,6 +2535,7 @@ private[graft] object InsightQueries {
     "events_changepoint" -> oEventsChangepoint,
     "events_cusum" -> oEventsCusum,
     "events_pareto" -> oEventsPareto,
+    "events_decompose" -> oEventsDecompose,
     "events_trend_mk" -> oEventsTrendMk,
     "events_autocorr" -> oEventsAutocorr,
     "events_seasonality" -> oEventsSeasonality,

@@ -331,6 +331,41 @@ private[graft] object SimilarityQueries {
       |    PARTITION BY qid ORDER BY sim DESC, id) AS INTEGER) AS rank FROM scored)
       |SELECT qid, rank, id, sim FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** kth-NN OUTLIER scoring over the full embedding corpus (Ramaswamy
+    * et al.'s classic distance-to-kth-neighbor read, on the cosine
+    * rail): every vector is its own query against the rest, the score
+    * is its 10th-best cosine similarity, and the 50 LOWEST scores —
+    * the isolation tail valuation-driven pruning inspects first — are
+    * reported. Reuses [[Similarity.bruteForceTopK]]'s bounded two-stage
+    * top-k (map-side k-row prune per partition, no global sort of the
+    * N² scored set) with the whole corpus broadcast as the query side;
+    * at crawl scale the probe side swaps to the IVF index, same
+    * contract shape. Round-6 sim + id tie-break keeps the ranking a
+    * total order any engine replays. */
+  private[graft] def qEmbKnnOutlier(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e, "embedding", "vec_id", k = 10)
+      .filter(col("rank") === 10)
+      .select(col("qid").as("vec_id"), col("sim").as("knn_sim"))
+      .orderBy(col("knn_sim").asc, col("vec_id")).limit(50)
+  }
+
+  private[graft] val oEmbKnnOutlier =
+    """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM u
+      |  GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS id, sum(a.x * b.x) AS d
+      |  FROM u a JOIN u b ON a.i = b.i AND b.vec_id <> a.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (SELECT qid, id, round(d / (nq.n * nc.n), 6) AS sim
+      |  FROM dots JOIN norms nq ON nq.vec_id = qid
+      |  JOIN norms nc ON nc.vec_id = id),
+      |ranked AS (SELECT qid, sim, row_number() OVER (
+      |    PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM scored)
+      |SELECT qid AS vec_id, sim AS knn_sim FROM ranked
+      |WHERE rank = 10 ORDER BY knn_sim, qid LIMIT 50""".stripMargin
+
   /** Hybrid retrieval: BM25 keyword ranking over documents fused with
     * exact dense cosine ranking over the aligned embeddings (vec_id ≡
     * doc_id) by reciprocal-rank fusion — dense query-by-example uses
@@ -614,6 +649,7 @@ private[graft] object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hybrid_rrf" -> (qSimHybridRrf _),
     "sim_topk" -> (qSimTopK _),
+    "emb_knn_outlier" -> (qEmbKnnOutlier _),
     "sim_matryoshka" -> (qSimMatryoshka _),
     "sim_topk_filtered" -> (qSimTopKFiltered _),
     "sim_ivf_incremental" -> (qSimIvfIncremental _),
@@ -634,6 +670,7 @@ private[graft] object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "sim_hybrid_rrf" -> oSimHybridRrf,
     "sim_topk" -> oSimTopK,
+    "emb_knn_outlier" -> oEmbKnnOutlier,
     "sim_matryoshka" -> oSimMatryoshka,
     "sim_topk_filtered" -> oSimTopKFiltered,
     "sim_ivf_incremental" -> oSimIvfIncremental,

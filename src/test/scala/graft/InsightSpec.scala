@@ -828,6 +828,36 @@ class InsightSpec extends SparkSpec {
     assert(b.forall(r => r.getLong(5) == 0L && !r.getBoolean(7)))
   }
 
+  // ------------------------------------------------- Seasonal decompose
+
+  test("seasonalDecompose: hand-replayed centered MA, slots, remainder") {
+    // 1-second buckets, period 2 (half = 1): x = [4, 2, 6, 2, 6].
+    // trend = (500000*(x_prev + x_next) + 1000000*x) div 2 at the three
+    // interior points = [3.5e6, 4e6, 4e6]; d = [-1.5e6, 2e6, -2e6];
+    // slot means 2e6 / -1.75e6, grand 125000 -> seasonal +-1875000
+    val rows = Seq(4, 2, 6, 2, 6).zipWithIndex.flatMap { case (n, sec) =>
+      Seq.fill(n)(("k", s"2024-01-01 00:00:0$sec"))
+    }
+    val df = rows.toDF("k", "ts")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"))
+    val got = Insight.seasonalDecompose(df, "k", "ts",
+        bucketUs = 1000000L, period = 2)
+      .orderBy("bucket").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(4L, 2L, 6L, 2L, 6L))
+    assert(got(0).isNullAt(3) && got(4).isNullAt(3), "MA edges are null")
+    assert(got(1).getLong(3) == 3500000L && got(2).getLong(3) == 4000000L &&
+      got(3).getLong(3) == 4000000L)
+    assert(got(1).getLong(4) == -1875000L && got(2).getLong(4) == 1875000L &&
+      got(3).getLong(4) == -1875000L)
+    assert(got(1).getLong(5) == 375000L && got(2).getLong(5) == 125000L &&
+      got(3).getLong(5) == -125000L)
+    // decomposition identity holds exactly at interior points
+    (1 to 3).foreach { i =>
+      assert(got(i).getLong(2) * 1000000L ==
+        got(i).getLong(3) + got(i).getLong(4) + got(i).getLong(5))
+    }
+  }
+
   // ---------------------------------------------------- Pareto frontier
 
   test("paretoFrontier: strict dominance, ties, and duplicate survivors") {

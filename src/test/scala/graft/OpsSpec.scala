@@ -4652,6 +4652,20 @@ class OpsSpec extends SparkSpec {
     assert(driver.nonEmpty && dist == driver)
   }
 
+  test("kth-NN outlier read: planted isolate has the lowest kth sim") {
+    import spark.implicits._
+    // four clustered vectors + one near-orthogonal isolate
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.05f)), (2L, Array(0.98f, 0.05f, 0.0f)),
+      (3L, Array(0.97f, -0.04f, 0.02f)), (4L, Array(0.99f, 0.02f, -0.03f)),
+      (5L, Array(0.01f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kth = Similarity.bruteForceTopK(e, e, "embedding", "vec_id", k = 3)
+      .filter(col("rank") === 3)
+      .orderBy(col("sim").asc, col("qid")).collect()
+    assert(kth.head.getLong(0) == 5L, "isolate scores lowest kth-NN sim")
+    assert(kth.head.getDouble(3) < 0.2 && kth.last.getDouble(3) > 0.9)
+  }
+
   test("chao1: abundance profile and both estimator branches") {
     import spark.implicits._
     // pct=100 -> the "sample" is the data; abundance a:1 b:2 c:2 d:3
