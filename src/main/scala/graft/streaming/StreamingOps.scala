@@ -48,6 +48,10 @@ final case class DomainAdmit(domain: String, ts: Timestamp, id: Long,
 /** Per-domain gate state: how many this domain has admitted. */
 final case class DomainCount(n: Long)
 
+final case class ParetoPoint(id: Long, x: Long, y: Long)
+final case class ParetoState(pts: List[ParetoPoint], seen: Long)
+final case class ParetoOut(id: Long, x: Long, y: Long, n_seen: Long)
+
 /** Structured-Streaming transforms for the events stream shape
   * (event_id, ts, user_id, event_type, value, props).
   *
@@ -1634,6 +1638,41 @@ object StreamingOps {
           }
           state.update(st)
           flagged.result().iterator
+      }
+  }
+
+  /** Streaming PARETO-FRONTIER maintenance — the live twin of
+    * [[graft.ops.Insight.paretoFrontier]]: the frontier of everything
+    * seen so far, updated per micro-batch. State is the frontier
+    * ITSELF (never the history) under one constant key: the frontier
+    * is a global object, and its maintenance is the same unavoidable
+    * global step as the batch run's distinct-x window — but state
+    * size is frontier-sized (typically tiny), points are filtered
+    * against it per batch in O(batch·frontier), and dominated points
+    * are dropped forever, so the stream never re-reads or re-shuffles
+    * history. Same dominance semantics as batch: strict on one axis,
+    * duplicates of a frontier (x, y) all survive.
+    *
+    * Emits the FULL current frontier after every batch, stamped with
+    * `n_seen` (total points processed) — consumers keep the rows of
+    * the highest stamp; the final stamp's set equals the batch
+    * operator over the same points exactly (StreamingSpec). */
+  def paretoStream(points: Dataset[ParetoPoint]): Dataset[ParetoOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    def dominated(p: ParetoPoint, q: ParetoPoint): Boolean =
+      (q.x >= p.x && q.y > p.y) || (q.x > p.x && q.y >= p.y)
+    points.groupByKey(_ => 0)
+      .flatMapGroupsWithState[ParetoState, ParetoOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[ParetoState]) =>
+          val st = state.getOption.getOrElse(ParetoState(Nil, 0L))
+          val batch = it.toList
+          val all = st.pts ++ batch
+          val front = all.filter(p => !all.exists(q => dominated(p, q)))
+          val seen = st.seen + batch.size
+          state.update(ParetoState(front, seen))
+          front.map(p => ParetoOut(p.id, p.x, p.y, seen)).iterator
       }
   }
 

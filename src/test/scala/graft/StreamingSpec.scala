@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.ops.Importance
-import graft.streaming.{DomainAdmit, DomainDoc, StreamingOps}
+import graft.streaming.{DomainAdmit, DomainDoc, ParetoPoint, StreamingOps}
 import graft.streaming.StreamingOps.UserEvent
 
 /** Structured-Streaming specs driven through MemoryStream: watermarked
@@ -1669,6 +1669,35 @@ class StreamingSpec extends SparkSpec {
     sink(rows.take(0).toDF("id", "embedding"), 3L)
     val (afterEmpty, b3) = Pca.loadStateWithBatch(spark, statePath)
     assert(b3 == 3L && afterEmpty.n == streamed.n)
+  }
+
+  test("paretoStream: final frontier equals the batch operator; dominated points leave") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ParetoPoint]
+    val q = StreamingOps.paretoStream(input.toDS())
+      .writeStream.format("memory").queryName("pfr")
+      .outputMode("append").start()
+    try {
+      input.addData(ParetoPoint(1L, 9L, 3L), ParetoPoint(7L, 2L, 10L))
+      q.processAllAvailable()
+      // batch 1: (2,10) is on the interim frontier beside (9,3)
+      assert(spark.table("pfr").filter(col("n_seen") === 2)
+        .count() == 2)
+      input.addData(ParetoPoint(2L, 7L, 8L), ParetoPoint(3L, 5L, 10L),
+        ParetoPoint(4L, 5L, 10L), ParetoPoint(5L, 5L, 9L),
+        ParetoPoint(6L, 3L, 10L))
+      q.processAllAvailable()
+      val finalFront = spark.table("pfr").filter(col("n_seen") === 7)
+        .select("id", "x", "y")
+      val batch = graft.ops.Insight.paretoFrontier(
+        Seq((1L, 9L, 3L), (7L, 2L, 10L), (2L, 7L, 8L), (3L, 5L, 10L),
+          (4L, 5L, 10L), (5L, 5L, 9L), (6L, 3L, 10L)).toDF("id", "x", "y"),
+        "id", "x", "y")
+      assert(finalFront.collect().map(_.toString).sorted.toSeq ==
+        batch.collect().map(_.toString).sorted.toSeq)
+      assert(finalFront.count() == 4) // (2,10) was dominated and dropped
+    } finally q.stop()
   }
 
   test("btCountsStream: live leaderboard equals batch Bradley-Terry over the same outcomes") {
