@@ -146,6 +146,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_mtld"),
+      new ExpressionInfo(classOf[graft.functions.MtldRails].getName,
+        "graft_mtld"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_mtld(tokens) takes 1 argument")
+        graft.functions.MtldRails(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash_oph"),
       new ExpressionInfo(classOf[MinHashOph].getName, "graft_minhash_oph"),
       (children: Seq[Expression]) => {

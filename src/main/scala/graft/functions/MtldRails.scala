@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+
+/** MTLD forward-pass factor state of a token array in ONE sequential
+  * scan: `struct<n_tokens long, factors long, rem_types long,
+  * rem_tokens long>` (McCarthy & Jarvis 2010, "MTLD, vocd-D, and
+  * HD-D" — the length-robust lexical-diversity metric; plain TTR
+  * monotonically falls with document length, MTLD does not).
+  *
+  * Semantics (exact integers — the 0.72 threshold never exists as a
+  * float): walk the tokens left to right, growing a per-factor type
+  * set; when the running type-token ratio drops strictly below 18/25
+  * (types·25 < tokens·18 — one integer compare per token), a factor
+  * completes and the set resets. The unfinished remainder factor is
+  * returned as raw (types, tokens) so the query layer — and the
+  * oracle's recursive CTE replaying this exact walk — derive the
+  * partial-factor credit and MTLD on the shared ppm rails. Empty
+  * tokens (the tokenizer's empty-text artifact) are skipped; a null
+  * array null-outs the struct. Forward pass only (the composed
+  * forward/backward mean is a documented divergence from the paper —
+  * one direction keeps the oracle a single recursion).
+  *
+  * Why an expression: the walk carries a type SET through a sequential
+  * fold — per-token `array_contains` over a growing HOF state is
+  * O(L²) interpreted; this is one O(L) hash-set pass inside
+  * whole-stage codegen.
+  */
+case class MtldRails(child: Expression) extends UnaryExpression {
+
+  override lazy val resolved: Boolean = child.resolved &&
+    (child.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+
+  override def dataType: DataType = MtldRails.outType
+
+  override def prettyName: String = "graft_mtld"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MtldRails.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MtldRails.compute($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MtldRails = copy(child = newChild)
+}
+
+object MtldRails {
+
+  val outType: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("factors", LongType, nullable = false),
+    StructField("rem_types", LongType, nullable = false),
+    StructField("rem_tokens", LongType, nullable = false)))
+
+  /** Called from interpreted and generated code (static forwarder). */
+  def compute(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    var total = 0L
+    var factors = 0L
+    var fTokens = 0L
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) {
+      val t = if (toks.isNullAt(i)) "" else toks.getUTF8String(i).toString
+      if (t.nonEmpty) {
+        total += 1
+        fTokens += 1
+        seen.add(t)
+        // factor completes when TTR < 0.72 = 18/25, exactly
+        if (seen.size * 25L < fTokens * 18L) {
+          factors += 1
+          fTokens = 0L
+          seen.clear()
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](total, factors, seen.size.toLong, fTokens))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -322,6 +322,59 @@ object TextFunctions {
     * DEFLATE is not expressible in relational primitives, which is
     * also why this signal has no SQL oracle and is contract-checked
     * instead). Null/empty text yields null. */
+  /** MTLD lexical diversity, forward pass (see
+    * [[graft.functions.MtldRails]] for the walk semantics): per doc,
+    * the factor state plus the derived ppm rails — remainder-TTR,
+    * partial-factor credit (1−TTR)/0.28 as one integer division
+    * (remainder TTR ≥ 0.72 by construction, so the credit is ≤ 10⁶),
+    * and MTLD = n·10¹² div (factors·10⁶ + partial) in micro units
+    * (null when the doc is empty or never leaves its first full-TTR
+    * factor — plain TTR is the read there). Codegen expression when
+    * [[graft.GraftExtensions]] is registered; bit-identical JVM UDF
+    * walk otherwise.
+    *
+    * @return (id, n_tokens, factors, rem_types, rem_tokens,
+    *         partial_ppm, mtld_micro) */
+  def mtld(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val rails =
+      if (df.sparkSession.catalog.functionExists("graft_mtld"))
+        call_function("graft_mtld", toks)
+      else {
+        val walk = udf { (ts: Seq[String]) =>
+          if (ts == null) null
+          else {
+            var total = 0L; var factors = 0L; var fTokens = 0L
+            val seen = new java.util.HashSet[String]()
+            ts.foreach { t =>
+              if (t != null && t.nonEmpty) {
+                total += 1; fTokens += 1; seen.add(t)
+                if (seen.size * 25L < fTokens * 18L) {
+                  factors += 1; fTokens = 0L; seen.clear()
+                }
+              }
+            }
+            (total, factors, seen.size.toLong, fTokens)
+          }
+        }
+        walk(toks).cast(
+          "struct<n_tokens:bigint,factors:bigint,rem_types:bigint," +
+            "rem_tokens:bigint>")
+      }
+    df.select(col(idCol).as("id"), rails.as("__m"))
+      .select(col("id"), col("__m.n_tokens").as("n_tokens"),
+        col("__m.factors").as("factors"),
+        col("__m.rem_types").as("rem_types"),
+        col("__m.rem_tokens").as("rem_tokens"))
+      .withColumn("partial_ppm", when(col("rem_tokens") > 0,
+        expr("(1000000 - rem_types * 1000000 div rem_tokens) " +
+          "* 1000000 div 280000")).otherwise(lit(0L)))
+      .withColumn("mtld_micro",
+        when(expr("factors * 1000000 + partial_ppm") > 0,
+          expr("n_tokens * 1000000 * 1000000 " +
+            "div (factors * 1000000 + partial_ppm)")))
+  }
+
   def compressionRatio(text: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.getActiveSession
       .getOrElse(throw new IllegalStateException("no active SparkSession"))

@@ -955,6 +955,53 @@ private[graft] object CurationQueries {
       |  md5(COALESCE(re.clean, '')) AS clean_md5
       |FROM c LEFT JOIN re ON c.doc_id = re.doc_id""".stripMargin
 
+  /** Per-doc MTLD lexical diversity, forward pass (see
+    * [[TextFunctions.mtld]] / [[graft.functions.MtldRails]]): the
+    * length-robust diversity read beside `text_ngram_diversity`'s
+    * corpus TTR — sequential factor count with the 18/25 threshold as
+    * an exact integer compare, partial-factor credit and MTLD on the
+    * ppm/micro rails. The oracle replays the WALK itself in a
+    * recursive CTE carrying the per-factor type LIST (the
+    * holt_winters list-state pattern), so the factor boundaries must
+    * match token for token. */
+  private[graft] def qTextMtld(s: SparkSession, dir: String): DataFrame =
+    TextFunctions.mtld(t(s, dir, "documents"), "text", "doc_id")
+
+  private[graft] val oTextMtld = {
+    val upd = "CASE WHEN list_contains(seen, ts[pos + 1]) THEN seen " +
+      "ELSE list_append(seen, ts[pos + 1]) END"
+    val close = s"len($upd) * 25 < (f_tokens + 1) * 18"
+    s"""WITH RECURSIVE tk AS (SELECT doc_id,
+      |    list_filter($oToks, x -> x <> '') AS ts FROM documents),
+      |nn AS (SELECT doc_id, ts, len(ts) AS n FROM tk),
+      |walk AS (
+      |  SELECT doc_id, ts, n, 0 AS pos, CAST([] AS VARCHAR[]) AS seen,
+      |    CAST(0 AS BIGINT) AS factors, CAST(0 AS BIGINT) AS f_tokens
+      |  FROM nn
+      |  UNION ALL
+      |  SELECT doc_id, ts, n, pos + 1,
+      |    CASE WHEN $close THEN CAST([] AS VARCHAR[]) ELSE $upd END,
+      |    CASE WHEN $close THEN factors + 1 ELSE factors END,
+      |    CASE WHEN $close THEN CAST(0 AS BIGINT) ELSE f_tokens + 1 END
+      |  FROM walk WHERE pos < n),
+      |fin AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, factors,
+      |    CAST(len(seen) AS BIGINT) AS rem_types,
+      |    f_tokens AS rem_tokens
+      |  FROM walk WHERE pos = n),
+      |pp AS (SELECT doc_id AS id, n_tokens, factors, rem_types,
+      |    rem_tokens,
+      |    CASE WHEN rem_tokens > 0
+      |      THEN (1000000 - rem_types * 1000000 // rem_tokens)
+      |        * 1000000 // 280000
+      |      ELSE CAST(0 AS BIGINT) END AS partial_ppm
+      |  FROM fin)
+      |SELECT id, n_tokens, factors, rem_types, rem_tokens, partial_ppm,
+      |  CASE WHEN factors * 1000000 + partial_ppm > 0
+      |    THEN n_tokens * 1000000 * 1000000
+      |      // (factors * 1000000 + partial_ppm) END AS mtld_micro
+      |FROM pp""".stripMargin
+  }
+
   /** Corpus n-gram diversity per language: distinct word trigrams vs
     * total — the type-token ratio that exposes templated/boilerplate
     * corpora (low TTR) before they skew a mixture. Integer-exact
@@ -1271,6 +1318,7 @@ private[graft] object CurationQueries {
       |    CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END FROM n)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mtld" -> (qTextMtld _),
     "text_ngram_diversity" -> (qTextNgramDiversity _),
     "events_funnel" -> (qEventsFunnel _),
     "events_attribution" -> (qEventsAttribution _),
@@ -1305,6 +1353,7 @@ private[graft] object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_mtld" -> oTextMtld,
     "text_ngram_diversity" -> oTextNgramDiversity,
     "events_funnel" -> oEventsFunnel,
     "events_attribution" -> oEventsAttribution,

@@ -4652,6 +4652,50 @@ class OpsSpec extends SparkSpec {
     assert(driver.nonEmpty && dist == driver)
   }
 
+  test("mtld: hand-walked factors, partial credit, native == udf fallback") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b a b a b"),  // two clean factors, no partial
+      (2L, "a b c d"),                    // full-TTR doc: mtld null
+      (3L, "a b c d a"),                  // remainder TTR 0.8 -> partial
+      (4L, "")).toDF("doc_id", "text")    // empty: all zero, null mtld
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val m = df.orderBy("id").collect()
+      assert(m(0).getLong(1) == 8L && m(0).getLong(2) == 2L &&
+        m(0).getLong(5) == 0L && m(0).getLong(6) == 4000000L)
+      assert(m(1).getLong(2) == 0L && m(1).isNullAt(6))
+      assert(m(2).getLong(3) == 4L && m(2).getLong(4) == 5L &&
+        m(2).getLong(5) == 714285L && m(2).getLong(6) == 7000007L)
+      assert(m(3).getLong(1) == 0L && m(3).isNullAt(6))
+    }
+    assert(spark.catalog.functionExists("graft_mtld"))
+    check(TextFunctions.mtld(d, "text", "doc_id"))
+    // fallback path: drop to a session-independent equivalence by
+    // computing through the UDF walk directly (same fixture)
+    val viaUdf = {
+      val toks = TextFunctions.tokens(col("text"))
+      val walk = udf { (ts: Seq[String]) =>
+        var total = 0L; var factors = 0L; var fTokens = 0L
+        val seen = scala.collection.mutable.HashSet[String]()
+        ts.filter(t => t != null && t.nonEmpty).foreach { t =>
+          total += 1; fTokens += 1; seen.add(t)
+          if (seen.size * 25L < fTokens * 18L) {
+            factors += 1; fTokens = 0L; seen.clear()
+          }
+        }
+        (total, factors, seen.size.toLong, fTokens)
+      }
+      d.select(col("doc_id"), walk(toks).as("w")).orderBy("doc_id")
+        .collect().map(r => r.getStruct(1))
+    }
+    val native = d.select(col("doc_id"),
+        call_function("graft_mtld", TextFunctions.tokens(col("text")))
+          .as("w")).orderBy("doc_id")
+      .collect().map(r => r.getStruct(1))
+    native.zip(viaUdf).foreach { case (n, u) =>
+      assert((0 to 3).forall(i => n.getLong(i) == u.getLong(i)))
+    }
+  }
+
   test("kth-NN outlier read: planted isolate has the lowest kth sim") {
     import spark.implicits._
     // four clustered vectors + one near-orthogonal isolate
