@@ -454,6 +454,65 @@ object Sample {
     *
     * @return (token, cnt, weight_micro, share_ppb, cum_weight) with
     *         cum_weight inclusive under (weight_micro DESC, token) */
+  /** GREEDY MAX-COVERAGE selection — the submodular "pick k documents
+    * that together cover the most vocabulary" subset extractor
+    * (facility-location family; the (1−1/e) greedy is the standard
+    * diverse-seed / eval-set / dedup-exemplar picker). Each round
+    * selects the document with the largest MARGINAL gain (distinct
+    * tokens not covered by earlier picks), smallest doc id on ties;
+    * rounds with zero achievable gain emit nothing and the selection
+    * stops short (the honest budget read).
+    *
+    * Scale shape: the doc→distinct-token bipartite table is built
+    * once; each of the ≤ k rounds is one anti-join against the covered
+    * set (broadcast — it is at most k·docVocab tokens) plus one
+    * map-side-combinable count aggregate and a 1-row argmax. k is a
+    * bounded constant (the harmonic-pivots rule), so the driver loop
+    * is k tiny jobs, never a data-sized collect.
+    *
+    * Coverage units are word n-grams (n = 1 for plain vocabulary;
+    * n = 2 for phrase coverage — the right grain when the unigram
+    * vocabulary is tiny relative to the corpus and saturates in a
+    * pick or two).
+    *
+    * @return (sel_rank, id, gain) in pick order */
+  def maxCoverage(df: DataFrame, textCol: String, idCol: String,
+                  k: Int, n: Int = 1): DataFrame = {
+    require(k >= 1 && n >= 1, "maxCoverage needs k >= 1 and n >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = filter(TextFunctions.tokens(col(textCol)), t => t =!= "")
+    val units =
+      if (n == 1) toks
+      else expr(s"CASE WHEN size(__t) >= $n THEN transform(" +
+        s"sequence(1, size(__t) - ${n - 1}), " +
+        s"i -> array_join(slice(__t, i, $n), ' ')) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+    val dt = df.withColumn("__t", toks)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(units)).as("tok"))
+      .localCheckpoint(true)
+    var covered = spark.emptyDataset[String].toDF("tok")
+    val picks = Seq.newBuilder[(Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val best = dt.join(broadcast(covered), Seq("tok"), "left_anti")
+        .groupBy("id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val id = best.head.getLong(0)
+        picks += ((r.toLong, id, best.head.getLong(1)))
+        covered = covered
+          .union(dt.filter(col("id") === id).select("tok")).distinct()
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    picks.result().toDF("sel_rank", "id", "gain")
+  }
+
   def negativeSamplingTable(df: DataFrame, textCol: String,
                             minCount: Long = 1L): DataFrame = {
     val counts = df

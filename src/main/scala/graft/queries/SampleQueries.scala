@@ -635,6 +635,44 @@ private[graft] object SampleQueries {
   // Data profiling
   // =====================================================================
 
+  /** Greedy max-coverage pick of 6 documents over the doc_id < 300
+    * slice (see [[Sample.maxCoverage]]): the submodular diverse-subset
+    * extractor — each unrolled oracle round replays the argmax of
+    * marginal vocabulary gain with the id tie-break, so pick order,
+    * ids, AND gains are hash-compared. */
+  private[graft] def qSampleMaxCoverage(s: SparkSession,
+                                        dir: String): DataFrame =
+    Sample.maxCoverage(t(s, dir, "documents").filter(col("doc_id") < 300),
+      "text", "doc_id", k = 6, n = 2)
+
+  private[graft] val oSampleMaxCoverage = {
+    val rounds = (2 to 6).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS gain
+         |  FROM dt WHERE NOT EXISTS (SELECT 1 FROM c${t - 1}
+         |    WHERE c${t - 1}.tok = dt.tok)
+         |  GROUP BY 1 ORDER BY gain DESC, id LIMIT 1),
+         |c$t AS MATERIALIZED (SELECT tok FROM c${t - 1}
+         |  UNION SELECT dt.tok FROM dt JOIN p$t USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id AS id,
+      |    list_filter($oToks, x -> x <> '') AS ts
+      |  FROM documents WHERE doc_id < 300),
+      |dt AS MATERIALIZED (SELECT DISTINCT id, tok
+      |  FROM (SELECT id, unnest(CASE WHEN len(ts) >= 2
+      |      THEN list_transform(generate_series(1, len(ts) - 1),
+      |        i -> ts[i] || ' ' || ts[i + 1])
+      |      ELSE CAST([] AS VARCHAR[]) END) AS tok
+      |    FROM tk)),
+      |p1 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS gain
+      |  FROM dt GROUP BY 1 ORDER BY gain DESC, id LIMIT 1),
+      |c1 AS MATERIALIZED (SELECT DISTINCT dt.tok FROM dt
+      |  JOIN p1 USING (id)),
+      |$rounds
+      |${(1 to 6).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS sel_rank, id, gain FROM p$t")
+        .mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Chao1 NDV-from-sample estimation over three columns (see
     * [[Profile.chao1]]): the distinct-count profile you can afford at
     * 100 TB — a stable 20% md5 row sample extrapolated through the
@@ -1376,6 +1414,7 @@ private[graft] object SampleQueries {
     "sample_repeat_schedule" -> (qSampleRepeatSchedule _),
     "quality_classifier" -> (qQualityClassifier _),
     "quality_classifier_reload" -> (qQualityClassifierReload _),
+    "sample_max_coverage" -> (qSampleMaxCoverage _),
     "profile_chao" -> (qProfileChao _),
     "profile_fd" -> (qProfileFd _),
     "profile_ind" -> (qProfileInd _),
@@ -1420,6 +1459,7 @@ private[graft] object SampleQueries {
     "sample_repeat_schedule" -> oSampleRepeatSchedule,
     "quality_classifier" -> oQualityClassifier,
     "quality_classifier_reload" -> oQualityClassifierReload,
+    "sample_max_coverage" -> oSampleMaxCoverage,
     "profile_chao" -> oProfileChao,
     "profile_fd" -> oProfileFd,
     "profile_ind" -> oProfileInd,

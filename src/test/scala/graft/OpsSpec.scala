@@ -4652,6 +4652,19 @@ class OpsSpec extends SparkSpec {
     assert(driver.nonEmpty && dist == driver)
   }
 
+  test("maxCoverage: greedy marginal gains, id tie-break, zero-gain stop") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b e"), (3L, "f g h"),
+      (4L, "a b"), (5L, "x y z w")).toDF("doc_id", "text")
+    val got = Sample.maxCoverage(docs, "text", "doc_id", k = 6)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // round 1 ties at gain 4 between docs 1 and 5 -> smaller id; doc 4
+    // is fully covered by round 4, so the k=6 budget stops at 4 picks
+    assert(got.toSeq == Seq((1L, 1L, 4L), (2L, 5L, 4L), (3L, 3L, 3L),
+      (4L, 2L, 1L)))
+  }
+
   test("mtld: hand-walked factors, partial credit, native == udf fallback") {
     import spark.implicits._
     val d = Seq((1L, "a b a b a b a b"),  // two clean factors, no partial
