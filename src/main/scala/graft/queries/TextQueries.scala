@@ -409,6 +409,91 @@ private[graft] object TextQueries {
        |  CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab, tk.tokens
        |FROM tk LEFT JOIN v USING (point, n_docs)""".stripMargin
 
+  /** Heaps'-law fit over the vocab-growth checkpoints: V = K·nᵝ
+    * estimated by OLS on (ln tokens, ln vocab) — the one-number
+    * "how fast does this corpus keep yielding new vocabulary" read
+    * that decides whether more crawl is worth tokenizer budget. Rails:
+    * each log is ONE libm call floored to micro at the point boundary
+    * (text_entropy convention); the five OLS sums are then exact
+    * BIGINTs (m ≤ 10 points × (1.8·10⁷)² bounds them well inside
+    * 2⁶³), and β/ln K are single identical-tree double expressions
+    * over those exact sums, floored to ppm/micro. */
+  private[graft] def qCorpusHeaps(s: SparkSession, dir: String): DataFrame =
+    heapsCore(t(s, dir, "documents"))
+
+  /** Spec entry point: the same fit over an arbitrary (doc_id, text)
+    * frame (OpsSpec drives hand-built growth shapes through it). */
+  private[graft] def heapsForSpec(docs: DataFrame): DataFrame =
+    heapsCore(docs)
+
+  private def heapsCore(docs: DataFrame): DataFrame = {
+    val g = Report.vocabGrowth(
+      docs.select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      "doc_id", "toks", points = 10)
+    g.filter(col("tokens") > 0 && col("vocab") > 0)
+      .select(
+        expr("CAST(floor(ln(CAST(tokens AS DOUBLE)) * 1e6 + 0.5) " +
+          "AS BIGINT)").as("l"),
+        expr("CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1e6 + 0.5) " +
+          "AS BIGINT)").as("v"))
+      .agg(count(lit(1)).as("m"), sum("l").as("sl"), sum("v").as("sv"),
+        sum(expr("l * v")).as("slv"), sum(expr("l * l")).as("sll"))
+      .withColumn("num", expr("m * slv - sl * sv"))
+      .withColumn("den", expr("m * sll - sl * sl"))
+      .withColumn("beta_ppm", when(col("den") > 0,
+        expr("CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) " +
+          "* 1e6 + 0.5) AS BIGINT)")))
+      .withColumn("lnk_micro", when(col("den") > 0,
+        expr("CAST(floor((CAST(sv AS DOUBLE) - CAST(num AS DOUBLE) " +
+          "/ CAST(den AS DOUBLE) * CAST(sl AS DOUBLE)) " +
+          "/ CAST(m AS DOUBLE) + 0.5) AS BIGINT)")))
+      .select(col("m"), col("beta_ppm"), col("lnk_micro"),
+        expr("CAST(floor(exp(CAST(lnk_micro AS DOUBLE) / 1e6) * 1e6 " +
+          "+ 0.5) AS BIGINT)").as("k_micro"))
+  }
+
+  private[graft] val oCorpusHeaps =
+    s"""WITH d AS (SELECT doc_id, $oToks AS t,
+       |    row_number() OVER (ORDER BY doc_id) AS pos
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |cp AS (SELECT CAST(p AS BIGINT) AS point,
+       |    CAST(p * (SELECT n FROM n) // 10 AS BIGINT) AS n_docs
+       |  FROM generate_series(1, 10) AS g(p)),
+       |fp AS (SELECT tok, min(pos) AS fp FROM
+       |  (SELECT pos, unnest(t) AS tok FROM d) GROUP BY 1),
+       |v AS (SELECT cp.point, CAST(count(*) AS BIGINT) AS vocab
+       |  FROM fp JOIN cp ON fp.fp <= cp.n_docs GROUP BY 1),
+       |tk AS (SELECT cp.point, CAST(sum(len(d.t)) AS BIGINT) AS tokens
+       |  FROM d JOIN cp ON d.pos <= cp.n_docs GROUP BY 1),
+       |pts AS (SELECT
+       |    CAST(floor(ln(CAST(tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      AS l,
+       |    CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      AS v
+       |  FROM tk JOIN v USING (point)
+       |  WHERE tokens > 0 AND vocab > 0),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(l) AS BIGINT) AS sl, CAST(sum(v) AS BIGINT) AS sv,
+       |    CAST(sum(l * v) AS BIGINT) AS slv,
+       |    CAST(sum(l * l) AS BIGINT) AS sll FROM pts),
+       |f AS (SELECT m, m * slv - sl * sv AS num,
+       |    m * sll - sl * sl AS den, sv, sl FROM s)
+       |SELECT m,
+       |  CASE WHEN den > 0 THEN CAST(floor(CAST(num AS DOUBLE)
+       |    / CAST(den AS DOUBLE) * 1e6 + 0.5) AS BIGINT) END AS beta_ppm,
+       |  CASE WHEN den > 0 THEN CAST(floor((CAST(sv AS DOUBLE)
+       |    - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |    * CAST(sl AS DOUBLE)) / CAST(m AS DOUBLE) + 0.5) AS BIGINT)
+       |    END AS lnk_micro,
+       |  CAST(floor(exp(CAST((CASE WHEN den > 0
+       |    THEN CAST(floor((CAST(sv AS DOUBLE) - CAST(num AS DOUBLE)
+       |      / CAST(den AS DOUBLE) * CAST(sl AS DOUBLE))
+       |      / CAST(m AS DOUBLE) + 0.5) AS BIGINT) END) AS DOUBLE)
+       |    / 1e6) * 1e6 + 0.5) AS BIGINT) AS k_micro
+       |FROM f""".stripMargin
+
   /** McNemar's paired test between the quality-score classifier and a
     * crude length gate on the is-English label (see
     * [[Classify.mcnemar]]): only discordant pairs carry information;
@@ -1476,6 +1561,7 @@ private[graft] object TextQueries {
     "text_nfc_audit" -> (qTextNfcAudit _),
     "dataset_ldiversity" -> (qDatasetLdiversity _),
     "corpus_vocab_growth" -> (qCorpusVocabGrowth _),
+    "corpus_heaps" -> (qCorpusHeaps _),
     "corpus_zipf" -> (qCorpusZipf _),
     "text_postings" -> (qTextPostings _),
     "quality_auc" -> (qQualityAuc _),
@@ -1515,6 +1601,7 @@ private[graft] object TextQueries {
     "text_nfc_audit" -> oTextNfcAudit,
     "dataset_ldiversity" -> oDatasetLdiversity,
     "corpus_vocab_growth" -> oCorpusVocabGrowth,
+    "corpus_heaps" -> oCorpusHeaps,
     "corpus_zipf" -> oCorpusZipf,
     "text_postings" -> oTextPostings,
     "quality_auc" -> oQualityAuc,

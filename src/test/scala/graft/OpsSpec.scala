@@ -4652,6 +4652,20 @@ class OpsSpec extends SparkSpec {
     assert(driver.nonEmpty && dist == driver)
   }
 
+  test("heaps fit: beta = 1 when vocab tracks tokens, 0 when it is flat") {
+    import spark.implicits._
+    // every token globally unique -> V = n exactly -> beta 1, K 1
+    val uniq = (1L to 10L).map(i => (i, s"u${i}a u${i}b")).toDF("doc_id", "text")
+    val q1 = TextQueries.heapsForSpec(uniq)
+    val r1 = q1.head()
+    assert(r1.getLong(0) == 10L && r1.getLong(1) == 1000000L &&
+      r1.getLong(2) == 0L && r1.getLong(3) == 1000000L)
+    // identical docs -> V = 1 at every point -> beta 0, K 1
+    val flat = (1L to 10L).map(i => (i, "w w w")).toDF("doc_id", "text")
+    val r2 = TextQueries.heapsForSpec(flat).head()
+    assert(r2.getLong(1) == 0L && r2.getLong(3) == 1000000L)
+  }
+
   test("maxCoverage: greedy marginal gains, id tie-break, zero-gain stop") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b e"), (3L, "f g h"),
