@@ -424,6 +424,49 @@ object Insight {
         col("z_ppm"), col("trend"))
   }
 
+  /** KENDALL τ-b rank correlation between two integer columns — the
+    * "do my two quality signals agree" read (monotone association,
+    * tie-corrected, no normality assumption — Pearson on these would
+    * answer a different, linear question). Exact integer rails:
+    * concordant/discordant/tie counts come from one i<j pair self-join
+    * (sign products are integers), the tie corrections n₁ = Σt(t−1)/2
+    * per column are exact aggregates, and τ_b = (C−D)/√((n₀−n₁)(n₀−n₂))
+    * is ONE identical-tree double over those exact integers, floored
+    * to ppm.
+    *
+    * Scale: O(n²) in the scored sample — bound the input (the
+    * harmonic-pivots rule: agreement between scorers is a sample
+    * statistic; at corpus scale score a fixed-size stable sample, not
+    * the corpus).
+    *
+    * @return one row (n, nc, nd, n1, n2, tau_ppm) */
+  def kendallTauB(df: DataFrame, idCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .localCheckpoint(true)
+    val pairs = base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+      .select((signum(col("b.x") - col("a.x")) *
+        signum(col("b.y") - col("a.y"))).cast("long").as("s"))
+      .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).as("nd"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val tx = base.groupBy("x").agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n1"))
+    val ty = base.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+    n.crossJoin(pairs).crossJoin(tx).crossJoin(ty)
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .withColumn("tau_ppm",
+        when(expr("(n0 - n1) * (n0 - n2)") > 0,
+          expr("CAST(floor(CAST(nc - nd AS DOUBLE) / " +
+            "sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)) * 1e6 + 0.5) " +
+            "AS BIGINT)")))
+      .select(col("n"), col("nc"), col("nd"), col("n1"), col("n2"),
+        col("tau_ppm"))
+  }
+
   /** Per-key rate AUTOCORRELATION at small lags — the seasonality/
     * burstiness profile next to [[rateChangepoint]]'s level shifts.
     * Same exact-integer discipline: bucket counts are integers, so all

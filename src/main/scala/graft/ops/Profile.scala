@@ -624,6 +624,38 @@ object Profile {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Shannon entropy of a categorical column in micro-nats, plus the
+    * evenness ratio H/ln(d) — the key-skew read that predicts shuffle
+    * hot spots and stratification quality BEFORE paying for the
+    * shuffle (evenness → 0: one value dominates; → 10⁶ ppm: uniform).
+    *
+    * Rails (the text_entropy convention): per distinct value, the only
+    * transcendental ln(N/c) is floored to micro at the value boundary;
+    * H = Σ c·t_v div N is then exact integer arithmetic, and evenness
+    * = H·10⁶ div ln(d)_micro one more exact division (null for d = 1,
+    * where evenness is undefined). One map-side-combinable value-count
+    * aggregate + one tiny re-aggregate.
+    *
+    * @return one row: (col_name, n, d, h_micro, evenness_ppm) */
+  def entropy(df: DataFrame, valueCol: String, colName: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = counts.agg(sum("__c").as("n"), count(lit(1)).as("d"))
+    counts.crossJoin(tot)
+      .select(col("n"), col("d"),
+        expr("__c * CAST(floor(ln(CAST(n AS DOUBLE) / " +
+          "CAST(__c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)").as("__ct"))
+      .groupBy("n", "d").agg(sum("__ct").as("__hs"))
+      .withColumn("h_micro", expr("__hs div n"))
+      .withColumn("__lnd",
+        expr("CAST(floor(ln(CAST(d AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("evenness_ppm",
+        when(col("d") > 1, expr("h_micro * 1000000 div __lnd")))
+      .select(lit(colName).as("col_name"), col("n"), col("d"),
+        col("h_micro"), col("evenness_ppm"))
+  }
+
   /** Chao1 distinct-count estimation FROM A SAMPLE — the profiling
     * read for when the full scan is the thing you cannot afford: a
     * deterministic p% row sample (stable md5 bucket of the row key, so

@@ -673,6 +673,45 @@ private[graft] object SampleQueries {
         .mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Column-entropy profile over five categorical columns (see
+    * [[Profile.entropy]]): Shannon H in micro-nats + evenness H/ln d —
+    * the key-skew read that predicts shuffle hot spots before paying
+    * for the shuffle. */
+  private[graft] def qProfileEntropy(s: SparkSession, dir: String): DataFrame =
+    Seq(
+      Profile.entropy(readEvents(s, dir), "event_type", "events.event_type"),
+      Profile.entropy(t(s, dir, "lineitem"), "l_returnflag",
+        "lineitem.l_returnflag"),
+      Profile.entropy(t(s, dir, "orders"), "o_orderstatus",
+        "orders.o_orderstatus"),
+      Profile.entropy(t(s, dir, "documents"), "lang", "documents.lang"),
+      Profile.entropy(t(s, dir, "customer"), "c_mktsegment",
+        "customer.c_mktsegment")
+    ).reduce(_ unionAll _)
+
+  private[graft] val oProfileEntropy = {
+    def leg(tbl: String, c: String, name: String) =
+      s"""SELECT '$name' AS col_name, n, d,
+         |  CAST(hs // n AS BIGINT) AS h_micro,
+         |  CASE WHEN d > 1 THEN CAST((hs // n) * 1000000
+         |    // CAST(floor(ln(CAST(d AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |    AS BIGINT) END AS evenness_ppm
+         |FROM (SELECT n, d, CAST(sum(ct) AS BIGINT) AS hs
+         |  FROM (SELECT n, d, c * CAST(floor(ln(CAST(n AS DOUBLE)
+         |      / CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS ct
+         |    FROM (SELECT c, CAST(sum(c) OVER () AS BIGINT) AS n,
+         |        CAST(count(*) OVER () AS BIGINT) AS d
+         |      FROM (SELECT $c AS v, count(*) AS c FROM $tbl
+         |        WHERE $c IS NOT NULL GROUP BY 1)))
+         |  GROUP BY n, d)""".stripMargin
+    Seq(leg("events", "event_type", "events.event_type"),
+      leg("lineitem", "l_returnflag", "lineitem.l_returnflag"),
+      leg("orders", "o_orderstatus", "orders.o_orderstatus"),
+      leg("documents", "lang", "documents.lang"),
+      leg("customer", "c_mktsegment", "customer.c_mktsegment"))
+      .mkString("", "\nUNION ALL\n", "")
+  }
+
   /** Chao1 NDV-from-sample estimation over three columns (see
     * [[Profile.chao1]]): the distinct-count profile you can afford at
     * 100 TB — a stable 20% md5 row sample extrapolated through the
@@ -1415,6 +1454,7 @@ private[graft] object SampleQueries {
     "quality_classifier" -> (qQualityClassifier _),
     "quality_classifier_reload" -> (qQualityClassifierReload _),
     "sample_max_coverage" -> (qSampleMaxCoverage _),
+    "profile_entropy" -> (qProfileEntropy _),
     "profile_chao" -> (qProfileChao _),
     "profile_fd" -> (qProfileFd _),
     "profile_ind" -> (qProfileInd _),
@@ -1460,6 +1500,7 @@ private[graft] object SampleQueries {
     "quality_classifier" -> oQualityClassifier,
     "quality_classifier_reload" -> oQualityClassifierReload,
     "sample_max_coverage" -> oSampleMaxCoverage,
+    "profile_entropy" -> oProfileEntropy,
     "profile_chao" -> oProfileChao,
     "profile_fd" -> oProfileFd,
     "profile_ind" -> oProfileInd,

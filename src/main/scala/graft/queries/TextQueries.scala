@@ -409,6 +409,45 @@ private[graft] object TextQueries {
        |  CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab, tk.tokens
        |FROM tk LEFT JOIN v USING (point, n_docs)""".stripMargin
 
+  /** Kendall τ-b between two per-document quality signals — length
+    * (n_chars) vs distinct-token count — over a bounded doc sample
+    * (see [[Insight.kendallTauB]]): the do-my-scorers-agree read,
+    * tie-corrected, exact integer C/D/tie counts, one double tree for
+    * τ floored to ppm. */
+  private[graft] def qQualityRankCorr(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(filter(TextFunctions.tokens(col("text")),
+          t => t =!= ""))).cast("long").as("n_types"))
+    Insight.kendallTauB(d, "doc_id", "n_chars", "n_types")
+  }
+
+  private[graft] val oQualityRankCorr =
+    s"""WITH d AS (SELECT doc_id AS id, n_chars AS x,
+      |    CAST(len(list_distinct(list_filter($oToks, t -> t <> '')))
+      |      AS BIGINT) AS y
+      |  FROM documents WHERE doc_id < 400
+      |    AND n_chars IS NOT NULL),
+      |p AS (SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+      |  FROM (SELECT sign(b.x - a.x) * sign(b.y - a.y) AS s
+      |    FROM d a JOIN d b ON a.id < b.id)),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |t1 AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+      |  FROM (SELECT count(*) AS t FROM d GROUP BY x)),
+      |t2 AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+      |  FROM (SELECT count(*) AS t FROM d GROUP BY y)),
+      |f AS (SELECT n, nc, nd, n1, n2, n * (n - 1) // 2 AS n0
+      |  FROM n, p, t1, t2)
+      |SELECT n, nc, nd, n1, n2,
+      |  CASE WHEN (n0 - n1) * (n0 - n2) > 0 THEN CAST(floor(
+      |    CAST(nc - nd AS DOUBLE) /
+      |    sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) END AS tau_ppm
+      |FROM f""".stripMargin
+
   /** Heaps'-law fit over the vocab-growth checkpoints: V = K·nᵝ
     * estimated by OLS on (ln tokens, ln vocab) — the one-number
     * "how fast does this corpus keep yielding new vocabulary" read
@@ -1562,6 +1601,7 @@ private[graft] object TextQueries {
     "dataset_ldiversity" -> (qDatasetLdiversity _),
     "corpus_vocab_growth" -> (qCorpusVocabGrowth _),
     "corpus_heaps" -> (qCorpusHeaps _),
+    "quality_rank_corr" -> (qQualityRankCorr _),
     "corpus_zipf" -> (qCorpusZipf _),
     "text_postings" -> (qTextPostings _),
     "quality_auc" -> (qQualityAuc _),
@@ -1602,6 +1642,7 @@ private[graft] object TextQueries {
     "dataset_ldiversity" -> oDatasetLdiversity,
     "corpus_vocab_growth" -> oCorpusVocabGrowth,
     "corpus_heaps" -> oCorpusHeaps,
+    "quality_rank_corr" -> oQualityRankCorr,
     "corpus_zipf" -> oCorpusZipf,
     "text_postings" -> oTextPostings,
     "quality_auc" -> oQualityAuc,

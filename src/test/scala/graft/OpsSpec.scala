@@ -4652,6 +4652,38 @@ class OpsSpec extends SparkSpec {
     assert(driver.nonEmpty && dist == driver)
   }
 
+  test("kendallTauB: perfect, reversed, and tie-corrected agreement") {
+    import spark.implicits._
+    def tau(pts: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+      Insight.kendallTauB(pts.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y"),
+        "id", "x", "y").head()
+    val up = tau(Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)))
+    assert(up.getLong(1) == 10L && up.getLong(2) == 0L &&
+      up.getLong(5) == 1000000L)
+    val down = tau(Seq((1L, 5L), (2L, 4L), (3L, 3L), (4L, 2L), (5L, 1L)))
+    assert(down.getLong(5) == -1000000L)
+    // ties on both axes: nc=1, nd=0, n1=n2=1, n0=3 -> 1/sqrt(4)
+    val tied = tau(Seq((1L, 1L), (1L, 2L), (2L, 2L)))
+    assert(tied.getLong(1) == 1L && tied.getLong(3) == 1L &&
+      tied.getLong(4) == 1L && tied.getLong(5) == 500000L)
+    // all-tied x: denominator 0 -> tau null
+    assert(tau(Seq((1L, 1L), (1L, 2L))).isNullAt(5))
+  }
+
+  test("entropy: micro-nat rails, evenness 1e6 iff uniform") {
+    import spark.implicits._
+    val uni = Profile.entropy(Seq("a", "a", "b", "b").toDF("v"), "v", "t")
+      .head()
+    assert(uni.getLong(1) == 4L && uni.getLong(2) == 2L)
+    assert(uni.getLong(3) == 693147L && uni.getLong(4) == 1000000L)
+    val skew = Profile.entropy(Seq("a", "a", "a", "b").toDF("v"), "v", "t")
+      .head()
+    assert(skew.getLong(3) == 562335L && skew.getLong(4) == 811278L)
+    val single = Profile.entropy(Seq("a", "a").toDF("v"), "v", "t").head()
+    assert(single.getLong(3) == 0L && single.isNullAt(4))
+  }
+
   test("heaps fit: beta = 1 when vocab tracks tokens, 0 when it is flat") {
     import spark.implicits._
     // every token globally unique -> V = n exactly -> beta 1, K 1
