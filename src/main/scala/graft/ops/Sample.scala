@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reproducible sampling for corpus curation.
@@ -454,6 +455,65 @@ object Sample {
     *
     * @return (token, cnt, weight_micro, share_ppb, cum_weight) with
     *         cum_weight inclusive under (weight_micro DESC, token) */
+  /** NEYMAN ALLOCATION of a sampling budget across strata — the
+    * budget-optimal stratified design (n_h ∝ N_h·σ_h): high-variance
+    * strata earn more of the budget than proportional allocation gives
+    * them, minimizing the stratified estimator's variance at fixed
+    * cost. Integer seats are apportioned by LARGEST REMAINDER
+    * (Hamilton): floor shares by truncating div, then the leftover
+    * seats go to the largest exact remainders (stratum-name
+    * tie-break) — Σ alloc = budget EXACTLY, no float rounding drift.
+    *
+    * Rails: values land on the micro rail; per-stratum Σv/Σv² are
+    * exact DECIMAL(38,0) sums (bounds as [[graft.ops.Insight.anovaF]]:
+    * Σ|v| ≲ 5·10¹⁵, Σv² ≲ 10²⁶ per stratum); the population σ_h is the
+    * ONLY double — one identical-tree sqrt over the exact sums,
+    * floored to micro; weights, floor shares, remainders, and the
+    * leftover ranking are then exact integers. Zero-variance strata
+    * weigh 0 and receive nothing (a constant stratum needs one row,
+    * not a sample — take it from the frame head if required).
+    *
+    * One map-side-combinable aggregate over the data; everything after
+    * is windows over the stratum list (tiny by construction).
+    *
+    * @return per stratum: (stratum, n_rows, sd_micro, weight, alloc) */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val vm = expr(
+      s"CAST(floor(`$valueCol` * 1000000 + 0.5) AS BIGINT)")
+    val st = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(vm.cast("decimal(38,0)")).as("__sv"),
+        sum(expr(s"CAST(CAST(floor(`$valueCol` * 1000000 + 0.5) " +
+          "AS BIGINT) AS DECIMAL(38,0)) * " +
+          s"CAST(floor(`$valueCol` * 1000000 + 0.5) AS BIGINT)"))
+          .as("__svv"))
+      .withColumn("sd_micro",
+        expr("CAST(floor(sqrt(CAST(n_rows * __svv - __sv * __sv " +
+          "AS DOUBLE)) / CAST(n_rows AS DOUBLE) + 0.5) AS BIGINT)"))
+      .withColumn("weight", expr("n_rows * sd_micro"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("__rem").desc, col("stratum"))
+    st.withColumn("__W", sum("weight").over(wAll))
+      .withColumn("__a",
+        when(col("__W") > 0, expr(s"${budget}L * weight div __W"))
+          .otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__W") > 0, expr(s"(${budget}L * weight) % __W"))
+          .otherwise(lit(0L)))
+      .withColumn("__left", lit(budget) - sum("__a").over(wAll))
+      .withColumn("__rk", row_number().over(wRank).cast("long"))
+      .withColumn("alloc",
+        when(col("__W") > 0,
+          col("__a") + when(col("__rk") <= col("__left"), 1L)
+            .otherwise(0L)).otherwise(lit(0L)))
+      .select(col("stratum"), col("n_rows"), col("sd_micro"),
+        col("weight"), col("alloc"))
+  }
+
   /** GREEDY MAX-COVERAGE selection — the submodular "pick k documents
     * that together cover the most vocabulary" subset extractor
     * (facility-location family; the (1−1/e) greedy is the standard

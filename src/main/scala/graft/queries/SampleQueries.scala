@@ -673,6 +673,43 @@ private[graft] object SampleQueries {
         .mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Neyman allocation of a 10k-row sampling budget across the
+    * l_returnflag strata by l_quantity variability (see
+    * [[Sample.neymanAllocation]]): exact largest-remainder seats —
+    * Σ alloc = budget exactly, no float apportionment drift. */
+  private[graft] def qSampleNeyman(s: SparkSession, dir: String): DataFrame =
+    Sample.neymanAllocation(t(s, dir, "lineitem"), "l_returnflag",
+      "l_quantity", budget = 10000L)
+
+  private[graft] val oSampleNeyman = {
+    val vm = "CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)"
+    s"""WITH st AS (SELECT CAST(l_returnflag AS VARCHAR) AS stratum,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    sum(CAST($vm AS HUGEINT)) AS sv,
+      |    sum(CAST($vm AS HUGEINT) * $vm) AS svv
+      |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+      |sd AS (SELECT stratum, n_rows,
+      |    CAST(floor(sqrt(CAST(n_rows * svv - sv * sv AS DOUBLE))
+      |      / CAST(n_rows AS DOUBLE) + 0.5) AS BIGINT) AS sd_micro
+      |  FROM st),
+      |w AS (SELECT stratum, n_rows, sd_micro,
+      |    n_rows * sd_micro AS weight FROM sd),
+      |t AS (SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS tw FROM w),
+      |a AS (SELECT *,
+      |    CASE WHEN tw > 0 THEN 10000 * weight // tw
+      |      ELSE CAST(0 AS BIGINT) END AS fa,
+      |    CASE WHEN tw > 0 THEN (10000 * weight) % tw
+      |      ELSE CAST(0 AS BIGINT) END AS rem FROM t),
+      |l AS (SELECT *, 10000 - CAST(sum(fa) OVER () AS BIGINT) AS lft,
+      |    CAST(row_number() OVER (ORDER BY rem DESC, stratum) AS BIGINT)
+      |      AS rk FROM a)
+      |SELECT stratum, n_rows, sd_micro, CAST(weight AS BIGINT) AS weight,
+      |  CAST(CASE WHEN tw > 0 THEN fa +
+      |    (CASE WHEN rk <= lft THEN 1 ELSE 0 END)
+      |    ELSE 0 END AS BIGINT) AS alloc
+      |FROM l""".stripMargin
+  }
+
   /** Column-entropy profile over five categorical columns (see
     * [[Profile.entropy]]): Shannon H in micro-nats + evenness H/ln d —
     * the key-skew read that predicts shuffle hot spots before paying
@@ -1455,6 +1492,7 @@ private[graft] object SampleQueries {
     "quality_classifier_reload" -> (qQualityClassifierReload _),
     "sample_max_coverage" -> (qSampleMaxCoverage _),
     "profile_entropy" -> (qProfileEntropy _),
+    "sample_neyman" -> (qSampleNeyman _),
     "profile_chao" -> (qProfileChao _),
     "profile_fd" -> (qProfileFd _),
     "profile_ind" -> (qProfileInd _),
@@ -1501,6 +1539,7 @@ private[graft] object SampleQueries {
     "quality_classifier_reload" -> oQualityClassifierReload,
     "sample_max_coverage" -> oSampleMaxCoverage,
     "profile_entropy" -> oProfileEntropy,
+    "sample_neyman" -> oSampleNeyman,
     "profile_chao" -> oProfileChao,
     "profile_fd" -> oProfileFd,
     "profile_ind" -> oProfileInd,

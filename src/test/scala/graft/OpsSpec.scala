@@ -4652,6 +4652,21 @@ class OpsSpec extends SparkSpec {
     assert(driver.nonEmpty && dist == driver)
   }
 
+  test("neymanAllocation: sd rails, largest-remainder seats sum to budget") {
+    import spark.implicits._
+    // a: {0,2} sd 1; b: {0,0,0,8} sd sqrt(12); c: constant -> weight 0
+    val d = (Seq(("a", 0.0), ("a", 2.0), ("b", 0.0), ("b", 0.0),
+      ("b", 0.0), ("b", 8.0), ("c", 5.0), ("c", 5.0)))
+      .toDF("s", "v")
+    val got = Sample.neymanAllocation(d, "s", "v", budget = 10L)
+      .orderBy("stratum").collect()
+    assert(got(0).getLong(2) == 1000000L && got(1).getLong(2) == 3464102L)
+    assert(got(2).getLong(2) == 0L && got(2).getLong(4) == 0L)
+    // floors 1 and 8; b holds the largest remainder -> seats (1, 9, 0)
+    assert(got.map(_.getLong(4)).toSeq == Seq(1L, 9L, 0L))
+    assert(got.map(_.getLong(4)).sum == 10L, "seats sum to the budget")
+  }
+
   test("kendallTauB: perfect, reversed, and tie-corrected agreement") {
     import spark.implicits._
     def tau(pts: Seq[(Long, Long)]): org.apache.spark.sql.Row =
