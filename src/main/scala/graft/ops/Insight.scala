@@ -424,6 +424,36 @@ object Insight {
         col("z_ppm"), col("trend"))
   }
 
+  /** QUADRATIC-WEIGHTED Cohen's κ between two ORDINAL raters — the
+    * agreement read when categories have an order (quality tiers,
+    * readability bands): a one-off disagreement should cost less than
+    * a two-tier miss, which plain κ cannot express. Weights
+    * w_ij = (i−j)²; κ_w = 1 − Σw·O / Σw·E stays a ratio of EXACT
+    * integers by clearing E's 1/N: κ_w_ppm = (Σw·r·c − N·Σw·O)·10⁶
+    * div Σw·r·c (truncating signed div — cross-engine). One (a, b)
+    * count aggregate (map-side combinable); marginal products are a
+    * k×k cross join of two k-row frames.
+    *
+    * @return one row (n, w_obs, w_exp_n, kappa_w_ppm) — w_exp_n is
+    *         Σw·r·c (the N-scaled expected disagreement) */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val o = base.groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("(a - b) * (a - b) * c")).as("w_obs"),
+        sum("c").as("n"))
+    val r = base.groupBy("a").agg(count(lit(1)).as("ra"))
+    val c = base.groupBy("b").agg(count(lit(1)).as("cb"))
+    val e = r.crossJoin(c)
+      .agg(sum(expr("(a - b) * (a - b) * ra * cb")).as("w_exp_n"))
+    o.crossJoin(e)
+      .select(col("n"), col("w_obs"), col("w_exp_n"),
+        when(col("w_exp_n") > 0,
+          expr("(w_exp_n - n * w_obs) * 1000000 div w_exp_n"))
+          .as("kappa_w_ppm"))
+  }
+
   /** KENDALL τ-b rank correlation between two integer columns — the
     * "do my two quality signals agree" read (monotone association,
     * tie-corrected, no normality assumption — Pearson on these would

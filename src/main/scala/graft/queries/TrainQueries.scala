@@ -658,6 +658,50 @@ private[graft] object TrainQueries {
         (TextFunctions.qualityScore(col("text")) >= 0.75).as("b")),
       "a", "b")
 
+  /** Quadratic-weighted κ between two planted ORDINAL raters (see
+    * [[Insight.weightedKappa]]): rater A rates each order into 5 tiers
+    * (80% the unit's base tier, 20% hash noise); rater B echoes A
+    * shifted by a hash-derived −1/0/+1 clamped step — near-diagonal
+    * confusion mass, so the quadratic weights (one-off cheap, far miss
+    * expensive) are what the statistic actually measures. Exact
+    * integer rail end to end (E's 1/N cleared algebraically). */
+  private[graft] def qQualityWeightedKappa(s: SparkSession,
+                                           dir: String): DataFrame = {
+    def h(tag: String) = conv(substring(md5(concat_ws(":",
+      col("unit").cast("string"), lit(tag))), 1, 8), 16, 10).cast("long")
+    val rated = t(s, dir, "orders").select(col("o_orderkey").as("unit"))
+      .withColumn("a",
+        when(h("a") % 10 < 8, col("unit") % 5).otherwise(h("n") % 5))
+      .withColumn("b",
+        greatest(lit(0L), least(lit(4L),
+          col("a") + (h("s") % 3) - 1)))
+    Insight.weightedKappa(rated, "a", "b")
+  }
+
+  private[graft] val oQualityWeightedKappa = {
+    def hh(tag: String) =
+      s"('0x' || substr(md5(CAST(unit AS VARCHAR) || ':$tag'), 1, 8))::BIGINT"
+    s"""WITH u AS (SELECT o_orderkey AS unit FROM orders),
+       |ra AS (SELECT unit,
+       |    CASE WHEN ${hh("a")} % 10 < 8 THEN unit % 5
+       |      ELSE ${hh("n")} % 5 END AS a FROM u),
+       |rb AS (SELECT unit, a,
+       |    greatest(0, least(4, a + (${hh("s")} % 3) - 1)) AS b FROM ra),
+       |o AS (SELECT CAST(sum((a - b) * (a - b) * c) AS BIGINT) AS w_obs,
+       |    CAST(sum(c) AS BIGINT) AS n
+       |  FROM (SELECT a, b, count(*) AS c FROM rb GROUP BY 1, 2)),
+       |m AS (SELECT CAST(sum((r.a - c.b) * (r.a - c.b) * r.ra * c.cb)
+       |      AS BIGINT) AS w_exp_n
+       |  FROM (SELECT a, CAST(count(*) AS BIGINT) AS ra FROM rb
+       |    GROUP BY 1) r,
+       |  (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM rb
+       |    GROUP BY 1) c)
+       |SELECT n, w_obs, w_exp_n,
+       |  CASE WHEN w_exp_n > 0 THEN CAST((w_exp_n - n * w_obs) * 1000000
+       |    // w_exp_n AS BIGINT) END AS kappa_w_ppm
+       |FROM o, m""".stripMargin
+  }
+
   /** Krippendorff's α over a planted 3-rater annotation campaign (see
     * [[Insight.krippendorffAlpha]]): each order gets 3 md5-armed
     * ratings — 70% the unit's base category, 30% hash noise over 4
@@ -1896,6 +1940,7 @@ private[graft] object TrainQueries {
     "sample_budget_greedy" -> (qSampleBudgetGreedy _),
     "events_abtest" -> (qEventsAbtest _),
     "quality_kappa" -> (qQualityKappa _),
+    "quality_weighted_kappa" -> (qQualityWeightedKappa _),
     "quality_krippendorff" -> (qQualityKrippendorff _),
     "text_vocab_coverage" -> (qTextVocabCoverage _),
     "layout_rendezvous" -> (qLayoutRendezvous _),
@@ -1951,6 +1996,7 @@ private[graft] object TrainQueries {
     "sample_budget_greedy" -> oSampleBudgetGreedy,
     "events_abtest" -> oEventsAbtest,
     "quality_kappa" -> oQualityKappa,
+    "quality_weighted_kappa" -> oQualityWeightedKappa,
     "quality_krippendorff" -> oQualityKrippendorff,
     "text_vocab_coverage" -> oTextVocabCoverage,
     "layout_rendezvous" -> oLayoutRendezvous,

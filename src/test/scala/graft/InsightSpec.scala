@@ -858,6 +858,21 @@ class InsightSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------ Weighted kappa
+
+  test("weightedKappa: quadratic weights, perfect, hand case, anti-rater") {
+    def wk(pts: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+      Insight.weightedKappa(pts.toDF("a", "b"), "a", "b").head()
+    val perfect = wk(Seq((0L, 0L), (1L, 1L), (4L, 4L)))
+    assert(perfect.getLong(1) == 0L && perfect.getLong(3) == 1000000L)
+    // O: w 0+1+0+4 = 5; E_n = 10 + 18 = 28 -> (28 - 20)e6 div 28
+    val hand = wk(Seq((0L, 0L), (0L, 1L), (2L, 2L), (2L, 0L)))
+    assert(hand.getLong(1) == 5L && hand.getLong(2) == 28L &&
+      hand.getLong(3) == 285714L)
+    // systematic opposite rater: exactly -1e6
+    assert(wk(Seq((0L, 4L), (4L, 0L))).getLong(3) == -1000000L)
+  }
+
   // ---------------------------------------------------- Pareto frontier
 
   test("paretoFrontier: strict dominance, ties, and duplicate survivors") {
