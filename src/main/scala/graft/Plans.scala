@@ -35,7 +35,11 @@ object Plans {
       "web_html_text", "web_curation_pipeline",
       // r13 additions
       "doc_tokens_bytebpe", "text_lang_segments", "multimodal_audio_fp",
-      "sim_matryoshka")
+      "sim_matryoshka",
+      // r15 session-3 additions: the row-local codegen expressions and
+      // the single-exchange window identities are what to look for
+      "text_chrf", "text_mtld", "events_cusum", "dataset_knn_shapley",
+      "events_pareto", "sample_max_coverage")
 
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")
