@@ -300,6 +300,61 @@ object Insight {
         (col("s_lo") > col("h")).as("alarm_lo"))
   }
 
+  /** EWMA CONTROL CHART over gap-filled bucket counts — the
+    * exponentially-weighted drift monitor completing the family
+    * ([[cusum]] reacts to sustained shifts, this one to smoothed
+    * level drift with geometric memory): z_i = α·x_i + (1−α)·z_{i−1},
+    * α = 1/4 DYADIC so the recurrence is one exact integer step
+    * z_i = (x_i·10⁶ + 3·z_{i−1}) div 4, initialized at the warm-up
+    * baseline. Deviation band = (mu0+1)·10⁶ div 2 (the fixed-band
+    * chart variant; σ-based bands would put a float in every step).
+    *
+    * The truncating div per step makes the recurrence a FOLD, not a
+    * window sum — evaluated as one order-pinned HOF fold per key over
+    * the sorted bucket array (the [[holt]] idiom), emitting the whole
+    * z trajectory; per-key state is span-bounded (pick bucketUs so
+    * span/bucketUs stays collectable — hourly over a month = 720).
+    * The oracle replays the fold step-for-step in a recursive CTE.
+    *
+    * @return (key, bucket, x, z_micro, dev_micro, alarm) */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+           bucketUs: Long = 3600000000L, warmup: Int = 24): DataFrame = {
+    require(bucketUs > 0 && warmup >= 1, "bucketUs and warmup must be positive")
+    val bucket = expr(
+      s"unix_micros(cast(`$tsCol` as timestamp)) div ${bucketUs}L")
+    val counts = events.groupBy(col(keyCol).as("key"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val span = counts.groupBy("key")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+    val full = span
+      .select(col("key"), explode(expr("sequence(b0, b1)")).as("bucket"))
+      .join(counts, Seq("key", "bucket"), "left")
+      .withColumn("x", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("key").orderBy("bucket")
+    val seq0 = full.withColumn("rn", row_number().over(w).cast("long"))
+    val warm = seq0.filter(col("rn") <= warmup).groupBy("key")
+      .agg(sum("x").as("__ws"), count(lit(1)).as("__wn"))
+      .select(col("key"), expr("__ws div __wn").as("mu0"))
+    seq0.join(warm, Seq("key"))
+      .groupBy("key")
+      .agg(first("mu0").as("mu0"),
+        array_sort(collect_list(struct(col("bucket"), col("x"))))
+          .as("__a"))
+      .withColumn("__zs", expr(
+        "aggregate(__a, named_struct('prev', mu0 * 1000000L, " +
+          "'zs', CAST(array() AS ARRAY<BIGINT>)), (acc, e) -> " +
+          "named_struct('prev', (e.x * 1000000 + 3 * acc.prev) div 4, " +
+          "'zs', array_append(acc.zs, " +
+          "(e.x * 1000000 + 3 * acc.prev) div 4)), acc -> acc.zs)"))
+      .select(col("key"), col("mu0"),
+        posexplode(expr("arrays_zip(__a, __zs)")).as(Seq("__i", "__p")))
+      .select(col("key"), col("__p.__a.bucket").as("bucket"),
+        col("__p.__a.x").as("x"), col("__p.__zs").as("z_micro"),
+        (col("__p.__zs") - col("mu0") * lit(1000000L)).as("dev_micro"),
+        (abs(col("__p.__zs") - col("mu0") * lit(1000000L)) >
+          expr("(mu0 + 1) * 1000000 div 2")).as("alarm"))
+  }
+
   /** CLASSICAL ADDITIVE SEASONAL DECOMPOSITION (the moving-average
     * STL-lite) of per-key bucket counts — the model-free twin of
     * [[holtWinters]]: x = trend + seasonal + remainder, where trend is

@@ -134,6 +134,41 @@ private[graft] object InsightQueries {
       |  s_hi > h AS alarm_hi, s_lo > h AS alarm_lo
       |FROM s""".stripMargin
 
+  /** EWMA control chart over gap-filled hourly counts (see
+    * [[Insight.ewma]]): dyadic α = 1/4 keeps the recurrence one exact
+    * integer step per bucket; the oracle replays the fold in a
+    * recursive CTE with scalar z state. */
+  private[graft] def qEventsEwma(s: SparkSession, dir: String): DataFrame =
+    Insight.ewma(readEvents(s, dir), "event_type", "ts")
+
+  private[graft] val oEventsEwma =
+    """WITH RECURSIVE c AS (SELECT event_type AS key,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+      |  FROM c GROUP BY 1),
+      |f AS (SELECT key, unnest(generate_series(b0, b1)) AS bucket FROM sp),
+      |r AS MATERIALIZED (SELECT f.key, f.bucket,
+      |    CAST(coalesce(c.c, 0) AS BIGINT) AS x,
+      |    CAST(row_number() OVER (PARTITION BY f.key ORDER BY f.bucket)
+      |      AS BIGINT) AS rn
+      |  FROM f LEFT JOIN c ON c.key = f.key AND c.bucket = f.bucket),
+      |wm AS MATERIALIZED (SELECT key,
+      |    CAST(sum(x) // count(*) AS BIGINT) AS mu0
+      |  FROM r WHERE rn <= 24 GROUP BY 1),
+      |walk AS (
+      |  SELECT key, CAST(0 AS BIGINT) AS pos, mu0 * 1000000 AS z, mu0
+      |  FROM wm
+      |  UNION ALL
+      |  SELECT w.key, w.pos + 1, (r.x * 1000000 + 3 * w.z) // 4, w.mu0
+      |  FROM walk w JOIN r ON r.key = w.key AND r.rn = w.pos + 1)
+      |SELECT r.key, r.bucket, r.x, CAST(w.z AS BIGINT) AS z_micro,
+      |  CAST(w.z - w.mu0 * 1000000 AS BIGINT) AS dev_micro,
+      |  abs(w.z - w.mu0 * 1000000) > (w.mu0 + 1) * 1000000 // 2 AS alarm
+      |FROM walk w JOIN r ON r.key = w.key AND r.rn = w.pos
+      |WHERE w.pos >= 1""".stripMargin
+
   /** Classical additive seasonal decomposition of hourly rates at
     * period 24 (see [[Insight.seasonalDecompose]]): x = centered-MA
     * trend + re-centered per-slot seasonal + remainder, exact integer
@@ -2466,6 +2501,7 @@ private[graft] object InsightQueries {
     "events_cusum" -> (qEventsCusum _),
     "events_pareto" -> (qEventsPareto _),
     "events_decompose" -> (qEventsDecompose _),
+    "events_ewma" -> (qEventsEwma _),
     "events_trend_mk" -> (qEventsTrendMk _),
     "events_autocorr" -> (qEventsAutocorr _),
     "events_seasonality" -> (qEventsSeasonality _),
@@ -2536,6 +2572,7 @@ private[graft] object InsightQueries {
     "events_cusum" -> oEventsCusum,
     "events_pareto" -> oEventsPareto,
     "events_decompose" -> oEventsDecompose,
+    "events_ewma" -> oEventsEwma,
     "events_trend_mk" -> oEventsTrendMk,
     "events_autocorr" -> oEventsAutocorr,
     "events_seasonality" -> oEventsSeasonality,

@@ -828,6 +828,31 @@ class InsightSpec extends SparkSpec {
     assert(b.forall(r => r.getLong(5) == 0L && !r.getBoolean(7)))
   }
 
+  // -------------------------------------------------------------- EWMA
+
+  test("ewma: hand-replayed dyadic fold, baseline init, burst alarm") {
+    // 1-second buckets, warmup 2. Key a: x = [4,2,6,2], mu0 = 3 ->
+    // z = [3250000, 2937500, 3703125, 3277343] (trunc div each step).
+    // Key b: quiet warm-up (mu0 = 0, band 500000) then a burst.
+    val rows = (Seq.fill(4)(("a", 0)) ++ Seq.fill(2)(("a", 1)) ++
+      Seq.fill(6)(("a", 2)) ++ Seq.fill(2)(("a", 3)) ++
+      Seq(("b", 0)) ++ Seq.fill(20)(("b", 2)))
+      .map { case (k, sec) => (k, s"2024-01-01 00:00:0$sec") }
+    val df = rows.toDF("k", "ts")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"))
+    val got = Insight.ewma(df, "k", "ts", bucketUs = 1000000L, warmup = 2)
+      .orderBy("key", "bucket").collect()
+    val a = got.filter(_.getString(0) == "a")
+    assert(a.map(_.getLong(3)).toSeq ==
+      Seq(3250000L, 2937500L, 3703125L, 3277343L))
+    assert(a.map(_.getLong(4)).toSeq ==
+      Seq(250000L, -62500L, 703125L, 277343L))
+    assert(a.forall(!_.getBoolean(5)))
+    val b = got.filter(_.getString(0) == "b")
+    assert(b.map(_.getLong(3)).toSeq == Seq(250000L, 187500L, 5140625L))
+    assert(b.map(_.getBoolean(5)).toSeq == Seq(false, false, true))
+  }
+
   // ------------------------------------------------- Seasonal decompose
 
   test("seasonalDecompose: hand-replayed centered MA, slots, remainder") {
