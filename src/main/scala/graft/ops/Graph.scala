@@ -191,6 +191,61 @@ object Graph {
         round(col("rank_units").cast("double") / Scale, 6).as("trust"))
   }
 
+  /** PER-SEED personalized PageRank (labeled PPR) — [[trustRank]]
+    * gives ONE trust vector for a seed SET; this gives each seed its
+    * OWN proximity vector (π_s = α·e_s + (1−α)·Pᵀπ_s), the standard
+    * graph-relevance primitive behind "more like this seed" retrieval,
+    * PPR-seeded community extraction, and per-source influence audits.
+    *
+    * Same exact-integer rails as [[pagerank]] (Scale-units mass,
+    * truncating DIV per flow step, order-free BIGINT sums), but the
+    * state is SPARSE and LABELED: (label, id, mass) rows exist only
+    * where a seed's mass has actually reached — no |seeds|×|V| dense
+    * table, so per-iteration cost is |edges touched by live mass| ×
+    * live labels, and seeds are a bounded constant (harmonic-pivots
+    * rule). Each iteration is one (src-keyed join + (label, dst)
+    * aggregate); teleport returns each label's (1−d) to ITS OWN seed.
+    *
+    * @return top-`k` nodes per seed: (label, rank, id, mass_units) */
+  def pprTopK(edges: DataFrame, seeds: DataFrame, iterations: Int = 4,
+              k: Int = 10, dampingNum: Long = 85,
+              dampingDen: Long = 100): DataFrame = {
+    require(iterations >= 0 && k >= 1, "pprTopK: bad iterations/k")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      "damping must be a fraction in [0, 1]")
+    val shim = org.apache.spark.sql.GraftShim
+    val seedCol = seeds.columns.head
+    val (e, _) = shim.materializeHashPartitionedWithCount(
+      edges.select(col("src"), col("dst")), Seq("src"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val sd = seeds.select(col(seedCol).as("label")).distinct()
+      .localCheckpoint(true)
+    val teleport = Scale * (dampingDen - dampingNum) / dampingDen
+    val seedRows = sd.select(col("label"), col("label").as("id"),
+      lit(teleport).as("m"))
+    var state = sd.select(col("label"), col("label").as("id"),
+      lit(Scale).as("mass"))
+    for (it <- 1 to iterations) {
+      val inflow = e.join(state, e("src") === state("id"))
+        .join(outdeg, "src")
+        .select(state("label"), col("dst").as("id"),
+          expr("mass DIV outdeg").as("c"))
+        .groupBy("label", "id").agg(sum("c").as("inflow"))
+        .select(col("label"), col("id"),
+          expr(s"$dampingNum * inflow DIV $dampingDen").as("m"))
+      state = inflow.unionAll(seedRows)
+        .groupBy("label", "id").agg(sum("m").as("mass"))
+        .localCheckpoint(true)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      .orderBy(col("mass").desc, col("id"))
+    state.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("id"),
+        col("mass").as("mass_units"))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) on the exact-integer
     * rails of [[pagerank]]: a good HUB points at many good authorities
     * (hub(u) = Σ_{u→v} auth(v)); a good AUTHORITY is pointed at by many

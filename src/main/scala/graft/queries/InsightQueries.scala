@@ -531,6 +531,51 @@ private[graft] object InsightQueries {
        |FROM r5 ORDER BY u DESC, id LIMIT 20""".stripMargin
   }
 
+  /** Per-seed personalized PageRank over the co-purchase graph (see
+    * [[Graph.pprTopK]]): each of the 4 lowest part ids gets its OWN
+    * proximity vector (sparse labeled state, teleport to its own
+    * seed), top-10 per seed — the "more like this seed" relevance
+    * read the aggregate trustRank cannot answer. Exact Scale-unit
+    * rails; the oracle unrolls all 4 labeled iterations. */
+  private[graft] def qGraphPpr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val seeds = li.select(col("l_partkey").as("id")).distinct()
+      .orderBy("id").limit(4)
+    Graph.pprTopK(edges, seeds, iterations = 4, k = 10)
+  }
+
+  private[graft] val oGraphPpr = {
+    val iter = (k: Int) =>
+      s"""i$k AS (SELECT s.label, e.dst AS id,
+         |    CAST(85 * sum(s.mass // deg.outdeg) // 100 AS BIGINT) AS m
+         |  FROM s${k - 1} s JOIN e ON e.src = s.id
+         |    JOIN deg ON deg.src = e.src
+         |  GROUP BY 1, 2),
+         |s$k AS MATERIALIZED (SELECT label, id,
+         |    CAST(sum(m) AS BIGINT) AS mass FROM (
+         |  SELECT label, id, m FROM i$k
+         |  UNION ALL SELECT label, label AS id,
+         |    CAST((1000000000000 * 15) // 100 AS BIGINT) AS m FROM sd)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+       |  FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+       |  FROM g a JOIN g b USING (g) WHERE a.item <> b.item),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e
+       |  GROUP BY 1),
+       |sd AS MATERIALIZED (SELECT DISTINCT l_partkey AS label
+       |  FROM lineitem ORDER BY 1 LIMIT 4),
+       |s0 AS (SELECT label, label AS id,
+       |  CAST(1000000000000 AS BIGINT) AS mass FROM sd),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT label, CAST(rank AS BIGINT) AS rank, id,
+       |  mass AS mass_units
+       |FROM (SELECT label, id, mass, row_number() OVER (
+       |    PARTITION BY label ORDER BY mass DESC, id) AS rank FROM s4)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   /** Coreness of every part in the co-purchase graph after a FIXED 8
     * h-index iterations (not converged — the fixed count is the
     * cross-engine contract; production uses `converge = true`). Exact
@@ -2507,6 +2552,7 @@ private[graft] object InsightQueries {
     "events_seasonality" -> (qEventsSeasonality _),
     "source_orc_roundtrip" -> (qSourceOrcRoundtrip _),
     "graph_pagerank" -> (qGraphPagerank _),
+    "graph_ppr" -> (qGraphPpr _),
     "graph_triangles" -> (qGraphTriangles _),
     "graph_coreness" -> (qGraphCoreness _),
     "graph_kcore" -> (qGraphKcore _),
@@ -2578,6 +2624,7 @@ private[graft] object InsightQueries {
     "events_seasonality" -> oEventsSeasonality,
     "source_orc_roundtrip" -> oSourceOrcRoundtrip,
     "graph_pagerank" -> oGraphPagerank,
+    "graph_ppr" -> oGraphPpr,
     "graph_triangles" -> oGraphTriangles,
     "graph_coreness" -> oGraphCoreness,
     "graph_kcore" -> oGraphKcore,

@@ -4652,6 +4652,24 @@ class OpsSpec extends SparkSpec {
     assert(driver.nonEmpty && dist == driver)
   }
 
+  test("pprTopK: hand-replayed labeled mass flow, teleport to own seed") {
+    import spark.implicits._
+    // 1->2, 1->3, 2->1; seed {1}; Scale 1e12, teleport 1.5e11
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val one = Graph.pprTopK(e, seeds, iterations = 1, k = 10)
+      .orderBy("rank").collect()
+    // after 1 iter: 2 and 3 hold 85*(1e12/2) div 100; seed holds teleport
+    assert(one.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((2L, 425000000000L), (3L, 425000000000L), (1L, 150000000000L)))
+    val two = Graph.pprTopK(e, seeds, iterations = 2, k = 10)
+      .orderBy("rank").collect()
+    // iter 2: 2's mass returns (361.25e9) + teleport at the seed;
+    // 2/3 each get 85*(teleport/2) div 100; 3's mass vanishes (dangling)
+    assert(two.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 511250000000L), (2L, 63750000000L), (3L, 63750000000L)))
+  }
+
   test("neymanAllocation: sd rails, largest-remainder seats sum to budget") {
     import spark.implicits._
     // a: {0,2} sd 1; b: {0,0,0,8} sd sqrt(12); c: constant -> weight 0
