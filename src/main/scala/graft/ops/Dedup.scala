@@ -1045,21 +1045,35 @@ object Dedup {
       : (Array[DataFrame], DataFrame, DataFrame) = {
     require(maxPow >= 0 && maxPow <= 16, s"maxPow out of range: $maxPow")
     val cap = 1L << maxPow
+    // r15 (guide §3.1 + the r14 k-core precedent): every table in this
+    // operator is checkpointed and therefore carries NO size stats, so
+    // all ~4·maxPow joins planned SMJ — two exchanges and two sorts
+    // each, on (id, pos)-keyed tables that are TOKEN-count sized. The
+    // token count is known from the first materialization (GraftShim —
+    // the checkpoint job IS the count job), so every rank-table side
+    // now broadcasts under a row cap and the whole doubling + LCE
+    // cascade runs as hash probes with zero exchanges. Tokens are also
+    // materialized ONCE (the old spelling re-tokenized the corpus for
+    // the length table and again for rank 0).
+    val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
+    val (toksM, nToks) = mat(df.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w"))))
+    def maybeB(t: DataFrame): DataFrame =
+      if (nToks <= (4L << 20)) broadcast(t) else t
     // dense order-preserving rank of (kl, kr): distinct keys get their
-    // global sorted index (two-pass range shuffle), then join back
+    // global sorted index (two-pass range shuffle), then join back —
+    // the index table (≤ nToks rows) broadcasts under the cap
     def rerank(t: DataFrame): DataFrame =
       t.join(
-          Order.globalIndex(t.select("kl", "kr").distinct(),
-            struct(col("kl"), col("kr")), "r"),
+          maybeB(Order.globalIndex(t.select("kl", "kr").distinct(),
+            struct(col("kl"), col("kr")), "r")),
           Seq("kl", "kr"))
         .select("id", "pos", "r")
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
-    val lens = toks.groupBy("id")
+    val lens = toksM.groupBy("id")
       .agg((max(col("pos")) + 1).as("len")).localCheckpoint(true)
     // rank tables per power; ranks(p) orders depth-2^p prefixes
     val ranks = new Array[DataFrame](maxPow + 1)
-    ranks(0) = rerank(toks
+    ranks(0) = rerank(toksM
         .select(col("id"), col("pos"), col("w").as("kl"), lit("").as("kr")))
       .localCheckpoint(true)
     var p = 0
@@ -1067,7 +1081,7 @@ object Dedup {
       val k = 1 << p
       val cur = ranks(p)
       ranks(p + 1) = rerank(cur.as("a")
-          .join(cur.as("b"),
+          .join(maybeB(cur.as("b")),
             col("a.id") === col("b.id") &&
               col("b.pos") === col("a.pos") + lit(k), "left")
           .select(col("a.id").as("id"), col("a.pos").as("pos"),
@@ -1076,11 +1090,13 @@ object Dedup {
       p += 1
     }
     // suffix order (exact to depth 2^maxPow; ties beyond share LCP ≥
-    // cap, so any tiebreak is safe) → adjacent-neighbor pairs
-    val indexed = Order.globalIndex(ranks(maxPow),
-      struct(col("r"), col("id"), col("pos")), "g")
+    // cap, so any tiebreak is safe) → adjacent-neighbor pairs; the
+    // index is materialized once so the self-join's broadcast build
+    // does not re-run the range shuffle
+    val (indexed, _) = mat(Order.globalIndex(ranks(maxPow),
+      struct(col("r"), col("id"), col("pos")), "g"))
     var pairs = indexed.as("a")
-      .join(indexed.as("b"), col("b.g") === col("a.g") + 1)
+      .join(maybeB(indexed.as("b")), col("b.g") === col("a.g") + 1)
       .select(col("a.id").as("ida"), col("a.pos").as("posa"),
         col("b.id").as("idb"), col("b.pos").as("posb"))
       .withColumn("ext", lit(0L))
@@ -1092,10 +1108,10 @@ object Dedup {
       val ra = ranks(p).withColumnRenamed("r", "ra")
       val rb = ranks(p).withColumnRenamed("r", "rb")
       pairs = pairs
-        .join(ra, col("ida") === ra("id") &&
+        .join(maybeB(ra), col("ida") === ra("id") &&
           ra("pos") === col("posa") + col("ext"), "left")
         .drop("id", "pos")
-        .join(rb, col("idb") === rb("id") &&
+        .join(maybeB(rb), col("idb") === rb("id") &&
           rb("pos") === col("posb") + col("ext"), "left")
         .drop("id", "pos")
         .withColumn("ext",
@@ -1109,7 +1125,7 @@ object Dedup {
     // agreement to the common end), cap, and take each doc's best
     val la = lens.select(col("id").as("ida"), col("len").as("lena"))
     val lb = lens.select(col("id").as("idb"), col("len").as("lenb"))
-    val lce = pairs.join(la, "ida").join(lb, "idb")
+    val lce = pairs.join(maybeB(la), "ida").join(maybeB(lb), "idb")
       .withColumn("lce",
         least(col("ext"), col("lena") - col("posa"),
           col("lenb") - col("posb"), lit(cap)))
@@ -1163,28 +1179,35 @@ object Dedup {
     require((1L << maxPow) >= minLen,
       s"cap 2^$maxPow below minLen $minLen: no span can qualify")
     val (ranks, _, posD0) = positionDupLens(df, textCol, idCol, maxPow)
-    val posD = posD0.localCheckpoint(true) // feeds occ filter + maximality
+    // r15: counts from the materializations drive broadcast hints on
+    // every small-side join below (same rationale as positionDupLens —
+    // checkpointed tables carry no stats, so these all planned SMJ)
+    val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
+    val (posD, nPos) = mat(posD0) // feeds occ filter + maximality
+    def maybeB(t: DataFrame, n: Long): DataFrame =
+      if (n <= (4L << 20)) broadcast(t) else t
     val occ = posD.filter(col("d") >= minLen)
-      .join(posD.select(col("id"), (col("pos") + 1).as("pos"),
-          col("d").as("dprev")),
+      .join(maybeB(posD.select(col("id"), (col("pos") + 1).as("pos"),
+          col("d").as("dprev")), nPos),
         Seq("id", "pos"), "left")
       .filter(col("dprev").isNull || col("dprev") =!= col("d") + 1)
       .select(col("id"), col("pos"), col("d"))
-    val keyed = (0 to maxPow).map { p =>
+    val (keyed, nKeyed) = mat((0 to maxPow).map { p =>
       val w = 1 << p
       val r1 = ranks(p).select(col("id").as("i1"), col("pos").as("p1"),
         col("r").as("r1"))
       val r2 = ranks(p).select(col("id").as("i2"), col("pos").as("p2"),
         col("r").as("r2"))
       occ.filter(col("d") >= w && col("d") <= 2L * w - 1)
-        .join(r1, col("id") === col("i1") && col("pos") === col("p1"))
-        .join(r2, col("id") === col("i2") &&
+        .join(maybeB(r1, nPos),
+          col("id") === col("i1") && col("pos") === col("p1"))
+        .join(maybeB(r2, nPos), col("id") === col("i2") &&
           col("p2") === col("pos") + col("d").cast("int") - w)
         .select(col("id"), col("pos"), col("d"), col("r1"), col("r2"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _))
     val keep = keyed.groupBy("d", "r1", "r2")
       .agg(min(struct(col("id"), col("pos"))).as("__keep"))
-    val covered = keyed.join(keep, Seq("d", "r1", "r2"))
+    val covered = keyed.join(maybeB(keep, nKeyed), Seq("d", "r1", "r2"))
       .filter(struct(col("id"), col("pos")) =!= col("__keep"))
       .select(col("id"),
         explode(sequence(col("pos"),
@@ -1192,7 +1215,8 @@ object Dedup {
       .distinct()
     val tokens = df.select(col(idCol).as("id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
-    val kept = tokens.join(covered, Seq("id", "pos"), "left_anti")
+    val kept = tokens.join(maybeB(covered, nKeyed << maxPow),
+      Seq("id", "pos"), "left_anti")
     val rebuilt = kept.groupBy("id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("w")))),

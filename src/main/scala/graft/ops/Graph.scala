@@ -99,10 +99,26 @@ object Graph {
     val teleport = (Scale * (dampingDen - dampingNum) / dampingDen) / n
     var ranks = vertices.withColumn("rank_units", lit(Scale / n))
     for (it <- 1 to iterations) {
-      val inflow = e.join(maybeB(ranks), e("src") === ranks("id"))
-        .join(maybeB(outdeg), "src")
+      // r15 (guide §2.3/§3): outdeg rides the per-iteration VERTEX
+      // broadcast instead of a second broadcast probe over the
+      // stationary edge list — the 2m-row edge stream passes ONE join
+      // per iteration, and the outdeg⋈ranks join costs |V| rows inside
+      // the broadcast build. For the unweighted case the per-edge term
+      // (rank_units * 1 DIV outdeg) is a per-VERTEX constant, so the
+      // integer division is precomputed on the |V| broadcast rows —
+      // identical arithmetic, 2m divisions fewer per iteration.
+      // Dangling vertices drop from the inner join exactly as they
+      // never matched the edge join before. outdeg broadcasts under
+      // the same vertex cap so the fold join is itself exchange-free
+      // (the zero-shuffle iteration pin stays green).
+      val rs0 = ranks.join(maybeB(outdeg), ranks("id") === outdeg("src"))
+      val rs = if (weightCol.isEmpty)
+        rs0.select(col("src"), expr("rank_units DIV outdeg").as("__q"))
+      else rs0.select(col("src"), col("rank_units"), col("outdeg"))
+      val inflow = e.join(maybeB(rs), Seq("src"))
         .select(col("dst").as("id"),
-          expr("rank_units * __w DIV outdeg").as("c"))
+          (if (weightCol.isEmpty) col("__q")
+           else expr("rank_units * __w DIV outdeg")).as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
       val next = vertices.join(inflow, Seq("id"), "left")
         .select(col("id"),
@@ -171,10 +187,18 @@ object Graph {
     var ranks = vertices.withColumn("rank_units",
       when(col("__seed"), lit(Scale / nSeeds)).otherwise(lit(0L)))
     for (it <- 1 to iterations) {
-      val inflow = e.join(maybeB(ranks), e("src") === ranks("id"))
-        .join(maybeB(outdeg), "src")
+      // r15: outdeg folded into the per-iteration vertex broadcast —
+      // see [[pagerank]] (one edge-stream join per iteration; the
+      // unweighted per-edge term precomputes per vertex; outdeg
+      // broadcasts under the same cap to keep the fold exchange-free)
+      val rs0 = ranks.join(maybeB(outdeg), ranks("id") === outdeg("src"))
+      val rs = if (weightCol.isEmpty)
+        rs0.select(col("src"), expr("rank_units DIV outdeg").as("__q"))
+      else rs0.select(col("src"), col("rank_units"), col("outdeg"))
+      val inflow = e.join(maybeB(rs), Seq("src"))
         .select(col("dst").as("id"),
-          expr("rank_units * __w DIV outdeg").as("c"))
+          (if (weightCol.isEmpty) col("__q")
+           else expr("rank_units * __w DIV outdeg")).as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
       val next = vertices.join(inflow, Seq("id"), "left")
         .select(col("id"), col("__seed"),
@@ -227,10 +251,15 @@ object Graph {
     var state = sd.select(col("label"), col("label").as("id"),
       lit(Scale).as("mass"))
     for (it <- 1 to iterations) {
-      val inflow = e.join(state, e("src") === state("id"))
-        .join(outdeg, "src")
-        .select(state("label"), col("dst").as("id"),
-          expr("mass DIV outdeg").as("c"))
+      // r15: the per-edge flow (mass DIV outdeg) is constant per
+      // SOURCE state row — precompute it on the sparse state table
+      // (state ⋈ outdeg, state-sized) so the edge expansion passes one
+      // join and zero divisions (identical integer arithmetic; the
+      // pagerank outdeg-fold, see there)
+      val st = state.join(outdeg, state("id") === outdeg("src"))
+        .select(col("label"), col("src"), expr("mass DIV outdeg").as("__q"))
+      val inflow = e.join(st, Seq("src"))
+        .select(col("label"), col("dst").as("id"), col("__q").as("c"))
         .groupBy("label", "id").agg(sum("c").as("inflow"))
         .select(col("label"), col("id"),
           expr(s"$dampingNum * inflow DIV $dampingDen").as("m"))
@@ -360,12 +389,21 @@ object Graph {
     * [[coOccurrenceEdges]] shape) or an undirected one; self-loops and
     * duplicates are dropped by the canonicalization. */
   def triangleStats(edges: DataFrame,
-                    broadcastEdgeCap: Long = 4L << 20): DataFrame = {
-    val e = edges
+                    broadcastEdgeCap: Long = 4L << 20,
+                    assumeCanonical: Boolean = false): DataFrame = {
+    // assumeCanonical: skip the least/greatest + distinct pre-shuffle
+    // when the caller guarantees (src < dst, deduplicated) input — the
+    // labelPropagation opt-in (r14), adopted family-wide in the r15
+    // optimization round (guide §2.4: a distinct on already-unique
+    // rows is a removable edge-sized exchange). Wrong input silently
+    // miscounts, so it stays opt-in.
+    val e = (if (assumeCanonical)
+      edges.select(col("src").as("u"), col("dst").as("v"))
+    else edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
       .localCheckpoint(true)
     // cheap action on checkpointed blocks; picks the join strategy below
     val m = e.count()
@@ -456,10 +494,16 @@ object Graph {
     *              self-loops and duplicates are dropped)
     * @return (id, coreness INT) for every non-isolated vertex */
   def coreness(edges: DataFrame, iterations: Int = 8,
-               converge: Boolean = false): DataFrame = {
+               converge: Boolean = false,
+               assumeCanonical: Boolean = false): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    // symmetric adjacency: each undirected edge contributes both rows
-    val canon = edges
+    // symmetric adjacency: each undirected edge contributes both rows.
+    // assumeCanonical skips the re-canonicalization distinct when the
+    // input is already (src < dst, distinct) — the labelPropagation
+    // opt-in (r14), adopted family-wide r15 (guide §2.4)
+    val canon = if (assumeCanonical)
+      edges.select(col("src").as("u"), col("dst").as("v"))
+    else edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -557,15 +601,27 @@ object Graph {
     *
     * @return surviving canonical edges (src < dst) */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100,
-            broadcastVertexCap: Long = 4L << 20): DataFrame = {
+            broadcastVertexCap: Long = 4L << 20,
+            assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     // every materialization folds its row count into the checkpoint
     // job (GraftShim) — the peel loop needs BOTH per round (broadcast
     // eligibility + termination), and the eager-checkpoint +
     // separate-count spelling paid 4 jobs/round where 2 suffice (the
-    // r13 betweenness action-economy contract, adopted family-wide r14)
+    // r13 betweenness action-economy contract, adopted family-wide r14).
+    // assumeCanonical: skip the re-canonicalization distinct on
+    // guaranteed (src < dst, distinct) input (r15 opt; guide §2.4)
+    // r15 audit note: a declared-hash(id) adjacency peel (zero
+    // per-round exchange via a layout-preserving re-materialization)
+    // was prototyped and MEASURED SLOWER (4.10 → 4.84 s min on the
+    // bench k-core, within-window ratio vs coreness 1.46 → 1.75): the
+    // round's degree exchange only carries vertex-sized rows after
+    // map-side combine, while the adjacency spelling doubles the
+    // per-round checkpoint copy volume (2m vs m rows). Reverted —
+    // kept the r14 canonical-edge loop below.
     val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
-    var (e, m) = mat(edges
+    var (e, m) = mat(if (assumeCanonical) edges.select("src", "dst")
+    else edges
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -681,12 +737,16 @@ object Graph {
     * crawl/co-purchase graphs) give r < 0; r is null for degree-regular
     * graphs (zero variance). */
   def assortativity(edges: DataFrame,
-                    broadcastVertexCap: Long = 4L << 20): DataFrame = {
-    val e = edges
+                    broadcastVertexCap: Long = 4L << 20,
+                    assumeCanonical: Boolean = false): DataFrame = {
+    // assumeCanonical: see [[triangleStats]] (r15, guide §2.4)
+    val e = (if (assumeCanonical)
+      edges.select(col("src").as("u"), col("dst").as("v"))
+    else edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
       .localCheckpoint(true)
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
@@ -742,12 +802,16 @@ object Graph {
     * @return (id, deg BIGINT, triangles BIGINT, lcc_micro BIGINT,
     *         lcc DOUBLE) */
   def localClustering(edges: DataFrame,
-                      broadcastEdgeCap: Long = 4L << 20): DataFrame = {
-    val e = edges
+                      broadcastEdgeCap: Long = 4L << 20,
+                      assumeCanonical: Boolean = false): DataFrame = {
+    // assumeCanonical: see [[triangleStats]] (r15, guide §2.4)
+    val e = (if (assumeCanonical)
+      edges.select(col("src").as("u"), col("dst").as("v"))
+    else edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
       .localCheckpoint(true)
     val m = e.count()
     def maybeB(df: DataFrame): DataFrame =
@@ -768,26 +832,40 @@ object Graph {
     // Edge-iterator closure (see [[triangleStats]]): per oriented edge
     // (s, t), ws = N⁺(s) ∩ N⁺(t) lists this edge's triangles' third
     // corners. Each found triangle increments s and t by |ws| and each
-    // w by 1 — emitted as ONE exploded struct array per edge, so the
-    // corner stream is 2m + 3·T rows, never the wedge stream.
+    // w by 1.
+    //
+    // r15 (guide §1.2 per-task work): the old single-generator
+    // emission built concat(array(structs), transform(ws, ...)) per
+    // edge — `transform` is a CodegenFallback higher-order function,
+    // so the WHOLE 2m+3T corner stream was produced in interpreted
+    // mode (profiled 4.6 s vs 0.9 s for the identical joins +
+    // intersect with a plain size()). Now the intersection is
+    // computed ONCE into a checkpoint (arrays total T elements) and
+    // consumed by three fully-codegen aggregates: endpoint sums over
+    // the edge rows and a plain explode of ws for the apex counts —
+    // same corner multiset, same integer totals.
     val nbrs = o.groupBy("s").agg(sort_array(collect_list(col("t"))).as("ns"))
       .localCheckpoint(true)
     val empty = slice(col("ns"), 1, 0) // typed empty array
     val ws = coalesce(when(col("nt").isNotNull,
       array_intersect(col("ns"), col("nt"))), empty)
-    val cEdge = size(ws).cast("long")
-    val tri = o
+    val withWs = o
       .join(maybeB(nbrs), "s")
       .join(maybeB(nbrs.select(col("s").as("t"), col("ns").as("nt"))),
         Seq("t"), "left")
-      // explode_outer: the inferred size() > 0 filter would rebuild
-      // the whole per-edge wedge array a second time (r14 sweep)
-      .select(explode_outer(concat(
-        array(struct(col("s").as("id"), cEdge.as("k")),
-          struct(col("t").as("id"), cEdge.as("k"))),
-        transform(ws, w => struct(w.as("id"), lit(1L).as("k"))))).as("x"))
-      .filter(col("x").isNotNull)
-      .groupBy(col("x.id").as("id")).agg(sum(col("x.k")).as("tri"))
+      .select(col("s"), col("t"), size(ws).cast("long").as("c"),
+        ws.as("ws"))
+      .localCheckpoint(true)
+    val endpoints = withWs.select(col("s").as("id"), col("c"))
+      .unionAll(withWs.select(col("t").as("id"), col("c")))
+      .groupBy("id").agg(sum("c").as("tri_st"))
+    val apexes = withWs.select(explode(col("ws")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri_w"))
+    // every vertex with an edge appears as an endpoint of some
+    // oriented edge, so the endpoint aggregate covers the vertex set
+    val tri = endpoints.join(apexes, Seq("id"), "left")
+      .select(col("id"),
+        (col("tri_st") + coalesce(col("tri_w"), lit(0L))).as("tri"))
     deg.join(tri, Seq("id"), "left")
       .select(col("id"), col("d").as("deg"),
         coalesce(col("tri"), lit(0L)).as("triangles"))
@@ -827,12 +905,16 @@ object Graph {
     *         with u < v, non-adjacent pairs only */
   def commonNeighbors(edges: DataFrame,
                       maxCenterDeg: Option[Long] = None,
-                      broadcastVertexCap: Long = 4L << 20): DataFrame = {
-    val e = edges
+                      broadcastVertexCap: Long = 4L << 20,
+                      assumeCanonical: Boolean = false): DataFrame = {
+    // assumeCanonical: see [[triangleStats]] (r15, guide §2.4)
+    val e = (if (assumeCanonical)
+      edges.select(col("src").as("u"), col("dst").as("v"))
+    else edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
       .localCheckpoint(true)
     val adj = e.select(col("u").as("id"), col("v").as("nbr"))
       .unionAll(e.select(col("v").as("id"), col("u").as("nbr")))
@@ -884,35 +966,62 @@ object Graph {
 
   /** Canonical (src < dst, distinct) co-occurrence pairs — the
     * undirected half of [[coOccurrenceEdges]] and the natural input for
-    * [[triangleStats]]: the within-group self-join emits each unordered
-    * pair once, so the dedup shuffle carries half the rows. */
+    * [[triangleStats]].
+    *
+    * r15 optimization (guide §2.3/§2.4): ONE exchange builds the
+    * per-group sorted item set (collect_set dedups (g, item) inside
+    * the same aggregate — the old spelling's separate distinct), and
+    * pairs are emitted IN PLACE by two generators (each element joined
+    * with the tail of its own sorted array), so the within-group
+    * self-join — which re-exchanged the deduplicated items on g for
+    * BOTH join sides (the rename blocks exchange reuse) and paid two
+    * sorts — disappears. Plan went 4 exchanges + SMJ → 2 exchanges,
+    * measured 1.75 s → ~1.0 s on the sf0.1 co-purchase build (3-rep
+    * mins, same window). Pair volume and the final cross-group dedup
+    * are unchanged — still quadratic in GROUP size only, bounded by
+    * the largest basket. sort_array pins ascending order, so src < dst
+    * by the item type's natural ordering, exactly as the old
+    * item < item2 filter; collect_set drops null items like the old
+    * null-rejecting < predicate. */
   def coOccurrenceEdgesCanonical(df: DataFrame, groupCol: String,
                                  itemCol: String): DataFrame = {
-    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
-      .distinct()
-    g.join(g.withColumnRenamed("item", "item2"), "g")
-      .filter(col("item") < col("item2"))
-      .select(col("item").as("src"), col("item2").as("dst"))
+    df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .groupBy("g")
+      .agg(sort_array(collect_set(col("item"))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("i", "src")), col("xs"))
+      .select(col("src"),
+        explode(slice(col("xs"), col("i") + lit(2),
+          greatest(size(col("xs")) - col("i") - lit(1), lit(0))))
+          .as("dst"))
       .distinct()
   }
 
   /** WEIGHTED co-occurrence edges: [[coOccurrenceEdges]] with
     * w = the number of groups the pair shares (both directions).
     * Same canonical-half trick — co-occurrence counts are symmetric
-    * (|{g : a,b ∈ g}| = |{g : b,a ∈ g}|), so the self-join emits each
-    * unordered pair ONCE (src < dst), the counting aggregate shuffles
-    * HALF the pair volume, and the mirror directions are unioned onto
-    * the checkpointed counts for free. The naive both-directions
-    * spelling (filter `!=` + groupBy over 2× the rows) was exactly why
-    * graph_pagerank_weighted trailed its unweighted peer (r14 weak
-    * flag): same iteration rails, double the edge-build shuffle. */
+    * (|{g : a,b ∈ g}| = |{g : b,a ∈ g}|), so the generator emits each
+    * unordered pair ONCE per group (src < dst), the counting aggregate
+    * shuffles HALF the pair volume, and the mirror directions are
+    * unioned onto the checkpointed counts for free. The naive
+    * both-directions spelling (filter `!=` + groupBy over 2× the rows)
+    * was exactly why graph_pagerank_weighted trailed its unweighted
+    * peer (r14 weak flag): same iteration rails, double the edge-build
+    * shuffle. */
   def coOccurrenceEdgesWeighted(df: DataFrame, groupCol: String,
                                 itemCol: String): DataFrame = {
-    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
-      .distinct()
-    val c = g.join(g.withColumnRenamed("item", "item2"), "g")
-      .filter(col("item") < col("item2"))
-      .groupBy(col("item").as("src"), col("item2").as("dst"))
+    // r15: same join-free generator emission as
+    // [[coOccurrenceEdgesCanonical]] — each unordered pair appears
+    // exactly once per group, so the counting aggregate over the
+    // emitted stream reproduces the shared-group count bit for bit
+    val c = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .groupBy("g")
+      .agg(sort_array(collect_set(col("item"))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("i", "src")), col("xs"))
+      .select(col("src"),
+        explode(slice(col("xs"), col("i") + lit(2),
+          greatest(size(col("xs")) - col("i") - lit(1), lit(0))))
+          .as("dst"))
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
     c.unionAll(c.select(col("dst").as("src"), col("src").as("dst"), col("w")))
@@ -993,7 +1102,8 @@ object Graph {
     * @param seeds one-column frame of seed vertex ids (column `id`)
     * @return (id, dist) — dist 0 for seeds, ≤ maxHops elsewhere */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6,
-                   broadcastVertexCap: Long = 4L << 20): DataFrame = {
+                   broadcastVertexCap: Long = 4L << 20,
+                   assumeDistinct: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     // r14 action economy (the betweenness r13 contract): each hop's
     // frontier materializes through GraftShim — the checkpoint job IS
@@ -1004,10 +1114,15 @@ object Graph {
     val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
     // dst-partitioned ONCE: the per-hop frontier distinct keys on
     // dst and the broadcast probes preserve this partitioning — no
-    // per-hop exchange (r14 co-partitioning trick)
+    // per-hop exchange (r14 co-partitioning trick). assumeDistinct:
+    // skip the dedup when the caller guarantees a deduplicated edge
+    // list (duplicate edges don't change BFS REACHABILITY, but they
+    // would inflate the per-hop frontier expansion, so the dedup is
+    // kept by default; r15 opt, guide §2.4)
     val (e, _) = org.apache.spark.sql.GraftShim
       .materializeHashPartitionedWithCount(
-        edges.select(col("src"), col("dst")).distinct(), Seq("dst"))
+        if (assumeDistinct) edges.select(col("src"), col("dst"))
+        else edges.select(col("src"), col("dst")).distinct(), Seq("dst"))
     def maybeB(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastVertexCap) broadcast(df) else df
     val (seed0, n0) = mat(seeds.select(col("id")).distinct())
@@ -1060,16 +1175,19 @@ object Graph {
     * @return (label, id, dist) with dist ≤ maxHops, dist 0 = the seed */
   def bfsDistancesLabeled(edges: DataFrame, seeds: DataFrame,
                           maxHops: Int = 6,
-                          broadcastRowCap: Long = 4L << 20): DataFrame = {
+                          broadcastRowCap: Long = 4L << 20,
+                          assumeDistinct: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     // same one-job-per-hop shape as [[bfsDistances]] (r14)
     val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
     // dst-partitioned ONCE: the per-hop frontier distinct keys on
     // dst and the broadcast probes preserve this partitioning — no
-    // per-hop exchange (r14 co-partitioning trick)
+    // per-hop exchange (r14 co-partitioning trick). assumeDistinct:
+    // see [[bfsDistances]] (r15, guide §2.4)
     val (e, _) = org.apache.spark.sql.GraftShim
       .materializeHashPartitionedWithCount(
-        edges.select(col("src"), col("dst")).distinct(), Seq("dst"))
+        if (assumeDistinct) edges.select(col("src"), col("dst"))
+        else edges.select(col("src"), col("dst")).distinct(), Seq("dst"))
     def maybeB(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastRowCap) broadcast(df) else df
     val (seed0, n0) = mat(seeds.select(col("label"), col("id")).distinct())
@@ -1107,9 +1225,11 @@ object Graph {
     * Pivots themselves are excluded from their own sum (dist 0).
     * Cost: [[bfsDistancesLabeled]] + one hash aggregate. */
   def harmonicCentrality(edges: DataFrame, pivots: DataFrame,
-                         maxHops: Int = 4): DataFrame =
+                         maxHops: Int = 4,
+                         assumeDistinct: Boolean = false): DataFrame =
     bfsDistancesLabeled(edges,
-        pivots.select(col("id"), col("id").as("label")), maxHops)
+        pivots.select(col("id"), col("id").as("label")), maxHops,
+        assumeDistinct = assumeDistinct)
       .filter(col("dist") > 0)
       .groupBy("id")
       .agg(count(lit(1)).as("n_pivots"),
@@ -1155,16 +1275,20 @@ object Graph {
     * @return (id, bc_micro) for non-pivot vertices with bc_micro > 0 */
   def betweennessPivots(edges: DataFrame, pivots: DataFrame,
                         maxHops: Int = 3,
-                        broadcastRowCap: Long = 4L << 20): DataFrame = {
+                        broadcastRowCap: Long = 4L << 20,
+                        assumeDistinct: Boolean = false): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
     val mat = org.apache.spark.sql.GraftShim.materializeWithCount _
     // dst-partitioned ONCE: each forward level's grouped frontier
     // aggregate keys on (label, dst) and the broadcast frontier join
     // preserves this partitioning, so the per-level exchange vanishes
-    // (the r14 coreness co-partitioning trick)
+    // (the r14 coreness co-partitioning trick). assumeDistinct: skip
+    // the dedup on guaranteed-deduplicated input — a duplicate edge
+    // would double-count σ paths, so it stays opt-in (r15, guide §2.4)
     val (e, _) = org.apache.spark.sql.GraftShim
       .materializeHashPartitionedWithCount(
-        edges.select(col("src"), col("dst")).distinct(), Seq("dst"))
+        if (assumeDistinct) edges.select(col("src"), col("dst"))
+        else edges.select(col("src"), col("dst")).distinct(), Seq("dst"))
     def maybeB(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastRowCap) broadcast(df) else df
     // forward: levels(h) = (label, id, sig); per-level counts retained
@@ -1206,12 +1330,25 @@ object Graph {
     def accSlice(df: DataFrame) = df.select("label", "id", "d")
     var acc = if (maxL > 0) accSlice(delta) else accSlice(delta).limit(0)
     for (k <- (maxL - 1) to 0 by -1) {
-      val dkAgg = e
-        .join(maybeB(delta.select(col("label"), col("id").as("dst"),
-            col("sig").as("__sw"), col("d").as("__dw")), nLevels(k + 1)),
-          Seq("dst"))
-        .join(maybeB(levels(k).select(col("label"), col("id").as("src"),
-            col("sig").as("__sv")), nLevels(k)), Seq("label", "src"))
+      // r15 join-ORDER fix (guide §3.1): probe the stationary edge
+      // list with the SMALLER level first, so the between-joins
+      // intermediate is Σ outdeg over the small side, not the big one.
+      // At 8 pivots / 3 hops the old fixed order expanded e through
+      // the near-vertex-sized level-2 delta (~14M intermediate rows at
+      // sf0.1) before the ~1k-row level-1 filter could cut it; with
+      // the level counts already on hand the cheap side is known
+      // exactly. Inner joins commute — identical rows, same aggregate.
+      val dSide = delta.select(col("label"), col("id").as("dst"),
+        col("sig").as("__sw"), col("d").as("__dw"))
+      val vSide = levels(k).select(col("label"), col("id").as("src"),
+        col("sig").as("__sv"))
+      val expanded = if (nLevels(k) < nLevels(k + 1))
+        e.join(maybeB(vSide, nLevels(k)), Seq("src"))
+          .join(maybeB(dSide, nLevels(k + 1)), Seq("label", "dst"))
+      else
+        e.join(maybeB(dSide, nLevels(k + 1)), Seq("dst"))
+          .join(maybeB(vSide, nLevels(k)), Seq("label", "src"))
+      val dkAgg = expanded
         .groupBy(col("label"), col("src").as("id"))
         .agg(sum(expr(
           "CAST(__sv AS DECIMAL(38,0)) * (1000000 + __dw) div __sw"))
@@ -1252,10 +1389,14 @@ object Graph {
     * @return (start, walk_id, path) — path = space-joined node ids,
     *         steps+1 entries */
   def walkCorpus(edges: DataFrame, steps: Int = 3, walksPerNode: Int = 1,
-                 broadcastVertexCap: Long = 4L << 20): DataFrame = {
+                 broadcastVertexCap: Long = 4L << 20,
+                 assumeCanonical: Boolean = false): DataFrame = {
     require(steps >= 1, "walkCorpus needs steps >= 1")
     require(walksPerNode >= 1, "walkCorpus needs walksPerNode >= 1")
-    val canon = edges
+    // assumeCanonical: see [[triangleStats]] (r15, guide §2.4)
+    val canon = if (assumeCanonical)
+      edges.select(col("src").as("u"), col("dst").as("v"))
+    else edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -1311,14 +1452,18 @@ object Graph {
     * @param k     truss order (k ≥ 3; support threshold = k − 2)
     * @return surviving (u, v, support) — support within the survivors */
   def ktruss(edges: DataFrame, k: Int, iterations: Int = 2,
-             broadcastEdgeCap: Long = 4L << 20): DataFrame = {
+             broadcastEdgeCap: Long = 4L << 20,
+             assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 3, "ktruss needs k >= 3")
     require(iterations >= 0, "iterations must be >= 0")
-    var e = edges
+    // assumeCanonical: see [[triangleStats]] (r15, guide §2.4)
+    var e = (if (assumeCanonical)
+      edges.select(col("src").as("u"), col("dst").as("v"))
+    else edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
       .localCheckpoint(true)
     def support(ec: DataFrame): DataFrame = {
       val m = ec.count()
@@ -1346,21 +1491,29 @@ object Graph {
         array_intersect(col("ns"), col("nt"))), empty)
       def ckey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         struct(least(a, b).as("u"), greatest(a, b).as("v"))
-      o.join(maybeB(nbrs), "s")
+      // r15: same interpreted-HOF fix as [[localClustering]] — the
+      // transform(ws, ...) struct emission ran the whole support
+      // stream through CodegenFallback; the intersection now
+      // checkpoints once and three codegen projections (edge rows +
+      // one plain explode consumed twice) rebuild the identical
+      // per-edge support multiset
+      val withWs = o.join(maybeB(nbrs), "s")
         .join(maybeB(nbrs.select(col("s").as("t"), col("ns").as("nt"))),
           Seq("t"), "left")
-        // explode_outer: no inferred filter rebuilding the wedge
-        // array twice per edge row (r14 sweep)
-        .select(explode_outer(concat(
-          array(struct(ckey(col("s"), col("t")).as("e"),
-            size(ws).cast("long").as("c"))),
-          transform(ws, w => struct(ckey(col("s"), w).as("e"),
-            lit(1L).as("c"))),
-          transform(ws, w => struct(ckey(col("t"), w).as("e"),
-            lit(1L).as("c"))))).as("x"))
-        .filter(col("x").isNotNull)
-        .groupBy(col("x.e.u").as("u"), col("x.e.v").as("v"))
-        .agg(sum(col("x.c")).as("support"))
+        .select(col("s"), col("t"), size(ws).cast("long").as("c"),
+          ws.as("ws"))
+        .localCheckpoint(true)
+      val baseRows = withWs
+        .select(ckey(col("s"), col("t")).as("e"), col("c"))
+      val exploded = withWs
+        .select(col("s"), col("t"), explode(col("ws")).as("w"))
+      baseRows
+        .unionAll(exploded.select(ckey(col("s"), col("w")).as("e"),
+          lit(1L).as("c")))
+        .unionAll(exploded.select(ckey(col("t"), col("w")).as("e"),
+          lit(1L).as("c")))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(sum(col("c")).as("support"))
     }
     for (_ <- 1 to iterations) {
       val sup = support(e)

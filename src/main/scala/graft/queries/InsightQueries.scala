@@ -474,8 +474,12 @@ private[graft] object InsightQueries {
     * plus transitivity as a double of exact integers. */
   private[graft] def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // assumeCanonical: the canonical edge build already guarantees
+    // (src < dst, distinct) — skips a redundant edge-sized exchange
+    // (r15 optimization; identical output, oracle unchanged)
     Graph.triangleStats(
-      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"))
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"),
+      assumeCanonical = true)
   }
 
   private[graft] val oGraphTriangles =
@@ -583,7 +587,9 @@ private[graft] object InsightQueries {
   private[graft] def qGraphCoreness(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val edges = Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey")
-    Graph.coreness(edges, iterations = 8)
+    // assumeCanonical: input is (src < dst, distinct) by construction
+    // (r15 optimization; identical output, oracle unchanged)
+    Graph.coreness(edges, iterations = 8, assumeCanonical = true)
       .select(col("id").as("part"), col("coreness"))
   }
 
@@ -612,7 +618,8 @@ private[graft] object InsightQueries {
   private[graft] def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val edges = Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey")
-    val core = Graph.kCore(edges, k = 80)
+    // assumeCanonical: input is (src < dst, distinct) by construction
+    val core = Graph.kCore(edges, k = 80, assumeCanonical = true)
     core.select(col("src").as("id"))
       .unionAll(core.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -647,8 +654,10 @@ private[graft] object InsightQueries {
     * sums, one double division (see [[Graph.assortativity]]). */
   private[graft] def qGraphAssortativity(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // assumeCanonical: input is (src < dst, distinct) by construction
     Graph.assortativity(
-      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"))
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"),
+      assumeCanonical = true)
   }
 
   private[graft] val oGraphAssortativity =
@@ -809,8 +818,10 @@ private[graft] object InsightQueries {
     * [[Graph.localClustering]]). */
   private[graft] def qGraphClustering(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // assumeCanonical: input is (src < dst, distinct) by construction
     Graph.localClustering(
-      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"))
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"),
+      assumeCanonical = true)
       .select(col("id").as("part"), col("deg"), col("triangles"),
         col("lcc_micro"), col("lcc"))
   }
@@ -854,9 +865,10 @@ private[graft] object InsightQueries {
     val li = t(s, dir, "lineitem")
       .filter(col("l_partkey") % 4 === 0)
       .select(col("l_orderkey"), col("l_partkey"))
+    // assumeCanonical: input is (src < dst, distinct) by construction
     Graph.ktruss(
       Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"),
-      k = 4, iterations = 2)
+      k = 4, iterations = 2, assumeCanonical = true)
   }
 
   private[graft] val oGraphKtruss = {
@@ -896,9 +908,10 @@ private[graft] object InsightQueries {
     val li = t(s, dir, "lineitem")
       .filter(col("l_partkey") % 4 === 0)
       .select(col("l_orderkey"), col("l_partkey"))
+    // assumeCanonical: input is (src < dst, distinct) by construction
     Graph.walkCorpus(
       Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"),
-      steps = 3, walksPerNode = 1)
+      steps = 3, walksPerNode = 1, assumeCanonical = true)
   }
 
   private[graft] val oGraphWalks = {
@@ -934,8 +947,10 @@ private[graft] object InsightQueries {
     val li = t(s, dir, "lineitem")
       .filter(col("l_partkey") % 4 === 0)
       .select(col("l_orderkey"), col("l_partkey"))
+    // assumeCanonical: input is (src < dst, distinct) by construction
     Graph.commonNeighbors(
-      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"))
+      Graph.coOccurrenceEdgesCanonical(li, "l_orderkey", "l_partkey"),
+      assumeCanonical = true)
       .orderBy(col("common").desc, col("u"), col("v"))
       .limit(50)
   }
@@ -968,7 +983,10 @@ private[graft] object InsightQueries {
     val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
     val seeds = li.filter(col("l_partkey") % 101 === 0)
       .select(col("l_partkey").as("id"))
-    Graph.bfsDistances(edges, seeds, maxHops = 3)
+    // assumeDistinct: coOccurrenceEdges output is distinct by
+    // construction (canonical distinct + its disjoint mirror) —
+    // skips a redundant 2m-row exchange (r15; identical output)
+    Graph.bfsDistances(edges, seeds, maxHops = 3, assumeDistinct = true)
   }
 
   private[graft] val oGraphBfs =
@@ -1548,7 +1566,10 @@ private[graft] object InsightQueries {
     val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
     val pivots = li.select(col("l_partkey").as("id")).distinct()
       .orderBy("id").limit(8)
-    Graph.harmonicCentrality(edges, pivots, maxHops = 3)
+    // assumeDistinct: coOccurrenceEdges output is distinct (see
+    // graph_bfs note)
+    Graph.harmonicCentrality(edges, pivots, maxHops = 3,
+      assumeDistinct = true)
   }
 
   /** Pivot-sampled bounded-distance betweenness over the co-purchase
@@ -1564,7 +1585,10 @@ private[graft] object InsightQueries {
     val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
     val pivots = li.select(col("l_partkey").as("id")).distinct()
       .orderBy("id").limit(8)
-    Graph.betweennessPivots(edges, pivots, maxHops = 3)
+    // assumeDistinct: coOccurrenceEdges output is distinct (see
+    // graph_bfs note)
+    Graph.betweennessPivots(edges, pivots, maxHops = 3,
+      assumeDistinct = true)
   }
 
   private[graft] val oGraphBetweenness =

@@ -468,6 +468,84 @@ class InsightSpec extends SparkSpec {
     }
   }
 
+  test("coOccurrenceEdges generator build equals the join spelling (r15)") {
+    // the r15 join-free emission (collect_set + tail generators) must
+    // reproduce the old distinct + self-join + filter + distinct pair
+    // set EXACTLY — including duplicate (g, item) rows, null items
+    // (dropped on both spellings), singleton groups (no pairs), and
+    // the weighted shared-group counts
+    val rows = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 10L), // dup (g,item)
+      (2L, 20L), (2L, 10L),                       // reversed insert order
+      (3L, 40L),                                  // singleton
+      (4L, null), (4L, 50L), (4L, 60L),           // null item dropped
+      (5L, 10L), (5L, 20L))                       // repeat pair (w=3 for 10-20)
+      .toDF("g", "item")
+    def oldCanonical(df: org.apache.spark.sql.DataFrame) = {
+      val g = df.select(col("g"), col("item")).distinct()
+      g.join(g.withColumnRenamed("item", "item2"), "g")
+        .filter(col("item") < col("item2"))
+        .select(col("item").as("src"), col("item2").as("dst"))
+        .distinct()
+    }
+    val got = Graph.coOccurrenceEdgesCanonical(rows, "g", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = oldCanonical(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got === Set((10L, 20L), (10L, 30L), (20L, 30L), (50L, 60L)))
+    val w = Graph.coOccurrenceEdgesWeighted(rows, "g", "item")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(w((10L, 20L)) === 3L && w((20L, 10L)) === 3L)
+    assert(w((10L, 30L)) === 1L && w((50L, 60L)) === 1L)
+    assert(w.size === 8) // 4 unordered pairs, both directions
+  }
+
+  test("assumeCanonical/assumeDistinct: identical results on guaranteed input (r15)") {
+    // the r15 optimization-round opt-ins skip the internal
+    // re-canonicalization distinct; on input that IS canonical
+    // (src < dst, distinct) every op must return byte-identical rows
+    val canon = (for { u <- 1 to 30; v <- 1 to 30
+      if u < v && (u + v) % 3 == 0 } yield (u.toLong, v.toLong))
+      .toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Graph.coreness(canon, iterations = 3,
+        assumeCanonical = true)) ===
+      rows(Graph.coreness(canon, iterations = 3)))
+    assert(rows(Graph.kCore(canon, k = 3, assumeCanonical = true)) ===
+      rows(Graph.kCore(canon, k = 3)))
+    assert(rows(Graph.localClustering(canon, assumeCanonical = true)) ===
+      rows(Graph.localClustering(canon)))
+    assert(rows(Graph.triangleStats(canon, assumeCanonical = true)) ===
+      rows(Graph.triangleStats(canon)))
+    assert(rows(Graph.assortativity(canon, assumeCanonical = true)) ===
+      rows(Graph.assortativity(canon)))
+    assert(rows(Graph.commonNeighbors(canon, assumeCanonical = true)) ===
+      rows(Graph.commonNeighbors(canon)))
+    assert(rows(Graph.ktruss(canon, k = 4, iterations = 2,
+        assumeCanonical = true)) ===
+      rows(Graph.ktruss(canon, k = 4, iterations = 2)))
+    assert(rows(Graph.walkCorpus(canon, steps = 2,
+        assumeCanonical = true)) ===
+      rows(Graph.walkCorpus(canon, steps = 2)))
+    // directed ops: both directions of the canonical set is a DISTINCT
+    // directed edge list — assumeDistinct must be identical
+    val both = canon.unionAll(canon.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val seeds = Seq(1L, 2L).toDF("id")
+    assert(rows(Graph.bfsDistances(both, seeds, maxHops = 3,
+        assumeDistinct = true)) ===
+      rows(Graph.bfsDistances(both, seeds, maxHops = 3)))
+    assert(rows(Graph.harmonicCentrality(both, seeds, maxHops = 3,
+        assumeDistinct = true)) ===
+      rows(Graph.harmonicCentrality(both, seeds, maxHops = 3)))
+    assert(rows(Graph.betweennessPivots(both, seeds, maxHops = 3,
+        assumeDistinct = true)) ===
+      rows(Graph.betweennessPivots(both, seeds, maxHops = 3)))
+  }
+
   test("r11 batch plan pins: no cartesian, no data-wide window, co-keyed shapes") {
     val docs = (1 to 40).map(i =>
       (i.toLong, s"alpha beta gamma delta tok$i epsilon")).toDF("id", "text")
