@@ -48,24 +48,32 @@ object Basket {
                        maxBasketItems: Int = 64): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     require(maxBasketItems >= 2, "maxBasketItems must be >= 2")
-    val items = df
+    // r15 (the coOccurrenceEdgesCanonical rewrite, guide §2.3/§2.4):
+    // ONE exchange builds the per-basket sorted item set — collect_set
+    // dedups (basket, item) inside the aggregate, the size cap becomes
+    // a plain filter on the set, and canonical pairs are emitted in
+    // place by two generators. The old spelling paid a distinct
+    // exchange, a size-cap aggregate + membership join, and a
+    // basket-keyed self-join before the pair aggregate ever ran.
+    // Basket universe, marginals and pair counts are value-identical.
+    val sets = df
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
-      .distinct()
-    val kept = items.groupBy("__b").agg(count(lit(1)).as("__sz"))
-      .filter(col("__sz") <= maxBasketItems)
-      .select("__b")
-    val universe = items.join(kept, "__b")
-    val nBaskets = universe.groupBy()
-      .agg(countDistinct("__b").as("__n"))
-    val marginals = universe.groupBy(col("__i"))
+      .groupBy("__b")
+      .agg(sort_array(collect_set(col("__i"))).as("__xs"))
+      .filter(size(col("__xs")) <= maxBasketItems)
+      .localCheckpoint(true) // feeds N, marginals, and the pair stream
+    val nBaskets = sets.groupBy().agg(count(lit(1)).as("__n"))
+    val marginals = sets.select(explode(col("__xs")).as("__i"))
+      .groupBy(col("__i"))
       .agg(count(lit(1)).as("__ni"))
-    // canonical pairs once (a < b), then mirror — halves the pair
-    // aggregate's shuffle volume vs joining both directions outright
-    val pairs = universe.as("a")
-      .join(universe.as("b"),
-        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("ia"), col("b.__i").as("ib"))
+    val pairs = sets
+      .select(posexplode(col("__xs")).as(Seq("__p", "ia")), col("__xs"))
+      .select(col("ia"),
+        explode(slice(col("__xs"), col("__p") + lit(2),
+          greatest(size(col("__xs")) - col("__p") - lit(1), lit(0))))
+          .as("ib"))
+      .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
     val directed = pairs
