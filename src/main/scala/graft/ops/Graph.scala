@@ -1554,12 +1554,21 @@ object Graph {
   def modularity(edges: DataFrame, labels: DataFrame,
                  idCol: String = "id",
                  labelCol: String = "community"): DataFrame = {
-    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__c"))
-      .localCheckpoint(true) // joined on both endpoints + degree side
+    // r15: the label table is vertex-sized and checkpointed (no
+    // stats), so both endpoint joins planned SMJ — two full edge-list
+    // exchanges + sorts. Materialize-with-count and broadcast under
+    // the family's 4M-vertex cap: the tagging pass becomes two hash
+    // probes over the un-shuffled edge list (guide §3.1).
+    val (lab, nLab) = org.apache.spark.sql.GraftShim.materializeWithCount(
+      labels.select(col(idCol).as("__id"), col(labelCol).as("__c")))
+    def maybeB(df: DataFrame): DataFrame =
+      if (nLab <= (4L << 20)) broadcast(df) else df
     val e = edges.select(col("src").as("__u"), col("dst").as("__v"))
     val tagged = e
-      .join(lab.select(col("__id").as("__u"), col("__c").as("__cu")), "__u")
-      .join(lab.select(col("__id").as("__v"), col("__c").as("__cv")), "__v")
+      .join(maybeB(lab.select(col("__id").as("__u"), col("__c").as("__cu"))),
+        "__u")
+      .join(maybeB(lab.select(col("__id").as("__v"), col("__c").as("__cv"))),
+        "__v")
       .localCheckpoint(true) // m count + intra count share it
     val m = tagged.agg(count(lit(1)).as("__m"))
     val intra = tagged.filter(col("__cu") === col("__cv"))
